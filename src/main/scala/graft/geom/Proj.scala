@@ -1,0 +1,200 @@
+package graft.geom
+
+/** Coordinate reprojection without PROJ (SURVEY §2.9, §7.4).
+  *
+  * The reference delegates to DuckDB `ST_Transform(..., always_xy := true)`
+  * (`core/reproject.py:150-156`). We implement the projections its test
+  * matrix actually exercises:
+  *  - EPSG:4326 (lon/lat WGS84) ↔ EPSG:3857 (WebMercator)
+  *  - EPSG:4326 ↔ EPSG:5070 (CONUS Albers Equal Area, GRS80/NAD83)
+  *  - EPSG:4326 ↔ generic UTM zones (EPSG:326xx / 327xx)
+  * Always-XY axis order everywhere (lon, lat).
+  */
+object Proj {
+
+  private val A = 6378137.0 // WGS84/GRS80 semi-major
+  private val F = 1.0 / 298.257222101 // GRS80 flattening (Albers/UTM grids)
+  private val FWgs = 1.0 / 298.257223563 // WGS84 flattening (UTM on WGS84)
+
+  // ---- WebMercator ------------------------------------------------------
+
+  def lonLatToMercator(lon: Double, lat: Double): (Double, Double) = {
+    val x = A * math.toRadians(lon)
+    val latC = math.max(-89.9999, math.min(89.9999, lat))
+    val y = A * math.log(math.tan(math.Pi / 4 + math.toRadians(latC) / 2))
+    (x, y)
+  }
+
+  def mercatorToLonLat(x: Double, y: Double): (Double, Double) = {
+    val lon = math.toDegrees(x / A)
+    val lat = math.toDegrees(2 * math.atan(math.exp(y / A)) - math.Pi / 2)
+    (lon, lat)
+  }
+
+  // ---- Albers Equal Area (EPSG:5070 parameters) -------------------------
+
+  private object Albers5070 {
+    val lat1 = math.toRadians(29.5)
+    val lat2 = math.toRadians(45.5)
+    val lat0 = math.toRadians(23.0)
+    val lon0 = math.toRadians(-96.0)
+    val e2 = 2 * F - F * F
+    val e = math.sqrt(e2)
+
+    private def qOf(phi: Double): Double = {
+      val sin = math.sin(phi)
+      (1 - e2) * (sin / (1 - e2 * sin * sin) -
+        (1 / (2 * e)) * math.log((1 - e * sin) / (1 + e * sin)))
+    }
+    private def mOf(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+
+    val m1 = mOf(lat1); val m2 = mOf(lat2)
+    val q0 = qOf(lat0); val q1 = qOf(lat1); val q2 = qOf(lat2)
+    val n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    val c = m1 * m1 + n * q1
+    val rho0 = A * math.sqrt(c - n * q0) / n
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon)
+      val q = qOf(phi)
+      val rho = A * math.sqrt(c - n * q) / n
+      val theta = n * (lam - lon0)
+      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.hypot(x, rho0 - y)
+      val theta = math.atan2(x, rho0 - y)
+      val q = (c - rho * rho * n * n / (A * A)) / n
+      // iterate for phi
+      var phi = math.asin(math.max(-1, math.min(1, q / 2)))
+      var i = 0
+      while (i < 15) {
+        val sin = math.sin(phi)
+        val esin = e * sin
+        val next = phi + math.pow(1 - e2 * sin * sin, 2) / (2 * math.cos(phi)) *
+          (q / (1 - e2) - sin / (1 - e2 * sin * sin) +
+            (1 / (2 * e)) * math.log((1 - esin) / (1 + esin)))
+        if (math.abs(next - phi) < 1e-12) { phi = next; i = 100 } else phi = next
+        i += 1
+      }
+      (math.toDegrees(lon0 + theta / n), math.toDegrees(phi))
+    }
+  }
+
+  // ---- Transverse Mercator (UTM) ---------------------------------------
+
+  private def utmForward(lon: Double, lat: Double, zone: Int,
+      north: Boolean): (Double, Double) = {
+    val k0 = 0.9996
+    val lon0 = math.toRadians(-183.0 + 6 * zone)
+    val e2 = 2 * FWgs - FWgs * FWgs
+    val ep2 = e2 / (1 - e2)
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(lon)
+    val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+    val nRad = A / math.sqrt(1 - e2 * sinP * sinP)
+    val t = tanP * tanP
+    val cc = ep2 * cosP * cosP
+    val aa = cosP * (lam - lon0)
+    val m = A * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi -
+      (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi) +
+      (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi) -
+      (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+    val x = k0 * nRad * (aa + (1 - t + cc) * aa * aa * aa / 6 +
+      (5 - 18 * t + t * t + 72 * cc - 58 * ep2) * math.pow(aa, 5) / 120) + 500000.0
+    var y = k0 * (m + nRad * tanP * (aa * aa / 2 +
+      (5 - t + 9 * cc + 4 * cc * cc) * math.pow(aa, 4) / 24 +
+      (61 - 58 * t + t * t + 600 * cc - 330 * ep2) * math.pow(aa, 6) / 720))
+    if (!north) y += 10000000.0
+    (x, y)
+  }
+
+  private def utmInverse(x: Double, y: Double, zone: Int,
+      north: Boolean): (Double, Double) = {
+    val k0 = 0.9996
+    val lon0 = math.toRadians(-183.0 + 6 * zone)
+    val e2 = 2 * FWgs - FWgs * FWgs
+    val ep2 = e2 / (1 - e2)
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val xm = x - 500000.0
+    val ym = if (north) y else y - 10000000.0
+    val m = ym / k0
+    val mu = m / (A * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+    val phi1 = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+      (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+    val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+    val c1 = ep2 * cosP * cosP
+    val t1 = tanP * tanP
+    val n1 = A / math.sqrt(1 - e2 * sinP * sinP)
+    val r1 = A * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
+    val d = xm / (n1 * k0)
+    val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
+      (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24 +
+      (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) *
+        math.pow(d, 6) / 720)
+    val lam = lon0 + (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6 +
+      (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) *
+        math.pow(d, 5) / 120) / cosP
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  // ---- dispatch ---------------------------------------------------------
+
+  private def parseEpsg(crs: String): Int = {
+    val s = crs.trim.toUpperCase
+    val code = if (s.startsWith("EPSG:")) s.substring(5) else s
+    code.toInt
+  }
+
+  def supported(crs: String): Boolean =
+    try {
+      val c = parseEpsg(crs)
+      c == 4326 || c == 3857 || c == 5070 || c == 900913 ||
+        (c >= 32601 && c <= 32660) || (c >= 32701 && c <= 32760)
+    } catch { case _: Exception => false }
+
+  /** (lon-ish x, lat-ish y) in `from` CRS → `to` CRS, always XY. */
+  def transform(x: Double, y: Double, from: String, to: String): (Double, Double) = {
+    val f = parseEpsg(from); val t = parseEpsg(to)
+    if (f == t) return (x, y)
+    val (lon, lat) = toLonLat(x, y, f)
+    fromLonLat(lon, lat, t)
+  }
+
+  private def toLonLat(x: Double, y: Double, epsg: Int): (Double, Double) =
+    epsg match {
+      case 4326 => (x, y)
+      case 3857 | 900913 => mercatorToLonLat(x, y)
+      case 5070 => Albers5070.inverse(x, y)
+      case z if z >= 32601 && z <= 32660 => utmInverse(x, y, z - 32600, north = true)
+      case z if z >= 32701 && z <= 32760 => utmInverse(x, y, z - 32700, north = false)
+      case _ => throw new IllegalArgumentException(s"unsupported CRS EPSG:$epsg")
+    }
+
+  private def fromLonLat(lon: Double, lat: Double, epsg: Int): (Double, Double) =
+    epsg match {
+      case 4326 => (lon, lat)
+      case 3857 | 900913 => lonLatToMercator(lon, lat)
+      case 5070 => Albers5070.forward(lon, lat)
+      case z if z >= 32601 && z <= 32660 => utmForward(lon, lat, z - 32600, north = true)
+      case z if z >= 32701 && z <= 32760 => utmForward(lon, lat, z - 32700, north = false)
+      case _ => throw new IllegalArgumentException(s"unsupported CRS EPSG:$epsg")
+    }
+
+  def transformGeom(g: Geom, from: String, to: String): Geom =
+    g.mapCoords((x, y) => transform(x, y, from, to))
+
+  /** Rough geographic-vs-projected classification used for CRS gates
+    * (reference `core/add_quadkey_column.py:78-143`, `core/extract.py:104-247`).
+    */
+  def isGeographic(crs: String): Boolean =
+    try parseEpsg(crs) == 4326 catch { case _: Exception =>
+      val s = crs.toUpperCase
+      s.contains("4326") || s.contains("CRS84") || s.contains("WGS 84") || s.contains("WGS84")
+    }
+}

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev smoke: exercises the SQL-registered geo surface and edge cases
+  * end-to-end on a live session. Run:
+  *   sbt "runMain graft.tools.Smoke"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    graft.functions.geo.register(spark)
+
+    println("== SQL surface ==")
+    spark.sql(
+      """SELECT
+        |  st_astext(st_centroid(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS centroid,
+        |  st_distance(st_point(0.0D, 0.0D), st_point(3.0D, 4.0D)) AS dist,
+        |  st_intersects(st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+        |                st_geomfromtext('POINT (1 1)')) AS hits
+        |""".stripMargin).show(false)
+
+    println("== malformed WKT via try_geomfromtext (null, no crash) ==")
+    Seq("POINT (1 2)", "GARBAGE((", "LINESTRING (0 0, 1 1)").toDF("wkt")
+      .select($"wkt", graft.functions.geo.try_geomfromtext($"wkt").isNull.as("parse_failed"))
+      .show(false)
+
+    println("== malformed WKB via strict st_x (error surfaced) ==")
+    try {
+      Seq(Array[Byte](9, 9, 9)).toDF("b")
+        .select(graft.functions.geo.st_x($"b")).collect()
+      println("ERROR: expected exception")
+    } catch {
+      case e: Exception =>
+        val root = Option(e.getCause).getOrElse(e)
+        println(s"strict parse error surfaced: ${root.getMessage.take(100)}")
+    }
+
+    println("== spatial keys ==")
+    spark.range(1).select(
+      graft.functions.geo.quadkey(lit(-122.4194), lit(37.7749), 13).as("sf_quadkey"),
+      graft.functions.geo.hilbert_xy(lit(0.5), lit(0.5), 0, 0, 1, 1).as("hilbert_mid"))
+      .show(false)
+
+    println("== geojson round-trip ==")
+    spark.range(1).select(
+      graft.functions.geo.st_asgeojson(
+        graft.functions.geo.st_geomfromgeojson(
+          lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":[1.5,2.5]},"properties":{}}""")))
+        .as("gj")).show(false)
+
+    spark.stop()
+  }
+}
