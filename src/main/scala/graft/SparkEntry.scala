@@ -13,7 +13,12 @@ object SparkEntry {
 
   /** All operator groups, in SURVEY §2 order. */
   def groups: Seq[Seq[QueryDef]] = Seq(
-    CoreQueries.defs
+    CoreQueries.defs,
+    AggQueries.defs,
+    SortQueries.defs,
+    JoinQueries.defs,
+    TextQueries.defs,
+    VectorQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = {

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import QueryDef.table
+import Coords._
+
+/** Join surface (SURVEY §2.3) + event-time windowing. The spatial enrich
+  * join reproduces the reference's only join shape — input LEFT JOIN
+  * small boundary set ON bbox-range pre-filter AND precise ST_Contains —
+  * as a broadcast join with the cheap range condition evaluated before
+  * the geometry predicate.
+  */
+object JoinQueries {
+
+  /** events table: driver parquet uses TIMESTAMP(NANOS), which Spark 4
+    * only reads via the nanosAsLong legacy flag; we convert to a proper
+    * timestamp column ourselves.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: ns values ~1.7e18 exceed double's 2^53 mantissa,
+    // so a float path would corrupt the low bits
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- left semi join: customers having large orders -----------------
+    QueryDef(
+      "q15_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        val cust = table(s, dir, "customer")
+        val big = table(s, dir, "orders").filter($"o_totalprice" > 300000.0)
+        cust.join(big, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        ORDER BY c_custkey""")),
+
+    // ---- left anti join: customers with no orders at all ---------------
+    QueryDef(
+      "q16_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        val cust = table(s, dir, "customer")
+        val big = table(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+        cust.join(big, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+        ORDER BY c_custkey""")),
+
+    // ---- spatial enrich join (reference's admin-division join shape,
+    // `core/add_admin_divisions_multi.py:72-151`): points LEFT JOIN a
+    // small grid of boundary cells, bbox-range pre-filter ANDed before
+    // the precise ST_Contains, boundary set broadcast ------------------
+    QueryDef(
+      "q17_spatial_join",
+      (s, dir) => {
+        import s.implicits._
+        val pts = table(s, dir, "customer")
+          .withColumn("x", lon($"c_custkey"))
+          .withColumn("y", lat($"c_custkey"))
+          .withColumn("g", geo.st_point($"x", $"y"))
+        // boundary cells derived from nation: 25 disjoint-ish boxes
+        val cells = table(s, dir, "nation")
+          .withColumn("x0", ($"n_nationkey" * 14).cast("double") - 180)
+          .withColumn("y0", (($"n_nationkey" % 5) * 36).cast("double") - 90)
+          .withColumn("cell", geo.st_geomfromtext(
+            concat(lit("POLYGON (("),
+              $"x0", lit(" "), $"y0", lit(", "),
+              $"x0" + 14, lit(" "), $"y0", lit(", "),
+              $"x0" + 14, lit(" "), $"y0" + 36, lit(", "),
+              $"x0", lit(" "), $"y0" + 36, lit(", "),
+              $"x0", lit(" "), $"y0", lit("))"))))
+          .select($"n_nationkey", $"n_name", $"x0", $"y0", $"cell")
+        pts.join(broadcast(cells),
+            // cheap bbox range pre-filter first, then precise predicate
+            $"x" >= $"x0" && $"x" <= $"x0" + 14 &&
+            $"y" >= $"y0" && $"y" <= $"y0" + 36 &&
+            geo.st_contains($"cell", $"g"),
+            "left")
+          .groupBy($"n_name")
+          .agg(count($"c_custkey").as("n_points"))
+          .orderBy($"n_name".asc_nulls_first)
+      },
+      Some(s"""WITH pts AS (
+          SELECT c_custkey, ${lonSql("c_custkey")} AS x, ${latSql("c_custkey")} AS y
+          FROM customer),
+        cells AS (
+          SELECT n_nationkey, n_name,
+            CAST(n_nationkey * 14 AS DOUBLE) - 180 AS x0,
+            CAST((n_nationkey % 5) * 36 AS DOUBLE) - 90 AS y0
+          FROM nation)
+        SELECT n_name, COUNT(c_custkey) AS n_points
+        FROM pts LEFT JOIN cells
+          ON x >= x0 AND x <= x0 + 14 AND y >= y0 AND y <= y0 + 36
+        GROUP BY n_name
+        ORDER BY n_name NULLS FIRST""")),
+
+    // ---- event-time tumbling window aggregation ------------------------
+    // (Structured-Streaming-compatible plan shape; batch semantics here so
+    // the oracle can reproduce it with date_trunc)
+    QueryDef(
+      "q18_event_window",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(round($"value" * 100).cast("long")) / 100.0).as("sum_value"))
+          .select(unix_timestamp($"w.start").as("window_start"),
+            $"event_type", $"n", $"sum_value")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+          event_type, COUNT(*) AS n,
+          SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type""")),
+
+    // ---- sessionization via window lag (gap > 30 min = new session) ----
+    QueryDef(
+      "q19_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        events(s, dir)
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum($"new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id")
+          .agg(max($"session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, event_id,
+            CASE WHEN prev_ts IS NULL
+              OR (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+               - (epoch_us(CAST(prev_ts AS TIMESTAMP)) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, event_id, ts,
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events) t),
+        sessions AS (
+          SELECT user_id,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked)
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id ORDER BY user_id"""))
+  )
+}
