@@ -18,7 +18,8 @@ object SparkEntry {
     SortQueries.defs,
     JoinQueries.defs,
     TextQueries.defs,
-    VectorQueries.defs
+    VectorQueries.defs,
+    OpsQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = {

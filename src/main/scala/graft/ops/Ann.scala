@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — builder-prompt surface.
+  *
+  *  - bruteTopK: exact cosine top-k. One scan + a size-k driver result;
+  *    at scale this is a map + TakeOrdered (no shuffle of the data).
+  *  - LSH (random hyperplanes): each vector gets a b-bit signature;
+  *    search only probes the query's bucket (and optionally neighboring
+  *    buckets by 1-bit flips). Bucketing is a deterministic map; the
+  *    bucket column can be persisted and used as a partition key at
+  *    scale so a query touches one partition.
+  *  - IVF: coarse centroids picked deterministically from the data
+  *    (stride sampling), vectors assigned to nearest centroid; search
+  *    probes nProbe nearest centroid lists.
+  */
+object Ann {
+
+  /** Deterministic unit-ish hyperplane component h_{p,i}. */
+  private def plane(p: Int, i: Int): Double = {
+    // map a 64-bit hash to (-1, 1)
+    val h = Hashing.mix64(0x51ed2701L * (p + 1) + 0x9e3779b97f4a7c15L * (i + 1))
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** b-bit hyperplane signature of a vector. */
+  def lshSignature(vec: Array[Float], bits: Int): Int = {
+    var sig = 0
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i) * plane(p, i); i += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  private val lshUdf = udf((v: Array[Float], bits: Int) => lshSignature(v, bits))
+
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact brute-force cosine top-k against one query vector. */
+  def bruteTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Add the LSH bucket column (persist + partition by this at scale). */
+  def withLshBucket(df: DataFrame, vecCol: String, bits: Int = 12,
+      bucketCol: String = "lsh_bucket"): DataFrame =
+    df.withColumn(bucketCol, lshUdf(col(vecCol), lit(bits)))
+
+  /** ANN top-k probing the query's bucket plus all 1-bit-flip neighbors. */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, bits: Int = 12): DataFrame = {
+    val qSig = lshSignature(query, bits)
+    val probes = qSig +: (0 until bits).map(b => qSig ^ (1 << b))
+    val bucketed = withLshBucket(df, vecCol, bits)
+    bruteTopK(bucketed.filter(col("lsh_bucket").isin(probes: _*)),
+      vecCol, idCol, query, k)
+  }
+
+  /** Deterministic coarse centroids: stride-sample nLists vectors. */
+  def ivfCentroids(df: DataFrame, vecCol: String, idCol: String,
+      nLists: Int): Array[Array[Float]] = {
+    val n = df.count()
+    val stride = math.max(1L, n / nLists)
+    df.select(col(idCol), col(vecCol))
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol))
+      .limit(nLists)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+  }
+
+  private def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = -1; var bestSim = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < v.length) {
+        dot += v(i).toDouble * cents(c)(i); na += v(i).toDouble * v(i)
+        nb += cents(c)(i).toDouble * cents(c)(i); i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign each vector to its IVF list (small centroid set broadcast
+    * inside the UDF closure).
+    */
+  def withIvfList(df: DataFrame, vecCol: String,
+      cents: Array[Array[Float]], listCol: String = "ivf_list"): DataFrame = {
+    val assignUdf = udf((v: Array[Float]) => nearestCentroid(v, cents))
+    df.withColumn(listCol, assignUdf(col(vecCol)))
+  }
+
+  /** IVF search: probe the nProbe closest centroid lists, exact within. */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, cents: Array[Array[Float]],
+      nProbe: Int = 4): DataFrame = {
+    // rank centroids by similarity to the query
+    val bysim = cents.indices.sortBy { c =>
+      -{
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < query.length) {
+          dot += query(i).toDouble * cents(c)(i); na += query(i).toDouble * query(i)
+          nb += cents(c)(i).toDouble * cents(c)(i); i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+    }.take(nProbe)
+    val assigned = withIvfList(df, vecCol, cents)
+    bruteTopK(assigned.filter(col("ivf_list").isin(bysim: _*)),
+      vecCol, idCol, query, k)
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text pipelines (builder-prompt
+  * surface). All shapes are shuffle-conscious:
+  *
+  *  - exact: group on a digest of the normalized content, never on the
+  *    raw text (the shuffle key is 16 bytes, not kilobytes).
+  *  - MinHash+LSH: shingle → n minhashes → b bands; candidate pairs come
+  *    from an equi-join on (band, band-signature), i.e. a standard hash
+  *    shuffle that scales linearly — no pairwise cross join ever
+  *    materializes. Precise Jaccard verifies candidates only.
+  *  - SimHash: 64-bit fingerprint, near-dups via banded Hamming join.
+  *
+  * At 100 TB: every stage is a map + one hash-partitioned shuffle on a
+  * small key; the only quadratic work is within-bucket verification,
+  * bounded by band width.
+  */
+object Dedup {
+
+  // ---- normalization ----------------------------------------------------
+
+  /** lower, strip non-alnum, collapse whitespace (mirrors q20). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact dedup: keep the row with min(idCol) per digest of keyCol. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val withH = df.withColumn("__h", md5(normalize(col(keyCol))))
+    val keepers = withH.groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+    withH.join(keepers, Seq("__h", idCol)).drop("__h")
+  }
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** Word-level shingles of size k over the normalized text. */
+  private def shingles(text: String, k: Int): Iterator[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) {
+      if (toks.isEmpty) Iterator.empty else Iterator(toks.mkString(" "))
+    } else toks.sliding(k).map(_.mkString(" "))
+  }
+
+  /** n-permutation MinHash signature of a document. */
+  def minhashSignature(text: String, numHashes: Int, shingleK: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = shingles(text, shingleK)
+    while (it.hasNext) {
+      val base = Hashing.hashString(it.next())
+      var i = 0
+      while (i < numHashes) {
+        val h = Hashing.family(base, i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Exact word-shingle Jaccard similarity (verification predicate). */
+  def jaccard(a: String, b: String, shingleK: Int): Double = {
+    val sa = shingles(a, shingleK).toSet
+    val sb = shingles(b, shingleK).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+  }
+
+  private val minhashUdf =
+    udf((t: String, n: Int, k: Int) => minhashSignature(t, n, k))
+  private val jaccardUdf =
+    udf((a: String, b: String, k: Int) => jaccard(a, b, k))
+
+  /** Candidate near-dup pairs via banded LSH on MinHash signatures.
+    *
+    * Returns (idA, idB, jaccard) with idA < idB and jaccard >= threshold.
+    * numHashes must be divisible by bands; rows/band = numHashes / bands.
+    */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("__id"),
+        normalize(col(textCol)).as("__norm"))
+      .withColumn("__sig", minhashUdf(col("__norm"), lit(numHashes), lit(shingleK)))
+    // explode into (band, bandSig) buckets; bandSig is a digest of the
+    // band's slice so the shuffle key stays tiny
+    val banded = sigs.select(col("__id"), col("__norm"), col("__sig"),
+        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__bi", "__b")))
+      .withColumn("__bandSig",
+        hash(col("__b"), slice(col("__sig"), col("__b") * rowsPerBand + 1, lit(rowsPerBand))))
+      .select(col("__id"), col("__norm"), col("__b"), col("__bandSig"))
+    val a = banded.select(col("__b"), col("__bandSig"),
+      col("__id").as("id_a"), col("__norm").as("norm_a"))
+    val b = banded.select(col("__b"), col("__bandSig"),
+      col("__id").as("id_b"), col("__norm").as("norm_b"))
+    a.join(b, Seq("__b", "__bandSig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("norm_a"), col("norm_b"))
+      .distinct() // candidate may surface from several bands
+      .withColumn("jaccard", jaccardUdf(col("norm_a"), col("norm_b"), lit(shingleK)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens. */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    val toks = text.split("\\s+")
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val h = Hashing.hashString(toks(t))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  private val simhashUdf = udf((t: String) => simhash64(t))
+
+  /** SimHash near-dups: fingerprints within maxHamming bits.
+    *
+    * Banding: split the 64-bit fingerprint into (maxHamming + 1) chunks —
+    * by pigeonhole, any pair within maxHamming shares at least one exact
+    * chunk, so candidates come from an equi-join on (chunk index, chunk).
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val fps = df.select(col(idCol).as("__id"),
+      simhashUdf(normalize(col(textCol))).as("__fp"))
+    val banded = fps.select(col("__id"), col("__fp"),
+        posexplode(sequence(lit(0), lit(chunks - 1))).as(Seq("__ci", "__c")))
+      .withColumn("__chunk",
+        expr(s"shiftrightunsigned(__fp, __c * $bitsPer)")
+          .bitwiseAND(lit((1L << bitsPer) - 1)))
+      .select(col("__id"), col("__fp"), col("__c"), col("__chunk"))
+    val a = banded.select(col("__c"), col("__chunk"),
+      col("__id").as("id_a"), col("__fp").as("fp_a"))
+    val b = banded.select(col("__c"), col("__chunk"),
+      col("__id").as("id_b"), col("__fp").as("fp_b"))
+    a.join(b, Seq("__c", "__chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

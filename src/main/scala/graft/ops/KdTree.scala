@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KD-tree spatial partitioning (reference `core/add_kdtree_column.py`):
+  * recursive median splits alternating x/y produce 2^iterations balanced
+  * cells; each row gets a '0'/'1' path-bit string cell id.
+  *
+  * The reference builds the tree with a WITH RECURSIVE + windowed
+  * APPROX_QUANTILE over a sample; here the tree is built driver-side from
+  * `approxQuantile` over a sample (a few KB of state), then applied in a
+  * single distributed pass — O(n) with a broadcast-size model, the right
+  * shape at 100 TB.
+  */
+object KdTree {
+
+  /** Binary tree of alternating x/y median splits. */
+  final case class Node(split: Double, left: Option[Node], right: Option[Node])
+
+  /** Build the split tree from a sample. iterations = tree depth. */
+  def build(df: DataFrame, xCol: String, yCol: String, iterations: Int,
+      sampleFraction: Double = 0.1, seed: Long = 42L): Node = {
+    val sample = df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .sample(withReplacement = false, sampleFraction, seed)
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+
+    def median(vs: Array[Double]): Double = {
+      val sorted = vs.sorted
+      if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
+    }
+
+    def split(pts: Array[(Double, Double)], depth: Int): Node = {
+      val useX = depth % 2 == 0
+      val m = median(pts.map(p => if (useX) p._1 else p._2))
+      if (depth + 1 >= iterations) Node(m, None, None)
+      else {
+        val (lo, hi) = pts.partition(p => (if (useX) p._1 else p._2) < m)
+        Node(m, Some(split(lo, depth + 1)), Some(split(hi, depth + 1)))
+      }
+    }
+    split(sample, 0)
+  }
+
+  /** Cell id of a point: the '0'/'1' path through the split tree
+    * (reference cell-id format, `core/add_kdtree_column.py:140-207`).
+    */
+  def cellOf(tree: Node, x: Double, y: Double): String = {
+    val sb = new StringBuilder
+    var node: Option[Node] = Some(tree)
+    var depth = 0
+    while (node.isDefined) {
+      val n = node.get
+      val v = if (depth % 2 == 0) x else y
+      if (v < n.split) { sb.append('0'); node = n.left }
+      else { sb.append('1'); node = n.right }
+      depth += 1
+    }
+    sb.toString
+  }
+
+  /** Add the kdtree cell column in one distributed pass. */
+  def withCell(df: DataFrame, xCol: String, yCol: String, tree: Node,
+      cellCol: String = "kdtree_cell"): DataFrame = {
+    val assign = udf((x: Double, y: Double) => cellOf(tree, x, y))
+    df.withColumn(cellCol, assign(col(xCol).cast("double"), col(yCol).cast("double")))
+  }
+
+  /** Auto iterations targeting ~rowsPerCell rows per cell (reference
+    * auto-iteration rule).
+    */
+  def autoIterations(totalRows: Long, rowsPerCell: Long = 100000L): Int =
+    math.max(1, math.ceil(math.log(totalRows.toDouble / rowsPerCell) / math.log(2)).toInt)
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing — builder-prompt
+  * surface. Media is carried as opaque `binary` columns with a typed
+  * metadata struct; decode / feature-extract run as partition-local
+  * batch functions over the binary payloads (the Scala analogue of a
+  * Pandas-UDF-over-mapInPandas pipeline).
+  *
+  * The actual codecs are NOT available in this container, so
+  * `decodeStub` produces a deterministic fake decode — the Spark-side
+  * contract (schema, batching, partition locality, null behavior) is
+  * real and tested; swapping in a real codec is a one-function change.
+  */
+object Multimodal {
+
+  /** Metadata schema carried next to every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Deterministic fake decode of a payload: byte-derived dimensions.
+    * >>> REAL CODEC GOES HERE (image/audio libs absent in container). <<<
+    */
+  def decodeStub(payload: Array[Byte], mediaType: String): Row = {
+    if (payload == null) Row(mediaType, null, null, null, null)
+    else {
+      val n = payload.length
+      val w = 16 + (if (n > 0) (payload(0) & 0x7f) else 0)
+      val h = 16 + (if (n > 1) (payload(1) & 0x7f) else 0)
+      val frames = if (mediaType == "video") 1 + n % 30 else 1
+      Row(mediaType, n, w, h, frames)
+    }
+  }
+
+  /** Attach decoded metadata partition-locally (no shuffle). */
+  def withDecodedMeta(df: DataFrame, payloadCol: String, mediaTypeCol: String,
+      metaCol: String = "media_meta"): DataFrame = {
+    val outSchema = df.schema.add(metaCol, mediaMetaType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val tIdx = df.schema.fieldIndex(mediaTypeCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val meta = decodeStub(row.getAs[Array[Byte]](pIdx), row.getString(tIdx))
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video payloads: deterministic byte strides —
+    * output one row per sampled "frame" (payload slice + frame index).
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String, idCol: String,
+      everyN: Int = 10): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val payload = row.getAs[Array[Byte]](pIdx)
+        val id = row.getLong(iIdx)
+        if (payload == null) Iterator.empty
+        else {
+          val frameSize = math.max(1, payload.length / 30)
+          (0 until 30 by everyN).iterator.map { f =>
+            val start = f * frameSize
+            val end = math.min(payload.length, start + frameSize)
+            Row(id, f, java.util.Arrays.copyOfRange(payload, start, math.max(start, end)))
+          }
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup, KdTree, Multimodal}
+import QueryDef.table
+import Coords._
+
+/** Sketch/model-based operators from graft.ops exercised as queries.
+  * MinHash-LSH and the multimodal decode have full DuckDB oracles
+  * (the oracle recomputes exact Jaccard brute-force / the deterministic
+  * stub math); SimHash, KD-tree and LSH-ANN are declared rows-only
+  * (their hash families aren't SQL-expressible) and are instead
+  * unit-tested in graft test suites.
+  */
+object OpsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- MinHash + banded LSH near-dup detection -----------------------
+    // LSH candidates (equi-join on band signatures, no cross join) are
+    // verified with exact 3-gram Jaccard; at j >= 0.8 with 128 hashes /
+    // 32 bands the miss probability is ~1e-29, so the output equals the
+    // oracle's brute-force enumeration.
+    QueryDef(
+      "q28_minhash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.minhashNearDups(table(s, dir, "documents"), "text", "doc_id",
+            numHashes = 128, bands = 32, shingleK = 3, threshold = 0.8)
+          .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH norm AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN
+              CASE WHEN len(toks) = 0 THEN [] ELSE [array_to_string(toks, ' ')] END
+            ELSE list_distinct(list_transform(range(len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sset
+          FROM norm)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+            (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 6)
+            AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+          (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // ---- SimHash near-dup (rows-only: custom 64-bit hash family) -------
+    QueryDef(
+      "q29_simhash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhashNearDups(table(s, dir, "documents"), "text", "doc_id",
+            maxHamming = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // ---- KD-tree balanced spatial partitioning (rows-only: sample-
+    // driven splits) -----------------------------------------------------
+    QueryDef(
+      "q30_kdtree_cells",
+      (s, dir) => {
+        import s.implicits._
+        val pts = table(s, dir, "customer")
+          .withColumn("x", lon($"c_custkey"))
+          .withColumn("y", lat($"c_custkey"))
+        val tree = KdTree.build(pts, "x", "y", iterations = 4,
+          sampleFraction = 0.5, seed = 42L)
+        KdTree.withCell(pts, "x", "y", tree)
+          .groupBy($"kdtree_cell")
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy($"kdtree_cell")
+      },
+      None),
+
+    // ---- LSH-bucketed ANN (rows-only: hyperplane family not in SQL) ----
+    QueryDef(
+      "q31_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val query = emb.filter($"vec_id" === 1)
+          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        Ann.lshTopK(emb.filter($"vec_id" =!= 1), "embedding", "vec_id",
+            query, k = 10, bits = 8)
+          .select($"vec_id", round($"sim", 5).as("sim"))
+      },
+      None),
+
+    // ---- multimodal decode via mapPartitions (deterministic stub) ------
+    // The payload is the UTF-8 text; the stub extracts byte-derived
+    // dimensions, so the oracle can recompute them with byte math. This
+    // validates the mapPartitions schema/batch plumbing end-to-end.
+    QueryDef(
+      "q32_multimodal_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .withColumn("payload", encode($"text", "UTF-8"))
+          .withColumn("media_type",
+            when($"doc_id" % 3 === 0, "image")
+              .when($"doc_id" % 3 === 1, "audio").otherwise("video"))
+        Multimodal.withDecodedMeta(media, "payload", "media_type")
+          .select($"doc_id", $"media_type",
+            $"media_meta.n_bytes".cast("long").as("n_bytes"),
+            $"media_meta.width".cast("long").as("width"),
+            $"media_meta.height".cast("long").as("height"),
+            $"media_meta.n_frames".cast("long").as("n_frames"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          strlen(text) AS n_bytes,
+          CAST(16 + (ascii(substr(text, 1, 1)) % 128) AS BIGINT) AS width,
+          CAST(16 + (ascii(substr(text, 2, 1)) % 128) AS BIGINT) AS height,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 30 ELSE 1 END AS BIGINT) AS n_frames
+        FROM documents ORDER BY doc_id"""))
+  )
+}
