@@ -1,0 +1,184 @@
+package graft.checks
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import graft.meta.{Footer, GeoMeta}
+import graft.table.GeoTable
+
+/** Read-only inspection / check / validate suite (SURVEY §2.10 —
+  * reference `core/inspect.py`, `core/check_parquet_structure.py`,
+  * `core/validate.py`). Footer-only wherever the reference is
+  * footer-only; small aggregate jobs for the data-dependent checks.
+  */
+object Checks {
+
+  final case class Finding(level: String, check: String, message: String)
+
+  final case class InspectSummary(
+      path: String,
+      fileSizeBytes: Long,
+      rowCount: Long,
+      numRowGroups: Int,
+      columns: Seq[String],
+      hasGeoMetadata: Boolean,
+      geoVersion: Option[String],
+      primaryColumn: Option[String],
+      declaredBbox: Option[(Double, Double, Double, Double)],
+      declaredGeometryTypes: Seq[String])
+
+  /** Footer-only summary — no Spark job (reference `core/inspect.py:64-186`). */
+  def inspect(path: String): InspectSummary = {
+    val conf = new Configuration()
+    val parts = Footer.partFiles(path, conf)
+    val infos = parts.map(p => Footer.read(p, conf))
+    val geo = infos.headOption.flatMap(_.geo)
+    val fs = new Path(path).getFileSystem(conf)
+    val size = parts.map(p => fs.getFileStatus(p).getLen).sum
+    InspectSummary(
+      path = path,
+      fileSizeBytes = size,
+      rowCount = infos.map(_.rowCount).sum,
+      numRowGroups = infos.map(_.numRowGroups).sum,
+      columns = infos.headOption.map(_.schemaFields).getOrElse(Seq.empty),
+      hasGeoMetadata = geo.isDefined,
+      geoVersion = geo.map(_.version),
+      primaryColumn = geo.map(_.primaryColumn),
+      declaredBbox = geo.flatMap(_.primary).flatMap(_.bbox),
+      declaredGeometryTypes = geo.flatMap(_.primary).map(_.geometryTypes)
+        .getOrElse(Seq.empty))
+  }
+
+  /** Row-group sizing assessment vs the ~130MB target the reference
+    * recommends (`core/check_parquet_structure.py:14-209`).
+    */
+  def checkRowGroups(path: String,
+      targetBytes: Long = 130L * 1024 * 1024): Seq[Finding] = {
+    val conf = new Configuration()
+    Footer.partFiles(path, conf).flatMap { p =>
+      val info = Footer.read(p, conf)
+      info.rowGroups.zipWithIndex.flatMap { case (rg, i) =>
+        val sz = rg.compressedSize
+        if (sz > targetBytes * 2)
+          Seq(Finding("warn", "row_groups",
+            s"${p.getName} rg$i is ${sz / 1024 / 1024}MB (> 2x ${targetBytes / 1024 / 1024}MB target)"))
+        else if (info.numRowGroups > 1 && sz < targetBytes / 10)
+          Seq(Finding("info", "row_groups",
+            s"${p.getName} rg$i is small (${sz / 1024 / 1024}MB)"))
+        else Nil
+      }
+    }
+  }
+
+  /** Compression codec check; recommends ZSTD like the reference
+    * (`core/check_parquet_structure.py:444-506`).
+    */
+  def checkCompression(path: String): Seq[Finding] = {
+    val conf = new Configuration()
+    val codecs = Footer.partFiles(path, conf).flatMap { p =>
+      Footer.read(p, conf).rowGroups.flatMap(_.columns.values.map(_.codec))
+    }.distinct
+    if (codecs.forall(c => c == "ZSTD")) Seq.empty
+    else Seq(Finding("info", "compression",
+      s"codecs ${codecs.mkString(",")} — ZSTD recommended"))
+  }
+
+  /** bbox structure status: optimal (struct column + covering metadata) /
+    * suboptimal / missing (`core/common.py:3254-3400`).
+    */
+  def checkBboxStructure(path: String): String = {
+    val conf = new Configuration()
+    val info = Footer.partFiles(path, conf).headOption.map(p => Footer.read(p, conf))
+    val hasBboxCol = info.exists(_.schemaFields.exists(
+      GeoMeta.BboxNameCandidates.contains))
+    val hasCovering = info.flatMap(_.geo).flatMap(_.primary)
+      .flatMap(_.coveringBbox).isDefined
+    (hasBboxCol, hasCovering) match {
+      case (true, true) => "optimal"
+      case (true, false) => "suboptimal_missing_covering"
+      case (false, _) => "missing"
+    }
+  }
+
+  /** GeoParquet spec validation (reference `core/validate.py`): metadata
+    * shape, schema consistency, declared-vs-actual geometry types, file
+    * bbox ⊇ data bbox. Structural checks are footer-only; data checks
+    * are one aggregate job.
+    */
+  def validate(spark: SparkSession, path: String): Seq[Finding] = {
+    val conf = new Configuration()
+    val parts = Footer.partFiles(path, conf)
+    if (parts.isEmpty) return Seq(Finding("error", "files", "no parquet files"))
+    val info = Footer.read(parts.head, conf)
+    val findings = scala.collection.mutable.ArrayBuffer[Finding]()
+
+    info.geo match {
+      case None =>
+        findings += Finding("error", "metadata", "no `geo` footer key")
+      case Some(g) =>
+        if (!Seq("1.0.0", "1.1.0").exists(v => g.version.startsWith(v.take(3))))
+          findings += Finding("warn", "metadata", s"unknown version ${g.version}")
+        if (!info.schemaFields.contains(g.primaryColumn))
+          findings += Finding("error", "metadata",
+            s"primary_column ${g.primaryColumn} not in schema")
+        g.primary.foreach { pc =>
+          if (pc.encoding != "WKB")
+            findings += Finding("error", "metadata",
+              s"unsupported encoding ${pc.encoding}")
+          pc.coveringBbox.foreach { b =>
+            if (!info.schemaFields.contains(b))
+              findings += Finding("error", "covering",
+                s"covering bbox column $b not in schema")
+          }
+          // data-dependent checks: declared types + bbox containment
+          if (info.schemaFields.contains(g.primaryColumn)) {
+            val t = GeoTable.read(spark, path)
+            val actualTypes = t.geometryTypes()
+              .map(s => s.head.toString + s.tail.toLowerCase) // Point, Polygon
+            val declared = pc.geometryTypes
+            if (declared.nonEmpty && !actualTypes.forall(a =>
+              declared.exists(_.equalsIgnoreCase(a))))
+              findings += Finding("error", "geometry_types",
+                s"actual $actualTypes not covered by declared $declared")
+            // per-file: each part's declared bbox must contain that
+            // part's data (parts carry their own bbox — reference
+            // partition semantics, `core/partition_common.py:657-706`)
+            parts.foreach { part =>
+              Footer.read(part, conf).geo.flatMap(_.primary).flatMap(_.bbox)
+                .foreach { case (x0, y0, x1, y1) =>
+                  val pt = GeoTable.read(spark, part.toString)
+                  val (dx0, dy0, dx1, dy1) = pt.bounds()
+                  val eps = 1e-9
+                  if (dx0 < x0 - eps || dy0 < y0 - eps ||
+                      dx1 > x1 + eps || dy1 > y1 + eps)
+                    findings += Finding("error", "bbox",
+                      s"${part.getName}: data bbox ($dx0,$dy0,$dx1,$dy1) outside declared ($x0,$y0,$x1,$y1)")
+                }
+            }
+          }
+        }
+    }
+    findings.toSeq
+  }
+
+  /** check/fix pipeline (reference `core/check_fixes.py`): add bbox if
+    * missing, sort hilbert if poorly ordered, rewrite with ZSTD — a
+    * composition of our operators returning the fixed table.
+    */
+  def fix(spark: SparkSession, path: String, outPath: String): Seq[String] = {
+    val applied = scala.collection.mutable.ArrayBuffer[String]()
+    var t = GeoTable.read(spark, path)
+    if (checkBboxStructure(path) != "optimal") {
+      t = t.addBbox(); applied += "add_bbox"
+    }
+    val ratio = t.checkSpatialOrder()
+    if (ratio.isNaN || ratio >= 0.5) {
+      t = t.sortHilbert(); applied += "sort_hilbert"
+    }
+    t.write(outPath, compression = "zstd")
+    applied += "rewrite_zstd"
+    applied.toSeq
+  }
+}

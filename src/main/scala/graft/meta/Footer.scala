@@ -1,0 +1,159 @@
+package graft.meta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import scala.jdk.CollectionConverters._
+
+/** Footer-only parquet utilities (reference `core/duckdb_metadata.py` /
+  * `core/metadata_utils.py`): O(1) metadata reads with no data scan, and
+  * the footer-rewrite write path that attaches the `geo` key by
+  * byte-copying row groups (reference write strategies, SURVEY §4.3 —
+  * `disk_rewrite.py` without ever decoding pages).
+  */
+object Footer {
+
+  final case class RowGroupInfo(
+      rowCount: Long,
+      totalByteSize: Long,
+      compressedSize: Long,
+      columns: Map[String, ColumnStats])
+
+  final case class ColumnStats(
+      codec: String,
+      compressedSize: Long,
+      uncompressedSize: Long,
+      nullCount: Option[Long],
+      min: Option[Any],
+      max: Option[Any])
+
+  final case class FooterInfo(
+      rowCount: Long,
+      numRowGroups: Int,
+      keyValueMeta: Map[String, String],
+      schemaFields: Seq[String],
+      rowGroups: Seq[RowGroupInfo]) {
+    def geo: Option[GeoMeta] =
+      keyValueMeta.get(GeoMeta.FooterKey).map(GeoMeta.fromJson)
+  }
+
+  private def newConf(): Configuration = new Configuration()
+
+  /** All parquet part-files under a path (single file or directory). */
+  def partFiles(path: String, conf: Configuration = newConf()): Seq[Path] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq(p)
+    else
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+        .sortBy(_.getName)
+  }
+
+  def read(path: Path, conf: Configuration = newConf()): FooterInfo = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val meta: ParquetMetadata = reader.getFooter
+      val fm = meta.getFileMetaData
+      val groups = meta.getBlocks.asScala.toSeq.map { b =>
+        val cols = b.getColumns.asScala.toSeq.map { c =>
+          val stats = Option(c.getStatistics)
+          c.getPath.toDotString -> ColumnStats(
+            codec = c.getCodec.name(),
+            compressedSize = c.getTotalSize,
+            uncompressedSize = c.getTotalUncompressedSize,
+            nullCount = stats.filter(_.isNumNullsSet).map(_.getNumNulls),
+            min = stats.filter(s => s.hasNonNullValue).map(_.genericGetMin),
+            max = stats.filter(s => s.hasNonNullValue).map(_.genericGetMax))
+        }.toMap
+        RowGroupInfo(b.getRowCount, b.getTotalByteSize, b.getCompressedSize, cols)
+      }
+      FooterInfo(
+        rowCount = groups.map(_.rowCount).sum,
+        numRowGroups = groups.size,
+        keyValueMeta = fm.getKeyValueMetaData.asScala.toMap,
+        schemaFields = fm.getSchema.getFields.asScala.map(_.getName).toSeq,
+        rowGroups = groups)
+    } finally reader.close()
+  }
+
+  /** O(1) row count across all part files (no Spark job). */
+  def rowCount(path: String, conf: Configuration = newConf()): Long =
+    partFiles(path, conf).map(p => read(p, conf).rowCount).sum
+
+  /** Dataset bbox from row-group statistics of bbox struct fields —
+    * the reference's stats fast path (`core/duckdb_metadata.py:452-534`),
+    * no data scan.
+    */
+  def bboxFromStats(path: String, bboxCol: String,
+      conf: Configuration = newConf()): Option[(Double, Double, Double, Double)] = {
+    val infos = partFiles(path, conf).map(p => read(p, conf))
+    def agg(corner: String, isMin: Boolean): Option[Double] = {
+      val vs = infos.flatMap(_.rowGroups).flatMap { rg =>
+        rg.columns.get(s"$bboxCol.$corner").flatMap(c => if (isMin) c.min else c.max)
+          .collect { case d: java.lang.Double => d.doubleValue }
+      }
+      if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max)
+    }
+    for {
+      x0 <- agg("xmin", isMin = true); y0 <- agg("ymin", isMin = true)
+      x1 <- agg("xmax", isMin = false); y1 <- agg("ymax", isMin = false)
+    } yield (x0, y0, x1, y1)
+  }
+
+  /** Rewrite a parquet file in place, merging `extra` into its key-value
+    * footer metadata. Row groups are byte-copied (appendFile), never
+    * decoded — the disk-rewrite strategy of the reference without the
+    * page decode.
+    */
+  def withKeyValueMetadata(path: Path, extra: Map[String, String],
+      conf: Configuration = newConf()): Unit = {
+    val in = HadoopInputFile.fromPath(path, conf)
+    val footer = ParquetFileReader.open(in)
+    val (schema, existingKv) =
+      try {
+        val fm = footer.getFooter.getFileMetaData
+        (fm.getSchema, fm.getKeyValueMetaData.asScala.toMap)
+      } finally footer.close()
+
+    val tmp = new Path(path.getParent, s".${path.getName}.kvtmp")
+    val fs = path.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(tmp, conf), schema,
+      ParquetFileWriter.Mode.CREATE,
+      128L * 1024 * 1024, 8 * 1024 * 1024)
+    writer.start()
+    writer.appendFile(in)
+    writer.end((existingKv ++ extra).asJava)
+    // atomic-ish swap (reference base.py temp+rename)
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
+
+  /** Attach GeoParquet metadata to every part file of a written dataset.
+    * When `perFileBbox` is set, each part's `geo` carries its own bbox
+    * recomputed from that file's row-group stats (reference strips the
+    * global bbox per partition, `core/partition_common.py:657-706`).
+    */
+  def writeGeoMetadata(path: String, geo: GeoMeta,
+      perFileBboxCol: Option[String] = None,
+      conf: Configuration = newConf()): Unit = {
+    partFiles(path, conf).foreach { p =>
+      val m = perFileBboxCol match {
+        case Some(bcol) =>
+          val bb = bboxFromStats(p.toString, bcol, conf)
+          geo.copy(columns = geo.columns.map { case (n, c) =>
+            if (n == geo.primaryColumn) n -> c.copy(bbox = bb) else n -> c
+          })
+        case None => geo
+      }
+      withKeyValueMetadata(p, Map(GeoMeta.FooterKey -> GeoMeta.toJson(m)), conf)
+    }
+  }
+}

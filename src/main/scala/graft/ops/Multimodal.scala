@@ -74,9 +74,9 @@ object Multimodal {
         else {
           val frameSize = math.max(1, payload.length / 30)
           (0 until 30 by everyN).iterator.map { f =>
-            val start = f * frameSize
+            val start = math.min(f * frameSize, payload.length)
             val end = math.min(payload.length, start + frameSize)
-            Row(id, f, java.util.Arrays.copyOfRange(payload, start, math.max(start, end)))
+            Row(id, f, java.util.Arrays.copyOfRange(payload, start, end))
           }
         }
       }

@@ -1,0 +1,451 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import graft.geom.{GeoJson, Proj, Wkt}
+import graft.meta.{Footer, GeoColumnMeta, GeoMeta}
+
+/** Fluent geospatial table: a lazy DataFrame + GeoParquet metadata,
+  * mirroring the reference's `Table` API (`api/table.py:377-1810`)
+  * method-for-method, but with one crucial structural upgrade: chained
+  * operations compose ONE Catalyst plan executed once at write/action
+  * (the reference re-materializes through DuckDB between every call —
+  * its own docs measure the in-memory chain 5x faster than files,
+  * `docs/getting-started/cli-vs-python.md:174-180`; Spark's lazy model
+  * gets that for free and distributes it).
+  *
+  * All operations return a new GeoTable (immutability contract,
+  * `api/table.py:387`).
+  */
+final case class GeoTable(
+    df: DataFrame,
+    meta: GeoMeta,
+    geometryColumn: Option[String]) {
+
+  private def spark: SparkSession = df.sparkSession
+
+  private def geomCol: String = geometryColumn.getOrElse(
+    throw new IllegalStateException("no geometry column on this table"))
+
+  /** CRS string if the metadata pins one; defaults to OGC:CRS84/EPSG:4326
+    * like the reference (`core/common.py:1313`).
+    */
+  def crsOrDefault: String =
+    meta.primary.flatMap(_.crs).map(_.toString).getOrElse("EPSG:4326")
+
+  def isGeographicCrs: Boolean =
+    meta.primary.flatMap(_.crs).forall(c => Proj.isGeographic(c.toString))
+
+  // ---- extract (project / filter / limit; SURVEY §2.2) -----------------
+
+  /** Column selection with the reference's resolution rules: keep
+    * geometry (and bbox covering column) unless explicitly excluded,
+    * preserve original column order, error on unknown columns
+    * (`core/extract.py:484-551`).
+    */
+  def selectColumns(include: Seq[String] = Seq.empty,
+      exclude: Seq[String] = Seq.empty): GeoTable = {
+    val all = df.columns.toSeq
+    val unknown = (include ++ exclude).filterNot(all.contains)
+    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
+    val implicitKeep = geometryColumn.toSeq ++
+      meta.primary.flatMap(_.coveringBbox).toSeq
+    val kept =
+      if (include.nonEmpty) all.filter(c => include.contains(c) ||
+        (implicitKeep.contains(c) && !exclude.contains(c)))
+      else all.filterNot(exclude.contains)
+    val dropGeom = geometryColumn.exists(g => !kept.contains(g))
+    copy(df = df.select(kept.map(col): _*),
+      geometryColumn = if (dropGeom) None else geometryColumn)
+  }
+
+  /** bbox spatial filter: bbox-struct fast path when a covering column
+    * exists (Parquet min/max pruning applies), envelope-intersects slow
+    * path otherwise (`core/extract.py:568-579`).
+    */
+  def filterBbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoTable = {
+    val bboxCol = meta.primary.flatMap(_.coveringBbox)
+      .orElse(GeoMeta.BboxNameCandidates.find(df.columns.contains))
+    val pred = bboxCol match {
+      case Some(b) =>
+        col(s"$b.xmax") >= xmin && col(s"$b.xmin") <= xmax &&
+          col(s"$b.ymax") >= ymin && col(s"$b.ymin") <= ymax
+      case None =>
+        geo.envelope_intersects(col(geomCol), xmin, ymin, xmax, ymax)
+    }
+    copy(df = df.filter(pred))
+  }
+
+  /** Precise geometry-intersects filter; WKT/GeoJSON literal input
+    * (`core/extract.py:286-449,581-584`).
+    */
+  def filterIntersectsWkt(wkt: String): GeoTable =
+    copy(df = df.filter(geo.st_intersects(col(geomCol), geo.wkt_lit(wkt))))
+
+  def filterIntersectsGeoJson(json: String): GeoTable =
+    copy(df = df.filter(geo.st_intersects(col(geomCol), geo.geojson_lit(json))))
+
+  /** Raw SQL WHERE passthrough with the reference's keyword blocklist
+    * (`core/extract.py:49-101`).
+    */
+  def filterWhere(where: String): GeoTable = {
+    val banned = Seq("drop", "delete", "insert", "update", "alter", "create",
+      "attach", "copy", "pragma")
+    val lower = where.toLowerCase
+    require(!banned.exists(k => lower.matches(s".*\\b$k\\b.*")),
+      s"disallowed keyword in WHERE: $where")
+    copy(df = df.filter(expr(where)))
+  }
+
+  def limit(n: Int): GeoTable = copy(df = df.limit(n))
+  def head(n: Int): Array[org.apache.spark.sql.Row] = df.head(n)
+  def tail(n: Int): Array[org.apache.spark.sql.Row] = df.tail(n)
+  def count(): Long = df.count()
+
+  // ---- column adders (SURVEY §2.6) --------------------------------------
+
+  /** Add the bbox struct column + covering metadata
+    * (`core/add_bbox_column.py`). Replaces an existing one.
+    */
+  def addBbox(bboxCol: String = "bbox"): GeoTable = {
+    val g = col(geomCol)
+    val d = (if (df.columns.contains(bboxCol)) df.drop(bboxCol) else df)
+      .withColumn(bboxCol, struct(
+        geo.st_xmin(g).as("xmin"), geo.st_ymin(g).as("ymin"),
+        geo.st_xmax(g).as("xmax"), geo.st_ymax(g).as("ymax")))
+    val newMeta = meta.copy(columns = meta.columns.map { case (n, c) =>
+      if (n == meta.primaryColumn) n -> c.copy(coveringBbox = Some(bboxCol))
+      else n -> c
+    })
+    copy(df = d, meta = newMeta)
+  }
+
+  /** Add quadkey column (`core/add_quadkey_column.py`); requires a
+    * geographic CRS exactly like the reference's gate (lines 78-143).
+    */
+  def addQuadkey(zoom: Int = 13, quadkeyCol: String = "quadkey"): GeoTable = {
+    require(zoom >= 0 && zoom <= 23, s"zoom $zoom out of range 0-23")
+    require(isGeographicCrs,
+      "quadkey requires a geographic CRS (reference gate); reproject first")
+    copy(df = df.withColumn(quadkeyCol, geo.quadkey_geom(col(geomCol), zoom)))
+  }
+
+  /** Add KD-tree cell column (`core/add_kdtree_column.py`). */
+  def addKdtree(iterations: Int = 4, cellCol: String = "kdtree_cell",
+      sampleFraction: Double = 0.1, seed: Long = 42L): GeoTable = {
+    val pts = df.select(geo.st_x(col(geomCol)).as("__x"),
+      geo.st_y(col(geomCol)).as("__y"))
+    val tree = graft.ops.KdTree.build(pts, "__x", "__y", iterations,
+      sampleFraction, seed)
+    val assign = udf((b: Array[Byte]) => {
+      val g = graft.geom.Wkb.read(b)
+      val c = graft.geom.Ops.centroid(g)
+      graft.ops.KdTree.cellOf(tree, c.x, c.y)
+    })
+    copy(df = df.withColumn(cellCol, assign(col(geomCol))))
+  }
+
+  // ---- sorts (SURVEY §2.6) ----------------------------------------------
+
+  /** Dataset bounds: bbox-struct stats fast path via footer would apply
+    * on read; on a live plan we aggregate envelope expressions
+    * (`core/common.py:3493-3573`).
+    */
+  def bounds(): (Double, Double, Double, Double) = {
+    val bboxCol = meta.primary.flatMap(_.coveringBbox)
+      .filter(df.columns.contains)
+    val r = bboxCol match {
+      case Some(b) =>
+        df.agg(min(col(s"$b.xmin")), min(col(s"$b.ymin")),
+          max(col(s"$b.xmax")), max(col(s"$b.ymax"))).head()
+      case None =>
+        val g = col(geomCol)
+        df.agg(min(geo.st_xmin(g)), min(geo.st_ymin(g)),
+          max(geo.st_xmax(g)), max(geo.st_ymax(g))).head()
+    }
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** Two-phase Hilbert sort (`core/hilbert_order.py`): bounds agg, then
+    * global sort by curve index. Spark executes the global sort as
+    * range-partition + in-partition sort — exactly the
+    * repartitionByRange+sortWithinPartitions shape that scales to
+    * arbitrary cluster width.
+    */
+  def sortHilbert(): GeoTable = {
+    val (x0, y0, x1, y1) = bounds()
+    copy(df = df.orderBy(geo.hilbert_index(col(geomCol), x0, y0, x1, y1)))
+  }
+
+  /** Quadkey sort: ensure key column, string sort (Z-order), optional
+    * drop (`core/sort_quadkey.py:30-83,236-255`).
+    */
+  def sortQuadkey(zoom: Int = 13, keepColumn: Boolean = false): GeoTable = {
+    val t = if (df.columns.contains("quadkey")) this else addQuadkey(zoom)
+    val sorted = t.df.orderBy(col("quadkey"))
+    copy(df = if (keepColumn) sorted else sorted.drop("quadkey"))
+  }
+
+  /** Multi-column sort, one direction for all columns
+    * (`core/sort_by_column.py:63-79`).
+    */
+  def sortBy(columns: Seq[String], descending: Boolean = false): GeoTable = {
+    val unknown = columns.filterNot(df.columns.contains)
+    require(unknown.isEmpty, s"unknown sort columns: ${unknown.mkString(", ")}")
+    val cs = columns.map(c => if (descending) col(c).desc else col(c).asc)
+    copy(df = df.orderBy(cs: _*))
+  }
+
+  // ---- reprojection (SURVEY §2.9) ---------------------------------------
+
+  def reproject(fromCrs: String, toCrs: String): GeoTable = {
+    require(Proj.supported(fromCrs) && Proj.supported(toCrs),
+      s"unsupported CRS pair $fromCrs -> $toCrs")
+    copy(df = df.withColumn(geomCol, geo.st_transform(col(geomCol), fromCrs, toCrs)))
+  }
+
+  // ---- analytics / checks ----------------------------------------------
+
+  /** Per-column stats in one aggregate job (`core/inspect_utils.py:717-797`). */
+  def stats(): DataFrame = {
+    val aggs = df.schema.fields.filterNot(_.name == geometryColumn.orNull)
+      .filterNot(_.dataType.typeName == "struct").flatMap { f =>
+        Seq(
+          org.apache.spark.sql.functions.count(when(col(f.name).isNull, 1)).as(s"${f.name}__nulls"),
+          min(col(f.name)).cast("string").as(s"${f.name}__min"),
+          max(col(f.name)).cast("string").as(s"${f.name}__max"),
+          approx_count_distinct(col(f.name)).as(s"${f.name}__approx_distinct"))
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Geometry-type profile (`core/common.py:1989-2042`). */
+  def geometryTypes(): Seq[String] =
+    df.select(geo.st_geometrytype(col(geomCol)).as("t"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  /** Spatial-order ratio: avg consecutive distance / avg sampled-pair
+    * distance, pass < 0.5 (`core/check_spatial_order.py`).
+    */
+  def checkSpatialOrder(sampleLimit: Int = 100000, seed: Long = 42L): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(geo.st_x(col(geomCol)).as("x"),
+        geo.st_y(col(geomCol)).as("y"))
+      .limit(sampleLimit)
+      .withColumn("i", monotonically_increasing_id())
+    val w = Window.orderBy("i")
+    val consec = pts
+      .withColumn("px", lag(col("x"), 1).over(w))
+      .withColumn("py", lag(col("y"), 1).over(w))
+      .filter(col("px").isNotNull)
+      .agg(avg(sqrt(pow(col("x") - col("px"), 2) + pow(col("y") - col("py"), 2))))
+      .head().getDouble(0)
+    val sampleA = pts.orderBy(rand(seed)).limit(100)
+      .select(col("x").as("ax"), col("y").as("ay"))
+    val sampleB = pts.orderBy(rand(seed + 1)).limit(100)
+      .select(col("x").as("bx"), col("y").as("by"))
+    val rnd = sampleA.crossJoin(sampleB)
+      .filter(col("ax") =!= col("bx") || col("ay") =!= col("by"))
+      .agg(avg(sqrt(pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2))))
+      .head().getDouble(0)
+    if (rnd == 0) Double.NaN else consec / rnd
+  }
+
+  // ---- partitioned writes (SURVEY §2.7) ---------------------------------
+
+  /** Pre-flight partition analysis with the reference's guardrails
+    * (`core/partition_common.py:85-164`): max 10000 partitions, avg >=
+    * 100 rows, imbalance max/median <= 1000.
+    */
+  def analyzePartitionKey(keyExpr: Column): PartitionAnalysis = {
+    val hist = df.groupBy(keyExpr.as("k")).count()
+    val s = hist.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      min(col("count")).as("mn"),
+      max(col("count")).as("mx"),
+      avg(col("count")).as("av"),
+      expr("percentile(count, 0.5)").as("md")).head()
+    PartitionAnalysis(s.getLong(0), s.getLong(1), s.getLong(2),
+      s.getDouble(3), s.getDouble(4))
+  }
+
+  /** Hive-partitioned write by a string column (optionally a prefix of
+    * it), with guardrails (`core/partition_by_string.py`).
+    */
+  def partitionByString(column: String, chars: Option[Int], outPath: String,
+      force: Boolean = false): Unit = {
+    val key = chars.map(n => substring(col(column), 1, n))
+      .getOrElse(col(column))
+    val analysis = analyzePartitionKey(key)
+    if (!force) analysis.requireSane()
+    df.withColumn("__part", key)
+      .repartition(col("__part"))
+      .write.partitionBy("__part").mode("overwrite").parquet(outPath)
+    writeGeoFooter(outPath)
+  }
+
+  /** Partition by quadkey prefix (`core/partition_by_quadkey.py`). */
+  def partitionByQuadkey(zoom: Int, prefixChars: Int, outPath: String,
+      force: Boolean = false): Unit = {
+    val t = if (df.columns.contains("quadkey")) this else addQuadkey(zoom)
+    val key = substring(col("quadkey"), 1, prefixChars)
+    val analysis = t.analyzePartitionKey(key)
+    if (!force) analysis.requireSane()
+    t.df.withColumn("__qk", key)
+      .repartition(col("__qk"))
+      .write.partitionBy("__qk").mode("overwrite").parquet(outPath)
+    writeGeoFooter(outPath)
+  }
+
+  /** Partition by KD-tree cell — balanced output files
+    * (`core/partition_by_kdtree.py`).
+    */
+  def partitionByKdtree(iterations: Int, outPath: String): Unit = {
+    val t = addKdtree(iterations)
+    t.df.repartition(col("kdtree_cell"))
+      .write.partitionBy("kdtree_cell").mode("overwrite").parquet(outPath)
+    writeGeoFooter(outPath)
+  }
+
+  // ---- write ------------------------------------------------------------
+
+  /** Write GeoParquet: parquet write (ZSTD by default, like the
+    * reference's default codec) + footer rewrite attaching `geo` with
+    * per-file bbox recompute from row-group stats.
+    */
+  def write(path: String, compression: String = "zstd",
+      maxRecordsPerFile: Long = 0L): Unit = {
+    var w = df.write.mode("overwrite").option("compression", compression)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    w.parquet(path)
+    writeGeoFooter(path)
+  }
+
+  private def writeGeoFooter(path: String): Unit = {
+    if (geometryColumn.isDefined) {
+      val gm =
+        if (meta.columns.contains(geomCol)) meta.copy(primaryColumn = geomCol)
+        else GeoMeta(version = "1.1.0", primaryColumn = geomCol,
+          columns = Map(geomCol -> GeoColumnMeta(
+            coveringBbox = meta.primary.flatMap(_.coveringBbox))))
+      val bboxCol = gm.primary.flatMap(_.coveringBbox)
+        .filter(df.columns.contains)
+      Footer.writeGeoMetadata(path, gm, bboxCol)
+    }
+  }
+
+  /** GeoJSON Feature export (`core/geojson_stream.py`): one JSON Feature
+    * per row, geometry + all scalar properties, optional precision.
+    */
+  def toGeoJsonFeatures(precision: Int = -1): DataFrame = {
+    val props = df.columns.filterNot(_ == geomCol)
+      .filterNot(c => df.schema(c).dataType.typeName == "struct")
+    df.select(concat(
+      lit("""{"type":"Feature","geometry":"""),
+      geo.st_asgeojson(col(geomCol), precision),
+      lit(""","properties":"""),
+      to_json(struct(props.map(col): _*)),
+      lit("}")).as("feature"))
+  }
+}
+
+/** Guardrail result for partitioned writes (reference limits). */
+final case class PartitionAnalysis(nPartitions: Long, minRows: Long,
+    maxRows: Long, avgRows: Double, medianRows: Double) {
+  def imbalance: Double = if (medianRows > 0) maxRows / medianRows else 0.0
+  def requireSane(): Unit = {
+    require(nPartitions <= 10000,
+      s"refusing to write $nPartitions partitions (max 10000)")
+    require(avgRows >= 100,
+      f"average partition has $avgRows%.1f rows (min 100)")
+    require(imbalance <= 1000,
+      f"partition imbalance $imbalance%.1f exceeds 1000x median")
+  }
+}
+
+object GeoTable {
+
+  /** Read GeoParquet: data via Spark (Hive partition discovery / globs /
+    * mergeSchema native), `geo` metadata via the first part-file footer,
+    * geometry column from metadata then name heuristics.
+    */
+  def read(spark: SparkSession, path: String,
+      mergeSchema: Boolean = false): GeoTable = {
+    val df = spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+    val geoMeta = Footer.partFiles(path).headOption
+      .flatMap(p => Footer.read(p).geo)
+    val geomCol = geoMeta.map(_.primaryColumn)
+      .filter(df.columns.contains)
+      .orElse(GeoMeta.GeometryNameCandidates.find(df.columns.contains))
+    GeoTable(df, geoMeta.getOrElse(GeoMeta()), geomCol)
+  }
+
+  /** Wrap an arbitrary DataFrame whose `geometryCol` holds WKB. */
+  def fromDataFrame(df: DataFrame, geometryCol: String): GeoTable = {
+    require(df.columns.contains(geometryCol), s"no column $geometryCol")
+    GeoTable(df,
+      GeoMeta(primaryColumn = geometryCol,
+        columns = Map(geometryCol -> GeoColumnMeta())),
+      Some(geometryCol))
+  }
+
+  /** CSV with WKT column or lon/lat columns (`core/convert.py:104-463`),
+    * including TRY_CAST-style skip-invalid.
+    */
+  def fromCsv(spark: SparkSession, path: String,
+      wktColumn: Option[String] = None,
+      lonLatColumns: Option[(String, String)] = None,
+      delimiter: String = ",", skipInvalid: Boolean = false): GeoTable = {
+    val raw = spark.read.option("header", "true").option("delimiter", delimiter)
+      .option("inferSchema", "true").csv(path)
+    val (df, gcol) = (wktColumn, lonLatColumns) match {
+      case (Some(w), _) =>
+        val parsed = raw.withColumn("geometry",
+          if (skipInvalid) geo.try_geomfromtext(col(w))
+          else geo.st_geomfromtext(col(w))).drop(w)
+        (if (skipInvalid) parsed.filter(col("geometry").isNotNull) else parsed,
+          "geometry")
+      case (None, Some((lonC, latC))) =>
+        (raw.withColumn("geometry",
+          geo.st_point(col(lonC).cast("double"), col(latC).cast("double"))),
+          "geometry")
+      case _ => throw new IllegalArgumentException(
+        "need wktColumn or lonLatColumns")
+    }
+    fromDataFrame(df, gcol)
+  }
+
+  /** GeoJSON FeatureCollection file → table (reference GDAL path for
+    * GeoJSON; pure-Scala here). Driver-side parse of the collection
+    * structure, distributed afterwards — intended for boundary-size
+    * files (the reference reads whole files into memory here too).
+    */
+  def fromGeoJsonFile(spark: SparkSession, path: String): GeoTable = {
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    fromGeoJsonString(spark, src)
+  }
+
+  def fromGeoJsonString(spark: SparkSession, json: String): GeoTable = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val features = Option(root.get("features"))
+      .map(_.elements().asScala.toSeq)
+      .getOrElse(Seq(root))
+    val rows = features.map { f =>
+      val g = GeoJson.parse(mapper.writeValueAsString(
+        Option(f.get("geometry")).getOrElse(f)))
+      val props = Option(f.get("properties"))
+        .map(mapper.writeValueAsString).getOrElse("{}")
+      (graft.geom.Wkb.write(g), props)
+    }
+    import spark.implicits._
+    fromDataFrame(
+      rows.toDF("geometry", "properties_json"), "geometry")
+  }
+}

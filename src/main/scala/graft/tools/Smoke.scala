@@ -48,6 +48,28 @@ object Smoke {
       graft.functions.geo.hilbert_xy(lit(0.5), lit(0.5), 0, 0, 1, 1).as("hilbert_mid"))
       .show(false)
 
+    println("== GeoTable end-to-end (write -> footer -> read -> validate) ==")
+    locally {
+      import graft.table.GeoTable
+      import graft.checks.Checks
+      val out = java.nio.file.Files.createTempDirectory("graft_smoke").toString + "/pts"
+      val df = spark.range(1000).toDF("id")
+        .withColumn("geometry", graft.functions.geo.st_point(
+          col("id") * 37 % 360 - 180, col("id") * 91 % 180 - 90))
+      GeoTable.fromDataFrame(df, "geometry")
+        .addBbox().sortHilbert().write(out)
+      val summary = Checks.inspect(out)
+      println(s"rows=${summary.rowCount} rowGroups=${summary.numRowGroups} " +
+        s"geo=${summary.hasGeoMetadata} v=${summary.geoVersion.orNull} " +
+        s"bboxStatus=${Checks.checkBboxStructure(out)}")
+      val t = GeoTable.read(spark, out)
+      println(s"readBack geometryColumn=${t.geometryColumn} " +
+        s"spatialOrderRatio=${"%.3f".format(t.checkSpatialOrder())} " +
+        s"validateFindings=${Checks.validate(spark, out).size}")
+      val filtered = t.filterBbox(-60, -30, 60, 30).count()
+      println(s"bboxFilter count=$filtered (fast path via bbox struct)")
+    }
+
     println("== geojson round-trip ==")
     spark.range(1).select(
       graft.functions.geo.st_asgeojson(

@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import graft.meta.{Footer, GeoMeta}
+import graft.table.GeoTable
+import graft.checks.Checks
+
+class GeoTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic scattered points with ids (lon/lat over the globe). */
+  private def pointsTable(n: Int): GeoTable = {
+    val df = spark.range(n).toDF("id")
+      .withColumn("lon", (col("id") * 37 % 360 - 180 + (col("id") % 8) * 0.125))
+      .withColumn("lat", (col("id") * 91 % 180 - 90 + (col("id") % 4) * 0.25))
+      .withColumn("name", concat(lit("pt"), col("id")))
+      .withColumn("geometry", geo.st_point(col("lon"), col("lat")))
+      .drop("lon", "lat")
+    GeoTable.fromDataFrame(df, "geometry")
+  }
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/out"
+  }
+
+  test("write + read round-trips GeoParquet footer metadata") {
+    val out = tmpDir("meta")
+    pointsTable(200).addBbox().write(out)
+    // footer must carry `geo` with covering + per-file bbox
+    val info = Footer.read(Footer.partFiles(out).head)
+    val gm = info.geo.getOrElse(fail("no geo key written"))
+    assert(gm.primaryColumn == "geometry")
+    assert(gm.primary.get.coveringBbox.contains("bbox"))
+    assert(gm.primary.get.bbox.isDefined)
+    val (x0, y0, x1, y1) = gm.primary.get.bbox.get
+    assert(x0 >= -180 && x1 <= 180 && y0 >= -90 && y1 <= 90 && x0 < x1 && y0 < y1)
+    // read back: geometry column auto-detected from metadata
+    val t = GeoTable.read(spark, out)
+    assert(t.geometryColumn.contains("geometry"))
+    assert(t.count() == 200)
+    assert(t.meta.primary.get.coveringBbox.contains("bbox"))
+  }
+
+  test("bbox filter uses struct fast path and matches slow path") {
+    val t = pointsTable(500)
+    val withBbox = t.addBbox()
+    val fast = withBbox.filterBbox(-60, -30, 60, 30).count()
+    val slow = t.filterBbox(-60, -30, 60, 30).count() // no bbox col -> envelope path
+    assert(fast == slow && fast > 0)
+  }
+
+  test("selectColumns keeps geometry implicitly, excludes explicitly") {
+    val t = pointsTable(10).addBbox()
+    val kept = t.selectColumns(include = Seq("id"))
+    assert(kept.df.columns.toSet == Set("id", "geometry", "bbox"))
+    val noGeom = t.selectColumns(include = Seq("id"), exclude = Seq("geometry", "bbox"))
+    assert(noGeom.df.columns.toSet == Set("id"))
+    assert(noGeom.geometryColumn.isEmpty)
+    intercept[IllegalArgumentException](t.selectColumns(include = Seq("nope")))
+  }
+
+  test("sortHilbert improves spatial order below the 0.5 gate") {
+    // shuffled points are spatially random; hilbert sort must fix that
+    val t = pointsTable(2000)
+    val before = t.checkSpatialOrder()
+    val sorted = t.sortHilbert()
+    val after = sorted.checkSpatialOrder()
+    assert(after < 0.5, s"hilbert-sorted ratio $after should pass the <0.5 gate")
+    assert(after < before, s"sort must improve ratio ($before -> $after)")
+  }
+
+  test("quadkey: CRS gate + sort") {
+    val t = pointsTable(100)
+    val q = t.addQuadkey(zoom = 5)
+    val keys = q.df.select("quadkey").collect().map(_.getString(0))
+    assert(keys.forall(k => k.length == 5 && k.forall(c => c >= '0' && c <= '3')))
+    // projected CRS must refuse quadkey (reference gate)
+    val projected = t.copy(meta = t.meta.copy(columns = Map("geometry" ->
+      graft.meta.GeoColumnMeta(crs = Some(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree("""{"id":{"authority":"EPSG","code":3857}}"""))))))
+    intercept[IllegalArgumentException](projected.addQuadkey())
+  }
+
+  test("reproject round-trips through webmercator") {
+    val t = pointsTable(50)
+    val back = t.reproject("EPSG:4326", "EPSG:3857")
+      .reproject("EPSG:3857", "EPSG:4326")
+    val orig = t.df.select(geo.st_x(col("geometry"))).as[Double].collect()
+    val rt = back.df.select(geo.st_x(col("geometry"))).as[Double].collect()
+    orig.zip(rt).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("partitioned write: hive layout + guardrails") {
+    val out = tmpDir("part")
+    val t = pointsTable(2000)
+    t.addQuadkey(zoom = 2).partitionByString("quadkey", None, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("__part=")))
+    // read back through partition discovery
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() == 2000)
+    // guardrail: partitioning 2000 rows by id would make 2000 partitions
+    // of 1 row each -> must refuse
+    intercept[IllegalArgumentException] {
+      t.partitionByString("name", None, tmpDir("bad"))
+    }
+  }
+
+  test("validate passes on our own output and flags corrupted metadata") {
+    val out = tmpDir("validate")
+    pointsTable(100).addBbox().write(out)
+    val findings = Checks.validate(spark, out)
+    assert(findings.isEmpty, s"unexpected findings: $findings")
+    assert(Checks.checkBboxStructure(out) == "optimal")
+    // corrupt the declared bbox -> validation must flag containment
+    val p = Footer.partFiles(out).head
+    val gm = Footer.read(p).geo.get
+    val corrupted = gm.copy(columns = gm.columns.map { case (n, c) =>
+      n -> c.copy(bbox = Some((0.0, 0.0, 1.0, 1.0)))
+    })
+    Footer.withKeyValueMetadata(p,
+      Map(GeoMeta.FooterKey -> GeoMeta.toJson(corrupted)))
+    val bad = Checks.validate(spark, out)
+    assert(bad.exists(_.check == "bbox"), s"expected bbox finding, got $bad")
+  }
+
+  test("inspect + row count are footer-only") {
+    val out = tmpDir("inspect")
+    pointsTable(300).addBbox().write(out)
+    val s = Checks.inspect(out)
+    assert(s.rowCount == 300 && s.hasGeoMetadata && s.numRowGroups >= 1)
+    assert(Footer.rowCount(out) == 300)
+  }
+
+  test("geojson features + csv ingestion") {
+    val t = pointsTable(5)
+    val features = t.toGeoJsonFeatures(precision = 6).as[String].collect()
+    assert(features.length == 5)
+    features.foreach { f =>
+      assert(f.contains("\"type\":\"Feature\"") && f.contains("\"Point\""))
+    }
+    // csv with WKT + invalid row skipping
+    val csv = java.nio.file.Files.createTempFile("pts", ".csv")
+    java.nio.file.Files.writeString(csv,
+      "id,wkt\n1,POINT (1 2)\n2,GARBAGE\n3,POINT (3 4)\n")
+    val fromCsv = GeoTable.fromCsv(spark, csv.toString,
+      wktColumn = Some("wkt"), skipInvalid = true)
+    assert(fromCsv.count() == 2)
+    // strict mode: the malformed row must error once the geometry column
+    // is actually materialized (count() alone prunes it away — lazy plan)
+    val strict = GeoTable.fromCsv(spark, csv.toString, wktColumn = Some("wkt"))
+    intercept[Exception](strict.df.select("geometry").collect())
+  }
+
+  test("check/fix pipeline composes") {
+    val outRaw = tmpDir("fixsrc")
+    // write WITHOUT bbox and unsorted
+    pointsTable(500).write(outRaw)
+    val outFixed = tmpDir("fixdst")
+    val applied = Checks.fix(spark, outRaw, outFixed)
+    assert(applied.contains("add_bbox") && applied.contains("sort_hilbert"))
+    val t = GeoTable.read(spark, outFixed)
+    assert(t.checkSpatialOrder() < 0.5)
+    assert(Checks.checkBboxStructure(outFixed) == "optimal")
+  }
+}

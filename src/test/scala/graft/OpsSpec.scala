@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup, Hashing, KdTree, Multimodal}
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hashing is deterministic and well-distributed") {
+    assert(Hashing.hashString("hello") == Hashing.hashString("hello"))
+    assert(Hashing.hashString("hello") != Hashing.hashString("hellp"))
+    val hs = (0 until 1000).map(i => Hashing.family(42L, i)).toSet
+    assert(hs.size == 1000)
+  }
+
+  test("minhash signature approximates jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy cat again and again today"
+    val sa = Dedup.minhashSignature(a, 256, 3)
+    val sb = Dedup.minhashSignature(b, 256, 3)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    val exact = Dedup.jaccard(a, b, 3)
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+    // identical text -> identical signature, jaccard 1
+    assert(Dedup.minhashSignature(a, 64, 3).sameElements(
+      Dedup.minhashSignature(a, 64, 3)))
+    assert(Dedup.jaccard(a, a, 3) == 1.0)
+  }
+
+  test("minhashNearDups finds planted near-duplicates and skips others") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "changed" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "text", "doc_id", 128, 32, 3, 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) > 0.5)
+  }
+
+  test("simhash hamming tracks similarity") {
+    val a = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 50).map(i => if (i % 25 == 0) "x" else s"tok$i").mkString(" ")
+    val c = (200 to 250).map(i => s"other$i").mkString(" ")
+    val hAb = java.lang.Long.bitCount(Dedup.simhash64(a) ^ Dedup.simhash64(b))
+    val hAc = java.lang.Long.bitCount(Dedup.simhash64(a) ^ Dedup.simhash64(c))
+    assert(hAb < hAc, s"near-dup hamming $hAb should beat unrelated $hAc")
+    assert(Dedup.simhash64(a) == Dedup.simhash64(a))
+  }
+
+  test("simhashNearDups honors the pigeonhole guarantee") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 3) "x" else s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, "completely different content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "text", "doc_id", maxHamming = 8).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trueHamming = java.lang.Long.bitCount(
+      Dedup.simhash64(base) ^ Dedup.simhash64(near))
+    if (trueHamming <= 8) assert(found.contains((1L, 2L)))
+  }
+
+  test("ann: lsh recall on planted near-duplicate") {
+    // 200 random-ish vectors + one planted near-dup of the query
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(32)(i => (Hashing.family(seed.toLong, i) % 1000).toFloat / 1000f)
+    val query = vec(1)
+    val planted = query.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + 0.001f else v }
+    val rows = (2 to 200).map(i => (i.toLong, vec(i))) :+ (999L, planted)
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Ann.bruteTopK(df, "embedding", "vec_id", query, 5).collect()
+    assert(brute.head.getLong(0) == 999L, "brute force must find the planted dup")
+    val lsh = Ann.lshTopK(df, "embedding", "vec_id", query, 5, bits = 8).collect()
+    assert(lsh.head.getLong(0) == 999L,
+      "multi-probe LSH must recall the planted near-dup (sim ~1)")
+    // IVF path
+    val cents = Ann.ivfCentroids(df, "embedding", "vec_id", 8)
+    assert(cents.length == 8)
+    val ivf = Ann.ivfTopK(df, "embedding", "vec_id", query, 5, cents, nProbe = 3)
+      .collect()
+    assert(ivf.nonEmpty)
+  }
+
+  test("kdtree cells are balanced and deterministic") {
+    val df = spark.range(2000).toDF("id")
+      .withColumn("x", col("id") * 37 % 360 - 180)
+      .withColumn("y", col("id") * 91 % 180 - 90)
+    val tree = KdTree.build(df, "x", "y", 4, sampleFraction = 0.5, seed = 7L)
+    val tree2 = KdTree.build(df, "x", "y", 4, sampleFraction = 0.5, seed = 7L)
+    assert(tree == tree2, "same seed must give same tree")
+    val cells = KdTree.withCell(df, "x", "y", tree)
+      .groupBy("kdtree_cell").count().collect()
+    assert(cells.length == 16)
+    val counts = cells.map(_.getLong(1))
+    assert(counts.max < counts.min * 3, s"cells should be balanced: ${counts.toSeq}")
+    assert(cells.forall(_.getString(0).length == 4))
+    assert(KdTree.autoIterations(100000000L, 100000L) == 10)
+  }
+
+  test("multimodal decode keeps schema and is partition-local") {
+    val df = spark.range(100).toDF("media_id")
+      .withColumn("payload", encode(concat(lit("data"), col("media_id")), "UTF-8"))
+      .withColumn("media_type",
+        when(col("media_id") % 2 === 0, "image").otherwise("video"))
+    val decoded = Multimodal.withDecodedMeta(df, "payload", "media_type")
+    assert(decoded.schema.fieldNames.contains("media_meta"))
+    val rows = decoded.select("media_meta.width", "media_meta.n_frames",
+      "media_type").collect()
+    assert(rows.forall(_.getInt(0) >= 16))
+    assert(rows.filter(_.getString(2) == "image").forall(_.getInt(1) == 1))
+    // frame sampling explodes video payloads deterministically
+    val frames = Multimodal.sampleFrames(df, "payload", "media_id", everyN = 10)
+    assert(frames.count() == 300) // 3 sampled frames per payload
+    val again = Multimodal.sampleFrames(df, "payload", "media_id", everyN = 10)
+    def key(r: org.apache.spark.sql.Row): String =
+      s"${r.getLong(0)}:${r.getInt(1)}:${r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString}"
+    assert(frames.collect().map(key).sorted
+      .sameElements(again.collect().map(key).sorted))
+  }
+
+  test("exact dedup keeps one row per normalized content") {
+    val df = Seq(
+      (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+}
