@@ -43,9 +43,7 @@ object Ann {
   private val lshUdf = udf((v: Array[Float], bits: Int) => lshSignature(v, bits))
 
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.VectorExpressions.dot_f _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 

@@ -11,10 +11,9 @@ import QueryDef.table
   */
 object VectorQueries {
 
-  /** dot(a, b) via zip_with + aggregate — sequential fold, deterministic. */
+  /** codegen'd float dot product — sequential double fold, deterministic. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot_f(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -57,14 +56,18 @@ object VectorQueries {
       "q27_embedding_dedup",
       (s, dir) => {
         import s.implicits._
+        // norms are computed once per row BEFORE the pair join (2k rows,
+        // not 2M pairs) — same doubles, a third of the flops
         val a = table(s, dir, "embeddings")
-          .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"label")
+          .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"label",
+            sqrt(dot($"embedding", $"embedding")).as("norm_a"))
         val b = table(s, dir, "embeddings")
-          .select($"vec_id".as("id_b"), $"embedding".as("eb"), $"label")
+          .select($"vec_id".as("id_b"), $"embedding".as("eb"), $"label",
+            sqrt(dot($"embedding", $"embedding")).as("norm_b"))
         a.join(b, Seq("label"))
           .filter($"id_a" < $"id_b")
           .withColumn("sim",
-            round(dot($"ea", $"eb") / (norm($"ea") * norm($"eb")), 5))
+            round(dot($"ea", $"eb") / ($"norm_a" * $"norm_b"), 5))
           .filter($"sim" > 0.4)
           .select($"label", $"id_a", $"id_b", $"sim")
           .orderBy($"label", $"id_a", $"id_b")

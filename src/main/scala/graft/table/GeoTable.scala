@@ -337,6 +337,37 @@ final case class GeoTable(
     }
   }
 
+  /** CSV sink (`core/format_writers.py:245-354`): geometry as WKT column,
+    * complex-typed columns dropped (reference drops them for GDAL sinks).
+    */
+  def writeCsv(path: String, delimiter: String = ","): Unit = {
+    val scalarCols = df.columns
+      .filterNot(_ == geometryColumn.orNull)
+      .filter(c => df.schema(c).dataType.typeName != "struct" &&
+        !df.schema(c).dataType.typeName.startsWith("array"))
+    val out = geometryColumn match {
+      case Some(g) =>
+        df.select((scalarCols.map(col) :+ geo.st_astext(col(g)).as("wkt")): _*)
+      case None => df.select(scalarCols.map(col): _*)
+    }
+    out.write.mode("overwrite").option("header", "true")
+      .option("delimiter", delimiter).csv(path)
+  }
+
+  /** Newline-delimited GeoJSON sink (`core/geojson_stream.py` ndjson
+    * framing); one Feature per line, distributed text write.
+    */
+  def writeGeoJsonSeq(path: String, precision: Int = -1): Unit =
+    toGeoJsonFeatures(precision).write.mode("overwrite").text(path)
+
+  /** Single FeatureCollection document (driver-side assembly — for
+    * boundary-scale outputs, like the reference's non-streaming mode).
+    */
+  def toFeatureCollection(precision: Int = -1): String =
+    toGeoJsonFeatures(precision).collect()
+      .map(_.getString(0))
+      .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+
   /** GeoJSON Feature export (`core/geojson_stream.py`): one JSON Feature
     * per row, geometry + all scalar properties, optional precision.
     */

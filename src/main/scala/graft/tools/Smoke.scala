@@ -70,6 +70,32 @@ object Smoke {
       println(s"bboxFilter count=$filtered (fast path via bbox struct)")
     }
 
+    println("== streaming twin + sinks + stac ==")
+    locally {
+      import graft.streaming.Streaming
+      val sdir = java.nio.file.Files.createTempDirectory("graft_sm_stream").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$sdir/events.parquet"))
+      val win = Streaming.runToCompletion(
+        Streaming.windowedAgg(Streaming.readEvents(spark, sdir)),
+        "smoke_win", outputMode = "complete")
+      println(s"streaming windows=${win.count()}")
+      import graft.table.GeoTable
+      val t = GeoTable.fromDataFrame(
+        spark.range(10).toDF("id").withColumn("geometry",
+          graft.functions.geo.st_point(col("id").cast("double"), lit(1.0))),
+        "geometry")
+      val csvOut = java.nio.file.Files.createTempDirectory("graft_sm_csv").toString + "/c"
+      t.writeCsv(csvOut)
+      println(s"csv sink rows=${spark.read.option("header", "true").csv(csvOut).count()}")
+      println("featureCollection head=" + t.limit(1).toFeatureCollection().take(80))
+      val gpq = java.nio.file.Files.createTempDirectory("graft_sm_gpq").toString + "/d"
+      t.addBbox().write(gpq)
+      val item = graft.sources.Stac.item(gpq, "it", "file://x")
+      println(s"stac validates: ${graft.sources.Stac.validateItem(item).isEmpty}")
+    }
+
     println("== geojson round-trip ==")
     spark.range(1).select(
       graft.functions.geo.st_asgeojson(

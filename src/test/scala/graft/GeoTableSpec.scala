@@ -158,6 +158,22 @@ class GeoTableSpec extends AnyFunSuite {
     intercept[Exception](strict.df.select("geometry").collect())
   }
 
+  test("csv and geojson sinks") {
+    val t = pointsTable(20)
+    val csvOut = tmpDir("csvsink")
+    t.writeCsv(csvOut)
+    val back = spark.read.option("header", "true").csv(csvOut)
+    assert(back.count() == 20)
+    assert(back.columns.contains("wkt"))
+    assert(back.select("wkt").head().getString(0).startsWith("POINT ("))
+    val gjOut = tmpDir("gjsink")
+    t.writeGeoJsonSeq(gjOut, precision = 3)
+    val lines = spark.read.text(gjOut)
+    assert(lines.count() == 20)
+    val fc = t.limit(3).toFeatureCollection()
+    assert(fc.startsWith("""{"type":"FeatureCollection"""") && fc.endsWith("]}"))
+  }
+
   test("check/fix pipeline composes") {
     val outRaw = tmpDir("fixsrc")
     // write WITHOUT bbox and unsorted
