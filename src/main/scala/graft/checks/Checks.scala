@@ -163,6 +163,45 @@ object Checks {
     findings.toSeq
   }
 
+  /** Multi-file check dispatch (reference `core/partition_reader.py:
+    * 170-220`): which part-files a check command runs over — first file
+    * by default, all files, or a deterministic sample of N.
+    */
+  def dispatchFiles(path: String, mode: String = "first",
+      sampleN: Int = 3): Seq[Path] = {
+    val parts = Footer.partFiles(path, new Configuration())
+    mode match {
+      case "first" => parts.take(1)
+      case "all" => parts
+      case "sample" =>
+        if (parts.size <= sampleN) parts
+        else {
+          val stride = parts.size / sampleN
+          (0 until sampleN).map(i => parts(i * stride))
+        }
+      case m => throw new IllegalArgumentException(s"unknown dispatch mode $m")
+    }
+  }
+
+  /** head/tail preview rows with WKB→WKT geometry preview (reference
+    * `core/inspect.py:188-290`, hand-rolled WKB parser at
+    * `core/inspect_utils.py:432-516` — ours goes through the real codec).
+    */
+  def preview(spark: SparkSession, path: String, n: Int = 5,
+      fromTail: Boolean = false): Seq[String] = {
+    val t = GeoTable.read(spark, path)
+    val d = t.geometryColumn match {
+      case Some(g) => t.df.withColumn(g,
+        graft.functions.geo.st_astext(org.apache.spark.sql.functions.col(g)))
+      case None => t.df
+    }
+    val rows = if (fromTail) d.tail(n) else d.head(n)
+    val names = d.columns
+    rows.toSeq.map { r =>
+      names.zipWithIndex.map { case (c, i) => s"$c=${r.get(i)}" }.mkString(", ")
+    }
+  }
+
   /** check/fix pipeline (reference `core/check_fixes.py`): add bbox if
     * missing, sort hilbert if poorly ordered, rewrite with ZSTD — a
     * composition of our operators returning the fixed table.

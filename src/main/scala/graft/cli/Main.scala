@@ -1,0 +1,214 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.checks.Checks
+import graft.table.GeoTable
+
+/** gpio-compatible command surface (reference `cli/main.py`), thin over
+  * GeoTable — every command composes the same lazy plan the fluent API
+  * builds, executed once at the sink.
+  *
+  * Usage examples (sbt "runMain graft.cli.Main <cmd> ..."):
+  *   extract in.parquet out.parquet --bbox -10,-10,10,10 --columns id,name --limit 100
+  *   add bbox in.parquet out.parquet
+  *   add quadkey in.parquet out.parquet --zoom 13
+  *   add kdtree in.parquet out.parquet --iterations 6
+  *   sort hilbert in.parquet out.parquet
+  *   sort column in.parquet out.parquet --columns a,b --desc
+  *   sort quadkey in.parquet out.parquet
+  *   reproject in.parquet out.parquet --from EPSG:4326 --to EPSG:3857
+  *   partition string in.parquet outdir --column type [--chars 2]
+  *   partition quadkey in.parquet outdir --zoom 13 --partition-resolution 4
+  *   partition kdtree in.parquet outdir --iterations 4
+  *   convert in.csv out.parquet --wkt-column wkt [--skip-invalid]
+  *   convert in.geojson out.parquet
+  *   to geojson in.parquet outdir [--precision 6]
+  *   to csv in.parquet outdir
+  *   inspect in.parquet | check in.parquet | validate in.parquet
+  *   stac-item in.parquet --id x --href s3://...
+  */
+object Main {
+
+  private def opt(args: Seq[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+  private def flag(args: Seq[String], name: String): Boolean =
+    args.contains(s"--$name")
+
+  def main(argv: Array[String]): Unit = {
+    if (argv.isEmpty) { println(usage); sys.exit(2) }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.geo.register(spark)
+    try run(spark, argv.toSeq)
+    finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, args: Seq[String]): Unit = {
+    val cmd = args.head
+    val rest = args.tail
+    cmd match {
+      case "extract" =>
+        val Seq(in, out) = rest.take(2)
+        var t = GeoTable.read(spark, in)
+        opt(rest, "bbox").foreach { b =>
+          val Array(x0, y0, x1, y1) = b.split(",").map(_.toDouble)
+          t = t.filterBbox(x0, y0, x1, y1)
+        }
+        opt(rest, "intersects").foreach(w => t = t.filterIntersectsWkt(w))
+        opt(rest, "columns").foreach(cs =>
+          t = t.selectColumns(include = cs.split(",").toSeq))
+        opt(rest, "exclude").foreach(cs =>
+          t = t.selectColumns(exclude = cs.split(",").toSeq))
+        opt(rest, "where").foreach(w => t = t.filterWhere(w))
+        opt(rest, "limit").foreach(n => t = t.limit(n.toInt))
+        t.write(out)
+
+      case "add" =>
+        val what = rest.head
+        val Seq(in, out) = rest.tail.take(2)
+        val t = GeoTable.read(spark, in)
+        what match {
+          case "bbox" => t.addBbox().write(out)
+          case "quadkey" =>
+            t.addQuadkey(opt(rest, "zoom").map(_.toInt).getOrElse(13)).write(out)
+          case "kdtree" =>
+            t.addKdtree(opt(rest, "iterations").map(_.toInt).getOrElse(4)).write(out)
+          case other => die(s"unknown add target $other")
+        }
+
+      case "sort" =>
+        val what = rest.head
+        val Seq(in, out) = rest.tail.take(2)
+        val t = GeoTable.read(spark, in)
+        what match {
+          case "hilbert" => t.sortHilbert().write(out)
+          case "quadkey" =>
+            t.sortQuadkey(opt(rest, "zoom").map(_.toInt).getOrElse(13),
+              keepColumn = flag(rest, "keep-quadkey")).write(out)
+          case "column" =>
+            val cols = opt(rest, "columns").getOrElse(die("--columns required"))
+            t.sortBy(cols.split(",").toSeq, descending = flag(rest, "desc")).write(out)
+          case other => die(s"unknown sort target $other")
+        }
+
+      case "reproject" =>
+        val Seq(in, out) = rest.take(2)
+        GeoTable.read(spark, in)
+          .reproject(opt(rest, "from").getOrElse("EPSG:4326"),
+            opt(rest, "to").getOrElse(die("--to required")))
+          .write(out)
+
+      case "partition" =>
+        val what = rest.head
+        val Seq(in, out) = rest.tail.take(2)
+        val t = GeoTable.read(spark, in)
+        val force = flag(rest, "force")
+        what match {
+          case "string" =>
+            t.partitionByString(
+              opt(rest, "column").getOrElse(die("--column required")),
+              opt(rest, "chars").map(_.toInt), out, force)
+          case "quadkey" =>
+            t.partitionByQuadkey(opt(rest, "zoom").map(_.toInt).getOrElse(13),
+              opt(rest, "partition-resolution").map(_.toInt).getOrElse(4),
+              out, force)
+          case "kdtree" =>
+            t.partitionByKdtree(opt(rest, "iterations").map(_.toInt).getOrElse(4), out)
+          case other => die(s"unknown partition target $other")
+        }
+
+      case "convert" =>
+        val Seq(in, out) = rest.take(2)
+        val t =
+          if (in.endsWith(".geojson") || in.endsWith(".json"))
+            GeoTable.fromGeoJsonFile(spark, in)
+          else if (in.endsWith(".csv") || in.endsWith(".tsv"))
+            GeoTable.fromCsv(spark, in,
+              wktColumn = opt(rest, "wkt-column"),
+              lonLatColumns = for {
+                lon <- opt(rest, "lon-column"); lat <- opt(rest, "lat-column")
+              } yield (lon, lat),
+              delimiter = if (in.endsWith(".tsv")) "\t" else ",",
+              skipInvalid = flag(rest, "skip-invalid"))
+          else die(s"unsupported input format: $in")
+        // CLI convert applies hilbert sort by default (reference
+        // `core/convert.py:521-597`; --skip-hilbert opts out) and adds
+        // a bbox covering column for 1.x outputs
+        val sorted =
+          if (flag(rest, "skip-hilbert")) t
+          else t.addBbox().sortHilbert()
+        sorted.write(out)
+
+      case "to" =>
+        val what = rest.head
+        val Seq(in, out) = rest.tail.take(2)
+        val t = GeoTable.read(spark, in)
+        what match {
+          case "geojson" =>
+            t.writeGeoJsonSeq(out, opt(rest, "precision").map(_.toInt).getOrElse(-1))
+          case "csv" => t.writeCsv(out)
+          case other => die(s"unknown output format $other")
+        }
+
+      case "inspect" =>
+        val s = Checks.inspect(rest.head)
+        println(s"path: ${s.path}")
+        println(s"size: ${s.fileSizeBytes} bytes  rows: ${s.rowCount}  rowGroups: ${s.numRowGroups}")
+        println(s"columns: ${s.columns.mkString(", ")}")
+        println(s"geoparquet: ${s.hasGeoMetadata}  version: ${s.geoVersion.getOrElse("-")}")
+        println(s"primary: ${s.primaryColumn.getOrElse("-")}  bbox: ${s.declaredBbox.getOrElse("-")}")
+        println(s"geometry types: ${s.declaredGeometryTypes.mkString(", ")}")
+
+      case "check" =>
+        val p = rest.head
+        println(s"bbox structure: ${Checks.checkBboxStructure(p)}")
+        (Checks.checkRowGroups(p) ++ Checks.checkCompression(p)).foreach { f =>
+          println(s"[${f.level}] ${f.check}: ${f.message}")
+        }
+        val t = GeoTable.read(spark, p)
+        if (t.geometryColumn.isDefined)
+          println(f"spatial order ratio: ${t.checkSpatialOrder()}%.3f (pass < 0.5)")
+
+      case "head" | "tail" =>
+        Checks.preview(spark, rest.head,
+          opt(rest, "n").map(_.toInt).getOrElse(5),
+          fromTail = cmd == "tail").foreach(println)
+
+      case "validate" =>
+        val fs = Checks.validate(spark, rest.head)
+        if (fs.isEmpty) println("valid GeoParquet")
+        else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
+
+      case "fix" =>
+        val Seq(in, out) = rest.take(2)
+        println("applied: " + Checks.fix(spark, in, out).mkString(", "))
+
+      case "stac-item" =>
+        println(graft.sources.Stac.item(rest.head,
+          opt(rest, "id").getOrElse("item"),
+          opt(rest, "href").getOrElse(rest.head)))
+
+      case other => die(s"unknown command $other\n$usage")
+    }
+  }
+
+  private def die(msg: String): Nothing = {
+    System.err.println(s"error: $msg")
+    sys.exit(2)
+  }
+
+  private val usage =
+    """usage: graft <command> [args]
+      |commands: extract, add {bbox|quadkey|kdtree}, sort {hilbert|quadkey|column}, head, tail,
+      |  reproject, partition {string|quadkey|kdtree}, convert, to {geojson|csv},
+      |  inspect, check, validate, fix, stac-item""".stripMargin
+}
