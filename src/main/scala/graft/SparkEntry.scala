@@ -19,7 +19,8 @@ object SparkEntry {
     JoinQueries.defs,
     TextQueries.defs,
     VectorQueries.defs,
-    OpsQueries.defs
+    OpsQueries.defs,
+    GeoQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = {

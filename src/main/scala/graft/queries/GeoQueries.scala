@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.geo
+import QueryDef.table
+import Coords._
+
+/** Additional ST-function oracle coverage: quadkey strings, WebMercator
+  * reprojection, geometric measures, WKT text output — each recomputed
+  * independently in DuckDB SQL so the Catalyst expressions (and the
+  * codecs under them) are hash-verified, not just unit-tested.
+  */
+object GeoQueries {
+
+  /** DuckDB SQL for slippy tile x/y at a zoom (mirrors SpatialKey.tile:
+    * clamp lat to WebMercator bounds, floor, clamp to [0, 2^z-1]).
+    */
+  private def tileSql(lon: String, lat: String, z: Int): (String, String) = {
+    val n = 1L << z
+    val latC = s"GREATEST(-85.051128779806604, LEAST(85.051128779806604, $lat))"
+    val lonC = s"GREATEST(-180.0, LEAST(180.0, $lon))"
+    val xt = s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(($lonC + 180.0) / 360.0 * $n) AS BIGINT)))"
+    val latRad = s"radians($latC)"
+    val yt = s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR((1.0 - ln(tan($latRad) + 1.0 / cos($latRad)) / pi()) / 2.0 * $n) AS BIGINT)))"
+    (xt, yt)
+  }
+
+  /** Quadkey digit concat: digit_i = 2*bit_i(y) + bit_i(x), msb first. */
+  private def quadkeySql(xt: String, yt: String, z: Int): String =
+    (z - 1 to 0 by -1).map { i =>
+      s"CAST((($xt >> $i) & 1) + 2 * (($yt >> $i) & 1) AS VARCHAR)"
+    }.mkString(" || ")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- quadkey string vs independent SQL tile math -------------------
+    QueryDef(
+      "q33_quadkey",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "customer")
+          .withColumn("qk",
+            geo.quadkey(lon($"c_custkey"), lat($"c_custkey"), 8))
+          .select($"c_custkey", $"qk")
+          .orderBy($"c_custkey")
+      }, {
+        val (xt, yt) = tileSql(lonSql("c_custkey"), latSql("c_custkey"), 8)
+        Some(s"""WITH tiles AS (
+            SELECT c_custkey, $xt AS xt, $yt AS yt FROM customer)
+          SELECT c_custkey, ${quadkeySql("xt", "yt", 8)} AS qk
+          FROM tiles ORDER BY c_custkey""")
+      }),
+
+    // ---- WebMercator forward transform through WKB --------------------
+    QueryDef(
+      "q34_reproject",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "supplier")
+          .withColumn("g", geo.st_point(lon($"s_suppkey"), lat($"s_suppkey")))
+          .withColumn("m", geo.st_transform($"g", "EPSG:4326", "EPSG:3857"))
+          .select($"s_suppkey",
+            round(geo.st_x($"m"), 4).as("mx"),
+            round(geo.st_y($"m"), 4).as("my"))
+          .orderBy($"s_suppkey")
+      },
+      Some(s"""SELECT s_suppkey,
+          ROUND(6378137.0 * radians(${lonSql("s_suppkey")}), 4) AS mx,
+          ROUND(6378137.0 * ln(tan(pi() / 4 +
+            radians(GREATEST(-89.9999, LEAST(89.9999, ${latSql("s_suppkey")}))) / 2)), 4) AS my
+        FROM supplier ORDER BY s_suppkey""")),
+
+    // ---- measures: distance(lag), centroid, npoints, validity ---------
+    QueryDef(
+      "q35_geo_measures",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"s_suppkey")
+        val cx = lon($"s_suppkey"); val cy = lat($"s_suppkey")
+        table(s, dir, "supplier")
+          .withColumn("sq", geo.st_geomfromtext(
+            concat(lit("POLYGON (("),
+              cx - 0.5, lit(" "), cy - 0.5, lit(", "),
+              cx + 0.5, lit(" "), cy - 0.5, lit(", "),
+              cx + 0.5, lit(" "), cy + 0.5, lit(", "),
+              cx - 0.5, lit(" "), cy + 0.5, lit(", "),
+              cx - 0.5, lit(" "), cy - 0.5, lit("))"))))
+          .withColumn("g", geo.st_point(cx, cy))
+          .withColumn("pg", lag($"g", 1).over(w))
+          .select($"s_suppkey",
+            round(geo.st_x(geo.st_centroid($"sq")), 6).as("centroid_x"),
+            round(geo.st_y(geo.st_centroid($"sq")), 6).as("centroid_y"),
+            geo.st_npoints($"sq").as("np"),
+            geo.st_isvalid($"sq").as("valid"),
+            geo.st_geometrytype($"sq").as("gtype"),
+            when($"pg".isNotNull,
+              round(geo.st_distance($"g", $"pg"), 6)).as("dist_prev"))
+          .orderBy($"s_suppkey")
+      },
+      Some(s"""WITH pts AS (
+          SELECT s_suppkey, ${lonSql("s_suppkey")} AS x, ${latSql("s_suppkey")} AS y
+          FROM supplier)
+        SELECT s_suppkey,
+          ROUND(x, 6) AS centroid_x, ROUND(y, 6) AS centroid_y,
+          5 AS np, TRUE AS valid, 'POLYGON' AS gtype,
+          CASE WHEN px IS NOT NULL THEN
+            ROUND(SQRT((x - px) * (x - px) + (y - py) * (y - py)), 6)
+          END AS dist_prev
+        FROM (SELECT s_suppkey, x, y,
+            LAG(x) OVER (ORDER BY s_suppkey) AS px,
+            LAG(y) OVER (ORDER BY s_suppkey) AS py
+          FROM pts) t
+        ORDER BY s_suppkey""")),
+
+    // ---- WKT text output (integral coords -> exact string match) ------
+    QueryDef(
+      "q36_wkt_text",
+      (s, dir) => {
+        import s.implicits._
+        val k = $"p_partkey"
+        // keys divisible by 8: lon/lat fractions vanish -> integral coords
+        table(s, dir, "part")
+          .filter(k % 8 === 0)
+          .withColumn("g", geo.st_point(lon(k), lat(k)))
+          .select($"p_partkey", geo.st_astext($"g").as("wkt"),
+            geo.st_asgeojson($"g").as("gj"))
+          .orderBy($"p_partkey")
+      },
+      Some(s"""SELECT p_partkey,
+          'POINT (' || CAST(CAST(${lonSql("p_partkey")} AS BIGINT) AS VARCHAR)
+            || ' ' || CAST(CAST(${latSql("p_partkey")} AS BIGINT) AS VARCHAR)
+            || ')' AS wkt,
+          '{"type":"Point","coordinates":[' ||
+            CAST(CAST(${lonSql("p_partkey")} AS BIGINT) AS VARCHAR) || '.0,' ||
+            CAST(CAST(${latSql("p_partkey")} AS BIGINT) AS VARCHAR) || '.0]}' AS gj
+        FROM part WHERE p_partkey % 8 = 0
+        ORDER BY p_partkey"""))
+  )
+}
