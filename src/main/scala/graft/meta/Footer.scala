@@ -105,6 +105,35 @@ object Footer {
     } yield (x0, y0, x1, y1)
   }
 
+  /** GeoParquet flavor of a file (reference `detect_geoparquet_file_type`,
+    * `core/common.py:127-195`):
+    *  - "geoparquet": has the `geo` footer key (1.0/1.1 style)
+    *  - "parquet-geo-only": native Parquet GEOMETRY/GEOGRAPHY logical
+    *    types but no `geo` key (GeoParquet 2.0 minimal)
+    *  - "geoparquet2": both
+    *  - "plain": neither
+    */
+  def detectFileType(path: Path, conf: Configuration = newConf()): String = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val fm = reader.getFooter.getFileMetaData
+      val hasGeoKey = fm.getKeyValueMetaData.containsKey(GeoMeta.FooterKey)
+      val hasNativeGeo = fm.getSchema.getFields.asScala.exists { f =>
+        f.isPrimitive && Option(f.asPrimitiveType().getLogicalTypeAnnotation)
+          .exists { lt =>
+            val n = lt.getClass.getSimpleName
+            n.contains("Geometry") || n.contains("Geography")
+          }
+      }
+      (hasGeoKey, hasNativeGeo) match {
+        case (true, true) => "geoparquet2"
+        case (true, false) => "geoparquet"
+        case (false, true) => "parquet-geo-only"
+        case (false, false) => "plain"
+      }
+    } finally reader.close()
+  }
+
   /** Rewrite a parquet file in place, merging `extra` into its key-value
     * footer metadata. Row groups are byte-copied (appendFile), never
     * decoded — the disk-rewrite strategy of the reference without the

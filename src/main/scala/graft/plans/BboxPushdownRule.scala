@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StructType
+import graft.functions.GeoExpressions.StIntersects
+import graft.geom.Wkb
+import graft.meta.GeoMeta
+
+/** Catalyst optimizer rule: when a filter contains
+  * `st_intersects(geometryCol, <literal geometry>)` and the relation also
+  * carries a bbox covering struct (xmin/ymin/xmax/ymax), AND in the
+  * equivalent bbox-overlap conjuncts on the struct fields.
+  *
+  * `bboxOverlap` is implied by `intersects`, so semantics are unchanged —
+  * but the added conjuncts are plain comparisons on scalar struct fields,
+  * which Spark pushes into the Parquet scan (`PushedFilters`) for
+  * row-group min/max pruning. This systematizes the reference's manual
+  * bbox fast path (`core/extract.py:568-579`, the documented 10-100x
+  * win) as a plan rewrite: users write the precise predicate, the
+  * optimizer gets the pruning.
+  */
+object BboxPushdownRule extends Rule[LogicalPlan] {
+
+  private def bboxAttr(plan: LogicalPlan): Option[Attribute] =
+    plan.output.find { a =>
+      GeoMeta.BboxNameCandidates.contains(a.name) && (a.dataType match {
+        case s: StructType =>
+          Seq("xmin", "ymin", "xmax", "ymax").forall(f => s.fieldNames.contains(f))
+        case _ => false
+      })
+    }
+
+  /** envelope of the literal geometry, if it parses */
+  private def literalEnvelope(e: Expression): Option[(Double, Double, Double, Double)] =
+    e match {
+      case Literal(bytes: Array[Byte], org.apache.spark.sql.types.BinaryType) =>
+        Wkb.readOpt(bytes).map(_.envelope).filterNot(_._1.isNaN)
+      case _ => None
+    }
+
+  private def field(b: Attribute, name: String): Expression =
+    GetStructField(b, b.dataType.asInstanceOf[StructType].fieldIndex(name), Some(name))
+
+  /** already has a bbox conjunct? (idempotence guard) */
+  private def touchesBbox(cond: Expression, b: Attribute): Boolean =
+    cond.exists {
+      case g: GetStructField => g.child.semanticEquals(b)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      bboxAttr(child) match {
+        case Some(b) if !touchesBbox(cond, b) =>
+          var added: Seq[Expression] = Nil
+          cond.foreach {
+            case StIntersects(_, lit) =>
+              literalEnvelope(lit).foreach { case (x0, y0, x1, y1) =>
+                added = Seq(
+                  GreaterThanOrEqual(field(b, "xmax"), Literal(x0)),
+                  LessThanOrEqual(field(b, "xmin"), Literal(x1)),
+                  GreaterThanOrEqual(field(b, "ymax"), Literal(y0)),
+                  LessThanOrEqual(field(b, "ymin"), Literal(y1)))
+              }
+            case _ => ()
+          }
+          if (added.isEmpty) f
+          else Filter(added.foldLeft(cond)((acc, c) => And(acc, c)), child)
+        case _ => f
+      }
+  }
+}
+
+/** Session extension registration:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => BboxPushdownRule)
+  }
+}
+
+object GraftExtensions {
+  /** Attach to an existing session (experimental-methods hook). */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(BboxPushdownRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BboxPushdownRule
+  }
+}

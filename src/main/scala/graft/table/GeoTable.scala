@@ -309,6 +309,61 @@ final case class GeoTable(
     writeGeoFooter(outPath)
   }
 
+  /** Spatial enrich join against a boundary table (the reference's
+    * admin-division join, `core/add_admin_divisions_multi.py:72-151`):
+    * LEFT JOIN boundaries ON bbox-overlap pre-filter AND precise
+    * ST_Contains, with two-phase extent pruning — boundaries are first
+    * filtered to the input's bounds (`core/partition_admin_hierarchical
+    * .py:93-145`) and broadcast.
+    *
+    * `boundaries` must carry a WKB geometry column plus the attribute
+    * columns to attach (e.g. country_code, subdivision_code).
+    */
+  def enrichSpatial(boundaries: DataFrame, boundaryGeomCol: String,
+      attach: Seq[String]): GeoTable = {
+    val (x0, y0, x1, y1) = bounds()
+    val bg = col(boundaryGeomCol)
+    val pruned = boundaries
+      .withColumn("__bx0", geo.st_xmin(bg))
+      .withColumn("__by0", geo.st_ymin(bg))
+      .withColumn("__bx1", geo.st_xmax(bg))
+      .withColumn("__by1", geo.st_ymax(bg))
+      .filter(col("__bx1") >= x0 && col("__bx0") <= x1 &&
+        col("__by1") >= y0 && col("__by0") <= y1)
+      .select((attach.map(col) :+ bg.as("__bgeom") :+
+        col("__bx0") :+ col("__by0") :+ col("__bx1") :+ col("__by1")): _*)
+    val px = geo.st_x(col(geomCol)); val py = geo.st_y(col(geomCol))
+    val joined = df.join(broadcast(pruned),
+      // cheap range pre-filter ordered before the precise predicate
+      px >= col("__bx0") && px <= col("__bx1") &&
+        py >= col("__by0") && py <= col("__by1") &&
+        geo.st_contains(col("__bgeom"), col(geomCol)),
+      "left")
+      .drop("__bgeom", "__bx0", "__by0", "__bx1", "__by1")
+    copy(df = joined)
+  }
+
+  /** Hierarchical admin partition (`core/partition_admin_hierarchical
+    * .py:287-612`): enrich, then nested Hive dirs level1=…/level2=….
+    */
+  def partitionByAdmin(boundaries: DataFrame, boundaryGeomCol: String,
+      levels: Seq[String], outPath: String): Unit = {
+    val t = enrichSpatial(boundaries, boundaryGeomCol, levels)
+    t.df.repartition(levels.map(col): _*)
+      .write.partitionBy(levels: _*).mode("overwrite").parquet(outPath)
+    writeGeoFooter(outPath)
+  }
+
+  /** Split by an existing country-code column
+    * (`core/split_by_country.py:99-193`).
+    */
+  def splitByCountry(codeColumn: String, outPath: String): Unit = {
+    require(df.columns.contains(codeColumn), s"no column $codeColumn")
+    df.repartition(col(codeColumn))
+      .write.partitionBy(codeColumn).mode("overwrite").parquet(outPath)
+    writeGeoFooter(outPath)
+  }
+
   // ---- write ------------------------------------------------------------
 
   /** Write GeoParquet: parquet write (ZSTD by default, like the

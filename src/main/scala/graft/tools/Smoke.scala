@@ -70,6 +70,32 @@ object Smoke {
       println(s"bboxFilter count=$filtered (fast path via bbox struct)")
     }
 
+    println("== optimizer rule + admin enrich ==")
+    locally {
+      import graft.table.GeoTable
+      graft.plans.GraftExtensions.install(spark)
+      val out = java.nio.file.Files.createTempDirectory("graft_sm_rule").toString + "/d"
+      val df0 = spark.range(500).toDF("id").withColumn("geometry",
+        graft.functions.geo.st_point(col("id") * 37 % 360 - 180, col("id") * 91 % 180 - 90))
+      GeoTable.fromDataFrame(df0, "geometry").addBbox().write(out)
+      val filtered = spark.read.parquet(out).filter(
+        graft.functions.geo.st_intersects(col("geometry"),
+          graft.functions.geo.st_makeenvelope(-60, -30, 60, 30)))
+      val pushed = filtered.queryExecution.executedPlan.toString.contains("bbox.xmax")
+      println(s"bbox conjuncts pushed to scan: $pushed  rows=${filtered.count()}")
+      import spark.implicits._
+      val boundaries = Seq(
+        ("west", "POLYGON ((-180 -90, 0 -90, 0 90, -180 90, -180 -90))"),
+        ("east", "POLYGON ((0 -90, 180 -90, 180 90, 0 90, 0 -90))"))
+        .toDF("region", "wkt")
+        .withColumn("bgeom", graft.functions.geo.st_geomfromtext($"wkt")).drop("wkt")
+      val enriched = GeoTable.read(spark, out)
+        .enrichSpatial(boundaries, "bgeom", Seq("region"))
+      enriched.df.groupBy("region").count().orderBy("region").collect()
+        .foreach(r => println(s"region ${r.get(0)}: ${r.getLong(1)} points"))
+      println(s"file type: ${graft.meta.Footer.detectFileType(graft.meta.Footer.partFiles(out).head)}")
+    }
+
     println("== streaming twin + sinks + stac ==")
     locally {
       import graft.streaming.Streaming

@@ -158,6 +158,51 @@ class GeoTableSpec extends AnyFunSuite {
     intercept[Exception](strict.df.select("geometry").collect())
   }
 
+  test("spatial enrich join + hierarchical admin partition") {
+    val t = pointsTable(1000)
+    // boundary table: 4 quadrant polygons with region/zone attributes
+    val cells = Seq(
+      ("west", "sw", "POLYGON ((-180 -90, 0 -90, 0 0, -180 0, -180 -90))"),
+      ("west", "nw", "POLYGON ((-180 0, 0 0, 0 90, -180 90, -180 0))"),
+      ("east", "se", "POLYGON ((0 -90, 180 -90, 180 0, 0 0, 0 -90))"),
+      ("east", "ne", "POLYGON ((0 0, 180 0, 180 90, 0 90, 0 0))"))
+    import spark.implicits._
+    val boundaries = cells.toDF("region", "zone", "wkt")
+      .withColumn("bgeom", geo.st_geomfromtext(col("wkt"))).drop("wkt")
+
+    val enriched = t.enrichSpatial(boundaries, "bgeom", Seq("region", "zone"))
+    assert(enriched.df.columns.contains("region"))
+    // every point lands in at least one quadrant (boundaries cover globe)
+    assert(enriched.df.filter(col("region").isNull).count() == 0)
+
+    val out = tmpDir("admin")
+    t.partitionByAdmin(boundaries, "bgeom", Seq("region", "zone"), out)
+    val level1 = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(level1.toSet == Set("region=west", "region=east"))
+    val level2 = new java.io.File(s"$out/region=west").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(level2.toSet.subsetOf(Set("zone=sw", "zone=nw")))
+    // boundary-edge points may match two cells; count must be >= input
+    assert(spark.read.parquet(out).count() >= 1000)
+
+    // split by existing code column
+    val out2 = tmpDir("split")
+    enriched.splitByCountry("region", out2)
+    assert(new java.io.File(out2).listFiles().map(_.getName)
+      .count(_.startsWith("region=")) == 2)
+  }
+
+  test("file type detection") {
+    val out = tmpDir("ftype")
+    pointsTable(50).addBbox().write(out)
+    val p = graft.meta.Footer.partFiles(out).head
+    assert(graft.meta.Footer.detectFileType(p) == "geoparquet")
+    val plain = tmpDir("plainpq")
+    spark.range(10).toDF("id").write.parquet(plain)
+    assert(graft.meta.Footer.detectFileType(
+      graft.meta.Footer.partFiles(plain).head) == "plain")
+  }
+
   test("csv and geojson sinks") {
     val t = pointsTable(20)
     val csvOut = tmpDir("csvsink")
