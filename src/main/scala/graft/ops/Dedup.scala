@@ -110,6 +110,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH blocking
+    * (builder-prompt: "embedding-cosine near-dup"). Candidates come from
+    * an equi-join on the LSH bucket (same-signature vectors are likely
+    * high-cosine), verified with exact cosine. Linear shuffle on an
+    * int key — the scale path next to the exact label-blocked variant
+    * (q27).
+    */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.9, bits: Int = 12): DataFrame = {
+    val bucketed = Ann.withLshBucket(df, vecCol, bits, "__bkt")
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__bkt"))
+    val a = bucketed.select(col("__bkt"), col("__id").as("id_a"),
+      col("__v").as("va"))
+    val b = bucketed.select(col("__bkt"), col("__id").as("id_b"),
+      col("__v").as("vb"))
+    a.join(b, Seq("__bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Ann.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over word tokens. */

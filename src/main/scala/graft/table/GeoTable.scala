@@ -366,15 +366,32 @@ final case class GeoTable(
 
   // ---- write ------------------------------------------------------------
 
-  /** Write GeoParquet: parquet write (ZSTD by default, like the
-    * reference's default codec) + footer rewrite attaching `geo` with
-    * per-file bbox recompute from row-group stats.
+  /** Write GeoParquet: parquet write + footer rewrite attaching `geo`
+    * with per-file bbox recompute from row-group stats.
+    *
+    * Physical-write surface mirrors the reference's shared options
+    * (`cli/decorators.py:50-360`): codec (ZSTD default), codec level
+    * (ZSTD default 15 like `core/common.py:1763-1766`), row-group byte
+    * target (~128MB default, reference targets ~130MB), max records per
+    * file.
     */
   def write(path: String, compression: String = "zstd",
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L,
+      compressionLevel: Option[Int] = None,
+      rowGroupBytes: Option[Long] = None): Unit = {
     var w = df.write.mode("overwrite").option("compression", compression)
     if (maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    rowGroupBytes.foreach(b => w = w.option("parquet.block.size", b))
+    compressionLevel.foreach { lvl =>
+      val key = compression.toLowerCase match {
+        case "zstd" => "parquet.compression.codec.zstd.level"
+        case "gzip" => "parquet.compression.codec.gzip.level"
+        case "brotli" => "parquet.compression.codec.brotli.level"
+        case c => throw new IllegalArgumentException(s"no level option for $c")
+      }
+      w = w.option(key, lvl)
+    }
     w.parquet(path)
     writeGeoFooter(path)
   }

@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import graft.table.GeoTable
+
+/** Operation-matrix benchmark harness (reference `gpio benchmark suite`,
+  * `core/benchmark_suite.py` + `benchmarks/operations.py:21-358`): times
+  * the core operator set on a generated geo table, compares against a
+  * stored baseline JSON with the reference's regression thresholds
+  * (warn >10% / fail >25% time — `benchmarks/config.py:16-19`).
+  *
+  *   sbt "runMain graft.tools.BenchSuite [rows] [baselinePath]"
+  *
+  * With no baseline file present, writes one. With one present, prints
+  * per-op deltas and regression status.
+  */
+object BenchSuite {
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toInt).getOrElse(100000)
+    val baselinePath = args.lift(1).getOrElse("bench_baseline.json")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("graft_suite").toString
+    val src = s"$work/src"
+    // generated geo table (benchmark input tiers in the reference are
+    // hosted files; zero-egress here, so synthesize deterministically)
+    val df = spark.range(rows).toDF("id")
+      .withColumn("name", concat(lit("feature_"), col("id")))
+      .withColumn("category", (col("id") % 16).cast("string"))
+      .withColumn("geometry", geo.st_point(
+        col("id") * 37 % 360 - 180 + (col("id") % 8) * 0.125,
+        col("id") * 91 % 180 - 90 + (col("id") % 4) * 0.25))
+    GeoTable.fromDataFrame(df, "geometry").write(src)
+
+    def time(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[suite] $name%-22s $dt%8.3f s")
+      name -> dt
+    }
+
+    def noop(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.mode("overwrite").format("noop").save()
+
+    // warmup
+    noop(GeoTable.read(spark, src).addBbox().df)
+
+    val ops: Seq[(String, Double)] = Seq(
+      time("read") { noop(GeoTable.read(spark, src).df) },
+      time("write") { GeoTable.read(spark, src).write(s"$work/w") },
+      time("add_bbox") { noop(GeoTable.read(spark, src).addBbox().df) },
+      time("add_quadkey") { noop(GeoTable.read(spark, src).addQuadkey(13).df) },
+      time("extract_bbox") {
+        noop(GeoTable.read(spark, src).filterBbox(-60, -30, 60, 30).df)
+      },
+      time("extract_columns") {
+        noop(GeoTable.read(spark, src).selectColumns(include = Seq("id")).df)
+      },
+      time("sort_hilbert") { noop(GeoTable.read(spark, src).sortHilbert().df) },
+      time("sort_column") {
+        noop(GeoTable.read(spark, src).sortBy(Seq("category", "id")).df)
+      },
+      time("reproject") {
+        noop(GeoTable.read(spark, src).reproject("EPSG:4326", "EPSG:3857").df)
+      },
+      time("to_geojson") {
+        noop(GeoTable.read(spark, src).toGeoJsonFeatures(6))
+      },
+      time("partition_quadkey") {
+        GeoTable.read(spark, src).partitionByQuadkey(6, 2, s"$work/pq", force = true)
+      },
+      time("chain_bbox_qk_hilbert") {
+        noop(GeoTable.read(spark, src).addBbox().addQuadkey(13).sortHilbert().df)
+      })
+
+    val json = ops.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val p = java.nio.file.Paths.get(baselinePath)
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.writeString(p, json)
+      println(s"[suite] baseline written to $baselinePath")
+    } else {
+      val base = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(p))
+      var regressed = false
+      ops.foreach { case (k, v) =>
+        Option(base.get(k)).map(_.asDouble).foreach { b =>
+          val delta = (v - b) / b * 100
+          val status =
+            if (delta > 25) { regressed = true; "FAIL" }
+            else if (delta > 10) "warn"
+            else "ok"
+          println(f"[suite] $k%-22s ${delta}%+7.1f%% vs baseline [$status]")
+        }
+      }
+      if (regressed) { println("[suite] REGRESSION"); sys.exit(1) }
+    }
+    spark.stop()
+  }
+}

@@ -94,6 +94,20 @@ object Smoke {
       enriched.df.groupBy("region").count().orderBy("region").collect()
         .foreach(r => println(s"region ${r.get(0)}: ${r.getLong(1)} points"))
       println(s"file type: ${graft.meta.Footer.detectFileType(graft.meta.Footer.partFiles(out).head)}")
+      // write-settings surface: zstd level + row-group byte target
+      val tuned = java.nio.file.Files.createTempDirectory("graft_sm_tuned").toString + "/t"
+      GeoTable.read(spark, out).write(tuned, compression = "zstd",
+        compressionLevel = Some(15), rowGroupBytes = Some(1L * 1024 * 1024))
+      val codecs = graft.meta.Footer.read(graft.meta.Footer.partFiles(tuned).head)
+        .rowGroups.flatMap(_.columns.values.map(_.codec)).distinct
+      println(s"tuned write codecs=${codecs.mkString(",")} " +
+        s"compressionCheck=${graft.checks.Checks.checkCompression(tuned).isEmpty}")
+      // LSH-blocked embedding near-dup through the public op
+      import spark.implicits._
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val nd = graft.ops.Dedup.embeddingNearDups(emb, "embedding", "vec_id",
+        threshold = 0.4, bits = 6).count()
+      println(s"embedding near-dup pairs (cos>=0.4, lsh-blocked): $nd")
     }
 
     println("== streaming twin + sinks + stac ==")

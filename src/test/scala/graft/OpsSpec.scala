@@ -86,6 +86,20 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("embedding near-dups via LSH blocking find planted pair") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(32)(i => (Hashing.family(seed.toLong, i) % 1000).toFloat / 1000f)
+    val planted = vec(5).zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + 0.001f else v }
+    val rows = (1 to 100).map(i => (i.toLong, vec(i))) :+ (999L, planted)
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "embedding", "vec_id",
+      threshold = 0.999, bits = 8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((5L, 999L)),
+      s"planted near-dup not found: ${pairs.toSeq}")
+    assert(pairs.forall(_.getDouble(2) >= 0.999))
+  }
+
   test("kdtree cells are balanced and deterministic") {
     val df = spark.range(2000).toDF("id")
       .withColumn("x", col("id") * 37 % 360 - 180)
