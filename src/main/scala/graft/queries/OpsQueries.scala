@@ -72,8 +72,11 @@ object OpsQueries {
         val pts = table(s, dir, "customer")
           .withColumn("x", lon($"c_custkey"))
           .withColumn("y", lat($"c_custkey"))
+        // sampleFraction 1.0: the split sample is the full table, so the
+        // tree (and the cell histogram) is identical regardless of the
+        // session's core count / file-split layout
         val tree = KdTree.build(pts, "x", "y", iterations = 4,
-          sampleFraction = 0.5, seed = 42L)
+          sampleFraction = 1.0, seed = 42L)
         KdTree.withCell(pts, "x", "y", tree)
           .groupBy($"kdtree_cell")
           .agg(count(lit(1)).as("n_rows"))
