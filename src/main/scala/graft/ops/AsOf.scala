@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — an operator Spark's batch API lacks.
+  *
+  * Built the preferred way (compose existing ops, builder-prompt ladder
+  * step (a)): union both sides tagged, one window pass per key carrying
+  * the latest right-side payload forward with
+  * `last_value(..., ignoreNulls)`, keep left rows. Cost = ONE shuffle on
+  * the key + an in-partition sort — same shape as a sort-merge join, no
+  * per-row probing, no range explosion; at 100 TB this is strictly
+  * cheaper than the naive "join then filter max ts" formulation, which
+  * shuffles the full pair multiplicity.
+  *
+  * Matches DuckDB/pandas ASOF semantics: for each left row, the right
+  * row with the greatest rightTs <= leftTs within the same key (verified
+  * against DuckDB's native ASOF JOIN by q37).
+  */
+object AsOf {
+
+  /** @param payload right-side columns to attach (renamed as given). */
+  def join(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      payload: Map[String, String]): DataFrame = {
+    val leftCols = left.columns
+    val srcCols = payload.keys.toSeq
+    val outCols = payload.values.toSeq
+
+    val taggedRight = right.select(
+      (col(key) :: col(rightTs).as("__ts") :: lit(1).as("__isr") ::
+        srcCols.zip(outCols).map { case (s, o) => col(s).as(s"__p_$o") }.toList): _*)
+    val taggedLeft = left.select(
+      (col(key) :: col(leftTs).as("__ts") :: lit(0).as("__isr") ::
+        outCols.map(o => lit(null).cast(
+          right.schema(payload.find(_._2 == o).get._1).dataType).as(s"__p_$o")).toList
+        ::: leftCols.filterNot(c => c == key || c == leftTs).map(c => col(c).as(s"__l_$c")).toList): _*)
+    val taggedRightPadded = taggedRight.select(
+      (taggedRight.columns.map(col).toList :::
+        leftCols.filterNot(c => c == key || c == leftTs).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")).toList): _*)
+
+    // right rows sort before left rows at equal ts (inclusive <= match)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__isr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val unioned = taggedLeft.unionByName(taggedRightPadded)
+    val carried = outCols.foldLeft(unioned) { (d, o) =>
+      d.withColumn(s"__m_$o", last(col(s"__p_$o"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__isr") === 0)
+      .select((col(key) :: col("__ts").as(leftTs) ::
+        leftCols.filterNot(c => c == key || c == leftTs).map(c => col(s"__l_$c").as(c)).toList :::
+        outCols.map(o => col(s"__m_$o").as(o)).toList): _*)
+  }
+}

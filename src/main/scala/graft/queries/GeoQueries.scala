@@ -112,6 +112,40 @@ object GeoQueries {
           FROM pts) t
         ORDER BY s_suppkey""")),
 
+    // ---- as-of join: composed window formulation vs native ASOF -------
+    // Spark's batch API has no as-of join; ours is one shuffle + window
+    // carry-forward (graft.ops.AsOf). DuckDB verifies with its NATIVE
+    // ASOF LEFT JOIN — two completely independent formulations.
+    QueryDef(
+      "q37_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = JoinQueries.events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"value")
+        graft.ops.AsOf.join(clicks, purchases, "user_id", "ts", "ts",
+            Map("value" -> "last_purchase"))
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"),
+            (coalesce(round($"last_purchase" * 100), lit(-1)).cast("long"))
+              .as("purchase_cents"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH l AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click'),
+        r AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id,
+          epoch_us(l.ts) AS ts_us,
+          CAST(COALESCE(ROUND(r.value * 100), -1) AS BIGINT) AS purchase_cents
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id""")),
+
     // ---- WKT text output (integral coords -> exact string match) ------
     QueryDef(
       "q36_wkt_text",

@@ -137,6 +137,27 @@ class OpsSpec extends AnyFunSuite {
       .sameElements(again.collect().map(key).sorted))
   }
 
+  test("asof join: inclusive match, carry-forward, null before first right") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq(
+      (1L, 10L, ts(100)), // before any right row -> null
+      (2L, 10L, ts(200)), // equal ts -> inclusive match r@200
+      (3L, 10L, ts(350)), // carry forward r@300
+      (4L, 20L, ts(500))  // other key, matches its own right r@450
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(200), 1.0), (10L, ts(300), 2.0), (20L, ts(450), 9.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.AsOf.join(left, right, "user_id", "ts", "ts",
+        Map("value" -> "matched"))
+      .orderBy("event_id").collect()
+    // output column order: key, leftTs, remaining left cols, payload
+    assert(out.map(r => Option(r.get(3))).toSeq ==
+      Seq(None, Some(1.0), Some(2.0), Some(9.0)))
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 10L, 10L, 20L))
+  }
+
   test("exact dedup keeps one row per normalized content") {
     val df = Seq(
       (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text"))
