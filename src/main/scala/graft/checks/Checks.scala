@@ -163,6 +163,29 @@ object Checks {
     findings.toSeq
   }
 
+  /** Composite check (reference `check all`,
+    * `core/check_parquet_structure.py:508`): structure + compression +
+    * bbox status + spatial order + spec validation in one report.
+    */
+  def checkAll(spark: SparkSession, path: String): Seq[Finding] = {
+    val structural = checkRowGroups(path) ++ checkCompression(path)
+    val bboxStatus = checkBboxStructure(path) match {
+      case "optimal" => Nil
+      case s => Seq(Finding("info", "bbox_structure", s))
+    }
+    val order = try {
+      val t = GeoTable.read(spark, path)
+      if (t.geometryColumn.isEmpty) Nil
+      else {
+        val r = t.checkSpatialOrder()
+        if (r.isNaN || r < 0.5) Nil
+        else Seq(Finding("warn", "spatial_order",
+          f"ratio $r%.3f >= 0.5 — consider hilbert sort"))
+      }
+    } catch { case _: Exception => Nil }
+    structural ++ bboxStatus ++ order ++ validate(spark, path)
+  }
+
   /** Multi-file check dispatch (reference `core/partition_reader.py:
     * 170-220`): which part-files a check command runs over — first file
     * by default, all files, or a deterministic sample of N.

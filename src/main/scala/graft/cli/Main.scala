@@ -168,6 +168,11 @@ object Main {
         println(s"primary: ${s.primaryColumn.getOrElse("-")}  bbox: ${s.declaredBbox.getOrElse("-")}")
         println(s"geometry types: ${s.declaredGeometryTypes.mkString(", ")}")
 
+      case "check" if flag(rest, "all") =>
+        val fs = Checks.checkAll(spark, rest.head)
+        if (fs.isEmpty) println("all checks passed")
+        else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
+
       case "check" =>
         val p = rest.head
         println(s"bbox structure: ${Checks.checkBboxStructure(p)}")
