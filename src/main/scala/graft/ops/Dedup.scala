@@ -26,12 +26,17 @@ object Dedup {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Exact dedup: keep the row with min(idCol) per digest of keyCol. */
+  /** Exact dedup: keep the row with min(idCol) per digest of keyCol.
+    * Single shuffle on the 16-byte digest (row_number over the digest
+    * partition), not groupBy + join-back — one pass over the data.
+    */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val withH = df.withColumn("__h", md5(normalize(col(keyCol))))
-    val keepers = withH.groupBy(col("__h"))
-      .agg(min(col(idCol)).as(idCol))
-    withH.join(keepers, Seq("__h", idCol)).drop("__h")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    df.withColumn("__h", md5(normalize(col(keyCol))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
   }
 
   // ---- MinHash ----------------------------------------------------------
@@ -90,21 +95,28 @@ object Dedup {
     val sigs = df.select(col(idCol).as("__id"),
         normalize(col(textCol)).as("__norm"))
       .withColumn("__sig", minhashUdf(col("__norm"), lit(numHashes), lit(shingleK)))
-    // explode into (band, bandSig) buckets; bandSig is a digest of the
-    // band's slice so the shuffle key stays tiny
-    val banded = sigs.select(col("__id"), col("__norm"), col("__sig"),
+    // explode into (band, bandSig) buckets carrying ONLY (id, band,
+    // bandSig) — ~16 bytes/row. The document text never rides through the
+    // ×bands explode, the band join, or the distinct: at 100 TB the band
+    // shuffle is O(bands × ids), not O(bands × corpus).
+    val banded = sigs.select(col("__id"), col("__sig"),
         posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__bi", "__b")))
       .withColumn("__bandSig",
         hash(col("__b"), slice(col("__sig"), col("__b") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select(col("__id"), col("__norm"), col("__b"), col("__bandSig"))
-    val a = banded.select(col("__b"), col("__bandSig"),
-      col("__id").as("id_a"), col("__norm").as("norm_a"))
-    val b = banded.select(col("__b"), col("__bandSig"),
-      col("__id").as("id_b"), col("__norm").as("norm_b"))
-    a.join(b, Seq("__b", "__bandSig"))
+      .select(col("__id"), col("__b"), col("__bandSig"))
+    val a = banded.select(col("__b"), col("__bandSig"), col("__id").as("id_a"))
+    val b = banded.select(col("__b"), col("__bandSig"), col("__id").as("id_b"))
+    val candidates = a.join(b, Seq("__b", "__bandSig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("norm_a"), col("norm_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // candidate may surface from several bands
+    // verification stage: re-join the normalized text by id (two hash
+    // joins keyed on the id — text moves once per candidate side only)
+    val texts = df.select(col(idCol).as("__id"),
+      normalize(col(textCol)).as("__norm"))
+    candidates
+      .join(texts.select(col("__id").as("id_a"), col("__norm").as("norm_a")), Seq("id_a"))
+      .join(texts.select(col("__id").as("id_b"), col("__norm").as("norm_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardUdf(col("norm_a"), col("norm_b"), lit(shingleK)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -18,14 +18,29 @@ object KdTree {
   /** Binary tree of alternating x/y median splits. */
   final case class Node(split: Double, left: Option[Node], right: Option[Node])
 
-  /** Build the split tree from a sample. iterations = tree depth. */
+  /** Build the split tree from a bounded sample (reference
+    * `core/add_kdtree_column.py:83` `USING SAMPLE n ROWS`): never more
+    * than `sampleRows` points reach the driver, whatever the table size —
+    * a fraction-based sample would collect 10 TB at 100 TB scale.
+    * `sampleRows <= 0` (or >= table size) collects everything; callers use
+    * that only when the split set must be the exact full table (q30's
+    * deterministic histogram at test scale).
+    */
   def build(df: DataFrame, xCol: String, yCol: String, iterations: Int,
-      sampleFraction: Double = 0.1, seed: Long = 42L): Node = {
-    val sample = df.select(col(xCol).cast("double").as("x"),
-        col(yCol).cast("double").as("y"))
-      .sample(withReplacement = false, sampleFraction, seed)
-      .collect()
-      .map(r => (r.getDouble(0), r.getDouble(1)))
+      sampleRows: Int = 100000, seed: Long = 42L): Node = {
+    val base = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val total = base.count()
+    val rows =
+      if (sampleRows <= 0 || total <= sampleRows) base.collect()
+      else {
+        // oversample 1.2× then trim to the exact budget; the trim bias
+        // (drops late-partition rows) is acceptable for split estimation
+        val frac = math.min(1.0, sampleRows * 1.2 / total)
+        base.sample(withReplacement = false, frac, seed)
+          .limit(sampleRows).collect()
+      }
+    val sample = rows.map(r => (r.getDouble(0), r.getDouble(1)))
 
     def median(vs: Array[Double]): Double = {
       val sorted = vs.sorted

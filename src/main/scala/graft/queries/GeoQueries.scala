@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.geo
 import QueryDef.table
 import Coords._
@@ -75,9 +74,8 @@ object GeoQueries {
       "q35_geo_measures",
       (s, dir) => {
         import s.implicits._
-        val w = Window.orderBy($"s_suppkey")
         val cx = lon($"s_suppkey"); val cy = lat($"s_suppkey")
-        table(s, dir, "supplier")
+        val base = table(s, dir, "supplier")
           .withColumn("sq", geo.st_geomfromtext(
             concat(lit("POLYGON (("),
               cx - 0.5, lit(" "), cy - 0.5, lit(", "),
@@ -86,7 +84,10 @@ object GeoQueries {
               cx - 0.5, lit(" "), cy + 0.5, lit(", "),
               cx - 0.5, lit(" "), cy - 0.5, lit("))"))))
           .withColumn("g", geo.st_point(cx, cy))
-          .withColumn("pg", lag($"g", 1).over(w))
+        // exact global lag of the point geometry without a
+        // single-partition window
+        graft.ops.DistWindow
+          .withLag1(base, "s_suppkey", Seq("g" -> "pg"))
           .select($"s_suppkey",
             round(geo.st_x(geo.st_centroid($"sq")), 6).as("centroid_x"),
             round(geo.st_y(geo.st_centroid($"sq")), 6).as("centroid_y"),

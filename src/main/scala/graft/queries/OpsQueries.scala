@@ -63,8 +63,11 @@ object OpsQueries {
       },
       None),
 
-    // ---- KD-tree balanced spatial partitioning (rows-only: sample-
-    // driven splits) -----------------------------------------------------
+    // ---- KD-tree balanced spatial partitioning -------------------------
+    // The split sample is the exact full table (sampleRows = 0), so the
+    // tree is deterministic and the oracle can rebuild it in pure SQL:
+    // per-level upper-median (value at 0-based sorted index n//2, the
+    // same rule as KdTree.build) alternating x/y, four levels deep.
     QueryDef(
       "q30_kdtree_cells",
       (s, dir) => {
@@ -72,17 +75,37 @@ object OpsQueries {
         val pts = table(s, dir, "customer")
           .withColumn("x", lon($"c_custkey"))
           .withColumn("y", lat($"c_custkey"))
-        // sampleFraction 1.0: the split sample is the full table, so the
-        // tree (and the cell histogram) is identical regardless of the
-        // session's core count / file-split layout
         val tree = KdTree.build(pts, "x", "y", iterations = 4,
-          sampleFraction = 1.0, seed = 42L)
+          sampleRows = 0, seed = 42L)
         KdTree.withCell(pts, "x", "y", tree)
           .groupBy($"kdtree_cell")
           .agg(count(lit(1)).as("n_rows"))
           .orderBy($"kdtree_cell")
       },
-      None),
+      Some {
+        // one median+split level: cell -> cell || ('0' if v < median else '1')
+        def level(i: Int, axis: String): String =
+          s"""m$i AS (
+            SELECT cell, v AS m FROM (
+              SELECT cell, $axis AS v,
+                ROW_NUMBER() OVER (PARTITION BY cell ORDER BY $axis) - 1 AS rn,
+                COUNT(*) OVER (PARTITION BY cell) AS n
+              FROM c$i) t WHERE rn = n // 2),
+          c${i + 1} AS (
+            SELECT p.x, p.y,
+              p.cell || (CASE WHEN p.$axis < m.m THEN '0' ELSE '1' END) AS cell
+            FROM c$i p JOIN m$i m USING (cell))"""
+        s"""WITH pts AS (
+            SELECT ${lonSql("c_custkey")} AS x, ${latSql("c_custkey")} AS y
+            FROM customer),
+          c0 AS (SELECT x, y, '' AS cell FROM pts),
+          ${level(0, "x")},
+          ${level(1, "y")},
+          ${level(2, "x")},
+          ${level(3, "y")}
+          SELECT cell AS kdtree_cell, COUNT(*) AS n_rows
+          FROM c4 GROUP BY 1 ORDER BY 1"""
+      }),
 
     // ---- LSH-bucketed ANN (rows-only: hyperplane family not in SQL) ----
     QueryDef(

@@ -119,13 +119,12 @@ object SortQueries {
       "q14_spatial_order",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val pts = table(s, dir, "customer")
           .select($"c_custkey", lon($"c_custkey").as("x"), lat($"c_custkey").as("y"))
-        val w = Window.orderBy($"c_custkey")
-        val consec = pts
-          .withColumn("px", lag($"x", 1).over(w))
-          .withColumn("py", lag($"y", 1).over(w))
+        // exact global lag without a single-partition window (DistWindow:
+        // range-partitioned lag + broadcast boundary fix-up)
+        val consec = graft.ops.DistWindow
+          .withLag1(pts, "c_custkey", Seq("x" -> "px", "y" -> "py"))
           .filter($"px".isNotNull)
           .agg(avg(sqrt(pow($"x" - $"px", 2) + pow($"y" - $"py", 2))).as("d"))
           .select(round($"d", 4).as("consec_avg"))

@@ -132,19 +132,20 @@ final case class GeoTable(
     copy(df = df.withColumn(quadkeyCol, geo.quadkey_geom(col(geomCol), zoom)))
   }
 
-  /** Add KD-tree cell column (`core/add_kdtree_column.py`). */
+  /** Add KD-tree cell column (`core/add_kdtree_column.py`). The split
+    * sample is bounded (`sampleRows`), and the assignment pass reuses the
+    * codegen'd centroid expressions — the only non-codegen step is the
+    * tiny tree walk over two doubles.
+    */
   def addKdtree(iterations: Int = 4, cellCol: String = "kdtree_cell",
-      sampleFraction: Double = 0.1, seed: Long = 42L): GeoTable = {
-    val pts = df.select(geo.st_x(col(geomCol)).as("__x"),
-      geo.st_y(col(geomCol)).as("__y"))
+      sampleRows: Int = 100000, seed: Long = 42L): GeoTable = {
+    val cen = geo.st_centroid(col(geomCol))
+    val pts = df.select(geo.st_x(cen).as("__x"), geo.st_y(cen).as("__y"))
     val tree = graft.ops.KdTree.build(pts, "__x", "__y", iterations,
-      sampleFraction, seed)
-    val assign = udf((b: Array[Byte]) => {
-      val g = graft.geom.Wkb.read(b)
-      val c = graft.geom.Ops.centroid(g)
-      graft.ops.KdTree.cellOf(tree, c.x, c.y)
-    })
-    copy(df = df.withColumn(cellCol, assign(col(geomCol))))
+      sampleRows, seed)
+    copy(df = graft.ops.KdTree.withCell(
+      df.withColumn("__cx", geo.st_x(cen)).withColumn("__cy", geo.st_y(cen)),
+      "__cx", "__cy", tree, cellCol).drop("__cx", "__cy"))
   }
 
   // ---- sorts (SURVEY §2.6) ----------------------------------------------
@@ -235,7 +236,10 @@ final case class GeoTable(
         geo.st_y(col(geomCol)).as("y"))
       .limit(sampleLimit)
       .withColumn("i", monotonically_increasing_id())
-    val w = Window.orderBy("i")
+    // the ≤ sampleLimit-row sample is single-partition by construction
+    // (GlobalLimit); pmod(i,1) — always 0, but not foldable — keeps the
+    // deliberate single partition off WindowExec's no-partition warning
+    val w = Window.partitionBy(pmod(col("i"), lit(1))).orderBy("i")
     val consec = pts
       .withColumn("px", lag(col("x"), 1).over(w))
       .withColumn("py", lag(col("y"), 1).over(w))

@@ -104,8 +104,8 @@ class OpsSpec extends AnyFunSuite {
     val df = spark.range(2000).toDF("id")
       .withColumn("x", col("id") * 37 % 360 - 180)
       .withColumn("y", col("id") * 91 % 180 - 90)
-    val tree = KdTree.build(df, "x", "y", 4, sampleFraction = 0.5, seed = 7L)
-    val tree2 = KdTree.build(df, "x", "y", 4, sampleFraction = 0.5, seed = 7L)
+    val tree = KdTree.build(df, "x", "y", 4, sampleRows = 1000, seed = 7L)
+    val tree2 = KdTree.build(df, "x", "y", 4, sampleRows = 1000, seed = 7L)
     assert(tree == tree2, "same seed must give same tree")
     val cells = KdTree.withCell(df, "x", "y", tree)
       .groupBy("kdtree_cell").count().collect()
