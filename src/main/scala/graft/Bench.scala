@@ -28,9 +28,12 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
 
     // warmup: touch the hot codegen paths (scan, WKB exprs, window, join)
-    // on the smallest scale so JIT cost doesn't land on the first query
+    // AND every input table on the smallest scale, so first-scan planning
+    // and JIT cost don't land on whichever query alphabetically touches a
+    // table first (q20 was charged the whole documents-pipeline JIT)
     val warmDir = "/root/testdata/sf0.001"
-    Seq("q1_agg", "q4_geo_roundtrip", "q5_window_topk", "q13_hilbert_sort")
+    Seq("q1_agg", "q4_geo_roundtrip", "q5_window_topk", "q13_hilbert_sort",
+        "q18_event_window", "q20_dedup_exact", "q26_ann_brute")
       .foreach { q =>
         try force(SparkEntry.queries(q)(spark, warmDir))
         catch { case _: Throwable => () }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,55 +9,60 @@ import org.apache.spark.sql.functions._
   * `Window.orderBy(k)` with no partition spec funnels the whole table
   * through a single task (Spark's "No Partition Defined" warning) — a
   * scale-killer at 100 TB. For lag(1) the serialization is unnecessary:
-  * range-partition on the order key, lag within each range, then patch
-  * each range's first row with the previous range's last row. The patch
-  * table is one row per partition by construction, so the fix-up is a
-  * broadcast join, and no stage ever sees more than 1/N of the data.
+  * partition on a monotone bucket of the order key, lag within each
+  * bucket, then patch each bucket's first row with the previous
+  * non-empty bucket's last row. The patch table has one row per
+  * non-empty bucket, so the fix-up is a broadcast join, and no window
+  * task ever sees more than one bucket's rows.
+  *
+  * The bucket is `floor(key / chunk)` — a pure projection, so unlike
+  * `repartitionByRange` there is no boundary-sampling pre-pass; the
+  * whole thing costs one hash shuffle plus a tiny aggregate. With dense
+  * keys each task handles ≤ chunk rows whatever the table size; with
+  * sparse keys buckets are smaller, never bigger.
   *
   * Result is exactly `lag(v, 1) over (order by k)` when k is unique
-  * (ties stay inside one range partition either way, but their intra-tie
-  * order would be nondeterministic under both formulations).
+  * (ties stay inside one bucket either way, but their intra-tie order
+  * would be nondeterministic under both formulations).
   */
 object DistWindow {
 
-  /** Add lag(1) columns over a global ORDER BY `orderCol`.
+  /** Add lag(1) columns over a global ORDER BY `orderCol` (numeric).
     *
     * @param lagCols (sourceCol -> outputCol) pairs; each outputCol gets
     *                the previous row's sourceCol under the global order.
+    * @param chunk   max rows per window task when keys are dense.
     */
   def withLag1(df: DataFrame, orderCol: String,
-      lagCols: Seq[(String, String)], numPartitions: Int = 0): DataFrame = {
-    val n =
-      if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(n, col(orderCol))
-      .withColumn("__part", spark_partition_id())
-    val w = Window.partitionBy(col("__part")).orderBy(col(orderCol))
+      lagCols: Seq[(String, String)], chunk: Long = 65536L): DataFrame = {
+    val key: Column = col(orderCol)
+    val parted = df.withColumn("__bkt", floor(key / chunk))
+    val w = Window.partitionBy(col("__bkt")).orderBy(key)
     val lagged = lagCols.foldLeft(parted) { case (d, (src, out)) =>
       d.withColumn(out, lag(col(src), 1).over(w))
     }.withColumn("__rn", row_number().over(w))
 
-    // Last (max-key) row of each range partition: ≤ n rows total.
-    val lastPer = parted.groupBy(col("__part"))
+    // Last (max-key) row of each non-empty bucket: tiny by construction.
+    val lastPer = parted.groupBy(col("__bkt"))
       .agg(max_by(struct(lagCols.map { case (src, _) => col(src) }: _*),
-        col(orderCol)).as("__last"))
+        key).as("__last"))
     // The constant partition key is deliberate: this window runs over the
-    // ≤ n-row boundary table, so a single partition is the point. pmod(k,1)
-    // (always 0) rather than lit(0) because Catalyst folds literal specs
-    // back into the warn-on-no-partition path.
-    val wB = Window.partitionBy(pmod(col("__part"), lit(1))).orderBy(col("__part"))
+    // one-row-per-bucket boundary table, so a single partition is the
+    // point. pmod(k,1) (always 0) rather than lit(0) because Catalyst
+    // folds literal specs back into the warn-on-no-partition path.
+    val wB = Window.partitionBy(pmod(col("__bkt"), lit(1))).orderBy(col("__bkt"))
     val prevB = lagCols.foldLeft(lastPer) { case (d, (src, out)) =>
       d.withColumn(s"__prev_$out", lag(col(s"__last.$src"), 1).over(wB))
-    }.select(col("__part") +:
+    }.select(col("__bkt") +:
       lagCols.map { case (_, out) => col(s"__prev_$out") }: _*)
 
     val patched = lagCols.foldLeft(
-      lagged.join(broadcast(prevB), Seq("__part"), "left")) {
+      lagged.join(broadcast(prevB), Seq("__bkt"), "left")) {
       case (d, (_, out)) =>
         d.withColumn(out,
           when(col("__rn") === 1, col(s"__prev_$out")).otherwise(col(out)))
     }
-    patched.drop("__part" +: "__rn" +:
+    patched.drop("__bkt" +: "__rn" +:
       lagCols.map { case (_, out) => s"__prev_$out" }: _*)
   }
 }

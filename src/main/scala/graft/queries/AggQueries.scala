@@ -73,6 +73,11 @@ object AggQueries {
 
     // ---- inspect stats: nulls / min / max / distinct per column --------
     // (reference `core/inspect_utils.py:717-797`, one batched SELECT)
+    // The two exact countDistinct aggregates force an Expand (×3 rows
+    // before partial agg) — the price of exact nd in one pass, kept here
+    // because the oracle demands exact values. The engine's own inspect
+    // path (GeoTable.stats) uses approx_count_distinct (HLL) instead,
+    // which is the right default at 100 TB.
     QueryDef(
       "q8_stats",
       (s, dir) => {
