@@ -112,4 +112,22 @@ object GeoEval {
     val (x0, y0, x1, y1) = Wkb.read(wkb).envelope
     UTF8String.fromString(SpatialKey.quadkey((x0 + x1) / 2, (y0 + y1) / 2, zoom))
   }
+
+  /** H3 cell hex string of (lat, lng) — the reference's
+    * `h3_latlng_to_cell_string(lat, lng, res)` surface
+    * (`core/add_h3_column.py:80-84`).
+    */
+  def h3LatLng(lat: Double, lng: Double, res: Int): UTF8String =
+    UTF8String.fromString(H3.latLngToCellString(lat, lng, res))
+
+  def h3LatLngId(lat: Double, lng: Double, res: Int): Long =
+    H3.latLngToCell(lat, lng, res)
+
+  /** H3 cell of a geometry: centroid rule, like the reference
+    * (`ST_Centroid` then lat/lng, `core/add_h3_column.py:81-83`).
+    */
+  def h3Geom(wkb: Array[Byte], res: Int): UTF8String = {
+    val c = Ops.centroid(Wkb.read(wkb))
+    UTF8String.fromString(H3.latLngToCellString(c.y, c.x, res))
+  }
 }

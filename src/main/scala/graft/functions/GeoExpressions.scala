@@ -323,4 +323,33 @@ object GeoExpressions {
     override protected def withNewChildInternal(c: Expression): QuadkeyGeom =
       copy(child = c)
   }
+
+  /** H3 cell string from (lat, lng) at a fixed resolution — the exact
+    * shape the reference registers (`h3_latlng_to_cell_string`,
+    * `core/add_h3_column.py:80-84`).
+    */
+  case class H3LatLng(left: Expression, right: Expression, res: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(lat: Any, lng: Any): Any =
+      GeoEval.h3LatLng(lat.asInstanceOf[Double], lng.asInstanceOf[Double], res)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (lat, lng) => s"$E.h3LatLng($lat, $lng, $res)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** H3 cell string of a geometry (centroid rule). */
+  case class H3Geom(child: Expression, res: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(v: Any): Any =
+      GeoEval.h3Geom(v.asInstanceOf[Array[Byte]], res)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.h3Geom($c, $res)")
+    override protected def withNewChildInternal(c: Expression): H3Geom =
+      copy(child = c)
+  }
 }

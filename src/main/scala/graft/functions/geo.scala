@@ -49,6 +49,9 @@ object geo {
   def quadkey(lon: Column, lat: Column, zoom: Int): Column =
     col(QuadkeyLonLat(ex(lon), ex(lat), zoom))
   def quadkey_geom(g: Column, zoom: Int): Column = col(QuadkeyGeom(ex(g), zoom))
+  def h3_latlng_to_cell_string(lat: Column, lng: Column, res: Int): Column =
+    col(H3LatLng(ex(lat), ex(lng), res))
+  def h3_geom(g: Column, res: Int): Column = col(H3Geom(ex(g), res))
 
   /** Constant-geometry helpers (spatial-filter literals: inline WKT /
     * GeoJSON / envelope — reference `core/extract.py:286-449`).
@@ -86,5 +89,7 @@ object geo {
     one("st_distance", es => StDistance(es(0), es(1)))
     one("st_intersects", es => StIntersects(es(0), es(1)))
     one("st_contains", es => StContains(es(0), es(1)))
+    one("h3_latlng_to_cell_string", es =>
+      H3LatLng(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue))
   }
 }

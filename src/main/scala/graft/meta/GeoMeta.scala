@@ -42,6 +42,22 @@ object GeoMeta {
 
   val BboxNameCandidates: Seq[String] = Seq("bbox", "bounds", "bounding_box")
 
+  /** Minimal PROJJSON-shaped node for an "EPSG:nnnn"-style CRS string —
+    * enough for the spec's `crs.id` shape and our geographic/projected
+    * classification.
+    */
+  def crsNode(crs: String): JsonNode = {
+    val n = mapper.createObjectNode()
+    val id = mapper.createObjectNode()
+    val parts = crs.split(":")
+    id.put("authority", if (parts.length > 1) parts(0) else "EPSG")
+    val code = parts.last
+    if (code.forall(_.isDigit)) id.put("code", code.toInt)
+    else id.put("code", code)
+    n.set[ObjectNode]("id", id)
+    n
+  }
+
   // ---- JSON codec -------------------------------------------------------
 
   def toJson(m: GeoMeta): String = {

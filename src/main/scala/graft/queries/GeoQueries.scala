@@ -169,6 +169,38 @@ object GeoQueries {
             CAST(CAST(${lonSql("p_partkey")} AS BIGINT) AS VARCHAR) || '.0,' ||
             CAST(CAST(${latSql("p_partkey")} AS BIGINT) AS VARCHAR) || '.0]}' AS gj
         FROM part WHERE p_partkey % 8 = 0
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ---- H3 cells vs canonical published vectors -----------------------
+    // The sandbox DuckDB has no h3 extension, so the oracle is a literal
+    // table of independently-published H3 test vectors (h3 docs
+    // quickstart, h3-java TestCore, the documented cell-center round
+    // trip). A wrong face constant, base-cell table, rotation, or digit
+    // step in graft.geom.H3 breaks these exact strings.
+    QueryDef(
+      "q38_h3",
+      (s, dir) => {
+        import s.implicits._
+        val pts = Seq(
+          (1, 37.7752702151959257, -122.418307270836, 9),
+          (2, 37.3615593, -122.0553238, 5),
+          (3, 67.194013596, -168.401741982, 5),
+          (4, 37.7752702151959257, -122.418307270836, 0),
+          (5, 37.77670234943567, -122.41845932318311, 9)
+        ).toDF("id", "lat", "lng", "res")
+        pts.select($"id",
+            when($"res" === 9, geo.h3_latlng_to_cell_string($"lat", $"lng", 9))
+              .when($"res" === 5, geo.h3_latlng_to_cell_string($"lat", $"lng", 5))
+              .otherwise(geo.h3_latlng_to_cell_string($"lat", $"lng", 0))
+              .as("h3_cell"))
+          .orderBy($"id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (1, '8928308280fffff'),
+          (2, '85283473fffffff'),
+          (3, '850dab63fffffff'),
+          (4, '8029fffffffffff'),
+          (5, '8928308280fffff')) AS t(id, h3_cell)
+        ORDER BY id"""))
   )
 }

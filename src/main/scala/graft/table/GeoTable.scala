@@ -132,6 +132,18 @@ final case class GeoTable(
     copy(df = df.withColumn(quadkeyCol, geo.quadkey_geom(col(geomCol), zoom)))
   }
 
+  /** Add H3 cell column (`core/add_h3_column.py:24-111`): centroid of the
+    * geometry → `h3_latlng_to_cell_string(lat, lng, res)`, default
+    * resolution 9, default column name `h3_cell`, CRS gate like quadkey.
+    */
+  def addH3(resolution: Int = 9, h3Col: String = "h3_cell"): GeoTable = {
+    require(resolution >= 0 && resolution <= 15,
+      s"H3 resolution must be between 0 and 15, got $resolution")
+    require(isGeographicCrs,
+      "h3 requires a geographic CRS (reference gate); reproject first")
+    copy(df = df.withColumn(h3Col, geo.h3_geom(col(geomCol), resolution)))
+  }
+
   /** Add KD-tree cell column (`core/add_kdtree_column.py`). The split
     * sample is bounded (`sampleRows`), and the assignment pass reuses the
     * codegen'd centroid expressions — the only non-codegen step is the
@@ -204,7 +216,17 @@ final case class GeoTable(
   def reproject(fromCrs: String, toCrs: String): GeoTable = {
     require(Proj.supported(fromCrs) && Proj.supported(toCrs),
       s"unsupported CRS pair $fromCrs -> $toCrs")
-    copy(df = df.withColumn(geomCol, geo.st_transform(col(geomCol), fromCrs, toCrs)))
+    // carry the new CRS in the footer metadata (the reference rewrites
+    // PROJJSON on reproject, `core/reproject.py:150-156`) so downstream
+    // CRS gates (quadkey/H3) see the projected system
+    val newMeta = meta.primary match {
+      case Some(pc) => meta.copy(columns = meta.columns.updated(
+        meta.primaryColumn, pc.copy(crs = Some(GeoMeta.crsNode(toCrs)))))
+      case None => meta
+    }
+    copy(
+      df = df.withColumn(geomCol, geo.st_transform(col(geomCol), fromCrs, toCrs)),
+      meta = newMeta)
   }
 
   // ---- analytics / checks ----------------------------------------------
@@ -300,6 +322,21 @@ final case class GeoTable(
     t.df.withColumn("__qk", key)
       .repartition(col("__qk"))
       .write.partitionBy("__qk").mode("overwrite").parquet(outPath)
+    writeGeoFooter(outPath)
+  }
+
+  /** Partition by H3 cell (`core/partition_by_h3.py:98-215`): ensure the
+    * cell column, guardrail-check the histogram, hash-partition on the
+    * cell so each output file holds exactly one cell's rows.
+    */
+  def partitionByH3(resolution: Int, outPath: String,
+      h3Col: String = "h3_cell", force: Boolean = false): Unit = {
+    val t = if (df.columns.contains(h3Col)) this else addH3(resolution, h3Col)
+    val analysis = t.analyzePartitionKey(col(h3Col))
+    if (!force) analysis.requireSane()
+    t.df.withColumn("__h3", col(h3Col))
+      .repartition(col("__h3"))
+      .write.partitionBy("__h3").mode("overwrite").parquet(outPath)
     writeGeoFooter(outPath)
   }
 
