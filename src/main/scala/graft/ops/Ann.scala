@@ -19,21 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Deterministic unit-ish hyperplane component h_{p,i}. */
-  private def plane(p: Int, i: Int): Double = {
-    // map a 64-bit hash to (-1, 1)
-    val h = Hashing.mix64(0x51ed2701L * (p + 1) + 0x9e3779b97f4a7c15L * (i + 1))
-    (h.toDouble / Long.MaxValue.toDouble)
-  }
+  /** Deterministic ±1 hyperplane components, derived from md5 so a SQL
+    * oracle can regenerate the identical family
+    * (`substr(md5(p || '_' || j), 1, 1) >= '8'` → -1). Cached per
+    * (bits, dims); Rademacher hyperplanes are a standard sign-random
+    * projection for cosine LSH.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planes(bits: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dims), { _ =>
+      Array.tabulate(bits) { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(dims) { j =>
+          val d = md.digest(s"${p}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (((d(0) >> 4) & 0xf) >= 8) -1.0 else 1.0
+        }
+      }
+    })
 
   /** b-bit hyperplane signature of a vector. */
   def lshSignature(vec: Array[Float], bits: Int): Int = {
+    val pl = planes(bits, vec.length)
     var sig = 0
     var p = 0
     while (p < bits) {
       var dot = 0.0
       var i = 0
-      while (i < vec.length) { dot += vec(i) * plane(p, i); i += 1 }
+      while (i < vec.length) { dot += vec(i) * pl(p)(i); i += 1 }
       if (dot >= 0) sig |= (1 << p)
       p += 1
     }

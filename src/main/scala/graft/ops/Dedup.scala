@@ -146,14 +146,22 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens. */
+  /** 64-bit SimHash over word tokens. The token hash is the first 8
+    * bytes of md5 (big-endian) — chosen over the engine's own mixer so a
+    * SQL oracle can recompute the identical fingerprints from hex-nibble
+    * arithmetic (q29).
+    */
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
     val toks = text.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
     var t = 0
     while (t < toks.length) {
       if (toks(t).nonEmpty) {
-        val h = Hashing.hashString(toks(t))
+        val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

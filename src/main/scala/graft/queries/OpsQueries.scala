@@ -52,7 +52,11 @@ object OpsQueries {
           (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) >= 0.8
         ORDER BY id_a, id_b""")),
 
-    // ---- SimHash near-dup (rows-only: custom 64-bit hash family) -------
+    // ---- SimHash near-dup ----------------------------------------------
+    // The token hash is md5-derived, so the oracle rebuilds the exact
+    // 64 fingerprint bits from hex-nibble arithmetic and brute-forces
+    // pairwise Hamming — verifying both the SimHash math and the
+    // pigeonhole banding (which must equal brute force for hamming<=3).
     QueryDef(
       "q29_simhash_dedup",
       (s, dir) => {
@@ -61,7 +65,37 @@ object OpsQueries {
             maxHamming = 3)
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some("""WITH norm AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, md5(unnest(toks)) AS h FROM norm),
+        bits AS (SELECT unnest(range(64)) AS i),
+        -- bit i of the big-endian first-8-bytes-of-md5 token hash,
+        -- from hex nibbles: byte (7 - i//8), bit (i % 8)
+        contrib AS (
+          SELECT t.doc_id, b.i,
+            CASE WHEN (((strpos('0123456789abcdef',
+                  substr(t.h, 2 * (7 - b.i // 8) + 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substr(t.h, 2 * (7 - b.i // 8) + 2, 1)) - 1))
+                >> (b.i % 8)) & 1 = 1 THEN 1 ELSE -1 END AS c
+          FROM tok t CROSS JOIN bits b),
+        fp AS (
+          SELECT d.doc_id, b.i, COALESCE(SUM(c.c), 0) > 0 AS bit
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN bits b
+          LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.i = b.i
+          GROUP BY d.doc_id, b.i),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+          FROM fp a JOIN fp b ON a.i = b.i AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
     // ---- KD-tree balanced spatial partitioning -------------------------
     // The split sample is the exact full table (sampleRows = 0), so the
@@ -107,7 +141,11 @@ object OpsQueries {
           FROM c4 GROUP BY 1 ORDER BY 1"""
       }),
 
-    // ---- LSH-bucketed ANN (rows-only: hyperplane family not in SQL) ----
+    // ---- LSH-bucketed ANN ----------------------------------------------
+    // The md5-derived ±1 hyperplanes are regenerated by the oracle, which
+    // recomputes every signature, applies the same multi-probe rule
+    // (bucket + 1-bit flips = hamming <= 1), and takes exact top-k within
+    // the candidates — the whole LSH path is hash-verified, not rows-only.
     QueryDef(
       "q31_ann_lsh",
       (s, dir) => {
@@ -119,7 +157,40 @@ object OpsQueries {
             query, k = 10, bits = 8)
           .select($"vec_id", round($"sim", 5).as("sim"))
       },
-      None),
+      Some("""WITH planes AS (
+          SELECT pp.p, jj.j,
+            CASE WHEN substr(md5(pp.p || '_' || jj.j), 1, 1) >= '8'
+              THEN -1.0 ELSE 1.0 END AS r
+          FROM (SELECT unnest(range(8)) AS p) pp,
+               (SELECT unnest(range(64)) AS j) jj),
+        dots AS (
+          SELECT e.vec_id, pl.p,
+            SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.r) AS dot
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.p),
+        sigs AS (
+          SELECT vec_id,
+            CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+          FROM dots GROUP BY vec_id),
+        q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 1),
+        qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        cand AS (
+          SELECT s.vec_id FROM sigs s CROSS JOIN q
+          WHERE s.vec_id <> 1
+            AND bit_count(CAST(xor(s.sig, q.qsig) AS BIGINT)) <= 1),
+        pairs AS (
+          SELECT e.vec_id,
+            CAST(e.embedding[t.i] AS DOUBLE) AS ev,
+            CAST(qe.qe[t.i] AS DOUBLE) AS qv
+          FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+          CROSS JOIN qe
+          CROSS JOIN generate_series(1, 64) t(i)),
+        sims AS (
+          SELECT vec_id,
+            ROUND(SUM(ev * qv) / (SQRT(SUM(ev * ev)) * SQRT(SUM(qv * qv))), 5) AS sim
+          FROM pairs GROUP BY vec_id)
+        SELECT vec_id, sim FROM sims
+        ORDER BY sim DESC, vec_id LIMIT 10""")),
 
     // ---- multimodal decode via mapPartitions (deterministic stub) ------
     // The payload is the UTF-8 text; the stub extracts byte-derived
