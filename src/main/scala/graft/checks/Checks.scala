@@ -102,10 +102,32 @@ object Checks {
     }
   }
 
-  /** GeoParquet spec validation (reference `core/validate.py`): metadata
-    * shape, schema consistency, declared-vs-actual geometry types, file
-    * bbox ⊇ data bbox. Structural checks are footer-only; data checks
-    * are one aggregate job.
+  /** Known geometry type names ("Point Z" variants included) — spec's
+    * geometry_types vocabulary (reference `core/validate.py:237-267`).
+    */
+  private val ValidGeometryTypes: Set[String] = {
+    val base = Set("Point", "LineString", "Polygon", "MultiPoint",
+      "MultiLineString", "MultiPolygon", "GeometryCollection")
+    base ++ base.map(_ + " Z")
+  }
+
+  /** Coordinate bounds for the CRSs the engine knows authoritative
+    * extents for (reference resolves any CRS via pyproj,
+    * `core/validate.py:2022-2092`; here a built-in table).
+    */
+  private def crsBounds(crs: String): Option[(Double, Double, Double, Double)] =
+    if (graft.geom.Proj.isGeographic(crs)) Some((-180.0, -90.0, 180.0, 90.0))
+    else if (crs.contains("3857"))
+      Some((-20037508.342789244, -20048966.104014594,
+        20037508.342789244, 20048966.104014594))
+    else None
+
+  /** GeoParquet spec validation (reference `core/validate.py:126-2328`):
+    * metadata shape, physical parquet schema, covering structure,
+    * declared-vs-actual data properties (encoding, geometry types,
+    * orientation, bbox containment, coordinate range vs CRS), and
+    * v2/native-type detection. Structural checks are footer-only; data
+    * checks are a handful of aggregate jobs.
     */
   def validate(spark: SparkSession, path: String): Seq[Finding] = {
     val conf = new Configuration()
@@ -113,35 +135,163 @@ object Checks {
     if (parts.isEmpty) return Seq(Finding("error", "files", "no parquet files"))
     val info = Footer.read(parts.head, conf)
     val findings = scala.collection.mutable.ArrayBuffer[Finding]()
+    val fileType = Footer.detectFileType(parts.head, conf)
 
-    info.geo match {
-      case None =>
-        findings += Finding("error", "metadata", "no `geo` footer key")
-      case Some(g) =>
-        if (!Seq("1.0.0", "1.1.0").exists(v => g.version.startsWith(v.take(3))))
+    val geoParsed: Either[String, Option[GeoMeta]] =
+      try Right(info.geo)
+      catch { case e: Exception => Left(e.getMessage) }
+
+    geoParsed match {
+      case Left(err) =>
+        findings += Finding("error", "metadata", s"`geo` key is not valid JSON: $err")
+      case Right(None) =>
+        if (fileType == "parquet-geo-only")
+          findings += Finding("info", "metadata",
+            "no `geo` footer key but native geo types present (GeoParquet 2 minimal)")
+        else
+          findings += Finding("error", "metadata", "no `geo` footer key")
+      case Right(Some(g)) =>
+        // ---- metadata shape (footer-only) ------------------------------
+        if (g.version.isEmpty)
+          findings += Finding("error", "metadata", "version missing")
+        else if (!Seq("1.0", "1.1", "2.0").exists(g.version.startsWith))
           findings += Finding("warn", "metadata", s"unknown version ${g.version}")
+        if (g.columns.isEmpty)
+          findings += Finding("error", "metadata", "columns map is empty")
+        if (!g.columns.contains(g.primaryColumn))
+          findings += Finding("error", "metadata",
+            s"primary_column ${g.primaryColumn} not in columns map")
         if (!info.schemaFields.contains(g.primaryColumn))
           findings += Finding("error", "metadata",
             s"primary_column ${g.primaryColumn} not in schema")
         g.primary.foreach { pc =>
-          if (pc.encoding != "WKB")
+          val nativeNames = Set("point", "linestring", "polygon", "multipoint",
+            "multilinestring", "multipolygon", "geometry")
+          if (pc.encoding != "WKB" && !nativeNames(pc.encoding.toLowerCase))
             findings += Finding("error", "metadata",
               s"unsupported encoding ${pc.encoding}")
+          pc.geometryTypes.filterNot(ValidGeometryTypes.contains).foreach { t =>
+            findings += Finding("error", "geometry_types",
+              s"invalid geometry_types entry '$t'")
+          }
+          pc.orientation.foreach { o =>
+            if (o != "counterclockwise")
+              findings += Finding("error", "orientation",
+                s"orientation must be 'counterclockwise', got '$o'")
+          }
+          pc.edges.foreach { e =>
+            if (e != "planar" && e != "spherical")
+              findings += Finding("error", "edges",
+                s"edges must be 'planar' or 'spherical', got '$e'")
+          }
+          pc.crs.foreach { c =>
+            if (!c.isObject && !c.isNull)
+              findings += Finding("warn", "crs",
+                "crs should be a PROJJSON object (or null for OGC:CRS84)")
+          }
+          val crsStr = pc.crs.map(_.toString).getOrElse("EPSG:4326")
+          pc.bbox.foreach { case (x0, y0, x1, y1) =>
+            if (x0 > x1 || y0 > y1)
+              findings += Finding("error", "bbox",
+                s"declared bbox corners inverted ($x0,$y0,$x1,$y1)")
+            crsBounds(crsStr).foreach { case (bx0, by0, bx1, by1) =>
+              if (x0 < bx0 || y0 < by0 || x1 > bx1 || y1 > by1)
+                findings += Finding("error", "bbox",
+                  s"declared bbox ($x0,$y0,$x1,$y1) outside CRS bounds")
+            }
+          }
+
+          // ---- physical schema (footer-only) ---------------------------
+          info.schemaInfo.find(_.name == g.primaryColumn).foreach { f =>
+            if (pc.encoding == "WKB") {
+              if (!f.primitive)
+                findings += Finding("error", "schema",
+                  s"${g.primaryColumn} must be a primitive BYTE_ARRAY, found group")
+              else if (!f.primitiveType.contains("BINARY"))
+                findings += Finding("error", "schema",
+                  s"${g.primaryColumn} must be BYTE_ARRAY, found ${f.primitiveType.getOrElse("?")}")
+            }
+            if (f.repeated)
+              findings += Finding("error", "schema",
+                s"${g.primaryColumn} must not be repeated")
+          }
+
+          // ---- covering structure (footer-only) ------------------------
           pc.coveringBbox.foreach { b =>
             if (!info.schemaFields.contains(b))
               findings += Finding("error", "covering",
                 s"covering bbox column $b not in schema")
+            else info.schemaInfo.find(_.name == b).foreach { f =>
+              if (f.primitive)
+                findings += Finding("error", "covering",
+                  s"covering bbox column $b must be a struct")
+              else {
+                val need = Seq("xmin", "ymin", "xmax", "ymax")
+                val have = f.groupFields.toMap
+                need.filterNot(have.contains).foreach { miss =>
+                  findings += Finding("error", "covering",
+                    s"covering bbox column $b missing field $miss")
+                }
+                have.filter { case (n, t) =>
+                  need.contains(n) && t != "DOUBLE" && t != "FLOAT"
+                }.foreach { case (n, t) =>
+                  findings += Finding("error", "covering",
+                    s"covering bbox field $b.$n must be FLOAT/DOUBLE, found $t")
+                }
+              }
+            }
           }
-          // data-dependent checks: declared types + bbox containment
-          if (info.schemaFields.contains(g.primaryColumn)) {
+
+          // ---- v2 / native-type consistency (footer-only) --------------
+          if (g.version.startsWith("2") && fileType == "geoparquet")
+            findings += Finding("warn", "v2",
+              "metadata declares 2.x but schema has no native geo logical type")
+          if (fileType == "geoparquet2" && pc.encoding == "WKB")
+            findings += Finding("warn", "v2",
+              "native geo logical type present but encoding declares WKB")
+
+          // ---- data-dependent checks (Spark jobs) ----------------------
+          if (info.schemaFields.contains(g.primaryColumn) &&
+              info.schemaInfo.find(_.name == g.primaryColumn)
+                .forall(f => f.primitive && f.primitiveType.contains("BINARY"))) {
             val t = GeoTable.read(spark, path)
-            val actualTypes = t.geometryTypes()
-              .map(s => s.head.toString + s.tail.toLowerCase) // Point, Polygon
+            // encoding matches data: a bounded sample must parse as WKB
+            try t.df.select(geo.st_geometrytype(col(g.primaryColumn)))
+              .limit(1000).collect()
+            catch {
+              case e: Exception =>
+                findings += Finding("error", "encoding",
+                  s"geometry bytes do not parse as WKB: ${e.getMessage}")
+            }
+            val actualTypes =
+              try t.geometryTypes().map(s => s.head.toString + s.tail.toLowerCase)
+              catch { case _: Exception => Seq.empty[String] }
             val declared = pc.geometryTypes
-            if (declared.nonEmpty && !actualTypes.forall(a =>
-              declared.exists(_.equalsIgnoreCase(a))))
+            if (declared.nonEmpty && actualTypes.nonEmpty &&
+                !actualTypes.forall(a => declared.exists(_.equalsIgnoreCase(a))))
               findings += Finding("error", "geometry_types",
                 s"actual $actualTypes not covered by declared $declared")
+            // orientation vs data (only when declared)
+            if (pc.orientation.contains("counterclockwise") &&
+                actualTypes.exists(_.toLowerCase.contains("polygon"))) {
+              val bad = t.df
+                .select(geo.st_exteriors_ccw(col(g.primaryColumn)).as("ccw"))
+                .filter(col("ccw") === false).count()
+              if (bad > 0)
+                findings += Finding("error", "orientation",
+                  s"$bad geometries have clockwise exterior rings but orientation declares counterclockwise")
+            }
+            // coordinate range vs CRS bounds
+            crsBounds(crsStr).foreach { case (bx0, by0, bx1, by1) =>
+              try {
+                val (dx0, dy0, dx1, dy1) = t.bounds()
+                val eps = 1e-9
+                if (dx0 < bx0 - eps || dy0 < by0 - eps ||
+                    dx1 > bx1 + eps || dy1 > by1 + eps)
+                  findings += Finding("error", "crs_range",
+                    s"data bbox ($dx0,$dy0,$dx1,$dy1) outside CRS bounds ($bx0,$by0,$bx1,$by1)")
+              } catch { case _: Exception => () }
+            }
             // per-file: each part's declared bbox must contain that
             // part's data (parts carry their own bbox — reference
             // partition semantics, `core/partition_common.py:657-706`)

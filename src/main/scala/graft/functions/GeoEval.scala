@@ -130,4 +130,13 @@ object GeoEval {
     val c = Ops.centroid(Wkb.read(wkb))
     UTF8String.fromString(H3.latLngToCellString(c.y, c.x, res))
   }
+
+  /** true/false when the geometry is polygonal (all exterior rings CCW /
+    * not), null otherwise — validate's orientation-vs-data probe.
+    */
+  def exteriorsCcw(wkb: Array[Byte]): Any =
+    Orientation.exteriorsCcw(Wkb.read(wkb)) match {
+      case Some(b) => java.lang.Boolean.valueOf(b)
+      case None => null
+    }
 }

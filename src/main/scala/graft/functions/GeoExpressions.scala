@@ -341,6 +341,25 @@ object GeoExpressions {
       copy(l, r)
   }
 
+  /** Exterior-ring orientation probe: true = all CCW, null = not
+    * polygonal (validate orientation check).
+    */
+  case class StExteriorsCcw(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      GeoEval.exteriorsCcw(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |Object r = $E.exteriorsCcw($c);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Boolean) r).booleanValue(); }
+         """.stripMargin)
+    override protected def withNewChildInternal(c: Expression): StExteriorsCcw =
+      copy(c)
+  }
+
   /** H3 cell string of a geometry (centroid rule). */
   case class H3Geom(child: Expression, res: Int) extends UnaryExpression {
     override def nullIntolerant: Boolean = true

@@ -52,6 +52,7 @@ object geo {
   def h3_latlng_to_cell_string(lat: Column, lng: Column, res: Int): Column =
     col(H3LatLng(ex(lat), ex(lng), res))
   def h3_geom(g: Column, res: Int): Column = col(H3Geom(ex(g), res))
+  def st_exteriors_ccw(g: Column): Column = col(StExteriorsCcw(ex(g)))
 
   /** Constant-geometry helpers (spatial-filter literals: inline WKT /
     * GeoJSON / envelope — reference `core/extract.py:286-449`).

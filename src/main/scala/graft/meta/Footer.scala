@@ -29,11 +29,24 @@ object Footer {
       min: Option[Any],
       max: Option[Any])
 
+  /** Physical shape of one top-level schema field (validate needs type /
+    * repetition / child fields, not just names — reference
+    * `core/validate.py:418-506` physical-schema checks).
+    */
+  final case class FieldInfo(
+      name: String,
+      primitive: Boolean,
+      primitiveType: Option[String],
+      repeated: Boolean,
+      logicalType: Option[String],
+      groupFields: Seq[(String, String)])
+
   final case class FooterInfo(
       rowCount: Long,
       numRowGroups: Int,
       keyValueMeta: Map[String, String],
       schemaFields: Seq[String],
+      schemaInfo: Seq[FieldInfo],
       rowGroups: Seq[RowGroupInfo]) {
     def geo: Option[GeoMeta] =
       keyValueMeta.get(GeoMeta.FooterKey).map(GeoMeta.fromJson)
@@ -72,11 +85,31 @@ object Footer {
         }.toMap
         RowGroupInfo(b.getRowCount, b.getTotalByteSize, b.getCompressedSize, cols)
       }
+      val fields = fm.getSchema.getFields.asScala.toSeq.map { f =>
+        val prim = f.isPrimitive
+        FieldInfo(
+          name = f.getName,
+          primitive = prim,
+          primitiveType =
+            if (prim) Some(f.asPrimitiveType().getPrimitiveTypeName.name())
+            else None,
+          repeated = f.isRepetition(
+            org.apache.parquet.schema.Type.Repetition.REPEATED),
+          logicalType =
+            Option(f.getLogicalTypeAnnotation).map(_.getClass.getSimpleName),
+          groupFields =
+            if (prim) Seq.empty
+            else f.asGroupType().getFields.asScala.toSeq.map { c =>
+              c.getName -> (if (c.isPrimitive)
+                c.asPrimitiveType().getPrimitiveTypeName.name() else "GROUP")
+            })
+      }
       FooterInfo(
         rowCount = groups.map(_.rowCount).sum,
         numRowGroups = groups.size,
         keyValueMeta = fm.getKeyValueMetaData.asScala.toMap,
-        schemaFields = fm.getSchema.getFields.asScala.map(_.getName).toSeq,
+        schemaFields = fields.map(_.name),
+        schemaInfo = fields,
         rowGroups = groups)
     } finally reader.close()
   }

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import graft.checks.Checks
+import graft.functions.geo
+import graft.meta.{Footer, GeoColumnMeta, GeoMeta}
+import graft.table.GeoTable
+
+/** Validation fixture matrix (reference `tests/test_geoparquet_versions
+  * .py` + `core/validate.py` check families): a clean write passes, and
+  * each deliberately-corrupted variant trips exactly the intended check.
+  */
+class ValidateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val tmp = java.nio.file.Files.createTempDirectory("graft-validate")
+
+  /** CCW unit squares around deterministic centers. */
+  private def polyTable(ccw: Boolean) = {
+    val k = col("id")
+    val cx = k * 3 - 50; val cy = k - 25
+    val ring =
+      if (ccw) concat(lit("POLYGON (("),
+        cx - 1, lit(" "), cy - 1, lit(", "), cx + 1, lit(" "), cy - 1, lit(", "),
+        cx + 1, lit(" "), cy + 1, lit(", "), cx - 1, lit(" "), cy + 1, lit(", "),
+        cx - 1, lit(" "), cy - 1, lit("))"))
+      else concat(lit("POLYGON (("),
+        cx - 1, lit(" "), cy - 1, lit(", "), cx - 1, lit(" "), cy + 1, lit(", "),
+        cx + 1, lit(" "), cy + 1, lit(", "), cx + 1, lit(" "), cy - 1, lit(", "),
+        cx - 1, lit(" "), cy - 1, lit("))"))
+    GeoTable.fromDataFrame(
+      spark.range(1, 20).toDF("id")
+        .withColumn("geometry", geo.st_geomfromtext(ring)),
+      "geometry")
+  }
+
+  private def write(name: String, t: GeoTable): String = {
+    val out = tmp.resolve(name).toString
+    t.write(out)
+    out
+  }
+
+  /** overwrite the geo footer key of every part with raw JSON. */
+  private def poke(path: String, json: String): Unit =
+    Footer.partFiles(path, new Configuration())
+      .foreach(p => Footer.withKeyValueMetadata(p, Map(GeoMeta.FooterKey -> json)))
+
+  private def errs(path: String): Seq[Checks.Finding] =
+    Checks.validate(spark, path).filter(_.level == "error")
+
+  test("clean write validates with no errors") {
+    val out = write("clean", polyTable(ccw = true))
+    val f = errs(out)
+    assert(f.isEmpty, s"unexpected errors: $f")
+  }
+
+  test("corrupt geo JSON is an error") {
+    val out = write("badjson", polyTable(ccw = true))
+    poke(out, "{not valid json")
+    assert(errs(out).exists(_.check == "metadata"))
+  }
+
+  test("unknown version warns") {
+    val out = write("badver", polyTable(ccw = true))
+    val m = GeoMeta(version = "9.9.0", primaryColumn = "geometry",
+      columns = Map("geometry" -> GeoColumnMeta()))
+    poke(out, GeoMeta.toJson(m))
+    assert(Checks.validate(spark, out)
+      .exists(f => f.level == "warn" && f.message.contains("9.9.0")))
+  }
+
+  test("primary column missing from schema and columns map") {
+    val out = write("badprimary", polyTable(ccw = true))
+    val m = GeoMeta(primaryColumn = "nope",
+      columns = Map("geometry" -> GeoColumnMeta()))
+    poke(out, GeoMeta.toJson(m))
+    val f = errs(out)
+    assert(f.exists(_.message.contains("not in columns map")))
+    assert(f.exists(_.message.contains("not in schema")))
+  }
+
+  test("invalid encoding, geometry_types, orientation, edges") {
+    val out = write("badvocab", polyTable(ccw = true))
+    val m = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
+      encoding = "HEXWKB",
+      geometryTypes = Seq("Polygon", "Blob"),
+      orientation = Some("clockwise"),
+      edges = Some("curved"))))
+    poke(out, GeoMeta.toJson(m))
+    val f = errs(out)
+    assert(f.exists(_.message.contains("HEXWKB")))
+    assert(f.exists(_.message.contains("'Blob'")))
+    assert(f.exists(_.check == "orientation"))
+    assert(f.exists(_.check == "edges"))
+  }
+
+  test("declared counterclockwise but clockwise data") {
+    val out = write("cwdata", polyTable(ccw = false))
+    val m = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
+      geometryTypes = Seq("Polygon"),
+      orientation = Some("counterclockwise"))))
+    poke(out, GeoMeta.toJson(m))
+    assert(errs(out).exists(f =>
+      f.check == "orientation" && f.message.contains("clockwise exterior")))
+    // and the ccw twin passes the same check
+    val ok = write("ccwdata", polyTable(ccw = true))
+    poke(ok, GeoMeta.toJson(m))
+    assert(!errs(ok).exists(_.check == "orientation"))
+  }
+
+  test("inverted and out-of-CRS declared bbox") {
+    val out = write("badbbox", polyTable(ccw = true))
+    val m = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
+      bbox = Some((10.0, 10.0, -10.0, -10.0)))))
+    poke(out, GeoMeta.toJson(m))
+    assert(errs(out).exists(_.message.contains("inverted")))
+    val m2 = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
+      bbox = Some((-200.0, -90.0, 180.0, 90.0)))))
+    poke(out, GeoMeta.toJson(m2))
+    assert(errs(out).exists(_.message.contains("outside CRS bounds")))
+  }
+
+  test("data outside geographic CRS bounds") {
+    val df = spark.range(1, 10).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") * 40, lit(10.0)))
+    val out = write("outofrange", GeoTable.fromDataFrame(df, "geometry"))
+    assert(errs(out).exists(_.check == "crs_range"))
+  }
+
+  test("covering referencing a missing or non-struct column") {
+    val out = write("badcovering", polyTable(ccw = true))
+    val missing = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
+      coveringBbox = Some("no_such_bbox"))))
+    poke(out, GeoMeta.toJson(missing))
+    assert(errs(out).exists(f =>
+      f.check == "covering" && f.message.contains("not in schema")))
+    val nonStruct = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
+      coveringBbox = Some("id"))))
+    poke(out, GeoMeta.toJson(nonStruct))
+    assert(errs(out).exists(f =>
+      f.check == "covering" && f.message.contains("must be a struct")))
+  }
+
+  test("declared geometry types must cover the data") {
+    val out = write("badtypes", polyTable(ccw = true))
+    val m = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
+      geometryTypes = Seq("Point"))))
+    poke(out, GeoMeta.toJson(m))
+    assert(errs(out).exists(_.check == "geometry_types"))
+  }
+
+  test("bbox covering struct with correct field types passes") {
+    val t = polyTable(ccw = true).addBbox()
+    val out = write("withbbox", t)
+    val f = errs(out)
+    assert(f.isEmpty, s"unexpected errors: $f")
+  }
+}
