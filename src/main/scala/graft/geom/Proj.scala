@@ -3,12 +3,18 @@ package graft.geom
 /** Coordinate reprojection without PROJ (SURVEY §2.9, §7.4).
   *
   * The reference delegates to DuckDB `ST_Transform(..., always_xy := true)`
-  * (`core/reproject.py:150-156`). We implement the projections its test
-  * matrix actually exercises:
-  *  - EPSG:4326 (lon/lat WGS84) ↔ EPSG:3857 (WebMercator)
-  *  - EPSG:4326 ↔ EPSG:5070 (CONUS Albers Equal Area, GRS80/NAD83)
-  *  - EPSG:4326 ↔ generic UTM zones (EPSG:326xx / 327xx)
-  * Always-XY axis order everywhere (lon, lat).
+  * (`core/reproject.py:150-156`). We implement the projection families
+  * its test matrix and common user CRSs exercise (standard Snyder
+  * formulas, ellipsoidal forms):
+  *  - geographic: EPSG:4326 / 4269 (NAD83) / 4258 (ETRS89) / OGC:CRS84
+  *  - spherical WebMercator (3857/900913) + ellipsoidal Mercator (3395)
+  *  - Albers Equal Area (5070 CONUS)
+  *  - Transverse Mercator / UTM: WGS84 326xx/327xx, NAD83 269xx,
+  *    ETRS89 258xx
+  *  - Lambert Conformal Conic 2SP: 2154 (RGF93 / Lambert-93)
+  *  - Lambert Azimuthal Equal Area: 3035 (ETRS89-extended Europe)
+  * CRS inputs may be "EPSG:n", bare codes, OGC URNs, or PROJJSON (the
+  * `id.authority/code` is extracted). Always-XY axis order everywhere.
   */
 object Proj {
 
@@ -143,19 +149,177 @@ object Proj {
     (math.toDegrees(lam), math.toDegrees(phi))
   }
 
+  // ---- ellipsoidal Mercator (EPSG:3395) --------------------------------
+
+  private object Merc3395 {
+    val e2 = 2 * FWgs - FWgs * FWgs
+    val e = math.sqrt(e2)
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(math.max(-89.9999, math.min(89.9999, lat)))
+      val esin = e * math.sin(phi)
+      val y = A * math.log(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1 - esin) / (1 + esin), e / 2))
+      (A * math.toRadians(lon), y)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-y / A)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        val next = math.Pi / 2 -
+          2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+        if (math.abs(next - phi) < 1e-12) { phi = next; i = 100 } else phi = next
+        i += 1
+      }
+      (math.toDegrees(x / A), math.toDegrees(phi))
+    }
+  }
+
+  // ---- Lambert Conformal Conic 2SP (general, GRS80) --------------------
+
+  private final class Lcc2SP(lat1d: Double, lat2d: Double, lat0d: Double,
+      lon0d: Double, fe: Double, fn: Double) {
+    private val e2 = 2 * F - F * F
+    private val e = math.sqrt(e2)
+    private val lat1 = math.toRadians(lat1d)
+    private val lat2 = math.toRadians(lat2d)
+    private val lat0 = math.toRadians(lat0d)
+    private val lon0 = math.toRadians(lon0d)
+    private def tOf(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - esin) / (1 + esin), e / 2)
+    }
+    private def mOf(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private val n =
+      math.log(mOf(lat1) / mOf(lat2)) / math.log(tOf(lat1) / tOf(lat2))
+    private val bigF = mOf(lat1) / (n * math.pow(tOf(lat1), n))
+    private val rho0 = A * bigF * math.pow(tOf(lat0), n)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val rho = A * bigF * math.pow(tOf(math.toRadians(lat)), n)
+      val theta = n * (math.toRadians(lon) - lon0)
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - fe; val yp = rho0 - (y - fn)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rho = sgn * math.hypot(xp, yp)
+      val theta = math.atan2(sgn * xp, sgn * yp)
+      val t = math.pow(rho / (A * bigF), 1 / n)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        val next = math.Pi / 2 -
+          2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+        if (math.abs(next - phi) < 1e-12) { phi = next; i = 100 } else phi = next
+        i += 1
+      }
+      (math.toDegrees(lon0 + theta / n), math.toDegrees(phi))
+    }
+  }
+
+  /** RGF93 / Lambert-93 (published parameter set). */
+  private lazy val Lambert93 = new Lcc2SP(44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0)
+
+  // ---- Lambert Azimuthal Equal Area (general oblique, GRS80) -----------
+
+  private final class Laea(lat0d: Double, lon0d: Double, fe: Double, fn: Double) {
+    private val e2 = 2 * F - F * F
+    private val e = math.sqrt(e2)
+    private val lat0 = math.toRadians(lat0d)
+    private val lon0 = math.toRadians(lon0d)
+    private def qOf(phi: Double): Double = {
+      val sin = math.sin(phi)
+      (1 - e2) * (sin / (1 - e2 * sin * sin) -
+        (1 / (2 * e)) * math.log((1 - e * sin) / (1 + e * sin)))
+    }
+    private val qp = qOf(math.Pi / 2)
+    private val q0 = qOf(lat0)
+    private val beta0 = math.asin(math.max(-1, math.min(1, q0 / qp)))
+    private val rq = A * math.sqrt(qp / 2)
+    private val m0 = math.cos(lat0) / math.sqrt(1 - e2 * math.sin(lat0) * math.sin(lat0))
+    private val d = A * m0 / (rq * math.cos(beta0))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon) - lon0
+      val beta = math.asin(math.max(-1, math.min(1, qOf(phi) / qp)))
+      val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
+        math.cos(beta0) * math.cos(beta) * math.cos(lam)))
+      (fe + b * d * math.cos(beta) * math.sin(lam),
+        fn + (b / d) * (math.cos(beta0) * math.sin(beta) -
+          math.sin(beta0) * math.cos(beta) * math.cos(lam)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = (x - fe) / d; val yp = (y - fn) * d
+      val rho = math.hypot(xp, yp)
+      if (rho < 1e-12) return (math.toDegrees(lon0), math.toDegrees(lat0))
+      val ce = 2 * math.asin(math.max(-1, math.min(1, rho / (2 * rq))))
+      val q = qp * (math.cos(ce) * math.sin(beta0) +
+        yp * math.sin(ce) * math.cos(beta0) / rho)
+      val lam = math.atan2(xp * math.sin(ce),
+        rho * math.cos(beta0) * math.cos(ce) - yp * math.sin(beta0) * math.sin(ce))
+      // iterate phi from q (same relation as Albers)
+      var phi = math.asin(math.max(-1, math.min(1, q / 2)))
+      var i = 0
+      while (i < 15) {
+        val sin = math.sin(phi)
+        val esin = e * sin
+        val next = phi + math.pow(1 - e2 * sin * sin, 2) / (2 * math.cos(phi)) *
+          (q / (1 - e2) - sin / (1 - e2 * sin * sin) +
+            (1 / (2 * e)) * math.log((1 - esin) / (1 + esin)))
+        if (math.abs(next - phi) < 1e-12) { phi = next; i = 100 } else phi = next
+        i += 1
+      }
+      (math.toDegrees(lon0 + lam), math.toDegrees(phi))
+    }
+  }
+
+  /** ETRS89-extended / LAEA Europe (published parameter set). */
+  private lazy val Laea3035 = new Laea(52.0, 10.0, 4321000.0, 3210000.0)
+
   // ---- dispatch ---------------------------------------------------------
 
-  private def parseEpsg(crs: String): Int = {
-    val s = crs.trim.toUpperCase
-    val code = if (s.startsWith("EPSG:")) s.substring(5) else s
+  /** EPSG code from "EPSG:n", a bare code, an OGC URN
+    * ("urn:ogc:def:crs:EPSG::3857"), OGC:CRS84, or a PROJJSON document
+    * (reads `id.code` — enough to dispatch any CRS we implement, the
+    * same role pyproj's CRS parsing plays for the reference).
+    */
+  private[graft] def parseEpsg(crs: String): Int = {
+    val s = crs.trim
+    if (s.startsWith("{")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      val id = node.get("id")
+      if (id != null && id.get("code") != null) {
+        val code = id.get("code")
+        if (code.isNumber) return code.asInt
+        else return code.asText.toInt
+      }
+      val name = Option(node.get("name")).map(_.asText.toUpperCase).getOrElse("")
+      if (name.contains("CRS84") || name.contains("WGS 84")) return 4326
+      throw new IllegalArgumentException(s"PROJJSON without id: $s")
+    }
+    val u = s.toUpperCase
+    if (u == "OGC:CRS84" || u == "CRS84") return 4326
+    val code =
+      if (u.startsWith("URN:")) u.substring(u.lastIndexOf(':') + 1)
+      else if (u.startsWith("EPSG:")) u.substring(5)
+      else u
     code.toInt
   }
 
   def supported(crs: String): Boolean =
     try {
       val c = parseEpsg(crs)
-      c == 4326 || c == 3857 || c == 5070 || c == 900913 ||
-        (c >= 32601 && c <= 32660) || (c >= 32701 && c <= 32760)
+      c == 4326 || c == 4269 || c == 4258 ||
+        c == 3857 || c == 900913 || c == 3395 ||
+        c == 5070 || c == 2154 || c == 3035 ||
+        (c >= 32601 && c <= 32660) || (c >= 32701 && c <= 32760) ||
+        (c >= 25828 && c <= 25838) || (c >= 26901 && c <= 26923)
     } catch { case _: Exception => false }
 
   /** (lon-ish x, lat-ish y) in `from` CRS → `to` CRS, always XY. */
@@ -166,23 +330,36 @@ object Proj {
     fromLonLat(lon, lat, t)
   }
 
+  // NAD83 (269xx) and ETRS89 (258xx) are treated as WGS84-compatible
+  // datums (sub-2m agreement) — the same simplification the reference's
+  // fixtures rely on; the UTM math itself is exact per ellipsoid series.
   private def toLonLat(x: Double, y: Double, epsg: Int): (Double, Double) =
     epsg match {
-      case 4326 => (x, y)
+      case 4326 | 4269 | 4258 => (x, y)
       case 3857 | 900913 => mercatorToLonLat(x, y)
+      case 3395 => Merc3395.inverse(x, y)
       case 5070 => Albers5070.inverse(x, y)
+      case 2154 => Lambert93.inverse(x, y)
+      case 3035 => Laea3035.inverse(x, y)
       case z if z >= 32601 && z <= 32660 => utmInverse(x, y, z - 32600, north = true)
       case z if z >= 32701 && z <= 32760 => utmInverse(x, y, z - 32700, north = false)
+      case z if z >= 25828 && z <= 25838 => utmInverse(x, y, z - 25800, north = true)
+      case z if z >= 26901 && z <= 26923 => utmInverse(x, y, z - 26900, north = true)
       case _ => throw new IllegalArgumentException(s"unsupported CRS EPSG:$epsg")
     }
 
   private def fromLonLat(lon: Double, lat: Double, epsg: Int): (Double, Double) =
     epsg match {
-      case 4326 => (lon, lat)
+      case 4326 | 4269 | 4258 => (lon, lat)
       case 3857 | 900913 => lonLatToMercator(lon, lat)
+      case 3395 => Merc3395.forward(lon, lat)
       case 5070 => Albers5070.forward(lon, lat)
+      case 2154 => Lambert93.forward(lon, lat)
+      case 3035 => Laea3035.forward(lon, lat)
       case z if z >= 32601 && z <= 32660 => utmForward(lon, lat, z - 32600, north = true)
       case z if z >= 32701 && z <= 32760 => utmForward(lon, lat, z - 32700, north = false)
+      case z if z >= 25828 && z <= 25838 => utmForward(lon, lat, z - 25800, north = true)
+      case z if z >= 26901 && z <= 26923 => utmForward(lon, lat, z - 26900, north = true)
       case _ => throw new IllegalArgumentException(s"unsupported CRS EPSG:$epsg")
     }
 
@@ -193,7 +370,10 @@ object Proj {
     * (reference `core/add_quadkey_column.py:78-143`, `core/extract.py:104-247`).
     */
   def isGeographic(crs: String): Boolean =
-    try parseEpsg(crs) == 4326 catch { case _: Exception =>
+    try {
+      val c = parseEpsg(crs)
+      c == 4326 || c == 4269 || c == 4258
+    } catch { case _: Exception =>
       val s = crs.toUpperCase
       s.contains("4326") || s.contains("CRS84") || s.contains("WGS 84") || s.contains("WGS84")
     }

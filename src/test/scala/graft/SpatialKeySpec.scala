@@ -104,4 +104,54 @@ class SpatialKeySpec extends AnyFunSuite {
     val (x, y) = Proj.transform(-96.0, 23.0, "EPSG:4326", "EPSG:5070")
     assert(math.abs(x) < 1e-6 && math.abs(y) < 1e-6)
   }
+
+  test("Lambert-93 / LAEA-Europe projection centers are exact by parameter") {
+    // EPSG:2154 natural origin (3E, 46.5N) -> (700000, 6600000)
+    val (lx, ly) = Proj.transform(3.0, 46.5, "EPSG:4326", "EPSG:2154")
+    assert(math.abs(lx - 700000.0) < 1e-4 && math.abs(ly - 6600000.0) < 1e-4)
+    // EPSG:3035 natural origin (10E, 52N) -> (4321000, 3210000)
+    val (ex, ey) = Proj.transform(10.0, 52.0, "EPSG:4326", "EPSG:3035")
+    assert(math.abs(ex - 4321000.0) < 1e-4 && math.abs(ey - 3210000.0) < 1e-4)
+  }
+
+  test("new projection families round trip") {
+    val pts = Seq((2.3522, 48.8566), (3.0, 46.5), (-1.5, 43.5), (7.7, 48.6))
+    for ((lon, lat) <- pts) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", "EPSG:2154")
+      val (lon2, lat2) = Proj.transform(x, y, "EPSG:2154", "EPSG:4326")
+      assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8, "2154")
+    }
+    for ((lon, lat) <- Seq((10.0, 52.0), (-9.1, 38.7), (24.9, 60.2), (14.5, 35.9))) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", "EPSG:3035")
+      val (lon2, lat2) = Proj.transform(x, y, "EPSG:3035", "EPSG:4326")
+      assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8, "3035")
+    }
+    for ((lon, lat) <- Seq((0.0, 0.0), (13.37, 52.51), (-122.4, 37.77), (151.2, -33.8))) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", "EPSG:3395")
+      val (lon2, lat2) = Proj.transform(x, y, "EPSG:3395", "EPSG:4326")
+      assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8, "3395")
+    }
+    // ETRS89 / NAD83 UTM variants agree with the WGS84 UTM math
+    val (e1, n1) = Proj.transform(9.0, 50.0, "EPSG:4326", "EPSG:25832")
+    val (e2, n2) = Proj.transform(9.0, 50.0, "EPSG:4326", "EPSG:32632")
+    assert(math.abs(e1 - e2) < 0.01 && math.abs(n1 - n2) < 0.01)
+    val (lonb, latb) = Proj.transform(e1, n1, "EPSG:25832", "EPSG:4326")
+    assert(math.abs(lonb - 9.0) < 1e-8 && math.abs(latb - 50.0) < 1e-8)
+    val (c1, d1) = Proj.transform(-122.4194, 37.7749, "EPSG:4326", "EPSG:26910")
+    val (lonc, latc) = Proj.transform(c1, d1, "EPSG:26910", "EPSG:4326")
+    assert(math.abs(lonc + 122.4194) < 1e-7 && math.abs(latc - 37.7749) < 1e-7)
+  }
+
+  test("CRS dispatch accepts PROJJSON, URNs and OGC:CRS84") {
+    assert(Proj.parseEpsg("urn:ogc:def:crs:EPSG::3857") == 3857)
+    assert(Proj.parseEpsg("OGC:CRS84") == 4326)
+    assert(Proj.parseEpsg("""{"type":"ProjectedCRS","name":"WGS 84 / Pseudo-Mercator","id":{"authority":"EPSG","code":3857}}""") == 3857)
+    assert(Proj.isGeographic("""{"id":{"authority":"EPSG","code":4269}}"""))
+    assert(Proj.supported("""{"id":{"authority":"EPSG","code":2154}}"""))
+    // PROJJSON flows end to end through transform
+    val (x, y) = Proj.transform(3.0, 46.5,
+      """{"id":{"authority":"EPSG","code":4326}}""",
+      """{"id":{"authority":"EPSG","code":2154}}""")
+    assert(math.abs(x - 700000.0) < 1e-4 && math.abs(y - 6600000.0) < 1e-4)
+  }
 }
