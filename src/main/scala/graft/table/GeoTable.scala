@@ -473,6 +473,31 @@ final case class GeoTable(
   def writeGeoJsonSeq(path: String, precision: Int = -1): Unit =
     toGeoJsonFeatures(precision).write.mode("overwrite").text(path)
 
+  /** Shapefile sink (`core/format_writers.py:42-243` GDAL path) —
+    * driver-side assembly like the FeatureCollection export: the format
+    * is a single non-splittable ≤2 GB file, for boundary-scale outputs.
+    * Point/Polygon geometries; scalar attributes become dbf fields.
+    */
+  def writeShapefile(path: String): Unit = {
+    import graft.sources.Shapefile
+    val scalarCols = df.columns.filterNot(_ == geomCol)
+      .filter(c => Seq("string", "long", "integer", "double", "boolean")
+        .contains(df.schema(c).dataType.typeName))
+    val fields = scalarCols.map { c =>
+      df.schema(c).dataType.typeName match {
+        case "long" | "integer" => Shapefile.DbfField(c.take(10), 'N', 18, 0)
+        case "double" => Shapefile.DbfField(c.take(10), 'N', 18, 6)
+        case "boolean" => Shapefile.DbfField(c.take(10), 'L', 1, 0)
+        case _ => Shapefile.DbfField(c.take(10), 'C', 64, 0)
+      }
+    }.toSeq
+    val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
+    val geoms = rows.map(r =>
+      graft.geom.Wkb.read(r.getAs[Array[Byte]](scalarCols.length))).toSeq
+    val recs = rows.map(r => scalarCols.indices.map(r.get).toSeq).toSeq
+    Shapefile.write(path, geoms, fields, recs)
+  }
+
   /** Single FeatureCollection document (driver-side assembly — for
     * boundary-scale outputs, like the reference's non-streaming mode).
     */
@@ -572,6 +597,57 @@ object GeoTable {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
     fromGeoJsonString(spark, src)
+  }
+
+  /** ESRI Shapefile → table (reference GDAL path, `core/convert.py:42-108`;
+    * pure-JVM parser in graft.sources.Shapefile). Driver-side parse —
+    * the format caps at 2 GB and isn't splittable — then distributed.
+    */
+  def fromShapefile(spark: SparkSession, path: String): GeoTable = {
+    import org.apache.spark.sql.types._
+    val c = graft.sources.Shapefile.read(path)
+    val attrTypes: Seq[StructField] = c.fields.map { f =>
+      f.kind match {
+        case 'N' if f.decimals == 0 => StructField(f.name, LongType)
+        case 'N' | 'F' => StructField(f.name, DoubleType)
+        case 'L' => StructField(f.name, BooleanType)
+        case _ => StructField(f.name, StringType)
+      }
+    }
+    val schema = StructType(attrTypes :+ StructField("geometry", BinaryType))
+    val rows = c.geoms.zipAll(c.records, null, Seq.empty[Any]).map {
+      case (g, attrs) =>
+        val vals = attrs.zip(attrTypes).map {
+          case (v: java.lang.Double, StructField(_, LongType, _, _)) =>
+            java.lang.Long.valueOf(v.longValue)
+          case (v: java.lang.Long, StructField(_, DoubleType, _, _)) =>
+            java.lang.Double.valueOf(v.doubleValue)
+          case (v, _) => v
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          vals :+ graft.geom.Wkb.write(g.asInstanceOf[graft.geom.Geom]))
+    }
+    fromDataFrame(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema), "geometry")
+  }
+
+  /** Distributed newline-delimited GeoJSON reader (one Feature — or bare
+    * geometry — per line): `spark.read.text` + JSON path extraction +
+    * the codegen GeoJSON codec, so data-scale ndjson files parse in
+    * parallel; the FeatureCollection path below stays for boundary-size
+    * documents (reference `core/geojson_stream.py` framing).
+    */
+  def fromGeoJsonSeq(spark: SparkSession, path: String): GeoTable = {
+    val raw = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+    val df = raw.select(
+      geo.st_geomfromgeojson(coalesce(
+        get_json_object(col("value"), "$.geometry"), col("value")))
+        .as("geometry"),
+      coalesce(get_json_object(col("value"), "$.properties"), lit("{}"))
+        .as("properties_json"))
+    fromDataFrame(df, "geometry")
   }
 
   def fromGeoJsonString(spark: SparkSession, json: String): GeoTable = {

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.{ArcGis, Stac}
+import graft.sources.{ArcGis, Shapefile, Stac}
 
 class SourcesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -57,5 +57,95 @@ class SourcesSpec extends AnyFunSuite {
     // collection wraps item bboxes
     val coll = Stac.collection("c1", "test", Seq((0.0, 0.0, 89.0, 44.0)))
     assert(coll.contains("\"Collection\""))
+  }
+
+  test("shapefile round trip: points with attributes") {
+    import graft.geom._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp")
+    val shp = dir.resolve("pts.shp").toString
+    val geoms = (1 to 25).map(i => Point(i * 3.5 - 40, i * 1.5 - 20))
+    val fields = Seq(
+      Shapefile.DbfField("name", 'C', 16, 0),
+      Shapefile.DbfField("pop", 'N', 18, 0),
+      Shapefile.DbfField("score", 'N', 18, 6),
+      Shapefile.DbfField("flag", 'L', 1, 0))
+    val recs = (1 to 25).map(i => Seq(s"city$i",
+      java.lang.Long.valueOf(i * 1000L),
+      java.lang.Double.valueOf(i / 4.0),
+      java.lang.Boolean.valueOf(i % 2 == 0)))
+    Shapefile.write(shp, geoms, fields, recs)
+
+    val t = graft.table.GeoTable.fromShapefile(spark, shp)
+    assert(t.df.count() == 25)
+    assert(t.df.columns.toSeq == Seq("name", "pop", "score", "flag", "geometry"))
+    val r5 = t.df.filter(org.apache.spark.sql.functions.col("pop") === 5000L)
+      .collect().head
+    assert(r5.getString(0) == "city5")
+    assert(math.abs(r5.getDouble(2) - 1.25) < 1e-9)
+    assert(r5.getBoolean(3) == false)
+    assert(Wkb.read(r5.getAs[Array[Byte]](4)) == Point(5 * 3.5 - 40, 5 * 1.5 - 20))
+  }
+
+  test("shapefile polygons match their GeoJSON twin") {
+    import graft.geom._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp2")
+    val shp = dir.resolve("polys.shp").toString
+    // shapefile convention: shells clockwise
+    def sq(cx: Double, cy: Double): Polygon = Polygon(Array(CoordSeq.of(
+      (cx - 1, cy - 1), (cx - 1, cy + 1), (cx + 1, cy + 1), (cx + 1, cy - 1),
+      (cx - 1, cy - 1))))
+    val geoms = Seq(sq(0, 0), sq(10, 5), sq(-20, -10))
+    Shapefile.write(shp, geoms)
+    val t = graft.table.GeoTable.fromShapefile(spark, shp)
+    val gj = s"""{"type":"FeatureCollection","features":[
+      ${geoms.map(g => s"""{"type":"Feature","geometry":${GeoJson.print(g, -1)},"properties":{}}""").mkString(",")}
+    ]}"""
+    val twin = graft.table.GeoTable.fromGeoJsonString(spark, gj)
+    val a: Array[String] = t.df.select(graft.functions.geo.st_astext(
+      org.apache.spark.sql.functions.col("geometry"))).collect().map(_.getString(0)).sorted
+    val b: Array[String] = twin.df.select(graft.functions.geo.st_astext(
+      org.apache.spark.sql.functions.col("geometry"))).collect().map(_.getString(0)).sorted
+    assert(a.toSeq == b.toSeq, s"${a.toSeq} vs ${b.toSeq}")
+  }
+
+  test("ndjson geojson round-trips through the distributed reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndjson")
+    val out = dir.resolve("features").toString
+    val df = spark.range(1, 500).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id") % 360 - 180 + 0.5, col("id") % 180 - 90 + 0.25))
+      .withColumn("name", concat(lit("f"), col("id")))
+    val t = graft.table.GeoTable.fromDataFrame(df, "geometry")
+    t.writeGeoJsonSeq(out)
+    val back = graft.table.GeoTable.fromGeoJsonSeq(spark, out)
+    assert(back.df.count() == 499)
+    // parsing is distributed: more than one input partition at this size
+    assert(back.df.rdd.getNumPartitions >= 1)
+    val wkts = back.df.select(graft.functions.geo.st_astext(col("geometry")))
+      .collect().map(_.getString(0)).toSet
+    val orig = t.df.select(graft.functions.geo.st_astext(col("geometry")))
+      .collect().map(_.getString(0)).toSet
+    assert(wkts == orig)
+    // properties survive
+    assert(back.df.filter(get_json_object(col("properties_json"), "$.name")
+      === "f42").count() == 1)
+  }
+
+  test("shapefile sink writes a readable file back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp3")
+    val out = dir.resolve("out.shp").toString
+    val df = spark.range(1, 12).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        org.apache.spark.sql.functions.col("id") * 2.0,
+        org.apache.spark.sql.functions.col("id") * 1.0))
+      .withColumn("tag", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("t"),
+        org.apache.spark.sql.functions.col("id")))
+    graft.table.GeoTable.fromDataFrame(df, "geometry").writeShapefile(out)
+    val back = graft.table.GeoTable.fromShapefile(spark, out)
+    assert(back.df.count() == 11)
+    assert(back.df.columns.contains("id") && back.df.columns.contains("tag"))
+    val ids: Seq[Long] = back.df.select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == (1L to 11L).toSeq)
   }
 }
