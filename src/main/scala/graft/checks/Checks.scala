@@ -336,6 +336,37 @@ object Checks {
     structural ++ bboxStatus ++ order ++ validate(spark, path)
   }
 
+  /** Is this path a partitioned dataset (several part-files or hive
+    * `key=value` folders)? (reference `core/partition_reader.py`
+    * is_partition_path.)
+    */
+  def isPartitionPath(path: String): Boolean = {
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || fs.getFileStatus(p).isFile) false
+    else {
+      val entries = fs.listStatus(p)
+      val nParquet = entries.count(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet"))
+      val hiveDirs = entries.exists(e =>
+        e.isDirectory && e.getPath.getName.contains("="))
+      nParquet > 1 || hiveDirs
+    }
+  }
+
+  /** Consolidation hint for single-file commands (reference
+    * `core/partition_reader.py:144-167` require_single_file).
+    */
+  def requireSingleFile(path: String, commandName: String): Unit =
+    if (isPartitionPath(path))
+      throw new IllegalArgumentException(
+        s"""Partitioned input detected: $path
+           |The '$commandName' command requires a single parquet file as input.
+           |To work with partitioned data, first consolidate using:
+           |    graft extract "$path" consolidated.parquet
+           |Then run this command on the consolidated file.""".stripMargin)
+
   /** Multi-file check dispatch (reference `core/partition_reader.py:
     * 170-220`): which part-files a check command runs over — first file
     * by default, all files, or a deterministic sample of N.

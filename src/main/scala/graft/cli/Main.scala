@@ -113,6 +113,14 @@ object Main {
         val t = GeoTable.read(spark, in)
         val force = flag(rest, "force")
         what match {
+          case "string" if flag(rest, "flat") =>
+            // reference default layout: <value>.parquet, no key= folders
+            val c = opt(rest, "column").getOrElse(die("--column required"))
+            val key = opt(rest, "chars").map(_.toInt)
+              .map(n => org.apache.spark.sql.functions.substring(
+                org.apache.spark.sql.functions.col(c), 1, n))
+              .getOrElse(org.apache.spark.sql.functions.col(c))
+            t.partitionByFlat(key, out, opt(rest, "prefix"), force)
           case "string" =>
             t.partitionByString(
               opt(rest, "column").getOrElse(die("--column required")),
@@ -184,6 +192,9 @@ object Main {
           println(f"spatial order ratio: ${t.checkSpatialOrder()}%.3f (pass < 0.5)")
 
       case "head" | "tail" =>
+        // single-file command: partitioned input gets the reference's
+        // consolidation hint (`core/partition_reader.py:144-167`)
+        Checks.requireSingleFile(rest.head, cmd)
         Checks.preview(spark, rest.head,
           opt(rest, "n").map(_.toInt).getOrElse(5),
           fromTail = cmd == "tail").foreach(println)

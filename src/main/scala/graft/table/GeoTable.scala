@@ -312,6 +312,49 @@ final case class GeoTable(
     writeGeoFooter(outPath)
   }
 
+  /** Flat-layout partitioned write — the reference's DEFAULT naming
+    * (`core/partition_common.py:621-643`, hive=False): one
+    * `<value>.parquet` (or `<prefix>_<value>.parquet`) per key directly
+    * in the output directory, no `key=value` folders. Implemented as a
+    * hive-partitioned staging write (one shuffle, one file per key since
+    * a key never splits across repartition buckets) followed by
+    * per-partition renames — O(#partitions) FS metadata ops, bounded by
+    * the ≤10000-partition guardrail.
+    */
+  def partitionByFlat(keyExpr: Column, outPath: String,
+      filenamePrefix: Option[String] = None, force: Boolean = false): Unit = {
+    val analysis = analyzePartitionKey(keyExpr)
+    if (!force) analysis.requireSane()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outP = new Path(outPath)
+    val fs = outP.getFileSystem(conf)
+    val staging = new Path(outPath + ".__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.withColumn("__pk", keyExpr)
+      .repartition(col("__pk"))
+      .write.partitionBy("__pk").mode("overwrite").parquet(staging.toString)
+    if (fs.exists(outP)) fs.delete(outP, true)
+    fs.mkdirs(outP)
+    fs.listStatus(staging).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("__pk=")).foreach { d =>
+      val value = java.net.URLDecoder.decode(
+        d.getPath.getName.substring(5), "UTF-8")
+      val safe = value.replaceAll("[^A-Za-z0-9._-]", "_")
+      val parts = fs.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val suffix = if (parts.length == 1) "" else s"_$i"
+        val fname = filenamePrefix match {
+          case Some(pre) => s"${pre}_$safe$suffix.parquet"
+          case None => s"$safe$suffix.parquet"
+        }
+        fs.rename(p.getPath, new Path(outP, fname))
+      }
+    }
+    fs.delete(staging, true)
+    writeGeoFooter(outPath)
+  }
+
   /** Partition by quadkey prefix (`core/partition_by_quadkey.py`). */
   def partitionByQuadkey(zoom: Int, prefixChars: Int, outPath: String,
       force: Boolean = false): Unit = {
@@ -550,6 +593,22 @@ object GeoTable {
       .filter(df.columns.contains)
       .orElse(GeoMeta.GeometryNameCandidates.find(df.columns.contains))
     GeoTable(df, geoMeta.getOrElse(GeoMeta()), geomCol)
+  }
+
+  /** Read a FLAT-layout partition directory, recovering the partition
+    * value from each filename into `columnName` (reference
+    * `core/partition_reader.py` filename parity) — one distributed read
+    * with a derived column, no per-file jobs.
+    */
+  def readFlat(spark: SparkSession, path: String, columnName: String,
+      filenamePrefix: Option[String] = None): GeoTable = {
+    val t = read(spark, path)
+    val pattern = filenamePrefix match {
+      case Some(p) => java.util.regex.Pattern.quote(p) + "_(.+?)(_[0-9]+)?\\.parquet$"
+      case None => "([^/]+?)(_[0-9]+)?\\.parquet$"
+    }
+    t.copy(df = t.df.withColumn(columnName,
+      regexp_extract(input_file_name(), pattern, 1)))
   }
 
   /** Wrap an arbitrary DataFrame whose `geometryCol` holds WKB. */

@@ -54,4 +54,46 @@ class CliSpec extends AnyFunSuite {
     val mx = m.df.select(max(geo.st_x(col("geometry")))).head().getDouble(0)
     assert(mx > 180.0) // meters now, not degrees
   }
+
+  test("flat vs hive partition layouts and filename value recovery") {
+    val dir = tmp("flat")
+    val df = spark.range(0, 600).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 90, col("id") % 45))
+      .withColumn("grp", concat(lit("g"), col("id") % 3))
+    GeoTable.fromDataFrame(df, "geometry").write(s"$dir/in.parquet")
+
+    // hive layout: key=value folders
+    Main.run(spark, Seq("partition", "string", s"$dir/in.parquet",
+      s"$dir/hive", "--column", "grp", "--force"))
+    val hiveDirs = new java.io.File(s"$dir/hive").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(hiveDirs == Set("__part=g0", "__part=g1", "__part=g2"))
+
+    // flat layout (reference default): <value>.parquet directly
+    Main.run(spark, Seq("partition", "string", s"$dir/in.parquet",
+      s"$dir/flat", "--column", "grp", "--force", "--flat"))
+    val flatFiles = new java.io.File(s"$dir/flat").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(flatFiles == Set("g0.parquet", "g1.parquet", "g2.parquet"))
+
+    // filename value recovery on read
+    val back = GeoTable.readFlat(spark, s"$dir/flat", "grp_from_name")
+    assert(back.df.count() == 600)
+    val recovered = back.df.groupBy("grp_from_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recovered == Map("g0" -> 200L, "g1" -> 200L, "g2" -> 200L))
+
+    // prefix naming variant
+    val t = GeoTable.read(spark, s"$dir/in.parquet")
+    t.partitionByFlat(col("grp"), s"$dir/flatp",
+      filenamePrefix = Some("chunk"), force = true)
+    val pf = new java.io.File(s"$dir/flatp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(pf == Set("chunk_g0.parquet", "chunk_g1.parquet", "chunk_g2.parquet"))
+
+    // single-file commands give the consolidation hint on partition input
+    val e = intercept[IllegalArgumentException](
+      Main.run(spark, Seq("head", s"$dir/flat")))
+    assert(e.getMessage.contains("consolidate"))
+  }
 }
