@@ -82,6 +82,9 @@ object Main {
             t.addQuadkey(opt(rest, "zoom").map(_.toInt).getOrElse(13)).write(out)
           case "kdtree" =>
             t.addKdtree(opt(rest, "iterations").map(_.toInt).getOrElse(4)).write(out)
+          case "h3" =>
+            t.addH3(opt(rest, "resolution").map(_.toInt).getOrElse(9),
+              opt(rest, "h3-column").getOrElse("h3_cell")).write(out)
           case other => die(s"unknown add target $other")
         }
 
@@ -131,6 +134,9 @@ object Main {
               out, force)
           case "kdtree" =>
             t.partitionByKdtree(opt(rest, "iterations").map(_.toInt).getOrElse(4), out)
+          case "h3" =>
+            t.partitionByH3(opt(rest, "resolution").map(_.toInt).getOrElse(9),
+              out, force = force)
           case other => die(s"unknown partition target $other")
         }
 

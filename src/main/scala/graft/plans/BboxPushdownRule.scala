@@ -57,15 +57,18 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
       bboxAttr(child) match {
         case Some(b) if !touchesBbox(cond, b) =>
           var added: Seq[Expression] = Nil
+          // st_intersects is symmetric: the literal may sit in either
+          // argument position (the reference emits both orders)
           cond.foreach {
-            case StIntersects(_, lit) =>
-              literalEnvelope(lit).foreach { case (x0, y0, x1, y1) =>
-                added = Seq(
-                  GreaterThanOrEqual(field(b, "xmax"), Literal(x0)),
-                  LessThanOrEqual(field(b, "xmin"), Literal(x1)),
-                  GreaterThanOrEqual(field(b, "ymax"), Literal(y0)),
-                  LessThanOrEqual(field(b, "ymin"), Literal(y1)))
-              }
+            case StIntersects(a, c) =>
+              literalEnvelope(c).orElse(literalEnvelope(a))
+                .foreach { case (x0, y0, x1, y1) =>
+                  added = Seq(
+                    GreaterThanOrEqual(field(b, "xmax"), Literal(x0)),
+                    LessThanOrEqual(field(b, "xmin"), Literal(x1)),
+                    GreaterThanOrEqual(field(b, "ymax"), Literal(y0)),
+                    LessThanOrEqual(field(b, "ymin"), Literal(y1)))
+                }
             case _ => ()
           }
           if (added.isEmpty) f

@@ -102,6 +102,25 @@ class H3Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](projected.addH3())
   }
 
+  test("partitionByH3 writes one hive folder per cell with per-file metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_h3part").toString
+    // a few tight clusters -> few distinct res-5 cells
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("geometry", geo.st_point(
+        (col("id") % 3) * 30 - 30 + col("id") / 10000.0,
+        (col("id") % 3) * 20 - 20))
+    GeoTable.fromDataFrame(df, "geometry")
+      .partitionByH3(5, s"$dir/out", force = true)
+    val folders = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(folders.nonEmpty && folders.forall(_.startsWith("__h3=")))
+    // 3 clusters, each possibly straddling one res-5 cell boundary
+    assert(folders.length >= 3 && folders.length <= 6, folders.toSeq.toString)
+    val back = GeoTable.read(spark, s"$dir/out")
+    assert(back.df.count() == 300)
+    assert(back.df.columns.contains("h3_cell"))
+  }
+
   test("h3_latlng_to_cell_string registers in SQL") {
     geo.register(spark)
     val out = spark.sql(

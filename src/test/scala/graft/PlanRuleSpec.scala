@@ -42,6 +42,21 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("rule matches the literal in either st_intersects argument order") {
+    GraftExtensions.install(spark)
+    val out = writtenTable()
+    // literal FIRST (the reference's other call-site order)
+    val df = spark.read.parquet(out)
+      .filter(geo.st_intersects(geo.st_makeenvelope(-60, -30, 60, 30), col("geometry")))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("bbox.xmax"),
+      s"expected bbox pushed filters for literal-first order:\n${physical.take(2000)}")
+    val expected = spark.read.parquet(out)
+      .filter(geo.st_intersects(col("geometry"), geo.st_makeenvelope(-60, -30, 60, 30)))
+      .count()
+    assert(df.count() == expected)
+  }
+
   test("rule is a no-op without a bbox column and is idempotent") {
     GraftExtensions.install(spark)
     val df = spark.range(100).toDF("id")
