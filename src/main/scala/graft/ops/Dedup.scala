@@ -144,6 +144,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  // ---- cluster resolution ------------------------------------------------
+
+  /** Connected components over near-dup pairs: every document in a dup
+    * cluster gets the cluster's minimum id as its label (the canonical
+    * "keeper"). Hash-to-min label propagation — each iteration is one
+    * join + one aggregate, both keyed on the id, and converges in
+    * O(cluster diameter) rounds; dup clusters are shallow in practice,
+    * so this is the standard corpus-scale formulation (no driver-side
+    * graph).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
+      .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
+      .localCheckpoint(true) // reused every round — materialize once
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "t"), Seq("t"))
+        .select(col("s").as("id"), col("cluster_id"))
+      // truncate lineage each round: without this the plan doubles per
+      // iteration and optimization time grows exponentially — the
+      // standard iterative-DataFrame requirement, same at 100 TB
+      val next = labels.select(col("id"), col("cluster_id"))
+        .union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over word tokens. The token hash is the first 8

@@ -192,6 +192,85 @@ object OpsQueries {
         SELECT vec_id, sim FROM sims
         ORDER BY sim DESC, vec_id LIMIT 10""")),
 
+    // ---- near-dup cluster resolution (pairs -> canonical keeper) -------
+    // Connected components by distributed hash-to-min propagation; the
+    // oracle recomputes the same clusters with a recursive transitive
+    // closure over the brute-force Jaccard pair set.
+    QueryDef(
+      "q39_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Dedup.minhashNearDups(table(s, dir, "documents"),
+          "text", "doc_id", numHashes = 128, bands = 32, shingleK = 3,
+          threshold = 0.8)
+        Dedup.connectedComponents(pairs)
+          .select($"id".as("doc_id"), $"cluster_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE norm AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN
+              CASE WHEN len(toks) = 0 THEN [] ELSE [array_to_string(toks, ' ')] END
+            ELSE list_distinct(list_transform(range(len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sset
+          FROM norm),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+            (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) >= 0.8),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+        reach(s, t) AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+        SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+        FROM reach GROUP BY s ORDER BY doc_id""")),
+
+    // ---- deterministic hash split (train/validation/test) --------------
+    // The split key is md5 of the id — stable under repartitioning,
+    // reshuffling, and engine, which is exactly why hash splits (not
+    // random()) are the pipeline norm; both engines recompute it.
+    QueryDef(
+      "q40_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        val h4 = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        table(s, dir, "documents")
+          .withColumn("split",
+            when(h4 < 80, "train").when(h4 < 90, "validation").otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+            sum($"doc_id").as("sum_id"))
+          .orderBy($"split")
+      },
+      Some {
+        def nib(i: Int): String =
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+        s"""WITH hashed AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+          v AS (
+            SELECT doc_id,
+              (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100 AS b
+            FROM hashed)
+          SELECT CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'validation' ELSE 'test' END AS split,
+            COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+            CAST(SUM(doc_id) AS BIGINT) AS sum_id
+          FROM v GROUP BY 1 ORDER BY 1"""
+      }),
+
     // ---- multimodal decode via mapPartitions (deterministic stub) ------
     // The payload is the UTF-8 text; the stub extracts byte-derived
     // dimensions, so the oracle can recompute them with byte math. This

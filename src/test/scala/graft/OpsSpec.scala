@@ -116,6 +116,21 @@ class OpsSpec extends AnyFunSuite {
     assert(KdTree.autoIterations(100000000L, 100000L) == 10)
   }
 
+  test("connected components resolve chained and disjoint dup clusters") {
+    // chain 1-2-3-4 (transitive, no direct 1-4 edge) + pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // a long path still converges within maxIter (diameter bound)
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chain = Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain.values.toSet == Set(1L) && chain.size == 12)
+  }
+
   test("multimodal decode keeps schema and is partition-local") {
     val df = spark.range(100).toDF("media_id")
       .withColumn("payload", encode(concat(lit("data"), col("media_id")), "UTF-8"))
