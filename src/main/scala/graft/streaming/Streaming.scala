@@ -50,6 +50,21 @@ object Streaming {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`: the
+    * 16-byte content digest is the dedup key, `dropDuplicates` keeps
+    * keyed state of seen digests, and the watermark bounds that state
+    * (without it the state grows with the corpus — the standard
+    * streaming-dedup contract). First-arrival wins, which under ordered
+    * replay equals the batch min-id rule.
+    */
+  def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__digest", md5(graft.ops.Dedup.normalize(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__digest")
+      .drop("__digest")
+
   // ---- stateful sessionization -----------------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

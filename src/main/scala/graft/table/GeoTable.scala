@@ -26,6 +26,8 @@ final case class GeoTable(
 
   private def spark: SparkSession = df.sparkSession
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[GeoTable])
+
   private def geomCol: String = geometryColumn.getOrElse(
     throw new IllegalStateException("no geometry column on this table"))
 
@@ -66,6 +68,18 @@ final case class GeoTable(
     * path otherwise (`core/extract.py:568-579`).
     */
   def filterBbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoTable = {
+    // CRS-mismatch warning (reference `core/extract.py:104-247`): a
+    // degree-sized bbox against a projected table — or one outside
+    // geographic bounds against a lon/lat table — silently selects
+    // nothing; warn rather than fail, like the reference
+    val looksGeographic =
+      xmin >= -180 && xmax <= 180 && ymin >= -90 && ymax <= 90
+    if (!isGeographicCrs && looksGeographic)
+      log.warn(s"bbox ($xmin,$ymin,$xmax,$ymax) looks like lon/lat degrees " +
+        s"but the table CRS is $crsOrDefault — reproject the filter or the table")
+    if (isGeographicCrs && !looksGeographic)
+      log.warn(s"bbox ($xmin,$ymin,$xmax,$ymax) is outside lon/lat bounds " +
+        "but the table CRS is geographic — did you pass projected coordinates?")
     val bboxCol = meta.primary.flatMap(_.coveringBbox)
       .orElse(GeoMeta.BboxNameCandidates.find(df.columns.contains))
     val pred = bboxCol match {

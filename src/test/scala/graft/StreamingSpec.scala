@@ -55,4 +55,27 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(s == b, s"stream ${s.take(3)}... vs batch ${b.take(3)}...")
   }
+
+  test("streaming exact dedup keeps one row per digest like the batch op") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    // duplicated payloads with distinct ids and a timestamp column
+    val docs = spark.range(0, 300).toDF("doc_id")
+      .withColumn("text", concat(lit("payload "), col("doc_id") % 60))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val out = Streaming.runToCompletion(
+      Streaming.dedupExact(stream, "text", "ts"), "dedup_test")
+    assert(out.count() == 60)
+    // digest set matches the batch operator's
+    val streamed = out.select(md5(graft.ops.Dedup.normalize($"text")))
+      .collect().map(_.getString(0)).toSet
+    val batch = graft.ops.Dedup.exact(docs, "text", "doc_id")
+      .select(md5(graft.ops.Dedup.normalize($"text")))
+      .collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+  }
 }
