@@ -104,18 +104,28 @@ object Shapefile {
 
   /** Shapefile ring convention: clockwise = shell, counterclockwise =
     * hole. Holes attach to the first shell whose ring contains their
-    * first vertex.
+    * first vertex. Rings are re-wound on read to CCW shells / CW holes —
+    * the orientation GeoParquet and RFC 7946 GeoJSON recommend (GDAL's
+    * GeoJSON writer does the same to this fixture data).
     */
   private def parts2Rings(rings: Array[CoordSeq]): Geom = {
-    if (rings.length == 1) return Polygon(rings)
+    def reversed(r: CoordSeq): CoordSeq =
+      CoordSeq(r.xs.reverse, r.ys.reverse)
+    def ccwShell(r: CoordSeq): CoordSeq =
+      if (Orientation.signedArea(r) < 0) reversed(r) else r
+    def cwHole(r: CoordSeq): CoordSeq =
+      if (Orientation.signedArea(r) > 0) reversed(r) else r
+    if (rings.length == 1) return Polygon(Array(ccwShell(rings(0))))
     val (shells, holes) = rings.partition(r => Orientation.signedArea(r) < 0)
-    if (shells.length <= 1) Polygon((shells ++ holes))
+    if (shells.length <= 1)
+      Polygon(shells.map(ccwShell) ++ holes.map(cwHole))
     else {
-      val assigned = shells.map(s => scala.collection.mutable.ArrayBuffer(s))
+      val assigned = shells.map(s =>
+        scala.collection.mutable.ArrayBuffer(ccwShell(s)))
       holes.foreach { h =>
         val px = h.xs(0); val py = h.ys(0)
         val owner = shells.indexWhere(s => Ops.pointInRing(px, py, s))
-        assigned(if (owner >= 0) owner else 0) += h
+        assigned(if (owner >= 0) owner else 0) += cwHole(h)
       }
       MultiPolygon(assigned.map(rs => Polygon(rs.toArray)))
     }
@@ -176,16 +186,24 @@ object Shapefile {
         val c = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
         c.putInt(1); c.putDouble(x); c.putDouble(y); c.array()
       case p: Polygon =>
-        val n = p.rings.map(_.size).sum
-        val c = ByteBuffer.allocate(44 + 8 + p.rings.length * 4 + n * 16)
+        // shapefile convention on disk: shell CW, holes CCW — re-wind
+        // whatever orientation the caller holds
+        def rev(r: CoordSeq): CoordSeq = CoordSeq(r.xs.reverse, r.ys.reverse)
+        val rings = p.rings.zipWithIndex.map { case (r, i) =>
+          val area = Orientation.signedArea(r)
+          if (i == 0) { if (area > 0) rev(r) else r }
+          else { if (area < 0) rev(r) else r }
+        }
+        val n = rings.map(_.size).sum
+        val c = ByteBuffer.allocate(44 + 8 + rings.length * 4 + n * 16)
           .order(ByteOrder.LITTLE_ENDIAN)
         c.putInt(5)
         val (x0, y0, x1, y1) = p.envelope
         c.putDouble(x0); c.putDouble(y0); c.putDouble(x1); c.putDouble(y1)
-        c.putInt(p.rings.length); c.putInt(n)
+        c.putInt(rings.length); c.putInt(n)
         var s = 0
-        p.rings.foreach { r => c.putInt(s); s += r.size }
-        p.rings.foreach(_.foreach((x, y) => { c.putDouble(x); c.putDouble(y) }))
+        rings.foreach { r => c.putInt(s); s += r.size }
+        rings.foreach(_.foreach((x, y) => { c.putDouble(x); c.putDouble(y) }))
         c.array()
       case g => throw new IllegalArgumentException(
         s"writer supports Point/Polygon, got ${g.typeName}")

@@ -90,9 +90,10 @@ class SourcesSpec extends AnyFunSuite {
     import graft.geom._
     val dir = java.nio.file.Files.createTempDirectory("graft_shp2")
     val shp = dir.resolve("polys.shp").toString
-    // shapefile convention: shells clockwise
+    // caller holds CCW shells (GeoJSON orientation); the writer re-winds
+    // to shapefile convention on disk and the reader restores CCW
     def sq(cx: Double, cy: Double): Polygon = Polygon(Array(CoordSeq.of(
-      (cx - 1, cy - 1), (cx - 1, cy + 1), (cx + 1, cy + 1), (cx + 1, cy - 1),
+      (cx - 1, cy - 1), (cx + 1, cy - 1), (cx + 1, cy + 1), (cx - 1, cy + 1),
       (cx - 1, cy - 1))))
     val geoms = Seq(sq(0, 0), sq(10, 5), sq(-20, -10))
     Shapefile.write(shp, geoms)
@@ -106,6 +107,44 @@ class SourcesSpec extends AnyFunSuite {
     val b: Array[String] = twin.df.select(graft.functions.geo.st_astext(
       org.apache.spark.sql.functions.col("geometry"))).collect().map(_.getString(0)).sorted
     assert(a.toSeq == b.toSeq, s"${a.toSeq} vs ${b.toSeq}")
+  }
+
+  test("shapefile parser reads the reference's GDAL-written fixture") {
+    // real-world file written by GDAL (reference tests/data), with a
+    // GeoJSON twin for ground truth
+    val t = graft.table.GeoTable.fromShapefile(spark,
+      "/root/reference/tests/data/buildings_test.shp")
+    val twin = graft.table.GeoTable.fromGeoJsonFile(spark,
+      "/root/reference/tests/data/buildings_test.geojson")
+    assert(t.df.count() == twin.df.count())
+    assert(t.df.columns.contains("id"))
+    val a: Array[String] = t.df.select(graft.functions.geo.st_astext(col("geometry")))
+      .collect().map(_.getString(0)).sorted
+    val b: Array[String] = twin.df.select(graft.functions.geo.st_astext(col("geometry")))
+      .collect().map(_.getString(0)).sorted
+    assert(a.toSeq == b.toSeq)
+    // attribute values survive (ids are uuids in the dbf)
+    val ids = t.df.select("id").collect().map(_.getString(0))
+    assert(ids.forall(_.matches("[0-9a-f-]{36}")))
+    // and the reference's OWN GeoParquet conversion of the same data
+    // agrees envelope-for-envelope per id (winding-insensitive)
+    val ours = t.df.select(col("id"),
+        graft.functions.geo.st_xmin(col("geometry")),
+        graft.functions.geo.st_ymin(col("geometry")),
+        graft.functions.geo.st_xmax(col("geometry")),
+        graft.functions.geo.st_ymax(col("geometry")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = graft.table.GeoTable.read(spark,
+      "/root/reference/tests/data/buildings_test.parquet")
+    val theirs = ref.df.select(col("id"),
+        graft.functions.geo.st_xmin(col("geometry")),
+        graft.functions.geo.st_ymin(col("geometry")),
+        graft.functions.geo.st_xmax(col("geometry")),
+        graft.functions.geo.st_ymax(col("geometry")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(ours == theirs)
   }
 
   test("ndjson geojson round-trips through the distributed reader") {

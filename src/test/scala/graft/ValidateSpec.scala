@@ -158,4 +158,22 @@ class ValidateSpec extends AnyFunSuite {
     val f = errs(out)
     assert(f.isEmpty, s"unexpected errors: $f")
   }
+
+  test("reference fixtures classify and validate as their real flavor") {
+    val data = "/root/reference/tests/data"
+    def ft(f: String) = Footer.detectFileType(
+      new org.apache.hadoop.fs.Path(s"$data/$f.parquet"))
+    assert(ft("fields_gpq2_crs84_zstd") == "geoparquet2")
+    assert(ft("fields_pgo_crs84_zstd") == "parquet-geo-only")
+    assert(ft("buildings_test") == "geoparquet")
+    // GeoParquet-2-minimal (native logical type, no geo key) is NOT an
+    // error — the info finding names the flavor
+    val pgo = Checks.validate(spark, s"$data/fields_pgo_crs84_zstd.parquet")
+    assert(!pgo.exists(_.level == "error"), pgo.toString)
+    assert(pgo.exists(f => f.level == "info" && f.message.contains("GeoParquet 2")))
+    // a real GDAL-written 1.x file passes the metadata/covering checks
+    // (geometry scan checks are skipped only if encoding isn't WKB)
+    val gp = Checks.validate(spark, s"$data/buildings_test.parquet")
+    assert(!gp.exists(_.level == "error"), gp.toString)
+  }
 }
