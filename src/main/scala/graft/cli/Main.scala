@@ -153,6 +153,10 @@ object Main {
               } yield (lon, lat),
               delimiter = if (in.endsWith(".tsv")) "\t" else ",",
               skipInvalid = flag(rest, "skip-invalid"))
+          else if (in.endsWith(".shp"))
+            GeoTable.fromShapefile(spark, in)
+          else if (in.endsWith(".gpkg"))
+            GeoTable.fromGeoPackage(spark, in, opt(rest, "table"))
           else die(s"unsupported input format: $in")
         // CLI convert applies hilbert sort by default (reference
         // `core/convert.py:521-597`; --skip-hilbert opts out) and adds

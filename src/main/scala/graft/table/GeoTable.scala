@@ -723,6 +723,34 @@ object GeoTable {
     fromDataFrame(df, "geometry")
   }
 
+  /** GeoPackage → table (reference GDAL path, `core/convert.py:42-108`;
+    * pure-JVM SQLite-subset parser in graft.sources.GeoPackage).
+    * Driver-side parse, then distributed.
+    */
+  def fromGeoPackage(spark: SparkSession, path: String,
+      tableName: Option[String] = None): GeoTable = {
+    import org.apache.spark.sql.types._
+    val c = graft.sources.GeoPackage.read(path, tableName)
+    // infer column types from the first non-null value per column
+    val fields = c.columns.zipWithIndex.map { case (name, i) =>
+      val sample = c.rows.iterator.map(_(i)).find(_ != null)
+      val dt = sample match {
+        case Some(_: java.lang.Long) | Some(_: Long) => LongType
+        case Some(_: java.lang.Double) | Some(_: Double) => DoubleType
+        case Some(_: Array[Byte]) => BinaryType
+        case _ => StringType
+      }
+      StructField(name, dt)
+    }
+    val schema = StructType(fields :+ StructField("geometry", BinaryType))
+    val rows = c.rows.zip(c.geoms).map { case (attrs, g) =>
+      org.apache.spark.sql.Row.fromSeq(attrs :+ graft.geom.Wkb.write(g))
+    }
+    fromDataFrame(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema), "geometry")
+  }
+
   def fromGeoJsonString(spark: SparkSession, json: String): GeoTable = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -147,6 +147,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(ours == theirs)
   }
 
+  test("geopackage parser reads the reference's GDAL-written fixture") {
+    val t = graft.table.GeoTable.fromGeoPackage(spark,
+      "/root/reference/tests/data/buildings_test.gpkg")
+    val twin = graft.table.GeoTable.fromGeoJsonFile(spark,
+      "/root/reference/tests/data/buildings_test.geojson")
+    assert(t.df.count() == twin.df.count())
+    // envelope-per-id agreement with the GeoJSON twin
+    def envs(df: org.apache.spark.sql.DataFrame, idExpr: org.apache.spark.sql.Column) =
+      df.select(idExpr.as("k"),
+          graft.functions.geo.st_xmin(col("geometry")),
+          graft.functions.geo.st_ymin(col("geometry")),
+          graft.functions.geo.st_xmax(col("geometry")),
+          graft.functions.geo.st_ymax(col("geometry")))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ours = envs(t.df, col("id"))
+    val theirs = envs(twin.df,
+      get_json_object(col("properties_json"), "$.id"))
+    assert(ours == theirs)
+    // the projected variant reads too and carries its srs
+    val proj = graft.sources.GeoPackage.featureTables(
+      "/root/reference/tests/data/buildings_test_6933.gpkg")
+    assert(proj.nonEmpty && proj.head.srsId == 6933)
+    val tp = graft.table.GeoTable.fromGeoPackage(spark,
+      "/root/reference/tests/data/buildings_test_6933.gpkg")
+    assert(tp.df.count() == twin.df.count())
+    // projected coordinates are meters, far outside lon/lat range
+    val mx = tp.df.select(max(graft.functions.geo.st_x(col("geometry"))))
+      .head().getDouble(0)
+    assert(math.abs(mx) > 180.0)
+  }
+
   test("ndjson geojson round-trips through the distributed reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ndjson")
     val out = dir.resolve("features").toString
