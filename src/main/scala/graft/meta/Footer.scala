@@ -198,6 +198,45 @@ object Footer {
       throw new java.io.IOException(s"rename $tmp -> $path failed")
   }
 
+  /** Make a GeoParquet-2 / parquet-geo-only file readable by Spark:
+    * Spark's parquet reader rejects the GEOMETRY/GEOGRAPHY logical type
+    * (`PARQUET_TYPE_ILLEGAL`), but the physical pages are ordinary
+    * BINARY WKB — so byte-copy the row groups under a schema with the
+    * annotation stripped and keep all key-value metadata. The reference
+    * downgrades versions through GDAL/DuckDB rewrites
+    * (`core/convert.py` geoparquet-version); this is the footer-only
+    * equivalent.
+    */
+  def stripNativeGeoTypes(in: Path, out: Path,
+      conf: Configuration = newConf()): Unit = {
+    import org.apache.parquet.schema.{MessageType, PrimitiveType, Type}
+    val inFile = HadoopInputFile.fromPath(in, conf)
+    val reader = ParquetFileReader.open(inFile)
+    val (schema, kv) =
+      try {
+        val fm = reader.getFooter.getFileMetaData
+        (fm.getSchema, fm.getKeyValueMetaData.asScala.toMap)
+      } finally reader.close()
+    val fields: java.util.List[Type] = schema.getFields
+    val stripped = new MessageType(schema.getName,
+      fields.asScala.map {
+        case p: PrimitiveType if Option(p.getLogicalTypeAnnotation).exists { lt =>
+            val n = lt.getClass.getSimpleName
+            n.contains("Geometry") || n.contains("Geography")
+          } =>
+          new PrimitiveType(p.getRepetition, p.getPrimitiveTypeName, p.getName)
+        case t => t
+      }.asJava)
+    val fs = out.getFileSystem(conf)
+    if (fs.exists(out)) fs.delete(out, false)
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(out, conf), stripped,
+      ParquetFileWriter.Mode.CREATE, 128L * 1024 * 1024, 8 * 1024 * 1024)
+    writer.start()
+    writer.appendFile(inFile)
+    writer.end(kv.asJava)
+  }
+
   /** Attach GeoParquet metadata to every part file of a written dataset.
     * When `perFileBbox` is set, each part's `geo` carries its own bbox
     * recomputed from that file's row-group stats (reference strips the

@@ -625,6 +625,28 @@ object GeoTable {
       regexp_extract(input_file_name(), pattern, 1)))
   }
 
+  /** Read a GeoParquet-2 / parquet-geo-only file whose native
+    * GEOMETRY/GEOGRAPHY logical types Spark's reader rejects: stage a
+    * footer-rewritten copy (row groups byte-copied, annotation
+    * stripped — see Footer.stripNativeGeoTypes) and read that. The
+    * stage step is O(file bytes) copy with no page decode.
+    */
+  def readNativeGeo(spark: SparkSession, path: String): GeoTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(
+      java.nio.file.Files.createTempDirectory("graft_nativegeo").toString,
+      "staged.parquet")
+    Footer.partFiles(path, conf) match {
+      case Seq(single) => Footer.stripNativeGeoTypes(single, tmp, conf)
+      case parts =>
+        parts.zipWithIndex.foreach { case (p, i) =>
+          Footer.stripNativeGeoTypes(p,
+            new Path(tmp.getParent, f"part-$i%05d.parquet"), conf)
+        }
+    }
+    read(spark, tmp.getParent.toString)
+  }
+
   /** Wrap an arbitrary DataFrame whose `geometryCol` holds WKB. */
   def fromDataFrame(df: DataFrame, geometryCol: String): GeoTable = {
     require(df.columns.contains(geometryCol), s"no column $geometryCol")

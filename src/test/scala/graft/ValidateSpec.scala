@@ -159,6 +159,30 @@ class ValidateSpec extends AnyFunSuite {
     assert(f.isEmpty, s"unexpected errors: $f")
   }
 
+  test("native-geo-type fixtures read via the footer-strip stage") {
+    import graft.functions.geo
+    val data = "/root/reference/tests/data"
+    // Spark rejects GEOMETRY logical types outright; the staged
+    // byte-copy read recovers the plain-WKB surface
+    val pgo = GeoTable.readNativeGeo(spark, s"$data/fields_pgo_5070_snappy.parquet")
+    assert(pgo.df.count() == 100)
+    val gpq2 = GeoTable.readNativeGeo(spark, s"$data/fields_gpq2_crs84_zstd.parquet")
+    assert(gpq2.df.count() == 100 && gpq2.geometryColumn.contains("geometry"))
+    // the 5070 sample holds PROJ-projected Hungarian fields; our Albers
+    // inverse must recover coordinates in that region (the CRS84 twin
+    // sample sits at ~18.3E 47.05N)
+    val back = pgo.reproject("EPSG:5070", "EPSG:4326")
+    val s = back.df.select(
+      min(geo.st_x(geo.st_centroid(col("geometry")))),
+      max(geo.st_x(geo.st_centroid(col("geometry")))),
+      min(geo.st_y(geo.st_centroid(col("geometry")))),
+      max(geo.st_y(geo.st_centroid(col("geometry"))))).head()
+    assert(s.getDouble(0) > 17.5 && s.getDouble(1) < 18.5,
+      s"lon range ${s.getDouble(0)}..${s.getDouble(1)}")
+    assert(s.getDouble(2) > 46.5 && s.getDouble(3) < 47.5,
+      s"lat range ${s.getDouble(2)}..${s.getDouble(3)}")
+  }
+
   test("reference fixtures classify and validate as their real flavor") {
     val data = "/root/reference/tests/data"
     def ft(f: String) = Footer.detectFileType(
