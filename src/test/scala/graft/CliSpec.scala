@@ -96,4 +96,20 @@ class CliSpec extends AnyFunSuite {
       Main.run(spark, Seq("head", s"$dir/flat")))
     assert(e.getMessage.contains("consolidate"))
   }
+
+  test("readFlat recovers values from the reference's real flat partition") {
+    // reference tests/data/country_partition is GDAL/gpio's own flat
+    // layout: one <Country>.parquet per key, no hive folders
+    val src = "/root/reference/tests/data/country_partition"
+    assert(graft.checks.Checks.isPartitionPath(src))
+    val t = GeoTable.readFlat(spark, src, "country")
+    val counts = t.df.groupBy("country").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet ==
+      Set("El_Salvador", "Guatemala", "Honduras", "Nicaragua"))
+    assert(counts.values.sum == 5020L)
+    // geometry column and covering bbox survive the multi-file read
+    assert(t.geometryColumn.contains("geometry"))
+    assert(t.df.columns.contains("bbox"))
+  }
 }
