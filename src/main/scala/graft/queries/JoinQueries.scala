@@ -163,6 +163,42 @@ object JoinQueries {
               ROWS UNBOUNDED PRECEDING) AS session_id
           FROM marked)
         SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-        FROM sessions GROUP BY user_id ORDER BY user_id"""))
+        FROM sessions GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- grid-partitioned spatial join (large x large) -----------------
+    // No broadcast, no cross join: both sides explode onto grid cells,
+    // candidates come from a hash equi-join on the cell, and the
+    // canonical-cell rule (bottom-left of the envelope intersection)
+    // reports every true pair exactly once. The oracle brute-forces the
+    // same envelope-overlap join.
+    QueryDef(
+      "q41_grid_join",
+      (s, dir) => {
+        import s.implicits._
+        val parts = table(s, dir, "part").select($"p_partkey",
+          (lon($"p_partkey") - 0.25).as("xmin"), (lat($"p_partkey") - 0.25).as("ymin"),
+          (lon($"p_partkey") + 0.25).as("xmax"), (lat($"p_partkey") + 0.25).as("ymax"))
+        val supps = table(s, dir, "supplier").select($"s_suppkey",
+          (lon($"s_suppkey") - 0.5).as("xmin"), (lat($"s_suppkey") - 0.5).as("ymin"),
+          (lon($"s_suppkey") + 0.5).as("xmax"), (lat($"s_suppkey") + 0.5).as("ymax"))
+        graft.ops.SpatialJoin.envelopeJoin(parts, supps,
+            "p_partkey", "s_suppkey", cellSize = 2.0)
+          .select($"l_id".as("p_partkey"), $"r_id".as("s_suppkey"))
+          .orderBy($"p_partkey", $"s_suppkey")
+      },
+      Some(s"""WITH pe AS (
+          SELECT p_partkey,
+            ${lonSql("p_partkey")} - 0.25 AS xmin, ${latSql("p_partkey")} - 0.25 AS ymin,
+            ${lonSql("p_partkey")} + 0.25 AS xmax, ${latSql("p_partkey")} + 0.25 AS ymax
+          FROM part),
+        se AS (
+          SELECT s_suppkey,
+            ${lonSql("s_suppkey")} - 0.5 AS xmin, ${latSql("s_suppkey")} - 0.5 AS ymin,
+            ${lonSql("s_suppkey")} + 0.5 AS xmax, ${latSql("s_suppkey")} + 0.5 AS ymax
+          FROM supplier)
+        SELECT pe.p_partkey, se.s_suppkey
+        FROM pe JOIN se ON pe.xmin <= se.xmax AND se.xmin <= pe.xmax
+          AND pe.ymin <= se.ymax AND se.ymin <= pe.ymax
+        ORDER BY p_partkey, s_suppkey"""))
   )
 }

@@ -116,6 +116,32 @@ class OpsSpec extends AnyFunSuite {
     assert(KdTree.autoIterations(100000000L, 100000L) == 10)
   }
 
+  test("grid spatial join reports each overlapping pair exactly once") {
+    import graft.ops.SpatialJoin
+    // envelopes spanning multiple cells, exact touches, disjoint rows
+    val left = Seq(
+      (1L, 0.0, 0.0, 5.0, 5.0),    // spans many cells
+      (2L, 10.0, 10.0, 10.5, 10.5),
+      (3L, -3.0, -3.0, -2.0, -2.0)
+    ).toDF("id", "xmin", "ymin", "xmax", "ymax")
+    val right = Seq(
+      (101L, 4.0, 4.0, 6.0, 6.0),   // overlaps 1
+      (102L, 5.0, 5.0, 7.0, 7.0),   // touches 1 at corner (inclusive)
+      (103L, 10.4, 10.4, 11.0, 11.0), // overlaps 2
+      (104L, 50.0, 50.0, 51.0, 51.0)  // disjoint
+    ).toDF("id", "xmin", "ymin", "xmax", "ymax")
+    val out = SpatialJoin.envelopeJoin(left, right, "id", "id", cellSize = 2.0)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L), (1L, 102L), (2L, 103L)))
+    // exactly once each — no duplicate reports from shared cells
+    assert(out.count() == 3)
+    // plan shape: hash/merge equi-join on the cell, never a broadcast
+    // nested loop or cartesian product
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("connected components resolve chained and disjoint dup clusters") {
     // chain 1-2-3-4 (transitive, no direct 1-4 edge) + pair 10-11
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
