@@ -177,6 +177,56 @@ object TextQueries {
       Some("""SELECT doc_id, strlen(text) AS n_bytes,
         ascii(substr(text, 1, 1)) AS magic_byte,
         strlen(text) % 256 AS fake_height
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- stratified sampling: exact k per stratum ----------------------
+    // Deterministic rank by md5 of the id inside each (lang, source)
+    // stratum — reproducible under any partitioning, and the per-stratum
+    // quota is exact, which uniform-probability sampling can't give.
+    // One window shuffle keyed on the stratum.
+    QueryDef(
+      "q42_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"lang", $"source")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        table(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 5)
+          .select($"lang", $"source", $"doc_id", $"rk")
+          .orderBy($"lang", $"source", $"rk")
+      },
+      Some("""SELECT lang, source, doc_id, rk FROM (
+          SELECT lang, source, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+          FROM documents) t
+        WHERE rk <= 5 ORDER BY lang, source, rk""")),
+
+    // ---- vocabulary building: corpus-wide term frequencies -------------
+    // explode tokens -> count per term -> top terms with deterministic
+    // tie-break; the classic map-side-combinable shape (partial
+    // aggregation before the shuffle moves terms, not documents).
+    QueryDef(
+      "q43_vocabulary",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select(explode(split(
+            trim(regexp_replace(regexp_replace(lower($"text"),
+              "[^a-z0-9 ]", " "), " +", " ")), " ")).as("term"))
+          .filter($"term" =!= "")
+          .groupBy($"term")
+          .agg(count(lit(1)).as("tf"))
+          .orderBy($"tf".desc, $"term")
+          .limit(50)
+      },
+      Some("""SELECT term, COUNT(*) AS tf FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g')), ' '), t -> t <> '')) AS term
+          FROM documents) t
+        GROUP BY term ORDER BY tf DESC, term LIMIT 50"""))
   )
 }
