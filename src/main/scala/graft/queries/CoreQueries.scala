@@ -129,16 +129,18 @@ object CoreQueries {
             BETWEEN -45 AND 45
         ORDER BY p_partkey""")),
 
-    // ---- window: partitioned top-k by row_number (SURVEY §2.5) ---------
+    // ---- window-equivalent: partitioned top-k (SURVEY §2.5) ------------
+    // Not a window: o_orderpriority has 5 distinct values, so a
+    // partitioned row_number would serialize ~1/5 of the table through
+    // each window task. TopK.perGroup keeps a 5-row heap per group per
+    // map task instead — same rows, O(k) state, heap-sized shuffle.
     QueryDef(
       "q5_window_topk",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"o_orderpriority")
-          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-        table(s, dir, "orders")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" <= 5)
+        graft.ops.TopK.perGroup(table(s, dir, "orders"),
+            Seq("o_orderpriority"),
+            Seq(($"o_totalprice", true), ($"o_orderkey", false)), 5, "rn")
           .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
           .orderBy($"o_orderpriority", $"rn")
       },

@@ -183,17 +183,18 @@ object TextQueries {
     // Deterministic rank by md5 of the id inside each (lang, source)
     // stratum — reproducible under any partitioning, and the per-stratum
     // quota is exact, which uniform-probability sampling can't give.
-    // One window shuffle keyed on the stratum.
+    // Strata are few and skewed, so a partitioned window would serialize
+    // the dominant stratum through one task; TopK.perGroup keeps a k-row
+    // heap per stratum per map task and shuffles heaps, not documents.
     QueryDef(
       "q42_stratified_sample",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy($"lang", $"source")
-          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-        table(s, dir, "documents")
-          .withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 5)
+        graft.ops.TopK.perGroup(
+            table(s, dir, "documents").select($"lang", $"source", $"doc_id"),
+            Seq("lang", "source"),
+            Seq((md5($"doc_id".cast("string")), false), ($"doc_id", false)),
+            5, "rk")
           .select($"lang", $"source", $"doc_id", $"rk")
           .orderBy($"lang", $"source", $"rk")
       },

@@ -207,4 +207,39 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.map(_.getLong(0)).toSet == Set(1L, 3L))
   }
+
+  test("topk perGroup equals the window formulation, bounded state") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 40 partitions of a 5000-row table with 3 skewed groups exercises
+    // the partial-heap merge path (k rows survive per group per task).
+    val df = spark.range(5000).toDF("id")
+      .withColumn("grp", when($"id" % 10 < 7, "a")
+        .when($"id" % 10 < 9, "b").otherwise("c"))
+      .withColumn("score", ($"id" * 2654435761L % 100003).cast("double"))
+      .repartition(40)
+    val got = graft.ops.TopK.perGroup(df, Seq("grp"),
+        Seq(($"score", true), ($"id", false)), 7, "rn")
+      .select($"grp", $"rn", $"id", $"score")
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id".asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 7)
+      .select($"grp", $"rn", $"id", $"score")
+    assert(got.count() == 21)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // plan shape: aggregation with map-side partial, no window exec
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_rows"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("topk handles groups smaller than k and duplicate order keys") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 3L, 1.0))
+      .toDF("grp", "id", "v").repartition(8)
+    val out = graft.ops.TopK.perGroup(df, Seq("grp"),
+        Seq(($"v", true), ($"id", false)), 10, "rn")
+      .orderBy($"grp", $"rn").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq ==
+      Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 1)))
+  }
 }
