@@ -12,6 +12,13 @@ object GeoEval {
   // point constructors / accessors
   def stPoint(x: Double, y: Double): Array[Byte] = Wkb.write(Point(x, y))
 
+  /** Axis-aligned rectangle polygon (CCW shell), built numerically —
+    * the fast path for envelope geometries; no text parse involved. */
+  def stMakeEnvelope(xmin: Double, ymin: Double, xmax: Double,
+      ymax: Double): Array[Byte] =
+    Wkb.write(Polygon(Array(CoordSeq.of(
+      (xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)))))
+
   def stX(wkb: Array[Byte]): Double = Wkb.read(wkb) match {
     case Point(x, _) => x
     case g => Ops.centroid(g).x

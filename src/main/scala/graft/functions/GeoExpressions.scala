@@ -203,6 +203,24 @@ object GeoExpressions {
       copy(l, r)
   }
 
+  /** Envelope polygon from four numeric bounds — replaces the
+    * string-concat + WKT-parse anti-pattern for rectangle construction
+    * (text codecs belong at the edges, not inside hot filters).
+    */
+  case class StMakeEnvelope(first: Expression, second: Expression,
+      third: Expression, fourth: Expression) extends QuaternaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      GeoEval.stMakeEnvelope(a.asInstanceOf[Double], b.asInstanceOf[Double],
+        c.asInstanceOf[Double], d.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b, c, d) => s"$E.stMakeEnvelope($a, $b, $c, $d)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression, q: Expression): StMakeEnvelope = copy(f, s, t, q)
+  }
+
   case class StDistance(left: Expression, right: Expression)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true

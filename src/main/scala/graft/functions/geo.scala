@@ -65,6 +65,12 @@ object geo {
     geom_lit(graft.geom.Polygon(Array(graft.geom.CoordSeq.of(
       (xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)))))
 
+  /** Column form: numeric envelope construction per row (codegen'd). */
+  def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column,
+      ymax: Column): Column =
+    col(StMakeEnvelope(ex(xmin.cast("double")), ex(ymin.cast("double")),
+      ex(xmax.cast("double")), ex(ymax.cast("double"))))
+
   /** Register SQL names (st_x, st_intersects, ...) on a session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -87,6 +93,7 @@ object geo {
     one("st_isvalid", es => StIsValid(es.head))
     one("st_isempty", es => StIsEmpty(es.head))
     one("st_npoints", es => StNPoints(es.head))
+    one("st_makeenvelope", es => StMakeEnvelope(es(0), es(1), es(2), es(3)))
     one("st_distance", es => StDistance(es(0), es(1)))
     one("st_intersects", es => StIntersects(es(0), es(1)))
     one("st_contains", es => StContains(es(0), es(1)))

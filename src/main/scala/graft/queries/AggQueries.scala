@@ -45,13 +45,8 @@ object AggQueries {
         import s.implicits._
         val cx = lon($"p_partkey"); val cy = lat($"p_partkey")
         table(s, dir, "part")
-          .withColumn("g", geo.st_geomfromtext(
-            concat(lit("POLYGON (("),
-              cx - 0.25, lit(" "), cy - 0.25, lit(", "),
-              cx + 0.25, lit(" "), cy - 0.25, lit(", "),
-              cx + 0.25, lit(" "), cy + 0.25, lit(", "),
-              cx - 0.25, lit(" "), cy + 0.25, lit(", "),
-              cx - 0.25, lit(" "), cy - 0.25, lit("))"))))
+          .withColumn("g", geo.st_makeenvelope(
+            cx - 0.25, cy - 0.25, cx + 0.25, cy + 0.25))
           .withColumn("bbox", struct(
             geo.st_xmin($"g").as("xmin"), geo.st_ymin($"g").as("ymin"),
             geo.st_xmax($"g").as("xmax"), geo.st_ymax($"g").as("ymax")))

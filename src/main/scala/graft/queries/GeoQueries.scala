@@ -76,13 +76,8 @@ object GeoQueries {
         import s.implicits._
         val cx = lon($"s_suppkey"); val cy = lat($"s_suppkey")
         val base = table(s, dir, "supplier")
-          .withColumn("sq", geo.st_geomfromtext(
-            concat(lit("POLYGON (("),
-              cx - 0.5, lit(" "), cy - 0.5, lit(", "),
-              cx + 0.5, lit(" "), cy - 0.5, lit(", "),
-              cx + 0.5, lit(" "), cy + 0.5, lit(", "),
-              cx - 0.5, lit(" "), cy + 0.5, lit(", "),
-              cx - 0.5, lit(" "), cy - 0.5, lit("))"))))
+          .withColumn("sq", geo.st_makeenvelope(
+            cx - 0.5, cy - 0.5, cx + 0.5, cy + 0.5))
           .withColumn("g", geo.st_point(cx, cy))
         // exact global lag of the point geometry without a
         // single-partition window

@@ -75,13 +75,8 @@ object JoinQueries {
         val cells = table(s, dir, "nation")
           .withColumn("x0", ($"n_nationkey" * 14).cast("double") - 180)
           .withColumn("y0", (($"n_nationkey" % 5) * 36).cast("double") - 90)
-          .withColumn("cell", geo.st_geomfromtext(
-            concat(lit("POLYGON (("),
-              $"x0", lit(" "), $"y0", lit(", "),
-              $"x0" + 14, lit(" "), $"y0", lit(", "),
-              $"x0" + 14, lit(" "), $"y0" + 36, lit(", "),
-              $"x0", lit(" "), $"y0" + 36, lit(", "),
-              $"x0", lit(" "), $"y0", lit("))"))))
+          .withColumn("cell", geo.st_makeenvelope(
+            $"x0", $"y0", $"x0" + 14, $"y0" + 36))
           .select($"n_nationkey", $"n_name", $"x0", $"y0", $"cell")
         pts.join(broadcast(cells),
             // cheap bbox range pre-filter first, then precise predicate
