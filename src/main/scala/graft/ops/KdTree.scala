@@ -23,23 +23,38 @@ object KdTree {
     * than `sampleRows` points reach the driver, whatever the table size —
     * a fraction-based sample would collect 10 TB at 100 TB scale.
     * `sampleRows <= 0` (or >= table size) collects everything; callers use
-    * that only when the split set must be the exact full table (q30's
-    * deterministic histogram at test scale).
+    * that only when the split set must be the exact full table.
+    *
+    * With `rankBy = Some(idCol)` the sample is the exact `sampleRows`
+    * rows with the smallest `(md5(id), id)` rank — deterministic under
+    * any partitioning and engine (so an external oracle can rebuild the
+    * identical tree), and executed as a distributed top-N
+    * (TakeOrdered: per-partition heaps, no global sort).
     */
   def build(df: DataFrame, xCol: String, yCol: String, iterations: Int,
-      sampleRows: Int = 100000, seed: Long = 42L): Node = {
+      sampleRows: Int = 100000, seed: Long = 42L,
+      rankBy: Option[String] = None): Node = {
     val base = df.select(col(xCol).cast("double").as("x"),
       col(yCol).cast("double").as("y"))
-    val total = base.count()
-    val rows =
-      if (sampleRows <= 0 || total <= sampleRows) base.collect()
-      else {
-        // oversample 1.2× then trim to the exact budget; the trim bias
-        // (drops late-partition rows) is acceptable for split estimation
-        val frac = math.min(1.0, sampleRows * 1.2 / total)
-        base.sample(withReplacement = false, frac, seed)
-          .limit(sampleRows).collect()
-      }
+    val rows = rankBy match {
+      case Some(idCol) if sampleRows > 0 =>
+        df.select(col(xCol).cast("double").as("x"),
+            col(yCol).cast("double").as("y"),
+            md5(col(idCol).cast("string")).as("__rk"),
+            col(idCol).as("__id"))
+          .orderBy(col("__rk"), col("__id")).limit(sampleRows)
+          .select("x", "y").collect()
+      case _ =>
+        val total = base.count()
+        if (sampleRows <= 0 || total <= sampleRows) base.collect()
+        else {
+          // oversample 1.2× then trim to the exact budget; the trim bias
+          // (drops late-partition rows) is acceptable for split estimation
+          val frac = math.min(1.0, sampleRows * 1.2 / total)
+          base.sample(withReplacement = false, frac, seed)
+            .limit(sampleRows).collect()
+        }
+    }
     val sample = rows.map(r => (r.getDouble(0), r.getDouble(1)))
 
     def median(vs: Array[Double]): Double = {
@@ -76,11 +91,35 @@ object KdTree {
     sb.toString
   }
 
-  /** Add the kdtree cell column in one distributed pass. */
+  private def depthOf(n: Node): Int = 1 + ((n.left, n.right) match {
+    case (Some(l), Some(r)) => math.max(depthOf(l), depthOf(r))
+    case _ => 0
+  })
+
+  /** Add the kdtree cell column in one distributed pass. Shallow trees
+    * (≤ 2^10 leaves — every partitioning use) compile to a nested
+    * `when` chain, keeping the assignment inside whole-stage codegen;
+    * deeper trees fall back to a broadcast-closure UDF.
+    */
   def withCell(df: DataFrame, xCol: String, yCol: String, tree: Node,
       cellCol: String = "kdtree_cell"): DataFrame = {
-    val assign = udf((x: Double, y: Double) => cellOf(tree, x, y))
-    df.withColumn(cellCol, assign(col(xCol).cast("double"), col(yCol).cast("double")))
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    def chain(n: Node, depth: Int): org.apache.spark.sql.Column = {
+      val v = if (depth % 2 == 0) x else y
+      (n.left, n.right) match {
+        case (Some(l), Some(r)) =>
+          when(v < n.split, concat(lit("0"), chain(l, depth + 1)))
+            .otherwise(concat(lit("1"), chain(r, depth + 1)))
+        case _ => when(v < n.split, lit("0")).otherwise(lit("1"))
+      }
+    }
+    val cell =
+      if (depthOf(tree) <= 10) chain(tree, 0)
+      else {
+        val assign = udf((px: Double, py: Double) => cellOf(tree, px, py))
+        assign(x, y)
+      }
+    df.withColumn(cellCol, cell)
   }
 
   /** Auto iterations targeting ~rowsPerCell rows per cell (reference

@@ -98,10 +98,13 @@ object OpsQueries {
         WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
     // ---- KD-tree balanced spatial partitioning -------------------------
-    // The split sample is the exact full table (sampleRows = 0), so the
-    // tree is deterministic and the oracle can rebuild it in pure SQL:
-    // per-level upper-median (value at 0-based sorted index n//2, the
-    // same rule as KdTree.build) alternating x/y, four levels deep.
+    // The split sample is the deterministic md5-rank top-N (exact N rows
+    // with the smallest (md5(id), id) — a distributed TakeOrdered, never
+    // an unbounded collect), so the oracle can rebuild the identical
+    // tree in pure SQL: sample via the same rank rule, then per-level
+    // upper-median (value at 0-based sorted index n//2, the same rule as
+    // KdTree.build) alternating x/y, four levels deep, and finally
+    // assign every row a cell through the sample-built medians.
     QueryDef(
       "q30_kdtree_cells",
       (s, dir) => {
@@ -110,28 +113,39 @@ object OpsQueries {
           .withColumn("x", lon($"c_custkey"))
           .withColumn("y", lat($"c_custkey"))
         val tree = KdTree.build(pts, "x", "y", iterations = 4,
-          sampleRows = 0, seed = 42L)
+          sampleRows = 100000, rankBy = Some("c_custkey"))
         KdTree.withCell(pts, "x", "y", tree)
           .groupBy($"kdtree_cell")
           .agg(count(lit(1)).as("n_rows"))
           .orderBy($"kdtree_cell")
       },
       Some {
-        // one median+split level: cell -> cell || ('0' if v < median else '1')
+        // one median+split level: median from the sample chain (s_i),
+        // applied to both the sample (s_{i+1}) and all rows (c_{i+1})
         def level(i: Int, axis: String): String =
           s"""m$i AS (
             SELECT cell, v AS m FROM (
               SELECT cell, $axis AS v,
                 ROW_NUMBER() OVER (PARTITION BY cell ORDER BY $axis) - 1 AS rn,
                 COUNT(*) OVER (PARTITION BY cell) AS n
-              FROM c$i) t WHERE rn = n // 2),
+              FROM s$i) t WHERE rn = n // 2),
+          s${i + 1} AS (
+            SELECT p.x, p.y,
+              p.cell || (CASE WHEN p.$axis < m.m THEN '0' ELSE '1' END) AS cell
+            FROM s$i p JOIN m$i m USING (cell)),
           c${i + 1} AS (
             SELECT p.x, p.y,
               p.cell || (CASE WHEN p.$axis < m.m THEN '0' ELSE '1' END) AS cell
             FROM c$i p JOIN m$i m USING (cell))"""
         s"""WITH pts AS (
-            SELECT ${lonSql("c_custkey")} AS x, ${latSql("c_custkey")} AS y
+            SELECT c_custkey, ${lonSql("c_custkey")} AS x, ${latSql("c_custkey")} AS y
             FROM customer),
+          samp AS (
+            SELECT x, y FROM (
+              SELECT x, y, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+              FROM pts) t WHERE rn <= 100000),
+          s0 AS (SELECT x, y, '' AS cell FROM samp),
           c0 AS (SELECT x, y, '' AS cell FROM pts),
           ${level(0, "x")},
           ${level(1, "y")},
