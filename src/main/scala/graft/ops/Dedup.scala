@@ -165,22 +165,34 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbor = edges
+      val nbrMin = edges
         .join(labels.withColumnRenamed("id", "t"), Seq("t"))
-        .select(col("s").as("id"), col("cluster_id"))
-      // truncate lineage each round: without this the plan doubles per
-      // iteration and optimization time grows exponentially — the
-      // standard iterative-DataFrame requirement, same at 100 TB
-      val next = labels.select(col("id"), col("cluster_id"))
-        .union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+        .groupBy(col("s").as("id"))
+        .agg(min(col("cluster_id")).as("__nbr"))
+      // next label + per-row changed flag in the same pass; the LAZY
+      // local checkpoint is materialized by the convergence aggregate
+      // below, so each round is exactly one job (lineage still
+      // truncated — without that the plan doubles per iteration and
+      // optimization time grows exponentially)
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
+            .as("cluster_id"),
+          (coalesce(col("__nbr"), col("cluster_id")) < col("cluster_id"))
+            .as("__chg"))
+        .localCheckpoint(false)
+      converged = !next.agg(coalesce(max(col("__chg")), lit(false)))
+        .collect()(0).getBoolean(0)
+      labels = next.drop("__chg")
       i += 1
+    }
+    if (!converged) {
+      // partially-propagated labels would silently produce wrong
+      // cluster ids; surface it (clusters deeper than maxIter hops)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge after $maxIter rounds; " +
+          "labels may span partially-merged clusters — raise maxIter")
     }
     labels
   }
