@@ -113,14 +113,16 @@ object Checks {
 
   /** Coordinate bounds for the CRSs the engine knows authoritative
     * extents for (reference resolves any CRS via pyproj,
-    * `core/validate.py:2022-2092`; here a built-in table).
+    * `core/validate.py:2022-2092`). Dispatches on the parsed EPSG id
+    * (PROJJSON `id.code`), never on substrings of the document — a CRS
+    * that merely *mentions* a code in remarks must not match.
     */
   private def crsBounds(crs: String): Option[(Double, Double, Double, Double)] =
-    if (graft.geom.Proj.isGeographic(crs)) Some((-180.0, -90.0, 180.0, 90.0))
-    else if (crs.contains("3857"))
-      Some((-20037508.342789244, -20048966.104014594,
-        20037508.342789244, 20048966.104014594))
-    else None
+    try graft.geom.Proj.boundsForEpsg(graft.geom.Proj.parseEpsg(crs))
+    catch { case _: Exception =>
+      if (graft.geom.Proj.isGeographic(crs)) Some((-180.0, -90.0, 180.0, 90.0))
+      else None
+    }
 
   /** GeoParquet spec validation (reference `core/validate.py:126-2328`):
     * metadata shape, physical parquet schema, covering structure,
@@ -189,7 +191,10 @@ object Checks {
               findings += Finding("warn", "crs",
                 "crs should be a PROJJSON object (or null for OGC:CRS84)")
           }
-          val crsStr = pc.crs.map(_.toString).getOrElse("EPSG:4326")
+          // absent OR explicit-null crs both mean OGC:CRS84 per the spec
+          // (geographic lon/lat) — a JSON null must not skip bounds checks
+          val crsStr = pc.crs.filterNot(_.isNull).map(_.toString)
+            .getOrElse("EPSG:4326")
           pc.bbox.foreach { case (x0, y0, x1, y1) =>
             if (x0 > x1 || y0 > y1)
               findings += Finding("error", "bbox",
@@ -294,18 +299,38 @@ object Checks {
             }
             // per-file: each part's declared bbox must contain that
             // part's data (parts carry their own bbox — reference
-            // partition semantics, `core/partition_common.py:657-706`)
-            parts.foreach { part =>
+            // partition semantics, `core/partition_common.py:657-706`).
+            // ONE job for the whole dataset — per-file envelopes come
+            // from a single aggregate grouped by input_file_name();
+            // a sequential per-part job loop would run 10 000 jobs on
+            // a 10 000-part dataset.
+            val declaredPartBbox = parts.flatMap { part =>
               Footer.read(part, conf).geo.flatMap(_.primary).flatMap(_.bbox)
-                .foreach { case (x0, y0, x1, y1) =>
-                  val pt = GeoTable.read(spark, part.toString)
-                  val (dx0, dy0, dx1, dy1) = pt.bounds()
-                  val eps = 1e-9
+                .map(b => part.getName -> b)
+            }.toMap
+            if (declaredPartBbox.nonEmpty) {
+              val gc = col(g.primaryColumn)
+              val perFile = t.df.select(input_file_name().as("__f"),
+                  geo.st_xmin(gc).as("x0"), geo.st_ymin(gc).as("y0"),
+                  geo.st_xmax(gc).as("x1"), geo.st_ymax(gc).as("y1"))
+                .groupBy(col("__f"))
+                .agg(min(col("x0")).as("dx0"), min(col("y0")).as("dy0"),
+                  max(col("x1")).as("dx1"), max(col("y1")).as("dy1"))
+                .collect()
+              val eps = 1e-9
+              perFile.foreach { r =>
+                val fname = java.net.URLDecoder.decode(
+                  r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1),
+                  "UTF-8")
+                declaredPartBbox.get(fname).foreach { case (x0, y0, x1, y1) =>
+                  val (dx0, dy0, dx1, dy1) =
+                    (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
                   if (dx0 < x0 - eps || dy0 < y0 - eps ||
                       dx1 > x1 + eps || dy1 > y1 + eps)
                     findings += Finding("error", "bbox",
-                      s"${part.getName}: data bbox ($dx0,$dy0,$dx1,$dy1) outside declared ($x0,$y0,$x1,$y1)")
+                      s"$fname: data bbox ($dx0,$dy0,$dx1,$dy1) outside declared ($x0,$y0,$x1,$y1)")
                 }
+              }
             }
           }
         }

@@ -312,6 +312,36 @@ object Proj {
     code.toInt
   }
 
+  /** Authoritative projected-coordinate extents per EPSG code — the
+    * role pyproj's `area_of_use` plays for the reference's
+    * coordinate-range checks (`core/validate.py:2022-2092`,
+    * `core/reproject.py:150-156`). Exact where the EPSG registry
+    * publishes a projected bbox; rounded OUTWARD elsewhere so a
+    * widened envelope can only miss a finding, never invent one.
+    */
+  private[graft] def boundsForEpsg(code: Int): Option[(Double, Double, Double, Double)] =
+    code match {
+      case 4326 | 4269 | 4258 => Some((-180.0, -90.0, 180.0, 90.0))
+      case 3857 | 900913 =>
+        Some((-20037508.342789244, -20048966.104014594,
+          20037508.342789244, 20048966.104014594))
+      case 3395 => // World Mercator: lat clipped to [-80, 84] per EPSG
+        Some((-20037508.342789244, -15496570.74, 20037508.342789244, 18764656.23))
+      case 3035 => // LAEA Europe, EPSG projected bbox
+        Some((1896628.62, 1095703.18, 7104179.2, 6882401.15))
+      case 2154 => // RGF93 / Lambert-93, EPSG projected bbox
+        Some((-378305.81, 6005281.2, 1320649.57, 7235612.72))
+      case 5070 => // NAD83 / Conus Albers, rounded outward
+        Some((-2500000.0, 0.0, 2500000.0, 3500000.0))
+      case c if c >= 32601 && c <= 32660 => // WGS84 UTM north, outward
+        Some((-100000.0, 0.0, 1100000.0, 9600000.0))
+      case c if c >= 32701 && c <= 32760 => // WGS84 UTM south, outward
+        Some((-100000.0, 100000.0, 1100000.0, 10000000.0))
+      case c if (c >= 25828 && c <= 25838) || (c >= 26901 && c <= 26923) =>
+        Some((-100000.0, 0.0, 1100000.0, 9600000.0)) // ETRS89 / NAD83 UTM north
+      case _ => None
+    }
+
   def supported(crs: String): Boolean =
     try {
       val c = parseEpsg(crs)

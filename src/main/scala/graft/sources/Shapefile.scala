@@ -108,7 +108,7 @@ object Shapefile {
     * the orientation GeoParquet and RFC 7946 GeoJSON recommend (GDAL's
     * GeoJSON writer does the same to this fixture data).
     */
-  private def parts2Rings(rings: Array[CoordSeq]): Geom = {
+  private[graft] def parts2Rings(rings: Array[CoordSeq]): Geom = {
     def reversed(r: CoordSeq): CoordSeq =
       CoordSeq(r.xs.reverse, r.ys.reverse)
     def ccwShell(r: CoordSeq): CoordSeq =
@@ -117,7 +117,15 @@ object Shapefile {
       if (Orientation.signedArea(r) > 0) reversed(r) else r
     if (rings.length == 1) return Polygon(Array(ccwShell(rings(0))))
     val (shells, holes) = rings.partition(r => Orientation.signedArea(r) < 0)
-    if (shells.length <= 1)
+    if (shells.isEmpty) {
+      // nonconformant writer: every ring is CCW, so the CW-shell rule
+      // found nothing. Treat the largest-area ring as the shell (CCW)
+      // and nest the rest as CW holes — never emit a CW exterior.
+      val shellIdx = rings.indices.maxBy(i =>
+        math.abs(Orientation.signedArea(rings(i))))
+      Polygon(ccwShell(rings(shellIdx)) +:
+        rings.indices.filter(_ != shellIdx).map(i => cwHole(rings(i))).toArray)
+    } else if (shells.length == 1)
       Polygon(shells.map(ccwShell) ++ holes.map(cwHole))
     else {
       val assigned = shells.map(s =>

@@ -51,18 +51,22 @@ object Streaming {
         col("event_type"), col("n"), col("sum_value"))
 
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`: the
-    * 16-byte content digest is the dedup key, `dropDuplicates` keeps
-    * keyed state of seen digests, and the watermark bounds that state
-    * (without it the state grows with the corpus — the standard
-    * streaming-dedup contract). First-arrival wins, which under ordered
-    * replay equals the batch min-id rule.
+    * 16-byte content digest is the dedup key and
+    * `dropDuplicatesWithinWatermark` keeps one state entry per digest
+    * only until the watermark passes its event time, so state is
+    * bounded by the watermark horizon, not the corpus. (Plain
+    * `dropDuplicates("__digest")` would never evict — Spark only ages
+    * dedup state out when the event-time column is part of the key.)
+    * First-arrival wins, which under ordered replay equals the batch
+    * min-id rule; duplicates farther apart than the watermark horizon
+    * can both survive — the standard streaming-dedup contract.
     */
   def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("__digest", md5(graft.ops.Dedup.normalize(col(textCol))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__digest")
+      .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
   // ---- stateful sessionization -----------------------------------------

@@ -357,7 +357,9 @@ final case class GeoTable(
       val parts = fs.listStatus(d.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       parts.zipWithIndex.foreach { case (p, i) =>
-        val suffix = if (parts.length == 1) "" else s"_$i"
+        // distinctive multi-part marker: a plain _N suffix would be
+        // ambiguous with key values that end in _<digits> on readback
+        val suffix = if (parts.length == 1) "" else s".part$i"
         val fname = filenamePrefix match {
           case Some(pre) => s"${pre}_$safe$suffix.parquet"
           case None => s"$safe$suffix.parquet"
@@ -613,13 +615,21 @@ object GeoTable {
     * value from each filename into `columnName` (reference
     * `core/partition_reader.py` filename parity) — one distributed read
     * with a derived column, no per-file jobs.
+    *
+    * Multi-part files carry the distinctive `.partN` marker (see
+    * `partitionByFlat`), so a key value that legitimately ends in
+    * `_<digits>` (e.g. `a_1.parquet` for key "a_1") round-trips intact.
+    * Note the recovered value is the SANITIZED key (non `[A-Za-z0-9._-]`
+    * chars became `_` at write time) — same as the reference's
+    * filename-derived partition values.
     */
   def readFlat(spark: SparkSession, path: String, columnName: String,
       filenamePrefix: Option[String] = None): GeoTable = {
     val t = read(spark, path)
     val pattern = filenamePrefix match {
-      case Some(p) => java.util.regex.Pattern.quote(p) + "_(.+?)(_[0-9]+)?\\.parquet$"
-      case None => "([^/]+?)(_[0-9]+)?\\.parquet$"
+      case Some(p) =>
+        java.util.regex.Pattern.quote(p) + "_(.+?)(\\.part[0-9]+)?\\.parquet$"
+      case None => "([^/]+?)(\\.part[0-9]+)?\\.parquet$"
     }
     t.copy(df = t.df.withColumn(columnName,
       regexp_extract(input_file_name(), pattern, 1)))

@@ -97,6 +97,23 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("consolidate"))
   }
 
+  test("flat partition round-trips key values that end in _<digits>") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flatdig").toString
+    val df = spark.range(0, 40).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 90, col("id") % 45))
+      .withColumn("grp", concat(lit("a_"), col("id") % 2)) // keys a_0, a_1
+    GeoTable.fromDataFrame(df, "geometry")
+      .partitionByFlat(col("grp"), s"$dir/flat", force = true)
+    val files = new java.io.File(s"$dir/flat").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(files == Set("a_0.parquet", "a_1.parquet"))
+    // a plain _N multi-part rule would mis-recover both keys as "a"
+    val back = GeoTable.readFlat(spark, s"$dir/flat", "grp2")
+    val rec = back.df.groupBy("grp2").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rec == Map("a_0" -> 20L, "a_1" -> 20L))
+  }
+
   test("readFlat recovers values from the reference's real flat partition") {
     // reference tests/data/country_partition is GDAL/gpio's own flat
     // layout: one <Country>.parquet per key, no hive folders

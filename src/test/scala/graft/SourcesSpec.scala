@@ -219,4 +219,21 @@ class SourcesSpec extends AnyFunSuite {
     val ids: Seq[Long] = back.df.select("id").collect().map(_.getLong(0)).toSeq
     assert(ids.sorted == (1L to 11L).toSeq)
   }
+
+  test("all-CCW multi-ring polygon falls back to largest-area shell") {
+    import graft.geom._
+    // nonconformant writer: both rings CCW, so the CW-shell rule finds
+    // no shell; the larger ring must become the CCW exterior, the
+    // smaller a CW hole — never a CW-exterior polygon
+    val outer = CoordSeq.of((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))
+    val inner = CoordSeq.of((4, 4), (6, 4), (6, 6), (4, 6), (4, 4))
+    graft.sources.Shapefile.parts2Rings(Array(outer, inner)) match {
+      case Polygon(rings) =>
+        assert(rings.length == 2)
+        assert(Orientation.signedArea(rings(0)) > 0) // CCW exterior
+        assert(Orientation.signedArea(rings(1)) < 0) // CW hole
+        assert(rings(0).xs.max == 10.0 && rings(1).xs.max == 6.0)
+      case other => fail(s"expected Polygon, got $other")
+    }
+  }
 }
