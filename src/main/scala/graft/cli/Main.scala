@@ -174,6 +174,9 @@ object Main {
           case "geojson" =>
             t.writeGeoJsonSeq(out, opt(rest, "precision").map(_.toInt).getOrElse(-1))
           case "csv" => t.writeCsv(out)
+          case "shapefile" => t.writeShapefile(out)
+          case "gpkg" => t.writeGeoPackage(out,
+            opt(rest, "table").getOrElse("features"))
           case other => die(s"unknown output format $other")
         }
 

@@ -557,6 +557,27 @@ final case class GeoTable(
     Shapefile.write(path, geoms, fields, recs)
   }
 
+  /** GeoPackage sink (`core/format_writers.py:42-243` GDAL path) —
+    * driver-side assembly like the Shapefile sink: the format is one
+    * non-splittable SQLite file, for boundary-scale outputs. Read back
+    * with [[GeoTable.fromGeoPackage]].
+    */
+  def writeGeoPackage(path: String, tableName: String = "features",
+      srsId: Int = 4326): Unit = {
+    // "fid" is the sink's INTEGER PRIMARY KEY rowid alias; an incoming
+    // attribute of that name (e.g. a round-tripped GPKG) would collide
+    val scalarCols = df.columns.filterNot(_ == geomCol)
+      .filterNot(_.equalsIgnoreCase("fid"))
+      .filter(c => Seq("string", "long", "integer", "double", "boolean")
+        .contains(df.schema(c).dataType.typeName))
+    val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
+    val geoms = rows.map(r =>
+      graft.geom.Wkb.read(r.getAs[Array[Byte]](scalarCols.length))).toSeq
+    val recs = rows.map(r => scalarCols.indices.map(r.get).toSeq).toSeq
+    graft.sources.GeoPackage.write(path, tableName, "geom", srsId,
+      scalarCols.toSeq, recs, geoms)
+  }
+
   /** Single FeatureCollection document (driver-side assembly — for
     * boundary-scale outputs, like the reference's non-streaming mode).
     */

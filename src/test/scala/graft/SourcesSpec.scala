@@ -179,6 +179,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(math.abs(mx) > 180.0)
   }
 
+  test("geopackage sink round-trips and matches the reference fixture") {
+    import graft.table.GeoTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpkgw").toString
+    // synthetic write -> read back through our own SQLite reader;
+    // 900 rows with text payload forces multi-leaf b-trees + interior
+    val df = spark.range(1, 901).toDF("id")
+      .withColumn("name", concat(lit("row_"), col("id"),
+        lit("_" + "x" * 40)))
+      .withColumn("score", col("id") * 0.5)
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id") % 90, col("id") % 45))
+    GeoTable.fromDataFrame(df, "geometry").writeGeoPackage(s"$dir/out.gpkg", "pts")
+    val back = GeoTable.fromGeoPackage(spark, s"$dir/out.gpkg")
+    assert(back.df.count() == 900)
+    val row = back.df.filter(col("id") === 7L)
+      .select(col("name"), col("score"),
+        graft.functions.geo.st_x(col("geometry")),
+        graft.functions.geo.st_y(col("geometry"))).head()
+    assert(row.getString(0) == "row_7_" + "x" * 40)
+    assert(row.getDouble(1) == 3.5 && row.getDouble(2) == 7.0 &&
+      row.getDouble(3) == 7.0)
+    val tables = graft.sources.GeoPackage.featureTables(s"$dir/out.gpkg")
+    assert(tables.map(_.name) == Seq("pts") && tables.head.srsId == 4326)
+
+    // reference fixture -> our writer -> reader: envelope-for-envelope
+    val ref = GeoTable.fromGeoPackage(spark,
+      "/root/reference/tests/data/buildings_test.gpkg")
+    ref.writeGeoPackage(s"$dir/ours.gpkg", "buildings")
+    val rt = GeoTable.fromGeoPackage(spark, s"$dir/ours.gpkg")
+    def envs(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id").as("k"),
+          graft.functions.geo.st_xmin(col("geometry")),
+          graft.functions.geo.st_ymin(col("geometry")),
+          graft.functions.geo.st_xmax(col("geometry")),
+          graft.functions.geo.st_ymax(col("geometry")))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(envs(rt.df) == envs(ref.df))
+  }
+
   test("ndjson geojson round-trips through the distributed reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ndjson")
     val out = dir.resolve("features").toString
