@@ -157,6 +157,8 @@ object Main {
             GeoTable.fromShapefile(spark, in)
           else if (in.endsWith(".gpkg"))
             GeoTable.fromGeoPackage(spark, in, opt(rest, "table"))
+          else if (in.endsWith(".fgb"))
+            GeoTable.fromFlatGeobuf(spark, in)
           else die(s"unsupported input format: $in")
         // CLI convert applies hilbert sort by default (reference
         // `core/convert.py:521-597`; --skip-hilbert opts out) and adds
@@ -177,6 +179,7 @@ object Main {
           case "shapefile" => t.writeShapefile(out)
           case "gpkg" => t.writeGeoPackage(out,
             opt(rest, "table").getOrElse("features"))
+          case "fgb" => t.writeFlatGeobuf(out)
           case other => die(s"unknown output format $other")
         }
 

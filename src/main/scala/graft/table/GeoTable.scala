@@ -578,6 +578,35 @@ final case class GeoTable(
       scalarCols.toSeq, recs, geoms)
   }
 
+  /** FlatGeobuf sink (`core/convert.py:42-108` lists .fgb among the
+    * GDAL ingest formats) — driver-side assembly like the Shapefile and
+    * GeoPackage sinks. Read back with [[GeoTable.fromFlatGeobuf]].
+    */
+  def writeFlatGeobuf(path: String, name: String = "features"): Unit = {
+    import graft.sources.FlatGeobuf
+    val scalarCols = df.columns.filterNot(_ == geomCol)
+      .filter(c => Seq("string", "long", "integer", "double", "boolean")
+        .contains(df.schema(c).dataType.typeName))
+    val columns = scalarCols.map { c =>
+      df.schema(c).dataType.typeName match {
+        case "long" | "integer" => (c, FlatGeobuf.CtLong)
+        case "double" => (c, FlatGeobuf.CtDouble)
+        case "boolean" => (c, FlatGeobuf.CtBool)
+        case _ => (c, FlatGeobuf.CtString)
+      }
+    }.toSeq
+    val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
+    val geoms = rows.map(r =>
+      graft.geom.Wkb.read(r.getAs[Array[Byte]](scalarCols.length))).toSeq
+    val recs = rows.map(r => scalarCols.indices.map { i =>
+      r.get(i) match {
+        case x: java.lang.Integer => x.longValue
+        case x => x
+      }
+    }.toSeq).toSeq
+    FlatGeobuf.write(path, columns, recs, geoms, name)
+  }
+
   /** Single FeatureCollection document (driver-side assembly — for
     * boundary-scale outputs, like the reference's non-streaming mode).
     */
@@ -780,6 +809,30 @@ object GeoTable {
     * pure-JVM SQLite-subset parser in graft.sources.GeoPackage).
     * Driver-side parse, then distributed.
     */
+  /** FlatGeobuf source: driver-side flatbuffers parse, rows distributed
+    * immediately (same shape as the Shapefile/GeoPackage paths).
+    */
+  def fromFlatGeobuf(spark: SparkSession, path: String): GeoTable = {
+    import org.apache.spark.sql.types._
+    import graft.sources.FlatGeobuf
+    val c = FlatGeobuf.read(path)
+    val fields = c.columns.map { case (name, ct) =>
+      StructField(name, ct match {
+        case FlatGeobuf.CtBool => BooleanType
+        case FlatGeobuf.CtInt | FlatGeobuf.CtLong => LongType
+        case FlatGeobuf.CtDouble => DoubleType
+        case _ => StringType
+      })
+    }
+    val schema = StructType(fields :+ StructField("geometry", BinaryType))
+    val rows = c.rows.zip(c.geoms).map { case (attrs, g) =>
+      org.apache.spark.sql.Row.fromSeq(attrs :+ graft.geom.Wkb.write(g))
+    }
+    fromDataFrame(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema), "geometry")
+  }
+
   def fromGeoPackage(spark: SparkSession, path: String,
       tableName: Option[String] = None): GeoTable = {
     import org.apache.spark.sql.types._

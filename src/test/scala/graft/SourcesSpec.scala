@@ -219,6 +219,57 @@ class SourcesSpec extends AnyFunSuite {
     assert(envs(rt.df) == envs(ref.df))
   }
 
+  test("flatgeobuf round-trips all geometry families and matches the twin") {
+    import graft.geom._
+    import graft.sources.FlatGeobuf
+    val dir = java.nio.file.Files.createTempDirectory("graft_fgb").toString
+    // direct codec round-trip over every supported geometry family
+    val geoms: Seq[Geom] = Seq(
+      Point(1.5, 2.5),
+      LineString(CoordSeq.of((0, 0), (1, 1), (2, 0.5))),
+      Polygon(Array(CoordSeq.of((0, 0), (4, 0), (4, 4), (0, 4), (0, 0)),
+        CoordSeq.of((1, 1), (1, 2), (2, 2), (2, 1), (1, 1)))),
+      MultiPoint(Array(Point(1, 2), Point(3, 4))),
+      MultiLineString(Array(LineString(CoordSeq.of((0, 0), (1, 1))),
+        LineString(CoordSeq.of((5, 5), (6, 7), (8, 8))))),
+      MultiPolygon(Array(
+        Polygon(Array(CoordSeq.of((0, 0), (1, 0), (1, 1), (0, 1), (0, 0)))),
+        Polygon(Array(CoordSeq.of((5, 5), (7, 5), (7, 7), (5, 7), (5, 5)))))))
+    val cols = Seq(("id", FlatGeobuf.CtLong), ("name", FlatGeobuf.CtString),
+      ("score", FlatGeobuf.CtDouble), ("ok", FlatGeobuf.CtBool))
+    val rows = geoms.indices.map(i =>
+      Seq[Any](i.toLong, s"g$i", i * 0.5, i % 2 == 0))
+    FlatGeobuf.write(s"$dir/mixed.fgb", cols, rows, geoms)
+    val back = FlatGeobuf.read(s"$dir/mixed.fgb")
+    assert(back.columns == cols && back.rows == rows)
+    assert(back.geoms.map(graft.geom.Wkb.write).map(_.toSeq) ==
+      geoms.map(graft.geom.Wkb.write).map(_.toSeq))
+    assert(back.crsCode.contains(4326))
+
+    // reference GeoJSON twin -> fgb -> back: envelope-per-id agreement
+    val twin = graft.table.GeoTable.fromGeoJsonFile(spark,
+      "/root/reference/tests/data/buildings_test.geojson")
+      .df.withColumn("id",
+        get_json_object(col("properties_json"), "$.id"))
+      .select(col("id"), col("geometry"))
+    val t = graft.table.GeoTable.fromDataFrame(twin, "geometry")
+    t.writeFlatGeobuf(s"$dir/buildings.fgb", "buildings")
+    val rt = graft.table.GeoTable.fromFlatGeobuf(spark, s"$dir/buildings.fgb")
+    def envs(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"),
+          graft.functions.geo.st_xmin(col("geometry")),
+          graft.functions.geo.st_ymin(col("geometry")),
+          graft.functions.geo.st_xmax(col("geometry")),
+          graft.functions.geo.st_ymax(col("geometry")))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(envs(rt.df) == envs(twin))
+
+    // packed R-tree size formula (spec node layout: 40-byte nodes)
+    assert(FlatGeobuf.indexSize(1, 16) == 80)
+    assert(FlatGeobuf.indexSize(179, 16) == (179 + 12 + 1) * 40)
+  }
+
   test("ndjson geojson round-trips through the distributed reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ndjson")
     val out = dir.resolve("features").toString
