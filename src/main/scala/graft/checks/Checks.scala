@@ -199,6 +199,11 @@ object Checks {
             if (x0 > x1 || y0 > y1)
               findings += Finding("error", "bbox",
                 s"declared bbox corners inverted ($x0,$y0,$x1,$y1)")
+            // extreme magnitudes mean a stats-parsing error upstream, not
+            // coordinates (reference _is_bbox_valid, validate.py:1403-1430)
+            if (Seq(x0, y0, x1, y1).exists(v => math.abs(v) > 1e15))
+              findings += Finding("error", "bbox",
+                s"declared bbox ($x0,$y0,$x1,$y1) has implausible magnitude")
             crsBounds(crsStr).foreach { case (bx0, by0, bx1, by1) =>
               if (x0 < bx0 || y0 < by0 || x1 > bx1 || y1 > by1)
                 findings += Finding("error", "bbox",
@@ -221,11 +226,31 @@ object Checks {
                 s"${g.primaryColumn} must not be repeated")
           }
 
+          // ---- covering path grammar (footer-only; reference
+          // `core/validate.py:819-1058` checks 1.1-1 .. 1.1-7) ------------
+          pc.coveringRaw.foreach { cov =>
+            if (!cov.isObject)
+              findings += Finding("error", "covering",
+                "covering must be an object")
+            else Option(cov.get("bbox")).foreach { bb =>
+              val need = Seq("xmin", "ymin", "xmax", "ymax")
+              val missing = need.filterNot(k => bb.has(k))
+              if (missing.nonEmpty)
+                findings += Finding("error", "covering",
+                  s"covering bbox missing required paths: ${missing.mkString(",")}")
+              need.filter(bb.has).foreach { k =>
+                val p = bb.get(k)
+                if (!p.isArray || p.size != 2)
+                  findings += Finding("error", "covering",
+                    s"covering bbox $k must be a path array [column, field]")
+              }
+            }
+          }
           // ---- covering structure (footer-only) ------------------------
           pc.coveringBbox.foreach { b =>
             if (!info.schemaFields.contains(b))
               findings += Finding("error", "covering",
-                s"covering bbox column $b not in schema")
+                s"covering bbox column $b not at schema root")
             else info.schemaInfo.find(_.name == b).foreach { f =>
               if (f.primitive)
                 findings += Finding("error", "covering",
@@ -243,8 +268,30 @@ object Checks {
                   findings += Finding("error", "covering",
                     s"covering bbox field $b.$n must be FLOAT/DOUBLE, found $t")
                 }
+                // all four corners must share one physical type
+                // (reference check 1.1-7)
+                val tys = need.flatMap(have.get).distinct
+                if (tys.length > 1)
+                  findings += Finding("error", "covering",
+                    s"covering bbox fields must all use the same type " +
+                      s"(found ${tys.mkString(",")})")
               }
             }
+            // row-group statistics on the bbox fields are what make the
+            // covering usable for predicate pushdown at scale (reference
+            // `core/validate.py:1342-1430`); their absence is a warning
+            val missingStats = parts.exists { part =>
+              Footer.read(part, conf).rowGroups.exists { rg =>
+                Seq("xmin", "ymin", "xmax", "ymax").exists { fldm =>
+                  rg.columns.get(s"$b.$fldm")
+                    .forall(cs => cs.min.isEmpty || cs.max.isEmpty)
+                }
+              }
+            }
+            if (missingStats)
+              findings += Finding("warn", "covering",
+                s"covering bbox column $b missing row-group min/max " +
+                  "statistics — spatial filtering cannot prune row groups")
           }
 
           // ---- v2 / native-type consistency (footer-only) --------------

@@ -20,7 +20,9 @@ final case class GeoColumnMeta(
     edges: Option[String] = None,
     orientation: Option[String] = None,
     /** covering.bbox: map of corner -> [column, field] paths. */
-    coveringBbox: Option[String] = None)
+    coveringBbox: Option[String] = None,
+    /** the raw `covering` node, for path-grammar validation. */
+    coveringRaw: Option[JsonNode] = None)
 
 final case class GeoMeta(
     version: String = "1.1.0",
@@ -110,7 +112,8 @@ object GeoMeta {
           crs = Option(c.get("crs")),
           edges = Option(c.get("edges")).map(_.asText),
           orientation = Option(c.get("orientation")).map(_.asText),
-          coveringBbox = covering)
+          coveringBbox = covering,
+          coveringRaw = Option(c.get("covering")))
       }.toMap
     }.getOrElse(Map.empty[String, GeoColumnMeta])
     GeoMeta(

@@ -136,7 +136,7 @@ class ValidateSpec extends AnyFunSuite {
       coveringBbox = Some("no_such_bbox"))))
     poke(out, GeoMeta.toJson(missing))
     assert(errs(out).exists(f =>
-      f.check == "covering" && f.message.contains("not in schema")))
+      f.check == "covering" && f.message.contains("not at schema root")))
     val nonStruct = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
       coveringBbox = Some("id"))))
     poke(out, GeoMeta.toJson(nonStruct))
@@ -157,6 +157,49 @@ class ValidateSpec extends AnyFunSuite {
     val out = write("withbbox", t)
     val f = errs(out)
     assert(f.isEmpty, s"unexpected errors: $f")
+    // Spark writes row-group stats for the bbox fields, so the
+    // stats-presence check must NOT warn here
+    assert(!Checks.validate(spark, out).exists(f =>
+      f.level == "warn" && f.message.contains("row-group")))
+  }
+
+  test("covering path grammar violations are errors") {
+    val out = write("badgrammar", polyTable(ccw = true).addBbox())
+    def meta(covering: String): String =
+      s"""{"version":"1.1.0","primary_column":"geometry","columns":
+         |{"geometry":{"encoding":"WKB","geometry_types":[],
+         |"covering":$covering}}}""".stripMargin.replaceAll("\n", "")
+    poke(out, meta("\"not an object\""))
+    assert(errs(out).exists(f =>
+      f.check == "covering" && f.message.contains("must be an object")))
+    poke(out, meta("""{"bbox":{"xmin":["bbox","xmin"]}}"""))
+    assert(errs(out).exists(f =>
+      f.check == "covering" && f.message.contains("missing required paths")))
+    poke(out, meta("""{"bbox":{"xmin":["bbox"],"ymin":["bbox","ymin"],
+      "xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}""".replaceAll("\n", "")))
+    assert(errs(out).exists(f =>
+      f.check == "covering" && f.message.contains("path array")))
+  }
+
+  test("implausible declared bbox magnitude is an error") {
+    val out = write("hugebbox", polyTable(ccw = true))
+    val m = GeoMeta(columns = Map("geometry" -> GeoColumnMeta(
+      bbox = Some((-1e300, -90.0, 1e300, 90.0)))))
+    poke(out, GeoMeta.toJson(m))
+    assert(errs(out).exists(_.message.contains("implausible magnitude")))
+  }
+
+  test("bbox covering without row-group statistics warns") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.column.statistics.enabled", "false")
+    val out =
+      try write("nostats", polyTable(ccw = true).addBbox())
+      finally hc.unset("parquet.column.statistics.enabled")
+    val stats = Footer.read(Footer.partFiles(out).head)
+      .rowGroups.head.columns("bbox.xmin")
+    assume(stats.min.isEmpty, "parquet writer ignored statistics toggle")
+    assert(Checks.validate(spark, out).exists(f =>
+      f.level == "warn" && f.message.contains("row-group min/max")))
   }
 
   test("native-geo-type fixtures read via the footer-strip stage") {
