@@ -90,64 +90,158 @@ object Proj {
     }
   }
 
-  // ---- Transverse Mercator (UTM) ---------------------------------------
+  // ---- Transverse Mercator (general form; UTM/MGA/NZTM/CS92 are
+  // parameterizations) ----------------------------------------------------
 
-  private def utmForward(lon: Double, lat: Double, zone: Int,
-      north: Boolean): (Double, Double) = {
-    val k0 = 0.9996
-    val lon0 = math.toRadians(-183.0 + 6 * zone)
-    val e2 = 2 * FWgs - FWgs * FWgs
-    val ep2 = e2 / (1 - e2)
-    val phi = math.toRadians(lat)
-    val lam = math.toRadians(lon)
-    val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
-    val nRad = A / math.sqrt(1 - e2 * sinP * sinP)
-    val t = tanP * tanP
-    val cc = ep2 * cosP * cosP
-    val aa = cosP * (lam - lon0)
-    val m = A * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi -
-      (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi) +
-      (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi) -
-      (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
-    val x = k0 * nRad * (aa + (1 - t + cc) * aa * aa * aa / 6 +
-      (5 - 18 * t + t * t + 72 * cc - 58 * ep2) * math.pow(aa, 5) / 120) + 500000.0
-    var y = k0 * (m + nRad * tanP * (aa * aa / 2 +
-      (5 - t + 9 * cc + 4 * cc * cc) * math.pow(aa, 4) / 24 +
-      (61 - 58 * t + t * t + 600 * cc - 330 * ep2) * math.pow(aa, 6) / 720))
-    if (!north) y += 10000000.0
-    (x, y)
+  /** Snyder series TM on a WGS84/GRS80-compatible datum. */
+  private final class Tm(lat0d: Double, lon0d: Double, k0: Double,
+      fe: Double, fn: Double, flattening: Double = FWgs) {
+    private val e2 = 2 * flattening - flattening * flattening
+    private val ep2 = e2 / (1 - e2)
+    private val lon0 = math.toRadians(lon0d)
+    private def mOf(phi: Double): Double =
+      A * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi -
+        (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi) +
+        (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi) -
+        (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+    private val m0 = mOf(math.toRadians(lat0d))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon)
+      val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+      val nRad = A / math.sqrt(1 - e2 * sinP * sinP)
+      val t = tanP * tanP
+      val cc = ep2 * cosP * cosP
+      val aa = cosP * (lam - lon0)
+      val m = mOf(phi)
+      val x = k0 * nRad * (aa + (1 - t + cc) * aa * aa * aa / 6 +
+        (5 - 18 * t + t * t + 72 * cc - 58 * ep2) * math.pow(aa, 5) / 120) + fe
+      val y = fn + k0 * (m - m0 + nRad * tanP * (aa * aa / 2 +
+        (5 - t + 9 * cc + 4 * cc * cc) * math.pow(aa, 4) / 24 +
+        (61 - 58 * t + t * t + 600 * cc - 330 * ep2) * math.pow(aa, 6) / 720))
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val xm = x - fe
+      val m = m0 + (y - fn) / k0
+      val mu = m / (A * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val phi1 = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+      val c1 = ep2 * cosP * cosP
+      val t1 = tanP * tanP
+      val n1 = A / math.sqrt(1 - e2 * sinP * sinP)
+      val r1 = A * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
+      val d = xm / (n1 * k0)
+      val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) *
+          math.pow(d, 6) / 720)
+      val lam = lon0 + (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) *
+          math.pow(d, 5) / 120) / cosP
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
   }
 
-  private def utmInverse(x: Double, y: Double, zone: Int,
-      north: Boolean): (Double, Double) = {
-    val k0 = 0.9996
-    val lon0 = math.toRadians(-183.0 + 6 * zone)
-    val e2 = 2 * FWgs - FWgs * FWgs
-    val ep2 = e2 / (1 - e2)
-    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-    val xm = x - 500000.0
-    val ym = if (north) y else y - 10000000.0
-    val m = ym / k0
-    val mu = m / (A * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
-    val phi1 = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
-      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
-      (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
-      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
-    val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
-    val c1 = ep2 * cosP * cosP
-    val t1 = tanP * tanP
-    val n1 = A / math.sqrt(1 - e2 * sinP * sinP)
-    val r1 = A * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
-    val d = xm / (n1 * k0)
-    val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
-      (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24 +
-      (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) *
-        math.pow(d, 6) / 720)
-    val lam = lon0 + (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6 +
-      (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) *
-        math.pow(d, 5) / 120) / cosP
-    (math.toDegrees(lam), math.toDegrees(phi))
+  private val tmCache = new java.util.concurrent.ConcurrentHashMap[Int, Tm]()
+  private def tmFor(epsg: Int): Tm =
+    tmCache.computeIfAbsent(epsg, { code =>
+      code match {
+        case z if z >= 32601 && z <= 32660 =>
+          new Tm(0, -183.0 + 6 * (z - 32600), 0.9996, 500000.0, 0.0)
+        case z if z >= 32701 && z <= 32760 =>
+          new Tm(0, -183.0 + 6 * (z - 32700), 0.9996, 500000.0, 10000000.0)
+        case z if z >= 25828 && z <= 25838 =>
+          new Tm(0, -183.0 + 6 * (z - 25800), 0.9996, 500000.0, 0.0, F)
+        case z if z >= 26901 && z <= 26923 =>
+          new Tm(0, -183.0 + 6 * (z - 26900), 0.9996, 500000.0, 0.0, F)
+        case z if z >= 28348 && z <= 28358 => // GDA94 / MGA zones
+          new Tm(0, -183.0 + 6 * (z - 28300), 0.9996, 500000.0, 10000000.0, F)
+        case 2193 => // NZGD2000 / New Zealand TM 2000
+          new Tm(0, 173.0, 0.9996, 1600000.0, 10000000.0, F)
+        case 2180 => // ETRS89 / Poland CS92
+          new Tm(0, 19.0, 0.9993, 500000.0, -5300000.0, F)
+        case other =>
+          throw new IllegalArgumentException(s"not a TM code: EPSG:$other")
+      }
+    })
+
+  private def isTm(c: Int): Boolean =
+    (c >= 32601 && c <= 32660) || (c >= 32701 && c <= 32760) ||
+      (c >= 25828 && c <= 25838) || (c >= 26901 && c <= 26923) ||
+      (c >= 28348 && c <= 28358) || c == 2193 || c == 2180
+
+  // ---- Polar Stereographic (Snyder ellipsoidal; EPSG methods 9810
+  // variant A / 9829 variant B) ------------------------------------------
+
+  /** north = projection centered on the north pole. Variant A fixes k0
+    * at the pole; variant B derives the scale from a standard parallel
+    * latTs (pass latTs = ±90 with an explicit k0 for variant A).
+    */
+  private final class PolarStereo(latTsD: Double, lon0d: Double, fe: Double,
+      fn: Double, north: Boolean, k0A: Double = Double.NaN) {
+    private val e2 = 2 * FWgs - FWgs * FWgs
+    private val e = math.sqrt(e2)
+    private val lon0 = math.toRadians(lon0d)
+    private def tOf(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - esin) / (1 + esin), e / 2)
+    }
+    /** rho = A * k * t where k collapses the variant A/B distinction. */
+    private val rhoFactor: Double =
+      if (!k0A.isNaN) // variant A: rho = 2 A k0 t / sqrt((1+e)^(1+e)(1-e)^(1-e))
+        2 * A * k0A / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      else { // variant B: rho = A mc t / tc at the standard parallel
+        val latTs = math.toRadians(math.abs(latTsD))
+        val mc = math.cos(latTs) /
+          math.sqrt(1 - e2 * math.sin(latTs) * math.sin(latTs))
+        A * mc / tOf(latTs)
+      }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(if (north) lat else -lat)
+      val lam = math.toRadians(if (north) lon else -lon) -
+        (if (north) lon0 else -lon0)
+      val rho = rhoFactor * tOf(phi)
+      val x = rho * math.sin(lam)
+      val y = -rho * math.cos(lam)
+      if (north) (fe + x, fn + y) else (fe - x, fn - y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (xp, yp) = if (north) (x - fe, y - fn) else (fe - x, fn - y)
+      val rho = math.hypot(xp, yp)
+      val t = rho / rhoFactor
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        val next = math.Pi / 2 -
+          2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+        if (math.abs(next - phi) < 1e-12) { phi = next; i = 100 } else phi = next
+        i += 1
+      }
+      val lam = (if (north) lon0 else -lon0) + math.atan2(xp, -yp)
+      if (north) (math.toDegrees(lam), math.toDegrees(phi))
+      else (math.toDegrees(-lam), math.toDegrees(-phi))
+    }
   }
+
+  private lazy val polarByCode: Map[Int, PolarStereo] = Map(
+    3413 -> new PolarStereo(70, -45, 0, 0, north = true), // NSIDC Sea Ice North
+    3995 -> new PolarStereo(71, 0, 0, 0, north = true), // Arctic Polar Stereo
+    3031 -> new PolarStereo(-71, 0, 0, 0, north = false), // Antarctic Polar Stereo
+    3976 -> new PolarStereo(-70, 0, 0, 0, north = false), // NSIDC Sea Ice South
+    3032 -> new PolarStereo(-71, 70, 6000000, 6000000, north = false), // Australian Antarctic
+    5041 -> new PolarStereo(90, 0, 2000000, 2000000, north = true, k0A = 0.994), // UPS North
+    5042 -> new PolarStereo(-90, 0, 2000000, 2000000, north = false, k0A = 0.994)) // UPS South
 
   // ---- ellipsoidal Mercator (EPSG:3395) --------------------------------
 
@@ -339,6 +433,14 @@ object Proj {
         Some((-100000.0, 100000.0, 1100000.0, 10000000.0))
       case c if (c >= 25828 && c <= 25838) || (c >= 26901 && c <= 26923) =>
         Some((-100000.0, 0.0, 1100000.0, 9600000.0)) // ETRS89 / NAD83 UTM north
+      case c if c >= 28348 && c <= 28358 => // GDA94 / MGA (south), outward
+        Some((-100000.0, 100000.0, 1100000.0, 10000000.0))
+      case 2193 => Some((900000.0, 4300000.0, 2200000.0, 6300000.0)) // NZTM, outward
+      case 2180 => Some((100000.0, 100000.0, 900000.0, 900000.0)) // CS92, outward
+      case 3413 | 3995 => Some((-6e6, -6e6, 6e6, 6e6)) // polar stereo north, outward
+      case 3031 | 3976 => Some((-5e6, -5e6, 5e6, 5e6)) // polar stereo south, outward
+      case 3032 => Some((1e6, 1e6, 11e6, 11e6)) // Australian Antarctic, outward
+      case 5041 | 5042 => Some((0.0, 0.0, 4e6, 4e6)) // UPS, outward
       case _ => None
     }
 
@@ -348,8 +450,7 @@ object Proj {
       c == 4326 || c == 4269 || c == 4258 ||
         c == 3857 || c == 900913 || c == 3395 ||
         c == 5070 || c == 2154 || c == 3035 ||
-        (c >= 32601 && c <= 32660) || (c >= 32701 && c <= 32760) ||
-        (c >= 25828 && c <= 25838) || (c >= 26901 && c <= 26923)
+        isTm(c) || polarByCode.contains(c)
     } catch { case _: Exception => false }
 
   /** (lon-ish x, lat-ish y) in `from` CRS → `to` CRS, always XY. */
@@ -371,10 +472,8 @@ object Proj {
       case 5070 => Albers5070.inverse(x, y)
       case 2154 => Lambert93.inverse(x, y)
       case 3035 => Laea3035.inverse(x, y)
-      case z if z >= 32601 && z <= 32660 => utmInverse(x, y, z - 32600, north = true)
-      case z if z >= 32701 && z <= 32760 => utmInverse(x, y, z - 32700, north = false)
-      case z if z >= 25828 && z <= 25838 => utmInverse(x, y, z - 25800, north = true)
-      case z if z >= 26901 && z <= 26923 => utmInverse(x, y, z - 26900, north = true)
+      case z if isTm(z) => tmFor(z).inverse(x, y)
+      case z if polarByCode.contains(z) => polarByCode(z).inverse(x, y)
       case _ => throw new IllegalArgumentException(s"unsupported CRS EPSG:$epsg")
     }
 
@@ -386,10 +485,8 @@ object Proj {
       case 5070 => Albers5070.forward(lon, lat)
       case 2154 => Lambert93.forward(lon, lat)
       case 3035 => Laea3035.forward(lon, lat)
-      case z if z >= 32601 && z <= 32660 => utmForward(lon, lat, z - 32600, north = true)
-      case z if z >= 32701 && z <= 32760 => utmForward(lon, lat, z - 32700, north = false)
-      case z if z >= 25828 && z <= 25838 => utmForward(lon, lat, z - 25800, north = true)
-      case z if z >= 26901 && z <= 26923 => utmForward(lon, lat, z - 26900, north = true)
+      case z if isTm(z) => tmFor(z).forward(lon, lat)
+      case z if polarByCode.contains(z) => polarByCode(z).forward(lon, lat)
       case _ => throw new IllegalArgumentException(s"unsupported CRS EPSG:$epsg")
     }
 

@@ -142,6 +142,61 @@ class SpatialKeySpec extends AnyFunSuite {
     assert(math.abs(lonc + 122.4194) < 1e-7 && math.abs(latc - 37.7749) < 1e-7)
   }
 
+  test("polar stereographic matches the published IOGP worked examples") {
+    // EPSG Guidance Note 7-2, Polar Stereographic variant B example
+    // (Australian Antarctic EPSG:3032, latTs 71S lon0 70E FE=FN=6000000):
+    // 75S 120E -> E 7255380.79, N 7053389.56
+    val (e, n) = Proj.transform(120.0, -75.0, "EPSG:4326", "EPSG:3032")
+    assert(math.abs(e - 7255380.79) < 0.05, s"E=$e")
+    assert(math.abs(n - 7053389.56) < 0.05, s"N=$n")
+    val (lon, lat) = Proj.transform(e, n, "EPSG:3032", "EPSG:4326")
+    assert(math.abs(lon - 120.0) < 1e-8 && math.abs(lat + 75.0) < 1e-8)
+    // GN7-2 variant A example (UPS North EPSG:5041, k0=0.994,
+    // FE=FN=2000000): 73N 44E -> E 3320416.75, N 632668.43
+    val (ue, un) = Proj.transform(44.0, 73.0, "EPSG:4326", "EPSG:5041")
+    assert(math.abs(ue - 3320416.75) < 0.05, s"E=$ue")
+    assert(math.abs(un - 632668.43) < 0.05, s"N=$un")
+    // poles project to the natural/false origin
+    val (px, py) = Proj.transform(-45.0, 90.0, "EPSG:4326", "EPSG:3413")
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+    val (sx, sy) = Proj.transform(0.0, -90.0, "EPSG:4326", "EPSG:3031")
+    assert(math.abs(sx) < 1e-6 && math.abs(sy) < 1e-6)
+    // round trips for the NSIDC/Arctic/Antarctic grids
+    for ((code, pts) <- Seq(
+        "EPSG:3413" -> Seq((-45.0, 70.0), (10.0, 80.0), (-150.0, 66.0)),
+        "EPSG:3995" -> Seq((0.0, 71.0), (120.0, 85.0)),
+        "EPSG:3031" -> Seq((0.0, -71.0), (-60.0, -80.0)),
+        "EPSG:3976" -> Seq((45.0, -70.0)),
+        "EPSG:5042" -> Seq((30.0, -80.0)));
+        (lon0, lat0) <- pts) {
+      val (x, y) = Proj.transform(lon0, lat0, "EPSG:4326", code)
+      val (l2, p2) = Proj.transform(x, y, code, "EPSG:4326")
+      assert(math.abs(l2 - lon0) < 1e-8 && math.abs(p2 - lat0) < 1e-8, code)
+    }
+  }
+
+  test("general transverse mercator grids: origins exact, round trips") {
+    // natural origin maps to the false origin exactly (M(lat0)=0 there)
+    val (nze, nzn) = Proj.transform(173.0, 0.0, "EPSG:4326", "EPSG:2193")
+    assert(math.abs(nze - 1600000.0) < 1e-6 && math.abs(nzn - 10000000.0) < 1e-6)
+    val (ple, pln) = Proj.transform(19.0, 0.0, "EPSG:4326", "EPSG:2180")
+    assert(math.abs(ple - 500000.0) < 1e-6 && math.abs(pln + 5300000.0) < 1e-6)
+    val (mge, mgn) = Proj.transform(147.0, 0.0, "EPSG:4326", "EPSG:28355")
+    assert(math.abs(mge - 500000.0) < 1e-6 && math.abs(mgn - 10000000.0) < 1e-6)
+    // MGA zone 55 agrees with WGS84 UTM 55S to datum-equivalence level
+    val (a1, b1) = Proj.transform(151.2, -33.8, "EPSG:4326", "EPSG:28355")
+    val (a2, b2) = Proj.transform(151.2, -33.8, "EPSG:4326", "EPSG:32755")
+    assert(math.abs(a1 - a2) < 0.01 && math.abs(b1 - b2) < 0.01)
+    // round trips
+    for ((code, lon, lat) <- Seq(
+        ("EPSG:2193", 174.7633, -36.8485), ("EPSG:2180", 21.0, 52.2),
+        ("EPSG:28355", 147.3, -42.9))) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", code)
+      val (l2, p2) = Proj.transform(x, y, code, "EPSG:4326")
+      assert(math.abs(l2 - lon) < 1e-8 && math.abs(p2 - lat) < 1e-8, code)
+    }
+  }
+
   test("CRS dispatch accepts PROJJSON, URNs and OGC:CRS84") {
     assert(Proj.parseEpsg("urn:ogc:def:crs:EPSG::3857") == 3857)
     assert(Proj.parseEpsg("OGC:CRS84") == 4326)
