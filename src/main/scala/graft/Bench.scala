@@ -58,10 +58,20 @@ object Bench {
       }
       name -> times.min
     }
+    // Spark's fixed per-job floor (scheduler + planning + noop sink on a
+    // 1-row frame): queries whose total is within ~2x of this number are
+    // overhead-bound, not data-bound — the honest denominator when
+    // comparing against an in-process engine on tiny scale factors.
+    val floor = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      force(spark.range(1).toDF("x"))
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val work = results.map { case (_, v) => math.max(0.0, v - floor) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work}""")
     spark.stop()
   }
 }
