@@ -315,9 +315,23 @@ object Checks {
                 findings += Finding("error", "encoding",
                   s"geometry bytes do not parse as WKB: ${e.getMessage}")
             }
-            val actualTypes =
-              try t.geometryTypes().map(s => s.head.toString + s.tail.toLowerCase)
-              catch { case _: Exception => Seq.empty[String] }
+            // ONE full pass for all data probes (types + orientation +
+            // extent) — three separate jobs would each rescan the
+            // dataset; at 100 TB the scan dominates, the extra
+            // expressions don't
+            val probe =
+              try {
+                val gc = col(g.primaryColumn)
+                Some(t.df.agg(
+                  collect_set(geo.st_geometrytype(gc)).as("types"),
+                  sum(when(geo.st_exteriors_ccw(gc) === false, 1L)
+                    .otherwise(0L)).as("bad_ccw"),
+                  min(geo.st_xmin(gc)).as("dx0"), min(geo.st_ymin(gc)).as("dy0"),
+                  max(geo.st_xmax(gc)).as("dx1"), max(geo.st_ymax(gc)).as("dy1"))
+                  .head())
+              } catch { case _: Exception => None }
+            val actualTypes = probe.map(_.getSeq[String](0).sorted
+              .map(s => s.head.toString + s.tail.toLowerCase)).getOrElse(Seq.empty)
             val declared = pc.geometryTypes
             if (declared.nonEmpty && actualTypes.nonEmpty &&
                 !actualTypes.forall(a => declared.exists(_.equalsIgnoreCase(a))))
@@ -326,23 +340,22 @@ object Checks {
             // orientation vs data (only when declared)
             if (pc.orientation.contains("counterclockwise") &&
                 actualTypes.exists(_.toLowerCase.contains("polygon"))) {
-              val bad = t.df
-                .select(geo.st_exteriors_ccw(col(g.primaryColumn)).as("ccw"))
-                .filter(col("ccw") === false).count()
+              val bad = probe.map(_.getLong(1)).getOrElse(0L)
               if (bad > 0)
                 findings += Finding("error", "orientation",
                   s"$bad geometries have clockwise exterior rings but orientation declares counterclockwise")
             }
             // coordinate range vs CRS bounds
             crsBounds(crsStr).foreach { case (bx0, by0, bx1, by1) =>
-              try {
-                val (dx0, dy0, dx1, dy1) = t.bounds()
+              probe.foreach { r =>
+                val (dx0, dy0, dx1, dy1) =
+                  (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
                 val eps = 1e-9
                 if (dx0 < bx0 - eps || dy0 < by0 - eps ||
                     dx1 > bx1 + eps || dy1 > by1 + eps)
                   findings += Finding("error", "crs_range",
                     s"data bbox ($dx0,$dy0,$dx1,$dy1) outside CRS bounds ($bx0,$by0,$bx1,$by1)")
-              } catch { case _: Exception => () }
+              }
             }
             // per-file: each part's declared bbox must contain that
             // part's data (parts carry their own bbox — reference

@@ -6,8 +6,9 @@ import QueryDef.table
 
 /** Embedding-column operators over `embeddings` (builder-prompt surface:
   * similarity search + embedding near-dup). Brute-force cosine is the
-  * verifiable baseline; the LSH/IVF scale path lives in graft.ops.Ann
-  * with rows-only checks.
+  * verifiable baseline; the LSH and IVF scale paths (graft.ops.Ann) are
+  * themselves oracle-checked (q31, q44) — their deterministic
+  * hyperplanes / stride centroids are reproducible in SQL.
   */
 object VectorQueries {
 
@@ -85,6 +86,70 @@ object VectorQueries {
           FROM pairs GROUP BY label, id_a, id_b)
         SELECT label, id_a, id_b, sim FROM sims
         WHERE sim > 0.4
-        ORDER BY label, id_a, id_b"""))
+        ORDER BY label, id_a, id_b""")),
+
+    // ---- IVF ANN: stride centroids -> nearest-list assignment ->
+    // probe the 2 closest lists -> exact top-k within ------------------
+    // Centroids are a deterministic stride sample (vec_id % stride = 0,
+    // first nLists by id), so the oracle rebuilds the identical coarse
+    // quantizer, re-derives every list assignment (argmax cosine,
+    // lowest-index tie-break), the probe set, and the exact top-k —
+    // certifying the whole IVF path, not just its output shape.
+    QueryDef(
+      "q44_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val query = emb.filter($"vec_id" === 2)
+          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        val cents = graft.ops.Ann.ivfCentroids(emb, "embedding", "vec_id",
+          nLists = 8)
+        graft.ops.Ann.ivfTopK(emb.filter($"vec_id" =!= 2), "embedding",
+            "vec_id", query, k = 10, cents, nProbe = 2)
+          .select($"vec_id", round($"sim", 5).as("sim"))
+      },
+      Some("""WITH params AS (
+          SELECT GREATEST(1, COUNT(*) // 8) AS stride FROM embeddings),
+        cents AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c,
+            e.embedding AS cv
+          FROM embeddings e, params p WHERE e.vec_id % p.stride = 0
+          ORDER BY e.vec_id LIMIT 8),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
+        csim AS (
+          SELECT c.c,
+            SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(c.cv[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(c.cv[t.i] AS DOUBLE) * CAST(c.cv[t.i] AS DOUBLE)))) AS sim
+          FROM cents c CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY c.c),
+        probes AS (SELECT c FROM csim ORDER BY sim DESC, c LIMIT 2),
+        vsim AS (
+          SELECT e.vec_id, c.c,
+            SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.cv[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(c.cv[t.i] AS DOUBLE) * CAST(c.cv[t.i] AS DOUBLE)))) AS sim
+          FROM embeddings e CROSS JOIN cents c
+          CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY e.vec_id, c.c),
+        assigned AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+            FROM vsim) t WHERE rn = 1),
+        cand AS (
+          SELECT a.vec_id FROM assigned a JOIN probes p ON a.c = p.c
+          WHERE a.vec_id <> 2),
+        pairs AS (
+          SELECT e.vec_id,
+            CAST(e.embedding[t.i] AS DOUBLE) AS ev,
+            CAST(q.qv[t.i] AS DOUBLE) AS qv2
+          FROM embeddings e JOIN cand ca ON e.vec_id = ca.vec_id
+          CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)),
+        sims AS (
+          SELECT vec_id,
+            ROUND(SUM(ev * qv2) / (SQRT(SUM(ev * ev)) * SQRT(SUM(qv2 * qv2))), 5) AS sim
+          FROM pairs GROUP BY vec_id)
+        SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10"""))
   )
 }
