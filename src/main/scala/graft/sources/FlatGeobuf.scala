@@ -151,17 +151,11 @@ object FlatGeobuf {
 
   // ---- read --------------------------------------------------------------
 
-  def read(path: String): Contents = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    require(bytes.length > 12 && Magic.indices.forall(i => bytes(i) == Magic(i)),
-      "not a FlatGeobuf file")
-    val hr = new FbReader(bytes, 12)
-    val headerLen = hr.i32(8)
-    val header = hr.root
-    val name = Option(hr.field(header, 0)).filter(_ >= 0).map(hr.string)
+  /** (columns, header geometry type) from a parsed Header table. */
+  private def read0Header(hr: FbReader, header: Int): (Seq[(String, Int)], Int) = {
     val headerType = {
       val f = hr.field(header, 2)
-      if (f < 0) 0 else bytes(f) & 0xff
+      if (f < 0) 0 else hr.buf(f) & 0xff
     }
     val columns: Seq[(String, Int)] = {
       val f = hr.field(header, 7)
@@ -172,10 +166,61 @@ object FlatGeobuf {
           val ct = hr.indirect(p + 4 * i)
           val cname = hr.string(hr.field(ct, 0))
           val tf = hr.field(ct, 1)
-          (cname, if (tf < 0) 0 else bytes(tf) & 0xff)
+          (cname, if (tf < 0) 0 else hr.buf(tf) & 0xff)
         }
       }
     }
+    (columns, headerType)
+  }
+
+  /** Decode the size-prefixed Feature at `pos`; returns its byte length
+    * (without the 4-byte prefix). Properties use the spec encoding:
+    * [u16 column index][value]... with u32-length-prefixed strings.
+    */
+  private def decodeFeature(bytes: Array[Byte], pos: Int,
+      columns: Seq[(String, Int)], headerType: Int,
+      rows: scala.collection.mutable.ArrayBuffer[Seq[Any]],
+      geoms: scala.collection.mutable.ArrayBuffer[Geom]): Int = {
+    val fr = new FbReader(bytes, pos + 4)
+    val len = fr.i32(pos)
+    val feature = fr.root
+    val gf = fr.field(feature, 0)
+    require(gf >= 0, "feature without geometry")
+    geoms += readGeom(fr, fr.indirect(gf), headerType)
+    val vals = Array.fill[Any](columns.length)(null)
+    val pf = fr.field(feature, 1)
+    if (pf >= 0) {
+      val (p, n) = fr.vector(pf)
+      var q = p
+      while (q < p + n) {
+        val ci = fr.u16(q); q += 2
+        columns(ci)._2 match {
+          case CtBool => vals(ci) = bytes(q) != 0; q += 1
+          case CtInt => vals(ci) = fr.i32(q).toLong; q += 4
+          case CtLong => vals(ci) = fr.i64(q); q += 8
+          case CtDouble => vals(ci) = fr.f64(q); q += 8
+          case CtString =>
+            val sl = fr.i32(q); q += 4
+            vals(ci) = new String(bytes, q, sl, StandardCharsets.UTF_8)
+            q += sl
+          case other => throw new IllegalArgumentException(
+            s"unsupported column type $other for ${columns(ci)._1}")
+        }
+      }
+    }
+    rows += vals.toSeq
+    len
+  }
+
+  def read(path: String): Contents = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(bytes.length > 12 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a FlatGeobuf file")
+    val hr = new FbReader(bytes, 12)
+    val headerLen = hr.i32(8)
+    val header = hr.root
+    val name = Option(hr.field(header, 0)).filter(_ >= 0).map(hr.string)
+    val (columns, headerType) = read0Header(hr, header)
     val featuresCount = {
       val f = hr.field(header, 8)
       if (f < 0) 0L else hr.i64(f)
@@ -198,37 +243,7 @@ object FlatGeobuf {
     val geoms = scala.collection.mutable.ArrayBuffer[Geom]()
     while (pos + 4 <= bytes.length && {
         val len = hr.i32(pos); len > 0 && pos + 4 + len <= bytes.length }) {
-      val len = hr.i32(pos)
-      val fr = new FbReader(bytes, pos + 4)
-      val feature = fr.root
-      val gf = fr.field(feature, 0)
-      require(gf >= 0, "feature without geometry")
-      geoms += readGeom(fr, fr.indirect(gf), headerType)
-      // properties: [u16 column index][value]... with u32-length-prefixed
-      // strings (spec property encoding)
-      val vals = Array.fill[Any](columns.length)(null)
-      val pf = fr.field(feature, 1)
-      if (pf >= 0) {
-        val (p, n) = fr.vector(pf)
-        var q = p
-        while (q < p + n) {
-          val ci = fr.u16(q); q += 2
-          columns(ci)._2 match {
-            case CtBool => vals(ci) = bytes(q) != 0; q += 1
-            case CtInt => vals(ci) = fr.i32(q).toLong; q += 4
-            case CtLong => vals(ci) = fr.i64(q); q += 8
-            case CtDouble => vals(ci) = fr.f64(q); q += 8
-            case CtString =>
-              val sl = fr.i32(q); q += 4
-              vals(ci) = new String(bytes, q, sl, StandardCharsets.UTF_8)
-              q += sl
-            case other => throw new IllegalArgumentException(
-              s"unsupported column type $other for ${columns(ci)._1}")
-          }
-        }
-      }
-      rows += vals.toSeq
-      pos += 4 + len
+      pos += 4 + decodeFeature(bytes, pos, columns, headerType, rows, geoms)
     }
     Contents(name, columns, rows.toSeq, geoms.toSeq, crsCode)
   }
@@ -425,14 +440,38 @@ object FlatGeobuf {
     bb.toByteArray
   }
 
-  /** Write a FlatGeobuf file (no spatial index — index_node_size 0). */
+  /** Write a FlatGeobuf file. With `indexNodeSize >= 2` (the spec
+    * default 16), features are Hilbert-sorted by envelope center and a
+    * packed Hilbert R-tree is written between header and features —
+    * node layout per the spec: 40-byte nodes, levels stored root-first,
+    * internal offsets = absolute node index of the first child, leaf
+    * offsets = feature byte offset. `indexNodeSize = 0` skips both.
+    */
   def write(path: String, columns: Seq[(String, Int)], rows: Seq[Seq[Any]],
       geoms: Seq[Geom], name: String = "features",
-      crsCode: Int = 4326): Unit = {
+      crsCode: Int = 4326, indexNodeSize: Int = 16): Unit = {
     require(rows.length == geoms.length, "rows/geoms length mismatch")
     val headerType = {
       val ts = geoms.map(geomTypeOf).distinct
       if (ts.length == 1) ts.head else 0
+    }
+    val indexed = indexNodeSize >= 2 && geoms.nonEmpty
+    // dataset extent + spec feature order (hilbert of envelope centers)
+    val envs = geoms.map(_.envelope)
+    val extent =
+      if (envs.isEmpty) (0.0, 0.0, 0.0, 0.0)
+      else (envs.map(_._1).min, envs.map(_._2).min,
+        envs.map(_._3).max, envs.map(_._4).max)
+    val order: Seq[Int] =
+      if (!indexed) geoms.indices
+      else geoms.indices.sortBy { i =>
+        val e = envs(i)
+        SpatialKey.hilbert((e._1 + e._3) / 2, (e._2 + e._4) / 2,
+          extent._1, extent._2, extent._3, extent._4)
+      }
+    // serialize features in final order to know sizes before the index
+    val featBufs: Seq[Array[Byte]] = order.map { i =>
+      featureBuffer(columns, rows(i), geoms(i), headerType)
     }
     val out = new java.io.FileOutputStream(path)
     try {
@@ -440,17 +479,21 @@ object FlatGeobuf {
       // ---- header buffer
       val hw = new FbWriter()
       hw.i32(0) // root offset placeholder (patched via ref-less trick below)
-      var namePos = -1; var colsVecPos = -1; var crsPos = -1
+      var namePos = -1; var colsVecPos = -1; var crsPos = -1; var envPos = -1
       val rootPos = writeTable(hw, Seq(
         Some(Ref(() => namePos)), // 0 name
-        None, // 1 envelope
+        if (geoms.nonEmpty) Some(Ref(() => envPos)) else None, // 1 envelope
         Some(sU8(headerType)), // 2 geometry_type
         None, None, None, None, // 3-6 has_z..has_tm
         if (columns.nonEmpty) Some(Ref(() => colsVecPos)) else None, // 7
         Some(sU64(rows.length.toLong)), // 8 features_count
-        Some(sU16(0)), // 9 index_node_size: no index
+        Some(sU16(if (indexed) indexNodeSize else 0)), // 9 index_node_size
         Some(Ref(() => crsPos)))) // 10 crs
       namePos = writeStr(hw, name)
+      if (geoms.nonEmpty) {
+        envPos = writeF64Vec(hw,
+          Seq(extent._1, extent._2, extent._3, extent._4))
+      }
       if (columns.nonEmpty) {
         hw.align(4)
         colsVecPos = hw.pos
@@ -478,29 +521,166 @@ object FlatGeobuf {
       val lenPrefix = Array.tabulate(4)(i => (headerBuf.length >> (8 * i)).toByte)
       out.write(lenPrefix)
       out.write(headerBuf)
+      // ---- packed Hilbert R-tree
+      if (indexed) {
+        // feature byte offsets (within the features section), sorted order
+        val offsets = featBufs.scanLeft(0L)((acc, b) => acc + 4 + b.length)
+        val itemEnvs = order.map(envs)
+        out.write(packedRTree(itemEnvs, offsets, indexNodeSize))
+      }
       // ---- features
-      rows.zip(geoms).foreach { case (row, g) =>
-        val fw = new FbWriter()
-        fw.i32(0)
-        var geomPos = -1; var propsPos = -1
-        val props = propBytes(columns, row)
-        val fPos = writeTable(fw, Seq(
-          Some(Ref(() => geomPos)),
-          if (props.nonEmpty) Some(Ref(() => propsPos)) else None))
-        geomPos = writeGeomTable(fw, g,
-          writeType = headerType == 0 || geomTypeOf(g) != headerType)
-        if (props.nonEmpty) {
-          fw.align(4)
-          propsPos = fw.pos
-          fw.i32(props.length)
-          fw.bytes(props)
-        }
-        val fb = fw.result()
-        fb(0) = fPos.toByte; fb(1) = (fPos >> 8).toByte
-        fb(2) = (fPos >> 16).toByte; fb(3) = (fPos >> 24).toByte
+      featBufs.foreach { fb =>
         out.write(Array.tabulate(4)(i => (fb.length >> (8 * i)).toByte))
         out.write(fb)
       }
     } finally out.close()
+  }
+
+  /** One size-prefix-less Feature flatbuffer. */
+  private def featureBuffer(columns: Seq[(String, Int)], row: Seq[Any],
+      g: Geom, headerType: Int): Array[Byte] = {
+    val fw = new FbWriter()
+    fw.i32(0)
+    var geomPos = -1; var propsPos = -1
+    val props = propBytes(columns, row)
+    val fPos = writeTable(fw, Seq(
+      Some(Ref(() => geomPos)),
+      if (props.nonEmpty) Some(Ref(() => propsPos)) else None))
+    geomPos = writeGeomTable(fw, g,
+      writeType = headerType == 0 || geomTypeOf(g) != headerType)
+    if (props.nonEmpty) {
+      fw.align(4)
+      propsPos = fw.pos
+      fw.i32(props.length)
+      fw.bytes(props)
+    }
+    val fb = fw.result()
+    fb(0) = fPos.toByte; fb(1) = (fPos >> 8).toByte
+    fb(2) = (fPos >> 16).toByte; fb(3) = (fPos >> 24).toByte
+    fb
+  }
+
+  /** Level sizes bottom-up (items first) for numItems/nodeSize. */
+  private def levelSizes(numItems: Long, nodeSize: Int): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer(numItems)
+    var n = numItems
+    while ({ n = (n + nodeSize - 1) / nodeSize; out += n; n != 1 }) ()
+    out.toSeq
+  }
+
+  /** Serialize the packed Hilbert R-tree: 40-byte LE nodes
+    * (minX,minY,maxX,maxY doubles + u64 offset), levels root-first;
+    * internal node offset = absolute node index of its first child,
+    * leaf offset = the feature's byte offset.
+    */
+  private def packedRTree(itemEnvs: Seq[(Double, Double, Double, Double)],
+      offsets: Seq[Long], nodeSize: Int): Array[Byte] = {
+    val sizesBottomUp = levelSizes(itemEnvs.length.toLong, nodeSize)
+    val sizesTopDown = sizesBottomUp.reverse.map(_.toInt)
+    val starts = sizesTopDown.scanLeft(0)(_ + _) // per-level absolute start
+    val numNodes = sizesTopDown.sum
+    val boxes = new Array[(Double, Double, Double, Double)](numNodes)
+    val offs = new Array[Long](numNodes)
+    // leaf level (last top-down level)
+    val leafStart = starts(sizesTopDown.length - 1)
+    itemEnvs.indices.foreach { i =>
+      boxes(leafStart + i) = itemEnvs(i)
+      offs(leafStart + i) = offsets(i)
+    }
+    // build parents bottom-up
+    var lvl = sizesTopDown.length - 2
+    while (lvl >= 0) {
+      val childStart = starts(lvl + 1)
+      val childCount = sizesTopDown(lvl + 1)
+      val myStart = starts(lvl)
+      (0 until sizesTopDown(lvl)).foreach { i =>
+        val c0 = i * nodeSize
+        val c1 = math.min(c0 + nodeSize, childCount)
+        var (x0, y0, x1, y1) =
+          (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+        (c0 until c1).foreach { c =>
+          val b = boxes(childStart + c)
+          x0 = math.min(x0, b._1); y0 = math.min(y0, b._2)
+          x1 = math.max(x1, b._3); y1 = math.max(y1, b._4)
+        }
+        boxes(myStart + i) = (x0, y0, x1, y1)
+        offs(myStart + i) = (childStart + c0).toLong
+      }
+      lvl -= 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(numNodes * 40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until numNodes).foreach { i =>
+      val b = boxes(i)
+      bb.putDouble(b._1).putDouble(b._2).putDouble(b._3).putDouble(b._4)
+      bb.putLong(offs(i))
+    }
+    bb.array()
+  }
+
+  /** Spatial filtered read driven by the packed R-tree: decodes ONLY the
+    * features whose envelope intersects the query box (falls back to a
+    * full-scan filter when the file carries no index).
+    */
+  def readFiltered(path: String, xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Contents = {
+    def hit(b: (Double, Double, Double, Double)): Boolean =
+      b._1 <= xmax && xmin <= b._3 && b._2 <= ymax && ymin <= b._4
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(bytes.length > 12 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a FlatGeobuf file")
+    val hr = new FbReader(bytes, 12)
+    val headerLen = hr.i32(8)
+    val header = hr.root
+    val nodeSize = {
+      val f = hr.field(header, 9); if (f < 0) 16 else hr.u16(f)
+    }
+    val featuresCount = {
+      val f = hr.field(header, 8); if (f < 0) 0L else hr.i64(f)
+    }
+    if (nodeSize < 2 || featuresCount == 0) {
+      val full = read(path)
+      val keep = full.geoms.indices.filter(i => hit(full.geoms(i).envelope))
+      return full.copy(rows = keep.map(full.rows),
+        geoms = keep.map(full.geoms))
+    }
+    val indexStart = 12 + headerLen
+    val featuresStart =
+      indexStart + indexSize(featuresCount, nodeSize).toInt
+    def node(i: Int): ((Double, Double, Double, Double), Long) = {
+      val p = indexStart + 40 * i
+      ((hr.f64(p), hr.f64(p + 8), hr.f64(p + 16), hr.f64(p + 24)),
+        hr.i64(p + 32))
+    }
+    val sizesTopDown = levelSizes(featuresCount, nodeSize).reverse.map(_.toInt)
+    val starts = sizesTopDown.scanLeft(0)(_ + _)
+    val leafLevel = sizesTopDown.length - 1
+    val featureOffsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def search(idx: Int, level: Int): Unit = {
+      val (box, off) = node(idx)
+      if (!hit(box)) return
+      if (level == leafLevel) featureOffsets += off
+      else {
+        val childEnd = math.min(off.toInt + nodeSize, starts(level + 2))
+        (off.toInt until childEnd).foreach(c => search(c, level + 1))
+      }
+    }
+    search(0, 0)
+    // decode selected features with the full header's schema
+    val base = read0Header(hr, header)
+    val (columns, headerType) = base
+    val rows = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val geoms = scala.collection.mutable.ArrayBuffer[Geom]()
+    featureOffsets.sorted.foreach { off =>
+      val pos = featuresStart + off.toInt
+      decodeFeature(bytes, pos, columns, headerType, rows, geoms)
+    }
+    val name = Option(hr.field(header, 0)).filter(_ >= 0).map(hr.string)
+    val crsCode = Option(hr.field(header, 10)).filter(_ >= 0).map(hr.indirect)
+      .flatMap { crs =>
+        val f = hr.field(crs, 1)
+        if (f < 0) None else Some(hr.i32(f))
+      }
+    Contents(name, columns, rows.toSeq, geoms.toSeq, crsCode)
   }
 }

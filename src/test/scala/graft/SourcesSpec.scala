@@ -239,12 +239,20 @@ class SourcesSpec extends AnyFunSuite {
       ("score", FlatGeobuf.CtDouble), ("ok", FlatGeobuf.CtBool))
     val rows = geoms.indices.map(i =>
       Seq[Any](i.toLong, s"g$i", i * 0.5, i % 2 == 0))
-    FlatGeobuf.write(s"$dir/mixed.fgb", cols, rows, geoms)
+    // indexNodeSize = 0: no index, file order preserved
+    FlatGeobuf.write(s"$dir/mixed.fgb", cols, rows, geoms, indexNodeSize = 0)
     val back = FlatGeobuf.read(s"$dir/mixed.fgb")
     assert(back.columns == cols && back.rows == rows)
     assert(back.geoms.map(graft.geom.Wkb.write).map(_.toSeq) ==
       geoms.map(graft.geom.Wkb.write).map(_.toSeq))
     assert(back.crsCode.contains(4326))
+    // default write: hilbert-ordered features + packed R-tree; the full
+    // scan must still see every row (keyed by id)
+    FlatGeobuf.write(s"$dir/mixed_idx.fgb", cols, rows, geoms)
+    val bi = FlatGeobuf.read(s"$dir/mixed_idx.fgb")
+    assert(bi.rows.map(_.head).toSet == rows.map(_.head).toSet)
+    assert(bi.rows.sortBy(_.head.asInstanceOf[Long]) ==
+      rows.sortBy(_.head.asInstanceOf[Long]))
 
     // reference GeoJSON twin -> fgb -> back: envelope-per-id agreement
     val twin = graft.table.GeoTable.fromGeoJsonFile(spark,
@@ -268,6 +276,46 @@ class SourcesSpec extends AnyFunSuite {
     // packed R-tree size formula (spec node layout: 40-byte nodes)
     assert(FlatGeobuf.indexSize(1, 16) == 80)
     assert(FlatGeobuf.indexSize(179, 16) == (179 + 12 + 1) * 40)
+  }
+
+  test("flatgeobuf packed r-tree drives spatial filtered reads") {
+    import graft.geom._
+    import graft.sources.FlatGeobuf
+    val dir = java.nio.file.Files.createTempDirectory("graft_fgbidx").toString
+    // 500 unit squares on a deterministic scatter; small nodeSize forces
+    // a multi-level tree (500 items, node size 4 -> 5 levels)
+    val geoms: Seq[Geom] = (0 until 500).map { i =>
+      val cx = (i * 37 % 360 - 180).toDouble
+      val cy = (i * 91 % 180 - 90).toDouble
+      Polygon(Array(CoordSeq.of((cx - 0.5, cy - 0.5), (cx + 0.5, cy - 0.5),
+        (cx + 0.5, cy + 0.5), (cx - 0.5, cy + 0.5), (cx - 0.5, cy - 0.5))))
+    }
+    val cols = Seq(("id", FlatGeobuf.CtLong))
+    val rows = (0 until 500).map(i => Seq[Any](i.toLong))
+    FlatGeobuf.write(s"$dir/grid.fgb", cols, rows, geoms, indexNodeSize = 4)
+    val full = FlatGeobuf.read(s"$dir/grid.fgb")
+    assert(full.rows.length == 500)
+    var totalHits = 0
+    for ((x0, y0, x1, y1) <- Seq((-30.0, -20.0, 30.0, 20.0),
+        (100.0, 40.0, 170.0, 88.0), (-179.0, -89.0, -150.0, -60.0),
+        (57.25, 13.25, 57.75, 13.75))) {
+      val got = FlatGeobuf.readFiltered(s"$dir/grid.fgb", x0, y0, x1, y1)
+        .rows.map(_.head.asInstanceOf[Long]).toSet
+      val want = full.rows.indices.filter { i =>
+        val e = full.geoms(i).envelope
+        e._1 <= x1 && x0 <= e._3 && e._2 <= y1 && y0 <= e._4
+      }.map(i => full.rows(i).head.asInstanceOf[Long]).toSet
+      assert(got == want, s"bbox ($x0,$y0,$x1,$y1)")
+      totalHits += got.size
+    }
+    assert(totalHits > 0 && totalHits < 500) // selective, not all-or-nothing
+    // a no-index file falls back to full-scan filtering, same answer
+    FlatGeobuf.write(s"$dir/noidx.fgb", cols, rows, geoms, indexNodeSize = 0)
+    val a = FlatGeobuf.readFiltered(s"$dir/noidx.fgb", -30, -20, 30, 20)
+      .rows.map(_.head).toSet
+    val b = FlatGeobuf.readFiltered(s"$dir/grid.fgb", -30, -20, 30, 20)
+      .rows.map(_.head).toSet
+    assert(a == b)
   }
 
   test("ndjson geojson round-trips through the distributed reader") {
