@@ -70,6 +70,28 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch exact top-k: cosine top-k of the corpus for EVERY query row
+    * at once — the realistic retrieval shape (one scan serves the whole
+    * query batch, instead of one job per query). The query side is
+    * broadcast; per-query top-k comes from [[TopK.perGroup]]'s bounded
+    * heaps, so state is O(k × queries) per task and the shuffle carries
+    * heaps, never the corpus × queries cross product.
+    *
+    * Output: (qid, rank, id, sim) with rank 1..k per query.
+    */
+  def bruteTopKBatch(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val joined = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))))
+      .select(col("qid"), col("id"),
+        cosine(col("__v"), col("__q")).as("sim"))
+    TopK.perGroup(joined, Seq("qid"),
+        Seq((col("sim"), true), (col("id"), false)), k, "rank")
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
   /** Add the LSH bucket column (persist + partition by this at scale). */
   def withLshBucket(df: DataFrame, vecCol: String, bits: Int = 12,
       bucketCol: String = "lsh_bucket"): DataFrame =

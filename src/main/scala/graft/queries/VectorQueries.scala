@@ -150,6 +150,42 @@ object VectorQueries {
           SELECT vec_id,
             ROUND(SUM(ev * qv2) / (SQRT(SUM(ev * ev)) * SQRT(SUM(qv2 * qv2))), 5) AS sim
           FROM pairs GROUP BY vec_id)
-        SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10"""))
+        SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10""")),
+
+    // ---- batch retrieval: exact top-k for every query vector at once --
+    // One corpus scan serves the whole query batch (queries broadcast);
+    // per-query top-k via the bounded-heap TopK aggregate — no window,
+    // no corpus×queries shuffle. The oracle recomputes every pair and
+    // ranks with a window.
+    QueryDef(
+      "q45_ann_batch",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        graft.ops.Ann.bruteTopKBatch(
+            emb.filter($"vec_id" >= 10), emb.filter($"vec_id" < 10),
+            "embedding", "vec_id", "vec_id", "embedding", k = 5)
+          .select($"qid", $"rank", $"id", round($"sim", 5).as("sim"))
+          .orderBy($"qid", $"rank")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+        c AS (
+          SELECT vec_id AS id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 10),
+        pairs AS (
+          SELECT q.qid, c.id,
+            SUM(CAST(c.cv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(c.cv[t.i] AS DOUBLE) * CAST(c.cv[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)))) AS sim
+          FROM c CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY q.qid, c.id),
+        ranked AS (
+          SELECT qid, id, sim, CAST(ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rank
+          FROM pairs)
+        SELECT qid, rank, id, ROUND(sim, 5) AS sim FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 }

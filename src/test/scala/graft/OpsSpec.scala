@@ -232,6 +232,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"))
   }
 
+  test("batch ann: broadcast queries, heap aggregation, exact ranks") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(100, 400).toDF("vec_id")
+      .withColumn("embedding", array((0 until 8).map(i =>
+        ((pmod($"vec_id" * (i + 3), lit(97)) + 1).cast("float") / 98.0f)): _*))
+    val queries = spark.range(1, 5).toDF("vec_id")
+      .withColumn("embedding", array((0 until 8).map(i =>
+        ((pmod($"vec_id" * (i + 5), lit(89)) + 1).cast("float") / 90.0f)): _*))
+    val out = graft.ops.Ann.bruteTopKBatch(corpus, queries,
+      "embedding", "vec_id", "vec_id", "embedding", k = 3)
+    val rows = out.collect()
+    assert(rows.length == 12) // 4 queries x 3 ranks
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      (for (q <- 1L to 4L; r <- 1 to 3) yield (q, r)).toSet)
+    // ranks are consistent with descending sim within each query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_rows") && !plan.contains("Window"))
+  }
+
   test("topk handles groups smaller than k and duplicate order keys") {
     import org.apache.spark.sql.functions._
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 3L, 1.0))
