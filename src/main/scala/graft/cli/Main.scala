@@ -85,6 +85,17 @@ object Main {
           case "h3" =>
             t.addH3(opt(rest, "resolution").map(_.toInt).getOrElse(9),
               opt(rest, "h3-column").getOrElse("h3_cell")).write(out)
+          case "admin-divisions" =>
+            // reference downloads its boundary set; ours takes any
+            // GeoParquet boundary table (--boundaries) and attaches the
+            // requested columns via the broadcast enrich join
+            val b = GeoTable.read(spark,
+              opt(rest, "boundaries").getOrElse(die("--boundaries required")))
+            val cols = opt(rest, "admin-columns").map(_.split(",").toSeq)
+              .getOrElse(die("--admin-columns required"))
+            t.enrichSpatial(b.df,
+              b.geometryColumn.getOrElse(die("boundaries have no geometry")),
+              cols).write(out)
           case other => die(s"unknown add target $other")
         }
 
@@ -137,6 +148,17 @@ object Main {
           case "h3" =>
             t.partitionByH3(opt(rest, "resolution").map(_.toInt).getOrElse(9),
               out, force = force)
+          case "admin" =>
+            val b = GeoTable.read(spark,
+              opt(rest, "boundaries").getOrElse(die("--boundaries required")))
+            val levels = opt(rest, "levels").map(_.split(",").toSeq)
+              .getOrElse(die("--levels required"))
+            t.partitionByAdmin(b.df,
+              b.geometryColumn.getOrElse(die("boundaries have no geometry")),
+              levels, out)
+          case "country" =>
+            t.splitByCountry(
+              opt(rest, "column").getOrElse(die("--column required")), out)
           case other => die(s"unknown partition target $other")
         }
 

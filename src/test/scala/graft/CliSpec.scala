@@ -55,6 +55,42 @@ class CliSpec extends AnyFunSuite {
     assert(mx > 180.0) // meters now, not degrees
   }
 
+  test("admin enrich and hierarchical admin partition via the CLI") {
+    import spark.implicits._
+    val dir = tmp("admin")
+    val pts = spark.range(0, 400).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 160 - 80, col("id") % 80 - 40))
+    GeoTable.fromDataFrame(pts, "geometry").write(s"$dir/pts.parquet")
+    // boundary squares: 2 regions x 2 zones covering the data extent
+    // edges at x.5 so integer-lattice points never sit on a shared
+    // border (a border point legitimately matches both polygons)
+    val bounds = Seq(
+      ("west", "w1", -90.0, -50.0, 0.5, 50.0),
+      ("east", "e1", 0.5, -50.0, 45.5, 50.0),
+      ("east", "e2", 45.5, -50.0, 90.0, 50.0))
+      .toDF("region", "zone", "x0", "y0", "x1", "y1")
+      .withColumn("geometry", geo.st_makeenvelope(
+        col("x0"), col("y0"), col("x1"), col("y1")))
+      .drop("x0", "y0", "x1", "y1")
+    GeoTable.fromDataFrame(bounds, "geometry").write(s"$dir/adm.parquet")
+
+    Main.run(spark, Seq("add", "admin-divisions", s"$dir/pts.parquet",
+      s"$dir/enriched.parquet", "--boundaries", s"$dir/adm.parquet",
+      "--admin-columns", "region,zone"))
+    val e = GeoTable.read(spark, s"$dir/enriched.parquet")
+    assert(e.df.columns.contains("region") && e.df.columns.contains("zone"))
+    assert(e.df.filter(col("region").isNotNull).count() > 0)
+
+    Main.run(spark, Seq("partition", "admin", s"$dir/pts.parquet",
+      s"$dir/byadmin", "--boundaries", s"$dir/adm.parquet",
+      "--levels", "region,zone"))
+    val dirs = new java.io.File(s"$dir/byadmin").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("region=")))
+    val back = spark.read.parquet(s"$dir/byadmin")
+    assert(back.count() == 400)
+  }
+
   test("flat vs hive partition layouts and filename value recovery") {
     val dir = tmp("flat")
     val df = spark.range(0, 600).toDF("id")
