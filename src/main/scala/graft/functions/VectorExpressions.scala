@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd float-vector kernels for the embedding operators. Spark's
   * `zip_with`/`aggregate` higher-order functions evaluate their lambda
@@ -32,8 +32,13 @@ object VectorExpressions {
   private val E = "graft.functions.VectorEval"
 
   case class DotProductFloat(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def nullIntolerant: Boolean = true
+    // declared input types matter: getFloat over a double-backed array
+    // would silently read garbage — the analyzer must cast or reject
+    // (covariant narrowing: AbstractDataType is private[sql])
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
       VectorEval.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -107,6 +107,37 @@ object Ann {
       vecCol, idCol, query, k)
   }
 
+  /** Batch ANN via LSH buckets: candidates come from an EQUI-JOIN on
+    * the signature (query side exploded to its multi-probe set), so no
+    * corpus × queries product ever materializes — the shape that
+    * survives query batches too large to broadcast. Exact cosine ranks
+    * within candidates via the bounded-heap TopK. Recall follows the
+    * same bucket math as [[lshTopK]].
+    *
+    * Output: (qid, rank, id, sim), rank 1..≤k (fewer when a query's
+    * probed buckets hold fewer than k candidates).
+    */
+  def lshTopKBatch(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, qidCol: String, qvecCol: String, k: Int,
+      bits: Int = 12): DataFrame = {
+    val c = withLshBucket(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("__v")),
+      "__v", bits, "__sig")
+    // each query probes its own bucket + all 1-bit flips
+    val flips = udf((sig: Int) =>
+      sig +: (0 until bits).map(b => sig ^ (1 << b)))
+    val q = withLshBucket(
+      queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q")),
+      "__q", bits, "__qsig")
+      .select(col("qid"), col("__q"),
+        explode(flips(col("__qsig"))).as("__sig"))
+    val cand = c.join(q, Seq("__sig"))
+      .select(col("qid"), col("id"), cosine(col("__v"), col("__q")).as("sim"))
+    TopK.perGroup(cand, Seq("qid"),
+        Seq((col("sim"), true), (col("id"), false)), k, "rank")
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
   /** Deterministic coarse centroids: stride-sample nLists vectors. */
   def ivfCentroids(df: DataFrame, vecCol: String, idCol: String,
       nLists: Int): Array[Array[Float]] = {

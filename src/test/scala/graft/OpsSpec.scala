@@ -236,10 +236,12 @@ class OpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val corpus = spark.range(100, 400).toDF("vec_id")
       .withColumn("embedding", array((0 until 8).map(i =>
-        ((pmod($"vec_id" * (i + 3), lit(97)) + 1).cast("float") / 98.0f)): _*))
+        ((pmod($"vec_id" * (i + 3), lit(97)) + 1) / 98.0)): _*)
+        .cast("array<float>"))
     val queries = spark.range(1, 5).toDF("vec_id")
       .withColumn("embedding", array((0 until 8).map(i =>
-        ((pmod($"vec_id" * (i + 5), lit(89)) + 1).cast("float") / 90.0f)): _*))
+        ((pmod($"vec_id" * (i + 5), lit(89)) + 1) / 90.0)): _*)
+        .cast("array<float>"))
     val out = graft.ops.Ann.bruteTopKBatch(corpus, queries,
       "embedding", "vec_id", "vec_id", "embedding", k = 3)
     val rows = out.collect()
@@ -253,6 +255,35 @@ class OpsSpec extends AnyFunSuite {
     }
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("partial_top_k_rows") && !plan.contains("Window"))
+  }
+
+  test("batch lsh ann agrees with per-query lsh search, no cross join") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(100, 600).toDF("vec_id")
+      .withColumn("embedding", array((0 until 16).map(i =>
+        ((pmod($"vec_id" * (i + 3), lit(97)) + 1) / 98.0 - 0.5)): _*)
+        .cast("array<float>"))
+    val queries = spark.range(1, 4).toDF("vec_id")
+      .withColumn("embedding", array((0 until 16).map(i =>
+        ((pmod($"vec_id" * (i + 5), lit(89)) + 1) / 90.0 - 0.5)): _*)
+        .cast("array<float>"))
+    val batch = graft.ops.Ann.lshTopKBatch(corpus, queries,
+      "embedding", "vec_id", "vec_id", "embedding", k = 5, bits = 8)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // per-query reference: same buckets, same ranks
+    val want = (1L until 4L).flatMap { qid =>
+      val qv = queries.filter($"vec_id" === qid)
+        .select($"embedding").collect()(0).getSeq[Float](0).toArray
+      graft.ops.Ann.lshTopK(corpus, "embedding", "vec_id", qv, k = 5, bits = 8)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+    }.toSet
+    assert(got == want)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_top_k_rows"))
   }
 
   test("topk handles groups smaller than k and duplicate order keys") {
