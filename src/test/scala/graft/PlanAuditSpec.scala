@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate over EVERY declared query: the scale
+  * posture the engine promises (no cartesian products, no unpartitioned
+  * windows, no plain SortMergeJoin where a broadcast was intended) must
+  * hold for the whole `SparkEntry.queries` surface, not just the ones a
+  * verdict happened to audit. Runs at sf0.001 — plans, not data, are
+  * under test.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries where a BroadcastNestedLoopJoin is the *intended* physical
+  // plan: a deliberately tiny broadcast side (1-10 rows: query vectors,
+  // dataset bounds, boundary cells) joined on a non-equi predicate
+  private val bnljAllowed = Set("q13_hilbert_sort", "q14_spatial_order",
+    "q17_spatial_join", "q26_ann_brute", "q35_geo_measures",
+    "q44_ann_ivf", "q45_ann_batch", "q12_morton_sort", "q33_quadkey")
+
+  test("no query plan contains a cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian")
+    }
+  }
+
+  test("broadcast nested loop joins only where a tiny side is intended") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name has an unexpected BNLJ")
+    }
+  }
+
+  test("every window operator is partitioned (no global windows)") {
+    // an unpartitioned window serializes the table through one task;
+    // windowspecdefinition(..., specifiedwindowframe...) with an empty
+    // partition clause renders as "windowspecdefinition(<order>," with
+    // no partitionBy columns — detect via the optimized plan's Window
+    // nodes instead: partitionSpec must be non-empty
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plans = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      plans.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name has a window with no partition spec")
+      }
+    }
+  }
+}
