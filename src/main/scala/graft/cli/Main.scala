@@ -214,6 +214,18 @@ object Main {
         println(s"primary: ${s.primaryColumn.getOrElse("-")}  bbox: ${s.declaredBbox.getOrElse("-")}")
         println(s"geometry types: ${s.declaredGeometryTypes.mkString(", ")}")
 
+      case "meta" =>
+        // raw `geo` footer JSON (reference `inspect meta`); --stats adds
+        // the per-column min/max/null profile
+        val p = rest.head
+        graft.meta.Footer.partFiles(p).headOption
+          .flatMap(f => graft.meta.Footer.read(f).geo) match {
+          case Some(g) => println(graft.meta.GeoMeta.toJson(g))
+          case None => println("{}")
+        }
+        if (flag(rest, "stats"))
+          GeoTable.read(spark, p).stats().collect().foreach(println)
+
       case "check" if flag(rest, "all") =>
         val fs = Checks.checkAll(spark, rest.head)
         if (fs.isEmpty) println("all checks passed")
@@ -262,7 +274,10 @@ object Main {
 
   private val usage =
     """usage: graft <command> [args]
-      |commands: extract, add {bbox|quadkey|kdtree}, sort {hilbert|quadkey|column}, head, tail,
-      |  reproject, partition {string|quadkey|kdtree}, convert, to {geojson|csv},
-      |  inspect, check, validate, fix, stac-item""".stripMargin
+      |commands: extract, add {bbox|quadkey|kdtree|h3|admin-divisions},
+      |  sort {hilbert|quadkey|column}, head, tail, reproject,
+      |  partition {string|quadkey|kdtree|h3|admin|country},
+      |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
+      |  to {geojson|csv|shapefile|gpkg|fgb},
+      |  inspect, meta [--stats], check [--all], validate, fix, stac-item""".stripMargin
 }

@@ -100,6 +100,34 @@ object Streaming {
       }
   }
 
+  final case class Scored(grp: String, id: Long, score: Double)
+  final case class TopKState(items: List[(Double, Long)])
+  final case class TopKRow(grp: String, rank: Int, id: Long, score: Double)
+
+  /** Streaming per-group exact top-k — the keyed-state twin of
+    * `ops/TopK.perGroup`: each group's state is its current best ≤ k
+    * (score desc, id asc) rows, so state is O(k × groups) regardless of
+    * stream length; every update batch re-emits the group's ranks
+    * (Update mode — downstream upserts by (grp, rank)).
+    */
+  def topKPerGroup(scores: Dataset[Scored], k: Int): Dataset[TopKRow] = {
+    import scores.sparkSession.implicits._
+    scores.groupByKey(_.grp)
+      .flatMapGroupsWithState[TopKState, TopKRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, batch: Iterator[Scored], state: GroupState[TopKState]) =>
+          var best = state.getOption.map(_.items).getOrElse(Nil)
+          batch.foreach { e =>
+            best = ((e.score, e.id) :: best)
+              .sortBy { case (s, id) => (-s, id) }.take(k)
+          }
+          state.update(TopKState(best))
+          best.zipWithIndex.iterator.map { case ((s, id), i) =>
+            TopKRow(grp, i + 1, id, s)
+          }
+      }
+  }
+
   /** Run a streaming query over a static directory to completion via the
     * memory sink; returns the final result table. (Local harness used by
     * tests and the smoke tool — production would use a real sink.)

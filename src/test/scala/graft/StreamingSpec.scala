@@ -78,4 +78,37 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(streamed == batch)
   }
+
+  test("streaming per-group top-k matches the batch TopK aggregate") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stopk")
+    val rows = spark.range(0, 500).toDF("id")
+      .withColumn("grp", concat(lit("g"), col("id") % 3))
+      .withColumn("score", (col("id") * 2654435761L % 100003).cast("double"))
+    rows.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(rows.schema)
+      .parquet(streamDir.toString + "/in")
+      .selectExpr("grp", "id", "score").as[Streaming.Scored]
+    // update mode re-emits ranks per batch; the memory sink keeps every
+    // update, so take each (grp, rank)'s LAST emission as the final state
+    val updates = Streaming.runToCompletion(
+      Streaming.topKPerGroup(stream, k = 4).toDF(), "topk_test",
+      outputMode = "update")
+    val finals = updates.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap // later updates overwrite earlier ones in map order? enforce:
+    // memory sink appends in emission order, so rebuild keeping last
+    val lastPerRank = updates.collect().zipWithIndex
+      .groupBy(r => (r._1.getString(0), r._1.getInt(1)))
+      .map { case (key, arr) => key -> arr.maxBy(_._2)._1 }
+    val got = lastPerRank.map { case ((grp, rank), r) =>
+      (grp, rank, r.getLong(2), r.getDouble(3))
+    }.toSet
+    val want = graft.ops.TopK.perGroup(rows, Seq("grp"),
+        Seq((col("score"), true), (col("id"), false)), 4, "rank")
+      .collect().map(r => (r.getString(1), r.getInt(3),
+        r.getLong(0), r.getDouble(2))).toSet
+    assert(got == want, s"\ngot  $got\nwant $want")
+    assert(finals.size == 12) // 3 groups x 4 ranks survived
+  }
 }
