@@ -54,6 +54,84 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic fake resize: a real implementation decodes, scales
+    * to targetW × targetH and re-encodes; the stub emits a payload of
+    * exactly targetW*targetH bytes sampled by stride from the source so
+    * size contracts and content determinism are testable.
+    * >>> REAL CODEC GOES HERE (image libs absent in container). <<<
+    */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty) new Array[Byte](targetW * targetH)
+    else {
+      val out = new Array[Byte](targetW * targetH)
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resize payloads partition-locally (no shuffle); replaces the
+    * payload column and stamps the new dimensions.
+    */
+  def withResized(df: DataFrame, payloadCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val schema = df.schema
+      .add("resized_w", IntegerType).add("resized_h", IntegerType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val seq = row.toSeq.updated(pIdx,
+          resizeStub(row.getAs[Array[Byte]](pIdx), targetW, targetH))
+        Row.fromSeq(seq :+ targetW :+ targetH)
+      }
+    }(enc)
+  }
+
+  /** Deterministic fake feature extraction: `dims` floats from strided
+    * byte windows, L2-normalized — the embedding-column contract the
+    * ANN operators consume (a real model inference call drops in here).
+    * >>> REAL MODEL GOES HERE. <<<
+    */
+  def featureStub(payload: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    if (payload != null && payload.nonEmpty) {
+      var i = 0
+      while (i < dims) {
+        var acc = 0.0f
+        var j = i
+        while (j < payload.length) { acc += (payload(j) & 0xff) - 128; j += dims }
+        out(i) = acc
+        i += 1
+      }
+      val norm = math.sqrt(out.map(v => v.toDouble * v).sum)
+      if (norm > 0) {
+        var i2 = 0
+        while (i2 < dims) { out(i2) = (out(i2) / norm).toFloat; i2 += 1 }
+      }
+    }
+    out
+  }
+
+  /** Attach an embedding column partition-locally — output feeds
+    * `ops/Ann` / `ops/Dedup.embeddingNearDups` directly.
+    */
+  def withFeatures(df: DataFrame, payloadCol: String, dims: Int = 64,
+      outCol: String = "embedding"): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row.fromSeq(row.toSeq :+
+          featureStub(row.getAs[Array[Byte]](pIdx), dims).toSeq)
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video payloads: deterministic byte strides —
     * output one row per sampled "frame" (payload slice + frame index).
     */

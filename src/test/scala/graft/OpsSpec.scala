@@ -286,6 +286,30 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_top_k_rows"))
   }
 
+  test("multimodal resize and feature extraction: contracts + ann handoff") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 50).toDF("id")
+      .withColumn("payload", encode(concat(lit("media-"),
+        col("id"), lit("-" + "z" * 100)), "UTF-8"))
+    val resized = graft.ops.Multimodal.withResized(df, "payload", 8, 8)
+    val sizes = resized.select(octet_length(col("payload"))).distinct().collect()
+    assert(sizes.map(_.getInt(0)).toSeq == Seq(64)) // exactly targetW*targetH
+    val feat = graft.ops.Multimodal.withFeatures(df, "payload", dims = 16)
+    val rows = feat.select(col("id"), col("embedding")).collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    // unit norm (nonzero payloads) and deterministic across runs
+    val norms = rows.map(_.getSeq[Float](1).map(v => v.toDouble * v).sum)
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    val again = graft.ops.Multimodal.withFeatures(df, "payload", dims = 16)
+      .select(col("id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.forall(r => again(r.getLong(0)) == r.getSeq[Float](1)))
+    // the embedding column feeds the ANN surface directly
+    val q = rows.head.getSeq[Float](1).toArray
+    val top = graft.ops.Ann.bruteTopK(feat, "embedding", "id", q, k = 3)
+    assert(top.count() == 3)
+  }
+
   test("topk handles groups smaller than k and duplicate order keys") {
     import org.apache.spark.sql.functions._
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 3L, 1.0))
