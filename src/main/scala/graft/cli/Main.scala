@@ -207,12 +207,24 @@ object Main {
 
       case "inspect" =>
         val s = Checks.inspect(rest.head)
-        println(s"path: ${s.path}")
-        println(s"size: ${s.fileSizeBytes} bytes  rows: ${s.rowCount}  rowGroups: ${s.numRowGroups}")
-        println(s"columns: ${s.columns.mkString(", ")}")
-        println(s"geoparquet: ${s.hasGeoMetadata}  version: ${s.geoVersion.getOrElse("-")}")
-        println(s"primary: ${s.primaryColumn.getOrElse("-")}  bbox: ${s.declaredBbox.getOrElse("-")}")
-        println(s"geometry types: ${s.declaredGeometryTypes.mkString(", ")}")
+        if (flag(rest, "json")) {
+          def q(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          println(s"""{"path":${q(s.path)},"size_bytes":${s.fileSizeBytes},""" +
+            s""""rows":${s.rowCount},"row_groups":${s.numRowGroups},""" +
+            s""""columns":[${s.columns.map(q).mkString(",")}],""" +
+            s""""geoparquet":${s.hasGeoMetadata},""" +
+            s""""version":${s.geoVersion.map(q).getOrElse("null")},""" +
+            s""""primary_column":${s.primaryColumn.map(q).getOrElse("null")},""" +
+            s""""bbox":${s.declaredBbox.map(b => s"[${b._1},${b._2},${b._3},${b._4}]").getOrElse("null")},""" +
+            s""""geometry_types":[${s.declaredGeometryTypes.map(q).mkString(",")}]}""")
+        } else {
+          println(s"path: ${s.path}")
+          println(s"size: ${s.fileSizeBytes} bytes  rows: ${s.rowCount}  rowGroups: ${s.numRowGroups}")
+          println(s"columns: ${s.columns.mkString(", ")}")
+          println(s"geoparquet: ${s.hasGeoMetadata}  version: ${s.geoVersion.getOrElse("-")}")
+          println(s"primary: ${s.primaryColumn.getOrElse("-")}  bbox: ${s.declaredBbox.getOrElse("-")}")
+          println(s"geometry types: ${s.declaredGeometryTypes.mkString(", ")}")
+        }
 
       case "meta" =>
         // raw `geo` footer JSON (reference `inspect meta`); --stats adds
@@ -229,6 +241,33 @@ object Main {
       case "check" if flag(rest, "all") =>
         val fs = Checks.checkAll(spark, rest.head)
         if (fs.isEmpty) println("all checks passed")
+        else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
+
+      // granular check families (reference `check spatial|compression|
+      // bbox|row-group|spec` subcommands); bare `check` runs the default
+      // structural set
+      case "check" if rest.headOption.contains("spatial") =>
+        val t = GeoTable.read(spark, rest(1))
+        val r = t.checkSpatialOrder()
+        println(f"spatial order ratio: $r%.3f (pass < 0.5)")
+        if (!(r < 0.5)) sys.exit(1)
+
+      case "check" if rest.headOption.contains("compression") =>
+        val fs = Checks.checkCompression(rest(1))
+        if (fs.isEmpty) println("compression ok (ZSTD)")
+        else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
+
+      case "check" if rest.headOption.contains("bbox") =>
+        println(s"bbox structure: ${Checks.checkBboxStructure(rest(1))}")
+
+      case "check" if rest.headOption.contains("row-group") =>
+        val fs = Checks.checkRowGroups(rest(1))
+        if (fs.isEmpty) println("row groups ok")
+        else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
+
+      case "check" if rest.headOption.contains("spec") =>
+        val fs = Checks.validate(spark, rest(1))
+        if (fs.isEmpty) println("valid GeoParquet")
         else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
 
       case "check" =>

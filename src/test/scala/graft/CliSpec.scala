@@ -55,6 +55,22 @@ class CliSpec extends AnyFunSuite {
     assert(mx > 180.0) // meters now, not degrees
   }
 
+  test("granular check subcommands and json inspect run clean") {
+    val dir = tmp("checks")
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 90, col("id") % 45))
+    GeoTable.fromDataFrame(df, "geometry").addBbox().sortHilbert()
+      .write(s"$dir/d.parquet", compression = "zstd")
+    // each family individually (all should pass on this clean write)
+    Main.run(spark, Seq("check", "spatial", s"$dir/d.parquet"))
+    Main.run(spark, Seq("check", "compression", s"$dir/d.parquet"))
+    Main.run(spark, Seq("check", "bbox", s"$dir/d.parquet"))
+    Main.run(spark, Seq("check", "row-group", s"$dir/d.parquet"))
+    Main.run(spark, Seq("check", "spec", s"$dir/d.parquet"))
+    Main.run(spark, Seq("inspect", s"$dir/d.parquet", "--json"))
+    Main.run(spark, Seq("meta", s"$dir/d.parquet"))
+  }
+
   test("admin enrich and hierarchical admin partition via the CLI") {
     import spark.implicits._
     val dir = tmp("admin")
