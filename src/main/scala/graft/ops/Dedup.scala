@@ -26,6 +26,10 @@ object Dedup {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** JVM-side twin of [[normalize]] (streaming/state code paths). */
+  def normalizeText(text: String): String =
+    text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+
   /** Exact dedup: keep the row with min(idCol) per digest of keyCol.
     * Single shuffle on the 16-byte digest (row_number over the digest
     * partition), not groupBy + join-back — one pass over the data.

@@ -100,6 +100,66 @@ object Streaming {
       }
   }
 
+  final case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  final case class BandHit(band_sig: Long, doc_id: Long, norm: String,
+      tsMs: Long)
+  final case class BucketState(seen: List[(Long, String, Long)])
+  final case class DupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Streaming MinHash near-dup detection — the keyed-state twin of
+    * `Dedup.minhashNearDups`: each document explodes to its LSH band
+    * signatures; state lives per band bucket (the same key the batch
+    * equi-join shuffles on) holding the documents seen in that bucket;
+    * each arrival is verified with exact Jaccard against its bucket
+    * co-residents. An event-time horizon (`horizon`) evicts bucket
+    * entries older than the newest arrival by more than the horizon, so
+    * state is bounded by the stream rate × horizon, not the corpus —
+    * duplicates farther apart than the horizon are missed, the standard
+    * streaming-dedup contract (same tradeoff as dedupExact's
+    * watermark). Pairs can surface from several shared bands; run a
+    * downstream dropDuplicates(id_a, id_b) when exactly-once pairs
+    * matter.
+    */
+  def minhashNearDups(docs: Dataset[Doc], numHashes: Int = 128,
+      bands: Int = 32, shingleK: Int = 3, threshold: Double = 0.8,
+      horizon: java.time.Duration = java.time.Duration.ofHours(1))
+      : Dataset[DupPair] = {
+    import docs.sparkSession.implicits._
+    val rowsPerBand = numHashes / bands
+    val horizonMs = horizon.toMillis
+    val banded = docs.flatMap { d =>
+      val norm = graft.ops.Dedup.normalizeText(d.text)
+      val sig = graft.ops.Dedup.minhashSignature(norm, numHashes, shingleK)
+      (0 until bands).map { b =>
+        val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+        BandHit(b.toLong << 56 | (java.util.Arrays.hashCode(slice) & 0xffffffffL),
+          d.doc_id, norm, d.ts.getTime)
+      }
+    }
+    banded.groupByKey(_.band_sig)
+      .flatMapGroupsWithState[BucketState, DupPair](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[BandHit], state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[DupPair]()
+          batch.toSeq.sortBy(h => (h.tsMs, h.doc_id)).foreach { h =>
+            seen.foreach { case (oid, onorm, _) =>
+              if (oid != h.doc_id) {
+                val j = graft.ops.Dedup.jaccard(h.norm, onorm, shingleK)
+                if (j >= threshold)
+                  out += DupPair(math.min(oid, h.doc_id),
+                    math.max(oid, h.doc_id), j)
+              }
+            }
+            seen = (h.doc_id, h.norm, h.tsMs) :: seen
+            // horizon eviction keyed on the newest arrival's event time
+            seen = seen.filter(_._3 >= h.tsMs - horizonMs)
+          }
+          state.update(BucketState(seen))
+          out.iterator
+      }
+  }
+
   final case class Scored(grp: String, id: Long, score: Double)
   final case class TopKState(items: List[(Double, Long)])
   final case class TopKRow(grp: String, rank: Int, id: Long, score: Double)

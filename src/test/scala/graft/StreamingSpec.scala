@@ -79,6 +79,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming minhash near-dup finds the batch operator's pairs") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_smh")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.Doc]
+    val streamed = Streaming.runToCompletion(
+      Streaming.minhashNearDups(stream,
+          horizon = java.time.Duration.ofDays(365)).toDF(),
+      "smh_test", outputMode = "update")
+      .select($"id_a", $"id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.Dedup.minhashNearDups(docs, "text", "doc_id")
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty) // fixture plants near-duplicates
+  }
+
   test("streaming per-group top-k matches the batch TopK aggregate") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stopk")
     val rows = spark.range(0, 500).toDF("id")
