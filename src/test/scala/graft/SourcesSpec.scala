@@ -318,6 +318,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("gpkg and fgb sinks tolerate empty inputs") {
+    import graft.sources.{FlatGeobuf, GeoPackage}
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    GeoPackage.write(s"$dir/empty.gpkg", "nothing", "geom", 4326,
+      Seq("name"), Nil, Nil)
+    val t = GeoPackage.featureTables(s"$dir/empty.gpkg")
+    assert(t.map(_.name) == Seq("nothing"))
+    assert(GeoPackage.read(s"$dir/empty.gpkg").rows.isEmpty)
+    FlatGeobuf.write(s"$dir/empty.fgb", Seq(("name", FlatGeobuf.CtString)),
+      Nil, Nil)
+    val c = FlatGeobuf.read(s"$dir/empty.fgb")
+    assert(c.rows.isEmpty && c.columns.map(_._1) == Seq("name"))
+    assert(FlatGeobuf.readFiltered(s"$dir/empty.fgb", -1, -1, 1, 1).rows.isEmpty)
+  }
+
   test("ndjson geojson round-trips through the distributed reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ndjson")
     val out = dir.resolve("features").toString
