@@ -347,7 +347,10 @@ object Checks {
             }
             // coordinate range vs CRS bounds
             crsBounds(crsStr).foreach { case (bx0, by0, bx1, by1) =>
-              probe.foreach { r =>
+              // min/max over an empty dataset (or an all-null geometry
+              // column) aggregate to NULL — skip the range check rather
+              // than throw on getDouble.
+              probe.filterNot(r => (2 to 5).exists(r.isNullAt)).foreach { r =>
                 val (dx0, dy0, dx1, dy1) =
                   (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
                 val eps = 1e-9
@@ -364,9 +367,13 @@ object Checks {
             // from a single aggregate grouped by input_file_name();
             // a sequential per-part job loop would run 10 000 jobs on
             // a 10 000-part dataset.
+            // Keyed by full filesystem path, not basename — hive
+            // layouts reuse basenames across key=value directories
+            // (key=a/data.parquet vs key=b/data.parquet), and a
+            // basename-keyed map silently collides.
             val declaredPartBbox = parts.flatMap { part =>
               Footer.read(part, conf).geo.flatMap(_.primary).flatMap(_.bbox)
-                .map(b => part.getName -> b)
+                .map(b => part.toUri.getPath -> b)
             }.toMap
             if (declaredPartBbox.nonEmpty) {
               val gc = col(g.primaryColumn)
@@ -378,10 +385,13 @@ object Checks {
                   max(col("x1")).as("dx1"), max(col("y1")).as("dy1"))
                 .collect()
               val eps = 1e-9
-              perFile.foreach { r =>
-                val fname = java.net.URLDecoder.decode(
-                  r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1),
-                  "UTF-8")
+              perFile.filterNot(r => (1 to 4).exists(r.isNullAt)).foreach { r =>
+                // input_file_name() is a percent-encoded URI; URI.getPath
+                // both decodes and strips the scheme, matching
+                // part.toUri.getPath above.
+                val fname =
+                  try new java.net.URI(r.getString(0)).getPath
+                  catch { case _: Exception => r.getString(0) }
                 declaredPartBbox.get(fname).foreach { case (x0, y0, x1, y1) =>
                   val (dx0, dy0, dx1, dy1) =
                     (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))

@@ -126,23 +126,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs via hyperplane-LSH blocking
-    * (builder-prompt: "embedding-cosine near-dup"). Candidates come from
-    * an equi-join on the LSH bucket (same-signature vectors are likely
-    * high-cosine), verified with exact cosine. Linear shuffle on an
-    * int key — the scale path next to the exact label-blocked variant
-    * (q27).
+  /** Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking
+    * (builder-prompt: "embedding-cosine near-dup"), the declared q27
+    * path. Same shape as [[minhashNearDups]]: each vector gets a
+    * `bits`-bit sign-random-projection signature (md5-derived ±1
+    * hyperplanes, SQL-reproducible — see [[Ann]]), split into `bands`
+    * chunks; candidates come from an equi-join on (band, bandSig) — two
+    * vectors collide when ANY band matches, so recall rises with bands
+    * while bits/band controls selectivity. The band shuffle carries ONLY
+    * (id, band, bandSig); embeddings are re-joined by id for the exact
+    * cosine verification — at 100 TB the explode is O(bands × ids), not
+    * O(bands × corpus), and the only pairwise work is within-bucket.
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.9, bits: Int = 12): DataFrame = {
-    val bucketed = Ann.withLshBucket(df, vecCol, bits, "__bkt")
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__bkt"))
-    val a = bucketed.select(col("__bkt"), col("__id").as("id_a"),
-      col("__v").as("va"))
-    val b = bucketed.select(col("__bkt"), col("__id").as("id_b"),
-      col("__v").as("vb"))
-    a.join(b, Seq("__bkt"))
+      threshold: Double = 0.9, bits: Int = 12, bands: Int = 1): DataFrame = {
+    require(bits % bands == 0, "bits must be divisible by bands")
+    val per = bits / bands
+    val sigs = Ann.withLshBucket(
+        df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        "__v", bits, "__sig")
+    val banded = sigs.select(col("__id"), col("__sig"),
+        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__bi", "__b")))
+      .withColumn("__bandSig",
+        expr(s"shiftrightunsigned(__sig, __b * $per)")
+          .bitwiseAND(lit((1 << per) - 1)))
+      .select(col("__id"), col("__b"), col("__bandSig"))
+    val a = banded.select(col("__b"), col("__bandSig"), col("__id").as("id_a"))
+    val b = banded.select(col("__b"), col("__bandSig"), col("__id").as("id_b"))
+    val cand = a.join(b, Seq("__b", "__bandSig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may collide in several bands
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    cand
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("vb")), Seq("id_b"))
       .withColumn("cosine", Ann.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

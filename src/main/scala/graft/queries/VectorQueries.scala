@@ -50,43 +50,58 @@ object VectorQueries {
         SELECT vec_id, sim FROM sims
         ORDER BY sim DESC, vec_id LIMIT 10""")),
 
-    // ---- embedding near-dup pairs (label-blocked cosine join) ----------
-    // Blocking on `label` bounds the candidate set (the same role an LSH
-    // bucket plays at scale), then the precise cosine threshold verifies.
+    // ---- embedding near-dup pairs (banded hyperplane-LSH blocking) -----
+    // The scale path IS the declared query: candidates come from an
+    // equi-join on (band, bandSig) over a 24-bit md5-derived
+    // sign-projection signature (6 bits × 4 bands), then exact cosine
+    // verifies within buckets only — never an all-pairs or label-blocked
+    // join. The oracle re-derives the identical hyperplanes from md5 hex
+    // nibbles, rebuilds every signature, band, candidate set, and exact
+    // cosine — certifying the whole LSH path (the q31 recipe).
     QueryDef(
       "q27_embedding_dedup",
       (s, dir) => {
         import s.implicits._
-        // norms are computed once per row BEFORE the pair join (2k rows,
-        // not 2M pairs) — same doubles, a third of the flops
-        val a = table(s, dir, "embeddings")
-          .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"label",
-            sqrt(dot($"embedding", $"embedding")).as("norm_a"))
-        val b = table(s, dir, "embeddings")
-          .select($"vec_id".as("id_b"), $"embedding".as("eb"), $"label",
-            sqrt(dot($"embedding", $"embedding")).as("norm_b"))
-        a.join(b, Seq("label"))
-          .filter($"id_a" < $"id_b")
-          .withColumn("sim",
-            round(dot($"ea", $"eb") / ($"norm_a" * $"norm_b"), 5))
-          .filter($"sim" > 0.4)
-          .select($"label", $"id_a", $"id_b", $"sim")
-          .orderBy($"label", $"id_a", $"id_b")
+        graft.ops.Dedup.embeddingNearDups(table(s, dir, "embeddings"),
+            "embedding", "vec_id", threshold = 0.4, bits = 24, bands = 4)
+          .select($"id_a", $"id_b", round($"cosine", 5).as("cosine"))
+          .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH pairs AS (
-          SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-            CAST(a.embedding[t.i] AS DOUBLE) AS av,
-            CAST(b.embedding[t.i] AS DOUBLE) AS bv
-          FROM embeddings a
-          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      Some("""WITH planes AS (
+          SELECT pp.p, jj.j,
+            CASE WHEN substr(md5(pp.p || '_' || jj.j), 1, 1) >= '8'
+              THEN -1.0 ELSE 1.0 END AS r
+          FROM (SELECT unnest(range(24)) AS p) pp,
+               (SELECT unnest(range(64)) AS j) jj),
+        dots AS (
+          SELECT e.vec_id, pl.p,
+            SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.r) AS dot
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.p),
+        bandsigs AS (
+          SELECT vec_id, p // 6 AS b,
+            CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % 6) ELSE 0 END)
+              AS BIGINT) AS bsig
+          FROM dots GROUP BY vec_id, p // 6),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bandsigs a JOIN bandsigs b ON a.b = b.b AND a.bsig = b.bsig
+          WHERE a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT c.id_a, c.id_b,
+            CAST(ea.embedding[t.i] AS DOUBLE) AS av,
+            CAST(eb.embedding[t.i] AS DOUBLE) AS bv
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.id_a
+          JOIN embeddings eb ON eb.vec_id = c.id_b
           CROSS JOIN generate_series(1, 64) t(i)),
         sims AS (
-          SELECT label, id_a, id_b,
-            ROUND(SUM(av * bv) / (SQRT(SUM(av * av)) * SQRT(SUM(bv * bv))), 5) AS sim
-          FROM pairs GROUP BY label, id_a, id_b)
-        SELECT label, id_a, id_b, sim FROM sims
-        WHERE sim > 0.4
-        ORDER BY label, id_a, id_b""")),
+          SELECT id_a, id_b,
+            SUM(av * bv) / (SQRT(SUM(av * av)) * SQRT(SUM(bv * bv))) AS cosine
+          FROM pairs GROUP BY id_a, id_b)
+        SELECT id_a, id_b, ROUND(cosine, 5) AS cosine FROM sims
+        WHERE cosine >= 0.4
+        ORDER BY id_a, id_b""")),
 
     // ---- IVF ANN: stride centroids -> nearest-list assignment ->
     // probe the 2 closest lists -> exact top-k within ------------------
@@ -148,9 +163,12 @@ object VectorQueries {
           CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)),
         sims AS (
           SELECT vec_id,
-            ROUND(SUM(ev * qv2) / (SQRT(SUM(ev * ev)) * SQRT(SUM(qv2 * qv2))), 5) AS sim
-          FROM pairs GROUP BY vec_id)
-        SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10""")),
+            SUM(ev * qv2) / (SQRT(SUM(ev * ev)) * SQRT(SUM(qv2 * qv2))) AS sim
+          FROM pairs GROUP BY vec_id),
+        topk AS (
+          SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, ROUND(sim, 5) AS sim FROM topk
+        ORDER BY topk.sim DESC, vec_id""")),
 
     // ---- batch retrieval: exact top-k for every query vector at once --
     // One corpus scan serves the whole query batch (queries broadcast);
