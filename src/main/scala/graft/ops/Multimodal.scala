@@ -26,7 +26,10 @@ object Multimodal {
     StructField("n_frames", IntegerType)))
 
   /** Deterministic fake decode of a payload: byte-derived dimensions.
-    * >>> REAL CODEC GOES HERE (image/audio libs absent in container). <<<
+    * Used for media the JVM cannot decode natively (audio/video — those
+    * codecs ARE absent in this container) and for image payloads that
+    * aren't actually decodable image bytes.
+    * >>> REAL AV CODEC GOES HERE. <<<
     */
   def decodeStub(payload: Array[Byte], mediaType: String): Row = {
     if (payload == null) Row(mediaType, null, null, null, null)
@@ -39,7 +42,49 @@ object Multimodal {
     }
   }
 
-  /** Attach decoded metadata partition-locally (no shuffle). */
+  /** REAL image decode via the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/BMP/GIF/WBMP ship with the JVM — no external jars).
+    * Returns (width, height), or None when the bytes aren't a decodable
+    * image. ImageIO's default stream cache is a temp FILE per decode;
+    * disable it once — payloads are already in memory.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload == null || payload.length == 0) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      Option(img).map(i => (i.getWidth, i.getHeight))
+    } catch { case _: Exception => None }
+  }
+
+  /** Encode an RGB image as real PNG bytes with pixels derived from
+    * `seed` — the fixture side of the decode round-trip (tests and q46
+    * synthesize corpora whose dimensions are a pure function of the row
+    * id, so a SQL oracle can verify the real decode output).
+    */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, Hashing.family(seed, y * width + x).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach decoded metadata partition-locally (no shuffle). Image
+    * payloads go through the REAL `javax.imageio` decoder; anything the
+    * JVM can't decode (audio/video, or image rows whose payload isn't
+    * image bytes) falls back to [[decodeStub]].
+    */
   def withDecodedMeta(df: DataFrame, payloadCol: String, mediaTypeCol: String,
       metaCol: String = "media_meta"): DataFrame = {
     val outSchema = df.schema.add(metaCol, mediaMetaType)
@@ -48,8 +93,35 @@ object Multimodal {
     val tIdx = df.schema.fieldIndex(mediaTypeCol)
     df.mapPartitions { it =>
       it.map { row =>
-        val meta = decodeStub(row.getAs[Array[Byte]](pIdx), row.getString(tIdx))
+        val payload = row.getAs[Array[Byte]](pIdx)
+        val mt = row.getString(tIdx)
+        val meta =
+          if (mt == "image")
+            decodeImage(payload)
+              .map { case (w, h) => Row(mt, payload.length, w, h, 1) }
+              .getOrElse(decodeStub(payload, mt))
+          else decodeStub(payload, mt)
         Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Synthesize a real-PNG payload column from an id column
+    * (partition-local): width = 1 + id % 13, height = 1 + id % 7. The
+    * stand-in for reading actual image bytes at this sandbox's data
+    * scale — dimensions are a pure function of the id, so a SQL oracle
+    * can certify the real decoder's output (q46).
+    */
+  def withSyntheticPng(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema.add(payloadCol, BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(iIdx)
+        Row.fromSeq(row.toSeq :+
+          encodePng((1 + id % 13).toInt, (1 + id % 7).toInt, id))
       }
     }(enc)
   }

@@ -313,6 +313,31 @@ object OpsQueries {
           CAST(16 + (ascii(substr(text, 1, 1)) % 128) AS BIGINT) AS width,
           CAST(16 + (ascii(substr(text, 2, 1)) % 128) AS BIGINT) AS height,
           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 30 ELSE 1 END AS BIGINT) AS n_frames
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- REAL image decode (JDK javax.imageio, no external jars) -------
+    // Each row's payload is an actual PNG encoded partition-locally with
+    // dimensions that are a pure function of doc_id; withDecodedMeta
+    // round-trips it through the real PNG decoder, so width/height come
+    // out of the PNG header, not the formula — and the oracle recomputes
+    // the formula to certify the decoder. n_bytes is the real encoded
+    // PNG size (encoder-dependent), deliberately NOT selected.
+    QueryDef(
+      "q46_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticPng(
+            table(s, dir, "documents").select($"doc_id"), "doc_id")
+          .withColumn("media_type", lit("image"))
+        Multimodal.withDecodedMeta(media, "payload", "media_type")
+          .select($"doc_id",
+            $"media_meta.width".cast("long").as("width"),
+            $"media_meta.height".cast("long").as("height"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(1 + doc_id % 13 AS BIGINT) AS width,
+          CAST(1 + doc_id % 7 AS BIGINT) AS height
         FROM documents ORDER BY doc_id"""))
   )
 }

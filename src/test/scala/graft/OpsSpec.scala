@@ -178,6 +178,29 @@ class OpsSpec extends AnyFunSuite {
       .sameElements(again.collect().map(key).sorted))
   }
 
+  test("real image decode: png/jpeg/bmp round-trip, corrupt falls to stub") {
+    // real JDK decoders: dimensions must come out of the encoded header
+    val png = Multimodal.encodePng(5, 3, seed = 42L)
+    assert(Multimodal.decodeImage(png).contains((5, 3)))
+    // same pixels through the JPEG and BMP writers
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (fmt <- Seq("jpg", "bmp", "gif")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      assert(Multimodal.decodeImage(bos.toByteArray).contains((5, 3)), fmt)
+    }
+    // non-image bytes -> None -> withDecodedMeta falls back to the stub
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    val df = Seq((1L, png), (2L, "junk".getBytes))
+      .toDF("media_id", "payload").withColumn("media_type", lit("image"))
+    val metas = Multimodal.withDecodedMeta(df, "payload", "media_type")
+      .select(col("media_id"), col("media_meta.width"), col("media_meta.height"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(metas(1L) == ((5, 3)))          // real decode
+    assert(metas(2L) == ((16 + 'j', 16 + 'u'))) // stub: byte-derived dims
+  }
+
   test("asof join: inclusive match, carry-forward, null before first right") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
