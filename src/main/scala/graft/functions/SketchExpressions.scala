@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd sketch kernels for the dedup/ANN hot paths (round-3 verdict
+  * item: the per-document minhash/simhash/LSH signatures were Scala UDFs
+  * — each row paid serialization in and out of the whole-stage-codegen
+  * pipeline). These expressions keep the stage fused: the generated code
+  * calls a static eval kernel directly on Catalyst's internal types
+  * (UTF8String / ArrayData), no Row boxing, no UDF bridge.
+  *
+  * Hash math is delegated to the single implementation in
+  * `graft.ops.{Dedup, Ann, Hashing}` so batch, streaming, and SQL oracle
+  * derivations stay bit-identical.
+  */
+object SketchEval {
+  def minhash(s: UTF8String, n: Int, k: Int): ArrayData =
+    new GenericArrayData(graft.ops.Dedup.minhashSignature(s.toString, n, k))
+
+  def simhash64(s: UTF8String): Long =
+    graft.ops.Dedup.simhash64(s.toString)
+
+  def jaccard(a: UTF8String, b: UTF8String, k: Int): Double =
+    graft.ops.Dedup.jaccard(a.toString, b.toString, k)
+
+  def lsh(v: ArrayData, bits: Int): Int =
+    graft.ops.Ann.lshSignatureAD(v, bits)
+}
+
+object SketchExpressions {
+  private val E = "graft.functions.SketchEval"
+
+  /** n-permutation MinHash signature of a (normalized) text column. */
+  case class MinhashSignature(child: Expression, numHashes: Int, shingleK: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.minhash(s.asInstanceOf[UTF8String], numHashes, shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.minhash($c, $numHashes, $shingleK)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash fingerprint of a (normalized) text column. */
+  case class Simhash64(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.simhash64(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.simhash64($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** Exact word-shingle Jaccard similarity (candidate verification). */
+  case class JaccardSim(left: Expression, right: Expression, shingleK: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      SketchEval.jaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+        shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$E.jaccard($a, $b, $shingleK)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** b-bit sign-random-projection LSH signature of a float-array column. */
+  case class LshSignature(child: Expression, bits: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      SketchEval.lsh(v.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.lsh($c, $bits)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def minhash_sig(text: Column, numHashes: Int, shingleK: Int): Column =
+    GraftBridge.column(MinhashSignature(GraftBridge.expression(text),
+      numHashes, shingleK))
+
+  def simhash64(text: Column): Column =
+    GraftBridge.column(Simhash64(GraftBridge.expression(text)))
+
+  def jaccard_sim(a: Column, b: Column, shingleK: Int): Column =
+    GraftBridge.column(JaccardSim(GraftBridge.expression(a),
+      GraftBridge.expression(b), shingleK))
+
+  def lsh_sig(vec: Column, bits: Int): Column =
+    GraftBridge.column(LshSignature(GraftBridge.expression(vec), bits))
+}

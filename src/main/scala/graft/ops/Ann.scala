@@ -54,7 +54,25 @@ object Ann {
     sig
   }
 
-  private val lshUdf = udf((v: Array[Float], bits: Int) => lshSignature(v, bits))
+  /** [[lshSignature]] directly over Catalyst ArrayData — the codegen
+    * expression path (no per-row array copy). Same floats, same order,
+    * same signature.
+    */
+  def lshSignatureAD(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: Int): Int = {
+    val n = vec.numElements()
+    val pl = planes(bits, n)
+    var sig = 0
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i) * pl(p)(i); i += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
 
   def cosine(a: Column, b: Column): Column = {
     val dot = graft.functions.VectorExpressions.dot_f _
@@ -92,10 +110,14 @@ object Ann {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
-  /** Add the LSH bucket column (persist + partition by this at scale). */
+  /** Add the LSH bucket column (persist + partition by this at scale).
+    * Codegen expression, not a UDF — the signature computation stays
+    * inside the fused stage.
+    */
   def withLshBucket(df: DataFrame, vecCol: String, bits: Int = 12,
       bucketCol: String = "lsh_bucket"): DataFrame =
-    df.withColumn(bucketCol, lshUdf(col(vecCol), lit(bits)))
+    df.withColumn(bucketCol,
+      graft.functions.SketchExpressions.lsh_sig(col(vecCol), bits))
 
   /** ANN top-k probing the query's bucket plus all 1-bit-flip neighbors. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,

@@ -81,10 +81,6 @@ object Dedup {
     }
   }
 
-  private val minhashUdf =
-    udf((t: String, n: Int, k: Int) => minhashSignature(t, n, k))
-  private val jaccardUdf =
-    udf((a: String, b: String, k: Int) => jaccard(a, b, k))
 
   /** Candidate near-dup pairs via banded LSH on MinHash signatures.
     *
@@ -98,7 +94,8 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sigs = df.select(col(idCol).as("__id"),
         normalize(col(textCol)).as("__norm"))
-      .withColumn("__sig", minhashUdf(col("__norm"), lit(numHashes), lit(shingleK)))
+      .withColumn("__sig", graft.functions.SketchExpressions
+        .minhash_sig(col("__norm"), numHashes, shingleK))
     // explode into (band, bandSig) buckets carrying ONLY (id, band,
     // bandSig) — ~16 bytes/row. The document text never rides through the
     // ×bands explode, the band join, or the distinct: at 100 TB the band
@@ -121,7 +118,8 @@ object Dedup {
     candidates
       .join(texts.select(col("__id").as("id_a"), col("__norm").as("norm_a")), Seq("id_a"))
       .join(texts.select(col("__id").as("id_b"), col("__norm").as("norm_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardUdf(col("norm_a"), col("norm_b"), lit(shingleK)))
+      .withColumn("jaccard", graft.functions.SketchExpressions
+        .jaccard_sim(col("norm_a"), col("norm_b"), shingleK))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -226,10 +224,16 @@ object Dedup {
     * SQL oracle can recompute the identical fingerprints from hex-nibble
     * arithmetic (q29).
     */
+  // MessageDigest is stateful and not thread-safe; one per task thread,
+  // not one per row (digest() resets it between tokens)
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
     val toks = text.split("\\s+")
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     var t = 0
     while (t < toks.length) {
       if (toks(t).nonEmpty) {
@@ -251,7 +255,6 @@ object Dedup {
     fp
   }
 
-  private val simhashUdf = udf((t: String) => simhash64(t))
 
   /** SimHash near-dups: fingerprints within maxHamming bits.
     *
@@ -264,7 +267,8 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val fps = df.select(col(idCol).as("__id"),
-      simhashUdf(normalize(col(textCol))).as("__fp"))
+      graft.functions.SketchExpressions.simhash64(normalize(col(textCol)))
+        .as("__fp"))
     val banded = fps.select(col("__id"), col("__fp"),
         posexplode(sequence(lit(0), lit(chunks - 1))).as(Seq("__ci", "__c")))
       .withColumn("__chunk",

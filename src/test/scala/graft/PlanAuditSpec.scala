@@ -53,6 +53,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "q27 must block on band signatures")
   }
 
+  test("sketch hot paths are codegen expressions, not UDFs") {
+    // minhash/simhash/LSH signatures run per document/vector — a ScalaUDF
+    // there breaks whole-stage codegen and pays row serialization both
+    // ways. (q44 keeps its tiny broadcast-centroid assignment UDF; the
+    // per-row sketch surfaces must stay native.)
+    for (name <- Seq("q20_dedup_exact", "q27_embedding_dedup",
+        "q28_minhash_dedup", "q29_simhash_dedup", "q31_ann_lsh",
+        "q39_dedup_clusters", "q45_ann_batch")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("UDF"), s"$name still contains a UDF node")
+    }
+  }
+
   test("every window operator is partitioned (no global windows)") {
     // an unpartitioned window serializes the table through one task;
     // windowspecdefinition(..., specifiedwindowframe...) with an empty
