@@ -119,10 +119,19 @@ object Streaming {
     * watermark). Pairs can surface from several shared bands; run a
     * downstream dropDuplicates(id_a, id_b) when exactly-once pairs
     * matter.
+    *
+    * `maxBucket` caps per-bucket state: a pathological band signature
+    * (boilerplate text shared by millions of documents) would otherwise
+    * hold every resident within the horizon AND do O(bucket²) Jaccard
+    * work — one hot bucket can wedge the stream. When the cap is hit the
+    * oldest entries are evicted (newest-K survive) and a warning is
+    * logged; pairs against evicted residents are missed, the same
+    * bounded-state contract as the horizon.
     */
   def minhashNearDups(docs: Dataset[Doc], numHashes: Int = 128,
       bands: Int = 32, shingleK: Int = 3, threshold: Double = 0.8,
-      horizon: java.time.Duration = java.time.Duration.ofHours(1))
+      horizon: java.time.Duration = java.time.Duration.ofHours(1),
+      maxBucket: Int = 256)
       : Dataset[DupPair] = {
     import docs.sparkSession.implicits._
     val rowsPerBand = numHashes / bands
@@ -139,7 +148,7 @@ object Streaming {
     banded.groupByKey(_.band_sig)
       .flatMapGroupsWithState[BucketState, DupPair](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: Long, batch: Iterator[BandHit], state: GroupState[BucketState]) =>
+        (bucket: Long, batch: Iterator[BandHit], state: GroupState[BucketState]) =>
           var seen = state.getOption.map(_.seen).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer[DupPair]()
           batch.toSeq.sortBy(h => (h.tsMs, h.doc_id)).foreach { h =>
@@ -154,6 +163,15 @@ object Streaming {
             seen = (h.doc_id, h.norm, h.tsMs) :: seen
             // horizon eviction keyed on the newest arrival's event time
             seen = seen.filter(_._3 >= h.tsMs - horizonMs)
+            // hot-bucket cap: the list is newest-first, so take keeps
+            // the newest maxBucket residents
+            if (seen.lengthCompare(maxBucket) > 0) {
+              org.slf4j.LoggerFactory.getLogger(Streaming.getClass).warn(
+                s"minhash bucket $bucket exceeded maxBucket=$maxBucket " +
+                  "residents within the horizon; evicting oldest — " +
+                  "near-dups against evicted entries will be missed")
+              seen = seen.take(maxBucket)
+            }
           }
           state.update(BucketState(seen))
           out.iterator

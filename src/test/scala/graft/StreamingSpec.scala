@@ -102,6 +102,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // fixture plants near-duplicates
   }
 
+  test("streaming minhash hot bucket is capped: newest-K survive, no wedge") {
+    // 10 identical documents -> every band bucket receives all 10; with
+    // maxBucket=4 each arrival pairs against at most the 4 newest
+    // residents: distinct pairs = sum_i min(i, 4) = 30 (uncapped: 45)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_smh_hot")
+    val text = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val docs = spark.range(0, 10).toDF("doc_id")
+      .withColumn("text", lit(text))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.Doc]
+    val pairs = Streaming.runToCompletion(
+      Streaming.minhashNearDups(stream,
+          horizon = java.time.Duration.ofDays(365), maxBucket = 4).toDF(),
+      "smh_hot_test", outputMode = "update")
+      .select($"id_a", $"id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      i <- 1 until 10
+      j <- math.max(0, i - 4) until i
+    } yield (j.toLong, i.toLong)).toSet
+    assert(pairs == want, s"got ${pairs.size} pairs, want ${want.size}")
+  }
+
   test("streaming per-group top-k matches the batch TopK aggregate") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stopk")
     val rows = spark.range(0, 500).toDF("id")
