@@ -79,7 +79,17 @@ object JoinQueries {
             $"x0", $"y0", $"x0" + 14, $"y0" + 36))
           .select($"n_nationkey", $"n_name", $"x0", $"y0", $"cell")
         pts.join(broadcast(cells),
-            // cheap bbox range pre-filter first, then precise predicate
+            // cheap bbox range pre-filter first, then precise predicate.
+            // NOTE boundary-semantics coupling: the oracle verifies the
+            // range filter ONLY, so range-filter = st_contains must hold
+            // for every point in the data. st_contains treats the
+            // envelope as a closed set (boundary points ARE contained —
+            // pinned in GeomSpec), exactly matching the >= / <=
+            // inclusive range above; a point on a shared cell edge
+            // matches BOTH adjacent cells under either formulation, so
+            // the two stay equal even on edges. This breaks only if the
+            // predicate changes to an open-boundary one (st_within-style
+            // proper interior) — if you change one side, change both.
             $"x" >= $"x0" && $"x" <= $"x0" + 14 &&
             $"y" >= $"y0" && $"y" <= $"y0" + 36 &&
             geo.st_contains($"cell", $"g"),

@@ -128,11 +128,17 @@ object SortQueries {
           .filter($"px".isNotNull)
           .agg(avg(sqrt(pow($"x" - $"px", 2) + pow($"y" - $"py", 2))).as("d"))
           .select(round($"d", 4).as("consec_avg"))
-        val n = pts.count()
-        val paired = pts.select($"c_custkey", $"x", $"y",
-            (($"c_custkey" * 7919) % n).as("pk"))
-        val other = pts.select($"c_custkey".as("o_key"), $"x".as("ox"), $"y".as("oy"))
-        val rand = paired.join(other, $"pk" === ($"o_key" % n))
+        // n rides along as a broadcast 1-row aggregate on BOTH sides so
+        // the stride-pair join stays a plain equi-join on pk — no
+        // driver-side count() action, one fewer job
+        val nDf = broadcast(pts.agg(count(lit(1)).as("__n")))
+        val paired = pts.crossJoin(nDf)
+          .select($"c_custkey", $"x", $"y",
+            (($"c_custkey" * 7919) % $"__n").as("pk"))
+        val other = pts.crossJoin(nDf)
+          .select($"c_custkey".as("o_key"), $"x".as("ox"), $"y".as("oy"),
+            ($"c_custkey" % $"__n").as("pk"))
+        val rand = paired.join(other, Seq("pk"))
           .filter($"c_custkey" =!= $"o_key")
           .agg(avg(sqrt(pow($"x" - $"ox", 2) + pow($"y" - $"oy", 2))).as("d"))
           .select(round($"d", 4).as("random_avg"))

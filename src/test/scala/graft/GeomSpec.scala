@@ -121,6 +121,19 @@ class GeomSpec extends AnyFunSuite {
     assert(Ops.intersects(unitSq, corner))
   }
 
+  test("contains is closed-boundary: edge and corner points ARE contained") {
+    // q17's oracle verifies its cell join with an inclusive coordinate
+    // range filter and trusts range-filter = st_contains; that identity
+    // needs closed-boundary semantics (a point ON a cell edge is
+    // contained by both adjacent cells, same as >= / <= matching both
+    // ranges). Pin it so a semantics change breaks here, not in a
+    // silent oracle drift.
+    assert(Ops.contains(unitSq, p(0.5, 0.0)))  // edge midpoint
+    assert(Ops.contains(unitSq, p(0.0, 0.0)))  // corner
+    assert(Ops.contains(unitSq, p(1.0, 0.5)))  // opposite edge
+    assert(!Ops.contains(unitSq, p(1.0 + 1e-12, 0.5))) // just outside
+  }
+
   test("polygon hole semantics") {
     val withHole = Polygon(Array(
       ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0)),
