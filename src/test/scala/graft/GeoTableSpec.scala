@@ -219,6 +219,35 @@ class GeoTableSpec extends AnyFunSuite {
     assert(fc.startsWith("""{"type":"FeatureCollection"""") && fc.endsWith("]}"))
   }
 
+  test("writeFeatureCollection streams parts, byte-identical to driver path") {
+    val t = pointsTable(50)
+    val out = tmpDir("fcsink") + "/fc.json"
+    t.writeFeatureCollection(out, precision = 6)
+    val streamed = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(streamed == t.toFeatureCollection(precision = 6))
+    // the ndjson staging directory is cleaned up
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out + ".parts.tmp")))
+  }
+
+  test("single-file sinks round-trip through a FileSystem URI (upload path)") {
+    // an explicit file:// URI takes uploadIfRemote's write-local-then-
+    // FileSystem-copy branch — the same code path an s3a:// dest would
+    // take with cloud jars on the classpath
+    val t = pointsTable(12)
+    val base = tmpDir("uriupload")
+    t.writeGeoPackage(s"file://$base/out.gpkg")
+    assert(GeoTable.fromGeoPackage(spark, s"$base/out.gpkg").df.count() == 12)
+    t.writeShapefile(s"file://$base/out.shp")
+    assert(graft.sources.Shapefile.read(s"$base/out.shp").geoms.size == 12)
+    assert(java.nio.file.Files.exists( // sibling .dbf uploaded too
+      java.nio.file.Paths.get(s"$base/out.dbf")))
+    t.writeFlatGeobuf(s"file://$base/out.fgb")
+    assert(graft.sources.FlatGeobuf.read(s"$base/out.fgb").geoms.size == 12)
+  }
+
   test("check/fix pipeline composes") {
     val outRaw = tmpDir("fixsrc")
     // write WITHOUT bbox and unsorted
