@@ -37,14 +37,24 @@ object Proj {
     (lon, lat)
   }
 
-  // ---- Albers Equal Area (EPSG:5070 parameters) -------------------------
+  /** forward/inverse pair — every projection family implements this so
+    * the PROJJSON conversion-driven dispatch can treat them uniformly.
+    */
+  private[graft] trait Projection {
+    def forward(lon: Double, lat: Double): (Double, Double)
+    def inverse(x: Double, y: Double): (Double, Double)
+  }
 
-  private object Albers5070 {
-    val lat1 = math.toRadians(29.5)
-    val lat2 = math.toRadians(45.5)
-    val lat0 = math.toRadians(23.0)
-    val lon0 = math.toRadians(-96.0)
-    val e2 = 2 * F - F * F
+  // ---- Albers Equal Area (general 2SP; EPSG method 9822) ----------------
+
+  private final class Aea(lat1d: Double, lat2d: Double, lat0d: Double,
+      lon0d: Double, fe: Double, fn: Double, flattening: Double = F,
+      a: Double = A) extends Projection {
+    val lat1 = math.toRadians(lat1d)
+    val lat2 = math.toRadians(lat2d)
+    val lat0 = math.toRadians(lat0d)
+    val lon0 = math.toRadians(lon0d)
+    val e2 = 2 * flattening - flattening * flattening
     val e = math.sqrt(e2)
 
     private def qOf(phi: Double): Double = {
@@ -59,21 +69,25 @@ object Proj {
     val q0 = qOf(lat0); val q1 = qOf(lat1); val q2 = qOf(lat2)
     val n = (m1 * m1 - m2 * m2) / (q2 - q1)
     val c = m1 * m1 + n * q1
-    val rho0 = A * math.sqrt(c - n * q0) / n
+    val rho0 = a * math.sqrt(c - n * q0) / n
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val phi = math.toRadians(lat)
       val lam = math.toRadians(lon)
       val q = qOf(phi)
-      val rho = A * math.sqrt(c - n * q) / n
+      val rho = a * math.sqrt(c - n * q) / n
       val theta = n * (lam - lon0)
-      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val rho = math.hypot(x, rho0 - y)
-      val theta = math.atan2(x, rho0 - y)
-      val q = (c - rho * rho * n * n / (A * A)) / n
+      val xp = x - fe; val yp = y - fn
+      // southern-parallel parameterizations have n < 0: rho and theta
+      // take the cone-constant sign (Snyder 14-10/14-11)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rho = sgn * math.hypot(xp, rho0 - yp)
+      val theta = math.atan2(sgn * xp, sgn * (rho0 - yp))
+      val q = (c - rho * rho * n * n / (a * a)) / n
       // iterate for phi
       var phi = math.asin(math.max(-1, math.min(1, q / 2)))
       var i = 0
@@ -90,17 +104,23 @@ object Proj {
     }
   }
 
+  /** NAD83 / Conus Albers (published parameter set). */
+  private lazy val Albers5070 = new Aea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+
   // ---- Transverse Mercator (general form; UTM/MGA/NZTM/CS92 are
   // parameterizations) ----------------------------------------------------
 
-  /** Snyder series TM on a WGS84/GRS80-compatible datum. */
+  /** Snyder series TM; ellipsoid (a, 1/f) parameterized so non-GRS80
+    * datums (e.g. Airy 1830 for OSGB) project correctly too.
+    */
   private final class Tm(lat0d: Double, lon0d: Double, k0: Double,
-      fe: Double, fn: Double, flattening: Double = FWgs) {
+      fe: Double, fn: Double, flattening: Double = FWgs,
+      a: Double = A) extends Projection {
     private val e2 = 2 * flattening - flattening * flattening
     private val ep2 = e2 / (1 - e2)
     private val lon0 = math.toRadians(lon0d)
     private def mOf(phi: Double): Double =
-      A * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi -
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi -
         (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi) +
         (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi) -
         (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
@@ -110,7 +130,7 @@ object Proj {
       val phi = math.toRadians(lat)
       val lam = math.toRadians(lon)
       val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
-      val nRad = A / math.sqrt(1 - e2 * sinP * sinP)
+      val nRad = a / math.sqrt(1 - e2 * sinP * sinP)
       val t = tanP * tanP
       val cc = ep2 * cosP * cosP
       val aa = cosP * (lam - lon0)
@@ -127,7 +147,7 @@ object Proj {
       val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
       val xm = x - fe
       val m = m0 + (y - fn) / k0
-      val mu = m / (A * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
       val phi1 = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
         (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
         (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
@@ -135,8 +155,8 @@ object Proj {
       val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
       val c1 = ep2 * cosP * cosP
       val t1 = tanP * tanP
-      val n1 = A / math.sqrt(1 - e2 * sinP * sinP)
-      val r1 = A * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
+      val n1 = a / math.sqrt(1 - e2 * sinP * sinP)
+      val r1 = a * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
       val d = xm / (n1 * k0)
       val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
         (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24 +
@@ -185,8 +205,9 @@ object Proj {
     * latTs (pass latTs = ±90 with an explicit k0 for variant A).
     */
   private final class PolarStereo(latTsD: Double, lon0d: Double, fe: Double,
-      fn: Double, north: Boolean, k0A: Double = Double.NaN) {
-    private val e2 = 2 * FWgs - FWgs * FWgs
+      fn: Double, north: Boolean, k0A: Double = Double.NaN,
+      flattening: Double = FWgs, a: Double = A) extends Projection {
+    private val e2 = 2 * flattening - flattening * flattening
     private val e = math.sqrt(e2)
     private val lon0 = math.toRadians(lon0d)
     private def tOf(phi: Double): Double = {
@@ -194,15 +215,15 @@ object Proj {
       math.tan(math.Pi / 4 - phi / 2) /
         math.pow((1 - esin) / (1 + esin), e / 2)
     }
-    /** rho = A * k * t where k collapses the variant A/B distinction. */
+    /** rho = a * k * t where k collapses the variant A/B distinction. */
     private val rhoFactor: Double =
-      if (!k0A.isNaN) // variant A: rho = 2 A k0 t / sqrt((1+e)^(1+e)(1-e)^(1-e))
-        2 * A * k0A / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
-      else { // variant B: rho = A mc t / tc at the standard parallel
+      if (!k0A.isNaN) // variant A: rho = 2 a k0 t / sqrt((1+e)^(1+e)(1-e)^(1-e))
+        2 * a * k0A / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      else { // variant B: rho = a mc t / tc at the standard parallel
         val latTs = math.toRadians(math.abs(latTsD))
         val mc = math.cos(latTs) /
           math.sqrt(1 - e2 * math.sin(latTs) * math.sin(latTs))
-        A * mc / tOf(latTs)
+        a * mc / tOf(latTs)
       }
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
@@ -273,8 +294,9 @@ object Proj {
   // ---- Lambert Conformal Conic 2SP (general, GRS80) --------------------
 
   private final class Lcc2SP(lat1d: Double, lat2d: Double, lat0d: Double,
-      lon0d: Double, fe: Double, fn: Double) {
-    private val e2 = 2 * F - F * F
+      lon0d: Double, fe: Double, fn: Double, flattening: Double = F,
+      a: Double = A) extends Projection {
+    private val e2 = 2 * flattening - flattening * flattening
     private val e = math.sqrt(e2)
     private val lat1 = math.toRadians(lat1d)
     private val lat2 = math.toRadians(lat2d)
@@ -290,10 +312,10 @@ object Proj {
     private val n =
       math.log(mOf(lat1) / mOf(lat2)) / math.log(tOf(lat1) / tOf(lat2))
     private val bigF = mOf(lat1) / (n * math.pow(tOf(lat1), n))
-    private val rho0 = A * bigF * math.pow(tOf(lat0), n)
+    private val rho0 = a * bigF * math.pow(tOf(lat0), n)
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
-      val rho = A * bigF * math.pow(tOf(math.toRadians(lat)), n)
+      val rho = a * bigF * math.pow(tOf(math.toRadians(lat)), n)
       val theta = n * (math.toRadians(lon) - lon0)
       (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
     }
@@ -302,7 +324,7 @@ object Proj {
       val sgn = if (n >= 0) 1.0 else -1.0
       val rho = sgn * math.hypot(xp, yp)
       val theta = math.atan2(sgn * xp, sgn * yp)
-      val t = math.pow(rho / (A * bigF), 1 / n)
+      val t = math.pow(rho / (a * bigF), 1 / n)
       var phi = math.Pi / 2 - 2 * math.atan(t)
       var i = 0
       while (i < 15) {
@@ -321,8 +343,9 @@ object Proj {
 
   // ---- Lambert Azimuthal Equal Area (general oblique, GRS80) -----------
 
-  private final class Laea(lat0d: Double, lon0d: Double, fe: Double, fn: Double) {
-    private val e2 = 2 * F - F * F
+  private final class Laea(lat0d: Double, lon0d: Double, fe: Double,
+      fn: Double, flattening: Double = F, a: Double = A) extends Projection {
+    private val e2 = 2 * flattening - flattening * flattening
     private val e = math.sqrt(e2)
     private val lat0 = math.toRadians(lat0d)
     private val lon0 = math.toRadians(lon0d)
@@ -334,9 +357,9 @@ object Proj {
     private val qp = qOf(math.Pi / 2)
     private val q0 = qOf(lat0)
     private val beta0 = math.asin(math.max(-1, math.min(1, q0 / qp)))
-    private val rq = A * math.sqrt(qp / 2)
+    private val rq = a * math.sqrt(qp / 2)
     private val m0 = math.cos(lat0) / math.sqrt(1 - e2 * math.sin(lat0) * math.sin(lat0))
-    private val d = A * m0 / (rq * math.cos(beta0))
+    private val d = a * m0 / (rq * math.cos(beta0))
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val phi = math.toRadians(lat)
@@ -444,21 +467,158 @@ object Proj {
       case _ => None
     }
 
+  private def codeSupported(c: Int): Boolean =
+    c == 4326 || c == 4269 || c == 4258 ||
+      c == 3857 || c == 900913 || c == 3395 ||
+      c == 5070 || c == 2154 || c == 3035 ||
+      isTm(c) || polarByCode.contains(c)
+
   def supported(crs: String): Boolean =
-    try {
-      val c = parseEpsg(crs)
-      c == 4326 || c == 4269 || c == 4258 ||
-        c == 3857 || c == 900913 || c == 3395 ||
-        c == 5070 || c == 2154 || c == 3035 ||
-        isTm(c) || polarByCode.contains(c)
-    } catch { case _: Exception => false }
+    (try codeSupported(parseEpsg(crs)) catch { case _: Exception => false }) ||
+      projjsonProjection(crs).isDefined
+
+  // ---- generic PROJJSON conversion-driven dispatch ----------------------
+  // When a CRS arrives as a PROJJSON document whose EPSG code is NOT one
+  // of the parameterizations above, read the projection method +
+  // parameters + ellipsoid straight from the `conversion` object and
+  // instantiate the matching family — any TM / LCC-2SP / AEA / LAEA /
+  // polar-stereographic CRS works without being EPSG-keyed here (the
+  // role pyproj's CRS.from_json plays for the reference,
+  // `core/reproject.py:94-430`).
+
+  private val projjsonCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Projection]]()
+
+  private[graft] def projjsonProjection(crs: String): Option[Projection] = {
+    val s = crs.trim
+    if (!s.startsWith("{")) return None
+    projjsonCache.computeIfAbsent(s, { _ =>
+      try buildFromProjjson(s) catch { case _: Exception => None }
+    })
+  }
+
+  private def buildFromProjjson(s: String): Option[Projection] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    val conv = node.get("conversion")
+    if (conv == null || conv.get("method") == null) return None
+    val method = conv.get("method")
+    val methodCode: Int =
+      Option(method.get("id")).flatMap(id => Option(id.get("code")))
+        .map(c => if (c.isNumber) c.asInt else c.asText.toInt)
+        .getOrElse {
+          val n = Option(method.get("name")).map(_.asText.toLowerCase)
+            .getOrElse("")
+          if (n.contains("transverse mercator")) 9807
+          else if (n.contains("conic conformal")) 9802
+          else if (n.contains("albers")) 9822
+          else if (n.contains("azimuthal equal area")) 9820
+          else if (n.contains("polar stereographic") && n.contains("variant b")) 9829
+          else if (n.contains("polar stereographic")) 9810
+          else -1
+        }
+    // parameters by EPSG id and by lowercase name; values normalized to
+    // degrees / metres (PROJJSON unit objects carry a conversion factor
+    // to the SI base: radians for angles, metres for lengths)
+    var byId = Map.empty[Int, Double]
+    var byName = Map.empty[String, Double]
+    val params = conv.get("parameters")
+    if (params != null) params.forEach { p =>
+      val raw = p.get("value").asDouble
+      val unit = p.get("unit")
+      val (isAngle, factor) =
+        if (unit == null) (false, 1.0)
+        else if (unit.isTextual) (unit.asText == "degree", 1.0)
+        else {
+          val tpe = Option(unit.get("type")).map(_.asText.toLowerCase).getOrElse("")
+          val nm = Option(unit.get("name")).map(_.asText.toLowerCase).getOrElse("")
+          (tpe.contains("angular") || nm.contains("degree") ||
+            nm.contains("radian") || nm.contains("grad"),
+            Option(unit.get("conversion_factor")).map(_.asDouble).getOrElse(1.0))
+        }
+      val v =
+        if (unit == null || unit.isTextual) raw // degree / metre pass through
+        else if (isAngle) math.toDegrees(raw * factor)
+        else raw * factor
+      Option(p.get("id")).flatMap(id => Option(id.get("code"))).foreach { c =>
+        byId += (if (c.isNumber) c.asInt else c.asText.toInt) -> v
+      }
+      Option(p.get("name")).foreach(n => byName += n.asText.toLowerCase -> v)
+    }
+    def pv(id: Int, name: String, dflt: Double = 0.0): Double =
+      byId.getOrElse(id, byName.getOrElse(name, dflt))
+    // ellipsoid from base_crs (datum or datum_ensemble)
+    val ell = Option(node.get("base_crs")).flatMap { b =>
+      (Option(b.get("datum")) orElse Option(b.get("datum_ensemble")))
+        .flatMap(d => Option(d.get("ellipsoid")))
+    }
+    val a = ell.flatMap(e => Option(e.get("semi_major_axis")))
+      .map(n => if (n.isNumber) n.asDouble else n.get("value").asDouble)
+      .getOrElse(A)
+    val flat = ell.flatMap { e =>
+      Option(e.get("inverse_flattening")).map(1.0 / _.asDouble)
+        .orElse(Option(e.get("semi_minor_axis"))
+          .map(b => 1.0 - b.asDouble / a))
+    }.getOrElse(FWgs)
+    methodCode match {
+      case 9807 => Some(new Tm(
+        pv(8801, "latitude of natural origin"),
+        pv(8802, "longitude of natural origin"),
+        pv(8805, "scale factor at natural origin", 1.0),
+        pv(8806, "false easting"), pv(8807, "false northing"), flat, a))
+      case 9802 => Some(new Lcc2SP(
+        pv(8823, "latitude of 1st standard parallel"),
+        pv(8824, "latitude of 2nd standard parallel"),
+        pv(8821, "latitude of false origin"),
+        pv(8822, "longitude of false origin"),
+        pv(8826, "easting at false origin"),
+        pv(8827, "northing at false origin"), flat, a))
+      case 9822 => Some(new Aea(
+        pv(8823, "latitude of 1st standard parallel"),
+        pv(8824, "latitude of 2nd standard parallel"),
+        pv(8821, "latitude of false origin"),
+        pv(8822, "longitude of false origin"),
+        pv(8826, "easting at false origin"),
+        pv(8827, "northing at false origin"), flat, a))
+      case 9820 => Some(new Laea(
+        pv(8801, "latitude of natural origin"),
+        pv(8802, "longitude of natural origin"),
+        pv(8806, "false easting"), pv(8807, "false northing"), flat, a))
+      case 9810 =>
+        val lat0 = pv(8801, "latitude of natural origin", 90.0)
+        Some(new PolarStereo(lat0, pv(8802, "longitude of natural origin"),
+          pv(8806, "false easting"), pv(8807, "false northing"),
+          north = lat0 >= 0,
+          k0A = pv(8805, "scale factor at natural origin", 1.0), flat, a))
+      case 9829 =>
+        val ts = pv(8832, "latitude of standard parallel", 90.0)
+        Some(new PolarStereo(ts, pv(8833, "longitude of origin"),
+          pv(8806, "false easting"), pv(8807, "false northing"),
+          north = ts >= 0, Double.NaN, flat, a))
+      case _ => None
+    }
+  }
 
   /** (lon-ish x, lat-ish y) in `from` CRS → `to` CRS, always XY. */
   def transform(x: Double, y: Double, from: String, to: String): (Double, Double) = {
-    val f = parseEpsg(from); val t = parseEpsg(to)
-    if (f == t) return (x, y)
-    val (lon, lat) = toLonLat(x, y, f)
-    fromLonLat(lon, lat, t)
+    val f = try Some(parseEpsg(from)) catch { case _: Exception => None }
+    val t = try Some(parseEpsg(to)) catch { case _: Exception => None }
+    if (f.isDefined && f == t) return (x, y)
+    val (lon, lat) = f match {
+      case Some(c) if codeSupported(c) => toLonLat(x, y, c)
+      case _ => projjsonProjection(from) match {
+        case Some(p) => p.inverse(x, y)
+        case None => toLonLat(x, y, f.getOrElse(
+          throw new IllegalArgumentException(s"unsupported CRS: $from")))
+      }
+    }
+    t match {
+      case Some(c) if codeSupported(c) => fromLonLat(lon, lat, c)
+      case _ => projjsonProjection(to) match {
+        case Some(p) => p.forward(lon, lat)
+        case None => fromLonLat(lon, lat, t.getOrElse(
+          throw new IllegalArgumentException(s"unsupported CRS: $to")))
+      }
+    }
   }
 
   // NAD83 (269xx) and ETRS89 (258xx) are treated as WGS84-compatible

@@ -197,6 +197,83 @@ class SpatialKeySpec extends AnyFunSuite {
     }
   }
 
+  test("PROJJSON conversion-driven dispatch: unlisted codes project") {
+    // EPSG:27700 (OSGB British National Grid) is NOT in the EPSG-keyed
+    // table and sits on a different ellipsoid (Airy 1830) — the generic
+    // path must read method 9807 + parameters + ellipsoid from the
+    // conversion object. Vector: the Ordnance Survey published worked
+    // example ("A guide to coordinate systems in Great Britain",
+    // Annexe C): 52°39'27.2531"N 1°43'4.5177"E ->
+    // E 651409.903, N 313177.270
+    val bng = """{"type":"ProjectedCRS","name":"OSGB36 / British National Grid",
+      "base_crs":{"name":"OSGB36","datum":{"type":"GeodeticReferenceFrame",
+        "name":"OSGB36","ellipsoid":{"name":"Airy 1830",
+        "semi_major_axis":6377563.396,"inverse_flattening":299.3249646}}},
+      "conversion":{"name":"British National Grid",
+        "method":{"name":"Transverse Mercator","id":{"authority":"EPSG","code":9807}},
+        "parameters":[
+          {"name":"Latitude of natural origin","value":49,"unit":"degree","id":{"authority":"EPSG","code":8801}},
+          {"name":"Longitude of natural origin","value":-2,"unit":"degree","id":{"authority":"EPSG","code":8802}},
+          {"name":"Scale factor at natural origin","value":0.9996012717,"unit":"unity","id":{"authority":"EPSG","code":8805}},
+          {"name":"False easting","value":400000,"unit":"metre","id":{"authority":"EPSG","code":8806}},
+          {"name":"False northing","value":-100000,"unit":"metre","id":{"authority":"EPSG","code":8807}}]},
+      "id":{"authority":"EPSG","code":27700}}"""
+    assert(Proj.supported(bng))
+    val lat = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    val lon = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = Proj.transform(lon, lat, "EPSG:4326", bng)
+    assert(math.abs(e - 651409.903) < 0.02, s"E=$e")
+    assert(math.abs(n - 313177.270) < 0.02, s"N=$n")
+    // Snyder inverse series truncation is ~3mm on Airy — 1e-7 deg tol
+    val (lon2, lat2) = Proj.transform(e, n, bng, "EPSG:4326")
+    assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
+
+    // EPSG:3577 (GDA94 / Australian Albers) — second unlisted code,
+    // method 9822 on GRS80. False origin pins the parameter wiring
+    // exactly; Australian extent round-trips.
+    val aus = """{"type":"ProjectedCRS","name":"GDA94 / Australian Albers",
+      "base_crs":{"name":"GDA94","datum":{"type":"GeodeticReferenceFrame",
+        "name":"GDA94","ellipsoid":{"name":"GRS 1980",
+        "semi_major_axis":6378137,"inverse_flattening":298.257222101}}},
+      "conversion":{"name":"Australian Albers",
+        "method":{"name":"Albers Equal Area","id":{"authority":"EPSG","code":9822}},
+        "parameters":[
+          {"name":"Latitude of false origin","value":0,"unit":"degree","id":{"authority":"EPSG","code":8821}},
+          {"name":"Longitude of false origin","value":132,"unit":"degree","id":{"authority":"EPSG","code":8822}},
+          {"name":"Latitude of 1st standard parallel","value":-18,"unit":"degree","id":{"authority":"EPSG","code":8823}},
+          {"name":"Latitude of 2nd standard parallel","value":-36,"unit":"degree","id":{"authority":"EPSG","code":8824}},
+          {"name":"Easting at false origin","value":0,"unit":"metre","id":{"authority":"EPSG","code":8826}},
+          {"name":"Northing at false origin","value":0,"unit":"metre","id":{"authority":"EPSG","code":8827}}]},
+      "id":{"authority":"EPSG","code":3577}}"""
+    assert(Proj.supported(aus))
+    val (ox, oy) = Proj.transform(132.0, 0.0, "EPSG:4326", aus)
+    assert(math.abs(ox) < 1e-6 && math.abs(oy) < 1e-6)
+    for ((plon, plat) <- Seq((145.0, -37.8), (115.9, -31.9), (153.0, -27.5))) {
+      val (x, y) = Proj.transform(plon, plat, "EPSG:4326", aus)
+      val (l2, p2) = Proj.transform(x, y, aus, "EPSG:4326")
+      assert(math.abs(l2 - plon) < 1e-8 && math.abs(p2 - plat) < 1e-8)
+    }
+
+    // twin-consistency: an id-LESS PROJJSON carrying a table-keyed CRS's
+    // published parameters must reproduce the (vector-verified) table
+    // implementation bit-for-bit-ish across families
+    val lcc93 = """{"type":"ProjectedCRS","name":"RGF93 / Lambert-93",
+      "base_crs":{"name":"RGF93","datum":{"name":"RGF93","ellipsoid":{
+        "name":"GRS 1980","semi_major_axis":6378137,"inverse_flattening":298.257222101}}},
+      "conversion":{"name":"Lambert-93",
+        "method":{"name":"Lambert Conic Conformal (2SP)","id":{"authority":"EPSG","code":9802}},
+        "parameters":[
+          {"name":"Latitude of false origin","value":46.5,"unit":"degree","id":{"authority":"EPSG","code":8821}},
+          {"name":"Longitude of false origin","value":3,"unit":"degree","id":{"authority":"EPSG","code":8822}},
+          {"name":"Latitude of 1st standard parallel","value":44,"unit":"degree","id":{"authority":"EPSG","code":8823}},
+          {"name":"Latitude of 2nd standard parallel","value":49,"unit":"degree","id":{"authority":"EPSG","code":8824}},
+          {"name":"Easting at false origin","value":700000,"unit":"metre","id":{"authority":"EPSG","code":8826}},
+          {"name":"Northing at false origin","value":6600000,"unit":"metre","id":{"authority":"EPSG","code":8827}}]}}"""
+    val (gx, gy) = Proj.transform(2.3522, 48.8566, "EPSG:4326", lcc93)
+    val (tx, ty) = Proj.transform(2.3522, 48.8566, "EPSG:4326", "EPSG:2154")
+    assert(math.abs(gx - tx) < 1e-6 && math.abs(gy - ty) < 1e-6)
+  }
+
   test("CRS dispatch accepts PROJJSON, URNs and OGC:CRS84") {
     assert(Proj.parseEpsg("urn:ogc:def:crs:EPSG::3857") == 3857)
     assert(Proj.parseEpsg("OGC:CRS84") == 4326)
