@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness: synthesizes a ~k× copy of the driver tables the
+  * flagship queries read (union + key-shift; document text token-salted
+  * per shard so near-dup structure grows linearly with the corpus, not
+  * quadratically), times each flagship at both scales, and prints the
+  * per-query scaling exponent log(t_big/t_small)/log(k).
+  *
+  * An exponent near 1 means the plan's cost is linear in data volume —
+  * the property that lets the sf0.1 numbers extrapolate to 100 TB; >1.2
+  * flags a super-linear stage (quadratic candidate growth, a serialized
+  * window, a driver materialization) that the plan audit missed.
+  */
+object ScaleCurve {
+
+  private val flagships = Seq(
+    "q5_window_topk",    // TopK aggregate over orders
+    "q13_hilbert_sort",  // global range-partitioned sort over customer
+    "q20_dedup_exact",   // digest row_number over documents
+    "q28_minhash_dedup", // banded LSH join over documents
+    "q39_dedup_clusters" // minhash pairs + iterative hash-to-min
+  )
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- synthesize the k× tables ------------------------------------
+    def shifted(df: DataFrame, idCol: String, shard: Int, span: Long): DataFrame =
+      df.withColumn(idCol, col(idCol) + lit(shard * span))
+
+    def scaleUp(name: String, idCol: String,
+        perShard: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val src = spark.read.parquet(s"$baseDir/$name.parquet")
+      val span = src.agg(max(col(idCol))).head().getLong(0) + 1
+      val big = (0 until factor).map(i => shifted(perShard(src, i), idCol, i, span))
+        .reduce(_ union _)
+      big.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+
+    scaleUp("customer", "c_custkey")
+    scaleUp("orders", "o_orderkey")
+    // salt every token with the shard id (shard 0 keeps the originals):
+    // shingle streams become disjoint across shards, so duplicate pairs
+    // stay within-shard and the pair count scales ×k — copying text
+    // verbatim would instead multiply every dup cluster by k and grow
+    // pair work k², which is a data-distribution change, not a scale-up
+    scaleUp("documents", "doc_id", (d, i) =>
+      if (i == 0) d
+      else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))
+
+    // ---- time both scales --------------------------------------------
+    def force(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // warmup on the smallest sf: JIT + first-scan planning off the clock
+    flagships.foreach { q =>
+      try force(graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
+    }
+
+    def time(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        force(graft.SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val rows = flagships.map { q =>
+      val tSmall = time(q, baseDir)
+      val tBig = time(q, outDir)
+      val exp = math.log(tBig / tSmall) / math.log(factor.toDouble)
+      (q, tSmall, tBig, exp)
+    }
+    val qjson = rows.map { case (q, ts, tb, e) =>
+      f""""$q":{"t_base":$ts%.3f,"t_x$factor":$tb%.3f,"exponent":$e%.3f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","factor":$factor,"base":"$baseDir","queries":$qjson}""")
+    rows.foreach { case (q, ts, tb, e) =>
+      println(f"# $q%-22s ${ts}%8.3f s -> ${tb}%8.3f s  exponent ${e}%5.3f")
+    }
+    spark.stop()
+  }
+}
