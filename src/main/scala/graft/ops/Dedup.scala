@@ -136,6 +136,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact character-n-gram Jaccard near-dup pairs via an inverted-index
+    * set-similarity join with document-frequency pruning (builder-prompt:
+    * "n-gram Jaccard"). Unlike the MinHash path this is EXACT similarity
+    * over the (pruned) gram space:
+    *
+    *  1. distinct (id, gram) posting pairs;
+    *  2. grams appearing in more than `maxDf` documents are dropped —
+    *     stop-gram pruning. A corpus-frequent gram ("the " at 100 TB)
+    *     would otherwise create a posting list of the whole corpus and a
+    *     quadratic pair explosion in step 3; `maxDf` caps every posting
+    *     list, so the join cost is bounded by maxDf² per gram.
+    *  3. inverted-index self-join on the gram → per-pair common-gram
+    *     counts (map-side combinable aggregate);
+    *  4. jaccard = common / (|A| + |B| − common) over pruned gram sets,
+    *     thresholded.
+    *
+    * Similarity is therefore "rare-gram Jaccard" — the same reading as
+    * running classic set-similarity after stopword removal; two
+    * documents identical except in stop-grams score 1.0.
+    */
+  def ngramJaccardNearDups(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val norm = df.select(col(idCol).as("__id"),
+      normalizeNN(col(textCol)).as("__t"))
+    // sequence(1, stop) with stop < 1 would generate DESCENDING values —
+    // guard short documents to an empty gram set instead
+    val grams = norm.select(col("__id"),
+        explode(when(length(col("__t")) >= n,
+          expr(s"transform(sequence(1, length(__t) - ${n - 1}), i -> substring(__t, i, $n))"))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+      .distinct()
+    val kept = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("__g"))
+    val kg = grams.join(kept, Seq("__g"))
+    val sizes = kg.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val a = kg.select(col("__g"), col("__id").as("id_a"))
+    val b = kg.select(col("__g"), col("__id").as("id_b"))
+    val common = a.join(b, Seq("__g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__c"))
+    common
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("__c").cast("double") / (col("__sa") + col("__sb") - col("__c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking
     * (builder-prompt: "embedding-cosine near-dup"), the declared q27
     * path. Same shape as [[minhashNearDups]]: each vector gets a

@@ -338,6 +338,43 @@ object OpsQueries {
       Some("""SELECT doc_id,
           CAST(1 + doc_id % 13 AS BIGINT) AS width,
           CAST(1 + doc_id % 7 AS BIGINT) AS height
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- exact char-n-gram Jaccard (inverted index + df-pruning) -------
+    // The fourth dedup family (exact set similarity, not sketched): the
+    // oracle rebuilds the identical gram sets, applies the same
+    // stop-gram pruning, and recomputes every pairwise Jaccard — the
+    // maxDf guard is part of the verified semantics, since it's what
+    // bounds posting lists (and thus pair work) at corpus scale.
+    QueryDef(
+      "q47_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.ngramJaccardNearDups(table(s, dir, "documents"),
+            "text", "doc_id", n = 4, threshold = 0.5, maxDf = 10)
+          .select($"id_a", $"id_b", round($"jaccard", 5).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS g
+          FROM norm, UNNEST(range(1, GREATEST(length(t) - 3, 0) + 1)) s(i)),
+        kept AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 10),
+        kg AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN kept k ON gr.g = k.g),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kg GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        jc AS (
+          SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS j
+          FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, ROUND(j, 5) AS jaccard FROM jc
+        WHERE j >= 0.5 ORDER BY id_a, id_b"""))
   )
 }

@@ -100,6 +100,25 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.999))
   }
 
+  test("ngram jaccard: inverted-index pairs, df-pruning drops stop-grams") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val near = "alpha bravo charlie delta echo foxtrot golf hotel juliet"
+    val other = "kilo lima mike november oscar papa quebec romeo sierra"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardNearDups(df, "text", "doc_id",
+      n = 4, threshold = 0.5, maxDf = 10).collect()
+    assert(pairs.length == 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) == ((1L, 2L)))
+    assert(pairs(0).getDouble(2) > 0.5 && pairs(0).getDouble(2) < 1.0)
+    // a stop-gram present in EVERY doc must not create candidates on its
+    // own: with maxDf = 2, grams shared by all three docs are pruned
+    val stopy = Seq((1L, "zzzz aaaa"), (2L, "zzzz bbbb"), (3L, "zzzz cccc"))
+      .toDF("doc_id", "text")
+    val pruned = Dedup.ngramJaccardNearDups(stopy, "text", "doc_id",
+      n = 4, threshold = 0.1, maxDf = 2).collect()
+    assert(pruned.isEmpty, pruned.mkString(","))
+  }
+
   test("kdtree cells are balanced and deterministic") {
     val df = spark.range(2000).toDF("id")
       .withColumn("x", col("id") * 37 % 360 - 180)
