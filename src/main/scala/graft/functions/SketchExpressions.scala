@@ -30,6 +30,32 @@ object SketchEval {
 
   def lsh(v: ArrayData, bits: Int): Int =
     graft.ops.Ann.lshSignatureAD(v, bits)
+
+  def ivfAssign(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = -1; var bestSim = Double.MinValue
+    val n = v.numElements()
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val vi = v.getFloat(i).toDouble; val ci = cents(c)(i).toDouble
+        dot += vi * ci; na += vi * vi; nb += ci * ci; i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def lshProbes(sig: Int, bits: Int): ArrayData = {
+    val out = new Array[Int](bits + 1)
+    out(0) = sig
+    var b = 0
+    while (b < bits) { out(b + 1) = sig ^ (1 << b); b += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 object SketchExpressions {
@@ -91,6 +117,47 @@ object SketchExpressions {
     override protected def withNewChildInternal(newChild: Expression) =
       copy(child = newChild)
   }
+
+  /** Nearest-centroid IVF list assignment (argmax cosine, lowest index
+    * wins ties via strict >). The centroid table rides into generated
+    * code as a reference object — broadcast-by-closure, no UDF bridge.
+    */
+  case class IvfAssign(child: Expression, cents: Array[Array[Float]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      SketchEval.ivfAssign(v.asInstanceOf[ArrayData], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cents", cents, "float[][]")
+      defineCodeGen(ctx, ev, c => s"$E.ivfAssign($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** Multi-probe set for an LSH signature: the bucket plus every 1-bit
+    * flip (bits + 1 ints).
+    */
+  case class LshProbes(child: Expression, bits: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(IntegerType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.lshProbes(s.asInstanceOf[Int], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.lshProbes($c, $bits)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def ivf_assign(vec: Column, cents: Array[Array[Float]]): Column =
+    GraftBridge.column(IvfAssign(GraftBridge.expression(vec), cents))
+
+  def lsh_probes(sig: Column, bits: Int): Column =
+    GraftBridge.column(LshProbes(GraftBridge.expression(sig), bits))
 
   def minhash_sig(text: Column, numHashes: Int, shingleK: Int): Column =
     GraftBridge.column(MinhashSignature(GraftBridge.expression(text),

@@ -146,13 +146,12 @@ object Ann {
       corpus.select(col(idCol).as("id"), col(vecCol).as("__v")),
       "__v", bits, "__sig")
     // each query probes its own bucket + all 1-bit flips
-    val flips = udf((sig: Int) =>
-      sig +: (0 until bits).map(b => sig ^ (1 << b)))
     val q = withLshBucket(
       queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q")),
       "__q", bits, "__qsig")
       .select(col("qid"), col("__q"),
-        explode(flips(col("__qsig"))).as("__sig"))
+        explode(graft.functions.SketchExpressions
+          .lsh_probes(col("__qsig"), bits)).as("__sig"))
     val cand = c.join(q, Seq("__sig"))
       .select(col("qid"), col("id"), cosine(col("__v"), col("__q")).as("sim"))
     TopK.perGroup(cand, Seq("qid"),
@@ -173,31 +172,14 @@ object Ann {
       .map(_.getSeq[Float](1).toArray)
   }
 
-  private def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
-    var best = -1; var bestSim = Double.MinValue
-    var c = 0
-    while (c < cents.length) {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < v.length) {
-        dot += v(i).toDouble * cents(c)(i); na += v(i).toDouble * v(i)
-        nb += cents(c)(i).toDouble * cents(c)(i); i += 1
-      }
-      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (sim > bestSim) { bestSim = sim; best = c }
-      c += 1
-    }
-    best
-  }
-
-  /** Assign each vector to its IVF list (small centroid set broadcast
-    * inside the UDF closure).
+  /** Assign each vector to its IVF list. Codegen expression carrying the
+    * small centroid table as a generated-code reference object — the
+    * per-row argmax stays inside the fused stage, no UDF bridge.
     */
   def withIvfList(df: DataFrame, vecCol: String,
-      cents: Array[Array[Float]], listCol: String = "ivf_list"): DataFrame = {
-    val assignUdf = udf((v: Array[Float]) => nearestCentroid(v, cents))
-    df.withColumn(listCol, assignUdf(col(vecCol)))
-  }
+      cents: Array[Array[Float]], listCol: String = "ivf_list"): DataFrame =
+    df.withColumn(listCol,
+      graft.functions.SketchExpressions.ivf_assign(col(vecCol), cents))
 
   /** IVF search: probe the nProbe closest centroid lists, exact within. */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,

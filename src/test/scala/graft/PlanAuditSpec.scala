@@ -54,13 +54,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("sketch hot paths are codegen expressions, not UDFs") {
-    // minhash/simhash/LSH signatures run per document/vector — a ScalaUDF
-    // there breaks whole-stage codegen and pays row serialization both
-    // ways. (q44 keeps its tiny broadcast-centroid assignment UDF; the
-    // per-row sketch surfaces must stay native.)
+    // minhash/simhash/LSH/IVF computations run per document/vector — a
+    // ScalaUDF there breaks whole-stage codegen and pays row
+    // serialization both ways
     for (name <- Seq("q20_dedup_exact", "q27_embedding_dedup",
         "q28_minhash_dedup", "q29_simhash_dedup", "q31_ann_lsh",
-        "q39_dedup_clusters", "q45_ann_batch")) {
+        "q39_dedup_clusters", "q44_ann_ivf", "q45_ann_batch",
+        "q47_ngram_jaccard")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("UDF"), s"$name still contains a UDF node")
