@@ -264,20 +264,23 @@ object Proj {
     5041 -> new PolarStereo(90, 0, 2000000, 2000000, north = true, k0A = 0.994), // UPS North
     5042 -> new PolarStereo(-90, 0, 2000000, 2000000, north = false, k0A = 0.994)) // UPS South
 
-  // ---- ellipsoidal Mercator (EPSG:3395) --------------------------------
+  // ---- ellipsoidal Mercator (general; EPSG methods 9804 variant A /
+  // 9805 variant B via k0 = m(lat1)) --------------------------------------
 
-  private object Merc3395 {
-    val e2 = 2 * FWgs - FWgs * FWgs
+  private final class Merc(k0: Double, lon0d: Double, fe: Double, fn: Double,
+      flattening: Double = FWgs, a: Double = A) extends Projection {
+    val e2 = 2 * flattening - flattening * flattening
     val e = math.sqrt(e2)
+    private val lon0 = math.toRadians(lon0d)
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val phi = math.toRadians(math.max(-89.9999, math.min(89.9999, lat)))
       val esin = e * math.sin(phi)
-      val y = A * math.log(math.tan(math.Pi / 4 + phi / 2) *
+      val y = a * k0 * math.log(math.tan(math.Pi / 4 + phi / 2) *
         math.pow((1 - esin) / (1 + esin), e / 2))
-      (A * math.toRadians(lon), y)
+      (fe + a * k0 * (math.toRadians(lon) - lon0), fn + y)
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val t = math.exp(-y / A)
+      val t = math.exp(-(y - fn) / (a * k0))
       var phi = math.Pi / 2 - 2 * math.atan(t)
       var i = 0
       while (i < 15) {
@@ -287,9 +290,12 @@ object Proj {
         if (math.abs(next - phi) < 1e-12) { phi = next; i = 100 } else phi = next
         i += 1
       }
-      (math.toDegrees(x / A), math.toDegrees(phi))
+      (math.toDegrees(lon0 + (x - fe) / (a * k0)), math.toDegrees(phi))
     }
   }
+
+  /** WGS84 / World Mercator (published parameter set). */
+  private lazy val Merc3395 = new Merc(1.0, 0.0, 0.0, 0.0)
 
   // ---- Lambert Conformal Conic 2SP (general, GRS80) --------------------
 
@@ -417,7 +423,13 @@ object Proj {
         else return code.asText.toInt
       }
       val name = Option(node.get("name")).map(_.asText.toUpperCase).getOrElse("")
-      if (name.contains("CRS84") || name.contains("WGS 84")) return 4326
+      // the name fallback must only apply to GEOGRAPHIC CRSs — a
+      // projected document ("WGS 84 / World Mercator") also contains
+      // "WGS 84" but is emphatically not 4326
+      val tpe = Option(node.get("type")).map(_.asText).getOrElse("")
+      val geographic = tpe.isEmpty || tpe.startsWith("Geographic")
+      if (geographic && (name.contains("CRS84") || name.contains("WGS 84")))
+        return 4326
       throw new IllegalArgumentException(s"PROJJSON without id: $s")
     }
     val u = s.toUpperCase
@@ -594,6 +606,16 @@ object Proj {
         Some(new PolarStereo(ts, pv(8833, "longitude of origin"),
           pv(8806, "false easting"), pv(8807, "false northing"),
           north = ts >= 0, Double.NaN, flat, a))
+      case 9804 => Some(new Merc( // Mercator variant A: explicit k0
+        pv(8805, "scale factor at natural origin", 1.0),
+        pv(8802, "longitude of natural origin"),
+        pv(8806, "false easting"), pv(8807, "false northing"), flat, a))
+      case 9805 => // Mercator variant B: k0 from the standard parallel
+        val e2 = 2 * flat - flat * flat
+        val lat1 = math.toRadians(pv(8823, "latitude of 1st standard parallel"))
+        val k0 = math.cos(lat1) / math.sqrt(1 - e2 * math.sin(lat1) * math.sin(lat1))
+        Some(new Merc(k0, pv(8802, "longitude of natural origin"),
+          pv(8806, "false easting"), pv(8807, "false northing"), flat, a))
       case _ => None
     }
   }

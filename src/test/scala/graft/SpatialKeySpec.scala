@@ -272,6 +272,40 @@ class SpatialKeySpec extends AnyFunSuite {
     val (gx, gy) = Proj.transform(2.3522, 48.8566, "EPSG:4326", lcc93)
     val (tx, ty) = Proj.transform(2.3522, 48.8566, "EPSG:4326", "EPSG:2154")
     assert(math.abs(gx - tx) < 1e-6 && math.abs(gy - ty) < 1e-6)
+
+    // Mercator variant B (EPSG method 9805) on Krassowsky 1940 — the
+    // IOGP GN7-2 worked example (Caspian Sea Mercator): 53N 53E ->
+    // E 165704.29, N 5171848.07
+    val caspian = """{"type":"ProjectedCRS","name":"Pulkovo 1942 / Caspian Sea Mercator",
+      "base_crs":{"name":"Pulkovo 1942","datum":{"name":"Pulkovo 1942","ellipsoid":{
+        "name":"Krassowsky 1940","semi_major_axis":6378245,"inverse_flattening":298.3}}},
+      "conversion":{"name":"Caspian Sea Mercator",
+        "method":{"name":"Mercator (variant B)","id":{"authority":"EPSG","code":9805}},
+        "parameters":[
+          {"name":"Latitude of 1st standard parallel","value":42,"unit":"degree","id":{"authority":"EPSG","code":8823}},
+          {"name":"Longitude of natural origin","value":51,"unit":"degree","id":{"authority":"EPSG","code":8802}},
+          {"name":"False easting","value":0,"unit":"metre","id":{"authority":"EPSG","code":8806}},
+          {"name":"False northing","value":0,"unit":"metre","id":{"authority":"EPSG","code":8807}}]}}"""
+    val (me, mn) = Proj.transform(53.0, 53.0, "EPSG:4326", caspian)
+    assert(math.abs(me - 165704.29) < 0.05, s"E=$me")
+    assert(math.abs(mn - 5171848.07) < 0.05, s"N=$mn")
+    val (mlon, mlat) = Proj.transform(me, mn, caspian, "EPSG:4326")
+    assert(math.abs(mlon - 53.0) < 1e-8 && math.abs(mlat - 53.0) < 1e-8)
+
+    // Mercator variant A twin of the table's EPSG:3395
+    val merc3395 = """{"type":"ProjectedCRS","name":"WGS 84 / World Mercator",
+      "base_crs":{"name":"WGS 84","datum":{"name":"WGS 84","ellipsoid":{
+        "name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+      "conversion":{"name":"World Mercator",
+        "method":{"name":"Mercator (variant A)","id":{"authority":"EPSG","code":9804}},
+        "parameters":[
+          {"name":"Scale factor at natural origin","value":1,"unit":"unity","id":{"authority":"EPSG","code":8805}},
+          {"name":"Longitude of natural origin","value":0,"unit":"degree","id":{"authority":"EPSG","code":8802}},
+          {"name":"False easting","value":0,"unit":"metre","id":{"authority":"EPSG","code":8806}},
+          {"name":"False northing","value":0,"unit":"metre","id":{"authority":"EPSG","code":8807}}]}}"""
+    val (wx, wy) = Proj.transform(13.37, 52.51, "EPSG:4326", merc3395)
+    val (vx, vy) = Proj.transform(13.37, 52.51, "EPSG:4326", "EPSG:3395")
+    assert(math.abs(wx - vx) < 1e-6 && math.abs(wy - vy) < 1e-6)
   }
 
   test("CRS dispatch accepts PROJJSON, URNs and OGC:CRS84") {
