@@ -178,6 +178,67 @@ object Streaming {
       }
   }
 
+  final case class Vec(vec_id: Long, embedding: Array[Float],
+      ts: java.sql.Timestamp)
+  final case class VecBandHit(band_sig: Long, vec_id: Long,
+      vec: Array[Float], tsMs: Long)
+  final case class VecBucketState(seen: List[(Long, Array[Float], Long)])
+  final case class CosPair(id_a: Long, id_b: Long, cosine: Double)
+
+  /** Streaming embedding near-dup detection — the keyed-state twin of
+    * `Dedup.embeddingNearDups` (batch q27): each vector's banded
+    * hyperplane-LSH signature keys the state (same md5-derived planes,
+    * same (band, bandSig) the batch equi-join shuffles on); each arrival
+    * is verified with exact cosine against its bucket co-residents.
+    * State is bounded by the event-time `horizon` and the `maxBucket`
+    * hot-bucket cap, the same contracts as [[minhashNearDups]].
+    */
+  def embeddingNearDups(vecs: Dataset[Vec], threshold: Double = 0.9,
+      bits: Int = 24, bands: Int = 4,
+      horizon: java.time.Duration = java.time.Duration.ofHours(1),
+      maxBucket: Int = 256): Dataset[CosPair] = {
+    import vecs.sparkSession.implicits._
+    require(bits % bands == 0, "bits must be divisible by bands")
+    val per = bits / bands
+    val horizonMs = horizon.toMillis
+    val banded = vecs.flatMap { v =>
+      val sig = graft.ops.Ann.lshSignature(v.embedding, bits)
+      (0 until bands).map { b =>
+        val bandSig = (sig >>> (b * per)) & ((1 << per) - 1)
+        VecBandHit(b.toLong << 32 | (bandSig & 0xffffffffL),
+          v.vec_id, v.embedding, v.ts.getTime)
+      }
+    }
+    banded.groupByKey(_.band_sig)
+      .flatMapGroupsWithState[VecBucketState, CosPair](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, batch: Iterator[VecBandHit],
+            state: GroupState[VecBucketState]) =>
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[CosPair]()
+          batch.toSeq.sortBy(h => (h.tsMs, h.vec_id)).foreach { h =>
+            seen.foreach { case (oid, ovec, _) =>
+              if (oid != h.vec_id) {
+                val c = graft.ops.Ann.cosineArrays(h.vec, ovec)
+                if (c >= threshold)
+                  out += CosPair(math.min(oid, h.vec_id),
+                    math.max(oid, h.vec_id), c)
+              }
+            }
+            seen = (h.vec_id, h.vec, h.tsMs) :: seen
+            seen = seen.filter(_._3 >= h.tsMs - horizonMs)
+            if (seen.lengthCompare(maxBucket) > 0) {
+              org.slf4j.LoggerFactory.getLogger(Streaming.getClass).warn(
+                s"embedding bucket $bucket exceeded maxBucket=$maxBucket; " +
+                  "evicting oldest")
+              seen = seen.take(maxBucket)
+            }
+          }
+          state.update(VecBucketState(seen))
+          out.iterator
+      }
+  }
+
   final case class Scored(grp: String, id: Long, score: Double)
   final case class TopKState(items: List[(Double, Long)])
   final case class TopKRow(grp: String, rank: Int, id: Long, score: Double)

@@ -102,6 +102,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // fixture plants near-duplicates
   }
 
+  test("streaming embedding near-dup finds the batch operator's pairs") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_semb")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"vec_id"))
+    vecs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(vecs.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.Vec]
+    val streamed = Streaming.runToCompletion(
+      Streaming.embeddingNearDups(stream, threshold = 0.4,
+          bits = 24, bands = 4,
+          horizon = java.time.Duration.ofDays(365)).toDF(),
+      "semb_test", outputMode = "update")
+      .select($"id_a", $"id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.Dedup.embeddingNearDups(vecs, "embedding",
+        "vec_id", threshold = 0.4, bits = 24, bands = 4)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming minhash hot bucket is capped: newest-K survive, no wedge") {
     // 10 identical documents -> every band bucket receives all 10; with
     // maxBucket=4 each arrival pairs against at most the 4 newest
