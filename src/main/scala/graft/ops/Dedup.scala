@@ -162,11 +162,18 @@ object Dedup {
       normalizeNN(col(textCol)).as("__t"))
     // sequence(1, stop) with stop < 1 would generate DESCENDING values —
     // guard short documents to an empty gram set instead
+    // distinct-per-document is all df-counting needs, and the codegen
+    // CharNgrams expression does it map-side inside the row — no
+    // corpus-wide distinct shuffle, no interpreted transform lambda
+    // the posting list feeds FOUR consumers (df-pruning, both self-join
+    // sides, per-doc sizes); materialize it once instead of recomputing
+    // the normalize + gram explode for each — the classic "build the
+    // inverted index once" step (measured faster than recompute even
+    // with the codegen gram kernel)
     val grams = norm.select(col("__id"),
-        explode(when(length(col("__t")) >= n,
-          expr(s"transform(sequence(1, length(__t) - ${n - 1}), i -> substring(__t, i, $n))"))
-          .otherwise(array().cast("array<string>"))).as("__g"))
-      .distinct()
+        explode(graft.functions.SketchExpressions
+          .char_ngrams(col("__t"), n)).as("__g"))
+      .localCheckpoint(true)
     val kept = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select(col("__g"))
     val kg = grams.join(kept, Seq("__g"))
