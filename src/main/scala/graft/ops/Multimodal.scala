@@ -64,6 +64,8 @@ object Multimodal {
     * id, so a SQL oracle can verify the real decode output).
     */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    // the default stream cache is a temp FILE per encode — disable once
+    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
