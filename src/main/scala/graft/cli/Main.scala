@@ -202,8 +202,63 @@ object Main {
           case "gpkg" => t.writeGeoPackage(out,
             opt(rest, "table").getOrElse("features"))
           case "fgb" => t.writeFlatGeobuf(out)
+          case "fc" => t.writeFeatureCollection(out,
+            opt(rest, "precision").map(_.toInt).getOrElse(-1))
           case other => die(s"unknown output format $other")
         }
+
+      // ---- training-data pipeline commands (builder-prompt surface) ----
+      //   dedup exact in out --text-column text --id-column doc_id
+      //   dedup minhash in out [--threshold 0.8] [--bands 32] [--hashes 128]
+      //   dedup simhash in out [--max-hamming 3]
+      //   dedup ngram in out [--n 4] [--threshold 0.5] [--max-df 1000]
+      //   dedup embedding in out [--vec-column embedding] [--bits 24] [--bands 4]
+      //   dedup cluster in out            (pairs from minhash -> cluster ids)
+      case "dedup" =>
+        import graft.ops.Dedup
+        val what = rest.head
+        val Seq(in, out) = rest.tail.take(2)
+        val df = spark.read.parquet(in)
+        val text = opt(rest, "text-column").getOrElse("text")
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val result = what match {
+          case "exact" => Dedup.exact(df, text, id)
+          case "minhash" => Dedup.minhashNearDups(df, text, id,
+            numHashes = opt(rest, "hashes").map(_.toInt).getOrElse(128),
+            bands = opt(rest, "bands").map(_.toInt).getOrElse(32),
+            threshold = opt(rest, "threshold").map(_.toDouble).getOrElse(0.8))
+          case "simhash" => Dedup.simhashNearDups(df, text, id,
+            maxHamming = opt(rest, "max-hamming").map(_.toInt).getOrElse(3))
+          case "ngram" => Dedup.ngramJaccardNearDups(df, text, id,
+            n = opt(rest, "n").map(_.toInt).getOrElse(4),
+            threshold = opt(rest, "threshold").map(_.toDouble).getOrElse(0.5),
+            maxDf = opt(rest, "max-df").map(_.toInt).getOrElse(1000))
+          case "embedding" => Dedup.embeddingNearDups(df,
+            opt(rest, "vec-column").getOrElse("embedding"),
+            opt(rest, "id-column").getOrElse("vec_id"),
+            threshold = opt(rest, "threshold").map(_.toDouble).getOrElse(0.9),
+            bits = opt(rest, "bits").map(_.toInt).getOrElse(24),
+            bands = opt(rest, "bands").map(_.toInt).getOrElse(4))
+          case "cluster" => Dedup.connectedComponents(
+            Dedup.minhashNearDups(df, text, id,
+              threshold = opt(rest, "threshold").map(_.toDouble).getOrElse(0.8)))
+          case other => die(s"unknown dedup mode $other")
+        }
+        result.write.mode("overwrite").parquet(out)
+
+      //   split in out  (adds a deterministic train/validation/test column)
+      case "split" =>
+        val Seq(in, out) = rest.take(2)
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val df = spark.read.parquet(in)
+        // md5-derived bucket in [0,100): 80/10/10 (mirrors q40)
+        val nib = (i: Int) => org.apache.spark.sql.functions.expr(
+          s"instr('0123456789abcdef', substr(md5(CAST($id AS STRING)), $i, 1)) - 1")
+        val b = ((nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)) % 100)
+        df.withColumn("split",
+          org.apache.spark.sql.functions.when(b < 80, "train")
+            .when(b < 90, "validation").otherwise("test"))
+          .write.mode("overwrite").parquet(out)
 
       case "inspect" =>
         val s = Checks.inspect(rest.head)
@@ -317,6 +372,7 @@ object Main {
       |  sort {hilbert|quadkey|column}, head, tail, reproject,
       |  partition {string|quadkey|kdtree|h3|admin|country},
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
-      |  to {geojson|csv|shapefile|gpkg|fgb},
+      |  to {geojson|csv|shapefile|gpkg|fgb|fc},
+      |  dedup {exact|minhash|simhash|ngram|embedding|cluster}, split,
       |  inspect, meta [--stats], check [--all], validate, fix, stac-item""".stripMargin
 }

@@ -71,6 +71,53 @@ class CliSpec extends AnyFunSuite {
     Main.run(spark, Seq("meta", s"$dir/d.parquet"))
   }
 
+  test("dedup / split / to fc pipeline commands run end to end") {
+    import spark.implicits._
+    val dir = tmp("pipeline")
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), // exact dups
+      (3L, base.replace("token7", "changed")), // near dup
+      (4L, (100 to 140).map(i => s"word$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+
+    Main.run(spark, Seq("dedup", "exact", s"$dir/docs.parquet",
+      s"$dir/exact.parquet"))
+    assert(spark.read.parquet(s"$dir/exact.parquet").count() == 3)
+
+    Main.run(spark, Seq("dedup", "minhash", s"$dir/docs.parquet",
+      s"$dir/mh.parquet", "--threshold", "0.5"))
+    val pairs = spark.read.parquet(s"$dir/mh.parquet")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+
+    Main.run(spark, Seq("dedup", "cluster", s"$dir/docs.parquet",
+      s"$dir/cl.parquet", "--threshold", "0.5"))
+    val labels = spark.read.parquet(s"$dir/cl.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(2L) == 1L && labels(3L) == 1L)
+
+    Main.run(spark, Seq("split", s"$dir/docs.parquet", s"$dir/sp.parquet"))
+    val sp = spark.read.parquet(s"$dir/sp.parquet")
+    assert(sp.columns.contains("split"))
+    assert(sp.select("split").distinct().collect()
+      .map(_.getString(0)).forall(Set("train", "validation", "test")))
+
+    // single-file FeatureCollection through the CLI
+    val pts = (0 until 20).map(i => (i.toLong, i.toDouble, (i % 10).toDouble))
+      .toDF("id", "x", "y")
+      .withColumn("geometry", graft.functions.geo.st_point(col("x"), col("y")))
+    GeoTable.fromDataFrame(pts, "geometry").write(s"$dir/pts.parquet")
+    Main.run(spark, Seq("to", "fc", s"$dir/pts.parquet", s"$dir/out.json",
+      "--precision", "6"))
+    val fc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out.json")))
+    assert(fc.startsWith("""{"type":"FeatureCollection""""))
+    assert(fc.endsWith("]}"))
+  }
+
   test("admin enrich and hierarchical admin partition via the CLI") {
     import spark.implicits._
     val dir = tmp("admin")
