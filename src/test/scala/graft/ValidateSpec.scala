@@ -57,6 +57,26 @@ class ValidateSpec extends AnyFunSuite {
     assert(f.isEmpty, s"unexpected errors: $f")
   }
 
+  test("empty dataset and all-null geometry validate without crashing") {
+    // r3 ADVICE: the folded one-pass probe aggregates min/max to NULL on
+    // an empty (or all-null-geometry) dataset and getDouble threw — the
+    // range checks must skip, not abort
+    val empty = write("empty",
+      GeoTable.fromDataFrame(
+        spark.range(1, 20).toDF("id")
+          .withColumn("geometry",
+            geo.st_geomfromtext(concat(lit("POINT ("), col("id"), lit(" 1)"))))
+          .filter(col("id") < 0),
+        "geometry"))
+    Checks.validate(spark, empty) // must not throw
+    val allNull = write("allnull",
+      GeoTable.fromDataFrame(
+        spark.range(1, 20).toDF("id")
+          .withColumn("geometry", geo.st_geomfromtext(lit(null: String))),
+        "geometry"))
+    Checks.validate(spark, allNull) // must not throw
+  }
+
   test("corrupt geo JSON is an error") {
     val out = write("badjson", polyTable(ccw = true))
     poke(out, "{not valid json")
