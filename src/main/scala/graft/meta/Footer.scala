@@ -60,11 +60,21 @@ object Footer {
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq(p)
-    else
-      fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
-        .sortBy(_.getName)
+    else {
+      // recursive: hive layouts nest parts under key=value directories
+      // (and basenames REUSE across them — callers must key per-file
+      // state by full path, never by basename)
+      val out = Seq.newBuilder[Path]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (s.isFile && name.endsWith(".parquet") &&
+            !name.startsWith("_") && !name.startsWith("."))
+          out += s.getPath
+      }
+      out.result().sortBy(_.toString)
+    }
   }
 
   def read(path: Path, conf: Configuration = newConf()): FooterInfo = {

@@ -77,6 +77,32 @@ class ValidateSpec extends AnyFunSuite {
     Checks.validate(spark, allNull) // must not throw
   }
 
+  test("per-file bbox check matches parts by full path, not basename") {
+    // r3 ADVICE: hive layouts REUSE basenames across key= directories
+    // (one task writing several dynamic partitions emits the same
+    // part-00000-<uuid> name in each) — a basename-keyed bbox map
+    // collides and compares files against the wrong declared envelope.
+    // coalesce(1) forces exactly that layout; with disjoint per-key
+    // extents any cross-matching produces false bbox errors.
+    val out = tmp.resolve("hivecollide").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("k", when(col("id") % 2 === 0, "a").otherwise("b"))
+      // key a: x in [0,40); key b: x in [1000,1040) — far apart
+      .withColumn("x", col("id") + when(col("k") === "a", 0).otherwise(1000))
+      .withColumn("geometry",
+        geo.st_geomfromtext(concat(lit("POINT ("), col("x"), lit(" 1)"))))
+      .coalesce(1)
+      .write.partitionBy("k").mode("overwrite").parquet(out)
+    val parts = Footer.partFiles(out, new Configuration())
+    assert(parts.map(_.getName).distinct.length < parts.length,
+      "fixture must reuse basenames across key dirs")
+    graft.meta.Footer.writeGeoMetadata(out,
+      GeoMeta(version = "1.1.0", primaryColumn = "geometry",
+        columns = Map("geometry" -> GeoColumnMeta())), None)
+    val f = Checks.validate(spark, out).filter(_.check == "bbox")
+    assert(f.isEmpty, s"false per-file bbox findings: $f")
+  }
+
   test("corrupt geo JSON is an error") {
     val out = write("badjson", polyTable(ccw = true))
     poke(out, "{not valid json")
