@@ -228,6 +228,169 @@ object TextQueries {
             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
               ' +', ' ', 'g')), ' '), t -> t <> '')) AS term
           FROM documents) t
-        GROUP BY term ORDER BY tf DESC, term LIMIT 50"""))
+        GROUP BY term ORDER BY tf DESC, term LIMIT 50""")),
+
+    // ---- repetition quality filter (Gopher-style) ----------------------
+    // Per-document duplicate-word fraction and top-bigram fraction, the
+    // word-level analogues of Gopher's "duplicate line fraction" /
+    // "top 2-gram fraction" repetition rules (Rae et al. 2021, §A1.1).
+    // Everything is computed WITHIN the row (array_distinct + a sorted-
+    // run fold for the modal bigram count) — a pure projection with zero
+    // shuffle, so the filter streams at scan speed on any corpus size.
+    // The oracle reaches the same numbers the relational way (explode +
+    // group-by), certifying the in-row fold against an independent
+    // formulation.
+    QueryDef(
+      "q48_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+        val base = table(s, dir, "documents")
+          .select($"doc_id", toks.as("toks"))
+          .select($"doc_id", $"toks", size($"toks").as("n"),
+            size(array_distinct($"toks")).as("u"))
+        val nBi = greatest($"n" - 1, lit(0))
+        val bigrams = zip_with(
+          slice($"toks", lit(1), nBi), slice($"toks", lit(2), nBi),
+          (a, b) => concat(a, lit(" "), b))
+        // modal bigram count = longest run of equal values once sorted
+        val top = aggregate(array_sort(bigrams),
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (st, x) => {
+            val run = when(x === st("prev"), st("run") + 1).otherwise(lit(1))
+            struct(x.as("prev"), run.as("run"),
+              greatest(st("best"), run).as("best"))
+          },
+          st => st("best"))
+        val dw = lit(1.0) - $"u".cast("double") / $"n".cast("double")
+        val tb = $"mx".cast("double") / ($"n" - 1).cast("double")
+        base.withColumn("mx", top)
+          .select($"doc_id",
+            round(dw, 6).as("dup_word_frac"),
+            when($"n" >= 2, round(tb, 6)).as("top_bigram_frac"),
+            (dw > 0.6 || (($"n" >= 2) && tb > 0.05)).as("flagged"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        base AS (SELECT doc_id, toks, len(toks) AS n,
+            len(list_distinct(toks)) AS u FROM t),
+        bg AS (SELECT doc_id,
+            unnest(list_transform(range(1, n),
+              i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM base),
+        bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+        top AS (SELECT doc_id, MAX(c) AS mx FROM bgc GROUP BY doc_id)
+        SELECT b.doc_id,
+          ROUND(1.0 - CAST(u AS DOUBLE) / CAST(n AS DOUBLE), 6)
+            AS dup_word_frac,
+          CASE WHEN n >= 2 THEN
+            ROUND(CAST(mx AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+          END AS top_bigram_frac,
+          (1.0 - CAST(u AS DOUBLE) / CAST(n AS DOUBLE)) > 0.6 OR
+            (n >= 2 AND CAST(mx AS DOUBLE) / CAST(n - 1 AS DOUBLE) > 0.05)
+            AS flagged
+        FROM base b LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ---- PII detection + redaction -------------------------------------
+    // The corpus is synthetic word soup, so PII is injected
+    // deterministically from doc_id — the SAME injection on both sides —
+    // and the operator under test is the regexp detect/redact chain
+    // (email, IPv4, phone), all codegen built-ins: zero shuffle, streams
+    // at scan speed. Patterns stay inside the RE2 ∩ java.util.regex
+    // common subset so both engines read them identically.
+    QueryDef(
+      "q49_pii_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val synth = concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example or admin"), ($"doc_id" % 7).cast("string"),
+          lit("@spam.test from 10."), ($"doc_id" % 200).cast("string"),
+          lit(".0.1 call +1-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        table(s, dir, "documents")
+          .withColumn("synth", synth)
+          .select($"doc_id",
+            regexp_count($"synth", lit(email)).as("n_emails"),
+            regexp_count($"synth", lit(ip)).as("n_ips"),
+            regexp_count($"synth", lit(phone)).as("n_phones"),
+            md5(regexp_replace(regexp_replace(regexp_replace($"synth",
+              email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+              .as("red_md5"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH s AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@mail.example or admin' || CAST(doc_id % 7 AS VARCHAR) ||
+            '@spam.test from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+            '.0.1 call +1-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(synth,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(synth,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+            AS n_ips,
+          CAST(len(regexp_extract_all(synth,
+            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+          md5(regexp_replace(regexp_replace(regexp_replace(synth,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+        FROM s ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination (eval-shingle overlap) --------------
+    // Flag training documents sharing any 4-word shingle with the eval
+    // set (doc_id % 50 = 0 stands in for a benchmark suite). The eval
+    // side is distinct-shingled and BROADCAST — benchmark suites are
+    // tiny next to a training corpus, so the corpus side never shuffles:
+    // shingle, hash-probe the broadcast set, and only the (doc_id,
+    // matched-shingle) survivors reach the per-doc count. Per-doc
+    // shingles are array_distinct'd in-row so the count is a distinct
+    // count without a countDistinct shuffle.
+    QueryDef(
+      "q50_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+        def shingled(df: org.apache.spark.sql.DataFrame) = df
+          .select($"doc_id", toks.as("toks"))
+          .select($"doc_id",
+            when(size($"toks") >= 4,
+              array_distinct(transform(sequence(lit(1), size($"toks") - 3),
+                i => concat_ws(" ", slice($"toks", i, lit(4))))))
+              .otherwise(array().cast("array<string>")).as("shingles"))
+        val docs = table(s, dir, "documents")
+        val evalSh = shingled(docs.filter($"doc_id" % 50 === 0))
+          .select(explode($"shingles").as("sh")).distinct()
+        val trainSh = shingled(docs.filter($"doc_id" % 50 =!= 0))
+          .select($"doc_id", explode($"shingles").as("sh"))
+        trainSh.join(broadcast(evalSh), "sh")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        sh AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+              i -> array_to_string(toks[i:i+3], ' ')))) AS s
+          FROM t WHERE len(toks) >= 4),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+        SELECT tr.doc_id, COUNT(*) AS n_shared
+        FROM tr JOIN ev USING (s)
+        GROUP BY tr.doc_id ORDER BY doc_id"""))
   )
 }
