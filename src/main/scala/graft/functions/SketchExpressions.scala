@@ -49,6 +49,25 @@ object SketchEval {
     best
   }
 
+  def kmeansAssign(v: ArrayData, labels: Array[Int],
+      cents: Array[Array[Double]]): Int = {
+    var best = -1; var bestSim = Double.MinValue
+    val n = v.numElements()
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val vi = v.getFloat(i).toDouble; val ci = cents(c)(i)
+        dot += vi * ci; na += vi * vi; nb += ci * ci; i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > bestSim) { bestSim = sim; best = labels(c) }
+      c += 1
+    }
+    best
+  }
+
   def charNgrams(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
     if (str.length < n) return new GenericArrayData(Array.empty[Any])
@@ -152,6 +171,33 @@ object SketchExpressions {
     override protected def withNewChildInternal(newChild: Expression) =
       copy(child = newChild)
   }
+
+  /** Nearest-centroid k-means assignment over (label, centroid) pairs —
+    * like [[IvfAssign]] but with double centroids (fixed-point Lloyd
+    * updates) and explicit labels so empty clusters drop out without
+    * renumbering the survivors. `labels` must be ascending: the strict
+    * `>` argmax then resolves ties to the lowest label.
+    */
+  case class KmeansAssign(child: Expression, labels: Array[Int],
+      cents: Array[Array[Double]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      SketchEval.kmeansAssign(v.asInstanceOf[ArrayData], labels, cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lref = ctx.addReferenceObj("labels", labels, "int[]")
+      val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+      defineCodeGen(ctx, ev, c => s"$E.kmeansAssign($c, $lref, $cref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def kmeans_assign(vec: Column, labels: Array[Int],
+      cents: Array[Array[Double]]): Column =
+    GraftBridge.column(KmeansAssign(GraftBridge.expression(vec), labels, cents))
 
   /** Distinct character n-grams of a string, insertion order. */
   case class CharNgrams(child: Expression, n: Int)

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: chunk an ordered document stream into fixed
+  * token-capacity packs (context windows) — the batch-assembly step of a
+  * training-data pipeline. A document's pack is determined by the total
+  * token count BEFORE it under the global order: pack = ⌊before/capacity⌋
+  * (greedy streaming pack; a document overflowing its pack's remainder
+  * is the truncation/rollover case downstream loaders handle).
+  *
+  * The global exclusive prefix sum uses the [[DistWindow]] recipe, not
+  * `Window.orderBy(k)` (which funnels the corpus through ONE task):
+  * partition on a monotone bucket of the order key, running-sum within
+  * each bucket, then add each bucket's exclusive total-offset via a
+  * broadcast join. The offset table has one row per non-empty bucket, so
+  * the fix-up window (over buckets, not rows) is tiny by construction —
+  * the classic two-phase distributed prefix sum.
+  */
+object Packing {
+
+  /** Add `outCol` = exclusive running sum of `valCol` under the global
+    * ORDER BY `orderCol` (numeric, must be unique for determinism), with
+    * no window task seeing more than ~`chunk` rows when keys are dense.
+    */
+  def withRunningBefore(df: DataFrame, orderCol: String, valCol: String,
+      outCol: String, chunk: Long = 65536L): DataFrame = {
+    val key = col(orderCol)
+    val parted = df.withColumn("__bkt", floor(key / chunk))
+    val w = Window.partitionBy(col("__bkt")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("__loc",
+      coalesce(sum(col(valCol)).over(w), lit(0L)))
+    // One row per non-empty bucket; the constant-partition window runs
+    // over THIS tiny table only (pmod rather than lit(0) — Catalyst
+    // folds literal specs back into the warn-on-no-partition path).
+    val totals = parted.groupBy(col("__bkt")).agg(sum(col(valCol)).as("__tot"))
+    val wB = Window.partitionBy(pmod(col("__bkt"), lit(1)))
+      .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wB), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    local.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(outCol, col("__off") + col("__loc"))
+      .drop("__bkt", "__loc")
+  }
+
+  /** Assign each row to its pack: ⌊(running size before it)/capacity⌋. */
+  def packBySize(df: DataFrame, orderCol: String, sizeCol: String,
+      capacity: Long, packCol: String = "pack_id"): DataFrame =
+    withRunningBefore(df, orderCol, sizeCol, "__before")
+      .withColumn(packCol, floor(col("__before") / capacity).cast("long"))
+      .drop("__before")
+}

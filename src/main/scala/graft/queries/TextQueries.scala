@@ -391,6 +391,41 @@ object TextQueries {
         tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
         SELECT tr.doc_id, COUNT(*) AS n_shared
         FROM tr JOIN ev USING (s)
-        GROUP BY tr.doc_id ORDER BY doc_id"""))
+        GROUP BY tr.doc_id ORDER BY doc_id""")),
+
+    // ---- sequence packing (context-window batch assembly) --------------
+    // Chunk the doc_id-ordered corpus into 256-token packs via a
+    // distributed exclusive prefix sum (graft.ops.Packing — the
+    // DistWindow bucket + broadcast-offset recipe, NO unpartitioned
+    // window anywhere in the plan). The oracle computes the same prefix
+    // sum with a plain global window, certifying the two-phase
+    // formulation against the textbook one.
+    QueryDef(
+      "q52_seq_packing",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select($"doc_id",
+            size(filter(split($"text", "\\s+"), t => t =!= ""))
+              .cast("long").as("ntok"))
+        graft.ops.Packing.packBySize(docs, "doc_id", "ntok", capacity = 256L)
+          .groupBy($"pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("total_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+          .orderBy($"pack_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            len(list_filter(regexp_split_to_array(text, '\s+'),
+              x -> x <> '')) AS ntok
+          FROM documents),
+        c AS (SELECT doc_id, ntok,
+            COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM t),
+        p AS (SELECT doc_id, ntok, CAST(bef // 256 AS BIGINT) AS pack_id FROM c)
+        SELECT pack_id, COUNT(*) AS n_docs,
+          CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM p GROUP BY pack_id ORDER BY pack_id"""))
   )
 }

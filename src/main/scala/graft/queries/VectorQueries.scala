@@ -204,6 +204,126 @@ object VectorQueries {
             PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rank
           FROM pairs)
         SELECT qid, rank, id, ROUND(sim, 5) AS sim FROM ranked
-        WHERE rank <= 5 ORDER BY qid, rank"""))
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- k-means clustering (2 Lloyd passes, fixed-point update) -------
+    // Init = the q44 stride sample; assignment = codegen argmax over the
+    // broadcast centroid table; update = exact integer fixed-point means
+    // (see graft.ops.KMeans's determinism contract) so the oracle can
+    // re-derive BOTH passes bit-for-bit: every list assignment, the
+    // updated centroids, and the final membership counts. cent_d0 pins
+    // the update arithmetic itself (an exact integer sum ratio), not
+    // just the discrete assignment.
+    QueryDef(
+      "q51_kmeans",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val (assigned, cents) =
+          graft.ops.KMeans.kmeans(emb, "embedding", "vec_id", k = 8, iters = 2)
+        val centsDf = s.createDataFrame(
+          cents.map { case (c, d) => (c, d(0)) }).toDF("cluster", "d0")
+        assigned.groupBy($"cluster").agg(count(lit(1)).as("n_members"))
+          .join(broadcast(centsDf), Seq("cluster"))
+          .select($"cluster", $"n_members", round($"d0", 6).as("cent_d0"))
+          .orderBy($"cluster")
+      },
+      Some(kmeansCte + raw"""
+        SELECT a.c AS cluster, COUNT(*) AS n_members,
+          ROUND(MAX(c1.cv[1]), 6) AS cent_d0
+        FROM assign1 a JOIN cents1 c1 ON a.c = c1.c
+        GROUP BY a.c ORDER BY a.c""")),
+
+    // ---- SemDeDup: cluster-blocked semantic near-dup pairs -------------
+    // Same-cluster pairs above the cosine threshold (Abbas et al. 2023):
+    // the pairwise work is bounded by cluster size, and k grows with the
+    // corpus, so — unlike blocking on a data attribute — the block size
+    // is a tunable of the algorithm, not of the data. The oracle replays
+    // the full clustering and then scores every same-cluster pair
+    // exactly.
+    QueryDef(
+      "q53_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val (assigned, _) =
+          graft.ops.KMeans.kmeans(emb, "embedding", "vec_id", k = 8, iters = 2)
+        graft.ops.KMeans.semDedupPairs(assigned, "embedding", "vec_id",
+            threshold = 0.45)
+          .select($"cluster", $"id_a", $"id_b", round($"cosine", 5).as("cosine"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(kmeansCte + raw""",
+        prs AS (
+          SELECT a1.c AS cluster, a1.vec_id AS id_a, a2.vec_id AS id_b
+          FROM assign1 a1 JOIN assign1 a2
+            ON a1.c = a2.c AND a1.vec_id < a2.vec_id),
+        psims AS (
+          SELECT p.cluster, p.id_a, p.id_b,
+            SUM(CAST(ea.embedding[t.i] AS DOUBLE) *
+                CAST(eb.embedding[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(ea.embedding[t.i] AS DOUBLE) *
+                        CAST(ea.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(eb.embedding[t.i] AS DOUBLE) *
+                        CAST(eb.embedding[t.i] AS DOUBLE)))) AS cosine
+          FROM prs p
+          JOIN embeddings ea ON ea.vec_id = p.id_a
+          JOIN embeddings eb ON eb.vec_id = p.id_b
+          CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY p.cluster, p.id_a, p.id_b)
+        SELECT cluster, id_a, id_b, ROUND(cosine, 5) AS cosine FROM psims
+        WHERE cosine >= 0.45 ORDER BY id_a, id_b"""))
   )
+
+  /** Shared oracle CTE chain replaying KMeans.kmeans(k=8, iters=2):
+    * stride init (the q44 coarse quantizer), pass-0 assignment, exact
+    * fixed-point centroid update, pass-1 assignment.
+    */
+  private def kmeansCte: String = raw"""WITH params AS (
+          SELECT GREATEST(1, COUNT(*) // 8) AS stride FROM embeddings),
+        cents0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c,
+            e.embedding AS cv
+          FROM embeddings e, params p WHERE e.vec_id % p.stride = 0
+          ORDER BY e.vec_id LIMIT 8),
+        sim0 AS (
+          SELECT e.vec_id, c.c,
+            SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.cv[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE) *
+                        CAST(e.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(c.cv[t.i] AS DOUBLE) *
+                        CAST(c.cv[t.i] AS DOUBLE)))) AS sim
+          FROM embeddings e CROSS JOIN cents0 c
+          CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY e.vec_id, c.c),
+        assign0 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+            FROM sim0) t WHERE rn = 1),
+        upd AS (
+          SELECT a.c, t.i,
+            SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * 1000000.0)
+              AS BIGINT)) AS s,
+            COUNT(*) AS n
+          FROM embeddings e JOIN assign0 a USING (vec_id)
+          CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY a.c, t.i),
+        cents1 AS (
+          SELECT c, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY i) AS cv
+          FROM upd GROUP BY c),
+        sim1 AS (
+          SELECT e.vec_id, c.c,
+            SUM(CAST(e.embedding[t.i] AS DOUBLE) * c.cv[t.i]) /
+              (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE) *
+                        CAST(e.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(c.cv[t.i] * c.cv[t.i]))) AS sim
+          FROM embeddings e CROSS JOIN cents1 c
+          CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY e.vec_id, c.c),
+        assign1 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+            FROM sim1) t WHERE rn = 1)"""
 }

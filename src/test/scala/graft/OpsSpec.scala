@@ -362,4 +362,90 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq ==
       Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 1)))
   }
+
+  test("kmeans: separable blobs cluster together, fixed-point determinism") {
+    // two tight blobs around orthogonal axes in contiguous id ranges, so
+    // the stride init (ids 0 and 20) seeds one centroid per blob; the
+    // Lloyd passes must keep every member with its blob
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.01f * eps)
+      v(axis) = 1.0f; v
+    }
+    val rows = (0L until 40L).map { i =>
+      (i, vec(if (i < 20) 0 else 4, (i % 7).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .repartition(8)
+    val (assigned, cents) =
+      graft.ops.KMeans.kmeans(df, "embedding", "vec_id", k = 2, iters = 2)
+    val byCluster = assigned.select($"vec_id", $"cluster").collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet ==
+      Set((0L until 20L).toSet, (20L until 40L).toSet))
+    // fixed-point means are exactly reproducible across partitionings
+    val (_, cents2) = graft.ops.KMeans.kmeans(df.repartition(3),
+      "embedding", "vec_id", k = 2, iters = 2)
+    assert(cents.map(_._2.toSeq) == cents2.map(_._2.toSeq))
+    // empty clusters keep surviving labels stable (k > natural clusters)
+    val (a5, c5) = graft.ops.KMeans.kmeans(df, "embedding", "vec_id",
+      k = 5, iters = 2)
+    val present = a5.select($"cluster").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(present.subsetOf(c5.map(_._1).toSet))
+  }
+
+  test("semdedup pairs: same-cluster near-dups only, bounded by blocking") {
+    val base = Array.fill(8)(0f); base(0) = 1f
+    val near = base.clone(); near(1) = 0.01f
+    val far = Array.fill(8)(0f); far(4) = 1f
+    val df = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq),
+        (3L, far.map(_ * 2).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val (assigned, _) =
+      graft.ops.KMeans.kmeans(df, "embedding", "vec_id", k = 2, iters = 2)
+    val pairs = graft.ops.KMeans.semDedupPairs(assigned, "embedding",
+        "vec_id", threshold = 0.99).collect()
+    val ids = pairs.map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(ids == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("packing: two-phase prefix sum equals the global window, no " +
+      "unpartitioned window in the plan") {
+    val df = (0L until 500L).map(i => (i * 3, 10L + i % 7))
+      .toDF("k", "sz").repartition(16)
+    val packed = graft.ops.Packing.packBySize(df, "k", "sz",
+      capacity = 100L, packCol = "p")
+    // oracle: single-partition running sum on collected rows
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var cum = 0L
+    val expect = rows.map { case (k, sz) =>
+      val p = cum / 100L; cum += sz; (k, p)
+    }.toMap
+    val got = packed.select(col("k"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // plan audit: every window is partitioned (the DistWindow recipe)
+    val wins = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "packing must not use an unpartitioned window"))
+    // small chunk: rows span many buckets, result unchanged
+    val packedSmall = graft.ops.Packing.packBySize(df, "k", "sz",
+      capacity = 100L, packCol = "p")
+    assert(packedSmall.select(col("k"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    val multi = graft.ops.Packing.withRunningBefore(df, "k", "sz",
+      "before", chunk = 64L)
+    val cums = rows.scanLeft(("", 0L)) { case ((_, c), (k, sz)) =>
+      (k.toString, c + sz) }
+    val expBefore = rows.map(_._1).zip(cums.map(_._2)).toMap
+    assert(multi.select(col("k"), col("before")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expBefore)
+  }
 }
