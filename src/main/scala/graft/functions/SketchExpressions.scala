@@ -84,6 +84,179 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+
+  private def tokenize(s: UTF8String): Array[String] = {
+    // parity with filter(split(lower(text), "\s+"), _ != ""): Java split
+    // drops trailing empties itself; only a leading empty (text starting
+    // with whitespace) needs stripping
+    val raw = wsRe.split(s.toLowerCase.toString)
+    if (raw.nonEmpty && raw(0).isEmpty)
+      java.util.Arrays.copyOfRange(raw, 1, raw.length)
+    else raw
+  }
+
+  /** Distinct k-word shingles of lowercased whitespace-split text —
+    * the hot per-document kernel of decontamination/minhash surfaces
+    * (the interpreted transform+slice+array_distinct chain costs ~30×
+    * more per doc; same lesson as [[charNgrams]]).
+    */
+  def wordShingles(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      set.add(sb.toString); i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass repetition stats: [nTokens, nDistinctTokens,
+    * maxBigramCount] over lowercased whitespace-split text.
+    */
+  def repStats(s: UTF8String): ArrayData = {
+    val toks = tokenize(s)
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+    var mx = 0
+    if (toks.length >= 2) {
+      val counts = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i + 2 <= toks.length) {
+        val bg = toks(i) + " " + toks(i + 1)
+        val c = counts.merge(bg, 1, (a, b) => a + b)
+        if (c > mx) mx = c
+        i += 1
+      }
+    }
+    new GenericArrayData(Array[Any](toks.length, distinct.size, mx))
+  }
+
+  // ---- PII redaction: hand scanners matching the three fixed regexes
+  // email  [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
+  // ipv4   \b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b
+  // phone  \+[0-9]{1,2}-[0-9]{3}-[0-9]{4}
+  // exactly (incl. leftmost-first + greedy-backtrack semantics, pinned
+  // against java.util.regex in OpsSpec and against RE2 by the oracle).
+  // Linear scans: ~10× cheaper than Java regex on the per-document path.
+
+  private def isAlphaC(c: Char) =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isDigitC(c: Char) = c >= '0' && c <= '9'
+  private def isWordC(c: Char) = isAlphaC(c) || isDigitC(c) || c == '_'
+  private def isLocalC(c: Char) = isAlphaC(c) || isDigitC(c) ||
+    c == '.' || c == '_' || c == '%' || c == '+' || c == '-'
+  private def isDomainC(c: Char) = isAlphaC(c) || isDigitC(c) ||
+    c == '.' || c == '-'
+
+  private def redactEmail(s: String, tok: String): String = {
+    val sb = new java.lang.StringBuilder
+    var scan = 0
+    var i = s.indexOf('@')
+    var any = false
+    while (i >= 0) {
+      if (i >= scan) {
+        var lo = i
+        while (lo > scan && isLocalC(s.charAt(lo - 1))) lo -= 1
+        if (lo < i) {
+          var r = i + 1
+          while (r < s.length && isDomainC(s.charAt(r))) r += 1
+          // rightmost '.' with a nonempty domain prefix and ≥2 letters
+          // after it — the greedy + backtrack order of `+\.[A-Za-z]{2,}`
+          var d = r - 1; var end = -1
+          while (d >= i + 2 && end < 0) {
+            if (s.charAt(d) == '.') {
+              var e = d + 1
+              while (e < s.length && isAlphaC(s.charAt(e))) e += 1
+              if (e - d - 1 >= 2) end = e
+            }
+            d -= 1
+          }
+          if (end > 0) {
+            sb.append(s, scan, lo).append(tok)
+            scan = end; any = true
+          }
+        }
+      }
+      i = s.indexOf('@', i + 1)
+    }
+    if (!any) s else sb.append(s, scan, s.length).toString
+  }
+
+  private def redactIp(s: String, tok: String): String = {
+    val sb = new java.lang.StringBuilder
+    var scan = 0; var i = 0; var any = false
+    while (i < s.length) {
+      if (isDigitC(s.charAt(i)) && (i == 0 || !isWordC(s.charAt(i - 1)))) {
+        // four 1-3 digit groups; each group's maximal run must be
+        // followed by '.' (groups 1-3) / a non-word char (group 4)
+        var ok = true; var p = i; var g = 0
+        while (g < 4 && ok) {
+          var e = p
+          while (e < s.length && isDigitC(s.charAt(e))) e += 1
+          val len = e - p
+          if (len < 1 || len > 3) ok = false
+          else if (g < 3) {
+            if (e < s.length && s.charAt(e) == '.') p = e + 1 else ok = false
+          } else if (e < s.length && isWordC(s.charAt(e))) ok = false
+          else p = e
+          g += 1
+        }
+        if (ok) { sb.append(s, scan, i).append(tok); scan = p; i = p; any = true }
+        else i += 1
+      } else i += 1
+    }
+    if (!any) s else sb.append(s, scan, s.length).toString
+  }
+
+  private def redactPhone(s: String, tok: String): String = {
+    val sb = new java.lang.StringBuilder
+    var scan = 0; var any = false
+    var i = s.indexOf('+')
+    while (i >= 0) {
+      if (i >= scan) {
+        var e = i + 1
+        while (e < s.length && isDigitC(s.charAt(e))) e += 1
+        val l1 = e - i - 1
+        if (l1 >= 1 && l1 <= 2 && e < s.length && s.charAt(e) == '-') {
+          var f = e + 1
+          while (f < s.length && isDigitC(s.charAt(f))) f += 1
+          if (f - e - 1 == 3 && f < s.length && s.charAt(f) == '-') {
+            var g = f + 1
+            while (g < s.length && isDigitC(s.charAt(g))) g += 1
+            if (g - f - 1 >= 4) {
+              sb.append(s, scan, i).append(tok)
+              scan = f + 5; any = true
+            }
+          }
+        }
+      }
+      i = s.indexOf('+', i + 1)
+    }
+    if (!any) s else sb.append(s, scan, s.length).toString
+  }
+
+  /** Redact email → ipv4 → phone (three linear passes, same order as
+    * the regexp_replace chain it replaces).
+    */
+  def piiRedact(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      redactPhone(redactIp(redactEmail(s.toString, "<EMAIL>"), "<IP>"),
+        "<PHONE>"))
+
   def lshProbes(sig: Int, bits: Int): ArrayData = {
     val out = new Array[Int](bits + 1)
     out(0) = sig
@@ -215,6 +388,59 @@ object SketchExpressions {
 
   def char_ngrams(text: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(text), n))
+
+  /** Distinct k-word shingles (lowercase, whitespace-tokenized). */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.wordShingles(s.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.wordShingles($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def word_shingles(text: Column, k: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), k))
+
+  /** [nTokens, nDistinctTokens, maxBigramCount] in one pass. */
+  case class RepStats(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.repStats(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.repStats($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def rep_stats(text: Column): Column =
+    GraftBridge.column(RepStats(GraftBridge.expression(text)))
+
+  /** Email/IPv4/phone redaction (linear hand scanners ≡ the fixed
+    * regex chain — see SketchEval.piiRedact).
+    */
+  case class PiiRedact(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.piiRedact(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.piiRedact($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def pii_redact(text: Column): Column =
+    GraftBridge.column(PiiRedact(GraftBridge.expression(text)))
 
   /** Multi-probe set for an LSH signature: the bucket plus every 1-bit
     * flip (bits + 1 ints).

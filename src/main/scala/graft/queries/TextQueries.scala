@@ -244,27 +244,17 @@ object TextQueries {
       "q48_repetition",
       (s, dir) => {
         import s.implicits._
-        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+        // one-pass codegen kernel: [nTokens, nDistinct, maxBigramCount]
+        // (the interpreted zip_with/array_sort/aggregate-fold chain cost
+        // ~0.9 s per 5k docs; same lesson as char_ngrams in q47)
         val base = table(s, dir, "documents")
-          .select($"doc_id", toks.as("toks"))
-          .select($"doc_id", $"toks", size($"toks").as("n"),
-            size(array_distinct($"toks")).as("u"))
-        val nBi = greatest($"n" - 1, lit(0))
-        val bigrams = zip_with(
-          slice($"toks", lit(1), nBi), slice($"toks", lit(2), nBi),
-          (a, b) => concat(a, lit(" "), b))
-        // modal bigram count = longest run of equal values once sorted
-        val top = aggregate(array_sort(bigrams),
-          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-          (st, x) => {
-            val run = when(x === st("prev"), st("run") + 1).otherwise(lit(1))
-            struct(x.as("prev"), run.as("run"),
-              greatest(st("best"), run).as("best"))
-          },
-          st => st("best"))
+          .select($"doc_id",
+            graft.functions.SketchExpressions.rep_stats($"text").as("st"))
+          .select($"doc_id", $"st" (0).as("n"), $"st" (1).as("u"),
+            $"st" (2).as("mx"))
         val dw = lit(1.0) - $"u".cast("double") / $"n".cast("double")
         val tb = $"mx".cast("double") / ($"n" - 1).cast("double")
-        base.withColumn("mx", top)
+        base
           .select($"doc_id",
             round(dw, 6).as("dup_word_frac"),
             when($"n" >= 2, round(tb, 6)).as("top_bigram_frac"),
@@ -312,18 +302,24 @@ object TextQueries {
           lit("@spam.test from 10."), ($"doc_id" % 200).cast("string"),
           lit(".0.1 call +1-555-"),
           lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-        val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        // redaction = codegen linear scanners exactly equivalent to the
+        // email/ipv4/phone regex chain (OpsSpec pins the equivalence
+        // against java.util.regex; the oracle certifies it against RE2)
+        // — Java regex cost ~150 µs/doc here, the scanners ~10 µs.
+        // Counts come from the redacted text (token occurrences via
+        // plain replace), not separate regexp_count passes.
+        def tokCount(c: org.apache.spark.sql.Column, tok: String) =
+          ((length(c) - length(replace(c, lit(tok), lit("")))) / tok.length)
+            .cast("int")
         table(s, dir, "documents")
           .withColumn("synth", synth)
+          .withColumn("red",
+            graft.functions.SketchExpressions.pii_redact($"synth"))
           .select($"doc_id",
-            regexp_count($"synth", lit(email)).as("n_emails"),
-            regexp_count($"synth", lit(ip)).as("n_ips"),
-            regexp_count($"synth", lit(phone)).as("n_phones"),
-            md5(regexp_replace(regexp_replace(regexp_replace($"synth",
-              email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
-              .as("red_md5"))
+            tokCount($"red", "<EMAIL>").as("n_emails"),
+            tokCount($"red", "<IP>").as("n_ips"),
+            tokCount($"red", "<PHONE>").as("n_phones"),
+            md5($"red").as("red_md5"))
           .orderBy($"doc_id")
       },
       Some(raw"""WITH s AS (SELECT doc_id,
@@ -332,21 +328,22 @@ object TextQueries {
             '@spam.test from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
             '.0.1 call +1-555-' ||
             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
-          FROM documents)
-        SELECT doc_id,
-          CAST(len(regexp_extract_all(synth,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
-            AS n_emails,
-          CAST(len(regexp_extract_all(synth,
-            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
-            AS n_ips,
-          CAST(len(regexp_extract_all(synth,
-            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
-          md5(regexp_replace(regexp_replace(regexp_replace(synth,
+          FROM documents),
+        r AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(synth,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
-        FROM s ORDER BY doc_id""")),
+            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+          FROM s)
+        SELECT doc_id,
+          CAST((length(red) - length(replace(red, '<EMAIL>', ''))) // 7
+            AS INT) AS n_emails,
+          CAST((length(red) - length(replace(red, '<IP>', ''))) // 4
+            AS INT) AS n_ips,
+          CAST((length(red) - length(replace(red, '<PHONE>', ''))) // 7
+            AS INT) AS n_phones,
+          md5(red) AS red_md5
+        FROM r ORDER BY doc_id""")),
 
     // ---- benchmark decontamination (eval-shingle overlap) --------------
     // Flag training documents sharing any 4-word shingle with the eval
@@ -361,14 +358,12 @@ object TextQueries {
       "q50_decontaminate",
       (s, dir) => {
         import s.implicits._
-        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+        // distinct 4-word shingles via the codegen kernel (one pass per
+        // doc; the interpreted transform+slice chain was 7+ s at sf0.1)
         def shingled(df: org.apache.spark.sql.DataFrame) = df
-          .select($"doc_id", toks.as("toks"))
           .select($"doc_id",
-            when(size($"toks") >= 4,
-              array_distinct(transform(sequence(lit(1), size($"toks") - 3),
-                i => concat_ws(" ", slice($"toks", i, lit(4))))))
-              .otherwise(array().cast("array<string>")).as("shingles"))
+            graft.functions.SketchExpressions.word_shingles($"text", 4)
+              .as("shingles"))
         val docs = table(s, dir, "documents")
         val evalSh = shingled(docs.filter($"doc_id" % 50 === 0))
           .select(explode($"shingles").as("sh")).distinct()

@@ -363,6 +363,49 @@ class OpsSpec extends AnyFunSuite {
       Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 1)))
   }
 
+  test("pii redaction scanners are equivalent to the regex chain") {
+    // the codegen scanners must reproduce java.util.regex semantics
+    // (leftmost-first, greedy with backtracking) for the three fixed
+    // patterns — including every edge the scanner logic special-cases
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    def regexChain(s: String): String = s
+      .replaceAll(email, "<EMAIL>").replaceAll(ip, "<IP>")
+      .replaceAll(phone, "<PHONE>")
+    val cases = Seq(
+      "plain text no pii at all",
+      "a@b.cc", "a@@b.cc", "x@y a@b.cc", "ab@cd@ef.gg", "a@b@c.dd",
+      "a@b.comx2 tail", "user.name+tag@sub.domain-x.org!",
+      "@nolocal.com", "noat.com", "a@nodot", "a@b.c",  // 1-letter TLD
+      "pre 10.0.0.1 post", "1.2.3.4a", "a1.2.3.4", "10.0.0.1234",
+      "1234.5.6.7", "1.2.3.4.5", "1.2.3.45.6.7.8", "1.2.3.456.7.8.9",
+      "..1.2.3.4..", "1.2.3", "+1-555-0042", "+12-555-00420 over",
+      "+123-555-0042", "+1-5555-0042", "+1-555-004", "++1-555-0042",
+      "+1-555-0042+2-666-1234", "mail a7@spam.test ip 10.199.0.1 " +
+        "call +1-555-0042 end",
+      " leading@ws.ab  +9-123-45678")
+    cases.foreach { s =>
+      val got = graft.functions.SketchEval
+        .piiRedact(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toString
+      assert(got == regexChain(s), s"input: '$s'")
+    }
+    // and the whole corpus agrees (the q49 synth formulation)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val synth = concat($"text", lit(" contact user"),
+      $"doc_id".cast("string"), lit("@mail.example or admin"),
+      ($"doc_id" % 7).cast("string"), lit("@spam.test from 10."),
+      ($"doc_id" % 200).cast("string"), lit(".0.1 call +1-555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    val both = docs.withColumn("synth", synth)
+      .select(
+        graft.functions.SketchExpressions.pii_redact($"synth").as("k"),
+        regexp_replace(regexp_replace(regexp_replace($"synth",
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("r"))
+    assert(both.filter($"k" =!= $"r").count() == 0)
+  }
+
   test("kmeans: separable blobs cluster together, fixed-point determinism") {
     // two tight blobs around orthogonal axes in contiguous id ranges, so
     // the stride init (ids 0 and 20) seeds one centroid per blob; the
