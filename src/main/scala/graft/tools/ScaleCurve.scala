@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
 object ScaleCurve {
 
   private val flagships = Seq(
-    "q5_window_topk",    // TopK aggregate over orders
-    "q13_hilbert_sort",  // global range-partitioned sort over customer
-    "q20_dedup_exact",   // digest row_number over documents
-    "q28_minhash_dedup", // banded LSH join over documents
-    "q39_dedup_clusters" // minhash pairs + iterative hash-to-min
+    "q5_window_topk",     // TopK aggregate over orders
+    "q13_hilbert_sort",   // global range-partitioned sort over customer
+    "q20_dedup_exact",    // digest row_number over documents
+    "q28_minhash_dedup",  // banded LSH join over documents
+    "q39_dedup_clusters", // minhash pairs + iterative hash-to-min
+    "q50_decontaminate",  // shingle kernel + broadcast eval probe
+    "q51_kmeans",         // codegen assignment + fixed-point update
+    "q52_seq_packing"     // two-phase distributed prefix sum
   )
 
   def main(args: Array[String]): Unit = {
@@ -62,6 +65,13 @@ object ScaleCurve {
     scaleUp("documents", "doc_id", (d, i) =>
       if (i == 0) d
       else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))
+    // shard-coherent perturbation: copies shift together, so near-dup
+    // pairs stay within-shard (linear growth), mirroring the token salt
+    scaleUp("embeddings", "vec_id", (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.013f * i))
+          .cast("array<float>")))
 
     // ---- time both scales --------------------------------------------
     def force(df: DataFrame): Unit =
@@ -80,12 +90,35 @@ object ScaleCurve {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    val rows = flagships.map { q =>
+    var rows = flagships.map { q =>
       val tSmall = time(q, baseDir)
       val tBig = time(q, outDir)
       val exp = math.log(tBig / tSmall) / math.log(factor.toDouble)
       (q, tSmall, tBig, exp)
     }
+
+    // SemDeDup scales its cluster COUNT with the corpus (bounded cluster
+    // size is the algorithm's contract — Abbas et al. 2023); holding k
+    // fixed across a 10× scale-up would time the quadratic within-
+    // cluster growth the algorithm exists to avoid.
+    def semdedup(dir: String, k: Int): Unit = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val (assigned, _) =
+        graft.ops.KMeans.kmeans(emb, "embedding", "vec_id", k, iters = 2)
+      force(graft.ops.KMeans.semDedupPairs(assigned, "embedding", "vec_id",
+        threshold = 0.45))
+    }
+    semdedup(baseDir, 8) // warmup
+    def timeSem(dir: String, k: Int): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        semdedup(dir, k)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val tS = timeSem(baseDir, 8)
+    val tB = timeSem(outDir, 8 * factor)
+    rows = rows :+ ("q53_semdedup_scaledk", tS, tB,
+      math.log(tB / tS) / math.log(factor.toDouble))
     val qjson = rows.map { case (q, ts, tb, e) =>
       f""""$q":{"t_base":$ts%.3f,"t_x$factor":$tb%.3f,"exponent":$e%.3f}"""
     }.mkString("{", ",", "}")

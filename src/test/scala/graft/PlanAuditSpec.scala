@@ -60,7 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
     for (name <- Seq("q20_dedup_exact", "q27_embedding_dedup",
         "q28_minhash_dedup", "q29_simhash_dedup", "q31_ann_lsh",
         "q39_dedup_clusters", "q44_ann_ivf", "q45_ann_batch",
-        "q47_ngram_jaccard")) {
+        "q47_ngram_jaccard", "q48_repetition", "q49_pii_scrub",
+        "q50_decontaminate", "q51_kmeans", "q52_seq_packing",
+        "q53_semdedup")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("UDF"), s"$name still contains a UDF node")
