@@ -421,6 +421,48 @@ object TextQueries {
         SELECT pack_id, COUNT(*) AS n_docs,
           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM p GROUP BY pack_id ORDER BY pack_id"""))
+        FROM p GROUP BY pack_id ORDER BY pack_id""")),
+
+    // ---- TF-IDF term weighting -----------------------------------------
+    // tf from one explode + two-stage count; df from a term-keyed
+    // distinct count (both map-side combinable — terms cross the
+    // shuffle, never documents); N rides along as a broadcast 1-row
+    // aggregate (the q14 trick, no driver count()). idf is the smoothed
+    // ln((N+1)/(df+1)) + 1. Top 50 scores with a total-order tie-break.
+    QueryDef(
+      "q54_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val terms = docs.select($"doc_id",
+          explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+            .as("term"))
+        val tf = terms.groupBy($"doc_id", $"term")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"term")
+          .agg(count(lit(1)).as("df")) // tf rows are distinct (doc,term)
+        val nDf = broadcast(docs.agg(count(lit(1)).as("__n")))
+        tf.join(df, Seq("term")).crossJoin(nDf)
+          .withColumn("score",
+            $"tf" * (log(($"__n" + 1).cast("double") / ($"df" + 1)) + 1.0))
+          .select($"doc_id", $"term", $"tf", $"df",
+            round($"score", 6).as("score"))
+          .orderBy($"score".desc, $"doc_id", $"term")
+          .limit(50)
+      },
+      Some(raw"""WITH terms AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+          FROM terms GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          ROUND(tf.tf * (LN(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) + 1.0), 6)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        ORDER BY score DESC, tf.doc_id, tf.term LIMIT 50"""))
   )
 }

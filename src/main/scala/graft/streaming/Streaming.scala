@@ -267,6 +267,39 @@ object Streaming {
       }
   }
 
+  /** Streaming benchmark decontamination — the streaming twin of q50:
+    * the eval set is STATIC (a benchmark suite), the corpus streams.
+    * Shingle the stream with the codegen kernel, probe the static
+    * distinct-shingled eval side (stream-static equi-join; Spark
+    * broadcasts the tiny side), and count matches per document inside
+    * the watermarked event-time window. Stateless except the windowed
+    * count, whose state the watermark bounds.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, textCol: String,
+      idCol: String, tsCol: String, shingleK: Int = 4,
+      watermark: String = "1 hour"): DataFrame = {
+    val sh = graft.functions.SketchExpressions.word_shingles(col(textCol),
+      shingleK)
+    val evalSh = evalDocs.select(explode(
+      graft.functions.SketchExpressions.word_shingles(col(textCol),
+        shingleK)).as("__sh")).distinct()
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), explode(sh).as("__sh"))
+      .join(evalSh, Seq("__sh")) // per-doc shingles are already distinct
+      .groupBy(window(col(tsCol), "1 hour"), col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col(idCol), col("n_shared"))
+  }
+
+  /** Streaming PII scrub — stateless projection (codegen scanners), so
+    * the streaming twin IS the batch expression: no state, no watermark,
+    * exactly-once per record under any trigger.
+    */
+  def piiScrub(docs: DataFrame, textCol: String,
+      outCol: String = "redacted"): DataFrame =
+    docs.withColumn(outCol,
+      graft.functions.SketchExpressions.pii_redact(col(textCol)))
+
   /** Run a streaming query over a static directory to completion via the
     * memory sink; returns the final result table. (Local harness used by
     * tests and the smoke tool — production would use a real sink.)

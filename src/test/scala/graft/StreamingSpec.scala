@@ -186,4 +186,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"\ngot  $got\nwant $want")
     assert(finals.size == 12) // 3 groups x 4 ranks survived
   }
+
+  test("streaming decontamination matches the batch shingle-probe") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sdecon")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    val evalDocs = docs.filter($"doc_id" % 50 === 0)
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    train.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(train.schema)
+      .parquet(streamDir.toString + "/in")
+    // complete mode: append would withhold windows still inside the
+    // watermark (on a static source: all of them)
+    val streamed = Streaming.runToCompletion(
+      Streaming.decontaminate(stream, evalDocs, "text", "doc_id", "ts"),
+      "decon_test", outputMode = "complete")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch formulation (the q50 shape)
+    val sh = graft.functions.SketchExpressions.word_shingles($"text", 4)
+    val evalSh = evalDocs.select(explode(sh).as("sh")).distinct()
+    val batch = train.select($"doc_id", explode(sh).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty) // near-dups of eval docs exist in the fixture
+  }
+
+  test("streaming pii scrub is the stateless batch projection") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_spii")
+    val docs = spark.range(0, 50).toDF("doc_id")
+      .withColumn("text", concat(lit("reach me at u"), $"doc_id",
+        lit("@x.org or 10.0."), $"doc_id" % 256, lit(".7 / +1-555-0042")))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val out = Streaming.runToCompletion(
+      Streaming.piiScrub(stream, "text"), "spii_test")
+    assert(out.count() == 50)
+    val bad = out.filter($"redacted".contains("@") ||
+      $"redacted".rlike("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}") ||
+      $"redacted".contains("+1-555"))
+    assert(bad.count() == 0)
+    assert(out.filter($"redacted".contains("<EMAIL>") &&
+      $"redacted".contains("<IP>") &&
+      $"redacted".contains("<PHONE>")).count() == 50)
+  }
 }
