@@ -260,6 +260,83 @@ object Main {
             .when(b < 90, "validation").otherwise("test"))
           .write.mode("overwrite").parquet(out)
 
+      //   pack in out  (fixed token-capacity context-window assignment)
+      case "pack" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val text = opt(rest, "text-column").getOrElse("text")
+        val cap = opt(rest, "capacity").map(_.toLong).getOrElse(2048L)
+        val df = spark.read.parquet(in)
+          .withColumn("__ntok",
+            size(filter(split(col(text), "\\s+"), t => t =!= ""))
+              .cast("long"))
+        graft.ops.Packing.packBySize(df, id, "__ntok", cap)
+          .drop("__ntok")
+          .write.mode("overwrite").parquet(out)
+
+      //   decontaminate in eval out  (flag docs sharing shingles with eval)
+      case "decontaminate" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, eval, out) = rest.take(3)
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val text = opt(rest, "text-column").getOrElse("text")
+        val k = opt(rest, "shingle-words").map(_.toInt).getOrElse(4)
+        def sh(c: String) =
+          graft.functions.SketchExpressions.word_shingles(col(c), k)
+        val evalSh = spark.read.parquet(eval)
+          .select(explode(sh(text)).as("__sh")).distinct()
+        spark.read.parquet(in)
+          .select(col(id), explode(sh(text)).as("__sh"))
+          .join(broadcast(evalSh), Seq("__sh"))
+          .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+          .write.mode("overwrite").parquet(out)
+
+      //   pii-scrub in out  (redact emails/IPv4s/phones into tokens)
+      case "pii-scrub" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val text = opt(rest, "text-column").getOrElse("text")
+        spark.read.parquet(in)
+          .withColumn(text,
+            graft.functions.SketchExpressions.pii_redact(col(text)))
+          .write.mode("overwrite").parquet(out)
+
+      //   quality in out  (Gopher-style repetition metrics + flag)
+      case "quality" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val text = opt(rest, "text-column").getOrElse("text")
+        val maxDup = opt(rest, "max-dup-word").map(_.toDouble).getOrElse(0.6)
+        val maxBg = opt(rest, "max-top-bigram").map(_.toDouble).getOrElse(0.05)
+        val st = graft.functions.SketchExpressions.rep_stats(col(text))
+        val dw = lit(1.0) - col("__st")(1).cast("double") /
+          col("__st")(0).cast("double")
+        val tb = col("__st")(2).cast("double") /
+          (col("__st")(0) - 1).cast("double")
+        spark.read.parquet(in)
+          .withColumn("__st", st)
+          .withColumn("dup_word_frac", round(dw, 6))
+          .withColumn("top_bigram_frac",
+            when(col("__st")(0) >= 2, round(tb, 6)))
+          .withColumn("flagged",
+            dw > maxDup || (col("__st")(0) >= 2 && tb > maxBg))
+          .drop("__st")
+          .write.mode("overwrite").parquet(out)
+
+      //   semdedup in out  (k-means blocked semantic near-dup pairs)
+      case "semdedup" =>
+        val Seq(in, out) = rest.take(2)
+        val id = opt(rest, "id-column").getOrElse("vec_id")
+        val vec = opt(rest, "vec-column").getOrElse("embedding")
+        val k = opt(rest, "clusters").map(_.toInt).getOrElse(64)
+        val thr = opt(rest, "threshold").map(_.toDouble).getOrElse(0.9)
+        val df = spark.read.parquet(in)
+        val (assigned, _) = graft.ops.KMeans.kmeans(df, vec, id, k,
+          iters = opt(rest, "iterations").map(_.toInt).getOrElse(2))
+        graft.ops.KMeans.semDedupPairs(assigned, vec, id, thr)
+          .write.mode("overwrite").parquet(out)
+
       case "inspect" =>
         val s = Checks.inspect(rest.head)
         if (flag(rest, "json")) {
@@ -374,5 +451,6 @@ object Main {
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster}, split,
+      |  pack, decontaminate, pii-scrub, quality, semdedup,
       |  inspect, meta [--stats], check [--all], validate, fix, stac-item""".stripMargin
 }

@@ -257,6 +257,38 @@ object SketchEval {
       redactPhone(redactIp(redactEmail(s.toString, "<EMAIL>"), "<IP>"),
         "<PHONE>"))
 
+  // word char of the q23 tokenizer class [a-zà-ÿäöüß]: a-z plus
+  // U+00E0-U+00FF (à-ÿ) plus ß (U+00DF); äöü fall inside à-ÿ
+  private def isLangC(c: Char) =
+    (c >= 'a' && c <= 'z') || (c >= 'ß' && c <= 'ÿ')
+
+  /** Per-language stopword hit counts in one pass (the interpreted
+    * 4×filter/array_contains chain costs ~150 µs/doc; this ~8 µs).
+    * Tokenization ≡ filter(split(lower(text), "[^a-zà-ÿäöüß]+"), _≠"").
+    */
+  def langHits(s: UTF8String,
+      sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val str = s.toLowerCase.toString
+    val counts = new Array[Int](sets.length)
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !isLangC(str.charAt(i))) i += 1
+      var j = i
+      while (j < n && isLangC(str.charAt(j))) j += 1
+      if (j > i) {
+        val tok = str.substring(i, j)
+        var l = 0
+        while (l < sets.length) {
+          if (sets(l).contains(tok)) counts(l) += 1
+          l += 1
+        }
+      }
+      i = if (j > i) j else i + 1
+    }
+    new GenericArrayData(counts.map(c => c: Any))
+  }
+
   def lshProbes(sig: Int, bits: Int): ArrayData = {
     val out = new Array[Int](bits + 1)
     out(0) = sig
@@ -441,6 +473,31 @@ object SketchExpressions {
 
   def pii_redact(text: Column): Column =
     GraftBridge.column(PiiRedact(GraftBridge.expression(text)))
+
+  /** Per-language stopword hit counts (one tokenize pass, hash-set
+    * probes; lists ride in as a generated-code reference object).
+    */
+  case class LangHits(child: Expression, lists: Array[Array[String]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    private val sets: Array[java.util.HashSet[String]] = lists.map { ws =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add); s
+    }
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.langHits(s.asInstanceOf[UTF8String], sets)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stopSets", sets, "java.util.HashSet[]")
+      defineCodeGen(ctx, ev, c => s"$E.langHits($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def lang_hits(text: Column, lists: Array[Array[String]]): Column =
+    GraftBridge.column(LangHits(GraftBridge.expression(text), lists))
 
   /** Multi-probe set for an LSH signature: the bucket plus every 1-bit
     * flip (bits + 1 ints).

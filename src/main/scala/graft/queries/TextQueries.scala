@@ -102,15 +102,17 @@ object TextQueries {
       "q23_lang_id",
       (s, dir) => {
         import s.implicits._
-        val toks = filter(split(lower($"text"), "[^a-zà-ÿäöüß]+"), t => t =!= "")
-        def hits(ws: Seq[String]) = {
-          val arr = array(ws.map(lit): _*)
-          size(filter(toks, t => array_contains(arr, t)))
-        }
+        // one-pass codegen kernel: tokenize ≡ split on [^a-zà-ÿäöüß]+
+        // and count hits per stopword set (the interpreted 4×filter/
+        // array_contains chain re-tokenized four times per row)
+        val hitsArr = graft.functions.SketchExpressions.lang_hits($"text",
+          Array(stopEn.toArray, stopDe.toArray, stopFr.toArray,
+            stopEs.toArray))
         table(s, dir, "documents")
+          .select($"doc_id", $"lang", hitsArr.as("h"))
           .select($"doc_id", $"lang",
-            hits(stopEn).as("s_en"), hits(stopDe).as("s_de"),
-            hits(stopFr).as("s_fr"), hits(stopEs).as("s_es"))
+            $"h" (0).as("s_en"), $"h" (1).as("s_de"),
+            $"h" (2).as("s_fr"), $"h" (3).as("s_es"))
           .withColumn("predicted",
             when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_es" && $"s_en" > 0, "en")
               .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es" && $"s_de" > 0, "de")

@@ -118,6 +118,62 @@ class CliSpec extends AnyFunSuite {
     assert(fc.endsWith("]}"))
   }
 
+  test("training-pipeline commands: pack, decontaminate, pii-scrub, " +
+      "quality, semdedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("pipeline2")
+    val docs = (0L until 60L).map { i =>
+      (i, (0 until 20).map(j => s"w${(i * 7 + j) % 40}").mkString(" ") +
+        (if (i % 9 == 0) " mail me x@y.zz at 10.1.2.3" else ""))
+    }.toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+
+    Main.run(spark, Seq("pack", s"$dir/docs.parquet", s"$dir/packed.parquet",
+      "--capacity", "100"))
+    val packed = spark.read.parquet(s"$dir/packed.parquet")
+    assert(packed.columns.contains("pack_id"))
+    // 60 docs x ~20-27 tokens at capacity 100 -> >1 pack, all docs kept
+    assert(packed.count() == 60)
+    assert(packed.select("pack_id").distinct().count() > 1)
+
+    // eval set = first 3 docs; doc 0's shingles overlap doc 0 only (texts
+    // are stride-disjoint), so decontamination flags exactly the overlap
+    docs.filter($"doc_id" < 3).write.parquet(s"$dir/eval.parquet")
+    Main.run(spark, Seq("decontaminate", s"$dir/docs.parquet",
+      s"$dir/eval.parquet", s"$dir/decon.parquet"))
+    val flagged = spark.read.parquet(s"$dir/decon.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(0L) && flagged.contains(1L) && flagged.contains(2L))
+
+    Main.run(spark, Seq("pii-scrub", s"$dir/docs.parquet",
+      s"$dir/scrubbed.parquet"))
+    val scrubbed = spark.read.parquet(s"$dir/scrubbed.parquet")
+    assert(scrubbed.filter($"text".contains("x@y.zz")).count() == 0)
+    assert(scrubbed.filter($"text".contains("<EMAIL>")).count() == 7)
+
+    Main.run(spark, Seq("quality", s"$dir/docs.parquet",
+      s"$dir/quality.parquet"))
+    val q = spark.read.parquet(s"$dir/quality.parquet")
+    assert(q.columns.toSet.intersect(
+      Set("dup_word_frac", "top_bigram_frac", "flagged")).size == 3)
+    assert(q.count() == 60)
+
+    val vecs = (0L until 30L).map { i =>
+      val v = Array.fill(8)(0.01f); v((i % 4).toInt * 2) = 1f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    vecs.write.parquet(s"$dir/vecs.parquet")
+    Main.run(spark, Seq("semdedup", s"$dir/vecs.parquet",
+      s"$dir/sd.parquet", "--clusters", "4", "--threshold", "0.99"))
+    val sd = spark.read.parquet(s"$dir/sd.parquet")
+    // vectors sharing an axis are near-identical -> pairs exist, and
+    // every reported pair really is same-cluster + above threshold
+    assert(sd.count() > 0)
+    assert(sd.filter($"cosine" < 0.99).count() == 0)
+  }
+
   test("admin enrich and hierarchical admin partition via the CLI") {
     import spark.implicits._
     val dir = tmp("admin")
