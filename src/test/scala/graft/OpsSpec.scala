@@ -363,6 +363,41 @@ class OpsSpec extends AnyFunSuite {
       Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 1)))
   }
 
+  test("text kernels match the interpreted formulations on edge cases") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val E = graft.functions.SketchEval
+    def sh(s: String, k: Int) = {
+      val a = E.wordShingles(UTF8String.fromString(s), k)
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    }
+    // distinct shingles, insertion order; lowercase; whitespace runs
+    assert(sh("A b  c\td", 2) == Seq("a b", "b c", "c d"))
+    assert(sh(" lead b lead b", 2) == Seq("lead b", "b lead"))
+    assert(sh("one two", 3).isEmpty) // fewer tokens than k
+    assert(sh("", 2).isEmpty)
+    assert(sh("x", 1) == Seq("x"))
+    def rep(s: String) = {
+      val a = E.repStats(UTF8String.fromString(s))
+      (a.getInt(0), a.getInt(1), a.getInt(2))
+    }
+    assert(rep("a b a b a") == ((5, 2, 2)))  // "a b" twice, "b a" twice
+    assert(rep("A a") == ((2, 1, 1)))        // lowercased before counting
+    assert(rep("solo") == ((1, 1, 0)))       // no bigram
+    assert(rep("") == ((0, 0, 0)))
+    assert(rep("  spaced   out  ") == ((2, 2, 1)))
+    def lh(s: String) = {
+      val sets = Array(Seq("the", "a"), Seq("der", "die")).map { ws =>
+        val h = new java.util.HashSet[String](); ws.foreach(h.add); h
+      }
+      val a = E.langHits(UTF8String.fromString(s), sets)
+      (a.getInt(0), a.getInt(1))
+    }
+    assert(lh("The a der 42der die5") == ((2, 3))) // digits split tokens
+    assert(lh("athe the-a") == ((2, 0)))           // '-' splits, "athe" misses
+    assert(lh("") == ((0, 0)))
+    assert(lh("straße die") == ((0, 1)))           // ß is a word char
+  }
+
   test("pii redaction scanners are equivalent to the regex chain") {
     // the codegen scanners must reproduce java.util.regex semantics
     // (leftmost-first, greedy with backtracking) for the three fixed
