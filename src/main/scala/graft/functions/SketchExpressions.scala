@@ -31,8 +31,19 @@ object SketchEval {
   def lsh(v: ArrayData, bits: Int): Int =
     graft.ops.Ann.lshSignatureAD(v, bits)
 
+  // Zero-norm contract for both argmax assigners: a zero-norm vector (or
+  // centroid) yields NaN cosine. NaN never beats a finite sim (it is
+  // skipped, i.e. treated as -inf), and the all-NaN case falls back to
+  // the FIRST label — which matches the DuckDB oracle's
+  // `ORDER BY sim DESC, c` (NaN sorts first in DESC, ties break to the
+  // lowest cluster) for zero-norm DATA vectors. A zero-norm CENTROID is
+  // deliberately never selected over a finite match (the oracle's
+  // NaN-first ordering would pick it; preferring a degenerate centroid
+  // over a genuine match is wrong, and centroids are means of real
+  // vectors so the case cannot arise from [[graft.ops.KMeans]] output).
+  // OpsSpec pins the zero-vector behavior.
   def ivfAssign(v: ArrayData, cents: Array[Array[Float]]): Int = {
-    var best = -1; var bestSim = Double.MinValue
+    var best = 0; var bestSim = Double.NegativeInfinity
     val n = v.numElements()
     var c = 0
     while (c < cents.length) {
@@ -51,7 +62,8 @@ object SketchEval {
 
   def kmeansAssign(v: ArrayData, labels: Array[Int],
       cents: Array[Array[Double]]): Int = {
-    var best = -1; var bestSim = Double.MinValue
+    var best = if (labels.length > 0) labels(0) else -1
+    var bestSim = Double.NegativeInfinity
     val n = v.numElements()
     var c = 0
     while (c < cents.length) {

@@ -173,15 +173,22 @@ object Ann {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
-  /** Deterministic coarse centroids: stride-sample nLists vectors. */
+  /** Deterministic coarse centroids: stride-sample nLists vectors.
+    * The corpus size rides along as a broadcast 1-row aggregate (the
+    * q14 trick) instead of a driver `count()` action, so the whole
+    * centroid pick is ONE action — no separate count job per call
+    * (q44 pays this once, q51/q53 twice more via [[KMeans.kmeans]]).
+    */
   def ivfCentroids(df: DataFrame, vecCol: String, idCol: String,
       nLists: Int): Array[Array[Float]] = {
-    val n = df.count()
-    val stride = math.max(1L, n / nLists)
-    df.select(col(idCol), col(vecCol))
-      .filter(pmod(col(idCol), lit(stride)) === 0)
+    val nDf = broadcast(df.agg(count(lit(1)).as("__n")))
+    val stride =
+      greatest(lit(1L), floor(col("__n") / nLists).cast("long"))
+    df.select(col(idCol), col(vecCol)).crossJoin(nDf)
+      .filter(pmod(col(idCol), stride) === 0)
       .orderBy(col(idCol))
       .limit(nLists)
+      .select(col(idCol), col(vecCol))
       .collect()
       .map(_.getSeq[Float](1).toArray)
   }

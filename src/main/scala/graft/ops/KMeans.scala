@@ -48,15 +48,25 @@ object KMeans {
     var cents: Seq[(Int, Array[Double])] =
       Ann.ivfCentroids(df, vecCol, idCol, k).zipWithIndex
         .map { case (v, i) => (i, v.map(_.toDouble)) }
-    def assign(cs: Seq[(Int, Array[Double])]): DataFrame =
-      df.withColumn(clusterCol,
+    def assign(src: DataFrame, cs: Seq[(Int, Array[Double])]): DataFrame =
+      src.withColumn(clusterCol,
         graft.functions.SketchExpressions.kmeans_assign(col(vecCol),
           cs.map(_._1).toArray, cs.map(_._2).toArray))
+    // Plan size is bounded by construction: every pass rebuilds
+    // assign() from the INPUT frame with the new centroids as driver
+    // literals, so the lineage never stacks across iterations (pinned
+    // at iters=5 in OpsSpec). What does repeat is the scan of `df` —
+    // one per update pass — so beyond the default 2-iter contract the
+    // input is persisted for the loop (the MLlib convention) and
+    // released once the final centroids are fixed.
+    val input = if (iters > 2)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
     var it = 1
     while (it < iters) {
       // exact integer partial sums per (cluster, dim); n is the member
       // count (identical across dims of one cluster)
-      val rows = assign(cents)
+      val rows = assign(input, cents)
         .select(col(clusterCol).as("__c"),
           posexplode(col(vecCol)).as(Seq("__i", "__v")))
         .groupBy(col("__c"), col("__i"))
@@ -70,7 +80,8 @@ object KMeans {
       }
       it += 1
     }
-    (assign(cents), cents)
+    if (iters > 2) input.unpersist(false)
+    (assign(df, cents), cents)
   }
 
   /** SemDeDup candidate pairs: same-cluster pairs with cosine ≥
@@ -84,15 +95,21 @@ object KMeans {
   def semDedupPairs(assigned: DataFrame, vecCol: String, idCol: String,
       threshold: Double, clusterCol: String = "cluster",
       warnSize: Long = 100000L): DataFrame = {
-    val sizes = assigned.groupBy(col(clusterCol)).count()
+    // `assigned` (a full k-means assignment projection) feeds three
+    // consumers — the size guard plus both self-join sides. Materialize
+    // it ONCE: the guard's collect doubles as the checkpointing action,
+    // and the join then reads the materialized partitions instead of
+    // re-running the assignment twice more.
+    val mat = assigned.localCheckpoint(false)
+    val sizes = mat.groupBy(col(clusterCol)).count()
       .filter(col("count") > warnSize).limit(1).collect()
     if (sizes.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"semDedup: cluster ${sizes(0).get(0)} has ${sizes(0).getLong(1)} " +
           s"members (> $warnSize); increase k to bound pairwise work")
-    val a = assigned.select(col(clusterCol).as("__c"),
+    val a = mat.select(col(clusterCol).as("__c"),
       col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = assigned.select(col(clusterCol).as("__c"),
+    val b = mat.select(col(clusterCol).as("__c"),
       col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, Seq("__c"))
       .filter(col("id_a") < col("id_b"))

@@ -44,13 +44,14 @@ object Packing {
       .select(col("__bkt"), col("__off"))
     local.join(broadcast(offsets), Seq("__bkt"))
       .withColumn(outCol, col("__off") + col("__loc"))
-      .drop("__bkt", "__loc")
+      .drop("__bkt", "__loc", "__off")
   }
 
   /** Assign each row to its pack: ⌊(running size before it)/capacity⌋. */
   def packBySize(df: DataFrame, orderCol: String, sizeCol: String,
-      capacity: Long, packCol: String = "pack_id"): DataFrame =
-    withRunningBefore(df, orderCol, sizeCol, "__before")
+      capacity: Long, packCol: String = "pack_id",
+      chunk: Long = 65536L): DataFrame =
+    withRunningBefore(df, orderCol, sizeCol, "__before", chunk)
       .withColumn(packCol, floor(col("__before") / capacity).cast("long"))
       .drop("__before")
 }

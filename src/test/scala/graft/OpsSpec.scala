@@ -490,6 +490,100 @@ class OpsSpec extends AnyFunSuite {
     assert(ids == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("argmax assigners: zero-norm vector falls to first label, " +
+      "zero-norm centroid never beats a finite match") {
+    import graft.functions.SketchExpressions
+    val df = Seq((0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("id", "v")
+      .select($"id", $"v".cast("array<float>").as("v"))
+    val labels = Array(3, 7)
+    val cents = Array(Array(0.0, 1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0, 0.0))
+    val got = df.select($"id",
+        SketchExpressions.kmeans_assign($"v", labels, cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // all-NaN sims -> first label; matches the oracle's
+    // ORDER BY sim DESC, c (NaN first in DESC, lowest c on tie)
+    assert(got(0L) == 3)
+    assert(got(1L) == 7)
+    // a zero-norm CENTROID is skipped, not preferred
+    val degenerate = Array(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 0.0, 0.0, 0.0))
+    val pick = df.filter($"id" === 1L)
+      .select(SketchExpressions.kmeans_assign($"v", labels, degenerate))
+      .collect()(0).getInt(0)
+    assert(pick == 7)
+    // ivf twin: same contract, labels are list positions
+    val fcents = Array(Array(0f, 1f, 0f, 0f), Array(1f, 0f, 0f, 0f))
+    val gi = df.select($"id",
+        SketchExpressions.ivf_assign($"v", fcents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gi(0L) == 0 && gi(1L) == 1)
+  }
+
+  test("ivf centroids: single action, count folded into the plan") {
+    val df = (0L until 64L)
+      .map(i => (i, Seq.tabulate(8)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .repartition(4)
+    val sc = spark.sparkContext
+    df.count() // warm the scan so both measurements see the same state
+    // the status store is fed asynchronously; poll until stable
+    def jobs(tag: String): Int = {
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var n = sc.statusTracker.getJobIdsForGroup(tag).length
+      while (System.nanoTime() < deadline &&
+          { Thread.sleep(100); sc.statusTracker.getJobIdsForGroup(tag).length != n })
+        n = sc.statusTracker.getJobIdsForGroup(tag).length
+      n
+    }
+    // the pre-fold formulation: an eager count() action, then the pick
+    sc.setJobGroup("ivf-two-action", "eager-count twin")
+    val n0 = df.count()
+    val stride = math.max(1L, n0 / 4)
+    df.select($"vec_id", $"embedding")
+      .filter(pmod($"vec_id", lit(stride)) === 0)
+      .orderBy($"vec_id").limit(4).collect()
+    sc.clearJobGroup()
+    sc.setJobGroup("ivf-one-action", "ivf centroid pick")
+    val cents = Ann.ivfCentroids(df, "embedding", "vec_id", 4)
+    sc.clearJobGroup()
+    assert(cents.length == 4)
+    // stride = 64/4 = 16 -> ids 0,16,32,48
+    assert(cents.map(_(0)) sameElements Array(0f, 16f, 32f, 48f))
+    val (twin, folded) = (jobs("ivf-two-action"), jobs("ivf-one-action"))
+    // folding the count into the plan as a broadcast 1-row aggregate
+    // must cost strictly fewer scheduler jobs than the two-action twin
+    // (measured 5 vs 7 under AQE at the time of writing)
+    assert(folded < twin,
+      s"ivfCentroids ran $folded jobs vs the two-action twin's $twin")
+  }
+
+  test("kmeans: plan size stays bounded across iterations (iters=5)") {
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.01f * eps)
+      v(axis) = 1.0f; v
+    }
+    val df = (0L until 40L)
+      .map(i => (i, vec(if (i < 20) 0 else 4, (i % 7).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    def planNodes(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.collect { case p => p }.size
+    val (a2, _) = graft.ops.KMeans.kmeans(df, "embedding", "vec_id",
+      k = 2, iters = 2)
+    val (a5, _) = graft.ops.KMeans.kmeans(df, "embedding", "vec_id",
+      k = 2, iters = 5)
+    // every pass rebuilds the assignment from the input frame with new
+    // literal centroids — lineage must NOT stack with iteration count
+    assert(planNodes(a5) == planNodes(a2),
+      s"iters=5 plan has ${planNodes(a5)} nodes vs ${planNodes(a2)} at iters=2")
+    // and the clustering still separates the blobs
+    val byCluster = a5.select($"vec_id", $"cluster").collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byCluster.values.toSet ==
+      Set((0L until 20L).toSet, (20L until 40L).toSet))
+  }
+
   test("packing: two-phase prefix sum equals the global window, no " +
       "unpartitioned window in the plan") {
     val df = (0L until 500L).map(i => (i * 3, 10L + i % 7))
@@ -513,11 +607,15 @@ class OpsSpec extends AnyFunSuite {
     assert(wins.nonEmpty)
     wins.foreach(w => assert(w.partitionSpec.nonEmpty,
       "packing must not use an unpartitioned window"))
-    // small chunk: rows span many buckets, result unchanged
+    // no helper column leaks: output schema is exactly input + pack col
+    assert(packed.columns.toSeq == df.columns.toSeq :+ "p")
+    // small chunk: keys 0..1497*3 span many 64-wide buckets, result
+    // unchanged (exercises the bucket fix-up join inside packBySize)
     val packedSmall = graft.ops.Packing.packBySize(df, "k", "sz",
-      capacity = 100L, packCol = "p")
+      capacity = 100L, packCol = "p", chunk = 64L)
     assert(packedSmall.select(col("k"), col("p")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    assert(packedSmall.columns.toSeq == df.columns.toSeq :+ "p")
     val multi = graft.ops.Packing.withRunningBefore(df, "k", "sz",
       "before", chunk = 64L)
     val cums = rows.scanLeft(("", 0L)) { case ((_, c), (k, sz)) =>
