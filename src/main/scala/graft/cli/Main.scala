@@ -337,6 +337,27 @@ object Main {
         graft.ops.KMeans.semDedupPairs(assigned, vec, id, thr)
           .write.mode("overwrite").parquet(out)
 
+      //   pipeline in out  (full curation chain: quality gate -> PII
+      //   scrub -> exact dedup -> minhash near-dup clusters ->
+      //   decontaminate -> pack; one corpus read — see graft.ops.Pipeline)
+      case "pipeline" =>
+        val Seq(in, out) = rest.take(2)
+        val cfg = graft.ops.Pipeline.Config(
+          minTokens = opt(rest, "min-tokens").map(_.toInt).getOrElse(5),
+          maxDupWordFrac =
+            opt(rest, "max-dup-word").map(_.toDouble).getOrElse(0.6),
+          maxTopBigramFrac =
+            opt(rest, "max-top-bigram").map(_.toDouble).getOrElse(0.05),
+          nearDupThreshold =
+            opt(rest, "threshold").map(_.toDouble).getOrElse(0.8),
+          evalMod = opt(rest, "eval-mod").map(_.toLong).getOrElse(50L),
+          packCapacity =
+            opt(rest, "capacity").map(_.toLong).getOrElse(256L))
+        graft.ops.Pipeline.curate(spark.read.parquet(in),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            opt(rest, "text-column").getOrElse("text"), cfg)
+          .write.mode("overwrite").parquet(out)
+
       case "inspect" =>
         val s = Checks.inspect(rest.head)
         if (flag(rest, "json")) {
@@ -451,6 +472,6 @@ object Main {
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster}, split,
-      |  pack, decontaminate, pii-scrub, quality, semdedup,
+      |  pack, decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  inspect, meta [--stats], check [--all], validate, fix, stac-item""".stripMargin
 }

@@ -301,6 +301,69 @@ object SketchEval {
     new GenericArrayData(counts.map(c => c: Any))
   }
 
+  /** Distinct character n-grams PACKED into 64-bit codes (n <= 8): the
+    * sliding n-byte window of the (ASCII, normalized) input, one byte
+    * per char — a bijection on ASCII n-grams, so grouping on the code
+    * is exactly grouping on the gram while every downstream shuffle,
+    * hash and sort touches an 8-byte long instead of a UTF8String.
+    * Callers never surface the gram text, only use it as a join/group
+    * key. Codes are never 0 (normalized chars are >= 0x20), so 0 can
+    * serve as the open-addressing empty slot.
+    */
+  def charNgramCodes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val cnt = len - n + 1
+    var cap = 4
+    while (cap < cnt * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val out = new Array[Long](cnt)
+    val mask = if (n == 8) -1L else (1L << (8 * n)) - 1
+    var code = 0L
+    var i = 0
+    while (i < n - 1) { code = (code << 8) | (bytes(i) & 0xffL); i += 1 }
+    var m = 0
+    while (i < len) {
+      code = ((code << 8) | (bytes(i) & 0xffL)) & mask
+      var h = java.lang.Long.hashCode(code * -7046029254386353131L) & (cap - 1)
+      var seen = false
+      while (table(h) != 0L && !seen) {
+        if (table(h) == code) seen = true else h = (h + 1) & (cap - 1)
+      }
+      if (!seen) { table(h) = code; out(m) = code; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** All value-ordered pairs [a,b] with a <= b from a list of DISTINCT
+    * ids, INCLUDING the self-pairs [x,x]. Feeding these through one
+    * `GROUP BY (a, b) COUNT(*)` yields pair co-occurrence counts on the
+    * off-diagonal AND per-id list-membership counts on the diagonal —
+    * the trick that lets the n-gram Jaccard join compute common-gram
+    * counts and per-doc set sizes in a single aggregation.
+    */
+  def sortedPairs(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = v.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    val out = new Array[Any](n * (n + 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        out(idx) = new GenericArrayData(Array[Any](a(i), a(j)))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def lshProbes(sig: Int, bits: Int): ArrayData = {
     val out = new Array[Int](bits + 1)
     out(0) = sig
@@ -432,6 +495,42 @@ object SketchExpressions {
 
   def char_ngrams(text: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(text), n))
+
+  /** Distinct n-grams as packed 64-bit codes ([[SketchEval.charNgramCodes]]). */
+  case class CharNgramCodes(child: Expression, n: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(n >= 1 && n <= 8, "packed n-gram codes need 1 <= n <= 8")
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.charNgramCodes(s.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.charNgramCodes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def char_ngram_codes(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramCodes(GraftBridge.expression(text), n))
+
+  /** Value-ordered within-list pairs incl. self-pairs ([[SketchEval.sortedPairs]]). */
+  case class SortedPairs(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType =
+      ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      SketchEval.sortedPairs(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.sortedPairs($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def sorted_pairs(ids: Column): Column =
+    GraftBridge.column(SortedPairs(GraftBridge.expression(ids)))
 
   /** Distinct k-word shingles (lowercase, whitespace-tokenized). */
   case class WordShingles(child: Expression, k: Int)

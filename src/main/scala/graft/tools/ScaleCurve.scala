@@ -22,9 +22,13 @@ object ScaleCurve {
     "q20_dedup_exact",    // digest row_number over documents
     "q28_minhash_dedup",  // banded LSH join over documents
     "q39_dedup_clusters", // minhash pairs + iterative hash-to-min
+    "q46_image_decode",   // partition-local imageio decode
+    "q47_ngram_jaccard",  // packed-gram posting lists + pair aggregation
+    "q49_pii_scrub",      // codegen linear scanners, zero shuffle
     "q50_decontaminate",  // shingle kernel + broadcast eval probe
     "q51_kmeans",         // codegen assignment + fixed-point update
-    "q52_seq_packing"     // two-phase distributed prefix sum
+    "q52_seq_packing",    // two-phase distributed prefix sum
+    "q54_tfidf"           // terms-only shuffle + broadcast N
   )
 
   def main(args: Array[String]): Unit = {

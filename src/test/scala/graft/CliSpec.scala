@@ -174,6 +174,42 @@ class CliSpec extends AnyFunSuite {
     assert(sd.filter($"cosine" < 0.99).count() == 0)
   }
 
+  test("composed pipeline command: one curation chain, schema + funnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("pipeline3")
+    // 80 docs: stride-disjoint word soup, one planted exact dup pair
+    // (21 copies 20), one planted near-dup of 30 (one word changed), and
+    // eval docs (ids 0, 50) whose text doc 60 shares a 4-word shingle with
+    // disjoint 30-token ranges per doc: no accidental shingle overlap
+    val mk = (i: Long) => (0 until 30).map(j => s"w${i * 31 + j}").mkString(" ")
+    val docs = (0L until 80L).map { i =>
+      val t = i match {
+        case 21L => mk(20L)
+        case 31L => mk(30L).replaceFirst("w[0-9]+ ", "changed ")
+        case 60L => mk(0L) // verbatim copy of eval doc 0's text
+        case _ => mk(i)
+      }
+      (i, t)
+    }.toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+    Main.run(spark, Seq("pipeline", s"$dir/docs.parquet",
+      s"$dir/out.parquet", "--capacity", "120"))
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    // schema contract: exactly the curated projection
+    assert(out.columns.toSeq.sorted == Seq("doc_id", "n_tokens", "pack_id"))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // eval docs (0, 50) are held out; their dup/shingle-sharer 60 is
+    // decontaminated; 21 loses exact dedup to 20; 31 loses near-dup to 30
+    assert(!ids.contains(0L) && !ids.contains(50L))
+    assert(!ids.contains(60L))
+    assert(ids.contains(20L) && !ids.contains(21L))
+    assert(ids.contains(30L) && !ids.contains(31L))
+    assert(ids.size > 60) // the rest of the corpus survives
+    // packing is doc_id-ordered at capacity 120 (30-token docs -> 4/pack)
+    assert(out.select(countDistinct($"pack_id")).head().getLong(0) > 1)
+  }
+
   test("admin enrich and hierarchical admin partition via the CLI") {
     import spark.implicits._
     val dir = tmp("admin")

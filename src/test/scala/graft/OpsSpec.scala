@@ -490,6 +490,31 @@ class OpsSpec extends AnyFunSuite {
     assert(ids == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("packed n-gram codes are a bijection of the string grams") {
+    import graft.functions.SketchExpressions
+    // ASCII inputs (the kernel's contract: it runs on normalized text)
+    val docs = Seq("the quick brown fox", "aa", "abc", "", "aaaa aaaa",
+      "abcdefghij", "a1 b2 c3 a1 b2")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    for (n <- Seq(2, 4, 8)) {
+      val viaStr = df.select($"id",
+          explode(SketchExpressions.char_ngrams($"t", n)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val viaCode = df.select($"id",
+          explode(SketchExpressions.char_ngram_codes($"t", n)).as("g"))
+        .collect().map { r =>
+          val code = r.getLong(1)
+          val bs = Array.tabulate(n)(j =>
+            ((code >> (8 * (n - 1 - j))) & 0xff).toByte)
+          (r.getLong(0),
+            new String(bs, java.nio.charset.StandardCharsets.US_ASCII))
+        }.toSet
+      assert(viaCode == viaStr, s"n=$n: packed codes must decode to " +
+        "exactly the distinct string grams")
+    }
+  }
+
   test("argmax assigners: zero-norm vector falls to first label, " +
       "zero-norm centroid never beats a finite match") {
     import graft.functions.SketchExpressions
