@@ -337,6 +337,33 @@ object Main {
         graft.ops.KMeans.semDedupPairs(assigned, vec, id, thr)
           .write.mode("overwrite").parquet(out)
 
+      //   benchmark suite out.json [--rows N] [--baseline path]
+      //   benchmark report baseline.json current.json
+      // (reference `gpio benchmark` group, cli/main.py:4448-4643: the §6
+      // operation matrix with regression thresholds warn>10% / fail>25%)
+      case "benchmark" =>
+        import graft.tools.BenchSuite
+        rest.head match {
+          case "suite" =>
+            val out = rest.tail.head
+            val rows = opt(rest, "rows").map(_.toInt).getOrElse(100000)
+            val ops = BenchSuite.runMatrix(spark, rows)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(out), BenchSuite.toJson(ops))
+            opt(rest, "baseline").foreach { b =>
+              val base = BenchSuite.parseJson(
+                java.nio.file.Files.readString(java.nio.file.Paths.get(b)))
+              BenchSuite.report(BenchSuite.compare(ops, base.toMap))
+            }
+          case "report" =>
+            val Seq(baseline, current) = rest.tail.take(2)
+            def load(p: String) = BenchSuite.parseJson(
+              java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+            BenchSuite.report(
+              BenchSuite.compare(load(current), load(baseline).toMap))
+          case other => die(s"unknown benchmark mode $other")
+        }
+
       //   pipeline in out  (full curation chain: quality gate -> PII
       //   scrub -> exact dedup -> minhash near-dup clusters ->
       //   decontaminate -> pack; one corpus read — see graft.ops.Pipeline)
@@ -473,5 +500,6 @@ object Main {
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster}, split,
       |  pack, decontaminate, pii-scrub, quality, semdedup, pipeline,
-      |  inspect, meta [--stats], check [--all], validate, fix, stac-item""".stripMargin
+      |  benchmark {suite|report}, inspect, meta [--stats],
+      |  check [--all], validate, fix, stac-item""".stripMargin
 }

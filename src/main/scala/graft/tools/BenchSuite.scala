@@ -13,23 +13,21 @@ import graft.table.GeoTable
   *
   *   sbt "runMain graft.tools.BenchSuite [rows] [baselinePath]"
   *
-  * With no baseline file present, writes one. With one present, prints
-  * per-op deltas and regression status.
+  * or via the CLI (`graft benchmark suite|report`, mirroring the
+  * reference's `cli/main.py:4448-4643` command group). With no baseline
+  * file present, writes one. With one present, prints per-op deltas and
+  * regression status.
   */
 object BenchSuite {
 
-  def main(args: Array[String]): Unit = {
-    val rows = args.headOption.map(_.toInt).getOrElse(100000)
-    val baselinePath = args.lift(1).getOrElse("bench_baseline.json")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Reference thresholds (`benchmarks/config.py:16-19`). */
+  val WarnPct = 10.0
+  val FailPct = 25.0
 
+  /** Time the reference's §6 operation matrix on a generated geo table
+    * of `rows` rows; returns (op, seconds) in matrix order.
+    */
+  def runMatrix(spark: SparkSession, rows: Int): Seq[(String, Double)] = {
     val work = java.nio.file.Files.createTempDirectory("graft_suite").toString
     val src = s"$work/src"
     // generated geo table (benchmark input tiers in the reference are
@@ -56,7 +54,7 @@ object BenchSuite {
     // warmup
     noop(GeoTable.read(spark, src).addBbox().df)
 
-    val ops: Seq[(String, Double)] = Seq(
+    Seq(
       time("read") { noop(GeoTable.read(spark, src).df) },
       time("write") { GeoTable.read(spark, src).write(s"$work/w") },
       time("add_bbox") { noop(GeoTable.read(spark, src).addBbox().df) },
@@ -83,27 +81,67 @@ object BenchSuite {
       time("chain_bbox_qk_hilbert") {
         noop(GeoTable.read(spark, src).addBbox().addQuadkey(13).sortHilbert().df)
       })
+  }
 
-    val json = ops.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val p = java.nio.file.Paths.get(baselinePath)
-    if (!java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.writeString(p, json)
-      println(s"[suite] baseline written to $baselinePath")
-    } else {
-      val base = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-        java.nio.file.Files.readString(p))
-      var regressed = false
-      ops.foreach { case (k, v) =>
-        Option(base.get(k)).map(_.asDouble).foreach { b =>
+  def toJson(ops: Seq[(String, Double)]): String =
+    ops.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  def parseJson(json: String): Seq[(String, Double)] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val it = node.fields()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue.asDouble }
+    buf.toSeq
+  }
+
+  /** Per-op (name, deltaPct, status) with the reference thresholds;
+    * ops missing from the baseline are reported as "new".
+    */
+  def compare(current: Seq[(String, Double)],
+      baseline: Map[String, Double]): Seq[(String, Double, String)] =
+    current.map { case (k, v) =>
+      baseline.get(k) match {
+        case Some(b) if b > 0 =>
           val delta = (v - b) / b * 100
           val status =
-            if (delta > 25) { regressed = true; "FAIL" }
-            else if (delta > 10) "warn"
+            if (delta > FailPct) "FAIL"
+            else if (delta > WarnPct) "warn"
             else "ok"
-          println(f"[suite] $k%-22s ${delta}%+7.1f%% vs baseline [$status]")
-        }
+          (k, delta, status)
+        case _ => (k, 0.0, "new")
       }
-      if (regressed) { println("[suite] REGRESSION"); sys.exit(1) }
+    }
+
+  /** Print the comparison table; returns true when any op FAILed. */
+  def report(rows: Seq[(String, Double, String)]): Boolean = {
+    rows.foreach { case (k, delta, status) =>
+      println(f"[suite] $k%-22s ${delta}%+7.1f%% vs baseline [$status]")
+    }
+    val regressed = rows.exists(_._3 == "FAIL")
+    if (regressed) println("[suite] REGRESSION")
+    regressed
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toInt).getOrElse(100000)
+    val baselinePath = args.lift(1).getOrElse("bench_baseline.json")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ops = runMatrix(spark, rows)
+    val p = java.nio.file.Paths.get(baselinePath)
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.writeString(p, toJson(ops))
+      println(s"[suite] baseline written to $baselinePath")
+    } else {
+      val base = parseJson(java.nio.file.Files.readString(p)).toMap
+      if (report(compare(ops, base))) sys.exit(1)
     }
     spark.stop()
   }

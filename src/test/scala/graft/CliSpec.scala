@@ -210,6 +210,49 @@ class CliSpec extends AnyFunSuite {
     assert(out.select(countDistinct($"pack_id")).head().getLong(0) > 1)
   }
 
+  test("benchmark suite + report: matrix runs, thresholds flag regressions") {
+    val dir = tmp("bench")
+    // run the operation matrix small and store the results
+    Main.run(spark, Seq("benchmark", "suite", s"$dir/run1.json",
+      "--rows", "2000"))
+    val ops = graft.tools.BenchSuite.parseJson(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/run1.json")))
+    // the full reference §6 matrix, every timing positive
+    assert(ops.map(_._1).toSet == Set("read", "write", "add_bbox",
+      "add_quadkey", "extract_bbox", "extract_columns", "sort_hilbert",
+      "sort_column", "reproject", "to_geojson", "partition_quadkey",
+      "chain_bbox_qk_hilbert"))
+    assert(ops.forall(_._2 > 0))
+    // doctored baseline: one op 10x faster than measured -> +900% FAIL,
+    // one op slightly faster -> warn band, rest identical -> ok
+    val doctored = ops.map {
+      case ("read", v) => ("read", v / 10)
+      case ("write", v) => ("write", v / 1.2)
+      case o => o
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/baseline.json"),
+      graft.tools.BenchSuite.toJson(doctored))
+    val rows = graft.tools.BenchSuite.compare(ops, doctored.toMap)
+    val byOp = rows.map(r => r._1 -> r._3).toMap
+    assert(byOp("read") == "FAIL")
+    assert(byOp("write") == "warn")
+    assert(rows.count(_._3 == "ok") == 10)
+    // report prints the table and signals the regression
+    val out = new java.io.ByteArrayOutputStream()
+    val regressed = Console.withOut(new java.io.PrintStream(out)) {
+      graft.tools.BenchSuite.report(rows)
+    }
+    assert(regressed)
+    val printed = out.toString
+    assert(printed.contains("[suite] REGRESSION"))
+    assert(printed.linesIterator.count(_.contains("vs baseline")) == 12)
+    // the CLI report path over the two stored files agrees
+    Main.run(spark, Seq("benchmark", "report", s"$dir/baseline.json",
+      s"$dir/run1.json"))
+  }
+
   test("admin enrich and hierarchical admin partition via the CLI") {
     import spark.implicits._
     val dir = tmp("admin")

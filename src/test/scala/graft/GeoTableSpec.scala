@@ -248,6 +248,26 @@ class GeoTableSpec extends AnyFunSuite {
     assert(graft.sources.FlatGeobuf.read(s"$base/out.fgb").geoms.size == 12)
   }
 
+  test("custom FileSystem scheme: uploadIfRemote + distributed write " +
+      "dispatch beyond file://") {
+    // register the cloud-store test double under its own scheme — the
+    // same wiring an s3a/gs/abfs connector jar provides for real stores
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[GraftTestFileSystem].getName)
+    val base = tmpDir("graftfs")
+    // single-file sink through uploadIfRemote's write-local-then-copy
+    val t = pointsTable(12)
+    t.writeGeoPackage(s"graftfs://$base/out.gpkg")
+    assert(GeoTable.fromGeoPackage(spark, s"$base/out.gpkg").df.count() == 12)
+    // distributed write: Spark's committer against the custom scheme
+    t.df.write.mode("overwrite").parquet(s"graftfs://$base/pq")
+    assert(spark.read.parquet(s"$base/pq").count() == 12)
+    // and a GeoTable write (footer rewrite included) round-trips
+    t.write(s"graftfs://$base/geo")
+    val back = GeoTable.read(spark, s"graftfs://$base/geo")
+    assert(back.df.count() == 12 && back.meta.primary.nonEmpty)
+  }
+
   test("check/fix pipeline composes") {
     val outRaw = tmpDir("fixsrc")
     // write WITHOUT bbox and unsorted
