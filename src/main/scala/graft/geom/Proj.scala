@@ -489,6 +489,147 @@ object Proj {
     (try codeSupported(parseEpsg(crs)) catch { case _: Exception => false }) ||
       projjsonProjection(crs).isDefined
 
+  // ---- Krovak (EPSG methods 9819 south-west / 1041 north-orientated) ----
+  // Conformal oblique conic on Bessel 1841 (S-JTSK, Czechia/Slovakia);
+  // formulas from EPSG Guidance Note 7-2. Method 9819's CRS axes are
+  // (X = Southing, Y = Westing); method 1041 is the same projection with
+  // east-north axes (E = −Y, N = −X), the form EPSG:5514 uses.
+  private final class Krovak(latCd: Double, lon0d: Double, alphaCd: Double,
+      latPd: Double, kP: Double, fe: Double, fn: Double,
+      flattening: Double, a: Double, eastNorth: Boolean) extends Projection {
+    private val e2 = 2 * flattening - flattening * flattening
+    private val e = math.sqrt(e2)
+    private val latC = math.toRadians(latCd)
+    private val lon0 = math.toRadians(lon0d)
+    private val alphaC = math.toRadians(alphaCd)
+    private val latP = math.toRadians(latPd)
+    private val bigA = a * math.sqrt(1 - e2) /
+      (1 - e2 * math.sin(latC) * math.sin(latC))
+    private val bigB = math.sqrt(1 + e2 * math.pow(math.cos(latC), 4) / (1 - e2))
+    private val gamma0 = math.asin(math.sin(latC) / bigB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * math.sin(latC)) / (1 - e * math.sin(latC)), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + latC / 2), bigB)
+    private val n = math.sin(latP)
+    private val r0 = kP * bigA / math.tan(latP)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val esin = e * math.sin(phi)
+      val u = 2 * (math.atan(t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bigB) /
+        math.pow((1 + esin) / (1 - esin), e * bigB / 2)) - math.Pi / 4)
+      val v = bigB * (lon0 - lam)
+      val t = math.asin(math.cos(alphaC) * math.sin(u) +
+        math.sin(alphaC) * math.cos(u) * math.cos(v))
+      val d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val theta = n * d
+      val r = r0 * math.pow(math.tan(math.Pi / 4 + latP / 2), n) /
+        math.pow(math.tan(t / 2 + math.Pi / 4), n)
+      val southing = r * math.cos(theta) + fn
+      val westing = r * math.sin(theta) + fe
+      if (eastNorth) (-westing, -southing) else (southing, westing)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (southing, westing) = if (eastNorth) (-y, -x) else (x, y)
+      val xp = southing - fn; val yp = westing - fe
+      val r = math.hypot(xp, yp)
+      val theta = math.atan2(yp, xp)
+      val d = theta / n
+      val t = 2 * (math.atan(math.pow(r0 / r, 1.0 / n) *
+        math.tan(math.Pi / 4 + latP / 2)) - math.Pi / 4)
+      val u = math.asin(math.cos(alphaC) * math.sin(t) -
+        math.sin(alphaC) * math.cos(t) * math.cos(d))
+      val v = math.asin(math.cos(t) * math.sin(d) / math.cos(u))
+      val lam = lon0 - v / bigB
+      var phi = u
+      var j = 0
+      while (j < 15) {
+        val esin = e * math.sin(phi)
+        phi = 2 * (math.atan(math.pow(t0, -1.0 / bigB) *
+          math.pow(math.tan(u / 2 + math.Pi / 4), 1.0 / bigB) *
+          math.pow((1 + esin) / (1 - esin), e / 2)) - math.Pi / 4)
+        j += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  // ---- Hotine Oblique Mercator (EPSG methods 9812 variant A /
+  // 9815 variant B) -------------------------------------------------------
+  // Conformal cylinder along an oblique initial line (Malaysian RSO
+  // grids, Alaska zone 1, Swiss-style grids); EPSG GN7-2 formulas. The
+  // variants share the whole (u, v) computation — variant B just shifts
+  // u by |uc| so the grid origin is the projection centre (its EC/NC
+  // apply there), while variant A's FE/FN apply at the natural origin.
+  private final class HotineOm(latCd: Double, lonCd: Double, alphaCd: Double,
+      gammaCd: Double, kC: Double, fe: Double, fn: Double,
+      variantB: Boolean, flattening: Double, a: Double) extends Projection {
+    private val e2 = 2 * flattening - flattening * flattening
+    private val e = math.sqrt(e2)
+    private val latC = math.toRadians(latCd)
+    private val lonC = math.toRadians(lonCd)
+    private val alphaC = math.toRadians(alphaCd)
+    private val gammaC = math.toRadians(gammaCd)
+    private val bigB = math.sqrt(1 + e2 * math.pow(math.cos(latC), 4) / (1 - e2))
+    private val bigA = a * bigB * kC * math.sqrt(1 - e2) /
+      (1 - e2 * math.sin(latC) * math.sin(latC))
+    private val t0 = math.tan(math.Pi / 4 - latC / 2) /
+      math.pow((1 - e * math.sin(latC)) / (1 + e * math.sin(latC)), e / 2)
+    private val bigD = bigB * math.sqrt(1 - e2) /
+      (math.cos(latC) * math.sqrt(1 - e2 * math.sin(latC) * math.sin(latC)))
+    private val d2 = math.max(bigD * bigD, 1.0)
+    private val bigF = bigD + math.sqrt(d2 - 1) * math.signum(latC)
+    private val bigH = bigF * math.pow(t0, bigB)
+    private val bigG = (bigF - 1 / bigF) / 2
+    private val gamma0 = math.asin(math.sin(alphaC) / bigD)
+    private val lam0 = lonC - math.asin(bigG * math.tan(gamma0)) / bigB
+    // u at the projection centre (the variant-B shift); the aC = 90°
+    // special case (Hungarian EOV style) is not dispatched here
+    private val uc = (bigA / bigB) *
+      math.atan2(math.sqrt(d2 - 1), math.cos(alphaC)) * math.signum(latC)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val t = math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+      val q = bigH / math.pow(t, bigB)
+      val s = (q - 1 / q) / 2
+      val bigT = (q + 1 / q) / 2
+      val v0 = math.sin(bigB * (lam - lam0))
+      val bigU = (-v0 * math.cos(gamma0) + s * math.sin(gamma0)) / bigT
+      val v = bigA * math.log((1 - bigU) / (1 + bigU)) / (2 * bigB)
+      var u = bigA * math.atan2(s * math.cos(gamma0) + v0 * math.sin(gamma0),
+        math.cos(bigB * (lam - lam0))) / bigB
+      if (variantB) u -= math.abs(uc) * math.signum(latC)
+      (v * math.cos(gammaC) + u * math.sin(gammaC) + fe,
+        u * math.cos(gammaC) - v * math.sin(gammaC) + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val v = (x - fe) * math.cos(gammaC) - (y - fn) * math.sin(gammaC)
+      var u = (y - fn) * math.cos(gammaC) + (x - fe) * math.sin(gammaC)
+      if (variantB) u += math.abs(uc) * math.signum(latC)
+      val qp = math.exp(-bigB * v / bigA)
+      val sp = (qp - 1 / qp) / 2
+      val tp = (qp + 1 / qp) / 2
+      val vp = math.sin(bigB * u / bigA)
+      val up = (vp * math.cos(gamma0) + sp * math.sin(gamma0)) / tp
+      val ts = math.pow(bigH / math.sqrt((1 + up) / (1 - up)), 1.0 / bigB)
+      var phi = math.Pi / 2 - 2 * math.atan(ts)
+      var j = 0
+      while (j < 15) {
+        val esin = e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(ts *
+          math.pow((1 - esin) / (1 + esin), e / 2))
+        j += 1
+      }
+      val lam = lam0 - math.atan2(sp * math.cos(gamma0) - vp * math.sin(gamma0),
+        math.cos(bigB * u / bigA)) / bigB
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   // ---- generic PROJJSON conversion-driven dispatch ----------------------
   // When a CRS arrives as a PROJJSON document whose EPSG code is NOT one
   // of the parameterizations above, read the projection method +
@@ -526,6 +667,11 @@ object Proj {
           else if (n.contains("azimuthal equal area")) 9820
           else if (n.contains("polar stereographic") && n.contains("variant b")) 9829
           else if (n.contains("polar stereographic")) 9810
+          else if (n.contains("krovak") &&
+            (n.contains("north") || n.contains("east"))) 1041
+          else if (n.contains("krovak")) 9819
+          else if (n.contains("oblique mercator") && n.contains("variant b")) 9815
+          else if (n.contains("oblique mercator") || n.contains("hotine")) 9812
           else -1
         }
     // parameters by EPSG id and by lowercase name; values normalized to
@@ -610,6 +756,31 @@ object Proj {
         pv(8805, "scale factor at natural origin", 1.0),
         pv(8802, "longitude of natural origin"),
         pv(8806, "false easting"), pv(8807, "false northing"), flat, a))
+      case 9819 | 1041 => Some(new Krovak(
+        pv(8811, "latitude of projection centre"),
+        pv(8833, "longitude of origin"),
+        pv(1036, "co-latitude of cone axis"),
+        pv(8818, "latitude of pseudo standard parallel"),
+        pv(8819, "scale factor on pseudo standard parallel", 1.0),
+        pv(8806, "false easting"), pv(8807, "false northing"),
+        flat, a, eastNorth = methodCode == 1041))
+      case 9812 => Some(new HotineOm(
+        pv(8811, "latitude of projection centre"),
+        pv(8812, "longitude of projection centre"),
+        pv(8813, "azimuth of initial line"),
+        pv(8814, "angle from rectified to skew grid"),
+        pv(8815, "scale factor on initial line", 1.0),
+        pv(8806, "false easting"), pv(8807, "false northing"),
+        variantB = false, flat, a))
+      case 9815 => Some(new HotineOm(
+        pv(8811, "latitude of projection centre"),
+        pv(8812, "longitude of projection centre"),
+        pv(8813, "azimuth of initial line"),
+        pv(8814, "angle from rectified to skew grid"),
+        pv(8815, "scale factor on initial line", 1.0),
+        pv(8816, "easting at projection centre"),
+        pv(8817, "northing at projection centre"),
+        variantB = true, flat, a))
       case 9805 => // Mercator variant B: k0 from the standard parallel
         val e2 = 2 * flat - flat * flat
         val lat1 = math.toRadians(pv(8823, "latitude of 1st standard parallel"))
