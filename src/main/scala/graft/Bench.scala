@@ -54,7 +54,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release cached/checkpointed blocks the query materialized
+        // (localCheckpoint in the iterative/pipeline operators) so one
+        // query's block-manager residue never taxes the next query's
+        // memory — each query is measured from the same clean state
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
       }
       name -> times.min
     }
