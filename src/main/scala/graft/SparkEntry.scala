@@ -20,6 +20,7 @@ object SparkEntry {
     TextQueries.defs,
     VectorQueries.defs,
     OpsQueries.defs,
+    CorpusQueries.defs,
     PipelineQueries.defs,
     GeoQueries.defs
   )

@@ -371,6 +371,41 @@ object SketchEval {
     while (b < bits) { out(b + 1) = sig ^ (1 << b); b += 1 }
     new GenericArrayData(out)
   }
+
+  /** 8-bit scalar dequantization of one component: lo + round((x-lo)/
+    * (hi-lo)*255)/255*(hi-lo), with round = half-away-from-zero decided
+    * by an EXACT fraction comparison (t - floor(t) is exact for t ≥ 0 by
+    * Sterbenz, so the decision never suffers the lossy `t + 0.5` double
+    * rounding) — bit-identical to both DuckDB's ROUND(double) and Spark's
+    * round(col, 0) on the nonnegative scaled offsets this sees.
+    */
+  def sq8Dequant(x: Double, l: Double, h: Double): Double =
+    if (h == l) l
+    else {
+      val t = (x - l) / (h - l) * 255.0
+      val f = math.floor(t)
+      val code = if (t - f >= 0.5) f + 1.0 else f
+      l + code / 255.0 * (h - l)
+    }
+
+  /** Cosine of an sq8-dequantized float vector against a pre-dequantized
+    * query — the one-pass fused kernel of the scalar-quantized ANN scan
+    * (dequantize + dot + both norms per component; the interpreted
+    * transform/zip_with/aggregate chain re-evaluated the dequantization
+    * once per aggregate and paid HOF interpretation per element).
+    */
+  def sq8Cosine(v: ArrayData, lo: Array[Double], hi: Array[Double],
+      q: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      val x = sq8Dequant(v.getFloat(i).toDouble, lo(i), hi(i))
+      val qi = q(i)
+      dot += x * qi; na += x * x; nb += qi * qi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 object SketchExpressions {
@@ -645,4 +680,30 @@ object SketchExpressions {
 
   def lsh_sig(vec: Column, bits: Int): Column =
     GraftBridge.column(LshSignature(GraftBridge.expression(vec), bits))
+
+  /** Fused sq8 dequantize-and-cosine vs a pre-dequantized query vector.
+    * The quantizer (lo/hi per dimension) and query are bounded models
+    * riding as codegen references — same contract as [[IvfAssign]].
+    */
+  case class Sq8Cosine(child: Expression, lo: Array[Double],
+      hi: Array[Double], q: Array[Double])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      SketchEval.sq8Cosine(v.asInstanceOf[ArrayData], lo, hi, q)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lref = ctx.addReferenceObj("lo", lo, "double[]")
+      val href = ctx.addReferenceObj("hi", hi, "double[]")
+      val qref = ctx.addReferenceObj("q", q, "double[]")
+      defineCodeGen(ctx, ev, c => s"$E.sq8Cosine($c, $lref, $href, $qref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def sq8_cosine(vec: Column, lo: Array[Double], hi: Array[Double],
+      q: Array[Double]): Column =
+    GraftBridge.column(Sq8Cosine(GraftBridge.expression(vec), lo, hi, q))
 }

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDef.table
+
+/** Corpus-curation operators beyond the round-4 surface: duplicated-
+  * passage detection (exact substring-level overlap), unigram-LM quality
+  * scoring (the CCNet/KenLM perplexity-filter shape with an in-corpus
+  * unigram model), and temperature-weighted domain mixture sampling
+  * (the GPT-3/Pile data-mixing recipe). All three are formulated
+  * identically in Spark and DuckDB so the oracle hash-checks them.
+  */
+object CorpusQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- duplicated-passage detection (corpus self-overlap) ------------
+    // Exact substring-level dedup approximated at 6-word granularity
+    // (Lee et al. 2021 "Deduplicating Training Data Makes Language
+    // Models Better" — fixed-length window variant): every distinct
+    // 6-word shingle is hashed, shingles appearing in ≥2 documents are
+    // "shared passages", and each document reports how much of it is
+    // duplicated elsewhere. Scale shape: the shuffle carries (16-byte
+    // digest, doc_id) pairs — never shingle text — and the shared-set
+    // side is produced by a map-side-combinable count, then joined back
+    // digest-keyed. No per-shingle doc-list is ever collected (a
+    // stop-shingle would make that state unbounded); the join-back is
+    // the bounded-state formulation. Two corpus scans (one per side of
+    // the join) is the standard trade against materializing the
+    // exploded shingle set.
+    QueryDef(
+      "q56_passage_dedup",
+      (s, dir) => {
+        import s.implicits._
+        def shingled = table(s, dir, "documents")
+          .select($"doc_id",
+            graft.functions.SketchExpressions.word_shingles($"text", 6)
+              .as("shs"))
+          .select($"doc_id", size($"shs").cast("long").as("n_shingles"),
+            explode($"shs").as("sh"))
+          .select($"doc_id", $"n_shingles",
+            substring(md5($"sh"), 1, 16).as("h"))
+        val shared = shingled
+          .groupBy($"h").agg(count(lit(1)).as("n_docs"))
+          .filter($"n_docs" >= 2)
+          .select($"h")
+        shingled.join(shared, "h")
+          .groupBy($"doc_id", $"n_shingles")
+          .agg(count(lit(1)).as("n_dup"))
+          .select($"doc_id", $"n_shingles", $"n_dup",
+            round($"n_dup".cast("double") / $"n_shingles", 6).as("dup_frac"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        d AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 4),
+              i -> array_to_string(toks[i:i+5], ' '))) AS shs
+          FROM t WHERE len(toks) >= 6),
+        sh AS (SELECT doc_id, len(shs) AS n_shingles, unnest(shs) AS sg
+          FROM d),
+        hh AS (SELECT doc_id, n_shingles, substr(md5(sg), 1, 16) AS h
+          FROM sh),
+        shared AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) >= 2)
+        SELECT doc_id, n_shingles, COUNT(*) AS n_dup,
+          ROUND(CAST(COUNT(*) AS DOUBLE) / n_shingles, 6) AS dup_frac
+        FROM hh JOIN shared USING (h)
+        GROUP BY doc_id, n_shingles ORDER BY doc_id""")),
+
+    // ---- unigram-LM quality scoring (perplexity-filter shape) ----------
+    // CCNet (Wenzek et al. 2020) filters on KenLM perplexity; the
+    // within-engine analogue is an in-corpus unigram LM: global term
+    // frequencies are the model, and each document scores its average
+    // token surprisal -1/n Σ ln p(t). Scale shape: both aggregations
+    // are term-keyed and map-side combinable (terms cross the shuffle,
+    // never documents); the corpus token total rides as a broadcast
+    // 1-row aggregate (the q14/q54 trick, no driver action). The model
+    // join is term-keyed — the "model" is never driver-materialized, so
+    // a 100 TB-corpus vocabulary is fine.
+    QueryDef(
+      "q57_unigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        val terms = table(s, dir, "documents")
+          .select($"doc_id",
+            explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+              .as("term"))
+        // the LM is term counts over the SAME exploded relation; scoring
+        // joins raw tokens to it term-keyed (map-side-combinable build,
+        // AQE-skew-splittable probe), then folds per document — no
+        // per-(doc, term) pre-aggregation is needed because the score is
+        // a straight sum over token occurrences
+        val lm = terms.groupBy($"term").agg(count(lit(1)).as("tf"))
+        val total = broadcast(lm.agg(sum($"tf").as("__T")))
+        terms.join(lm, Seq("term")).crossJoin(total)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(-sum(log($"tf".cast("double") / $"__T".cast("double")))
+              / count(lit(1)), 6).as("avg_neg_logp"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH terms AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        lm AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY term),
+        tot AS (SELECT SUM(tf) AS T FROM lm)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          ROUND(-SUM(LN(CAST(tf AS DOUBLE) / CAST(T AS DOUBLE)))
+            / COUNT(*), 6) AS avg_neg_logp
+        FROM terms JOIN lm USING (term) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- temperature-weighted domain mixture sampling ------------------
+    // The GPT-3/Pile data-mixing recipe: per-source weights n_s^α
+    // (α = 0.5 here) normalized across sources, then an exact
+    // per-source quota selected deterministically by md5 rank. Weights
+    // are computed in integer fixed-point (⌊√n·2^20⌋) so the quota
+    // arithmetic is exact integer division in BOTH engines — no
+    // floating-point sum whose ordering could flip a ⌊·⌋ at an integer
+    // boundary. Scale shape: the quota table is a per-source aggregate
+    // (tiny — one row per source) broadcast back; selection is
+    // TopK.perGroup's bounded heap (≤ m rows per source per map task,
+    // heaps shuffle, not documents) — the same machinery as q42, so no
+    // window ever crosses the corpus.
+    QueryDef(
+      "q58_mixture_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"source", $"doc_id")
+        val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+          .withColumn("wfix",
+            floor(sqrt($"n".cast("double")) * 1048576.0).cast("long"))
+        val denom = broadcast(counts.agg(sum($"wfix").as("__d")))
+        val quotas = counts.crossJoin(denom)
+          .select($"source", $"n",
+            expr("(200 * wfix) div __d").cast("long").as("quota"))
+        val ranked = graft.ops.TopK.perGroup(docs, Seq("source"),
+          Seq((md5($"doc_id".cast("string")), false), ($"doc_id", false)),
+          200, "rk")
+        ranked.join(broadcast(quotas), "source")
+          .filter($"rk" <= $"quota")
+          .select($"source", $"n", $"quota", $"doc_id", $"rk")
+          .orderBy($"source", $"rk")
+      },
+      Some(raw"""WITH c AS (SELECT source, COUNT(*) AS n
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n,
+            CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)
+              AS wfix
+          FROM c),
+        d AS (SELECT SUM(wfix) AS dd FROM w),
+        q AS (SELECT source, n,
+            CAST((200 * wfix) // dd AS BIGINT) AS quota
+          FROM w CROSS JOIN d),
+        r AS (SELECT source, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+          FROM documents)
+        SELECT r.source, q.n, q.quota, r.doc_id, r.rk
+        FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+        ORDER BY source, rk"""))
+  )
+}

@@ -272,7 +272,87 @@ object VectorQueries {
           CROSS JOIN generate_series(1, 64) t(i)
           GROUP BY p.cluster, p.id_a, p.id_b)
         SELECT cluster, id_a, id_b, ROUND(cosine, 5) AS cosine FROM psims
-        WHERE cosine >= 0.45 ORDER BY id_a, id_b"""))
+        WHERE cosine >= 0.45 ORDER BY id_a, id_b""")),
+
+    // ---- scalar-quantized (int8) ANN with exact rescoring --------------
+    // The memory-bound scale path for vector search: per-dimension
+    // min/max over the corpus define an 8-bit uniform quantizer (the
+    // faiss SQ8 recipe), candidates rank by cosine over DEQUANTIZED
+    // codes, and the final answer rescores the survivors exactly. At
+    // 100 TB the quantized corpus is 4× smaller than float32 — the scan
+    // and cache-residency win — while exact rescoring of k survivors
+    // removes the quantization bias from the reported scores. The
+    // quantizer itself is a bounded model (dims × {lo,hi}, 64 rows
+    // here), the same driver-side-model contract as IVF centroids; the
+    // rescoring join is a broadcast of k=10 ids. The oracle re-derives
+    // the quantizer, every code, both similarity passes, and the
+    // rounding contract (round-half-up on nonnegative scaled offsets is
+    // identical in both engines).
+    QueryDef(
+      "q59_ann_sq8",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        // bounded quantizer model: one (lo, hi) pair per dimension
+        val dims = emb.select(posexplode($"embedding").as(Seq("i", "v")))
+          .groupBy($"i").agg(min($"v").as("lo"), max($"v").as("hi"))
+          .orderBy($"i").collect()
+        val lo = dims.map(_.getFloat(1).toDouble)
+        val hi = dims.map(_.getFloat(2).toDouble)
+        // the query vector is one row (the q44 precedent); dequantize it
+        // driver-side with the kernel's own arithmetic
+        val qraw = emb.filter($"vec_id" === 3)
+          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        val qdq = Array.tabulate(qraw.length)(i =>
+          graft.functions.SketchEval.sq8Dequant(qraw(i).toDouble, lo(i), hi(i)))
+        // candidate scan: one fused codegen pass (dequantize + cosine),
+        // bounded top-10 via TakeOrdered on the rounded similarity
+        val top = emb.filter($"vec_id" =!= 3)
+          .select($"vec_id",
+            round(graft.functions.SketchExpressions
+              .sq8_cosine($"embedding", lo, hi, qdq), 5).as("sim_sq8"))
+          .orderBy($"sim_sq8".desc, $"vec_id")
+          .limit(10)
+        // exact rescore of the 10 survivors (broadcast of the id set)
+        val qlit = typedlit(qraw)
+        def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          graft.functions.VectorExpressions.dot_f(a, b)
+        broadcast(top).join(emb, Seq("vec_id"))
+          .select($"vec_id", $"sim_sq8",
+            round(dotF($"embedding", qlit) /
+              (sqrt(dotF($"embedding", $"embedding")) *
+                sqrt(dotF(qlit, qlit))), 5).as("sim_exact"))
+          .orderBy($"sim_sq8".desc, $"vec_id")
+      },
+      Some("""WITH dims AS (
+          SELECT t.i, MIN(CAST(e.embedding[t.i] AS DOUBLE)) AS lo,
+            MAX(CAST(e.embedding[t.i] AS DOUBLE)) AS hi
+          FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY t.i),
+        dq AS (
+          SELECT e.vec_id, d.i,
+            CAST(e.embedding[d.i] AS DOUBLE) AS x,
+            CASE WHEN d.hi = d.lo THEN d.lo ELSE
+              d.lo + ROUND((CAST(e.embedding[d.i] AS DOUBLE) - d.lo)
+                / (d.hi - d.lo) * 255.0)
+                / 255.0 * (d.hi - d.lo) END AS xq
+          FROM embeddings e JOIN dims d ON true),
+        q AS (SELECT i, x AS qx, xq AS qxq FROM dq WHERE vec_id = 3),
+        sims AS (
+          SELECT dq.vec_id,
+            ROUND(SUM(dq.xq * q.qxq) /
+              (SQRT(SUM(dq.xq * dq.xq)) * SQRT(SUM(q.qxq * q.qxq))), 5)
+              AS sim_sq8,
+            SUM(dq.x * q.qx) /
+              (SQRT(SUM(dq.x * dq.x)) * SQRT(SUM(q.qx * q.qx)))
+              AS exact_raw
+          FROM dq JOIN q USING (i) WHERE dq.vec_id <> 3
+          GROUP BY dq.vec_id),
+        top AS (
+          SELECT vec_id, sim_sq8, ROUND(exact_raw, 5) AS sim_exact
+          FROM sims ORDER BY sim_sq8 DESC, vec_id LIMIT 10)
+        SELECT vec_id, sim_sq8, sim_exact FROM top
+        ORDER BY sim_sq8 DESC, vec_id"""))
   )
 
   /** Shared oracle CTE chain replaying KMeans.kmeans(k=8, iters=2):

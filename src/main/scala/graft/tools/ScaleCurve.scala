@@ -28,7 +28,11 @@ object ScaleCurve {
     "q50_decontaminate",  // shingle kernel + broadcast eval probe
     "q51_kmeans",         // codegen assignment + fixed-point update
     "q52_seq_packing",    // two-phase distributed prefix sum
-    "q54_tfidf"           // terms-only shuffle + broadcast N
+    "q54_tfidf",          // terms-only shuffle + broadcast N
+    "q56_passage_dedup",  // digest-keyed shingle self-overlap + join-back
+    "q57_unigram_lm",     // term-keyed LM join + per-doc fold
+    "q58_mixture_sample", // per-source quotas + bounded-heap selection
+    "q59_ann_sq8"         // fused sq8 scan + exact rescore of survivors
   )
 
   def main(args: Array[String]): Unit = {

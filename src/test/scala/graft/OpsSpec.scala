@@ -544,6 +544,47 @@ class OpsSpec extends AnyFunSuite {
     assert(gi(0L) == 0 && gi(1L) == 1)
   }
 
+  test("sq8 quantizer: rounding contract, degenerate dims, fused cosine") {
+    import graft.functions.{SketchEval, SketchExpressions}
+    // the dequantization rounds half-away-from-zero via an exact
+    // fraction comparison — equivalent to Spark's round(col, 0)
+    // (BigDecimal HALF_UP) on the nonnegative scaled offsets, which is
+    // what the q59 oracle certifies against DuckDB's ROUND
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 10000) {
+      val l = rnd.nextDouble() * 10 - 5
+      val h = l + rnd.nextDouble() * 10
+      val x = l + rnd.nextDouble() * (h - l)
+      val t = (x - l) / (h - l) * 255.0
+      val viaBD = BigDecimal(t)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(SketchEval.sq8Dequant(x, l, h) == l + viaBD / 255.0 * (h - l))
+    }
+    // degenerate dimension (hi == lo) maps to lo, never NaN
+    assert(SketchEval.sq8Dequant(7.0, 7.0, 7.0) == 7.0)
+    // fused codegen kernel == dequantize-then-cosine reference
+    val lo = Array(0.0, -1.0, 5.0, 5.0)
+    val hi = Array(10.0, 1.0, 6.0, 5.0)
+    val q = Array(1.0, 0.5, 5.5, 5.0)
+    val df = Seq((1L, Seq(3.2f, -0.4f, 5.9f, 5.0f)),
+        (2L, Seq(9.9f, 0.9f, 5.1f, 5.0f)))
+      .toDF("id", "v").select($"id", $"v".cast("array<float>").as("v"))
+    val got = df.select($"id",
+        SketchExpressions.sq8_cosine($"v", lo, hi, q).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def ref(v: Array[Float]): Double = {
+      val dq = Array.tabulate(v.length)(i =>
+        SketchEval.sq8Dequant(v(i).toDouble, lo(i), hi(i)))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- dq.indices) {
+        dot += dq(i) * q(i); na += dq(i) * dq(i); nb += q(i) * q(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(got(1L) == ref(Array(3.2f, -0.4f, 5.9f, 5.0f)))
+    assert(got(2L) == ref(Array(9.9f, 0.9f, 5.1f, 5.0f)))
+  }
+
   test("ivf centroids: single action, count folded into the plan") {
     val df = (0L until 64L)
       .map(i => (i, Seq.tabulate(8)(d => (i + d).toFloat)))
