@@ -241,6 +241,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Incremental (cross-corpus) exact dedup: classify every incoming row
+    * against an already-ingested base corpus AND its own batch — the
+    * shape of continuous corpus ingestion, where each new crawl/delivery
+    * is deduplicated against everything already accepted without ever
+    * re-shuffling the accepted corpus' text.
+    *
+    * Status per incoming row:
+    *  - `dup_of_base`  — content digest already present in `base`
+    *    (base wins even if the row also repeats within the batch);
+    *  - `dup_in_batch` — not in base, but a batch sibling with a smaller
+    *    id carries the same digest;
+    *  - `kept`         — first occurrence anywhere.
+    *
+    * Scale shape: the base side is reduced to DISTINCT 16-byte digests
+    * before the join (its text is never read past the digest projection,
+    * and at 100 TB the digest set is the only thing that shuffles);
+    * within-batch first-occurrence is a window partitioned by the same
+    * digest key, so Catalyst reuses one hash partitioning for the window
+    * and the left join — one shuffle of the incoming batch, one of the
+    * base digest set.
+    */
+  def crossDedup(base: DataFrame, incoming: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baseH = base
+      .select(md5(normalizeNN(col(textCol))).as("__h"))
+      .distinct()
+      .withColumn("__inBase", lit(true))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    incoming
+      .select(col(idCol), md5(normalizeNN(col(textCol))).as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .join(baseH, Seq("__h"), "left")
+      .select(col(idCol), col("__h").as("digest"),
+        when(col("__inBase").isNotNull, lit("dup_of_base"))
+          .when(col("__rn") > 1, lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   // ---- cluster resolution ------------------------------------------------
 
   /** Connected components over near-dup pairs: every document in a dup

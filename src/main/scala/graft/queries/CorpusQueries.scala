@@ -6,8 +6,11 @@ import QueryDef.table
 /** Corpus-curation operators beyond the round-4 surface: duplicated-
   * passage detection (exact substring-level overlap), unigram-LM quality
   * scoring (the CCNet/KenLM perplexity-filter shape with an in-corpus
-  * unigram model), and temperature-weighted domain mixture sampling
-  * (the GPT-3/Pile data-mixing recipe). All three are formulated
+  * unigram model), temperature-weighted domain mixture sampling (the
+  * GPT-3/Pile data-mixing recipe), incremental cross-corpus dedup (the
+  * continuous-ingestion shape), bigram-PMI collocation scoring (the
+  * BPE/WordPiece pair-scoring step), and DSIR-style importance weights
+  * (target-vs-source unigram log-likelihood ratio). All formulated
   * identically in Spark and DuckDB so the oracle hash-checks them.
   */
 object CorpusQueries {
@@ -161,6 +164,154 @@ object CorpusQueries {
           FROM documents)
         SELECT r.source, q.n, q.quota, r.doc_id, r.rk
         FROM r JOIN q USING (source) WHERE r.rk <= q.quota
-        ORDER BY source, rk"""))
+        ORDER BY source, rk""")),
+
+    // ---- incremental (cross-corpus) exact dedup -------------------------
+    // Continuous-ingestion dedup: a new delivery (here doc_id % 5 = 0)
+    // is classified against the already-accepted corpus (the rest) and
+    // against itself. Scale shape (see Dedup.crossDedup): the accepted
+    // corpus contributes ONLY its distinct 16-byte digest set — its text
+    // never re-shuffles on re-ingestion — and the batch pays one
+    // digest-keyed shuffle that serves both the first-occurrence window
+    // and the base left-join. The streaming twin (stream-static join +
+    // watermarked within-stream dedup) is parity-tested in StreamingSpec.
+    QueryDef(
+      "q60_cross_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        graft.ops.Dedup.crossDedup(
+            docs.filter($"doc_id" % 5 =!= 0),
+            docs.filter($"doc_id" % 5 === 0),
+            "text", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH h AS (SELECT doc_id,
+            md5(trim(regexp_replace(
+              regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g'))) AS hh
+          FROM documents),
+        base AS (SELECT DISTINCT hh FROM h WHERE doc_id % 5 <> 0),
+        inc AS (SELECT doc_id, hh,
+            ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+          FROM h WHERE doc_id % 5 = 0)
+        SELECT inc.doc_id, inc.hh AS digest,
+          CASE WHEN base.hh IS NOT NULL THEN 'dup_of_base'
+               WHEN inc.rn > 1 THEN 'dup_in_batch'
+               ELSE 'kept' END AS status
+        FROM inc LEFT JOIN base ON inc.hh = base.hh
+        ORDER BY inc.doc_id""")),
+
+    // ---- bigram PMI collocations (tokenizer pair-scoring shape) ---------
+    // The BPE/WordPiece merge-scoring step: adjacent-pair counts vs
+    // unigram counts, scored by pointwise mutual information
+    // ln( p(xy) / (p(x)p(y)) ), min count 5, top 40. Scale shape: bigram
+    // and unigram counts are both map-side-combinable groupBys (pairs
+    // cross the shuffle, never documents); the two totals ride as
+    // broadcast 1-row aggregates; the count joins are term-keyed (the
+    // unigram table is corpus-vocabulary-sized — never driver-side); the
+    // final top-40 is a bounded TakeOrdered on the ROUNDED score, so the
+    // ordering the hash check sees is float-robust.
+    QueryDef(
+      "q61_bigram_pmi",
+      (s, dir) => {
+        import s.implicits._
+        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+        val base = table(s, dir, "documents")
+          .select(toks.as("toks")).filter(size($"toks") >= 2)
+        val bc = base.select(explode(zip_with(
+              slice($"toks", lit(1), size($"toks") - 1),
+              slice($"toks", lit(2), size($"toks") - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select($"bg.w1", $"bg.w2")
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+        val uni = base.select(explode($"toks").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c"))
+        val tot = broadcast(uni.agg(sum($"c").as("__N")))
+        val btot = broadcast(bc.agg(sum($"c_xy").as("__B")))
+        bc.join(uni.select($"w".as("w1"), $"c".as("c_x")), Seq("w1"))
+          .join(uni.select($"w".as("w2"), $"c".as("c_y")), Seq("w2"))
+          .crossJoin(tot).crossJoin(btot)
+          .filter($"c_xy" >= 5)
+          .select($"w1", $"w2", $"c_xy", $"c_x", $"c_y",
+            round(log(($"c_xy".cast("double") / $"__B".cast("double")) /
+              (($"c_x".cast("double") / $"__N".cast("double")) *
+                ($"c_y".cast("double") / $"__N".cast("double")))), 6)
+              .as("pmi"))
+          .orderBy($"pmi".desc, $"w1", $"w2")
+          .limit(40)
+      },
+      Some(raw"""WITH t AS (SELECT
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        f AS (SELECT toks FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+            i -> [toks[i], toks[i+1]])) AS p FROM f),
+        bc AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c_xy
+          FROM bg GROUP BY 1, 2),
+        uc AS (SELECT w, COUNT(*) AS c
+          FROM (SELECT unnest(toks) AS w FROM f) GROUP BY w),
+        nn AS (SELECT SUM(c) AS n FROM uc),
+        bb AS (SELECT SUM(c_xy) AS b FROM bc)
+        SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+          ROUND(LN((CAST(c_xy AS DOUBLE) / CAST(b AS DOUBLE)) /
+            ((CAST(ux.c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             (CAST(uy.c AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS pmi
+        FROM bc JOIN uc ux ON bc.w1 = ux.w JOIN uc uy ON bc.w2 = uy.w
+        CROSS JOIN nn CROSS JOIN bb
+        WHERE c_xy >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 40""")),
+
+    // ---- DSIR-style importance weights ---------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every document by the average log-likelihood ratio of a target-
+    // domain unigram LM vs a source LM — here target = lang 'en', source
+    // = the rest, add-1 smoothing over the union vocabulary. Scale
+    // shape: both LMs come from ONE term-keyed aggregation over the same
+    // exploded relation (conditional sums, map-side combinable); the
+    // totals and vocab size ride as a broadcast 1-row aggregate; scoring
+    // joins tokens to the LM term-keyed (the q57 shape — the model is
+    // never driver-materialized, so a 100 TB-corpus vocabulary is fine).
+    QueryDef(
+      "q62_dsir_weights",
+      (s, dir) => {
+        import s.implicits._
+        val terms = table(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+              .as("term"))
+        val lm = terms.groupBy($"term").agg(
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+          sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("cs"))
+        val tot = broadcast(lm.agg(sum($"ct").as("__Tt"),
+          sum($"cs").as("__Ts"), count(lit(1)).as("__V")))
+        terms.join(lm, Seq("term")).crossJoin(tot)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(
+              log(($"ct" + 1).cast("double") / ($"__Tt" + $"__V").cast("double")) -
+                log(($"cs" + 1).cast("double") / ($"__Ts" + $"__V").cast("double")))
+              / count(lit(1)), 6).as("dsir_weight"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH terms AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term,
+            lang
+          FROM documents),
+        lm AS (SELECT term,
+            SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+            SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cs
+          FROM terms GROUP BY term),
+        tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts, COUNT(*) AS v FROM lm)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          ROUND(SUM(
+            LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) -
+            LN(CAST(cs + 1 AS DOUBLE) / CAST(ts + v AS DOUBLE)))
+            / COUNT(*), 6) AS dsir_weight
+        FROM terms JOIN lm USING (term) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

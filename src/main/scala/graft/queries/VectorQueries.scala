@@ -352,7 +352,95 @@ object VectorQueries {
           SELECT vec_id, sim_sq8, ROUND(exact_raw, 5) AS sim_exact
           FROM sims ORDER BY sim_sq8 DESC, vec_id LIMIT 10)
         SELECT vec_id, sim_sq8, sim_exact FROM top
-        ORDER BY sim_sq8 DESC, vec_id"""))
+        ORDER BY sim_sq8 DESC, vec_id""")),
+
+    // ---- ANN recall@k evaluation harness --------------------------------
+    // The index-quality measurement every ANN deployment needs: for a
+    // sampled query batch, recall@10 of the LSH candidate path (q31/q45
+    // machinery, 8-bit signatures + 1-bit multi-probe) against the
+    // brute-force ground truth. Scale shape: ground truth is the q45
+    // bounded-heap batch (one corpus scan serves all queries — brute
+    // force is inherent to measuring recall, which is why it runs on a
+    // SAMPLED batch); the approximate side is the q31 equi-join on
+    // exploded probe signatures (no corpus×queries product); the overlap
+    // count is a (qid, id)-keyed join of two ≤k·|queries| row sets. The
+    // oracle replays the hyperplanes, signatures, probe rule, both
+    // top-10s, and the overlap arithmetic.
+    QueryDef(
+      "q64_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter($"vec_id" < 10)
+        val corpus = emb.filter($"vec_id" >= 10)
+        val truth = graft.ops.Ann.bruteTopKBatch(corpus, queries,
+            "embedding", "vec_id", "vec_id", "embedding", k = 10)
+          .select($"qid", $"id")
+        val approx = graft.ops.Ann.lshTopKBatch(corpus, queries,
+            "embedding", "vec_id", "vec_id", "embedding", k = 10, bits = 8)
+          .select($"qid", $"id")
+        val na = approx.groupBy($"qid").agg(count(lit(1)).as("n_approx"))
+        truth
+          .join(approx.withColumn("__hit", lit(1L)), Seq("qid", "id"), "left")
+          .groupBy($"qid")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce($"__hit", lit(0L))).as("n_overlap"))
+          .join(na, Seq("qid"), "left")
+          .select($"qid", $"n_true",
+            coalesce($"n_approx", lit(0L)).as("n_approx"), $"n_overlap",
+            round($"n_overlap".cast("double") / $"n_true", 6).as("recall"))
+          .orderBy($"qid")
+      },
+      Some("""WITH planes AS (
+          SELECT pp.p, jj.j,
+            CASE WHEN substr(md5(pp.p || '_' || jj.j), 1, 1) >= '8'
+              THEN -1.0 ELSE 1.0 END AS r
+          FROM (SELECT unnest(range(8)) AS p) pp,
+               (SELECT unnest(range(64)) AS j) jj),
+        dots AS (
+          SELECT e.vec_id, pl.p,
+            SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.r) AS dot
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.p),
+        sigs AS (
+          SELECT vec_id,
+            CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+          FROM dots GROUP BY vec_id),
+        pairs AS (
+          SELECT q.vec_id AS qid, c.vec_id AS id,
+            SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)))) AS sim
+          FROM embeddings c CROSS JOIN embeddings q
+          CROSS JOIN generate_series(1, 64) t(i)
+          WHERE c.vec_id >= 10 AND q.vec_id < 10
+          GROUP BY q.vec_id, c.vec_id),
+        truth AS (
+          SELECT qid, id FROM (
+            SELECT qid, id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY sim DESC, id) AS rk
+            FROM pairs) t WHERE rk <= 10),
+        cand AS (
+          SELECT qs.vec_id AS qid, cs.vec_id AS id
+          FROM sigs qs JOIN sigs cs
+            ON bit_count(CAST(xor(qs.sig, cs.sig) AS BIGINT)) <= 1
+          WHERE qs.vec_id < 10 AND cs.vec_id >= 10),
+        apx AS (
+          SELECT qid, id FROM (
+            SELECT p.qid, p.id, ROW_NUMBER() OVER (
+              PARTITION BY p.qid ORDER BY p.sim DESC, p.id) AS rk
+            FROM pairs p JOIN cand USING (qid, id)) t WHERE rk <= 10),
+        na AS (SELECT qid, COUNT(*) AS n_approx FROM apx GROUP BY qid),
+        ov AS (
+          SELECT t.qid, COUNT(*) AS n_true,
+            CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+          FROM truth t LEFT JOIN apx a ON t.qid = a.qid AND t.id = a.id
+          GROUP BY t.qid)
+        SELECT ov.qid, ov.n_true, COALESCE(na.n_approx, 0) AS n_approx,
+          ov.n_overlap,
+          ROUND(CAST(ov.n_overlap AS DOUBLE) / ov.n_true, 6) AS recall
+        FROM ov LEFT JOIN na ON ov.qid = na.qid ORDER BY ov.qid"""))
   )
 
   /** Shared oracle CTE chain replaying KMeans.kmeans(k=8, iters=2):

@@ -69,6 +69,34 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming twin of `Dedup.crossDedup` — continuous-ingestion dedup:
+    * incoming documents arrive as a stream and are classified against a
+    * STATIC base-corpus digest set (a stream-static left join, so the
+    * accepted corpus contributes no streaming state at all) and against
+    * the stream itself (`dropDuplicatesWithinWatermark` keyed on the
+    * digest — the dedupExact state contract: one entry per digest,
+    * evicted at the watermark horizon). Instead of a status column the
+    * streaming variant EMITS only the kept rows — the sink-friendly
+    * formulation (duplicates are dropped, not labeled, because a row
+    * already emitted cannot be relabeled when its duplicate arrives
+    * later). First-arrival wins within the stream, which under ordered
+    * replay equals the batch min-id rule.
+    *
+    * `baseDigests` must be one md5-hex column named `digest` (build it
+    * with `md5(Dedup.normalize(text))` over the accepted corpus).
+    */
+  def crossDedup(docs: DataFrame, baseDigests: DataFrame, textCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__digest",
+        md5(graft.ops.Dedup.normalize(coalesce(col(textCol), lit("")))))
+      .join(baseDigests.select(col("digest").as("__digest"),
+        lit(true).as("__inBase")), Seq("__digest"), "left")
+      .filter(col("__inBase").isNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest", "__inBase")
+
   // ---- stateful sessionization -----------------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set("q13_hilbert_sort", "q14_spatial_order",
     "q17_spatial_join", "q26_ann_brute", "q35_geo_measures",
     "q44_ann_ivf", "q45_ann_batch", "q12_morton_sort", "q33_quadkey",
-    "q54_tfidf", "q57_unigram_lm", "q58_mixture_sample", "q59_ann_sq8")
+    "q54_tfidf", "q57_unigram_lm", "q58_mixture_sample", "q59_ann_sq8",
+    "q61_bigram_pmi", "q62_dsir_weights", "q64_ann_recall")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -79,6 +79,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming cross-corpus dedup keeps what the batch op marks kept") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sxdedup")
+    // 40 distinct payloads; ids 0..119 → three copies of each payload.
+    // Base corpus = payloads 0..19 (already accepted); the stream must
+    // drop rows whose payload is in the base AND within-stream repeats.
+    val docs = spark.range(0, 120).toDF("doc_id")
+      .withColumn("text", concat(lit("payload "), col("doc_id") % 40))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val base = spark.range(0, 20).toDF("b")
+      .select(concat(lit("payload "), col("b")).as("text"))
+    val baseDigests = base
+      .select(md5(graft.ops.Dedup.normalize($"text")).as("digest"))
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val out = Streaming.runToCompletion(
+      Streaming.crossDedup(stream, baseDigests, "text", "ts"), "xdedup_test")
+    // batch twin on the same split
+    // first-ARRIVAL wins in the stream (parquet file order, not id
+    // order), so parity is on the kept CONTENT set, not the kept ids —
+    // the same contract as the exact-dedup twin above
+    val batch = graft.ops.Dedup.crossDedup(base, docs, "text", "doc_id")
+    val batchKept = batch.filter($"status" === "kept")
+      .select($"digest").collect().map(_.getString(0)).toSet
+    val streamedKept = out
+      .select(md5(graft.ops.Dedup.normalize($"text")))
+      .collect().map(_.getString(0)).toSet
+    assert(streamedKept == batchKept)
+    assert(streamedKept.size == 20) // payloads 20..39, one copy each
+    // and the batch op labels the rest correctly
+    val statuses = batch.groupBy($"status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses("dup_of_base") == 60) // 3 copies x 20 base payloads
+    assert(statuses("dup_in_batch") == 40) // copies 2,3 of payloads 20..39
+    assert(statuses("kept") == 20)
+  }
+
   test("streaming minhash near-dup finds the batch operator's pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_smh")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
