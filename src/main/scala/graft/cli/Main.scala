@@ -214,6 +214,17 @@ object Main {
       //   dedup ngram in out [--n 4] [--threshold 0.5] [--max-df 1000]
       //   dedup embedding in out [--vec-column embedding] [--bits 24] [--bands 4]
       //   dedup cluster in out            (pairs from minhash -> cluster ids)
+      //   dedup cross base in out         (incremental: classify vs accepted corpus)
+      case "dedup" if rest.headOption.contains("cross") =>
+        // dedup cross base incoming out: incremental ingestion — classify
+        // the incoming batch against the accepted corpus + itself
+        val Seq(basePath, in, out) = rest.tail.take(3)
+        graft.ops.Dedup.crossDedup(
+            spark.read.parquet(basePath), spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            opt(rest, "id-column").getOrElse("doc_id"))
+          .write.mode("overwrite").parquet(out)
+
       case "dedup" =>
         import graft.ops.Dedup
         val what = rest.head

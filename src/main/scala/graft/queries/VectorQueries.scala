@@ -354,6 +354,45 @@ object VectorQueries {
         SELECT vec_id, sim_sq8, sim_exact FROM top
         ORDER BY sim_sq8 DESC, vec_id""")),
 
+    // ---- product-quantization ANN with exact rescoring ------------------
+    // PQ (Jégou et al. 2011): 4 subspaces × 16 dims, each with its own
+    // 16-entry codebook (stride init + one exact fixed-point Lloyd
+    // refinement — the q51 determinism contract per subspace); vectors
+    // encode as 4 small codes, the scan ranks by ADC cosine (per-query
+    // dot/norm lookup tables, m table reads + m adds per row — no
+    // multiplies in the hot loop), and the top-10 survivors rescore
+    // exactly (the q59 recipe). At 100 TB the coded corpus is 32×
+    // smaller than float32 — the scan-bandwidth win — while the
+    // codebooks and LUTs stay bounded driver-side models. The oracle
+    // re-derives all four codebooks (init, assignment, fixed-point
+    // update with empty-code fallback), every code, the ADC arithmetic,
+    // and both similarity passes.
+    QueryDef(
+      "q63_ann_pq",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val cb = graft.ops.Pq.trainCodebooks(emb, "embedding", "vec_id",
+          m = 4, k = 16, dims = 64)
+        val qraw = emb.filter($"vec_id" === 4)
+          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        val top = emb.filter($"vec_id" =!= 4)
+          .select($"vec_id",
+            round(graft.ops.Pq.adcCosine(
+              graft.functions.SketchExpressions.pq_encode($"embedding", cb),
+              cb, qraw), 5).as("sim_pq"))
+          .orderBy($"sim_pq".desc, $"vec_id")
+          .limit(10)
+        val qlit = typedlit(qraw)
+        broadcast(top).join(emb, Seq("vec_id"))
+          .select($"vec_id", $"sim_pq",
+            round(dot($"embedding", qlit) /
+              (sqrt(dot($"embedding", $"embedding")) * sqrt(dot(qlit, qlit))),
+              5).as("sim_exact"))
+          .orderBy($"sim_pq".desc, $"vec_id")
+      },
+      Some(pqOracle)),
+
     // ---- ANN recall@k evaluation harness --------------------------------
     // The index-quality measurement every ANN deployment needs: for a
     // sampled query batch, recall@10 of the LSH candidate path (q31/q45
@@ -442,6 +481,104 @@ object VectorQueries {
           ROUND(CAST(ov.n_overlap AS DOUBLE) / ov.n_true, 6) AS recall
         FROM ov LEFT JOIN na ON ov.qid = na.qid ORDER BY ov.qid"""))
   )
+
+  /** Generated oracle for q63: one CTE chain per subspace replaying
+    * Pq.trainCodebooks (stride init, L2 argmin assignment with the
+    * ROW_NUMBER(dist, c) tie rule, exact fixed-point mean update with
+    * empty-code fallback to the init entry), then the ADC cosine and
+    * the exact rescore of the top-10.
+    */
+  private def pqOracle: String = {
+    val m = 4; val k = 16; val sub = 16
+    val perSub = (0 until m).map { s =>
+      val off = s * sub
+      val lo = off + 1; val hi = off + sub
+      raw"""cents0_$s AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c,
+            e.embedding[$lo:$hi] AS cv
+          FROM embeddings e, params p WHERE e.vec_id % p.stride = 0
+          ORDER BY e.vec_id LIMIT $k),
+        dist0_$s AS (
+          SELECT e.vec_id, c.c,
+            SUM((CAST(e.embedding[t.i + $off] AS DOUBLE) - c.cv[t.i]) *
+                (CAST(e.embedding[t.i + $off] AS DOUBLE) - c.cv[t.i])) AS d
+          FROM embeddings e CROSS JOIN cents0_$s c
+          CROSS JOIN generate_series(1, $sub) t(i)
+          GROUP BY e.vec_id, c.c),
+        assign0_$s AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY d ASC, c) AS rn
+            FROM dist0_$s) t WHERE rn = 1),
+        upd_$s AS (
+          SELECT a.c, t.i,
+            SUM(CAST(ROUND(CAST(e.embedding[t.i + $off] AS DOUBLE)
+              * 1000000.0) AS BIGINT)) AS sm,
+            COUNT(*) AS n
+          FROM embeddings e JOIN assign0_$s a USING (vec_id)
+          CROSS JOIN generate_series(1, $sub) t(i)
+          GROUP BY a.c, t.i),
+        cents1_$s AS (
+          SELECT c0.c, list(
+              CASE WHEN u.sm IS NULL THEN CAST(c0.cv[t.i] AS DOUBLE)
+                   ELSE CAST(u.sm AS DOUBLE) / (u.n * 1000000.0) END
+              ORDER BY t.i) AS cv
+          FROM cents0_$s c0 CROSS JOIN generate_series(1, $sub) t(i)
+          LEFT JOIN upd_$s u ON u.c = c0.c AND u.i = t.i
+          GROUP BY c0.c),
+        dist1_$s AS (
+          SELECT e.vec_id, c.c,
+            SUM((CAST(e.embedding[t.i + $off] AS DOUBLE) - c.cv[t.i]) *
+                (CAST(e.embedding[t.i + $off] AS DOUBLE) - c.cv[t.i])) AS d
+          FROM embeddings e CROSS JOIN cents1_$s c
+          CROSS JOIN generate_series(1, $sub) t(i)
+          GROUP BY e.vec_id, c.c),
+        assign1_$s AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY d ASC, c) AS rn
+            FROM dist1_$s) t WHERE rn = 1),
+        adc_$s AS (
+          SELECT a.vec_id,
+            SUM(c.cv[t.i] * CAST(q.qe[t.i + $off] AS DOUBLE)) AS dt,
+            SUM(c.cv[t.i] * c.cv[t.i]) AS n2
+          FROM assign1_$s a JOIN cents1_$s c USING (c)
+          CROSS JOIN q CROSS JOIN generate_series(1, $sub) t(i)
+          GROUP BY a.vec_id)"""
+    }.mkString(",\n        ")
+    val unions = (0 until m)
+      .map(s => s"SELECT * FROM adc_$s").mkString(" UNION ALL ")
+    raw"""WITH params AS (
+          SELECT GREATEST(1, COUNT(*) // $k) AS stride FROM embeddings),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 4),
+        $perSub,
+        adc AS (
+          SELECT vec_id, SUM(dt) AS dt, SUM(n2) AS n2
+          FROM ($unions) GROUP BY vec_id),
+        qn AS (
+          SELECT SQRT(SUM(CAST(qe[t.i] AS DOUBLE) * CAST(qe[t.i] AS DOUBLE)))
+            AS qnorm
+          FROM q CROSS JOIN generate_series(1, 64) t(i)),
+        sims AS (
+          SELECT vec_id, ROUND(dt / (SQRT(n2) * qnorm), 5) AS sim_pq
+          FROM adc CROSS JOIN qn WHERE vec_id <> 4),
+        top AS (
+          SELECT vec_id, sim_pq FROM sims
+          ORDER BY sim_pq DESC, vec_id LIMIT 10),
+        ex AS (
+          SELECT e.vec_id,
+            SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE) *
+                        CAST(e.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(q.qe[t.i] AS DOUBLE) *
+                        CAST(q.qe[t.i] AS DOUBLE)))) AS sx
+          FROM embeddings e JOIN top tp ON e.vec_id = tp.vec_id
+          CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY e.vec_id)
+        SELECT top.vec_id, top.sim_pq, ROUND(ex.sx, 5) AS sim_exact
+        FROM top JOIN ex ON top.vec_id = ex.vec_id
+        ORDER BY top.sim_pq DESC, top.vec_id"""
+  }
 
   /** Shared oracle CTE chain replaying KMeans.kmeans(k=8, iters=2):
     * stride init (the q44 coarse quantizer), pass-0 assignment, exact

@@ -32,7 +32,12 @@ object ScaleCurve {
     "q56_passage_dedup",  // digest-keyed shingle self-overlap + join-back
     "q57_unigram_lm",     // term-keyed LM join + per-doc fold
     "q58_mixture_sample", // per-source quotas + bounded-heap selection
-    "q59_ann_sq8"         // fused sq8 scan + exact rescore of survivors
+    "q59_ann_sq8",        // fused sq8 scan + exact rescore of survivors
+    "q60_cross_dedup",    // base digest set + one digest-keyed batch shuffle
+    "q61_bigram_pmi",     // pair/unigram count joins + bounded top-40
+    "q62_dsir_weights",   // conditional LM build + term-keyed scoring join
+    "q63_ann_pq",         // codebook train + coded ADC scan + rescore
+    "q64_ann_recall"      // brute batch truth vs LSH probe equi-join
   )
 
   def main(args: Array[String]): Unit = {

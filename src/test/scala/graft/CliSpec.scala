@@ -99,6 +99,19 @@ class CliSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels(2L) == 1L && labels(3L) == 1L)
 
+    // incremental ingestion: docs 1-2 are the accepted corpus; the
+    // incoming batch repeats doc 1's payload (dup_of_base), brings a new
+    // payload twice (kept + dup_in_batch)
+    docs.filter($"doc_id" <= 2).write.parquet(s"$dir/accepted.parquet")
+    Seq((10L, base), (11L, "fresh payload"), (12L, "fresh payload"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/incoming.parquet")
+    Main.run(spark, Seq("dedup", "cross", s"$dir/accepted.parquet",
+      s"$dir/incoming.parquet", s"$dir/xd.parquet"))
+    val statuses = spark.read.parquet(s"$dir/xd.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(statuses == Map(10L -> "dup_of_base", 11L -> "kept",
+      12L -> "dup_in_batch"))
+
     Main.run(spark, Seq("split", s"$dir/docs.parquet", s"$dir/sp.parquet"))
     val sp = spark.read.parquet(s"$dir/sp.parquet")
     assert(sp.columns.contains("split"))

@@ -650,6 +650,56 @@ class OpsSpec extends AnyFunSuite {
       Set((0L until 20L).toSet, (20L until 40L).toSet))
   }
 
+  test("pq: codebook training, encode/adc contracts, empty-code fallback") {
+    // 60 vectors in 8 dims (m=2 subspaces x 4 dims), three tight blobs
+    // in contiguous id ranges so the stride init (ids 0,15,30,45) covers
+    // every blob and the refinement moves centroids measurably
+    val vecs = (0 until 60).map { i =>
+      val blob = i / 20
+      (i.toLong, Array.tabulate(8)(d =>
+        blob * 10.0f + d * 0.1f + (i % 20) * 0.001f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = graft.ops.Pq.trainCodebooks(df, "embedding", "vec_id",
+      m = 2, k = 4, dims = 8)
+    assert(cb.length == 2 && cb.forall(_.length == 4) &&
+      cb.forall(_.forall(_.length == 4)))
+    // encode: blob 1 and blob 2 each have exactly one blob-pure init
+    // centroid (ids 30 / 45), so after refinement each codes uniformly,
+    // and distinctly from each other
+    val codes = df.select(col("vec_id"), graft.functions.SketchExpressions
+        .pq_encode(col("embedding"), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert((20 until 40).map(i => codes(i.toLong)).toSet.size == 1,
+      "blob 1 must code uniformly")
+    assert((40 until 60).map(i => codes(i.toLong)).toSet.size == 1,
+      "blob 2 must code uniformly")
+    assert(codes(20L) != codes(40L), "blobs 1 and 2 must code apart")
+    // ADC cosine agrees with the exact cosine within quantization error
+    val q = vecs(21)._2 // blob-1 member
+    val adc = df.select(col("vec_id"),
+        graft.ops.Pq.adcCosine(graft.functions.SketchExpressions
+          .pq_encode(col("embedding"), cb), cb, q).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = vecs.map { case (id, v) =>
+      id -> graft.ops.Ann.cosineArrays(v, q)
+    }.toMap
+    vecs.foreach { case (id, _) =>
+      assert(math.abs(adc(id) - exact(id)) < 0.01,
+        s"adc vs exact diverge for $id: ${adc(id)} vs ${exact(id)}")
+    }
+    // empty-code fallback: k=8 codes over 3 blobs leaves codes unused;
+    // unused codes must keep their init entry (no NaN / zero rows)
+    val cb8 = graft.ops.Pq.trainCodebooks(df, "embedding", "vec_id",
+      m = 2, k = 8, dims = 8)
+    assert(cb8.forall(_.forall(_.forall(x => !x.isNaN))))
+    // determinism: retraining yields bit-identical codebooks
+    val cbAgain = graft.ops.Pq.trainCodebooks(df, "embedding", "vec_id",
+      m = 2, k = 4, dims = 8)
+    (0 until 2).foreach(s => (0 until 4).foreach(c =>
+      assert(cb(s)(c).sameElements(cbAgain(s)(c)))))
+  }
+
   test("packing: two-phase prefix sum equals the global window, no " +
       "unpartitioned window in the plan") {
     val df = (0L until 500L).map(i => (i * 3, 10L + i % 7))
