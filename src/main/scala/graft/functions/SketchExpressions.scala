@@ -443,6 +443,33 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  /** Cosine of a vector against the centroid of its ASSIGNED cluster —
+    * the per-row prototypicality score of SSL-prototypes pruning
+    * (labels must mirror the assignment's label set; unknown labels
+    * yield 0, which callers never see when label comes from the same
+    * centroid table).
+    */
+  def centroidCosine(v: ArrayData, label: Int, labels: Array[Int],
+      cents: Array[Array[Double]]): Double = {
+    var idx = -1
+    var j = 0
+    while (j < labels.length && idx < 0) {
+      if (labels(j) == label) idx = j
+      j += 1
+    }
+    if (idx < 0) return 0.0
+    val cent = cents(idx)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      val c = cent(i)
+      dot += x * c; na += x * x; nb += c * c; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Asymmetric-distance (ADC) cosine from PQ codes: the per-subspace
     * dot products against the query and the per-subspace squared norms
     * are precomputed lookup tables (m × k doubles, a bounded model), so
@@ -805,4 +832,31 @@ object SketchExpressions {
       normLut: Array[Array[Double]], qNorm: Double): Column =
     GraftBridge.column(PqAdcCosine(GraftBridge.expression(codes), dotLut,
       normLut, qNorm))
+
+  /** Prototypicality: cosine of a vector against its assigned cluster's
+    * centroid (the centroid table rides as a reference object).
+    */
+  case class CentroidCosine(left: Expression, right: Expression,
+      labels: Array[Int], cents: Array[Array[Double]])
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), IntegerType)
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any, label: Any): Any =
+      SketchEval.centroidCosine(v.asInstanceOf[ArrayData],
+        label.asInstanceOf[Int], labels, cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lref = ctx.addReferenceObj("labels", labels, "int[]")
+      val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+      defineCodeGen(ctx, ev, (v, l) => s"$E.centroidCosine($v, $l, $lref, $cref)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def centroid_cosine(vec: Column, label: Column, labels: Array[Int],
+      cents: Array[Array[Double]]): Column =
+    GraftBridge.column(CentroidCosine(GraftBridge.expression(vec),
+      GraftBridge.expression(label), labels, cents))
 }

@@ -84,6 +84,39 @@ object KMeans {
     (assign(df, cents), cents)
   }
 
+  /** SSL-prototypes pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): within each cluster, rank vectors by cosine to the
+    * cluster centroid (prototypicality) and mark the most prototypical
+    * `1/pruneDiv` fraction prunable — prototypical examples are the
+    * most redundant with the cluster's mass, so dropping them prunes
+    * with the least information loss (the DataComp/SemDeDup-adjacent
+    * recipe for embedding-based data pruning).
+    *
+    * Scale shape: the score is a codegen expression carrying the k×d
+    * centroid table as a reference object (one scan, no join for the
+    * score); the rank window and the size aggregate are both keyed on
+    * the cluster id — bounded k-row broadcast back. Integer division
+    * sizes the prune quota, so the cut is exact in any engine.
+    */
+  def protoPrune(assigned: DataFrame, cents: Seq[(Int, Array[Double])],
+      vecCol: String, idCol: String, pruneDiv: Int = 5,
+      clusterCol: String = "cluster"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = cents.map(_._1).toArray
+    val cc = cents.map(_._2).toArray
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col("__proto").desc, col(idCol))
+    val sizes = assigned.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("__n"))
+    assigned
+      .withColumn("__proto", graft.functions.SketchExpressions
+        .centroid_cosine(col(vecCol), col(clusterCol), labels, cc))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(sizes), Seq(clusterCol))
+      .select(col(idCol), col(clusterCol), col("__proto").as("proto"),
+        col("rk"), (col("rk") <= expr(s"__n div $pruneDiv")).as("pruned"))
+  }
+
   /** SemDeDup candidate pairs: same-cluster pairs with cosine ≥
     * `threshold`. Callers resolve keepers via [[Dedup.connectedComponents]]
     * or a min-id rule. The join is keyed on the cluster id: with k

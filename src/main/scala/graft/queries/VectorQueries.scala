@@ -354,6 +354,49 @@ object VectorQueries {
         SELECT vec_id, sim_sq8, sim_exact FROM top
         ORDER BY sim_sq8 DESC, vec_id""")),
 
+    // ---- SSL-prototypes pruning (embedding-based data pruning) ----------
+    // Sorscher et al. 2022: within each k-means cluster, rank by cosine
+    // to the centroid and mark the most prototypical fifth prunable —
+    // prototypical points are the most redundant with their cluster's
+    // mass. Reuses the q51 clustering (same determinism contract); the
+    // score is a codegen expression carrying the centroid table, the
+    // rank window and size aggregate are cluster-keyed, and the prune
+    // quota is exact integer division. The oracle replays the full
+    // clustering, every centroid cosine, the per-cluster rank, and the
+    // quota cut.
+    QueryDef(
+      "q65_proto_prune",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val (assigned, cents) =
+          graft.ops.KMeans.kmeans(emb, "embedding", "vec_id", k = 8, iters = 2)
+        graft.ops.KMeans.protoPrune(assigned, cents, "embedding", "vec_id",
+            pruneDiv = 5)
+          .select($"vec_id", $"cluster", round($"proto", 5).as("proto"),
+            $"rk", $"pruned")
+          .orderBy($"vec_id")
+      },
+      Some(kmeansCte + raw""",
+        csz AS (SELECT c, COUNT(*) AS n FROM assign1 GROUP BY c),
+        pr AS (
+          SELECT a.vec_id, a.c,
+            SUM(CAST(e.embedding[t.i] AS DOUBLE) * c1.cv[t.i]) /
+              (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE) *
+                        CAST(e.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(c1.cv[t.i] * c1.cv[t.i]))) AS proto
+          FROM assign1 a JOIN embeddings e USING (vec_id)
+          JOIN cents1 c1 ON a.c = c1.c
+          CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY a.vec_id, a.c),
+        rnk AS (
+          SELECT vec_id, c, proto, CAST(ROW_NUMBER() OVER (
+            PARTITION BY c ORDER BY proto DESC, vec_id) AS INT) AS rk
+          FROM pr)
+        SELECT r.vec_id, r.c AS cluster, ROUND(r.proto, 5) AS proto, r.rk,
+          (r.rk <= s.n // 5) AS pruned
+        FROM rnk r JOIN csz s USING (c) ORDER BY r.vec_id""")),
+
     // ---- product-quantization ANN with exact rescoring ------------------
     // PQ (Jégou et al. 2011): 4 subspaces × 16 dims, each with its own
     // 16-entry codebook (stride init + one exact fixed-point Lloyd
