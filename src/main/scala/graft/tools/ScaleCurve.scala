@@ -37,7 +37,8 @@ object ScaleCurve {
     "q61_bigram_pmi",     // pair/unigram count joins + bounded top-40
     "q62_dsir_weights",   // conditional LM build + term-keyed scoring join
     "q63_ann_pq",         // codebook train + coded ADC scan + rescore
-    "q64_ann_recall"      // brute batch truth vs LSH probe equi-join
+    "q64_ann_recall",     // brute batch truth vs LSH probe equi-join
+    "q65_proto_prune"     // codegen centroid cosine + cluster-keyed rank
   )
 
   def main(args: Array[String]): Unit = {
