@@ -489,6 +489,52 @@ object Proj {
     (try codeSupported(parseEpsg(crs)) catch { case _: Exception => false }) ||
       projjsonProjection(crs).isDefined
 
+  // ---- Equidistant Cylindrical (EPSG method 1028; 1029 spherical) -------
+  // EPSG Guidance Note 7-2: E = FE + ν₁·cosφ₁·(λ−λ₀),
+  // N = FN + M(φ) (meridian arc, the Tm series); the inverse recovers φ
+  // through the rectifying-latitude series and λ linearly. The spherical
+  // variant (1029) falls out at e² = 0. Covers Plate Carrée /
+  // EPSG:4087-style world grids (`core/reproject.py` gets these free
+  // from PROJ).
+  private final class EqCyl(lat1d: Double, lon0d: Double, fe: Double,
+      fn: Double, flattening: Double = FWgs, a: Double = A)
+      extends Projection {
+    private val e2 = 2 * flattening - flattening * flattening
+    private val lon0 = math.toRadians(lon0d)
+    private val nu1Cos = {
+      val s = math.sin(math.toRadians(lat1d))
+      a / math.sqrt(1 - e2 * s * s) * math.cos(math.toRadians(lat1d))
+    }
+    private def mOf(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi -
+        (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi) +
+        (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi) -
+        (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+
+    def forward(lon: Double, lat: Double): (Double, Double) =
+      (fe + nu1Cos * (math.toRadians(lon) - lon0),
+        fn + mOf(math.toRadians(lat)))
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val mu = (y - fn) /
+        (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      var phi = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      // Newton-polish the truncated series on M(phi) (dM/dphi = a(1-e2)/w^3)
+      var j = 0
+      while (j < 2) {
+        val s = math.sin(phi)
+        val w = math.sqrt(1 - e2 * s * s)
+        phi -= (mOf(phi) - (y - fn)) * w * w * w / (a * (1 - e2))
+        j += 1
+      }
+      (math.toDegrees(lon0 + (x - fe) / nu1Cos), math.toDegrees(phi))
+    }
+  }
+
   // ---- Krovak (EPSG methods 9819 south-west / 1041 north-orientated) ----
   // Conformal oblique conic on Bessel 1841 (S-JTSK, Czechia/Slovakia);
   // formulas from EPSG Guidance Note 7-2. Method 9819's CRS axes are
@@ -672,6 +718,8 @@ object Proj {
           else if (n.contains("krovak")) 9819
           else if (n.contains("oblique mercator") && n.contains("variant b")) 9815
           else if (n.contains("oblique mercator") || n.contains("hotine")) 9812
+          else if (n.contains("equidistant cylindrical") && n.contains("spherical")) 1029
+          else if (n.contains("equidistant cylindrical")) 1028
           else -1
         }
     // parameters by EPSG id and by lowercase name; values normalized to
@@ -781,6 +829,14 @@ object Proj {
         pv(8816, "easting at projection centre"),
         pv(8817, "northing at projection centre"),
         variantB = true, flat, a))
+      case 1028 => Some(new EqCyl(
+        pv(8823, "latitude of 1st standard parallel"),
+        pv(8802, "longitude of natural origin"),
+        pv(8806, "false easting"), pv(8807, "false northing"), flat, a))
+      case 1029 | 9823 => Some(new EqCyl( // spherical variant: e² = 0
+        pv(8823, "latitude of 1st standard parallel"),
+        pv(8802, "longitude of natural origin"),
+        pv(8806, "false easting"), pv(8807, "false northing"), 0.0, a))
       case 9805 => // Mercator variant B: k0 from the standard parallel
         val e2 = 2 * flat - flat * flat
         val lat1 = math.toRadians(pv(8823, "latitude of 1st standard parallel"))

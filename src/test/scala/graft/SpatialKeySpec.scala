@@ -432,6 +432,46 @@ class SpatialKeySpec extends AnyFunSuite {
     assert(math.abs((sn - ucCos) - 596562.78) < 0.01)
   }
 
+  test("Equidistant Cylindrical matches the GN7-2 worked example") {
+    // EPSG:4087 (WGS 84 / World Equidistant Cylindrical, method 1028).
+    // GN7-2 worked example: 55°N 10°E -> E 1113194.91, N 6097230.31
+    // (values re-derived here by numeric meridian-arc integration too).
+    val eqc4087 = """{"type":"ProjectedCRS","name":"WGS 84 / World Equidistant Cylindrical",
+      "base_crs":{"name":"WGS 84","datum_ensemble":{"name":"WGS 84","ellipsoid":{
+        "name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+      "conversion":{"name":"World Equidistant Cylindrical",
+        "method":{"name":"Equidistant Cylindrical","id":{"authority":"EPSG","code":1028}},
+        "parameters":[
+          {"name":"Latitude of 1st standard parallel","value":0,"unit":"degree","id":{"authority":"EPSG","code":8823}},
+          {"name":"Longitude of natural origin","value":0,"unit":"degree","id":{"authority":"EPSG","code":8802}},
+          {"name":"False easting","value":0,"unit":"metre","id":{"authority":"EPSG","code":8806}},
+          {"name":"False northing","value":0,"unit":"metre","id":{"authority":"EPSG","code":8807}}]},
+      "id":{"authority":"EPSG","code":4087}}"""
+    assert(Proj.supported(eqc4087))
+    val (e, n) = Proj.transform(10.0, 55.0, "EPSG:4326", eqc4087)
+    assert(math.abs(e - 1113194.91) < 0.01, s"E=$e")
+    assert(math.abs(n - 6097230.31) < 0.01, s"N=$n")
+    val (l2, p2) = Proj.transform(e, n, eqc4087, "EPSG:4326")
+    assert(math.abs(l2 - 10.0) < 1e-9 && math.abs(p2 - 55.0) < 1e-9)
+    // a non-equatorial standard parallel scales E by nu1 cos(phi1)
+    val eqc30 = eqc4087.replace(
+      """{"name":"Latitude of 1st standard parallel","value":0""",
+      """{"name":"Latitude of 1st standard parallel","value":30""")
+    val (e30, n30) = Proj.transform(10.0, 55.0, "EPSG:4326", eqc30)
+    assert(e30 < e && math.abs(n30 - n) < 1e-6) // N unaffected by phi1
+    val (l3, p3) = Proj.transform(e30, n30, eqc30, "EPSG:4326")
+    assert(math.abs(l3 - 10.0) < 1e-9 && math.abs(p3 - 55.0) < 1e-9)
+    // spherical variant (method 1029): on a sphere N = R*phi exactly
+    val eqc1029 = eqc4087
+      .replace("""{"authority":"EPSG","code":1028}""", """{"authority":"EPSG","code":1029}""")
+      .replace("Equidistant Cylindrical", "Equidistant Cylindrical (Spherical)")
+      .replace(""""semi_major_axis":6378137,"inverse_flattening":298.257223563""",
+        """"semi_major_axis":6371007,"inverse_flattening":0""")
+    val (es, ns) = Proj.transform(10.0, 55.0, "EPSG:4326", eqc1029)
+    assert(math.abs(es - 6371007.0 * math.toRadians(10)) < 1e-4)
+    assert(math.abs(ns - 6371007.0 * math.toRadians(55)) < 1e-4)
+  }
+
   test("CRS dispatch accepts PROJJSON, URNs and OGC:CRS84") {
     assert(Proj.parseEpsg("urn:ogc:def:crs:EPSG::3857") == 3857)
     assert(Proj.parseEpsg("OGC:CRS84") == 4326)
