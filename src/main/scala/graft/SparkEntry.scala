@@ -21,6 +21,7 @@ object SparkEntry {
     VectorQueries.defs,
     OpsQueries.defs,
     CorpusQueries.defs,
+    PrepQueries.defs,
     PipelineQueries.defs,
     GeoQueries.defs
   )

@@ -135,6 +135,74 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  def randProject(v: ArrayData, nPlanes: Int): ArrayData =
+    new GenericArrayData(graft.ops.Ann.signProjectAD(v, nPlanes))
+
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  // (the graft.ops.Dedup convention)
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** First 16 lowercase-hex chars of md5 — parity with SQL
+    * `substr(md5(x), 1, 16)` in both Spark and DuckDB.
+    */
+  private def md5Hex16(s: String): String = {
+    val d = md5Local.get().digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, MOSS): hash every
+    * k-word shingle (16-hex md5 prefix, oracle-recomputable), slide a
+    * w-hash window, keep each window's minimum; return the distinct
+    * selected hashes sorted. Guarantee: two documents sharing a passage
+    * of ≥ k+w-1 words share at least one fingerprint, while only
+    * ~2/(w+1) of all shingle hashes are kept — the sampled near-dup
+    * index that makes fingerprint shuffles tractable at corpus scale.
+    * Texts with fewer shingles than w winnow over one short window.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = tokenize(s)
+    val m = toks.length - k + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[String](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      hs(i) = md5Hex16(sb.toString); i += 1
+    }
+    val sel = new java.util.TreeSet[String]()
+    val nWin = math.max(1, m - w + 1)
+    i = 0
+    while (i < nWin) {
+      var min = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, m)
+      while (j < end) { if (hs(j) < min) min = hs(j); j += 1 }
+      sel.add(min); i += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** One-pass repetition stats: [nTokens, nDistinctTokens,
     * maxBigramCount] over lowercased whitespace-split text.
     */
@@ -666,6 +734,42 @@ object SketchExpressions {
 
   def word_shingles(text: Column, k: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), k))
+
+  /** Rademacher random-projection values of a float-array column
+    * ([[SketchEval.randProject]] — same ±1 family as [[LshSignature]]).
+    */
+  case class RandProject(child: Expression, nPlanes: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      SketchEval.randProject(v.asInstanceOf[ArrayData], nPlanes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.randProject($c, $nPlanes)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def rand_project(vec: Column, nPlanes: Int): Column =
+    GraftBridge.column(RandProject(GraftBridge.expression(vec), nPlanes))
+
+  /** Sorted distinct winnowing fingerprints ([[SketchEval.winnow]]). */
+  case class Winnow(child: Expression, shingleK: Int, window: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.winnow(s.asInstanceOf[UTF8String], shingleK, window)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.winnow($c, $shingleK, $window)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def winnow(text: Column, shingleK: Int, window: Int): Column =
+    GraftBridge.column(Winnow(GraftBridge.expression(text), shingleK, window))
 
   /** [nTokens, nDistinctTokens, maxBigramCount] in one pass. */
   case class RepStats(child: Expression)

@@ -74,6 +74,29 @@ object Ann {
     sig
   }
 
+  /** Sign-random-projection VALUES (not signs): the nPlanes dot products
+    * of a vector against the same md5-derived ±1 hyperplane family as
+    * [[lshSignatureAD]] — the Rademacher dimensionality reduction
+    * (Achlioptas 2003): E[⟨Rx, Ry⟩] ∝ ⟨x, y⟩, so a 64-d embedding
+    * compresses to nPlanes doubles with cosine approximately preserved.
+    * A SQL oracle regenerates the identical matrix from md5 hex.
+    */
+  def signProjectAD(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      nPlanes: Int): Array[Double] = {
+    val n = vec.numElements()
+    val pl = planes(nPlanes, n)
+    val out = new Array[Double](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i) * pl(p)(i); i += 1 }
+      out(p) = dot
+      p += 1
+    }
+    out
+  }
+
   def cosine(a: Column, b: Column): Column = {
     val dot = graft.functions.VectorExpressions.dot_f _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

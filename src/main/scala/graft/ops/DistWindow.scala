@@ -65,4 +65,35 @@ object DistWindow {
     patched.drop("__bkt" +: "__rn" +:
       lagCols.map { case (_, out) => s"__prev_$out" }: _*)
   }
+
+  /** Add `outCol` = exact 1-based global rank under ORDER BY `orderCols`
+    * (a deterministic total order), without a global window — the same
+    * two-phase recipe as [[withLag1]]/[[Packing.withRunningBefore]]:
+    * row_number within `bucket` partitions, then add each bucket's
+    * exclusive row-count offset via a broadcast join.
+    *
+    * `bucket` must be a monotone coarsening of the `orderCols` order
+    * (rows in a lower bucket sort before rows in a higher bucket) — e.g.
+    * the integer value of the first hex chars of a hash sort key. The
+    * offset table has one row per non-empty bucket, so the fix-up window
+    * runs over that tiny table only.
+    */
+  def withGlobalRank(df: DataFrame, bucket: Column, orderCols: Seq[Column],
+      outCol: String): DataFrame = {
+    val parted = df.withColumn("__bkt", bucket)
+    val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+    val local = parted.withColumn("__rn", row_number().over(w))
+    val counts = parted.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+    // pmod rather than lit(0): see withLag1 — the single partition is the
+    // point (one row per bucket), but a literal spec would fold back into
+    // the warn-on-no-partition path.
+    val wB = Window.partitionBy(pmod(col("__bkt"), lit(1)))
+      .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    local.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(outCol, col("__off") + col("__rn"))
+      .drop("__bkt", "__rn", "__off")
+  }
 }

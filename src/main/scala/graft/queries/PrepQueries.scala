@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDef.table
+import graft.functions.SketchExpressions
+
+/** Training-prep operators: deterministic global shuffle (the epoch-
+  * ordering step every pretraining pipeline ends with), blocklist phrase
+  * filtering, overlapping context-window chunking, Rademacher random-
+  * projection dimensionality reduction, and winnowing fingerprints
+  * (MOSS-style sampled near-dup index). All formulated identically in
+  * Spark and DuckDB so the oracle hash-checks them.
+  */
+object PrepQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- deterministic global shuffle ----------------------------------
+    // Seeded corpus shuffle with EXACT global positions: sort key =
+    // md5(seed || doc_id), position = global rank under (key, doc_id).
+    // The rank comes from DistWindow.withGlobalRank — row_number within
+    // hash-prefix buckets plus broadcast per-bucket offsets (two-phase
+    // distributed rank), so NO window task ever sees more than one
+    // bucket (~1/256 of the corpus) while the oracle's textbook
+    // unpartitioned ROW_NUMBER certifies the result. At 100 TB the
+    // positions feed deterministic epoch sharding (pos % nShards)
+    // without any single-task sort.
+    QueryDef(
+      "q66_global_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select($"doc_id",
+            md5(concat(lit("ep7:"), $"doc_id".cast("string"))).as("skey"))
+        graft.ops.DistWindow.withGlobalRank(docs,
+            conv(substring($"skey", 1, 2), 16, 10).cast("long"),
+            Seq($"skey", $"doc_id"), "pos")
+          .select($"doc_id", $"skey", $"pos")
+          .orderBy($"pos")
+      },
+      Some("""SELECT doc_id,
+          md5('ep7:' || CAST(doc_id AS VARCHAR)) AS skey,
+          ROW_NUMBER() OVER (
+            ORDER BY md5('ep7:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        FROM documents ORDER BY pos""")),
+
+    // ---- blocklist phrase filter ---------------------------------------
+    // Flag documents containing any of a bounded banned-phrase list —
+    // here the 10 most frequent 3-word shingles (by document frequency)
+    // stand in for a curated blocklist, so the result is deterministic
+    // and non-trivially populated. Scale shape: the list is built by a
+    // map-side-combinable DF aggregation + bounded top-10, broadcast,
+    // then matched with ONE substring scan per (doc, phrase) — a
+    // broadcast nested-loop join with a deliberately tiny side (the
+    // production form runs the same bounded list through one
+    // Aho-Corasick pass per row; at ≤ dozens of phrases per-needle
+    // contains is equivalent work). Zero shuffle of documents.
+    QueryDef(
+      "q67_blocklist",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val top = docs
+          .select(explode(SketchExpressions.word_shingles($"text", 3)).as("ph"))
+          .groupBy($"ph").agg(count(lit(1)).as("df"))
+          .orderBy($"df".desc, $"ph").limit(10)
+          .select($"ph")
+        docs
+          .select($"doc_id",
+            regexp_replace(lower($"text"), "\\s+", " ").as("__norm"))
+          .join(broadcast(top), contains($"__norm", $"ph"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_banned"), min($"ph").as("first_banned"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks,
+            regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+          FROM documents),
+        sh AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ph
+          FROM t WHERE len(toks) >= 3),
+        top AS (SELECT ph FROM (SELECT ph, COUNT(*) AS df FROM sh GROUP BY ph
+          ORDER BY df DESC, ph LIMIT 10))
+        SELECT doc_id, COUNT(*) AS n_banned, MIN(ph) AS first_banned
+        FROM t JOIN top ON contains(t.norm, top.ph)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- overlapping context-window chunking ---------------------------
+    // Split each document into 64-token chunks with stride 48 (16-token
+    // overlap) — the RAG-indexing / long-document pretraining splitter.
+    // Chunk count = ceil((n-16)/48) (min 1), so the last chunk always
+    // reaches the end of the document. Pure per-row projection +
+    // explode: zero shuffle, trivially data-parallel at any corpus size.
+    QueryDef(
+      "q68_chunk",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id",
+            filter(split(lower($"text"), "\\s+"), t => t =!= "").as("toks"))
+          .withColumn("nc", greatest(lit(1L),
+            ceil((size($"toks") - 16).cast("double") / 48.0)))
+          .select($"doc_id", $"toks",
+            explode(sequence(lit(0L), $"nc" - 1)).as("chunk_id"))
+          .withColumn("chunk",
+            slice($"toks", ($"chunk_id" * 48 + 1).cast("int"), lit(64)))
+          .select($"doc_id", $"chunk_id",
+            size($"chunk").cast("long").as("n_tok"),
+            substring(md5(array_join($"chunk", " ")), 1, 16).as("fp"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+            GREATEST(1, CAST(CEIL((len(toks) - 16) / 48.0) AS BIGINT)) AS nc
+          FROM t),
+        ch AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM c)
+        SELECT doc_id, chunk_id,
+          len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+            AS n_tok,
+          substr(md5(array_to_string(
+            list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')),
+            1, 16) AS fp
+        FROM ch ORDER BY doc_id, chunk_id""")),
+
+    // ---- Rademacher random-projection reduction ------------------------
+    // 64-d float embeddings compressed to 16 projection values against
+    // the same md5-derived ±1 hyperplane family as the LSH surface
+    // (Achlioptas 2003: sign-random projections preserve cosine in
+    // expectation). One codegen kernel pass, zero shuffle; the oracle
+    // regenerates the identical matrix from md5 hex nibbles and re-sums
+    // every dot product (the q27 recipe).
+    QueryDef(
+      "q69_rand_proj",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "embeddings")
+          .select($"vec_id",
+            posexplode(SketchExpressions.rand_project($"embedding", 16)))
+          .select($"vec_id", $"pos".cast("long").as("p"),
+            round($"col", 5).as("proj"))
+          .orderBy($"vec_id", $"p")
+      },
+      Some("""WITH planes AS (
+          SELECT pp.p, jj.j,
+            CASE WHEN substr(md5(pp.p || '_' || jj.j), 1, 1) >= '8'
+              THEN -1.0 ELSE 1.0 END AS r
+          FROM (SELECT unnest(range(16)) AS p) pp,
+               (SELECT unnest(range(64)) AS j) jj),
+        dots AS (
+          SELECT e.vec_id, pl.p,
+            SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.r) AS dot
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.p)
+        SELECT vec_id, CAST(p AS BIGINT) AS p, ROUND(dot, 5) AS proj
+        FROM dots ORDER BY vec_id, p""")),
+
+    // ---- winnowing fingerprints (sampled near-dup index) ---------------
+    // Schleimer et al. 2003 (MOSS): per document, hash every 3-word
+    // shingle, slide a 4-hash window, keep each window's minimum — two
+    // documents sharing any ≥6-word passage are guaranteed a common
+    // fingerprint while only ~2/(w+1) of shingle hashes survive. The
+    // shared-fingerprint join then mirrors q56's digest-keyed shape but
+    // shuffles the SAMPLED fingerprint set — the volume reduction is the
+    // point at corpus scale. The kernel is one codegen pass; the oracle
+    // re-derives every hash, window minimum, and share count.
+    QueryDef(
+      "q70_winnowing",
+      (s, dir) => {
+        import s.implicits._
+        val fps = table(s, dir, "documents")
+          .select($"doc_id",
+            explode(SketchExpressions.winnow($"text", 3, 4)).as("fp"))
+        val shared = fps.groupBy($"fp").agg(count(lit(1)).as("nd"))
+          .filter($"nd" >= 2).select($"fp".as("sfp"))
+        fps.join(shared, $"fp" === $"sfp", "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when($"sfp".isNotNull, 1L).otherwise(0L)).as("n_shared"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        hsrc AS (SELECT doc_id,
+            list_transform(range(1, len(toks) - 1),
+              i -> substr(md5(array_to_string(
+                list_slice(toks, i, i + 2), ' ')), 1, 16)) AS hs
+          FROM t WHERE len(toks) >= 3),
+        fpt AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              range(1, GREATEST(1, len(hs) - 3) + 1),
+              i -> list_min(list_slice(hs, i, i + 3))))) AS fp
+          FROM hsrc),
+        shared AS (SELECT fp AS sfp FROM fpt GROUP BY fp
+          HAVING COUNT(*) >= 2)
+        SELECT f.doc_id, COUNT(*) AS n_fp, COUNT(s.sfp) AS n_shared
+        FROM fpt f LEFT JOIN shared s ON f.fp = s.sfp
+        GROUP BY f.doc_id ORDER BY doc_id"""))
+  )
+}

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q17_spatial_join", "q26_ann_brute", "q35_geo_measures",
     "q44_ann_ivf", "q45_ann_batch", "q12_morton_sort", "q33_quadkey",
     "q54_tfidf", "q57_unigram_lm", "q58_mixture_sample", "q59_ann_sq8",
-    "q61_bigram_pmi", "q62_dsir_weights", "q64_ann_recall")
+    "q61_bigram_pmi", "q62_dsir_weights", "q64_ann_recall",
+    "q67_blocklist")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
