@@ -286,6 +286,95 @@ object Main {
           .drop("__ntok")
           .write.mode("overwrite").parquet(out)
 
+      //   shuffle in out  (deterministic seeded global shuffle; exact
+      //   positions via the two-phase distributed rank — no global window)
+      case "shuffle" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val seed = opt(rest, "seed").getOrElse("0")
+        val df = spark.read.parquet(in)
+          .withColumn("__skey",
+            md5(concat(lit(s"$seed:"), col(id).cast("string"))))
+        graft.ops.DistWindow.withGlobalRank(df,
+            conv(substring(col("__skey"), 1, 2), 16, 10).cast("long"),
+            Seq(col("__skey"), col(id)), "pos")
+          .drop("__skey")
+          .write.mode("overwrite").parquet(out)
+
+      //   chunk in out  (overlapping token-window splitter; one row per chunk)
+      case "chunk" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val text = opt(rest, "text-column").getOrElse("text")
+        val sz = opt(rest, "size").map(_.toInt).getOrElse(64)
+        val stride = opt(rest, "stride").map(_.toInt).getOrElse(48)
+        require(stride > 0 && sz > stride, "need size > stride > 0")
+        spark.read.parquet(in)
+          .withColumn("__toks",
+            filter(split(col(text), "\\s+"), t => t =!= ""))
+          .withColumn("__nc", greatest(lit(1L),
+            ceil((size(col("__toks")) - (sz - stride)).cast("double")
+              / stride.toDouble)))
+          .withColumn("chunk_id",
+            explode(sequence(lit(0L), col("__nc") - 1)))
+          .withColumn(text, array_join(
+            slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+              lit(sz)), " "))
+          .drop("__toks", "__nc")
+          .write.mode("overwrite").parquet(out)
+
+      //   blocklist in phrases.parquet out  (flag docs containing any
+      //   banned phrase; the phrase table is broadcast — keep it bounded)
+      case "blocklist" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, phrases, out) = rest.take(3)
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val text = opt(rest, "text-column").getOrElse("text")
+        val ph = opt(rest, "phrase-column").getOrElse("phrase")
+        val p = spark.read.parquet(phrases)
+          .select(lower(col(ph)).as("__ph")).distinct()
+        spark.read.parquet(in)
+          .withColumn("__norm", regexp_replace(lower(col(text)), "\\s+", " "))
+          .join(broadcast(p), contains(col("__norm"), col("__ph")), "left")
+          .groupBy(col(id))
+          .agg(count(col("__ph")).as("n_banned"),
+            min(col("__ph")).as("first_banned"))
+          .write.mode("overwrite").parquet(out)
+
+      //   project in out  (Rademacher random-projection reduction)
+      case "project" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val vec = opt(rest, "vec-column").getOrElse("embedding")
+        val dims = opt(rest, "dims").map(_.toInt).getOrElse(16)
+        spark.read.parquet(in)
+          .withColumn(s"${vec}_proj",
+            graft.functions.SketchExpressions.rand_project(col(vec), dims))
+          .write.mode("overwrite").parquet(out)
+
+      //   winnow in out  (per-doc winnowing fingerprints + share counts)
+      case "winnow" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val text = opt(rest, "text-column").getOrElse("text")
+        val k = opt(rest, "shingle-words").map(_.toInt).getOrElse(3)
+        val w = opt(rest, "window").map(_.toInt).getOrElse(4)
+        val fps = spark.read.parquet(in)
+          .select(col(id),
+            explode(graft.functions.SketchExpressions.winnow(col(text), k, w))
+              .as("fp"))
+        val shared = fps.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
+          .filter(col("__nd") >= 2).select(col("fp").as("__sfp"))
+        fps.join(shared, col("fp") === col("__sfp"), "left")
+          .groupBy(col(id))
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("__sfp").isNotNull, 1L).otherwise(0L))
+              .as("n_shared"))
+          .write.mode("overwrite").parquet(out)
+
       //   decontaminate in eval out  (flag docs sharing shingles with eval)
       case "decontaminate" =>
         import org.apache.spark.sql.functions._
@@ -510,7 +599,8 @@ object Main {
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster}, split,
-      |  pack, decontaminate, pii-scrub, quality, semdedup, pipeline,
+      |  pack, shuffle, chunk, blocklist, project, winnow,
+      |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
       |  check [--all], validate, fix, stac-item""".stripMargin
 }

@@ -201,6 +201,63 @@ object PrepQueries {
           HAVING COUNT(*) >= 2)
         SELECT f.doc_id, COUNT(*) AS n_fp, COUNT(s.sfp) AS n_shared
         FROM fpt f LEFT JOIN shared s ON f.fp = s.sfp
-        GROUP BY f.doc_id ORDER BY doc_id"""))
+        GROUP BY f.doc_id ORDER BY doc_id""")),
+
+    // ---- composed prep chain: chunk -> shuffle -> pack -----------------
+    // Documents to shuffled training batches in ONE lazy plan: split
+    // into 64/48 chunks (q68), shuffle chunks deterministically with
+    // exact global positions (q66's two-phase rank), then assign each
+    // chunk to a 256-token context window by the distributed exclusive
+    // prefix sum (q52's Packing) keyed on the shuffle position — no
+    // unpartitioned window anywhere, while the oracle replays the whole
+    // chain with textbook global windows. The shape a pretraining data
+    // loader actually consumes.
+    QueryDef(
+      "q71_prep_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val chunks = table(s, dir, "documents")
+          .select($"doc_id",
+            filter(split(lower($"text"), "\\s+"), t => t =!= "").as("toks"))
+          .withColumn("nc", greatest(lit(1L),
+            ceil((size($"toks") - 16).cast("double") / 48.0)))
+          .select($"doc_id", $"toks",
+            explode(sequence(lit(0L), $"nc" - 1)).as("chunk_id"))
+          .select($"doc_id", $"chunk_id",
+            size(slice($"toks", ($"chunk_id" * 48 + 1).cast("int"), lit(64)))
+              .cast("long").as("n_tok"),
+            md5(concat(lit("ep:"), $"doc_id".cast("string"), lit(":"),
+              $"chunk_id".cast("string"))).as("skey"))
+        val ranked = graft.ops.DistWindow.withGlobalRank(chunks,
+          conv(substring($"skey", 1, 2), 16, 10).cast("long"),
+          Seq($"skey", $"doc_id", $"chunk_id"), "pos")
+        graft.ops.Packing
+          .withRunningBefore(ranked, "pos", "n_tok", "__before")
+          .select($"doc_id", $"chunk_id", $"n_tok", $"pos",
+            floor($"__before" / 256).cast("long").as("pack_id"))
+          .orderBy($"pos")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+            GREATEST(1, CAST(CEIL((len(toks) - 16) / 48.0) AS BIGINT)) AS nc
+          FROM t),
+        ch AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM c),
+        sized AS (SELECT doc_id, chunk_id,
+            len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+              AS n_tok,
+            md5('ep:' || CAST(doc_id AS VARCHAR) || ':' ||
+              CAST(chunk_id AS VARCHAR)) AS skey
+          FROM ch),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY skey, doc_id, chunk_id) AS pos FROM sized),
+        p AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before_tok FROM r)
+        SELECT doc_id, chunk_id, n_tok, pos,
+          CAST(before_tok // 256 AS BIGINT) AS pack_id
+        FROM p ORDER BY pos"""))
   )
 }

@@ -38,7 +38,13 @@ object ScaleCurve {
     "q62_dsir_weights",   // conditional LM build + term-keyed scoring join
     "q63_ann_pq",         // codebook train + coded ADC scan + rescore
     "q64_ann_recall",     // brute batch truth vs LSH probe equi-join
-    "q65_proto_prune"     // codegen centroid cosine + cluster-keyed rank
+    "q65_proto_prune",    // codegen centroid cosine + cluster-keyed rank
+    "q66_global_shuffle", // two-phase distributed rank + broadcast offsets
+    "q67_blocklist",      // bounded phrase list, broadcast substring scan
+    "q68_chunk",          // pure projection + explode, zero shuffle
+    "q69_rand_proj",      // codegen projection kernel, zero shuffle
+    "q70_winnowing",      // windowed-min sampled fingerprint join
+    "q71_prep_pipeline"   // chunk -> two-phase rank -> distributed pack
   )
 
   def main(args: Array[String]): Unit = {

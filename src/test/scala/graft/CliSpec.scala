@@ -187,6 +187,68 @@ class CliSpec extends AnyFunSuite {
     assert(sd.filter($"cosine" < 0.99).count() == 0)
   }
 
+  test("training-prep commands: shuffle, chunk, blocklist, project, winnow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("prep")
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = (0L until 40L).map { i =>
+      val base = (0 until 30).map(j => s"w${(i * 11 + j) % 97}").mkString(" ")
+      (i, if (i % 10 == 0) s"$base $shared" else base)
+    }.toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+
+    Main.run(spark, Seq("shuffle", s"$dir/docs.parquet",
+      s"$dir/shuffled.parquet", "--seed", "42"))
+    val sh = spark.read.parquet(s"$dir/shuffled.parquet")
+    assert(sh.columns.toSet == Set("doc_id", "text", "pos"))
+    // exact permutation 1..n, and not the identity order
+    assert(sh.select("pos").as[Long].collect().sorted.toSeq == (1L to 40L))
+    assert(sh.orderBy("pos").select("doc_id").as[Long].collect().toSeq
+      != (0L until 40L))
+
+    Main.run(spark, Seq("chunk", s"$dir/docs.parquet",
+      s"$dir/chunked.parquet", "--size", "16", "--stride", "12"))
+    val ch = spark.read.parquet(s"$dir/chunked.parquet")
+    assert(ch.columns.toSet == Set("doc_id", "text", "chunk_id"))
+    // 30-36 tokens at size 16 / stride 12 -> ceil((n-4)/12) in {3, 4}
+    val perDoc = ch.groupBy("doc_id").count()
+    assert(perDoc.filter($"count" < 3 || $"count" > 4).count() == 0)
+    // chunks cover the document: token multiset size >= original count
+    val tokCount = ch.filter($"doc_id" === 0)
+      .select(explode(split($"text", " "))).count()
+    assert(tokCount >= 30)
+
+    Seq("alpha beta gamma", "zzz qqq").toDF("phrase")
+      .write.parquet(s"$dir/phrases.parquet")
+    Main.run(spark, Seq("blocklist", s"$dir/docs.parquet",
+      s"$dir/phrases.parquet", s"$dir/bl.parquet"))
+    val bl = spark.read.parquet(s"$dir/bl.parquet")
+    assert(bl.count() == 40) // left join: every doc reported
+    assert(bl.filter($"n_banned" === 1).count() == 4) // docs 0,10,20,30
+    assert(bl.filter($"n_banned" === 0).count() == 36)
+
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(64)(j => ((i + j) % 7).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    vecs.write.parquet(s"$dir/vecs.parquet")
+    Main.run(spark, Seq("project", s"$dir/vecs.parquet",
+      s"$dir/proj.parquet", "--dims", "8"))
+    val pr = spark.read.parquet(s"$dir/proj.parquet")
+    assert(pr.columns.contains("embedding_proj"))
+    assert(pr.select(size($"embedding_proj")).as[Int].collect().forall(_ == 8))
+
+    Main.run(spark, Seq("winnow", s"$dir/docs.parquet",
+      s"$dir/winnow.parquet"))
+    val wn = spark.read.parquet(s"$dir/winnow.parquet")
+    assert(wn.columns.toSet == Set("doc_id", "n_fp", "n_shared"))
+    // the four docs sharing the 6-word passage share >= 1 fingerprint
+    val sharers = wn.filter($"n_shared" > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(0L, 10L, 20L, 30L).subsetOf(sharers))
+  }
+
   test("composed pipeline command: one curation chain, schema + funnel") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

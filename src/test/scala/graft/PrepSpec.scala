@@ -52,6 +52,57 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow kernel matches a straightforward reference implementation") {
+    // independent re-derivation: tokenize -> shingle -> md5-16 -> sliding
+    // window min -> distinct; random texts incl. whitespace runs, repeats
+    def ref(s: String, k: Int, w: Int): Set[String] = {
+      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val hs = toks.sliding(k).filter(_.length == k)
+        .map { sh =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(sh.mkString(" ").getBytes("UTF-8"))
+            .take(8).map(b => f"$b%02x").mkString
+        }.toVector
+      if (hs.isEmpty) Set.empty
+      else if (hs.length <= w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "bb", "ccc", "the", "fox", "zz9", "Q", "amp")
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val text = (0 until n).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+      val got = {
+        val ad = SketchEval.winnow(UTF8String.fromString(text), 3, 4)
+        (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString).toSet
+      }
+      assert(got === ref(text, 3, 4), s"text=[$text]")
+    }
+  }
+
+  test("chunking covers every token and overlaps by exactly size-stride") {
+    // the q68 formulation: size 64, stride 48, nc = max(1, ceil((n-16)/48))
+    for (n <- Seq(0, 1, 15, 16, 17, 48, 63, 64, 65, 112, 113, 500)) {
+      val nc = math.max(1, math.ceil((n - 16) / 48.0).toInt)
+      val chunks = (0 until nc).map { i =>
+        val start = i * 48 // 0-based
+        (start, math.min(start + 64, n))
+      }
+      if (n > 0) {
+        assert(chunks.last._2 === n, s"n=$n last chunk misses the end")
+        val covered = chunks.flatMap { case (a, b) => a until b }.toSet
+        assert(covered === (0 until n).toSet, s"n=$n coverage gap")
+      }
+      chunks.sliding(2).foreach {
+        case Seq((a1, b1), (a2, _)) =>
+          // full chunks overlap by exactly 16 tokens
+          if (b1 - a1 == 64) assert(b1 - a2 === 16, s"n=$n overlap")
+        case _ => ()
+      }
+    }
+  }
+
   test("withGlobalRank equals the textbook global row_number") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
