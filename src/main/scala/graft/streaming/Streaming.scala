@@ -267,6 +267,63 @@ object Streaming {
       }
   }
 
+  final case class FpHit(fp: String, doc_id: Long, tsMs: Long)
+  final case class FpBucketState(seen: List[(Long, Long)])
+  final case class FpPair(id_a: Long, id_b: Long, fp: String)
+
+  /** Streaming winnowing near-dup detection — the keyed-state twin of
+    * q70's shared-fingerprint join: each document explodes to its
+    * winnowed fingerprints ([[graft.functions.SketchEval.winnow]] — the
+    * same md5 windowed-min sampling as the batch kernel, so any shared
+    * ≥ shingleK+window-1 word passage inside the horizon is caught);
+    * state lives per fingerprint holding (doc_id, ts) residents; every
+    * arrival emits a pair per co-resident. Horizon + maxBucket bound
+    * state exactly as in [[minhashNearDups]], and winnowing's ~2/(w+1)
+    * sampling keeps both the state keys and the per-arrival fan-out
+    * small — unlike full shingle hashing, whose state would carry every
+    * shingle of every in-horizon document. Pairs can surface via several
+    * shared fingerprints — dropDuplicates(id_a, id_b) downstream when
+    * exactly-once pairs matter.
+    */
+  def winnowNearDups(docs: Dataset[Doc], shingleK: Int = 3,
+      window: Int = 4,
+      horizon: java.time.Duration = java.time.Duration.ofHours(1),
+      maxBucket: Int = 256): Dataset[FpPair] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizon.toMillis
+    val hits = docs.flatMap { d =>
+      val ad = graft.functions.SketchEval.winnow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.text),
+        shingleK, window)
+      (0 until ad.numElements()).map(i =>
+        FpHit(ad.getUTF8String(i).toString, d.doc_id, d.ts.getTime))
+    }
+    hits.groupByKey(_.fp)
+      .flatMapGroupsWithState[FpBucketState, FpPair](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (fp: String, batch: Iterator[FpHit], state: GroupState[FpBucketState]) =>
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[FpPair]()
+          batch.toSeq.sortBy(h => (h.tsMs, h.doc_id)).foreach { h =>
+            seen.foreach { case (oid, _) =>
+              if (oid != h.doc_id)
+                out += FpPair(math.min(oid, h.doc_id),
+                  math.max(oid, h.doc_id), fp)
+            }
+            seen = (h.doc_id, h.tsMs) :: seen
+            seen = seen.filter(_._2 >= h.tsMs - horizonMs)
+            if (seen.lengthCompare(maxBucket) > 0) {
+              org.slf4j.LoggerFactory.getLogger(Streaming.getClass).warn(
+                s"winnow fingerprint $fp exceeded maxBucket=$maxBucket " +
+                  "residents within the horizon; evicting oldest")
+              seen = seen.take(maxBucket)
+            }
+          }
+          state.update(FpBucketState(seen))
+          out.iterator
+      }
+  }
+
   final case class Scored(grp: String, id: Long, score: Double)
   final case class TopKState(items: List[(Double, Long)])
   final case class TopKRow(grp: String, rank: Int, id: Long, score: Double)

@@ -165,6 +165,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming winnowing near-dup finds the batch shared-fingerprint pairs") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_swin")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.Doc]
+    val streamed = Streaming.runToCompletion(
+      Streaming.winnowNearDups(stream,
+          horizon = java.time.Duration.ofDays(365)).toDF(),
+      "swin_test", outputMode = "update")
+      .select($"id_a", $"id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: the q70 shared-fingerprint relation as distinct pairs
+    val fps = docs.select($"doc_id",
+      explode(graft.functions.SketchExpressions.winnow($"text", 3, 4))
+        .as("fp"))
+    val batch = fps.as("a").join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty) // fixture plants near-duplicate passages
+  }
+
   test("streaming minhash hot bucket is capped: newest-K survive, no wedge") {
     // 10 identical documents -> every band bucket receives all 10; with
     // maxBucket=4 each arrival pairs against at most the 4 newest
