@@ -215,6 +215,7 @@ object Main {
       //   dedup embedding in out [--vec-column embedding] [--bits 24] [--bands 4]
       //   dedup cluster in out            (pairs from minhash -> cluster ids)
       //   dedup cross base in out         (incremental: classify vs accepted corpus)
+      //   dedup bloom base in out         (cross + broadcast Bloom prefilter)
       case "dedup" if rest.headOption.contains("cross") =>
         // dedup cross base incoming out: incremental ingestion — classify
         // the incoming batch against the accepted corpus + itself
@@ -223,6 +224,27 @@ object Main {
             spark.read.parquet(basePath), spark.read.parquet(in),
             opt(rest, "text-column").getOrElse("text"),
             opt(rest, "id-column").getOrElse("doc_id"))
+          .write.mode("overwrite").parquet(out)
+
+      case "dedup" if rest.headOption.contains("bloom") =>
+        // dedup bloom base incoming out [--m-bits 262144] [--k 4]:
+        // cross-corpus classification with a broadcast Bloom prefilter —
+        // only bloom-positive rows pay the exact digest join
+        val Seq(basePath, in, out) = rest.tail.take(3)
+        graft.ops.Dedup.bloomCrossDedup(
+            spark.read.parquet(basePath), spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            mBits = opt(rest, "m-bits").map(_.toInt).getOrElse(1 << 18),
+            k = opt(rest, "k").map(_.toInt).getOrElse(4))
+          .write.mode("overwrite").parquet(out)
+
+      //   bpe-train in out [--rounds 64]  (learned merge table to parquet)
+      case "bpe-train" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Bpe.trainMerges(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            opt(rest, "rounds").map(_.toInt).getOrElse(64))
           .write.mode("overwrite").parquet(out)
 
       case "dedup" =>
@@ -598,8 +620,8 @@ object Main {
       |  partition {string|quadkey|kdtree|h3|admin|country},
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
-      |  dedup {exact|minhash|simhash|ngram|embedding|cluster}, split,
-      |  pack, shuffle, chunk, blocklist, project, winnow,
+      |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
+      |  split, pack, shuffle, chunk, blocklist, project, winnow, bpe-train,
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
       |  check [--all], validate, fix, stac-item""".stripMargin

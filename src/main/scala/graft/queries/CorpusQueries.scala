@@ -15,7 +15,109 @@ import QueryDef.table
   */
 object CorpusQueries {
 
+  /** DuckDB replay of [[graft.ops.Bpe.trainMerges]]: the word dict, the
+    * delimited symbol strings, and `rounds` chained (pair-count → argmax
+    * → replace) CTE blocks — certifying every learned merge, not just
+    * the final table. DuckDB's `replace` and Java's `String.replace`
+    * share leftmost-non-overlapping semantics, which is exactly the
+    * greedy BPE application order both sides use.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val D = graft.ops.Bpe.Delim
+    val head = s"""WITH w0 AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+          x -> x <> '')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+    s0 AS (SELECT cnt,
+      '$D' || array_to_string(string_split(w, ''), '$D$D') || '$D' AS seq
+      FROM w0)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+    p$r AS (
+      SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS weight
+      FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(syms)),
+          i -> [syms[i], syms[i+1]])) AS pr
+        FROM (SELECT cnt, string_split(trim(seq, '$D'), '$D$D') AS syms
+          FROM s$p))
+      GROUP BY 1, 2),
+    b$r AS (SELECT lhs, rhs, weight FROM p$r
+      ORDER BY weight DESC, lhs, rhs LIMIT 1),
+    s$r AS (SELECT cnt, replace(seq, '$D' || lhs || '$D$D' || rhs || '$D',
+        '$D' || lhs || rhs || '$D') AS seq
+      FROM s$p CROSS JOIN b$r)"""
+    }.mkString
+    val tail = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, weight FROM b$r")
+      .mkString("\n    ", "\n    UNION ALL ", "\n    ORDER BY merge_rank")
+    head + roundCtes + tail
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // ---- BPE tokenizer training (distributed merge learning) -----------
+    // The actual BPE training loop (Sennrich et al. 2016), word-dict
+    // formulation: one corpus shuffle builds the (word, count) table;
+    // every merge round is then a map-side-combinable pair count over
+    // that cached vocabulary-sized table plus a 1-row TakeOrdered, and
+    // the chosen merge folds back in as a literal codegen replace. The
+    // corpus is never rescanned; the model (merge list) is R driver rows.
+    // The oracle replays all 8 rounds CTE-by-CTE — pair counts, argmax
+    // tie-breaks, and greedy replace application are all certified.
+    QueryDef(
+      "q72_bpe_merges",
+      (s, dir) =>
+        graft.ops.Bpe.trainMerges(table(s, dir, "documents"), "text", 8),
+      Some(bpeOracleSql(8))),
+
+    // ---- Bloom-prefiltered cross-corpus dedup ---------------------------
+    // q60's continuous-ingestion shape at "everything ever trained on"
+    // base-corpus scale: the accepted corpus is summarized into a
+    // 2^18-bit Bloom bitmap (k=4 md5-derived positions, codegen
+    // membership test), so only bloom-positive batch rows pay the exact
+    // digest join — bloom misses short-circuit shuffle-free, and at
+    // mostly-novel-ingest scale that is nearly every row. Output stays
+    // EXACT (no false negatives; false positives resolved by the join
+    // they trigger). The oracle rebuilds the bitmap bit-for-bit from the
+    // same md5-derived positions, so bloom_hit itself is certified, not
+    // just the final status.
+    QueryDef(
+      "q73_bloom_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        graft.ops.Dedup.bloomCrossDedup(
+            docs.filter($"doc_id" % 5 =!= 0),
+            docs.filter($"doc_id" % 5 === 0),
+            "text", "doc_id", mBits = 1 << 18, k = 4)
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH h AS (SELECT doc_id,
+            md5(trim(regexp_replace(
+              regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g'))) AS hh
+          FROM documents),
+        base AS (SELECT DISTINCT hh FROM h WHERE doc_id % 5 <> 0),
+        ii AS (SELECT unnest(range(4)) AS i),
+        pos AS (SELECT DISTINCT
+            CAST(('0x' || substr(md5(hh || '#' || i), 1, 8)) AS BIGINT)
+              % 262144 AS p
+          FROM base CROSS JOIN ii),
+        inc AS (SELECT doc_id, hh FROM h WHERE doc_id % 5 = 0),
+        ipos AS (SELECT doc_id, hh,
+            CAST(('0x' || substr(md5(hh || '#' || i), 1, 8)) AS BIGINT)
+              % 262144 AS p
+          FROM inc CROSS JOIN ii),
+        hits AS (SELECT ipos.doc_id, ipos.hh,
+            SUM(CASE WHEN pos.p IS NULL THEN 1 ELSE 0 END) = 0 AS bloom_hit
+          FROM ipos LEFT JOIN pos ON ipos.p = pos.p
+          GROUP BY ipos.doc_id, ipos.hh)
+        SELECT hits.doc_id, hits.bloom_hit,
+          CASE WHEN base.hh IS NOT NULL THEN 'dup_of_base' ELSE 'new' END
+            AS status
+        FROM hits LEFT JOIN base ON hits.hh = base.hh
+        ORDER BY hits.doc_id""")),
     // ---- duplicated-passage detection (corpus self-overlap) ------------
     // Exact substring-level dedup approximated at 6-word granularity
     // (Lee et al. 2021 "Deduplicating Training Data Makes Language

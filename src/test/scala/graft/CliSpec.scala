@@ -112,6 +112,25 @@ class CliSpec extends AnyFunSuite {
     assert(statuses == Map(10L -> "dup_of_base", 11L -> "kept",
       12L -> "dup_in_batch"))
 
+    // bloom variant of the same ingestion: statuses collapse to
+    // {dup_of_base, new} (no within-batch pass) and every true dup
+    // carries bloom_hit=true (no false negatives)
+    Main.run(spark, Seq("dedup", "bloom", s"$dir/accepted.parquet",
+      s"$dir/incoming.parquet", s"$dir/bd.parquet", "--m-bits", "4096"))
+    val bd = spark.read.parquet(s"$dir/bd.parquet").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(bd(10L) == ((true, "dup_of_base")))
+    assert(bd(11L)._2 == "new" && bd(12L)._2 == "new")
+
+    // BPE merge learning: the toy corpus' dominant token40-ish chars
+    // produce a deterministic 4-round merge table
+    Main.run(spark, Seq("bpe-train", s"$dir/docs.parquet",
+      s"$dir/bpe.parquet", "--rounds", "4"))
+    val bpe = spark.read.parquet(s"$dir/bpe.parquet")
+    assert(bpe.count() == 4)
+    assert(bpe.columns.toSeq ==
+      Seq("merge_rank", "lhs", "rhs", "merged", "weight"))
+
     Main.run(spark, Seq("split", s"$dir/docs.parquet", s"$dir/sp.parquet"))
     val sp = spark.read.parquet(s"$dir/sp.parquet")
     assert(sp.columns.contains("split"))

@@ -740,4 +740,85 @@ class OpsSpec extends AnyFunSuite {
     assert(multi.select(col("k"), col("before")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == expBefore)
   }
+
+  test("bpe: learns the textbook merges on the classic toy corpus") {
+    // Sennrich et al.'s running example: pair counts are hand-checkable
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val m = graft.ops.Bpe.trainMerges(docs, "text", 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // (e,s)=9 ties (s,t)=9 -> lexicographic; then (es,t)=9; then (l,o)=7
+    // ties (o,w)=7 -> lexicographic
+    assert(m.toSeq == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)))
+    // max pair count is non-increasing across merge rounds (BPE invariant)
+    assert(m.map(_._5).sliding(2).forall(w => w(0) >= w(1)))
+    // the apply side agrees with training on replace semantics
+    assert(graft.ops.Bpe.segment("newest", Seq("e" -> "s", "es" -> "t", "l" -> "o"))
+      == Seq("n", "e", "w", "est"))
+    assert(graft.ops.Bpe.segment("lowest", Seq("e" -> "s", "es" -> "t", "l" -> "o"))
+      == Seq("lo", "w", "est"))
+  }
+
+  test("bpe: exhaustion stops early; non-alnum words are excluded") {
+    // single-char words have no adjacent pairs -> zero merges
+    val single = Seq("a b c a b").toDF("text")
+    assert(graft.ops.Bpe.trainMerges(single, "text", 5).count() == 0)
+    // "ab" merges once, then every word is one symbol -> stops at 1
+    val one = Seq("ab ab x.y z-w").toDF("text")
+    val m = graft.ops.Bpe.trainMerges(one, "text", 5).collect()
+    assert(m.length == 1 && m(0).getString(3) == "ab" && m(0).getLong(4) == 2L)
+    // consecutive-identical merge is leftmost-greedy: "aaaa" -> aa,aa
+    val rep = Seq("aaaa aaaa aaaa").toDF("text")
+    val mr = graft.ops.Bpe.trainMerges(rep, "text", 2).collect()
+      .map(r => (r.getString(3), r.getLong(4)))
+    // round 1: (a,a)=9 (3 words x 3 adjacent pairs); round 2 on [aa,aa]:
+    // (aa,aa)=3
+    assert(mr.toSeq == Seq(("aa", 9L), ("aaaa", 3L)))
+    assert(graft.ops.Bpe.segment("aaaa", Seq("a" -> "a", "aa" -> "aa"))
+      == Seq("aaaa"))
+    assert(graft.ops.Bpe.segment("aaa", Seq("a" -> "a", "aa" -> "aa"))
+      == Seq("aa", "a"))
+  }
+
+  test("bloom cross-dedup: exact statuses, no false negatives") {
+    val base = (0 until 400).map(i => (i.toLong, s"base document number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((400 until 440).map(i => (i.toLong, s"fresh doc $i")) ++
+      (0 until 10).map(i => (1000L + i, s"base document number ${i * 3}")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomCrossDedup(base, batch, "text", "doc_id",
+      mBits = 1 << 14, k = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(out.length == 50)
+    val dups = out.filter(_._3 == "dup_of_base").map(_._1).toSet
+    assert(dups == (0 until 10).map(1000L + _).toSet)
+    // Bloom soundness: every true dup was flagged by the bitmap
+    assert(out.filter(_._3 == "dup_of_base").forall(_._2))
+    // statuses agree with the exact (non-bloom) formulation
+    val exact = Dedup.crossDedup(base, batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2) == "dup_of_base")).toMap
+    out.foreach { case (id, _, st) =>
+      assert((st == "dup_of_base") == exact(id), s"doc $id") }
+  }
+
+  test("bloom cross-dedup: saturated bitmap still exact, sizing enforced") {
+    // m=64 with 200 base docs -> the bitmap saturates and nearly every
+    // probe is a false positive; the confirm join must keep the result
+    // exact (this is the FP-resolution contract, worst case)
+    val base = (0 until 200).map(i => (i.toLong, s"seen $i")).toDF("doc_id", "text")
+    val batch = (0 until 30).map(i => (500L + i, s"novel $i")).toDF("doc_id", "text")
+    val out = Dedup.bloomCrossDedup(base, batch, "text", "doc_id",
+      mBits = 64, k = 4).collect()
+    assert(out.length == 30 && out.forall(_.getString(2) == "new"))
+    intercept[IllegalArgumentException] {
+      Dedup.bloomCrossDedup(base, batch, "text", "doc_id", mBits = 100)
+    }
+  }
 }
