@@ -247,6 +247,20 @@ object Main {
             opt(rest, "rounds").map(_.toInt).getOrElse(64))
           .write.mode("overwrite").parquet(out)
 
+      //   logreg-train in out [--dims 256] [--iters 3] [--label-lang en]
+      //   (hashed-BoW quality-classifier weights to parquet)
+      case "logreg-train" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val langVal = opt(rest, "label-lang").getOrElse("en")
+        graft.ops.LogReg.train(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            when(col(opt(rest, "label-column").getOrElse("lang")) === langVal,
+              1.0).otherwise(0.0),
+            dims = opt(rest, "dims").map(_.toInt).getOrElse(256),
+            iters = opt(rest, "iters").map(_.toInt).getOrElse(3))
+          .write.mode("overwrite").parquet(out)
+
       case "dedup" =>
         import graft.ops.Dedup
         val what = rest.head
@@ -621,7 +635,8 @@ object Main {
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
-      |  split, pack, shuffle, chunk, blocklist, project, winnow, bpe-train,
+      |  split, pack, shuffle, chunk, blocklist, project, winnow,
+      |  bpe-train, logreg-train,
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
       |  check [--all], validate, fix, stac-item""".stripMargin

@@ -225,6 +225,35 @@ object SketchEval {
     new GenericArrayData(Array[Any](toks.length, distinct.size, mx))
   }
 
+  /** One-pass printable-ASCII character entropy: [nAscii, H] where H =
+    * -Σ p_c ln p_c over chars 32..126 (call on lowercased text). Buckets
+    * are summed in char-code order; the cross-engine contract is the
+    * round-6 value (the q57/q61 float-tolerance convention). Low-entropy
+    * documents are boilerplate/repetition (the C4/Gopher signal family);
+    * near-uniform entropy flags encoded blobs.
+    */
+  def charEntropy(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new Array[Int](95)
+    var t = 0
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c >= 32 && c <= 126) { counts(c - 32) += 1; t += 1 }
+      i += 1
+    }
+    var h = 0.0
+    if (t > 0) {
+      var j = 0
+      while (j < 95) {
+        val n = counts(j)
+        if (n > 0) { val p = n.toDouble / t; h -= p * math.log(p) }
+        j += 1
+      }
+    }
+    new GenericArrayData(Array[Any](t.toDouble, h))
+  }
+
   // ---- PII redaction: hand scanners matching the three fixed regexes
   // email  [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
   // ipv4   \b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b
@@ -787,6 +816,23 @@ object SketchExpressions {
 
   def rep_stats(text: Column): Column =
     GraftBridge.column(RepStats(GraftBridge.expression(text)))
+
+  /** [nAsciiChars, entropy] in one pass (printable-ASCII char entropy). */
+  case class CharEntropy(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.charEntropy(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.charEntropy($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def char_entropy(text: Column): Column =
+    GraftBridge.column(CharEntropy(GraftBridge.expression(text)))
 
   /** Email/IPv4/phone redaction (linear hand scanners ≡ the fixed
     * regex chain — see SketchEval.piiRedact).

@@ -55,7 +55,112 @@ object CorpusQueries {
     head + roundCtes + tail
   }
 
+  /** DuckDB replay of [[graft.ops.LogReg.train]]: hashed features, then
+    * `iters` chained (margin → residual → quantized gradient → update)
+    * CTE blocks. Bit-reproducible because every step is integer or
+    * IEEE-exact rational arithmetic (see the LogReg scaladoc) — no exp,
+    * no order-sensitive float sums.
+    */
+  private def logregOracleSql(dims: Int, iters: Int): String = {
+    val head = s"""WITH terms AS (
+      SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+          t -> t <> '')) AS term
+      FROM documents),
+    fx AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % $dims AS f,
+        COUNT(*) AS x
+      FROM terms GROUP BY 1, 2),
+    feats AS (SELECT doc_id, f, CAST(x AS BIGINT) AS x FROM fx
+      UNION ALL SELECT doc_id, $dims AS f, CAST(1 AS BIGINT) FROM documents),
+    lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    w0 AS (SELECT unnest(range(${dims + 1})) AS f, CAST(0 AS BIGINT) AS micro)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = i - 1
+      s""",
+    d$i AS (SELECT feats.doc_id, CAST(SUM(w.micro * feats.x) AS BIGINT) AS dm
+      FROM feats JOIN w$p w ON feats.f = w.f GROUP BY feats.doc_id),
+    r$i AS (SELECT lab.doc_id,
+        (0.5 + (CAST(dm AS DOUBLE) / 1000000.0) /
+          (2.0 * (1.0 + ABS(CAST(dm AS DOUBLE) / 1000000.0)))) - lab.y AS r
+      FROM lab JOIN d$i ON lab.doc_id = d$i.doc_id),
+    g$i AS (SELECT feats.f,
+        CAST(SUM(CAST(FLOOR((r.r * CAST(feats.x AS DOUBLE)) * 1000000.0)
+          AS BIGINT)) AS BIGINT) AS grad
+      FROM feats JOIN r$i r ON feats.doc_id = r.doc_id GROUP BY feats.f),
+    w$i AS (SELECT w.f, w.micro - CAST(FLOOR(
+        CAST(COALESCE(g.grad, 0) AS DOUBLE) / (2.0 * nn.n)) AS BIGINT) AS micro
+      FROM w$p w LEFT JOIN g$i g ON w.f = g.f CROSS JOIN nn)"""
+    }.mkString
+    head + iterCtes +
+      s"\n    SELECT f, micro AS weight_micro FROM w$iters ORDER BY f"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // ---- hashed-feature logistic-regression training -------------------
+    // The fastText/CCNet quality-classifier shape, trained in-engine:
+    // full-batch GD over md5-hashed bag-of-words features, label =
+    // (lang = 'en'). One corpus shuffle builds the cached sparse rows;
+    // each iteration is ONE feature-keyed map-side-combinable gradient
+    // job with the model riding in as a 257-long literal (codegen
+    // element_at dot product, no join). The q51 fixed-point recipe makes
+    // all 3 iterations bit-reproducible (integer dot products, rational
+    // sigmoid, floor-quantized gradients), so the oracle replays the
+    // whole training run, not just its output shape.
+    QueryDef(
+      "q75_logreg",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.LogReg.train(table(s, dir, "documents"), "text",
+          when($"lang" === "en", 1.0).otherwise(0.0), dims = 256, iters = 3)
+      },
+      Some(logregOracleSql(256, 3))),
+
+    // ---- corpus composition report (ROLLUP) ----------------------------
+    // The per-source × per-language curation dashboard: doc/token/char
+    // totals at (source, lang), per-source subtotal, and grand-total
+    // granularity in ONE pass — Spark's Expand + a single map-side-
+    // combinable aggregation (3 grouping sets never rescan the corpus).
+    // Totals are integer sums; the only float (mean tokens/doc) is one
+    // deterministic division at round-6.
+    QueryDef(
+      "q76_corpus_report",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"source", $"lang",
+            size(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+              .cast("long").as("ntok"),
+            $"n_chars")
+          .rollup($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"ntok").as("total_tokens"),
+            sum($"n_chars").as("total_chars"))
+          .select(
+            coalesce($"source", lit("(all)")).as("source"),
+            coalesce($"lang", lit("(all)")).as("lang"),
+            $"n_docs", $"total_tokens", $"total_chars",
+            round($"total_tokens".cast("double") / $"n_docs", 6)
+              .as("mean_tokens"))
+          .orderBy($"source", $"lang")
+      },
+      Some(raw"""WITH t AS (SELECT source, lang,
+            len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '')) AS ntok,
+            n_chars
+          FROM documents),
+        g AS (SELECT COALESCE(source, '(all)') AS source,
+            COALESCE(lang, '(all)') AS lang,
+            COUNT(*) AS n_docs,
+            CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM t GROUP BY ROLLUP(source, lang))
+        SELECT source, lang, n_docs, total_tokens, total_chars,
+          ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens
+        FROM g ORDER BY source, lang""")),
+
     // ---- BPE tokenizer training (distributed merge learning) -----------
     // The actual BPE training loop (Sennrich et al. 2016), word-dict
     // formulation: one corpus shuffle builds the (word, count) table;

@@ -465,6 +465,46 @@ object TextQueries {
           ROUND(tf.tf * (LN(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) + 1.0), 6)
             AS score
         FROM tf JOIN df USING (term) CROSS JOIN n
-        ORDER BY score DESC, tf.doc_id, tf.term LIMIT 50"""))
+        ORDER BY score DESC, tf.doc_id, tf.term LIMIT 50""")),
+
+    // ---- printable-ASCII character entropy (quality signal) ------------
+    // Low char entropy = boilerplate/repetition, near-uniform = encoded
+    // blobs (the C4/Gopher filter family's cheapest signal). One-pass
+    // codegen kernel, zero shuffle — the whole query is scan → project →
+    // sort. The oracle recomputes the 95-bucket histogram relationally;
+    // both sides meet at the round-6 contract (q57/q61 convention). The
+    // JVM kernel counts UTF-16 units, the oracle counts codepoints —
+    // equivalent under the printable-ASCII filter, where every counted
+    // char is one unit AND one codepoint.
+    QueryDef(
+      "q74_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id",
+            graft.functions.SketchExpressions
+              .char_entropy(lower(coalesce($"text", lit("")))).as("st"))
+          .select($"doc_id",
+            element_at($"st", 1).cast("long").as("n_ascii"),
+            round(element_at($"st", 2), 6).as("entropy"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH ch AS (SELECT doc_id,
+            unnest(string_split(lower(coalesce(text, '')), '')) AS c
+          FROM documents),
+        f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch
+          WHERE ascii(c) BETWEEN 32 AND 126 GROUP BY doc_id, c),
+        tt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t
+          FROM f GROUP BY doc_id),
+        e AS (SELECT f.doc_id,
+            ROUND(-SUM((CAST(n AS DOUBLE) / t) * LN(CAST(n AS DOUBLE) / t)), 6)
+              AS entropy
+          FROM f JOIN tt ON f.doc_id = tt.doc_id GROUP BY f.doc_id)
+        SELECT d.doc_id, COALESCE(tt.t, 0) AS n_ascii,
+          COALESCE(e.entropy, 0.0) AS entropy
+        FROM documents d
+        LEFT JOIN tt ON d.doc_id = tt.doc_id
+        LEFT JOIN e ON d.doc_id = e.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

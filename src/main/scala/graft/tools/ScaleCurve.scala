@@ -44,7 +44,12 @@ object ScaleCurve {
     "q68_chunk",          // pure projection + explode, zero shuffle
     "q69_rand_proj",      // codegen projection kernel, zero shuffle
     "q70_winnowing",      // windowed-min sampled fingerprint join
-    "q71_prep_pipeline"   // chunk -> two-phase rank -> distributed pack
+    "q71_prep_pipeline",  // chunk -> two-phase rank -> distributed pack
+    "q72_bpe_merges",     // one corpus shuffle, merge rounds on word dict
+    "q73_bloom_dedup",    // broadcast bitmap prefilter + confirm join
+    "q74_char_entropy",   // one-pass codegen kernel, zero shuffle
+    "q75_logreg",         // literal-model codegen dot + feature-keyed grads
+    "q76_corpus_report"   // ROLLUP: Expand + one combinable aggregation
   )
 
   def main(args: Array[String]): Unit = {

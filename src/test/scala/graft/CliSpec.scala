@@ -131,6 +131,16 @@ class CliSpec extends AnyFunSuite {
     assert(bpe.columns.toSeq ==
       Seq("merge_rank", "lhs", "rhs", "merged", "weight"))
 
+    // classifier training on a labeled toy corpus: full weight table out
+    docs.withColumn("lang",
+        when($"doc_id" <= 2, "en").otherwise("fr"))
+      .write.parquet(s"$dir/labeled.parquet")
+    Main.run(spark, Seq("logreg-train", s"$dir/labeled.parquet",
+      s"$dir/lr.parquet", "--dims", "64", "--iters", "2"))
+    val lr = spark.read.parquet(s"$dir/lr.parquet")
+    assert(lr.count() == 65)
+    assert(lr.columns.toSeq == Seq("f", "weight_micro"))
+
     Main.run(spark, Seq("split", s"$dir/docs.parquet", s"$dir/sp.parquet"))
     val sp = spark.read.parquet(s"$dir/sp.parquet")
     assert(sp.columns.contains("split"))

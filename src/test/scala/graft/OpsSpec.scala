@@ -808,6 +808,40 @@ class OpsSpec extends AnyFunSuite {
       assert((st == "dup_of_base") == exact(id), s"doc $id") }
   }
 
+  test("char entropy kernel: closed-form cases, non-ASCII excluded") {
+    import graft.functions.SketchExpressions.char_entropy
+    val df = Seq("aaaa", "ab", "", "日本語テキスト", "a日b本")
+      .toDF("t").select(char_entropy(col("t")).as("st"))
+      .select(element_at(col("st"), 1).as("n"), element_at(col("st"), 2).as("h"))
+    val got = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got(0) == ((4.0, 0.0)))                    // uniform single char
+    assert(got(1)._1 == 2.0 && math.abs(got(1)._2 - math.log(2)) < 1e-12)
+    assert(got(2) == ((0.0, 0.0)))                    // empty -> defined 0
+    assert(got(3) == ((0.0, 0.0)))                    // all non-ASCII ignored
+    assert(got(4)._1 == 2.0 && math.abs(got(4)._2 - math.log(2)) < 1e-12)
+  }
+
+  test("logreg: learns to separate a toy labeled corpus") {
+    import graft.ops.LogReg
+    val docs = ((1 to 30).map(i => (i.toLong, "good clean prose text", 1.0)) ++
+      (31 to 60).map(i => (i.toLong, "spam junk noise garbage", 0.0)))
+      .toDF("doc_id", "text", "y")
+    val w = LogReg.train(docs, "text", col("y"), dims = 64, iters = 3)
+    val rows = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 65 && rows.keySet == (0L to 64L).toSet)
+    // scoring with the learned weights ranks a positive doc above a
+    // negative one (training and apply agree on hashing + sigmoid)
+    val weights = (0 to 64).map(f => rows(f.toLong)).toArray
+    val scores = Seq("good clean prose text", "spam junk noise garbage")
+      .toDF("text")
+      .select(LogReg.scoreExpr(col("text"), weights, 64).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(scores(0) > 0.5 && scores(1) < 0.5,
+      s"pos ${scores(0)} should exceed 0.5, neg ${scores(1)} below")
+    // y=0.5-r gradient at w=0 moves positive-class features up
+    assert(scores(0) > scores(1))
+  }
+
   test("bloom cross-dedup: saturated bitmap still exact, sizing enforced") {
     // m=64 with 200 base docs -> the bitmap saturates and nearly every
     // probe is a false positive; the confirm join must keep the result
