@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -90,6 +90,35 @@ object Bpe {
       spark.createDataFrame(merges.toSeq)
         .select($"merge_rank", $"lhs", $"rhs", $"merged", $"weight")
     } finally { words.unpersist(); () }
+  }
+
+  /** Tokenizer APPLY at corpus scale: count BPE tokens per document
+    * under a learned merge list. The model rides into the plan as
+    * `merges.size` literal codegen string replaces inside a `transform`
+    * lambda — zero shuffle, zero joins; the corpus is scanned once and
+    * the per-word merge replay is whole-stage-codegen'd. Words outside
+    * `[a-z0-9]+` are excluded, mirroring [[trainMerges]].
+    *
+    * Adds `n_words` (qualifying words) and `n_bpe_tokens` (symbols after
+    * applying every merge in learned order).
+    */
+  def tokenizeCount(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val D2 = Delim + Delim
+    val words = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val alnum = filter(words, w => w.rlike("^[a-z0-9]+$"))
+    def tokCount(w: Column): Column = {
+      val seq0 = concat(lit(Delim),
+        array_join(filter(split(w, ""), c => c =!= ""), D2), lit(Delim))
+      val seqN = merges.foldLeft(seq0) { case (c, (l, r)) =>
+        replace(c, lit(Delim + l + D2 + r + Delim), lit(Delim + l + r + Delim))
+      }
+      size(split(trim(seqN, Delim), D2)).cast("long")
+    }
+    docs
+      .withColumn("n_words", size(alnum).cast("long"))
+      .withColumn("n_bpe_tokens",
+        aggregate(transform(alnum, tokCount(_)), lit(0L), _ + _))
   }
 
   /** Segment a word with a learned merge list (greedy, in merge order) —

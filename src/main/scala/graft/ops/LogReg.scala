@@ -94,7 +94,8 @@ object LogReg {
     */
   def scoreExpr(text: Column, weights: Array[Long], dims: Int): Column = {
     val wLit = typedLit(weights.toSeq)
-    val fx = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val fx = filter(split(lower(coalesce(text, lit(""))), "\\s+"),
+      t => t =!= "")
     val dm = aggregate(
       fx, lit(weights(dims)), (acc, t) =>
         acc + element_at(wLit, (featureHash(t, dims) + 1).cast("int")))

@@ -55,6 +55,40 @@ object CorpusQueries {
     head + roundCtes + tail
   }
 
+  /** [[bpeOracleSql]]'s CTE chain, finished with a tokenizer-APPLY pass:
+    * every document's qualifying words replayed through the learned
+    * merges (the same nested-replace chain, b1 innermost) and counted.
+    */
+  private def bpeTokenizeOracleSql(rounds: Int): String = {
+    val D = graft.ops.Bpe.Delim
+    val base = bpeOracleSql(rounds)
+    val ctes = base.substring(0, base.lastIndexOf("\n    SELECT 1 AS merge_rank"))
+    val applied = (1 to rounds).foldLeft("seq") { (acc, r) =>
+      s"replace($acc, '$D' || b$r.lhs || '$D$D' || b$r.rhs || '$D', " +
+        s"'$D' || b$r.lhs || b$r.rhs || '$D')"
+    }
+    val crossJoins = (1 to rounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+    ctes + s""",
+    docw AS (SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+          x -> x <> '')) AS w
+      FROM documents),
+    dv AS (SELECT doc_id, w FROM docw
+      WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+    sq AS (SELECT doc_id,
+        '$D' || array_to_string(string_split(w, ''), '$D$D') || '$D' AS seq
+      FROM dv),
+    ap AS (SELECT doc_id, $applied AS seq FROM sq $crossJoins),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(len(string_split(trim(seq, '$D'), '$D$D'))) AS BIGINT)
+          AS n_bpe_tokens
+      FROM ap GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(cnt.n_words, 0) AS n_words,
+      COALESCE(cnt.n_bpe_tokens, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    ORDER BY d.doc_id"""
+  }
+
   /** DuckDB replay of [[graft.ops.LogReg.train]]: hashed features, then
     * `iters` chained (margin → residual → quantized gradient → update)
     * CTE blocks. Bit-reproducible because every step is integer or
@@ -98,6 +132,21 @@ object CorpusQueries {
       s"\n    SELECT f, micro AS weight_micro FROM w$iters ORDER BY f"
   }
 
+  /** [[logregOracleSql]]'s training CTEs, finished with a scoring pass:
+    * every document's margin against the final weights, through the
+    * same rational sigmoid, at the round-6 contract.
+    */
+  private def logregScoreOracleSql(dims: Int, iters: Int): String = {
+    val base = logregOracleSql(dims, iters)
+    val ctes = base.substring(0, base.lastIndexOf("\n    SELECT f, micro"))
+    ctes + s""",
+    sc AS (SELECT feats.doc_id, CAST(SUM(w.micro * feats.x) AS BIGINT) AS dm
+      FROM feats JOIN w$iters w ON feats.f = w.f GROUP BY feats.doc_id)
+    SELECT doc_id, ROUND(0.5 + (CAST(dm AS DOUBLE) / 1000000.0) /
+        (2.0 * (1.0 + ABS(CAST(dm AS DOUBLE) / 1000000.0))), 6) AS score
+    FROM sc ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- hashed-feature logistic-regression training -------------------
     // The fastText/CCNet quality-classifier shape, trained in-engine:
@@ -117,6 +166,46 @@ object CorpusQueries {
           when($"lang" === "en", 1.0).otherwise(0.0), dims = 256, iters = 3)
       },
       Some(logregOracleSql(256, 3))),
+
+    // ---- BPE tokenizer APPLY (model-as-literal corpus pass) ------------
+    // The other half of q72: the learned merge table folds back into the
+    // plan as 8 literal codegen replaces inside a transform lambda, and
+    // the whole corpus is re-tokenized in ONE zero-shuffle scan — the
+    // 100 TB shape for "apply the tokenizer you just trained" (model on
+    // the driver, apply cost linear, no join against a merges table).
+    // The oracle replays training AND the per-word merge application.
+    QueryDef(
+      "q77_bpe_tokenize",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val m = graft.ops.Bpe.trainMerges(docs, "text", 8).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Bpe.tokenizeCount(docs, "text", m)
+          .select($"doc_id", $"n_words", $"n_bpe_tokens")
+          .orderBy($"doc_id")
+      },
+      Some(bpeTokenizeOracleSql(8))),
+
+    // ---- logreg quality-score APPLY ------------------------------------
+    // q75's other half: the trained 257-long model scores every document
+    // in one zero-shuffle pass (codegen element_at dot product over
+    // hashed tokens + the rational sigmoid). The oracle replays the full
+    // training run and the scoring margin, so the score column is
+    // certified end-to-end — train AND apply.
+    QueryDef(
+      "q78_logreg_score",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val w = graft.ops.LogReg.train(docs, "text",
+            when($"lang" === "en", 1.0).otherwise(0.0), dims = 256, iters = 3)
+          .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+        docs.select($"doc_id",
+            round(graft.ops.LogReg.scoreExpr($"text", w, 256), 6).as("score"))
+          .orderBy($"doc_id")
+      },
+      Some(logregScoreOracleSql(256, 3))),
 
     // ---- corpus composition report (ROLLUP) ----------------------------
     // The per-source × per-language curation dashboard: doc/token/char

@@ -787,6 +787,22 @@ class OpsSpec extends AnyFunSuite {
       == Seq("aa", "a"))
   }
 
+  test("bpe tokenize-apply agrees with per-word segmentation") {
+    val docs = Seq((1L, "low lower newest"), (2L, "widest LOW x.y"))
+      .toDF("doc_id", "text")
+    val merges = Seq("e" -> "s", "es" -> "t", "l" -> "o")
+    val got = graft.ops.Bpe.tokenizeCount(docs, "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: [lo w]=2 [lo w e r]=4 [n e w est]=4; doc2: [w i d est]=4 +
+    // lowercased "LOW" [lo w]=2, "x.y" excluded by the alnum filter
+    assert(got == Map(1L -> ((3L, 10L)), 2L -> ((2L, 6L))))
+    // cross-check against the driver-side segmenter
+    val segSum = Seq("low", "lower", "newest")
+      .map(w => graft.ops.Bpe.segment(w, merges).size.toLong).sum
+    assert(segSum == got(1L)._2)
+  }
+
   test("bloom cross-dedup: exact statuses, no false negatives") {
     val base = (0 until 400).map(i => (i.toLong, s"base document number $i"))
       .toDF("doc_id", "text")
