@@ -59,13 +59,23 @@ object Bpe {
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
       // the working symbol sequence = cached base seq + the merges so far,
-      // applied as literal codegen replaces (bounded by `rounds`)
+      // applied as literal codegen replaces. The chain is re-materialized
+      // every 16 rounds (localCheckpoint, the connectedComponents
+      // convention): without it, round r replays r replaces per row
+      // (O(R²) total) and a 64-deep nested replace expression risks
+      // blowing codegen method limits — with it, plan depth and per-round
+      // work stay bounded regardless of `rounds`.
+      var working = words
       var seqCol = col("seq")
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
+        if ((r - 1) % 16 == 0 && r > 1) {
+          working = working.withColumn("seq", seqCol).localCheckpoint(false)
+          seqCol = col("seq")
+        }
         val syms = split(trim(seqCol, Delim), D2)
-        val best = words
+        val best = working
           .select($"cnt", syms.as("syms"))
           .filter(size($"syms") >= 2)
           .select($"cnt", explode(zip_with(

@@ -317,8 +317,13 @@ object Dedup {
     def pos(h: Column, i: Int): Column =
       conv(substring(md5(concat(h, lit("#" + i))), 1, 8), 16, 10)
         .cast("long") % mBits
-    val positions = base
-      .select(digest.as("__h"))
+    // materialize the base DIGEST SET once (the artifact a production
+    // ingestion pipeline keeps between deliveries) — both the bitmap
+    // build and the confirm join read it, so the base text is
+    // normalized+hashed exactly ONE time, not once per consumer
+    val baseH0 = base.select(digest.as("__h")).distinct()
+      .localCheckpoint(true)
+    val positions = baseH0
       .select(explode(array((0 until k).map(i => pos(col("__h"), i)): _*)).as("p"))
       .distinct()
       .collect()
@@ -330,11 +335,15 @@ object Dedup {
     def bitSet(p: Column): Column =
       (element_at(bmLit, shiftright(p, 6).cast("int") + 1)
         .bitwiseAND(element_at(pw, (p % 64).cast("int") + 1))) =!= 0L
+    // materialize the projected batch (id, digest, bloom_hit) once: the
+    // hit/miss branches below would otherwise each rescan the batch and
+    // re-run the normalize+digest — the projected row is ~50 bytes, so
+    // this is the cheap side of that trade at any scale
     val inc = incoming.select(col(idCol), digest.as("__h"))
       .withColumn("bloom_hit",
         (0 until k).map(i => bitSet(pos(col("__h"), i))).reduce(_ && _))
-    val baseH = base.select(digest.as("__h")).distinct()
-      .withColumn("__inBase", lit(true))
+      .localCheckpoint(true)
+    val baseH = baseH0.withColumn("__inBase", lit(true))
     val maybe = inc.filter(col("bloom_hit"))
       .join(baseH, Seq("__h"), "left")
       .select(col(idCol), col("bloom_hit"),

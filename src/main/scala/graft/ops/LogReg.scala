@@ -44,6 +44,38 @@ object LogReg {
   def train(docs: DataFrame, textCol: String, label: Column,
       dims: Int = 256, iters: Int = 3): DataFrame = {
     val spark = docs.sparkSession
+    val (prep, weights) = trainCore(docs, textCol, label, dims, iters)
+    prep.unpersist()
+    spark.createDataFrame((0 to dims).map(f => (f.toLong, weights(f))))
+      .toDF("f", "weight_micro")
+  }
+
+  /** Train, then score every document with the final model — WITHOUT
+    * re-featurizing the corpus: the scoring margin is one more row-wise
+    * pass over the SAME cached sparse rows the gradient jobs read (the
+    * per-token hashing is paid once for the whole train+apply cycle).
+    * Scores are materialized before the feature cache is released.
+    */
+  def trainScore(docs: DataFrame, textCol: String, label: Column,
+      dims: Int = 256, iters: Int = 3): DataFrame = {
+    val (prep, weights) = trainCore(docs, textCol, label, dims, iters)
+    val wLit = typedLit(weights.toSeq)
+    val scored = prep
+      .withColumn("dm", aggregate(col("fs"), lit(0L), (acc, s) =>
+        acc + element_at(wLit, (s.getField("f") + 1).cast("int"))
+          * s.getField("x")))
+      .withColumn("z", col("dm").cast("double") / lit(1e6))
+      .select(col("doc_id"),
+        round(lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))), 6)
+          .as("score"))
+      .localCheckpoint(true) // ~16 bytes/doc, freed with the session
+    prep.unpersist()
+    scored
+  }
+
+  private def trainCore(docs: DataFrame, textCol: String, label: Column,
+      dims: Int, iters: Int): (DataFrame, Array[Long]) = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val terms = docs.select(col("doc_id"),
       explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
@@ -59,34 +91,31 @@ object LogReg {
         coalesce(col("fs"), array().cast("array<struct<f:bigint,x:bigint>>")),
         array(struct(lit(dims.toLong).as("f"), lit(1L).as("x")))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = prep.count() // the model update's denominator, driver-side
-      val weights = new Array[Long](dims + 1)
-      for (_ <- 1 to iters) {
-        val wLit = typedLit(weights.toSeq)
-        val scored = prep
-          .withColumn("dm", aggregate(col("fs"), lit(0L), (acc, s) =>
-            acc + element_at(wLit, (s.getField("f") + 1).cast("int"))
-              * s.getField("x")))
-          .withColumn("z", col("dm").cast("double") / lit(1e6))
-          .withColumn("r",
-            lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z"))))
-              - col("y"))
-        val grads = scored
-          .select(explode(col("fs")).as("s"), col("r"))
-          .select(col("s.f").as("f"),
-            floor((col("r") * col("s.x").cast("double")) * lit(1e6)).as("c"))
-          .groupBy(col("f")).agg(sum(col("c")).as("g"))
-          .collect()
-        grads.foreach { row =>
-          val f = row.getLong(0).toInt
-          val g = row.getLong(1)
-          weights(f) = weights(f) - math.floor(g.toDouble / (2.0 * n)).toLong
-        }
+    val n = prep.count() // the model update's denominator, driver-side
+    val weights = new Array[Long](dims + 1)
+    for (_ <- 1 to iters) {
+      val wLit = typedLit(weights.toSeq)
+      val scored = prep
+        .withColumn("dm", aggregate(col("fs"), lit(0L), (acc, s) =>
+          acc + element_at(wLit, (s.getField("f") + 1).cast("int"))
+            * s.getField("x")))
+        .withColumn("z", col("dm").cast("double") / lit(1e6))
+        .withColumn("r",
+          lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z"))))
+            - col("y"))
+      val grads = scored
+        .select(explode(col("fs")).as("s"), col("r"))
+        .select(col("s.f").as("f"),
+          floor((col("r") * col("s.x").cast("double")) * lit(1e6)).as("c"))
+        .groupBy(col("f")).agg(sum(col("c")).as("g"))
+        .collect()
+      grads.foreach { row =>
+        val f = row.getLong(0).toInt
+        val g = row.getLong(1)
+        weights(f) = weights(f) - math.floor(g.toDouble / (2.0 * n)).toLong
       }
-      spark.createDataFrame((0 to dims).map(f => (f.toLong, weights(f))))
-        .toDF("f", "weight_micro")
-    } finally { prep.unpersist(); () }
+    }
+    (prep, weights)
   }
 
   /** Score text with a trained micro-weight vector (index dims = bias):

@@ -189,20 +189,17 @@ object CorpusQueries {
 
     // ---- logreg quality-score APPLY ------------------------------------
     // q75's other half: the trained 257-long model scores every document
-    // in one zero-shuffle pass (codegen element_at dot product over
-    // hashed tokens + the rational sigmoid). The oracle replays the full
-    // training run and the scoring margin, so the score column is
-    // certified end-to-end — train AND apply.
+    // in one more row-wise pass over the SAME cached sparse rows the
+    // gradient jobs read (per-token hashing paid once for the whole
+    // train+apply cycle; codegen element_at dot + rational sigmoid).
+    // The oracle replays the full training run and the scoring margin,
+    // so the score column is certified end-to-end — train AND apply.
     QueryDef(
       "q78_logreg_score",
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-        val w = graft.ops.LogReg.train(docs, "text",
+        graft.ops.LogReg.trainScore(table(s, dir, "documents"), "text",
             when($"lang" === "en", 1.0).otherwise(0.0), dims = 256, iters = 3)
-          .collect().sortBy(_.getLong(0)).map(_.getLong(1))
-        docs.select($"doc_id",
-            round(graft.ops.LogReg.scoreExpr($"text", w, 256), 6).as("score"))
           .orderBy($"doc_id")
       },
       Some(logregScoreOracleSql(256, 3))),

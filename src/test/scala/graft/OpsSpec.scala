@@ -787,6 +787,26 @@ class OpsSpec extends AnyFunSuite {
       == Seq("aa", "a"))
   }
 
+  test("bpe: deep merge runs stay bounded (checkpoint rotation)") {
+    // 20 rounds crosses the 16-round re-materialization boundary; the
+    // long word gives enough distinct pairs to keep merging past it
+    val docs = Seq("abcdefghijklmnopqrstuvwxyz abcdefghijklmnopqrstuvwxyz")
+      .toDF("text")
+    val m = graft.ops.Bpe.trainMerges(docs, "text", 20).collect()
+    assert(m.length == 20)
+    // ranks are contiguous and weights non-increasing across the
+    // checkpoint boundary (the rotation must not perturb the learned
+    // sequence)
+    assert(m.map(_.getInt(0)).toSeq == (1 to 20))
+    val ws = m.map(_.getLong(4))
+    assert(ws.sliding(2).forall(w => w(0) >= w(1)))
+    // replaying the 20 merges on the word yields exactly the final
+    // symbol count the next round would have seen: 26 chars - 20 merges
+    val merges = m.map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(graft.ops.Bpe.segment("abcdefghijklmnopqrstuvwxyz", merges).size
+      == 26 - 20)
+  }
+
   test("bpe tokenize-apply agrees with per-word segmentation") {
     val docs = Seq((1L, "low lower newest"), (2L, "widest LOW x.y"))
       .toDF("doc_id", "text")
