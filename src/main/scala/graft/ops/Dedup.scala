@@ -313,35 +313,19 @@ object Dedup {
       idCol: String, mBits: Int = 1 << 18, k: Int = 4): DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a multiple of 64: $mBits")
     val digest = md5(normalizeNN(col(textCol)))
-    // k md5-derived bit positions: 8 hex chars = 32 bits, mod m
-    def pos(h: Column, i: Int): Column =
-      conv(substring(md5(concat(h, lit("#" + i))), 1, 8), 16, 10)
-        .cast("long") % mBits
     // materialize the base DIGEST SET once (the artifact a production
     // ingestion pipeline keeps between deliveries) — both the bitmap
     // build and the confirm join read it, so the base text is
     // normalized+hashed exactly ONE time, not once per consumer
     val baseH0 = base.select(digest.as("__h")).distinct()
       .localCheckpoint(true)
-    val positions = baseH0
-      .select(explode(array((0 until k).map(i => pos(col("__h"), i)): _*)).as("p"))
-      .distinct()
-      .collect()
-      .map(_.getLong(0))
-    val bitmap = new Array[Long](mBits / 64)
-    positions.foreach(p => bitmap((p >> 6).toInt) |= 1L << (p & 63))
-    val bmLit = typedLit(bitmap.toSeq)
-    val pw = typedLit((0 until 64).map(1L << _))
-    def bitSet(p: Column): Column =
-      (element_at(bmLit, shiftright(p, 6).cast("int") + 1)
-        .bitwiseAND(element_at(pw, (p % 64).cast("int") + 1))) =!= 0L
+    val bitmap = bloomBitmap(baseH0, "__h", mBits, k)
     // materialize the projected batch (id, digest, bloom_hit) once: the
     // hit/miss branches below would otherwise each rescan the batch and
     // re-run the normalize+digest — the projected row is ~50 bytes, so
     // this is the cheap side of that trade at any scale
     val inc = incoming.select(col(idCol), digest.as("__h"))
-      .withColumn("bloom_hit",
-        (0 until k).map(i => bitSet(pos(col("__h"), i))).reduce(_ && _))
+      .withColumn("bloom_hit", bloomHitExpr(col("__h"), bitmap, k))
       .localCheckpoint(true)
     val baseH = baseH0.withColumn("__inBase", lit(true))
     val maybe = inc.filter(col("bloom_hit"))
@@ -352,6 +336,46 @@ object Dedup {
     val misses = inc.filter(!col("bloom_hit"))
       .select(col(idCol), col("bloom_hit"), lit("new").as("status"))
     maybe.unionByName(misses)
+  }
+
+  /** k md5-derived Bloom bit positions for a digest column: 8 hex chars
+    * = 32 bits, mod m (oracle twin: CAST(('0x' || substr(md5(h || '#i'),
+    * 1, 8)) AS BIGINT) % m).
+    */
+  def bloomPos(h: Column, i: Int, mBits: Int): Column =
+    conv(substring(md5(concat(h, lit("#" + i))), 1, 8), 16, 10)
+      .cast("long") % mBits
+
+  /** Build the m-bit Bloom bitmap over a digest column — declarative:
+    * DISTINCT positions (≤ mBits longs, never the corpus) cross the
+    * wire to the driver.
+    */
+  def bloomBitmap(digests: DataFrame, digestCol: String, mBits: Int,
+      k: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a multiple of 64: $mBits")
+    val positions = digests
+      .select(explode(array(
+        (0 until k).map(i => bloomPos(col(digestCol), i, mBits)): _*)).as("p"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+    val bitmap = new Array[Long](mBits / 64)
+    positions.foreach(p => bitmap((p >> 6).toInt) |= 1L << (p & 63))
+    bitmap
+  }
+
+  /** Codegen Bloom membership test: all k positions set in the literal
+    * bitmap (element_at + bitwiseAND over an array<long> literal and a
+    * 64-entry power-of-two lookup — no UDF, no join machinery).
+    */
+  def bloomHitExpr(h: Column, bitmap: Array[Long], k: Int): Column = {
+    val mBits = bitmap.length * 64
+    val bmLit = typedLit(bitmap.toSeq)
+    val pw = typedLit((0 until 64).map(1L << _))
+    def bitSet(p: Column): Column =
+      (element_at(bmLit, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(element_at(pw, (p % 64).cast("int") + 1))) =!= 0L
+    (0 until k).map(i => bitSet(bloomPos(h, i, mBits))).reduce(_ && _)
   }
 
   // ---- cluster resolution ------------------------------------------------

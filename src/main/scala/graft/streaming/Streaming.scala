@@ -97,6 +97,37 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest", "__inBase")
 
+  /** [[crossDedup]] with the Bloom-bitmap prefilter of
+    * `Dedup.bloomCrossDedup` — the streaming-ingest shape when the
+    * accepted corpus is huge: the bitmap (built once from the base
+    * digest set with `Dedup.bloomBitmap`, the artifact a production
+    * pipeline keeps between restarts) rides into every micro-batch as a
+    * codegen literal, so bloom-miss rows — at mostly-novel-ingest scale,
+    * nearly all of them — skip the stream-static join entirely and pay
+    * only the within-stream watermarked dedup. Bloom hits take the
+    * exact digest join; no false negatives, so the kept set is identical
+    * to [[crossDedup]]'s.
+    */
+  def bloomCrossDedup(docs: DataFrame, baseDigests: DataFrame,
+      bitmap: Array[Long], textCol: String, tsCol: String, k: Int = 4,
+      watermark: String = "1 hour"): DataFrame = {
+    val withH = docs
+      .withColumn("__digest",
+        md5(graft.ops.Dedup.normalize(coalesce(col(textCol), lit("")))))
+      .withColumn("__hit",
+        graft.ops.Dedup.bloomHitExpr(col("__digest"), bitmap, k))
+    val misses = withH.filter(!col("__hit"))
+    val hits = withH.filter(col("__hit"))
+      .join(baseDigests.select(col("digest").as("__digest"),
+        lit(true).as("__inBase")), Seq("__digest"), "left")
+      .filter(col("__inBase").isNull)
+      .drop("__inBase")
+    misses.unionByName(hits)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest", "__hit")
+  }
+
   // ---- stateful sessionization -----------------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

@@ -117,6 +117,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(statuses("kept") == 20)
   }
 
+  test("streaming bloom-prefiltered ingestion keeps the crossDedup set") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sbloom")
+    val docs = spark.range(0, 120).toDF("doc_id")
+      .withColumn("text", concat(lit("payload "), col("doc_id") % 40))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val base = spark.range(0, 20).toDF("b")
+      .select(concat(lit("payload "), col("b")).as("text"))
+    val baseDigests = base
+      .select(md5(graft.ops.Dedup.normalize($"text")).as("digest"))
+    // the production artifact: bitmap built once from the digest set
+    val bitmap = graft.ops.Dedup.bloomBitmap(baseDigests, "digest",
+      mBits = 1 << 14, k = 4)
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val out = Streaming.runToCompletion(
+      Streaming.bloomCrossDedup(stream, baseDigests, bitmap, "text", "ts"),
+      "bloom_xdedup_test")
+    val streamedKept = out
+      .select(md5(graft.ops.Dedup.normalize($"text")))
+      .collect().map(_.getString(0)).toSet
+    // identical kept CONTENT set as the non-bloom streaming twin's
+    // contract: batch crossDedup's kept statuses
+    val batchKept = graft.ops.Dedup.crossDedup(base, docs, "text", "doc_id")
+      .filter($"status" === "kept")
+      .select($"digest").collect().map(_.getString(0)).toSet
+    assert(streamedKept == batchKept)
+    assert(streamedKept.size == 20)
+    // and the batch bloom op agrees with itself on the same split
+    val bb = graft.ops.Dedup.bloomCrossDedup(base, docs, "text", "doc_id",
+        mBits = 1 << 14, k = 4)
+      .filter($"status" === "dup_of_base").count()
+    assert(bb == 60) // 3 copies x 20 base payloads
+  }
+
   test("streaming minhash near-dup finds the batch operator's pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_smh")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
