@@ -247,6 +247,16 @@ object Main {
             opt(rest, "rounds").map(_.toInt).getOrElse(64))
           .write.mode("overwrite").parquet(out)
 
+      //   scrub-blocks in out [--block-tokens 10]  (sub-document dedup +
+      //   reconstruction report)
+      case "scrub-blocks" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Dedup.scrubDuplicateBlocks(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            blockTokens = opt(rest, "block-tokens").map(_.toInt).getOrElse(10))
+          .write.mode("overwrite").parquet(out)
+
       //   logreg-train in out [--dims 256] [--iters 3] [--label-lang en]
       //   (hashed-BoW quality-classifier weights to parquet)
       case "logreg-train" =>
@@ -636,7 +646,7 @@ object Main {
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
-      |  bpe-train, logreg-train,
+      |  bpe-train, logreg-train, scrub-blocks,
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
       |  check [--all], validate, fix, stac-item""".stripMargin

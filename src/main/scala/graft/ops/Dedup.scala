@@ -338,6 +338,53 @@ object Dedup {
     maybe.unionByName(misses)
   }
 
+  /** Sub-document dedup with document reconstruction (the CCNet
+    * line-dedup shape on fixed token blocks): every document splits
+    * into consecutive `blockTokens`-token blocks, a block that appeared
+    * earlier in the corpus (first occurrence by (doc id, position)) is
+    * removed EVERYWHERE ELSE, and each document is reassembled from its
+    * surviving blocks in order. Boilerplate shared across documents
+    * (headers, navigation, license blurbs) disappears from every copy
+    * but the first, without dropping whole documents.
+    *
+    * Scale shape: one digest-partitioned shuffle decides survival (the
+    * window key is the 16-byte block hash; block text rides along once
+    * so reconstruction needs no join-back), then one doc-keyed
+    * aggregation of the SURVIVING blocks rebuilds the text. Returns
+    * (idCol, n_blocks, n_kept, scrubbed_digest) — the scrubbed text is
+    * reduced to its digest so the result stays narrow; production would
+    * write the rebuilt `scrubbed` column instead.
+    */
+  def scrubDuplicateBlocks(docs: DataFrame, textCol: String, idCol: String,
+      blockTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val nBlocks = when(size(toks) > 0,
+      ((size(toks) - 1) / blockTokens).cast("int") + 1).otherwise(0)
+    val blocks = docs.select(col(idCol),
+        when(size(toks) > 0, transform(
+            sequence(lit(0), ((size(toks) - 1) / blockTokens).cast("int")),
+            i => array_join(
+              slice(toks, i * blockTokens + 1, lit(blockTokens)), " ")))
+          .otherwise(array().cast("array<string>")).as("blks"))
+      .select(col(idCol), posexplode(col("blks")).as(Seq("idx", "blk")))
+    val w = Window.partitionBy(col("__bh")).orderBy(col(idCol), col("idx"))
+    val kept = blocks
+      .withColumn("__bh", md5(col("blk")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("blk")))),
+        s => s.getField("blk")), " ").as("scrubbed"))
+    docs.select(col(idCol), nBlocks.cast("long").as("n_blocks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("scrubbed"), lit(""))).as("scrubbed_digest"))
+  }
+
   /** k md5-derived Bloom bit positions for a digest column: 8 hex chars
     * = 32 bits, mod m (oracle twin: CAST(('0x' || substr(md5(h || '#i'),
     * 1, 8)) AS BIGINT) % m).

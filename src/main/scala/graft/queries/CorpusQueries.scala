@@ -204,6 +204,49 @@ object CorpusQueries {
       },
       Some(logregScoreOracleSql(256, 3))),
 
+    // ---- sub-document block dedup with reconstruction ------------------
+    // The CCNet line-dedup shape on fixed 10-token blocks: boilerplate
+    // shared across documents is removed everywhere but its first
+    // occurrence, and every document is reassembled from its surviving
+    // blocks — dedup at sub-document granularity WITHOUT dropping
+    // documents. One digest-keyed shuffle decides survival, one
+    // doc-keyed aggregation rebuilds; the oracle re-derives every
+    // block, the global first-occurrence rank, and the reassembled
+    // text's digest.
+    QueryDef(
+      "q79_block_scrub",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Dedup.scrubDuplicateBlocks(
+            table(s, dir, "documents"), "text", "doc_id", blockTokens = 10)
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+              AS toks
+          FROM documents),
+        nb AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) = 0 THEN 0
+              ELSE CAST(FLOOR((len(toks) - 1) / 10.0) AS INT) + 1 END
+              AS n_blocks
+          FROM t),
+        blk AS (SELECT doc_id, i AS idx,
+            array_to_string(toks[i*10+1 : i*10+10], ' ') AS blk
+          FROM (SELECT doc_id, toks,
+              unnest(range(0, n_blocks)) AS i FROM nb)),
+        hh AS (SELECT doc_id, idx, blk, md5(blk) AS bh FROM blk),
+        kept AS (SELECT doc_id, idx, blk,
+            ROW_NUMBER() OVER (PARTITION BY bh ORDER BY doc_id, idx) AS rn
+          FROM hh),
+        reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+            md5(string_agg(blk, ' ' ORDER BY idx)) AS sd
+          FROM kept WHERE rn = 1 GROUP BY doc_id)
+        SELECT nb.doc_id, CAST(nb.n_blocks AS BIGINT) AS n_blocks,
+          COALESCE(reb.n_kept, 0) AS n_kept,
+          COALESCE(reb.sd, md5('')) AS scrubbed_digest
+        FROM nb LEFT JOIN reb ON nb.doc_id = reb.doc_id
+        ORDER BY nb.doc_id""")),
+
     // ---- corpus composition report (ROLLUP) ----------------------------
     // The per-source × per-language curation dashboard: doc/token/char
     // totals at (source, lang), per-source subtotal, and grand-total

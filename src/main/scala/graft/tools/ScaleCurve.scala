@@ -49,7 +49,8 @@ object ScaleCurve {
     "q73_bloom_dedup",    // broadcast bitmap prefilter + confirm join
     "q74_char_entropy",   // one-pass codegen kernel, zero shuffle
     "q75_logreg",         // literal-model codegen dot + feature-keyed grads
-    "q76_corpus_report"   // ROLLUP: Expand + one combinable aggregation
+    "q76_corpus_report",  // ROLLUP: Expand + one combinable aggregation
+    "q79_block_scrub"     // digest-keyed block survival + doc reassembly
   )
 
   def main(args: Array[String]): Unit = {

@@ -131,6 +131,17 @@ class CliSpec extends AnyFunSuite {
     assert(bpe.columns.toSeq ==
       Seq("merge_rank", "lhs", "rhs", "merged", "weight"))
 
+    // sub-document scrub: docs 1-2 share the whole payload -> doc 2
+    // (and 3, the near-dup differs within the block) lose blocks
+    Main.run(spark, Seq("scrub-blocks", s"$dir/docs.parquet",
+      s"$dir/scrub.parquet", "--block-tokens", "10"))
+    val sc = spark.read.parquet(s"$dir/scrub.parquet")
+    assert(sc.count() == 4)
+    val scrub = sc.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scrub(1L)._2 == scrub(1L)._1)   // first copy keeps all blocks
+    assert(scrub(2L)._2 == 0L)             // exact dup loses every block
+
     // classifier training on a labeled toy corpus: full weight table out
     docs.withColumn("lang",
         when($"doc_id" <= 2, "en").otherwise("fr"))

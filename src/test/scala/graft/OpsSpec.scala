@@ -807,6 +807,30 @@ class OpsSpec extends AnyFunSuite {
       == 26 - 20)
   }
 
+  test("block scrub removes shared boilerplate everywhere but first") {
+    // doc 1 and 2 share their first 10-token block (the "header"); doc 2
+    // keeps only its unique tail; doc 3 is a full duplicate of doc 1's
+    // header-only text and loses everything
+    val header = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val tail2 = (1 to 10).map(i => s"body$i").mkString(" ")
+    val docs = Seq(
+      (1L, header), (2L, s"$header $tail2"), (3L, header), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateBlocks(docs, "text", "doc_id", 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val md5empty = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes).map("%02x".format(_)).mkString
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)       // keeps its header
+    assert(out(2L) == ((2L, 1L, md5Hex(tail2))))     // header scrubbed
+    assert(out(3L) == ((1L, 0L, md5empty)))          // fully deduped
+    assert(out(4L) == ((0L, 0L, md5empty)))          // empty stays empty
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("bpe tokenize-apply agrees with per-word segmentation") {
     val docs = Seq((1L, "low lower newest"), (2L, "widest LOW x.y"))
       .toDF("doc_id", "text")

@@ -65,11 +65,27 @@ class PlanAuditSpec extends AnyFunSuite {
         "q39_dedup_clusters", "q44_ann_ivf", "q45_ann_batch",
         "q47_ngram_jaccard", "q48_repetition", "q49_pii_scrub",
         "q50_decontaminate", "q51_kmeans", "q52_seq_packing",
-        "q53_semdedup")) {
+        "q53_semdedup", "q70_winnowing", "q73_bloom_dedup",
+        "q74_char_entropy", "q77_bpe_tokenize", "q78_logreg_score")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("UDF"), s"$name still contains a UDF node")
     }
+  }
+
+  test("q73's confirm join probes only bloom-positive rows") {
+    // the bloom contract: the exact digest join must sit behind the
+    // bitmap prefilter (probe side filtered on bloom_hit), and the
+    // miss branch must reach the output with NO join at all
+    val qe = SparkEntry.queries("q73_bloom_dedup")(spark, dir).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"q73 expects exactly one join, got ${joins.size}")
+    assert(joins.head.toString.contains("bloom_hit"),
+      "q73's join must probe the bloom_hit-filtered branch")
+    assert(qe.optimizedPlan.toString.contains("NOT bloom_hit"),
+      "q73's miss branch (NOT bloom_hit) must bypass the join")
   }
 
   test("every window operator is partitioned (no global windows)") {
