@@ -225,6 +225,36 @@ object SketchEval {
     new GenericArrayData(Array[Any](toks.length, distinct.size, mx))
   }
 
+  /** Consecutive k-token blocks of whitespace-split text (ORIGINAL
+    * case — reconstruction operators must preserve the text), space-
+    * joined, one pass. Parity with
+    * `transform(sequence(0, (n-1)/k), i => array_join(slice(toks, i*k+1, k), " "))`
+    * over `filter(split(text, "\s+"), _ != "")` — the interpreted
+    * split+slice+join chain allocates per block; this allocates once.
+    */
+  def tokenBlocks(s: UTF8String, k: Int): ArrayData = {
+    val raw = wsRe.split(s.toString)
+    val toks = if (raw.nonEmpty && raw(0).isEmpty)
+      java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+    if (toks.length == 0) return new GenericArrayData(Array.empty[Any])
+    val n = (toks.length - 1) / k + 1
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var b = 0
+    while (b < n) {
+      sb.setLength(0)
+      var i = b * k
+      val end = math.min(i + k, toks.length)
+      while (i < end) {
+        if (i > b * k) sb.append(' ')
+        sb.append(toks(i)); i += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass printable-ASCII character entropy: [nAscii, H] where H =
     * -Σ p_c ln p_c over chars 32..126 (call on lowercased text). Buckets
     * are summed in char-code order; the cross-engine contract is the
@@ -816,6 +846,23 @@ object SketchExpressions {
 
   def rep_stats(text: Column): Column =
     GraftBridge.column(RepStats(GraftBridge.expression(text)))
+
+  /** Consecutive k-token blocks (original case), space-joined. */
+  case class TokenBlocks(child: Expression, k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.tokenBlocks(s.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.tokenBlocks($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def token_blocks(text: Column, k: Int): Column =
+    GraftBridge.column(TokenBlocks(GraftBridge.expression(text), k))
 
   /** [nAsciiChars, entropy] in one pass (printable-ASCII char entropy). */
   case class CharEntropy(child: Expression)

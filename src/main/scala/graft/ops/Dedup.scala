@@ -358,31 +358,32 @@ object Dedup {
   def scrubDuplicateBlocks(docs: DataFrame, textCol: String, idCol: String,
       blockTokens: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
-    val nBlocks = when(size(toks) > 0,
-      ((size(toks) - 1) / blockTokens).cast("int") + 1).otherwise(0)
-    val blocks = docs.select(col(idCol),
-        when(size(toks) > 0, transform(
-            sequence(lit(0), ((size(toks) - 1) / blockTokens).cast("int")),
-            i => array_join(
-              slice(toks, i * blockTokens + 1, lit(blockTokens)), " ")))
-          .otherwise(array().cast("array<string>")).as("blks"))
-      .select(col(idCol), posexplode(col("blks")).as(Seq("idx", "blk")))
+    // one tokenize pass total: the codegen token_blocks kernel builds
+    // the block list, and per-doc block counts are folded into the SAME
+    // aggregation that reassembles survivors (no second scan of text —
+    // the final left join exists only to restore empty documents and
+    // projects nothing but the id column)
+    val blocks = docs.select(col(idCol), posexplode(
+        graft.functions.SketchExpressions.token_blocks(
+          coalesce(col(textCol), lit("")), blockTokens))
+      .as(Seq("idx", "blk")))
     val w = Window.partitionBy(col("__bh")).orderBy(col(idCol), col("idx"))
-    val kept = blocks
+    val ranked = blocks
       .withColumn("__bh", md5(col("blk")))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-    val rebuilt = kept.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("idx"), col("blk")))),
-        s => s.getField("blk")), " ").as("scrubbed"))
-    docs.select(col(idCol), nBlocks.cast("long").as("n_blocks"))
+    val rebuilt = ranked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(
+          when(col("__rn") === 1, struct(col("idx"), col("blk"))))),
+        s => s.getField("blk")), " ")).as("scrubbed_digest"))
+    docs.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_blocks"),
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("scrubbed"), lit(""))).as("scrubbed_digest"))
+        coalesce(col("scrubbed_digest"), md5(lit(""))).as("scrubbed_digest"))
   }
 
   /** k md5-derived Bloom bit positions for a digest column: 8 hex chars
