@@ -225,6 +225,50 @@ object SketchEval {
     new GenericArrayData(Array[Any](toks.length, distinct.size, mx))
   }
 
+  /** One-pass BPE tokenizer apply: [nWords, nBpeTokens] over lowercased
+    * whitespace-split text, `[a-z0-9]+` words only (the trainMerges
+    * contract). Per word: wrap each char in the ␟ delimiter pair, apply
+    * the merge patterns in learned order (String.replace — the same
+    * leftmost-non-overlapping semantics as the codegen StringReplace
+    * chain and DuckDB's replace), then count symbols as ␟␟ boundaries
+    * + 1. Symbols never contain the delimiter (alnum-only words), so
+    * the boundary count is exact.
+    */
+  def bpeStats(s: UTF8String, pats: Array[String], reps: Array[String])
+      : ArrayData = {
+    val toks = tokenize(s)
+    var nWords = 0L
+    var nTok = 0L
+    val D = "␟"
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      var alnum = w.length > 0
+      var j = 0
+      while (alnum && j < w.length) {
+        val c = w.charAt(j)
+        alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        j += 1
+      }
+      if (alnum) {
+        nWords += 1
+        val sb = new java.lang.StringBuilder(w.length * 3 + 2)
+        j = 0
+        while (j < w.length) { sb.append(D).append(w.charAt(j)).append(D); j += 1 }
+        var seq = sb.toString
+        var m = 0
+        while (m < pats.length) { seq = seq.replace(pats(m), reps(m)); m += 1 }
+        // symbols = count of "␟␟" boundaries + 1
+        var bounds = 0L
+        var p = seq.indexOf(D + D)
+        while (p >= 0) { bounds += 1; p = seq.indexOf(D + D, p + 2) }
+        nTok += bounds + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array[Any](nWords, nTok))
+  }
+
   /** Consecutive k-token blocks of whitespace-split text (ORIGINAL
     * case — reconstruction operators must preserve the text), space-
     * joined, one pass. Parity with
@@ -846,6 +890,35 @@ object SketchExpressions {
 
   def rep_stats(text: Column): Column =
     GraftBridge.column(RepStats(GraftBridge.expression(text)))
+
+  /** [nWords, nBpeTokens] under a learned merge list (see SketchEval). */
+  case class BpeStats(child: Expression, pats: Array[String],
+      reps: Array[String])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.bpeStats(s.asInstanceOf[UTF8String], pats, reps)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val p = ctx.addReferenceObj("bpePats", pats, "java.lang.String[]")
+      val r = ctx.addReferenceObj("bpeReps", reps, "java.lang.String[]")
+      defineCodeGen(ctx, ev, c => s"$E.bpeStats($c, $p, $r)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** The merge list becomes two generated-code reference arrays (the
+    * LangHits recipe); patterns/replacements are prebuilt delimited
+    * strings so the hot loop is pure String.replace.
+    */
+  def bpe_stats(text: Column, merges: Seq[(String, String)]): Column = {
+    val D = "␟"
+    val pats = merges.map { case (l, r) => D + l + D + D + r + D }.toArray
+    val reps = merges.map { case (l, r) => D + l + r + D }.toArray
+    GraftBridge.column(BpeStats(GraftBridge.expression(text), pats, reps))
+  }
 
   /** Consecutive k-token blocks (original case), space-joined. */
   case class TokenBlocks(child: Expression, k: Int)

@@ -114,21 +114,15 @@ object Bpe {
     */
   def tokenizeCount(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val D2 = Delim + Delim
-    val words = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val alnum = filter(words, w => w.rlike("^[a-z0-9]+$"))
-    def tokCount(w: Column): Column = {
-      val seq0 = concat(lit(Delim),
-        array_join(filter(split(w, ""), c => c =!= ""), D2), lit(Delim))
-      val seqN = merges.foldLeft(seq0) { case (c, (l, r)) =>
-        replace(c, lit(Delim + l + D2 + r + Delim), lit(Delim + l + r + Delim))
-      }
-      size(split(trim(seqN, Delim), D2)).cast("long")
-    }
+    val st = graft.functions.SketchExpressions.bpe_stats(
+      coalesce(col(textCol), lit("")), merges)
+    // two-step select: CollapseProject keeps the non-cheap kernel alias
+    // single-evaluation (the q29 double-eval lesson)
     docs
-      .withColumn("n_words", size(alnum).cast("long"))
-      .withColumn("n_bpe_tokens",
-        aggregate(transform(alnum, tokCount(_)), lit(0L), _ + _))
+      .withColumn("__bpe", st)
+      .withColumn("n_words", element_at(col("__bpe"), 1))
+      .withColumn("n_bpe_tokens", element_at(col("__bpe"), 2))
+      .drop("__bpe")
   }
 
   /** Segment a word with a learned merge list (greedy, in merge order) —
