@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -267,6 +267,63 @@ object SketchEval {
       i += 1
     }
     new GenericArrayData(Array[Any](nWords, nTok))
+  }
+
+  /** One-pass hashed bag-of-words feature rows: f-ascending [(f, x)]
+    * structs with f = (first 24 md5 bits of the token) % dims over
+    * lowercased whitespace tokens, plus a trailing bias entry (dims, 1)
+    * — parity with the explode → md5-hash → groupBy(doc, f).count() →
+    * collect_list chain, collapsed into ONE projection so the q75/q78
+    * feature build never shuffles token occurrences. dims is a hashed-
+    * BoW width (≤ 2^20 by convention): the per-row count buffer is a
+    * dims-long array, not a map.
+    */
+  def tokenHashCounts(s: UTF8String, dims: Int): ArrayData = {
+    val toks = tokenize(s)
+    val counts = new Array[Long](dims)
+    val md = md5Local.get()
+    var nz = 0
+    var i = 0
+    while (i < toks.length) {
+      val d = md.digest(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val f = ((((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) |
+        (d(2) & 0xffL)) % dims).toInt
+      if (counts(f) == 0L) nz += 1
+      counts(f) += 1L
+      i += 1
+    }
+    val out = new Array[Any](nz + 1)
+    var f = 0
+    var j = 0
+    while (f < dims) {
+      if (counts(f) != 0L) {
+        out(j) = new GenericInternalRow(Array[Any](f.toLong, counts(f)))
+        j += 1
+      }
+      f += 1
+    }
+    out(j) = new GenericInternalRow(Array[Any](dims.toLong, 1L))
+    new GenericArrayData(out)
+  }
+
+  /** BIGINT dot product of a sparse [(f, x)] feature row against a
+    * micro-unit weight vector (the bias entry rides in the row itself)
+    * — the q75/q78 margin. Weights arrive as a generated-code reference
+    * object, so the per-iteration plan source never embeds the values
+    * (codegen compiles ONCE across GD iterations) and the hot loop is
+    * two array reads + one multiply per element.
+    */
+  def dotMicro(arr: ArrayData, w: Array[Long]): Long = {
+    var acc = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getStruct(i, 2)
+      acc += w(s.getLong(0).toInt) * s.getLong(1)
+      i += 1
+    }
+    acc
   }
 
   /** Consecutive k-token blocks of whitespace-split text (ORIGINAL
@@ -919,6 +976,47 @@ object SketchExpressions {
     val reps = merges.map { case (l, r) => D + l + r + D }.toArray
     GraftBridge.column(BpeStats(GraftBridge.expression(text), pats, reps))
   }
+
+  /** f-ascending hashed-BoW [(f, x)] rows + bias (see SketchEval). */
+  case class TokenHashCounts(child: Expression, dims: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("f", LongType, nullable = false),
+        StructField("x", LongType, nullable = false))),
+      containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.tokenHashCounts(s.asInstanceOf[UTF8String], dims)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.tokenHashCounts($c, $dims)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def token_hash_counts(text: Column, dims: Int): Column =
+    GraftBridge.column(TokenHashCounts(GraftBridge.expression(text), dims))
+
+  /** Sparse [(f, x)] row ⋅ micro-unit weights (see SketchEval.dotMicro). */
+  case class DotMicro(child: Expression, weights: Array[Long])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(
+      StructType(Seq(StructField("f", LongType, nullable = false),
+        StructField("x", LongType, nullable = false)))))
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any): Any =
+      SketchEval.dotMicro(a.asInstanceOf[ArrayData], weights)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val w = ctx.addReferenceObj("dotWeights", weights, "long[]")
+      defineCodeGen(ctx, ev, c => s"$E.dotMicro($c, $w)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def dot_micro(fs: Column, weights: Array[Long]): Column =
+    GraftBridge.column(DotMicro(GraftBridge.expression(fs), weights))
 
   /** Consecutive k-token blocks (original case), space-joined. */
   case class TokenBlocks(child: Expression, k: Int)

