@@ -307,6 +307,116 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  /** One-pass per-document term frequencies: [(term, tf)] structs over
+    * lowercased whitespace tokens, first-occurrence order — parity with
+    * explode + groupBy(doc_id, term).count(), computed where the
+    * document already lives so no token occurrence ever crosses a
+    * shuffle (the q54 tf build: only DISTINCT (doc, term) rows leave
+    * the scan).
+    */
+  def termCounts(s: UTF8String): ArrayData = {
+    val toks = tokenize(s)
+    val m = new java.util.LinkedHashMap[String, Array[Long]]()
+    var i = 0
+    while (i < toks.length) {
+      val c = m.get(toks(i))
+      if (c == null) m.put(toks(i), Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Dedup text normalization in ONE linear scan: lowercase, map every
+    * char outside [a-z0-9] to a separator, collapse separator runs to a
+    * single space, trim. Exactly equivalent to the regex chain
+    * trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' '),
+    * ' +', ' ')) that the DuckDB oracles keep: the char class is per
+    * code point, and a surrogate pair scanned as two units yields two
+    * separators that collapse to the same single space. The regex chain
+    * cost two full pattern passes over every document on the dedup hot
+    * path (q20/q60/q73/q79 and the streaming twins).
+    */
+  def normText(s: UTF8String): UTF8String = {
+    val str = s.toLowerCase.toString
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSep = false
+    var started = false
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && started) sb.append(' ')
+        sb.append(c)
+        started = true
+        pendingSep = false
+      } else pendingSep = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  // Bloom membership (bloomHit below) short-circuits on the first clear
+  // bit, and the bitmap rides as a generated-code reference object: the
+  // round-5 formulation embedded it as a typedLit array<long> literal
+  // referenced 4× per probe site, and every AQE replan
+  // walked/canonicalized those 4096-long literals — measured ~0.7 s of
+  // pure plan processing per q73 delivery at mBits=2^18.
+
+  /** Position i for a 32-hex-char md5 digest: the unsigned 32-bit value
+    * of hex chars [8i, 8i+8) mod mBits. The digest IS an md5 already —
+    * its four 32-bit slices are independent, so no further hashing is
+    * needed (the "less hashing, same performance" observation); deriving
+    * positions by re-hashing h || "#i" cost 4 extra md5 calls per digest
+    * on BOTH the build and probe paths. Oracle twin:
+    * CAST(('0x' || substr(hh, 1 + 8*i, 8)) AS BIGINT) % m.
+    */
+  private def bloomPosOf(h: UTF8String, i: Int, mBits: Long): Long = {
+    var v = 0L
+    var j = 8 * i
+    val end = j + 8
+    while (j < end) {
+      val c = h.getByte(j)
+      v = (v << 4) | (if (c <= '9') c - '0' else c - 'a' + 10)
+      j += 1
+    }
+    v % mBits
+  }
+
+  /** Set the k slice-derived bit positions of a hex md5 digest in
+    * `bitmap` (the update half of the bloomHit probe below — same
+    * position math, used by the map-side bitmap-building aggregate).
+    */
+  def bloomSet(h: UTF8String, bitmap: Array[Long], k: Int): Unit = {
+    val mBits = bitmap.length * 64L
+    var i = 0
+    while (i < k) {
+      val p = bloomPosOf(h, i, mBits)
+      bitmap((p >> 6).toInt) |= 1L << (p & 63)
+      i += 1
+    }
+  }
+
+  def bloomHit(h: UTF8String, bitmap: Array[Long], k: Int): Boolean = {
+    val mBits = bitmap.length * 64L
+    var i = 0
+    while (i < k) {
+      val p = bloomPosOf(h, i, mBits)
+      if ((bitmap((p >> 6).toInt) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** BIGINT dot product of a sparse [(f, x)] feature row against a
     * micro-unit weight vector (the bias entry rides in the row itself)
     * — the q75/q78 margin. Weights arrive as a generated-code reference
@@ -996,6 +1106,62 @@ object SketchExpressions {
 
   def token_hash_counts(text: Column, dims: Int): Column =
     GraftBridge.column(TokenHashCounts(GraftBridge.expression(text), dims))
+
+  /** Per-document [(term, tf)] rows (see SketchEval.termCounts). */
+  case class TermCounts(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("term", StringType, nullable = false),
+        StructField("tf", LongType, nullable = false))),
+      containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.termCounts(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.termCounts($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def term_counts(text: Column): Column =
+    GraftBridge.column(TermCounts(GraftBridge.expression(text)))
+
+  /** One-pass dedup normalization (see SketchEval.normText). */
+  case class NormText(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.normText(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.normText($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def norm_text(text: Column): Column =
+    GraftBridge.column(NormText(GraftBridge.expression(text)))
+
+  /** Bloom probe of a hex digest (see SketchEval.bloomHit). */
+  case class BloomHit(child: Expression, bitmap: Array[Long], k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(h: Any): Any =
+      SketchEval.bloomHit(h.asInstanceOf[UTF8String], bitmap, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val b = ctx.addReferenceObj("bloomBits", bitmap, "long[]")
+      defineCodeGen(ctx, ev, c => s"$E.bloomHit($c, $b, $k)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def bloom_hit(digest: Column, bitmap: Array[Long], k: Int): Column =
+    GraftBridge.column(BloomHit(GraftBridge.expression(digest), bitmap, k))
 
   /** Sparse [(f, x)] row ⋅ micro-unit weights (see SketchEval.dotMicro). */
   case class DotMicro(child: Expression, weights: Array[Long])

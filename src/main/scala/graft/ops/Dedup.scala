@@ -1,7 +1,13 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Deduplication operators for large-scale text pipelines (builder-prompt
   * surface). All shapes are shuffle-conscious:
@@ -22,9 +28,13 @@ object Dedup {
 
   // ---- normalization ----------------------------------------------------
 
-  /** lower, strip non-alnum, collapse whitespace (mirrors q20). */
+  /** lower, strip non-alnum, collapse whitespace (mirrors q20). One
+    * linear codegen scan (SketchExpressions.norm_text) — byte-equal to
+    * the regexp_replace chain the DuckDB oracles keep, without paying
+    * two regex passes per document on every dedup hot path.
+    */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    graft.functions.SketchExpressions.norm_text(text)
 
   /** [[normalize]] with null mapped to the empty document. Sketch
     * signatures built on this are NON-nullable, which matters for the
@@ -38,9 +48,12 @@ object Dedup {
   private def normalizeNN(text: Column): Column =
     normalize(coalesce(text, lit("")))
 
-  /** JVM-side twin of [[normalize]] (streaming/state code paths). */
+  /** JVM-side twin of [[normalize]] (streaming/state code paths) —
+    * delegates to the same one-pass scanner.
+    */
   def normalizeText(text: String): String =
-    text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    graft.functions.SketchEval.normText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text)).toString
 
   /** Exact dedup: keep the row with min(idCol) per digest of keyCol.
     * Single shuffle on the 16-byte digest (row_number over the digest
@@ -294,14 +307,15 @@ object Dedup {
     * by the digest join they triggered. Output per incoming row:
     * (idCol, bloom_hit, status) with status ∈ {dup_of_base, new}.
     *
-    * Construction is fully declarative: the k bit positions per digest
-    * are md5-derived codegen expressions, and the set bits arrive at the
-    * driver via a DISTINCT on positions — bounded by mBits (≤ m ints
-    * cross the wire, never the base corpus). The bitmap then rides into
-    * the probe expression as an array<long> literal plus a 64-entry
-    * power-of-two lookup, so the membership test is pure codegen
-    * builtins (element_at + bitwiseAND) — no UDF, no broadcast-join
-    * machinery on the hot path.
+    * Construction is ONE map-side combinable aggregation job: each
+    * partition ORs its digests' k bit positions (independent 32-bit
+    * slices of the md5 digest itself — no re-hash) into an mBits/8-byte
+    * buffer, partials merge by elementwise OR, and a single bitmap row
+    * reaches the driver — never the base corpus. The bitmap then rides
+    * into the probe expression as a generated-code reference object, so
+    * the membership test is one codegen call per row — no UDF, no
+    * broadcast-join machinery on the hot path, and no giant literal for
+    * AQE to re-canonicalize per replan.
     *
     * Sizing is the caller's contract: mBits ≈ 13 bits/element ⇒ ~0.5%
     * false positives at k=4 (driver holds mBits/8 bytes; the plan
@@ -311,22 +325,50 @@ object Dedup {
     */
   def bloomCrossDedup(base: DataFrame, incoming: DataFrame, textCol: String,
       idCol: String, mBits: Int = 1 << 18, k: Int = 4): DataFrame = {
-    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a multiple of 64: $mBits")
     val digest = md5(normalizeNN(col(textCol)))
-    // materialize the base DIGEST SET once (the artifact a production
-    // ingestion pipeline keeps between deliveries) — both the bitmap
-    // build and the confirm join read it, so the base text is
-    // normalized+hashed exactly ONE time, not once per consumer
-    val baseH0 = base.select(digest.as("__h")).distinct()
-      .localCheckpoint(true)
+    bloomCrossDedupByDigest(
+      base.select(digest.as("__h")),
+      incoming.select(col(idCol), digest.as("__h")),
+      idCol, "__h", mBits, k)
+  }
+
+  /** [[bloomCrossDedup]] over PRE-COMPUTED digest columns — the form a
+    * production pipeline actually runs: the base digest set is the
+    * artifact kept between deliveries (16 bytes per distinct document;
+    * the streaming twin takes the same input), and a caller who derives
+    * both sides from one corpus can digest it ONCE behind a shared
+    * lazy cache instead of paying normalize+md5 per side. `baseDigests`
+    * needs only `digestCol`; `incoming` needs (`idCol`, `digestCol`).
+    *
+    * Job accounting per delivery (OpsSpec gates this): ONE construction
+    * job — the map-side bitmap aggregation, which also materializes the
+    * lazy checkpoint of the distinct base digest set as it runs — plus
+    * the confirm join's broadcast of that cached set and the delivery
+    * action itself.
+    */
+  def bloomCrossDedupByDigest(baseDigests: DataFrame, incoming: DataFrame,
+      idCol: String, digestCol: String,
+      mBits: Int = 1 << 18, k: Int = 4): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a multiple of 64: $mBits")
+    // distinct + lazy checkpoint: the bitmap collect below is the one
+    // materializing action (building the plan costs nothing), and the
+    // confirm join then rereads the checkpoint instead of re-deriving
+    // the digest set. Must fit in executor storage — pass a persisted
+    // digest table for a base where even that is too hot to rebuild
+    // per delivery.
+    val baseH0 = baseDigests.select(col(digestCol).as("__h")).distinct()
+      .localCheckpoint(false)
     val bitmap = bloomBitmap(baseH0, "__h", mBits, k)
-    // materialize the projected batch (id, digest, bloom_hit) once: the
-    // hit/miss branches below would otherwise each rescan the batch and
-    // re-run the normalize+digest — the projected row is ~50 bytes, so
-    // this is the cheap side of that trade at any scale
-    val inc = incoming.select(col(idCol), digest.as("__h"))
+    // ONE projected pass over the batch feeds both branches: the narrow
+    // (id, digest, bloom_hit) row (~50 bytes) is persisted LAZILY — no
+    // job at construction; whichever delivery action runs first
+    // populates it — so the union's two filters and a global sort's
+    // range-sampling pass all read the same cached projection instead
+    // of re-deriving the batch digests per consumer. Misses never reach
+    // the join's exchange.
+    val inc = incoming.select(col(idCol), col(digestCol).as("__h"))
       .withColumn("bloom_hit", bloomHitExpr(col("__h"), bitmap, k))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baseH = baseH0.withColumn("__inBase", lit(true))
     val maybe = inc.filter(col("bloom_hit"))
       .join(baseH, Seq("__h"), "left")
@@ -386,45 +428,112 @@ object Dedup {
         coalesce(col("scrubbed_digest"), md5(lit(""))).as("scrubbed_digest"))
   }
 
-  /** k md5-derived Bloom bit positions for a digest column: 8 hex chars
-    * = 32 bits, mod m (oracle twin: CAST(('0x' || substr(md5(h || '#i'),
-    * 1, 8)) AS BIGINT) % m).
+  /** Bloom bit position i for a 32-hex-char md5 digest column: the
+    * unsigned 32-bit value of hex chars [8i, 8i+8) mod m — the digest is
+    * itself an md5, so its four 32-bit slices are independent and need
+    * no re-hash ("less hashing, same performance"; k ≤ 4). Oracle twin:
+    * CAST(('0x' || substr(h, 1 + 8*i, 8)) AS BIGINT) % m. Declarative
+    * twin of SketchEval.bloomPosOf, kept for plans that need the
+    * position as a Column.
     */
   def bloomPos(h: Column, i: Int, mBits: Int): Column =
-    conv(substring(md5(concat(h, lit("#" + i))), 1, 8), 16, 10)
-      .cast("long") % mBits
+    conv(substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % mBits
 
-  /** Build the m-bit Bloom bitmap over a digest column — declarative:
-    * DISTINCT positions (≤ mBits longs, never the corpus) cross the
-    * wire to the driver.
+  /** Map-side bitmap builder: each partition ORs its digests' k bit
+    * positions into ONE mBits/8-byte buffer, partials merge by
+    * elementwise OR, and the driver receives a single array row — the
+    * shape of Spark's own BloomFilterAggregate. No positions explode,
+    * no distinct shuffle (duplicate digests just re-set the same bits);
+    * ≤ numPartitions bitmap buffers ever cross the wire. Position math
+    * is SketchEval.bloomSet ≡ [[bloomPos]] (the oracle rebuilds it
+    * hex-for-hex).
+    */
+  case class BloomBitmapAgg(
+      child: Expression,
+      mBits: Int,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](mBits / 64)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null)
+        graft.functions.SketchEval.bloomSet(
+          v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buf, k)
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) |= other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+      var i = 0
+      while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(storage: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(storage)
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def withNewMutableAggBufferOffset(o: Int): ImperativeAggregate =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ImperativeAggregate =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): BloomBitmapAgg =
+      copy(child = newChild)
+    override def prettyName: String = "bloom_bitmap"
+  }
+
+  /** Build the m-bit Bloom bitmap over a digest column in ONE map-side
+    * combinable aggregation job (see [[BloomBitmapAgg]]).
     */
   def bloomBitmap(digests: DataFrame, digestCol: String, mBits: Int,
       k: Int): Array[Long] = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a multiple of 64: $mBits")
-    val positions = digests
-      .select(explode(array(
-        (0 until k).map(i => bloomPos(col(digestCol), i, mBits)): _*)).as("p"))
-      .distinct()
-      .collect()
-      .map(_.getLong(0))
-    val bitmap = new Array[Long](mBits / 64)
-    positions.foreach(p => bitmap((p >> 6).toInt) |= 1L << (p & 63))
-    bitmap
+    require(k >= 1 && k <= 4, s"k must be in [1, 4] (md5 has 4 32-bit slices): $k")
+    // AQE off for the collect: the plan is a fixed scan → partial-agg →
+    // single-row final agg; adaptive staging only adds per-exchange job
+    // scheduling on a shape it can never improve (the LogReg iteration
+    // rationale, ops/LogReg.scala:196-203)
+    val sess = digests.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try digests
+      .select(GraftBridge.column(BloomBitmapAgg(
+        GraftBridge.expression(col(digestCol)), mBits, k)
+        .toAggregateExpression()).as("bm"))
+      .first().getAs[scala.collection.Seq[Long]](0).toArray
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
-  /** Codegen Bloom membership test: all k positions set in the literal
-    * bitmap (element_at + bitwiseAND over an array<long> literal and a
-    * 64-entry power-of-two lookup — no UDF, no join machinery).
+  /** Codegen Bloom membership test: all k positions set in the bitmap.
+    * The bitmap rides as a generated-code REFERENCE OBJECT (see
+    * SketchExpressions.BloomHit) — not a typedLit array: a 4096-long
+    * literal repeated at every probe site made each AQE replan walk and
+    * canonicalize ~32 KB of plan tree per copy, ~0.7 s of pure plan
+    * processing per delivery at mBits=2^18. Bit math is identical to
+    * [[bloomPos]] (the oracle rebuilds it hex-for-hex).
     */
-  def bloomHitExpr(h: Column, bitmap: Array[Long], k: Int): Column = {
-    val mBits = bitmap.length * 64
-    val bmLit = typedLit(bitmap.toSeq)
-    val pw = typedLit((0 until 64).map(1L << _))
-    def bitSet(p: Column): Column =
-      (element_at(bmLit, shiftright(p, 6).cast("int") + 1)
-        .bitwiseAND(element_at(pw, (p % 64).cast("int") + 1))) =!= 0L
-    (0 until k).map(i => bitSet(bloomPos(h, i, mBits))).reduce(_ && _)
-  }
+  def bloomHitExpr(h: Column, bitmap: Array[Long], k: Int): Column =
+    graft.functions.SketchExpressions.bloom_hit(h, bitmap, k)
 
   // ---- cluster resolution ------------------------------------------------
 

@@ -308,24 +308,34 @@ object CorpusQueries {
     // ---- Bloom-prefiltered cross-corpus dedup ---------------------------
     // q60's continuous-ingestion shape at "everything ever trained on"
     // base-corpus scale: the accepted corpus is summarized into a
-    // 2^18-bit Bloom bitmap (k=4 md5-derived positions, codegen
-    // membership test), so only bloom-positive batch rows pay the exact
-    // digest join — bloom misses short-circuit shuffle-free, and at
-    // mostly-novel-ingest scale that is nearly every row. Output stays
-    // EXACT (no false negatives; false positives resolved by the join
-    // they trigger). The oracle rebuilds the bitmap bit-for-bit from the
-    // same md5-derived positions, so bloom_hit itself is certified, not
-    // just the final status.
+    // 2^18-bit Bloom bitmap (k=4 positions = independent 32-bit slices
+    // of the md5 digest, codegen membership test), so only
+    // bloom-positive batch rows pay the exact digest join — bloom
+    // misses short-circuit shuffle-free, and at mostly-novel-ingest
+    // scale that is nearly every row. Output stays EXACT (no false
+    // negatives; false positives resolved by the join they trigger).
+    // Both sides come from one corpus here, so the query digests it
+    // ONCE behind a shared lazy cache (the oracle's single `h` CTE) —
+    // the bitmap job populates the cache, the inc branch reads it. The
+    // oracle rebuilds the bitmap bit-for-bit from the same digest
+    // slices, so bloom_hit itself is certified, not just the final
+    // status.
     QueryDef(
       "q73_bloom_dedup",
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
-        graft.ops.Dedup.bloomCrossDedup(
-            docs.filter($"doc_id" % 5 =!= 0),
-            docs.filter($"doc_id" % 5 === 0),
-            "text", "doc_id", mBits = 1 << 18, k = 4)
-          .orderBy($"doc_id")
+        val h = docs.select($"doc_id",
+            md5(graft.ops.Dedup.normalize(coalesce($"text", lit(""))))
+              .as("__h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // no ORDER BY: the result is a row set (the correctness compare
+        // sorts before hashing), and a global sort costs a range-sample
+        // pass plus a sort exchange on the delivery path
+        graft.ops.Dedup.bloomCrossDedupByDigest(
+            h.filter($"doc_id" % 5 =!= 0),
+            h.filter($"doc_id" % 5 === 0),
+            "doc_id", "__h", mBits = 1 << 18, k = 4)
       },
       Some(raw"""WITH h AS (SELECT doc_id,
             md5(trim(regexp_replace(
@@ -335,12 +345,12 @@ object CorpusQueries {
         base AS (SELECT DISTINCT hh FROM h WHERE doc_id % 5 <> 0),
         ii AS (SELECT unnest(range(4)) AS i),
         pos AS (SELECT DISTINCT
-            CAST(('0x' || substr(md5(hh || '#' || i), 1, 8)) AS BIGINT)
+            CAST(('0x' || substr(hh, 1 + 8 * i, 8)) AS BIGINT)
               % 262144 AS p
           FROM base CROSS JOIN ii),
         inc AS (SELECT doc_id, hh FROM h WHERE doc_id % 5 = 0),
         ipos AS (SELECT doc_id, hh,
-            CAST(('0x' || substr(md5(hh || '#' || i), 1, 8)) AS BIGINT)
+            CAST(('0x' || substr(hh, 1 + 8 * i, 8)) AS BIGINT)
               % 262144 AS p
           FROM inc CROSS JOIN ii),
         hits AS (SELECT ipos.doc_id, ipos.hh,
@@ -350,8 +360,7 @@ object CorpusQueries {
         SELECT hits.doc_id, hits.bloom_hit,
           CASE WHEN base.hh IS NOT NULL THEN 'dup_of_base' ELSE 'new' END
             AS status
-        FROM hits LEFT JOIN base ON hits.hh = base.hh
-        ORDER BY hits.doc_id""")),
+        FROM hits LEFT JOIN base ON hits.hh = base.hh""")),
     // ---- duplicated-passage detection (corpus self-overlap) ------------
     // Exact substring-level dedup approximated at 6-word granularity
     // (Lee et al. 2021 "Deduplicating Training Data Makes Language

@@ -426,25 +426,28 @@ object TextQueries {
         FROM p GROUP BY pack_id ORDER BY pack_id""")),
 
     // ---- TF-IDF term weighting -----------------------------------------
-    // tf from one explode + two-stage count; df from a term-keyed
-    // distinct count (both map-side combinable — terms cross the
-    // shuffle, never documents); N rides along as a broadcast 1-row
-    // aggregate (the q14 trick, no driver count()). idf is the smoothed
-    // ln((N+1)/(df+1)) + 1. Top 50 scores with a total-order tie-break.
+    // tf comes straight off the scan: the term_counts kernel counts per
+    // document where the document already lives (doc_id IS the row key),
+    // so only DISTINCT (doc, term) rows exist after the explode — token
+    // occurrences never cross a shuffle. df is a term-partitioned window
+    // count over that same relation: ONE term-keyed exchange serves both
+    // df and the score (no tf⋈df join, no second aggregation). N rides
+    // along as a broadcast 1-row aggregate (the q14 trick, no driver
+    // count()). idf is the smoothed ln((N+1)/(df+1)) + 1. Top 50 scores
+    // with a total-order tie-break.
     QueryDef(
       "q54_tfidf",
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
-        val terms = docs.select($"doc_id",
-          explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
-            .as("term"))
-        val tf = terms.groupBy($"doc_id", $"term")
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy($"term")
-          .agg(count(lit(1)).as("df")) // tf rows are distinct (doc,term)
+        val tf = docs.select($"doc_id",
+            explode(graft.functions.SketchExpressions
+              .term_counts(coalesce($"text", lit("")))).as("tc"))
+          .select($"doc_id", $"tc.term".as("term"), $"tc.tf".as("tf"))
         val nDf = broadcast(docs.agg(count(lit(1)).as("__n")))
-        tf.join(df, Seq("term")).crossJoin(nDf)
+        tf.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"term")))
+          .crossJoin(nDf)
           .withColumn("score",
             $"tf" * (log(($"__n" + 1).cast("double") / ($"df" + 1)) + 1.0))
           .select($"doc_id", $"term", $"tf", $"df",

@@ -915,4 +915,44 @@ class OpsSpec extends AnyFunSuite {
       Dedup.bloomCrossDedup(base, batch, "text", "doc_id", mBits = 100)
     }
   }
+
+  test("bloom cross-dedup: construction is job-free, one delivery <= 3 jobs") {
+    // the round-5 shape paid >=4 jobs per delivery, two of them eager
+    // full-corpus checkpoint materializations fired at CONSTRUCTION
+    // time on top of the bitmap build. The contract now: construction
+    // costs exactly ONE job — the map-side bitmap aggregation, which
+    // also materializes the lazy base-digest checkpoint as it runs —
+    // and a delivery costs two more: the confirm join's broadcast of
+    // that cached digest set (a separate job in every Spark broadcast
+    // join, reading the checkpoint and not the raw corpus) plus the
+    // delivery action itself.
+    val base = (0 until 300).map(i => (i.toLong, s"stable base $i"))
+      .toDF("doc_id", "text")
+    val batch = ((500 until 520).map(i => (i.toLong, s"novel $i")) ++
+      Seq((900L, "stable base 7"))).toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("bloom-build-audit", "bloom dedup construction gate", false)
+    try {
+      val before = sc.statusTracker.getJobIdsForGroup("bloom-build-audit").length
+      val op = Dedup.bloomCrossDedup(base, batch, "text", "doc_id",
+        mBits = 1 << 14, k = 4)
+      val bitmapJobs =
+        sc.statusTracker.getJobIdsForGroup("bloom-build-audit").length - before
+      assert(bitmapJobs <= 1,
+        s"construction should cost at most the bitmap job, saw $bitmapJobs")
+      sc.setJobGroup("bloom-job-audit", "bloom dedup job-count gate", false)
+      val out = op.collect()
+      assert(out.length == 21)
+      assert(out.count(_.getString(2) == "dup_of_base") == 1)
+      val jobs = sc.statusTracker.getJobIdsForGroup("bloom-job-audit")
+      assert(jobs.length <= 2,
+        s"delivery after the bitmap should cost <=2 jobs " +
+          s"(broadcast + collect), saw ${jobs.length}")
+    } finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    }
+  }
 }
