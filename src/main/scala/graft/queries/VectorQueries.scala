@@ -417,8 +417,15 @@ object VectorQueries {
         val emb = table(s, dir, "embeddings")
         val cb = graft.ops.Pq.trainCodebooks(emb, "embedding", "vec_id",
           m = 4, k = 16, dims = 64)
-        val qraw = emb.filter($"vec_id" === 4)
-          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        // AQE off for the tiny query-vector fetch too (same rationale as
+        // the training collects): a one-row filter scan gains nothing
+        // from adaptive staging
+        val aqePrev = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val qraw =
+          try emb.filter($"vec_id" === 4)
+            .select($"embedding").collect()(0).getSeq[Float](0).toArray
+          finally s.conf.set("spark.sql.adaptive.enabled", aqePrev)
         val top = emb.filter($"vec_id" =!= 4)
           .select($"vec_id",
             round(graft.ops.Pq.adcCosine(
