@@ -753,6 +753,13 @@ object SketchEval {
     */
   def pqEncode(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
     val m = cb.length
+    var expect = 0
+    var s0 = 0
+    while (s0 < m) { expect += cb(s0)(0).length; s0 += 1 }
+    if (v.numElements() != expect)
+      throw new IllegalArgumentException(
+        s"pq_encode: input vector has ${v.numElements()} dims, codebook " +
+          s"expects $expect ($m subspaces) — ragged or truncated embedding row")
     val out = new Array[Int](m)
     var s = 0
     var off = 0
@@ -797,8 +804,12 @@ object SketchEval {
     }
     if (idx < 0) return 0.0
     val cent = cents(idx)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
     val n = v.numElements()
+    if (n != cent.length)
+      throw new IllegalArgumentException(
+        s"centroid_cosine: input vector has $n dims, centroids have " +
+          s"${cent.length} — ragged or truncated embedding row")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       val x = v.getFloat(i).toDouble

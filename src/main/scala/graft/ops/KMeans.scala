@@ -104,8 +104,13 @@ object KMeans {
     import org.apache.spark.sql.expressions.Window
     val labels = cents.map(_._1).toArray
     val cc = cents.map(_._2).toArray
+    // rank on the ROUNDED score (6 dp) with the id tiebreak: the oracle
+    // sums the cosine's terms in its own order, and near-tied
+    // prototypicality scores can differ in the last ulp across engines —
+    // rounding before the rank makes the rk/pruned cut float-robust
+    // (the q61/q63 discipline)
     val w = Window.partitionBy(col(clusterCol))
-      .orderBy(col("__proto").desc, col(idCol))
+      .orderBy(round(col("__proto"), 6).desc, col(idCol))
     val sizes = assigned.groupBy(col(clusterCol))
       .agg(count(lit(1)).as("__n"))
     assigned

@@ -58,17 +58,31 @@ object CorpusQueries {
   /** [[bpeOracleSql]]'s CTE chain, finished with a tokenizer-APPLY pass:
     * every document's qualifying words replayed through the learned
     * merges (the same nested-replace chain, b1 innermost) and counted.
+    *
+    * Exhaustion-robust: if training runs out of learnable merges before
+    * `rounds`, the empty b-CTEs would make a direct CROSS JOIN chain
+    * return ZERO rows (oracle reporting 0 tokens for every document
+    * while the engine tokenizes with the shorter merge list). Each
+    * round therefore goes through a never-empty one-row e-CTE whose
+    * pattern/replacement COALESCE to the identity replace
+    * ('$D' → '$D') when that round learned nothing.
     */
   private def bpeTokenizeOracleSql(rounds: Int): String = {
     val D = graft.ops.Bpe.Delim
     val base = bpeOracleSql(rounds)
     val ctes = base.substring(0, base.lastIndexOf("\n    SELECT 1 AS merge_rank"))
+    val eCtes = (1 to rounds).map { r =>
+      s""",
+    e$r AS (SELECT
+        COALESCE((SELECT '$D' || lhs || '$D$D' || rhs || '$D' FROM b$r),
+          '$D') AS pat,
+        COALESCE((SELECT '$D' || lhs || rhs || '$D' FROM b$r), '$D') AS rep)"""
+    }.mkString
     val applied = (1 to rounds).foldLeft("seq") { (acc, r) =>
-      s"replace($acc, '$D' || b$r.lhs || '$D$D' || b$r.rhs || '$D', " +
-        s"'$D' || b$r.lhs || b$r.rhs || '$D')"
+      s"replace($acc, e$r.pat, e$r.rep)"
     }
-    val crossJoins = (1 to rounds).map(r => s"CROSS JOIN b$r").mkString(" ")
-    ctes + s""",
+    val crossJoins = (1 to rounds).map(r => s"CROSS JOIN e$r").mkString(" ")
+    ctes + eCtes + s""",
     docw AS (SELECT doc_id,
         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
           x -> x <> '')) AS w

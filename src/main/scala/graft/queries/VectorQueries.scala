@@ -391,7 +391,7 @@ object VectorQueries {
           GROUP BY a.vec_id, a.c),
         rnk AS (
           SELECT vec_id, c, proto, CAST(ROW_NUMBER() OVER (
-            PARTITION BY c ORDER BY proto DESC, vec_id) AS INT) AS rk
+            PARTITION BY c ORDER BY ROUND(proto, 6) DESC, vec_id) AS INT) AS rk
           FROM pr)
         SELECT r.vec_id, r.c AS cluster, ROUND(r.proto, 5) AS proto, r.rk,
           (r.rk <= s.n // 5) AS pruned

@@ -698,6 +698,27 @@ class OpsSpec extends AnyFunSuite {
       m = 2, k = 4, dims = 8)
     (0 until 2).foreach(s => (0 until 4).foreach(c =>
       assert(cb(s)(c).sameElements(cbAgain(s)(c)))))
+    // ragged-row contract: a vector whose length disagrees with the
+    // codebook dims fails with a named contract error, not an opaque
+    // ArrayIndexOutOfBounds deep in generated code (ADVICE round 5)
+    val ragged = Seq((0L, Array.tabulate(5)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    val e = intercept[Exception] {
+      ragged.select(graft.functions.SketchExpressions
+        .pq_encode(col("embedding"), cb)).collect()
+    }
+    assert(rootMsg(e).contains("pq_encode"))
+    val e2 = intercept[Exception] {
+      ragged.select(graft.functions.SketchExpressions
+        .centroid_cosine(col("embedding"), lit(0), Array(0),
+          Array(Array.tabulate(8)(_.toDouble)))).collect()
+    }
+    assert(rootMsg(e2).contains("centroid_cosine"))
   }
 
   test("packing: two-phase prefix sum equals the global window, no " +
@@ -845,6 +866,23 @@ class OpsSpec extends AnyFunSuite {
     val segSum = Seq("low", "lower", "newest")
       .map(w => graft.ops.Bpe.segment(w, merges).size.toLong).sum
     assert(segSum == got(1L)._2)
+  }
+
+  test("bpe tokenize-apply: merge exhaustion keeps train+apply in parity") {
+    // only one merge is learnable ("a"+"b"); a train(8)-then-apply run
+    // must tokenize with the short list. The q77 oracle replays the
+    // same corpus through 8 replace rounds where rounds 2..8 COALESCE
+    // to identity replaces — these pinned counts are what that SQL
+    // returns in DuckDB ((1,3,3),(2,1,1)), so the pair certifies the
+    // exhaustion path cross-engine (ADVICE round 5)
+    val docs = Seq((1L, "ab ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.trainMerges(docs, "text", 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq("a" -> "b"))
+    val got = graft.ops.Bpe.tokenizeCount(docs, "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 3L)), 2L -> ((1L, 1L))))
   }
 
   test("bloom cross-dedup: exact statuses, no false negatives") {
