@@ -50,6 +50,52 @@ object Pipeline {
     */
   def curate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", cfg: Config = Config()): DataFrame = {
+    val train3 = survivors(docs, idCol, textCol, cfg)
+    // ---- stage 6: sequence packing (q52 rule) ------------------------
+    val toks = train3.select(col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    Packing.packBySize(toks, "doc_id", "n_tokens", cfg.packCapacity)
+      .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+  }
+
+  /** Tokenizer-aware curation: stages 1–5 as [[curate]], then a BPE
+    * tokenizer TRAINED ON THE SURVIVORS (the q72 machinery — the merges
+    * a production run would actually ship, learned after cleaning so
+    * boilerplate and near-dups don't dominate pair counts), and packing
+    * by `n_bpe_tokens` from the q77 one-pass apply kernel instead of
+    * whitespace token counts — sequences are packed by what the model
+    * will actually consume.
+    *
+    * Scale shape: everything [[curate]] does, plus ONE more shuffle
+    * (the BPE word-dict build over survivors — merge rounds then run on
+    * the cached vocab-sized dict) and one zero-shuffle apply scan with
+    * the merge list riding as codegen literals. The survivor projection
+    * is persisted lazily: the trainer's first job populates it, the
+    * apply scan rereads it.
+    *
+    * Returns (doc_id, n_bpe_tokens, pack_id), doc_id-ordered packing.
+    */
+  def curateBpePack(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rounds: Int = 8,
+      cfg: Config = Config()): DataFrame = {
+    val surv = survivors(docs, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Bpe.trainMerges(surv, "text", rounds).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = Bpe.tokenizeCount(surv, "text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    Packing.packBySize(counts, "doc_id", "n_bpe_tokens", cfg.packCapacity)
+      .select(col("doc_id"), col("n_bpe_tokens"), col("pack_id"))
+  }
+
+  /** Stages 1–5 (quality gate → PII scrub → exact dedup → minhash+CC
+    * near-dup drop → decontamination): the cleaned surviving corpus as
+    * (doc_id, text), the input both packing variants and the tokenizer
+    * trainer consume.
+    */
+  def survivors(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config()): DataFrame = {
     // ---- stages 1+2: quality gate + scrub, one scan, zero shuffle ----
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
@@ -96,13 +142,6 @@ object Pipeline {
       .select(col("doc_id"), explode(shingles(col("text"))).as("__sh"))
       .join(broadcast(evalSh), Seq("__sh"))
       .select("doc_id").distinct()
-    val train3 = train2.join(contam, Seq("doc_id"), "left_anti")
-
-    // ---- stage 6: sequence packing (q52 rule) ------------------------
-    val toks = train3.select(col("doc_id"),
-      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
-        .cast("long").as("n_tokens"))
-    Packing.packBySize(toks, "doc_id", "n_tokens", cfg.packCapacity)
-      .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+    train2.join(contam, Seq("doc_id"), "left_anti")
   }
 }

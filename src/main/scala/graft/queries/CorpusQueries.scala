@@ -22,12 +22,17 @@ object CorpusQueries {
     * share leftmost-non-overlapping semantics, which is exactly the
     * greedy BPE application order both sides use.
     */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The training CTE chain (w0 … s`rounds`) reading words from `src`
+    * — a table name or a prior CTE — WITHOUT the leading WITH, so the
+    * chain splices after other CTE blocks (q80 runs it over the q55
+    * survivor set).
+    */
+  private[queries] def bpeTrainCtes(rounds: Int, src: String): String = {
     val D = graft.ops.Bpe.Delim
-    val head = s"""WITH w0 AS (
+    val head = s"""w0 AS (
       SELECT w, COUNT(*) AS cnt FROM (
         SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-          x -> x <> '')) AS w FROM documents)
+          x -> x <> '')) AS w FROM $src)
       WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
     s0 AS (SELECT cnt,
       '$D' || array_to_string(string_split(w, ''), '$D$D') || '$D' AS seq
@@ -49,10 +54,14 @@ object CorpusQueries {
         '$D' || lhs || rhs || '$D') AS seq
       FROM s$p CROSS JOIN b$r)"""
     }.mkString
+    head + roundCtes
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val tail = (1 to rounds).map(r =>
       s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, weight FROM b$r")
       .mkString("\n    ", "\n    UNION ALL ", "\n    ORDER BY merge_rank")
-    head + roundCtes + tail
+    "WITH " + bpeTrainCtes(rounds, "documents") + tail
   }
 
   /** [[bpeOracleSql]]'s CTE chain, finished with a tokenizer-APPLY pass:
@@ -67,10 +76,15 @@ object CorpusQueries {
     * pattern/replacement COALESCE to the identity replace
     * ('$D' → '$D') when that round learned nothing.
     */
-  private def bpeTokenizeOracleSql(rounds: Int): String = {
+  /** The apply CTE chain (e1 … cnt): replays the learned merges over
+    * every document of `src` and counts per-doc words / BPE tokens.
+    * Splices after [[bpeTrainCtes]] (same rounds, same src). Ends with
+    * the `cnt` CTE — (doc_id, n_words, n_bpe_tokens) for documents
+    * with ≥1 qualifying word; callers LEFT JOIN back to `src` for the
+    * zero rows.
+    */
+  private[queries] def bpeApplyCtes(rounds: Int, src: String): String = {
     val D = graft.ops.Bpe.Delim
-    val base = bpeOracleSql(rounds)
-    val ctes = base.substring(0, base.lastIndexOf("\n    SELECT 1 AS merge_rank"))
     val eCtes = (1 to rounds).map { r =>
       s""",
     e$r AS (SELECT
@@ -82,11 +96,11 @@ object CorpusQueries {
       s"replace($acc, e$r.pat, e$r.rep)"
     }
     val crossJoins = (1 to rounds).map(r => s"CROSS JOIN e$r").mkString(" ")
-    ctes + eCtes + s""",
+    eCtes + s""",
     docw AS (SELECT doc_id,
         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
           x -> x <> '')) AS w
-      FROM documents),
+      FROM $src),
     dv AS (SELECT doc_id, w FROM docw
       WHERE regexp_matches(w, '^[a-z0-9]+$$')),
     sq AS (SELECT doc_id,
@@ -96,12 +110,16 @@ object CorpusQueries {
     cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
         CAST(SUM(len(string_split(trim(seq, '$D'), '$D$D'))) AS BIGINT)
           AS n_bpe_tokens
-      FROM ap GROUP BY doc_id)
+      FROM ap GROUP BY doc_id)"""
+  }
+
+  private def bpeTokenizeOracleSql(rounds: Int): String =
+    "WITH " + bpeTrainCtes(rounds, "documents") +
+      bpeApplyCtes(rounds, "documents") + s"""
     SELECT d.doc_id, COALESCE(cnt.n_words, 0) AS n_words,
       COALESCE(cnt.n_bpe_tokens, 0) AS n_bpe_tokens
     FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
     ORDER BY d.doc_id"""
-  }
 
   /** DuckDB replay of [[graft.ops.LogReg.train]]: hashed features, then
     * `iters` chained (margin → residual → quantized gradient → update)

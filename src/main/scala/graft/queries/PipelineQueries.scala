@@ -14,15 +14,12 @@ import QueryDef.table
   */
 object PipelineQueries {
 
-  val defs: Seq[QueryDef] = Seq(
-    QueryDef(
-      "q55_pipeline",
-      (s, dir) => {
-        import s.implicits._
-        graft.ops.Pipeline.curate(table(s, dir, "documents"))
-          .orderBy($"doc_id")
-      },
-      Some(raw"""WITH RECURSIVE
+  /** Stages 1–5 of the q55 chain (quality gate → PII scrub → exact
+    * dedup → near-dup closure → decontamination) as a CTE block ending
+    * at `keep3` — shared by q55 (whitespace-token packing) and q80
+    * (survivor-trained BPE packing).
+    */
+  private val stageCtes: String = raw"""
         t0 AS (SELECT doc_id, text FROM documents),
         -- stage 1: Gopher repetition gate (q48 fragments) + min length
         tok AS (SELECT doc_id,
@@ -100,7 +97,17 @@ object PipelineQueries {
           WHERE len(s2.toks) >= 4),
         contam AS (SELECT DISTINCT t2.doc_id FROM trsh t2 JOIN ev USING (sgl)),
         keep3 AS (SELECT doc_id FROM keep2
-          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q55_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Pipeline.curate(table(s, dir, "documents"))
+          .orderBy($"doc_id")
+      },
+      Some("WITH RECURSIVE" + stageCtes + raw""",
         -- stage 6: packing (q52 rule, capacity 256)
         ptok AS (SELECT sc.doc_id,
             len(list_filter(regexp_split_to_array(sc.text, '\s+'),
@@ -111,6 +118,42 @@ object PipelineQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
           FROM ptok)
         SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+          CAST(bef // 256 AS BIGINT) AS pack_id
+        FROM c2 ORDER BY doc_id""")),
+
+    // ---- tokenizer-aware curation: pack by TRAINED-BPE token counts ----
+    // The q55 chain, then a BPE tokenizer trained ON THE SURVIVORS (the
+    // q72 machinery — merges learned after cleaning, so boilerplate and
+    // near-dups don't dominate pair counts) and packing by the q77
+    // apply kernel's n_bpe_tokens instead of whitespace counts:
+    // sequences are packed by what the model will actually consume. The
+    // oracle replays the whole composition — five curation stages, all
+    // 8 merge rounds, the per-word apply chain, and the packing prefix
+    // sum — in ONE recursive SQL statement built from the same CTE
+    // fragments q55/q72/q77 already certify.
+    QueryDef(
+      "q80_bpe_pack",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Pipeline.curateBpePack(table(s, dir, "documents"))
+          .orderBy($"doc_id")
+      },
+      Some("WITH RECURSIVE" + stageCtes + raw""",
+        -- MATERIALIZED: surv is read by the trainer, the apply pass and
+        -- the pack join; DuckDB would otherwise inline the whole
+        -- five-stage upstream (including the recursive closure) into
+        -- every reference and re-open the parquet per copy
+        surv AS MATERIALIZED (SELECT sc.doc_id, sc.text
+          FROM scrub sc JOIN keep3 USING (doc_id)),
+        """ + CorpusQueries.bpeTrainCtes(8, "surv") +
+        CorpusQueries.bpeApplyCtes(8, "surv") + raw""",
+        tokn AS (SELECT s3.doc_id, COALESCE(cnt.n_bpe_tokens, 0) AS ntok
+          FROM surv s3 LEFT JOIN cnt USING (doc_id)),
+        c2 AS (SELECT doc_id, ntok,
+            COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM tokn)
+        SELECT doc_id, CAST(ntok AS BIGINT) AS n_bpe_tokens,
           CAST(bef // 256 AS BIGINT) AS pack_id
         FROM c2 ORDER BY doc_id"""))
   )
