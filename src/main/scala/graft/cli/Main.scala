@@ -512,7 +512,10 @@ object Main {
 
       //   pipeline in out  (full curation chain: quality gate -> PII
       //   scrub -> exact dedup -> minhash near-dup clusters ->
-      //   decontaminate -> pack; one corpus read — see graft.ops.Pipeline)
+      //   decontaminate -> pack; one corpus read — see graft.ops.Pipeline).
+      //   --bpe-rounds N switches packing to survivor-trained BPE token
+      //   counts (the q80 composition: train on the cleaned corpus, pack
+      //   by what the model will consume)
       case "pipeline" =>
         val Seq(in, out) = rest.take(2)
         val cfg = graft.ops.Pipeline.Config(
@@ -526,10 +529,15 @@ object Main {
           evalMod = opt(rest, "eval-mod").map(_.toLong).getOrElse(50L),
           packCapacity =
             opt(rest, "capacity").map(_.toLong).getOrElse(256L))
-        graft.ops.Pipeline.curate(spark.read.parquet(in),
-            opt(rest, "id-column").getOrElse("doc_id"),
-            opt(rest, "text-column").getOrElse("text"), cfg)
-          .write.mode("overwrite").parquet(out)
+        val idC = opt(rest, "id-column").getOrElse("doc_id")
+        val txtC = opt(rest, "text-column").getOrElse("text")
+        val curated = opt(rest, "bpe-rounds") match {
+          case Some(r) => graft.ops.Pipeline.curateBpePack(
+            spark.read.parquet(in), idC, txtC, r.toInt, cfg)
+          case None => graft.ops.Pipeline.curate(
+            spark.read.parquet(in), idC, txtC, cfg)
+        }
+        curated.write.mode("overwrite").parquet(out)
 
       case "inspect" =>
         val s = Checks.inspect(rest.head)

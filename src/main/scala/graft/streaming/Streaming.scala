@@ -355,6 +355,74 @@ object Streaming {
       }
   }
 
+  final case class BlockHit(bh: String, doc_id: Long, idx: Int, blk: String,
+      ts: java.sql.Timestamp)
+  final case class BlockFirst(firstDoc: Long, firstIdx: Int, lastSeenMs: Long)
+  final case class BlockDecision(doc_id: Long, idx: Int, blk: String,
+      kept: Boolean)
+
+  /** Streaming sub-document block scrub — the keyed-state twin of
+    * `Dedup.scrubDuplicateBlocks` (batch q79): every document splits
+    * into consecutive `blockTokens`-token blocks (the same
+    * `token_blocks` kernel), state lives per 16-byte block digest — the
+    * key the batch survival window shuffles on — and holds ONLY the
+    * first occurrence (doc_id, idx), so unlike the minhash twin there
+    * is no per-bucket resident list to cap: per-key state is one
+    * record, and the KEY COUNT is bounded by the event-time timeout
+    * (a digest unseen for `horizon` is evicted once the watermark
+    * passes). Each arriving block emits a kept/scrubbed decision:
+    * first arrival wins — under ordered replay that equals the batch
+    * (doc_id, idx) rule — re-deliveries of the winning row stay kept,
+    * and boilerplate arriving after the horizon starts a fresh first
+    * occurrence, the standard streaming-dedup contract. Downstream
+    * reassembles documents from their kept decisions (the batch op's
+    * doc-keyed aggregation), which keeps this operator single-purpose:
+    * the unbounded part — block survival — is what needs keyed state.
+    */
+  def scrubDuplicateBlocks(docs: Dataset[Doc], blockTokens: Int = 10,
+      horizon: java.time.Duration = java.time.Duration.ofHours(1))
+      : Dataset[BlockDecision] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizon.toMillis
+    val hits = docs.flatMap { d =>
+      val ad = graft.functions.SketchEval.tokenBlocks(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (d.text == null) "" else d.text), blockTokens)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until ad.numElements()).map { i =>
+        val blk = ad.getUTF8String(i).toString
+        md.reset()
+        val bh = md.digest(blk.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        BlockHit(bh, d.doc_id, i, blk, d.ts)
+      }
+    }
+    hits.withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .groupByKey(_.bh)
+      .flatMapGroupsWithState[BlockFirst, BlockDecision](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, batch: Iterator[BlockHit], state: GroupState[BlockFirst]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(h => (h.ts.getTime, h.doc_id, h.idx))
+            val out = scala.collection.mutable.ArrayBuffer[BlockDecision]()
+            var st = state.getOption
+            sorted.foreach { h =>
+              val kept = st.isEmpty ||
+                (st.get.firstDoc == h.doc_id && st.get.firstIdx == h.idx)
+              st = Some(st.fold(BlockFirst(h.doc_id, h.idx, h.ts.getTime))(
+                s => s.copy(lastSeenMs = math.max(s.lastSeenMs, h.ts.getTime))))
+              out += BlockDecision(h.doc_id, h.idx, h.blk, kept)
+            }
+            state.update(st.get)
+            state.setTimeoutTimestamp(st.get.lastSeenMs + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   final case class Scored(grp: String, id: Long, score: Double)
   final case class TopKState(items: List[(Double, Long)])
   final case class TopKRow(grp: String, rank: Int, id: Long, score: Double)

@@ -325,6 +325,37 @@ class CliSpec extends AnyFunSuite {
     assert(out.select(countDistinct($"pack_id")).head().getLong(0) > 1)
   }
 
+  test("pipeline --bpe-rounds packs by survivor-trained BPE tokens") {
+    import spark.implicits._
+    val dir = tmp("pipeline_bpe")
+    // doc-unique words (no cross-doc 4-gram -> decontamination keeps
+    // everything except the eval holdout) with a shared "word" prefix
+    // for the BPE rounds to learn from
+    // 30 words so the all-distinct-bigram fraction 1/29 clears the
+    // 0.05 Gopher gate (20-word docs sit at 1/19 and get flagged)
+    val docs = (0L until 60L)
+      .map(i => (i, (0 until 30).map(j => s"word${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+    Main.run(spark, Seq("pipeline", s"$dir/docs.parquet",
+      s"$dir/out.parquet", "--bpe-rounds", "4", "--capacity", "64"))
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    assert(out.columns.toSeq.sorted == Seq("doc_id", "n_bpe_tokens", "pack_id"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // 4 learned merges compress: every 30-word doc has fewer BPE tokens
+    // than raw characters and at least as many as words
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_bpe_tokens")
+      assert(t >= 30, s"doc ${r.getLong(0)}: $t tokens < word count")
+    }
+    // packing is monotone in doc_id at the configured capacity
+    val byId = out.orderBy($"doc_id").select($"pack_id")
+      .collect().map(_.getLong(0))
+    assert(byId.sliding(2).forall(p => p(0) <= p(1)))
+    assert(byId.distinct.length > 1)
+  }
+
   test("benchmark suite + report: matrix runs, thresholds flag regressions") {
     val dir = tmp("bench")
     // run the operation matrix small and store the results

@@ -153,6 +153,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(bb == 60) // 3 copies x 20 base payloads
   }
 
+  test("streaming block scrub reproduces the batch survival + reassembly") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sblk")
+    // shared 10-token header across docs 1-3 (the q79 boilerplate
+    // shape) + unique tails; doc 4 is a full duplicate of doc 1
+    val header = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"$header one two three four five six seven eight nine ten"),
+      (3L, header),
+      (4L, s"$header alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.Doc]
+    val decisions = Streaming.runToCompletion(
+      Streaming.scrubDuplicateBlocks(stream, blockTokens = 10,
+          horizon = java.time.Duration.ofDays(365)).toDF(),
+      "sblk_test", outputMode = "update")
+    // downstream reassembly: the batch op's doc-keyed aggregation over
+    // the kept decisions
+    val streamed = decisions.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(when($"kept", struct($"idx", $"blk")))),
+        s => s.getField("blk")), " ")).as("scrubbed_digest"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val batch = graft.ops.Dedup.scrubDuplicateBlocks(
+        docs.select($"doc_id", $"text"), "text", "doc_id", 10)
+      .filter($"n_blocks" > 0) // zero-block docs emit no stream rows
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.toSeq.sortBy(_._1)} vs batch ${batch.toSeq.sortBy(_._1)}")
+    // the fixture plants real scrubbing: doc 4 loses everything, docs
+    // 2-3 lose the shared header
+    assert(batch(4L)._2 == 0L && batch(2L)._2 == 1L && batch(3L)._2 == 0L)
+  }
+
   test("streaming minhash near-dup finds the batch operator's pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_smh")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
