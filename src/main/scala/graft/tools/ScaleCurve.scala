@@ -53,11 +53,25 @@ object ScaleCurve {
     "q79_block_scrub"     // digest-keyed block survival + doc reassembly
   )
 
+  /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
+    * synthesize only the k× tables it will actually read: the 100×
+    * documents tier alone is ~7 GB of salted text.
+    */
+  private val embQueries = Set("q51_kmeans", "q59_ann_sq8", "q63_ann_pq",
+    "q64_ann_recall", "q65_proto_prune", "q69_rand_proj")
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outDir = args.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
+    // SPARK_GRAFT_ONLY=q20_...,q73_... restricts the flagship set (the
+    // Bench convention) — used for the deep tiers (100×) where running
+    // all 35 would take hours
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = flagships.filter(q => only.forall(_.contains(q)))
+    val withSem = only.forall(_.contains("q53_semdedup_scaledk"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,30 +95,33 @@ object ScaleCurve {
       big.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
 
-    scaleUp("customer", "c_custkey")
-    scaleUp("orders", "o_orderkey")
+    if (picked.contains("q13_hilbert_sort")) scaleUp("customer", "c_custkey")
+    if (picked.contains("q5_window_topk")) scaleUp("orders", "o_orderkey")
     // salt every token with the shard id (shard 0 keeps the originals):
     // shingle streams become disjoint across shards, so duplicate pairs
     // stay within-shard and the pair count scales ×k — copying text
     // verbatim would instead multiply every dup cluster by k and grow
     // pair work k², which is a data-distribution change, not a scale-up
-    scaleUp("documents", "doc_id", (d, i) =>
-      if (i == 0) d
-      else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))
+    if (picked.exists(q => !embQueries(q) && q != "q5_window_topk" &&
+        q != "q13_hilbert_sort"))
+      scaleUp("documents", "doc_id", (d, i) =>
+        if (i == 0) d
+        else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))
     // shard-coherent perturbation: copies shift together, so near-dup
     // pairs stay within-shard (linear growth), mirroring the token salt
-    scaleUp("embeddings", "vec_id", (d, i) =>
-      if (i == 0) d
-      else d.withColumn("embedding",
-        transform(col("embedding"), x => x + lit(0.013f * i))
-          .cast("array<float>")))
+    if (picked.exists(embQueries) || withSem)
+      scaleUp("embeddings", "vec_id", (d, i) =>
+        if (i == 0) d
+        else d.withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.013f * i))
+            .cast("array<float>")))
 
     // ---- time both scales --------------------------------------------
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
     // warmup on the smallest sf: JIT + first-scan planning off the clock
-    flagships.foreach { q =>
+    picked.foreach { q =>
       try force(graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
@@ -116,7 +133,7 @@ object ScaleCurve {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    var rows = flagships.map { q =>
+    var rows = picked.map { q =>
       val tSmall = time(q, baseDir)
       val tBig = time(q, outDir)
       val exp = math.log(tBig / tSmall) / math.log(factor.toDouble)
@@ -134,17 +151,19 @@ object ScaleCurve {
       force(graft.ops.KMeans.semDedupPairs(assigned, "embedding", "vec_id",
         threshold = 0.45))
     }
-    semdedup(baseDir, 8) // warmup
-    def timeSem(dir: String, k: Int): Double =
-      (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        semdedup(dir, k)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    val tS = timeSem(baseDir, 8)
-    val tB = timeSem(outDir, 8 * factor)
-    rows = rows :+ ("q53_semdedup_scaledk", tS, tB,
-      math.log(tB / tS) / math.log(factor.toDouble))
+    if (withSem) {
+      semdedup(baseDir, 8) // warmup
+      def timeSem(dir: String, k: Int): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          semdedup(dir, k)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      val tS = timeSem(baseDir, 8)
+      val tB = timeSem(outDir, 8 * factor)
+      rows = rows :+ (("q53_semdedup_scaledk", tS, tB,
+        math.log(tB / tS) / math.log(factor.toDouble)))
+    }
     val qjson = rows.map { case (q, ts, tb, e) =>
       f""""$q":{"t_base":$ts%.3f,"t_x$factor":$tb%.3f,"exponent":$e%.3f}"""
     }.mkString("{", ",", "}")
