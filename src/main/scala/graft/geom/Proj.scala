@@ -437,6 +437,7 @@ object Proj {
     val code =
       if (u.startsWith("URN:")) u.substring(u.lastIndexOf(':') + 1)
       else if (u.startsWith("EPSG:")) u.substring(5)
+      else if (u.startsWith("ESRI:")) u.substring(5) // 54008/54009/54030 world codes
       else u
     code.toInt
   }
@@ -476,6 +477,12 @@ object Proj {
       case 3031 | 3976 => Some((-5e6, -5e6, 5e6, 5e6)) // polar stereo south, outward
       case 3032 => Some((1e6, 1e6, 11e6, 11e6)) // Australian Antarctic, outward
       case 5041 | 5042 => Some((0.0, 0.0, 4e6, 4e6)) // UPS, outward
+      case 54008 => // World Sinusoidal: |x| ≤ aπ, |y| ≤ M(90°), outward
+        Some((-20.1e6, -10.1e6, 20.1e6, 10.1e6))
+      case 54009 => // World Mollweide: |x| ≤ 2√2·a, |y| ≤ √2·a, outward
+        Some((-18.1e6, -9.1e6, 18.1e6, 9.1e6))
+      case 54030 => // World Robinson: |x| ≤ 0.8487aπ, |y| ≤ 1.3523a, outward
+        Some((-17.1e6, -8.7e6, 17.1e6, 8.7e6))
       case _ => None
     }
 
@@ -483,7 +490,7 @@ object Proj {
     c == 4326 || c == 4269 || c == 4258 ||
       c == 3857 || c == 900913 || c == 3395 ||
       c == 5070 || c == 2154 || c == 3035 ||
-      isTm(c) || polarByCode.contains(c)
+      isTm(c) || polarByCode.contains(c) || worldByCode.contains(c)
 
   def supported(crs: String): Boolean =
     (try codeSupported(parseEpsg(crs)) catch { case _: Exception => false }) ||
@@ -534,6 +541,171 @@ object Proj {
       (math.toDegrees(lon0 + (x - fe) / nu1Cos), math.toDegrees(phi))
     }
   }
+
+  // ---- Mollweide (ESRI:54009; no EPSG method code) -----------------------
+  // Equal-area pseudocylindrical, spherical formulation with R = the
+  // ellipsoid's semi-major axis — PROJ's `moll` convention, which is what
+  // the reference gets for ESRI:54009 (`core/reproject.py` via pyproj).
+  // Forward solves 2θ + sin 2θ = π sin φ by Newton (Snyder 1987 §31);
+  // the inverse recovers θ from y in closed form, so the defining
+  // equation itself certifies the iteration in tests.
+  private final class Mollweide(lon0d: Double, fe: Double, fn: Double,
+      a: Double = A) extends Projection {
+    private val lon0 = math.toRadians(lon0d)
+    private val sqrt2 = math.sqrt(2.0)
+
+    private def thetaOf(phi: Double): Double = {
+      val target = math.Pi * math.sin(phi)
+      var th = phi
+      var i = 0
+      while (i < 12) {
+        val f = 2 * th + math.sin(2 * th) - target
+        val d = 2 + 2 * math.cos(2 * th)
+        if (math.abs(d) < 1e-14) return math.signum(phi) * math.Pi / 2
+        val next = th - f / d
+        if (math.abs(next - th) < 1e-13) return next
+        th = next
+        i += 1
+      }
+      th
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val th = thetaOf(math.toRadians(lat))
+      (fe + (2 * sqrt2 / math.Pi) * a *
+        normLon(math.toRadians(lon) - lon0) * math.cos(th),
+        fn + sqrt2 * a * math.sin(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val th = math.asin(math.max(-1.0, math.min(1.0, (y - fn) / (sqrt2 * a))))
+      val phi = math.asin(math.max(-1.0,
+        math.min(1.0, (2 * th + math.sin(2 * th)) / math.Pi)))
+      val lam =
+        if (math.abs(math.cos(th)) < 1e-12) lon0
+        else lon0 + math.Pi * (x - fe) / (2 * sqrt2 * a * math.cos(th))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  // ---- Sinusoidal (ESRI:54008; no EPSG method code) ----------------------
+  // Equal-area pseudocylindrical, ellipsoidal (Snyder 1987 §30):
+  // x = FE + a·Δλ·cosφ/√(1−e²sin²φ), y = FN + M(φ) — the same meridian
+  // arc series as Equidistant Cylindrical / TM, inverted through the
+  // rectifying-latitude series plus a Newton polish.
+  private final class Sinusoidal(lon0d: Double, fe: Double, fn: Double,
+      flattening: Double = FWgs, a: Double = A) extends Projection {
+    private val e2 = 2 * flattening - flattening * flattening
+    private val lon0 = math.toRadians(lon0d)
+    private def mOf(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi -
+        (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi) +
+        (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi) -
+        (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val s = math.sin(phi)
+      (fe + a * normLon(math.toRadians(lon) - lon0) * math.cos(phi) /
+        math.sqrt(1 - e2 * s * s),
+        fn + mOf(phi))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val mu = (y - fn) /
+        (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      var phi = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      var j = 0
+      while (j < 2) {
+        val s = math.sin(phi)
+        val w = math.sqrt(1 - e2 * s * s)
+        phi -= (mOf(phi) - (y - fn)) * w * w * w / (a * (1 - e2))
+        j += 1
+      }
+      val s = math.sin(phi)
+      val cos = math.cos(phi)
+      val lam =
+        if (math.abs(cos) < 1e-12) lon0
+        else lon0 + (x - fe) * math.sqrt(1 - e2 * s * s) / (a * cos)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  // ---- Robinson (ESRI:54030; no EPSG method code) ------------------------
+  // Robinson's 1974 table projection: published X (parallel length) and
+  // Y (parallel distance from equator) multipliers at 5° latitude nodes,
+  // interpolated between nodes; x = 0.8487·R·X·Δλ, y = 1.3523·R·Y·sign φ,
+  // R = semi-major axis (PROJ's `robin` convention for ESRI:54030).
+  // Interpolation here is monotone cubic Hermite with centered-difference
+  // slopes — C¹, hits every published node exactly, and is its own
+  // inverse target (the y-inverse bisects the same interpolant), so
+  // round-trips are exact to solver tolerance. PROJ uses its own spline
+  // coefficients; between nodes the two differ by < ~100 m at world
+  // scale, at the nodes they agree exactly.
+  private final class Robinson(lon0d: Double, fe: Double, fn: Double,
+      a: Double = A) extends Projection {
+    private val lon0 = math.toRadians(lon0d)
+    private val X = Array(1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730,
+      0.9600, 0.9427, 0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597,
+      0.7186, 0.6732, 0.6213, 0.5722, 0.5322)
+    private val Y = Array(0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100,
+      0.3720, 0.4340, 0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903,
+      0.8435, 0.8936, 0.9394, 0.9761, 1.0000)
+
+    // Hermite value at |lat| (degrees) over a node table
+    private def interp(t: Array[Double], absLatDeg: Double): Double = {
+      val pos = math.min(absLatDeg, 90.0) / 5.0
+      val i = math.min(pos.toInt, 17)
+      val u = pos - i
+      def slope(j: Int): Double =
+        if (j <= 0) t(1) - t(0)
+        else if (j >= 18) t(18) - t(17)
+        else (t(j + 1) - t(j - 1)) / 2.0
+      val (p0, p1, m0, m1) = (t(i), t(i + 1), slope(i), slope(i + 1))
+      val u2 = u * u; val u3 = u2 * u
+      (2 * u3 - 3 * u2 + 1) * p0 + (u3 - 2 * u2 + u) * m0 +
+        (-2 * u3 + 3 * u2) * p1 + (u3 - u2) * m1
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val absLat = math.abs(lat)
+      (fe + 0.8487 * a * interp(X, absLat) *
+        normLon(math.toRadians(lon) - lon0),
+        fn + 1.3523 * a * interp(Y, absLat) * math.signum(lat))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yy = math.min(math.abs(y - fn) / (1.3523 * a), 1.0)
+      // Y is strictly increasing: bisect the interpolant
+      var lo = 0.0; var hi = 90.0
+      var i = 0
+      while (i < 60) {
+        val mid = (lo + hi) / 2
+        if (interp(Y, mid) < yy) lo = mid else hi = mid
+        i += 1
+      }
+      val absLat = (lo + hi) / 2
+      val lam = lon0 + (x - fe) / (0.8487 * a * interp(X, absLat))
+      (math.toDegrees(lam), absLat * math.signum(y - fn))
+    }
+  }
+
+  private def normLon(rad: Double): Double =
+    if (rad > math.Pi) rad - 2 * math.Pi
+    else if (rad < -math.Pi) rad + 2 * math.Pi
+    else rad
+
+  /** ESRI world pseudocylindricals on WGS84 (what PROJ resolves the
+    * 54008/54009/54030 codes to): sinusoidal, Mollweide, Robinson.
+    */
+  private lazy val worldByCode: Map[Int, Projection] = Map(
+    54008 -> new Sinusoidal(0, 0, 0),
+    54009 -> new Mollweide(0, 0, 0),
+    54030 -> new Robinson(0, 0, 0))
 
   // ---- Krovak (EPSG methods 9819 south-west / 1041 north-orientated) ----
   // Conformal oblique conic on Bessel 1841 (S-JTSK, Czechia/Slovakia);
@@ -720,6 +892,9 @@ object Proj {
           else if (n.contains("oblique mercator") || n.contains("hotine")) 9812
           else if (n.contains("equidistant cylindrical") && n.contains("spherical")) 1029
           else if (n.contains("equidistant cylindrical")) 1028
+          else if (n.contains("mollweide")) 54009
+          else if (n.contains("sinusoidal")) 54008
+          else if (n.contains("robinson")) 54030
           else -1
         }
     // parameters by EPSG id and by lowercase name; values normalized to
@@ -843,6 +1018,15 @@ object Proj {
         val k0 = math.cos(lat1) / math.sqrt(1 - e2 * math.sin(lat1) * math.sin(lat1))
         Some(new Merc(k0, pv(8802, "longitude of natural origin"),
           pv(8806, "false easting"), pv(8807, "false northing"), flat, a))
+      case 54009 => Some(new Mollweide(
+        pv(8802, "longitude of natural origin"),
+        pv(8806, "false easting"), pv(8807, "false northing"), a))
+      case 54008 => Some(new Sinusoidal(
+        pv(8802, "longitude of natural origin"),
+        pv(8806, "false easting"), pv(8807, "false northing"), flat, a))
+      case 54030 => Some(new Robinson(
+        pv(8802, "longitude of natural origin"),
+        pv(8806, "false easting"), pv(8807, "false northing"), a))
       case _ => None
     }
   }
@@ -883,6 +1067,7 @@ object Proj {
       case 3035 => Laea3035.inverse(x, y)
       case z if isTm(z) => tmFor(z).inverse(x, y)
       case z if polarByCode.contains(z) => polarByCode(z).inverse(x, y)
+      case z if worldByCode.contains(z) => worldByCode(z).inverse(x, y)
       case _ => throw new IllegalArgumentException(s"unsupported CRS EPSG:$epsg")
     }
 
@@ -896,6 +1081,7 @@ object Proj {
       case 3035 => Laea3035.forward(lon, lat)
       case z if isTm(z) => tmFor(z).forward(lon, lat)
       case z if polarByCode.contains(z) => polarByCode(z).forward(lon, lat)
+      case z if worldByCode.contains(z) => worldByCode(z).forward(lon, lat)
       case _ => throw new IllegalArgumentException(s"unsupported CRS EPSG:$epsg")
     }
 

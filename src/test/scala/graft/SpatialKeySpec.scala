@@ -472,6 +472,93 @@ class SpatialKeySpec extends AnyFunSuite {
     assert(math.abs(ns - 6371007.0 * math.toRadians(55)) < 1e-4)
   }
 
+  test("world pseudocylindricals: Mollweide / Sinusoidal / Robinson") {
+    val a = 6378137.0
+    // ---- Mollweide (ESRI:54009): certify against the DEFINING equation
+    // 2θ + sin 2θ = π sin φ — recovered from the produced (x, y), so the
+    // check is independent of the forward Newton iteration
+    for ((lon, lat) <- Seq((10.0, 55.0), (-75.0, 50.0), (135.2, -33.9),
+        (0.0, 0.0), (179.0, 85.0))) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", "ESRI:54009")
+      val th = math.asin(y / (math.sqrt(2) * a))
+      assert(math.abs(2 * th + math.sin(2 * th) -
+        math.Pi * math.sin(math.toRadians(lat))) < 1e-9,
+        s"defining equation violated at ($lon, $lat)")
+      assert(math.abs(x - 2 * math.sqrt(2) / math.Pi * a *
+        math.toRadians(lon) * math.cos(th)) < 1e-6)
+      val (l2, p2) = Proj.transform(x, y, "ESRI:54009", "EPSG:4326")
+      assert(math.abs(l2 - lon) < 1e-9 && math.abs(p2 - lat) < 1e-8)
+    }
+    // poles: x = 0, y = ±√2·R exactly
+    val (px, py) = Proj.transform(123.0, 90.0, "EPSG:4326", "ESRI:54009")
+    assert(math.abs(px) < 1e-6 && math.abs(py - math.sqrt(2) * a) < 1e-6)
+
+    // ---- Sinusoidal (ESRI:54008): y is the meridian arc — certify
+    // against an independent numeric integration of the arc integrand
+    // a(1−e²)/(1−e²sin²φ)^{3/2} (Simpson), x against the closed form
+    val f = 1 / 298.257223563
+    val e2 = 2 * f - f * f
+    def arc(latDeg: Double): Double = {
+      val n = 20000
+      val h = math.toRadians(latDeg) / n
+      (0 to n).map { i =>
+        val phi = i * h
+        val w = 1 - e2 * math.sin(phi) * math.sin(phi)
+        val v = a * (1 - e2) / (w * math.sqrt(w))
+        (if (i == 0 || i == n) 1.0 else if (i % 2 == 1) 4.0 else 2.0) * v
+      }.sum * h / 3
+    }
+    for ((lon, lat) <- Seq((10.0, 55.0), (-75.0, -50.0), (135.2, 33.9))) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", "ESRI:54008")
+      assert(math.abs(y - arc(lat)) < 0.01, s"arc: $y vs ${arc(lat)}")
+      val s = math.sin(math.toRadians(lat))
+      assert(math.abs(x - a * math.toRadians(lon) *
+        math.cos(math.toRadians(lat)) / math.sqrt(1 - e2 * s * s)) < 1e-6)
+      val (l2, p2) = Proj.transform(x, y, "ESRI:54008", "EPSG:4326")
+      assert(math.abs(l2 - lon) < 1e-9 && math.abs(p2 - lat) < 1e-8)
+    }
+    // equator: x = a·Δλ exactly (the sphere/ellipsoid agree there)
+    val (ex, ey) = Proj.transform(90.0, 0.0, "EPSG:4326", "ESRI:54008")
+    assert(math.abs(ex - a * math.Pi / 2) < 1e-6 && math.abs(ey) < 1e-6)
+
+    // ---- Robinson (ESRI:54030): published 1974 table nodes are exact
+    // (X multiplier scales x, Y multiplier scales y; x = 0.8487·R·X·Δλ,
+    // y = 1.3523·R·Y·sign φ)
+    for ((lat, xm, ym) <- Seq((0.0, 1.0000, 0.0000), (40.0, 0.9216, 0.4958),
+        (45.0, 0.8962, 0.5571), (90.0, 0.5322, 1.0000),
+        (-40.0, 0.9216, -0.4958))) {
+      val (x, y) = Proj.transform(30.0, lat, "EPSG:4326", "ESRI:54030")
+      assert(math.abs(x - 0.8487 * a * xm * math.toRadians(30)) < 1e-6,
+        s"X node $lat")
+      assert(math.abs(y - 1.3523 * a * ym) < 1e-6, s"Y node $lat")
+    }
+    // between nodes: round trips through the same interpolant, and y is
+    // strictly monotone in latitude
+    var prevY = -1e18
+    for (i <- 0 to 24; lat = -88.0 + i * 7.3) {
+      val (x, y) = Proj.transform(-42.5, lat, "EPSG:4326", "ESRI:54030")
+      assert(y > prevY); prevY = y
+      val (l2, p2) = Proj.transform(x, y, "ESRI:54030", "EPSG:4326")
+      assert(math.abs(l2 + 42.5) < 1e-7 && math.abs(p2 - lat) < 1e-7)
+    }
+
+    // PROJJSON dispatch by method NAME (the ESRI docs carry no EPSG
+    // method id) must resolve to the same projection as the code path
+    val mollJson = """{"type":"ProjectedCRS","name":"World Mollweide",
+      "base_crs":{"name":"WGS 84","datum_ensemble":{"name":"WGS 84","ellipsoid":{
+        "name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+      "conversion":{"name":"World Mollweide",
+        "method":{"name":"Mollweide"},
+        "parameters":[
+          {"name":"Longitude of natural origin","value":0,"unit":"degree","id":{"authority":"EPSG","code":8802}},
+          {"name":"False easting","value":0,"unit":"metre","id":{"authority":"EPSG","code":8806}},
+          {"name":"False northing","value":0,"unit":"metre","id":{"authority":"EPSG","code":8807}}]}}"""
+    assert(Proj.supported(mollJson))
+    val (jx, jy) = Proj.transform(10.0, 55.0, "EPSG:4326", mollJson)
+    val (cx, cy) = Proj.transform(10.0, 55.0, "EPSG:4326", "ESRI:54009")
+    assert(math.abs(jx - cx) < 1e-9 && math.abs(jy - cy) < 1e-9)
+  }
+
   test("CRS dispatch accepts PROJJSON, URNs and OGC:CRS84") {
     assert(Proj.parseEpsg("urn:ogc:def:crs:EPSG::3857") == 3857)
     assert(Proj.parseEpsg("OGC:CRS84") == 4326)
