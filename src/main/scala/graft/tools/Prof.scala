@@ -22,32 +22,20 @@ object Prof {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    t("warm: emb scan")(force(emb))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    t("warm: docs scan")(force(docs.select($"doc_id", $"text")))
+    val tf0 = docs.select($"doc_id",
+        explode(graft.functions.SketchExpressions
+          .term_counts(coalesce($"text", lit(""))))
+          .as("tc"))
+      .select($"doc_id", $"tc.term".as("term"), $"tc.tf".as("tf"))
     for (r <- 1 to 3) {
-      val cb = t(s"run$r: train codebooks")(
-        graft.ops.Pq.trainCodebooks(emb, "embedding", "vec_id",
-          m = 4, k = 16, dims = 64))
-      val qraw = t(s"run$r: fetch query")(
-        emb.filter($"vec_id" === 4)
-          .select($"embedding").collect()(0).getSeq[Float](0).toArray)
-      val top = emb.filter($"vec_id" =!= 4)
-        .select($"vec_id",
-          round(graft.ops.Pq.adcCosine(
-            graft.functions.SketchExpressions.pq_encode($"embedding", cb),
-            cb, qraw), 5).as("sim_pq"))
-        .orderBy($"sim_pq".desc, $"vec_id")
-        .limit(10)
-      val qlit = typedlit(qraw)
-      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-      val out = broadcast(top).join(emb, Seq("vec_id"))
-        .select($"vec_id", $"sim_pq",
-          round(dot($"embedding", qlit) /
-            (sqrt(dot($"embedding", $"embedding")) * sqrt(dot(qlit, qlit))),
-            5).as("sim_exact"))
-        .orderBy($"sim_pq".desc, $"vec_id")
-      t(s"run$r: adc + rerank deliver")(force(out))
+      t(s"run$r: kernel+explode only")(force(tf0))
+      t(s"run$r: + window df")(force(
+        tf0.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"term")))))
+      val q = graft.SparkEntry.queries("q54_tfidf")
+      t(s"run$r: full q54")(force(q(spark, sfDir)))
     }
     spark.stop()
   }
