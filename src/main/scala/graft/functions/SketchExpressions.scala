@@ -436,6 +436,24 @@ object SketchEval {
     acc
   }
 
+  /** Double-weight twin of [[dotMicro]]: Σ x·w(f) over a sparse [(f,x)]
+    * feature row against a per-feature double weight vector (the Naive
+    * Bayes log-likelihood-ratio score). Summation runs in the row's
+    * feature order; consumers round the result (the q57 ln discipline)
+    * so cross-engine summation-order ulps never surface.
+    */
+  def dotWeights(arr: ArrayData, w: Array[Double]): Double = {
+    var acc = 0.0
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getStruct(i, 2)
+      acc += w(s.getLong(0).toInt) * s.getLong(1)
+      i += 1
+    }
+    acc
+  }
+
   /** Consecutive k-token blocks of whitespace-split text (ORIGINAL
     * case — reconstruction operators must preserve the text), space-
     * joined, one pass. Parity with
@@ -1194,6 +1212,27 @@ object SketchExpressions {
 
   def dot_micro(fs: Column, weights: Array[Long]): Column =
     GraftBridge.column(DotMicro(GraftBridge.expression(fs), weights))
+
+  /** Sparse [(f, x)] row ⋅ double weights (see SketchEval.dotWeights). */
+  case class DotWeights(child: Expression, weights: Array[Double])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(
+      StructType(Seq(StructField("f", LongType, nullable = false),
+        StructField("x", LongType, nullable = false)))))
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any): Any =
+      SketchEval.dotWeights(a.asInstanceOf[ArrayData], weights)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val w = ctx.addReferenceObj("dotWeightsD", weights, "double[]")
+      defineCodeGen(ctx, ev, c => s"$E.dotWeights($c, $w)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def dot_weights(fs: Column, weights: Array[Double]): Column =
+    GraftBridge.column(DotWeights(GraftBridge.expression(fs), weights))
 
   /** Consecutive k-token blocks (original case), space-joined. */
   case class TokenBlocks(child: Expression, k: Int)

@@ -236,6 +236,57 @@ object CorpusQueries {
       },
       Some(logregScoreOracleSql(256, 3))),
 
+    // ---- Naive Bayes quality classifier (train + score) ----------------
+    // The counts-based sibling of q75/q78: same hashed bag-of-words
+    // features, but the model is ONE map-side-combinable counting
+    // aggregation (add-1 smoothed per-class token counts) — no
+    // iterations. Scoring is one zero-shuffle codegen sparse-dot with
+    // the 257-double log-likelihood-ratio model as a reference object;
+    // the kernel's bias entry carries the class counts in training and
+    // the prior in scoring. The oracle rebuilds the exact integer
+    // counts, the smoothed ln weights, and every document's rounded
+    // score (the q57 ln + round-6 discipline).
+    QueryDef(
+      "q81_nb_score",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.NaiveBayes.trainScore(table(s, dir, "documents"), "text",
+          when($"lang" === "en", 1.0).otherwise(0.0), dims = 256)
+      },
+      Some(raw"""WITH terms AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        fx AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 256 AS f,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM terms GROUP BY 1, 2),
+        feats AS (SELECT doc_id, f, x FROM fx
+          UNION ALL SELECT doc_id, 256, CAST(1 AS BIGINT) FROM documents),
+        lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        cc AS (SELECT f,
+            SUM(CASE WHEN y = 1 THEN x ELSE 0 END) AS c1,
+            SUM(CASE WHEN y = 0 THEN x ELSE 0 END) AS c0
+          FROM feats JOIN lab USING (doc_id) GROUP BY f),
+        tots AS (SELECT
+            SUM(CASE WHEN f < 256 THEN c1 ELSE 0 END) AS t1,
+            SUM(CASE WHEN f < 256 THEN c0 ELSE 0 END) AS t0,
+            SUM(CASE WHEN f = 256 THEN c1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN f = 256 THEN c0 ELSE 0 END) AS n0
+          FROM cc),
+        w AS (SELECT f,
+            CASE WHEN f = 256 THEN LN(CAST(n1 AS DOUBLE) / n0)
+              ELSE LN((c1 + 1.0) / (t1 + 256.0)) -
+                LN((c0 + 1.0) / (t0 + 256.0)) END AS wf
+          FROM cc CROSS JOIN tots),
+        sc AS (SELECT feats.doc_id, SUM(feats.x * w.wf) AS s
+          FROM feats JOIN w USING (f) GROUP BY feats.doc_id)
+        SELECT doc_id, ROUND(s, 6) AS nb_score,
+          ROUND(s, 6) > 0 AS pred_en
+        FROM sc""")),
+
     // ---- sub-document block dedup with reconstruction ------------------
     // The CCNet line-dedup shape on fixed 10-token blocks: boilerplate
     // shared across documents is removed everywhere but its first

@@ -940,6 +940,33 @@ class OpsSpec extends AnyFunSuite {
     assert(scores(0) > scores(1))
   }
 
+  test("naive bayes: separates the toy corpus; empty text scores the prior") {
+    import graft.ops.NaiveBayes
+    val docs = ((1 to 30).map(i => (i.toLong, "good clean prose text", 1.0)) ++
+      (31 to 60).map(i => (i.toLong, "spam junk noise garbage", 0.0)) ++
+      Seq((61L, "", 1.0)))
+      .toDF("doc_id", "text", "y")
+    val out = NaiveBayes.trainScore(docs, "text", col("y"), dims = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out.size == 61)
+    // class-pure vocab: every positive doc scores positive, negatives
+    // negative (train and apply agree on hashing + smoothing)
+    (1 to 30).foreach(i => assert(out(i.toLong)._2, s"doc $i"))
+    (31 to 60).foreach(i => assert(!out(i.toLong)._2, s"doc $i"))
+    // a featureless doc scores exactly the (rounded) class prior
+    val prior = math.log(31.0 / 30.0)
+    assert(math.abs(out(61L)._1 -
+      BigDecimal(prior).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-12)
+    // degenerate single-class corpus is a contract error
+    val oneClass = (1 to 5).map(i => (i.toLong, "x", 1.0))
+      .toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException] {
+      NaiveBayes.trainScore(oneClass, "text", col("y"), dims = 64)
+    }
+  }
+
   test("bloom cross-dedup: saturated bitmap still exact, sizing enforced") {
     // m=64 with 200 base docs -> the bitmap saturates and nearly every
     // probe is a false positive; the confirm join must keep the result
