@@ -37,6 +37,26 @@ object NaiveBayes {
     */
   def trainScore(docs: DataFrame, textCol: String, label: Column,
       idCol: String = "doc_id", dims: Int = 256): DataFrame = {
+    val (prep, w) = trainCore(docs, textCol, label, idCol, dims)
+    prep.select(col(idCol),
+        round(SketchExpressions.dot_weights(col("__fs"), w), 6)
+          .as("nb_score"))
+      .withColumn("pred_en", col("nb_score") > 0)
+  }
+
+  /** Training half only: the dims+1 log-likelihood-ratio weight vector
+    * (prior in the bias slot) — the model artifact the streaming
+    * scoring twin (`Streaming.nbScore`) carries between restarts.
+    */
+  def trainWeights(docs: DataFrame, textCol: String, label: Column,
+      idCol: String = "doc_id", dims: Int = 256): Array[Double] = {
+    val (prep, w) = trainCore(docs, textCol, label, idCol, dims)
+    prep.unpersist(false)
+    w
+  }
+
+  private def trainCore(docs: DataFrame, textCol: String, label: Column,
+      idCol: String, dims: Int): (DataFrame, Array[Double]) = {
     val fs = SketchExpressions.token_hash_counts(
       coalesce(col(textCol), lit("")), dims)
     // one cached sparse projection feeds the count job AND the scoring
@@ -77,9 +97,6 @@ object NaiveBayes {
       f += 1
     }
     w(dims) = math.log(n1.toDouble / n0) // prior rides in the bias slot
-    prep.select(col(idCol),
-        round(SketchExpressions.dot_weights(col("__fs"), w), 6)
-          .as("nb_score"))
-      .withColumn("pred_en", col("nb_score") > 0)
+    (prep, w)
   }
 }

@@ -484,6 +484,23 @@ object Streaming {
     docs.withColumn(outCol,
       graft.functions.SketchExpressions.pii_redact(col(textCol)))
 
+  /** Streaming Naive Bayes scoring — the model (the 257-double
+    * log-likelihood-ratio weights from `NaiveBayes.trainScore`'s
+    * training half, the artifact a production filter keeps between
+    * restarts) rides into every micro-batch as a generated-code
+    * reference object, so scoring is a stateless zero-shuffle
+    * projection: hash-featurize + sparse-dot + round, exactly-once per
+    * record under any trigger, like [[piiScrub]].
+    */
+  def nbScore(docs: DataFrame, textCol: String, weights: Array[Double],
+      dims: Int = 256): DataFrame =
+    docs
+      .withColumn("nb_score", round(
+        graft.functions.SketchExpressions.dot_weights(
+          graft.functions.SketchExpressions.token_hash_counts(
+            coalesce(col(textCol), lit("")), dims), weights), 6))
+      .withColumn("pred_en", col("nb_score") > 0)
+
   /** Run a streaming query over a static directory to completion via the
     * memory sink; returns the final result table. (Local harness used by
     * tests and the smoke tool — production would use a real sink.)

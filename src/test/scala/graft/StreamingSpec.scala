@@ -360,6 +360,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // near-dups of eval docs exist in the fixture
   }
 
+  test("streaming nb scoring matches the batch train+score under a fixed model") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_snb")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    // the production artifact: weights trained once on the batch corpus
+    val w = graft.ops.NaiveBayes.trainWeights(docs, "text",
+      when($"lang" === "en", 1.0).otherwise(0.0), dims = 64)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val streamed = Streaming.runToCompletion(
+      Streaming.nbScore(stream, "text", w, dims = 64)
+        .select($"doc_id", $"nb_score", $"pred_en"),
+      "snb_test")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val batch = graft.ops.NaiveBayes.trainScore(docs, "text",
+        when($"lang" === "en", 1.0).otherwise(0.0), dims = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(streamed == batch, s"n=${streamed.size} vs ${batch.size}")
+    assert(batch.values.exists(_._2) && batch.values.exists(!_._2))
+  }
+
   test("streaming pii scrub is the stateless batch projection") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_spii")
     val docs = spark.range(0, 50).toDF("doc_id")
