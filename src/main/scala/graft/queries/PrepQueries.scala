@@ -258,6 +258,52 @@ object PrepQueries {
               AS BIGINT) AS before_tok FROM r)
         SELECT doc_id, chunk_id, n_tok, pos,
           CAST(before_tok // 256 AS BIGINT) AS pack_id
-        FROM p ORDER BY pos"""))
+        FROM p ORDER BY pos""")),
+
+    // ---- exact global quantile quality gate ----------------------------
+    // The FineWeb-style selection step: score every document (char
+    // entropy, the q74 zero-shuffle kernel), keep the top 60% by EXACT
+    // global rank. The rank is DistWindow.withGlobalRank bucketed on a
+    // coarse entropy band (band order aligned with the sort, so no
+    // window task sees more than one band); the quantile cut is pure
+    // integer arithmetic (rk·10 ≤ n·6 — no float threshold whose
+    // representation could flip a boundary row), with n riding as a
+    // broadcast 1-row aggregate. The oracle recomputes the entropy, the
+    // textbook unpartitioned rank, and the same integer cut.
+    QueryDef(
+      "q82_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select($"doc_id",
+            round(element_at(SketchExpressions
+              .char_entropy(lower(coalesce($"text", lit("")))), 2), 6)
+              .as("ent"))
+        val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+        graft.ops.DistWindow.withGlobalRank(docs,
+            lit(100L) - floor($"ent" * 20.0).cast("long"),
+            Seq($"ent".desc, $"doc_id"), "rk")
+          .crossJoin(n)
+          .select($"doc_id", $"ent", $"rk",
+            ($"rk" * 10 <= $"__n" * 6).as("kept"))
+      },
+      Some(raw"""WITH ch AS (SELECT doc_id,
+            unnest(string_split(lower(coalesce(text, '')), '')) AS c
+          FROM documents),
+        f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch
+          WHERE ascii(c) BETWEEN 32 AND 126 GROUP BY doc_id, c),
+        tt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t
+          FROM f GROUP BY doc_id),
+        e0 AS (SELECT f.doc_id,
+            ROUND(-SUM((CAST(n AS DOUBLE) / t) * LN(CAST(n AS DOUBLE) / t)), 6)
+              AS ent
+          FROM f JOIN tt ON f.doc_id = tt.doc_id GROUP BY f.doc_id),
+        e AS (SELECT d.doc_id, COALESCE(e0.ent, 0.0) AS ent
+          FROM documents d LEFT JOIN e0 ON d.doc_id = e0.doc_id),
+        r AS (SELECT doc_id, ent, CAST(ROW_NUMBER() OVER (
+            ORDER BY ent DESC, doc_id) AS BIGINT) AS rk FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        SELECT r.doc_id, r.ent, r.rk, (r.rk * 10 <= nn.n * 6) AS kept
+        FROM r CROSS JOIN nn"""))
   )
 }
