@@ -50,7 +50,10 @@ object ScaleCurve {
     "q74_char_entropy",   // one-pass codegen kernel, zero shuffle
     "q75_logreg",         // literal-model codegen dot + feature-keyed grads
     "q76_corpus_report",  // ROLLUP: Expand + one combinable aggregation
-    "q79_block_scrub"     // digest-keyed block survival + doc reassembly
+    "q79_block_scrub",    // digest-keyed block survival + doc reassembly
+    "q80_bpe_pack",       // curate -> survivor-trained BPE -> token pack
+    "q81_nb_score",       // one-agg NB train + zero-shuffle LLR scoring
+    "q82_quality_gate"    // entropy score + two-phase global quantile cut
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
