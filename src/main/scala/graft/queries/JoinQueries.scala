@@ -170,6 +170,38 @@ object JoinQueries {
         SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM sessions GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- semi-structured JSON property extraction -----------------------
+    // Every event carries a JSON props payload; extract a typed field
+    // with ONE from_json projection (Jackson parse inside the scan's
+    // codegen stage, schema pruned to the single field — no UDF, no
+    // second pass) and aggregate per event type map-side-combinably.
+    // The oracle extracts the same path with DuckDB's JSON operators,
+    // so the parse semantics themselves are certified cross-engine.
+    QueryDef(
+      "q83_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .select($"event_type",
+            from_json($"props",
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType))))
+              .getField("k").as("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"k").as("sum_k"),
+            min($"k").as("min_k"), max($"k").as("max_k"),
+            sum(when($"k" > 50, 1L).otherwise(0L)).as("n_high"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+          MIN(k) AS min_k, MAX(k) AS max_k,
+          CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM e GROUP BY event_type ORDER BY event_type""")),
+
     // ---- grid-partitioned spatial join (large x large) -----------------
     // No broadcast, no cross join: both sides explode onto grid cells,
     // candidates come from a hash equi-join on the cell, and the
