@@ -19,6 +19,53 @@ class PrepSpec extends AnyFunSuite {
     (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString).toSet
   }
 
+  test("norm_text kernel is byte-equal to the regex chain on random unicode") {
+    // every dedup oracle keeps the DuckDB regexp_replace chain while
+    // the engine runs the one-pass scanner — this pins the equivalence
+    // claim on adversarial inputs (Java regex character classes are
+    // codepoint-based, the scanner is unit-based; collapse must absorb
+    // the difference)
+    def regexTwin(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    def kernel(s: String): String =
+      SketchEval.normText(UTF8String.fromString(s)).toString
+    val edges = Seq("", " ", "  a  B  ", "a\tb\nc", "héllo wörld",
+      "aKb" /* Kelvin sign lowercases to k */,
+      "İstanbul" /* dotted I lowercases to i + combining dot */,
+      "a💩b" /* supplementary char = 2 UTF-16 units */,
+      "ЖУРНАЛ 42", "ｆｕｌｌｗｉｄｔｈ", "áe" /* combining acute */,
+      "123-456.789", "ALL CAPS!!!", "ß sharp s")
+    edges.foreach(s => assert(kernel(s) == regexTwin(s), s"edge: ${s.take(30)}"))
+    val alphabet = ("abcXYZ0189 \t\n.,;!?-_@#" + "éÜßЖ中" +
+      "Kİ́" + new String(Character.toChars(0x1F4A9))).toCharArray
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 500).foreach { i =>
+      val s = new String(Array.fill(rnd.nextInt(60))(
+        alphabet(rnd.nextInt(alphabet.length))))
+      assert(kernel(s) == regexTwin(s), s"seed case $i: ${s.take(40)}")
+    }
+  }
+
+  test("term_counts kernel matches split-based counting on random text") {
+    def reference(s: String): Map[String, Long] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def kernel(s: String): Map[String, Long] = {
+      val ad = SketchEval.termCounts(UTF8String.fromString(s))
+      (0 until ad.numElements()).map { i =>
+        val r = ad.getStruct(i, 2)
+        r.getUTF8String(0).toString -> r.getLong(1)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(4242L)
+    val words = Array("the", "cat", "Dog", "42", "über", "a-b", "")
+    (1 to 300).foreach { i =>
+      val s = Array.fill(rnd.nextInt(30))(words(rnd.nextInt(words.length)))
+        .mkString(Seq(" ", "  ", "\t", "\n")(rnd.nextInt(4)))
+      assert(kernel(s) == reference(s), s"case $i: ${s.take(40)}")
+    }
+  }
+
   test("winnow edge cases: empty, sub-shingle, sub-window texts") {
     assert(winnowSet("") === Set.empty)
     assert(winnowSet("one two") === Set.empty) // < k tokens
