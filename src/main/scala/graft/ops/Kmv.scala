@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values / bottom-k) distinct-value sketches for
+  * corpus-overlap estimation (Bar-Yossef et al. 2002; Beyer et al.
+  * 2007). HLL answers "how many distinct documents" but cannot
+  * intersect; the KMV bottom-k sketch supports UNION (merge = keep the
+  * k smallest of both) and therefore Jaccard/intersection estimates —
+  * the measurement a pipeline runs BEFORE committing to a full
+  * cross-corpus dedup: "how much of delivery B have we already got?"
+  *
+  * Estimators over the union sketch U = bottom-k(A ∪ B) (exact from
+  * the per-corpus sketches, since bottom-k(A ∪ B) ⊆ bottom-k(A) ∪
+  * bottom-k(B)): with θ = max(U)/2⁶⁰ the k-th minimum normalized to
+  * (0,1), D(A∪B) ≈ (k−1)/θ, and J(A,B) ≈ |{h ∈ U present in both
+  * sketches}|/|U| (the standard KMV Jaccard estimator). When the
+  * union holds fewer than k distinct values the sketch IS the exact
+  * set and the estimate degrades to the exact count.
+  *
+  * Scale shape: digests are distinct-ed once (one 16-byte-keyed
+  * shuffle, the q20 discipline), each corpus's sketch is ONE bounded-
+  * heap TopK aggregation (map-side combinable, ≤ k rows per task cross
+  * the shuffle), and all estimator arithmetic runs over the ≤ 2k
+  * sketch rows. Determinism: hash values are exact 60-bit integers
+  * from the md5 digest's leading hex; the only floats are two final
+  * divisions of exact integers, rounded to 6 dp on both engines.
+  */
+object Kmv {
+
+  /** Overlap report between the corpus halves labeled 'a' / 'b' by
+    * `corpusCol`. One row: (k, sketch_size, est_union, est_jaccard,
+    * exact_union, exact_jaccard) — the exact columns certify the
+    * estimates in tests and oracles (cheap at test scale; production
+    * would drop them and keep only the sketches).
+    */
+  def corpusOverlap(docs: DataFrame, corpusCol: Column, textCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2: $k")
+    val h = conv(substring(md5(Dedup.normalize(
+      coalesce(col(textCol), lit("")))), 1, 15), 16, 10).cast("long")
+    // distinct (corpus, 60-bit hash) — feeds the sketch aggregation AND
+    // the exact-count certification, so digest+distinct is paid once
+    val dh = docs.select(corpusCol.as("__c"), h.as("__h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = TopK.perGroup(dh, Seq("__c"),
+      Seq((col("__h"), false)), k, "__rk")
+    // union bottom-k with per-corpus membership flags
+    val ubm = sk.groupBy(col("__h"))
+      .agg(max(when(col("__c") === "a", 1).otherwise(0)).as("inA"),
+        max(when(col("__c") === "b", 1).otherwise(0)).as("inB"))
+      .orderBy(col("__h")).limit(k)
+    val stats = ubm.agg(count(lit(1)).as("m"), max(col("__h")).as("th"),
+      sum(when(col("inA") === 1 && col("inB") === 1, 1L).otherwise(0L))
+        .as("shared"))
+    val exact = dh.groupBy(col("__h"))
+      .agg(countDistinct(col("__c")).as("nc"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("nc") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    val two60 = 1152921504606846976.0 // 2^60: hash values normalize by it
+    stats.crossJoin(broadcast(exact)).select(
+      lit(k).as("k"),
+      col("m").as("sketch_size"),
+      round(when(col("m") < k, col("m").cast("double"))
+        .otherwise(lit((k - 1).toDouble * two60) / col("th").cast("double")),
+        6).as("est_union"),
+      round(col("shared").cast("double") / col("m"), 6).as("est_jaccard"),
+      col("exact_union"),
+      round(col("exact_inter").cast("double") / col("exact_union"), 6)
+        .as("exact_jaccard"))
+  }
+}

@@ -287,6 +287,53 @@ object CorpusQueries {
           ROUND(s, 6) > 0 AS pred_en
         FROM sc""")),
 
+    // ---- KMV sketch corpus-overlap estimation --------------------------
+    // Bottom-k (k-minimum-values) distinct sketches per corpus half:
+    // unlike HLL these MERGE under union and therefore estimate
+    // Jaccard/intersection — the "how much of delivery B have we
+    // already got?" measurement run before committing to a full
+    // cross-dedup. Sketch = one bounded-heap TopK aggregation per side
+    // over once-distinct digests; the estimator arithmetic runs over
+    // ≤ 2k rows. The oracle rebuilds both sketches (ROW_NUMBER over
+    // the same 60-bit md5-prefix integers), the union bottom-k, both
+    // estimators, and the exact counts certifying them.
+    QueryDef(
+      "q84_kmv_overlap",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Kmv.corpusOverlap(table(s, dir, "documents"),
+          when($"doc_id" % 2 === 0, "a").otherwise("b"), "text", k = 128)
+      },
+      Some(raw"""WITH dh AS (SELECT DISTINCT
+            CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS c,
+            CAST(('0x' || substr(md5(trim(regexp_replace(
+              regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g'))), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        rk AS (SELECT c, h, ROW_NUMBER() OVER (PARTITION BY c ORDER BY h)
+            AS r FROM dh),
+        sk AS (SELECT c, h FROM rk WHERE r <= 128),
+        ubm AS (SELECT h,
+            MAX(CASE WHEN c = 'a' THEN 1 ELSE 0 END) AS inA,
+            MAX(CASE WHEN c = 'b' THEN 1 ELSE 0 END) AS inB
+          FROM sk GROUP BY h ORDER BY h LIMIT 128),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS th,
+            CAST(SUM(CASE WHEN inA = 1 AND inB = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS shared
+          FROM ubm),
+        ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+            CAST(SUM(CASE WHEN nc = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS exact_inter
+          FROM (SELECT h, COUNT(DISTINCT c) AS nc FROM dh GROUP BY h))
+        SELECT 128 AS k, m AS sketch_size,
+          ROUND(CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+            ELSE 127.0 * 1152921504606846976.0 / th END, 6) AS est_union,
+          ROUND(CAST(shared AS DOUBLE) / m, 6) AS est_jaccard,
+          exact_union,
+          ROUND(CAST(exact_inter AS DOUBLE) / exact_union, 6)
+            AS exact_jaccard
+        FROM stats CROSS JOIN ex""")),
+
     // ---- sub-document block dedup with reconstruction ------------------
     // The CCNet line-dedup shape on fixed 10-token blocks: boilerplate
     // shared across documents is removed everywhere but its first

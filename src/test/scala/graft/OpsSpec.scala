@@ -940,6 +940,29 @@ class OpsSpec extends AnyFunSuite {
     assert(scores(0) > scores(1))
   }
 
+  test("kmv overlap: estimates track exact counts on a planted overlap") {
+    import graft.ops.Kmv
+    // corpus a = ids 0..999, corpus b = 500..1499 (distinct texts per
+    // id) -> exact union 1500, jaccard 500/1500 = 1/3
+    val docs = ((0 until 1000).map(i => (i.toLong, s"document text $i", "a")) ++
+      (500 until 1500).map(i => (i.toLong + 10000, s"document text $i", "b")))
+      .toDF("doc_id", "text", "side")
+    val r = Kmv.corpusOverlap(docs, col("side"), "text", k = 128).collect()(0)
+    assert(r.getInt(0) == 128 && r.getLong(1) == 128)
+    val (estU, estJ) = (r.getDouble(2), r.getDouble(3))
+    assert(r.getLong(4) == 1500 && math.abs(r.getDouble(5) - 1.0 / 3) < 1e-6)
+    // KMV standard error ~ 1/sqrt(k) ~ 9%; allow 3 sigma
+    assert(math.abs(estU - 1500) / 1500 < 0.27, s"est_union $estU")
+    assert(math.abs(estJ - 1.0 / 3) < 0.15, s"est_jaccard $estJ")
+    // sub-k corpora degrade to exact counts
+    val tiny = ((0 until 20).map(i => (i.toLong, s"t $i", "a")) ++
+      (10 until 30).map(i => (i.toLong + 100, s"t $i", "b")))
+      .toDF("doc_id", "text", "side")
+    val t = Kmv.corpusOverlap(tiny, col("side"), "text", k = 128).collect()(0)
+    assert(t.getLong(1) == 30 && t.getDouble(2) == 30.0 &&
+      t.getLong(4) == 30 && math.abs(t.getDouble(3) - 10.0 / 30) < 1e-6)
+  }
+
   test("naive bayes: separates the toy corpus; empty text scores the prior") {
     import graft.ops.NaiveBayes
     val docs = ((1 to 30).map(i => (i.toLong, "good clean prose text", 1.0)) ++
