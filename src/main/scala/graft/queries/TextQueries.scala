@@ -207,6 +207,49 @@ object TextQueries {
           FROM documents) t
         WHERE rk <= 5 ORDER BY lang, source, rk""")),
 
+    // ---- weighted sampling without replacement (A-ES) ------------------
+    // Efraimidis–Spirakis exponential-rank sampling: key = ln(u)/w with
+    // u an md5-derived uniform and w a per-document quality weight
+    // (char entropy + 0.1 here) — the top-k keys ARE a weighted sample
+    // without replacement, deterministic under any partitioning and
+    // replayable by the oracle (no rand()). Scale shape: zero-shuffle
+    // score projection + bounded TakeOrdered; keys are rounded (9 dp,
+    // the q61/q63 float-rank discipline) so cross-engine ln ulps can't
+    // flip the cut.
+    QueryDef(
+      "q85_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val w = round(element_at(graft.functions.SketchExpressions
+          .char_entropy(lower(coalesce($"text", lit("")))), 2), 6) + 0.1
+        val u = conv(substring(md5(concat(lit("ws:"),
+            $"doc_id".cast("string"))), 1, 15), 16, 10)
+          .cast("double") / lit(1152921504606846976.0)
+        docs.select($"doc_id", w.as("__w"), u.as("__u"))
+          .select($"doc_id", round($"__w", 6).as("w"),
+            round(log($"__u") / $"__w", 9).as("key"))
+          .orderBy($"key".desc, $"doc_id")
+          .limit(100)
+      },
+      Some(raw"""WITH ch AS (SELECT doc_id,
+            unnest(string_split(lower(coalesce(text, '')), '')) AS c
+          FROM documents),
+        f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch
+          WHERE ascii(c) BETWEEN 32 AND 126 GROUP BY doc_id, c),
+        tt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t
+          FROM f GROUP BY doc_id),
+        e0 AS (SELECT f.doc_id,
+            ROUND(-SUM((CAST(n AS DOUBLE) / t) * LN(CAST(n AS DOUBLE) / t)), 6)
+              AS ent
+          FROM f JOIN tt ON f.doc_id = tt.doc_id GROUP BY f.doc_id),
+        base AS (SELECT d.doc_id, COALESCE(e0.ent, 0.0) + 0.1 AS w,
+            CAST(('0x' || substr(md5('ws:' || CAST(d.doc_id AS VARCHAR)),
+              1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+          FROM documents d LEFT JOIN e0 ON d.doc_id = e0.doc_id)
+        SELECT doc_id, ROUND(w, 6) AS w, ROUND(LN(u) / w, 9) AS key
+        FROM base ORDER BY key DESC, doc_id LIMIT 100""")),
+
     // ---- vocabulary building: corpus-wide term frequencies -------------
     // explode tokens -> count per term -> top terms with deterministic
     // tie-break; the classic map-side-combinable shape (partial
