@@ -271,6 +271,32 @@ object Main {
             iters = opt(rest, "iters").map(_.toInt).getOrElse(3))
           .write.mode("overwrite").parquet(out)
 
+      //   nb-score in out [--dims 256] [--label-lang en]  (Naive Bayes
+      //   quality classifier: one-aggregation train + zero-shuffle score)
+      case "nb-score" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val langVal = opt(rest, "label-lang").getOrElse("en")
+        graft.ops.NaiveBayes.trainScore(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            when(col(opt(rest, "label-column").getOrElse("lang")) === langVal,
+              1.0).otherwise(0.0),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            dims = opt(rest, "dims").map(_.toInt).getOrElse(256))
+          .write.mode("overwrite").parquet(out)
+
+      //   overlap a b out [--k 128]  (KMV sketch corpus-overlap report:
+      //   est/exact union + jaccard between two parquet corpora)
+      case "overlap" =>
+        import org.apache.spark.sql.functions._
+        val Seq(inA, inB, out) = rest.take(3)
+        val txt = opt(rest, "text-column").getOrElse("text")
+        val a = spark.read.parquet(inA).select(col(txt)).withColumn("__side", lit("a"))
+        val b = spark.read.parquet(inB).select(col(txt)).withColumn("__side", lit("b"))
+        graft.ops.Kmv.corpusOverlap(a.unionByName(b), col("__side"), txt,
+            k = opt(rest, "k").map(_.toInt).getOrElse(128))
+          .write.mode("overwrite").parquet(out)
+
       case "dedup" =>
         import graft.ops.Dedup
         val what = rest.head
@@ -654,7 +680,7 @@ object Main {
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
-      |  bpe-train, logreg-train, scrub-blocks,
+      |  bpe-train, logreg-train, nb-score, overlap, scrub-blocks,
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
       |  check [--all], validate, fix, stac-item""".stripMargin

@@ -227,6 +227,30 @@ class CliSpec extends AnyFunSuite {
     assert(sd.filter($"cosine" < 0.99).count() == 0)
   }
 
+  test("nb-score and overlap commands run end-to-end") {
+    import spark.implicits._
+    val dir = tmp("nbov")
+    val docs = ((0 until 40).map(i => (i.toLong, s"good clean text $i", "en")) ++
+      (40 until 80).map(i => (i.toLong, s"ruido basura $i", "es")))
+      .toDF("doc_id", "text", "lang")
+    docs.write.parquet(s"$dir/docs.parquet")
+    Main.run(spark, Seq("nb-score", s"$dir/docs.parquet",
+      s"$dir/scored.parquet", "--dims", "64"))
+    val scored = spark.read.parquet(s"$dir/scored.parquet")
+    assert(scored.count() == 80)
+    assert(scored.filter($"pred_en").count() == 40)
+
+    docs.filter($"doc_id" < 60).write.parquet(s"$dir/a.parquet")
+    docs.filter($"doc_id" >= 20).write.parquet(s"$dir/b.parquet")
+    Main.run(spark, Seq("overlap", s"$dir/a.parquet", s"$dir/b.parquet",
+      s"$dir/ov.parquet", "--k", "32"))
+    val ov = spark.read.parquet(s"$dir/ov.parquet").collect()(0)
+    // 80 distinct texts, 40 shared (ids 20..59): exact jaccard 0.5
+    assert(ov.getAs[Long]("exact_union") == 80)
+    assert(math.abs(ov.getAs[Double]("exact_jaccard") - 0.5) < 1e-6)
+    assert(ov.getAs[Long]("sketch_size") == 32)
+  }
+
   test("training-prep commands: shuffle, chunk, blocklist, project, winnow") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
