@@ -307,6 +307,53 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  /** One-pass Gopher top-n-gram stats: [total_chars, mx2, mx3, mx4]
+    * where total_chars counts codepoints of the space-joined lowercased
+    * token string and mxN = max over word n-grams of
+    * count(gram) × codepoints(gram) — the numerators/denominator of the
+    * top-n-gram char fractions (Rae et al. 2021). The aggregation key
+    * is the document itself, so this never needs a shuffle — the
+    * relational formulation (explode → (doc, n, gram) count) shipped
+    * every gram occurrence across the wire for a doc-local answer.
+    */
+  def topgramStats(s: UTF8String): ArrayData = {
+    val toks = tokenize(s)
+    var tc = 0L
+    var t = 0
+    while (t < toks.length) {
+      tc += toks(t).codePointCount(0, toks(t).length)
+      t += 1
+    }
+    if (toks.length > 0) tc += toks.length - 1 // joining spaces
+    val out = Array[Any](tc, 0L, 0L, 0L)
+    var n = 2
+    while (n <= 4) {
+      if (toks.length >= n) {
+        val m = new java.util.HashMap[String, Long]()
+        val sb = new java.lang.StringBuilder
+        var mx = 0L
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          val g = sb.toString
+          val c = m.merge(g, 1L, (a, b) => a + b)
+          val v = c * g.codePointCount(0, g.length)
+          if (v > mx) mx = v
+          i += 1
+        }
+        out(n - 1) = mx
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass per-document term frequencies: [(term, tf)] structs over
     * lowercased whitespace tokens, first-occurrence order — parity with
     * explode + groupBy(doc_id, term).count(), computed where the
@@ -1135,6 +1182,23 @@ object SketchExpressions {
 
   def token_hash_counts(text: Column, dims: Int): Column =
     GraftBridge.column(TokenHashCounts(GraftBridge.expression(text), dims))
+
+  /** Per-document top-n-gram stats (see SketchEval.topgramStats). */
+  case class TopgramStats(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.topgramStats(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.topgramStats($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def topgram_stats(text: Column): Column =
+    GraftBridge.column(TopgramStats(GraftBridge.expression(text)))
 
   /** Per-document [(term, tf)] rows (see SketchEval.termCounts). */
   case class TermCounts(child: Expression)

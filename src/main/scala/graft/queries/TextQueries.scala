@@ -207,6 +207,63 @@ object TextQueries {
           FROM documents) t
         WHERE rk <= 5 ORDER BY lang, source, rk""")),
 
+    // ---- Gopher top n-gram char fractions (n = 2, 3, 4) -----------------
+    // The other half of the Gopher repetition ruleset (Rae et al. 2021):
+    // q48 gates on dup-word and top-BIGRAM fractions; this completes the
+    // top-n-gram family — for each n, the characters claimed by the
+    // single most frequent n-gram (count × the gram's char length, space-
+    // joined) over the document's total token chars. The aggregation key
+    // is the document itself, so the engine computes all three n values
+    // in ONE zero-shuffle kernel pass (the rep_stats pattern; the
+    // relational formulation shipped every gram occurrence across a
+    // shuffle for a doc-local answer — 2.4 s vs ~0.2 s at sf0.1). The
+    // oracle replays it relationally, certifying the kernel.
+    QueryDef(
+      "q86_topgram_fractions",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id", graft.functions.SketchExpressions
+            .topgram_stats(coalesce($"text", lit(""))).as("st"))
+          .select($"doc_id",
+            when($"st" (0) > 0, round($"st" (1).cast("double") / $"st" (0), 6))
+              .otherwise(0.0).as("top2_frac"),
+            when($"st" (0) > 0, round($"st" (2).cast("double") / $"st" (0), 6))
+              .otherwise(0.0).as("top3_frac"),
+            when($"st" (0) > 0, round($"st" (3).cast("double") / $"st" (0), 6))
+              .otherwise(0.0).as("top4_frac"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+              '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        base AS (SELECT doc_id, toks,
+            CAST(len(array_to_string(toks, ' ')) AS BIGINT) AS tc
+          FROM t),
+        tagged AS (SELECT doc_id, tc, n,
+            unnest(list_transform(range(0, GREATEST(len(toks) - n + 1, 0)),
+              i -> array_to_string(toks[i + 1 : i + n], ' '))) AS g
+          FROM base CROSS JOIN (SELECT unnest(range(2, 5)) AS n) ns),
+        cnt AS (SELECT doc_id, tc, n, g, COUNT(*) AS c
+          FROM tagged GROUP BY doc_id, tc, n, g),
+        mxs AS (SELECT doc_id, tc, n, MAX(c * len(g)) AS mx
+          FROM cnt GROUP BY doc_id, tc, n),
+        piv AS (SELECT doc_id,
+            MAX(CASE WHEN n = 2 THEN ROUND(CAST(mx AS DOUBLE) / tc, 6) END)
+              AS top2_frac,
+            MAX(CASE WHEN n = 3 THEN ROUND(CAST(mx AS DOUBLE) / tc, 6) END)
+              AS top3_frac,
+            MAX(CASE WHEN n = 4 THEN ROUND(CAST(mx AS DOUBLE) / tc, 6) END)
+              AS top4_frac
+          FROM mxs GROUP BY doc_id)
+        SELECT b.doc_id,
+          COALESCE(piv.top2_frac, 0.0) AS top2_frac,
+          COALESCE(piv.top3_frac, 0.0) AS top3_frac,
+          COALESCE(piv.top4_frac, 0.0) AS top4_frac
+        FROM base b LEFT JOIN piv ON b.doc_id = piv.doc_id
+        ORDER BY b.doc_id""")),
+
     // ---- weighted sampling without replacement (A-ES) ------------------
     // Efraimidis–Spirakis exponential-rank sampling: key = ln(u)/w with
     // u an md5-derived uniform and w a per-document quality weight
