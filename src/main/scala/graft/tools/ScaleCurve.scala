@@ -53,7 +53,11 @@ object ScaleCurve {
     "q79_block_scrub",    // digest-keyed block survival + doc reassembly
     "q80_bpe_pack",       // curate -> survivor-trained BPE -> token pack
     "q81_nb_score",       // one-agg NB train + zero-shuffle LLR scoring
-    "q82_quality_gate"    // entropy score + two-phase global quantile cut
+    "q82_quality_gate",   // entropy score + two-phase global quantile cut
+    "q83_json_extract",   // schema-pruned from_json + per-type agg (events)
+    "q84_kmv_overlap",    // bottom-k sketches + overlap estimators
+    "q85_weighted_sample",// A-ES keys + bounded TakeOrdered
+    "q86_topgram_fractions" // one-pass kernel, zero shuffle
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -80,6 +84,9 @@ object ScaleCurve {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as long for the
+      // k× synthesis (the query side converts via `ts DIV 1000` either way)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,13 +107,14 @@ object ScaleCurve {
 
     if (picked.contains("q13_hilbert_sort")) scaleUp("customer", "c_custkey")
     if (picked.contains("q5_window_topk")) scaleUp("orders", "o_orderkey")
+    if (picked.contains("q83_json_extract")) scaleUp("events", "event_id")
     // salt every token with the shard id (shard 0 keeps the originals):
     // shingle streams become disjoint across shards, so duplicate pairs
     // stay within-shard and the pair count scales ×k — copying text
     // verbatim would instead multiply every dup cluster by k and grow
     // pair work k², which is a data-distribution change, not a scale-up
     if (picked.exists(q => !embQueries(q) && q != "q5_window_topk" &&
-        q != "q13_hilbert_sort"))
+        q != "q13_hilbert_sort" && q != "q83_json_extract"))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))
