@@ -428,6 +428,53 @@ object Dedup {
         coalesce(col("scrubbed_digest"), md5(lit(""))).as("scrubbed_digest"))
   }
 
+  /** C4/RefinedWeb-style boilerplate removal at fixed-block granularity:
+    * a block whose document frequency reaches `minDf` is stripped from
+    * EVERY document — including its first occurrence — unlike
+    * [[scrubDuplicateBlocks]], where one copy survives. Frequency is
+    * the number of DISTINCT documents containing the block, so a
+    * within-document repetition never triggers the rule by itself.
+    *
+    * Plan shape: the codegen token_blocks kernel splits once; ONE
+    * digest-keyed shuffle computes the document frequency as
+    * max(dense_rank) over the same (digest, doc) ordering — two window
+    * functions sharing one partitioning, so no agg + join-back — and
+    * one doc-keyed aggregation reassembles survivors. At 100 TB the
+    * shuffle carries (digest, doc, block) rows exactly once; the
+    * boilerplate set itself is never driver-materialized.
+    */
+  def stripBoilerplateBlocks(docs: DataFrame, textCol: String, idCol: String,
+      blockTokens: Int = 10, minDf: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = docs.select(col(idCol), posexplode(
+        graft.functions.SketchExpressions.token_blocks(
+          coalesce(col(textCol), lit("")), blockTokens))
+      .as(Seq("idx", "blk")))
+      .withColumn("__bh", md5(col("blk")))
+    // COUNT(DISTINCT doc) per digest without a second shuffle:
+    // dense_rank over (digest ORDER BY doc) peaks at the distinct count,
+    // and the unordered max window reuses the same hash partitioning
+    val wRank = Window.partitionBy(col("__bh")).orderBy(col(idCol))
+    val wAll = Window.partitionBy(col("__bh"))
+    val flagged = blocks
+      .withColumn("__dr", dense_rank().over(wRank))
+      .withColumn("__df", max(col("__dr")).over(wAll))
+    val keep = col("__df") < minDf
+    val rebuilt = flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(
+          when(keep, struct(col("idx"), col("blk"))))),
+        s => s.getField("blk")), " ")).as("scrubbed_digest"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("scrubbed_digest"), md5(lit(""))).as("scrubbed_digest"))
+  }
+
   /** Bloom bit position i for a 32-hex-char md5 digest column: the
     * unsigned 32-bit value of hex chars [8i, 8i+8) mod m — the digest is
     * itself an md5, so its four 32-bit slices are independent and need

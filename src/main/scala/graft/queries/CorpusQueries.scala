@@ -377,6 +377,49 @@ object CorpusQueries {
         FROM nb LEFT JOIN reb ON nb.doc_id = reb.doc_id
         ORDER BY nb.doc_id""")),
 
+    // ---- boilerplate strip (frequency-threshold block removal) ---------
+    // The C4/RefinedWeb rule at fixed-block granularity: a block seen in
+    // >= 3 DISTINCT documents is boilerplate and is removed everywhere —
+    // including its first occurrence — whereas q79 keeps one survivor.
+    // One digest-keyed shuffle (dense_rank + max sharing a partitioning
+    // = COUNT(DISTINCT doc) with no agg+join-back), one doc-keyed
+    // reassembly; the oracle recomputes every block's document
+    // frequency and the reassembled digests independently.
+    QueryDef(
+      "q87_boilerplate",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Dedup.stripBoilerplateBlocks(
+          table(s, dir, "documents"), "text", "doc_id",
+          blockTokens = 10, minDf = 3)
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+              AS toks
+          FROM documents),
+        nb AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) = 0 THEN 0
+              ELSE CAST(FLOOR((len(toks) - 1) / 10.0) AS INT) + 1 END
+              AS n_blocks
+          FROM t),
+        blk AS (SELECT doc_id, i AS idx,
+            array_to_string(toks[i*10+1 : i*10+10], ' ') AS blk
+          FROM (SELECT doc_id, toks,
+              unnest(range(0, n_blocks)) AS i FROM nb)),
+        hh AS (SELECT doc_id, idx, blk, md5(blk) AS bh FROM blk),
+        dfq AS (SELECT bh, COUNT(DISTINCT doc_id) AS df FROM hh
+          GROUP BY bh),
+        reb AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_kept,
+            md5(COALESCE(string_agg(CASE WHEN df < 3 THEN blk END,
+              ' ' ORDER BY idx), '')) AS sd
+          FROM hh JOIN dfq USING (bh) GROUP BY doc_id)
+        SELECT nb.doc_id, CAST(nb.n_blocks AS BIGINT) AS n_blocks,
+          COALESCE(reb.n_kept, 0) AS n_kept,
+          COALESCE(reb.sd, md5('')) AS scrubbed_digest
+        FROM nb LEFT JOIN reb ON nb.doc_id = reb.doc_id""")),
+
     // ---- corpus composition report (ROLLUP) ----------------------------
     // The per-source × per-language curation dashboard: doc/token/char
     // totals at (source, lang), per-source subtotal, and grand-total
