@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Distributed PCA by power iteration — the standard first step of
+  * embedding-space analysis (whitening, dominant-direction removal,
+  * ABTT-style postprocessing) at corpus scale.
+  *
+  * Shape: ONE map-side-combinable aggregation over the corpus builds the
+  * exact fixed-point second-moment triangle (count, per-dim sums, and
+  * the d(d+1)/2 upper-triangle cross products as BIGINTs — ~17 KB of
+  * state for d = 64, independent of corpus size); the covariance matrix
+  * and every power-iteration round then live on the driver as integer
+  * fixed-point arithmetic (the q51/q72/q75 recipe: BIGINT dot products
+  * are order-independent, so DuckDB replays every round bit-for-bit);
+  * the final projection is a zero-shuffle codegen scan with the
+  * eigenvector riding as a 64-element literal.
+  *
+  * Iteration arithmetic, mirrored exactly by the oracle SQL:
+  *   q_j   = round_half_away(x_j * 1e6)                  (per coordinate)
+  *   C_jk  = S_jk/n/1e12 - (s_j/n/1e6)*(s_k/n/1e6)       (double, exact op order)
+  *   Cq_jk = round_half_away(C_jk * 1e6)                 (BIGINT)
+  *   w_j   = sum_k Cq_jk * v_k                           (exact BIGINT)
+  *   v'_j  = floor(w_j * 1e6 / max_k |w_k|)              (max-abs normalize)
+  *
+  * Max-abs (infinity-norm) normalization replaces the usual L2 norm so
+  * the per-round state stays integer-exact — power iteration converges
+  * under any fixed normalization. The certified contract is the
+  * deterministic moment build + bit-exact replay of `iters` rounds
+  * (the k-means precedent: a fixed iteration budget, not a convergence
+  * claim — the RATE depends on the spectral gap of the data; the
+  * driver-synthesized embeddings are near-isotropic, so their projection
+  * is a slowly-converging mix, while real embedding corpora with
+  * dominant structure converge geometrically).
+  */
+object Pca {
+
+  private val Micro = 1e6
+
+  private def halfAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)).toLong
+
+  /** One-pass exact moment triangle: buffer = [n, s_0..s_{d-1},
+    * S_00, S_01..S_0{d-1}, S_11, ..] (upper triangle, row major).
+    * Each partition folds its rows into one local buffer; partials
+    * merge by elementwise addition — the BloomBitmapAgg shape, so at
+    * any corpus size only numPartitions ~17 KB buffers cross the wire.
+    */
+  case class CovMomentsAgg(
+      child: Expression,
+      dims: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+    private val len = 1 + dims + dims * (dims + 1) / 2
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val a = v.asInstanceOf[ArrayData]
+        if (a.numElements() != dims)
+          throw new IllegalArgumentException(
+            s"pca_moments: expected $dims-dim vector, got ${a.numElements()}")
+        val q = new Array[Long](dims)
+        var j = 0
+        while (j < dims) {
+          q(j) = halfAway(a.getFloat(j).toDouble * Micro)
+          j += 1
+        }
+        buf(0) += 1L
+        var t = 1 + dims
+        j = 0
+        while (j < dims) {
+          buf(1 + j) += q(j)
+          var k = j
+          while (k < dims) { buf(t) += q(j) * q(k); t += 1; k += 1 }
+          j += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < len) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * len)
+      var i = 0
+      while (i < len) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(storage: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(storage)
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < len) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def withNewMutableAggBufferOffset(o: Int): ImperativeAggregate =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ImperativeAggregate =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): CovMomentsAgg =
+      copy(child = c)
+  }
+
+  /** Dominant-eigenvector estimate after `iters` fixed-point power
+    * rounds, in micro-units (max-abs element = ±1e6). One Spark job
+    * (the moment collect); every round is driver arithmetic on the
+    * d×d fixed-point covariance.
+    */
+  def pc1(df: DataFrame, vecCol: String, dims: Int, iters: Int): Array[Long] = {
+    require(dims >= 2, s"dims must be >= 2: $dims")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    // AQE off for the collect: fixed scan -> partial agg -> single-row
+    // final agg (the bloomBitmap / LogReg rationale)
+    val sess = df.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val m =
+      try df.select(GraftBridge.column(
+          CovMomentsAgg(GraftBridge.expression(col(vecCol)), dims)
+            .toAggregateExpression()).as("m"))
+        .first().getAs[scala.collection.Seq[Long]](0)
+      finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    val n = m(0)
+    require(n > 0, "pca: empty input")
+    val nD = n.toDouble
+    val s = Array.tabulate(dims)(j => m(1 + j))
+    // full fixed-point covariance from the upper triangle; op order
+    // mirrors the oracle SQL exactly (S/n/1e12 - (s_j/n/1e6)*(s_k/n/1e6))
+    val cq = Array.ofDim[Long](dims, dims)
+    var t = 1 + dims
+    var j = 0
+    while (j < dims) {
+      var k = j
+      while (k < dims) {
+        val c = m(t).toDouble / nD / 1e12 -
+          (s(j).toDouble / nD / Micro) * (s(k).toDouble / nD / Micro)
+        val q = halfAway(c * Micro)
+        cq(j)(k) = q
+        cq(k)(j) = q
+        t += 1
+        k += 1
+      }
+      j += 1
+    }
+    var v = Array.fill(dims)(1000000L)
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Long](dims)
+      j = 0
+      while (j < dims) {
+        var acc = 0L
+        var k = 0
+        while (k < dims) { acc += cq(j)(k) * v(k); k += 1 }
+        w(j) = acc
+        j += 1
+      }
+      var mx = 0L
+      j = 0
+      while (j < dims) { val a = math.abs(w(j)); if (a > mx) mx = a; j += 1 }
+      require(mx > 0, "pca: zero covariance (degenerate input)")
+      j = 0
+      while (j < dims) {
+        v(j) = math.floor(w(j).toDouble * Micro / mx.toDouble).toLong
+        j += 1
+      }
+      it += 1
+    }
+    v
+  }
+
+  /** Per-row fixed-point PC1 score: sum_j q_j * v_j, exact BIGINT —
+    * a zero-shuffle codegen projection (zip_with + aggregate over
+    * builtins; the eigenvector is a 64-element literal).
+    */
+  def project(df: DataFrame, vecCol: String, idCol: String,
+      v: Array[Long]): DataFrame =
+    df.select(col(idCol), aggregate(
+      zip_with(col(vecCol), typedlit(v.toSeq),
+        (x, vj) => round(x.cast("double") * lit(1000000.0)).cast("long") * vj),
+      lit(0L), (acc, e) => acc + e).as("pc1_fixed"))
+
+  /** Train-and-score in one call: the declared-query surface. */
+  def pc1Scores(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, iters: Int): DataFrame =
+    project(df, vecCol, idCol, pc1(df, vecCol, dims, iters))
+}

@@ -529,7 +529,58 @@ object VectorQueries {
         SELECT ov.qid, ov.n_true, COALESCE(na.n_approx, 0) AS n_approx,
           ov.n_overlap,
           ROUND(CAST(ov.n_overlap AS DOUBLE) / ov.n_true, 6) AS recall
-        FROM ov LEFT JOIN na ON ov.qid = na.qid ORDER BY ov.qid"""))
+        FROM ov LEFT JOIN na ON ov.qid = na.qid ORDER BY ov.qid""")),
+
+    // ---- PCA by power iteration (dominant embedding direction) ----------
+    // Embedding-space whitening / dominant-direction analysis at corpus
+    // scale: ONE map-side-combinable aggregation builds the exact
+    // fixed-point second-moment triangle (17 KB of state regardless of
+    // corpus size), 24 power-iteration rounds run on the driver in
+    // integer fixed point (BIGINT dot products are order-independent, so
+    // the oracle's recursive CTE replays every round bit-for-bit), and
+    // the per-vector PC1 projection is a zero-shuffle codegen scan with
+    // the eigenvector as a 64-element literal. Max-abs normalization
+    // keeps the per-round state integer-exact (power iteration converges
+    // under any fixed normalization).
+    QueryDef(
+      "q88_pca_power",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Pca.pc1Scores(table(s, dir, "embeddings"),
+          "embedding", "vec_id", dims = 64, iters = 24)
+      },
+      Some(raw"""WITH RECURSIVE q AS MATERIALIZED (SELECT vec_id, j,
+            CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qv
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS j FROM embeddings)),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        sj AS MATERIALIZED (SELECT j, CAST(SUM(qv) AS BIGINT) AS s
+          FROM q GROUP BY j),
+        sp AS MATERIALIZED (SELECT a.j AS j, b.j AS k,
+            CAST(SUM(a.qv * b.qv) AS BIGINT) AS sjk
+          FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.j, b.j),
+        cq AS MATERIALIZED (SELECT sp.j, sp.k,
+            CAST(ROUND((CAST(sjk AS DOUBLE) / CAST(n AS DOUBLE)
+                / 1000000000000.0
+              - (CAST(s1.s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                * (CAST(s2.s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0))
+              * 1000000) AS BIGINT) AS cv
+          FROM sp, nn, sj s1, sj s2 WHERE s1.j = sp.j AND s2.j = sp.k),
+        pv AS (
+          SELECT 0 AS it, j, CAST(1000000 AS BIGINT) AS v
+          FROM (SELECT DISTINCT j FROM sj)
+          UNION ALL
+          SELECT it, j, CAST(FLOOR(CAST(w AS DOUBLE) * 1000000.0
+              / CAST(mx AS DOUBLE)) AS BIGINT) AS v
+          FROM (SELECT it, j, w, MAX(ABS(w)) OVER () AS mx
+            FROM (SELECT p.it + 1 AS it, c.j AS j,
+                CAST(SUM(c.cv * p.v) AS BIGINT) AS w
+              FROM pv p JOIN cq c ON c.k = p.j
+              WHERE p.it < 24
+              GROUP BY 1, 2) w1) w2),
+        vf AS (SELECT j, v FROM pv WHERE it = 24)
+        SELECT q.vec_id, CAST(SUM(q.qv * vf.v) AS BIGINT) AS pc1_fixed
+        FROM q JOIN vf ON q.j = vf.j GROUP BY q.vec_id"""))
   )
 
   /** Generated oracle for q63: one CTE chain per subspace replaying

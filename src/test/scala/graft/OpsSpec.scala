@@ -1043,4 +1043,59 @@ class OpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
     }
   }
+
+  test("pca: power iteration recovers a planted dominant direction") {
+    // data = strong axis-3 direction + small noise on the other axes:
+    // the eigengap is wide, so 24 fixed-point rounds must converge
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      val v = Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.1f)
+      v(3) = (if (i % 2 == 0) 1.0f else -1.0f) * (0.5f + rnd.nextFloat())
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .repartition(8)
+    val v = graft.ops.Pca.pc1(df, "embedding", dims = 8, iters = 24)
+    val n2 = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(v(3).toDouble / n2) > 0.99,
+      s"PC1 should align with the planted axis, got ${v.toSeq}")
+    // exact integer arithmetic => bit-identical across partitionings,
+    // projections included
+    val v2 = graft.ops.Pca.pc1(df.repartition(3), "embedding", 8, 24)
+    assert(v.toSeq == v2.toSeq)
+    val p1 = graft.ops.Pca.project(df, "embedding", "vec_id", v)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val p2 = graft.ops.Pca.project(df.repartition(5), "embedding", "vec_id", v2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(p1 == p2)
+    // ragged input fails with the contract error, not deep in codegen
+    val bad = Seq((0L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val e = intercept[Exception] {
+      graft.ops.Pca.pc1(bad, "embedding", dims = 8, iters = 1)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("boilerplate strip removes frequent blocks everywhere, q79 keeps one") {
+    // block "a b c d e f g h i j" appears in 3 docs -> stripped from all
+    // three at minDf=3; the rare tail blocks survive
+    val boiler = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$boiler alpha beta"),
+      (1L, s"$boiler gamma delta"),
+      (2L, s"$boiler epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateBlocks(docs, "text", "doc_id",
+        blockTokens = 10, minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 0-2: 2 blocks each (10 boiler tokens + 2-token tail), boiler
+    // stripped INCLUDING its first occurrence; doc 3 untouched
+    assert(out == Set((0L, 2L, 1L), (1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    // contrast: scrubDuplicateBlocks keeps the first occurrence
+    val kept = Dedup.scrubDuplicateBlocks(docs, "text", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(kept(0L) == 2L && kept(1L) == 1L && kept(2L) == 1L)
+  }
 }
