@@ -123,25 +123,30 @@ object Pca {
       copy(child = c)
   }
 
-  /** Dominant-eigenvector estimate after `iters` fixed-point power
-    * rounds, in micro-units (max-abs element = ±1e6). One Spark job
-    * (the moment collect); every round is driver arithmetic on the
-    * d×d fixed-point covariance.
-    */
-  def pc1(df: DataFrame, vecCol: String, dims: Int, iters: Int): Array[Long] = {
+  /** The one distributed job: collect the moment triangle. */
+  def moments(df: DataFrame, vecCol: String, dims: Int)
+      : scala.collection.Seq[Long] = {
     require(dims >= 2, s"dims must be >= 2: $dims")
-    require(iters >= 1, s"iters must be >= 1: $iters")
     // AQE off for the collect: fixed scan -> partial agg -> single-row
     // final agg (the bloomBitmap / LogReg rationale)
     val sess = df.sparkSession
     val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
-    val m =
-      try df.select(GraftBridge.column(
-          CovMomentsAgg(GraftBridge.expression(col(vecCol)), dims)
-            .toAggregateExpression()).as("m"))
-        .first().getAs[scala.collection.Seq[Long]](0)
-      finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    try df.select(GraftBridge.column(
+        CovMomentsAgg(GraftBridge.expression(col(vecCol)), dims)
+          .toAggregateExpression()).as("m"))
+      .first().getAs[scala.collection.Seq[Long]](0)
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
+  /** Dominant-eigenvector estimate after `iters` fixed-point power
+    * rounds, in micro-units (max-abs element = ±1e6), from a collected
+    * moment triangle — pure driver arithmetic on the d×d fixed-point
+    * covariance.
+    */
+  def pc1FromMoments(m: scala.collection.Seq[Long], dims: Int,
+      iters: Int): Array[Long] = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
     val n = m(0)
     require(n > 0, "pca: empty input")
     val nD = n.toDouble
@@ -190,6 +195,12 @@ object Pca {
     v
   }
 
+  /** Dominant eigenvector of `df`'s covariance: one Spark job plus
+    * driver rounds.
+    */
+  def pc1(df: DataFrame, vecCol: String, dims: Int, iters: Int): Array[Long] =
+    pc1FromMoments(moments(df, vecCol, dims), dims, iters)
+
   /** Per-row fixed-point PC1 score: sum_j q_j * v_j, exact BIGINT —
     * a zero-shuffle codegen projection (zip_with + aggregate over
     * builtins; the eigenvector is a 64-element literal).
@@ -205,4 +216,43 @@ object Pca {
   def pc1Scores(df: DataFrame, vecCol: String, idCol: String,
       dims: Int, iters: Int): DataFrame =
     project(df, vecCol, idCol, pc1(df, vecCol, dims, iters))
+
+  /** All-but-the-top postprocessing (Mu & Viswanath 2018): subtract the
+    * corpus mean and the PC1 component from every embedding. Same ONE
+    * distributed moment job as [[pc1]] (mean and covariance come from
+    * the same triangle), then a zero-shuffle apply scan emitting the
+    * centered PC1 score and the residual's squared norm, both exact
+    * BIGINTs:
+    *   mu_j  = floor(s_j / n)                       (micro)
+    *   c_ij  = q_ij - mu_j                          (centered, exact)
+    *   p_i   = sum_j c_ij * v_j                     (exact BIGINT)
+    *   r_ij  = c_ij - floor(p_i * v_j / sum_k v_k²) (fixed-point removal)
+    *   out   = (id, p_i, sum_j r_ij²)
+    */
+  def abttStats(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, iters: Int): DataFrame = {
+    val m = moments(df, vecCol, dims)
+    val v = pc1FromMoments(m, dims, iters)
+    val n = m(0)
+    val mu = Array.tabulate(dims)(j =>
+      math.floor(m(1 + j).toDouble / n.toDouble).toLong)
+    val vv = v.map(x => x * x).sum // <= 64e12, exact as double
+    val muLit = typedlit(mu.toSeq)
+    val vLit = typedlit(v.toSeq)
+    df.select(col(idCol),
+        zip_with(col(vecCol), muLit,
+          (x, mj) => round(x.cast("double") * lit(1000000.0)).cast("long") - mj)
+          .as("__c"))
+      .withColumn("__p", aggregate(
+        zip_with(col("__c"), vLit, (c, vj) => c * vj),
+        lit(0L), (acc, e) => acc + e))
+      .select(col(idCol), col("__p").as("pc1_centered"), aggregate(
+        zip_with(col("__c"), vLit, (c, vj) => {
+          val r = c - floor(col("__p").cast("double") * vj.cast("double") /
+            lit(vv.toDouble)).cast("long")
+          r * r
+        }),
+        lit(0L), (acc: org.apache.spark.sql.Column, e) => acc + e)
+        .as("resid_norm2"))
+  }
 }

@@ -580,7 +580,73 @@ object VectorQueries {
               GROUP BY 1, 2) w1) w2),
         vf AS (SELECT j, v FROM pv WHERE it = 24)
         SELECT q.vec_id, CAST(SUM(q.qv * vf.v) AS BIGINT) AS pc1_fixed
-        FROM q JOIN vf ON q.j = vf.j GROUP BY q.vec_id"""))
+        FROM q JOIN vf ON q.j = vf.j GROUP BY q.vec_id""")),
+
+    // ---- all-but-the-top embedding postprocess (ABTT) -------------------
+    // Mu & Viswanath 2018: subtract the corpus mean and the dominant
+    // direction from every embedding — the standard fix for anisotropic
+    // embedding spaces before cosine retrieval. Composes q88's trainer:
+    // the SAME one-job moment triangle yields mean and covariance, the
+    // eigenvector trains driver-side, and the apply is one zero-shuffle
+    // scan emitting the centered PC1 score and residual squared norm as
+    // exact BIGINTs (floor-quantized component removal, so the oracle
+    // replays training AND application bit-for-bit).
+    QueryDef(
+      "q89_abtt",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Pca.abttStats(table(s, dir, "embeddings"),
+          "embedding", "vec_id", dims = 64, iters = 24)
+      },
+      Some(raw"""WITH RECURSIVE q AS MATERIALIZED (SELECT vec_id, j,
+            CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qv
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS j FROM embeddings)),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        sj AS MATERIALIZED (SELECT j, CAST(SUM(qv) AS BIGINT) AS s
+          FROM q GROUP BY j),
+        sp AS MATERIALIZED (SELECT a.j AS j, b.j AS k,
+            CAST(SUM(a.qv * b.qv) AS BIGINT) AS sjk
+          FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.j, b.j),
+        cq AS MATERIALIZED (SELECT sp.j, sp.k,
+            CAST(ROUND((CAST(sjk AS DOUBLE) / CAST(n AS DOUBLE)
+                / 1000000000000.0
+              - (CAST(s1.s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                * (CAST(s2.s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0))
+              * 1000000) AS BIGINT) AS cv
+          FROM sp, nn, sj s1, sj s2 WHERE s1.j = sp.j AND s2.j = sp.k),
+        pv AS (
+          SELECT 0 AS it, j, CAST(1000000 AS BIGINT) AS v
+          FROM (SELECT DISTINCT j FROM sj)
+          UNION ALL
+          SELECT it, j, CAST(FLOOR(CAST(w AS DOUBLE) * 1000000.0
+              / CAST(mx AS DOUBLE)) AS BIGINT) AS v
+          FROM (SELECT it, j, w, MAX(ABS(w)) OVER () AS mx
+            FROM (SELECT p.it + 1 AS it, c.j AS j,
+                CAST(SUM(c.cv * p.v) AS BIGINT) AS w
+              FROM pv p JOIN cq c ON c.k = p.j
+              WHERE p.it < 24
+              GROUP BY 1, 2) w1) w2),
+        vf AS MATERIALIZED (SELECT j, v FROM pv WHERE it = 24),
+        mu AS (SELECT j, CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            AS BIGINT) AS mu
+          FROM sj, nn),
+        vv AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vv FROM vf),
+        qc AS MATERIALIZED (SELECT q.vec_id, q.j, q.qv - mu.mu AS c
+          FROM q JOIN mu USING (j)),
+        pp AS MATERIALIZED (SELECT vec_id,
+            CAST(SUM(qc.c * vf.v) AS BIGINT) AS p
+          FROM qc JOIN vf USING (j) GROUP BY vec_id),
+        res AS (SELECT qc.vec_id,
+            CAST(SUM((qc.c - CAST(FLOOR(CAST(pp.p AS DOUBLE)
+                * CAST(vf.v AS DOUBLE) / CAST(vv.vv AS DOUBLE)) AS BIGINT))
+              * (qc.c - CAST(FLOOR(CAST(pp.p AS DOUBLE)
+                * CAST(vf.v AS DOUBLE) / CAST(vv.vv AS DOUBLE)) AS BIGINT)))
+              AS BIGINT) AS resid_norm2
+          FROM qc JOIN vf USING (j) JOIN pp USING (vec_id) CROSS JOIN vv
+          GROUP BY qc.vec_id)
+        SELECT pp.vec_id, pp.p AS pc1_centered, res.resid_norm2
+        FROM pp JOIN res USING (vec_id)"""))
   )
 
   /** Generated oracle for q63: one CTE chain per subspace replaying

@@ -1078,6 +1078,43 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("abtt: residuals are orthogonal to PC1 up to floor error") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map { i =>
+      val v = Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.1f)
+      v(3) = (if (i % 2 == 0) 1.0f else -1.0f) * (0.5f + rnd.nextFloat())
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .repartition(8)
+    val m = graft.ops.Pca.moments(df, "embedding", 8)
+    val v = graft.ops.Pca.pc1FromMoments(m, 8, 24)
+    val n = m(0)
+    val mu = Array.tabulate(8)(j =>
+      math.floor(m(1 + j).toDouble / n.toDouble).toLong)
+    val vv = v.map(x => x * x).sum
+    val out = graft.ops.Pca.abttStats(df, "embedding", "vec_id", 8, 24)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // replay the removal driver-side and check r . v collapses vs c . v
+    rows.foreach { case (id, emb) =>
+      val q = emb.map(x => {
+        val d = x.toDouble * 1e6
+        (if (d >= 0) math.floor(d + 0.5) else -math.floor(-d + 0.5)).toLong
+      }).toArray
+      val c = q.indices.map(j => q(j) - mu(j)).toArray
+      val p = c.indices.map(j => c(j) * v(j)).sum
+      assert(out(id)._1 == p)
+      val r = c.indices.map(j =>
+        c(j) - math.floor(p.toDouble * v(j).toDouble / vv.toDouble).toLong)
+      assert(out(id)._2 == r.map(x => x * x).sum)
+      val rDotV = r.indices.map(j => r(j) * v(j)).sum
+      // floor error bound: < sum_j |v_j| <= dims * 1e6
+      assert(math.abs(rDotV) < 8L * 1000000L,
+        s"residual not orthogonal: $rDotV vs c.v=$p")
+    }
+  }
+
   test("boilerplate strip removes frequent blocks everywhere, q79 keeps one") {
     // block "a b c d e f g h i j" appears in 3 docs -> stripped from all
     // three at minDf=3; the rare tail blocks survive
