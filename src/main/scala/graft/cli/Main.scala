@@ -257,6 +257,32 @@ object Main {
             blockTokens = opt(rest, "block-tokens").map(_.toInt).getOrElse(10))
           .write.mode("overwrite").parquet(out)
 
+      //   strip-boilerplate in out [--block-tokens 10] [--min-df 3]
+      //   (frequency-threshold block removal: blocks in >= min-df
+      //   distinct docs stripped everywhere)
+      case "strip-boilerplate" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Dedup.stripBoilerplateBlocks(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            blockTokens = opt(rest, "block-tokens").map(_.toInt).getOrElse(10),
+            minDf = opt(rest, "min-df").map(_.toInt).getOrElse(3))
+          .write.mode("overwrite").parquet(out)
+
+      //   pca in out [--dims 64] [--iters 24] [--abtt]  (PC1 projection
+      //   scores; --abtt adds mean+PC1 removal residual stats)
+      case "pca" =>
+        val Seq(in, out) = rest.take(2)
+        val df = spark.read.parquet(in)
+        val vecCol = opt(rest, "vector-column").getOrElse("embedding")
+        val idCol = opt(rest, "id-column").getOrElse("vec_id")
+        val dims = opt(rest, "dims").map(_.toInt).getOrElse(64)
+        val iters = opt(rest, "iters").map(_.toInt).getOrElse(24)
+        (if (flag(rest, "abtt"))
+          graft.ops.Pca.abttStats(df, vecCol, idCol, dims, iters)
+        else graft.ops.Pca.pc1Scores(df, vecCol, idCol, dims, iters))
+          .write.mode("overwrite").parquet(out)
+
       //   logreg-train in out [--dims 256] [--iters 3] [--label-lang en]
       //   (hashed-BoW quality-classifier weights to parquet)
       case "logreg-train" =>
@@ -681,6 +707,7 @@ object Main {
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
       |  bpe-train, logreg-train, nb-score, overlap, scrub-blocks,
+      |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
       |  check [--all], validate, fix, stac-item""".stripMargin

@@ -251,6 +251,44 @@ class CliSpec extends AnyFunSuite {
     assert(ov.getAs[Long]("sketch_size") == 32)
   }
 
+  test("strip-boilerplate and pca commands run end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("bppca")
+    val boiler = (1 to 10).map(i => s"t$i").mkString(" ")
+    (0L until 6L).map(i => (i, if (i < 3) s"$boiler tail$i" else s"rare text $i"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs.parquet")
+    Main.run(spark, Seq("strip-boilerplate", s"$dir/docs.parquet",
+      s"$dir/bp.parquet", "--block-tokens", "10", "--min-df", "3"))
+    val bp = spark.read.parquet(s"$dir/bp.parquet")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0L until 3L).forall(bp(_) == 1L)) // boiler block stripped
+    assert((3L until 6L).forall(bp(_) == 1L))
+
+    val rnd = new scala.util.Random(3)
+    (0L until 50L).map { i =>
+      val v = Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.1f)
+      v(2) = (if (i % 2 == 0) 1.0f else -1.0f) * (0.6f + rnd.nextFloat())
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .write.parquet(s"$dir/emb.parquet")
+    Main.run(spark, Seq("pca", s"$dir/emb.parquet", s"$dir/pc.parquet",
+      "--dims", "8", "--iters", "16"))
+    val pc = spark.read.parquet(s"$dir/pc.parquet")
+    assert(pc.count() == 50)
+    assert(pc.columns.toSeq == Seq("vec_id", "pc1_fixed"))
+    Main.run(spark, Seq("pca", s"$dir/emb.parquet", s"$dir/ab.parquet",
+      "--dims", "8", "--iters", "16", "--abtt"))
+    val ab = spark.read.parquet(s"$dir/ab.parquet")
+    assert(ab.columns.toSeq == Seq("vec_id", "pc1_centered", "resid_norm2"))
+    // removal shrinks the planted direction: residual energy well below
+    // the centered projection energy for every vector
+    assert(ab.filter($"resid_norm2".cast("double") >
+      $"pc1_centered".cast("double") * $"pc1_centered".cast("double")
+        / lit(1e12)).count() == 0)
+  }
+
   test("training-prep commands: shuffle, chunk, blocklist, project, winnow") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
