@@ -57,7 +57,10 @@ object ScaleCurve {
     "q83_json_extract",   // schema-pruned from_json + per-type agg (events)
     "q84_kmv_overlap",    // bottom-k sketches + overlap estimators
     "q85_weighted_sample",// A-ES keys + bounded TakeOrdered
-    "q86_topgram_fractions" // one-pass kernel, zero shuffle
+    "q86_topgram_fractions", // one-pass kernel, zero shuffle
+    "q87_boilerplate",    // digest-keyed df windows + doc reassembly
+    "q88_pca_power",      // one-agg moment triangle + driver rounds
+    "q89_abtt"            // q88 moments + zero-shuffle removal scan
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -65,7 +68,8 @@ object ScaleCurve {
     * documents tier alone is ~7 GB of salted text.
     */
   private val embQueries = Set("q51_kmeans", "q59_ann_sq8", "q63_ann_pq",
-    "q64_ann_recall", "q65_proto_prune", "q69_rand_proj")
+    "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
+    "q89_abtt")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(
