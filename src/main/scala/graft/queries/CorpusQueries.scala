@@ -339,10 +339,11 @@ object CorpusQueries {
     // shared across documents is removed everywhere but its first
     // occurrence, and every document is reassembled from its surviving
     // blocks — dedup at sub-document granularity WITHOUT dropping
-    // documents. One digest-keyed shuffle decides survival, one
-    // doc-keyed aggregation rebuilds; the oracle re-derives every
-    // block, the global first-occurrence rank, and the reassembled
-    // text's digest.
+    // documents. Survival is a combinable min(struct(doc,idx)) per
+    // block digest + a composite-key join-back (skew-safe: no digest
+    // window — round-7), one doc-keyed aggregation rebuilds; the
+    // oracle re-derives every block, the global first-occurrence
+    // rank, and the reassembled text's digest.
     QueryDef(
       "q79_block_scrub",
       (s, dir) => {
@@ -381,10 +382,12 @@ object CorpusQueries {
     // The C4/RefinedWeb rule at fixed-block granularity: a block seen in
     // >= 3 DISTINCT documents is boilerplate and is removed everywhere —
     // including its first occurrence — whereas q79 keeps one survivor.
-    // One digest-keyed shuffle (dense_rank + max sharing a partitioning
-    // = COUNT(DISTINCT doc) with no agg+join-back), one doc-keyed
-    // reassembly; the oracle recomputes every block's document
-    // frequency and the reassembled digests independently.
+    // Document frequency is a two-level combinable aggregation
+    // (distinct (digest,doc) pairs → partial counts per digest), the
+    // small boilerplate set joins back (skew-safe: no digest window —
+    // round-7), one doc-keyed reassembly; the oracle recomputes every
+    // block's document frequency and the reassembled digests
+    // independently.
     QueryDef(
       "q87_boilerplate",
       (s, dir) => {
@@ -689,10 +692,11 @@ object CorpusQueries {
     // is classified against the already-accepted corpus (the rest) and
     // against itself. Scale shape (see Dedup.crossDedup): the accepted
     // corpus contributes ONLY its distinct 16-byte digest set — its text
-    // never re-shuffles on re-ingestion — and the batch pays one
-    // digest-keyed shuffle that serves both the first-occurrence window
-    // and the base left-join. The streaming twin (stream-static join +
-    // watermarked within-stream dedup) is parity-tested in StreamingSpec.
+    // never re-shuffles on re-ingestion — and within-batch
+    // first-occurrence is a combinable min(id) per digest + composite
+    // (digest,id) join-back (skew-safe: no digest window — round-7).
+    // The streaming twin (stream-static join + watermarked
+    // within-stream dedup) is parity-tested in StreamingSpec.
     QueryDef(
       "q60_cross_dedup",
       (s, dir) => {

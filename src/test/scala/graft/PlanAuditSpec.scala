@@ -89,6 +89,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "q73's miss branch (NOT bloom_hit) must bypass the join")
   }
 
+  test("dedup family plans contain no digest-partitioned window") {
+    // round-6 verdict finding #1: a Window.partitionBy(digest) sends
+    // every row carrying a given digest to ONE task — at 100 TB the hot
+    // digests are exactly the semantics-bearing ones (an error page
+    // duplicated millions of times, a site-wide boilerplate block).
+    // The skew-safe shape is combinable aggregation + join-back; pin it
+    // by requiring these plans to contain NO Window node at all.
+    for (name <- Seq("q20_dedup_exact", "q60_cross_dedup",
+        "q79_block_scrub", "q87_boilerplate")) {
+      val windows = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(windows.isEmpty,
+        s"$name must decide survival/df with combinable aggregations, " +
+          s"not a digest window (hot-key serialization): $windows")
+    }
+  }
+
   test("every window operator is partitioned (no global windows)") {
     // an unpartitioned window serializes the table through one task;
     // windowspecdefinition(..., specifiedwindowframe...) with an empty
