@@ -56,22 +56,22 @@ object Dedup {
       org.apache.spark.unsafe.types.UTF8String.fromString(text)).toString
 
   /** Exact dedup: keep the row with min(idCol) per digest of keyCol
-    * (ids assumed unique — every surviving (digest, id) pair names one
-    * row). Skew-safe shape: survival is a map-side-combinable
-    * `groupBy(digest).agg(min(id))` — a digest carried by millions of
-    * rows contributes ONE partial row per task, never a single-task
-    * window partition — and the join-back is a LEFT SEMI on the
-    * COMPOSITE key (digest, id), which hash-distributes uniformly even
-    * when one digest dominates the corpus (the id spreads it). This is
-    * the q20 declared-query shape lifted to a keep-the-row operator;
-    * the round-6 verdict flagged the previous digest-partitioned
-    * row_number window as a hot-key serialization point at 100 TB.
+    * (ids assumed unique — ties on the minimum id keep one arbitrary
+    * row of that id). Skew-safe shape: ONE corpus scan feeding ONE
+    * map-side-combinable aggregation — `min_by(full row, id)` per
+    * digest — so a digest carried by millions of rows contributes a
+    * single partial row per task, never a single-task window partition
+    * (the round-6 verdict flagged the previous digest-partitioned
+    * row_number window as a hot-key serialization point at 100 TB).
+    * Strictly better than the window even unskewed: the shuffle carries
+    * at most one candidate row per (task, digest) instead of every row.
     */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val withH = df.withColumn("__h", md5(normalize(col(keyCol))))
-    val winners = withH.select(col("__h"), col(idCol))
-      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
-    withH.join(winners, Seq("__h", idCol), "left_semi").drop("__h")
+    val cols = df.columns.toSeq
+    df.withColumn("__h", md5(normalize(col(keyCol))))
+      .groupBy(col("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
   }
 
   // ---- MinHash ----------------------------------------------------------
@@ -287,6 +287,13 @@ object Dedup {
     * AQE's skew-join mitigation handles (`spark.sql.adaptive.skewJoin`,
     * on by default) — no window, so no single-task digest partition
     * anywhere in the plan.
+    *
+    * The winner aggregation and the probe side each derive the batch's
+    * narrow (id, digest) projection — two scans of the batch text (the
+    * SMALL side of an ingestion pipeline by construction; measured
+    * cheaper than a persisted projection, whose cache write cost more
+    * than the re-scan it saved and whose lifecycle would leak across
+    * deliveries).
     */
   def crossDedup(base: DataFrame, incoming: DataFrame, textCol: String,
       idCol: String): DataFrame = {
@@ -412,51 +419,49 @@ object Dedup {
     * (headers, navigation, license blurbs) disappears from every copy
     * but the first, without dropping whole documents.
     *
-    * Scale shape (skew-safe, round-7): survival is a map-side-combinable
-    * `groupBy(block digest).agg(min(struct(doc id, idx)))` — the shuffle
-    * carries one 24-byte partial per (task, digest), so a boilerplate
-    * block present in half the corpus costs each task ONE row, not a
-    * single-task window partition holding every copy (the round-6
-    * verdict's hot-key finding: block text used to ride that window).
-    * The winner flag joins back on the COMPOSITE key (digest, doc, idx),
-    * which hash-distributes uniformly no matter how hot the digest; then
-    * one doc-keyed aggregation rebuilds the text. Returns (idCol,
-    * n_blocks, n_kept, scrubbed_digest) — the scrubbed text is reduced
-    * to its digest so the result stays narrow; production would write
-    * the rebuilt `scrubbed` column instead.
+    * Scale shape (skew-safe, round-7): the surviving blocks ARE the
+    * per-digest winners, so survival AND reconstruction come from ONE
+    * map-side-combinable aggregation — `min_by(block row, (doc, idx))`
+    * per digest. A boilerplate block present in half the corpus costs
+    * each task ONE partial row, not a single-task window partition
+    * holding every copy with its text riding along (the round-6
+    * verdict's hot-key finding); there is no join-back over the block
+    * table at all. The winners (≈ distinct blocks) regroup by doc to
+    * rebuild the text; per-doc totals come from a second scan that only
+    * counts blocks (token_blocks size — no md5, no explode, nothing
+    * shuffled but (id, count)). Returns (idCol, n_blocks, n_kept,
+    * scrubbed_digest) — the scrubbed text is reduced to its digest so
+    * the result stays narrow; production would write the rebuilt
+    * `scrubbed` column instead.
     */
   def scrubDuplicateBlocks(docs: DataFrame, textCol: String, idCol: String,
       blockTokens: Int = 10): DataFrame = {
-    // one tokenize pass total: the codegen token_blocks kernel builds
-    // the block list, and per-doc block counts are folded into the SAME
-    // aggregation that reassembles survivors (no second scan of text —
-    // the final left join exists only to restore empty documents and
-    // projects nothing but the id column)
     val blocks = docs.select(col(idCol), posexplode(
         graft.functions.SketchExpressions.token_blocks(
           coalesce(col(textCol), lit("")), blockTokens))
       .as(Seq("idx", "blk")))
       .withColumn("__bh", md5(col("blk")))
-    // min(struct) ≡ first occurrence by (doc id, idx); block text never
-    // enters this aggregation — only (digest, id, idx) shuffles
+    // min_by(row, (doc, idx)) ≡ first occurrence by (doc id, idx); the
+    // kept set is exactly these winner rows, text included
     val winners = blocks
       .groupBy(col("__bh"))
-      .agg(min(struct(col(idCol), col("idx"))).as("__w"))
-      .select(col("__bh"), col("__w").getField(idCol).as(idCol),
-        col("__w").getField("idx").as("idx"), lit(true).as("__keep"))
-    val flagged = blocks.join(winners, Seq("__bh", idCol, "idx"), "left")
-    val keep = col("__keep").isNotNull
-    val rebuilt = flagged.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_blocks"),
-      sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+      .agg(min_by(struct(col(idCol), col("idx"), col("blk")),
+        struct(col(idCol), col("idx"))).as("__w"))
+      .select(col("__w").getField(idCol).as("__id"),
+        col("__w").getField("idx").as("idx"),
+        col("__w").getField("blk").as("blk"))
+    val rebuilt = winners.groupBy(col("__id")).agg(
+      count(lit(1)).as("n_kept"),
       md5(array_join(transform(
-        array_sort(collect_list(
-          when(keep, struct(col("idx"), col("blk"))))),
+        array_sort(collect_list(struct(col("idx"), col("blk")))),
         s => s.getField("blk")), " ")).as("scrubbed_digest"))
-    docs.select(col(idCol))
+      .withColumnRenamed("__id", idCol)
+    docs.select(col(idCol),
+        size(graft.functions.SketchExpressions.token_blocks(
+          coalesce(col(textCol), lit("")), blockTokens))
+          .cast("long").as("n_blocks"))
       .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+      .select(col(idCol), col("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("scrubbed_digest"), md5(lit(""))).as("scrubbed_digest"))
   }
@@ -468,22 +473,28 @@ object Dedup {
     * the number of DISTINCT documents containing the block, so a
     * within-document repetition never triggers the rule by itself.
     *
-    * Plan shape (skew-safe, round-7): the codegen token_blocks kernel
-    * splits once; document frequency is a TWO-LEVEL combinable
-    * aggregation — distinct (digest, doc) pairs (composite shuffle key,
-    * uniform; partial agg collapses within-doc repeats map-side), then
-    * `groupBy(digest).count` whose partials mean a digest in half the
-    * corpus delivers per-task COUNTS to its reducer, never rows. Only
-    * digests reaching `minDf` survive into the boilerplate set, which
-    * joins back to the blocks as a digest-keyed LEFT join — the build
-    * side holds one row per boilerplate digest (at most corpus_blocks /
-    * minDf, in practice tiny: AQE broadcasts it), and a hot probe-side
-    * digest is a splittable sort-merge partition under AQE skew
-    * mitigation. The previous dense_rank/max window serialized every
-    * copy of a frequent block — frequent BY DEFINITION here — through
-    * one task (round-6 verdict finding #1). One doc-keyed aggregation
-    * reassembles survivors; the boilerplate set is never
-    * driver-materialized.
+    * Plan shape (skew-safe, round-7): the blocks feed a (digest, doc)
+    * pre-aggregation `g1` that packs each document's copies of a block
+    * into one row — the composite shuffle key distributes uniformly,
+    * partial agg collapses within-doc repeats map-side, and per-group
+    * state is bounded by document length. g1 has two consumers; column
+    * pruning gives each its own scan, so skew-safety costs one extra
+    * pass of tokenize+md5 — but the df branch's shuffle carries bare
+    * (digest, doc) pairs, never block text:
+    *  - document frequency = `groupBy(digest).count` over g1 — partials
+    *    mean a digest in half the corpus delivers per-task COUNTS to
+    *    its reducer, never rows; digests reaching `minDf` form the
+    *    boilerplate set (at most corpus_blocks / minDf rows, in
+    *    practice tiny: AQE broadcasts it);
+    *  - the boilerplate set LEFT-joins back to g1 on the digest — a hot
+    *    probe-side digest is a splittable sort-merge partition under
+    *    AQE skew mitigation (and carries one row per (digest, doc),
+    *    not per copy).
+    * The previous dense_rank/max window serialized every copy of a
+    * frequent block — frequent BY DEFINITION here — through one task
+    * (round-6 verdict finding #1). One doc-keyed aggregation flattens
+    * the surviving groups back into blocks and reassembles; the
+    * boilerplate set is never driver-materialized.
     */
   def stripBoilerplateBlocks(docs: DataFrame, textCol: String, idCol: String,
       blockTokens: Int = 10, minDf: Int = 3): DataFrame = {
@@ -492,18 +503,19 @@ object Dedup {
           coalesce(col(textCol), lit("")), blockTokens))
       .as(Seq("idx", "blk")))
       .withColumn("__bh", md5(col("blk")))
-    val boiler = blocks.select(col("__bh"), col(idCol)).distinct()
-      .groupBy(col("__bh")).agg(count(lit(1)).as("__df"))
+    val g1 = blocks.groupBy(col("__bh"), col(idCol))
+      .agg(collect_list(struct(col("idx"), col("blk"))).as("__rows"))
+    val boiler = g1.groupBy(col("__bh")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__bh"), lit(true).as("__boiler"))
-    val flagged = blocks.join(boiler, Seq("__bh"), "left")
+    val flagged = g1.join(boiler, Seq("__bh"), "left")
     val keep = col("__boiler").isNull
     val rebuilt = flagged.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_blocks"),
-      sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+      sum(size(col("__rows"))).cast("long").as("n_blocks"),
+      sum(when(keep, size(col("__rows"))).otherwise(0)).cast("long")
+        .as("n_kept"),
       md5(array_join(transform(
-        array_sort(collect_list(
-          when(keep, struct(col("idx"), col("blk"))))),
+        array_sort(flatten(collect_list(when(keep, col("__rows"))))),
         s => s.getField("blk")), " ")).as("scrubbed_digest"))
     docs.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
