@@ -13,8 +13,23 @@ package graft.geom
   *    ETRS89 258xx
   *  - Lambert Conformal Conic 2SP: 2154 (RGF93 / Lambert-93)
   *  - Lambert Azimuthal Equal Area: 3035 (ETRS89-extended Europe)
+  *  - world pseudocylindricals: Sinusoidal (ESRI:54008), Mollweide
+  *    (ESRI:54009), Robinson (ESRI:54030)
   * CRS inputs may be "EPSG:n", bare codes, OGC URNs, or PROJJSON (the
   * `id.authority/code` is extracted). Always-XY axis order everywhere.
+  *
+  * Accuracy caveat — Robinson (ESRI:54030): Robinson is a TABLE
+  * projection (5°-node coefficients, Robinson 1974) and implementations
+  * differ in how they interpolate between nodes. This engine uses a
+  * monotone Hermite interpolant: node latitudes (0°, 5°, …, 90°) map
+  * EXACTLY to the published table values and round-trip through our own
+  * inverse to sub-meter, but interior latitudes can deviate from PROJ's
+  * central-difference spline (`robin`) by up to ~100 m on the ground.
+  * Coordinates produced by PROJ/pyproj therefore do not inverse-
+  * transform bit-exactly through this engine between nodes; pipelines
+  * mixing the two engines on 54030 should compare with a ~100 m
+  * tolerance. Every other CRS above follows closed-form Snyder
+  * equations and matches PROJ to numerical precision.
   */
 object Proj {
 

@@ -30,20 +30,32 @@ import org.apache.spark.sql.functions._
 object Kmv {
 
   /** Overlap report between the corpus halves labeled 'a' / 'b' by
-    * `corpusCol`. One row: (k, sketch_size, est_union, est_jaccard,
-    * exact_union, exact_jaccard) — the exact columns certify the
-    * estimates in tests and oracles (cheap at test scale; production
-    * would drop them and keep only the sketches).
+    * `corpusCol`. One row: (k, sketch_size, est_union, est_jaccard[,
+    * exact_union, exact_jaccard]).
+    *
+    * `certify = true` (the test/oracle mode) adds the exact columns,
+    * which cost a full distinct count over the corpus — most of this
+    * operator's measured floor — and persists the distinct digest set
+    * so it is paid once for both consumers; the cache's lifecycle is
+    * CALLER-MANAGED (the LogReg.trainScore contract): unpersist or
+    * `spark.catalog.clearCache()` after the report materializes, or a
+    * long-running session accrues one cached digest set per call.
+    * `certify = false` is the production path: sketches only, no
+    * certification aggregates, no persist, nothing cached — the report
+    * is one bounded-heap aggregation over the distinct digests.
     */
   def corpusOverlap(docs: DataFrame, corpusCol: Column, textCol: String,
-      k: Int = 128): DataFrame = {
+      k: Int = 128, certify: Boolean = true): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")
     val h = conv(substring(md5(Dedup.normalize(
       coalesce(col(textCol), lit("")))), 1, 15), 16, 10).cast("long")
-    // distinct (corpus, 60-bit hash) — feeds the sketch aggregation AND
-    // the exact-count certification, so digest+distinct is paid once
-    val dh = docs.select(corpusCol.as("__c"), h.as("__h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct (corpus, 60-bit hash) — under certify it feeds the
+    // sketch aggregation AND the exact-count certification, so
+    // digest+distinct is paid once
+    val dh0 = docs.select(corpusCol.as("__c"), h.as("__h")).distinct()
+    val dh = if (certify)
+      dh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else dh0
     val sk = TopK.perGroup(dh, Seq("__c"),
       Seq((col("__h"), false)), k, "__rk")
     // union bottom-k with per-corpus membership flags
@@ -54,20 +66,24 @@ object Kmv {
     val stats = ubm.agg(count(lit(1)).as("m"), max(col("__h")).as("th"),
       sum(when(col("inA") === 1 && col("inB") === 1, 1L).otherwise(0L))
         .as("shared"))
-    val exact = dh.groupBy(col("__h"))
-      .agg(countDistinct(col("__c")).as("nc"))
-      .agg(count(lit(1)).as("exact_union"),
-        sum(when(col("nc") === 2, 1L).otherwise(0L)).as("exact_inter"))
     val two60 = 1152921504606846976.0 // 2^60: hash values normalize by it
-    stats.crossJoin(broadcast(exact)).select(
+    val estCols = Seq(
       lit(k).as("k"),
       col("m").as("sketch_size"),
       round(when(col("m") < k, col("m").cast("double"))
         .otherwise(lit((k - 1).toDouble * two60) / col("th").cast("double")),
         6).as("est_union"),
-      round(col("shared").cast("double") / col("m"), 6).as("est_jaccard"),
-      col("exact_union"),
-      round(col("exact_inter").cast("double") / col("exact_union"), 6)
-        .as("exact_jaccard"))
+      round(col("shared").cast("double") / col("m"), 6).as("est_jaccard"))
+    if (!certify) stats.select(estCols: _*)
+    else {
+      val exact = dh.groupBy(col("__h"))
+        .agg(countDistinct(col("__c")).as("nc"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("nc") === 2, 1L).otherwise(0L)).as("exact_inter"))
+      stats.crossJoin(broadcast(exact)).select(estCols ++ Seq(
+        col("exact_union"),
+        round(col("exact_inter").cast("double") / col("exact_union"), 6)
+          .as("exact_jaccard")): _*)
+    }
   }
 }

@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Shape: ONE map-side-combinable aggregation over the corpus builds the
   * exact fixed-point second-moment triangle (count, per-dim sums, and
-  * the d(d+1)/2 upper-triangle cross products as BIGINTs — ~17 KB of
-  * state for d = 64, independent of corpus size); the covariance matrix
+  * the d(d+1)/2 upper-triangle cross products as signed 128-bit
+  * integers — ~34 KB of state for d = 64, independent of corpus size,
+  * overflow-free at any realistic row count); the covariance matrix
   * and every power-iteration round then live on the driver as integer
   * fixed-point arithmetic (the q51/q72/q75 recipe: BIGINT dot products
   * are order-independent, so DuckDB replays every round bit-for-bit);
@@ -47,11 +48,24 @@ object Pca {
   private def halfAway(x: Double): Long =
     (if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)).toLong
 
-  /** One-pass exact moment triangle: buffer = [n, s_0..s_{d-1},
-    * S_00, S_01..S_0{d-1}, S_11, ..] (upper triangle, row major).
-    * Each partition folds its rows into one local buffer; partials
-    * merge by elementwise addition — the BloomBitmapAgg shape, so at
-    * any corpus size only numPartitions ~17 KB buffers cross the wire.
+  /** One-pass exact moment triangle: logical buffer = [n, s_0..s_{d-1},
+    * S_00, S_01..S_0{d-1}, S_11, ..] (upper triangle, row major), each
+    * entry a SIGNED 128-BIT accumulator stored as an interleaved
+    * (hi, lo) Long pair — value_i = hi·2^64 + unsigned(lo). Each
+    * partition folds its rows into one local buffer; partials merge by
+    * elementwise 128-bit addition — the BloomBitmapAgg shape, so at any
+    * corpus size only numPartitions ~34 KB buffers cross the wire.
+    *
+    * Why 128-bit (round-6 ADVICE): a signed-Long cross-moment
+    * Σ q_j·q_k wraps silently past ~9e6 rows of unit-norm embeddings
+    * (q ≤ 1e6 micro-units ⇒ 1e12 per row against 2^63), corrupting the
+    * covariance exactly at the corpus sizes this one-job design exists
+    * for. A 128-bit sum of 1e12/row lasts ~1.7e26 rows — no realistic
+    * ceiling. Per-ROW magnitudes still use Long: coordinates must be
+    * finite (checked) and each product q_j·q_k must fit in a signed
+    * Long (Math.multiplyExact — |x| up to ~3e3 at 64 dims is safe by
+    * orders of magnitude; absurd coordinates fail loudly instead of
+    * wrapping).
     */
   case class CovMomentsAgg(
       child: Expression,
@@ -62,7 +76,17 @@ object Pca {
 
     private val len = 1 + dims + dims * (dims + 1) / 2
 
-    override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * len)
+
+    /** buf(2i, 2i+1) += x, exact signed 128-bit: sign-extend x, add the
+      * low words unsigned, propagate the carry into the high word.
+      */
+    @inline private def add128(buf: Array[Long], i: Int, x: Long): Unit = {
+      val lo = buf(2 * i + 1)
+      val nl = lo + x
+      buf(2 * i + 1) = nl
+      buf(2 * i) += (x >> 63) + (((lo & x) | ((lo | x) & ~nl)) >>> 63)
+    }
 
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
@@ -74,16 +98,23 @@ object Pca {
         val q = new Array[Long](dims)
         var j = 0
         while (j < dims) {
-          q(j) = halfAway(a.getFloat(j).toDouble * Micro)
+          val x = a.getFloat(j)
+          if (!java.lang.Float.isFinite(x))
+            throw new IllegalArgumentException(
+              s"pca_moments: non-finite coordinate $x at dim $j")
+          q(j) = halfAway(x.toDouble * Micro)
           j += 1
         }
-        buf(0) += 1L
+        add128(buf, 0, 1L)
         var t = 1 + dims
         j = 0
         while (j < dims) {
-          buf(1 + j) += q(j)
+          add128(buf, 1 + j, q(j))
           var k = j
-          while (k < dims) { buf(t) += q(j) * q(k); t += 1; k += 1 }
+          while (k < dims) {
+            add128(buf, t, Math.multiplyExact(q(j), q(k)))
+            t += 1; k += 1
+          }
           j += 1
         }
       }
@@ -92,16 +123,23 @@ object Pca {
 
     override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < len) { buf(i) += other(i); i += 1 }
+      while (i < len) {
+        val lo = buf(2 * i + 1)
+        val x = other(2 * i + 1)
+        val nl = lo + x
+        buf(2 * i + 1) = nl
+        buf(2 * i) += other(2 * i) + (((lo & x) | ((lo | x) & ~nl)) >>> 63)
+        i += 1
+      }
       buf
     }
 
     override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
 
     override def serialize(buf: Array[Long]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(8 * len)
+      val bb = java.nio.ByteBuffer.allocate(16 * len)
       var i = 0
-      while (i < len) { bb.putLong(buf(i)); i += 1 }
+      while (i < 2 * len) { bb.putLong(buf(i)); i += 1 }
       bb.array()
     }
 
@@ -109,7 +147,7 @@ object Pca {
       val bb = java.nio.ByteBuffer.wrap(storage)
       val buf = createAggregationBuffer()
       var i = 0
-      while (i < len) { buf(i) = bb.getLong; i += 1 }
+      while (i < 2 * len) { buf(i) = bb.getLong; i += 1 }
       buf
     }
 
@@ -123,20 +161,30 @@ object Pca {
       copy(child = c)
   }
 
-  /** The one distributed job: collect the moment triangle. */
+  /** The one distributed job: collect the moment triangle, exact at any
+    * corpus size (the (hi, lo) pairs of [[CovMomentsAgg]] reassemble
+    * into arbitrary-precision integers here; every downstream consumer
+    * reads them through .toDouble, so values that still fit a Long —
+    * any corpus the oracle can also replay — convert identically to
+    * the old Long path).
+    */
   def moments(df: DataFrame, vecCol: String, dims: Int)
-      : scala.collection.Seq[Long] = {
+      : scala.collection.Seq[BigInt] = {
     require(dims >= 2, s"dims must be >= 2: $dims")
     // AQE off for the collect: fixed scan -> partial agg -> single-row
     // final agg (the bloomBitmap / LogReg rationale)
     val sess = df.sparkSession
     val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.select(GraftBridge.column(
-        CovMomentsAgg(GraftBridge.expression(col(vecCol)), dims)
-          .toAggregateExpression()).as("m"))
-      .first().getAs[scala.collection.Seq[Long]](0)
-    finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    val raw =
+      try df.select(GraftBridge.column(
+          CovMomentsAgg(GraftBridge.expression(col(vecCol)), dims)
+            .toAggregateExpression()).as("m"))
+        .first().getAs[scala.collection.Seq[Long]](0)
+      finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    val mask = (BigInt(1) << 64) - 1
+    (0 until raw.length / 2).map(i =>
+      (BigInt(raw(2 * i)) << 64) + (BigInt(raw(2 * i + 1)) & mask))
   }
 
   /** Dominant-eigenvector estimate after `iters` fixed-point power
@@ -144,7 +192,7 @@ object Pca {
     * moment triangle — pure driver arithmetic on the d×d fixed-point
     * covariance.
     */
-  def pc1FromMoments(m: scala.collection.Seq[Long], dims: Int,
+  def pc1FromMoments(m: scala.collection.Seq[BigInt], dims: Int,
       iters: Int): Array[Long] = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val n = m(0)

@@ -72,7 +72,12 @@ object Pipeline {
     * the cached vocab-sized dict) and one zero-shuffle apply scan with
     * the merge list riding as codegen literals. The survivor projection
     * is persisted lazily: the trainer's first job populates it, the
-    * apply scan rereads it.
+    * apply scan rereads it. That cache's lifecycle is CALLER-MANAGED
+    * (the LogReg.trainScore contract): the returned plan still reads
+    * it, so this method cannot unpersist — release it with
+    * `spark.catalog.clearCache()` (or unpersist) once the packing
+    * result is materialized, or repeated curation runs in one session
+    * accrue one cached survivor projection each.
     *
     * Returns (doc_id, n_bpe_tokens, pack_id), doc_id-ordered packing.
     */
