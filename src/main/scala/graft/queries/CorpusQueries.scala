@@ -596,32 +596,39 @@ object CorpusQueries {
     // CCNet (Wenzek et al. 2020) filters on KenLM perplexity; the
     // within-engine analogue is an in-corpus unigram LM: global term
     // frequencies are the model, and each document scores its average
-    // token surprisal -1/n Σ ln p(t). Scale shape: both aggregations
-    // are term-keyed and map-side combinable (terms cross the shuffle,
-    // never documents); the corpus token total rides as a broadcast
-    // 1-row aggregate (the q14/q54 trick, no driver action). The model
-    // join is term-keyed — the "model" is never driver-materialized, so
-    // a 100 TB-corpus vocabulary is fine.
+    // token surprisal -1/n Σ ln p(t). Scale shape (round 7, the q54
+    // discipline): the term_counts kernel emits one (doc, term, c) row
+    // per DISTINCT (doc, term) straight off the scan — token
+    // occurrences never cross a shuffle — and the global term
+    // frequency is a term-partitioned window SUM over that same
+    // relation, so ONE term-keyed exchange serves both the LM build
+    // and the scoring (no tf⋈lm join, no second term shuffle). The
+    // corpus token total rides as a broadcast 1-row kernel aggregate
+    // (the q14 trick, no driver action); per-doc folding is the only
+    // other exchange. Score = -Σ c·ln(tf/T) / Σ c, identical grouped
+    // formulation on both engines (round-6 float-ln + round-6
+    // convention).
     QueryDef(
       "q57_unigram_lm",
       (s, dir) => {
         import s.implicits._
-        val terms = table(s, dir, "documents")
-          .select($"doc_id",
-            explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
-              .as("term"))
-        // the LM is term counts over the SAME exploded relation; scoring
-        // joins raw tokens to it term-keyed (map-side-combinable build,
-        // AQE-skew-splittable probe), then folds per document — no
-        // per-(doc, term) pre-aggregation is needed because the score is
-        // a straight sum over token occurrences
-        val lm = terms.groupBy($"term").agg(count(lit(1)).as("tf"))
-        val total = broadcast(lm.agg(sum($"tf").as("__T")))
-        terms.join(lm, Seq("term")).crossJoin(total)
+        val docs = table(s, dir, "documents")
+        val tc = docs.select($"doc_id",
+            explode(graft.functions.SketchExpressions
+              .term_counts(coalesce($"text", lit("")))).as("tc"))
+          .select($"doc_id", $"tc.term".as("term"), $"tc.tf".cast("long").as("c"))
+        val total = broadcast(docs.select(
+            explode(graft.functions.SketchExpressions
+              .term_counts(coalesce($"text", lit("")))).as("tc"))
+          .agg(sum($"tc.tf".cast("long")).as("__T")))
+        tc.withColumn("tf", sum($"c").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"term")))
+          .crossJoin(total)
           .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            round(-sum(log($"tf".cast("double") / $"__T".cast("double")))
-              / count(lit(1)), 6).as("avg_neg_logp"))
+          .agg(sum($"c").as("n_tokens"),
+            round(-sum($"c".cast("double") *
+                log($"tf".cast("double") / $"__T".cast("double")))
+              / sum($"c").cast("double"), 6).as("avg_neg_logp"))
           .orderBy($"doc_id")
       },
       Some(raw"""WITH terms AS (
@@ -629,12 +636,15 @@ object CorpusQueries {
             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
               t -> t <> '')) AS term
           FROM documents),
-        lm AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY term),
-        tot AS (SELECT SUM(tf) AS T FROM lm)
-        SELECT doc_id, COUNT(*) AS n_tokens,
-          ROUND(-SUM(LN(CAST(tf AS DOUBLE) / CAST(T AS DOUBLE)))
-            / COUNT(*), 6) AS avg_neg_logp
-        FROM terms JOIN lm USING (term) CROSS JOIN tot
+        tc AS (SELECT doc_id, term, COUNT(*) AS c FROM terms
+          GROUP BY doc_id, term),
+        lm AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tf FROM tc
+          GROUP BY term),
+        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS T FROM lm)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          ROUND(-SUM(c * LN(CAST(tf AS DOUBLE) / CAST(T AS DOUBLE)))
+            / CAST(SUM(c) AS DOUBLE), 6) AS avg_neg_logp
+        FROM tc JOIN lm USING (term) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- temperature-weighted domain mixture sampling ------------------
