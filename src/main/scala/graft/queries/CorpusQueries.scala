@@ -800,31 +800,43 @@ object CorpusQueries {
     // every document by the average log-likelihood ratio of a target-
     // domain unigram LM vs a source LM — here target = lang 'en', source
     // = the rest, add-1 smoothing over the union vocabulary. Scale
-    // shape: both LMs come from ONE term-keyed aggregation over the same
-    // exploded relation (conditional sums, map-side combinable); the
-    // totals and vocab size ride as a broadcast 1-row aggregate; scoring
-    // joins tokens to the LM term-keyed (the q57 shape — the model is
-    // never driver-materialized, so a 100 TB-corpus vocabulary is fine).
+    // shape (round 7, the q54/q57 discipline): the term_counts kernel
+    // emits distinct (doc, lang, term, c) rows straight off the scan —
+    // token occurrences never cross a shuffle — and BOTH conditional
+    // LMs are term-partitioned window sums over that same relation
+    // (two window functions, one partitioning): ONE term exchange
+    // serves model and score, no token-level model join. The totals
+    // and vocab size ride as a broadcast 1-row aggregate off a
+    // column-pruned term aggregation (partial-agged — one row per
+    // (task, term) crosses that side's wire); the model is never
+    // driver-materialized, so a 100 TB-corpus vocabulary is fine.
     QueryDef(
       "q62_dsir_weights",
       (s, dir) => {
         import s.implicits._
-        val terms = table(s, dir, "documents")
-          .select($"doc_id", $"lang",
-            explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
-              .as("term"))
-        val lm = terms.groupBy($"term").agg(
-          sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
-          sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("cs"))
+        val docs = table(s, dir, "documents")
+        val tc = docs.select($"doc_id", $"lang",
+            explode(graft.functions.SketchExpressions
+              .term_counts(coalesce($"text", lit("")))).as("tc"))
+          .select($"doc_id", $"lang", $"tc.term".as("term"),
+            $"tc.tf".cast("long").as("c"))
+        val lm = tc.groupBy($"term").agg(
+          sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
+          sum(when($"lang" =!= "en", $"c").otherwise(0L)).as("cs"))
         val tot = broadcast(lm.agg(sum($"ct").as("__Tt"),
           sum($"cs").as("__Ts"), count(lit(1)).as("__V")))
-        terms.join(lm, Seq("term")).crossJoin(tot)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+        tc.withColumn("ct",
+            sum(when($"lang" === "en", $"c").otherwise(0L)).over(w))
+          .withColumn("cs",
+            sum(when($"lang" =!= "en", $"c").otherwise(0L)).over(w))
+          .crossJoin(tot)
           .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            round(sum(
+          .agg(sum($"c").as("n_tokens"),
+            round(sum($"c".cast("double") * (
               log(($"ct" + 1).cast("double") / ($"__Tt" + $"__V").cast("double")) -
-                log(($"cs" + 1).cast("double") / ($"__Ts" + $"__V").cast("double")))
-              / count(lit(1)), 6).as("dsir_weight"))
+                log(($"cs" + 1).cast("double") / ($"__Ts" + $"__V").cast("double"))))
+              / sum($"c").cast("double"), 6).as("dsir_weight"))
           .orderBy($"doc_id")
       },
       Some(raw"""WITH terms AS (
@@ -833,17 +845,22 @@ object CorpusQueries {
               t -> t <> '')) AS term,
             lang
           FROM documents),
+        tc AS (SELECT doc_id, lang, term, COUNT(*) AS c FROM terms
+          GROUP BY doc_id, lang, term),
         lm AS (SELECT term,
-            SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
-            SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cs
-          FROM terms GROUP BY term),
-        tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts, COUNT(*) AS v FROM lm)
-        SELECT doc_id, COUNT(*) AS n_tokens,
-          ROUND(SUM(
+            CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT)
+              AS ct,
+            CAST(SUM(CASE WHEN lang <> 'en' THEN c ELSE 0 END) AS BIGINT)
+              AS cs
+          FROM tc GROUP BY term),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+            CAST(SUM(cs) AS BIGINT) AS ts, COUNT(*) AS v FROM lm)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          ROUND(SUM(c * (
             LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) -
-            LN(CAST(cs + 1 AS DOUBLE) / CAST(ts + v AS DOUBLE)))
-            / COUNT(*), 6) AS dsir_weight
-        FROM terms JOIN lm USING (term) CROSS JOIN tot
+            LN(CAST(cs + 1 AS DOUBLE) / CAST(ts + v AS DOUBLE))))
+            / CAST(SUM(c) AS DOUBLE), 6) AS dsir_weight
+        FROM tc JOIN lm USING (term) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
