@@ -89,7 +89,39 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val work = results.map { case (_, v) => math.max(0.0, v - floor) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work}""")
+    // Self-auditing oracle ratio (round-7): dev/bench_oracle.py times
+    // every oracle SQL in DuckDB (32 threads, best-of-2, 30 s cap) and
+    // writes dev/duckdb_times_<sf>.json; when that snapshot matches this
+    // run's scale factor, emit it alongside the Spark seconds so the
+    // 2x-vs-oracle gate needs no separate judge pass. -1 = the oracle hit
+    // the cap (the intentionally brute-force certification formulations).
+    val sfName = new java.io.File(sfDir).getName
+    val duck = sys.env.get("SPARK_GRAFT_DUCKDB_JSON")
+      .orElse(Option(s"dev/duckdb_times_$sfName.json"))
+      .map(new java.io.File(_)).filter(_.isFile)
+      .flatMap { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        if (!txt.contains("\"sf\": \"" + sfName + "\"") &&
+            !txt.contains("\"sf\":\"" + sfName + "\"")) None
+        else {
+          val entry = """"(q\w+)":\s*(-?[0-9.]+)""".r
+          val m = entry.findAllMatchIn(txt)
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+          if (m.isEmpty) None else Some(m)
+        }
+      }
+    val duckJson = duck.map { m =>
+      val known = results.map(_._1).filter(m.contains)
+      val pairs = known.map(k => "\"" + k + "\":" + m(k)).mkString("{", ",", "}")
+      val touts = known.filter(k => m(k) < 0)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val comparable = known.filter(k => m(k) >= 0)
+      val dTot = comparable.map(m).sum
+      val sTot = comparable.map(results.toMap).sum
+      s""","duckdb_sec":$pairs,"duckdb_timeouts":$touts""" +
+        f""","duckdb_total_comparable":$dTot%.3f,"spark_total_comparable":$sTot%.3f"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work$duckJson}""")
     spark.stop()
   }
 }
