@@ -423,6 +423,107 @@ object Streaming {
       }
   }
 
+  final case class StripState(docs: List[Long], kept: List[(Long, Int)],
+      boiler: Boolean, seq: Long, lastSeenMs: Long)
+  final case class StripDecision(doc_id: Long, idx: Int, blk: String,
+      kept: Boolean, seq: Long)
+
+  /** Streaming boilerplate strip — the keyed-state twin of
+    * `Dedup.stripBoilerplateBlocks` (batch q87): a block whose digest
+    * reaches `minDf` DISTINCT documents is boilerplate and is stripped
+    * from EVERY document, including the occurrences that arrived before
+    * the threshold crossed. Because Update-mode decisions are upserts
+    * keyed by (doc_id, idx), retroactive stripping is expressible: when
+    * a digest's df crosses `minDf`, the operator RE-EMITS every
+    * previously-kept occurrence as scrubbed (with a higher per-key
+    * `seq`, so last-write-wins downstream; re-emissions carry empty
+    * block text — a scrubbed row needs none). After ordered replay the
+    * latest decision per (doc_id, idx) therefore equals the batch rule
+    * exactly.
+    *
+    * State per digest is BOUNDED like the bloom-bitmap artifact, not
+    * corpus-sized: distinct doc ids seen (< minDf of them — once the
+    * threshold crosses only a boolean remains), the kept occurrences
+    * eligible for retroactive flip (≤ maxKeptPerKey; a pathologically
+    * self-repeating document that exceeds the cap warns and evicts
+    * oldest — those rows stay kept), and the df-threshold flag. Idle
+    * digests are evicted by the event-time timeout once the watermark
+    * passes `horizon`; boilerplate arriving later starts a fresh count,
+    * the standard streaming-dedup contract. The boilerplate-digest SET
+    * (keys with the flag) is the artifact a production pipeline
+    * snapshots between sessions, exactly as the bloom bitmap is for
+    * cross-corpus dedup.
+    */
+  def stripBoilerplateBlocks(docs: Dataset[Doc], blockTokens: Int = 10,
+      minDf: Int = 3,
+      horizon: java.time.Duration = java.time.Duration.ofHours(1),
+      maxKeptPerKey: Int = 4096): Dataset[StripDecision] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizon.toMillis
+    val hits = docs.flatMap { d =>
+      val ad = graft.functions.SketchEval.tokenBlocks(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (d.text == null) "" else d.text), blockTokens)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until ad.numElements()).map { i =>
+        val blk = ad.getUTF8String(i).toString
+        md.reset()
+        val bh = md.digest(blk.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        BlockHit(bh, d.doc_id, i, blk, d.ts)
+      }
+    }
+    hits.withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .groupByKey(_.bh)
+      .flatMapGroupsWithState[StripState, StripDecision](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, batch: Iterator[BlockHit], state: GroupState[StripState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(h => (h.ts.getTime, h.doc_id, h.idx))
+            val out = scala.collection.mutable.ArrayBuffer[StripDecision]()
+            var st = state.getOption.getOrElse(
+              StripState(Nil, Nil, boiler = false, seq = 0L, lastSeenMs = 0L))
+            sorted.foreach { h =>
+              st = st.copy(lastSeenMs = math.max(st.lastSeenMs, h.ts.getTime))
+              if (st.boiler) {
+                out += StripDecision(h.doc_id, h.idx, h.blk, kept = false, st.seq)
+                st = st.copy(seq = st.seq + 1)
+              } else {
+                val docsSeen =
+                  if (st.docs.contains(h.doc_id)) st.docs else h.doc_id :: st.docs
+                if (docsSeen.lengthCompare(minDf) >= 0) {
+                  // threshold crossed: flip everything previously kept
+                  var seq = st.seq
+                  st.kept.reverse.foreach { case (d, i) =>
+                    out += StripDecision(d, i, "", kept = false, seq)
+                    seq += 1
+                  }
+                  out += StripDecision(h.doc_id, h.idx, h.blk, kept = false, seq)
+                  st = StripState(Nil, Nil, boiler = true, seq + 1, st.lastSeenMs)
+                } else {
+                  out += StripDecision(h.doc_id, h.idx, h.blk, kept = true, st.seq)
+                  var kept = (h.doc_id, h.idx) :: st.kept
+                  if (kept.lengthCompare(maxKeptPerKey) > 0) {
+                    org.slf4j.LoggerFactory.getLogger(Streaming.getClass).warn(
+                      s"strip digest exceeded maxKeptPerKey=$maxKeptPerKey kept " +
+                        "occurrences below the df threshold; evicting oldest " +
+                        "(evicted rows stay kept if the threshold crosses later)")
+                    kept = kept.take(maxKeptPerKey)
+                  }
+                  st = st.copy(docs = docsSeen, kept = kept, seq = st.seq + 1)
+                }
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastSeenMs + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   final case class Scored(grp: String, id: Long, score: Double)
   final case class TopKState(items: List[(Double, Long)])
   final case class TopKRow(grp: String, rank: Int, id: Long, score: Double)

@@ -196,6 +196,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(4L)._2 == 0L && batch(2L)._2 == 1L && batch(3L)._2 == 0L)
   }
 
+  test("streaming boilerplate strip reproduces the batch df-threshold rule") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sstrip")
+    // header reaches df=3 -> boilerplate, stripped EVERYWHERE including
+    // its first two (initially kept, retroactively flipped) occurrences;
+    // pair stops at df=2 -> kept
+    val header = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val pair = (1 to 10).map(i => s"pair$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"$header $pair one two three four five six seven eight nine ten"),
+      (3L, header),
+      (4L, s"$pair uno dos tres cuatro cinco seis siete ocho nueve diez"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.Doc]
+    val decisions = Streaming.runToCompletion(
+      Streaming.stripBoilerplateBlocks(stream, blockTokens = 10, minDf = 3,
+          horizon = java.time.Duration.ofDays(365)).toDF(),
+      "sstrip_test", outputMode = "update")
+    // Update-mode upsert: the LATEST decision per (doc, idx) wins (seq
+    // is per digest key, and a (doc, idx) belongs to exactly one digest)
+    val last = decisions.groupBy($"doc_id", $"idx")
+      .agg(max_by(struct($"kept", $"blk"), $"seq").as("d"))
+      .select($"doc_id", $"idx", $"d.kept".as("kept"), $"d.blk".as("blk"))
+    val streamed = last.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(when($"kept", struct($"idx", $"blk")))),
+        s => s.getField("blk")), " ")).as("scrubbed_digest"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val batch = graft.ops.Dedup.stripBoilerplateBlocks(
+        docs.select($"doc_id", $"text"), "text", "doc_id", 10, minDf = 3)
+      .filter($"n_blocks" > 0) // zero-block docs emit no stream rows
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.toSeq.sortBy(_._1)} vs batch ${batch.toSeq.sortBy(_._1)}")
+    // the fixture plants real retroactive stripping: doc 3 (header only)
+    // loses everything, doc 1 keeps only its tail, the df=2 pair block
+    // survives in docs 2 and 4
+    assert(batch(3L)._2 == 0L && batch(1L)._2 == 1L &&
+      batch(2L)._2 == 2L && batch(4L)._2 == 2L)
+  }
+
   test("streaming minhash near-dup finds the batch operator's pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_smh")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
