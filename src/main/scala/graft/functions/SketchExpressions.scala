@@ -477,7 +477,12 @@ object SketchEval {
     var i = 0
     while (i < n) {
       val s = arr.getStruct(i, 2)
-      acc += w(s.getLong(0).toInt) * s.getLong(1)
+      val f = s.getLong(0)
+      if (f < 0 || f >= w.length)
+        throw new IllegalArgumentException(
+          s"dot_micro: feature index $f outside the model's [0, ${w.length}) " +
+            "range — features and weights were built with different dims")
+      acc += w(f.toInt) * s.getLong(1)
       i += 1
     }
     acc
@@ -833,6 +838,16 @@ object SketchEval {
       val sub = cents(0).length
       var best = 0
       var bestD = Double.PositiveInfinity
+      // non-finite coordinates would otherwise encode silently as code 0
+      // (NaN/Inf distances never win the strict < comparison)
+      var i0 = 0
+      while (i0 < sub) {
+        val x = v.getFloat(off + i0)
+        if (!java.lang.Float.isFinite(x))
+          throw new IllegalArgumentException(
+            s"pq_encode: non-finite coordinate $x at dim ${off + i0}")
+        i0 += 1
+      }
       var c = 0
       while (c < cents.length) {
         val cent = cents(c)

@@ -1135,4 +1135,110 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(kept(0L) == 2L && kept(1L) == 1L && kept(2L) == 1L)
   }
+
+  private def rootMsgOf(t: Throwable): String = {
+    var c: Throwable = t
+    while (c.getCause != null) c = c.getCause
+    if (c.getMessage == null) "" else c.getMessage
+  }
+
+  test("pca moments: 128-bit accumulation matches a BigInt reference beyond Long range") {
+    // coordinates up to ~2100 => q up to 2.1e9 micro-units, q^2 ~ 4.4e18
+    // per row: the 64-row diagonal sums reach ~1e20, far past a signed
+    // Long (the round-6 ADVICE silent-wrap scenario) - the reference
+    // accumulates in BigInt and every triangle entry must match exactly
+    val rnd = new scala.util.Random(77)
+    val dims = 4
+    val rows = (0L until 64L).map { i =>
+      (i, Array.fill(dims)(((rnd.nextDouble() * 2 - 1) * 2100).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .repartition(7)
+    val m = graft.ops.Pca.moments(df, "embedding", dims)
+    def q(x: Float): Long = {
+      val d = x.toDouble * 1e6
+      (if (d >= 0) math.floor(d + 0.5) else -math.floor(-d + 0.5)).toLong
+    }
+    val qs = rows.map(_._2.map(q).toArray)
+    val ref = scala.collection.mutable.ArrayBuffer[BigInt](BigInt(rows.size))
+    for (j <- 0 until dims) ref += qs.map(r => BigInt(r(j))).sum
+    for (j <- 0 until dims; k <- j until dims)
+      ref += qs.map(r => BigInt(r(j)) * BigInt(r(k))).sum
+    assert(m.length == ref.length)
+    m.indices.foreach(i => assert(m(i) == ref(i), s"moment $i: ${m(i)} vs ${ref(i)}"))
+    // the test only means something if the sums actually left Long range
+    assert(m(1 + dims) > BigInt(Long.MaxValue),
+      s"diagonal sum ${m(1 + dims)} unexpectedly fits a Long - raise magnitudes")
+  }
+
+  test("pca moments: ragged and non-finite vectors fail loudly") {
+    val good = Seq((0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+    val ragged = (good :+ ((1L, Seq(1.0f, 2.0f, 3.0f))))
+      .toDF("vec_id", "embedding")
+      .select($"embedding".cast("array<float>").as("embedding"))
+    val e1 = intercept[Exception] {
+      graft.ops.Pca.moments(ragged, "embedding", 4)
+    }
+    assert(rootMsgOf(e1).contains("pca_moments"), rootMsgOf(e1))
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
+      val df = (good :+ ((1L, Seq(1.0f, bad, 3.0f, 4.0f))))
+        .toDF("vec_id", "embedding")
+        .select($"embedding".cast("array<float>").as("embedding"))
+      val e = intercept[Exception] {
+        graft.ops.Pca.moments(df, "embedding", 4)
+      }
+      assert(rootMsgOf(e).contains("non-finite"), s"$bad: ${rootMsgOf(e)}")
+    }
+  }
+
+  test("pq_encode rejects non-finite coordinates instead of coding them as 0") {
+    val cb = Array(Array(Array(0.0, 0.0), Array(5.0, 5.0)))
+    val ok = Seq((0L, Seq(4.9f, 5.1f))).toDF("vec_id", "embedding")
+      .select($"embedding".cast("array<float>").as("embedding"))
+    val codes = ok.select(graft.functions.SketchExpressions
+      .pq_encode(col("embedding"), cb).as("c")).collect()(0)
+      .getAs[scala.collection.Seq[Int]](0)
+    assert(codes == Seq(1)) // sanity: nearest centroid wins
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity)) {
+      val df = Seq((0L, Seq(bad, 1.0f))).toDF("vec_id", "embedding")
+        .select($"embedding".cast("array<float>").as("embedding"))
+      val e = intercept[Exception] {
+        df.select(graft.functions.SketchExpressions
+          .pq_encode(col("embedding"), cb)).collect()
+      }
+      assert(rootMsgOf(e).contains("pq_encode: non-finite"), rootMsgOf(e))
+    }
+  }
+
+  test("dot_micro matches a reference dot and rejects out-of-model features") {
+    val rnd = new scala.util.Random(4040)
+    val dims = 16
+    val w = Array.fill(dims)(rnd.nextLong() % 1000000L)
+    // random sparse rows, all features in range: kernel == reference
+    val rows = (0 until 50).map { i =>
+      (0 until rnd.nextInt(6)).map(_ =>
+        (rnd.nextInt(dims).toLong, (rnd.nextInt(9) - 4).toLong))
+    }
+    val df = rows.zipWithIndex
+      .map { case (fs, i) => (i.toLong, fs) }.toDF("id", "fs")
+      .select($"id", $"fs".cast("array<struct<f:long,x:long>>").as("fs"))
+    val got = df.select($"id", graft.functions.SketchExpressions
+        .dot_micro($"fs", w).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.zipWithIndex.foreach { case (fs, i) =>
+      val expect = fs.map { case (f, x) => w(f.toInt) * x }.sum
+      assert(got(i.toLong) == expect, s"row $i")
+    }
+    // a feature index outside [0, dims) is a model/features mismatch
+    for (f <- Seq(-1L, dims.toLong, Int.MaxValue.toLong + 5)) {
+      val bad = Seq((0L, Seq((f, 1L)))).toDF("id", "fs")
+        .select($"fs".cast("array<struct<f:long,x:long>>").as("fs"))
+      val e = intercept[Exception] {
+        bad.select(graft.functions.SketchExpressions.dot_micro($"fs", w))
+          .collect()
+      }
+      assert(rootMsgOf(e).contains("dot_micro"), s"$f: ${rootMsgOf(e)}")
+    }
+  }
 }
