@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Optional object-store connectors (round 7, SURVEY "missing #1"): the
+// cloud sink dispatch goes through Hadoop FileSystem.get, so lighting up
+// s3a:// (or gs://, abfs://) needs only the connector jars on the
+// classpath. This image is zero-egress and ships none, and network
+// resolution is disabled - a LOCAL jar drop is the only route:
+//   sbt -Dgraft.cloud.jars=/path/with/hadoop-aws+bundle "testOnly graft.CloudSpec"
+// CloudSpec's contract test self-skips (green) when the jars are absent.
+Compile / unmanagedJars ++= sys.props.get("graft.cloud.jars")
+  .map(d => (file(d) ** "*.jar").classpath.toSeq).getOrElse(Seq.empty)
+Test / unmanagedJars ++= sys.props.get("graft.cloud.jars")
+  .map(d => (file(d) ** "*.jar").classpath.toSeq).getOrElse(Seq.empty)
