@@ -861,6 +861,69 @@ object CorpusQueries {
             LN(CAST(cs + 1 AS DOUBLE) / CAST(ts + v AS DOUBLE))))
             / CAST(SUM(c) AS DOUBLE), 6) AS dsir_weight
         FROM tc JOIN lm USING (term) CROSS JOIN tot
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- count-min sketch heavy hitters (round 7) ----------------------
+    // The streaming-frequency workhorse (Cormode & Muthukrishnan 2005):
+    // a depth×width counter table where every term adds its count at
+    // slot h_d(term) per row d, and est(term) = min over rows — always
+    // ≥ the true count. Hashing is the bloomPos discipline: the four
+    // independent 32-bit slices of md5(term), no re-hash, so a SQL
+    // oracle rebuilds the sketch hex-for-hex. Scale shape: the sketch
+    // is a TABLE (depth·width partial-agged counter rows — never a
+    // driver array), built by map-side-combinable aggregations off the
+    // term_counts kernel; the report certifies the estimator on the
+    // exact top-20 (overcount = est − exact ≥ 0 by construction, and
+    // the oracle hash-checks every estimate).
+    QueryDef(
+      "q90_cms_heavy",
+      (s, dir) => {
+        import s.implicits._
+        val w = 1024
+        val slotExpr = conv(expr("substring(md5(term), d * 8 + 1, 8)"),
+          16, 10).cast("long") % w
+        val gc = table(s, dir, "documents")
+          .select(explode(graft.functions.SketchExpressions
+            .term_counts(coalesce($"text", lit("")))).as("tc"))
+          .select($"tc.term".as("term"), $"tc.tf".cast("long").as("c"))
+          .groupBy($"term").agg(sum($"c").as("cnt"))
+        val counters = gc
+          .select($"term", $"cnt",
+            posexplode(sequence(lit(0), lit(3))).as(Seq("__i", "d")))
+          .withColumn("slot", slotExpr)
+          .groupBy($"d", $"slot").agg(sum($"cnt").as("cell"))
+        gc.orderBy($"cnt".desc, $"term").limit(20)
+          .select($"term", $"cnt",
+            posexplode(sequence(lit(0), lit(3))).as(Seq("__i", "d")))
+          .withColumn("slot", slotExpr)
+          .join(counters, Seq("d", "slot"))
+          .groupBy($"term")
+          .agg(max($"cnt").as("exact_cnt"), min($"cell").as("cms_est"))
+          .select($"term", $"exact_cnt", $"cms_est",
+            ($"cms_est" - $"exact_cnt").as("overcount"))
+          .orderBy($"exact_cnt".desc, $"term")
+      },
+      Some(raw"""WITH terms AS (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            t -> t <> '')) AS term
+          FROM documents),
+        gc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM terms
+          GROUP BY term),
+        dd AS (SELECT unnest(range(0, 4)) AS d),
+        sl AS (SELECT term, cnt, d,
+            CAST(('0x' || substr(md5(term), 1 + 8 * CAST(d AS INT), 8))
+              AS BIGINT) % 1024 AS slot
+          FROM gc CROSS JOIN dd),
+        counters AS (SELECT d, slot, CAST(SUM(cnt) AS BIGINT) AS cell
+          FROM sl GROUP BY d, slot),
+        top AS (SELECT term, cnt FROM gc ORDER BY cnt DESC, term LIMIT 20),
+        tsl AS (SELECT term, cnt, d,
+            CAST(('0x' || substr(md5(term), 1 + 8 * CAST(d AS INT), 8))
+              AS BIGINT) % 1024 AS slot
+          FROM top CROSS JOIN dd)
+        SELECT t.term, MAX(t.cnt) AS exact_cnt, MIN(c.cell) AS cms_est,
+          MIN(c.cell) - MAX(t.cnt) AS overcount
+        FROM tsl t JOIN counters c ON t.d = c.d AND t.slot = c.slot
+        GROUP BY t.term ORDER BY exact_cnt DESC, term"""))
   )
 }

@@ -608,6 +608,98 @@ object TextQueries {
         FROM documents d
         LEFT JOIN tt ON d.doc_id = tt.doc_id
         LEFT JOIN e ON d.doc_id = e.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- BM25 query scoring (round 7) ----------------------------------
+    // The IR-standard relevance score over a fixed query-term set
+    // (Robertson k1=1.2, b=0.75, +1 idf so weights stay positive).
+    // Scale shape: per-doc term frequencies and length come straight
+    // off the term_counts kernel with ARRAY builtins — no explode, no
+    // shuffle; the corpus stats (N, Σdl, per-term df) ride as ONE
+    // broadcast 1-row aggregate; scoring is a zero-shuffle projection
+    // and the top-20 is a bounded TakeOrdered on the rounded score.
+    // The per-row formula is pure scalar arithmetic, identical
+    // operation order on both engines (ln + round-6 discipline).
+    QueryDef(
+      "q91_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq("join", "vector", "stream")
+        val k1 = 1.2
+        val b75 = 0.75
+        val base = table(s, dir, "documents")
+          .select($"doc_id", graft.functions.SketchExpressions
+            .term_counts(coalesce($"text", lit(""))).as("__tc"))
+          .withColumn("dl",
+            aggregate($"__tc", lit(0L), (a, e) => a + e.getField("tf")))
+        val withTf = qterms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+          d.withColumn(s"__tf$i", coalesce(
+            get(filter($"__tc", e => e.getField("term") === t), lit(0))
+              .getField("tf"), lit(0L)))
+        }
+        val stats = broadcast(withTf.agg(
+          count(lit(1)).as("__N"),
+          sum($"dl").as("__DL") +: qterms.indices.map(i =>
+            sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*))
+        withTf.crossJoin(stats)
+          .withColumn("__avgdl", $"__DL".cast("double") / $"__N".cast("double"))
+          .withColumn("score", round(qterms.indices.map { i =>
+            val tf = col(s"__tf$i").cast("double")
+            val df = col(s"__df$i").cast("double")
+            val idf = log(lit(1.0) +
+              ($"__N".cast("double") - df + 0.5) / (df + 0.5))
+            idf * (tf * lit(k1 + 1.0)) /
+              (tf + lit(k1) * (lit(1.0 - b75) +
+                lit(b75) * $"dl".cast("double") / $"__avgdl"))
+          }.reduce(_ + _), 6))
+          .select($"doc_id", $"dl", $"score")
+          .orderBy($"score".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(raw"""WITH terms AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        tc AS (SELECT doc_id, term, COUNT(*) AS c FROM terms
+          GROUP BY doc_id, term),
+        dv0 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl,
+            CAST(COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
+              AS BIGINT) AS tf0,
+            CAST(COALESCE(SUM(CASE WHEN term = 'vector' THEN c END), 0)
+              AS BIGINT) AS tf1,
+            CAST(COALESCE(SUM(CASE WHEN term = 'stream' THEN c END), 0)
+              AS BIGINT) AS tf2
+          FROM tc GROUP BY doc_id),
+        dv AS (SELECT d.doc_id, COALESCE(dv0.dl, 0) AS dl,
+            COALESCE(dv0.tf0, 0) AS tf0, COALESCE(dv0.tf1, 0) AS tf1,
+            COALESCE(dv0.tf2, 0) AS tf2
+          FROM documents d LEFT JOIN dv0 ON d.doc_id = dv0.doc_id),
+        st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS dltot,
+            CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+            CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+            CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM dv)
+        SELECT doc_id, dl, ROUND(
+          LN(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+            / (CAST(df0 AS DOUBLE) + 0.5))
+            * (CAST(tf0 AS DOUBLE) * 2.2)
+            / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+              + 0.75 * CAST(dl AS DOUBLE)
+                / (CAST(dltot AS DOUBLE) / CAST(n AS DOUBLE)))) +
+          LN(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+            / (CAST(df1 AS DOUBLE) + 0.5))
+            * (CAST(tf1 AS DOUBLE) * 2.2)
+            / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+              + 0.75 * CAST(dl AS DOUBLE)
+                / (CAST(dltot AS DOUBLE) / CAST(n AS DOUBLE)))) +
+          LN(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+            / (CAST(df2 AS DOUBLE) + 0.5))
+            * (CAST(tf2 AS DOUBLE) * 2.2)
+            / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+              + 0.75 * CAST(dl AS DOUBLE)
+                / (CAST(dltot AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS score
+        FROM dv CROSS JOIN st
+        ORDER BY score DESC, doc_id LIMIT 20"""))
   )
 }

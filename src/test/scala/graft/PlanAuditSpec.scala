@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q54_tfidf", "q57_unigram_lm", "q58_mixture_sample", "q59_ann_sq8",
     "q61_bigram_pmi", "q62_dsir_weights", "q64_ann_recall",
     "q67_blocklist", "q82_quality_gate", // q82: broadcast 1-row corpus count
-    "q84_kmv_overlap") // q84: 1-row stats x 1-row exact-count certification
+    "q84_kmv_overlap", // q84: 1-row stats x 1-row exact-count certification
+    "q91_bm25") // q91: broadcast 1-row corpus stats (N, Σdl, df)
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
