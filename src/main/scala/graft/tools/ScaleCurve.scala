@@ -19,7 +19,7 @@ object ScaleCurve {
   private val flagships = Seq(
     "q5_window_topk",     // TopK aggregate over orders
     "q13_hilbert_sort",   // global range-partitioned sort over customer
-    "q20_dedup_exact",    // digest row_number over documents
+    "q20_dedup_exact",    // combinable digest groupBy over documents
     "q28_minhash_dedup",  // banded LSH join over documents
     "q39_dedup_clusters", // minhash pairs + iterative hash-to-min
     "q46_image_decode",   // partition-local imageio decode
@@ -33,7 +33,7 @@ object ScaleCurve {
     "q57_unigram_lm",     // term-keyed LM join + per-doc fold
     "q58_mixture_sample", // per-source quotas + bounded-heap selection
     "q59_ann_sq8",        // fused sq8 scan + exact rescore of survivors
-    "q60_cross_dedup",    // base digest set + one digest-keyed batch shuffle
+    "q60_cross_dedup",    // base digest set + combinable winner agg + join-back
     "q61_bigram_pmi",     // pair/unigram count joins + bounded top-40
     "q62_dsir_weights",   // conditional LM build + term-keyed scoring join
     "q63_ann_pq",         // codebook train + coded ADC scan + rescore
@@ -50,7 +50,7 @@ object ScaleCurve {
     "q74_char_entropy",   // one-pass codegen kernel, zero shuffle
     "q75_logreg",         // literal-model codegen dot + feature-keyed grads
     "q76_corpus_report",  // ROLLUP: Expand + one combinable aggregation
-    "q79_block_scrub",    // digest-keyed block survival + doc reassembly
+    "q79_block_scrub",    // min_by winner agg + doc reassembly (skew-safe r7)
     "q80_bpe_pack",       // curate -> survivor-trained BPE -> token pack
     "q81_nb_score",       // one-agg NB train + zero-shuffle LLR scoring
     "q82_quality_gate",   // entropy score + two-phase global quantile cut
@@ -58,9 +58,11 @@ object ScaleCurve {
     "q84_kmv_overlap",    // bottom-k sketches + overlap estimators
     "q85_weighted_sample",// A-ES keys + bounded TakeOrdered
     "q86_topgram_fractions", // one-pass kernel, zero shuffle
-    "q87_boilerplate",    // digest-keyed df windows + doc reassembly
+    "q87_boilerplate",    // two-level combinable df agg + join-back (r7)
     "q88_pca_power",      // one-agg moment triangle + driver rounds
-    "q89_abtt"            // q88 moments + zero-shuffle removal scan
+    "q89_abtt",           // q88 moments + zero-shuffle removal scan
+    "q90_cms_heavy",      // combinable counter-table aggs + tiny joins
+    "q91_bm25"            // zero-shuffle kernel scan + broadcast stats
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
