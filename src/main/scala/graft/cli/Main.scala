@@ -311,6 +311,32 @@ object Main {
             dims = opt(rest, "dims").map(_.toInt).getOrElse(256))
           .write.mode("overwrite").parquet(out)
 
+      //   cms-topk in out [--width 1024] [--depth 4] [--top 20]
+      //   (count-min sketch heavy hitters with exact certification)
+      case "cms-topk" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Cms.heavyHitters(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            width = opt(rest, "width").map(_.toInt).getOrElse(1024),
+            depth = opt(rest, "depth").map(_.toInt).getOrElse(4),
+            topK = opt(rest, "top").map(_.toInt).getOrElse(20))
+          .write.mode("overwrite").parquet(out)
+
+      //   bm25 in out --terms w1,w2 [--k1 1.2] [--b 0.75] [--top 20]
+      //   (Okapi BM25 relevance ranking against a query-term set)
+      case "bm25" =>
+        val Seq(in, out) = rest.take(2)
+        val terms = opt(rest, "terms")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(sys.error("bm25 requires --terms w1,w2,..."))
+        graft.ops.Bm25.score(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            opt(rest, "id-column").getOrElse("doc_id"), terms,
+            k1 = opt(rest, "k1").map(_.toDouble).getOrElse(1.2),
+            b = opt(rest, "b").map(_.toDouble).getOrElse(0.75),
+            topK = opt(rest, "top").map(_.toInt).getOrElse(20))
+          .write.mode("overwrite").parquet(out)
+
       //   overlap a b out [--k 128]  (KMV sketch corpus-overlap report:
       //   est/exact union + jaccard between two parquet corpora)
       case "overlap" =>
@@ -706,7 +732,8 @@ object Main {
       |  to {geojson|csv|shapefile|gpkg|fgb|fc},
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
-      |  bpe-train, logreg-train, nb-score, overlap, scrub-blocks,
+      |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
+      |  bm25 --terms w1,w2, scrub-blocks,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

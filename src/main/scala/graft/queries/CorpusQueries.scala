@@ -878,30 +878,8 @@ object CorpusQueries {
     QueryDef(
       "q90_cms_heavy",
       (s, dir) => {
-        import s.implicits._
-        val w = 1024
-        val slotExpr = conv(expr("substring(md5(term), d * 8 + 1, 8)"),
-          16, 10).cast("long") % w
-        val gc = table(s, dir, "documents")
-          .select(explode(graft.functions.SketchExpressions
-            .term_counts(coalesce($"text", lit("")))).as("tc"))
-          .select($"tc.term".as("term"), $"tc.tf".cast("long").as("c"))
-          .groupBy($"term").agg(sum($"c").as("cnt"))
-        val counters = gc
-          .select($"term", $"cnt",
-            posexplode(sequence(lit(0), lit(3))).as(Seq("__i", "d")))
-          .withColumn("slot", slotExpr)
-          .groupBy($"d", $"slot").agg(sum($"cnt").as("cell"))
-        gc.orderBy($"cnt".desc, $"term").limit(20)
-          .select($"term", $"cnt",
-            posexplode(sequence(lit(0), lit(3))).as(Seq("__i", "d")))
-          .withColumn("slot", slotExpr)
-          .join(counters, Seq("d", "slot"))
-          .groupBy($"term")
-          .agg(max($"cnt").as("exact_cnt"), min($"cell").as("cms_est"))
-          .select($"term", $"exact_cnt", $"cms_est",
-            ($"cms_est" - $"exact_cnt").as("overcount"))
-          .orderBy($"exact_cnt".desc, $"term")
+        graft.ops.Cms.heavyHitters(table(s, dir, "documents"), "text",
+          width = 1024, depth = 4, topK = 20)
       },
       Some(raw"""WITH terms AS (
           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -623,38 +623,9 @@ object TextQueries {
     QueryDef(
       "q91_bm25",
       (s, dir) => {
-        import s.implicits._
-        val qterms = Seq("join", "vector", "stream")
-        val k1 = 1.2
-        val b75 = 0.75
-        val base = table(s, dir, "documents")
-          .select($"doc_id", graft.functions.SketchExpressions
-            .term_counts(coalesce($"text", lit(""))).as("__tc"))
-          .withColumn("dl",
-            aggregate($"__tc", lit(0L), (a, e) => a + e.getField("tf")))
-        val withTf = qterms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
-          d.withColumn(s"__tf$i", coalesce(
-            get(filter($"__tc", e => e.getField("term") === t), lit(0))
-              .getField("tf"), lit(0L)))
-        }
-        val stats = broadcast(withTf.agg(
-          count(lit(1)).as("__N"),
-          sum($"dl").as("__DL") +: qterms.indices.map(i =>
-            sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*))
-        withTf.crossJoin(stats)
-          .withColumn("__avgdl", $"__DL".cast("double") / $"__N".cast("double"))
-          .withColumn("score", round(qterms.indices.map { i =>
-            val tf = col(s"__tf$i").cast("double")
-            val df = col(s"__df$i").cast("double")
-            val idf = log(lit(1.0) +
-              ($"__N".cast("double") - df + 0.5) / (df + 0.5))
-            idf * (tf * lit(k1 + 1.0)) /
-              (tf + lit(k1) * (lit(1.0 - b75) +
-                lit(b75) * $"dl".cast("double") / $"__avgdl"))
-          }.reduce(_ + _), 6))
-          .select($"doc_id", $"dl", $"score")
-          .orderBy($"score".desc, $"doc_id")
-          .limit(20)
+        graft.ops.Bm25.score(table(s, dir, "documents"), "text", "doc_id",
+          terms = Seq("join", "vector", "stream"),
+          k1 = 1.2, b = 0.75, topK = 20)
       },
       Some(raw"""WITH terms AS (
           SELECT doc_id,

@@ -351,6 +351,39 @@ class CliSpec extends AnyFunSuite {
     assert(Set(0L, 10L, 20L, 30L).subsetOf(sharers))
   }
 
+  test("cms-topk and bm25 commands: certified sketch + ranking end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("cmsbm25")
+    val docs = (0L until 60L).map { i =>
+      val tail = (0 until 20).map(j => s"w${(i * 13 + j) % 83}").mkString(" ")
+      // "apple" rides in every doc, "banana" in every third
+      (i, s"apple ${if (i % 3 == 0) "banana " else ""}$tail")
+    }.toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+
+    Main.run(spark, Seq("cms-topk", s"$dir/docs.parquet",
+      s"$dir/cms.parquet", "--width", "256", "--depth", "4", "--top", "10"))
+    val cms = spark.read.parquet(s"$dir/cms.parquet")
+    assert(cms.columns.toSet ==
+      Set("term", "exact_cnt", "cms_est", "overcount"))
+    assert(cms.count() == 10)
+    // CMS never underestimates, and the unambiguous heaviest term is exact
+    assert(cms.filter($"overcount" < 0).count() == 0)
+    val apple = cms.filter($"term" === "apple").collect()(0)
+    assert(apple.getAs[Long]("exact_cnt") == 60L)
+
+    Main.run(spark, Seq("bm25", s"$dir/docs.parquet",
+      s"$dir/bm25.parquet", "--terms", "banana,apple", "--top", "15"))
+    val bm = spark.read.parquet(s"$dir/bm25.parquet")
+    assert(bm.columns.toSet == Set("doc_id", "dl", "score"))
+    assert(bm.count() == 15)
+    // banana docs carry the rarer term -> they fill the top ranks
+    val top = bm.orderBy($"score".desc).limit(15)
+      .select("doc_id").as[Long].collect()
+    assert(top.forall(_ % 3 == 0), s"non-banana doc in top-15: ${top.toSeq}")
+  }
+
   test("composed pipeline command: one curation chain, schema + funnel") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
