@@ -902,6 +902,67 @@ object CorpusQueries {
         SELECT t.term, MAX(t.cnt) AS exact_cnt, MIN(c.cell) AS cms_est,
           MIN(c.cell) - MAX(t.cnt) AS overcount
         FROM tsl t JOIN counters c ON t.d = c.d AND t.slot = c.slot
-        GROUP BY t.term ORDER BY exact_cnt DESC, term"""))
+        GROUP BY t.term ORDER BY exact_cnt DESC, term""")),
+
+    // ---- bigram-LM perplexity scoring (round 7) ------------------------
+    // The n-gram upgrade of q57's unigram filter: an in-corpus bigram
+    // LM with add-1/2 smoothing over the bigram-successor vocabulary,
+    // p(w2|w1) = (c(w1,w2) + 0.5) / (c(w1·) + 0.5·V), each document
+    // scored by its average bigram surprisal. Scale shape (the q57
+    // window discipline, one key deeper): distinct (doc, w1, w2, c)
+    // rows from ONE pass; the global bigram count is a window SUM
+    // partitioned by (w1, w2) and the head count c(w1·) a window SUM
+    // partitioned by w1 — two exchanges, ZERO model joins, and the
+    // model is never driver-materialized (a 100 TB bigram vocabulary
+    // is fine). V rides as a broadcast 1-row distinct-successor count.
+    QueryDef(
+      "q92_bigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+        val bg = table(s, dir, "documents")
+          .select($"doc_id", toks.as("toks")).filter(size($"toks") >= 2)
+          .select($"doc_id", explode(zip_with(
+              slice($"toks", lit(1), size($"toks") - 1),
+              slice($"toks", lit(2), size($"toks") - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .groupBy($"doc_id", $"bg.w1", $"bg.w2")
+          .agg(count(lit(1)).as("c"))
+        val vBr = broadcast(bg.select($"w2").distinct()
+          .agg(count(lit(1)).as("__V")))
+        val w12 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"w1", $"w2")
+        val w1 = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
+        bg.withColumn("c2", sum($"c").over(w12))
+          .withColumn("c1", sum($"c").over(w1))
+          .crossJoin(vBr)
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_bigrams"),
+            round(-sum($"c".cast("double") *
+                log(($"c2".cast("double") + 0.5) /
+                  ($"c1".cast("double") + lit(0.5) * $"__V".cast("double"))))
+              / sum($"c").cast("double"), 6).as("avg_neg_logp"))
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> [toks[i], toks[i+1]])) AS p FROM f),
+        bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, COUNT(*) AS c
+          FROM bg0 GROUP BY doc_id, w1, w2),
+        m2 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2 FROM bg
+          GROUP BY w1, w2),
+        m1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bg
+          GROUP BY w1),
+        vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          ROUND(-SUM(c * LN((CAST(c2 AS DOUBLE) + 0.5) /
+              (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+            / CAST(SUM(c) AS DOUBLE), 6) AS avg_neg_logp
+        FROM bg JOIN m2 USING (w1, w2) JOIN m1 USING (w1) CROSS JOIN vv
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -22,17 +22,18 @@ object TextQueries {
     // ---- exact dedup on normalized content -----------------------------
     // normalize (lower, strip non-alnum, collapse space) -> md5 -> keep
     // min doc_id per hash. Hash-groupBy dedup: the standard exact-dedup
-    // shape at scale (shuffle on digest, not on full text).
+    // shape at scale (shuffle on digest, not on full text). The
+    // normalize is the one-pass codegen norm_text kernel — byte-equal
+    // to the oracle's regexp_replace chain (PrepSpec property-pins the
+    // equivalence on adversarial unicode), without two regex passes
+    // per document on the hot path (round 7; the Dedup ops already
+    // scanned this way).
     QueryDef(
       "q20_dedup_exact",
       (s, dir) => {
         import s.implicits._
         table(s, dir, "documents")
-          .withColumn("norm",
-            regexp_replace(
-              regexp_replace(lower($"text"), "[^a-z0-9 ]", " "),
-              " +", " "))
-          .withColumn("h", md5(trim($"norm")))
+          .withColumn("h", md5(graft.ops.Dedup.normalize($"text")))
           .groupBy($"h")
           .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
           .orderBy($"h")

@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q61_bigram_pmi", "q62_dsir_weights", "q64_ann_recall",
     "q67_blocklist", "q82_quality_gate", // q82: broadcast 1-row corpus count
     "q84_kmv_overlap", // q84: 1-row stats x 1-row exact-count certification
-    "q91_bm25") // q91: broadcast 1-row corpus stats (N, Σdl, df)
+    "q91_bm25", // q91: broadcast 1-row corpus stats (N, Σdl, df)
+    "q92_bigram_lm") // q92: broadcast 1-row successor-vocabulary count
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
