@@ -19,9 +19,31 @@ import org.apache.spark.sql.functions._
 object Cms {
 
   /** (d, slot) column for depth column `d` (0..3) over `term`. */
-  private def slotCol(width: Int): Column =
+  private[graft] def slotCol(width: Int): Column =
     conv(expr("substring(md5(term), d * 8 + 1, 8)"), 16, 10)
       .cast("long") % width
+
+  /** Counter table in ONE aggregation straight off the scan (no
+    * term-level pre-aggregation): every (doc, term, count) occurrence
+    * adds its count at its depth×slot cells. Identical to
+    * [[counterTable]]∘[[termCounts]] because the cell sum is
+    * associative over occurrences — and being a single aggregation it
+    * is also the STREAMING twin's shape (chained aggregations are not
+    * streamable; this is).
+    */
+  def counterTableDirect(df: DataFrame, textCol: String, width: Int,
+      depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4,
+      s"depth must be in [1, 4] (md5 has 4 32-bit slices): $depth")
+    require(width > 0, s"width must be positive: $width")
+    df.select(explode(graft.functions.SketchExpressions
+        .term_counts(coalesce(col(textCol), lit("")))).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.tf").cast("long").as("c"))
+      .select(col("term"), col("c"),
+        posexplode(sequence(lit(0), lit(depth - 1))).as(Seq("__i", "d")))
+      .withColumn("slot", slotCol(width))
+      .groupBy(col("d"), col("slot")).agg(sum(col("c")).as("cell"))
+  }
 
   /** Exact global term counts off the one-pass term_counts kernel:
     * (term, cnt), token occurrences never cross the shuffle.

@@ -576,6 +576,20 @@ object Streaming {
       .select(col(idCol), col("n_shared"))
   }
 
+  /** Streaming count-min sketch — the frequency sketch CMS exists for:
+    * the counter table is ONE combinable streaming aggregation
+    * (`Cms.counterTableDirect`'s shape — chained aggregations are not
+    * streamable, a single cell-keyed sum is), so the (d, slot, cell)
+    * state is bounded at depth×width regardless of stream length and
+    * each micro-batch folds in map-side. Complete-mode output IS the
+    * batch counter table over everything ingested; the snapshot is the
+    * between-session artifact (the bloom-bitmap contract). Estimates
+    * stay monotone over-counts exactly as in batch.
+    */
+  def cmsCounters(docs: DataFrame, textCol: String, width: Int = 1024,
+      depth: Int = 4): DataFrame =
+    graft.ops.Cms.counterTableDirect(docs, textCol, width, depth)
+
   /** Streaming PII scrub — stateless projection (codegen scanners), so
     * the streaming twin IS the batch expression: no state, no watermark,
     * exactly-once per record under any trigger.

@@ -246,6 +246,26 @@ class StreamingSpec extends AnyFunSuite {
       batch(2L)._2 == 2L && batch(4L)._2 == 2L)
   }
 
+  test("streaming CMS counter table equals the batch sketch") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_scms")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val streamed = Streaming.runToCompletion(
+      Streaming.cmsCounters(stream, "text", width = 256, depth = 4),
+      "scms_test", outputMode = "complete")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Cms.counterTable(
+        graft.ops.Cms.termCounts(docs, "text"), width = 256, depth = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} cells vs batch ${batch.size}")
+    assert(batch.nonEmpty && batch.values.sum > 0)
+  }
+
   test("streaming minhash near-dup finds the batch operator's pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_smh")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
