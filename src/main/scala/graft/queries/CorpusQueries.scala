@@ -928,8 +928,14 @@ object CorpusQueries {
               (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
           .groupBy($"doc_id", $"bg.w1", $"bg.w2")
           .agg(count(lit(1)).as("c"))
-        val vBr = broadcast(bg.select($"w2").distinct()
-          .agg(count(lit(1)).as("__V")))
+        // V = distinct successor tokens. Derived from a token-slice
+        // projection (positions 2..n of docs with ≥ 2 tokens) — the
+        // same set bg's w2 column holds, without re-deriving the
+        // (doc, w1, w2) pair relation just for a broadcast scalar
+        val vBr = broadcast(table(s, dir, "documents")
+          .select(toks.as("toks")).filter(size($"toks") >= 2)
+          .select(explode(slice($"toks", lit(2), size($"toks") - 1)).as("w2"))
+          .distinct().agg(count(lit(1)).as("__V")))
         val w12 = org.apache.spark.sql.expressions.Window
           .partitionBy($"w1", $"w2")
         val w1 = org.apache.spark.sql.expressions.Window.partitionBy($"w1")

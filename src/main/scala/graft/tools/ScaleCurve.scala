@@ -62,7 +62,8 @@ object ScaleCurve {
     "q88_pca_power",      // one-agg moment triangle + driver rounds
     "q89_abtt",           // q88 moments + zero-shuffle removal scan
     "q90_cms_heavy",      // combinable counter-table aggs + tiny joins
-    "q91_bm25"            // zero-shuffle kernel scan + broadcast stats
+    "q91_bm25",           // zero-shuffle kernel scan + broadcast stats
+    "q92_bigram_lm"       // two window exchanges, zero model joins
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
