@@ -616,6 +616,20 @@ object Streaming {
             coalesce(col(textCol), lit("")), dims), weights), 6))
       .withColumn("pred_en", col("nb_score") > 0)
 
+  /** Streaming logistic-regression scoring — the micro-unit weight
+    * vector from `LogReg.train` (the filter-model artifact a production
+    * pipeline keeps between restarts, like [[nbScore]]'s LLR weights)
+    * rides as a generated-code reference object: hash-featurize +
+    * exact BIGINT sparse-dot + rational sigmoid, stateless and
+    * zero-shuffle, exactly-once per record under any trigger.
+    */
+  def logRegScore(docs: DataFrame, textCol: String, weights: Array[Long],
+      dims: Int = 256): DataFrame =
+    docs
+      .withColumn("p_pos", round(
+        graft.ops.LogReg.scoreExpr(col(textCol), weights, dims), 6))
+      .withColumn("pred_pos", col("p_pos") > 0.5)
+
   /** Run a streaming query over a static directory to completion via the
     * memory sink; returns the final result table. (Local harness used by
     * tests and the smoke tool — production would use a real sink.)

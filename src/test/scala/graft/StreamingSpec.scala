@@ -455,6 +455,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(_._2) && batch.values.exists(!_._2))
   }
 
+  test("streaming logreg scoring matches the batch expression under a fixed model") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_slr")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    // the production artifact: micro-unit weights trained once in batch
+    val wRows = graft.ops.LogReg.train(docs, "text",
+      when($"lang" === "en", 1.0).otherwise(0.0), dims = 64, iters = 2)
+      .collect()
+    val w = new Array[Long](65)
+    wRows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val streamed = Streaming.runToCompletion(
+      Streaming.logRegScore(stream, "text", w, dims = 64)
+        .select($"doc_id", $"p_pos", $"pred_pos"),
+      "slr_test")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val batch = docs.select($"doc_id",
+        round(graft.ops.LogReg.scoreExpr($"text", w, 64), 6).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(1) > 0.5))).toMap
+    assert(streamed == batch, s"n=${streamed.size} vs ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming pii scrub is the stateless batch projection") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_spii")
     val docs = spark.range(0, 50).toDF("doc_id")
