@@ -337,6 +337,36 @@ object Main {
             topK = opt(rest, "top").map(_.toInt).getOrElse(20))
           .write.mode("overwrite").parquet(out)
 
+      //   shard-manifest in out [--shards 16]  (deterministic shard
+      //   assignment + per-shard manifest with order-independent sig)
+      case "shard-manifest" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Shards.manifest(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            nShards = opt(rest, "shards").map(_.toInt).getOrElse(16))
+          .write.mode("overwrite").parquet(out)
+
+      //   zipf-stats in out [--head 1000]  (rank-frequency slope/R2 +
+      //   top-10 token mass: corpus-health drift alarms)
+      case "zipf-stats" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Zipf.stats(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            headN = opt(rest, "head").map(_.toInt).getOrElse(1000))
+          .write.mode("overwrite").parquet(out)
+
+      //   embed-outliers in out [--dims 64] [--threshold 1.01]
+      //   (diagonal-Mahalanobis OOD gate off the one-job moment triangle)
+      case "embed-outliers" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Pca.mahaScores(spark.read.parquet(in),
+            opt(rest, "vec-column").getOrElse("embedding"),
+            opt(rest, "id-column").getOrElse("vec_id"),
+            dims = opt(rest, "dims").map(_.toInt).getOrElse(64),
+            threshold = opt(rest, "threshold").map(_.toDouble).getOrElse(1.01))
+          .write.mode("overwrite").parquet(out)
+
       //   overlap a b out [--k 128]  (KMV sketch corpus-overlap report:
       //   est/exact union + jaccard between two parquet corpora)
       case "overlap" =>
@@ -733,7 +763,8 @@ object Main {
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
-      |  bm25 --terms w1,w2, scrub-blocks,
+      |  bm25 --terms w1,w2, shard-manifest, zipf-stats,
+      |  embed-outliers, scrub-blocks,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

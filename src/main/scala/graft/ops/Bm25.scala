@@ -17,6 +17,59 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** The between-session scoring artifact: corpus size, average doc
+    * length, and per-query-term document frequencies — a few dozen
+    * numbers regardless of corpus size (the bloom-bitmap / LogReg-model
+    * contract). Built once batch-side, then scoring anywhere (batch or
+    * streaming) is a stateless zero-shuffle projection.
+    */
+  final case class Stats(n: Long, avgdl: Double, dfs: Map[String, Long])
+
+  /** Collect the [[Stats]] artifact in one aggregation job. */
+  def stats(df: DataFrame, textCol: String, terms: Seq[String]): Stats = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df
+      .select(graft.functions.SketchExpressions
+        .term_counts(coalesce(col(textCol), lit(""))).as("__tc"))
+      .withColumn("__dl",
+        aggregate(col("__tc"), lit(0L), (a, e) => a + e.getField("tf")))
+    val row = base.agg(
+      count(lit(1)).as("__N"),
+      sum(col("__dl")).as("__DL") +: terms.zipWithIndex.map { case (t, i) =>
+        sum(when(exists(col("__tc"), e => e.getField("term") === t), 1L)
+          .otherwise(0L)).as(s"__df$i") }: _*)
+      .first()
+    val n = row.getLong(0)
+    require(n > 0, "bm25 stats: empty corpus")
+    Stats(n, row.getLong(1).toDouble / n.toDouble,
+      terms.zipWithIndex.map { case (t, i) => t -> row.getLong(2 + i) }.toMap)
+  }
+
+  /** Stateless BM25 score of one document against frozen [[Stats]] —
+    * the formula of [[score]] with the corpus statistics as literals
+    * instead of a broadcast aggregate; tf/dl come off the one-pass
+    * term_counts kernel, so the whole thing is a zero-shuffle codegen
+    * projection usable per micro-batch (the streaming twin).
+    */
+  def scoreExpr(text: org.apache.spark.sql.Column, st: Stats,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.Column = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tc = graft.functions.SketchExpressions
+      .term_counts(coalesce(text, lit("")))
+    val dl = aggregate(tc, lit(0L), (a, e) => a + e.getField("tf"))
+      .cast("double")
+    round(terms.map { t =>
+      val tf = coalesce(
+        get(filter(tc, e => e.getField("term") === t), lit(0))
+          .getField("tf"), lit(0L)).cast("double")
+      val dfq = st.dfs(t).toDouble
+      val idf = math.log(1.0 + (st.n.toDouble - dfq + 0.5) / (dfq + 0.5))
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(st.avgdl)))
+    }.reduce(_ + _), 6)
+  }
+
   def score(df: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {

@@ -303,4 +303,51 @@ object Pca {
         lit(0L), (acc: org.apache.spark.sql.Column, e) => acc + e)
         .as("resid_norm2"))
   }
+
+  /** Diagonal-Mahalanobis embedding outlier scoring — the standard
+    * cheap OOD/garbage filter a curation pipeline runs before any
+    * clustering or ANN stage (an embedding far from the corpus
+    * distribution in per-dimension z-score terms is a decode error, an
+    * off-domain document, or adversarial input).
+    *
+    * Same ONE distributed moment job as [[pc1]] — mean and per-dim
+    * variance are the triangle's first row and diagonal, so a caller
+    * who already ran PCA gets this free from the same 34 KB state —
+    * then a zero-shuffle codegen apply scan: the per-dim mean and
+    * variance ride as d-element literals, and
+    *   score_i = sqrt( (1/d) * sum_j (x_ij - mu_j)^2 / var_j )
+    * with x micro-quantized exactly as the moments were (so the oracle
+    * replays the score from the same integer q values). Double op
+    * order mirrors the oracle SQL: mu = s/n/1e6, var = S_jj/n/1e12 -
+    * mu^2, per-row division by var (not multiplication by a
+    * precomputed inverse).
+    */
+  def mahaScores(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, threshold: Double): DataFrame = {
+    val m = moments(df, vecCol, dims)
+    val n = m(0)
+    require(n > 1, "maha: need at least 2 rows")
+    val nD = n.toDouble
+    val mu = Array.tabulate(dims)(j => m(1 + j).toDouble / nD / Micro)
+    // S_jj sits at triangle offset 1 + dims + (rows 0..j-1) where row i
+    // holds (dims - i) entries starting at its diagonal
+    val varr = Array.tabulate(dims) { j =>
+      val off = 1 + dims + (0 until j).map(i => dims - i).sum
+      m(off).toDouble / nD / 1e12 - mu(j) * mu(j)
+    }
+    varr.zipWithIndex.foreach { case (v, j) =>
+      require(v > 0, s"maha: zero variance at dim $j (constant coordinate)") }
+    val muLit = typedlit(mu.toSeq)
+    val varLit = typedlit(varr.toSeq)
+    df.select(col(idCol),
+        round(sqrt(aggregate(
+          zip_with(zip_with(col(vecCol), muLit, (x, mj) => {
+            val d = round(x.cast("double") * lit(1000000.0)) /
+              lit(1000000.0) - mj
+            d * d
+          }), varLit, (d2, vr) => d2 / vr),
+          lit(0.0), (acc, e) => acc + e) / lit(dims.toDouble)), 6)
+          .as("maha"))
+      .withColumn("is_outlier", col("maha") > lit(threshold))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-shard assignment + manifest — the output stage of a
+  * curation pipeline (the declared q93 surface).
+  *
+  * Assignment is a 32-bit md5 slice of the id (engine-portable: any
+  * system that can md5 a decimal string reproduces the same shards —
+  * no engine-private hash in the contract). The manifest carries what
+  * a trainer consumes per shard: doc/token/char totals, the id range,
+  * and an ORDER-INDEPENDENT content signature (bit_xor of a 60-bit md5
+  * slice of each document's text), so two engines — or two runs with
+  * different row orders — certify identical shard content without
+  * sorting anything.
+  *
+  * Scale shape: one projection + ONE map-side-combinable aggregation.
+  * With thousands of shards the md5 key distributes uniformly by
+  * construction; every aggregate (count/min/max/sum/bit_xor) combines
+  * associatively, so partials are one row per (task, shard) and the
+  * shuffle carries manifests, not documents.
+  */
+object Shards {
+
+  def manifest(df: DataFrame, textCol: String, idCol: String,
+      nShards: Int = 16): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    df.select(
+        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % nShards).as("shard"),
+        col(idCol),
+        size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+          .cast("long").as("__tok"),
+        length(col(textCol)).cast("long").as("__ch"),
+        conv(substring(md5(col(textCol)), 1, 15), 16, 10)
+          .cast("long").as("__sig"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as(s"min_$idCol"),
+        max(col(idCol)).as(s"max_$idCol"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__ch")).as("n_chars"),
+        expr("bit_xor(__sig)").as("content_sig"))
+      .orderBy(col("shard"))
+  }
+}

@@ -304,6 +304,40 @@ object PrepQueries {
             ORDER BY ent DESC, doc_id) AS BIGINT) AS rk FROM e),
         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
         SELECT r.doc_id, r.ent, r.rk, (r.rk * 10 <= nn.n * 6) AS kept
-        FROM r CROSS JOIN nn"""))
+        FROM r CROSS JOIN nn""")),
+
+    // ---- training-shard manifest (round 7) ------------------------------
+    // The output stage of a curation pipeline: deterministic shard
+    // assignment (a 32-bit md5 slice of the doc id — reproducible on
+    // any engine, no engine-private hash) plus the per-shard manifest a
+    // trainer consumes: doc/token/char totals, id range, and an
+    // ORDER-INDEPENDENT content signature (bit_xor of a 60-bit md5
+    // slice of each doc's text) so two engines writing the same shard
+    // in different row orders certify identical content. Scale shape:
+    // one projection + ONE map-side-combinable aggregation — with
+    // thousands of shards the key distributes uniformly by
+    // construction, partials are one row per (task, shard), and every
+    // aggregate (count/min/max/sum/bit_xor) combines associatively.
+    QueryDef(
+      "q93_shard_manifest",
+      (s, dir) => {
+        graft.ops.Shards.manifest(table(s, dir, "documents"),
+          "text", "doc_id", nShards = 16)
+      },
+      Some(raw"""WITH d AS (SELECT
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 16 AS shard,
+            doc_id,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+              t -> t <> '')) AS BIGINT) AS tok,
+            CAST(length(text) AS BIGINT) AS ch,
+            CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sig
+          FROM documents)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(ch) AS BIGINT) AS n_chars,
+          bit_xor(sig) AS content_sig
+        FROM d GROUP BY shard ORDER BY shard"""))
   )
 }

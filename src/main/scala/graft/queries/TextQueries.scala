@@ -672,6 +672,50 @@ object TextQueries {
               + 0.75 * CAST(dl AS DOUBLE)
                 / (CAST(dltot AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS score
         FROM dv CROSS JOIN st
-        ORDER BY score DESC, doc_id LIMIT 20"""))
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ---- Zipf/vocabulary corpus diagnostics (round 7) -------------------
+    // The corpus-health report a curation run checks before training: a
+    // natural corpus follows Zipf's law (log-log rank-frequency slope
+    // near -1); template spam, boilerplate floods and synthetic data
+    // bend the curve. One map-side-combinable term count, then TWO
+    // bounded branches off it: full-vocabulary totals (1-row combinable
+    // agg) and an OLS fit of ln(freq) on ln(rank) over the top-1000
+    // terms — the candidate set is a bounded TakeOrdered (no global
+    // sort), the rank a row_number over those 1000 rows (partitioned on
+    // a constant-by-construction key for the plan audit — the table IS
+    // driver-bounded), and the fit a codegen regr_slope/regr_r2. Also
+    // emits the Gopher-style top-10 token mass fraction. round-6 on the
+    // regression doubles absorbs engine association order.
+    QueryDef(
+      "q94_zipf_stats",
+      (s, dir) => {
+        graft.ops.Zipf.stats(table(s, dir, "documents"), "text",
+          headN = 1000)
+      },
+      Some(raw"""WITH terms AS (SELECT
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        gc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM terms
+          GROUP BY term),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+          CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM gc),
+        top AS (SELECT term, cnt, CAST(ROW_NUMBER() OVER (
+              ORDER BY cnt DESC, term) AS BIGINT) AS r
+          FROM (SELECT term, cnt FROM gc
+            ORDER BY cnt DESC, term LIMIT 1000)),
+        reg AS (SELECT
+            ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
+              ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+            ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)),
+              ln(CAST(r AS DOUBLE))), 6) AS zipf_r2,
+            CAST(SUM(CASE WHEN r <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+              AS top10 FROM top)
+        SELECT tot.vocab_size, tot.total_tokens,
+          ROUND(CAST(reg.top10 AS DOUBLE)
+            / CAST(tot.total_tokens AS DOUBLE), 6) AS top10_frac,
+          reg.zipf_slope, reg.zipf_r2
+        FROM tot CROSS JOIN reg"""))
   )
 }

@@ -646,7 +646,46 @@ object VectorQueries {
           FROM qc JOIN vf USING (j) JOIN pp USING (vec_id) CROSS JOIN vv
           GROUP BY qc.vec_id)
         SELECT pp.vec_id, pp.p AS pc1_centered, res.resid_norm2
-        FROM pp JOIN res USING (vec_id)"""))
+        FROM pp JOIN res USING (vec_id)""")),
+
+    // ---- diagonal-Mahalanobis embedding outlier gate (round 7) ---------
+    // The cheap OOD/garbage filter a pipeline runs before clustering or
+    // ANN: per-dim z-score distance from the corpus distribution.
+    // Composes q88's trainer — mean and per-dim variance are the FIRST
+    // ROW and DIAGONAL of the same one-job 34 KB moment triangle — and
+    // the apply is a zero-shuffle codegen scan with mu/var as d-element
+    // literals. Double op order is pinned to the oracle (mu = s/n/1e6,
+    // var = S_jj/n/1e12 - mu^2, per-row division by var); the 64-term
+    // per-row sum differs between engines only in association order, and
+    // round-6 absorbs that at these magnitudes.
+    QueryDef(
+      "q95_embed_outliers",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Pca.mahaScores(table(s, dir, "embeddings"),
+          "embedding", "vec_id", dims = 64, threshold = 1.01)
+          .orderBy($"vec_id")
+      },
+      Some(raw"""WITH q AS MATERIALIZED (SELECT vec_id, j,
+            CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qv
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS j FROM embeddings)),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        mv AS (SELECT j,
+            CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mu,
+            CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0) AS var
+          FROM (SELECT j, CAST(SUM(qv) AS BIGINT) AS s,
+              CAST(SUM(qv * qv) AS BIGINT) AS ss FROM q GROUP BY j), nn),
+        d AS (SELECT q.vec_id,
+            SUM((CAST(q.qv AS DOUBLE) / 1000000.0 - mv.mu)
+              * (CAST(q.qv AS DOUBLE) / 1000000.0 - mv.mu) / mv.var) AS s2
+          FROM q JOIN mv USING (j) GROUP BY q.vec_id)
+        SELECT vec_id, ROUND(SQRT(s2 / 64.0), 6) AS maha,
+          ROUND(SQRT(s2 / 64.0), 6) > 1.01 AS is_outlier
+        FROM d ORDER BY vec_id""")
+    )
   )
 
   /** Generated oracle for q63: one CTE chain per subspace replaying

@@ -630,6 +630,21 @@ object Streaming {
         graft.ops.LogReg.scoreExpr(col(textCol), weights, dims), 6))
       .withColumn("pred_pos", col("p_pos") > 0.5)
 
+  /** Streaming BM25 relevance scoring — the corpus-statistics artifact
+    * (`Bm25.Stats`: N, avgdl, per-query-term dfs — a few dozen numbers
+    * at any corpus size, built batch-side like [[nbScore]]'s weights)
+    * freezes the idf and length normalization, so per-record scoring is
+    * the one-pass term_counts kernel plus scalar arithmetic: stateless,
+    * zero-shuffle, exactly-once per record under any trigger. The
+    * targeted-slicing filter ("route documents about X to the hot
+    * queue") this enables is the streaming face of q91.
+    */
+  def bm25Score(docs: DataFrame, textCol: String, st: graft.ops.Bm25.Stats,
+      terms: Seq[String], minScore: Double = 0.0): DataFrame =
+    docs
+      .withColumn("score", graft.ops.Bm25.scoreExpr(col(textCol), st, terms))
+      .withColumn("relevant", col("score") > minScore)
+
   /** Run a streaming query over a static directory to completion via the
     * memory sink; returns the final result table. (Local harness used by
     * tests and the smoke tool — production would use a real sink.)

@@ -384,6 +384,54 @@ class CliSpec extends AnyFunSuite {
     assert(top.forall(_ % 3 == 0), s"non-banana doc in top-15: ${top.toSeq}")
   }
 
+  test("shard-manifest, zipf-stats and embed-outliers commands end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("shardzipf")
+    val docs = (0L until 80L).map { i =>
+      (i, (0 until 30).map(j => s"tok${(i * 7 + j * j) % 50}").mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+
+    Main.run(spark, Seq("shard-manifest", s"$dir/docs.parquet",
+      s"$dir/manifest.parquet", "--shards", "4"))
+    val man = spark.read.parquet(s"$dir/manifest.parquet")
+    assert(man.columns.toSet == Set("shard", "n_docs", "min_doc_id",
+      "max_doc_id", "n_tokens", "n_chars", "content_sig"))
+    assert(man.agg(sum($"n_docs")).collect()(0).getLong(0) == 80L)
+    assert(man.agg(sum($"n_tokens")).collect()(0).getLong(0) == 80L * 30)
+    // signature is order-independent: reversed input, same manifest
+    docs.orderBy($"doc_id".desc).write.parquet(s"$dir/docs_rev.parquet")
+    Main.run(spark, Seq("shard-manifest", s"$dir/docs_rev.parquet",
+      s"$dir/manifest_rev.parquet", "--shards", "4"))
+    val again = spark.read.parquet(s"$dir/manifest_rev.parquet")
+    assert(man.orderBy($"shard").collect().toSeq ==
+      again.orderBy($"shard").collect().toSeq)
+
+    Main.run(spark, Seq("zipf-stats", s"$dir/docs.parquet",
+      s"$dir/zipf.parquet", "--head", "40"))
+    val z = spark.read.parquet(s"$dir/zipf.parquet").collect()(0)
+    assert(z.getAs[Long]("vocab_size") == 50L)
+    assert(z.getAs[Long]("total_tokens") == 80L * 30)
+    assert(z.getAs[Double]("zipf_slope") < 0.0) // frequency falls with rank
+    val f10 = z.getAs[Double]("top10_frac")
+    assert(f10 > 0.0 && f10 < 1.0)
+
+    val vecs = (0L until 40L).map { i =>
+      // one planted far-out vector among small-noise inliers
+      val base = if (i == 7L) 3.0f else 0.0f
+      (i, Array.tabulate(8)(j => base + ((i * 31 + j * 17) % 11).toFloat / 100f))
+    }.toDF("vec_id", "embedding")
+    vecs.write.parquet(s"$dir/vecs.parquet")
+    Main.run(spark, Seq("embed-outliers", s"$dir/vecs.parquet",
+      s"$dir/out.parquet", "--dims", "8", "--threshold", "2.0"))
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    assert(out.count() == 40)
+    val flagged = out.filter($"is_outlier").select("vec_id")
+      .as[Long].collect().toSeq
+    assert(flagged == Seq(7L), s"flagged=$flagged")
+  }
+
   test("composed pipeline command: one curation chain, schema + funnel") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q67_blocklist", "q82_quality_gate", // q82: broadcast 1-row corpus count
     "q84_kmv_overlap", // q84: 1-row stats x 1-row exact-count certification
     "q91_bm25", // q91: broadcast 1-row corpus stats (N, Σdl, df)
-    "q92_bigram_lm") // q92: broadcast 1-row successor-vocabulary count
+    "q92_bigram_lm", // q92: broadcast 1-row successor-vocabulary count
+    "q94_zipf_stats") // q94: 1-row regression x 1-row vocabulary totals
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -483,6 +483,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming bm25 scoring matches the batch formula under frozen stats") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sbm")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val terms = Seq("the", "data")
+    // the production artifact: corpus stats frozen once in batch
+    val st = graft.ops.Bm25.stats(docs, "text", terms)
+    assert(st.n == docs.count())
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val streamed = Streaming.runToCompletion(
+      Streaming.bm25Score(stream, "text", st, terms)
+        .select($"doc_id", $"score", $"relevant"),
+      "sbm_test")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val batch = docs.select($"doc_id",
+        graft.ops.Bm25.scoreExpr($"text", st, terms).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(1) > 0.0))).toMap
+    assert(streamed == batch, s"n=${streamed.size} vs ${batch.size}")
+    assert(batch.values.exists(_._2))
+    // the frozen stats match q91's broadcast-aggregate formulation: the
+    // batch top-20 by the frozen-stats expression equals Bm25.score's
+    val viaOp = graft.ops.Bm25.score(docs, "text", "doc_id", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val viaExpr = docs.select($"doc_id",
+        graft.ops.Bm25.scoreExpr($"text", st, terms).as("s"))
+      .orderBy($"s".desc, $"doc_id").limit(20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaOp == viaExpr)
+  }
+
   test("streaming pii scrub is the stateless batch projection") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_spii")
     val docs = spark.range(0, 50).toDF("doc_id")
