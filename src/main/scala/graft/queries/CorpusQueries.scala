@@ -969,6 +969,123 @@ object CorpusQueries {
               (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
             / CAST(SUM(c) AS DOUBLE), 6) AS avg_neg_logp
         FROM bg JOIN m2 USING (w1, w2) JOIN m1 USING (w1) CROSS JOIN vv
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- per-source curation gate (round 7) -----------------------------
+    // The C4/RefinedWeb domain-level decision: aggregate per-source
+    // quality signals and derive a keep/drop verdict per source (a
+    // polluted domain is dropped WHOLESALE — cheaper and more robust
+    // than per-document rules against template farms). Signals here:
+    // language purity (en fraction), short-document fraction, mean
+    // token length. Every number derives from exact integer counts, so
+    // the verdict is float-safe by construction (no float-sum ordering
+    // anywhere). Scale shape: ONE map-side-combinable groupBy(source) —
+    // the domain key is the natural partition; a hot domain costs
+    // per-task partials only.
+    QueryDef(
+      "q96_source_gate",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"lang" === "en", 1L).otherwise(0L)).as("__en"),
+            sum(when($"n_chars" < 200, 1L).otherwise(0L)).as("__short"),
+            sum(size(filter(split($"text", "\\s+"), t => t =!= ""))
+              .cast("long")).as("__tok"))
+          .select($"source", $"n_docs",
+            round($"__en".cast("double") / $"n_docs".cast("double"), 6)
+              .as("en_frac"),
+            round($"__short".cast("double") / $"n_docs".cast("double"), 6)
+              .as("short_frac"),
+            round($"__tok".cast("double") / $"n_docs".cast("double"), 6)
+              .as("mean_tokens"),
+            (($"__en" * 10 >= $"n_docs" * 4) &&
+              ($"__short" * 10 <= $"n_docs" * 3)).as("kept"))
+          .orderBy($"source")
+      },
+      Some(raw"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS en_frac,
+          ROUND(CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS short_frac,
+          ROUND(CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+              t -> t <> ''))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
+          (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10
+              >= COUNT(*) * 4
+            AND SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 10
+              <= COUNT(*) * 3) AS kept
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- cross-slice term-distribution drift (round 7) ------------------
+    // The distribution-shift alarm between two corpus slices (old crawl
+    // vs new delivery, train vs validation): symmetric KL divergence of
+    // add-1-smoothed unigram distributions over the union vocabulary.
+    // Float discipline: each term's KL contribution is computed in a
+    // PINNED double op order, rounded to integer NANO-units, and summed
+    // as BIGINT — the exact-integer-scaling recipe (CoreQueries
+    // .exactSum), so the total is order-independent on any engine and
+    // at any parallelism. Scale shape: one combinable per-(term, slice)
+    // count pivoted in the same aggregation, union-vocabulary totals as
+    // a broadcast 1-row aggregate, one combinable BIGINT sum — the
+    // model (term table) never leaves the cluster.
+    QueryDef(
+      "q97_term_drift",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val slice = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 2
+        val tc = docs
+          .select(slice.as("__s"), explode(filter(split(lower($"text"), "\\s+"),
+            t => t =!= "")).as("term"))
+          .groupBy($"term")
+          .agg(sum(when($"__s" === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when($"__s" === 1, 1L).otherwise(0L)).as("cb"))
+        val tot = broadcast(tc.agg(count(lit(1)).as("__v"),
+          sum($"ca").as("__na"), sum($"cb").as("__nb")))
+        val pa = ($"ca" + lit(1L)).cast("double") /
+          ($"__na" + $"__v").cast("double")
+        val pb = ($"cb" + lit(1L)).cast("double") /
+          ($"__nb" + $"__v").cast("double")
+        tc.crossJoin(tot)
+          .select($"__v", $"__na", $"__nb",
+            round(pa * log(pa / pb) * lit(1e9)).cast("long").as("__tab"),
+            round(pb * log(pb / pa) * lit(1e9)).cast("long").as("__tba"))
+          .groupBy($"__v", $"__na", $"__nb")
+          .agg(sum($"__tab").as("__sab"), sum($"__tba").as("__sba"))
+          .select($"__v".as("vocab_size"),
+            $"__na".as("n_tokens_a"), $"__nb".as("n_tokens_b"),
+            round($"__sab".cast("double") / lit(1e9), 6).as("kl_ab"),
+            round($"__sba".cast("double") / lit(1e9), 6).as("kl_ba"))
+      },
+      Some(raw"""WITH t AS (SELECT
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 2 AS s,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '')) AS term
+          FROM documents),
+        tc AS (SELECT term,
+            CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM t GROUP BY term),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+            CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+          FROM tc),
+        c AS (SELECT v, na, nb,
+            CAST(ROUND(CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)
+              * LN((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+              * 1000000000.0) AS BIGINT) AS tab,
+            CAST(ROUND(CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)
+              * LN((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+                / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)))
+              * 1000000000.0) AS BIGINT) AS tba
+          FROM tc CROSS JOIN tot)
+        SELECT v AS vocab_size, na AS n_tokens_a, nb AS n_tokens_b,
+          ROUND(CAST(SUM(tab) AS DOUBLE) / 1000000000.0, 6) AS kl_ab,
+          ROUND(CAST(SUM(tba) AS DOUBLE) / 1000000000.0, 6) AS kl_ba
+        FROM c GROUP BY v, na, nb"""))
   )
 }

@@ -63,7 +63,12 @@ object ScaleCurve {
     "q89_abtt",           // q88 moments + zero-shuffle removal scan
     "q90_cms_heavy",      // combinable counter-table aggs + tiny joins
     "q91_bm25",           // zero-shuffle kernel scan + broadcast stats
-    "q92_bigram_lm"       // two window exchanges, zero model joins
+    "q92_bigram_lm",      // two window exchanges, zero model joins
+    "q93_shard_manifest", // one combinable manifest aggregation
+    "q94_zipf_stats",     // combinable term count + bounded head fit
+    "q95_embed_outliers", // one-job moment triangle + zero-shuffle scan
+    "q96_source_gate",    // one combinable per-source aggregation
+    "q97_term_drift"      // per-(term,slice) count + exact-integer KL
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -72,7 +77,7 @@ object ScaleCurve {
     */
   private val embQueries = Set("q51_kmeans", "q59_ann_sq8", "q63_ann_pq",
     "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
-    "q89_abtt")
+    "q89_abtt", "q95_embed_outliers")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(

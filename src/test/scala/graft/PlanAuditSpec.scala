@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q84_kmv_overlap", // q84: 1-row stats x 1-row exact-count certification
     "q91_bm25", // q91: broadcast 1-row corpus stats (N, Σdl, df)
     "q92_bigram_lm", // q92: broadcast 1-row successor-vocabulary count
-    "q94_zipf_stats") // q94: 1-row regression x 1-row vocabulary totals
+    "q94_zipf_stats", // q94: 1-row regression x 1-row vocabulary totals
+    "q97_term_drift") // q97: broadcast 1-row totals (V, Na, Nb)
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
