@@ -367,6 +367,36 @@ object Main {
             threshold = opt(rest, "threshold").map(_.toDouble).getOrElse(1.01))
           .write.mode("overwrite").parquet(out)
 
+      //   source-gate in out [--keep-lang en] [--short-chars 200]
+      //   (domain-level keep/drop verdicts from integer-exact signals)
+      case "source-gate" =>
+        import org.apache.spark.sql.functions.{col, length, coalesce, lit}
+        val Seq(in, out) = rest.take(2)
+        val df = spark.read.parquet(in)
+        val txt = opt(rest, "text-column").getOrElse("text")
+        val charsCol =
+          if (df.columns.contains("n_chars")) col("n_chars")
+          else length(coalesce(col(txt), lit("")))
+        graft.ops.SourceGate.gate(df,
+            opt(rest, "source-column").getOrElse("source"), txt,
+            opt(rest, "lang-column").getOrElse("lang"), charsCol,
+            keepLang = opt(rest, "keep-lang").getOrElse("en"),
+            shortChars = opt(rest, "short-chars").map(_.toInt).getOrElse(200))
+          .write.mode("overwrite").parquet(out)
+
+      //   term-drift a b out  (symmetric add-1 KL between two corpora's
+      //   unigram distributions — the delivery drift alarm)
+      case "term-drift" =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val Seq(inA, inB, out) = rest.take(3)
+        val txt = opt(rest, "text-column").getOrElse("text")
+        val a = spark.read.parquet(inA).select(col(txt))
+          .withColumn("__slice", lit(0))
+        val b = spark.read.parquet(inB).select(col(txt))
+          .withColumn("__slice", lit(1))
+        graft.ops.Drift.termDrift(a.unionByName(b), txt, col("__slice"))
+          .write.mode("overwrite").parquet(out)
+
       //   overlap a b out [--k 128]  (KMV sketch corpus-overlap report:
       //   est/exact union + jaccard between two parquet corpora)
       case "overlap" =>
@@ -764,7 +794,7 @@ object Main {
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
       |  bm25 --terms w1,w2, shard-manifest, zipf-stats,
-      |  embed-outliers, scrub-blocks,
+      |  embed-outliers, source-gate, term-drift, scrub-blocks,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

@@ -986,23 +986,8 @@ object CorpusQueries {
       "q96_source_gate",
       (s, dir) => {
         import s.implicits._
-        table(s, dir, "documents")
-          .groupBy($"source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when($"lang" === "en", 1L).otherwise(0L)).as("__en"),
-            sum(when($"n_chars" < 200, 1L).otherwise(0L)).as("__short"),
-            sum(size(filter(split($"text", "\\s+"), t => t =!= ""))
-              .cast("long")).as("__tok"))
-          .select($"source", $"n_docs",
-            round($"__en".cast("double") / $"n_docs".cast("double"), 6)
-              .as("en_frac"),
-            round($"__short".cast("double") / $"n_docs".cast("double"), 6)
-              .as("short_frac"),
-            round($"__tok".cast("double") / $"n_docs".cast("double"), 6)
-              .as("mean_tokens"),
-            (($"__en" * 10 >= $"n_docs" * 4) &&
-              ($"__short" * 10 <= $"n_docs" * 3)).as("kept"))
-          .orderBy($"source")
+        graft.ops.SourceGate.gate(table(s, dir, "documents"),
+          "source", "text", "lang", $"n_chars")
       },
       Some(raw"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1034,31 +1019,9 @@ object CorpusQueries {
       "q97_term_drift",
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-        val slice = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("int") % 2
-        val tc = docs
-          .select(slice.as("__s"), explode(filter(split(lower($"text"), "\\s+"),
-            t => t =!= "")).as("term"))
-          .groupBy($"term")
-          .agg(sum(when($"__s" === 0, 1L).otherwise(0L)).as("ca"),
-            sum(when($"__s" === 1, 1L).otherwise(0L)).as("cb"))
-        val tot = broadcast(tc.agg(count(lit(1)).as("__v"),
-          sum($"ca").as("__na"), sum($"cb").as("__nb")))
-        val pa = ($"ca" + lit(1L)).cast("double") /
-          ($"__na" + $"__v").cast("double")
-        val pb = ($"cb" + lit(1L)).cast("double") /
-          ($"__nb" + $"__v").cast("double")
-        tc.crossJoin(tot)
-          .select($"__v", $"__na", $"__nb",
-            round(pa * log(pa / pb) * lit(1e9)).cast("long").as("__tab"),
-            round(pb * log(pb / pa) * lit(1e9)).cast("long").as("__tba"))
-          .groupBy($"__v", $"__na", $"__nb")
-          .agg(sum($"__tab").as("__sab"), sum($"__tba").as("__sba"))
-          .select($"__v".as("vocab_size"),
-            $"__na".as("n_tokens_a"), $"__nb".as("n_tokens_b"),
-            round($"__sab".cast("double") / lit(1e9), 6).as("kl_ab"),
-            round($"__sba".cast("double") / lit(1e9), 6).as("kl_ba"))
+        graft.ops.Drift.termDrift(table(s, dir, "documents"), "text",
+          conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+            .cast("int") % 2)
       },
       Some(raw"""WITH t AS (SELECT
             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))

@@ -630,6 +630,20 @@ object Streaming {
         graft.ops.LogReg.scoreExpr(col(textCol), weights, dims), 6))
       .withColumn("pred_pos", col("p_pos") > 0.5)
 
+  /** Streaming training-shard manifest — maintain per-shard doc/token/
+    * char totals, id ranges and the order-independent bit_xor content
+    * signature INCREMENTALLY as documents arrive (the ingestion face of
+    * q93): every aggregate in the manifest combines associatively and
+    * commutatively, so the complete-mode snapshot after any prefix of
+    * the stream equals the batch manifest of that prefix — arrival
+    * order, trigger boundaries and restarts cannot change it. State is
+    * one row per shard (bounded by construction); the snapshot is the
+    * between-session artifact a trainer reads.
+    */
+  def shardManifest(docs: DataFrame, textCol: String, idCol: String,
+      nShards: Int = 16): DataFrame =
+    graft.ops.Shards.manifest(docs, textCol, idCol, nShards)
+
   /** Streaming BM25 relevance scoring — the corpus-statistics artifact
     * (`Bm25.Stats`: N, avgdl, per-query-term dfs — a few dozen numbers
     * at any corpus size, built batch-side like [[nbScore]]'s weights)

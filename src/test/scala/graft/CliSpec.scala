@@ -432,6 +432,38 @@ class CliSpec extends AnyFunSuite {
     assert(flagged == Seq(7L), s"flagged=$flagged")
   }
 
+  test("source-gate and term-drift commands run end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("gatedrift")
+    // srcA: clean english; srcB: short non-english spam
+    val docs = (0L until 60L).map { i =>
+      if (i % 2 == 0)
+        (i, "srcA", "en", "the quick brown fox jumps over the lazy dog " * 8)
+      else (i, "srcB", "zh", "ad " * 3)
+    }.toDF("doc_id", "source", "lang", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+
+    Main.run(spark, Seq("source-gate", s"$dir/docs.parquet",
+      s"$dir/gate.parquet"))
+    val g = spark.read.parquet(s"$dir/gate.parquet")
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(g == Map("srcA" -> true, "srcB" -> false), s"gate=$g")
+
+    // drift between the clean and spam slices is large and symmetric>0
+    docs.filter($"source" === "srcA").write.parquet(s"$dir/a.parquet")
+    docs.filter($"source" === "srcB").write.parquet(s"$dir/b.parquet")
+    Main.run(spark, Seq("term-drift", s"$dir/a.parquet", s"$dir/b.parquet",
+      s"$dir/drift.parquet"))
+    val d = spark.read.parquet(s"$dir/drift.parquet").collect()(0)
+    assert(d.getAs[Double]("kl_ab") > 0.5 && d.getAs[Double]("kl_ba") > 0.5)
+    // identical corpora drift to zero
+    Main.run(spark, Seq("term-drift", s"$dir/a.parquet", s"$dir/a.parquet",
+      s"$dir/drift0.parquet"))
+    val d0 = spark.read.parquet(s"$dir/drift0.parquet").collect()(0)
+    assert(d0.getAs[Double]("kl_ab") == 0.0 && d0.getAs[Double]("kl_ba") == 0.0)
+  }
+
   test("composed pipeline command: one curation chain, schema + funnel") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

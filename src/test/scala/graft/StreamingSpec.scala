@@ -266,6 +266,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch.values.sum > 0)
   }
 
+  test("streaming shard manifest snapshot equals the batch manifest") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sshm")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val streamed = Streaming.runToCompletion(
+      Streaming.shardManifest(stream, "text", "doc_id", nShards = 8),
+      "sshm_test", outputMode = "complete")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val batch = graft.ops.Shards.manifest(docs, "text", "doc_id", nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} shards vs batch ${batch.size}")
+    assert(batch.size == 8)
+  }
+
   test("streaming minhash near-dup finds the batch operator's pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_smh")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
