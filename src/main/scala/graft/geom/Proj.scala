@@ -14,7 +14,8 @@ package graft.geom
   *  - Lambert Conformal Conic 2SP: 2154 (RGF93 / Lambert-93)
   *  - Lambert Azimuthal Equal Area: 3035 (ETRS89-extended Europe)
   *  - world pseudocylindricals: Sinusoidal (ESRI:54008), Mollweide
-  *    (ESRI:54009), Robinson (ESRI:54030)
+  *    (ESRI:54009), Eckert VI (ESRI:54010), Eckert IV (ESRI:54012),
+  *    Robinson (ESRI:54030)
   * CRS inputs may be "EPSG:n", bare codes, OGC URNs, or PROJJSON (the
   * `id.authority/code` is extracted). Always-XY axis order everywhere.
   *
@@ -496,6 +497,10 @@ object Proj {
         Some((-20.1e6, -10.1e6, 20.1e6, 10.1e6))
       case 54009 => // World Mollweide: |x| ≤ 2√2·a, |y| ≤ √2·a, outward
         Some((-18.1e6, -9.1e6, 18.1e6, 9.1e6))
+      case 54010 => // World Eckert VI: |x| ≤ 2aπ/√(2+π), |y| ≤ aπ/√(2+π)
+        Some((-17.7e6, -8.9e6, 17.7e6, 8.9e6))
+      case 54012 => // World Eckert IV: |x| ≤ 4aπ/√(π(4+π)), |y| ≤ 2a√(π/(4+π))
+        Some((-17.0e6, -8.5e6, 17.0e6, 8.5e6))
       case 54030 => // World Robinson: |x| ≤ 0.8487aπ, |y| ≤ 1.3523a, outward
         Some((-17.1e6, -8.7e6, 17.1e6, 8.7e6))
       case _ => None
@@ -650,6 +655,98 @@ object Proj {
     }
   }
 
+  // ---- Eckert IV (ESRI:54012; no EPSG method code) -----------------------
+  // Equal-area pseudocylindrical with elliptical meridians, spherical
+  // formulation with R = the semi-major axis (PROJ's `eck4` convention).
+  // Forward solves θ + sinθ·cosθ + 2sinθ = (2 + π/2)·sinφ by Newton
+  // (Snyder 1989); pole lines at half the equator length. The inverse
+  // recovers θ from y in closed form, so the defining equation itself
+  // certifies the iteration in tests (the Mollweide recipe).
+  private final class EckertIV(lon0d: Double, fe: Double, fn: Double,
+      a: Double = A) extends Projection {
+    private val lon0 = math.toRadians(lon0d)
+    private val cx = 2.0 / math.sqrt(math.Pi * (4.0 + math.Pi))
+    private val cy = 2.0 * math.sqrt(math.Pi / (4.0 + math.Pi))
+    private val cp = 2.0 + math.Pi / 2.0
+
+    private def thetaOf(phi: Double): Double = {
+      // the pole is a Newton fixed point with zero derivative (f' =
+      // 2cosθ(1+cosθ)); snap instead of stalling 1e-7 short of π/2
+      if (math.abs(phi) >= math.Pi / 2 - 1e-12)
+        return math.signum(phi) * math.Pi / 2
+      val target = cp * math.sin(phi)
+      var th = phi / 2
+      var i = 0
+      while (i < 12) {
+        val c = math.cos(th)
+        val f = th + math.sin(th) * c + 2 * math.sin(th) - target
+        val d = 2 * c * (1 + c)
+        if (math.abs(d) < 1e-14) return math.signum(phi) * math.Pi / 2
+        val next = th - f / d
+        if (math.abs(next - th) < 1e-13) return next
+        th = next
+        i += 1
+      }
+      th
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val th = thetaOf(math.toRadians(lat))
+      (fe + cx * a * normLon(math.toRadians(lon) - lon0) * (1 + math.cos(th)),
+        fn + cy * a * math.sin(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val th = math.asin(math.max(-1.0, math.min(1.0, (y - fn) / (cy * a))))
+      val phi = math.asin(math.max(-1.0, math.min(1.0,
+        (th + math.sin(th) * math.cos(th) + 2 * math.sin(th)) / cp)))
+      val lam = lon0 + (x - fe) / (cx * a * (1 + math.cos(th)))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  // ---- Eckert VI (ESRI:54010; no EPSG method code) -----------------------
+  // Equal-area pseudocylindrical with sinusoidal meridians, spherical
+  // with R = the semi-major axis (PROJ's `eck6`). Forward solves
+  // θ + sinθ = (1 + π/2)·sinφ by Newton (f' = 1 + cosθ, monotone);
+  // pole lines at half the equator length; closed-form inverse.
+  private final class EckertVI(lon0d: Double, fe: Double, fn: Double,
+      a: Double = A) extends Projection {
+    private val lon0 = math.toRadians(lon0d)
+    private val sq = math.sqrt(2.0 + math.Pi)
+    private val cp = 1.0 + math.Pi / 2.0
+
+    private def thetaOf(phi: Double): Double = {
+      val target = cp * math.sin(phi)
+      var th = phi
+      var i = 0
+      while (i < 12) {
+        val f = th + math.sin(th) - target
+        val d = 1 + math.cos(th)
+        if (math.abs(d) < 1e-14) return math.signum(phi) * math.Pi / 2
+        val next = th - f / d
+        if (math.abs(next - th) < 1e-13) return next
+        th = next
+        i += 1
+      }
+      th
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val th = thetaOf(math.toRadians(lat))
+      (fe + a * normLon(math.toRadians(lon) - lon0) * (1 + math.cos(th)) / sq,
+        fn + 2 * a * th / sq)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val th = (y - fn) * sq / (2 * a)
+      val phi = math.asin(math.max(-1.0,
+        math.min(1.0, (th + math.sin(th)) / cp)))
+      val lam = lon0 + (x - fe) * sq / (a * (1 + math.cos(th)))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   // ---- Robinson (ESRI:54030; no EPSG method code) ------------------------
   // Robinson's 1974 table projection: published X (parallel length) and
   // Y (parallel distance from equator) multipliers at 5° latitude nodes,
@@ -720,6 +817,8 @@ object Proj {
   private lazy val worldByCode: Map[Int, Projection] = Map(
     54008 -> new Sinusoidal(0, 0, 0),
     54009 -> new Mollweide(0, 0, 0),
+    54010 -> new EckertVI(0, 0, 0),
+    54012 -> new EckertIV(0, 0, 0),
     54030 -> new Robinson(0, 0, 0))
 
   // ---- Krovak (EPSG methods 9819 south-west / 1041 north-orientated) ----
@@ -910,6 +1009,8 @@ object Proj {
           else if (n.contains("mollweide")) 54009
           else if (n.contains("sinusoidal")) 54008
           else if (n.contains("robinson")) 54030
+          else if (n.contains("eckert iv") || n.contains("eckert_iv")) 54012
+          else if (n.contains("eckert vi") || n.contains("eckert_vi")) 54010
           else -1
         }
     // parameters by EPSG id and by lowercase name; values normalized to

@@ -542,6 +542,64 @@ class SpatialKeySpec extends AnyFunSuite {
       assert(math.abs(l2 + 42.5) < 1e-7 && math.abs(p2 - lat) < 1e-7)
     }
 
+    // ---- Eckert IV (ESRI:54012): certify against the DEFINING equation
+    // θ + sinθcosθ + 2sinθ = (2 + π/2)·sinφ — θ recovered from the
+    // produced y, independent of the forward Newton iteration
+    val c4x = 2.0 / math.sqrt(math.Pi * (4.0 + math.Pi))
+    val c4y = 2.0 * math.sqrt(math.Pi / (4.0 + math.Pi))
+    for ((lon, lat) <- Seq((10.0, 55.0), (-75.0, 50.0), (135.2, -33.9),
+        (0.0, 0.0), (179.0, 85.0))) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", "ESRI:54012")
+      val th = math.asin(y / (c4y * a))
+      assert(math.abs(th + math.sin(th) * math.cos(th) + 2 * math.sin(th) -
+        (2 + math.Pi / 2) * math.sin(math.toRadians(lat))) < 1e-9,
+        s"eck4 defining equation violated at ($lon, $lat)")
+      assert(math.abs(x - c4x * a * math.toRadians(lon) *
+        (1 + math.cos(th))) < 1e-6)
+      val (l2, p2) = Proj.transform(x, y, "ESRI:54012", "EPSG:4326")
+      assert(math.abs(l2 - lon) < 1e-9 && math.abs(p2 - lat) < 1e-8)
+    }
+    // eck4 pole LINE: y = c4y·R exactly, x = half the equator scale
+    val (p4x, p4y) = Proj.transform(90.0, 90.0, "EPSG:4326", "ESRI:54012")
+    assert(math.abs(p4y - c4y * a) < 1e-6)
+    assert(math.abs(p4x - c4x * a * math.Pi / 2) < 1e-6)
+
+    // ---- Eckert VI (ESRI:54010): defining equation θ + sinθ =
+    // (1 + π/2)·sinφ, θ linear in y
+    val sq6 = math.sqrt(2.0 + math.Pi)
+    for ((lon, lat) <- Seq((10.0, 55.0), (-75.0, 50.0), (135.2, -33.9),
+        (0.0, 0.0), (179.0, 85.0))) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", "ESRI:54010")
+      val th = y * sq6 / (2 * a)
+      assert(math.abs(th + math.sin(th) -
+        (1 + math.Pi / 2) * math.sin(math.toRadians(lat))) < 1e-9,
+        s"eck6 defining equation violated at ($lon, $lat)")
+      assert(math.abs(x - a * math.toRadians(lon) *
+        (1 + math.cos(th)) / sq6) < 1e-6)
+      val (l2, p2) = Proj.transform(x, y, "ESRI:54010", "EPSG:4326")
+      assert(math.abs(l2 - lon) < 1e-9 && math.abs(p2 - lat) < 1e-8)
+    }
+    // eck6 pole LINE: θ = π/2 ⇒ y = aπ/√(2+π), x = half equator scale
+    val (p6x, p6y) = Proj.transform(90.0, 90.0, "EPSG:4326", "ESRI:54010")
+    assert(math.abs(p6y - a * math.Pi / sq6) < 1e-6)
+    assert(math.abs(p6x - a * math.Pi / 2 / sq6) < 1e-6)
+
+    // both Eckerts are EQUAL-AREA: the Jacobian |∂(x,y)/∂(λ,φ)| must
+    // equal R²·cosφ everywhere (central differences, 1e-6 rad steps)
+    for (code <- Seq("ESRI:54012", "ESRI:54010");
+         (lon, lat) <- Seq((20.0, 37.0), (-140.0, -62.0), (3.0, 81.0))) {
+      val h = 1e-6
+      val hd = math.toDegrees(h)
+      val (xe, ye) = Proj.transform(lon + hd, lat, "EPSG:4326", code)
+      val (xw, yw) = Proj.transform(lon - hd, lat, "EPSG:4326", code)
+      val (xn, yn) = Proj.transform(lon, lat + hd, "EPSG:4326", code)
+      val (xs, ys) = Proj.transform(lon, lat - hd, "EPSG:4326", code)
+      val jac = ((xe - xw) * (yn - ys) - (xn - xs) * (ye - yw)) / (4 * h * h)
+      val want = a * a * math.cos(math.toRadians(lat))
+      assert(math.abs(jac / want - 1.0) < 1e-4,
+        s"$code not equal-area at ($lon, $lat): $jac vs $want")
+    }
+
     // PROJJSON dispatch by method NAME (the ESRI docs carry no EPSG
     // method id) must resolve to the same projection as the code path
     val mollJson = """{"type":"ProjectedCRS","name":"World Mollweide",
