@@ -1241,4 +1241,66 @@ class OpsSpec extends AnyFunSuite {
       assert(rootMsgOf(e).contains("dot_micro"), s"$f: ${rootMsgOf(e)}")
     }
   }
+
+  test("round-7 op contracts: shards, zipf, drift, source gate, maha") {
+    // shard manifest: nShards=1 degenerates to one global manifest row;
+    // totals survive, signature is still order-independent
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val m1 = graft.ops.Shards.manifest(docs, "text", "doc_id", nShards = 1)
+      .collect()
+    assert(m1.length == 1 && m1(0).getAs[Long]("n_docs") == 3L &&
+      m1(0).getAs[Long]("n_tokens") == 5L)
+    val m1r = graft.ops.Shards.manifest(docs.orderBy($"doc_id".desc),
+      "text", "doc_id", nShards = 1).collect()
+    assert(m1(0) == m1r(0))
+    intercept[IllegalArgumentException] {
+      graft.ops.Shards.manifest(docs, "text", "doc_id", nShards = 0)
+    }
+
+    // zipf: headN below 2 is a contract error; a two-term corpus fits
+    intercept[IllegalArgumentException] {
+      graft.ops.Zipf.stats(docs, "text", headN = 1)
+    }
+    val z = graft.ops.Zipf.stats(docs, "text", headN = 10).collect()(0)
+    assert(z.getAs[Long]("vocab_size") == 3L &&
+      z.getAs[Long]("total_tokens") == 5L)
+    assert(z.getAs[Double]("top10_frac") == 1.0) // <= 10 distinct terms
+
+    // drift: identical slices => exactly zero both ways (every term's
+    // nano-unit contribution is zero); fully disjoint slices => both
+    // positive
+    val same = Seq((0, "a b c"), (1, "a b c")).toDF("s", "text")
+    val d0 = graft.ops.Drift.termDrift(same, "text", col("s")).collect()(0)
+    assert(d0.getAs[Double]("kl_ab") == 0.0 &&
+      d0.getAs[Double]("kl_ba") == 0.0)
+    val disj = Seq((0, "x x x"), (1, "y y y")).toDF("s", "text")
+    val d1 = graft.ops.Drift.termDrift(disj, "text", col("s")).collect()(0)
+    assert(d1.getAs[Double]("kl_ab") > 0.1 && d1.getAs[Double]("kl_ba") > 0.1)
+
+    // source gate: null lang counts against purity (not an error), and
+    // a purity below the 0.4 bar drops the source
+    val g = graft.ops.SourceGate.gate(
+      Seq((1L, "s", null.asInstanceOf[String], "long enough text " * 20),
+        (2L, "s", "zh", "long enough text " * 20),
+        (3L, "s", "en", "long enough text " * 20))
+        .toDF("doc_id", "source", "lang", "text"),
+      "source", "text", "lang", length($"text")).collect()(0)
+    assert(g.getAs[Double]("en_frac") == 0.333333 && !g.getAs[Boolean]("kept"))
+
+    // maha: constant coordinate (zero variance) fails loudly; n=1 too
+    val const = Seq((0L, Seq(1.0f, 5.0f)), (1L, Seq(2.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val e = intercept[Exception] {
+      graft.ops.Pca.mahaScores(const, "embedding", "vec_id", 2, 1.0).collect()
+    }
+    assert(rootMsgOf(e).contains("zero variance"), rootMsgOf(e))
+    val one = Seq((0L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val e2 = intercept[Exception] {
+      graft.ops.Pca.mahaScores(one, "embedding", "vec_id", 2, 1.0).collect()
+    }
+    assert(rootMsgOf(e2).contains("at least 2"), rootMsgOf(e2))
+  }
 }
