@@ -1049,6 +1049,52 @@ object CorpusQueries {
         SELECT v AS vocab_size, na AS n_tokens_a, nb AS n_tokens_b,
           ROUND(CAST(SUM(tab) AS DOUBLE) / 1000000000.0, 6) AS kl_ab,
           ROUND(CAST(SUM(tba) AS DOUBLE) / 1000000000.0, 6) AS kl_ba
-        FROM c GROUP BY v, na, nb"""))
+        FROM c GROUP BY v, na, nb""")),
+
+    // ---- per-source tokenizer efficiency (round 7) ----------------------
+    // The tokenizer-fit report a pipeline checks before committing to a
+    // vocabulary: chars-per-BPE-token and tokens-per-word PER SOURCE
+    // under the corpus-trained merges — a domain whose compression is
+    // far off the corpus mean is under-represented in the tokenizer
+    // (costly to train on) or is junk. Composes the certified q72
+    // trainer and the q77 zero-shuffle apply kernel; aggregation is one
+    // combinable groupBy(source) over the kernel's per-doc counts, and
+    // the oracle replays training + application + the report from the
+    // SAME CTE fragments q72/q77 certify.
+    QueryDef(
+      "q98_bpe_efficiency",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val m = graft.ops.Bpe.trainMerges(docs, "text", 8).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Bpe.tokenizeCount(docs, "text", m)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length($"text")).as("n_chars"),
+            sum($"n_words").as("n_words"),
+            sum($"n_bpe_tokens").as("n_bpe_tokens"))
+          .select($"source", $"n_docs", $"n_chars", $"n_words",
+            $"n_bpe_tokens",
+            round($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"), 6)
+              .as("chars_per_token"),
+            round($"n_bpe_tokens".cast("double") / $"n_words".cast("double"), 6)
+              .as("tokens_per_word"))
+          .orderBy($"source")
+      },
+      Some("WITH " + bpeTrainCtes(8, "documents") +
+        bpeApplyCtes(8, "documents") + raw""",
+    pd AS (SELECT d.source, length(d.text) AS ch,
+        COALESCE(cnt.n_words, 0) AS w, COALESCE(cnt.n_bpe_tokens, 0) AS t
+      FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(ch) AS BIGINT) AS n_chars,
+      CAST(SUM(w) AS BIGINT) AS n_words,
+      CAST(SUM(t) AS BIGINT) AS n_bpe_tokens,
+      ROUND(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6)
+        AS chars_per_token,
+      ROUND(CAST(SUM(t) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+        AS tokens_per_word
+    FROM pd GROUP BY source ORDER BY source"""))
   )
 }

@@ -68,7 +68,8 @@ object ScaleCurve {
     "q94_zipf_stats",     // combinable term count + bounded head fit
     "q95_embed_outliers", // one-job moment triangle + zero-shuffle scan
     "q96_source_gate",    // one combinable per-source aggregation
-    "q97_term_drift"      // per-(term,slice) count + exact-integer KL
+    "q97_term_drift",     // per-(term,slice) count + exact-integer KL
+    "q98_bpe_efficiency"  // BPE train + zero-shuffle apply + source agg
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
