@@ -536,6 +536,103 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  /** 16-hex md5 digests of every OVERLAPPING k-token window of
+    * whitespace-split text (ORIGINAL case — span-scrub reconstruction
+    * preserves the text), space-joined before hashing. Window i covers
+    * tokens [i, i+k-1]; a text with fewer than k tokens has no windows.
+    * Parity: `substr(md5(array_to_string(toks[i+1:i+k], ' ')), 1, 16)`
+    * over 0-based i in both engines. This is the ExactSubstr primitive
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") at token granularity: overlapping windows, unlike
+    * [[tokenBlocks]]' disjoint aligned blocks, detect repeated passages
+    * at ANY offset.
+    */
+  def windowDigests(s: UTF8String, k: Int): ArrayData = {
+    require(k >= 1, s"windowDigests: k must be >= 1, got $k")
+    val raw = wsRe.split(s.toString)
+    val toks = if (raw.nonEmpty && raw(0).isEmpty)
+      java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j)); j += 1
+      }
+      out(i) = UTF8String.fromString(md5Hex16(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [n_removed, n_spans] for a SORTED array of flagged window starts
+    * over an n-token document: windows are k tokens wide, overlapping
+    * or adjacent windows merge into maximal covered runs ("spans");
+    * n_removed counts covered tokens, n_spans the merged runs. Loud
+    * contract: starts must be ascending (the upstream array_sort) —
+    * an unsorted array throws rather than silently under-counting.
+    */
+  def spanStats(starts: ArrayData, k: Int, n: Int): ArrayData = {
+    require(k >= 1, s"spanStats: k must be >= 1, got $k")
+    var removed = 0L
+    var spans = 0L
+    var prevEnd = -1 // exclusive end of the covered prefix so far
+    var prev = Int.MinValue
+    var i = 0
+    val m = starts.numElements()
+    while (i < m) {
+      val st = starts.getInt(i)
+      if (st < prev) throw new IllegalArgumentException(
+        s"spanStats: starts must be sorted ascending (saw $prev then $st)")
+      prev = st
+      val e = math.min(st + k, n)
+      if (st > prevEnd) spans += 1
+      if (e > math.max(st, prevEnd)) removed += e - math.max(st, prevEnd)
+      if (e > prevEnd) prevEnd = e
+      i += 1
+    }
+    new GenericArrayData(Array[Any](removed, spans))
+  }
+
+  /** Text with every token covered by a flagged k-window removed:
+    * tokens outside the union of [st, st+k-1] ranges, re-joined with
+    * single spaces (the whitespace normalization both engines share).
+    * Start order is irrelevant here — coverage is a union.
+    */
+  def scrubSpans(s: UTF8String, starts: ArrayData, k: Int): UTF8String = {
+    require(k >= 1, s"scrubSpans: k must be >= 1, got $k")
+    val raw = wsRe.split(s.toString)
+    val toks = if (raw.nonEmpty && raw(0).isEmpty)
+      java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+    val n = toks.length
+    if (n == 0) return UTF8String.fromString("")
+    val covered = new Array[Boolean](n)
+    var i = 0
+    val m = starts.numElements()
+    while (i < m) {
+      var j = math.max(starts.getInt(i), 0)
+      val e = math.min(starts.getInt(i) + k, n)
+      while (j < e) { covered(j) = true; j += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var first = true
+    i = 0
+    while (i < n) {
+      if (!covered(i)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(i)); first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** One-pass printable-ASCII character entropy: [nAscii, H] where H =
     * -Σ p_c ln p_c over chars 32..126 (call on lowercased text). Buckets
     * are summed in char-code order; the cross-engine contract is the
@@ -1329,6 +1426,70 @@ object SketchExpressions {
 
   def token_blocks(text: Column, k: Int): Column =
     GraftBridge.column(TokenBlocks(GraftBridge.expression(text), k))
+
+  /** 16-hex md5 of every overlapping k-token window (ExactSubstr
+    * primitive — see SketchEval.windowDigests).
+    */
+  case class WindowDigests(child: Expression, k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, s"window_digests: k must be >= 1, got $k")
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.windowDigests(s.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.windowDigests($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def window_digests(text: Column, k: Int): Column =
+    GraftBridge.column(WindowDigests(GraftBridge.expression(text), k))
+
+  /** [n_removed, n_spans] from sorted flagged k-window starts over an
+    * n-token doc (overlap/adjacency-merged maximal runs).
+    */
+  case class SpanStats(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, s"span_stats: k must be >= 1, got $k")
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(IntegerType), IntegerType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(starts: Any, n: Any): Any =
+      SketchEval.spanStats(starts.asInstanceOf[ArrayData], k,
+        n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$E.spanStats($a, $k, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def span_stats(starts: Column, k: Int, nTokens: Column): Column =
+    GraftBridge.column(SpanStats(GraftBridge.expression(starts), GraftBridge.expression(nTokens), k))
+
+  /** Text with every token covered by a flagged k-window removed
+    * (single-space re-join — the shared whitespace normalization).
+    */
+  case class ScrubSpans(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, s"scrub_spans: k must be >= 1, got $k")
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] =
+      Seq(StringType, ArrayType(IntegerType))
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(s: Any, starts: Any): Any =
+      SketchEval.scrubSpans(s.asInstanceOf[UTF8String],
+        starts.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$E.scrubSpans($a, $b, $k)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def scrub_spans(text: Column, starts: Column, k: Int): Column =
+    GraftBridge.column(ScrubSpans(GraftBridge.expression(text), GraftBridge.expression(starts), k))
 
   /** [nAsciiChars, entropy] in one pass (printable-ASCII char entropy). */
   case class CharEntropy(child: Expression)

@@ -525,6 +525,68 @@ object Dedup {
         coalesce(col("scrubbed_digest"), md5(lit(""))).as("scrubbed_digest"))
   }
 
+  /** Exact-substring span scrub (the ExactSubstr policy of Lee et al.
+    * 2022 at token-window granularity): hash every OVERLAPPING
+    * `windowTokens`-token window of every document, flag windows whose
+    * 16-hex digest occurs in ≥ `minDf` DISTINCT documents, merge each
+    * document's flagged windows into maximal covered spans, and remove
+    * every covered token — from every copy, like
+    * [[stripBoilerplateBlocks]], but at ANY offset rather than on
+    * aligned disjoint blocks, so a passage shared mid-sentence between
+    * two documents is caught. Distinct-doc frequency means within-doc
+    * repetition alone never triggers removal.
+    *
+    * Returns (idCol, n_tokens, n_removed, n_spans, clean_digest) —
+    * the scrubbed text reduced to its md5 (the q79 narrow-result
+    * convention; production writes the `scrub_spans` column itself).
+    *
+    * Scale shape (skew-safe): the df decision is a two-level
+    * map-side-combinable aggregation — `groupBy(digest, doc)` collapses
+    * within-doc repeats (composite key: uniform distribution, bounded
+    * group state), then `groupBy(digest).count` ships per-task COUNTS,
+    * so a boilerplate window in half the corpus never serializes its
+    * copies through one task. The flagged set (≤ corpus_windows/minDf
+    * rows, tiny in practice) joins back on the digest — a hot probe
+    * digest is a splittable sort-merge partition under AQE skew
+    * mitigation. Per-doc span merging is a bounded `collect_list` of
+    * INT starts (list length ≤ doc token count) + one codegen kernel —
+    * no Window node anywhere. The inherent cost is the one shuffle of
+    * distinct (16-hex digest, id) pairs — O(corpus tokens) narrow rows,
+    * the price of EXACT substring dedup (the sketch-granularity escape
+    * hatches at scale are minhash q28 / winnowing q70 / blocks q79).
+    * Like [[stripBoilerplateBlocks]], the two digest consumers get
+    * their own column-pruned scans: skew-safety costs one extra
+    * tokenize+md5 pass instead of a persisted explode.
+    */
+  def scrubRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8, minDf: Int = 2): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    require(minDf >= 2, s"minDf must be >= 2 (cross-doc duplication): $minDf")
+    val SE = graft.functions.SketchExpressions
+    val wins = docs.select(col(idCol), posexplode(
+        SE.window_digests(coalesce(col(textCol), lit("")), windowTokens))
+      .as(Seq("pos", "dg")))
+    val dup = wins.groupBy(col("dg"), col(idCol)).agg(count(lit(1)).as("__c"))
+      .groupBy(col("dg")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("dg"))
+    val flagged = wins.join(dup, Seq("dg")).select(col(idCol), col("pos"))
+    val spans = flagged.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("pos"))).as("__starts"))
+    val starts = coalesce(col("__starts"),
+      array().cast(ArrayType(org.apache.spark.sql.types.IntegerType)))
+    val nTokens = size(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= ""))
+    val st = SE.span_stats(starts, windowTokens, nTokens)
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        nTokens.cast("long").as("n_tokens"),
+        st.getItem(0).as("n_removed"),
+        st.getItem(1).as("n_spans"),
+        md5(SE.scrub_spans(coalesce(col(textCol), lit("")), starts,
+          windowTokens)).as("clean_digest"))
+  }
+
   /** Bloom bit position i for a 32-hex-char md5 digest column: the
     * unsigned 32-bit value of hex chars [8i, 8i+8) mod m — the digest is
     * itself an md5, so its four 32-bit slices are independent and need

@@ -423,6 +423,65 @@ object CorpusQueries {
           COALESCE(reb.sd, md5('')) AS scrubbed_digest
         FROM nb LEFT JOIN reb ON nb.doc_id = reb.doc_id""")),
 
+    // ---- exact-substring span scrub (round 7) --------------------------
+    // The ExactSubstr policy (Lee et al. 2022) at token-window
+    // granularity: every OVERLAPPING 8-token window is hashed, windows
+    // present in >= 2 DISTINCT documents are flagged, flagged windows
+    // merge into maximal covered spans, covered tokens are removed from
+    // EVERY copy. Unlike q79/q87's aligned disjoint blocks this catches
+    // shared passages at any offset. Df is a two-level combinable
+    // aggregation, the flagged set joins back on the digest (AQE-skew
+    // splittable), span merge is a bounded collect_list + codegen
+    // kernel — no Window node (PlanAuditSpec). The oracle re-derives
+    // every window by string (not digest), the covered-index union, the
+    // LAG-based span count and the reassembled clean-text digests.
+    QueryDef(
+      "q99_span_scrub",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Dedup.scrubRepeatedSpans(
+            table(s, dir, "documents"), "text", "doc_id",
+            windowTokens = 8, minDf = 2)
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH tk AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+              AS toks
+          FROM documents),
+        wd0 AS (SELECT doc_id,
+            unnest(range(0, greatest(len(toks) - 7, 0))) AS pos, toks
+          FROM tk),
+        wd AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+            array_to_string(toks[pos+1:pos+8], ' ') AS w
+          FROM wd0),
+        dup AS (SELECT w FROM (SELECT w, COUNT(DISTINCT doc_id) AS df
+            FROM wd GROUP BY w) WHERE df >= 2),
+        flag AS (SELECT wd.doc_id, wd.pos FROM wd JOIN dup USING (w)),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS ti
+          FROM flag),
+        spans AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed,
+            CAST(SUM(CASE WHEN prev IS NULL OR ti - prev > 1 THEN 1 ELSE 0
+              END) AS BIGINT) AS n_spans
+          FROM (SELECT doc_id, ti,
+              LAG(ti) OVER (PARTITION BY doc_id ORDER BY ti) AS prev
+            FROM cov)
+          GROUP BY doc_id),
+        te AS (SELECT doc_id, unnest(toks) AS tok,
+            unnest(range(0, len(toks))) AS ti
+          FROM tk),
+        clean AS (SELECT t.doc_id,
+            md5(string_agg(t.tok, ' ' ORDER BY t.ti)) AS clean_digest
+          FROM te t LEFT JOIN cov c
+            ON t.doc_id = c.doc_id AND t.ti = c.ti
+          WHERE c.ti IS NULL GROUP BY t.doc_id)
+        SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          COALESCE(s.n_removed, 0) AS n_removed,
+          COALESCE(s.n_spans, 0) AS n_spans,
+          COALESCE(c.clean_digest, md5('')) AS clean_digest
+        FROM documents d JOIN tk t USING (doc_id)
+        LEFT JOIN spans s USING (doc_id) LEFT JOIN clean c USING (doc_id)
+        ORDER BY d.doc_id""")),
+
     // ---- corpus composition report (ROLLUP) ----------------------------
     // The per-source × per-language curation dashboard: doc/token/char
     // totals at (source, lang), per-source subtotal, and grand-total

@@ -852,6 +852,64 @@ class OpsSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("span scrub removes shared passages at any offset, merging spans") {
+    // docs 1/2 share an 8-token passage at DIFFERENT offsets (block
+    // dedup at k=10 would miss it); doc 3 repeats the passage twice
+    // WITHIN itself only -> distinct-doc df = 1 via its own copies, but
+    // it also shares it with 1/2 so it IS flagged; doc 4 is untouched;
+    // doc 5 is shorter than the window and can never be flagged
+    val p = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p alpha beta"),
+      (2L, s"pre1 pre2 pre3 $p"),
+      (3L, s"$p mid $p"),
+      (4L, "just some entirely unique tokens here right now ok fine"),
+      (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(docs, "text", "doc_id",
+        windowTokens = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((10L, 8L, 1L, md5Hex("alpha beta"))))
+    assert(out(2L) == ((11L, 8L, 1L, md5Hex("pre1 pre2 pre3"))))
+    // doc 3: both copies covered (two merged spans around "mid")
+    assert(out(3L) == ((17L, 16L, 2L, md5Hex("mid"))))
+    assert(out(4L)._2 == 0L && out(4L)._3 == 0L)
+    assert(out(5L) == ((2L, 0L, 0L, md5Hex("tiny doc"))))
+  }
+
+  test("span scrub kernels: edges, adjacency merge, loud contracts") {
+    import graft.functions.SketchEval
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Int*) = new GenericArrayData(xs.toArray.map(_.asInstanceOf[Any]))
+    // windows: fewer tokens than k -> none; exact k -> one
+    assert(SketchEval.windowDigests(UTF8String.fromString("a b"), 3)
+      .numElements() == 0)
+    assert(SketchEval.windowDigests(UTF8String.fromString("a b c"), 3)
+      .numElements() == 1)
+    // adjacent (non-overlapping) flagged windows merge into ONE span
+    val st = SketchEval.spanStats(arr(0, 4), 4, 12)
+    assert(st.getLong(0) == 8 && st.getLong(1) == 1)
+    // overlapping windows count covered tokens once
+    val ov = SketchEval.spanStats(arr(0, 2), 4, 12)
+    assert(ov.getLong(0) == 6 && ov.getLong(1) == 1)
+    // disjoint spans stay separate; ends clamp at n
+    val dj = SketchEval.spanStats(arr(0, 6), 4, 8)
+    assert(dj.getLong(0) == 6 && dj.getLong(1) == 2)
+    // unsorted starts fail loudly, not silently undercount
+    intercept[IllegalArgumentException] {
+      SketchEval.spanStats(arr(5, 1), 4, 20)
+    }
+    // scrub: coverage union, whitespace normalization, full wipe
+    assert(SketchEval.scrubSpans(
+      UTF8String.fromString("  a  b c d  "), arr(1), 2).toString == "a d")
+    assert(SketchEval.scrubSpans(
+      UTF8String.fromString("a b"), arr(0), 8).toString == "")
+    assert(SketchEval.scrubSpans(
+      UTF8String.fromString(""), arr(), 2).toString == "")
+  }
+
   test("bpe tokenize-apply agrees with per-word segmentation") {
     val docs = Seq((1L, "low lower newest"), (2L, "widest LOW x.y"))
       .toDF("doc_id", "text")
