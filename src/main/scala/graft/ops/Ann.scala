@@ -147,6 +147,39 @@ object Ann {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-k most-similar corpus vectors EXCLUDING the query itself
+    * and excluding near-duplicates (cosine ≥ `dupCeil`) — the standard
+    * guard against false negatives (a near-dup of the anchor pushed
+    * apart as a "negative" poisons the embedding space; see e.g. the
+    * filtering step of DPR/SimCSE-style pipelines). The survivors are
+    * the hardest TRUE negatives.
+    *
+    * Same scale shape as [[bruteTopKBatch]]: the query batch
+    * broadcasts, cosine + both filters fuse into the corpus scan's
+    * generated code (no candidate ever shuffles unless it survives),
+    * and per-query ranking is the bounded-heap TopK — the corpus never
+    * sorts. For query batches too large to broadcast, compose the same
+    * filters over [[lshTopKBatch]]'s equi-join candidates instead.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, qidCol: String, qvecCol: String, k: Int,
+      dupCeil: Double): DataFrame = {
+    require(dupCeil > -1.0 && dupCeil <= 1.0,
+      s"dupCeil must be a cosine in (-1, 1]: $dupCeil")
+    val joined = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosine(col("__v"), col("__q")).as("sim"))
+      .filter(col("sim") < dupCeil)
+    TopK.perGroup(joined, Seq("qid"),
+        Seq((col("sim"), true), (col("id"), false)), k, "rank")
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
   /** Add the LSH bucket column (persist + partition by this at scale).
     * Codegen expression, not a UDF — the signature computation stays
     * inside the fused stage.

@@ -46,4 +46,49 @@ object Drift {
         round(col("__sab").cast("double") / lit(1e9), 6).as("kl_ab"),
         round(col("__sba").cast("double") / lit(1e9), 6).as("kl_ba"))
   }
+
+  /** Pearson chi-square independence test + Cramér's V over a
+    * two-attribute contingency table (source × language is the corpus-
+    * balance check: V near 0 = languages spread evenly across sources,
+    * V near 1 = each source is monolingual — a mixture-weighting alarm
+    * before training). Uses the algebraic identity
+    * `chi2 = N * (sum_cells O^2 / (rowTotal * colTotal) - 1)`, which
+    * needs NO expected-count row for empty cells — only observed cells
+    * contribute. Each cell's term (≤ 1 by construction) is rounded to
+    * integer PICO-units and summed as BIGINT (the [[termDrift]] float
+    * discipline), so the statistic is order-independent at any
+    * parallelism.
+    *
+    * Scale shape: one map-side-combinable groupBy(row, col) count — the
+    * only corpus-sized pass; marginals and the scalar reduce over the
+    * (tiny) cell table with broadcast join-backs. Output is one row:
+    * (n, n_rows, n_cols, dof, chi2, cramers_v).
+    */
+  def balanceChi2(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val obs = df.groupBy(rowCol.as("__r"), colCol.as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = obs.groupBy(col("__r")).agg(sum(col("__o")).as("__rt"))
+    val ct = obs.groupBy(col("__c")).agg(sum(col("__o")).as("__ct"))
+    val tot = broadcast(obs.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__r")).as("__nr"),
+      countDistinct(col("__c")).as("__nc")))
+    val term = (col("__o") * col("__o")).cast("double") /
+      (col("__rt") * col("__ct")).cast("double")
+    val s = obs
+      .join(broadcast(rt), Seq("__r")).join(broadcast(ct), Seq("__c"))
+      .select(round(term * lit(1e12)).cast("long").as("__pico"))
+      .agg(sum(col("__pico")).as("__s"))
+    val chi2 = col("__n").cast("double") *
+      (col("__s").cast("double") / lit(1e12) - lit(1.0))
+    val vDen = col("__n").cast("double") *
+      (least(col("__nr"), col("__nc")) - lit(1L)).cast("double")
+    s.crossJoin(tot)
+      .select(col("__n").as("n"),
+        col("__nr").as("n_rows"), col("__nc").as("n_cols"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
+        round(chi2, 6).as("chi2"),
+        when(least(col("__nr"), col("__nc")) > 1,
+            round(sqrt(greatest(chi2, lit(0.0)) / vDen), 6))
+          .otherwise(lit(0.0)).as("cramers_v"))
+  }
 }

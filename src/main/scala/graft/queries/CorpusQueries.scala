@@ -1110,6 +1110,107 @@ object CorpusQueries {
           ROUND(CAST(SUM(tba) AS DOUBLE) / 1000000000.0, 6) AS kl_ba
         FROM c GROUP BY v, na, nb""")),
 
+    // ---- corpus balance chi-square (round 7) ---------------------------
+    // Source × language independence: Pearson chi2 via the identity
+    // N*(sum O^2/(rt*ct) - 1) — no expected-count rows for empty cells —
+    // plus Cramér's V effect size. Per-cell terms round to integer
+    // pico-units and sum as BIGINT (the q97 float discipline), so the
+    // statistic is order-independent at any parallelism; the only
+    // corpus-sized pass is one combinable groupBy(source, lang) count.
+    QueryDef(
+      "q101_balance_chi2",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Drift.balanceChi2(
+          table(s, dir, "documents"), $"source", $"lang")
+      },
+      Some(raw"""WITH obs AS (SELECT source AS r, lang AS c,
+            CAST(COUNT(*) AS BIGINT) AS o
+          FROM documents GROUP BY source, lang),
+        rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY r),
+        ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY c),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+            CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+            CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+          FROM obs),
+        cell AS (SELECT CAST(ROUND(
+            CAST(o * o AS DOUBLE) / CAST(rt.rt * ct.ct AS DOUBLE)
+              * 1000000000000.0) AS BIGINT) AS pico
+          FROM obs JOIN rt USING (r) JOIN ct USING (c)),
+        sm AS (SELECT CAST(SUM(pico) AS BIGINT) AS s FROM cell)
+        SELECT n, nr AS n_rows, nc AS n_cols,
+          (nr - 1) * (nc - 1) AS dof,
+          ROUND(CAST(n AS DOUBLE)
+            * (CAST(s AS DOUBLE) / 1000000000000.0 - 1.0), 6) AS chi2,
+          CASE WHEN LEAST(nr, nc) > 1 THEN
+            ROUND(SQRT(GREATEST(CAST(n AS DOUBLE)
+              * (CAST(s AS DOUBLE) / 1000000000000.0 - 1.0), 0.0)
+              / (CAST(n AS DOUBLE) * CAST(LEAST(nr, nc) - 1 AS DOUBLE))), 6)
+          ELSE 0.0 END AS cramers_v
+        FROM sm CROSS JOIN tot""")),
+
+    // ---- HLL distinct-per-source (round 7) -----------------------------
+    // The cardinality member of the certified sketch family (q90 CMS
+    // frequency / q84 KMV overlap / q73 Bloom membership): per-source
+    // vocabulary size by 256-register HyperLogLog, certified against
+    // the exact distinct count riding the SAME distinct-(source, term)
+    // exchange. Register index/rho are hex-string arithmetic on
+    // md5(term) and the harmonic sum is an exact BIGINT sum of powers
+    // of two — the oracle rebuilds every register and both estimator
+    // branches bit-for-bit. No driver arrays: the sketch is a
+    // 256-row-per-source TABLE of combinable MAXes.
+    QueryDef(
+      "q102_hll_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val terms = table(s, dir, "documents")
+          .select($"source", explode(filter(split(lower($"text"), "\\s+"),
+            t => t =!= "")).as("term"))
+        graft.ops.Hll.distinctPerGroup(terms, $"source", $"term", "source")
+          .orderBy($"source")
+      },
+      Some(raw"""WITH pairs AS (SELECT DISTINCT source,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS v
+          FROM documents),
+        hx AS (SELECT source, md5(v) AS h FROM pairs),
+        reg AS (SELECT source,
+            CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS b,
+            CASE WHEN length(regexp_extract(substr(h, 3, 13), '^0*')) = 13
+              THEN 53
+              ELSE length(regexp_extract(substr(h, 3, 13), '^0*')) * 4
+                + (CASE WHEN substr(substr(h, 3, 13),
+                    length(regexp_extract(substr(h, 3, 13), '^0*')) + 1, 1)
+                    IN ('8','9','a','b','c','d','e','f') THEN 0
+                  WHEN substr(substr(h, 3, 13),
+                    length(regexp_extract(substr(h, 3, 13), '^0*')) + 1, 1)
+                    IN ('4','5','6','7') THEN 1
+                  WHEN substr(substr(h, 3, 13),
+                    length(regexp_extract(substr(h, 3, 13), '^0*')) + 1, 1)
+                    IN ('2','3') THEN 2
+                  ELSE 3 END) + 1 END AS rho
+          FROM hx),
+        regs AS (SELECT source, b, MAX(rho) AS mj,
+            CAST(COUNT(*) AS BIGINT) AS nt
+          FROM reg GROUP BY source, b),
+        pg AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS ex,
+            CAST(SUM(CAST(POW(2, 53 - mj) AS BIGINT)) AS BIGINT) AS snon,
+            CAST(COUNT(*) AS BIGINT) AS nb
+          FROM regs GROUP BY source),
+        est AS (SELECT source, ex, nb,
+            (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+              * 9007199254740992.0
+              / CAST(snon + (256 - nb) * 9007199254740992 AS DOUBLE) AS raw
+          FROM pg),
+        fin AS (SELECT source, ex,
+            CASE WHEN raw <= 640.0 AND nb < 256
+              THEN 256.0 * LN(256.0 / CAST(256 - nb AS DOUBLE))
+              ELSE raw END AS e
+          FROM est)
+        SELECT source, ex AS n_distinct, ROUND(e, 6) AS hll_est,
+          ROUND((e - CAST(ex AS DOUBLE)) / CAST(ex AS DOUBLE), 6) AS rel_err
+        FROM fin ORDER BY source""")),
+
     // ---- per-source tokenizer efficiency (round 7) ----------------------
     // The tokenizer-fit report a pipeline checks before committing to a
     // vocabulary: chars-per-BPE-token and tokens-per-word PER SOURCE

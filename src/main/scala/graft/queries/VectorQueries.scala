@@ -206,6 +206,46 @@ object VectorQueries {
         SELECT qid, rank, id, ROUND(sim, 5) AS sim FROM ranked
         WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // ---- hard-negative mining (round 7) --------------------------------
+    // Contrastive-training negatives: per query, the top-5 most-similar
+    // corpus vectors EXCLUDING self and near-duplicates (cosine >=
+    // 0.35 on this data — the false-negative guard; production uses
+    // ~0.95+ on real embeddings). Query batch broadcasts, cosine and
+    // both exclusions fuse into the corpus scan, bounded-heap TopK
+    // ranks — no sort of the corpus, no shuffle of non-survivors. The
+    // oracle replays the full scored product with the same double
+    // arithmetic and certifies the exclusion boundary pre-rounding.
+    QueryDef(
+      "q100_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        graft.ops.Ann.hardNegatives(
+            emb, emb.filter($"vec_id" < 10),
+            "embedding", "vec_id", "vec_id", "embedding",
+            k = 5, dupCeil = 0.35)
+          .select($"qid", $"rank", $"id", round($"sim", 5).as("sim"))
+          .orderBy($"qid", $"rank")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+        pairs AS (
+          SELECT q.qid, e.vec_id AS id,
+            SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)))) AS sim
+          FROM embeddings e CROSS JOIN q
+          CROSS JOIN generate_series(1, 64) t(i)
+          WHERE e.vec_id <> q.qid
+          GROUP BY q.qid, e.vec_id),
+        ranked AS (
+          SELECT qid, id, sim, CAST(ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rank
+          FROM pairs WHERE sim < 0.35)
+        SELECT qid, rank, id, ROUND(sim, 5) AS sim FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // ---- k-means clustering (2 Lloyd passes, fixed-point update) -------
     // Init = the q44 stride sample; assignment = codegen argmax over the
     // broadcast centroid table; update = exact integer fixed-point means

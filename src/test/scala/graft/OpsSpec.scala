@@ -852,6 +852,43 @@ class OpsSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("hll distinct estimate tracks exact within sketch error") {
+    import graft.ops.Hll
+    // 5000 distincts exercises the raw-estimator branch (> 2.5m = 640);
+    // 300 exercises linear counting; duplicates must not move either
+    val rows = (1 to 5000).map(i => ("g", s"val$i")) ++
+      (1 to 300).map(i => ("h", s"val$i")) ++
+      (1 to 1000).map(i => ("g", s"val$i")) // dups of g's first 1000
+    val out = Hll.distinctPerGroup(rows.toDF("grp", "v"), $"grp", $"v", "grp")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("g")._1 == 5000L && out("h")._1 == 300L)
+    // m=256 HLL standard error is 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(out("g")._3) < 0.2, s"g rel_err ${out("g")._3}")
+    assert(math.abs(out("h")._3) < 0.2, s"h rel_err ${out("h")._3}")
+    // determinism: repartitioning cannot move a max/sum-of-pow2 sketch
+    val re = Hll.distinctPerGroup(rows.toDF("grp", "v").repartition(13),
+        $"grp", $"v", "grp")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(re("g") == out("g")._2 && re("h") == out("h")._2)
+  }
+
+  test("hard negatives exclude self and near-duplicates above the ceiling") {
+    val base = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val nearDup = base.clone(); nearDup(7) = nearDup(7) * 1.01f
+    val ortho = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((0L, base.toSeq), (1L, nearDup.toSeq), (2L, ortho.toSeq),
+        (3L, ortho.map(-_).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Ann.hardNegatives(df, df.filter($"vec_id" === 0),
+        "embedding", "vec_id", "vec_id", "embedding", k = 3, dupCeil = 0.99)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // vec 1 is a near-dup (cos ~1) -> excluded; self excluded; the two
+    // ortho vectors are the surviving hard negatives
+    assert(out.map(_._2).toSet == Set(2L, 3L))
+    assert(out.map(_._1).sorted.toSeq == Seq(1, 2))
+  }
+
   test("span scrub removes shared passages at any offset, merging spans") {
     // docs 1/2 share an 8-token passage at DIFFERENT offsets (block
     // dedup at k=10 would miss it); doc 3 repeats the passage twice
