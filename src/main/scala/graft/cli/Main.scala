@@ -397,6 +397,53 @@ object Main {
         graft.ops.Drift.termDrift(a.unionByName(b), txt, col("__slice"))
           .write.mode("overwrite").parquet(out)
 
+      //   span-scrub in out [--window-tokens 8] [--min-df 2]  (exact-
+      //   substring span removal: overlapping-window dedup at any offset)
+      case "span-scrub" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Dedup.scrubRepeatedSpans(spark.read.parquet(in),
+            opt(rest, "text-column").getOrElse("text"),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            windowTokens = opt(rest, "window-tokens").map(_.toInt).getOrElse(8),
+            minDf = opt(rest, "min-df").map(_.toInt).getOrElse(2))
+          .write.mode("overwrite").parquet(out)
+
+      //   hard-negatives corpus queries out [--k 5] [--dup-ceil 0.95]
+      //   (contrastive-training negatives: top-k similar minus near-dups)
+      case "hard-negatives" =>
+        val Seq(corpus, queries, out) = rest.take(3)
+        val vec = opt(rest, "vector-column").getOrElse("embedding")
+        val id = opt(rest, "id-column").getOrElse("vec_id")
+        graft.ops.Ann.hardNegatives(
+            spark.read.parquet(corpus), spark.read.parquet(queries),
+            vec, id, id, vec,
+            k = opt(rest, "k").map(_.toInt).getOrElse(5),
+            dupCeil = opt(rest, "dup-ceil").map(_.toDouble).getOrElse(0.95))
+          .write.mode("overwrite").parquet(out)
+
+      //   balance-chi2 in out [--row-column source] [--col-column lang]
+      //   (contingency chi-square + Cramér's V corpus-balance report)
+      case "balance-chi2" =>
+        import org.apache.spark.sql.functions.col
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Drift.balanceChi2(spark.read.parquet(in),
+            col(opt(rest, "row-column").getOrElse("source")),
+            col(opt(rest, "col-column").getOrElse("lang")))
+          .write.mode("overwrite").parquet(out)
+
+      //   hll-distinct in out [--group-column source] [--text-column text]
+      //   (per-group HLL vocabulary estimate certified vs exact)
+      case "hll-distinct" =>
+        import org.apache.spark.sql.functions.{col, explode, filter, lower, split, lit}
+        val Seq(in, out) = rest.take(2)
+        val g = opt(rest, "group-column").getOrElse("source")
+        val txt = opt(rest, "text-column").getOrElse("text")
+        val terms = spark.read.parquet(in).select(col(g),
+          explode(filter(split(lower(col(txt)), "\\s+"),
+            t => t =!= lit(""))).as("term"))
+        graft.ops.Hll.distinctPerGroup(terms, col(g), col("term"), g)
+          .write.mode("overwrite").parquet(out)
+
       //   overlap a b out [--k 128]  (KMV sketch corpus-overlap report:
       //   est/exact union + jaccard between two parquet corpora)
       case "overlap" =>
@@ -794,7 +841,8 @@ object Main {
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
       |  bm25 --terms w1,w2, shard-manifest, zipf-stats,
-      |  embed-outliers, source-gate, term-drift, scrub-blocks,
+      |  embed-outliers, source-gate, term-drift, span-scrub,
+      |  hard-negatives, balance-chi2, hll-distinct, scrub-blocks,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

@@ -44,6 +44,42 @@ object Hll {
     when(z === 13, RHO_BITS + 1).otherwise(z * 4 + lzc + 1)
   }
 
+  /** Register table (group, hll_bucket, hll_rho) over RAW values — no
+    * distinct pass: a duplicate value re-delivers the same (bucket,
+    * rho) and MAX absorbs it, which is what makes this the streaming
+    * twin's shape (one combinable aggregation; complete-mode snapshot
+    * ≡ batch registers under any arrival order or restart).
+    */
+  def registers(df: DataFrame, groupCol: Column, valueCol: Column,
+      groupName: String = "group"): DataFrame = {
+    val h = md5(valueCol.cast("string"))
+    df.select(groupCol.as(groupName),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("hll_bucket"),
+        rhoExpr(substring(h, 3, 13)).as("__rho"))
+      .groupBy(col(groupName), col("hll_bucket"))
+      .agg(max(col("__rho")).as("hll_rho"))
+  }
+
+  /** Distinct estimate per group from a [[registers]] table (the
+    * finisher a streaming snapshot or a persisted sketch runs through).
+    */
+  def estimateFromRegisters(regs: DataFrame,
+      groupName: String = "group"): DataFrame = {
+    val perGroup = regs.groupBy(col(groupName)).agg(
+      sum(pow(lit(2.0), lit(SCALE) - col("hll_rho")).cast("long"))
+        .as("__sNon"),
+      count(lit(1)).as("__nb"))
+    val nEmpty = lit(M.toLong) - col("__nb")
+    val sTotal = (col("__sNon") + nEmpty * lit(1L << SCALE)).cast("double")
+    val alpha = lit(0.7213 / (1.0 + 1.079 / M))
+    val rawEst = alpha * lit(M.toDouble * M) * lit(math.pow(2.0, SCALE)) /
+      sTotal
+    val est = when(rawEst <= lit(2.5 * M) && nEmpty > 0,
+        lit(M.toDouble) * log(lit(M.toDouble) / nEmpty.cast("double")))
+      .otherwise(rawEst)
+    perGroup.select(col(groupName), round(est, 6).as("hll_est"))
+  }
+
   /** Per-group HLL distinct estimate of `valueCol`, certified against
     * the exact distinct count from the same exchange. Output:
     * (groupCol, n_distinct, hll_est, rel_err), one row per group.

@@ -659,6 +659,19 @@ object Streaming {
       .withColumn("score", graft.ops.Bm25.scoreExpr(col(textCol), st, terms))
       .withColumn("relevant", col("score") > minScore)
 
+  /** Streaming HLL registers — the cardinality twin (q102). The sketch
+    * update is ONE map-side-combinable MAX aggregation over (group,
+    * bucket) keyed rows; duplicates re-deliver the same (bucket, rho)
+    * and MAX absorbs them, so no distinct pass and no per-value state:
+    * state is bounded at 256 rows per group forever. Complete-mode
+    * snapshot ≡ batch registers under any arrival order or restart
+    * (MAX is associative+commutative+idempotent);
+    * `Hll.estimateFromRegisters` finishes a snapshot into estimates.
+    */
+  def hllRegisters(docs: DataFrame, groupCol: String,
+      valueCol: org.apache.spark.sql.Column): DataFrame =
+    graft.ops.Hll.registers(docs, col(groupCol), valueCol, groupCol)
+
   /** Run a streaming query over a static directory to completion via the
     * memory sink; returns the final result table. (Local harness used by
     * tests and the smoke tool — production would use a real sink.)

@@ -464,6 +464,48 @@ class CliSpec extends AnyFunSuite {
     assert(d0.getAs[Double]("kl_ab") == 0.0 && d0.getAs[Double]("kl_ba") == 0.0)
   }
 
+  test("span-scrub, hard-negatives, balance-chi2, hll-distinct commands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("r7cli")
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")
+    Seq((0L, "srcA", "en", s"$shared alpha beta"),
+        (1L, "srcA", "en", s"pre1 pre2 $shared"),
+        (2L, "srcB", "zh", "totally unique words only here now ok yes fine"))
+      .toDF("doc_id", "source", "lang", "text")
+      .write.parquet(s"$dir/docs.parquet")
+
+    Main.run(spark, Seq("span-scrub", s"$dir/docs.parquet",
+      s"$dir/scrub.parquet"))
+    val sc = spark.read.parquet(s"$dir/scrub.parquet")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sc == Map(0L -> 8L, 1L -> 8L, 2L -> 0L), s"scrub=$sc")
+
+    val vecs = (0 until 6).map(i =>
+        (i.toLong, Array.tabulate(4)(j => (i * 4 + j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    vecs.write.parquet(s"$dir/vecs.parquet")
+    vecs.filter($"vec_id" === 0).write.parquet(s"$dir/q.parquet")
+    Main.run(spark, Seq("hard-negatives", s"$dir/vecs.parquet",
+      s"$dir/q.parquet", s"$dir/hn.parquet", "--k", "3",
+      "--dup-ceil", "0.999"))
+    val hn = spark.read.parquet(s"$dir/hn.parquet").collect()
+    assert(hn.length == 3 && hn.forall(_.getDouble(3) < 0.999))
+
+    Main.run(spark, Seq("balance-chi2", s"$dir/docs.parquet",
+      s"$dir/chi.parquet"))
+    val chi = spark.read.parquet(s"$dir/chi.parquet").collect()(0)
+    // source and lang are perfectly associated here -> V = 1
+    assert(chi.getAs[Long]("dof") == 1L)
+    assert(math.abs(chi.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+
+    Main.run(spark, Seq("hll-distinct", s"$dir/docs.parquet",
+      s"$dir/hll.parquet"))
+    val hll = spark.read.parquet(s"$dir/hll.parquet")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hll("srcA") == 12L && hll("srcB") == 9L, s"hll=$hll")
+  }
+
   test("composed pipeline command: one curation chain, schema + funnel") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -285,6 +285,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size == 8)
   }
 
+  test("streaming hll registers snapshot equals batch sketch and estimate") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_shll")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text")
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val term = explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val snap = Streaming.runToCompletion(
+      Streaming.hllRegisters(stream.select($"source", term.as("term")),
+        "source", $"term"),
+      "shll_test", outputMode = "complete")
+    val streamedRegs = snap.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val batchRegs = graft.ops.Hll.registers(
+        docs.select($"source", term.as("term")), $"source", $"term", "source")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(streamedRegs == batchRegs)
+    // the snapshot finisher reproduces the certified q102 estimates
+    val est = graft.ops.Hll.estimateFromRegisters(snap, "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val q102 = graft.ops.Hll.distinctPerGroup(
+        docs.select($"source", term.as("term")), $"source", $"term", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(est == q102)
+  }
+
   test("streaming minhash near-dup finds the batch operator's pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_smh")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
