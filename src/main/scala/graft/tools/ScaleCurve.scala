@@ -69,7 +69,11 @@ object ScaleCurve {
     "q95_embed_outliers", // one-job moment triangle + zero-shuffle scan
     "q96_source_gate",    // one combinable per-source aggregation
     "q97_term_drift",     // per-(term,slice) count + exact-integer KL
-    "q98_bpe_efficiency"  // BPE train + zero-shuffle apply + source agg
+    "q98_bpe_efficiency", // BPE train + zero-shuffle apply + source agg
+    "q99_span_scrub",     // window-digest df agg + join-back + span kernel
+    "q100_hard_negatives",// broadcast query batch + fused filters + TopK
+    "q101_balance_chi2",  // one combinable contingency count + tiny joins
+    "q102_hll_distinct"   // distinct pair exchange + 256-row register aggs
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -78,7 +82,7 @@ object ScaleCurve {
     */
   private val embQueries = Set("q51_kmeans", "q59_ann_sq8", "q63_ann_pq",
     "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
-    "q89_abtt", "q95_embed_outliers")
+    "q89_abtt", "q95_embed_outliers", "q100_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(
