@@ -121,7 +121,32 @@ object Bench {
       s""","duckdb_sec":$pairs,"duckdb_timeouts":$touts""" +
         f""","duckdb_total_comparable":$dTot%.3f,"spark_total_comparable":$sTot%.3f"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work$duckJson}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work$duckJson}"""
+    // The driver captures only a ~2000-char tail of stdout, so a
+    // 100-query JSON line is never machine-readable there (BENCH_r05-07
+    // all landed with parsed:null). Split the contract: the FULL results
+    // go to a file (committed with the round snapshot), and stdout gets
+    // ONE compact line that fits the tail window whole — totals, the
+    // oracle comparison, and as many slowest-query timings as fit.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
+    val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1900").toInt
+    val slowest = results.sortBy(-_._2)
+    val head = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"job_floor_sec":$floor%.4f,"total_minus_floor":$work%.4f,"full_results":"$outFile"""" +
+      duck.map { m =>
+        val comparable = results.map(_._1).filter(k => m.get(k).exists(_ >= 0))
+        val dTot = comparable.map(m).sum
+        val sTot = comparable.map(results.toMap).sum
+        f""","duckdb_total_comparable":$dTot%.3f,"spark_total_comparable":$sTot%.3f,"spark_vs_duckdb":${sTot / math.max(dTot, 1e-9)}%.2f"""
+      }.getOrElse("")
+    val entries = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
+    val fit = entries.scanLeft(0)(_ + _.length + 1)
+      .indexWhere(_ > budget - head.length - 40) match {
+        case -1 => entries.size
+        case i  => math.max(0, i - 1)
+      }
+    val note = if (fit < entries.size) s""","queries_note":"slowest $fit of ${entries.size}; full set in $outFile"""" else ""
+    println(head + s""","queries":${entries.take(fit).mkString("{", ",", "}")}$note}""")
     spark.stop()
   }
 }

@@ -14,16 +14,24 @@ import Coords._
   */
 object JoinQueries {
 
-  /** events table: driver parquet uses TIMESTAMP(NANOS), which Spark 4
-    * only reads via the nanosAsLong legacy flag; we convert to a proper
-    * timestamp column ourselves.
+  /** events table: driver parquet has stored `ts` as TIMESTAMP(NANOS)
+    * (readable only as long via the nanosAsLong legacy flag) in some
+    * rounds and as native timestamp[us] in others — adapt to whichever
+    * physical type the file carries.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer division: ns values ~1.7e18 exceed double's 2^53 mantissa,
-    // so a float path would corrupt the low bits
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: ns values ~1.7e18 exceed double's 2^53
+        // mantissa, so a float path would corrupt the low bits
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        // timestamp[us]/[ms] read natively (NTZ); session TZ is UTC, so
+        // casting to TIMESTAMP keeps the same instant the long path built
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema as stored by the driver (ts = TIMESTAMP(NANOS), read
-    * as long via the legacy flag and converted here).
+  /** events schema as stored by the driver. `ts` has been written as
+    * TIMESTAMP(NANOS) (readable only as long via the legacy flag) in
+    * some rounds and as native timestamp[us] in others; readEvents peeks
+    * at the files to pick the right variant.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -28,13 +30,20 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of an events parquet directory. */
+  /** Streaming read of an events parquet directory. readStream needs the
+    * schema up front, so probe the stored `ts` physical type with a
+    * footer-only batch read (no data scan) and adapt.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType == LongType
+    val schema =
+      if (tsIsLong) eventsRawSchema
+      else StructType(eventsRawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling-window count/sum per event type with a watermark —

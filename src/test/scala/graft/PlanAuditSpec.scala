@@ -26,7 +26,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q91_bm25", // q91: broadcast 1-row corpus stats (N, Σdl, df)
     "q92_bigram_lm", // q92: broadcast 1-row successor-vocabulary count
     "q94_zipf_stats", // q94: 1-row regression x 1-row vocabulary totals
-    "q97_term_drift") // q97: broadcast 1-row totals (V, Na, Nb)
+    "q97_term_drift", // q97: broadcast 1-row totals (V, Na, Nb)
+    "q100_hard_negatives", // q100: broadcast 10 query vectors x corpus
+    "q101_balance_chi2") // q101: 1-row chi2 sum x 1-row (N, n_rows, n_cols)
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
