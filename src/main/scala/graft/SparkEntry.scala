@@ -23,7 +23,8 @@ object SparkEntry {
     CorpusQueries.defs,
     PrepQueries.defs,
     PipelineQueries.defs,
-    GeoQueries.defs
+    GeoQueries.defs,
+    CurationQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = {
