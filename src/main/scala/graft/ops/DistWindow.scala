@@ -96,4 +96,35 @@ object DistWindow {
       .withColumn(outCol, col("__off") + col("__rn"))
       .drop("__bkt", "__rn", "__off")
   }
+
+  /** Add `outCol` = exact 1-based rank under ORDER BY `orderCols` WITHIN
+    * each `group` — the grouped form of [[withGlobalRank]]. A plain
+    * `Window.partitionBy(group)` serializes each group through one task,
+    * which at 100 TB is a skew hazard exactly when groups are few and
+    * large (per-language ranking of a web corpus). Here the window is
+    * partitioned by (group, bucket) so no task sees more than one
+    * bucket's rows, and each bucket's exclusive offset within its group
+    * comes from a broadcast prefix-sum over the tiny
+    * one-row-per-(group, bucket) count table.
+    *
+    * `bucket` must be a monotone coarsening of `orderCols` within every
+    * group (same contract as [[withGlobalRank]]).
+    */
+  def withGroupedRank(df: DataFrame, group: Column, bucket: Column,
+      orderCols: Seq[Column], outCol: String): DataFrame = {
+    val parted = df.withColumn("__grp", group).withColumn("__bkt", bucket)
+    val w = Window.partitionBy(col("__grp"), col("__bkt"))
+      .orderBy(orderCols: _*)
+    val local = parted.withColumn("__rn", row_number().over(w))
+    val counts = parted.groupBy(col("__grp"), col("__bkt"))
+      .agg(count(lit(1)).as("__n"))
+    val wB = Window.partitionBy(col("__grp"))
+      .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .select(col("__grp"), col("__bkt"), col("__off"))
+    local.join(broadcast(offsets), Seq("__grp", "__bkt"))
+      .withColumn(outCol, col("__off") + col("__rn"))
+      .drop("__grp", "__bkt", "__rn", "__off")
+  }
 }

@@ -158,6 +158,185 @@ object CurationQueries {
         SELECT strategy, n_batches, sum_tokens, padded_tokens,
           ROUND(1.0 - CAST(sum_tokens AS DOUBLE)
             / CAST(padded_tokens AS DOUBLE), 6) AS waste_frac
-        FROM u ORDER BY strategy"""))
+        FROM u ORDER BY strategy""")),
+
+    // ---- minhash estimator calibration (round 8) -----------------------
+    // The q64-for-dedup harness: measure, don't guess, how well the
+    // minhash signature-agreement ESTIMATE tracks exact shingle Jaccard.
+    // The production signature (q28) uses a JVM hash family the oracle
+    // can't replay, so calibration runs a 32-seed md5 family (the q102
+    // hex-arithmetic trick) that BOTH engines rebuild bit-for-bit: per
+    // seed i, sig[i] = min over shingles of the top-60-bits of
+    // md5(i ':' shingle). Pairs come from a deterministic bounded
+    // sample (doc_id % 10 = 0), so the all-pairs comparison is a
+    // broadcast nested-loop over a capped side — an evaluation harness,
+    // never a corpus-sized cross. Output: per exact-Jaccard decile, how
+    // many pairs, and avg estimate vs avg exact (integer-scaled sums).
+    QueryDef(
+      "q105_dedup_recall",
+      (s, dir) => {
+        import s.implicits._
+        val sample = table(s, dir, "documents")
+          .filter($"doc_id" % 10 === 0)
+          .select($"doc_id",
+            graft.functions.SketchExpressions.word_shingles($"text", 3)
+              .as("sset"))
+          .filter(size($"sset") > 0)
+        val withSig = sample.withColumn("sig",
+          transform(sequence(lit(0), lit(31)), i =>
+            array_min(transform($"sset", sh =>
+              conv(substring(md5(concat(i.cast("string"), lit(":"), sh)),
+                1, 15), 16, 10).cast("long")))))
+        val a = withSig.select($"doc_id".as("id_a"), $"sset".as("ss_a"),
+          $"sig".as("sig_a"))
+        val b = withSig.select($"doc_id".as("id_b"), $"sset".as("ss_b"),
+          $"sig".as("sig_b"))
+        val pairs = a.join(broadcast(b), $"id_a" < $"id_b")
+          .select(
+            size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y),
+              m => m)).cast("long").as("m"),
+            size(array_intersect($"ss_a", $"ss_b")).cast("long").as("inter"),
+            (size($"ss_a") + size($"ss_b")
+              - size(array_intersect($"ss_a", $"ss_b")))
+              .cast("long").as("un"))
+        pairs
+          .select(expr("(inter * 10) div un").as("bucket"), $"m",
+            round($"inter".cast("double") * 1e9 / $"un".cast("double"))
+              .cast("long").as("jp"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_pairs"), sum($"m").as("sum_matches"),
+            round(sum($"m").cast("double")
+              / (lit(32.0) * count(lit(1))), 6).as("avg_est"),
+            round(sum($"jp").cast("double") / 1e9 / count(lit(1)), 6)
+              .as("avg_exact"))
+          .orderBy($"bucket")
+      },
+      Some(raw"""WITH d0 AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '') AS toks
+          FROM documents WHERE doc_id % 10 = 0),
+        sh AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN []
+            ELSE list_distinct(list_transform(range(len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sset
+          FROM d0),
+        shn AS (SELECT doc_id, sset FROM sh WHERE len(sset) > 0),
+        ex AS (SELECT doc_id, unnest(sset) AS sg FROM shn),
+        hx AS (SELECT doc_id, i,
+            MIN(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sg),
+              1, 15)) AS BIGINT)) AS mn
+          FROM ex CROSS JOIN (SELECT unnest(range(0, 32)) AS i) seeds
+          GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM hx
+          GROUP BY doc_id),
+        pr AS (SELECT sa.sig AS sig_a, sb.sig AS sig_b,
+            a.sset AS ss_a, b.sset AS ss_b
+          FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+          JOIN sig sa ON sa.doc_id = a.doc_id
+          JOIN sig sb ON sb.doc_id = b.doc_id),
+        mm AS (SELECT
+            CAST(len(list_filter(range(1, 33),
+              j -> sig_a[j] = sig_b[j])) AS BIGINT) AS m,
+            CAST(len(list_intersect(ss_a, ss_b)) AS BIGINT) AS inter,
+            CAST(len(ss_a) + len(ss_b)
+              - len(list_intersect(ss_a, ss_b)) AS BIGINT) AS un
+          FROM pr),
+        p AS (SELECT (inter * 10) // un AS bucket, m,
+            CAST(ROUND(CAST(inter AS DOUBLE) * 1000000000.0
+              / CAST(un AS DOUBLE)) AS BIGINT) AS jp
+          FROM mm)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(m) AS BIGINT) AS sum_matches,
+          ROUND(CAST(SUM(m) AS DOUBLE) / (32.0 * COUNT(*)), 6) AS avg_est,
+          ROUND(CAST(SUM(jp) AS DOUBLE) / 1000000000.0 / COUNT(*), 6)
+            AS avg_exact
+        FROM p GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- perplexity terciles per language (round 8) --------------------
+    // The CCNet head/middle/tail split: score every document with the
+    // q92 in-corpus bigram LM, rank within its language, and cut into
+    // terciles — the bucket a pipeline uses to keep "head" data or
+    // re-weight the tail. Ranking uses DistWindow.withGroupedRank
+    // (window partitioned by (lang, score-bucket) + broadcast offsets),
+    // NOT Window.partitionBy(lang): with a handful of languages a
+    // per-lang window serializes ~1/5 of a 100 TB corpus through one
+    // task. Scores ride as exact round(nlp*1e6) BIGINTs, so ranking,
+    // tercile cuts, and every aggregate are integer-deterministic.
+    QueryDef(
+      "q106_ppl_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+        val bg = table(s, dir, "documents")
+          .select($"doc_id", $"lang", toks.as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", $"lang", explode(zip_with(
+              slice($"toks", lit(1), size($"toks") - 1),
+              slice($"toks", lit(2), size($"toks") - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .groupBy($"doc_id", $"lang", $"bg.w1", $"bg.w2")
+          .agg(count(lit(1)).as("c"))
+        val vBr = broadcast(table(s, dir, "documents")
+          .select(toks.as("toks")).filter(size($"toks") >= 2)
+          .select(explode(slice($"toks", lit(2), size($"toks") - 1)).as("w2"))
+          .distinct().agg(count(lit(1)).as("__V")))
+        val w12 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"w1", $"w2")
+        val w1 = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
+        val scored = bg.withColumn("c2", sum($"c").over(w12))
+          .withColumn("c1", sum($"c").over(w1))
+          .crossJoin(vBr)
+          .groupBy($"doc_id", $"lang")
+          .agg(round(-sum($"c".cast("double") *
+                log(($"c2".cast("double") + 0.5) /
+                  ($"c1".cast("double") + lit(0.5) * $"__V".cast("double"))))
+              / sum($"c").cast("double"), 6).as("nlp"))
+          .select($"doc_id", $"lang",
+            round($"nlp" * 1e6).cast("long").as("sk"))
+        val ranked = graft.ops.DistWindow.withGroupedRank(scored, $"lang",
+          floor($"sk" / 4096L).cast("long"), Seq($"sk", $"doc_id"), "rank")
+        val nPer = ranked.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        ranked.join(broadcast(nPer), Seq("lang"))
+          .withColumn("tercile", expr("((rank - 1) * 3) div n_lang"))
+          .groupBy($"lang", $"tercile")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum($"sk").cast("double") / 1e6 / count(lit(1)), 6)
+              .as("avg_nlp"),
+            round(min($"sk").cast("double") / 1e6, 6).as("min_nlp"),
+            round(max($"sk").cast("double") / 1e6, 6).as("max_nlp"))
+          .orderBy($"lang", $"tercile")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= 2),
+        bg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+            i -> [toks[i], toks[i+1]])) AS p FROM f),
+        bg AS (SELECT doc_id, lang, p[1] AS w1, p[2] AS w2, COUNT(*) AS c
+          FROM bg0 GROUP BY doc_id, lang, w1, w2),
+        m2 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2 FROM bg
+          GROUP BY w1, w2),
+        m1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bg
+          GROUP BY w1),
+        vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg),
+        sc AS (SELECT doc_id, lang, CAST(ROUND(ROUND(
+            -SUM(c * LN((CAST(c2 AS DOUBLE) + 0.5) /
+              (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+            / CAST(SUM(c) AS DOUBLE), 6) * 1000000.0) AS BIGINT) AS sk
+          FROM bg JOIN m2 USING (w1, w2) JOIN m1 USING (w1) CROSS JOIN vv
+          GROUP BY doc_id, lang),
+        rk AS (SELECT lang, sk,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS r,
+            COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM sc),
+        tc AS (SELECT lang, ((r - 1) * 3) // n AS tercile, sk FROM rk)
+        SELECT lang, tercile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          ROUND(CAST(SUM(sk) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+            AS avg_nlp,
+          ROUND(CAST(MIN(sk) AS DOUBLE) / 1000000.0, 6) AS min_nlp,
+          ROUND(CAST(MAX(sk) AS DOUBLE) / 1000000.0, 6) AS max_nlp
+        FROM tc GROUP BY lang, tercile ORDER BY lang, tercile"""))
   )
 }

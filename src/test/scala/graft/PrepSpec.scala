@@ -166,4 +166,18 @@ class PrepSpec extends AnyFunSuite {
     val ps = got.select($"pos").as[Long].collect().sorted
     assert(ps.toSeq === (1L to 1000L))
   }
+
+  test("withGroupedRank equals the textbook per-group row_number") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"g${i % 7}", (i * 37 % 101).toLong))
+      .toDF("id", "g", "score")
+    val got = graft.ops.DistWindow.withGroupedRank(df, $"g",
+        floor($"score" / 16L).cast("long"), Seq($"score", $"id"), "r")
+      .select($"id", $"r")
+    val want = df.withColumn("r",
+        row_number().over(Window.partitionBy($"g").orderBy($"score", $"id"))
+          .cast("long"))
+      .select($"id", $"r")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
 }
