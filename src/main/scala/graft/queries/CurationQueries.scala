@@ -337,6 +337,58 @@ object CurationQueries {
             AS avg_nlp,
           ROUND(CAST(MIN(sk) AS DOUBLE) / 1000000.0, 6) AS min_nlp,
           ROUND(CAST(MAX(sk) AS DOUBLE) / 1000000.0, 6) AS max_nlp
-        FROM tc GROUP BY lang, tercile ORDER BY lang, tercile"""))
+        FROM tc GROUP BY lang, tercile ORDER BY lang, tercile""")),
+
+    // ---- JSONL line-format certification (round 8) ---------------------
+    // The serialization contract behind sources/Jsonl.scala, certified
+    // in-plan: build each document's JSON line with explicit escaping
+    // (backslash then quote — identical string ops in both engines),
+    // parse it BACK with each engine's own JSON parser, and check the
+    // text survives. The per-source digest is a SUM of each line-md5's
+    // first 8 hex chars as BIGINT — order-independent and overflow-safe
+    // (n * 2^32), unlike any concat-based corpus hash. Scale shape: pure
+    // projection + one combinable groupBy(source); the real distributed
+    // sink/source round-trip (Spark to_json/read.json on adversarial
+    // strings) is pinned in SourcesSpec.
+    QueryDef(
+      "q107_jsonl_format",
+      (s, dir) => {
+        import s.implicits._
+        def esc(c: org.apache.spark.sql.Column) =
+          replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+        val j = concat(lit("{\"doc_id\":"), $"doc_id".cast("string"),
+          lit(",\"lang\":\""), esc($"lang"),
+          lit("\",\"source\":\""), esc($"source"),
+          lit("\",\"text\":\""), esc($"text"), lit("\"}"))
+        table(s, dir, "documents")
+          .select($"source", j.as("j"), $"text")
+          .select($"source", length($"j").cast("long").as("nb"),
+            conv(substring(md5($"j"), 1, 8), 16, 10).cast("long").as("hv"),
+            (get_json_object($"j", "$.text") === $"text").as("ok"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"nb").as("sum_bytes"),
+            sum(when($"ok", 1L).otherwise(0L)).as("n_parse_ok"),
+            sum($"hv").as("digest"))
+          .orderBy($"source")
+      },
+      Some(raw"""WITH l AS (SELECT source, text,
+            '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"'
+              || replace(replace(lang, '\', '\\'), '"', '\"')
+              || '","source":"'
+              || replace(replace(source, '\', '\\'), '"', '\"')
+              || '","text":"'
+              || replace(replace(text, '\', '\\'), '"', '\"')
+              || '"}' AS j
+          FROM documents),
+        p AS (SELECT source,
+            CAST(length(j) AS BIGINT) AS nb,
+            CAST(('0x' || substr(md5(j), 1, 8)) AS BIGINT) AS hv,
+            (json_extract_string(j, '$$.text') = text) AS ok
+          FROM l)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(nb) AS BIGINT) AS sum_bytes,
+          CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_ok,
+          CAST(SUM(hv) AS BIGINT) AS digest
+        FROM p GROUP BY source ORDER BY source"""))
   )
 }
