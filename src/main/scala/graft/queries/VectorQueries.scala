@@ -724,7 +724,106 @@ object VectorQueries {
           FROM q JOIN mv USING (j) GROUP BY q.vec_id)
         SELECT vec_id, ROUND(SQRT(s2 / 64.0), 6) AS maha,
           ROUND(SQRT(s2 / 64.0), 6) > 1.01 AS is_outlier
-        FROM d ORDER BY vec_id""")
+        FROM d ORDER BY vec_id""")),
+
+    // ---- matryoshka truncation recall (round 8) ------------------------
+    // The dimension-budget question behind MRL-style embeddings: how
+    // much top-10 retrieval quality survives if vectors are truncated
+    // to their first d dims (d = 8/16/32) before search? Truth = full
+    // 64-dim brute top-10 (the q64 harness); the candidate set per d is
+    // the same bounded-heap TopK over prefix-cosine — a slice() of the
+    // vector column feeding the identical broadcast + codegen-kernel
+    // scan, so each tier costs one corpus pass and nothing shuffles but
+    // (qid, id) pairs. Output: one row per d with pooled recall.
+    QueryDef(
+      "q108_matryoshka",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter($"vec_id" < 10)
+        val corpus = emb.filter($"vec_id" >= 10)
+        val truth = graft.ops.Ann.bruteTopKBatch(corpus, queries,
+            "embedding", "vec_id", "vec_id", "embedding", k = 10)
+          .select($"qid", $"id")
+        val tiers = Seq(8, 16, 32).map { d =>
+          val approx = graft.ops.Ann.bruteTopKBatch(
+              corpus.withColumn("embedding", slice($"embedding", 1, d)),
+              queries.withColumn("embedding", slice($"embedding", 1, d)),
+              "embedding", "vec_id", "vec_id", "embedding", k = 10)
+            .select($"qid", $"id")
+          truth
+            .join(approx.withColumn("__hit", lit(1L)), Seq("qid", "id"),
+              "left")
+            .agg(count(lit(1)).as("n_true"),
+              sum(coalesce($"__hit", lit(0L))).as("n_overlap"))
+            .select(lit(d).as("d"), $"n_true", $"n_overlap",
+              round($"n_overlap".cast("double") / $"n_true", 6).as("recall"))
+        }
+        tiers.reduce(_ unionAll _).orderBy($"d")
+      },
+      Some(raw"""WITH pairs AS (
+          SELECT q.vec_id AS qid, c.vec_id AS id,
+            SUM(CASE WHEN t.i <= 8 THEN CAST(c.embedding[t.i] AS DOUBLE)
+              * CAST(q.embedding[t.i] AS DOUBLE) ELSE 0 END) AS d8,
+            SUM(CASE WHEN t.i <= 8 THEN CAST(c.embedding[t.i] AS DOUBLE)
+              * CAST(c.embedding[t.i] AS DOUBLE) ELSE 0 END) AS c8,
+            SUM(CASE WHEN t.i <= 8 THEN CAST(q.embedding[t.i] AS DOUBLE)
+              * CAST(q.embedding[t.i] AS DOUBLE) ELSE 0 END) AS q8,
+            SUM(CASE WHEN t.i <= 16 THEN CAST(c.embedding[t.i] AS DOUBLE)
+              * CAST(q.embedding[t.i] AS DOUBLE) ELSE 0 END) AS d16,
+            SUM(CASE WHEN t.i <= 16 THEN CAST(c.embedding[t.i] AS DOUBLE)
+              * CAST(c.embedding[t.i] AS DOUBLE) ELSE 0 END) AS c16,
+            SUM(CASE WHEN t.i <= 16 THEN CAST(q.embedding[t.i] AS DOUBLE)
+              * CAST(q.embedding[t.i] AS DOUBLE) ELSE 0 END) AS q16,
+            SUM(CASE WHEN t.i <= 32 THEN CAST(c.embedding[t.i] AS DOUBLE)
+              * CAST(q.embedding[t.i] AS DOUBLE) ELSE 0 END) AS d32,
+            SUM(CASE WHEN t.i <= 32 THEN CAST(c.embedding[t.i] AS DOUBLE)
+              * CAST(c.embedding[t.i] AS DOUBLE) ELSE 0 END) AS c32,
+            SUM(CASE WHEN t.i <= 32 THEN CAST(q.embedding[t.i] AS DOUBLE)
+              * CAST(q.embedding[t.i] AS DOUBLE) ELSE 0 END) AS q32,
+            SUM(CAST(c.embedding[t.i] AS DOUBLE)
+              * CAST(q.embedding[t.i] AS DOUBLE)) AS d64,
+            SUM(CAST(c.embedding[t.i] AS DOUBLE)
+              * CAST(c.embedding[t.i] AS DOUBLE)) AS c64,
+            SUM(CAST(q.embedding[t.i] AS DOUBLE)
+              * CAST(q.embedding[t.i] AS DOUBLE)) AS q64
+          FROM embeddings c CROSS JOIN embeddings q
+          CROSS JOIN generate_series(1, 64) t(i)
+          WHERE c.vec_id >= 10 AND q.vec_id < 10
+          GROUP BY q.vec_id, c.vec_id),
+        truth AS (SELECT qid, id FROM (
+            SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY d64 / (SQRT(c64) * SQRT(q64)) DESC, id) AS rk
+            FROM pairs) t WHERE rk <= 10),
+        a8 AS (SELECT qid, id FROM (
+            SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY d8 / (SQRT(c8) * SQRT(q8)) DESC, id) AS rk
+            FROM pairs) t WHERE rk <= 10),
+        a16 AS (SELECT qid, id FROM (
+            SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY d16 / (SQRT(c16) * SQRT(q16)) DESC, id) AS rk
+            FROM pairs) t WHERE rk <= 10),
+        a32 AS (SELECT qid, id FROM (
+            SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY d32 / (SQRT(c32) * SQRT(q32)) DESC, id) AS rk
+            FROM pairs) t WHERE rk <= 10),
+        r8 AS (SELECT 8 AS d, COUNT(*) AS n_true,
+            CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+          FROM truth t LEFT JOIN a8 a ON t.qid = a.qid AND t.id = a.id),
+        r16 AS (SELECT 16 AS d, COUNT(*) AS n_true,
+            CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+          FROM truth t LEFT JOIN a16 a ON t.qid = a.qid AND t.id = a.id),
+        r32 AS (SELECT 32 AS d, COUNT(*) AS n_true,
+            CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+          FROM truth t LEFT JOIN a32 a ON t.qid = a.qid AND t.id = a.id),
+        u AS (SELECT * FROM r8 UNION ALL SELECT * FROM r16
+          UNION ALL SELECT * FROM r32)
+        SELECT d, CAST(n_true AS BIGINT) AS n_true, n_overlap,
+          ROUND(CAST(n_overlap AS DOUBLE) / n_true, 6) AS recall
+        FROM u ORDER BY d""")
     )
   )
 

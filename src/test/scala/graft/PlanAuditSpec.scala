@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q97_term_drift", // q97: broadcast 1-row totals (V, Na, Nb)
     "q100_hard_negatives", // q100: broadcast 10 query vectors x corpus
     "q101_balance_chi2", // q101: 1-row chi2 sum x 1-row (N, n_rows, n_cols)
-    "q105_dedup_recall") // q105: bounded calibration sample all-pairs
+    "q105_dedup_recall", // q105: bounded calibration sample all-pairs
+    "q108_matryoshka") // q108: broadcast 10 query vectors x corpus, per tier
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
