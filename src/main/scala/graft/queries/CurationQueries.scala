@@ -12,9 +12,8 @@ import QueryDef.table
   */
 object CurationQueries {
 
-  /** Gopher's required-stopword list (Rae et al. 2021, public). */
-  private val gopherStops =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  /** Gopher's required-stopword list — single source: [[graft.ops.Gopher]]. */
+  private val gopherStops = graft.ops.Gopher.stopwords
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -33,22 +32,8 @@ object CurationQueries {
       "q103_gopher_rules",
       (s, dir) => {
         import s.implicits._
-        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
-        val n = size(toks).cast("long")
-        // sum of word lengths == count of non-whitespace chars
-        val wl = length(regexp_replace($"text", "\\s+", "")).cast("long")
-        val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
-        val nStop = size(array_intersect(array_distinct(toks),
-          array(gopherStops.map(lit): _*))).cast("long")
-        val nSym = (size(split($"text", "#", -1)) - 1 +
-          size(split($"text", "\\.\\.\\.", -1)) - 1).cast("long")
-        val rules = table(s, dir, "documents")
-          .select($"source",
-            (n >= lit(50L) && n <= lit(100000L)).as("r_wordcount"),
-            (wl >= n * 3L && wl <= n * 10L).as("r_meanlen"),
-            (nAlpha * 5L >= n * 4L).as("r_alpha"),
-            (nStop >= lit(2L)).as("r_stop"),
-            (nSym * 10L <= n).as("r_symbol"))
+        val rules = graft.ops.Gopher
+          .withRules(table(s, dir, "documents"), "text")
         rules.groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(!$"r_wordcount", 1L).otherwise(0L)).as("f_wordcount"),

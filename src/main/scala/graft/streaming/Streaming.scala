@@ -681,6 +681,16 @@ object Streaming {
       valueCol: org.apache.spark.sql.Column): DataFrame =
     graft.ops.Hll.registers(docs, col(groupCol), valueCol, groupCol)
 
+  /** Streaming Gopher quality gate — the rule verdicts are a pure
+    * integer-arithmetic projection ([[graft.ops.Gopher.withRules]]), so
+    * the streaming twin IS the batch expression: stateless,
+    * zero-shuffle, exactly-once per record under any trigger, like
+    * [[piiScrub]]. The ingestion face of q103: drop (or route) failing
+    * documents before they ever land in the corpus store.
+    */
+  def gopherGate(docs: DataFrame, textCol: String): DataFrame =
+    graft.ops.Gopher.withRules(docs, textCol)
+
   /** Run a streaming query over a static directory to completion via the
     * memory sink; returns the final result table. (Local harness used by
     * tests and the smoke tool — production would use a real sink.)

@@ -73,7 +73,13 @@ object ScaleCurve {
     "q99_span_scrub",     // window-digest df agg + join-back + span kernel
     "q100_hard_negatives",// broadcast query batch + fused filters + TopK
     "q101_balance_chi2",  // one combinable contingency count + tiny joins
-    "q102_hll_distinct"   // distinct pair exchange + 256-row register aggs
+    "q102_hll_distinct",  // distinct pair exchange + 256-row register aggs
+    "q103_gopher_rules",  // one projection pass + combinable source agg
+    "q104_padding_waste", // two bucketed global ranks + batch aggs
+    "q105_dedup_recall",  // bounded sample sigs + capped all-pairs
+    "q106_ppl_buckets",   // q92 LM windows + grouped two-phase rank
+    "q107_jsonl_format",  // pure projection + combinable source agg
+    "q108_matryoshka"     // 4 broadcast TopK corpus passes (8/16/32/64)
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -82,7 +88,8 @@ object ScaleCurve {
     */
   private val embQueries = Set("q51_kmeans", "q59_ann_sq8", "q63_ann_pq",
     "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
-    "q89_abtt", "q95_embed_outliers", "q100_hard_negatives")
+    "q89_abtt", "q95_embed_outliers", "q100_hard_negatives",
+    "q108_matryoshka")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(
@@ -101,8 +108,10 @@ object ScaleCurve {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as long for the
-      // k× synthesis (the query side converts via `ts DIV 1000` either way)
+      // older driver rounds wrote events.ts as TIMESTAMP(NANOS); the flag
+      // makes those readable (as long) for the k× synthesis — harmless
+      // when the file carries native timestamp[us] (the query side
+      // adapts to either physical type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q100_hard_negatives", // q100: broadcast 10 query vectors x corpus
     "q101_balance_chi2", // q101: 1-row chi2 sum x 1-row (N, n_rows, n_cols)
     "q105_dedup_recall", // q105: bounded calibration sample all-pairs
+    "q106_ppl_buckets", // q106: broadcast 1-row successor-vocab count (q92)
     "q108_matryoshka") // q108: broadcast 10 query vectors x corpus, per tier
 
   test("no query plan contains a cartesian product") {

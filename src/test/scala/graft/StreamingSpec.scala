@@ -586,4 +586,23 @@ class StreamingSpec extends AnyFunSuite {
       $"redacted".contains("<IP>") &&
       $"redacted".contains("<PHONE>")).count() == 50)
   }
+
+  test("streaming gopher gate matches the batch rule projection") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sgopher")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in")
+    val out = Streaming.runToCompletion(
+      Streaming.gopherGate(stream, "text"), "sgopher_test")
+    val batch = graft.ops.Gopher.withRules(docs, "text")
+    val key = Seq("doc_id", "r_wordcount", "r_meanlen", "r_alpha",
+      "r_stop", "r_symbol", "pass").map(col)
+    assert(out.select(key: _*).except(batch.select(key: _*)).isEmpty)
+    assert(batch.select(key: _*).except(out.select(key: _*)).isEmpty)
+    // the gate does real work on this corpus: both verdicts occur
+    val n = batch.count()
+    val p = batch.filter(col("pass")).count()
+    assert(p > 0 && p < n, s"degenerate gate: $p of $n pass")
+  }
 }
