@@ -204,8 +204,34 @@ object Main {
           case "fgb" => t.writeFlatGeobuf(out)
           case "fc" => t.writeFeatureCollection(out,
             opt(rest, "precision").map(_.toInt).getOrElse(-1))
+          case "jsonl" => graft.sources.Jsonl.write(t.df, out)
           case other => die(s"unknown output format $other")
         }
+
+      //   from-jsonl in.jsonl out.parquet  (schema-inferring JSONL read;
+      //   production pipelines pass --schema-from sample.parquet to skip
+      //   the inference pass)
+      case "from-jsonl" =>
+        val Seq(in, out) = rest.take(2)
+        val df = opt(rest, "schema-from") match {
+          case Some(ref) => graft.sources.Jsonl.read(spark, in,
+            spark.read.parquet(ref).schema)
+          case None => graft.sources.Jsonl.read(spark, in)
+        }
+        df.write.mode("overwrite").parquet(out)
+
+      //   gopher-gate in out [--text-column text] [--keep-only]
+      //   (rule-based quality verdicts; --keep-only writes survivors)
+      case "gopher-gate" =>
+        import org.apache.spark.sql.functions.col
+        val Seq(in, out) = rest.take(2)
+        val txt = opt(rest, "text-column").getOrElse("text")
+        val ruled = graft.ops.Gopher.withRules(spark.read.parquet(in), txt)
+        val res = if (flag(rest, "keep-only"))
+          ruled.filter(col("pass")).drop("r_wordcount", "r_meanlen",
+            "r_alpha", "r_stop", "r_symbol", "pass")
+        else ruled
+        res.write.mode("overwrite").parquet(out)
 
       // ---- training-data pipeline commands (builder-prompt surface) ----
       //   dedup exact in out --text-column text --id-column doc_id
@@ -836,7 +862,8 @@ object Main {
       |  sort {hilbert|quadkey|column}, head, tail, reproject,
       |  partition {string|quadkey|kdtree|h3|admin|country},
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
-      |  to {geojson|csv|shapefile|gpkg|fgb|fc},
+      |  to {geojson|csv|shapefile|gpkg|fgb|fc|jsonl}, from-jsonl,
+      |  gopher-gate [--keep-only],
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,

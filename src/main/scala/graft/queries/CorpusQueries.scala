@@ -967,46 +967,17 @@ object CorpusQueries {
     // The n-gram upgrade of q57's unigram filter: an in-corpus bigram
     // LM with add-1/2 smoothing over the bigram-successor vocabulary,
     // p(w2|w1) = (c(w1,w2) + 0.5) / (c(w1·) + 0.5·V), each document
-    // scored by its average bigram surprisal. Scale shape (the q57
-    // window discipline, one key deeper): distinct (doc, w1, w2, c)
-    // rows from ONE pass; the global bigram count is a window SUM
-    // partitioned by (w1, w2) and the head count c(w1·) a window SUM
-    // partitioned by w1 — two exchanges, ZERO model joins, and the
-    // model is never driver-materialized (a 100 TB bigram vocabulary
-    // is fine). V rides as a broadcast 1-row distinct-successor count.
+    // scored by its average bigram surprisal. Scale shape: see
+    // ops/BigramLm — both model counts ride ONE w1-keyed exchange
+    // (c(w1,w2) is the sum over the ORDER BY w2 range frame's ties,
+    // c(w1·) the plain partition sum), zero model joins, model never
+    // driver-materialized (round 8; was two exchanges in round 7).
     QueryDef(
       "q92_bigram_lm",
       (s, dir) => {
         import s.implicits._
-        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
-        val bg = table(s, dir, "documents")
-          .select($"doc_id", toks.as("toks")).filter(size($"toks") >= 2)
-          .select($"doc_id", explode(zip_with(
-              slice($"toks", lit(1), size($"toks") - 1),
-              slice($"toks", lit(2), size($"toks") - 1),
-              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-          .groupBy($"doc_id", $"bg.w1", $"bg.w2")
-          .agg(count(lit(1)).as("c"))
-        // V = distinct successor tokens. Derived from a token-slice
-        // projection (positions 2..n of docs with ≥ 2 tokens) — the
-        // same set bg's w2 column holds, without re-deriving the
-        // (doc, w1, w2) pair relation just for a broadcast scalar
-        val vBr = broadcast(table(s, dir, "documents")
-          .select(toks.as("toks")).filter(size($"toks") >= 2)
-          .select(explode(slice($"toks", lit(2), size($"toks") - 1)).as("w2"))
-          .distinct().agg(count(lit(1)).as("__V")))
-        val w12 = org.apache.spark.sql.expressions.Window
-          .partitionBy($"w1", $"w2")
-        val w1 = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
-        bg.withColumn("c2", sum($"c").over(w12))
-          .withColumn("c1", sum($"c").over(w1))
-          .crossJoin(vBr)
-          .groupBy($"doc_id")
-          .agg(sum($"c").as("n_bigrams"),
-            round(-sum($"c".cast("double") *
-                log(($"c2".cast("double") + 0.5) /
-                  ($"c1".cast("double") + lit(0.5) * $"__V".cast("double"))))
-              / sum($"c").cast("double"), 6).as("avg_neg_logp"))
+        graft.ops.BigramLm
+          .scoreDocs(table(s, dir, "documents"), "text", "doc_id")
           .orderBy($"doc_id")
       },
       Some(raw"""WITH t AS (SELECT doc_id,

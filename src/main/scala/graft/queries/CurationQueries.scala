@@ -172,18 +172,30 @@ object CurationQueries {
             array_min(transform($"sset", sh =>
               conv(substring(md5(concat(i.cast("string"), lit(":"), sh)),
                 1, 15), 16, 10).cast("long")))))
-        val a = withSig.select($"doc_id".as("id_a"), $"sset".as("ss_a"),
+        // intersections relationally (explode + shingle-keyed self-join
+        // + combinable pair count) instead of array_intersect over
+        // ~300-element arrays per pair inside the all-pairs loop — the
+        // exact-overlap work becomes proportional to ACTUAL overlaps,
+        // and the all-pairs side carries only (id, size, 32-long sig)
+        val ex = sample.select($"doc_id", explode($"sset").as("sg"))
+        val inter = ex.as("x").join(ex.as("y"),
+            col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .agg(count(lit(1)).cast("long").as("inter"))
+        val meta = withSig.select($"doc_id", size($"sset").cast("long")
+          .as("sz"), $"sig")
+        val a = meta.select($"doc_id".as("id_a"), $"sz".as("sz_a"),
           $"sig".as("sig_a"))
-        val b = withSig.select($"doc_id".as("id_b"), $"sset".as("ss_b"),
+        val b = meta.select($"doc_id".as("id_b"), $"sz".as("sz_b"),
           $"sig".as("sig_b"))
         val pairs = a.join(broadcast(b), $"id_a" < $"id_b")
-          .select(
+          .select($"id_a", $"id_b",
             size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y),
               m => m)).cast("long").as("m"),
-            size(array_intersect($"ss_a", $"ss_b")).cast("long").as("inter"),
-            (size($"ss_a") + size($"ss_b")
-              - size(array_intersect($"ss_a", $"ss_b")))
-              .cast("long").as("un"))
+            ($"sz_a" + $"sz_b").as("szs"))
+          .join(broadcast(inter), Seq("id_a", "id_b"), "left")
+          .select($"m", coalesce($"inter", lit(0L)).as("inter"),
+            ($"szs" - coalesce($"inter", lit(0L))).as("un"))
         pairs
           .select(expr("(inter * 10) div un").as("bucket"), $"m",
             round($"inter".cast("double") * 1e9 / $"un".cast("double"))
@@ -252,33 +264,11 @@ object CurationQueries {
       "q106_ppl_buckets",
       (s, dir) => {
         import s.implicits._
-        val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
-        val bg = table(s, dir, "documents")
-          .select($"doc_id", $"lang", toks.as("toks"))
-          .filter(size($"toks") >= 2)
-          .select($"doc_id", $"lang", explode(zip_with(
-              slice($"toks", lit(1), size($"toks") - 1),
-              slice($"toks", lit(2), size($"toks") - 1),
-              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-          .groupBy($"doc_id", $"lang", $"bg.w1", $"bg.w2")
-          .agg(count(lit(1)).as("c"))
-        val vBr = broadcast(table(s, dir, "documents")
-          .select(toks.as("toks")).filter(size($"toks") >= 2)
-          .select(explode(slice($"toks", lit(2), size($"toks") - 1)).as("w2"))
-          .distinct().agg(count(lit(1)).as("__V")))
-        val w12 = org.apache.spark.sql.expressions.Window
-          .partitionBy($"w1", $"w2")
-        val w1 = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
-        val scored = bg.withColumn("c2", sum($"c").over(w12))
-          .withColumn("c1", sum($"c").over(w1))
-          .crossJoin(vBr)
-          .groupBy($"doc_id", $"lang")
-          .agg(round(-sum($"c".cast("double") *
-                log(($"c2".cast("double") + 0.5) /
-                  ($"c1".cast("double") + lit(0.5) * $"__V".cast("double"))))
-              / sum($"c").cast("double"), 6).as("nlp"))
+        val scored = graft.ops.BigramLm
+          .scoreDocs(table(s, dir, "documents"), "text", "doc_id",
+            carry = Seq("lang"))
           .select($"doc_id", $"lang",
-            round($"nlp" * 1e6).cast("long").as("sk"))
+            round($"avg_neg_logp" * 1e6).cast("long").as("sk"))
         val ranked = graft.ops.DistWindow.withGroupedRank(scored, $"lang",
           floor($"sk" / 4096L).cast("long"), Seq($"sk", $"doc_id"), "rank")
         val nPer = ranked.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
