@@ -17,6 +17,51 @@ object CurationQueries {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB CTE chain replaying ops/BigramLm.scoreDocs: per-doc bigram
+    * surprisal as an exact micro-unit BIGINT `sk`, carrying both lang
+    * and source (q106 groups by lang, q109 by source).
+    */
+  private val lmScoreCtes = raw"""t AS (SELECT doc_id, lang, source,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, lang, source, toks FROM t WHERE len(toks) >= 2),
+        bg0 AS (SELECT doc_id, lang, source,
+            unnest(list_transform(range(1, len(toks)),
+              i -> [toks[i], toks[i+1]])) AS p FROM f),
+        bg AS (SELECT doc_id, lang, source, p[1] AS w1, p[2] AS w2,
+            COUNT(*) AS c
+          FROM bg0 GROUP BY doc_id, lang, source, w1, w2),
+        m2 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2 FROM bg
+          GROUP BY w1, w2),
+        m1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bg
+          GROUP BY w1),
+        vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg),
+        sc AS MATERIALIZED (SELECT doc_id, lang, source, CAST(ROUND(ROUND(
+            -SUM(c * LN((CAST(c2 AS DOUBLE) + 0.5) /
+              (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+            / CAST(SUM(c) AS DOUBLE), 6) * 1000000.0) AS BIGINT) AS sk
+          FROM bg JOIN m2 USING (w1, w2) JOIN m1 USING (w1) CROSS JOIN vv
+          GROUP BY doc_id, lang, source)"""
+
+  /** One (u, s, r) CTE triple per EG round — the q88 replay pattern:
+    * every round's state is exact BIGINTs, so the chain is bit-for-bit.
+    */
+  private def doremiRounds(rounds: Int): String =
+    (1 to rounds).map { t =>
+      val prev = if (t == 1) "r0" else s"r${t - 1}"
+      raw""",
+        u$t AS MATERIALIZED (SELECT source, n, loss_micro, fct,
+            CAST(ROUND(CAST(w AS DOUBLE) * CAST(fct AS DOUBLE)
+              / 1000000000.0) AS BIGINT) AS ru FROM $prev),
+        s$t AS MATERIALIZED (SELECT CAST(SUM(ru) AS BIGINT) AS s, COUNT(*) AS k
+          FROM u$t),
+        r$t AS MATERIALIZED (SELECT source, n, loss_micro, fct,
+            CAST(ROUND(CAST(ru AS DOUBLE) / CAST(s AS DOUBLE)
+              * 990000000000.0 + 10000000000.0 / k) AS BIGINT) AS w
+          FROM u$t CROSS JOIN s$t)"""
+    }.mkString
+
   val defs: Seq[QueryDef] = Seq(
     // ---- Gopher rule gate (round 8) ------------------------------------
     // The full rule-based document filter of the Gopher/MassiveText
@@ -282,26 +327,7 @@ object CurationQueries {
             round(max($"sk").cast("double") / 1e6, 6).as("max_nlp"))
           .orderBy($"lang", $"tercile")
       },
-      Some(raw"""WITH t AS (SELECT doc_id, lang,
-            list_filter(regexp_split_to_array(lower(text), '\s+'),
-              x -> x <> '') AS toks
-          FROM documents),
-        f AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= 2),
-        bg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
-            i -> [toks[i], toks[i+1]])) AS p FROM f),
-        bg AS (SELECT doc_id, lang, p[1] AS w1, p[2] AS w2, COUNT(*) AS c
-          FROM bg0 GROUP BY doc_id, lang, w1, w2),
-        m2 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2 FROM bg
-          GROUP BY w1, w2),
-        m1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bg
-          GROUP BY w1),
-        vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg),
-        sc AS (SELECT doc_id, lang, CAST(ROUND(ROUND(
-            -SUM(c * LN((CAST(c2 AS DOUBLE) + 0.5) /
-              (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
-            / CAST(SUM(c) AS DOUBLE), 6) * 1000000.0) AS BIGINT) AS sk
-          FROM bg JOIN m2 USING (w1, w2) JOIN m1 USING (w1) CROSS JOIN vv
-          GROUP BY doc_id, lang),
+      Some(raw"""WITH $lmScoreCtes,
         rk AS (SELECT lang, sk,
             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS r,
             COUNT(*) OVER (PARTITION BY lang) AS n
@@ -364,6 +390,43 @@ object CurationQueries {
           CAST(SUM(nb) AS BIGINT) AS sum_bytes,
           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_ok,
           CAST(SUM(hv) AS BIGINT) AS digest
-        FROM p GROUP BY source ORDER BY source"""))
+        FROM p GROUP BY source ORDER BY source""")),
+
+    // ---- DoReMi-style mixture reweighting (round 8) --------------------
+    // Domain-weight tuning by exponentiated gradient: sampling weight
+    // moves toward sources with higher bigram-LM surprisal, smoothed
+    // 1% toward uniform per round (Xie et al. 2023's update rule, the
+    // in-corpus LM standing in for the proxy-model excess loss). The
+    // q72/q88 driver-state contract: ONE corpus job builds the
+    // per-source loss aggregate, then 12 EG rounds iterate K pico-unit
+    // BIGINT weights on the driver — the exp factor is nano-rounded
+    // ONCE per source, so every round is exact-integer arithmetic and
+    // the oracle's generated CTE chain replays all 12 bit-for-bit
+    // (per-round normalization divides by an order-independent integer
+    // SUM, never a float sum).
+    QueryDef(
+      "q109_doremi_mix",
+      (s, dir) => graft.ops.Doremi.mixtureWeights(s,
+        table(s, dir, "documents"), "text", "source"),
+      Some(raw"""WITH $lmScoreCtes,
+        base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(sk) AS BIGINT) AS ss
+          FROM sc GROUP BY source),
+        b2 AS (SELECT source, n,
+            CAST(ROUND(CAST(ss AS DOUBLE) / n) AS BIGINT) AS loss_micro
+          FROM base),
+        b3 AS (SELECT source, n, loss_micro,
+            CAST(ROUND(EXP(0.5 * CAST(loss_micro AS DOUBLE) / 1000000.0)
+              * 1000000000.0) AS BIGINT) AS fct
+          FROM b2),
+        k0 AS (SELECT COUNT(*) AS k FROM b3),
+        r0 AS MATERIALIZED (SELECT source, n, loss_micro, fct,
+            CAST(1000000000000 // k AS BIGINT) AS w
+          FROM b3 CROSS JOIN k0)${doremiRounds(12)}
+        SELECT source, n AS n_docs,
+          ROUND(CAST(loss_micro AS DOUBLE) / 1000000.0, 6) AS mean_nlp,
+          ROUND(CAST(w AS DOUBLE) / 1000000000000.0, 6) AS weight,
+          ROUND(CAST(w AS DOUBLE) / 1000000000000.0 * k, 6) AS boost
+        FROM r12 CROSS JOIN k0 ORDER BY source"""))
   )
 }

@@ -79,7 +79,8 @@ object ScaleCurve {
     "q105_dedup_recall",  // bounded sample sigs + capped all-pairs
     "q106_ppl_buckets",   // q92 LM windows + grouped two-phase rank
     "q107_jsonl_format",  // pure projection + combinable source agg
-    "q108_matryoshka"     // 4 broadcast TopK corpus passes (8/16/32/64)
+    "q108_matryoshka",    // 4 broadcast TopK corpus passes (8/16/32/64)
+    "q109_doremi_mix"     // one LM+source agg job + driver EG rounds
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)

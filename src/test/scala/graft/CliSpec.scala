@@ -506,6 +506,37 @@ class CliSpec extends AnyFunSuite {
     assert(hll("srcA") == 12L && hll("srcB") == 9L, s"hll=$hll")
   }
 
+  test("jsonl round-trip and gopher-gate commands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("r8cli")
+    val good = ("the a " + (1 to 60).map(i => s"word$i").mkString(" "))
+    Seq((0L, "srcA", good),
+        (1L, "srcA", "too short"),
+        (2L, "srcB", good + " extra"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/docs.parquet")
+
+    Main.run(spark, Seq("to", "jsonl", s"$dir/docs.parquet", s"$dir/jl"))
+    Main.run(spark, Seq("from-jsonl", s"$dir/jl", s"$dir/back.parquet",
+      "--schema-from", s"$dir/docs.parquet"))
+    val back = spark.read.parquet(s"$dir/back.parquet")
+    assert(back.count() == 3)
+    assert(back.orderBy("doc_id").select("text").as[String].collect()
+      .toSeq == Seq(good, "too short", good + " extra"))
+
+    Main.run(spark, Seq("gopher-gate", s"$dir/docs.parquet",
+      s"$dir/gate.parquet", "--keep-only"))
+    val kept = spark.read.parquet(s"$dir/gate.parquet")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
+    // non-keep mode emits verdict columns for every row
+    Main.run(spark, Seq("gopher-gate", s"$dir/docs.parquet",
+      s"$dir/gate2.parquet"))
+    val ruled = spark.read.parquet(s"$dir/gate2.parquet")
+    assert(ruled.count() == 3 && ruled.columns.contains("pass"))
+    assert(ruled.filter($"doc_id" === 1L && !$"pass").count() == 1)
+  }
+
   test("composed pipeline command: one curation chain, schema + funnel") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

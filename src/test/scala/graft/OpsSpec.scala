@@ -1398,4 +1398,23 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(rootMsgOf(e2).contains("at least 2"), rootMsgOf(e2))
   }
+
+  test("doremi mixture: weights form a distribution, loss order preserved") {
+    import spark.implicits._
+    // two sources with clearly different bigram predictability: srcRep
+    // repeats one bigram (low surprisal), srcRnd never repeats (high)
+    val rep = (0 until 20).map(i =>
+      (i.toLong, "srcRep", Seq.fill(30)("ab cd").mkString(" ")))
+    val rnd = (0 until 20).map(i =>
+      (100L + i, "srcRnd", (0 until 60).map(j => s"w${i}_$j").mkString(" ")))
+    val docs = (rep ++ rnd).toDF("doc_id", "source", "text")
+    val out = graft.ops.Doremi.mixtureWeights(spark, docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val wSum = out.values.map(_._1).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum $wSum")
+    // EG must boost the high-loss domain and shrink the low-loss one
+    assert(out("srcRnd")._1 > out("srcRep")._1, s"order: $out")
+    assert(out("srcRnd")._2 > 1.0 && out("srcRep")._2 < 1.0, s"boost: $out")
+  }
 }
