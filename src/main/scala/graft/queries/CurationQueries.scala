@@ -198,7 +198,9 @@ object CurationQueries {
     // hex-arithmetic trick) that BOTH engines rebuild bit-for-bit: per
     // seed i, sig[i] = min over shingles of the top-60-bits of
     // md5(i ':' shingle). Pairs come from a deterministic bounded
-    // sample (doc_id % 10 = 0), so the all-pairs comparison is a
+    // sample (doc_id % 10 = 0, hard-capped at id < 10000 — the cost
+    // of the harness is FIXED no matter the corpus size), so the
+    // all-pairs comparison is a
     // broadcast nested-loop over a capped side — an evaluation harness,
     // never a corpus-sized cross. Output: per exact-Jaccard decile, how
     // many pairs, and avg estimate vs avg exact (integer-scaled sums).
@@ -207,7 +209,7 @@ object CurationQueries {
       (s, dir) => {
         import s.implicits._
         val sample = table(s, dir, "documents")
-          .filter($"doc_id" % 10 === 0)
+          .filter($"doc_id" % 10 === 0 && $"doc_id" < 10000)
           .select($"doc_id",
             graft.functions.SketchExpressions.word_shingles($"text", 3)
               .as("sset"))
@@ -256,7 +258,7 @@ object CurationQueries {
       Some(raw"""WITH d0 AS (SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '\s+'),
               t -> t <> '') AS toks
-          FROM documents WHERE doc_id % 10 = 0),
+          FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000),
         sh AS (SELECT doc_id,
             CASE WHEN len(toks) < 3 THEN []
             ELSE list_distinct(list_transform(range(len(toks) - 2),
