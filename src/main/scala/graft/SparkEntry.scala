@@ -24,7 +24,8 @@ object SparkEntry {
     PrepQueries.defs,
     PipelineQueries.defs,
     GeoQueries.defs,
-    CurationQueries.defs
+    CurationQueries.defs,
+    GovernanceQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = {
