@@ -147,6 +147,30 @@ object Ann {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
+  /** Semantic eval-set decontamination: annotate every corpus vector
+    * with its maximum cosine similarity to a (small) held-out eval
+    * embedding set, as an exact integer in 1e-5 units — the caller
+    * thresholds on the integer to drop eval-contaminated training rows
+    * (the embedding-space twin of the q50 n-gram decontamination; the
+    * guard PaLM/Llama-style pipelines run so eval neighbors don't leak
+    * into training).
+    *
+    * Scale shape: the eval set collapses to ONE broadcast single-row
+    * aggregate (an array of vectors), the max-cosine fold runs inside
+    * the corpus scan's projection — zero shuffle, no corpus×eval join
+    * materializes, and per-row cost is |eval| fused dot products. Each
+    * per-pair cosine is rounded once (1e-5 units) BEFORE the max, so
+    * the annotation is engine-deterministic (integer max commutes).
+    */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
+      vecCol: String, simCol: String = "max_sim_u"): DataFrame = {
+    val evs = evalSet.agg(collect_list(col(vecCol)).as("__evs"))
+    corpus.crossJoin(broadcast(evs))
+      .withColumn(simCol, array_max(transform(col("__evs"), q =>
+        round(cosine(col(vecCol), q) * 1e5).cast("long"))))
+      .drop("__evs")
+  }
+
   /** Hard-negative mining for contrastive training: for each query,
     * the top-k most-similar corpus vectors EXCLUDING the query itself
     * and excluding near-duplicates (cosine ≥ `dupCeil`) — the standard

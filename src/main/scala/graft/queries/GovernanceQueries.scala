@@ -78,6 +78,107 @@ object GovernanceQueries {
           kept_chars, ROUND(cutm / 1000000.0, 6) AS cut_entropy
         FROM t JOIN k USING (source) ORDER BY source""")),
 
+    // ---- semantic eval-set decontamination (round 8) -------------------
+    // The embedding-space twin of q50's n-gram decontamination: drop
+    // training vectors whose max cosine to a held-out eval embedding
+    // set crosses the contamination ceiling (the PaLM/Llama-style guard
+    // against eval neighbors leaking into training). The eval set
+    // collapses to ONE broadcast 1-row aggregate; the max-cosine fold
+    // runs inside the corpus scan (zero shuffle — see
+    // ops/Ann.semanticDecontam); each pair cosine is rounded once to
+    // 1e-5 units so the integer max and the integer threshold are
+    // engine-deterministic.
+    QueryDef(
+      "q111_embed_decontam",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val scored = graft.ops.Ann.semanticDecontam(
+          emb.filter($"vec_id" % 50 =!= 0),
+          emb.filter($"vec_id" % 50 === 0), "embedding")
+        scored.groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when($"max_sim_u" >= 30000L, 1L).otherwise(0L))
+              .as("n_flagged"),
+            max($"max_sim_u").as("__mx"))
+          .select($"label", $"n_vecs", $"n_flagged",
+            ($"n_vecs" - $"n_flagged").as("n_kept"),
+            round($"__mx" / 1e5, 5).as("max_sim"))
+          .orderBy($"label")
+      },
+      Some(raw"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id, label, embedding AS v FROM embeddings
+          WHERE vec_id % 50 <> 0),
+        sims AS (SELECT c.vec_id, c.label, q.qid,
+            SUM(CAST(c.v[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(c.v[t.i] AS DOUBLE) * CAST(c.v[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE))))
+              AS sim
+          FROM c CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY c.vec_id, c.label, q.qid),
+        p AS (SELECT vec_id, label,
+            MAX(CAST(ROUND(sim * 100000.0) AS BIGINT)) AS su
+          FROM sims GROUP BY vec_id, label)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          CAST(SUM(CASE WHEN su >= 30000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_flagged,
+          CAST(COUNT(*) - SUM(CASE WHEN su >= 30000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+          ROUND(MAX(su) / 100000.0, 5) AS max_sim
+        FROM p GROUP BY label ORDER BY label""")),
+
+    // ---- n-gram diversity diagnostics (round 8) ------------------------
+    // Template/spam detection per source: the distinct-3gram fraction
+    // (low = boilerplate-heavy, the "diversity" knob self-BLEU probes)
+    // and the hottest shingle's document frequency. Scale shape: one
+    // word_shingles kernel pass, a (source, gram) pre-aggregation
+    // (map-side combinable — per-doc-distinct shingles make count = df)
+    // feeding a per-source combinable rollup, plus a zero-shuffle
+    // occurrence count; only grams and counts cross the wire, never
+    // documents.
+    QueryDef(
+      "q114_ngram_diversity",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val pre = docs.select($"source",
+            explode(graft.functions.SketchExpressions
+              .word_shingles($"text", 3)).as("g"))
+          .groupBy($"source", $"g").agg(count(lit(1)).as("df"))
+        val per = pre.groupBy($"source")
+          .agg(count(lit(1)).as("n_distinct"), max($"df").as("top_df"))
+        val tot = docs.select($"source",
+            greatest(size(filter(split(lower($"text"), "\\s+"),
+              t => t =!= "")) - 2, lit(0)).cast("long").as("occ"))
+          .groupBy($"source").agg(sum($"occ").as("n_occurrences"))
+        tot.join(broadcast(per), Seq("source"))
+          .select($"source", $"n_occurrences", $"n_distinct", $"top_df",
+            round($"n_distinct".cast("double") / $"n_occurrences", 6)
+              .as("diversity"))
+          .orderBy($"source")
+      },
+      Some(raw"""WITH d0 AS (SELECT doc_id, source,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '') AS toks
+          FROM documents),
+        sh AS (SELECT doc_id, source,
+            CASE WHEN len(toks) < 3 THEN []
+            ELSE list_distinct(list_transform(range(len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sset,
+            CASE WHEN len(toks) < 3 THEN 0 ELSE len(toks) - 2 END AS occ
+          FROM d0),
+        ex AS (SELECT source, unnest(sset) AS g FROM sh),
+        pre AS (SELECT source, g, COUNT(*) AS df FROM ex GROUP BY source, g),
+        per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            CAST(MAX(df) AS BIGINT) AS top_df FROM pre GROUP BY source),
+        tot AS (SELECT source, CAST(SUM(occ) AS BIGINT) AS n_occurrences
+          FROM sh GROUP BY source)
+        SELECT source, n_occurrences, n_distinct, top_df,
+          ROUND(CAST(n_distinct AS DOUBLE) / n_occurrences, 6) AS diversity
+        FROM tot JOIN per USING (source) ORDER BY source""")),
+
     // ---- behavioral funnel over the event stream (round 8) -------------
     // view -> click -> purchase completion per user with a 7-day step
     // horizon: the classic ordered-sequence funnel. ONE user-keyed
