@@ -14,6 +14,44 @@ import QueryDef.table
   */
 object GovernanceQueries {
 
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The (bands, rows) splits of a 32-hash minhash signature, widest
+    * banding first. All six are powers of two, so every S-curve power
+    * is an explicit squaring chain — identical IEEE multiply sequences
+    * in both engines, no libm pow anywhere.
+    */
+  private val lshSplits = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+
+  /** DuckDB CTE chain computing, per pair, the candidate probability
+    * p = 1 - (1 - j^r)^b for every split — staged exactly like the
+    * Spark side (j^r by squaring, then (1-j^r)^b by squaring), so both
+    * engines execute the same IEEE op sequence bit-for-bit.
+    */
+  private def sCurveCtes: String = {
+    val sb = new StringBuilder
+    sb ++= raw"""sq1 AS (SELECT above,
+            CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS j1 FROM pr)"""
+    for (e <- Seq(2, 4, 8, 16, 32))
+      sb ++= s",\n        sq$e AS (SELECT *, j${e / 2}*j${e / 2} AS j$e FROM sq${e / 2})"
+    sb ++= ",\n        qc AS (SELECT *, " +
+      lshSplits.map { case (_, r) => s"1.0 - j$r AS q${r}_1" }.mkString(", ") +
+      " FROM sq32)"
+    var prev = "qc"
+    for ((b, r) <- lshSplits if b > 1) {
+      var cur = 1
+      while (cur < b) {
+        val nxt = s"t${r}_${cur * 2}"
+        sb ++= s",\n        $nxt AS (SELECT *, q${r}_$cur*q${r}_$cur AS q${r}_${cur * 2} FROM $prev)"
+        prev = nxt; cur *= 2
+      }
+    }
+    sb ++= s",\n        pp AS (SELECT above, " + lshSplits.map { case (b, r) =>
+      s"CAST(ROUND((1.0 - q${r}_$b) * 1000000000.0) AS BIGINT) AS pn_$r"
+    }.mkString(", ") + s" FROM $prev)"
+    sb.toString
+  }
+
   /** q85's char-entropy CTE chain (printable-ASCII Shannon entropy per
     * doc, round-6): the corpus quality score several governance ops
     * rank on. Kept verbatim so every consumer certifies the SAME
@@ -178,6 +216,220 @@ object GovernanceQueries {
         SELECT source, n_occurrences, n_distinct, top_df,
           ROUND(CAST(n_distinct AS DOUBLE) / n_occurrences, 6) AS diversity
         FROM tot JOIN per USING (source) ORDER BY source""")),
+
+    // ---- LSH banding auto-tune (round 8) -------------------------------
+    // Pick the (bands, rows) split of a 32-hash minhash signature that
+    // minimizes expected candidate error at the Jaccard threshold 0.5,
+    // integrating the S-curve P(candidate|j) = 1-(1-j^r)^b over a
+    // measured pair distribution — the MMDS-textbook tuning step, run
+    // on data instead of a guessed curve. Sampling independent IDS
+    // loses pair structure QUADRATICALLY (the corpus's j≈0.99 planted
+    // dups never have both endpoints in a 10% id sample), so the
+    // calibration set is the union of (a) the bounded random-pair
+    // background and (b) seed-0 minhash COLLISION pairs — the
+    // positive-rich candidate mass a real tuner labels, rebuilt
+    // bit-for-bit by both engines from the q105 md5 family. Every
+    // power is an explicit squaring chain (all six splits are powers
+    // of two), so both engines execute the same IEEE multiply
+    // sequence; each pair's probability is nano-rounded ONCE and
+    // error masses sum as exact BIGINTs. Doc ids are hard-capped, so
+    // the harness cost is fixed at any corpus size.
+    QueryDef(
+      "q112_lsh_tune",
+      (s, dir) => {
+        import s.implicits._
+        val sample = table(s, dir, "documents")
+          .filter($"doc_id" < 10000)
+          .select($"doc_id",
+            graft.functions.SketchExpressions.word_shingles($"text", 3)
+              .as("sset"))
+          .filter(size($"sset") > 0)
+        val meta = sample.select($"doc_id",
+          size($"sset").cast("long").as("sz"),
+          array_min(transform($"sset", sh =>
+            conv(substring(md5(concat(lit("0:"), sh)), 1, 15), 16, 10)
+              .cast("long"))).as("m0"))
+        val ex = sample.select($"doc_id", explode($"sset").as("sg"))
+        val inter = ex.as("x").join(ex.as("y"),
+            col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .agg(count(lit(1)).cast("long").as("inter"))
+        val rnd = meta.filter($"doc_id" % 10 === 0)
+        val randPairs = rnd.select($"doc_id".as("id_a"))
+          .join(broadcast(rnd.select($"doc_id".as("id_b"))), $"id_a" < $"id_b")
+        val candPairs = meta.as("p").join(broadcast(meta.as("q")),
+            col("p.m0") === col("q.m0") &&
+              col("p.doc_id") < col("q.doc_id"))
+          .select(col("p.doc_id").as("id_a"), col("q.doc_id").as("id_b"))
+        val szs = meta.select($"doc_id", $"sz")
+        var df = randPairs.select($"id_a", $"id_b").union(candPairs)
+          .distinct()
+          .join(broadcast(szs.select($"doc_id".as("id_a"), $"sz".as("sza"))),
+            Seq("id_a"))
+          .join(broadcast(szs.select($"doc_id".as("id_b"), $"sz".as("szb"))),
+            Seq("id_b"))
+          .join(broadcast(inter), Seq("id_a", "id_b"), "left")
+          .select(coalesce($"inter", lit(0L)).as("inter"),
+            ($"sza" + $"szb" - coalesce($"inter", lit(0L))).as("un"))
+          .withColumn("above", $"inter" * 2 >= $"un")
+          .withColumn("j1", $"inter".cast("double") / $"un".cast("double"))
+        for (e <- Seq(2, 4, 8, 16, 32))
+          df = df.withColumn(s"j$e", col(s"j${e / 2}") * col(s"j${e / 2}"))
+        for ((b, r) <- lshSplits) {
+          df = df.withColumn(s"q${r}_1", lit(1.0) - col(s"j$r"))
+          var cur = 1
+          while (cur < b) {
+            df = df.withColumn(s"q${r}_${cur * 2}",
+              col(s"q${r}_$cur") * col(s"q${r}_$cur"))
+            cur *= 2
+          }
+          df = df.withColumn(s"pn_$r",
+            round((lit(1.0) - col(s"q${r}_$b")) * 1e9).cast("long"))
+        }
+        val stackArgs = lshSplits
+          .map { case (b, r) => s"$b, $r, pn_$r" }.mkString(", ")
+        val ag = df
+          .select($"above",
+            expr(s"stack(${lshSplits.size}, $stackArgs) as (b, r, pn)"))
+          .groupBy($"b", $"r")
+          .agg(sum(when($"above", 1L).otherwise(0L)).as("n_above"),
+            sum(when($"above", 0L).otherwise(1L)).as("n_below"),
+            sum(when($"above", 0L).otherwise($"pn")).as("fp_nano"),
+            sum(when($"above", lit(1000000000L) - $"pn").otherwise(0L))
+              .as("fn_nano"))
+          .withColumn("err_nano", $"fp_nano" + $"fn_nano")
+        ag.crossJoin(broadcast(ag.agg(min($"err_nano").as("__m"))))
+          .select($"b", $"r", $"n_above", $"n_below", $"fp_nano",
+            $"fn_nano", $"err_nano", ($"err_nano" === $"__m").as("chosen"))
+          .orderBy($"b".desc)
+      },
+      Some(raw"""WITH d0 AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '') AS toks
+          FROM documents WHERE doc_id < 10000),
+        sh AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN []
+            ELSE list_distinct(list_transform(range(len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sset
+          FROM d0),
+        shn AS (SELECT doc_id, sset FROM sh WHERE len(sset) > 0),
+        m0 AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS sz,
+            list_min(list_transform(sset, sg ->
+              CAST(('0x' || substr(md5('0:' || sg), 1, 15)) AS BIGINT)))
+              AS m0
+          FROM shn),
+        ex AS (SELECT doc_id, unnest(sset) AS sg FROM shn),
+        iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(COUNT(*) AS BIGINT) AS inter
+          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pk AS (SELECT DISTINCT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM m0 a JOIN m0 b
+            ON a.doc_id < b.doc_id
+            AND a.doc_id % 10 = 0 AND b.doc_id % 10 = 0
+          UNION ALL
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM m0 a JOIN m0 b
+            ON a.m0 = b.m0 AND a.doc_id < b.doc_id)),
+        pr AS (SELECT COALESCE(iv.inter, 0) AS inter,
+            sa.sz + sb.sz - COALESCE(iv.inter, 0) AS un,
+            COALESCE(iv.inter, 0) * 2
+              >= sa.sz + sb.sz - COALESCE(iv.inter, 0) AS above
+          FROM pk
+          JOIN m0 sa ON pk.id_a = sa.doc_id
+          JOIN m0 sb ON pk.id_b = sb.doc_id
+          LEFT JOIN iv ON pk.id_a = iv.id_a AND pk.id_b = iv.id_b),
+        $sCurveCtes,
+        st AS (${lshSplits.map { case (b, r) =>
+          s"SELECT $b AS b, $r AS r, above, pn_$r AS pn FROM pp"
+        }.mkString("\n          UNION ALL ")}),
+        ag AS (SELECT b, r,
+            CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+            CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+            CAST(SUM(CASE WHEN above THEN 0 ELSE pn END) AS BIGINT) AS fp_nano,
+            CAST(SUM(CASE WHEN above THEN 1000000000 - pn ELSE 0 END)
+              AS BIGINT) AS fn_nano
+          FROM st GROUP BY b, r),
+        e2 AS (SELECT *, fp_nano + fn_nano AS err_nano FROM ag),
+        mn AS (SELECT MIN(err_nano) AS m FROM e2)
+        SELECT b, r, n_above, n_below, fp_nano, fn_nano, err_nano,
+          err_nano = m AS chosen
+        FROM e2 CROSS JOIN mn ORDER BY b DESC""")),
+
+    // ---- composed delta-ingest chain (round 8) -------------------------
+    // The production shape for a new data delivery landing next to an
+    // already-trained base corpus: exact cross-dedup against the base
+    // (the base contributes ONLY its distinct digest set — q60's
+    // contract), within-delivery first-occurrence dedup (combinable
+    // min + digest-keyed join-back, the skew-safe q20 shape), the
+    // Gopher rule gate over the survivors, and the q93 shard manifest
+    // of what's left — one lazy plan end-to-end, certified by ONE
+    // oracle replaying every stage from the same fragments q20/q60/
+    // q103/q93 certify individually.
+    QueryDef(
+      "q115_delta_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val withH = docs.withColumn("h",
+          md5(graft.ops.Dedup.normalize($"text")))
+        val baseD = withH.filter($"doc_id" % 3 === 0)
+          .select($"h").distinct()
+        val dd = withH.filter($"doc_id" % 3 =!= 0)
+          .join(baseD, Seq("h"), "left_anti")
+        val firsts = dd.groupBy($"h").agg(min($"doc_id").as("__keep"))
+        val survivors = dd.join(firsts, Seq("h"))
+          .filter($"doc_id" === $"__keep")
+        val gated = graft.ops.Gopher.withRules(survivors, "text")
+          .filter($"pass")
+        graft.ops.Shards.manifest(gated, "text", "doc_id", nShards = 8)
+      },
+      Some(raw"""WITH nm AS (SELECT doc_id, text,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+          FROM documents),
+        bd AS (SELECT DISTINCT h FROM nm WHERE doc_id % 3 = 0),
+        dd AS (SELECT * FROM nm WHERE doc_id % 3 <> 0
+          AND h NOT IN (SELECT h FROM bd)),
+        fo AS (SELECT h, MIN(doc_id) AS keep_id FROM dd GROUP BY h),
+        sv AS (SELECT dd.doc_id, dd.text FROM dd
+          JOIN fo ON dd.h = fo.h AND dd.doc_id = fo.keep_id),
+        gr AS (SELECT doc_id, text,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '') AS toks,
+            CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS wl,
+            CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS nsym
+          FROM sv),
+        gv AS (SELECT doc_id, text,
+            CAST(len(toks) AS BIGINT) AS n, wl, nsym,
+            CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+              AS BIGINT) AS nalpha,
+            CAST(len(list_intersect(list_distinct(toks),
+              ${sqlList(graft.ops.Gopher.stopwords)})) AS BIGINT) AS nstop
+          FROM gr),
+        g AS (SELECT doc_id, text FROM gv
+          WHERE n >= 50 AND n <= 100000
+            AND wl >= 3 * n AND wl <= 10 * n
+            AND nalpha * 5 >= n * 4
+            AND nstop >= 2
+            AND nsym * 10 <= n),
+        d AS (SELECT
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS shard,
+            doc_id,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+              t -> t <> '')) AS BIGINT) AS tok,
+            CAST(length(text) AS BIGINT) AS ch,
+            CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sig
+          FROM g)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(ch) AS BIGINT) AS n_chars,
+          bit_xor(sig) AS content_sig
+        FROM d GROUP BY shard ORDER BY shard""")),
 
     // ---- behavioral funnel over the event stream (round 8) -------------
     // view -> click -> purchase completion per user with a 7-day step
