@@ -445,22 +445,16 @@ object GovernanceQueries {
       "q113_funnel",
       (s, dir) => {
         import s.implicits._
-        val H = 604800000000L // 7 days in microseconds
         val ev = JoinQueries.events(s, dir)
           .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-        ev.groupBy($"user_id")
-          .agg(min(when($"event_type" === "view", $"us")).as("t1"),
-            collect_list(when($"event_type" === "click", $"us")).as("bs"),
-            collect_list(when($"event_type" === "purchase", $"us")).as("cs"))
-          .withColumn("t2",
-            array_min(filter($"bs", x => x > $"t1" && x <= $"t1" + lit(H))))
-          .withColumn("t3",
-            array_min(filter($"cs", x => x > $"t2" && x <= $"t2" + lit(H))))
+        graft.ops.Funnel.stageTimes(ev, "user_id", "event_type", "us",
+            Seq("view", "click", "purchase"),
+            horizonMicros = 604800000000L) // 7 days
           .agg(count(lit(1)).as("n_users"),
-            count($"t1").as("n_viewed"),
-            count($"t2").as("n_clicked"),
-            count($"t3").as("n_purchased"),
-            sum($"t3" - $"t1").as("__sum"))
+            count($"t0").as("n_viewed"),
+            count($"t1").as("n_clicked"),
+            count($"t2").as("n_purchased"),
+            sum($"t2" - $"t0").as("__sum"))
           .select($"n_users", $"n_viewed", $"n_clicked", $"n_purchased",
             round($"__sum".cast("double") / $"n_purchased" / 1e6, 3)
               .as("avg_complete_sec"))

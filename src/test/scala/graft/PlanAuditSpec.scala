@@ -31,7 +31,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q101_balance_chi2", // q101: 1-row chi2 sum x 1-row (N, n_rows, n_cols)
     "q105_dedup_recall", // q105: bounded calibration sample all-pairs
     "q106_ppl_buckets", // q106: broadcast 1-row successor-vocab count (q92)
-    "q108_matryoshka") // q108: broadcast 10 query vectors x corpus, per tier
+    "q108_matryoshka", // q108: broadcast 10 query vectors x corpus, per tier
+    "q111_embed_decontam", // q111: broadcast 1-row eval-vector aggregate
+    "q112_lsh_tune") // q112: bounded calibration sample + 1-row min-err
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
