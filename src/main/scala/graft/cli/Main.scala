@@ -482,6 +482,59 @@ object Main {
             k = opt(rest, "k").map(_.toInt).getOrElse(128))
           .write.mode("overwrite").parquet(out)
 
+      //   domain-cap in out [--k 1000]  (per-source quota: keep each
+      //   source's best-k docs by char entropy — bounded-heap ranking,
+      //   no source-serializing window)
+      case "domain-cap" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val txt = opt(rest, "text-column").getOrElse("text")
+        val src = opt(rest, "source-column").getOrElse("source")
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val k = opt(rest, "k").map(_.toInt).getOrElse(1000)
+        val df = spark.read.parquet(in)
+        val em = round(round(element_at(graft.functions.SketchExpressions
+          .char_entropy(lower(coalesce(col(txt), lit("")))), 2), 6) * 1e6)
+          .cast("long")
+        graft.ops.TopK.perGroup(df.withColumn("__em", em), Seq(src),
+            Seq((col("__em"), true), (col(id), false)), k, "__rk")
+          .drop("__em", "__rk")
+          .write.mode("overwrite").parquet(out)
+
+      //   embed-decontam corpus eval out [--threshold 0.3] [--report]
+      //   (drop training vectors whose max cosine to the eval set
+      //   crosses the contamination ceiling; --report keeps all rows
+      //   with the max_sim_u annotation instead of filtering)
+      case "embed-decontam" =>
+        import org.apache.spark.sql.functions.col
+        val Seq(corpus, eval_, out) = rest.take(3)
+        val vec = opt(rest, "vector-column").getOrElse("embedding")
+        val tauU = math.round(
+          opt(rest, "threshold").map(_.toDouble).getOrElse(0.3) * 1e5)
+        val scored = graft.ops.Ann.semanticDecontam(
+          spark.read.parquet(corpus), spark.read.parquet(eval_), vec)
+        val result = if (flag(rest, "report")) scored
+          else scored.filter(col("max_sim_u") < tauU).drop("max_sim_u")
+        result.write.mode("overwrite").parquet(out)
+
+      //   funnel in out --steps view,click,purchase [--horizon-days 7]
+      //   (per-user ordered-sequence completion times)
+      case "funnel" =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        val Seq(in, out) = rest.take(2)
+        val steps = opt(rest, "steps")
+          .map(_.split(",").toSeq).getOrElse(Seq("view", "click", "purchase"))
+        val horizon = opt(rest, "horizon-days").map(_.toLong).getOrElse(7L) *
+          86400000000L
+        val user = opt(rest, "user-column").getOrElse("user_id")
+        val typ = opt(rest, "type-column").getOrElse("event_type")
+        val ts = opt(rest, "ts-column").getOrElse("ts")
+        val ev = spark.read.parquet(in)
+          .withColumn("__us", unix_micros(col(ts).cast("timestamp")))
+        graft.ops.Funnel.stageTimes(ev.select(col(user), col(typ),
+            col("__us")), user, typ, "__us", steps, horizon)
+          .write.mode("overwrite").parquet(out)
+
       case "dedup" =>
         import graft.ops.Dedup
         val what = rest.head
@@ -869,7 +922,8 @@ object Main {
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
       |  bm25 --terms w1,w2, shard-manifest, zipf-stats,
       |  embed-outliers, source-gate, term-drift, span-scrub,
-      |  hard-negatives, balance-chi2, hll-distinct, scrub-blocks,
+      |  hard-negatives, balance-chi2, hll-distinct, domain-cap,
+      |  embed-decontam, funnel --steps a,b,c, scrub-blocks,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

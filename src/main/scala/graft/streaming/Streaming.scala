@@ -691,6 +691,26 @@ object Streaming {
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     graft.ops.Gopher.withRules(docs, textCol)
 
+  /** Streaming semantic eval-set decontamination — the ingestion face
+    * of q111. The eval embedding set (small by contract: a held-out
+    * benchmark, not a corpus) is the between-restarts artifact, riding
+    * as a literal array-of-vectors expression; per record the max
+    * cosine folds in the projection: stateless, zero-shuffle,
+    * exactly-once under any trigger. Per-pair cosines round to 1e-5
+    * integer units BEFORE the max (the batch op's contract), so the
+    * stream and batch annotations are bit-identical.
+    */
+  def embedDecontam(vecs: DataFrame, vecCol: String,
+      evalVecs: Array[Array[Float]], tauU: Long = 30000L): DataFrame = {
+    require(evalVecs.nonEmpty, "eval set must be non-empty")
+    val evLit = array(evalVecs.map(v =>
+      array(v.map(x => lit(x)): _*)): _*)
+    vecs
+      .withColumn("max_sim_u", array_max(transform(evLit, q =>
+        round(graft.ops.Ann.cosine(col(vecCol), q) * 1e5).cast("long"))))
+      .withColumn("contaminated", col("max_sim_u") >= tauU)
+  }
+
   /** Run a streaming query over a static directory to completion via the
     * memory sink; returns the final result table. (Local harness used by
     * tests and the smoke tool — production would use a real sink.)

@@ -506,6 +506,56 @@ class CliSpec extends AnyFunSuite {
     assert(hll("srcA") == 12L && hll("srcB") == 9L, s"hll=$hll")
   }
 
+  test("domain-cap, embed-decontam and funnel commands run end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("r8cli")
+
+    // domain-cap: srcA has 3 docs, cap at 2 — the LOWEST-entropy doc
+    // ("aaaa...", entropy ~0) must be the one dropped
+    Seq((0L, "srcA", "the quick brown fox jumps over the lazy dog now"),
+        (1L, "srcA", "aaaa aaaa aaaa aaaa"),
+        (2L, "srcA", "some other varied words with many letters here"),
+        (3L, "srcB", "only one document in this source"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/docs.parquet")
+    Main.run(spark, Seq("domain-cap", s"$dir/docs.parquet",
+      s"$dir/capped.parquet", "--k", "2"))
+    val kept = spark.read.parquet(s"$dir/capped.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L), s"kept=$kept")
+
+    // embed-decontam: vec 0 is a near-dup of the eval vector, vec 1 is
+    // orthogonal — only vec 1 survives the default 0.3 ceiling
+    Seq((0L, Array(1.0f, 0.01f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    Seq((9L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/eval.parquet")
+    Main.run(spark, Seq("embed-decontam", s"$dir/corpus.parquet",
+      s"$dir/eval.parquet", s"$dir/clean.parquet"))
+    val clean = spark.read.parquet(s"$dir/clean.parquet")
+    assert(clean.select("vec_id").as[Long].collect().toSeq == Seq(1L))
+    assert(!clean.columns.contains("max_sim_u"))
+
+    // funnel: one converting user, one who clicks before viewing
+    Seq((1L, "view", "2026-01-01 00:00:00"),
+        (1L, "click", "2026-01-02 00:00:00"),
+        (1L, "purchase", "2026-01-03 00:00:00"),
+        (2L, "click", "2026-01-01 00:00:00"),
+        (2L, "view", "2026-01-02 00:00:00"))
+      .toDF("user_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp($"ts"))
+      .write.parquet(s"$dir/events.parquet")
+    Main.run(spark, Seq("funnel", s"$dir/events.parquet",
+      s"$dir/funnel.parquet"))
+    val fr = spark.read.parquet(s"$dir/funnel.parquet")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(fr(1L)._3.isDefined, s"user 1 must complete: $fr")
+    assert(fr(2L)._1.isDefined && fr(2L)._2.isEmpty,
+      s"user 2 clicked before viewing: $fr")
+  }
+
   test("jsonl round-trip and gopher-gate commands") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

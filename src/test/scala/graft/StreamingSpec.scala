@@ -587,6 +587,26 @@ class StreamingSpec extends AnyFunSuite {
       $"redacted".contains("<PHONE>")).count() == 50)
   }
 
+  test("streaming embed-decontam matches the batch annotation exactly") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sdecon")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val evalDf = emb.filter(col("vec_id") % 50 === 0)
+    corpus.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    // the between-restarts artifact: the eval set collected once
+    val evalVecs = evalDf.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val stream = spark.readStream.schema(corpus.schema)
+      .parquet(streamDir.toString + "/in")
+    val out = Streaming.runToCompletion(
+      Streaming.embedDecontam(stream, "embedding", evalVecs), "sdecon_test")
+    val batch = graft.ops.Ann.semanticDecontam(corpus, evalDf, "embedding")
+    val key = Seq("vec_id", "max_sim_u").map(col)
+    assert(out.select(key: _*).except(batch.select(key: _*)).isEmpty)
+    assert(batch.select(key: _*).except(out.select(key: _*)).isEmpty)
+    assert(out.count() == corpus.count())
+  }
+
   test("streaming gopher gate matches the batch rule projection") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sgopher")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
