@@ -691,6 +691,47 @@ object Streaming {
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     graft.ops.Gopher.withRules(docs, textCol)
 
+  final case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  final case class FunnelState(times: List[Long])
+  final case class FunnelProgress(user_id: Long, stage: Int,
+      t_first: Long, t_last: Long)
+
+  /** Streaming ordered-sequence funnel — the keyed-state twin of
+    * [[graft.ops.Funnel.stageTimes]] (q113). Per-user state is the list
+    * of completed stage times (≤ steps.size longs — bounded by
+    * construction, unlike a buffer of raw events); each arrival either
+    * advances the user's frontier stage (strictly after the previous
+    * stage, within the horizon) or is dropped. Scanning in event-time
+    * order makes "first qualifying arrival" ≡ the batch op's
+    * min-over-window fold, so under ordered replay the final Update-mode
+    * row per user equals the batch stage times exactly
+    * (StreamingSpec pins it).
+    */
+  def funnelStages(events: Dataset[FunnelEvent], steps: Seq[String],
+      horizonMicros: Long): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(_.us)
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          sorted.foreach { e =>
+            val stage = times.size
+            if (stage < steps.size && e.event_type == steps(stage)) {
+              val ok = times.isEmpty ||
+                (e.us > times.last && e.us <= times.last + horizonMicros)
+              if (ok) times = times :+ e.us
+            }
+          }
+          state.update(FunnelState(times))
+          if (times.isEmpty) Iterator.empty
+          else Iterator(FunnelProgress(uid, times.size, times.head, times.last))
+      }
+  }
+
   /** Streaming semantic eval-set decontamination — the ingestion face
     * of q111. The eval embedding set (small by contract: a held-out
     * benchmark, not a corpus) is the between-restarts artifact, riding

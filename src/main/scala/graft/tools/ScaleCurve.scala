@@ -80,7 +80,13 @@ object ScaleCurve {
     "q106_ppl_buckets",   // q92 LM windows + grouped two-phase rank
     "q107_jsonl_format",  // pure projection + combinable source agg
     "q108_matryoshka",    // 4 broadcast TopK corpus passes (8/16/32/64)
-    "q109_doremi_mix"     // one LM+source agg job + driver EG rounds
+    "q109_doremi_mix",    // one LM+source agg job + driver EG rounds
+    "q110_domain_cap",    // bounded-heap per-source TopK + tiny joins
+    "q111_embed_decontam",// zero-shuffle max-cosine fold + label agg
+    "q112_lsh_tune",      // capped calibration pairs + squaring chains
+    "q113_funnel",        // one user-keyed combinable agg + array folds
+    "q114_ngram_diversity",// (source,gram) pre-agg + combinable rollup
+    "q115_delta_ingest"   // digest aggs + gate projection + manifest
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -90,7 +96,7 @@ object ScaleCurve {
   private val embQueries = Set("q51_kmeans", "q59_ann_sq8", "q63_ann_pq",
     "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
     "q89_abtt", "q95_embed_outliers", "q100_hard_negatives",
-    "q108_matryoshka")
+    "q108_matryoshka", "q111_embed_decontam")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(
@@ -134,7 +140,14 @@ object ScaleCurve {
 
     if (picked.contains("q13_hilbert_sort")) scaleUp("customer", "c_custkey")
     if (picked.contains("q5_window_topk")) scaleUp("orders", "o_orderkey")
-    if (picked.contains("q83_json_extract")) scaleUp("events", "event_id")
+    // events scale with fresh users per shard (a 10× event corpus means
+    // ~10× users, not 10× events per user — per-user funnel state stays
+    // bounded, which is the contract q113 relies on)
+    if (picked.contains("q83_json_extract") ||
+        picked.contains("q113_funnel"))
+      scaleUp("events", "event_id", (d, i) =>
+        if (i == 0) d
+        else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
     // salt every token with the shard id (shard 0 keeps the originals):
     // shingle streams become disjoint across shards, so duplicate pairs
     // stay within-shard and the pair count scales ×k — copying text

@@ -587,6 +587,42 @@ class StreamingSpec extends AnyFunSuite {
       $"redacted".contains("<PHONE>")).count() == 50)
   }
 
+  test("streaming funnel state matches the batch stage times exactly") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sfunnel")
+    val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    ev.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val steps = Seq("view", "click", "purchase")
+    val H = 604800000000L
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.FunnelEvent]
+    val out = Streaming.runToCompletion(
+      Streaming.funnelStages(stream, steps, H).toDF(),
+      "sfunnel_test", outputMode = "update")
+    // update mode: keep the final row per user (max stage)
+    val s = out.groupBy("user_id")
+      .agg(max("stage").as("stage"), max("t_last").as("t_last"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val batch = graft.ops.Funnel.stageTimes(ev, "user_id", "event_type",
+      "us", steps, H).collect().map { r =>
+      val times = (0 until steps.size).map(i => Option(r.get(i + 1)))
+      val stage = times.takeWhile(_.isDefined).size
+      r.getLong(0) -> (stage,
+        times.takeWhile(_.isDefined).lastOption.flatten
+          .map(_.asInstanceOf[Long]).getOrElse(0L))
+    }.toMap
+    val bReached = batch.filter(_._2._1 > 0)
+    assert(bReached.nonEmpty)
+    bReached.foreach { case (uid, (stage, tLast)) =>
+      assert(s.get(uid).contains((stage, tLast)),
+        s"user $uid: stream ${s.get(uid)} vs batch ($stage, $tLast)")
+    }
+    // users that never start the funnel emit nothing on the stream
+    batch.filter(_._2._1 == 0).keys.foreach(uid => assert(!s.contains(uid)))
+  }
+
   test("streaming embed-decontam matches the batch annotation exactly") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sdecon")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
