@@ -431,6 +431,70 @@ object GovernanceQueries {
           bit_xor(sig) AS content_sig
         FROM d GROUP BY shard ORDER BY shard""")),
 
+    // ---- token-budget selection curve (round 8) ------------------------
+    // The data-constrained-scaling question: with a token budget of
+    // 20/40/60/80% of the corpus, how many documents survive
+    // quality-first selection and where does the quality cut land?
+    // Selection = greedy prefix in (entropy DESC, doc_id) order; the
+    // cumulative-tokens-before column comes from the two-phase
+    // distributed prefix sum (Packing.withRunningBefore over a monotone
+    // integer sort key — NO unpartitioned window), the budget test is
+    // exact integer cross-multiplication (before*10 < total*f), and the
+    // corpus total rides as a broadcast 1-row aggregate. One prefix
+    // relation serves all four budgets via an explode + combinable agg.
+    QueryDef(
+      "q116_budget_curve",
+      (s, dir) => {
+        import s.implicits._
+        val ent = round(element_at(graft.functions.SketchExpressions
+          .char_entropy(lower(coalesce($"text", lit("")))), 2), 6)
+        val base = table(s, dir, "documents")
+          .select($"doc_id",
+            size(filter(split($"text", "\\s+"), t => t =!= ""))
+              .cast("long").as("tok"),
+            round(ent * 1e6).cast("long").as("em"))
+        // sort key monotone with (em DESC, doc_id ASC); headroom contract:
+        // em <= 1e7 (entropy <= 10), doc_id < 1e9 — both hold by
+        // construction (printable-ASCII entropy < ln(95)≈4.55) and are
+        // the documented id-width bound of the q66 shuffle family
+        val keyed = base.withColumn("__key",
+          (lit(10000000L) - $"em") * 1000000000L + $"doc_id")
+        val pre = graft.ops.Packing.withRunningBefore(keyed, "__key",
+          "tok", "__before", chunk = 4096L * 1000000000L)
+        val tot = base.agg(sum($"tok").as("__tot"))
+        pre.crossJoin(broadcast(tot))
+          .select($"tok", $"em", $"__before", $"__tot",
+            explode(array(lit(2), lit(4), lit(6), lit(8))).as("f10"))
+          .filter($"__before" * 10 < $"__tot" * $"f10")
+          .groupBy($"f10")
+          .agg(count(lit(1)).as("n_selected"),
+            sum($"tok").as("tokens_selected"),
+            min($"em").as("__cutm"))
+          .select(($"f10" * 10).as("budget_pct"), $"n_selected",
+            $"tokens_selected", round($"__cutm" / 1e6, 6).as("cut_entropy"))
+          .orderBy($"budget_pct")
+      },
+      Some(raw"""WITH $entropyCtes,
+        base AS (SELECT d.doc_id,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+              t -> t <> '')) AS BIGINT) AS tok,
+            CAST(ROUND(COALESCE(e0.ent, 0.0) * 1000000.0) AS BIGINT) AS em
+          FROM documents d LEFT JOIN e0 ON d.doc_id = e0.doc_id),
+        tb AS (SELECT CAST(SUM(tok) AS BIGINT) AS total FROM base),
+        pre AS (SELECT em, tok,
+            COALESCE(SUM(tok) OVER (ORDER BY em DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM base),
+        x AS (SELECT f.f10, em, tok
+          FROM pre CROSS JOIN tb
+          CROSS JOIN (SELECT unnest([2, 4, 6, 8]) AS f10) f
+          WHERE bef * 10 < total * f10)
+        SELECT CAST(f10 * 10 AS INT) AS budget_pct,
+          CAST(COUNT(*) AS BIGINT) AS n_selected,
+          CAST(SUM(tok) AS BIGINT) AS tokens_selected,
+          ROUND(MIN(em) / 1000000.0, 6) AS cut_entropy
+        FROM x GROUP BY f10 ORDER BY budget_pct""")),
+
     // ---- behavioral funnel over the event stream (round 8) -------------
     // view -> click -> purchase completion per user with a 7-day step
     // horizon: the classic ordered-sequence funnel. ONE user-keyed

@@ -86,7 +86,8 @@ object ScaleCurve {
     "q112_lsh_tune",      // capped calibration pairs + squaring chains
     "q113_funnel",        // one user-keyed combinable agg + array folds
     "q114_ngram_diversity",// (source,gram) pre-agg + combinable rollup
-    "q115_delta_ingest"   // digest aggs + gate projection + manifest
+    "q115_delta_ingest",  // digest aggs + gate projection + manifest
+    "q116_budget_curve"   // two-phase prefix sum + combinable budget aggs
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
