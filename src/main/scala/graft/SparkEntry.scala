@@ -25,7 +25,8 @@ object SparkEntry {
     PipelineQueries.defs,
     GeoQueries.defs,
     CurationQueries.defs,
-    GovernanceQueries.defs
+    GovernanceQueries.defs,
+    AuditQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = {

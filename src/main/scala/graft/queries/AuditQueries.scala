@@ -1,0 +1,531 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDef.table
+import graft.functions.SketchExpressions
+
+/** Round-8 corpus-audit operators: the measurement layer a pipeline
+  * runs around its curation decisions — quality-aware dedup, exact
+  * stratified splits, classifier calibration, distribution drift,
+  * mixture planning, cross-corpus containment, and the vocabulary /
+  * duplicate-structure telemetry reports. Same discipline as the
+  * governance group: rank and threshold on exact integers, round
+  * floats once at the edge, keep every aggregation map-side
+  * combinable, and broadcast nothing but 1-row or sources-sized
+  * tables.
+  */
+object AuditQueries {
+
+  /** Token count under the corpus tokenization (q116/q93 fragment). */
+  private def tokLen(c: org.apache.spark.sql.Column) =
+    size(filter(split(c, "\\s+"), t => t =!= "")).cast("long")
+
+  private val tokLenSql = raw"""len(list_filter(
+    regexp_split_to_array(text, '\s+'), t -> t <> ''))"""
+
+  /** Winnowing fingerprint CTE chain (q70's certified fragments) with
+    * `source` carried through for per-source rollups.
+    */
+  private val winnowCtes = raw"""t AS (SELECT doc_id, source,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        hsrc AS (SELECT doc_id, source,
+            list_transform(range(1, len(toks) - 1),
+              i -> substr(md5(array_to_string(
+                list_slice(toks, i, i + 2), ' ')), 1, 16)) AS hs
+          FROM t WHERE len(toks) >= 3),
+        fpt AS (SELECT doc_id, source,
+            unnest(list_distinct(list_transform(
+              range(1, GREATEST(1, len(hs) - 3) + 1),
+              i -> list_min(list_slice(hs, i, i + 3))))) AS fp
+          FROM hsrc)"""
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- quality-aware exact dedup (round 8) ---------------------------
+    // q20 keeps the FIRST occurrence per normalized digest; a curation
+    // pipeline usually wants the BEST one (highest quality score, here
+    // the certified q74/q85 char entropy). Same skew-safe shape as the
+    // r7 dedup family: ONE corpus scan feeding ONE map-side-combinable
+    // max_by aggregation keyed on (entropy-micro, -doc_id) — a digest
+    // duplicated a million times costs each task one partial row, never
+    // a digest-partitioned window. The quality key is an exact BIGINT
+    // so the winner is engine-deterministic.
+    QueryDef(
+      "q117_dedup_best",
+      (s, dir) => {
+        import s.implicits._
+        val ent = round(element_at(SketchExpressions
+          .char_entropy(lower(coalesce($"text", lit("")))), 2), 6)
+        val base = table(s, dir, "documents")
+          .select($"doc_id", $"source",
+            md5(graft.ops.Dedup.normalize($"text")).as("h"),
+            round(ent * 1e6).cast("long").as("em"))
+        base.groupBy($"h")
+          .agg(max_by(struct($"doc_id", $"source", $"em"),
+              struct($"em", -$"doc_id")).as("w"),
+            count(lit(1)).as("n_dups"))
+          .select($"w.doc_id".as("doc_id"), $"w.source".as("source"),
+            round($"w.em" / 1e6, 6).as("entropy"), $"n_dups")
+          .orderBy($"doc_id")
+      },
+      Some(raw"""WITH ${GovernanceQueries.entropyCtes},
+        base AS (SELECT d.doc_id, d.source,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+            CAST(ROUND(COALESCE(e0.ent, 0.0) * 1000000.0) AS BIGINT) AS em
+          FROM documents d LEFT JOIN e0 ON d.doc_id = e0.doc_id),
+        rk AS (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY h ORDER BY em DESC, doc_id)
+              AS r,
+            COUNT(*) OVER (PARTITION BY h) AS c
+          FROM base)
+        SELECT doc_id, source, ROUND(em / 1000000.0, 6) AS entropy,
+          CAST(c AS BIGINT) AS n_dups
+        FROM rk WHERE r = 1 ORDER BY doc_id""")),
+
+    // ---- exact stratified train/val/test split (round 8) ---------------
+    // Per (lang, source) stratum: 80/10/10 by deterministic hash order,
+    // EXACT proportions (rank inequalities in integer arithmetic, no
+    // float rates — a 9-doc stratum gets 7/1/1, reproducibly). Ranking
+    // is DistWindow.withGroupedRank partitioned by (stratum, hash
+    // bucket): no task serializes a whole stratum, the per-bucket
+    // offsets ride a broadcast prefix sum over the tiny count table.
+    QueryDef(
+      "q118_strat_split",
+      (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"n_chars",
+            md5($"doc_id".cast("string")).as("hk"))
+        val ranked = graft.ops.DistWindow.withGroupedRank(base,
+          struct($"lang", $"source"),
+          conv(substring($"hk", 1, 2), 16, 10).cast("long"),
+          Seq($"hk", $"doc_id"), "r")
+        val counts = base.groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(counts), Seq("lang", "source"))
+          .withColumn("split",
+            when($"r" * 10 <= $"n" * 8, "train")
+              .when($"r" * 10 <= $"n" * 9, "val").otherwise("test"))
+          .groupBy($"lang", $"source", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang", $"source", $"split")
+      },
+      Some(raw"""WITH b AS (SELECT doc_id, lang, source, n_chars,
+            md5(CAST(doc_id AS VARCHAR)) AS hk
+          FROM documents),
+        rk AS (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY lang, source
+              ORDER BY hk, doc_id) AS r,
+            COUNT(*) OVER (PARTITION BY lang, source) AS n
+          FROM b),
+        s AS (SELECT lang, source,
+            CASE WHEN r * 10 <= n * 8 THEN 'train'
+              WHEN r * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split,
+            n_chars
+          FROM rk)
+        SELECT lang, source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY lang, source, split
+        ORDER BY lang, source, split""")),
+
+    // ---- classifier calibration report (round 8) -----------------------
+    // Reliability diagram over the certified q81 Naive Bayes quality
+    // scores: bucket the log-likelihood ratio into integer bins, report
+    // per-bin count, positive count, prediction accuracy and mean score
+    // — the "is the filter's confidence honest" audit run before a
+    // score threshold is turned into a keep/drop policy. Scores are the
+    // round-6 fixed-point values, so sums ride exact micro-unit BIGINTs
+    // and the only floats are the two per-bin edge divisions.
+    QueryDef(
+      "q119_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val scored = graft.ops.NaiveBayes.trainScore(docs, "text",
+          when($"lang" === "en", 1.0).otherwise(0.0), dims = 256)
+        val lab = docs.select($"doc_id", ($"lang" === "en").as("y"))
+        scored.join(lab, Seq("doc_id"))
+          .select(
+            least(greatest(floor($"nb_score").cast("long"), lit(-5L)),
+              lit(5L)).as("bin"),
+            round($"nb_score" * 1e6).cast("long").as("sm"),
+            $"y", $"pred_en")
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"y", 1L).otherwise(0L)).as("n_pos"),
+            sum(when($"pred_en" === $"y", 1L).otherwise(0L))
+              .as("n_correct"),
+            sum($"sm").as("__sm"))
+          .select($"bin", $"n", $"n_pos", $"n_correct",
+            round($"__sm".cast("double") / $"n" / 1e6, 6).as("mean_score"),
+            round($"n_correct".cast("double") / $"n", 6).as("accuracy"))
+          .orderBy($"bin")
+      },
+      Some(raw"""WITH ${CorpusQueries.nbScoreCtes},
+        j AS (SELECT sc.doc_id, ROUND(s, 6) AS sco, ROUND(s, 6) > 0 AS p,
+            lang = 'en' AS y
+          FROM sc JOIN documents USING (doc_id)),
+        b AS (SELECT
+            LEAST(GREATEST(CAST(FLOOR(sco) AS BIGINT), -5), 5) AS bin,
+            CAST(ROUND(sco * 1000000.0) AS BIGINT) AS sm, y, p
+          FROM j),
+        ag AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            CAST(SUM(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_correct,
+            CAST(SUM(sm) AS BIGINT) AS smt
+          FROM b GROUP BY bin)
+        SELECT bin, n, n_pos, n_correct,
+          ROUND(CAST(smt AS DOUBLE) / n / 1000000.0, 6) AS mean_score,
+          ROUND(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy
+        FROM ag ORDER BY bin""")),
+
+    // ---- two-sample KS drift over token lengths (round 8) --------------
+    // The distribution-shift alarm on a SHAPE statistic (q97 compares
+    // term distributions; this compares the length distribution): exact
+    // two-sample Kolmogorov–Smirnov between slice A (doc_id%3=0, "the
+    // old crawl") and slice B. The corpus collapses to a length
+    // histogram by ONE combinable aggregation; the CDF prefix runs over
+    // that tiny histogram only (bounded by max document length, never
+    // corpus-sized), and the KS sup is an exact cross-multiplied BIGINT
+    // — the single float division happens once in the report row.
+    QueryDef(
+      "q120_ks_drift",
+      (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "documents")
+          .select(($"doc_id" % 3 === 0).as("a"), tokLen($"text").as("len"))
+        val hist = base.groupBy($"len")
+          .agg(sum(when($"a", 1L).otherwise(0L)).as("na"),
+            sum(when($"a", 0L).otherwise(1L)).as("nb"))
+        // histogram-sized table: the pmod partition is the point (one
+        // group), matching the DistWindow offset-table idiom
+        val w = Window.partitionBy(pmod($"len", lit(1))).orderBy($"len")
+        val cum = hist
+          .withColumn("ca", sum($"na").over(w))
+          .withColumn("cb", sum($"nb").over(w))
+        val tot = base.agg(
+          sum(when($"a", 1L).otherwise(0L)).as("__na"),
+          sum(when($"a", 0L).otherwise(1L)).as("__nb"))
+        val d = cum.crossJoin(broadcast(tot))
+          .withColumn("d", abs($"ca" * $"__nb" - $"cb" * $"__na"))
+        val mx = d.agg(max($"d").as("__mx"))
+        d.crossJoin(broadcast(mx)).filter($"d" === $"__mx")
+          .agg(max($"__na").as("n_a"), max($"__nb").as("n_b"),
+            max($"d").as("__d"), min($"len").as("ks_at_len"))
+          .select($"n_a", $"n_b",
+            round($"__d".cast("double") / $"n_a" / $"n_b", 6).as("ks_stat"),
+            $"ks_at_len")
+      },
+      Some(raw"""WITH base AS (SELECT doc_id % 3 = 0 AS a,
+            CAST($tokLenSql AS BIGINT) AS len
+          FROM documents),
+        hist AS (SELECT len,
+            CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+          FROM base GROUP BY len),
+        cum AS (SELECT len,
+            SUM(na) OVER (ORDER BY len) AS ca,
+            SUM(nb) OVER (ORDER BY len) AS cb
+          FROM hist),
+        tot AS (SELECT
+            CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS tna,
+            CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS tnb
+          FROM base),
+        d AS (SELECT len, ABS(ca * tnb - cb * tna) AS d, tna, tnb
+          FROM cum CROSS JOIN tot),
+        mx AS (SELECT MAX(d) AS m FROM d)
+        SELECT MAX(tna) AS n_a, MAX(tnb) AS n_b,
+          ROUND(CAST(MAX(d) AS DOUBLE) / MAX(tna) / MAX(tnb), 6) AS ks_stat,
+          MIN(len) AS ks_at_len
+        FROM d CROSS JOIN mx WHERE d = m""")),
+
+    // ---- mixture-weighted sampling plan (round 8) ----------------------
+    // The Dolma/Pile mixing step made concrete: given per-source
+    // available tokens, a 50%-of-corpus token budget, and a 30% cap on
+    // any single source's weight, emit each source's target tokens,
+    // sampling rate and upsample flag. Weights stay exact BIGINT
+    // deci-tokens (LEAST(avail*10, total*3)); the only floats are the
+    // target projection and the rate, each a single pinned-order op
+    // chain both engines execute identically. Everything rides 1-row /
+    // sources-sized broadcasts off ONE combinable corpus aggregation.
+    QueryDef(
+      "q121_mix_plan",
+      (s, dir) => {
+        import s.implicits._
+        val avail = table(s, dir, "documents")
+          .select($"source", tokLen($"text").as("tok"))
+          .groupBy($"source").agg(sum($"tok").as("avail_tokens"))
+        val tot = avail.agg(sum($"avail_tokens").as("__t"))
+        val w = avail.crossJoin(broadcast(tot))
+          .withColumn("w", least($"avail_tokens" * 10, $"__t" * 3))
+        val sw = w.agg(sum($"w").as("__w"))
+        w.crossJoin(broadcast(sw))
+          .withColumn("target_tokens",
+            round($"__t".cast("double") * 0.5 * $"w" / $"__w").cast("long"))
+          .select($"source", $"avail_tokens", $"target_tokens",
+            round(least(lit(1.0),
+              $"target_tokens".cast("double") / $"avail_tokens"), 6)
+              .as("rate"),
+            ($"target_tokens" > $"avail_tokens").as("upsample"))
+          .orderBy($"source")
+      },
+      Some(raw"""WITH a AS (SELECT source,
+            CAST(SUM($tokLenSql) AS BIGINT) AS avail
+          FROM documents GROUP BY source),
+        t AS (SELECT CAST(SUM(avail) AS BIGINT) AS tt FROM a),
+        w AS (SELECT source, avail, LEAST(avail * 10, tt * 3) AS w, tt
+          FROM a CROSS JOIN t),
+        sw AS (SELECT CAST(SUM(w) AS BIGINT) AS ww FROM w),
+        x AS (SELECT source, avail,
+            CAST(ROUND(CAST(tt AS DOUBLE) * 0.5 * w / ww) AS BIGINT)
+              AS target
+          FROM w CROSS JOIN sw)
+        SELECT source, avail AS avail_tokens, target AS target_tokens,
+          ROUND(LEAST(1.0, CAST(target AS DOUBLE) / avail), 6) AS rate,
+          target > avail AS upsample
+        FROM x ORDER BY source""")),
+
+    // ---- cross-corpus winnowing containment (round 8) ------------------
+    // MOSS-style containment screening: what fraction of each new
+    // document's winnowing fingerprints (the certified q70 kernel)
+    // already exist in the base corpus' fingerprint set? The base
+    // contributes ONLY its distinct fingerprints (the q60 contract);
+    // the membership probe is one hash equi-join on the fingerprint
+    // digest, flagging is integer cross-multiplication (hits*2 >= fps),
+    // and only fingerprints — never documents — cross the wire.
+    QueryDef(
+      "q122_winnow_contain",
+      (s, dir) => {
+        import s.implicits._
+        val fps = table(s, dir, "documents")
+          .select($"doc_id", $"source",
+            explode(SketchExpressions.winnow($"text", 3, 4)).as("fp"))
+        val aset = fps.filter($"doc_id" % 3 === 0)
+          .select($"fp".as("afp")).distinct()
+        val perDoc = fps.filter($"doc_id" % 3 =!= 0)
+          .join(aset, $"fp" === $"afp", "left")
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when($"afp".isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        perDoc.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"n_hit" * 2 >= $"n_fp", 1L).otherwise(0L))
+              .as("n_flagged"),
+            sum($"n_hit").as("__h"), sum($"n_fp").as("__f"))
+          .select($"source", $"n_docs", $"n_flagged",
+            round($"__h".cast("double") / $"__f", 6).as("containment"))
+          .orderBy($"source")
+      },
+      Some(raw"""WITH $winnowCtes,
+        aset AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 3 = 0),
+        pd AS (SELECT f.doc_id, f.source, COUNT(*) AS n_fp,
+            COUNT(a.fp) AS n_hit
+          FROM fpt f LEFT JOIN aset a ON f.fp = a.fp
+          WHERE f.doc_id % 3 <> 0
+          GROUP BY f.doc_id, f.source)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN n_hit * 2 >= n_fp THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+          ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_fp), 6) AS containment
+        FROM pd GROUP BY source ORDER BY source""")),
+
+    // ---- character-class profile (round 8) -----------------------------
+    // Per-source letter/digit/whitespace/other fractions — the cheap
+    // encoding-junk detector (mojibake, binary spill, markup floods
+    // show up as an "other" spike long before a model-based quality
+    // score runs). Pure projection + ONE combinable aggregation; class
+    // counts via codegen regexp length-deltas with explicit character
+    // classes so both engines count the same bytes.
+    QueryDef(
+      "q123_charclass",
+      (s, dir) => {
+        import s.implicits._
+        val lt = lower(coalesce($"text", lit("")))
+        val base = table(s, dir, "documents").select($"source",
+          length(lt).cast("long").as("nt"),
+          (length(lt) - length(regexp_replace(lt, "[a-z]", "")))
+            .cast("long").as("nl"),
+          (length(lt) - length(regexp_replace(lt, "[0-9]", "")))
+            .cast("long").as("nd"),
+          (length(lt) - length(regexp_replace(lt, "[ \\t\\n\\r]", "")))
+            .cast("long").as("ns"))
+        base.groupBy($"source")
+          .agg(sum($"nt").as("n_chars"), sum($"nl").as("__l"),
+            sum($"nd").as("__d"), sum($"ns").as("__s"))
+          .select($"source", $"n_chars",
+            round($"__l".cast("double") / $"n_chars", 6).as("letter_frac"),
+            round($"__d".cast("double") / $"n_chars", 6).as("digit_frac"),
+            round($"__s".cast("double") / $"n_chars", 6).as("space_frac"),
+            round(($"n_chars" - $"__l" - $"__d" - $"__s").cast("double")
+              / $"n_chars", 6).as("other_frac"))
+          .orderBy($"source")
+      },
+      Some(raw"""WITH b AS (SELECT source,
+            CAST(length(lt) AS BIGINT) AS nt,
+            CAST(length(lt) - length(regexp_replace(lt, '[a-z]', '', 'g'))
+              AS BIGINT) AS nl,
+            CAST(length(lt) - length(regexp_replace(lt, '[0-9]', '', 'g'))
+              AS BIGINT) AS nd,
+            CAST(length(lt) - length(regexp_replace(lt, '[ \t\n\r]', '', 'g'))
+              AS BIGINT) AS ns
+          FROM (SELECT source, lower(COALESCE(text, '')) AS lt
+            FROM documents)),
+        ag AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_chars,
+            CAST(SUM(nl) AS BIGINT) AS l, CAST(SUM(nd) AS BIGINT) AS d,
+            CAST(SUM(ns) AS BIGINT) AS sp
+          FROM b GROUP BY source)
+        SELECT source, n_chars,
+          ROUND(CAST(l AS DOUBLE) / n_chars, 6) AS letter_frac,
+          ROUND(CAST(d AS DOUBLE) / n_chars, 6) AS digit_frac,
+          ROUND(CAST(sp AS DOUBLE) / n_chars, 6) AS space_frac,
+          ROUND(CAST(n_chars - l - d - sp AS DOUBLE) / n_chars, 6)
+            AS other_frac
+        FROM ag ORDER BY source""")),
+
+    // ---- exact grouped length percentiles (round 8) --------------------
+    // Per-language p50/p90/p99 token length, EXACT (the SLO numbers a
+    // context-window decision is made on — approx quantiles drift
+    // exactly where the tail matters). Rank via the (group, bucket)
+    // two-phase window: no task serializes a whole language; the
+    // percentile row is selected by pure integer rank inequalities
+    // (r = ceil(n*p/100) written as r*100 >= n*p AND (r-1)*100 < n*p),
+    // identical in both engines.
+    QueryDef(
+      "q124_len_pcts",
+      (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "documents")
+          .select($"lang", $"doc_id", tokLen($"text").as("len"))
+        val ranked = graft.ops.DistWindow.withGroupedRank(base, $"lang",
+          floor($"len" / 64L), Seq($"len", $"doc_id"), "r")
+        val counts = base.groupBy($"lang").agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(counts), Seq("lang"))
+          .select($"lang", $"r", $"len", $"n",
+            explode(array(lit(50), lit(90), lit(99))).as("p"))
+          .filter($"r" * 100 >= $"n" * $"p" &&
+            ($"r" - 1) * 100 < $"n" * $"p")
+          .groupBy($"lang", $"p")
+          .agg(max($"n").as("n_docs"), min($"len").as("len_at"))
+          .orderBy($"lang", $"p")
+      },
+      Some(raw"""WITH base AS (SELECT lang, doc_id,
+            CAST($tokLenSql AS BIGINT) AS len
+          FROM documents),
+        rk AS (SELECT lang, len,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY len, doc_id)
+              AS r,
+            COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM base),
+        x AS (SELECT lang, r, len, n, p.p
+          FROM rk CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) p
+          WHERE r * 100 >= n * p.p AND (r - 1) * 100 < n * p.p)
+        SELECT lang, p, CAST(MAX(n) AS BIGINT) AS n_docs,
+          MIN(len) AS len_at
+        FROM x GROUP BY lang, p ORDER BY lang, p""")),
+
+    // ---- vocabulary coverage curve (round 8) ---------------------------
+    // Tokenizer sizing: the smallest frequency-ranked vocabulary
+    // covering 80/90/95/99% of corpus token mass. Term counts off the
+    // term_counts kernel (one combinable aggregation, vocab-sized
+    // output); the frequency rank is the two-phase global rank on the
+    // monotone (-count, term) key and the cumulative mass is the
+    // distributed exclusive prefix sum over that rank — no
+    // unpartitioned window anywhere, while the oracle replays both
+    // with textbook global windows. Coverage tests are exact integer
+    // cross-multiplication; one prefix relation serves all four
+    // levels.
+    QueryDef(
+      "q125_vocab_curve",
+      (s, dir) => {
+        import s.implicits._
+        val tc = table(s, dir, "documents")
+          .select(explode(SketchExpressions
+            .term_counts(coalesce($"text", lit("")))).as("t"))
+          .groupBy($"t.term".as("term")).agg(sum($"t.tf").as("cnt"))
+        val keyed = tc.withColumn("__negc", -$"cnt")
+        val ranked = graft.ops.DistWindow.withGlobalRank(keyed,
+          floor($"__negc" / 64L), Seq($"__negc", $"term"), "r")
+        val pre = graft.ops.Packing.withRunningBefore(ranked, "r", "cnt",
+          "__before")
+        val tot = tc.agg(sum($"cnt").as("__t"))
+        pre.crossJoin(broadcast(tot))
+          .select($"r", $"cnt", $"__before", $"__t",
+            explode(array(lit(80), lit(90), lit(95), lit(99))).as("p"))
+          .filter(($"__before" + $"cnt") * 100 >= $"__t" * $"p")
+          .groupBy($"p")
+          .agg(min($"r").as("vocab_size"),
+            min($"__before" + $"cnt").as("tokens_covered"),
+            max($"__t").as("total_tokens"))
+          .select($"p".as("coverage_pct"), $"vocab_size",
+            $"tokens_covered", $"total_tokens")
+          .orderBy($"coverage_pct")
+      },
+      Some(raw"""WITH terms AS (SELECT
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM terms GROUP BY term),
+        rk AS (SELECT term, cnt,
+            ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS r,
+            COALESCE(SUM(cnt) OVER (ORDER BY cnt DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS bef
+          FROM tc),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM tc),
+        x AS (SELECT p.p, r, bef + cnt AS cum, tt
+          FROM rk CROSS JOIN t
+          CROSS JOIN (SELECT unnest([80, 90, 95, 99]) AS p) p
+          WHERE (bef + cnt) * 100 >= tt * p.p)
+        SELECT CAST(p AS INT) AS coverage_pct,
+          CAST(MIN(r) AS BIGINT) AS vocab_size,
+          CAST(MIN(cum) AS BIGINT) AS tokens_covered,
+          CAST(MAX(tt) AS BIGINT) AS total_tokens
+        FROM x GROUP BY p ORDER BY coverage_pct""")),
+
+    // ---- duplicate-cluster size histogram (round 8) --------------------
+    // Dedup telemetry: the size distribution of exact-duplicate groups
+    // (how much of the corpus is singletons vs a few mega-clusters —
+    // the number that decides whether dedup is worth a pass and which
+    // strategy survives the skew). Two chained combinable aggregations;
+    // buckets are integer CASE ranges so both engines bin identically.
+    QueryDef(
+      "q126_dupsize_hist",
+      (s, dir) => {
+        import s.implicits._
+        val sizes = table(s, dir, "documents")
+          .groupBy(md5(graft.ops.Dedup.normalize($"text")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        sizes.select(
+            when($"c" === 1, 0).when($"c" === 2, 1).when($"c" <= 4, 2)
+              .when($"c" <= 8, 3).when($"c" <= 16, 4).otherwise(5)
+              .as("bucket_id"),
+            $"c")
+          .groupBy($"bucket_id")
+          .agg(count(lit(1)).as("n_groups"), sum($"c").as("n_docs"))
+          .withColumn("bucket",
+            element_at(array(lit("1"), lit("2"), lit("3-4"), lit("5-8"),
+              lit("9-16"), lit("17+")), $"bucket_id" + 1))
+          .select($"bucket_id", $"bucket", $"n_groups", $"n_docs")
+          .orderBy($"bucket_id")
+      },
+      Some(raw"""WITH g AS (SELECT
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1),
+        b AS (SELECT CASE WHEN c = 1 THEN 0 WHEN c = 2 THEN 1
+            WHEN c <= 4 THEN 2 WHEN c <= 8 THEN 3 WHEN c <= 16 THEN 4
+            ELSE 5 END AS bucket_id, c
+          FROM g)
+        SELECT bucket_id,
+          ['1', '2', '3-4', '5-8', '9-16', '17+'][bucket_id + 1] AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_groups,
+          CAST(SUM(c) AS BIGINT) AS n_docs
+        FROM b GROUP BY bucket_id ORDER BY bucket_id"""))
+  )
+}

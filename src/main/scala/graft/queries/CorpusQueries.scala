@@ -15,6 +15,42 @@ import QueryDef.table
   */
 object CorpusQueries {
 
+  /** DuckDB replay of [[graft.ops.NaiveBayes.trainScore]] up to the raw
+    * per-doc score relation `sc(doc_id, s)` — the q81-certified CTE
+    * chain, shared with the q119 calibration report so both certify the
+    * SAME model and score.
+    */
+  private[queries] val nbScoreCtes: String = raw"""terms AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        fx AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 256 AS f,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM terms GROUP BY 1, 2),
+        feats AS (SELECT doc_id, f, x FROM fx
+          UNION ALL SELECT doc_id, 256, CAST(1 AS BIGINT) FROM documents),
+        lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        cc AS (SELECT f,
+            SUM(CASE WHEN y = 1 THEN x ELSE 0 END) AS c1,
+            SUM(CASE WHEN y = 0 THEN x ELSE 0 END) AS c0
+          FROM feats JOIN lab USING (doc_id) GROUP BY f),
+        tots AS (SELECT
+            SUM(CASE WHEN f < 256 THEN c1 ELSE 0 END) AS t1,
+            SUM(CASE WHEN f < 256 THEN c0 ELSE 0 END) AS t0,
+            SUM(CASE WHEN f = 256 THEN c1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN f = 256 THEN c0 ELSE 0 END) AS n0
+          FROM cc),
+        w AS (SELECT f,
+            CASE WHEN f = 256 THEN LN(CAST(n1 AS DOUBLE) / n0)
+              ELSE LN((c1 + 1.0) / (t1 + 256.0)) -
+                LN((c0 + 1.0) / (t0 + 256.0)) END AS wf
+          FROM cc CROSS JOIN tots),
+        sc AS (SELECT feats.doc_id, SUM(feats.x * w.wf) AS s
+          FROM feats JOIN w USING (f) GROUP BY feats.doc_id)"""
+
   /** DuckDB replay of [[graft.ops.Bpe.trainMerges]]: the word dict, the
     * delimited symbol strings, and `rounds` chained (pair-count → argmax
     * → replace) CTE blocks — certifying every learned merge, not just
@@ -253,36 +289,7 @@ object CorpusQueries {
         graft.ops.NaiveBayes.trainScore(table(s, dir, "documents"), "text",
           when($"lang" === "en", 1.0).otherwise(0.0), dims = 256)
       },
-      Some(raw"""WITH terms AS (
-          SELECT doc_id,
-            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-              t -> t <> '')) AS term
-          FROM documents),
-        fx AS (SELECT doc_id,
-            CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 256 AS f,
-            CAST(COUNT(*) AS BIGINT) AS x
-          FROM terms GROUP BY 1, 2),
-        feats AS (SELECT doc_id, f, x FROM fx
-          UNION ALL SELECT doc_id, 256, CAST(1 AS BIGINT) FROM documents),
-        lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-          FROM documents),
-        cc AS (SELECT f,
-            SUM(CASE WHEN y = 1 THEN x ELSE 0 END) AS c1,
-            SUM(CASE WHEN y = 0 THEN x ELSE 0 END) AS c0
-          FROM feats JOIN lab USING (doc_id) GROUP BY f),
-        tots AS (SELECT
-            SUM(CASE WHEN f < 256 THEN c1 ELSE 0 END) AS t1,
-            SUM(CASE WHEN f < 256 THEN c0 ELSE 0 END) AS t0,
-            SUM(CASE WHEN f = 256 THEN c1 ELSE 0 END) AS n1,
-            SUM(CASE WHEN f = 256 THEN c0 ELSE 0 END) AS n0
-          FROM cc),
-        w AS (SELECT f,
-            CASE WHEN f = 256 THEN LN(CAST(n1 AS DOUBLE) / n0)
-              ELSE LN((c1 + 1.0) / (t1 + 256.0)) -
-                LN((c0 + 1.0) / (t0 + 256.0)) END AS wf
-          FROM cc CROSS JOIN tots),
-        sc AS (SELECT feats.doc_id, SUM(feats.x * w.wf) AS s
-          FROM feats JOIN w USING (f) GROUP BY feats.doc_id)
+      Some(raw"""WITH $nbScoreCtes
         SELECT doc_id, ROUND(s, 6) AS nb_score,
           ROUND(s, 6) > 0 AS pred_en
         FROM sc""")),

@@ -57,7 +57,7 @@ object GovernanceQueries {
     * rank on. Kept verbatim so every consumer certifies the SAME
     * number the q74/q82/q85 family already certifies.
     */
-  private val entropyCtes = raw"""ch AS (SELECT doc_id,
+  private[queries] val entropyCtes = raw"""ch AS (SELECT doc_id,
             unnest(string_split(lower(coalesce(text, '')), '')) AS c
           FROM documents),
         f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch

@@ -33,7 +33,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q106_ppl_buckets", // q106: broadcast 1-row successor-vocab count (q92)
     "q108_matryoshka", // q108: broadcast 10 query vectors x corpus, per tier
     "q111_embed_decontam", // q111: broadcast 1-row eval-vector aggregate
-    "q112_lsh_tune") // q112: bounded calibration sample + 1-row min-err
+    "q112_lsh_tune", // q112: bounded calibration sample + 1-row min-err
+    "q116_budget_curve", // q116: broadcast 1-row corpus token total
+    "q120_ks_drift", // q120: histogram x 1-row totals x 1-row max
+    "q121_mix_plan", // q121: sources-sized x 1-row total/weight-sum
+    "q125_vocab_curve") // q125: broadcast 1-row corpus token total
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
