@@ -544,6 +544,16 @@ object Main {
         val id = opt(rest, "id-column").getOrElse("doc_id")
         val result = what match {
           case "exact" => Dedup.exact(df, text, id)
+          case "best" =>
+            // survivor = highest char-entropy copy (micro-unit fixed
+            // point, the q117 contract), not the first occurrence
+            import org.apache.spark.sql.functions._
+            val em = round(round(element_at(graft.functions
+              .SketchExpressions.char_entropy(
+                lower(coalesce(col(text), lit("")))), 2), 6) * 1e6)
+              .cast("long")
+            Dedup.exactBest(df.withColumn("__em", em), text, id, "__em")
+              .drop("__em")
           case "minhash" => Dedup.minhashNearDups(df, text, id,
             numHashes = opt(rest, "hashes").map(_.toInt).getOrElse(128),
             bands = opt(rest, "bands").map(_.toInt).getOrElse(32),
@@ -579,6 +589,31 @@ object Main {
         df.withColumn("split",
           org.apache.spark.sql.functions.when(b < 80, "train")
             .when(b < 90, "validation").otherwise("test"))
+          .write.mode("overwrite").parquet(out)
+
+      //   strat-split in out [--strata lang,source] [--train-pct 80]
+      //   [--val-pct 10]  (EXACT per-stratum proportions via the ranked
+      //   q118 cut — the independent-draw `split` can starve a small
+      //   stratum; this cannot)
+      case "strat-split" =>
+        val Seq(in, out) = rest.take(2)
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val strata = opt(rest, "strata").map(_.split(",").toSeq)
+          .getOrElse(Seq("lang", "source"))
+        graft.ops.Splits.stratified(spark.read.parquet(in), strata, id,
+            trainPct = opt(rest, "train-pct").map(_.toInt).getOrElse(80),
+            valPct = opt(rest, "val-pct").map(_.toInt).getOrElse(10))
+          .write.mode("overwrite").parquet(out)
+
+      //   vocab-coverage in out [--levels 80,90,95,99]  (smallest
+      //   frequency-ranked vocabulary covering p% of token mass)
+      case "vocab-coverage" =>
+        val Seq(in, out) = rest.take(2)
+        val text = opt(rest, "text-column").getOrElse("text")
+        val levels = opt(rest, "levels")
+          .map(_.split(",").toSeq.map(_.trim.toInt))
+          .getOrElse(Seq(80, 90, 95, 99))
+        graft.ops.Vocab.coverageCurve(spark.read.parquet(in), text, levels)
           .write.mode("overwrite").parquet(out)
 
       //   pack in out  (fixed token-capacity context-window assignment)

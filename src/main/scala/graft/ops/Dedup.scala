@@ -74,6 +74,31 @@ object Dedup {
       .select(col("__r.*"))
   }
 
+  /** Quality-aware exact dedup: keep the row with the HIGHEST
+    * `qualityCol` (ties → lowest `idCol`) per digest of keyCol — what a
+    * curation pipeline usually wants instead of [[exact]]'s
+    * first-occurrence rule (the duplicate that survives should be the
+    * best-scored copy, e.g. the un-truncated one). Same skew-safe
+    * shape: ONE map-side-combinable `max_by(row, (quality, -id))`
+    * aggregation, never a digest-partitioned window. `qualityCol` must
+    * be an exact integer (micro-unit fixed point) for an
+    * engine-deterministic winner. With `countCol` set, the duplicate
+    * count per digest rides along in the output.
+    */
+  def exactBest(df: DataFrame, keyCol: String, idCol: String,
+      qualityCol: String, countCol: Option[String] = None): DataFrame = {
+    val cols = df.columns.toSeq
+    val agg = df.withColumn("__h", md5(normalize(col(keyCol))))
+      .groupBy(col("__h"))
+      .agg(max_by(struct(cols.map(col): _*),
+          struct(col(qualityCol), -col(idCol))).as("__r"),
+        count(lit(1)).as("__n"))
+    countCol match {
+      case Some(c) => agg.select(col("__r.*"), col("__n").as(c))
+      case None    => agg.select(col("__r.*"))
+    }
+  }
+
   // ---- MinHash ----------------------------------------------------------
 
   /** Word-level shingles of size k over the normalized text. */

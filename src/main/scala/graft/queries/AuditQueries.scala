@@ -59,15 +59,12 @@ object AuditQueries {
         val ent = round(element_at(SketchExpressions
           .char_entropy(lower(coalesce($"text", lit("")))), 2), 6)
         val base = table(s, dir, "documents")
-          .select($"doc_id", $"source",
-            md5(graft.ops.Dedup.normalize($"text")).as("h"),
+          .select($"doc_id", $"source", $"text",
             round(ent * 1e6).cast("long").as("em"))
-        base.groupBy($"h")
-          .agg(max_by(struct($"doc_id", $"source", $"em"),
-              struct($"em", -$"doc_id")).as("w"),
-            count(lit(1)).as("n_dups"))
-          .select($"w.doc_id".as("doc_id"), $"w.source".as("source"),
-            round($"w.em" / 1e6, 6).as("entropy"), $"n_dups")
+        graft.ops.Dedup.exactBest(base, "text", "doc_id", "em",
+            countCol = Some("n_dups"))
+          .select($"doc_id", $"source", round($"em" / 1e6, 6).as("entropy"),
+            $"n_dups")
           .orderBy($"doc_id")
       },
       Some(raw"""WITH ${GovernanceQueries.entropyCtes},
@@ -96,19 +93,10 @@ object AuditQueries {
       "q118_strat_split",
       (s, dir) => {
         import s.implicits._
-        val base = table(s, dir, "documents")
-          .select($"doc_id", $"lang", $"source", $"n_chars",
-            md5($"doc_id".cast("string")).as("hk"))
-        val ranked = graft.ops.DistWindow.withGroupedRank(base,
-          struct($"lang", $"source"),
-          conv(substring($"hk", 1, 2), 16, 10).cast("long"),
-          Seq($"hk", $"doc_id"), "r")
-        val counts = base.groupBy($"lang", $"source")
-          .agg(count(lit(1)).as("n"))
-        ranked.join(broadcast(counts), Seq("lang", "source"))
-          .withColumn("split",
-            when($"r" * 10 <= $"n" * 8, "train")
-              .when($"r" * 10 <= $"n" * 9, "val").otherwise("test"))
+        graft.ops.Splits.stratified(
+            table(s, dir, "documents")
+              .select($"doc_id", $"lang", $"source", $"n_chars"),
+            Seq("lang", "source"), "doc_id")
           .groupBy($"lang", $"source", $"split")
           .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
           .orderBy($"lang", $"source", $"split")
@@ -122,8 +110,9 @@ object AuditQueries {
             COUNT(*) OVER (PARTITION BY lang, source) AS n
           FROM b),
         s AS (SELECT lang, source,
-            CASE WHEN r * 10 <= n * 8 THEN 'train'
-              WHEN r * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split,
+            CASE WHEN r * 100 <= n * 80 THEN 'train'
+              WHEN r * 100 <= n * 90 THEN 'validation'
+              ELSE 'test' END AS split,
             n_chars
           FROM rk)
         SELECT lang, source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -440,30 +429,8 @@ object AuditQueries {
     // levels.
     QueryDef(
       "q125_vocab_curve",
-      (s, dir) => {
-        import s.implicits._
-        val tc = table(s, dir, "documents")
-          .select(explode(SketchExpressions
-            .term_counts(coalesce($"text", lit("")))).as("t"))
-          .groupBy($"t.term".as("term")).agg(sum($"t.tf").as("cnt"))
-        val keyed = tc.withColumn("__negc", -$"cnt")
-        val ranked = graft.ops.DistWindow.withGlobalRank(keyed,
-          floor($"__negc" / 64L), Seq($"__negc", $"term"), "r")
-        val pre = graft.ops.Packing.withRunningBefore(ranked, "r", "cnt",
-          "__before")
-        val tot = tc.agg(sum($"cnt").as("__t"))
-        pre.crossJoin(broadcast(tot))
-          .select($"r", $"cnt", $"__before", $"__t",
-            explode(array(lit(80), lit(90), lit(95), lit(99))).as("p"))
-          .filter(($"__before" + $"cnt") * 100 >= $"__t" * $"p")
-          .groupBy($"p")
-          .agg(min($"r").as("vocab_size"),
-            min($"__before" + $"cnt").as("tokens_covered"),
-            max($"__t").as("total_tokens"))
-          .select($"p".as("coverage_pct"), $"vocab_size",
-            $"tokens_covered", $"total_tokens")
-          .orderBy($"coverage_pct")
-      },
+      (s, dir) =>
+        graft.ops.Vocab.coverageCurve(table(s, dir, "documents"), "text"),
       Some(raw"""WITH terms AS (SELECT
             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
               t -> t <> '')) AS term

@@ -78,6 +78,72 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  final case class BestState(em: Long, id: Long, lastSeenMs: Long)
+  final case class BestRow(digest: String, doc_id: Long, em: Long)
+
+  /** Streaming twin of `Dedup.exactBest` — quality-aware dedup as an
+    * Update-mode UPSERT keyed by content digest: state per digest is
+    * the current best (quality-micro, id) pair (one tiny record), and a
+    * row is re-emitted only when a strictly better copy arrives — the
+    * q87-twin contract where downstream applies last-write-wins by
+    * digest, so after ordered replay the sink equals the batch
+    * `max_by(row, (quality, -id))` winner. First-arrival CANNOT win by
+    * timing: a better copy later in the stream retroactively replaces
+    * the earlier emit (this is exactly why keep-best cannot use the
+    * emit-once `dropDuplicatesWithinWatermark` shape). State is evicted
+    * at the event-time horizon, the standard bounded-state trade: a
+    * better duplicate arriving after eviction re-emits and downstream
+    * still converges to the best copy seen in either horizon.
+    */
+  def dedupBest(docs: Dataset[Doc],
+      horizon: java.time.Duration = java.time.Duration.ofHours(1))
+      : Dataset[BestRow] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizon.toMillis
+    val keyed = docs.map { d =>
+      // round(round(ent, 6) * 1e6) — the exact batch fixed-point chain
+      // (Spark's round = BigDecimal HALF_UP), so quality keys agree
+      val ent = graft.functions.SketchEval.charEntropy(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (d.text == null) "" else d.text.toLowerCase))
+        .getDouble(1)
+      val em = math.round(BigDecimal(ent)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.ops.Dedup.normalizeText(
+          if (d.text == null) "" else d.text).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (digest, d.doc_id, em, d.ts)
+    }.toDF("digest", "doc_id", "em", "ts")
+    keyed.withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BestState, BestRow](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (digest: String,
+            batch: Iterator[(String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[BestState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(
+              BestState(Long.MinValue, Long.MaxValue, 0L))
+            var changed = false
+            batch.foreach { case (_, id, em, ts) =>
+              st = st.copy(lastSeenMs = math.max(st.lastSeenMs, ts.getTime))
+              // strictly better: higher quality, or equal quality with
+              // a lower id (the batch (em, -id) max_by ordering)
+              if (em > st.em || (em == st.em && id < st.id)) {
+                st = st.copy(em = em, id = id); changed = true
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastSeenMs + horizonMs)
+            if (changed) Iterator(BestRow(digest, st.id, st.em))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Streaming twin of `Dedup.crossDedup` — continuous-ingestion dedup:
     * incoming documents arrive as a stream and are classified against a
     * STATIC base-corpus digest set (a stream-static left join, so the

@@ -87,7 +87,17 @@ object ScaleCurve {
     "q113_funnel",        // one user-keyed combinable agg + array folds
     "q114_ngram_diversity",// (source,gram) pre-agg + combinable rollup
     "q115_delta_ingest",  // digest aggs + gate projection + manifest
-    "q116_budget_curve"   // two-phase prefix sum + combinable budget aggs
+    "q116_budget_curve",  // two-phase prefix sum + combinable budget aggs
+    "q117_dedup_best",    // one combinable max_by winner agg per digest
+    "q118_strat_split",   // (stratum,bucket) two-phase rank + broadcast counts
+    "q119_calibration",   // q81 NB score + one combinable bin agg
+    "q120_ks_drift",      // histogram agg + tiny-table CDF prefix
+    "q121_mix_plan",      // one source agg + 1-row weight broadcasts
+    "q122_winnow_contain",// fingerprint set probe join + source rollup
+    "q123_charclass",     // codegen class counts, one combinable agg
+    "q124_len_pcts",      // grouped two-phase rank + integer percentile cut
+    "q125_vocab_curve",   // global rank + distributed prefix over vocab
+    "q126_dupsize_hist"   // two chained combinable aggregations
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)

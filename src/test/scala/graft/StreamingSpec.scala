@@ -477,6 +477,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // near-dups of eval docs exist in the fixture
   }
 
+  test("streaming keep-best dedup converges to the batch exactBest winner") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sbest")
+    // the fixture has no exact duplicates — plant some: every 10th doc
+    // re-appears twice more under HIGHER ids (later in replay order);
+    // within each planted group the copies tie on quality, so the batch
+    // (em, -id) rule keeps the ORIGINAL lowest id and the streaming
+    // state must refuse the later equal-quality copies
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val dup1 = orig.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val dup2 = orig.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 20000).as("doc_id"), $"text")
+    // punctuation-only suffix: the NORMALIZED digest is unchanged (same
+    // dedup group) but the raw-text char entropy rises, so the batch
+    // winner is this LATE high-id copy — exercising the retroactive
+    // re-emit that emit-once streaming dedup cannot express
+    val dup3 = orig.filter($"doc_id" % 10 === 5)
+      .select(($"doc_id" + 30000).as("doc_id"),
+        concat($"text", lit(" ;;;!!!???")).as("text"))
+    val docs = orig.union(dup1).union(dup2).union(dup3)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    docs.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString + "/in").as[Streaming.Doc]
+    // update-mode upsert: downstream keeps the LAST emission per digest
+    val updates = Streaming.runToCompletion(
+      Streaming.dedupBest(stream).toDF(), "best_test",
+      outputMode = "update").collect().zipWithIndex
+    val got = updates.groupBy(_._1.getString(0))
+      .map { case (dg, arr) =>
+        val r = arr.maxBy(_._2)._1; dg -> (r.getLong(1), r.getLong(2))
+      }
+    // batch winner under the same (em, -id) ordering (the q117 chain)
+    val em = round(round(element_at(graft.functions.SketchExpressions
+      .char_entropy(lower(coalesce($"text", lit("")))), 2), 6) * 1e6)
+      .cast("long")
+    val want = graft.ops.Dedup.exactBest(
+        docs.withColumn("em", em), "text", "doc_id", "em")
+      .withColumn("digest", md5(graft.ops.Dedup.normalize($"text")))
+      .collect().map(r => r.getAs[String]("digest") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("em"))).toMap
+    assert(got == want)
+    assert(got.size < docs.count()) // the planted duplicates collapsed
+    // the retroactive path fired: some winners are the late punctuated
+    // copies, and the tie path held: no equal-quality late copy won
+    assert(got.values.count(_._1 >= 30000) > 0)
+    assert(got.values.count(v => v._1 >= 10000 && v._1 < 30000) == 0)
+  }
+
   test("streaming nb scoring matches the batch train+score under a fixed model") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_snb")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
