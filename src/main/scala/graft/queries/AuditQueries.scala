@@ -493,6 +493,250 @@ object AuditQueries {
           ['1', '2', '3-4', '5-8', '9-16', '17+'][bucket_id + 1] AS bucket,
           CAST(COUNT(*) AS BIGINT) AS n_groups,
           CAST(SUM(c) AS BIGINT) AS n_docs
-        FROM b GROUP BY bucket_id ORDER BY bucket_id"""))
+        FROM b GROUP BY bucket_id ORDER BY bucket_id""")),
+
+    // ---- context-window truncation loss curve (round 8) ----------------
+    // What fraction of corpus tokens is lost truncating every document
+    // at L ∈ {32, 64, 128, 256}? The counterpart of q104's padding
+    // waste: padding argues for SHORTER windows, truncation loss for
+    // LONGER — this pair is the context-length decision. One projection
+    // + explode(limits) + ONE combinable aggregation; the loss fraction
+    // is the single float division, rounded once.
+    QueryDef(
+      "q127_trunc_loss",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select(tokLen($"text").as("tok"))
+          .select($"tok", explode(array(lit(32L), lit(64L), lit(128L),
+            lit(256L))).as("limit"))
+          .groupBy($"limit")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"tok" > $"limit", 1L).otherwise(0L))
+              .as("n_truncated"),
+            sum($"tok").as("tokens_total"),
+            sum(least($"tok", $"limit")).as("tokens_kept"))
+          .select($"limit", $"n_docs", $"n_truncated", $"tokens_total",
+            $"tokens_kept",
+            round(($"tokens_total" - $"tokens_kept").cast("double")
+              / $"tokens_total", 6).as("loss_frac"))
+          .orderBy($"limit")
+      },
+      Some(raw"""WITH base AS (SELECT CAST($tokLenSql AS BIGINT) AS tok
+          FROM documents),
+        x AS (SELECT tok, l.l AS lim
+          FROM base CROSS JOIN (SELECT unnest([32, 64, 128, 256]) AS l) l),
+        ag AS (SELECT lim, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN tok > lim THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_truncated,
+            CAST(SUM(tok) AS BIGINT) AS tokens_total,
+            CAST(SUM(LEAST(tok, lim)) AS BIGINT) AS tokens_kept
+          FROM x GROUP BY lim)
+        SELECT CAST(lim AS BIGINT) AS "limit", n_docs, n_truncated,
+          tokens_total, tokens_kept,
+          ROUND(CAST(tokens_total - tokens_kept AS DOUBLE) / tokens_total,
+            6) AS loss_frac
+        FROM ag ORDER BY "limit" """)),
+
+    // ---- pairwise source fingerprint overlap (round 8) -----------------
+    // Which sources share content? The q122 containment screen asks
+    // "is this NEW doc already in the base"; this asks the governance
+    // question "which pairs of my sources overlap and how much" —
+    // mirror-site detection before mixture weights are set. Distinct
+    // (source, fp) pairs off the certified q70 winnowing kernel, a
+    // fingerprint-keyed self-join whose per-key blowup is bounded by
+    // #sources² (never doc-count), and per-source totals ride a
+    // broadcast sources-sized table. Jaccard rounds once.
+    QueryDef(
+      "q128_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val fps = table(s, dir, "documents")
+          .select($"source",
+            explode(SketchExpressions.winnow($"text", 3, 4)).as("fp"))
+          .distinct()
+        val shared = fps.as("x").join(fps.as("y"),
+            col("x.fp") === col("y.fp") &&
+              col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"),
+            col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("shared"))
+        val totals = fps.groupBy($"source").agg(count(lit(1)).as("nf"))
+        shared
+          .join(broadcast(totals.select($"source".as("src_a"),
+            $"nf".as("na"))), Seq("src_a"))
+          .join(broadcast(totals.select($"source".as("src_b"),
+            $"nf".as("nb"))), Seq("src_b"))
+          .select($"src_a", $"src_b", $"shared", $"na", $"nb",
+            round($"shared".cast("double") / ($"na" + $"nb" - $"shared"),
+              6).as("jaccard"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(raw"""WITH $winnowCtes,
+        sf AS (SELECT DISTINCT source, fp FROM fpt),
+        sh AS (SELECT x.source AS src_a, y.source AS src_b,
+            CAST(COUNT(*) AS BIGINT) AS shared
+          FROM sf x JOIN sf y ON x.fp = y.fp AND x.source < y.source
+          GROUP BY 1, 2),
+        tots AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nf
+          FROM sf GROUP BY source)
+        SELECT src_a, src_b, shared, ta.nf AS na, tb.nf AS nb,
+          ROUND(CAST(shared AS DOUBLE) / (ta.nf + tb.nf - shared), 6)
+            AS jaccard
+        FROM sh JOIN tots ta ON sh.src_a = ta.source
+        JOIN tots tb ON sh.src_b = tb.source
+        ORDER BY src_a, src_b""")),
+
+    // ---- embedding sanity report (round 8) -----------------------------
+    // The cheap pre-flight before any vector op: per label — count,
+    // zero-norm vectors (dead encoder outputs), and the norm
+    // distribution (min/mean/max). Each vector's L2 norm is computed by
+    // the same left-fold sum both engines execute in array order and
+    // rounded ONCE to micro units, so min/max/mean all ride exact
+    // BIGINTs. One zero-shuffle projection + ONE combinable agg.
+    QueryDef(
+      "q129_embed_sanity",
+      (s, dir) => {
+        import s.implicits._
+        val nu = round(sqrt(aggregate(
+            transform($"embedding", x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)) * 1e6).cast("long")
+        table(s, dir, "embeddings")
+          .select($"label", nu.as("nu"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when($"nu" === 0L, 1L).otherwise(0L)).as("n_zero"),
+            min($"nu").as("__mn"), max($"nu").as("__mx"),
+            sum($"nu").as("__sm"))
+          .select($"label", $"n_vecs", $"n_zero",
+            round($"__mn" / 1e6, 6).as("min_norm"),
+            round($"__sm".cast("double") / $"n_vecs" / 1e6, 6)
+              .as("mean_norm"),
+            round($"__mx" / 1e6, 6).as("max_norm"))
+          .orderBy($"label")
+      },
+      Some(raw"""WITH v AS (SELECT label,
+            CAST(ROUND(SQRT(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000.0)
+              AS BIGINT) AS nu
+          FROM embeddings),
+        ag AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            CAST(SUM(CASE WHEN nu = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_zero,
+            MIN(nu) AS mn, MAX(nu) AS mx, CAST(SUM(nu) AS BIGINT) AS sm
+          FROM v GROUP BY label)
+        SELECT label, n_vecs, n_zero,
+          ROUND(mn / 1000000.0, 6) AS min_norm,
+          ROUND(CAST(sm AS DOUBLE) / n_vecs / 1000000.0, 6) AS mean_norm,
+          ROUND(mx / 1000000.0, 6) AS max_norm
+        FROM ag ORDER BY label""")),
+
+    // ---- feature-hash collision audit (round 8) ------------------------
+    // The q75/q78/q81 trainers hash terms into 256 feature buckets; a
+    // pathologically loaded bucket silently degrades every model built
+    // on it. Report the 10 most-loaded buckets (distinct terms + total
+    // occurrences) under the exact q81 hash formula. Vocab-sized
+    // combinable count (the q125 shape) → 256-row bucket agg → bounded
+    // TakeOrdered: nothing corpus-sized crosses the wire.
+    QueryDef(
+      "q130_hash_audit",
+      (s, dir) => {
+        import s.implicits._
+        val tc = table(s, dir, "documents")
+          .select(explode(SketchExpressions
+            .term_counts(coalesce($"text", lit("")))).as("t"))
+          .groupBy($"t.term".as("term")).agg(sum($"t.tf").as("cnt"))
+        tc.select(
+            (conv(substring(md5($"term"), 1, 6), 16, 10).cast("long")
+              % 256).as("f"), $"cnt")
+          .groupBy($"f")
+          .agg(count(lit(1)).as("n_terms"), sum($"cnt").as("total_tf"))
+          .orderBy($"n_terms".desc, $"f")
+          .limit(10)
+      },
+      Some(raw"""WITH terms AS (SELECT
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM terms GROUP BY term),
+        fx AS (SELECT
+            CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 256 AS f,
+            cnt
+          FROM tc),
+        ag AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_terms,
+            CAST(SUM(cnt) AS BIGINT) AS total_tf
+          FROM fx GROUP BY f)
+        SELECT f, n_terms, total_tf FROM ag
+        ORDER BY n_terms DESC, f LIMIT 10""")),
+
+    // ---- shard-manifest rollup certification (round 8) -----------------
+    // The operational promise behind q93: per-delivery manifests roll
+    // up to the corpus manifest WITHOUT rescanning documents, because
+    // every manifest column combines associatively (sum/min/max/
+    // bit_xor) and md5%32 refines md5%8. Certify it end-to-end: build
+    // 32-shard manifests, merge them into 8 super-shards, and compare
+    // against the direct 8-shard manifest — both engines run BOTH
+    // paths and emit the per-shard equality verdict.
+    QueryDef(
+      "q131_manifest_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val rolled = graft.ops.Shards.manifest(docs, "text", "doc_id", 32)
+          .groupBy(($"shard" % 8).as("shard"))
+          .agg(sum($"n_docs").as("n_docs"),
+            min($"min_doc_id").as("min_doc_id"),
+            max($"max_doc_id").as("max_doc_id"),
+            sum($"n_tokens").as("n_tokens"),
+            sum($"n_chars").as("n_chars"),
+            expr("bit_xor(content_sig)").as("content_sig"))
+        val direct = graft.ops.Shards.manifest(docs, "text", "doc_id", 8)
+          .select($"shard", $"n_docs".as("d_docs"),
+            $"min_doc_id".as("d_min"), $"max_doc_id".as("d_max"),
+            $"n_tokens".as("d_tok"), $"n_chars".as("d_ch"),
+            $"content_sig".as("d_sig"))
+        rolled.join(direct, Seq("shard"))
+          .select($"shard", $"n_docs", $"min_doc_id", $"max_doc_id",
+            $"n_tokens", $"n_chars", $"content_sig",
+            ($"n_docs" === $"d_docs" && $"min_doc_id" === $"d_min" &&
+              $"max_doc_id" === $"d_max" && $"n_tokens" === $"d_tok" &&
+              $"n_chars" === $"d_ch" && $"content_sig" === $"d_sig")
+              .as("consistent"))
+          .orderBy($"shard")
+      },
+      Some(raw"""WITH d AS (SELECT
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS shard32,
+            doc_id,
+            CAST($tokLenSql AS BIGINT) AS tok,
+            CAST(length(text) AS BIGINT) AS ch,
+            CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sig
+          FROM documents),
+        m32 AS (SELECT shard32, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+            CAST(SUM(tok) AS BIGINT) AS tk, CAST(SUM(ch) AS BIGINT) AS c,
+            bit_xor(sig) AS sg
+          FROM d GROUP BY shard32),
+        rolled AS (SELECT shard32 % 8 AS shard,
+            CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+            MIN(mn) AS min_doc_id, MAX(mx) AS max_doc_id,
+            CAST(SUM(tk) AS BIGINT) AS n_tokens,
+            CAST(SUM(c) AS BIGINT) AS n_chars,
+            bit_xor(sg) AS content_sig
+          FROM m32 GROUP BY 1),
+        direct AS (SELECT shard32 % 8 AS shard,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+            CAST(SUM(tok) AS BIGINT) AS tk, CAST(SUM(ch) AS BIGINT) AS c,
+            bit_xor(sig) AS sg
+          FROM d GROUP BY 1)
+        SELECT r.shard, r.n_docs, r.min_doc_id, r.max_doc_id, r.n_tokens,
+          r.n_chars, r.content_sig,
+          (r.n_docs = dd.n_docs AND r.min_doc_id = dd.mn
+            AND r.max_doc_id = dd.mx AND r.n_tokens = dd.tk
+            AND r.n_chars = dd.c AND r.content_sig = dd.sg) AS consistent
+        FROM rolled r JOIN direct dd ON r.shard = dd.shard
+        ORDER BY r.shard"""))
   )
 }

@@ -97,7 +97,12 @@ object ScaleCurve {
     "q123_charclass",     // codegen class counts, one combinable agg
     "q124_len_pcts",      // grouped two-phase rank + integer percentile cut
     "q125_vocab_curve",   // global rank + distributed prefix over vocab
-    "q126_dupsize_hist"   // two chained combinable aggregations
+    "q126_dupsize_hist",  // two chained combinable aggregations
+    "q127_trunc_loss",    // one projection + explode(4) + combinable agg
+    "q128_source_overlap",// fp-keyed join, blowup bounded by #sources^2
+    "q129_embed_sanity",  // zero-shuffle norm fold + combinable agg
+    "q130_hash_audit",    // vocab-sized count + 256-bucket agg + top-10
+    "q131_manifest_rollup"// two manifest paths, shards-only shuffle
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -107,7 +112,7 @@ object ScaleCurve {
   private val embQueries = Set("q51_kmeans", "q59_ann_sq8", "q63_ann_pq",
     "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
     "q89_abtt", "q95_embed_outliers", "q100_hard_negatives",
-    "q108_matryoshka", "q111_embed_decontam")
+    "q108_matryoshka", "q111_embed_decontam", "q129_embed_sanity")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(
