@@ -382,6 +382,51 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  /** Per-document distinct (w1, w2, count) bigram rows in one pass —
+    * the pair-level sibling of [[termCounts]]: `explode(bigram_counts)`
+    * replaces the explode-pairs → groupBy(doc, w1, w2) corpus shuffle
+    * with a map-side per-document aggregation (the doc id is part of
+    * that group key, so the shuffle only ever combined rows that were
+    * already partition-local — pure wasted exchange). Empty for
+    * documents with < 2 tokens, matching `len(toks) >= 2`.
+    */
+  def bigramCounts(s: UTF8String): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < 2) return new GenericArrayData(new Array[Any](0))
+    // nested maps (never a delimited composite key: a token may contain
+    // any non-whitespace char, so no in-band separator is collision-free)
+    val m = new java.util.LinkedHashMap[String,
+      java.util.LinkedHashMap[String, Array[Long]]]()
+    var i = 0
+    var nPairs = 0
+    while (i < toks.length - 1) {
+      var inner = m.get(toks(i))
+      if (inner == null) {
+        inner = new java.util.LinkedHashMap[String, Array[Long]]()
+        m.put(toks(i), inner)
+      }
+      val c = inner.get(toks(i + 1))
+      if (c == null) { inner.put(toks(i + 1), Array(1L)); nPairs += 1 }
+      else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](nPairs)
+    var j = 0
+    val it1 = m.entrySet().iterator()
+    while (it1.hasNext) {
+      val e1 = it1.next()
+      val w1 = UTF8String.fromString(e1.getKey)
+      val it2 = e1.getValue.entrySet().iterator()
+      while (it2.hasNext) {
+        val e2 = it2.next()
+        out(j) = new GenericInternalRow(Array[Any](
+          w1, UTF8String.fromString(e2.getKey), e2.getValue()(0)))
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Dedup text normalization in ONE linear scan: lowercase, map every
     * char outside [a-z0-9] to a separator, collapse separator runs to a
     * single space, trim. Exactly equivalent to the regex chain
@@ -1331,6 +1376,27 @@ object SketchExpressions {
 
   def term_counts(text: Column): Column =
     GraftBridge.column(TermCounts(GraftBridge.expression(text)))
+
+  /** Per-document [(w1, w2, c)] bigram rows (see SketchEval.bigramCounts). */
+  case class BigramCounts(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("w1", StringType, nullable = false),
+        StructField("w2", StringType, nullable = false),
+        StructField("c", LongType, nullable = false))),
+      containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.bigramCounts(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.bigramCounts($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def bigram_counts(text: Column): Column =
+    GraftBridge.column(BigramCounts(GraftBridge.expression(text)))
 
   /** One-pass dedup normalization (see SketchEval.normText). */
   case class NormText(child: Expression)

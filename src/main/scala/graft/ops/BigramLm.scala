@@ -30,15 +30,15 @@ object BigramLm {
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
     val carryCols: Seq[Column] = carry.map(col)
     val keyCols: Seq[Column] = col(docId) +: carryCols
+    // per-doc pair counts come straight off the scan via the
+    // bigram_counts kernel — ZERO shuffle (round 8; the previous
+    // explode → groupBy(doc, w1, w2) exchange only ever combined rows
+    // that were already partition-local, since doc was part of the key)
     val bg = docs
-      .select((keyCols :+ toks.as("toks")): _*)
-      .filter(size(col("toks")) >= 2)
-      .select((keyCols :+ explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg")): _*)
-      .groupBy((keyCols :+ col("bg.w1") :+ col("bg.w2")): _*)
-      .agg(count(lit(1)).as("c"))
+      .select((keyCols :+ explode(graft.functions.SketchExpressions
+        .bigram_counts(col(textCol))).as("b")): _*)
+      .select((keyCols :+ col("b.w1").as("w1") :+ col("b.w2").as("w2")
+        :+ col("b.c").as("c")): _*)
     // V = distinct successor tokens, from a token-slice projection
     // (positions 2..n of docs with >= 2 tokens) — the same set bg's w2
     // column holds, without re-deriving the pair relation for a scalar

@@ -83,7 +83,12 @@ object DistWindow {
     val parted = df.withColumn("__bkt", bucket)
     val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
     val local = parted.withColumn("__rn", row_number().over(w))
-    val counts = parted.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+    // per-bucket count = max(row_number) over the SAME bucket exchange
+    // the window already built — a groupBy on `parted` would hang a
+    // second (partial-agg) exchange off the un-exchanged input and
+    // recompute the whole upstream subtree; off `local`, ReuseExchange
+    // shares one shuffle between the window and the count (round 8)
+    val counts = local.groupBy(col("__bkt")).agg(max(col("__rn")).as("__n"))
     // pmod rather than lit(0): see withLag1 — the single partition is the
     // point (one row per bucket), but a literal spec would fold back into
     // the warn-on-no-partition path.
@@ -111,20 +116,32 @@ object DistWindow {
     * group (same contract as [[withGlobalRank]]).
     */
   def withGroupedRank(df: DataFrame, group: Column, bucket: Column,
-      orderCols: Seq[Column], outCol: String): DataFrame = {
+      orderCols: Seq[Column], outCol: String,
+      groupTotalCol: Option[String] = None): DataFrame = {
     val parted = df.withColumn("__grp", group).withColumn("__bkt", bucket)
     val w = Window.partitionBy(col("__grp"), col("__bkt"))
       .orderBy(orderCols: _*)
     val local = parted.withColumn("__rn", row_number().over(w))
-    val counts = parted.groupBy(col("__grp"), col("__bkt"))
-      .agg(count(lit(1)).as("__n"))
+    // count via max(row_number) off `local`: shares the window's
+    // exchange instead of recomputing the upstream (see withGlobalRank)
+    val counts = local.groupBy(col("__grp"), col("__bkt"))
+      .agg(max(col("__rn")).as("__n"))
     val wB = Window.partitionBy(col("__grp"))
       .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
       .select(col("__grp"), col("__bkt"), col("__off"))
-    local.join(broadcast(offsets), Seq("__grp", "__bkt"))
+    val ranked = local.join(broadcast(offsets), Seq("__grp", "__bkt"))
       .withColumn(outCol, col("__off") + col("__rn"))
-      .drop("__grp", "__bkt", "__rn", "__off")
+    // group total off the SAME tiny count table (rank-vs-n cuts — the
+    // q106/q118/q124 consumers — would otherwise pay a second pass over
+    // `df` plus its own broadcast join)
+    val withTot = groupTotalCol match {
+      case Some(gt) =>
+        val tots = counts.groupBy(col("__grp")).agg(sum(col("__n")).as(gt))
+        ranked.join(broadcast(tots), Seq("__grp"))
+      case None => ranked
+    }
+    withTot.drop("__grp", "__bkt", "__rn", "__off")
   }
 }

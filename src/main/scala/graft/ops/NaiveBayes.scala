@@ -32,15 +32,19 @@ import graft.functions.SketchExpressions
 object NaiveBayes {
 
   /** Train on `label` (1.0 = positive class) and score every document.
-    * Returns (idCol, nb_score, pred_en) — rounded log-likelihood ratio
-    * and its sign.
+    * Returns (idCol, carry..., nb_score, pred_en) — rounded
+    * log-likelihood ratio and its sign. `carry` columns ride the cached
+    * scoring projection for free (a consumer that needs the label next
+    * to the score — q119's calibration — would otherwise pay a
+    * corpus-sized self-join on the id).
     */
   def trainScore(docs: DataFrame, textCol: String, label: Column,
-      idCol: String = "doc_id", dims: Int = 256): DataFrame = {
-    val (prep, w) = trainCore(docs, textCol, label, idCol, dims)
-    prep.select(col(idCol),
+      idCol: String = "doc_id", dims: Int = 256,
+      carry: Seq[String] = Nil): DataFrame = {
+    val (prep, w) = trainCore(docs, textCol, label, idCol, dims, carry)
+    prep.select((col(idCol) +: carry.map(col) :+
         round(SketchExpressions.dot_weights(col("__fs"), w), 6)
-          .as("nb_score"))
+          .as("nb_score")): _*)
       .withColumn("pred_en", col("nb_score") > 0)
   }
 
@@ -50,19 +54,20 @@ object NaiveBayes {
     */
   def trainWeights(docs: DataFrame, textCol: String, label: Column,
       idCol: String = "doc_id", dims: Int = 256): Array[Double] = {
-    val (prep, w) = trainCore(docs, textCol, label, idCol, dims)
+    val (prep, w) = trainCore(docs, textCol, label, idCol, dims, Nil)
     prep.unpersist(false)
     w
   }
 
   private def trainCore(docs: DataFrame, textCol: String, label: Column,
-      idCol: String, dims: Int): (DataFrame, Array[Double]) = {
+      idCol: String, dims: Int,
+      carry: Seq[String]): (DataFrame, Array[Double]) = {
     val fs = SketchExpressions.token_hash_counts(
       coalesce(col(textCol), lit("")), dims)
     // one cached sparse projection feeds the count job AND the scoring
     // delivery — per-token hashing is paid once (the q75/q78 contract)
-    val prep = docs.select(col(idCol), label.cast("double").as("__y"),
-        fs.as("__fs"))
+    val prep = docs.select((col(idCol) +: carry.map(col) :+
+        label.cast("double").as("__y") :+ fs.as("__fs")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // training = ONE aggregation: explode the sparse rows, per-feature
     // per-class sums (map-side combinable — at most dims+1 keys cross

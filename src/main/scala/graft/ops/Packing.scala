@@ -24,6 +24,9 @@ object Packing {
   /** Add `outCol` = exclusive running sum of `valCol` under the global
     * ORDER BY `orderCol` (numeric, must be unique for determinism), with
     * no window task seeing more than ~`chunk` rows when keys are dense.
+    * `valCol` must be non-negative (token counts, sizes — true of every
+    * caller): the single-exchange bucket-total trick below reads the
+    * total as the max of the inclusive running sum.
     */
   def withRunningBefore(df: DataFrame, orderCol: String, valCol: String,
       outCol: String, chunk: Long = 65536L): DataFrame = {
@@ -36,7 +39,14 @@ object Packing {
     // One row per non-empty bucket; the constant-partition window runs
     // over THIS tiny table only (pmod rather than lit(0) — Catalyst
     // folds literal specs back into the warn-on-no-partition path).
-    val totals = parted.groupBy(col("__bkt")).agg(sum(col(valCol)).as("__tot"))
+    // Bucket total = max(exclusive-prefix + value) over the SAME
+    // exchange the prefix window built (values are counts/sizes ≥ 0 for
+    // every caller, so the running inclusive sum is nondecreasing and
+    // its max IS the total) — a groupBy on `parted` would hang a second
+    // partial-agg exchange off the un-exchanged input and recompute the
+    // whole upstream subtree (round 8; ReuseExchange shares one shuffle)
+    val totals = local.groupBy(col("__bkt"))
+      .agg(max(col("__loc") + col(valCol)).as("__tot"))
     val wB = Window.partitionBy(pmod(col("__bkt"), lit(1)))
       .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals

@@ -32,10 +32,9 @@ object Splits {
     val base = df.withColumn("__hk", md5(col(idCol).cast("string")))
     val ranked = DistWindow.withGroupedRank(base, stratum,
       conv(substring(col("__hk"), 1, 2), 16, 10).cast("long"),
-      Seq(col("__hk"), col(idCol)), "__r")
-    val counts = base.groupBy(strataCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-    ranked.join(broadcast(counts), strataCols)
+      Seq(col("__hk"), col(idCol)), "__r",
+      groupTotalCol = Some("__n"))
+    ranked
       .withColumn(outCol,
         when(col("__r") * 100 <= col("__n") * trainPct, "train")
           .when(col("__r") * 100 <= col("__n") * (trainPct + valPct),

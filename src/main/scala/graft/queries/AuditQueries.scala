@@ -133,10 +133,12 @@ object AuditQueries {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
+        // the label rides the cached scoring projection (carry) — no
+        // corpus-sized self-join on doc_id
         val scored = graft.ops.NaiveBayes.trainScore(docs, "text",
-          when($"lang" === "en", 1.0).otherwise(0.0), dims = 256)
-        val lab = docs.select($"doc_id", ($"lang" === "en").as("y"))
-        scored.join(lab, Seq("doc_id"))
+          when($"lang" === "en", 1.0).otherwise(0.0), dims = 256,
+          carry = Seq("lang"))
+        scored.withColumn("y", $"lang" === "en")
           .select(
             least(greatest(floor($"nb_score").cast("long"), lit(-5L)),
               lit(5L)).as("bin"),
@@ -390,9 +392,9 @@ object AuditQueries {
         val base = table(s, dir, "documents")
           .select($"lang", $"doc_id", tokLen($"text").as("len"))
         val ranked = graft.ops.DistWindow.withGroupedRank(base, $"lang",
-          floor($"len" / 64L), Seq($"len", $"doc_id"), "r")
-        val counts = base.groupBy($"lang").agg(count(lit(1)).as("n"))
-        ranked.join(broadcast(counts), Seq("lang"))
+          floor($"len" / 64L), Seq($"len", $"doc_id"), "r",
+          groupTotalCol = Some("n"))
+        ranked
           .select($"lang", $"r", $"len", $"n",
             explode(array(lit(50), lit(90), lit(99))).as("p"))
           .filter($"r" * 100 >= $"n" * $"p" &&

@@ -311,15 +311,20 @@ object CurationQueries {
       "q106_ppl_buckets",
       (s, dir) => {
         import s.implicits._
+        // lazy checkpoint at the LM boundary: the ranked/count/join
+        // consumers below would otherwise each replay the whole bigram
+        // scoring chain (measured 8 scans / 30 exchanges in the final
+        // plan) — materialized once, they read a ~20-byte row instead
         val scored = graft.ops.BigramLm
           .scoreDocs(table(s, dir, "documents"), "text", "doc_id",
             carry = Seq("lang"))
           .select($"doc_id", $"lang",
             round($"avg_neg_logp" * 1e6).cast("long").as("sk"))
+          .localCheckpoint(false)
         val ranked = graft.ops.DistWindow.withGroupedRank(scored, $"lang",
-          floor($"sk" / 4096L).cast("long"), Seq($"sk", $"doc_id"), "rank")
-        val nPer = ranked.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
-        ranked.join(broadcast(nPer), Seq("lang"))
+          floor($"sk" / 4096L).cast("long"), Seq($"sk", $"doc_id"), "rank",
+          groupTotalCol = Some("n_lang"))
+        ranked
           .withColumn("tercile", expr("((rank - 1) * 3) div n_lang"))
           .groupBy($"lang", $"tercile")
           .agg(count(lit(1)).as("n_docs"),

@@ -180,9 +180,15 @@ object GovernanceQueries {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
+        // grams cross the wire as 60-bit md5 slices, not strings: the
+        // (source, gram) exchange carries 8-byte longs whatever the
+        // shingle text length, and both engines hash identically so the
+        // distinct/df counts stay exactly replayable (round 8)
         val pre = docs.select($"source",
             explode(graft.functions.SketchExpressions
-              .word_shingles($"text", 3)).as("g"))
+              .word_shingles($"text", 3)).as("g0"))
+          .select($"source",
+            conv(substring(md5($"g0"), 1, 15), 16, 10).cast("long").as("g"))
           .groupBy($"source", $"g").agg(count(lit(1)).as("df"))
         val per = pre.groupBy($"source")
           .agg(count(lit(1)).as("n_distinct"), max($"df").as("top_df"))
@@ -207,7 +213,9 @@ object GovernanceQueries {
             END AS sset,
             CASE WHEN len(toks) < 3 THEN 0 ELSE len(toks) - 2 END AS occ
           FROM d0),
-        ex AS (SELECT source, unnest(sset) AS g FROM sh),
+        ex AS (SELECT source,
+            CAST(('0x' || substr(md5(unnest(sset)), 1, 15)) AS BIGINT) AS g
+          FROM sh),
         pre AS (SELECT source, g, COUNT(*) AS df FROM ex GROUP BY source, g),
         per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
             CAST(MAX(df) AS BIGINT) AS top_df FROM pre GROUP BY source),
