@@ -17,6 +17,9 @@ import graft.functions.SketchExpressions
   */
 object AuditQueries {
 
+  private def sqlList(ws: Seq[String]) =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
   /** Token count under the corpus tokenization (q116/q93 fragment). */
   private def tokLen(c: org.apache.spark.sql.Column) =
     size(filter(split(c, "\\s+"), t => t =!= "")).cast("long")
@@ -739,6 +742,238 @@ object AuditQueries {
             AND r.max_doc_id = dd.mx AND r.n_tokens = dd.tk
             AND r.n_chars = dd.c AND r.content_sig = dd.sg) AS consistent
         FROM rolled r JOIN direct dd ON r.shard = dd.shard
-        ORDER BY r.shard"""))
+        ORDER BY r.shard""")),
+
+    // ---- composed audit chain (round 8) --------------------------------
+    // The round-8 operators as ONE production pipeline: quality-aware
+    // dedup (q117's best-copy winner) → Gopher gate (q103) → exact
+    // stratified split (q118) → per-split training manifest (q93's
+    // totals + order-independent content signature). One lazy plan end
+    // to end; a single oracle replays every stage from the fragments
+    // q117/q103/q118/q93 certify individually — the q115 pattern for
+    // the audit layer.
+    QueryDef(
+      "q132_audit_chain",
+      (s, dir) => {
+        import s.implicits._
+        val ent = round(element_at(SketchExpressions
+          .char_entropy(lower(coalesce($"text", lit("")))), 2), 6)
+        val base = table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"text",
+            round(ent * 1e6).cast("long").as("em"))
+        val surv = graft.ops.Dedup.exactBest(base, "text", "doc_id", "em")
+        val gated = graft.ops.Gopher.withRules(surv, "text")
+          .filter($"pass")
+          .select($"doc_id", $"lang", $"source", $"text")
+        val split = graft.ops.Splits.stratified(gated,
+          Seq("lang", "source"), "doc_id")
+        split.select($"split", $"doc_id", tokLen($"text").as("tok"),
+            length($"text").cast("long").as("ch"),
+            conv(substring(md5($"text"), 1, 15), 16, 10).cast("long")
+              .as("sig"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("min_doc_id"),
+            max($"doc_id").as("max_doc_id"),
+            sum($"tok").as("n_tokens"), sum($"ch").as("n_chars"),
+            expr("bit_xor(sig)").as("content_sig"))
+          .orderBy($"split")
+      },
+      Some(raw"""WITH ${GovernanceQueries.entropyCtes},
+        base AS (SELECT d.doc_id, d.lang, d.source, d.text,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+            CAST(ROUND(COALESCE(e0.ent, 0.0) * 1000000.0) AS BIGINT) AS em
+          FROM documents d LEFT JOIN e0 ON d.doc_id = e0.doc_id),
+        win AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+            ORDER BY em DESC, doc_id) AS dr FROM base),
+        sv AS (SELECT doc_id, lang, source, text FROM win WHERE dr = 1),
+        gr AS (SELECT doc_id, lang, source, text,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '') AS toks,
+            CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+              AS wl,
+            CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS nsym
+          FROM sv),
+        gv AS (SELECT doc_id, lang, source, text,
+            CAST(len(toks) AS BIGINT) AS n, wl, nsym,
+            CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+              AS BIGINT) AS nalpha,
+            CAST(len(list_intersect(list_distinct(toks),
+              ${sqlList(graft.ops.Gopher.stopwords)})) AS BIGINT) AS nstop
+          FROM gr),
+        g AS (SELECT doc_id, lang, source, text FROM gv
+          WHERE n >= 50 AND n <= 100000
+            AND wl >= 3 * n AND wl <= 10 * n
+            AND nalpha * 5 >= n * 4
+            AND nstop >= 2
+            AND nsym * 10 <= n),
+        rk AS (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY lang, source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+            COUNT(*) OVER (PARTITION BY lang, source) AS nn
+          FROM g),
+        sp AS (SELECT doc_id, text,
+            CASE WHEN r * 100 <= nn * 80 THEN 'train'
+              WHEN r * 100 <= nn * 90 THEN 'validation'
+              ELSE 'test' END AS split
+          FROM rk),
+        m AS (SELECT split, doc_id,
+            CAST($tokLenSql AS BIGINT) AS tok,
+            CAST(length(text) AS BIGINT) AS ch,
+            CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sig
+          FROM sp)
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(ch) AS BIGINT) AS n_chars,
+          bit_xor(sig) AS content_sig
+        FROM m GROUP BY split ORDER BY split""")),
+
+    // ---- delivery OOV rate vs base vocabulary (round 8) ----------------
+    // Tokenizer health on delta ingest: what fraction of the new
+    // delivery's token occurrences (and distinct terms) is absent from
+    // the base corpus' vocabulary, per source? High OOV = the delivery
+    // is off-distribution for the trained tokenizer/embedding table.
+    // Shape: vocab-sized (source, term) pre-aggregation off the
+    // term_counts kernel, one hash join against the base's distinct
+    // terms, sources-sized rollup — terms cross the wire, documents
+    // never do.
+    QueryDef(
+      "q133_oov_rate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        def termsOf(d: org.apache.spark.sql.DataFrame) = d
+          .select($"source", explode(SketchExpressions
+            .term_counts(coalesce($"text", lit("")))).as("t"))
+          .select($"source", $"t.term".as("term"), $"t.tf".as("tf"))
+        val baseVocab = termsOf(docs.filter($"doc_id" % 3 === 0))
+          .select($"term".as("bterm")).distinct()
+        val del = termsOf(docs.filter($"doc_id" % 3 =!= 0))
+          .groupBy($"source", $"term").agg(sum($"tf").as("tf"))
+        del.join(baseVocab, $"term" === $"bterm", "left")
+          .groupBy($"source")
+          .agg(sum($"tf").as("n_tokens"),
+            sum(when($"bterm".isNull, $"tf").otherwise(0L))
+              .as("n_oov_tokens"),
+            count(lit(1)).as("n_terms"),
+            sum(when($"bterm".isNull, 1L).otherwise(0L)).as("n_oov_terms"))
+          .select($"source", $"n_tokens", $"n_oov_tokens", $"n_terms",
+            $"n_oov_terms",
+            round($"n_oov_tokens".cast("double") / $"n_tokens", 6)
+              .as("oov_rate"))
+          .orderBy($"source")
+      },
+      Some(raw"""WITH tm AS (SELECT doc_id, source,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        bv AS (SELECT DISTINCT term FROM tm WHERE doc_id % 3 = 0),
+        del AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tm WHERE doc_id % 3 <> 0 GROUP BY source, term),
+        j AS (SELECT del.source, del.term, del.tf,
+            bv.term IS NOT NULL AS known
+          FROM del LEFT JOIN bv ON del.term = bv.term)
+        SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN known THEN 0 ELSE tf END) AS BIGINT)
+            AS n_oov_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_terms,
+          CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_oov_terms,
+          ROUND(CAST(SUM(CASE WHEN known THEN 0 ELSE tf END) AS DOUBLE)
+            / SUM(tf), 6) AS oov_rate
+        FROM j GROUP BY source ORDER BY source""")),
+
+    // ---- rank-fusion quality blend (round 8) ---------------------------
+    // Borda-count fusion of two quality signals — entropy rank and
+    // length rank — into one selection order (rank fusion sidesteps the
+    // scale-mismatch of averaging raw scores; reciprocal-rank and Borda
+    // are the standard text-retrieval recipes). Both ranks come from
+    // the two-phase global rank applied SEQUENTIALLY on one relation
+    // (each pass adds a column — no corpus self-join), the fused key is
+    // an exact integer sum, and the top-20 delivery is a bounded
+    // TakeOrdered.
+    QueryDef(
+      "q134_rank_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val ent = round(element_at(SketchExpressions
+          .char_entropy(lower(coalesce($"text", lit("")))), 2), 6)
+        val base = table(s, dir, "documents")
+          .select($"doc_id", round(ent * 1e6).cast("long").as("em"),
+            tokLen($"text").as("len"))
+        val r1 = graft.ops.DistWindow.withGlobalRank(
+          base.withColumn("__k1", -$"em"),
+          floor($"__k1" / 4096L), Seq($"__k1", $"doc_id"), "r_ent")
+        val r2 = graft.ops.DistWindow.withGlobalRank(
+          r1.withColumn("__k2", -$"len"),
+          floor($"__k2" / 64L), Seq($"__k2", $"doc_id"), "r_len")
+        r2.select($"doc_id", $"r_ent", $"r_len",
+            ($"r_ent" + $"r_len").as("borda"))
+          .orderBy($"borda", $"doc_id")
+          .limit(20)
+      },
+      Some(raw"""WITH ${GovernanceQueries.entropyCtes},
+        base AS (SELECT d.doc_id,
+            CAST(ROUND(COALESCE(e0.ent, 0.0) * 1000000.0) AS BIGINT) AS em,
+            CAST($tokLenSql AS BIGINT) AS len
+          FROM documents d LEFT JOIN e0 ON d.doc_id = e0.doc_id),
+        rk AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY em DESC, doc_id) AS r_ent,
+            ROW_NUMBER() OVER (ORDER BY len DESC, doc_id) AS r_len
+          FROM base)
+        SELECT doc_id, r_ent, r_len, r_ent + r_len AS borda
+        FROM rk ORDER BY borda, doc_id LIMIT 20""")),
+
+    // ---- eval-contamination evidence report (round 8) ------------------
+    // q50 decides "how contaminated is each training doc"; an auditor
+    // also needs the EVIDENCE: for each eval doc, which training doc
+    // matches it hardest and by how much. Shingle match via one hash
+    // equi-join against the (small, broadcast) eval shingle set, then
+    // ONE combinable max_by per eval doc — no per-eval window, no
+    // quadratic stage; only eval docs with at least one match appear.
+    QueryDef(
+      "q135_eval_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val sh = SketchExpressions.word_shingles($"text", 4)
+        val evalSh = docs.filter($"doc_id" % 50 === 0)
+          .select($"doc_id".as("eval_id"), explode(sh).as("sg"))
+        val trainSh = docs.filter($"doc_id" % 50 =!= 0)
+          .select($"doc_id".as("train_id"), explode(sh).as("sg"))
+        trainSh.join(broadcast(evalSh), Seq("sg"))
+          .groupBy($"eval_id", $"train_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .groupBy($"eval_id")
+          .agg(max_by(struct($"train_id", $"n_shared"),
+            struct($"n_shared", -$"train_id")).as("w"))
+          .select($"eval_id", $"w.train_id".as("best_train_id"),
+            $"w.n_shared".as("n_shared"))
+          .orderBy($"eval_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        sh AS (SELECT doc_id,
+            unnest(CASE WHEN len(toks) < 4 THEN []
+              ELSE list_distinct(list_transform(range(len(toks) - 3),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                  || ' ' || toks[i+4])) END) AS sg
+          FROM t),
+        ev AS (SELECT doc_id AS eval_id, sg FROM sh WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id AS train_id, sg FROM sh
+          WHERE doc_id % 50 <> 0),
+        pairs AS (SELECT eval_id, train_id, CAST(COUNT(*) AS BIGINT)
+            AS n_shared
+          FROM tr JOIN ev ON tr.sg = ev.sg GROUP BY eval_id, train_id),
+        best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+            ORDER BY n_shared DESC, train_id) AS r FROM pairs)
+        SELECT eval_id, train_id AS best_train_id, n_shared
+        FROM best WHERE r = 1 ORDER BY eval_id"""))
   )
 }

@@ -102,7 +102,11 @@ object ScaleCurve {
     "q128_source_overlap",// fp-keyed join, blowup bounded by #sources^2
     "q129_embed_sanity",  // zero-shuffle norm fold + combinable agg
     "q130_hash_audit",    // vocab-sized count + 256-bucket agg + top-10
-    "q131_manifest_rollup"// two manifest paths, shards-only shuffle
+    "q131_manifest_rollup",// two manifest paths, shards-only shuffle
+    "q132_audit_chain",   // dedup-best -> gate -> split -> manifest, one plan
+    "q133_oov_rate",      // vocab-sized pre-agg + one base-vocab hash join
+    "q134_rank_fusion",   // two sequential two-phase ranks + bounded top-20
+    "q135_eval_nearest"   // broadcast eval shingles + combinable max_by
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
