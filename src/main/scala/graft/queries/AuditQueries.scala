@@ -902,9 +902,14 @@ object AuditQueries {
         import s.implicits._
         val ent = round(element_at(SketchExpressions
           .char_entropy(lower(coalesce($"text", lit("")))), 2), 6)
+        // lazy checkpoint: the two rank recipes fork their input (rank
+        // join + count branch each), which without it replays the
+        // entropy kernel scan four times (measured 4 scans in the final
+        // plan); materialized, consumers read a 24-byte row
         val base = table(s, dir, "documents")
           .select($"doc_id", round(ent * 1e6).cast("long").as("em"),
             tokLen($"text").as("len"))
+          .localCheckpoint(false)
         val r1 = graft.ops.DistWindow.withGlobalRank(
           base.withColumn("__k1", -$"em"),
           floor($"__k1" / 4096L), Seq($"__k1", $"doc_id"), "r_ent")
