@@ -517,6 +517,96 @@ object Main {
           else scored.filter(col("max_sim_u") < tauU).drop("max_sim_u")
         result.write.mode("overwrite").parquet(out)
 
+      //   ks-drift a b out  (exact two-sample KS over token lengths
+      //   between two corpora — the q120 drift alarm as a CLI stage)
+      case "ks-drift" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val Seq(inA, inB, out) = rest.take(3)
+        val text = opt(rest, "text-column").getOrElse("text")
+        def lens(p: String, a: Boolean) = spark.read.parquet(p)
+          .select(lit(a).as("a"),
+            size(filter(split(col(text), "\\s+"), t => t =!= ""))
+              .cast("long").as("len"))
+        val base = lens(inA, a = true).union(lens(inB, a = false))
+        val hist = base.groupBy(col("len"))
+          .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+            sum(when(col("a"), 0L).otherwise(1L)).as("nb"))
+        val w = Window.partitionBy(pmod(col("len"), lit(1)))
+          .orderBy(col("len"))
+        val cum = hist.withColumn("ca", sum(col("na")).over(w))
+          .withColumn("cb", sum(col("nb")).over(w))
+        val tot = base.agg(sum(when(col("a"), 1L).otherwise(0L)).as("ta"),
+          sum(when(col("a"), 0L).otherwise(1L)).as("tb"))
+        val d = cum.crossJoin(broadcast(tot))
+          .withColumn("d", abs(col("ca") * col("tb") - col("cb") * col("ta")))
+        val mx = d.agg(max(col("d")).as("m"))
+        d.crossJoin(broadcast(mx)).filter(col("d") === col("m"))
+          .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+            max(col("d")).as("__d"), min(col("len")).as("ks_at_len"))
+          .select(col("n_a"), col("n_b"),
+            round(col("__d").cast("double") / col("n_a") / col("n_b"), 6)
+              .as("ks_stat"), col("ks_at_len"))
+          .write.mode("overwrite").parquet(out)
+
+      //   mix-plan in out [--budget-pct 50] [--cap-pct 30]  (per-source
+      //   sampling plan under a token budget with a source cap — q121)
+      case "mix-plan" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val text = opt(rest, "text-column").getOrElse("text")
+        val src = opt(rest, "source-column").getOrElse("source")
+        val budget = opt(rest, "budget-pct").map(_.toLong).getOrElse(50L)
+        val cap = opt(rest, "cap-pct").map(_.toLong).getOrElse(30L)
+        val avail = spark.read.parquet(in)
+          .select(col(src).as("source"),
+            size(filter(split(col(text), "\\s+"), t => t =!= ""))
+              .cast("long").as("tok"))
+          .groupBy(col("source")).agg(sum(col("tok")).as("avail_tokens"))
+        val tot = avail.agg(sum(col("avail_tokens")).as("__t"))
+        val w = avail.crossJoin(broadcast(tot))
+          .withColumn("w", least(col("avail_tokens") * 100,
+            col("__t") * cap))
+        val sw = w.agg(sum(col("w")).as("__w"))
+        w.crossJoin(broadcast(sw))
+          .withColumn("target_tokens",
+            round(col("__t").cast("double") * (budget / 100.0) * col("w")
+              / col("__w")).cast("long"))
+          .select(col("source"), col("avail_tokens"), col("target_tokens"),
+            round(least(lit(1.0), col("target_tokens").cast("double")
+              / col("avail_tokens")), 6).as("rate"),
+            (col("target_tokens") > col("avail_tokens")).as("upsample"))
+          .orderBy(col("source"))
+          .write.mode("overwrite").parquet(out)
+
+      //   oov-rate base delivery out  (per-source OOV vs base vocab — q133)
+      case "oov-rate" =>
+        import org.apache.spark.sql.functions._
+        val Seq(inBase, inDel, out) = rest.take(3)
+        val text = opt(rest, "text-column").getOrElse("text")
+        val src = opt(rest, "source-column").getOrElse("source")
+        def termsOf(p: String) = spark.read.parquet(p)
+          .select(col(src).as("source"),
+            explode(graft.functions.SketchExpressions
+              .term_counts(coalesce(col(text), lit("")))).as("t"))
+          .select(col("source"), col("t.term").as("term"),
+            col("t.tf").as("tf"))
+        val bv = termsOf(inBase).select(col("term").as("bterm")).distinct()
+        termsOf(inDel).groupBy(col("source"), col("term"))
+          .agg(sum(col("tf")).as("tf"))
+          .join(bv, col("term") === col("bterm"), "left")
+          .groupBy(col("source"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(when(col("bterm").isNull, col("tf")).otherwise(0L))
+              .as("n_oov_tokens"),
+            count(lit(1)).as("n_terms"),
+            sum(when(col("bterm").isNull, 1L).otherwise(0L))
+              .as("n_oov_terms"))
+          .withColumn("oov_rate",
+            round(col("n_oov_tokens").cast("double") / col("n_tokens"), 6))
+          .orderBy(col("source"))
+          .write.mode("overwrite").parquet(out)
+
       //   funnel in out --steps view,click,purchase [--horizon-days 7]
       //   (per-user ordered-sequence completion times)
       case "funnel" =>

@@ -556,6 +556,78 @@ class CliSpec extends AnyFunSuite {
       s"user 2 clicked before viewing: $fr")
   }
 
+  test("dedup-best, strat-split, vocab-coverage, ks-drift, mix-plan and oov-rate commands") {
+    import spark.implicits._
+    val dir = tmp("r8bcli")
+
+    // dedup best: two copies of the same normalized text — the
+    // higher-entropy (punctuated) HIGHER id copy must survive
+    Seq((0L, "srcA", "alpha beta gamma delta"),
+        (1L, "srcA", "alpha beta; gamma delta!?"),
+        (2L, "srcB", "another unrelated document text"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/docs.parquet")
+    Main.run(spark, Seq("dedup", "best", s"$dir/docs.parquet",
+      s"$dir/best.parquet"))
+    val best = spark.read.parquet(s"$dir/best.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(1L, 2L), s"best=$best")
+
+    // strat-split: exact 80/10/10 per stratum on a 20-doc stratum
+    (0 until 20).map(i => (i.toLong, "en", "s1", "w"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/strat_in.parquet")
+    Main.run(spark, Seq("strat-split", s"$dir/strat_in.parquet",
+      s"$dir/strat_out.parquet"))
+    val bySplit = spark.read.parquet(s"$dir/strat_out.parquet")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit == Map("train" -> 16L, "validation" -> 2L, "test" -> 2L),
+      s"splits=$bySplit")
+
+    // vocab-coverage: 'a' x9 + 'b' x1 -> 80% needs 1 term, 99% needs 2
+    Seq((0L, "a a a a a a a a a b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/vc_in.parquet")
+    Main.run(spark, Seq("vocab-coverage", s"$dir/vc_in.parquet",
+      s"$dir/vc_out.parquet", "--levels", "80,99"))
+    val vc = spark.read.parquet(s"$dir/vc_out.parquet")
+      .orderBy("coverage_pct")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(vc == Seq((80, 1L), (99, 2L)), s"vc=$vc")
+
+    // ks-drift: a corpus against itself -> KS = 0
+    Main.run(spark, Seq("ks-drift", s"$dir/docs.parquet",
+      s"$dir/docs.parquet", s"$dir/ks.parquet"))
+    assert(spark.read.parquet(s"$dir/ks.parquet")
+      .head().getAs[Double]("ks_stat") == 0.0)
+
+    // mix-plan: one dominant source capped at 30% of total weight; the
+    // small sources upsample toward the 50% budget
+    val plan = {
+      Main.run(spark, Seq("mix-plan", s"$dir/docs.parquet",
+        s"$dir/plan.parquet"))
+      spark.read.parquet(s"$dir/plan.parquet")
+    }
+    val rows = plan.collect().map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("target_tokens")).toMap
+    assert(rows.keySet == Set("srcA", "srcB"))
+    assert(plan.agg(org.apache.spark.sql.functions.sum("target_tokens"))
+      .head().getLong(0) > 0)
+
+    // oov-rate: delivery introduces one unseen term out of four
+    Seq((0L, "s1", "alpha beta gamma")).toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/base.parquet")
+    Seq((1L, "s1", "alpha beta gamma NEWTOKEN"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/del.parquet")
+    Main.run(spark, Seq("oov-rate", s"$dir/base.parquet",
+      s"$dir/del.parquet", s"$dir/oov.parquet"))
+    val oov = spark.read.parquet(s"$dir/oov.parquet").head()
+    assert(oov.getAs[Long]("n_tokens") == 4 &&
+      oov.getAs[Long]("n_oov_tokens") == 1 &&
+      oov.getAs[Double]("oov_rate") == 0.25)
+  }
+
   test("jsonl round-trip and gopher-gate commands") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
