@@ -599,6 +599,98 @@ object Streaming {
       }
   }
 
+  final case class DriftState(counts: Map[Long, Long], lastSeenMs: Long)
+  final case class DriftRow(window_start: java.sql.Timestamp, n_window: Long,
+      n_ref: Long, ks_stat: Double, ks_at_len: Long)
+
+  /** Streaming twin of the q120 KS drift alarm: a CONTINUOUS
+    * distribution monitor. Documents arrive with event time; per
+    * tumbling window the keyed state holds the token-length histogram
+    * (bounded by distinct lengths — the q120 insight that the corpus
+    * collapses to a histogram — and hard-capped by `maxLens` with a
+    * loud warning), and every update re-emits the window's exact
+    * two-sample KS against a FIXED reference histogram (the
+    * between-restarts artifact, built batch-side from the accepted
+    * corpus). Update-mode upsert by window; after ordered replay the
+    * final emission per window equals the batch q120 formula computed
+    * on that window's documents — parity-tested in StreamingSpec. Same
+    * integer discipline: the sup is an exact cross-multiplied BIGINT;
+    * the single float division happens at emission.
+    */
+  def lengthDrift(docs: DataFrame, textCol: String, tsCol: String,
+      ref: Map[Long, Long], windowLen: String = "1 hour",
+      watermark: String = "1 hour", maxLens: Int = 65536)
+      : Dataset[DriftRow] = {
+    import docs.sparkSession.implicits._
+    val refN = ref.values.sum
+    def ks(counts: Map[Long, Long]): (Long, Double, Long) = {
+      val n = counts.values.sum
+      val lens = (counts.keySet ++ ref.keySet).toArray.sorted
+      var ca = 0L; var cb = 0L; var best = 0L; var bestLen = 0L
+      lens.foreach { l =>
+        ca += counts.getOrElse(l, 0L)
+        cb += ref.getOrElse(l, 0L)
+        val d = math.abs(ca * refN - cb * n)
+        if (d > best) { best = d; bestLen = l }
+      }
+      val stat = if (n == 0 || refN == 0) 0.0
+        else {
+          val raw = best.toDouble / n / refN
+          // one rounding at the edge (the q120 contract)
+          BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        }
+      (n, stat, bestLen)
+    }
+    val evs = docs
+      .withColumn("__len", size(filter(split(col(textCol), "\\s+"),
+        t => t =!= "")).cast("long"))
+      .withColumn("__w", window(col(tsCol), windowLen))
+      .select(col("__w.start").as("ws"), col("__len"), col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(java.sql.Timestamp, Long, java.sql.Timestamp)]
+    evs.groupByKey(_._1.getTime)
+      .flatMapGroupsWithState[DriftState, DriftRow](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long,
+            batch: Iterator[(java.sql.Timestamp, Long, java.sql.Timestamp)],
+            state: GroupState[DriftState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(DriftState(Map.empty, 0L))
+            var counts = st.counts
+            var lastMs = st.lastSeenMs
+            batch.foreach { case (_, len, ts) =>
+              lastMs = math.max(lastMs, ts.getTime)
+              if (counts.size < maxLens || counts.contains(len))
+                counts = counts.updated(len, counts.getOrElse(len, 0L) + 1L)
+              else
+                org.slf4j.LoggerFactory.getLogger(Streaming.getClass)
+                  .warn(s"lengthDrift window $wsMs exceeded maxLens=" +
+                    s"$maxLens distinct lengths; dropping new-length rows" +
+                    " from the histogram (KS becomes approximate)")
+            }
+            state.update(DriftState(counts, lastMs))
+            state.setTimeoutTimestamp(lastMs + 3600000L)
+            val (n, stat, atLen) = ks(counts)
+            Iterator(DriftRow(new java.sql.Timestamp(wsMs), n, refN,
+              stat, atLen))
+          }
+      }
+  }
+
+  /** Batch-side reference-histogram builder for [[lengthDrift]] — the
+    * artifact a deployment computes once over the accepted corpus and
+    * ships to the monitor.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String): Map[Long, Long] = {
+    import org.apache.spark.sql.functions.{col => c}
+    docs.select(size(filter(split(c(textCol), "\\s+"),
+        t => t =!= "")).cast("long").as("len"))
+      .groupBy(c("len")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   final case class Scored(grp: String, id: Long, score: Double)
   final case class TopKState(items: List[(Double, Long)])
   final case class TopKRow(grp: String, rank: Int, id: Long, score: Double)

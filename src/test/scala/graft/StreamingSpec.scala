@@ -528,6 +528,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.count(v => v._1 >= 10000 && v._1 < 30000) == 0)
   }
 
+  test("streaming length-drift monitor matches the batch KS per window") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_drift")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    // reference = the "accepted corpus" histogram artifact
+    val ref = Streaming.lengthHistogram(docs.filter($"doc_id" % 3 === 0), "text")
+    // delivery stream: two 1-hour windows of new docs
+    val delivery = docs.filter($"doc_id" % 3 =!= 0)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) +
+        when($"doc_id" % 2 === 0, 0L).otherwise(3600L)))
+    delivery.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(delivery.schema)
+      .parquet(streamDir.toString + "/in")
+    val updates = Streaming.runToCompletion(
+      Streaming.lengthDrift(stream, "text", "ts", ref).toDF(),
+      "drift_test", outputMode = "update").collect().zipWithIndex
+    val finals = updates.groupBy(_._1.getTimestamp(0))
+      .map { case (ws, arr) =>
+        val r = arr.maxBy(_._2)._1
+        ws.getTime -> (r.getLong(1), r.getDouble(3), r.getLong(4))
+      }
+    assert(finals.size == 2)
+
+    // batch expectation per window: the q120 integer formula between
+    // the window's docs and the reference histogram
+    val refDf = ref.toSeq.toDF("len", "nb")
+    finals.foreach { case (wsMs, (nGot, ksGot, atGot)) =>
+      val slice = delivery.filter(unix_micros($"ts") / 1000L === wsMs ||
+          (unix_micros($"ts") / 1000L >= wsMs &&
+            unix_micros($"ts") / 1000L < wsMs + 3600000L))
+        .select(size(filter(split($"text", "\\s+"), t => t =!= ""))
+          .cast("long").as("len"))
+      val hist = slice.groupBy($"len").agg(count(lit(1)).as("na"))
+        .join(refDf.withColumnRenamed("len", "rlen"),
+          $"len" === $"rlen", "full")
+        .select(coalesce($"len", $"rlen").as("l"),
+          coalesce($"na", lit(0L)).as("na"),
+          coalesce($"nb", lit(0L)).as("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod($"l", lit(1))).orderBy($"l")
+      val tot = slice.count()
+      val refN = ref.values.sum
+      val cum = hist.withColumn("ca", sum($"na").over(w))
+        .withColumn("cb", sum($"nb").over(w))
+        .withColumn("d", abs($"ca" * refN - $"cb" * tot))
+      val mx = cum.agg(max($"d")).head().getLong(0)
+      val atLen = cum.filter($"d" === mx).agg(min($"l")).head().getLong(0)
+      val ksWant = BigDecimal(mx.toDouble / tot / refN)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nGot == tot, s"window $wsMs n: $nGot vs $tot")
+      assert(ksGot == ksWant, s"window $wsMs ks: $ksGot vs $ksWant")
+      assert(atGot == atLen, s"window $wsMs at: $atGot vs $atLen")
+      assert(ksGot > 0.0) // slices genuinely differ in this fixture
+    }
+  }
+
   test("streaming nb scoring matches the batch train+score under a fixed model") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_snb")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
