@@ -26,7 +26,8 @@ object SparkEntry {
     GeoQueries.defs,
     CurationQueries.defs,
     GovernanceQueries.defs,
-    AuditQueries.defs
+    AuditQueries.defs,
+    BehaviorQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = {

@@ -138,6 +138,46 @@ object SketchEval {
   def randProject(v: ArrayData, nPlanes: Int): ArrayData =
     new GenericArrayData(graft.ops.Ann.signProjectAD(v, nPlanes))
 
+  /** Positional 60-bit gram hashes: index i of the result is the hash of
+    * the k-word gram starting at token i (lowercased, whitespace-split).
+    * Unlike [[wordShingles]] this keeps EVERY occurrence in order, so a
+    * consumer can reason about spans (consecutive indices = consecutive
+    * grams). Hash parity with the relational idiom both engines share:
+    * `CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)` — the first 60
+    * bits of md5, always non-negative.
+    */
+  def gramHashSeq(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(s)
+    val m = toks.length - k + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out(i) = java.lang.Long.valueOf(md5Long60(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First 60 bits of md5 as a long — identical to parsing the first 15
+    * lowercase-hex chars (big-endian first 8 bytes, shifted right 4).
+    */
+  private def md5Long60(s: String): Long = {
+    val d = md5Local.get().digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   // MessageDigest is stateful and not thread-safe; one per task thread
   // (the graft.ops.Dedup convention)
   private val md5Local =
@@ -1237,6 +1277,23 @@ object SketchExpressions {
 
   def word_shingles(text: Column, k: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), k))
+
+  /** Positional 60-bit k-gram hashes ([[SketchEval.gramHashSeq]]). */
+  case class GramHashSeq(child: Expression, k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.gramHashSeq(s.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.gramHashSeq($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def gram_hash_seq(text: Column, k: Int): Column =
+    GraftBridge.column(GramHashSeq(GraftBridge.expression(text), k))
 
   /** Rademacher random-projection values of a float-array column
     * ([[SketchEval.randProject]] — same ±1 family as [[LshSignature]]).

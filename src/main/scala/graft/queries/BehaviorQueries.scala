@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.DistWindow
+import QueryDef.table
+import JoinQueries.events
+
+/** Event-behavior analytics (beyond the reference): the product-side
+  * measurement layer over the events stream — cohort retention, Markov
+  * transition structure, RFM value segmentation, robust (median/MAD)
+  * anomaly gating — plus a cross-document repeated-span screen on the
+  * corpus side (the exact-substring complement of the q70 winnowing
+  * family). House rules as everywhere: rank and threshold on exact
+  * integers (basis points via integer division, micros/cents for
+  * money), keep every corpus-sized aggregation map-side combinable,
+  * never hang an unpartitioned window on a data-sized relation.
+  */
+object BehaviorQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- weekly cohort retention matrix --------------------------------
+    // Cohort = a user's first active epoch-week; cell (cohort, offset) =
+    // distinct users of that cohort active offset weeks later;
+    // retention in basis points against the cohort's own week-0 size.
+    // ONE user-keyed exchange carries everything: min(week) and the
+    // distinct active-week set are partial-aggregated map-side, and the
+    // per-user state is bounded by the CALENDAR (#weeks in the corpus
+    // window), not by the user's event count — a 10M-event user costs
+    // the same handful of week longs as a 10-event one. The
+    // retention-vs-week-0 window runs on the aggregated cohort×offset
+    // table (calendar² rows).
+    QueryDef(
+      "q136_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val wk = expr("unix_timestamp(ts) DIV 604800")
+        val per = events(s, dir).select($"user_id", wk.as("wk"))
+          .groupBy($"user_id")
+          .agg(min($"wk").as("cohort_week"), collect_set($"wk").as("wks"))
+        val cells = per
+          .select($"cohort_week", explode($"wks").as("wk"))
+          .select($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+        val wC = Window.partitionBy($"cohort_week")
+        cells
+          .withColumn("n0",
+            max(when($"week_offset" === 0, $"n_users")).over(wC))
+          .withColumn("retention_bp", expr("n_users * 10000 DIV n0"))
+          .drop("n0")
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk
+          FROM events),
+        c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id),
+        cell AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+            COUNT(*) AS n_users
+          FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        SELECT cohort_week, week_offset, n_users,
+          CAST(n_users * 10000 // (MAX(CASE WHEN week_offset = 0
+            THEN n_users END) OVER (PARTITION BY cohort_week)) AS BIGINT)
+            AS retention_bp
+        FROM cell ORDER BY cohort_week, week_offset""")),
+
+    // ---- event-type Markov transition matrix ---------------------------
+    // Next-event structure: P(to | from) over consecutive events per
+    // user, in basis points. The lead() window partitions by user_id
+    // (high cardinality — the q19 sessionize precedent); the transition
+    // counts are map-side combinable and the row-total normalization
+    // runs on the |types|² aggregate only.
+    QueryDef(
+      "q137_markov_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        events(s, dir)
+          .withColumn("to_type", lead($"event_type", 1).over(w))
+          .filter($"to_type".isNotNull)
+          .select($"event_type".as("from_type"), $"to_type")
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p_bp", expr(
+            "n * 10000 DIV (sum(n) OVER (PARTITION BY from_type))"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+            LEAD(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+          FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          CAST(n * 10000 // (SUM(n) OVER (PARTITION BY from_type))
+            AS BIGINT) AS p_bp
+        FROM c ORDER BY from_type, to_type""")),
+
+    // ---- RFM value segmentation ----------------------------------------
+    // Classic recency/frequency/monetary quartile grid over purchasers.
+    // The corpus collapses to one row per purchasing user with ONE
+    // combinable aggregation; the three quartile ranks then run on that
+    // users-sized table via DistWindow.withGlobalRank (two-phase bucket
+    // rank — no task ever serializes the whole user population), with
+    // quartile cuts as exact integer rank inequalities so both engines
+    // place boundary users identically. Quartile 1 = most recent /
+    // least frequent / smallest spend; code RFM = r*100 + f*10 + m.
+    QueryDef(
+      "q138_rfm_segments",
+      (s, dir) => {
+        import s.implicits._
+        val e = events(s, dir)
+        val p = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(max(unix_timestamp($"ts")).as("last_s"),
+            count(lit(1)).as("freq"),
+            sum(round($"value" * 100).cast("long")).as("mon_c"))
+        val anchor = e.agg(max(unix_timestamp($"ts")).as("anchor_s"))
+        val nu = p.agg(count(lit(1)).as("nu"))
+        val r0 = p.crossJoin(broadcast(anchor))
+          .withColumn("rec_d", expr("(anchor_s - last_s) DIV 86400"))
+        val r1 = DistWindow.withGlobalRank(r0, col("rec_d"),
+          Seq(col("rec_d"), col("user_id")), "rr")
+        val r2 = DistWindow.withGlobalRank(r1, col("freq"),
+          Seq(col("freq"), col("user_id")), "fr")
+        val r3 = DistWindow.withGlobalRank(r2,
+          floor(col("mon_c") / 10000.0).cast("long"),
+          Seq(col("mon_c"), col("user_id")), "mr")
+        r3.crossJoin(broadcast(nu))
+          .select(expr("((rr-1)*4 DIV nu + 1)*100 + ((fr-1)*4 DIV nu + 1)*10" +
+            " + ((mr-1)*4 DIV nu + 1)").as("rfm_code"), $"mon_c")
+          .groupBy("rfm_code")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"mon_c").as("total_monetary_cents"))
+          .orderBy("rfm_code")
+      },
+      Some("""WITH p AS (SELECT user_id,
+            MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS last_s,
+            COUNT(*) AS freq,
+            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS mon_c
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        a AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+            AS anchor_s FROM events),
+        n AS (SELECT COUNT(*) AS nu FROM p),
+        r AS (SELECT user_id, freq, mon_c,
+            (anchor_s - last_s) // 86400 AS rec_d FROM p CROSS JOIN a),
+        rk AS (SELECT user_id, freq, mon_c, rec_d,
+            ROW_NUMBER() OVER (ORDER BY rec_d, user_id) AS rr,
+            ROW_NUMBER() OVER (ORDER BY freq, user_id) AS fr,
+            ROW_NUMBER() OVER (ORDER BY mon_c, user_id) AS mr
+          FROM r),
+        qs AS (SELECT mon_c,
+            ((rr-1)*4)//nu + 1 AS rq, ((fr-1)*4)//nu + 1 AS fq,
+            ((mr-1)*4)//nu + 1 AS mq
+          FROM rk CROSS JOIN n)
+        SELECT CAST(rq*100 + fq*10 + mq AS BIGINT) AS rfm_code,
+          COUNT(*) AS n_users,
+          CAST(SUM(mon_c) AS BIGINT) AS total_monetary_cents
+        FROM qs GROUP BY 1 ORDER BY rfm_code""")),
+
+    // ---- robust (median/MAD) anomaly gate ------------------------------
+    // Per event type: exact lower median and MAD of the value stream in
+    // micros, and the count of events beyond 3×MAD — the outlier gate a
+    // telemetry pipeline runs where mean/stddev would let one spike
+    // poison its own threshold. Both medians come from
+    // DistWindow.withGroupedRank ((type, value-bucket) windows +
+    // broadcast offsets — no task serializes an event type) with the
+    // element picked by the exact rank inequality rn = (n+1) DIV 2; the
+    // per-type medians/MADs are broadcast back (|types| rows by
+    // semantics — an enum, not an id space).
+    QueryDef(
+      "q139_anomaly_robust",
+      (s, dir) => {
+        import s.implicits._
+        val e2 = events(s, dir).select($"event_id", $"event_type",
+          expr("CAST(ROUND(value * 1000000) AS BIGINT)").as("v"))
+        val r1 = DistWindow.withGroupedRank(e2, col("event_type"),
+          floor(col("v") / 1000000.0).cast("long"),
+          Seq(col("v"), col("event_id")), "rn", Some("n"))
+        val med = r1.filter(expr("rn = (n + 1) DIV 2"))
+          .select($"event_type", $"v".as("med_mi"), $"n")
+        val d = e2.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs($"v" - $"med_mi"))
+        val r2 = DistWindow.withGroupedRank(d, col("event_type"),
+          floor(col("dev") / 1000000.0).cast("long"),
+          Seq(col("dev"), col("event_id")), "rn2")
+        val mad = r2.filter(expr("rn2 = (n + 1) DIV 2"))
+          .select($"event_type", $"dev".as("mad_mi"))
+        d.join(broadcast(mad), Seq("event_type"))
+          .withColumn("an", when($"dev" > $"mad_mi" * 3, 1L).otherwise(0L))
+          .groupBy("event_type")
+          .agg(max($"n").as("n_events"), max($"med_mi").as("median_micro"),
+            max($"mad_mi").as("mad_micro"), sum($"an").as("n_anomalies"))
+          .withColumn("anomaly_bp", expr("n_anomalies * 10000 DIV n_events"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+            CAST(ROUND(value * 1000000) AS BIGINT) AS v FROM events),
+        r1 AS (SELECT event_type, event_id, v,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY v, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+        med AS (SELECT event_type, v AS med_mi, n FROM r1
+          WHERE rn = (n + 1) // 2),
+        d AS (SELECT e.event_type, e.event_id,
+            ABS(e.v - m.med_mi) AS dev, m.med_mi, m.n
+          FROM e JOIN med m USING (event_type)),
+        r2 AS (SELECT event_type, dev, n,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY dev, event_id) AS rn FROM d),
+        mad AS (SELECT event_type, dev AS mad_mi FROM r2
+          WHERE rn = (n + 1) // 2),
+        f AS (SELECT d.event_type, d.med_mi, d.n, m2.mad_mi,
+            CASE WHEN d.dev > 3 * m2.mad_mi THEN 1 ELSE 0 END AS an
+          FROM d JOIN mad m2 USING (event_type))
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+          CAST(MAX(med_mi) AS BIGINT) AS median_micro,
+          CAST(MAX(mad_mi) AS BIGINT) AS mad_micro,
+          CAST(SUM(an) AS BIGINT) AS n_anomalies,
+          CAST(SUM(an) * 10000 // MAX(n) AS BIGINT) AS anomaly_bp
+        FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- cross-document repeated spans (exact-substring screen) --------
+    // The exact complement of q70's sampled winnowing: maximal runs of
+    // ≥ 12 consecutive shared tokens between document pairs, found by
+    // matching positional 8-token gram hashes and chaining consecutive
+    // matches along each alignment diagonal (ia − ib) with the
+    // rank-islands trick. Grams cross the wire as positional 60-bit
+    // md5 slices from ONE codegen kernel pass (gram_hash_seq); the
+    // document-frequency cap (2..16 docs) bounds the equi-join fanout —
+    // hotter grams are boilerplate, which q87 strips by design — and
+    // every window partitions by (pair, diagonal), whose group size is
+    // bounded by a document's token count, never by corpus size.
+    QueryDef(
+      "q140_repeated_spans",
+      (s, dir) => {
+        graft.ops.Spans
+          .repeatedSpans(table(s, dir, "documents"), "text", "doc_id",
+            k = 8, minSpan = 12, dfCap = 16)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        gl AS (SELECT doc_id, list_transform(range(len(toks) - 7),
+            i -> CAST(('0x' || substr(md5(array_to_string(
+              list_slice(toks, i + 1, i + 8), ' ')), 1, 15)) AS BIGINT))
+            AS gs
+          FROM t WHERE len(toks) >= 8),
+        gpos AS (SELECT doc_id, unnest(list_transform(range(len(gs)),
+            i -> {'pos': i, 'g': gs[i + 1]}), recursive := true)
+          FROM gl),
+        dfc AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+            FROM gpos GROUP BY g) WHERE nd BETWEEN 2 AND 16),
+        m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.pos - b.pos AS diag, a.pos AS ia
+          FROM gpos a JOIN gpos b USING (g) JOIN dfc USING (g)
+          WHERE a.doc_id < b.doc_id),
+        runs AS (SELECT doc_a, doc_b, diag, ia,
+            ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+              ORDER BY ia) AS grp
+          FROM m),
+        r2 AS (SELECT doc_a, doc_b, diag, grp, COUNT(*) AS run,
+            MIN(ia) AS start_a
+          FROM runs GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, CAST(MAX(run + 7) AS BIGINT) AS max_span_tokens,
+          COUNT(*) AS n_spans, CAST(MIN(start_a) AS BIGINT) AS first_pos_a
+        FROM r2 WHERE run >= 5 GROUP BY doc_a, doc_b
+        ORDER BY doc_a, doc_b"""))
+  )
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Directed contracts for the event-behavior operators (q136–q140)
+  * beyond the oracle hash-gate: retention/transition probability
+  * invariants, quartile balance, a brute-force median/MAD cross-check,
+  * and known-span recovery for the repeated-span screen.
+  */
+class BehaviorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("gram_hash_seq is positional and md5-slice-compatible") {
+    val df = Seq("a b c d", "x", "").toDF("t")
+      .select(graft.functions.SketchExpressions.gram_hash_seq($"t", 3).as("g"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(1).isEmpty && rows(2).isEmpty)
+    // positional: 2 grams for 4 tokens at k=3, in order, matching the
+    // relational conv(substr(md5(gram),1,15)) idiom exactly
+    val expect = Seq("a b c", "b c d").map { s =>
+      spark.range(1).select(
+        conv(substring(md5(lit(s)), 1, 15), 16, 10).cast("long"))
+        .head().getLong(0)
+    }
+    assert(rows(0) == expect)
+  }
+
+  test("retention: every cohort anchors at offset 0 with 10000 bp") {
+    val rows = run("q136_retention_cohorts").collect()
+    val byCohort = rows.groupBy(_.getLong(0))
+    assert(byCohort.nonEmpty)
+    byCohort.foreach { case (_, rs) =>
+      val r0 = rs.filter(_.getLong(1) == 0L)
+      assert(r0.length == 1 && r0.head.getLong(3) == 10000L)
+      // retention never exceeds the cohort size; offsets non-negative
+      assert(rs.forall(r => r.getLong(3) <= 10000L && r.getLong(1) >= 0L))
+    }
+  }
+
+  test("markov: per-from probabilities floor-sum to within rounding of 10000") {
+    val rows = run("q137_markov_transitions").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      // each of the |to| terms loses < 1 bp to floor division
+      assert(s <= 10000L && s > 10000L - rs.length)
+    }
+  }
+
+  test("rfm: quartile digits in 1..4 and user total preserved") {
+    val rows = run("q138_rfm_segments").collect()
+    val nUsers = rows.map(_.getLong(1)).sum
+    val purchasers = graft.queries.JoinQueries.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    assert(nUsers == purchasers)
+    rows.foreach { r =>
+      val code = r.getLong(0)
+      val (rq, fq, mq) = (code / 100, (code / 10) % 10, code % 10)
+      assert(Seq(rq, fq, mq).forall(d => d >= 1 && d <= 4), s"code $code")
+    }
+  }
+
+  test("anomaly gate matches a brute-force median/MAD per type") {
+    val got = run("q139_anomaly_robust").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = graft.queries.JoinQueries.events(spark, dir)
+      .select($"event_type", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    val brute = ev.groupBy(_._1).map { case (t, rs) =>
+      // lower median under the exact (v, event_id) order — the oracle's
+      // rn = (n+1) DIV 2 element
+      def medOf(xs: Seq[(Long, Long)]): Long = {
+        val sorted = xs.sortBy(identity)
+        sorted(((xs.size + 1) / 2) - 1)._1
+      }
+      val n = rs.length.toLong
+      val med = medOf(rs.map(r => (r._3, r._2)).toSeq)
+      val mad = medOf(rs.map(r => (math.abs(r._3 - med), r._2)).toSeq)
+      val an = rs.count(r => math.abs(r._3 - med) > 3 * mad).toLong
+      t -> ((n, med, mad, an))
+    }
+    assert(got == brute)
+  }
+
+  test("repeatedSpans recovers a planted 15-token shared span exactly") {
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val shared = words("s", 15)
+    val a = (words("a", 10) ++ shared ++ words("b", 10)).mkString(" ")
+    val b = (words("c", 4) ++ shared ++ words("d", 7)).mkString(" ")
+    val c = words("e", 30).mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = graft.ops.Spans
+      .repeatedSpans(df, "text", "doc_id", k = 8, minSpan = 12, dfCap = 16)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 15L, "max_span_tokens")
+    assert(r.getLong(3) == 1L, "n_spans")
+    assert(r.getLong(4) == 10L, "first_pos_a = span start in doc 1")
+  }
+
+  test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val short = words("s", 11) // 11 < minSpan=12
+    val a = (words("a", 5) ++ short ++ words("b", 5)).mkString(" ")
+    val b = (words("c", 5) ++ short ++ words("d", 5)).mkString(" ")
+    // a 20-token block present in ALL 20 docs: dfCap=8 suppresses it
+    val hot = words("h", 20).mkString(" ")
+    val hotDocs = (10L until 30L).map(i => (i, s"$hot extra$i"))
+    val df = (Seq((1L, a), (2L, b)) ++ hotDocs).toDF("doc_id", "text")
+    val out = graft.ops.Spans
+      .repeatedSpans(df, "text", "doc_id", k = 8, minSpan = 12, dfCap = 8)
+      .collect()
+    assert(out.isEmpty)
+  }
+}
