@@ -110,25 +110,40 @@ object BehaviorQueries {
       (s, dir) => {
         import s.implicits._
         val e = events(s, dir)
+        // lazy checkpoint: the per-user aggregate feeds the user count,
+        // the anchor cross-join and all three rank passes — without the
+        // barrier each branch replays the events scan + aggregation
         val p = e.filter($"event_type" === "purchase")
           .groupBy($"user_id")
           .agg(max(unix_timestamp($"ts")).as("last_s"),
             count(lit(1)).as("freq"),
             sum(round($"value" * 100).cast("long")).as("mon_c"))
+          .localCheckpoint(false)
         val anchor = e.agg(max(unix_timestamp($"ts")).as("anchor_s"))
         val nu = p.agg(count(lit(1)).as("nu"))
         val r0 = p.crossJoin(broadcast(anchor))
           .withColumn("rec_d", expr("(anchor_s - last_s) DIV 86400"))
-        val r1 = DistWindow.withGlobalRank(r0, col("rec_d"),
-          Seq(col("rec_d"), col("user_id")), "rr")
-        val r2 = DistWindow.withGlobalRank(r1, col("freq"),
-          Seq(col("freq"), col("user_id")), "fr")
-        val r3 = DistWindow.withGlobalRank(r2,
-          floor(col("mon_c") / 10000.0).cast("long"),
-          Seq(col("mon_c"), col("user_id")), "mr")
-        r3.crossJoin(broadcast(nu))
-          .select(expr("((rr-1)*4 DIV nu + 1)*100 + ((fr-1)*4 DIV nu + 1)*10" +
-            " + ((mr-1)*4 DIV nu + 1)").as("rfm_code"), $"mon_c")
+        // three INDEPENDENT rank branches off the checkpointed user
+        // table, assembled by a user-keyed join — chaining them instead
+        // serializes three two-phase rank machineries into one long
+        // stage path (measured 3x the wall time of the widest branch;
+        // the scheduler overlaps independent branches)
+        def quart(df: org.apache.spark.sql.DataFrame,
+            bucket: org.apache.spark.sql.Column,
+            order: Seq[org.apache.spark.sql.Column], out: String,
+            carry: Seq[String] = Nil) =
+          DistWindow.withGlobalRank(df, bucket, order, "__r")
+            .crossJoin(broadcast(nu))
+            .select(($"user_id" +: expr(s"(__r-1)*4 DIV nu + 1").as(out) +:
+              carry.map(col)): _*)
+        val rq = quart(r0, col("rec_d"),
+          Seq(col("rec_d"), col("user_id")), "rq", carry = Seq("mon_c"))
+        val fq = quart(p, col("freq"),
+          Seq(col("freq"), col("user_id")), "fq")
+        val mq = quart(p, floor(col("mon_c") / 10000.0).cast("long"),
+          Seq(col("mon_c"), col("user_id")), "mq")
+        rq.join(fq, Seq("user_id")).join(mq, Seq("user_id"))
+          .select(expr("rq*100 + fq*10 + mq").as("rfm_code"), $"mon_c")
           .groupBy("rfm_code")
           .agg(count(lit(1)).as("n_users"),
             sum($"mon_c").as("total_monetary_cents"))
@@ -177,8 +192,12 @@ object BehaviorQueries {
         val r1 = DistWindow.withGroupedRank(e2, col("event_type"),
           floor(col("v") / 1000000.0).cast("long"),
           Seq(col("v"), col("event_id")), "rn", Some("n"))
+        // |types|-row result, but its subtree is the whole first rank
+        // machinery — and `d` below is consumed by BOTH the MAD rank and
+        // the final gate, which would replay that machinery twice
         val med = r1.filter(expr("rn = (n + 1) DIV 2"))
           .select($"event_type", $"v".as("med_mi"), $"n")
+          .localCheckpoint(false)
         val d = e2.join(broadcast(med), Seq("event_type"))
           .withColumn("dev", abs($"v" - $"med_mi"))
         val r2 = DistWindow.withGroupedRank(d, col("event_type"),

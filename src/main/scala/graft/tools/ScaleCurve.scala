@@ -106,7 +106,12 @@ object ScaleCurve {
     "q132_audit_chain",   // dedup-best -> gate -> split -> manifest, one plan
     "q133_oov_rate",      // vocab-sized pre-agg + one base-vocab hash join
     "q134_rank_fusion",   // two sequential two-phase ranks + bounded top-20
-    "q135_eval_nearest"   // broadcast eval shingles + combinable max_by
+    "q135_eval_nearest",  // broadcast eval shingles + combinable max_by
+    "q136_retention_cohorts", // one user-keyed agg, calendar-bounded state
+    "q137_markov_transitions",// per-user lead window + combinable counts
+    "q138_rfm_segments",  // 3 parallel two-phase ranks on the user table
+    "q139_anomaly_robust",// two grouped ranks (median, MAD) + gate agg
+    "q140_repeated_spans" // df-capped gram join + diagonal islands
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -163,8 +168,9 @@ object ScaleCurve {
     // events scale with fresh users per shard (a 10× event corpus means
     // ~10× users, not 10× events per user — per-user funnel state stays
     // bounded, which is the contract q113 relies on)
-    if (picked.contains("q83_json_extract") ||
-        picked.contains("q113_funnel"))
+    if (picked.exists(Set("q83_json_extract", "q113_funnel",
+        "q136_retention_cohorts", "q137_markov_transitions",
+        "q138_rfm_segments", "q139_anomaly_robust")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -173,8 +179,10 @@ object ScaleCurve {
     // stay within-shard and the pair count scales ×k — copying text
     // verbatim would instead multiply every dup cluster by k and grow
     // pair work k², which is a data-distribution change, not a scale-up
-    if (picked.exists(q => !embQueries(q) && q != "q5_window_topk" &&
-        q != "q13_hilbert_sort" && q != "q83_json_extract"))
+    if (picked.exists(q => !embQueries(q) && !Set("q5_window_topk",
+        "q13_hilbert_sort", "q83_json_extract", "q113_funnel",
+        "q136_retention_cohorts", "q137_markov_transitions",
+        "q138_rfm_segments", "q139_anomaly_robust")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))
