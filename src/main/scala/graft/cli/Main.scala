@@ -625,6 +625,50 @@ object Main {
             col("__us")), user, typ, "__us", steps, horizon)
           .write.mode("overwrite").parquet(out)
 
+      case "retention" =>
+        import org.apache.spark.sql.functions.{col, unix_timestamp}
+        val Seq(in, out) = rest.take(2)
+        val user = opt(rest, "user-column").getOrElse("user_id")
+        val ts = opt(rest, "ts-column").getOrElse("ts")
+        graft.ops.Behavior.retentionCohorts(spark.read.parquet(in), user,
+            unix_timestamp(col(ts).cast("timestamp")))
+          .orderBy("cohort_week", "week_offset")
+          .write.mode("overwrite").parquet(out)
+
+      case "transitions" =>
+        import org.apache.spark.sql.functions.col
+        val Seq(in, out) = rest.take(2)
+        val user = opt(rest, "user-column").getOrElse("user_id")
+        val typ = opt(rest, "type-column").getOrElse("event_type")
+        val order = opt(rest, "order-columns").getOrElse("ts,event_id")
+          .split(",").toSeq.map(c => col(c.trim))
+        graft.ops.Behavior.markovTransitions(spark.read.parquet(in),
+            user, typ, order)
+          .orderBy("from_type", "to_type")
+          .write.mode("overwrite").parquet(out)
+
+      case "anomaly-report" =>
+        val Seq(in, out) = rest.take(2)
+        val typ = opt(rest, "type-column").getOrElse("event_type")
+        val id = opt(rest, "id-column").getOrElse("event_id")
+        val value = opt(rest, "value-column").getOrElse("value")
+        graft.ops.Behavior.robustAnomalyReport(spark.read.parquet(in),
+            typ, id, value)
+          .orderBy(typ)
+          .write.mode("overwrite").parquet(out)
+
+      case "spans" =>
+        val Seq(in, out) = rest.take(2)
+        val text = opt(rest, "text-column").getOrElse("text")
+        val id = opt(rest, "id-column").getOrElse("doc_id")
+        val k = opt(rest, "gram-tokens").map(_.toInt).getOrElse(8)
+        val minSpan = opt(rest, "min-span").map(_.toInt).getOrElse(12)
+        val dfCap = opt(rest, "df-cap").map(_.toInt).getOrElse(16)
+        graft.ops.Spans.repeatedSpans(spark.read.parquet(in), text, id,
+            k, minSpan, dfCap)
+          .orderBy("doc_a", "doc_b")
+          .write.mode("overwrite").parquet(out)
+
       case "dedup" =>
         import graft.ops.Dedup
         val what = rest.head
@@ -1048,7 +1092,8 @@ object Main {
       |  bm25 --terms w1,w2, shard-manifest, zipf-stats,
       |  embed-outliers, source-gate, term-drift, span-scrub,
       |  hard-negatives, balance-chi2, hll-distinct, domain-cap,
-      |  embed-decontam, funnel --steps a,b,c, scrub-blocks,
+      |  embed-decontam, funnel --steps a,b,c, retention, transitions,
+      |  anomaly-report, spans [--min-span N], scrub-blocks,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

@@ -33,22 +33,9 @@ object BehaviorQueries {
     QueryDef(
       "q136_retention_cohorts",
       (s, dir) => {
-        import s.implicits._
-        val wk = expr("unix_timestamp(ts) DIV 604800")
-        val per = events(s, dir).select($"user_id", wk.as("wk"))
-          .groupBy($"user_id")
-          .agg(min($"wk").as("cohort_week"), collect_set($"wk").as("wks"))
-        val cells = per
-          .select($"cohort_week", explode($"wks").as("wk"))
-          .select($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"))
-          .groupBy("cohort_week", "week_offset")
-          .agg(count(lit(1)).as("n_users"))
-        val wC = Window.partitionBy($"cohort_week")
-        cells
-          .withColumn("n0",
-            max(when($"week_offset" === 0, $"n_users")).over(wC))
-          .withColumn("retention_bp", expr("n_users * 10000 DIV n0"))
-          .drop("n0")
+        graft.ops.Behavior
+          .retentionCohorts(events(s, dir), "user_id",
+            unix_timestamp(col("ts")))
           .orderBy("cohort_week", "week_offset")
       },
       Some("""WITH uw AS (SELECT DISTINCT user_id,
@@ -73,16 +60,9 @@ object BehaviorQueries {
     QueryDef(
       "q137_markov_transitions",
       (s, dir) => {
-        import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        events(s, dir)
-          .withColumn("to_type", lead($"event_type", 1).over(w))
-          .filter($"to_type".isNotNull)
-          .select($"event_type".as("from_type"), $"to_type")
-          .groupBy("from_type", "to_type")
-          .agg(count(lit(1)).as("n"))
-          .withColumn("p_bp", expr(
-            "n * 10000 DIV (sum(n) OVER (PARTITION BY from_type))"))
+        graft.ops.Behavior
+          .markovTransitions(events(s, dir), "user_id", "event_type",
+            Seq(col("ts"), col("event_id")))
           .orderBy("from_type", "to_type")
       },
       Some("""WITH t AS (SELECT event_type,
@@ -186,31 +166,9 @@ object BehaviorQueries {
     QueryDef(
       "q139_anomaly_robust",
       (s, dir) => {
-        import s.implicits._
-        val e2 = events(s, dir).select($"event_id", $"event_type",
-          expr("CAST(ROUND(value * 1000000) AS BIGINT)").as("v"))
-        val r1 = DistWindow.withGroupedRank(e2, col("event_type"),
-          floor(col("v") / 1000000.0).cast("long"),
-          Seq(col("v"), col("event_id")), "rn", Some("n"))
-        // |types|-row result, but its subtree is the whole first rank
-        // machinery — and `d` below is consumed by BOTH the MAD rank and
-        // the final gate, which would replay that machinery twice
-        val med = r1.filter(expr("rn = (n + 1) DIV 2"))
-          .select($"event_type", $"v".as("med_mi"), $"n")
-          .localCheckpoint(false)
-        val d = e2.join(broadcast(med), Seq("event_type"))
-          .withColumn("dev", abs($"v" - $"med_mi"))
-        val r2 = DistWindow.withGroupedRank(d, col("event_type"),
-          floor(col("dev") / 1000000.0).cast("long"),
-          Seq(col("dev"), col("event_id")), "rn2")
-        val mad = r2.filter(expr("rn2 = (n + 1) DIV 2"))
-          .select($"event_type", $"dev".as("mad_mi"))
-        d.join(broadcast(mad), Seq("event_type"))
-          .withColumn("an", when($"dev" > $"mad_mi" * 3, 1L).otherwise(0L))
-          .groupBy("event_type")
-          .agg(max($"n").as("n_events"), max($"med_mi").as("median_micro"),
-            max($"mad_mi").as("mad_micro"), sum($"an").as("n_anomalies"))
-          .withColumn("anomaly_bp", expr("n_anomalies * 10000 DIV n_events"))
+        graft.ops.Behavior
+          .robustAnomalyReport(events(s, dir), "event_type", "event_id",
+            "value")
           .orderBy("event_type")
       },
       Some("""WITH e AS (SELECT event_id, event_type,

@@ -854,6 +854,66 @@ object Streaming {
   final case class FunnelProgress(user_id: Long, stage: Int,
       t_first: Long, t_last: Long)
 
+  final case class LastEvent(us: Long, event_type: String)
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String, us: Long)
+
+  /** Streaming Markov transition extraction — the keyed-state twin of
+    * q137's lead() window. Per-user state is ONE (timestamp, type) pair
+    * — the last event seen — so state size is users-bounded and
+    * constant per user whatever the event volume. Each arrival emits
+    * the (from → to) transition it completes and becomes the new last
+    * event. Within a micro-batch arrivals are folded in event-time
+    * order, so under ordered replay the emitted transition multiset
+    * equals the batch lead() pairs exactly (StreamingSpec aggregates
+    * both sides to counts and pins equality). Downstream, the
+    * transition-matrix aggregation is the same combinable groupBy the
+    * batch query runs.
+    */
+  def markovTransitions(events: Dataset[FunnelEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.us, e.event_type))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l =>
+              out += Transition(uid, l.event_type, e.event_type, e.us))
+            last = Some(LastEvent(e.us, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming robust anomaly gate — the scoring face of q139 under a
+    * FROZEN per-type (median, MAD) model, the same
+    * model-as-deployment-artifact contract as [[nbScore]]/[[bm25Score]]:
+    * the batch job fits the medians, the stream applies them. The
+    * thresholds ride as a literal map expression, the verdict is a pure
+    * integer projection (|value_micros − median| > 3×MAD) — stateless,
+    * zero-shuffle, exactly-once per record under any trigger.
+    */
+  def robustAnomalyGate(events: DataFrame, typeCol: String,
+      valueCol: String, model: Map[String, (Long, Long)]): DataFrame = {
+    val medMap = map(model.toSeq.sortBy(_._1).flatMap { case (t, (m, _)) =>
+      Seq(lit(t), lit(m)) }: _*)
+    val madMap = map(model.toSeq.sortBy(_._1).flatMap { case (t, (_, d)) =>
+      Seq(lit(t), lit(d)) }: _*)
+    events
+      .withColumn("v_micros",
+        expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)"))
+      .withColumn("median_micro", element_at(medMap, col(typeCol)))
+      .withColumn("mad_micro", element_at(madMap, col(typeCol)))
+      .withColumn("is_anomaly",
+        abs(col("v_micros") - col("median_micro")) >
+          col("mad_micro") * 3)
+  }
+
   /** Streaming ordered-sequence funnel — the keyed-state twin of
     * [[graft.ops.Funnel.stageTimes]] (q113). Per-user state is the list
     * of completed stage times (≤ steps.size longs — bounded by

@@ -879,4 +879,56 @@ class CliSpec extends AnyFunSuite {
     assert(t.geometryColumn.contains("geometry"))
     assert(t.df.columns.contains("bbox"))
   }
+
+  test("retention, transitions, anomaly-report and spans commands") {
+    import spark.implicits._
+    val dir = tmp("behavior")
+
+    // three users: u1 active weeks 0 and 1, u2 week 0 only, u3 week 1
+    def ts(week: Int, h: Int) =
+      new java.sql.Timestamp((week * 604800L + h * 3600L) * 1000L)
+    Seq((1L, 1L, "view", 0.5, ts(0, 1)), (2L, 1L, "click", 1.0, ts(1, 2)),
+        (3L, 2L, "view", 2.0, ts(0, 3)), (4L, 3L, "view", 99.0, ts(1, 4)),
+        (5L, 3L, "click", 1.5, ts(1, 5)), (6L, 3L, "view", 1.0, ts(1, 6)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/ev.parquet")
+
+    Main.run(spark, Seq("retention", s"$dir/ev.parquet",
+      s"$dir/ret.parquet"))
+    val ret = spark.read.parquet(s"$dir/ret.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // cohort week 0 = {u1,u2}: both at offset 0, u1 back at offset 1
+    assert(ret((0L, 0L)) == ((2L, 10000L)))
+    assert(ret((0L, 1L)) == ((1L, 5000L)))
+    // cohort week 1 = {u3}
+    assert(ret((1L, 0L)) == ((1L, 10000L)))
+
+    Main.run(spark, Seq("transitions", s"$dir/ev.parquet",
+      s"$dir/tr.parquet"))
+    val tr = spark.read.parquet(s"$dir/tr.parquet")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // view->click: u1 once, u3 once; click->view: u3 once
+    assert(tr(("view", "click")) == ((2L, 10000L)))
+    assert(tr(("click", "view")) == ((1L, 10000L)))
+
+    Main.run(spark, Seq("anomaly-report", s"$dir/ev.parquet",
+      s"$dir/an.parquet"))
+    val an = spark.read.parquet(s"$dir/an.parquet")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // views: values 0.5, 2.0, 99.0, 1.0 -> median 1.0, MAD 0.5,
+    // only 99.0 beyond 3*MAD
+    assert(an("view") == ((4L, 1000000L, 1L)))
+
+    // spans: two docs share 12 consecutive tokens
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    Seq((1L, s"a0 a1 a2 $shared z0 z1"), (2L, s"b0 $shared y0"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs.parquet")
+    Main.run(spark, Seq("spans", s"$dir/docs.parquet",
+      s"$dir/sp.parquet"))
+    val sp = spark.read.parquet(s"$dir/sp.parquet").collect()
+    assert(sp.length == 1 && sp.head.getLong(2) == 12L)
+  }
 }

@@ -769,4 +769,54 @@ class StreamingSpec extends AnyFunSuite {
     val p = batch.filter(col("pass")).count()
     assert(p > 0 && p < n, s"degenerate gate: $p of $n pass")
   }
+
+  test("streaming markov transitions match the batch lead() pairs") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_smarkov")
+    val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    ev.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.FunnelEvent]
+    val out = Streaming.runToCompletion(
+      Streaming.markovTransitions(stream).toDF(), "smarkov_test")
+    val s = out.groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // batch side under the same (us, event_type) tie order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_type"))
+    val batch = ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(s == batch)
+    assert(batch.values.sum > 0)
+  }
+
+  test("streaming robust anomaly gate matches the batch q139 counts") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sanom")
+    val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
+    ev.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    // the deployment artifact: medians/MADs fit by the batch job
+    val fit = SparkEntry.queries("q139_anomaly_robust")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val expected = SparkEntry.queries("q139_anomaly_robust")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(streamDir.toString + "/in")
+    val out = Streaming.runToCompletion(
+      Streaming.robustAnomalyGate(stream, "event_type", "value", fit),
+      "sanom_test")
+    val got = out.filter(col("is_anomaly"))
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (t, n) =>
+      assert(got.getOrElse(t, 0L) == n, s"type $t: ${got.get(t)} vs $n")
+    }
+  }
 }
