@@ -979,6 +979,61 @@ object AuditQueries {
         best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
             ORDER BY n_shared DESC, train_id) AS r FROM pairs)
         SELECT eval_id, train_id AS best_train_id, n_shared
-        FROM best WHERE r = 1 ORDER BY eval_id"""))
+        FROM best WHERE r = 1 ORDER BY eval_id""")),
+
+    // ---- cross-source n-gram novelty curve (round 8) -------------------
+    // "Does the next source add anything?" — per source (in
+    // lexicographic ingestion order): distinct 3-gram count, the count
+    // of grams FIRST seen in that source (min(source) attribution, the
+    // q60 first-occurrence contract applied to sources), and novelty in
+    // basis points. ONE distinct (source, gram) exchange feeds both the
+    // per-gram min(source) (combinable) and the per-source totals; grams
+    // cross the wire as 60-bit md5 slices (the q114 discipline), the
+    // final join is sources-sized.
+    QueryDef(
+      "q143_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val dg = table(s, dir, "documents")
+          .select($"source",
+            explode(graft.functions.SketchExpressions
+              .word_shingles($"text", 3)).as("g0"))
+          .select($"source",
+            conv(substring(md5($"g0"), 1, 15), 16, 10).cast("long").as("g"))
+          .distinct()
+        val first = dg.groupBy($"g").agg(min($"source").as("source"))
+          .groupBy($"source").agg(count(lit(1)).as("n_new_grams"))
+        val tot = dg.groupBy($"source")
+          .agg(count(lit(1)).as("n_distinct_grams"))
+        tot.join(first, Seq("source"), "left")
+          .select($"source", $"n_distinct_grams",
+            coalesce($"n_new_grams", lit(0L)).as("n_new_grams"))
+          .withColumn("novelty_bp",
+            expr("n_new_grams * 10000 DIV n_distinct_grams"))
+          .orderBy($"source")
+      },
+      Some(raw"""WITH d0 AS (SELECT source,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '') AS toks
+          FROM documents),
+        sh AS (SELECT source,
+            unnest(CASE WHEN len(toks) < 3 THEN []
+              ELSE list_distinct(list_transform(range(len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+              END) AS sg
+          FROM d0),
+        dg AS (SELECT DISTINCT source,
+            CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS g
+          FROM sh),
+        first AS (SELECT MIN(source) AS source, g FROM dg GROUP BY g),
+        nw AS (SELECT source, COUNT(*) AS n_new_grams FROM first
+          GROUP BY source),
+        tot AS (SELECT source, COUNT(*) AS n_distinct_grams FROM dg
+          GROUP BY source)
+        SELECT t.source, t.n_distinct_grams,
+          COALESCE(n.n_new_grams, 0) AS n_new_grams,
+          CAST(COALESCE(n.n_new_grams, 0) * 10000 // t.n_distinct_grams
+            AS BIGINT) AS novelty_bp
+        FROM tot t LEFT JOIN nw n USING (source) ORDER BY t.source"""))
   )
 }

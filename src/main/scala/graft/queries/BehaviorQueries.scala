@@ -244,6 +244,83 @@ object BehaviorQueries {
         SELECT doc_a, doc_b, CAST(MAX(run + 7) AS BIGINT) AS max_span_tokens,
           COUNT(*) AS n_spans, CAST(MIN(start_a) AS BIGINT) AS first_pos_a
         FROM r2 WHERE run >= 5 GROUP BY doc_a, doc_b
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- user lifecycle (growth accounting) ----------------------------
+    // Per epoch-week: users who are new (first active week), retained
+    // (also active the week before), resurrected (active earlier but
+    // not last week), and churned (active week w−1 but not w, counted
+    // at w). The per-user week set rides the SAME one user-keyed
+    // exchange as q136 (calendar-bounded array), and the prev/next-week
+    // classification happens in array-land — no per-user window pass.
+    // The churn horizon is the corpus max week (1-row broadcast), so no
+    // user "churns" past the end of observed data.
+    QueryDef(
+      "q141_user_lifecycle",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val wk = floor(unix_timestamp($"ts") / 604800.0).cast("long")
+        val per = ev.select($"user_id", wk.as("wk"))
+          .groupBy($"user_id")
+          .agg(sort_array(collect_set($"wk")).as("wks"))
+        val mx = ev.agg(max(wk).as("maxwk"))
+        val st = per.crossJoin(broadcast(mx))
+          .select(explode(expr(
+            """transform(sequence(0, size(wks) - 1), i -> named_struct(
+                 'wk', wks[i],
+                 'pwk', CASE WHEN i = 0 THEN CAST(NULL AS BIGINT)
+                   ELSE wks[i - 1] END,
+                 'nwk', CASE WHEN i = size(wks) - 1 THEN CAST(NULL AS BIGINT)
+                   ELSE wks[i + 1] END))""")).as("s"), $"maxwk")
+          .select($"s.wk".as("wk"), $"s.pwk".as("pwk"),
+            $"s.nwk".as("nwk"), $"maxwk")
+        val active = st.select($"wk".as("week"),
+          when($"pwk".isNull, "new")
+            .when($"wk" - $"pwk" === 1, "retained")
+            .otherwise("resurrected").as("state"))
+        val churned = st
+          .filter(($"nwk".isNull || $"nwk" > $"wk" + 1) &&
+            $"wk" + 1 <= $"maxwk")
+          .select(($"wk" + 1).as("week"), lit("churned").as("state"))
+        active.unionByName(churned)
+          .groupBy("week")
+          .agg(sum(when($"state" === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when($"state" === "retained", 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when($"state" === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"),
+            sum(when($"state" === "churned", 1L).otherwise(0L))
+              .as("n_churned"))
+          .orderBy("week")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk
+          FROM events),
+        mx AS (SELECT MAX(wk) AS maxwk FROM uw),
+        st AS (SELECT user_id, wk,
+            LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pwk,
+            LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nwk
+          FROM uw),
+        ev AS (
+          SELECT wk AS week,
+            CASE WHEN pwk IS NULL THEN 'new'
+              WHEN wk - pwk = 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+          FROM st
+          UNION ALL
+          SELECT wk + 1 AS week, 'churned' AS state
+          FROM st CROSS JOIN mx
+          WHERE (nwk IS NULL OR nwk > wk + 1) AND wk + 1 <= maxwk)
+        SELECT week,
+          CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_retained,
+          CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected,
+          CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_churned
+        FROM ev GROUP BY week ORDER BY week"""))
   )
 }

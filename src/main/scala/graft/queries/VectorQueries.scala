@@ -824,6 +824,97 @@ object VectorQueries {
         SELECT d, CAST(n_true AS BIGINT) AS n_true, n_overlap,
           ROUND(CAST(n_overlap AS DOUBLE) / n_true, 6) AS recall
         FROM u ORDER BY d""")
+    ),
+
+    // ---- silhouette cluster-quality report (round 8) -------------------
+    // The measurement beside q51/q53: per cluster, the mean silhouette
+    // of a deterministic sample (vec_id % 10 = 0) under cosine
+    // dissimilarity — a(s) = mean distance to own cluster, b(s) = min
+    // over other clusters of mean distance, sil = (b−a)/max(a,b). The
+    // sample is bounded by construction and broadcasts against the
+    // corpus (the q26/q100 pattern); per-(sample, cluster) sums are
+    // map-side combinable over micro-int dissimilarities (each cosine
+    // rounded once to 1e-6 before aggregation), per-cluster means round
+    // once more to micro ints, so both engines pick identical a/b and
+    // the final averages are exact-integer ratios divided once.
+    QueryDef(
+      "q142_silhouette",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val (assigned, _) =
+          graft.ops.KMeans.kmeans(emb, "embedding", "vec_id", k = 8, iters = 2)
+        // BOUNDED sample (~200 points via the q44 stride recipe): a
+        // fixed-fraction sample would make the pair stage quadratic in
+        // corpus size; a fixed-size one keeps it linear
+        val sstride = emb.agg(
+          greatest(lit(1L), (count(lit(1)) / 200L).cast("long"))
+            .as("sstride"))
+        val samp = assigned.crossJoin(broadcast(sstride))
+          .filter($"vec_id" % $"sstride" === 0)
+          .select($"vec_id".as("qid"), $"cluster".as("qc"),
+            $"embedding".as("qe"))
+        val pairCos = assigned.crossJoin(broadcast(samp))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("__cos",
+            dot($"embedding", $"qe") / (norm($"embedding") * norm($"qe")))
+          .select($"qid", $"qc", $"cluster",
+            (lit(1000000L) - expr("CAST(ROUND(__cos * 1000000) AS BIGINT)"))
+              .as("cd"))
+        val pm = pairCos.groupBy($"qid", $"qc", $"cluster")
+          .agg(expr("CAST(ROUND(CAST(SUM(cd) AS DOUBLE) / COUNT(*)) AS BIGINT)")
+            .as("m"))
+        val ab = pm.groupBy($"qid", $"qc")
+          .agg(max(when($"cluster" === $"qc", $"m")).as("a"),
+            min(when($"cluster" =!= $"qc", $"m")).as("b"))
+          .filter($"a".isNotNull && $"b".isNotNull)
+        ab.select($"qc".as("cluster"),
+            expr("CAST(ROUND((b - a) * 1000000.0 / GREATEST(a, b, 1)) AS BIGINT)")
+              .as("sil"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_sampled"), sum($"sil").as("__ss"))
+          .select($"cluster", $"n_sampled",
+            round($"__ss".cast("double") / ($"n_sampled" * 1000000.0), 6)
+              .as("avg_silhouette"))
+          .orderBy($"cluster")
+      },
+      Some(kmeansCte + raw""",
+        sparams AS (SELECT GREATEST(1, COUNT(*) // 200) AS sstride
+          FROM embeddings),
+        samp AS (SELECT a.vec_id AS qid, a.c AS qc, e.embedding AS qe
+          FROM assign1 a JOIN embeddings e USING (vec_id)
+          CROSS JOIN sparams p
+          WHERE a.vec_id % p.sstride = 0),
+        pair AS (
+          SELECT s.qid, s.qc, a2.c AS cluster, e2.vec_id AS id2,
+            1000000 - CAST(ROUND(
+              SUM(CAST(e2.embedding[t.i] AS DOUBLE)
+                  * CAST(s.qe[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(e2.embedding[t.i] AS DOUBLE)
+                        * CAST(e2.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(s.qe[t.i] AS DOUBLE)
+                        * CAST(s.qe[t.i] AS DOUBLE)))) * 1000000)
+              AS BIGINT) AS cd
+          FROM samp s
+          JOIN assign1 a2 ON a2.vec_id <> s.qid
+          JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+          CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY s.qid, s.qc, a2.c, e2.vec_id),
+        pm AS (SELECT qid, qc, cluster,
+            CAST(ROUND(CAST(SUM(cd) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+          FROM pair GROUP BY 1, 2, 3),
+        ab AS (SELECT qid, qc,
+            MAX(CASE WHEN cluster = qc THEN m END) AS a,
+            MIN(CASE WHEN cluster <> qc THEN m END) AS b
+          FROM pm GROUP BY 1, 2),
+        sil AS (SELECT qid, qc,
+            CAST(ROUND((b - a) * 1000000.0 / GREATEST(a, b, 1)) AS BIGINT)
+              AS s
+          FROM ab WHERE a IS NOT NULL AND b IS NOT NULL)
+        SELECT qc AS cluster, COUNT(*) AS n_sampled,
+          ROUND(CAST(SUM(s) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+            AS avg_silhouette
+        FROM sil GROUP BY qc ORDER BY cluster""")
     )
   )
 

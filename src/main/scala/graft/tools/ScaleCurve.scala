@@ -111,7 +111,10 @@ object ScaleCurve {
     "q137_markov_transitions",// per-user lead window + combinable counts
     "q138_rfm_segments",  // 3 parallel two-phase ranks on the user table
     "q139_anomaly_robust",// two grouped ranks (median, MAD) + gate agg
-    "q140_repeated_spans" // df-capped gram join + diagonal islands
+    "q140_repeated_spans",// df-capped gram join + diagonal islands
+    "q141_user_lifecycle",// one user-keyed agg + array-land lag
+    "q142_silhouette",    // bounded sample x corpus + combinable sums
+    "q143_ngram_novelty"  // one distinct (source,gram) exchange
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -121,7 +124,8 @@ object ScaleCurve {
   private val embQueries = Set("q51_kmeans", "q59_ann_sq8", "q63_ann_pq",
     "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
     "q89_abtt", "q95_embed_outliers", "q100_hard_negatives",
-    "q108_matryoshka", "q111_embed_decontam", "q129_embed_sanity")
+    "q108_matryoshka", "q111_embed_decontam", "q129_embed_sanity",
+    "q142_silhouette")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(
@@ -170,7 +174,8 @@ object ScaleCurve {
     // bounded, which is the contract q113 relies on)
     if (picked.exists(Set("q83_json_extract", "q113_funnel",
         "q136_retention_cohorts", "q137_markov_transitions",
-        "q138_rfm_segments", "q139_anomaly_robust")))
+        "q138_rfm_segments", "q139_anomaly_robust",
+        "q141_user_lifecycle")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -182,7 +187,8 @@ object ScaleCurve {
     if (picked.exists(q => !embQueries(q) && !Set("q5_window_topk",
         "q13_hilbert_sort", "q83_json_extract", "q113_funnel",
         "q136_retention_cohorts", "q137_markov_transitions",
-        "q138_rfm_segments", "q139_anomaly_robust")(q)))
+        "q138_rfm_segments", "q139_anomaly_robust",
+        "q141_user_lifecycle", "q142_silhouette")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))

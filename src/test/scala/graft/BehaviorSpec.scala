@@ -108,6 +108,51 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r.getLong(4) == 10L, "first_pos_a = span start in doc 1")
   }
 
+  test("lifecycle: states partition the active users; week 0 is all new") {
+    val rows = run("q141_user_lifecycle").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = graft.queries.JoinQueries.events(spark, dir)
+      .select($"user_id",
+        floor(unix_timestamp($"ts") / 604800.0).cast("long").as("wk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val activePerWeek = ev.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // new + retained + resurrected = distinct active users of the week
+    rows.foreach { case (w, (nw, re, rs, _)) =>
+      assert(nw + re + rs == activePerWeek(w), s"week $w")
+    }
+    val w0 = ev.map(_._2).min
+    assert(rows(w0) == ((activePerWeek(w0), 0L, 0L, 0L)))
+    // churn conservation: churned at w+1 = active(w) - retained(w+1)
+    rows.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((w1, _), (w2, (_, re2, _, ch2))) if w2 == w1 + 1 =>
+        assert(ch2 == activePerWeek(w1) - re2, s"churn at $w2")
+      case _ =>
+    }
+  }
+
+  test("silhouette values are in [-1, 1] and clusters cover the sample") {
+    val rows = run("q142_silhouette").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= -1.0 && s <= 1.0, s"silhouette $s out of range")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("novelty: the first source is 100% novel, all bp within 0..10000") {
+    val rows = run("q143_ngram_novelty").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val first = rows.minBy(_._1)
+    assert(first._4 == 10000L, s"first source ${first._1} not fully novel")
+    rows.foreach { case (src, tot, nw, bp) =>
+      assert(nw <= tot && bp >= 0 && bp <= 10000, s"$src")
+    }
+    // novelty decreases in aggregate: later sources repeat earlier grams
+    assert(rows.exists(_._4 < 10000L), "degenerate: every gram unique")
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")

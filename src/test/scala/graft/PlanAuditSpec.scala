@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q120_ks_drift", // q120: histogram x 1-row totals x 1-row max
     "q121_mix_plan", // q121: sources-sized x 1-row total/weight-sum
     "q125_vocab_curve", // q125: broadcast 1-row corpus token total
-    "q138_rfm_segments") // q138: 1-row anchor-ts x 1-row user count
+    "q138_rfm_segments", // q138: 1-row anchor-ts x 1-row user count
+    "q141_user_lifecycle", // q141: 1-row corpus max-week broadcast
+    "q142_silhouette") // q142: bounded sample x corpus (q26 pattern)
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
