@@ -321,6 +321,185 @@ object BehaviorQueries {
             AS BIGINT) AS n_resurrected,
           CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
             AS n_churned
-        FROM ev GROUP BY week ORDER BY week"""))
+        FROM ev GROUP BY week ORDER BY week""")),
+
+    // ---- top session paths (sequence mining lite) ----------------------
+    // The 20 most common session-opening paths: first ≤5 event types of
+    // each q19 session, joined with '>'. Everything derives from the
+    // SAME user-partitioned window exchange q19 uses — session id is
+    // the running new-session sum, and the within-session index is
+    // rn − session_start_rn (the start rn propagated by last(...,
+    // ignoreNulls) over the same frame) — so no second (user, session)
+    // shuffle and the collect_list per session is capped at 5 structs
+    // BEFORE aggregation, never a whole session's events.
+    QueryDef(
+      "q144_session_paths",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, 0)
+        val marked = events(s, dir)
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum($"new_session").over(run))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("start_rn",
+            last(when($"new_session" === 1L, $"rn"), ignoreNulls = true)
+              .over(run))
+          .withColumn("idx", $"rn" - $"start_rn" + 1)
+          .filter($"idx" <= 5)
+        marked
+          .groupBy($"user_id", $"session_id")
+          .agg(sort_array(collect_list(struct($"idx", $"event_type")))
+            .as("evs"))
+          .select(concat_ws(">",
+            expr("transform(evs, e -> e.event_type)")).as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy($"n_sessions".desc, $"path")
+          .limit(20)
+      },
+      Some("""WITH m AS (SELECT user_id, event_id, ts, event_type,
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_ts,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS rn
+          FROM events),
+        mk AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+               - (epoch_us(CAST(prev_ts AS TIMESTAMP)) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_session
+          FROM m),
+        sess AS (SELECT user_id, event_id, event_type, rn,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY rn
+              ROWS UNBOUNDED PRECEDING) AS session_id,
+            MAX(CASE WHEN new_session = 1 THEN rn END)
+              OVER (PARTITION BY user_id ORDER BY rn
+                ROWS UNBOUNDED PRECEDING) AS start_rn
+          FROM mk),
+        capped AS (SELECT user_id, session_id, event_type,
+            rn - start_rn + 1 AS idx
+          FROM sess WHERE rn - start_rn + 1 <= 5),
+        paths AS (SELECT array_to_string(
+            list(event_type ORDER BY idx), '>') AS path
+          FROM capped GROUP BY user_id, session_id)
+        SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20""")),
+
+    // ---- A/B arm comparison (two-proportion conversion lift) -----------
+    // Deterministic arm assignment by md5 parity of the user id (the
+    // hash-split q40 discipline — both engines derive identical arms),
+    // conversion = the user's total purchase value exceeds $600 in
+    // exact cents (every user has SOME purchase in this corpus, so a
+    // has-purchased flag would be degenerate p=1 and the z undefined).
+    // ONE user-keyed combinable aggregation collapses the corpus; rates
+    // and lift are exact basis points off the 2-row arm table; the z
+    // statistic is the one double formula computed from exact integers
+    // and rounded once (micro units).
+    QueryDef(
+      "q145_ab_lift",
+      (s, dir) => {
+        import s.implicits._
+        val per = events(s, dir)
+          .select($"user_id", $"event_type", $"value")
+          .groupBy($"user_id")
+          .agg(when(sum(when($"event_type" === "purchase",
+              round($"value" * 100).cast("long")).otherwise(0L)) > 60000L,
+            1L).otherwise(0L).as("conv"))
+          .withColumn("arm",
+            conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+              .cast("long") % 2)
+        per.groupBy()
+          .agg(
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when($"arm" === 0, $"conv").otherwise(0L)).as("conv_a"),
+            sum(when($"arm" === 1, $"conv").otherwise(0L)).as("conv_b"))
+          .withColumn("cvr_a_bp", expr("conv_a * 10000 DIV n_a"))
+          .withColumn("cvr_b_bp", expr("conv_b * 10000 DIV n_b"))
+          .withColumn("diff_bp", $"cvr_b_bp" - $"cvr_a_bp")
+          .withColumn("z_micro", expr("""CAST(ROUND(
+            (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) /
+            SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                 (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                 (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT)"""))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) > 60000
+              THEN 1 ELSE 0 END AS conv,
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm
+          FROM events GROUP BY user_id),
+        s AS (SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+              AS conv_a,
+            CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+              AS conv_b
+          FROM per)
+        SELECT n_a, n_b, conv_a, conv_b,
+          CAST(conv_a * 10000 // n_a AS BIGINT) AS cvr_a_bp,
+          CAST(conv_b * 10000 // n_b AS BIGINT) AS cvr_b_bp,
+          CAST(conv_b * 10000 // n_b - conv_a * 10000 // n_a AS BIGINT)
+            AS diff_bp,
+          CAST(ROUND(
+            (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) /
+            SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                 (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                 (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT) AS z_micro
+        FROM s""")),
+
+    // ---- Pareto concentration (power-user share) -----------------------
+    // What fraction of all events do the top 1% / 10% most active users
+    // generate? The corpus collapses to one row per user (combinable),
+    // the activity rank is a two-phase global rank (bucket = −count, so
+    // no task serializes the user table), the cuts are exact integer
+    // head sizes (GREATEST(1, n DIV k)), and the shares are one
+    // conditional aggregation over the ranked table.
+    QueryDef(
+      "q146_pareto_events",
+      (s, dir) => {
+        import s.implicits._
+        val per = events(s, dir).groupBy($"user_id")
+          .agg(count(lit(1)).as("cnt"))
+        val ranked = DistWindow.withGlobalRank(per, -col("cnt"),
+          Seq(-col("cnt"), col("user_id")), "rk")
+        val tot = per.agg(count(lit(1)).as("n_users"),
+          sum($"cnt").as("total_events"))
+        ranked.crossJoin(broadcast(tot))
+          .groupBy($"n_users", $"total_events")
+          .agg(
+            sum(when($"rk" <= greatest(lit(1L),
+              expr("n_users DIV 100")), $"cnt")).as("top1_events"),
+            sum(when($"rk" <= greatest(lit(1L),
+              expr("n_users DIV 10")), $"cnt")).as("top10_events"))
+          .select($"n_users", $"total_events",
+            greatest(lit(1L), expr("n_users DIV 100")).as("top1_users"),
+            expr("top1_events * 10000 DIV total_events").as("top1_share_bp"),
+            greatest(lit(1L), expr("n_users DIV 10")).as("top10_users"),
+            expr("top10_events * 10000 DIV total_events")
+              .as("top10_share_bp"))
+      },
+      Some("""WITH per AS (SELECT user_id, COUNT(*) AS cnt FROM events
+          GROUP BY user_id),
+        rk AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id)
+            AS rk FROM per),
+        tot AS (SELECT COUNT(*) AS n_users, CAST(SUM(cnt) AS BIGINT)
+            AS total_events FROM per)
+        SELECT n_users, total_events,
+          GREATEST(1, n_users // 100) AS top1_users,
+          CAST(CAST(SUM(CASE WHEN rk <= GREATEST(1, n_users // 100)
+            THEN cnt ELSE 0 END) AS BIGINT) * 10000 // total_events
+            AS BIGINT) AS top1_share_bp,
+          GREATEST(1, n_users // 10) AS top10_users,
+          CAST(CAST(SUM(CASE WHEN rk <= GREATEST(1, n_users // 10)
+            THEN cnt ELSE 0 END) AS BIGINT) * 10000 // total_events
+            AS BIGINT) AS top10_share_bp
+        FROM rk CROSS JOIN tot
+        GROUP BY n_users, total_events"""))
   )
 }

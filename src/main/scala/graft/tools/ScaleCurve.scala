@@ -114,7 +114,10 @@ object ScaleCurve {
     "q140_repeated_spans",// df-capped gram join + diagonal islands
     "q141_user_lifecycle",// one user-keyed agg + array-land lag
     "q142_silhouette",    // bounded sample x corpus + combinable sums
-    "q143_ngram_novelty"  // one distinct (source,gram) exchange
+    "q143_ngram_novelty", // one distinct (source,gram) exchange
+    "q144_session_paths", // one user window exchange + capped collects
+    "q145_ab_lift",       // one user-keyed agg + 2-row arm table
+    "q146_pareto_events"  // user-count agg + two-phase global rank
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -175,7 +178,8 @@ object ScaleCurve {
     if (picked.exists(Set("q83_json_extract", "q113_funnel",
         "q136_retention_cohorts", "q137_markov_transitions",
         "q138_rfm_segments", "q139_anomaly_robust",
-        "q141_user_lifecycle")))
+        "q141_user_lifecycle", "q144_session_paths", "q145_ab_lift",
+        "q146_pareto_events")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -188,7 +192,8 @@ object ScaleCurve {
         "q13_hilbert_sort", "q83_json_extract", "q113_funnel",
         "q136_retention_cohorts", "q137_markov_transitions",
         "q138_rfm_segments", "q139_anomaly_robust",
-        "q141_user_lifecycle", "q142_silhouette")(q)))
+        "q141_user_lifecycle", "q142_silhouette", "q144_session_paths",
+        "q145_ab_lift", "q146_pareto_events")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))

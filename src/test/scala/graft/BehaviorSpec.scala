@@ -153,6 +153,48 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.exists(_._4 < 10000L), "degenerate: every gram unique")
   }
 
+  test("session paths: capped at 5 steps, known event vocabulary, sorted") {
+    val rows = run("q144_session_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { case (p, n) =>
+      val steps = p.split(">")
+      assert(steps.nonEmpty && steps.length <= 5 &&
+        steps.forall(types), s"path $p")
+      assert(n > 0)
+    }
+    // descending by count (ties by path)
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("ab lift: arms partition the users, z sign follows the diff") {
+    val r = run("q145_ab_lift").head()
+    val (nA, nB, cA, cB) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = graft.queries.JoinQueries.events(spark, dir)
+      .select($"user_id").distinct().count()
+    assert(nA + nB == users && nA > 0 && nB > 0)
+    assert(cA >= 0 && cA <= nA && cB >= 0 && cB <= nB)
+    // non-degenerate conversion on this corpus
+    assert(cA + cB > 0 && cA + cB < nA + nB)
+    val diff = r.getLong(6); val z = r.getLong(7)
+    assert(diff.sign == z.sign || diff == 0L)
+  }
+
+  test("pareto: concentration is at least uniform and nested") {
+    val r = run("q146_pareto_events").head()
+    val (nUsers, top1Users, top1Bp, top10Users, top10Bp) =
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(top1Users == math.max(1, nUsers / 100))
+    assert(top10Users == math.max(1, nUsers / 10))
+    assert(top1Bp <= top10Bp && top10Bp <= 10000)
+    // the top-10%-most-active always hold >= 10% of events (floor slack
+    // for the integer head size)
+    assert(top10Bp >= top10Users * 10000 / nUsers)
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")

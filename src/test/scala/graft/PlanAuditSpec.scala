@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q125_vocab_curve", // q125: broadcast 1-row corpus token total
     "q138_rfm_segments", // q138: 1-row anchor-ts x 1-row user count
     "q141_user_lifecycle", // q141: 1-row corpus max-week broadcast
-    "q142_silhouette") // q142: bounded sample x corpus (q26 pattern)
+    "q142_silhouette", // q142: bounded sample x corpus (q26 pattern)
+    "q146_pareto_events") // q146: 1-row totals x ranked user table
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
