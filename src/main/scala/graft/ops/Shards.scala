@@ -44,4 +44,29 @@ object Shards {
         expr("bit_xor(__sig)").as("content_sig"))
       .orderBy(col("shard"))
   }
+
+  /** Compaction plan for the small-files problem: merge consecutive
+    * shards into output groups of ≈ `targetBytes` by next-fit over the
+    * shard order — output group = ⌊(bytes before this shard)/target⌋,
+    * the q52 packing recipe at shard granularity. Groups are contiguous
+    * shard ranges by construction (a manifest merge never interleaves),
+    * each holds < target + its largest member, and the whole plan costs
+    * ONE combinable per-shard aggregation plus the two-phase distributed
+    * prefix sum — no task ever sees more than one prefix bucket of
+    * shards, however many shards the delivery has.
+    *
+    * @param bytesCol per-row size column (chars as the engine-portable
+    *                 proxy — both engines measure identically).
+    */
+  def compactionPlan(perShard: DataFrame, shardCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
+    Packing.withRunningBefore(perShard, shardCol, bytesCol, "__before")
+      .withColumn("out_group", expr(s"__before DIV $targetBytes"))
+      .groupBy(col("out_group"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col(bytesCol)).as("total_bytes"),
+        min(col(shardCol)).as("first_shard"),
+        max(col(shardCol)).as("last_shard"))
+  }
 }

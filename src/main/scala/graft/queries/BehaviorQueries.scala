@@ -500,6 +500,68 @@ object BehaviorQueries {
             THEN cnt ELSE 0 END) AS BIGINT) * 10000 // total_events
             AS BIGINT) AS top10_share_bp
         FROM rk CROSS JOIN tot
-        GROUP BY n_users, total_events"""))
+        GROUP BY n_users, total_events""")),
+
+    // ---- cohort LTV curve (cumulative revenue per cohort-week) ---------
+    // q136's revenue face: per (cohort_week, week_offset), the number
+    // of active cohort users and the CUMULATIVE purchase revenue per
+    // original cohort member in exact cents. One (user, week) pre-agg
+    // (combinable) feeds one user-keyed collect of calendar-bounded
+    // (week, cents) entries — cohort, cells and cohort size all derive
+    // from that single path (the offset-0 cell IS the cohort size, so
+    // no second pass and no fork); the cumulative window runs on the
+    // cohort×offset aggregate only.
+    QueryDef(
+      "q148_cohort_ltv",
+      (s, dir) => {
+        import s.implicits._
+        val wk = floor(unix_timestamp($"ts") / 604800.0).cast("long")
+        val uw = events(s, dir)
+          .select($"user_id", wk.as("wk"),
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast("long")).otherwise(0L).as("cents"))
+          .groupBy($"user_id", $"wk").agg(sum($"cents").as("cents"))
+        val per = uw.groupBy($"user_id")
+          .agg(min($"wk").as("cohort_week"),
+            collect_list(struct($"wk", $"cents")).as("entries"))
+        val cells = per
+          .select($"cohort_week", explode($"entries").as("e"))
+          .select($"cohort_week",
+            ($"e.wk" - $"cohort_week").as("week_offset"), $"e.cents")
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"), sum($"cents").as("rev_cents"))
+        val wC = Window.partitionBy($"cohort_week").orderBy($"week_offset")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wC0 = Window.partitionBy($"cohort_week")
+        cells
+          .withColumn("cum_rev_cents", sum($"rev_cents").over(wC))
+          .withColumn("n0",
+            max(when($"week_offset" === 0, $"n_users")).over(wC0))
+          .withColumn("ltv_cents", expr("cum_rev_cents DIV n0"))
+          .drop("rev_cents", "n0")
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH uw AS (SELECT user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS cents
+          FROM events GROUP BY user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800),
+        c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw
+          GROUP BY user_id),
+        cell AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+            COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS rev_cents
+          FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+        cum AS (SELECT cohort_week, week_offset, n_users,
+            CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+              ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS cum_rev_cents,
+            MAX(CASE WHEN week_offset = 0 THEN n_users END)
+              OVER (PARTITION BY cohort_week) AS n0
+          FROM cell)
+        SELECT cohort_week, week_offset, n_users, cum_rev_cents,
+          CAST(cum_rev_cents // n0 AS BIGINT) AS ltv_cents
+        FROM cum ORDER BY cohort_week, week_offset"""))
   )
 }

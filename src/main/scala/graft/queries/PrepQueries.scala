@@ -338,6 +338,54 @@ object PrepQueries {
           CAST(SUM(tok) AS BIGINT) AS n_tokens,
           CAST(SUM(ch) AS BIGINT) AS n_chars,
           bit_xor(sig) AS content_sig
-        FROM d GROUP BY shard ORDER BY shard"""))
+        FROM d GROUP BY shard ORDER BY shard""")),
+
+    // ---- shard compaction plan (small-files problem) -------------------
+    // A 64-way delivery (the q93 md5 shard contract) compacted into
+    // ≈8 output files by next-fit over the shard order: output group =
+    // ⌊bytes-before DIV target⌋ with target = total DIV 8 + 1. One
+    // combinable per-shard size aggregation + the two-phase distributed
+    // prefix sum (Shards.compactionPlan); groups are contiguous shard
+    // ranges by construction — the property PrepSpec pins — so merged
+    // manifests roll up without interleaving (the q131 promise).
+    // Target derives from a 1-row total broadcast; char length is the
+    // engine-portable byte proxy (both engines measure identically).
+    QueryDef(
+      "q147_compaction_plan",
+      (s, dir) => {
+        import s.implicits._
+        val perShard = table(s, dir, "documents")
+          .select(
+            (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+              .cast("long") % 64).as("shard"),
+            length($"text").cast("long").as("ch"))
+          .groupBy($"shard").agg(sum($"ch").as("bytes"))
+        val tgt = perShard.agg((sum($"bytes") / 8).cast("long").as("t0"))
+          .select(($"t0" + 1).as("target"))
+        val planned = graft.ops.Packing.withRunningBefore(
+            perShard.crossJoin(broadcast(tgt)), "shard", "bytes", "__before")
+          .withColumn("out_group", expr("__before DIV target"))
+        planned.groupBy($"out_group")
+          .agg(count(lit(1)).as("n_shards"), sum($"bytes").as("total_bytes"),
+            min($"shard").as("first_shard"), max($"shard").as("last_shard"))
+          .orderBy($"out_group")
+      },
+      Some(raw"""WITH d AS (SELECT
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 64 AS shard,
+            CAST(length(text) AS BIGINT) AS ch
+          FROM documents),
+        ps AS (SELECT shard, CAST(SUM(ch) AS BIGINT) AS bytes FROM d
+          GROUP BY shard),
+        t AS (SELECT CAST(SUM(bytes) AS BIGINT) // 8 + 1 AS target FROM ps),
+        pl AS (SELECT shard, bytes,
+            CAST(COALESCE(SUM(bytes) OVER (ORDER BY shard
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) // target AS out_group
+          FROM ps CROSS JOIN t)
+        SELECT out_group, COUNT(*) AS n_shards,
+          CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+          MIN(shard) AS first_shard, MAX(shard) AS last_shard
+        FROM pl GROUP BY out_group ORDER BY out_group"""))
   )
 }

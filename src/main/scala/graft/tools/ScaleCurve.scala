@@ -117,7 +117,9 @@ object ScaleCurve {
     "q143_ngram_novelty", // one distinct (source,gram) exchange
     "q144_session_paths", // one user window exchange + capped collects
     "q145_ab_lift",       // one user-keyed agg + 2-row arm table
-    "q146_pareto_events"  // user-count agg + two-phase global rank
+    "q146_pareto_events", // user-count agg + two-phase global rank
+    "q147_compaction_plan",// per-shard size agg + distributed prefix sum
+    "q148_cohort_ltv"     // (user,week) pre-agg + calendar-bounded collect
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -179,7 +181,7 @@ object ScaleCurve {
         "q136_retention_cohorts", "q137_markov_transitions",
         "q138_rfm_segments", "q139_anomaly_robust",
         "q141_user_lifecycle", "q144_session_paths", "q145_ab_lift",
-        "q146_pareto_events")))
+        "q146_pareto_events", "q148_cohort_ltv")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -193,7 +195,7 @@ object ScaleCurve {
         "q136_retention_cohorts", "q137_markov_transitions",
         "q138_rfm_segments", "q139_anomaly_robust",
         "q141_user_lifecycle", "q142_silhouette", "q144_session_paths",
-        "q145_ab_lift", "q146_pareto_events")(q)))
+        "q145_ab_lift", "q146_pareto_events", "q148_cohort_ltv")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))

@@ -195,6 +195,50 @@ class BehaviorSpec extends AnyFunSuite {
     assert(top10Bp >= top10Users * 10000 / nUsers)
   }
 
+  test("compaction plan: contiguous shard ranges, next-fit bound holds") {
+    import org.apache.spark.sql.functions.col
+    val perShard = Seq((0L, 30L), (1L, 80L), (2L, 10L), (3L, 95L),
+      (4L, 5L), (5L, 40L), (6L, 60L), (7L, 20L)).toDF("shard", "bytes")
+    val plan = graft.ops.Shards
+      .compactionPlan(perShard, "shard", "bytes", targetBytes = 100L)
+      .orderBy(col("out_group")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // next-fit at target 100 over prefix sums 0,30,110,120,215,220,260,320:
+    // groups 0=[0,1], 1=[2,3], 2=[4,5,6], 3=[7]
+    assert(plan.map(g => (g._1, g._4, g._5)).toSeq ==
+      Seq((0L, 0L, 1L), (1L, 2L, 3L), (2L, 4L, 6L), (3L, 7L, 7L)))
+    // every byte accounted for; ranges contiguous and ordered
+    assert(plan.map(_._3).sum == 340L)
+    plan.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 == a._5 + 1)
+      case _ =>
+    }
+    // bound: each group < target + its own largest member is implied by
+    // next-fit; the coarser invariant every group except possibly the
+    // last starts before the target boundary
+    assert(plan.forall { case (g, _, total, _, _) =>
+      total <= 100L + 95L
+    })
+  }
+
+  test("cohort ltv: offset-0 users equal the q136 cohort size, cum monotone") {
+    val ltv = run("q148_cohort_ltv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ret = run("q136_retention_cohorts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the activity cells agree with retention's
+    ltv.foreach { case (cw, off, n, _, _) =>
+      assert(ret((cw, off)) == n, s"cell ($cw,$off)")
+    }
+    // cumulative revenue is monotone within each cohort
+    ltv.groupBy(_._1).foreach { case (_, rows) =>
+      val cum = rows.sortBy(_._2).map(_._4)
+      assert(cum.zip(cum.drop(1)).forall { case (a, b) => b >= a })
+    }
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q138_rfm_segments", // q138: 1-row anchor-ts x 1-row user count
     "q141_user_lifecycle", // q141: 1-row corpus max-week broadcast
     "q142_silhouette", // q142: bounded sample x corpus (q26 pattern)
-    "q146_pareto_events") // q146: 1-row totals x ranked user table
+    "q146_pareto_events", // q146: 1-row totals x ranked user table
+    "q147_compaction_plan") // q147: 1-row byte-target broadcast
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
