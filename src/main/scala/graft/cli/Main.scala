@@ -669,6 +669,28 @@ object Main {
           .orderBy("doc_a", "doc_b")
           .write.mode("overwrite").parquet(out)
 
+      case "compact" =>
+        import org.apache.spark.sql.functions.{col, length, sum}
+        val Seq(in, out) = rest.take(2)
+        val target = opt(rest, "target-bytes").map(_.toLong)
+          .getOrElse(128L * 1024 * 1024)
+        val shard = opt(rest, "shard-column")
+        import org.apache.spark.sql.functions.{abs, xxhash64, input_file_name}
+        val df = spark.read.parquet(in)
+        val text = opt(rest, "text-column").getOrElse("text")
+        // shard ids must be numeric for the prefix-sum order; a string
+        // shard key compacts in deterministic hash order
+        val keyed = shard match {
+          case Some(c) => df.withColumn("shard", abs(xxhash64(col(c))))
+          case None => df.withColumn("shard",
+            abs(xxhash64(input_file_name())))
+        }
+        val perShard = keyed.groupBy(col("shard"))
+          .agg(sum(length(col(text)).cast("long")).as("bytes"))
+        graft.ops.Shards.compactionPlan(perShard, "shard", "bytes", target)
+          .orderBy(col("out_group"))
+          .write.mode("overwrite").parquet(out)
+
       case "dedup" =>
         import graft.ops.Dedup
         val what = rest.head
@@ -1093,7 +1115,8 @@ object Main {
       |  embed-outliers, source-gate, term-drift, span-scrub,
       |  hard-negatives, balance-chi2, hll-distinct, domain-cap,
       |  embed-decontam, funnel --steps a,b,c, retention, transitions,
-      |  anomaly-report, spans [--min-span N], scrub-blocks,
+      |  anomaly-report, spans [--min-span N], compact [--target-bytes N],
+      |  scrub-blocks,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

@@ -562,6 +562,56 @@ object BehaviorQueries {
           FROM cell)
         SELECT cohort_week, week_offset, n_users, cum_rev_cents,
           CAST(cum_rev_cents // n0 AS BIGINT) AS ltv_cents
-        FROM cum ORDER BY cohort_week, week_offset"""))
+        FROM cum ORDER BY cohort_week, week_offset""")),
+
+    // ---- inter-event gap percentiles (latency/SLO telemetry) -----------
+    // Per event type: exact p50/p90/p99 of the gap (in seconds) between
+    // an event and the SAME user's previous event of any type — the
+    // arrival-cadence report an SLO dashboard reads. Gaps come from the
+    // q137 per-user lead window; the percentiles are the q124 recipe:
+    // DistWindow.withGroupedRank over (type, gap-bucket) windows + the
+    // exact ceil-rank inequality r·100 ≥ n·p > (r−1)·100, so no task
+    // serializes an event type and both engines pick identical
+    // boundary elements.
+    QueryDef(
+      "q149_gap_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val gaps = events(s, dir)
+          .withColumn("prev_s", lag(unix_timestamp($"ts"), 1).over(w))
+          .filter($"prev_s".isNotNull)
+          .select($"event_type", $"event_id",
+            (unix_timestamp($"ts") - $"prev_s").as("gap_s"))
+        val ranked = DistWindow.withGroupedRank(gaps, $"event_type",
+          floor($"gap_s" / 900L), Seq($"gap_s", $"event_id"), "r",
+          groupTotalCol = Some("n"))
+        ranked
+          .select($"event_type", $"r", $"gap_s", $"n",
+            explode(array(lit(50), lit(90), lit(99))).as("p"))
+          .filter($"r" * 100 >= $"n" * $"p" &&
+            ($"r" - 1) * 100 < $"n" * $"p")
+          .groupBy($"event_type", $"p")
+          .agg(max($"n").as("n_gaps"), min($"gap_s").as("gap_s_at"))
+          .orderBy($"event_type", $"p")
+      },
+      Some("""WITH g0 AS (SELECT event_type, event_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) -
+            LAG(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+          FROM events),
+        g AS (SELECT event_type, event_id, gap_s FROM g0
+          WHERE gap_s IS NOT NULL),
+        rk AS (SELECT event_type, gap_s,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY gap_s, event_id) AS r,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM g),
+        x AS (SELECT event_type, r, gap_s, n, p.p
+          FROM rk CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) p
+          WHERE r * 100 >= n * p.p AND (r - 1) * 100 < n * p.p)
+        SELECT event_type, p, CAST(MAX(n) AS BIGINT) AS n_gaps,
+          MIN(gap_s) AS gap_s_at
+        FROM x GROUP BY event_type, p ORDER BY event_type, p"""))
   )
 }

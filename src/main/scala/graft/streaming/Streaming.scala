@@ -858,6 +858,44 @@ object Streaming {
   final case class Transition(user_id: Long, from_type: String,
       to_type: String, us: Long)
 
+  final case class WeekState(cohortWeek: Long, seen: List[Long])
+  final case class RetentionCell(user_id: Long, cohort_week: Long,
+      week_offset: Long)
+
+  /** Streaming cohort-retention cells — the keyed-state twin of q136.
+    * Per-user state is the cohort week plus the set of weeks already
+    * seen (CALENDAR-bounded, the same contract as the batch
+    * collect_set); each arrival whose epoch-week is new emits ONE
+    * (cohort_week, week_offset) cell. Under ordered replay the first
+    * seen week IS the min week, so the emitted cell multiset equals the
+    * batch cells exactly and the downstream count-per-cell aggregation
+    * is the same combinable groupBy the batch query runs
+    * (StreamingSpec pins it).
+    */
+  def retentionCells(events: Dataset[FunnelEvent]): Dataset[RetentionCell] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[WeekState, RetentionCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[WeekState]) =>
+          val weeks = batch.map(e => Math.floorDiv(e.us, 604800000000L))
+            .toSeq.sorted
+          var st = state.getOption.getOrElse(
+            WeekState(Long.MaxValue, Nil))
+          val out = Seq.newBuilder[RetentionCell]
+          weeks.foreach { w =>
+            if (st.cohortWeek == Long.MaxValue) st = st.copy(cohortWeek = w)
+            if (!st.seen.contains(w)) {
+              st = st.copy(seen = w :: st.seen)
+              out += RetentionCell(uid, st.cohortWeek, w - st.cohortWeek)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming Markov transition extraction — the keyed-state twin of
     * q137's lead() window. Per-user state is ONE (timestamp, type) pair
     * — the last event seen — so state size is users-bounded and

@@ -119,7 +119,8 @@ object ScaleCurve {
     "q145_ab_lift",       // one user-keyed agg + 2-row arm table
     "q146_pareto_events", // user-count agg + two-phase global rank
     "q147_compaction_plan",// per-shard size agg + distributed prefix sum
-    "q148_cohort_ltv"     // (user,week) pre-agg + calendar-bounded collect
+    "q148_cohort_ltv",    // (user,week) pre-agg + calendar-bounded collect
+    "q149_gap_percentiles"// per-user lag window + grouped two-phase rank
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -181,7 +182,8 @@ object ScaleCurve {
         "q136_retention_cohorts", "q137_markov_transitions",
         "q138_rfm_segments", "q139_anomaly_robust",
         "q141_user_lifecycle", "q144_session_paths", "q145_ab_lift",
-        "q146_pareto_events", "q148_cohort_ltv")))
+        "q146_pareto_events", "q148_cohort_ltv",
+        "q149_gap_percentiles")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -195,7 +197,8 @@ object ScaleCurve {
         "q136_retention_cohorts", "q137_markov_transitions",
         "q138_rfm_segments", "q139_anomaly_robust",
         "q141_user_lifecycle", "q142_silhouette", "q144_session_paths",
-        "q145_ab_lift", "q146_pareto_events", "q148_cohort_ltv")(q)))
+        "q145_ab_lift", "q146_pareto_events", "q148_cohort_ltv",
+        "q149_gap_percentiles")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))

@@ -930,5 +930,23 @@ class CliSpec extends AnyFunSuite {
       s"$dir/sp.parquet"))
     val sp = spark.read.parquet(s"$dir/sp.parquet").collect()
     assert(sp.length == 1 && sp.head.getLong(2) == 12L)
+
+    // compact: two 60-byte sources; target 50 -> next-fit splits them
+    // (the second shard's 60-byte prefix passes the boundary), target
+    // 1000 -> one merged group of 120
+    Seq(("s0", "x" * 60), ("s1", "y" * 60))
+      .toDF("src", "text").write.parquet(s"$dir/shards.parquet")
+    Main.run(spark, Seq("compact", s"$dir/shards.parquet",
+      s"$dir/plan.parquet", "--shard-column", "src",
+      "--target-bytes", "50"))
+    val plan = spark.read.parquet(s"$dir/plan.parquet")
+      .orderBy(col("out_group")).collect()
+    assert(plan.length == 2 &&
+      plan.map(_.getLong(2)).toSeq == Seq(60L, 60L), plan.mkString(";"))
+    Main.run(spark, Seq("compact", s"$dir/shards.parquet",
+      s"$dir/plan2.parquet", "--shard-column", "src",
+      "--target-bytes", "1000"))
+    val plan2 = spark.read.parquet(s"$dir/plan2.parquet").collect()
+    assert(plan2.length == 1 && plan2.head.getLong(2) == 120L)
   }
 }

@@ -796,6 +796,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.sum > 0)
   }
 
+  test("streaming retention cells match the batch cohort matrix") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sret")
+    val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    ev.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.FunnelEvent]
+    val out = Streaming.runToCompletion(
+      Streaming.retentionCells(stream).toDF(), "sret_test")
+    val s = out.groupBy("cohort_week", "week_offset").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val batch = SparkEntry.queries("q136_retention_cohorts")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s == batch)
+    assert(batch.values.sum > 0)
+  }
+
   test("streaming robust anomaly gate matches the batch q139 counts") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sanom")
     val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
