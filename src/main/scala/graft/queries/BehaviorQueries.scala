@@ -612,6 +612,132 @@ object BehaviorQueries {
           WHERE r * 100 >= n * p.p AND (r - 1) * 100 < n * p.p)
         SELECT event_type, p, CAST(MAX(n) AS BIGINT) AS n_gaps,
           MIN(gap_s) AS gap_s_at
-        FROM x GROUP BY event_type, p ORDER BY event_type, p"""))
+        FROM x GROUP BY event_type, p ORDER BY event_type, p""")),
+
+    // ---- last-touch attribution ----------------------------------------
+    // Marketing attribution: each purchase is credited to the SAME
+    // user's most recent preceding click within a 7-day window; the
+    // click's campaign is its JSON props.k mod 10 (the q83-certified
+    // extraction). The most-recent-prior match is ops/AsOf — ONE
+    // user-keyed shuffle + in-partition sort, never the join-then-
+    // filter-max pair blowup — verified against DuckDB's native ASOF
+    // JOIN (the q37 contract). Purchases with no in-horizon click
+    // report as campaign −1.
+    QueryDef(
+      "q150_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts",
+            round($"value" * 100).cast("long").as("cents"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts",
+            (from_json($"props",
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType))))
+              .getField("k") % 10).as("campaign"),
+            unix_timestamp($"ts").as("click_s"))
+        graft.ops.AsOf.join(purchases, clicks, "user_id", "ts", "ts",
+            Map("campaign" -> "campaign", "click_s" -> "click_s"))
+          .select(
+            when($"click_s".isNotNull &&
+              unix_timestamp($"ts") - $"click_s" <= 604800L,
+              $"campaign").otherwise(-1L).as("campaign"),
+            $"cents")
+          .groupBy($"campaign")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum($"cents").as("revenue_cents"))
+          .orderBy($"campaign")
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS campaign,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS click_s
+          FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.cents,
+            CASE WHEN c.click_s IS NOT NULL
+              AND epoch_us(p.ts) // 1000000 - c.click_s <= 604800
+              THEN c.campaign ELSE -1 END AS campaign
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts)
+        SELECT campaign, COUNT(*) AS n_purchases,
+          CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY campaign ORDER BY campaign""")),
+
+    // ---- weekly HLL sketch rollup (mergeable-artifact certification) ---
+    // Weekly distinct-user sketches (the q102 HLL register contract,
+    // keyed by epoch-week) plus a TOTAL row whose estimate Spark
+    // computes by MAX-MERGING the weekly register tables — the
+    // persisted-sketch contract: a warehouse keeps per-delivery
+    // sketches and merges, never rescans. The ORACLE computes the
+    // total row DIRECTLY from the raw rows, so the cross-engine hash
+    // match IS the merge-associativity certification (the q131 promise
+    // for sketches). Weekly rows also carry the exact distinct count
+    // from the same exchange.
+    QueryDef(
+      "q151_hll_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val wk = floor(unix_timestamp($"ts") / 604800.0).cast("long")
+        val ev = events(s, dir).select($"user_id", wk.as("wk"))
+        val weekly = graft.ops.Hll.distinctPerGroup(ev, $"wk", $"user_id",
+            "week")
+          .select($"week", $"n_distinct", $"hll_est")
+        val regs = graft.ops.Hll.registers(ev, $"wk", $"user_id", "week")
+        val merged = regs.groupBy($"hll_bucket")
+          .agg(max($"hll_rho").as("hll_rho"))
+          .withColumn("week", lit(-1L))
+        val totalEst = graft.ops.Hll.estimateFromRegisters(merged, "week")
+        val totalExact = ev.select($"user_id").distinct()
+          .agg(count(lit(1)).as("n_distinct")).withColumn("week", lit(-1L))
+        val total = totalExact.join(totalEst, Seq("week"))
+          .select($"week", $"n_distinct", $"hll_est")
+        weekly.unionByName(total).orderBy($"week")
+      },
+      Some(raw"""WITH uw AS (SELECT DISTINCT
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk,
+            user_id
+          FROM events),
+        grp AS (SELECT wk AS g, user_id AS v FROM uw
+          UNION ALL SELECT -1 AS g, user_id AS v
+          FROM (SELECT DISTINCT user_id FROM uw)),
+        hx AS (SELECT g, md5(CAST(v AS VARCHAR)) AS h FROM grp),
+        reg AS (SELECT g,
+            CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS b,
+            CASE WHEN length(regexp_extract(substr(h, 3, 13), '^0*')) = 13
+              THEN 53
+              ELSE length(regexp_extract(substr(h, 3, 13), '^0*')) * 4
+                + (CASE WHEN substr(substr(h, 3, 13),
+                    length(regexp_extract(substr(h, 3, 13), '^0*')) + 1, 1)
+                    IN ('8','9','a','b','c','d','e','f') THEN 0
+                  WHEN substr(substr(h, 3, 13),
+                    length(regexp_extract(substr(h, 3, 13), '^0*')) + 1, 1)
+                    IN ('4','5','6','7') THEN 1
+                  WHEN substr(substr(h, 3, 13),
+                    length(regexp_extract(substr(h, 3, 13), '^0*')) + 1, 1)
+                    IN ('2','3') THEN 2
+                  ELSE 3 END) + 1 END AS rho
+          FROM hx),
+        regs AS (SELECT g, b, MAX(rho) AS mj, CAST(COUNT(*) AS BIGINT)
+            AS nt
+          FROM reg GROUP BY g, b),
+        pg AS (SELECT g, CAST(SUM(nt) AS BIGINT) AS ex,
+            CAST(SUM(CAST(POW(2, 53 - mj) AS BIGINT)) AS BIGINT) AS snon,
+            CAST(COUNT(*) AS BIGINT) AS nb
+          FROM regs GROUP BY g),
+        est AS (SELECT g, ex, nb,
+            (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+              * 9007199254740992.0
+              / CAST(snon + (256 - nb) * 9007199254740992 AS DOUBLE) AS raw
+          FROM pg)
+        SELECT g AS week, ex AS n_distinct,
+          ROUND(CASE WHEN raw <= 640.0 AND nb < 256
+            THEN 256.0 * LN(256.0 / CAST(256 - nb AS DOUBLE))
+            ELSE raw END, 6) AS hll_est
+        FROM est ORDER BY week"""))
   )
 }

@@ -120,7 +120,9 @@ object ScaleCurve {
     "q146_pareto_events", // user-count agg + two-phase global rank
     "q147_compaction_plan",// per-shard size agg + distributed prefix sum
     "q148_cohort_ltv",    // (user,week) pre-agg + calendar-bounded collect
-    "q149_gap_percentiles"// per-user lag window + grouped two-phase rank
+    "q149_gap_percentiles",// per-user lag window + grouped two-phase rank
+    "q150_attribution",   // one user-keyed as-of union pass + tiny agg
+    "q151_hll_rollup"     // weekly register aggs + 256-row merge
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -183,7 +185,7 @@ object ScaleCurve {
         "q138_rfm_segments", "q139_anomaly_robust",
         "q141_user_lifecycle", "q144_session_paths", "q145_ab_lift",
         "q146_pareto_events", "q148_cohort_ltv",
-        "q149_gap_percentiles")))
+        "q149_gap_percentiles", "q150_attribution", "q151_hll_rollup")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -198,7 +200,8 @@ object ScaleCurve {
         "q138_rfm_segments", "q139_anomaly_robust",
         "q141_user_lifecycle", "q142_silhouette", "q144_session_paths",
         "q145_ab_lift", "q146_pareto_events", "q148_cohort_ltv",
-        "q149_gap_percentiles")(q)))
+        "q149_gap_percentiles", "q150_attribution",
+        "q151_hll_rollup")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))

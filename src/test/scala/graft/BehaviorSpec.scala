@@ -239,6 +239,35 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: every purchase lands in exactly one campaign bucket") {
+    val rows = run("q150_attribution").collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1), r.getLong(2)))
+    val nPurch = graft.queries.JoinQueries.events(spark, dir)
+      .filter($"event_type" === "purchase").count()
+    assert(rows.map(_._2).sum == nPurch)
+    rows.foreach { case (c, n, rev) =>
+      assert(c == Long.MinValue || (c >= -1 && c <= 9), s"campaign $c")
+      assert(n > 0 && rev >= 0)
+    }
+    // the 7-day horizon attributes most purchases on this dense corpus
+    val attributed = rows.filter(r => r._1 >= 0).map(_._2).sum
+    assert(attributed > 0)
+  }
+
+  test("hll rollup: merged total tracks the exact count within HLL error") {
+    val rows = run("q151_hll_rollup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (exact, est) = rows(-1L)
+    assert(exact > 0)
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"merged estimate $est vs exact $exact")
+    // weekly exacts each bounded by the total; sum >= total (re-activity)
+    val weekly = rows.filter(_._1 >= 0).values
+    assert(weekly.forall(_._1 <= exact))
+    assert(weekly.map(_._1).sum >= exact)
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")
