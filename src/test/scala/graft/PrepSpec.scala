@@ -66,6 +66,41 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("gram_hash_seq matches the relational md5-slice chain on random text") {
+    // the q140 span screen matches Spark kernel output against DuckDB's
+    // array_to_string+md5 idiom — pin the equivalence on adversarial
+    // tokenizations (unicode whitespace runs, leading/trailing space,
+    // supplementary chars, sub-k texts)
+    def reference(s: String, k: Int): Seq[Long] = {
+      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) Seq.empty
+      else (0 to toks.length - k).map { i =>
+        val gram = toks.slice(i, i + k).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(gram.getBytes("UTF-8"))
+        val hex = md.map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+    }
+    def kernel(s: String, k: Int): Seq[Long] = {
+      val ad = SketchEval.gramHashSeq(UTF8String.fromString(s), k)
+      (0 until ad.numElements()).map(ad.getLong)
+    }
+    val edges = Seq("", " ", "a", "a b", "a b c",
+      "  a \t b\nc  ", "héllo wörld ünïcode tëst",
+      "a💩b c d e", "ЖУРНАЛ про 42 теста здесь")
+    for (s <- edges; k <- Seq(2, 3, 8))
+      assert(kernel(s, k) == reference(s, k), s"edge k=$k: ${s.take(30)}")
+    val words = Array("the", "cat", "Dog", "42", "über", "a-b",
+      new String(Character.toChars(0x1F4A9)))
+    val rnd = new scala.util.Random(8140L)
+    (1 to 300).foreach { i =>
+      val s = Array.fill(rnd.nextInt(25))(words(rnd.nextInt(words.length)))
+        .mkString(Seq(" ", "  ", "\t", "\n")(rnd.nextInt(4)))
+      assert(kernel(s, 3) == reference(s, 3), s"case $i: ${s.take(40)}")
+    }
+  }
+
   test("winnow edge cases: empty, sub-shingle, sub-window texts") {
     assert(winnowSet("") === Set.empty)
     assert(winnowSet("one two") === Set.empty) // < k tokens
