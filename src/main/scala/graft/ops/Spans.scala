@@ -32,7 +32,19 @@ object Spans {
     * @param dfCap   ignore grams present in more than this many docs.
     */
   def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, minSpan: Int = 12, dfCap: Int = 16): DataFrame = {
+      k: Int = 8, minSpan: Int = 12, dfCap: Int = 16): DataFrame =
+    matchedRuns(docs, textCol, idCol, k, minSpan, dfCap)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("max_span_tokens"),
+        count(lit(1)).as("n_spans"), min(col("start_a")).as("first_pos_a"))
+
+  /** Maximal matched runs with both-side positions — the internal stage
+    * [[repeatedSpans]] aggregates and [[scrubSpans]] applies. One row
+    * per (doc_a < doc_b, diagonal, run): run length in grams and the
+    * 0-based start token of the span in each document.
+    */
+  def matchedRuns(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minSpan: Int, dfCap: Int): DataFrame = {
     require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k)")
     val minRun = minSpan - k + 1
     val g = docs
@@ -57,8 +69,40 @@ object Spans {
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(count(lit(1)).as("run"), min(col("ia")).as("start_a"))
       .filter(col("run") >= minRun)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("run") + (k - 1)).as("max_span_tokens"),
-        count(lit(1)).as("n_spans"), min(col("start_a")).as("first_pos_a"))
+      .select(col("doc_a"), col("doc_b"), col("run"),
+        col("start_a"), (col("start_a") - col("diag")).as("start_b"),
+        (col("run") + (k - 1)).as("span_tokens"))
+  }
+
+  /** APPLY the screen: remove every ≥ `minSpan`-token span from the
+    * HIGHER-id document of each matching pair (first-occurrence-wins,
+    * the q20/q60 id contract), rebuilding the text from the surviving
+    * tokens with canonical single-space joins. Covered token indices
+    * union across pairs and overlapping runs; per-victim state is
+    * bounded by the document's own token count. Returns every document
+    * with (n_tokens_before, n_tokens_removed, text_out).
+    */
+  def scrubSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minSpan: Int = 12, dfCap: Int = 16): DataFrame = {
+    val runs = matchedRuns(docs, textCol, idCol, k, minSpan, dfCap)
+    val covered = runs
+      .select(col("doc_b").as("__vid"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_tokens") - 1)).as("idx"))
+      .groupBy(col("__vid")).agg(collect_set(col("idx")).as("cov"))
+    docs
+      .select(col(idCol), col(textCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+      .join(covered, col(idCol) === col("__vid"), "left")
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens_before"),
+        coalesce(size(col("cov")), lit(0)).cast("long")
+          .as("n_tokens_removed"),
+        concat_ws(" ", expr(
+          """transform(filter(
+               transform(__toks, (t, i) ->
+                 named_struct('t', t, 'i', CAST(i AS BIGINT))),
+               s -> cov IS NULL OR NOT array_contains(cov, s.i)),
+             s -> s.t)""")).as("text_out"))
   }
 }

@@ -738,6 +738,102 @@ object BehaviorQueries {
           ROUND(CASE WHEN raw <= 640.0 AND nb < 256
             THEN 256.0 * LN(256.0 / CAST(256 - nb AS DOUBLE))
             ELSE raw END, 6) AS hll_est
-        FROM est ORDER BY week"""))
+        FROM est ORDER BY week""")),
+
+    // ---- repeated-span scrub (exact-substring dedup APPLIED) -----------
+    // q140 reports the shared spans; this removes them: every ≥12-token
+    // run shared with a LOWER-id document is cut from the higher-id
+    // copy (first-occurrence-wins, the q20/q60 contract), and the text
+    // is rebuilt from surviving tokens with canonical single-space
+    // joins. Covered indices union across pairs and overlapping runs
+    // in array-land — per-victim state bounded by the document's own
+    // token count, never corpus size (Spans.scrubSpans).
+    QueryDef(
+      "q152_span_scrub_cross",
+      (s, dir) => {
+        graft.ops.Spans
+          .scrubSpans(table(s, dir, "documents"), "text", "doc_id",
+            k = 8, minSpan = 12, dfCap = 16)
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+              x -> x <> '') AS otoks,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        gl AS (SELECT doc_id, list_transform(range(len(toks) - 7),
+            i -> CAST(('0x' || substr(md5(array_to_string(
+              list_slice(toks, i + 1, i + 8), ' ')), 1, 15)) AS BIGINT))
+            AS gs
+          FROM t WHERE len(toks) >= 8),
+        gpos AS (SELECT doc_id, unnest(list_transform(range(len(gs)),
+            i -> {'pos': i, 'g': gs[i + 1]}), recursive := true)
+          FROM gl),
+        dfc AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+            FROM gpos GROUP BY g) WHERE nd BETWEEN 2 AND 16),
+        m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.pos - b.pos AS diag, a.pos AS ia
+          FROM gpos a JOIN gpos b USING (g) JOIN dfc USING (g)
+          WHERE a.doc_id < b.doc_id),
+        runs AS (SELECT doc_a, doc_b, diag, ia,
+            ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+              ORDER BY ia) AS grp
+          FROM m),
+        r2 AS (SELECT doc_a, doc_b, diag, grp, COUNT(*) AS run,
+            MIN(ia) AS start_a
+          FROM runs GROUP BY 1, 2, 3, 4),
+        sp AS (SELECT doc_b AS vid, start_a - diag AS start_b,
+            run + 7 AS span
+          FROM r2 WHERE run >= 5),
+        ci AS (SELECT vid, unnest(list_transform(range(span),
+            j -> start_b + j)) AS idx
+          FROM sp),
+        cov AS (SELECT vid, CAST(COUNT(DISTINCT idx) AS BIGINT) AS nrem,
+            list(DISTINCT idx) AS cov
+          FROM ci GROUP BY vid)
+        SELECT d.doc_id, CAST(len(otoks) AS BIGINT) AS n_tokens_before,
+          COALESCE(c.nrem, 0) AS n_tokens_removed,
+          array_to_string(list_transform(list_filter(
+            list_transform(range(len(otoks)),
+              i -> {'t': otoks[i + 1], 'i': i}),
+            s -> c.cov IS NULL OR NOT list_contains(c.cov, s.i)),
+            s -> s.t), ' ') AS text_out
+        FROM t d LEFT JOIN cov c ON d.doc_id = c.vid
+        ORDER BY d.doc_id""")),
+
+    // ---- DP-noised group counts (seeded Laplace mechanism) -------------
+    // The release shape of a differential-privacy count query: per
+    // event type, the true count plus Laplace(1/ε) noise, with the
+    // uniform draw derived from an md5 of the group key so BOTH engines
+    // replay the identical release (a certification of the MECHANISM's
+    // arithmetic — a production release would draw real randomness; the
+    // inverse-CDF, clamping and single-rounding contract is what's
+    // under test). ε = 1; noise = −sign(u−½)·ln(max(1e−12, 1−2|u−½|)).
+    QueryDef(
+      "q153_dp_counts",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("dp:"), $"event_type")), 1, 13),
+              16, 10).cast("double") / lit(math.pow(16.0, 13)))
+          .withColumn("dp_n", expr("""ROUND(n + (-1.0) * SIGN(u - 0.5) *
+            LN(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5))), 3)"""))
+          .select($"event_type", $"n", $"dp_n",
+            lit(1.0).as("epsilon"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, COUNT(*) AS n,
+            CAST(('0x' || substr(md5('dp:' || event_type), 1, 13))
+              AS BIGINT) / POWER(16, 13) AS u
+          FROM events GROUP BY event_type)
+        SELECT event_type, n,
+          ROUND(n + (-1.0) * SIGN(u - 0.5) *
+            LN(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5))), 3) AS dp_n,
+          1.0 AS epsilon
+        FROM c ORDER BY event_type"""))
   )
 }

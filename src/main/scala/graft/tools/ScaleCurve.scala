@@ -122,7 +122,9 @@ object ScaleCurve {
     "q148_cohort_ltv",    // (user,week) pre-agg + calendar-bounded collect
     "q149_gap_percentiles",// per-user lag window + grouped two-phase rank
     "q150_attribution",   // one user-keyed as-of union pass + tiny agg
-    "q151_hll_rollup"     // weekly register aggs + 256-row merge
+    "q151_hll_rollup",    // weekly register aggs + 256-row merge
+    "q152_span_scrub_cross",// matched runs + array-land index removal
+    "q153_dp_counts"      // one combinable agg + seeded noise projection
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -185,7 +187,8 @@ object ScaleCurve {
         "q138_rfm_segments", "q139_anomaly_robust",
         "q141_user_lifecycle", "q144_session_paths", "q145_ab_lift",
         "q146_pareto_events", "q148_cohort_ltv",
-        "q149_gap_percentiles", "q150_attribution", "q151_hll_rollup")))
+        "q149_gap_percentiles", "q150_attribution", "q151_hll_rollup",
+        "q153_dp_counts")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -201,7 +204,7 @@ object ScaleCurve {
         "q141_user_lifecycle", "q142_silhouette", "q144_session_paths",
         "q145_ab_lift", "q146_pareto_events", "q148_cohort_ltv",
         "q149_gap_percentiles", "q150_attribution",
-        "q151_hll_rollup")(q)))
+        "q151_hll_rollup", "q153_dp_counts")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))

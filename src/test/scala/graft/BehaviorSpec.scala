@@ -268,6 +268,37 @@ class BehaviorSpec extends AnyFunSuite {
     assert(weekly.map(_._1).sum >= exact)
   }
 
+  test("scrubSpans removes the planted span from the higher id only") {
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val shared = words("s", 15)
+    val a = (words("a", 10) ++ shared ++ words("b", 10)).mkString(" ")
+    val b = (words("c", 4) ++ shared ++ words("d", 7)).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = graft.ops.Spans
+      .scrubSpans(df, "text", "doc_id", k = 8, minSpan = 12, dfCap = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 (first occurrence) untouched
+    assert(out(1L) == ((35L, 0L, a)))
+    // doc 2 loses exactly the 15 shared tokens, keeps its own
+    val (nb, nr, txt) = out(2L)
+    assert(nb == 26L && nr == 15L)
+    assert(txt == (words("c", 4) ++ words("d", 7)).mkString(" "))
+  }
+
+  test("dp counts: noise bounded by the clamped inverse-CDF, deterministic") {
+    val r1 = run("q153_dp_counts").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    val r2 = run("q153_dp_counts").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(r1.toSeq == r2.toSeq, "release must be replayable")
+    r1.foreach { case (t, (n, dp)) =>
+      // |Laplace(1)| clamped at -ln(1e-12) ≈ 27.6
+      assert(math.abs(dp - n) <= 28.0, s"$t noise ${dp - n}")
+    }
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")
