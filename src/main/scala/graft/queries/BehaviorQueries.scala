@@ -834,6 +834,112 @@ object BehaviorQueries {
           ROUND(n + (-1.0) * SIGN(u - 0.5) *
             LN(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5))), 3) AS dp_n,
           1.0 AS epsilon
-        FROM c ORDER BY event_type"""))
+        FROM c ORDER BY event_type""")),
+
+    // ---- conversion lift by lifecycle state ----------------------------
+    // Do resurrected users convert like retained ones? Per q141
+    // lifecycle state (new/retained/resurrected), the fraction of
+    // (user, week) cells with a purchase that week, in exact basis
+    // points. One (user, week) pre-agg carries the purchase flag; the
+    // state classification happens in the same calendar-bounded
+    // array-land pass q141 uses — no per-user window, no second corpus
+    // pass.
+    QueryDef(
+      "q154_state_lift",
+      (s, dir) => {
+        import s.implicits._
+        val wk = floor(unix_timestamp($"ts") / 604800.0).cast("long")
+        val uw = events(s, dir)
+          .select($"user_id", wk.as("wk"),
+            when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+          .groupBy($"user_id", $"wk").agg(max($"p").as("p"))
+        val per = uw.groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"wk", $"p"))).as("es"))
+        per
+          .select(explode(expr(
+            """transform(sequence(0, size(es) - 1), i -> named_struct(
+                 'state', CASE WHEN i = 0 THEN 'new'
+                   WHEN es[i].wk - es[i-1].wk = 1 THEN 'retained'
+                   ELSE 'resurrected' END,
+                 'p', es[i].p))""")).as("s"))
+          .select($"s.state".as("state"), $"s.p".as("p"))
+          .groupBy("state")
+          .agg(count(lit(1)).as("n_user_weeks"), sum($"p").as("n_converted"))
+          .withColumn("cvr_bp", expr("n_converted * 10000 DIV n_user_weeks"))
+          .orderBy("state")
+      },
+      Some("""WITH uw AS (SELECT user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+          FROM events GROUP BY user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800),
+        st AS (SELECT p,
+            CASE WHEN LAG(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                IS NULL THEN 'new'
+              WHEN wk - LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) = 1
+                THEN 'retained'
+              ELSE 'resurrected' END AS state
+          FROM uw)
+        SELECT state, COUNT(*) AS n_user_weeks,
+          CAST(SUM(p) AS BIGINT) AS n_converted,
+          CAST(SUM(p) * 10000 // COUNT(*) AS BIGINT) AS cvr_bp
+        FROM st GROUP BY state ORDER BY state""")),
+
+    // ---- first-touch attribution (range-frame formulation) -------------
+    // The q150 complement: each purchase credits the EARLIEST click in
+    // the preceding 7 days. Expressed as a RANGE frame over the unioned
+    // per-user timeline — min over clicks within [t−7d, t] — with the
+    // (click_s, campaign) pair packed into one BIGINT (ts·100 +
+    // campaign) so the frame min picks earliest-then-lowest-campaign
+    // deterministically in both engines. One user-keyed exchange; the
+    // frame is time-bounded, so window state per task is horizon-
+    // bounded, not history-bounded.
+    QueryDef(
+      "q155_first_touch",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val k = from_json($"props",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k")
+        val tl = ev.filter($"event_type".isin("click", "purchase"))
+          .select($"user_id", unix_timestamp($"ts").as("t_s"),
+            $"event_type",
+            when($"event_type" === "click",
+              unix_timestamp($"ts") * 100 + (k % 10)).as("ck"),
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast("long")).as("cents"))
+        val w = Window.partitionBy($"user_id").orderBy($"t_s")
+          .rangeBetween(-604800L, 0L)
+        tl.withColumn("first_ck", min($"ck").over(w))
+          .filter($"event_type" === "purchase")
+          .select(
+            coalesce($"first_ck" % 100, lit(-1L)).as("campaign"),
+            $"cents")
+          .groupBy($"campaign")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum($"cents").as("revenue_cents"))
+          .orderBy($"campaign")
+      },
+      Some("""WITH tl AS (SELECT user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t_s,
+            event_type,
+            CASE WHEN event_type = 'click'
+              THEN (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 100
+                + CAST(json_extract(props, '$.k') AS BIGINT) % 10
+              END AS ck,
+            CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        fr AS (SELECT event_type, cents,
+            MIN(ck) OVER (PARTITION BY user_id ORDER BY t_s
+              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS first_ck
+          FROM tl)
+        SELECT COALESCE(first_ck % 100, -1) AS campaign,
+          COUNT(*) AS n_purchases, CAST(SUM(cents) AS BIGINT)
+            AS revenue_cents
+        FROM fr WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY campaign"""))
   )
 }

@@ -124,7 +124,9 @@ object ScaleCurve {
     "q150_attribution",   // one user-keyed as-of union pass + tiny agg
     "q151_hll_rollup",    // weekly register aggs + 256-row merge
     "q152_span_scrub_cross",// matched runs + array-land index removal
-    "q153_dp_counts"      // one combinable agg + seeded noise projection
+    "q153_dp_counts",     // one combinable agg + seeded noise projection
+    "q154_state_lift",    // (user,week) pre-agg + array-land states
+    "q155_first_touch"    // user-keyed range-frame window + tiny agg
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -188,7 +190,7 @@ object ScaleCurve {
         "q141_user_lifecycle", "q144_session_paths", "q145_ab_lift",
         "q146_pareto_events", "q148_cohort_ltv",
         "q149_gap_percentiles", "q150_attribution", "q151_hll_rollup",
-        "q153_dp_counts")))
+        "q153_dp_counts", "q154_state_lift", "q155_first_touch")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -204,7 +206,8 @@ object ScaleCurve {
         "q141_user_lifecycle", "q142_silhouette", "q144_session_paths",
         "q145_ab_lift", "q146_pareto_events", "q148_cohort_ltv",
         "q149_gap_percentiles", "q150_attribution",
-        "q151_hll_rollup", "q153_dp_counts")(q)))
+        "q151_hll_rollup", "q153_dp_counts", "q154_state_lift",
+        "q155_first_touch")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))

@@ -299,6 +299,35 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("state lift: user-week cells conserved across lifecycle states") {
+    val rows = run("q154_state_lift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cells = graft.queries.JoinQueries.events(spark, dir)
+      .select($"user_id",
+        floor(unix_timestamp($"ts") / 604800.0).cast("long").as("wk"))
+      .distinct().count()
+    assert(rows.map(_._2._1).sum == cells)
+    val valid = Set("new", "retained", "resurrected")
+    rows.foreach { case (s, (n, c, bp)) =>
+      assert(valid(s) && c <= n && bp >= 0 && bp <= 10000, s"state $s")
+    }
+  }
+
+  test("first-touch and last-touch attribute the same purchase set") {
+    val ft = run("q155_first_touch").collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1), r.getLong(2)))
+    val lt = run("q150_attribution").collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1), r.getLong(2)))
+    assert(ft.map(_._2).sum == lt.map(_._2).sum, "purchase conservation")
+    assert(ft.map(_._3).sum == lt.map(_._3).sum, "revenue conservation")
+    ft.foreach { case (c, n, _) =>
+      assert(c == Long.MinValue || (c >= -1 && c <= 9), s"campaign $c")
+      assert(n > 0)
+    }
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")

@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q141_user_lifecycle", // q141: 1-row corpus max-week broadcast
     "q142_silhouette", // q142: bounded sample x corpus (q26 pattern)
     "q146_pareto_events", // q146: 1-row totals x ranked user table
-    "q147_compaction_plan") // q147: 1-row byte-target broadcast
+    "q147_compaction_plan", // q147: 1-row byte-target broadcast
+    "q151_hll_rollup") // q151: 1-row exact total x 1-row merged estimate
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
