@@ -101,6 +101,30 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("text.register exposes the kernel surface to spark.sql") {
+    graft.functions.text.register(spark)
+    val r = spark.sql("""SELECT
+        norm_text('  Héllo,  WORLD!! 42 ') AS nt,
+        char_entropy('aaaa')[0] AS ent,
+        simhash64('the quick brown fox') AS sh,
+        size(word_shingles('a b c d', 3)) AS ws,
+        size(gram_hash_seq('a b c d', 3)) AS gh,
+        size(minhash_signature('a b c d e', 8, 2)) AS mh,
+        jaccard_sim('a b c d', 'a b c d', 2) AS js,
+        pii_redact('mail me at x@y.com now') AS pii
+      """).head()
+    assert(r.getString(0) == "h llo world 42")
+    assert(r.getDouble(1) >= 0.0) // stats array head (printable count)
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) == 2 && r.getInt(4) == 2 && r.getInt(5) == 8)
+    assert(r.getDouble(6) == 1.0)
+    assert(r.getString(7).contains("<EMAIL>"))
+    // SQL call compiles into the SAME codegen expression (no ScalaUDF)
+    val plan = spark.sql("SELECT simhash64('x') AS s").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
   test("winnow edge cases: empty, sub-shingle, sub-window texts") {
     assert(winnowSet("") === Set.empty)
     assert(winnowSet("one two") === Set.empty) // < k tokens
