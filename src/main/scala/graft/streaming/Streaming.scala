@@ -858,6 +858,42 @@ object Streaming {
   final case class Transition(user_id: Long, from_type: String,
       to_type: String, us: Long)
 
+  /** Streaming attribution candidates — the stream-stream
+    * WATERMARKED INTERVAL JOIN face of q150: a purchases stream joins a
+    * clicks stream on user with the click constrained to
+    * [purchase − horizon, purchase]. Both sides carry event-time
+    * watermarks, so Spark bounds the join state to the horizon (clicks
+    * older than purchase-watermark − horizon are evicted) — the
+    * stream-stream pattern whose state would otherwise grow without
+    * bound. Emits ONE row per in-horizon (purchase, click) candidate;
+    * the last-touch reduction (max click per purchase) is the same
+    * combinable max_by the batch operator ends with, run downstream of
+    * the join (StreamingSpec reduces the candidate set and pins
+    * equality with the batch as-of attribution per purchase).
+    */
+  def attributionCandidates(purchases: DataFrame, clicks: DataFrame,
+      horizon: java.time.Duration,
+      watermark: String = "30 seconds"): DataFrame = {
+    val h = horizon.toSeconds
+    val p = purchases
+      .withColumn("p_ts", col("ts").cast("timestamp"))
+      .withWatermark("p_ts", watermark)
+      .select(col("user_id").as("p_user"), col("p_ts"),
+        col("purchase_id"), col("cents"))
+    val c = clicks
+      .withColumn("c_ts", col("ts").cast("timestamp"))
+      .withWatermark("c_ts", watermark)
+      .select(col("user_id").as("c_user"), col("c_ts"), col("campaign"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $h SECONDS"),
+      "inner")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("cents"), col("campaign"),
+        unix_timestamp(col("c_ts")).as("click_s"))
+  }
+
   final case class WeekState(cohortWeek: Long, seen: List[Long])
   final case class RetentionCell(user_id: Long, cohort_week: Long,
       week_offset: Long)

@@ -817,6 +817,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.sum > 0)
   }
 
+  test("stream-stream interval join candidates reduce to batch last-touch") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ssattr")
+    val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10)
+          .as("campaign"))
+    purchases.write.mode("overwrite").parquet(streamDir.toString + "/p")
+    clicks.write.mode("overwrite").parquet(streamDir.toString + "/c")
+    val pS = spark.readStream.schema(purchases.schema)
+      .parquet(streamDir.toString + "/p")
+    val cS = spark.readStream.schema(clicks.schema)
+      .parquet(streamDir.toString + "/c")
+    val out = Streaming.runToCompletion(
+      Streaming.attributionCandidates(pS, cS,
+        java.time.Duration.ofDays(7)), "ssattr_test")
+    // reduce candidates: last-touch = max (click_s, campaign) per purchase
+    val got = out.groupBy("purchase_id")
+      .agg(max(struct(col("click_s"), col("campaign"))).as("w"))
+      .select(col("purchase_id"), col("w.campaign").as("campaign"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch truth: the same interval join + identical reduction — the
+    // candidate multiset is the streaming op's contract, so equality is
+    // EXACT (no tie slack)
+    val batch = purchases.as("p")
+      .join(clicks.withColumn("click_s", unix_timestamp(col("ts"))).as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.ts") <= col("p.ts") &&
+          unix_timestamp(col("p.ts")) - col("click_s") <= 604800L)
+      .groupBy(col("purchase_id"))
+      .agg(max(struct(col("click_s"), col("campaign"))).as("w"))
+      .select(col("purchase_id"), col("w.campaign").as("campaign"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    assert(got == batch)
+    // and the winner matches the as-of (q150) attribution wherever the
+    // most-recent click is unique
+    val asof = graft.ops.AsOf.join(
+        purchases, clicks.withColumn("click_s", unix_timestamp(col("ts"))),
+        "user_id", "ts", "ts",
+        Map("campaign" -> "campaign", "click_s" -> "click_s"))
+      .filter(col("click_s").isNotNull &&
+        unix_timestamp(col("ts")) - col("click_s") <= 604800L)
+      .select(col("purchase_id"), col("campaign"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asof.keySet == batch.keySet)
+  }
+
   test("streaming robust anomaly gate matches the batch q139 counts") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sanom")
     val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
