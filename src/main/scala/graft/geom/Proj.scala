@@ -15,7 +15,7 @@ package graft.geom
   *  - Lambert Azimuthal Equal Area: 3035 (ETRS89-extended Europe)
   *  - world pseudocylindricals: Sinusoidal (ESRI:54008), Mollweide
   *    (ESRI:54009), Eckert VI (ESRI:54010), Eckert IV (ESRI:54012),
-  *    Robinson (ESRI:54030)
+  *    Robinson (ESRI:54030), Equal Earth (EPSG:8857)
   * CRS inputs may be "EPSG:n", bare codes, OGC URNs, or PROJJSON (the
   * `id.authority/code` is extracted). Always-XY axis order everywhere.
   *
@@ -503,6 +503,8 @@ object Proj {
         Some((-17.0e6, -8.5e6, 17.0e6, 8.5e6))
       case 54030 => // World Robinson: |x| ≤ 0.8487aπ, |y| ≤ 1.3523a, outward
         Some((-17.1e6, -8.7e6, 17.1e6, 8.7e6))
+      case 8857 => // Equal Earth: |x| ≤ aπcos0/(M·A1), |y| ≤ a·poly(θmax)
+        Some((-17.3e6, -8.7e6, 17.3e6, 8.7e6))
       case _ => None
     }
 
@@ -747,6 +749,55 @@ object Proj {
     }
   }
 
+  // ---- Equal Earth (EPSG:8857 / method 1078) -----------------------------
+  // Šavrič, Patterson & Jenny 2018: equal-area pseudocylindrical with
+  // the published degree-9 polynomial in θ = asin(√3/2 · sinφ);
+  // spherical formulation with R = semi-major axis (PROJ's `eqearth`
+  // spherical form, the one EPSG:8857's WGS84 usage resolves to).
+  // Inverse recovers θ from y by Newton on the SAME polynomial (the
+  // derivative is the forward's x-denominator), so tests certify the
+  // defining equation and the equal-area Jacobian directly.
+  private final class EqualEarth(lon0d: Double, fe: Double, fn: Double,
+      a: Double = A) extends Projection {
+    private val lon0 = math.toRadians(lon0d)
+    private val A1 = 1.340264
+    private val A2 = -0.081106
+    private val A3 = 0.000893
+    private val A4 = 0.003796
+    private val M = math.sqrt(3.0) / 2.0
+
+    private def poly(th: Double): Double = {
+      val t2 = th * th; val t6 = t2 * t2 * t2
+      th * (A1 + A2 * t2 + t6 * (A3 + A4 * t2))
+    }
+    private def dPoly(th: Double): Double = {
+      val t2 = th * th; val t6 = t2 * t2 * t2
+      A1 + 3 * A2 * t2 + t6 * (7 * A3 + 9 * A4 * t2)
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val th = math.asin(M * math.sin(math.toRadians(lat)))
+      (fe + a * normLon(math.toRadians(lon) - lon0) * math.cos(th) /
+        (M * dPoly(th)),
+        fn + a * poly(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      var th = (y - fn) / a // A1 ≈ 1.34 keeps this inside the basin
+      var i = 0
+      while (i < 12) {
+        val f = poly(th) - (y - fn) / a
+        val d = dPoly(th)
+        val next = th - f / d
+        if (math.abs(next - th) < 1e-14) { th = next; i = 12 }
+        else { th = next; i += 1 }
+      }
+      val phi = math.asin(math.max(-1.0, math.min(1.0, math.sin(th) / M)))
+      val lam = lon0 + (x - fe) * M * dPoly(th) / (a * math.cos(th))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   // ---- Robinson (ESRI:54030; no EPSG method code) ------------------------
   // Robinson's 1974 table projection: published X (parallel length) and
   // Y (parallel distance from equator) multipliers at 5° latitude nodes,
@@ -819,7 +870,8 @@ object Proj {
     54009 -> new Mollweide(0, 0, 0),
     54010 -> new EckertVI(0, 0, 0),
     54012 -> new EckertIV(0, 0, 0),
-    54030 -> new Robinson(0, 0, 0))
+    54030 -> new Robinson(0, 0, 0),
+    8857 -> new EqualEarth(0, 0, 0))
 
   // ---- Krovak (EPSG methods 9819 south-west / 1041 north-orientated) ----
   // Conformal oblique conic on Bessel 1841 (S-JTSK, Czechia/Slovakia);
@@ -1011,6 +1063,7 @@ object Proj {
           else if (n.contains("robinson")) 54030
           else if (n.contains("eckert iv") || n.contains("eckert_iv")) 54012
           else if (n.contains("eckert vi") || n.contains("eckert_vi")) 54010
+          else if (n.contains("equal earth") || n.contains("equal_earth")) 8857
           else -1
         }
     // parameters by EPSG id and by lowercase name; values normalized to

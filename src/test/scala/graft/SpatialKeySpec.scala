@@ -600,6 +600,40 @@ class SpatialKeySpec extends AnyFunSuite {
         s"$code not equal-area at ($lon, $lat): $jac vs $want")
     }
 
+    // ---- Equal Earth (EPSG:8857): defining polynomial + equal area ----
+    // y/R must equal θ(A1 + A2θ² + θ⁶(A3 + A4θ²)) with
+    // θ = asin(√3/2·sinφ) (Šavrič-Patterson-Jenny 2018 published
+    // coefficients), and x·M·p'(θ) must recover R·λ·cosθ
+    for ((lon, lat) <- Seq((0.0, 0.0), (60.0, 30.0), (-120.0, -55.0),
+        (179.0, 85.0))) {
+      val (x, y) = Proj.transform(lon, lat, "EPSG:4326", "EPSG:8857")
+      val (a1, a2, a3, a4) = (1.340264, -0.081106, 0.000893, 0.003796)
+      val m = math.sqrt(3.0) / 2.0
+      val th = math.asin(m * math.sin(math.toRadians(lat)))
+      val t2 = th * th; val t6 = t2 * t2 * t2
+      assert(math.abs(y / a - th * (a1 + a2 * t2 + t6 * (a3 + a4 * t2)))
+        < 1e-9, s"equal-earth y at ($lon,$lat)")
+      val dp = a1 + 3 * a2 * t2 + t6 * (7 * a3 + 9 * a4 * t2)
+      assert(math.abs(x * m * dp - a * math.toRadians(lon) * math.cos(th))
+        < 1e-3, s"equal-earth x at ($lon,$lat)")
+      val (l2, p2) = Proj.transform(x, y, "EPSG:8857", "EPSG:4326")
+      assert(math.abs(l2 - lon) < 1e-9 && math.abs(p2 - lat) < 1e-9,
+        s"equal-earth round-trip ($lon,$lat) -> ($l2,$p2)")
+    }
+    // equal-area Jacobian, the projection's defining property
+    for ((lon, lat) <- Seq((20.0, 37.0), (-140.0, -62.0), (3.0, 81.0))) {
+      val h = 1e-6
+      val hd = math.toDegrees(h)
+      val (xe, ye) = Proj.transform(lon + hd, lat, "EPSG:4326", "EPSG:8857")
+      val (xw, yw) = Proj.transform(lon - hd, lat, "EPSG:4326", "EPSG:8857")
+      val (xn, yn) = Proj.transform(lon, lat + hd, "EPSG:4326", "EPSG:8857")
+      val (xs, ys) = Proj.transform(lon, lat - hd, "EPSG:4326", "EPSG:8857")
+      val jac = ((xe - xw) * (yn - ys) - (xn - xs) * (ye - yw)) / (4 * h * h)
+      val want = a * a * math.cos(math.toRadians(lat))
+      assert(math.abs(jac / want - 1.0) < 1e-4,
+        s"equal-earth not equal-area at ($lon, $lat)")
+    }
+
     // PROJJSON dispatch by method NAME (the ESRI docs carry no EPSG
     // method id) must resolve to the same projection as the code path
     val mollJson = """{"type":"ProjectedCRS","name":"World Mollweide",
