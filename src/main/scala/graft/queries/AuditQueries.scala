@@ -1034,6 +1034,124 @@ object AuditQueries {
           COALESCE(n.n_new_grams, 0) AS n_new_grams,
           CAST(COALESCE(n.n_new_grams, 0) * 10000 // t.n_distinct_grams
             AS BIGINT) AS novelty_bp
-        FROM tot t LEFT JOIN nw n USING (source) ORDER BY t.source"""))
+        FROM tot t LEFT JOIN nw n USING (source) ORDER BY t.source""")),
+
+    // ---- greedy dedup-order gain audit (round 8) -----------------------
+    // Plan the dedup pass: processing sources in lexicographic order,
+    // how many of each source's documents die as CROSS-source dupes
+    // (digest first seen in an earlier source — the q60/q143
+    // first-occurrence contract) vs WITHIN-source dupes (first in this
+    // source, but not this source's first copy)? Everything derives
+    // from one combinable (digest, source) count plus a digest-keyed
+    // min(source) — digests shuffle, documents never — and the final
+    // rollup is sources-sized.
+    QueryDef(
+      "q156_dedup_order",
+      (s, dir) => {
+        import s.implicits._
+        val d = table(s, dir, "documents")
+          .select($"source", md5(graft.ops.Dedup.normalize($"text")).as("h"))
+        val ds = d.groupBy($"h", $"source").agg(count(lit(1)).as("n"))
+        val firstSrc = ds.groupBy($"h").agg(min($"source").as("first_source"))
+        ds.join(firstSrc, Seq("h"))
+          .select($"source", $"n",
+            when($"source" === $"first_source", 0L).otherwise($"n")
+              .as("cross"),
+            when($"source" === $"first_source", $"n" - 1).otherwise(0L)
+              .as("within"))
+          .groupBy($"source")
+          .agg(sum($"n").as("n_docs"),
+            sum($"cross").as("n_cross_dupes"),
+            sum($"within").as("n_within_dupes"),
+            (sum($"n") - sum($"cross") - sum($"within")).as("n_kept"))
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (SELECT source,
+            md5(trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g'))) AS h
+          FROM documents),
+        ds AS (SELECT h, source, COUNT(*) AS n FROM d GROUP BY h, source),
+        f AS (SELECT h, MIN(source) AS first_source FROM ds GROUP BY h)
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN source = first_source THEN 0 ELSE n END)
+            AS BIGINT) AS n_cross_dupes,
+          CAST(SUM(CASE WHEN source = first_source THEN n - 1 ELSE 0 END)
+            AS BIGINT) AS n_within_dupes,
+          CAST(SUM(n) - SUM(CASE WHEN source = first_source THEN 0
+              ELSE n END)
+            - SUM(CASE WHEN source = first_source THEN n - 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+        FROM ds JOIN f USING (h) GROUP BY source ORDER BY source""")),
+
+    // ---- conformal score intervals for the NB classifier (round 8) -----
+    // Split-conformal-style calibration read: per class, the exact
+    // [p05, p95] interval of the q81-certified NB score (micro ints,
+    // ceil-rank inequalities — the q124 recipe via
+    // DistWindow.withGroupedRank) and the achieved coverage in basis
+    // points. The oracle replays model, scores, both quantiles and the
+    // coverage count from the shared nbScoreCtes fragment.
+    QueryDef(
+      "q157_conformal_nb",
+      (s, dir) => {
+        import s.implicits._
+        val scored = graft.ops.NaiveBayes.trainScore(
+            table(s, dir, "documents"), "text",
+            when($"lang" === "en", 1.0).otherwise(0.0),
+            dims = 256, carry = Seq("lang"))
+          .select($"doc_id",
+            when($"lang" === "en", "en").otherwise("other").as("label"),
+            round($"nb_score" * 1e6).cast("long").as("sm"))
+          .localCheckpoint(false)
+        val ranked = graft.ops.DistWindow.withGroupedRank(scored,
+          col("label"), floor(col("sm") / 1000000.0).cast("long"),
+          Seq(col("sm"), col("doc_id")), "r", Some("n"))
+        val qs = ranked
+          .select($"label", $"r", $"sm", $"n",
+            explode(array(lit(5), lit(95))).as("p"))
+          .filter($"r" * 100 >= $"n" * $"p" &&
+            ($"r" - 1) * 100 < $"n" * $"p")
+          .groupBy($"label")
+          .agg(max($"n").as("n_docs"),
+            min(when($"p" === 5, $"sm")).as("q05_micro"),
+            min(when($"p" === 95, $"sm")).as("q95_micro"))
+        scored.join(broadcast(qs), Seq("label"))
+          .withColumn("inb",
+            when($"sm" >= $"q05_micro" && $"sm" <= $"q95_micro", 1L)
+              .otherwise(0L))
+          .groupBy($"label")
+          .agg(max($"n_docs").as("n_docs"), max($"q05_micro").as("q05_micro"),
+            max($"q95_micro").as("q95_micro"),
+            sum($"inb").as("n_in_interval"))
+          .withColumn("coverage_bp",
+            expr("n_in_interval * 10000 DIV n_docs"))
+          .orderBy($"label")
+      },
+      Some(raw"""WITH ${CorpusQueries.nbScoreCtes},
+        j AS (SELECT sc.doc_id,
+            CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS label,
+            CAST(ROUND(ROUND(s, 6) * 1000000) AS BIGINT) AS sm
+          FROM sc JOIN documents USING (doc_id)),
+        rk AS (SELECT label, doc_id, sm,
+            ROW_NUMBER() OVER (PARTITION BY label ORDER BY sm, doc_id)
+              AS r,
+            COUNT(*) OVER (PARTITION BY label) AS n
+          FROM j),
+        x AS (SELECT label, r, sm, n, p.p
+          FROM rk CROSS JOIN (SELECT unnest([5, 95]) AS p) p
+          WHERE r * 100 >= n * p.p AND (r - 1) * 100 < n * p.p),
+        qs AS (SELECT label, CAST(MAX(n) AS BIGINT) AS n_docs,
+            MIN(CASE WHEN p = 5 THEN sm END) AS q05_micro,
+            MIN(CASE WHEN p = 95 THEN sm END) AS q95_micro
+          FROM x GROUP BY label)
+        SELECT j.label, MAX(q.n_docs) AS n_docs,
+          MAX(q.q05_micro) AS q05_micro, MAX(q.q95_micro) AS q95_micro,
+          CAST(SUM(CASE WHEN j.sm BETWEEN q.q05_micro AND q.q95_micro
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_in_interval,
+          CAST(SUM(CASE WHEN j.sm BETWEEN q.q05_micro AND q.q95_micro
+            THEN 1 ELSE 0 END) * 10000 // MAX(q.n_docs) AS BIGINT)
+            AS coverage_bp
+        FROM j JOIN qs q USING (label) GROUP BY j.label
+        ORDER BY j.label"""))
   )
 }

@@ -126,7 +126,9 @@ object ScaleCurve {
     "q152_span_scrub_cross",// matched runs + array-land index removal
     "q153_dp_counts",     // one combinable agg + seeded noise projection
     "q154_state_lift",    // (user,week) pre-agg + array-land states
-    "q155_first_touch"    // user-keyed range-frame window + tiny agg
+    "q155_first_touch",   // user-keyed range-frame window + tiny agg
+    "q156_dedup_order",   // (digest,source) count + digest-keyed min
+    "q157_conformal_nb"   // NB score + grouped rank + interval probe
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)

@@ -328,6 +328,36 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup order: kept docs equal distinct digests, counts conserve") {
+    val rows = run("q156_dedup_order").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val total = docs.count()
+    val distinctDigests = docs
+      .select(md5(graft.ops.Dedup.normalize($"text")).as("h"))
+      .distinct().count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.map(_._5).sum == distinctDigests)
+    rows.foreach { case (s, n, cr, wi, kept) =>
+      assert(kept + cr + wi == n, s"conservation at $s")
+    }
+  }
+
+  test("conformal intervals cover ~90% with q05 < q95") {
+    val rows = run("q157_conformal_nb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    assert(rows.map(_._1).toSet == Set("en", "other"))
+    rows.foreach { case (l, n, q05, q95, cov) =>
+      assert(q05 <= q95, s"$l interval inverted")
+      // exact ceil-rank intervals cover >= 90% by construction and at
+      // most 100%; small-n discreteness keeps it near 9000 bp
+      assert(cov >= 8800 && cov <= 10000, s"$l coverage $cov")
+      assert(n > 0)
+    }
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")
