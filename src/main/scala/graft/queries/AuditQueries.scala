@@ -1152,6 +1152,107 @@ object AuditQueries {
             THEN 1 ELSE 0 END) * 10000 // MAX(q.n_docs) AS BIGINT)
             AS coverage_bp
         FROM j JOIN qs q USING (label) GROUP BY j.label
-        ORDER BY j.label"""))
+        ORDER BY j.label""")),
+
+    // ---- exact Spearman: length-vs-quality bias audit (round 8) --------
+    // Does the quality signal just reward length? Per source, the
+    // Spearman rank correlation between token count and char entropy —
+    // computed EXACTLY: two grouped two-phase ranks (record ranks,
+    // ties broken by doc_id — the same deterministic-total-order
+    // contract every rank op here uses), then ρ = 1 − 6·Σd²/(n(n²−1))
+    // with every term an exact integer until the one closing division.
+    QueryDef(
+      "q158_spearman",
+      (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "documents")
+          .select($"source", $"doc_id",
+            size(filter(split($"text", "\\s+"), t => t =!= ""))
+              .cast("long").as("len"),
+            round(element_at(graft.functions.SketchExpressions
+              .char_entropy(lower(coalesce($"text", lit("")))), 2) * 1e6)
+              .cast("long").as("em"))
+        val r1 = graft.ops.DistWindow.withGroupedRank(base, col("source"),
+          floor(col("len") / 64.0).cast("long"),
+          Seq(col("len"), col("doc_id")), "rl")
+        val r2 = graft.ops.DistWindow.withGroupedRank(r1, col("source"),
+          floor(col("em") / 1000000.0).cast("long"),
+          Seq(col("em"), col("doc_id")), "re")
+        r2.select($"source", (($"rl" - $"re") * ($"rl" - $"re")).as("d2"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"d2").as("sum_d2"))
+          .withColumn("spearman", round(lit(1.0) -
+            lit(6.0) * $"sum_d2" /
+              ($"n_docs" * ($"n_docs" * $"n_docs" - 1)), 6))
+          .orderBy($"source")
+      },
+      Some(raw"""WITH ch AS (SELECT doc_id,
+            unnest(string_split(lower(coalesce(text, '')), '')) AS c
+          FROM documents),
+        f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch
+          WHERE ascii(c) BETWEEN 32 AND 126 GROUP BY doc_id, c),
+        tt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t
+          FROM f GROUP BY doc_id),
+        ent AS (SELECT f.doc_id, CAST(ROUND(ROUND(-SUM(
+              (CAST(n AS DOUBLE) / t) * LN(CAST(n AS DOUBLE) / t)), 6)
+              * 1000000) AS BIGINT) AS em
+          FROM f JOIN tt ON f.doc_id = tt.doc_id GROUP BY f.doc_id),
+        base AS (SELECT d.doc_id, d.source,
+            CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+              x -> x <> '')) AS BIGINT) AS len,
+            COALESCE(ent.em, 0) AS em
+          FROM documents d LEFT JOIN ent USING (doc_id)),
+        rk AS (SELECT source,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id)
+              AS rl,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY em, doc_id)
+              AS re
+          FROM base)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM((rl - re) * (rl - re)) AS BIGINT) AS sum_d2,
+          ROUND(1.0 - 6.0 * SUM((rl - re) * (rl - re)) /
+            (COUNT(*) * (COUNT(*) * COUNT(*) - 1.0)), 6) AS spearman
+        FROM rk GROUP BY source ORDER BY source""")),
+
+    // ---- Gini concentration of token mass (round 8) --------------------
+    // How unequal are document sizes within a source? The exact Gini
+    // coefficient of the per-document token counts: one grouped
+    // two-phase rank (ascending by (len, doc_id)) plus one combinable
+    // aggregation — G = (2·Σ(i·xᵢ) − (n+1)·Σx)/(n·Σx), every term an
+    // exact integer until the closing division. The q146 Pareto share
+    // tells you the head; Gini summarizes the whole curve.
+    QueryDef(
+      "q159_gini",
+      (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "documents")
+          .select($"source", $"doc_id",
+            size(filter(split($"text", "\\s+"), t => t =!= ""))
+              .cast("long").as("len"))
+        val r = graft.ops.DistWindow.withGroupedRank(base, col("source"),
+          floor(col("len") / 64.0).cast("long"),
+          Seq(col("len"), col("doc_id")), "i")
+        r.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"len").as("sum_tokens"),
+            sum($"i" * $"len").as("__s1"))
+          .withColumn("gini", round(
+            (lit(2.0) * $"__s1" - ($"n_docs" + 1) * $"sum_tokens") /
+              ($"n_docs" * $"sum_tokens"), 6))
+          .drop("__s1")
+          .orderBy($"source")
+      },
+      Some(raw"""WITH base AS (SELECT source, doc_id,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+              x -> x <> '')) AS BIGINT) AS len
+          FROM documents),
+        rk AS (SELECT source, len,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id)
+              AS i
+          FROM base)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len) AS BIGINT) AS sum_tokens,
+          ROUND((2.0 * SUM(i * len) - (COUNT(*) + 1) * SUM(len)) /
+            (COUNT(*) * 1.0 * SUM(len)), 6) AS gini
+        FROM rk GROUP BY source ORDER BY source"""))
   )
 }

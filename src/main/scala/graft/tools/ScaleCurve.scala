@@ -128,7 +128,9 @@ object ScaleCurve {
     "q154_state_lift",    // (user,week) pre-agg + array-land states
     "q155_first_touch",   // user-keyed range-frame window + tiny agg
     "q156_dedup_order",   // (digest,source) count + digest-keyed min
-    "q157_conformal_nb"   // NB score + grouped rank + interval probe
+    "q157_conformal_nb",  // NB score + grouped rank + interval probe
+    "q158_spearman",      // two grouped ranks + exact integer sums
+    "q159_gini"           // one grouped rank + combinable moment sums
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)

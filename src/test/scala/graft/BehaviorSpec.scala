@@ -358,6 +358,23 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("spearman in [-1,1]; gini in [0,1); both non-degenerate") {
+    val sp = run("q158_spearman").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(sp.nonEmpty)
+    sp.foreach { case (s, n, rho) =>
+      assert(rho >= -1.0 && rho <= 1.0, s"$s rho $rho")
+      assert(n > 1)
+    }
+    val gi = run("q159_gini").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    gi.foreach { case (s, g) =>
+      assert(g >= 0.0 && g < 1.0, s"$s gini $g")
+    }
+    // document sizes vary, so some inequality exists somewhere
+    assert(gi.exists(_._2 > 0.0))
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")
