@@ -940,6 +940,44 @@ object BehaviorQueries {
           COUNT(*) AS n_purchases, CAST(SUM(cents) AS BIGINT)
             AS revenue_cents
         FROM fr WHERE event_type = 'purchase'
-        GROUP BY 1 ORDER BY campaign"""))
+        GROUP BY 1 ORDER BY campaign""")),
+
+    // ---- join cardinality / blowup audit -------------------------------
+    // "Will this join explode?" — the pre-flight a planner runs before
+    // shipping a 100 TB join: the EXACT output cardinality of
+    // orders ⋈ lineitem from per-key counts alone (Σ nₐ(k)·n_b(k)),
+    // the heaviest key's contribution and the skew share in basis
+    // points. Only (key, count) pairs shuffle — the join itself never
+    // runs — and every aggregate is map-side combinable, so the audit
+    // costs two count exchanges whatever the join would produce.
+    QueryDef(
+      "q160_join_blowup",
+      (s, dir) => {
+        import s.implicits._
+        val a = table(s, dir, "orders")
+          .groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("na"))
+        val b = table(s, dir, "lineitem")
+          .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("nb"))
+        a.join(b, Seq("k"))
+          .select($"k", ($"na" * $"nb").as("prod"))
+          .agg(count(lit(1)).as("n_join_keys"),
+            sum($"prod").as("join_rows"),
+            max($"prod").as("max_key_rows"),
+            max_by($"k", $"prod" * lit(4294967296L) + $"k")
+              .as("heaviest_key"))
+          .withColumn("skew_bp", expr("max_key_rows * 10000 DIV join_rows"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na
+          FROM orders GROUP BY o_orderkey),
+        b AS (SELECT l_orderkey AS k, COUNT(*) AS nb
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (SELECT k, na * nb AS prod FROM a JOIN b USING (k))
+        SELECT COUNT(*) AS n_join_keys,
+          CAST(SUM(prod) AS BIGINT) AS join_rows,
+          CAST(MAX(prod) AS BIGINT) AS max_key_rows,
+          CAST(arg_max(k, prod * 4294967296 + k) AS BIGINT)
+            AS heaviest_key,
+          CAST(MAX(prod) * 10000 // SUM(prod) AS BIGINT) AS skew_bp
+        FROM j"""))
   )
 }

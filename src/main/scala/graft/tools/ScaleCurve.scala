@@ -130,7 +130,8 @@ object ScaleCurve {
     "q156_dedup_order",   // (digest,source) count + digest-keyed min
     "q157_conformal_nb",  // NB score + grouped rank + interval probe
     "q158_spearman",      // two grouped ranks + exact integer sums
-    "q159_gini"           // one grouped rank + combinable moment sums
+    "q159_gini",          // one grouped rank + combinable moment sums
+    "q160_join_blowup"    // two count exchanges, join never runs
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -184,7 +185,10 @@ object ScaleCurve {
     }
 
     if (picked.contains("q13_hilbert_sort")) scaleUp("customer", "c_custkey")
-    if (picked.contains("q5_window_topk")) scaleUp("orders", "o_orderkey")
+    if (picked.contains("q5_window_topk") ||
+        picked.contains("q160_join_blowup")) scaleUp("orders", "o_orderkey")
+    if (picked.contains("q160_join_blowup"))
+      scaleUp("lineitem", "l_orderkey")
     // events scale with fresh users per shard (a 10× event corpus means
     // ~10× users, not 10× events per user — per-user funnel state stays
     // bounded, which is the contract q113 relies on)

@@ -869,6 +869,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(asof.keySet == batch.keySet)
   }
 
+  test("retention cells survive a checkpointed stop/restart unchanged") {
+    // every other twin runs one-shot; this pins the RESTART contract:
+    // half the input, stop, new query object from the SAME checkpoint,
+    // rest of the input — the keyed state must resume, not reset, and
+    // the appended output across both incarnations must equal the batch
+    val root = java.nio.file.Files.createTempDirectory("graft_srestart")
+    val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .orderBy("us")
+    val n = ev.count()
+    val rows = ev.collect()
+    val schema = ev.schema
+    def writePart(part: Array[org.apache.spark.sql.Row], name: String): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(part: _*), schema)
+        .write.mode("append").parquet(root.toString + "/in")
+    writePart(rows.take(n.toInt / 2), "p1")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(root.toString + "/in")
+        .as[Streaming.FunnelEvent]
+      val q = Streaming.retentionCells(stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", root.toString + "/out")
+        .option("checkpointLocation", root.toString + "/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    runOnce() // first incarnation: first half
+    writePart(rows.drop(n.toInt / 2), "p2")
+    runOnce() // second incarnation: SAME checkpoint, rest of the input
+
+    val got = spark.read.parquet(root.toString + "/out")
+      .groupBy("cohort_week", "week_offset").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val batch = SparkEntry.queries("q136_retention_cohorts")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+    assert(batch.values.sum > 0)
+  }
+
   test("streaming robust anomaly gate matches the batch q139 counts") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sanom")
     val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
