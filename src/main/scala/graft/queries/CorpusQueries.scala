@@ -1233,6 +1233,161 @@ object CorpusQueries {
         AS chars_per_token,
       ROUND(CAST(SUM(t) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
         AS tokens_per_word
-    FROM pd GROUP BY source ORDER BY source"""))
+    FROM pd GROUP BY source ORDER BY source""")),
+
+    // ---- Heaps' law vocabulary-growth fit (round 8; q94's companion) ---
+    // V(N) ≈ K·N^β over power-of-two document-prefix checkpoints:
+    // per-term first-occurrence doc (one combinable min off the
+    // term_counts relation), new-terms-per-doc and token counts prefix-
+    // summed by the TWO-PHASE distributed recipe (no unpartitioned
+    // window over the doc table), checkpoints selected by the bitwise
+    // power-of-two test, and the log-log least-squares slope computed
+    // in closed form over the ≤⌈log₂ n⌉ checkpoint rows. The corpus
+    // sizing read: β well under 1 means vocabulary saturates — the
+    // tokenizer/vocab budget planner's counterpart to Zipf's rank law.
+    QueryDef(
+      "q161_heaps",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val base = docs.select($"doc_id",
+          size(filter(split($"text", "\\s+"), t => t =!= ""))
+            .cast("long").as("len"))
+        val ranked = graft.ops.DistWindow.withGlobalRank(base,
+          floor($"doc_id" / 256.0).cast("long"),
+          Seq($"doc_id"), "rk")
+        // the vocabulary SPACE is 3-word shingle types (the q114/q143
+        // gram space): corpus word types saturate in dozens on this
+        // synthetic data, gram types keep growing — the regime Heaps
+        // describes; grams travel as 60-bit hashes
+        val firstDoc = docs.select($"doc_id",
+            explode(graft.functions.SketchExpressions
+              .word_shingles(coalesce($"text", lit("")), 3)).as("g0"))
+          .select(conv(substring(md5($"g0"), 1, 15), 16, 10).cast("long")
+            .as("g"), $"doc_id")
+          .groupBy($"g").agg(min($"doc_id").as("doc_id"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("new_terms"))
+        val joined = ranked.join(firstDoc, Seq("doc_id"), "left")
+          .select($"rk", $"len",
+            coalesce($"new_terms", lit(0L)).as("new_terms"))
+        val c1 = graft.ops.Packing.withRunningBefore(joined, "rk", "len",
+          "tok_before")
+        val c2 = graft.ops.Packing.withRunningBefore(c1, "rk", "new_terms",
+          "v_before")
+        val n = base.agg(count(lit(1)).as("n_total"))
+        val cps = c2.crossJoin(broadcast(n))
+          .filter((expr("(rk & (rk - 1)) = 0") && $"rk" >= 16) ||
+            $"rk" === $"n_total")
+          .select($"rk".as("n_docs_prefix"),
+            ($"tok_before" + $"len").as("n_tokens_prefix"),
+            ($"v_before" + $"new_terms").as("vocabulary"))
+          .localCheckpoint(false)
+        val fit = cps.select(
+            log($"n_tokens_prefix".cast("double")).as("x"),
+            log($"vocabulary".cast("double")).as("y"))
+          .agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+          .select(
+            (($"k" * $"sxy" - $"sx" * $"sy") /
+              ($"k" * $"sxx" - $"sx" * $"sx")).as("b"),
+            $"sx", $"sy", $"k")
+          .select((round($"b", 6) + 0.0).as("heaps_beta"),
+            round(exp(($"sy" - $"b" * $"sx") / $"k"), 6).as("heaps_k"))
+        cps.crossJoin(broadcast(fit))
+          .orderBy($"n_docs_prefix")
+      },
+      Some(raw"""WITH base AS (SELECT doc_id,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+              t -> t <> '')) AS BIGINT) AS len
+          FROM documents),
+        rk AS (SELECT doc_id, len,
+            ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+          FROM base),
+        toks AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '') AS tk
+          FROM documents),
+        terms AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(unnest(CASE WHEN len(tk) < 3 THEN []
+              ELSE list_distinct(list_transform(range(len(tk) - 2),
+                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) END)),
+              1, 15)) AS BIGINT) AS g
+          FROM toks),
+        fd AS (SELECT MIN(doc_id) AS doc_id FROM terms GROUP BY g),
+        nt AS (SELECT doc_id, COUNT(*) AS new_terms FROM fd
+          GROUP BY doc_id),
+        cum AS (SELECT rk.rk,
+            SUM(rk.len) OVER (ORDER BY rk.rk ROWS UNBOUNDED PRECEDING)
+              AS n_tokens_prefix,
+            SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY rk.rk
+              ROWS UNBOUNDED PRECEDING) AS vocabulary
+          FROM rk LEFT JOIN nt USING (doc_id)),
+        tot AS (SELECT COUNT(*) AS n_total FROM base),
+        cps AS (SELECT rk AS n_docs_prefix,
+            CAST(n_tokens_prefix AS BIGINT) AS n_tokens_prefix,
+            CAST(vocabulary AS BIGINT) AS vocabulary
+          FROM cum CROSS JOIN tot
+          WHERE ((rk & (rk - 1)) = 0 AND rk >= 16) OR rk = n_total),
+        fit AS (SELECT COUNT(*) AS k, SUM(LN(n_tokens_prefix)) AS sx,
+            SUM(LN(vocabulary)) AS sy,
+            SUM(LN(n_tokens_prefix) * LN(n_tokens_prefix)) AS sxx,
+            SUM(LN(n_tokens_prefix) * LN(vocabulary)) AS sxy
+          FROM cps),
+        b AS (SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS b,
+            sx, sy, k FROM fit)
+        SELECT c.n_docs_prefix, c.n_tokens_prefix, c.vocabulary,
+          ROUND(b.b, 6) + 0.0 AS heaps_beta,
+          ROUND(EXP((b.sy - b.b * b.sx) / b.k), 6) AS heaps_k
+        FROM cps c CROSS JOIN b ORDER BY c.n_docs_prefix""")),
+
+    // ---- term burstiness (variance-to-mean ratio; round 8) -------------
+    // Church & Gale: content words arrive in BURSTS (a doc that says
+    // "llama" once says it again), function words arrive uniformly.
+    // Per term over ALL documents (zeros included): VMR =
+    // (E[c²] − μ²)/μ from three exact integer sums (Σc, Σc², N) — the
+    // term_counts relation never expands to token occurrences, absent
+    // docs contribute algebraically. Top 20 burstiest among terms in
+    // ≥ 20 docs, deterministically ordered on the rounded score.
+    QueryDef(
+      "q162_burstiness",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val tc = docs.select($"doc_id",
+            explode(graft.functions.SketchExpressions
+              .term_counts(coalesce($"text", lit("")))).as("tc"))
+          .select($"tc.term".as("term"), $"tc.tf".cast("long").as("c"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tc.groupBy($"term")
+          .agg(count(lit(1)).as("df"), sum($"c").as("total_tf"),
+            sum($"c" * $"c").as("__s2"))
+          .filter($"df" >= 20)
+          .crossJoin(broadcast(n))
+          .withColumn("vmr", round(
+            ($"__s2".cast("double") / $"n_docs" -
+              ($"total_tf".cast("double") / $"n_docs") *
+              ($"total_tf".cast("double") / $"n_docs")) /
+            ($"total_tf".cast("double") / $"n_docs"), 6))
+          .select($"term", $"df", $"total_tf", $"vmr")
+          .orderBy($"vmr".desc, $"term")
+          .limit(20)
+      },
+      Some(raw"""WITH terms AS (SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t <> '')) AS term
+          FROM documents),
+        tc AS (SELECT doc_id, term, COUNT(*) AS c FROM terms
+          GROUP BY doc_id, term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        st AS (SELECT term, COUNT(*) AS df,
+            CAST(SUM(c) AS BIGINT) AS total_tf,
+            CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM tc GROUP BY term HAVING COUNT(*) >= 20)
+        SELECT term, df, total_tf,
+          ROUND((CAST(s2 AS DOUBLE) / n_docs -
+            (CAST(total_tf AS DOUBLE) / n_docs) *
+            (CAST(total_tf AS DOUBLE) / n_docs)) /
+            (CAST(total_tf AS DOUBLE) / n_docs), 6) AS vmr
+        FROM st CROSS JOIN n ORDER BY vmr DESC, term LIMIT 20"""))
   )
 }

@@ -131,7 +131,9 @@ object ScaleCurve {
     "q157_conformal_nb",  // NB score + grouped rank + interval probe
     "q158_spearman",      // two grouped ranks + exact integer sums
     "q159_gini",          // one grouped rank + combinable moment sums
-    "q160_join_blowup"    // two count exchanges, join never runs
+    "q160_join_blowup",   // two count exchanges, join never runs
+    "q161_heaps",         // gram first-occurrence + two-phase prefixes
+    "q162_burstiness"     // term moment sums + bounded TakeOrdered
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
