@@ -1253,6 +1253,64 @@ object AuditQueries {
           CAST(SUM(len) AS BIGINT) AS sum_tokens,
           ROUND((2.0 * SUM(i * len) - (COUNT(*) + 1) * SUM(len)) /
             (COUNT(*) * 1.0 * SUM(len)), 6) AS gini
-        FROM rk GROUP BY source ORDER BY source"""))
+        FROM rk GROUP BY source ORDER BY source""")),
+
+    // ---- precision/recall threshold sweep for the NB gate (round 8) ----
+    // Which score cut should the q81 classifier ship with? Precision,
+    // recall and F1 at five thresholds from ONE pass over the scored
+    // corpus: per (threshold, quadrant) counts are a combinable
+    // aggregation over an explode(5) projection — the corpus is read
+    // once, the sweep table is 5 rows — and every rate is exact basis
+    // points. The oracle replays the model and all five confusion
+    // matrices from the shared nbScoreCtes fragment.
+    QueryDef(
+      "q164_pr_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val scored = graft.ops.NaiveBayes.trainScore(
+            table(s, dir, "documents"), "text",
+            when($"lang" === "en", 1.0).otherwise(0.0),
+            dims = 256, carry = Seq("lang"))
+          .select(round($"nb_score" * 1e6).cast("long").as("sm"),
+            when($"lang" === "en", 1L).otherwise(0L).as("y"))
+        scored
+          .select($"sm", $"y", explode(array(
+            lit(-2000000L), lit(-1000000L), lit(0L), lit(1000000L),
+            lit(2000000L))).as("thr"))
+          .withColumn("p", when($"sm" > $"thr", 1L).otherwise(0L))
+          .groupBy($"thr")
+          .agg(sum(when($"p" === 1 && $"y" === 1, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when($"p" === 1 && $"y" === 0, 1L).otherwise(0L)).as("fp"),
+            sum(when($"p" === 0 && $"y" === 1, 1L).otherwise(0L)).as("fn"))
+          .withColumn("precision_bp",
+            expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 10000 DIV (tp + fp) END"))
+          .withColumn("recall_bp",
+            expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 10000 DIV (tp + fn) END"))
+          .withColumn("f1_bp", expr(
+            "CASE WHEN 2*tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 10000 DIV (2*tp + fp + fn) END"))
+          .orderBy($"thr")
+      },
+      Some(raw"""WITH ${CorpusQueries.nbScoreCtes},
+        j AS (SELECT CAST(ROUND(ROUND(s, 6) * 1000000) AS BIGINT) AS sm,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM sc JOIN documents USING (doc_id)),
+        sw AS (SELECT sm, y, t.thr
+          FROM j CROSS JOIN (SELECT unnest([-2000000, -1000000, 0,
+            1000000, 2000000]) AS thr) t),
+        cm AS (SELECT thr,
+            SUM(CASE WHEN sm > thr AND y = 1 THEN 1 ELSE 0 END) AS tp,
+            SUM(CASE WHEN sm > thr AND y = 0 THEN 1 ELSE 0 END) AS fp,
+            SUM(CASE WHEN sm <= thr AND y = 1 THEN 1 ELSE 0 END) AS fn
+          FROM sw GROUP BY thr)
+        SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+          CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+          CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE tp * 10000 // (tp + fp) END AS BIGINT) AS precision_bp,
+          CAST(CASE WHEN tp + fn = 0 THEN 0
+            ELSE tp * 10000 // (tp + fn) END AS BIGINT) AS recall_bp,
+          CAST(CASE WHEN 2*tp + fp + fn = 0 THEN 0
+            ELSE 2 * tp * 10000 // (2*tp + fp + fn) END AS BIGINT) AS f1_bp
+        FROM cm ORDER BY thr"""))
   )
 }

@@ -915,6 +915,82 @@ object VectorQueries {
           ROUND(CAST(SUM(s) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
             AS avg_silhouette
         FROM sil GROUP BY qc ORDER BY cluster""")
+    ),
+
+    // ---- leave-one-out k-NN label accuracy (round 8) -------------------
+    // The embedding-quality eval a labeling pipeline runs: does cosine
+    // neighborhood structure predict the label? For a bounded stride
+    // sample (the q142 contract), the 5 nearest corpus neighbors
+    // (excluding self) vote by majority — ties to the SMALLER label —
+    // and per-label accuracy comes from one combinable aggregation.
+    // Cosines round once to 1e-6; neighbor rank ties break by vec_id,
+    // so both engines pick identical neighbor sets and verdicts.
+    QueryDef(
+      "q163_knn_accuracy",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings")
+        val sstride = emb.agg(
+          greatest(lit(1L), (count(lit(1)) / 200L).cast("long"))
+            .as("sstride"))
+        val samp = emb.crossJoin(broadcast(sstride))
+          .filter($"vec_id" % $"sstride" === 0)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"embedding".as("qe"))
+        val pairCos = emb.crossJoin(broadcast(samp))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("__cos",
+            dot($"embedding", $"qe") / (norm($"embedding") * norm($"qe")))
+          .select($"qid", $"qlabel", $"vec_id", $"label",
+            expr("CAST(ROUND(__cos * 1000000) AS BIGINT)").as("cm"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"cm".desc, $"vec_id")
+        val top = pairCos.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 5)
+        val vote = top.groupBy($"qid", $"qlabel", $"label")
+          .agg(count(lit(1)).as("votes"))
+          .groupBy($"qid", $"qlabel")
+          .agg(max_by($"label", struct($"votes", -$"label")).as("pred"))
+        vote
+          .withColumn("ok", when($"pred" === $"qlabel", 1L).otherwise(0L))
+          .groupBy($"qlabel".as("label"))
+          .agg(count(lit(1)).as("n_sampled"), sum($"ok").as("n_correct"))
+          .withColumn("accuracy_bp", expr("n_correct * 10000 DIV n_sampled"))
+          .orderBy($"label")
+      },
+      Some(raw"""WITH sparams AS (SELECT GREATEST(1, COUNT(*) // 200)
+            AS sstride FROM embeddings),
+        samp AS (SELECT e.vec_id AS qid, e.label AS qlabel,
+            e.embedding AS qe
+          FROM embeddings e CROSS JOIN sparams p
+          WHERE e.vec_id % p.sstride = 0),
+        pair AS (SELECT s.qid, s.qlabel, e.vec_id, e.label,
+            CAST(ROUND(SUM(CAST(e.embedding[t.i] AS DOUBLE)
+                * CAST(s.qe[t.i] AS DOUBLE)) /
+              (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE)
+                        * CAST(e.embedding[t.i] AS DOUBLE))) *
+               SQRT(SUM(CAST(s.qe[t.i] AS DOUBLE)
+                        * CAST(s.qe[t.i] AS DOUBLE)))) * 1000000)
+              AS BIGINT) AS cm
+          FROM samp s JOIN embeddings e ON e.vec_id <> s.qid
+          CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY s.qid, s.qlabel, e.vec_id, e.label),
+        top AS (SELECT qid, qlabel, label FROM (
+            SELECT qid, qlabel, label, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY cm DESC, vec_id) AS rk
+            FROM pair) t WHERE rk <= 5),
+        votes AS (SELECT qid, qlabel, label, COUNT(*) AS v
+          FROM top GROUP BY qid, qlabel, label),
+        pred AS (SELECT qid, qlabel, label AS pred FROM (
+            SELECT qid, qlabel, label, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY v DESC, label) AS rk
+            FROM votes) t WHERE rk = 1)
+        SELECT qlabel AS label, COUNT(*) AS n_sampled,
+          CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct,
+          CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS accuracy_bp
+        FROM pred GROUP BY qlabel ORDER BY label""")
     )
   )
 

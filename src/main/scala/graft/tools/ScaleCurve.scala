@@ -133,7 +133,9 @@ object ScaleCurve {
     "q159_gini",          // one grouped rank + combinable moment sums
     "q160_join_blowup",   // two count exchanges, join never runs
     "q161_heaps",         // gram first-occurrence + two-phase prefixes
-    "q162_burstiness"     // term moment sums + bounded TakeOrdered
+    "q162_burstiness",    // term moment sums + bounded TakeOrdered
+    "q163_knn_accuracy",  // bounded sample x corpus + per-q top-5 vote
+    "q164_pr_sweep"       // one scored pass + 5-row confusion sweep
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -144,7 +146,7 @@ object ScaleCurve {
     "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
     "q89_abtt", "q95_embed_outliers", "q100_hard_negatives",
     "q108_matryoshka", "q111_embed_decontam", "q129_embed_sanity",
-    "q142_silhouette")
+    "q142_silhouette", "q163_knn_accuracy")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(

@@ -43,7 +43,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q142_silhouette", // q142: bounded sample x corpus (q26 pattern)
     "q146_pareto_events", // q146: 1-row totals x ranked user table
     "q147_compaction_plan", // q147: 1-row byte-target broadcast
-    "q151_hll_rollup") // q151: 1-row exact total x 1-row merged estimate
+    "q151_hll_rollup", // q151: 1-row exact total x 1-row merged estimate
+    "q163_knn_accuracy", // q163: bounded sample x corpus (q142 pattern)
+    "q162_burstiness", // q162: 1-row corpus doc-count broadcast
+    "q161_heaps") // q161: 1-row doc total x ~log2(n) checkpoint fit
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
