@@ -57,6 +57,42 @@ object Packing {
       .drop("__bkt", "__loc", "__off")
   }
 
+  /** Multi-column form of [[withRunningBefore]]: N exclusive running
+    * sums over ONE bucket exchange (each extra column otherwise costs a
+    * full second two-phase pass — q161 paid two passes for tokens +
+    * vocabulary before this existed). Same contracts: unique numeric
+    * `orderCol`, non-negative values.
+    */
+  def withRunningBeforeMulti(df: DataFrame, orderCol: String,
+      valCols: Seq[(String, String)], chunk: Long = 65536L): DataFrame = {
+    val key = col(orderCol)
+    val parted = df.withColumn("__bkt", floor(key / chunk))
+    val w = Window.partitionBy(col("__bkt")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = valCols.foldLeft(parted) { case (d, (src, out)) =>
+      d.withColumn(s"__loc_$out",
+        coalesce(sum(col(src)).over(w), lit(0L)))
+    }
+    val totals = local.groupBy(col("__bkt"))
+      .agg(max(col(s"__loc_${valCols.head._2}") + col(valCols.head._1))
+        .as(s"__tot_${valCols.head._2}"),
+        valCols.tail.map { case (src, out) =>
+          max(col(s"__loc_$out") + col(src)).as(s"__tot_$out")
+        }: _*)
+    val wB = Window.partitionBy(pmod(col("__bkt"), lit(1)))
+      .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = valCols.foldLeft(totals) { case (d, (_, out)) =>
+      d.withColumn(s"__off_$out",
+        coalesce(sum(col(s"__tot_$out")).over(wB), lit(0L)))
+    }.select(col("__bkt") +: valCols.map { case (_, out) =>
+      col(s"__off_$out") }: _*)
+    val joined = local.join(broadcast(offsets), Seq("__bkt"))
+    valCols.foldLeft(joined) { case (d, (_, out)) =>
+      d.withColumn(out, col(s"__off_$out") + col(s"__loc_$out"))
+    }.drop("__bkt" +: valCols.flatMap { case (_, out) =>
+      Seq(s"__loc_$out", s"__off_$out") }: _*)
+  }
+
   /** Assign each row to its pack: ⌊(running size before it)/capacity⌋. */
   def packBySize(df: DataFrame, orderCol: String, sizeCol: String,
       capacity: Long, packCol: String = "pack_id",

@@ -1270,10 +1270,8 @@ object CorpusQueries {
         val joined = ranked.join(firstDoc, Seq("doc_id"), "left")
           .select($"rk", $"len",
             coalesce($"new_terms", lit(0L)).as("new_terms"))
-        val c1 = graft.ops.Packing.withRunningBefore(joined, "rk", "len",
-          "tok_before")
-        val c2 = graft.ops.Packing.withRunningBefore(c1, "rk", "new_terms",
-          "v_before")
+        val c2 = graft.ops.Packing.withRunningBeforeMulti(joined, "rk",
+          Seq("len" -> "tok_before", "new_terms" -> "v_before"))
         val n = base.agg(count(lit(1)).as("n_total"))
         val cps = c2.crossJoin(broadcast(n))
           .filter((expr("(rk & (rk - 1)) = 0") && $"rk" >= 16) ||

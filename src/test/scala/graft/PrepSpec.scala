@@ -125,6 +125,31 @@ class PrepSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("withRunningBeforeMulti equals two single-column passes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(161L)
+    val df = (0 until 500).map(i =>
+      (i.toLong, rnd.nextInt(100).toLong, rnd.nextInt(7).toLong))
+      .toDF("k", "a", "b")
+    val multi = graft.ops.Packing
+      .withRunningBeforeMulti(df, "k", Seq("a" -> "ra", "b" -> "rb"),
+        chunk = 64L)
+      .select("k", "ra", "rb").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val s1 = graft.ops.Packing.withRunningBefore(df, "k", "a", "ra", 64L)
+    val s2 = graft.ops.Packing.withRunningBefore(s1, "k", "b", "rb", 64L)
+      .select("k", "ra", "rb").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(multi == s2)
+    // and both equal the sequential definition
+    val rows = df.orderBy("k").collect()
+    var (ca, cb) = (0L, 0L)
+    rows.foreach { r =>
+      assert(multi(r.getLong(0)) == ((ca, cb)), s"at ${r.getLong(0)}")
+      ca += r.getLong(1); cb += r.getLong(2)
+    }
+  }
+
   test("winnow edge cases: empty, sub-shingle, sub-window texts") {
     assert(winnowSet("") === Set.empty)
     assert(winnowSet("one two") === Set.empty) // < k tokens
