@@ -128,7 +128,11 @@ object Bench {
     // go to a file (committed with the round snapshot), and stdout gets
     // ONE compact line that fits the tail window whole — totals, the
     // oracle comparison, and as many slowest-query timings as fit.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // a SPARK_GRAFT_ONLY dev-loop run must not clobber the committed
+    // full-suite artifact (a 1-query subset once overwrote the 164-query
+    // snapshot via a blanket `git add`)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_subset.json" else "BENCH_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1900").toInt
     val slowest = results.sortBy(-_._2)
