@@ -978,6 +978,105 @@ object BehaviorQueries {
           CAST(arg_max(k, prod * 4294967296 + k) AS BIGINT)
             AS heaviest_key,
           CAST(MAX(prod) * 10000 // SUM(prod) AS BIGINT) AS skew_bp
-        FROM j"""))
+        FROM j""")),
+
+    // ---- session depth vs conversion -----------------------------------
+    // Do longer sessions convert? Per depth bucket (1 / 2 / 3-4 / 5-7 /
+    // 8+ events), the fraction of q19 sessions containing a purchase,
+    // in exact basis points. Session id and the purchase flag both ride
+    // the single user-partitioned window exchange; the session rollup
+    // is a combinable (user, session) aggregation and the bucket table
+    // is 5 rows.
+    QueryDef(
+      "q165_session_depth",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, 0)
+        val sess = events(s, dir)
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum($"new_session").over(run))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("depth"),
+            max(when($"event_type" === "purchase", 1L).otherwise(0L))
+              .as("conv"))
+        sess
+          .withColumn("bucket",
+            when($"depth" === 1, "1").when($"depth" === 2, "2")
+              .when($"depth" <= 4, "3-4").when($"depth" <= 7, "5-7")
+              .otherwise("8+"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_sessions"), sum($"conv").as("n_converted"))
+          .withColumn("cvr_bp", expr("n_converted * 10000 DIV n_sessions"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH m AS (SELECT user_id, event_id, event_type, ts,
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_ts,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS rn
+          FROM events),
+        mk AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+               - (epoch_us(CAST(prev_ts AS TIMESTAMP)) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_session
+          FROM m),
+        sess AS (SELECT user_id, event_type,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY rn
+              ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM mk),
+        agg AS (SELECT user_id, session_id, COUNT(*) AS depth,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+          FROM sess GROUP BY user_id, session_id),
+        b AS (SELECT CASE WHEN depth = 1 THEN '1' WHEN depth = 2 THEN '2'
+              WHEN depth <= 4 THEN '3-4' WHEN depth <= 7 THEN '5-7'
+              ELSE '8+' END AS bucket, conv
+          FROM agg)
+        SELECT bucket, COUNT(*) AS n_sessions,
+          CAST(SUM(conv) AS BIGINT) AS n_converted,
+          CAST(SUM(conv) * 10000 // COUNT(*) AS BIGINT) AS cvr_bp
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- weekly stickiness (DAU/WAU) -----------------------------------
+    // Per epoch-week: mean daily actives over the week's 7 days,
+    // weekly actives, and stickiness = avg-DAU/WAU in basis points —
+    // the engagement ratio a product dashboard leads with. Two distinct
+    // pre-aggregations ((user, day) and (user, week)), both map-side
+    // combinable, rolled up to a calendar-sized table; the averaging
+    // uses the FIXED 7-day week so both engines divide identically.
+    QueryDef(
+      "q166_stickiness",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val day = expr("unix_timestamp(ts) DIV 86400")
+        val dau = ev.select($"user_id", day.as("d")).distinct()
+          .withColumn("wk", expr("d DIV 7"))
+          .groupBy($"wk").agg(count(lit(1)).as("user_days"))
+        val wau = ev.select($"user_id",
+            expr("unix_timestamp(ts) DIV 604800").as("wk")).distinct()
+          .groupBy($"wk").agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("wk"))
+          .select($"wk".as("week"), $"user_days", $"wau",
+            expr("user_days * 10000 DIV (7 * wau)").as("stickiness_bp"))
+          .orderBy($"week")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400 AS d
+          FROM events),
+        dau AS (SELECT d // 7 AS wk, COUNT(*) AS user_days FROM ud
+          GROUP BY d // 7),
+        uw AS (SELECT DISTINCT user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk
+          FROM events),
+        wau AS (SELECT wk, COUNT(*) AS wau FROM uw GROUP BY wk)
+        SELECT wk AS week, user_days, wau,
+          CAST(user_days * 10000 // (7 * wau) AS BIGINT) AS stickiness_bp
+        FROM dau JOIN wau USING (wk) ORDER BY week"""))
   )
 }

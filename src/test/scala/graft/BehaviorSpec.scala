@@ -375,6 +375,28 @@ class BehaviorSpec extends AnyFunSuite {
     assert(gi.exists(_._2 > 0.0))
   }
 
+  test("session depth buckets conserve the q19 session count") {
+    val rows = run("q165_session_depth").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalSessions = run("q19_sessionize").collect()
+      .map(_.getLong(1)).sum
+    assert(rows.map(_._2).sum == totalSessions)
+    rows.foreach { case (b, n, c, bp) =>
+      assert(c <= n && bp >= 0 && bp <= 10000, s"bucket $b")
+    }
+  }
+
+  test("stickiness: avg DAU bounded by WAU, ratio in (0, 10000]") {
+    val rows = run("q166_stickiness").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, ud, wau, bp) =>
+      assert(ud >= wau, s"week $w: user-days < wau")
+      assert(ud <= 7 * wau, s"week $w: user-days exceed 7*wau")
+      assert(bp > 0 && bp <= 10000, s"week $w stickiness $bp")
+    }
+  }
+
   test("repeatedSpans ignores spans shorter than minSpan and hot grams") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")
