@@ -1077,6 +1077,71 @@ object BehaviorQueries {
         wau AS (SELECT wk, COUNT(*) AS wau FROM uw GROUP BY wk)
         SELECT wk AS week, user_days, wau,
           CAST(user_days * 10000 // (7 * wau) AS BIGINT) AS stickiness_bp
-        FROM dau JOIN wau USING (wk) ORDER BY week"""))
+        FROM dau JOIN wau USING (wk) ORDER BY week""")),
+
+    // ---- p-chart error-rate monitor (SPC) ------------------------------
+    // Shewhart attribute chart over the event stream: per week, the
+    // error share against the corpus-wide center line, with ±3σ
+    // binomial control limits σ = √(p̄(1−p̄)/n) and a breach flag — the
+    // statistical-process-control read an on-call dashboard plots. One
+    // combinable per-week aggregation + a 1-row center-line broadcast;
+    // limits are the one double formula from exact integers, rounded
+    // once to micro units, and the breach verdict compares micro ints
+    // so both engines flag identical weeks.
+    QueryDef(
+      "q167_pchart_errors",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val wk = expr("unix_timestamp(ts) DIV 604800")
+        val per = ev.select(wk.as("week"),
+            when($"event_type" === "error", 1L).otherwise(0L).as("e"))
+          .groupBy($"week")
+          .agg(count(lit(1)).as("n_events"), sum($"e").as("n_errors"))
+        val center = per.agg(sum($"n_events").as("tn"),
+          sum($"n_errors").as("te"))
+        per.crossJoin(broadcast(center))
+          .withColumn("pbar", $"te".cast("double") / $"tn")
+          .withColumn("sig",
+            sqrt($"pbar" * (lit(1.0) - $"pbar") / $"n_events"))
+          .select($"week", $"n_events", $"n_errors",
+            expr("n_errors * 10000 DIV n_events").as("err_bp"),
+            expr("CAST(ROUND((pbar + 3 * sig) * 1000000) AS BIGINT)")
+              .as("ucl_micro"),
+            expr("CAST(ROUND(GREATEST(0.0, pbar - 3 * sig) * 1000000) AS BIGINT)")
+              .as("lcl_micro"),
+            (expr("CAST(ROUND(CAST(n_errors AS DOUBLE) / n_events * 1000000) AS BIGINT)")
+              > expr("CAST(ROUND((pbar + 3 * sig) * 1000000) AS BIGINT)") ||
+             expr("CAST(ROUND(CAST(n_errors AS DOUBLE) / n_events * 1000000) AS BIGINT)")
+              < expr("CAST(ROUND(GREATEST(0.0, pbar - 3 * sig) * 1000000) AS BIGINT)"))
+              .as("breach"))
+          .orderBy($"week")
+      },
+      Some("""WITH per AS (SELECT
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS week,
+            COUNT(*) AS n_events,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+          FROM events GROUP BY 1),
+        c AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tn,
+            CAST(SUM(n_errors) AS BIGINT) AS te FROM per),
+        x AS (SELECT week, n_events, n_errors,
+            CAST(te AS DOUBLE) / tn AS pbar,
+            SQRT((CAST(te AS DOUBLE) / tn) * (1.0 - CAST(te AS DOUBLE) / tn)
+              / n_events) AS sig
+          FROM per CROSS JOIN c)
+        SELECT week, n_events, n_errors,
+          CAST(n_errors * 10000 // n_events AS BIGINT) AS err_bp,
+          CAST(ROUND((pbar + 3 * sig) * 1000000) AS BIGINT) AS ucl_micro,
+          CAST(ROUND(GREATEST(0.0, pbar - 3 * sig) * 1000000) AS BIGINT)
+            AS lcl_micro,
+          (CAST(ROUND(CAST(n_errors AS DOUBLE) / n_events * 1000000)
+              AS BIGINT)
+            > CAST(ROUND((pbar + 3 * sig) * 1000000) AS BIGINT))
+          OR (CAST(ROUND(CAST(n_errors AS DOUBLE) / n_events * 1000000)
+              AS BIGINT)
+            < CAST(ROUND(GREATEST(0.0, pbar - 3 * sig) * 1000000)
+              AS BIGINT)) AS breach
+        FROM x ORDER BY week"""))
   )
 }

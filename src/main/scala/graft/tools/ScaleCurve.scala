@@ -137,7 +137,8 @@ object ScaleCurve {
     "q163_knn_accuracy",  // bounded sample x corpus + per-q top-5 vote
     "q164_pr_sweep",      // one scored pass + 5-row confusion sweep
     "q165_session_depth", // one user window pass + session rollup
-    "q166_stickiness"     // two distinct pre-aggs, calendar rollup
+    "q166_stickiness",    // two distinct pre-aggs, calendar rollup
+    "q167_pchart_errors"  // one weekly agg + 1-row center broadcast
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -205,7 +206,8 @@ object ScaleCurve {
         "q146_pareto_events", "q148_cohort_ltv",
         "q149_gap_percentiles", "q150_attribution", "q151_hll_rollup",
         "q153_dp_counts", "q154_state_lift", "q155_first_touch",
-        "q165_session_depth", "q166_stickiness")))
+        "q165_session_depth", "q166_stickiness",
+        "q167_pchart_errors")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
