@@ -1142,6 +1142,152 @@ object BehaviorQueries {
               AS BIGINT)
             < CAST(ROUND(GREATEST(0.0, pbar - 3 * sig) * 1000000)
               AS BIGINT)) AS breach
-        FROM x ORDER BY week"""))
+        FROM x ORDER BY week""")),
+
+    // ---- CUPED variance reduction for the A/B read ---------------------
+    // Deng et al. 2013, the industry experiment-sensitivity standard:
+    // adjust the outcome (post-period purchase cents, weeks ≥ 2) by the
+    // pre-period covariate (weeks 0-1) with θ = cov(X,Y)/var(X), and
+    // report the variance-reduction share (= corr² in bp). One
+    // user-keyed combinable aggregation builds (X, Y) per user (period
+    // split against a 1-row min-week broadcast), θ and the moments come
+    // from five exact integer sums, and the q145 md5-parity arms reuse
+    // the same hash contract — everything downstream of the user table
+    // is a handful of 1-row aggregates.
+    QueryDef(
+      "q168_cuped",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+        val wk = expr("unix_timestamp(ts) DIV 604800")
+        val minW = ev.agg(min(wk).as("w0"))
+        val per = ev.select($"user_id", wk.as("wk"),
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast("long")).otherwise(0L).as("cents"))
+          .crossJoin(broadcast(minW))
+          .groupBy($"user_id")
+          .agg(sum(when($"wk" - $"w0" < 2, $"cents").otherwise(0L)).as("x"),
+            sum(when($"wk" - $"w0" >= 2, $"cents").otherwise(0L)).as("y"))
+          .withColumn("arm",
+            conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+              .cast("long") % 2)
+        val m = per.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
+          .withColumn("theta",
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx"))
+          .withColumn("corr2",
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
+              ($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+            (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+        per.crossJoin(broadcast(m))
+          .withColumn("adj",
+            $"y" - $"theta" * ($"x" - $"sx".cast("double") / $"n"))
+          .groupBy()
+          .agg(max($"n").as("n_users"),
+            expr("CAST(ROUND(MAX(theta) * 1000000) AS BIGINT)")
+              .as("theta_micro"),
+            expr("CAST(ROUND(MAX(corr2) * 10000) AS BIGINT)")
+              .as("var_reduction_bp"),
+            expr("""CAST(ROUND(SUM(CASE WHEN arm = 0 THEN adj END)
+              / SUM(CASE WHEN arm = 0 THEN 1 END) * 1000) AS BIGINT)""")
+              .as("adj_mean_a_milli"),
+            expr("""CAST(ROUND(SUM(CASE WHEN arm = 1 THEN adj END)
+              / SUM(CASE WHEN arm = 1 THEN 1 END) * 1000) AS BIGINT)""")
+              .as("adj_mean_b_milli"))
+      },
+      Some("""WITH w0 AS (SELECT MIN(
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800) AS w0
+          FROM events),
+        per AS (SELECT user_id,
+            CAST(SUM(CASE WHEN
+              (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 - w0 < 2
+              AND event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN
+              (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 - w0 >= 2
+              AND event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y,
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm
+          FROM events CROSS JOIN w0 GROUP BY user_id),
+        m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+            CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM per),
+        t AS (SELECT n, sx,
+            CAST(n * sxy - sx * sy AS DOUBLE) /
+              CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+            (CAST(n * sxy - sx * sy AS DOUBLE) *
+              CAST(n * sxy - sx * sy AS DOUBLE)) /
+              (CAST(n * sxx - sx * sx AS DOUBLE) *
+               CAST(n * syy - sy * sy AS DOUBLE)) AS corr2
+          FROM m)
+        SELECT CAST(t.n AS BIGINT) AS n_users,
+          CAST(ROUND(t.theta * 1000000) AS BIGINT) AS theta_micro,
+          CAST(ROUND(t.corr2 * 10000) AS BIGINT) AS var_reduction_bp,
+          CAST(ROUND(SUM(CASE WHEN arm = 0 THEN
+              y - t.theta * (x - CAST(t.sx AS DOUBLE) / t.n) END)
+            / SUM(CASE WHEN arm = 0 THEN 1 END) * 1000) AS BIGINT)
+            AS adj_mean_a_milli,
+          CAST(ROUND(SUM(CASE WHEN arm = 1 THEN
+              y - t.theta * (x - CAST(t.sx AS DOUBLE) / t.n) END)
+            / SUM(CASE WHEN arm = 1 THEN 1 END) * 1000) AS BIGINT)
+            AS adj_mean_b_milli
+        FROM per CROSS JOIN t
+        GROUP BY t.n, t.theta, t.corr2, t.sx""")),
+
+    // ---- experiment sample-size planner --------------------------------
+    // Before launching the q145 test: users per arm needed to detect a
+    // 5% lift in per-user purchase value at α=0.05 (two-sided) and 80%
+    // power — n = (z_{α/2}+z_β)²·2σ²/δ² with the observed per-user
+    // variance and mean from exact integer sums, z constants fixed, and
+    // one ceiling at the end. Two 1-row aggregates over the user table.
+    QueryDef(
+      "q169_sample_size",
+      (s, dir) => {
+        import s.implicits._
+        val per = events(s, dir)
+          .select($"user_id",
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast("long")).otherwise(0L).as("cents"))
+          .groupBy($"user_id").agg(sum($"cents").as("v"))
+        per.agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+            sum($"v" * $"v").as("svv"))
+          .withColumn("mean", $"sv".cast("double") / $"n")
+          .withColumn("variance",
+            ($"n" * $"svv" - $"sv" * $"sv").cast("double") /
+              ($"n".cast("double") * ($"n" - 1)))
+          .select($"n".as("n_users_observed"),
+            expr("CAST(ROUND(mean) AS BIGINT)").as("mean_cents"),
+            expr("CAST(ROUND(SQRT(variance)) AS BIGINT)").as("sd_cents"),
+            expr("""CAST(CEIL((1.959964 + 0.841621) * (1.959964 + 0.841621)
+              * 2 * variance / ((0.05 * mean) * (0.05 * mean)))
+              AS BIGINT)""").as("n_per_arm_needed"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS v
+          FROM events GROUP BY user_id),
+        m AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+            CAST(SUM(v * v) AS BIGINT) AS svv FROM per),
+        x AS (SELECT n, CAST(sv AS DOUBLE) / n AS mean,
+            CAST(n * svv - sv * sv AS DOUBLE) /
+              (CAST(n AS DOUBLE) * (n - 1)) AS variance
+          FROM m)
+        SELECT CAST(n AS BIGINT) AS n_users_observed,
+          CAST(ROUND(mean) AS BIGINT) AS mean_cents,
+          CAST(ROUND(SQRT(variance)) AS BIGINT) AS sd_cents,
+          CAST(CEIL((1.959964 + 0.841621) * (1.959964 + 0.841621)
+            * 2 * variance / ((0.05 * mean) * (0.05 * mean))) AS BIGINT)
+            AS n_per_arm_needed
+        FROM x"""))
   )
 }

@@ -138,7 +138,9 @@ object ScaleCurve {
     "q164_pr_sweep",      // one scored pass + 5-row confusion sweep
     "q165_session_depth", // one user window pass + session rollup
     "q166_stickiness",    // two distinct pre-aggs, calendar rollup
-    "q167_pchart_errors"  // one weekly agg + 1-row center broadcast
+    "q167_pchart_errors", // one weekly agg + 1-row center broadcast
+    "q168_cuped",         // one user-keyed agg + 1-row moment fits
+    "q169_sample_size"    // user agg + closed-form power calc
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -207,7 +209,7 @@ object ScaleCurve {
         "q149_gap_percentiles", "q150_attribution", "q151_hll_rollup",
         "q153_dp_counts", "q154_state_lift", "q155_first_touch",
         "q165_session_depth", "q166_stickiness",
-        "q167_pchart_errors")))
+        "q167_pchart_errors", "q168_cuped", "q169_sample_size")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
