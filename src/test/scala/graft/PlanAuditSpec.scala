@@ -46,7 +46,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q151_hll_rollup", // q151: 1-row exact total x 1-row merged estimate
     "q163_knn_accuracy", // q163: bounded sample x corpus (q142 pattern)
     "q162_burstiness", // q162: 1-row corpus doc-count broadcast
-    "q161_heaps") // q161: 1-row doc total x ~log2(n) checkpoint fit
+    "q161_heaps", // q161: 1-row doc total x ~log2(n) checkpoint fit
+    "q168_cuped", // q168: 1-row min-week + 1-row moment broadcasts
+    "q167_pchart_errors") // q167: 1-row center-line broadcast
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
