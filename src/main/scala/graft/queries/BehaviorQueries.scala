@@ -1288,6 +1288,154 @@ object BehaviorQueries {
           CAST(CEIL((1.959964 + 0.841621) * (1.959964 + 0.841621)
             * 2 * variance / ((0.05 * mean) * (0.05 * mean))) AS BIGINT)
             AS n_per_arm_needed
-        FROM x"""))
+        FROM x""")),
+
+    // ---- retention half-life fit ---------------------------------------
+    // Summarize the q136 matrix as ONE number: fit retention_bp ≈
+    // 10000·e^(−λ·offset) by log-linear least squares over the
+    // offset ≥ 1 cells pooled across cohorts (weighted implicitly by
+    // cell count), and report λ and the half-life ln2/λ in centi-weeks.
+    // The matrix is calendar²-sized, so the fit is a 1-row aggregate
+    // over a tiny relation; the heavy lifting is q136's single
+    // user-keyed exchange.
+    QueryDef(
+      "q170_retention_halflife",
+      (s, dir) => {
+        import s.implicits._
+        val cells = graft.ops.Behavior
+          .retentionCohorts(events(s, dir), "user_id",
+            unix_timestamp(col("ts")))
+          .filter($"week_offset" >= 1 && $"retention_bp" > 0)
+          .select($"week_offset".cast("double").as("x"),
+            log($"retention_bp".cast("double") / 10000.0).as("y"))
+        cells
+          .agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+          .withColumn("lambda",
+            -(($"k" * $"sxy" - $"sx" * $"sy") /
+              ($"k" * $"sxx" - $"sx" * $"sx")))
+          .select($"k".as("n_cells"),
+            expr("CAST(ROUND(lambda * 1000000) AS BIGINT)")
+              .as("lambda_micro"),
+            // λ ≤ 0 = no measurable decay (flat or rising retention):
+            // half-life undefined, report the −1 sentinel
+            expr("""CASE WHEN lambda <= 0 THEN -1
+              ELSE CAST(ROUND(LN(2) / lambda * 100) AS BIGINT) END""")
+              .as("half_life_centiweeks"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk
+          FROM events),
+        c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw
+          GROUP BY user_id),
+        cell AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+            COUNT(*) AS n_users
+          FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+        r AS (SELECT cohort_week, week_offset,
+            CAST(n_users * 10000 // (MAX(CASE WHEN week_offset = 0
+              THEN n_users END) OVER (PARTITION BY cohort_week))
+              AS BIGINT) AS retention_bp
+          FROM cell),
+        pts AS (SELECT CAST(week_offset AS DOUBLE) AS x,
+            LN(CAST(retention_bp AS DOUBLE) / 10000.0) AS y
+          FROM r WHERE week_offset >= 1 AND retention_bp > 0),
+        f AS (SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM pts),
+        l AS (SELECT k, -((k * sxy - sx * sy) / (k * sxx - sx * sx))
+            AS lambda FROM f)
+        SELECT CAST(k AS BIGINT) AS n_cells,
+          CAST(ROUND(lambda * 1000000) AS BIGINT) AS lambda_micro,
+          CASE WHEN lambda <= 0 THEN -1
+            ELSE CAST(ROUND(LN(2) / lambda * 100) AS BIGINT) END
+            AS half_life_centiweeks
+        FROM l""")),
+
+    // ---- weekly purchase-value percentile bands ------------------------
+    // The metric-over-time monitoring read: per week, exact p50/p90 of
+    // purchase value in cents by the q124 ceil-rank recipe over
+    // (week, value-bucket) grouped windows — percentile bands a
+    // dashboard plots to catch distribution shifts the mean hides.
+    QueryDef(
+      "q171_weekly_bands",
+      (s, dir) => {
+        import s.implicits._
+        val wk = expr("unix_timestamp(ts) DIV 604800")
+        val p = events(s, dir).filter($"event_type" === "purchase")
+          .select(wk.as("week"), $"event_id",
+            round($"value" * 100).cast("long").as("cents"))
+        val ranked = DistWindow.withGroupedRank(p, col("week"),
+          floor(col("cents") / 10000.0).cast("long"),
+          Seq(col("cents"), col("event_id")), "r", Some("n"))
+        ranked
+          .select($"week", $"r", $"cents", $"n",
+            explode(array(lit(50), lit(90))).as("p"))
+          .filter($"r" * 100 >= $"n" * $"p" &&
+            ($"r" - 1) * 100 < $"n" * $"p")
+          .groupBy($"week", $"p")
+          .agg(max($"n").as("n_purchases"), min($"cents").as("cents_at"))
+          .orderBy($"week", $"p")
+      },
+      Some("""WITH p AS (SELECT
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS week,
+            event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        rk AS (SELECT week, cents,
+            ROW_NUMBER() OVER (PARTITION BY week ORDER BY cents, event_id)
+              AS r,
+            COUNT(*) OVER (PARTITION BY week) AS n
+          FROM p),
+        x AS (SELECT week, r, cents, n, t.p
+          FROM rk CROSS JOIN (SELECT unnest([50, 90]) AS p) t
+          WHERE r * 100 >= n * p AND (r - 1) * 100 < n * p)
+        SELECT week, p, CAST(MAX(n) AS BIGINT) AS n_purchases,
+          MIN(cents) AS cents_at
+        FROM x GROUP BY week, p ORDER BY week, p""")),
+
+    // ---- lag-1 autocorrelation of daily volume -------------------------
+    // Is traffic momentum or noise? The lag-1 autocorrelation of the
+    // daily event-count series, exactly: the corpus collapses to a
+    // calendar-sized daily table (one combinable agg), consecutive days
+    // pair by a self-join on day+1 (dense calendar), and r₁ comes from
+    // exact integer sums with one closing division — the time-series
+    // diagnostic behind every anomaly-detection default.
+    QueryDef(
+      "q172_autocorr_daily",
+      (s, dir) => {
+        import s.implicits._
+        val day = expr("unix_timestamp(ts) DIV 86400")
+        val daily = events(s, dir).select(day.as("d"))
+          .groupBy($"d").agg(count(lit(1)).as("c"))
+        val pairs = daily
+          .join(daily.select(($"d" - 1).as("d"), $"c".as("cn")), Seq("d"))
+        pairs
+          .agg(count(lit(1)).as("np"), sum($"c").as("sx"),
+            sum($"cn").as("sy"), sum($"c" * $"c").as("sxx"),
+            sum($"cn" * $"cn").as("syy"), sum($"c" * $"cn").as("sxy"))
+          .select($"np".as("n_pairs"),
+            expr("""CAST(ROUND(
+              (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              SQRT((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                   (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              * 1000000) AS BIGINT)""").as("r1_micro"))
+      },
+      Some("""WITH daily AS (SELECT
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400 AS d,
+            COUNT(*) AS c
+          FROM events GROUP BY 1),
+        pairs AS (SELECT a.c, b.c AS cn
+          FROM daily a JOIN daily b ON b.d = a.d + 1),
+        m AS (SELECT COUNT(*) AS np, CAST(SUM(c) AS BIGINT) AS sx,
+            CAST(SUM(cn) AS BIGINT) AS sy,
+            CAST(SUM(c * c) AS BIGINT) AS sxx,
+            CAST(SUM(cn * cn) AS BIGINT) AS syy,
+            CAST(SUM(c * cn) AS BIGINT) AS sxy
+          FROM pairs)
+        SELECT CAST(np AS BIGINT) AS n_pairs,
+          CAST(ROUND(
+            (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+            SQRT((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                 (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            * 1000000) AS BIGINT) AS r1_micro
+        FROM m"""))
   )
 }

@@ -140,7 +140,10 @@ object ScaleCurve {
     "q166_stickiness",    // two distinct pre-aggs, calendar rollup
     "q167_pchart_errors", // one weekly agg + 1-row center broadcast
     "q168_cuped",         // one user-keyed agg + 1-row moment fits
-    "q169_sample_size"    // user agg + closed-form power calc
+    "q169_sample_size",   // user agg + closed-form power calc
+    "q170_retention_halflife", // q136 exchange + 1-row log-linear fit
+    "q171_weekly_bands",  // (week,bucket) grouped rank + ceil cuts
+    "q172_autocorr_daily" // calendar-sized daily agg + lag self-join
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -209,7 +212,9 @@ object ScaleCurve {
         "q149_gap_percentiles", "q150_attribution", "q151_hll_rollup",
         "q153_dp_counts", "q154_state_lift", "q155_first_touch",
         "q165_session_depth", "q166_stickiness",
-        "q167_pchart_errors", "q168_cuped", "q169_sample_size")))
+        "q167_pchart_errors", "q168_cuped", "q169_sample_size",
+        "q170_retention_halflife", "q171_weekly_bands",
+        "q172_autocorr_daily")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
