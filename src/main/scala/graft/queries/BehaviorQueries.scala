@@ -1436,6 +1436,87 @@ object BehaviorQueries {
             SQRT((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
                  (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
             * 1000000) AS BIGINT) AS r1_micro
-        FROM m"""))
+        FROM m""")),
+
+    // ---- weekday seasonality profile -----------------------------------
+    // Day-of-week traffic shape: events per ISO weekday (1=Mon..7=Sun)
+    // against the uniform expectation, as an exact basis-point index
+    // (10000 = flat). Weekday derives from epoch days ((d+3) mod 7 + 1
+    // — epoch day 0 was a Thursday = ISO 4), so both engines bucket
+    // without any locale/timezone surface; one combinable aggregation
+    // + a 1-row total broadcast.
+    QueryDef(
+      "q173_weekday_profile",
+      (s, dir) => {
+        import s.implicits._
+        val dow = expr("(unix_timestamp(ts) DIV 86400 + 3) % 7 + 1")
+        val per = events(s, dir).select(dow.as("weekday"))
+          .groupBy($"weekday").agg(count(lit(1)).as("n_events"))
+        val tot = per.agg(sum($"n_events").as("tn"))
+        per.crossJoin(broadcast(tot))
+          .select($"weekday", $"n_events",
+            expr("n_events * 7 * 10000 DIV tn").as("index_bp"))
+          .orderBy($"weekday")
+      },
+      Some("""WITH per AS (SELECT
+            ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400 + 3)
+              % 7 + 1 AS weekday,
+            COUNT(*) AS n_events
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tn FROM per)
+        SELECT weekday, n_events,
+          CAST(n_events * 7 * 10000 // tn AS BIGINT) AS index_bp
+        FROM per CROSS JOIN t ORDER BY weekday""")),
+
+    // ---- detectable-lift curve (q169's inverse) ------------------------
+    // Given the observed variance, what lift CAN each sample size
+    // detect? MDE as a fraction of the mean at n ∈ {0.5×, 1×, 2×, 5×,
+    // 10×} the observed per-arm population — δ = (z_{α/2}+z_β)·σ·√(2/n)
+    // — in basis points of the mean, each row one closed-form
+    // evaluation off the same 1-row moment aggregate.
+    QueryDef(
+      "q174_mde_curve",
+      (s, dir) => {
+        import s.implicits._
+        val per = events(s, dir)
+          .select($"user_id",
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast("long")).otherwise(0L).as("cents"))
+          .groupBy($"user_id").agg(sum($"cents").as("v"))
+        per.agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+            sum($"v" * $"v").as("svv"))
+          .withColumn("mean", $"sv".cast("double") / $"n")
+          .withColumn("variance",
+            ($"n" * $"svv" - $"sv" * $"sv").cast("double") /
+              ($"n".cast("double") * ($"n" - 1)))
+          .select($"n", $"mean", $"variance",
+            explode(array(lit(0.5), lit(1.0), lit(2.0), lit(5.0),
+              lit(10.0))).as("mult"))
+          .select(
+            expr("CAST(ROUND(n * mult) AS BIGINT)").as("n_per_arm"),
+            expr("""CAST(ROUND((1.959964 + 0.841621)
+              * SQRT(variance * 2.0 / (n * mult)) / mean * 10000)
+              AS BIGINT)""").as("mde_bp"))
+          .orderBy($"n_per_arm")
+      },
+      Some("""WITH per AS (SELECT user_id,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS v
+          FROM events GROUP BY user_id),
+        m AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+            CAST(SUM(v * v) AS BIGINT) AS svv FROM per),
+        x AS (SELECT n, CAST(sv AS DOUBLE) / n AS mean,
+            CAST(n * svv - sv * sv AS DOUBLE) /
+              (CAST(n AS DOUBLE) * (n - 1)) AS variance
+          FROM m),
+        s AS (SELECT x.*, t.mult
+          FROM x CROSS JOIN (SELECT unnest([0.5, 1.0, 2.0, 5.0, 10.0])
+            AS mult) t)
+        SELECT CAST(ROUND(n * mult) AS BIGINT) AS n_per_arm,
+          CAST(ROUND((1.959964 + 0.841621)
+            * SQRT(variance * 2.0 / (n * mult)) / mean * 10000)
+            AS BIGINT) AS mde_bp
+        FROM s ORDER BY n_per_arm"""))
   )
 }

@@ -143,7 +143,9 @@ object ScaleCurve {
     "q169_sample_size",   // user agg + closed-form power calc
     "q170_retention_halflife", // q136 exchange + 1-row log-linear fit
     "q171_weekly_bands",  // (week,bucket) grouped rank + ceil cuts
-    "q172_autocorr_daily" // calendar-sized daily agg + lag self-join
+    "q172_autocorr_daily",// calendar-sized daily agg + lag self-join
+    "q173_weekday_profile",// one combinable agg + 1-row total
+    "q174_mde_curve"      // 1-row moments + 5-row closed-form curve
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
@@ -214,7 +216,8 @@ object ScaleCurve {
         "q165_session_depth", "q166_stickiness",
         "q167_pchart_errors", "q168_cuped", "q169_sample_size",
         "q170_retention_halflife", "q171_weekly_bands",
-        "q172_autocorr_daily")))
+        "q172_autocorr_daily", "q173_weekday_profile",
+        "q174_mde_curve")))
       scaleUp("events", "event_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
