@@ -422,6 +422,30 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  /** One-pass per-document QUERY-term frequencies: for a fixed m-term
+    * query, returns [tf(term_0), …, tf(term_{m-1}), dl] as m+1 longs —
+    * the BM25 scoring inputs — in a single tokenize pass. Replaces the
+    * term_counts → per-term array `filter` probe chain (m interpreted
+    * lambda passes over the tf array per document) with one hash lookup
+    * per token; dl rides along for free so the aggregate() fold over
+    * the tf array disappears too.
+    */
+  def queryTf(s: UTF8String, terms: Array[String]): ArrayData = {
+    val toks = tokenize(s)
+    val idx = new java.util.HashMap[String, Integer](terms.length * 2)
+    var t = 0
+    while (t < terms.length) { idx.put(terms(t), t); t += 1 }
+    val out = new Array[Long](terms.length + 1)
+    var i = 0
+    while (i < toks.length) {
+      val j = idx.get(toks(i))
+      if (j != null) out(j.intValue()) += 1L
+      i += 1
+    }
+    out(terms.length) = toks.length.toLong
+    new GenericArrayData(out)
+  }
+
   /** Per-document distinct (w1, w2, count) bigram rows in one pass —
     * the pair-level sibling of [[termCounts]]: `explode(bigram_counts)`
     * replaces the explode-pairs → groupBy(doc, w1, w2) corpus shuffle
@@ -1433,6 +1457,27 @@ object SketchExpressions {
 
   def term_counts(text: Column): Column =
     GraftBridge.column(TermCounts(GraftBridge.expression(text)))
+
+  /** [tf(term_0), …, tf(term_{m-1}), dl] for a fixed query-term list
+    * (see SketchEval.queryTf) — the one-pass BM25 scoring kernel.
+    */
+  case class QueryTf(child: Expression, terms: Array[String])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.queryTf(s.asInstanceOf[UTF8String], terms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val t = ctx.addReferenceObj("queryTerms", terms, "java.lang.String[]")
+      defineCodeGen(ctx, ev, c => s"$E.queryTf($c, $t)")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def query_tf(text: Column, terms: Seq[String]): Column =
+    GraftBridge.column(QueryTf(GraftBridge.expression(text), terms.toArray))
 
   /** Per-document [(w1, w2, c)] bigram rows (see SketchEval.bigramCounts). */
   case class BigramCounts(child: Expression)

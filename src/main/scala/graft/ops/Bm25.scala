@@ -30,14 +30,13 @@ object Bm25 {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val base = df
       .select(graft.functions.SketchExpressions
-        .term_counts(coalesce(col(textCol), lit(""))).as("__tc"))
-      .withColumn("__dl",
-        aggregate(col("__tc"), lit(0L), (a, e) => a + e.getField("tf")))
+        .query_tf(coalesce(col(textCol), lit("")), terms).as("__qtf"))
     val row = base.agg(
       count(lit(1)).as("__N"),
-      sum(col("__dl")).as("__DL") +: terms.zipWithIndex.map { case (t, i) =>
-        sum(when(exists(col("__tc"), e => e.getField("term") === t), 1L)
-          .otherwise(0L)).as(s"__df$i") }: _*)
+      sum(element_at(col("__qtf"), terms.length + 1)).as("__DL") +:
+        terms.indices.map { i =>
+          sum(when(element_at(col("__qtf"), i + 1) > 0L, 1L)
+            .otherwise(0L)).as(s"__df$i") }: _*)
       .first()
     val n = row.getLong(0)
     require(n > 0, "bm25 stats: empty corpus")
@@ -55,14 +54,11 @@ object Bm25 {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : org.apache.spark.sql.Column = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val tc = graft.functions.SketchExpressions
-      .term_counts(coalesce(text, lit("")))
-    val dl = aggregate(tc, lit(0L), (a, e) => a + e.getField("tf"))
-      .cast("double")
-    round(terms.map { t =>
-      val tf = coalesce(
-        get(filter(tc, e => e.getField("term") === t), lit(0))
-          .getField("tf"), lit(0L)).cast("double")
+    val qtf = graft.functions.SketchExpressions
+      .query_tf(coalesce(text, lit("")), terms)
+    val dl = element_at(qtf, terms.length + 1).cast("double")
+    round(terms.zipWithIndex.map { case (t, i) =>
+      val tf = element_at(qtf, i + 1).cast("double")
       val dfq = st.dfs(t).toDouble
       val idf = math.log(1.0 + (st.n.toDouble - dfq + 0.5) / (dfq + 0.5))
       lit(idf) * (tf * lit(k1 + 1.0)) /
@@ -74,15 +70,14 @@ object Bm25 {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // one-pass kernel: [tf_0..tf_{m-1}, dl] per document — no term_counts
+    // array materialization, no per-term lambda probes (round-8 weak set)
     val base = df
       .select(col(idCol), graft.functions.SketchExpressions
-        .term_counts(coalesce(col(textCol), lit(""))).as("__tc"))
-      .withColumn("dl",
-        aggregate(col("__tc"), lit(0L), (a, e) => a + e.getField("tf")))
-    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
-      d.withColumn(s"__tf$i", coalesce(
-        get(filter(col("__tc"), e => e.getField("term") === t), lit(0))
-          .getField("tf"), lit(0L)))
+        .query_tf(coalesce(col(textCol), lit("")), terms).as("__qtf"))
+      .withColumn("dl", element_at(col("__qtf"), terms.length + 1))
+    val withTf = terms.indices.foldLeft(base) { case (d, i) =>
+      d.withColumn(s"__tf$i", element_at(col("__qtf"), i + 1))
     }
     val stats = broadcast(withTf.agg(
       count(lit(1)).as("__N"),

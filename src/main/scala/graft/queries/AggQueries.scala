@@ -68,23 +68,32 @@ object AggQueries {
 
     // ---- inspect stats: nulls / min / max / distinct per column --------
     // (reference `core/inspect_utils.py:717-797`, one batched SELECT)
-    // The two exact countDistinct aggregates force an Expand (×3 rows
-    // before partial agg) — the price of exact nd in one pass, kept here
-    // because the oracle demands exact values. The engine's own inspect
-    // path (GeoTable.stats) uses approx_count_distinct (HLL) instead,
-    // which is the right default at 100 TB.
+    // Exact nd WITHOUT tripling the scan: a single in-agg plan with two
+    // countDistinct columns forces an Expand (×3 rows before partial
+    // agg) over the whole table. Instead pre-aggregate by the two
+    // distinct keys — a plain map-side-combinable hash agg whose output
+    // is bounded by the distinct-pair count — then take the exact
+    // distincts and every other statistic from that small table. The
+    // Expand now runs over |distinct pairs|, not |orders|. The engine's
+    // own inspect path (GeoTable.stats) uses approx_count_distinct
+    // (HLL) instead, which is the right default at 100 TB.
     QueryDef(
       "q8_stats",
       (s, dir) => {
         import s.implicits._
-        table(s, dir, "orders").agg(
-          count(lit(1)).as("n_rows"),
-          count(when($"o_orderstatus".isNull, 1)).as("null_status"),
+        val pre = table(s, dir, "orders")
+          .groupBy($"o_custkey", $"o_orderstatus")
+          .agg(count(lit(1)).as("c"),
+            min($"o_totalprice").as("mnp"), max($"o_totalprice").as("mxp"))
+        pre.agg(
+          sum($"c").as("n_rows"),
+          coalesce(sum(when($"o_orderstatus".isNull, $"c")), lit(0L))
+            .as("null_status"),
           min($"o_orderstatus").as("min_status"),
           max($"o_orderstatus").as("max_status"),
           countDistinct($"o_orderstatus").as("nd_status"),
-          min($"o_totalprice").as("min_price"),
-          max($"o_totalprice").as("max_price"),
+          min($"mnp").as("min_price"),
+          max($"mxp").as("max_price"),
           min($"o_custkey").as("min_cust"),
           max($"o_custkey").as("max_cust"),
           countDistinct($"o_custkey").as("nd_cust"))

@@ -57,12 +57,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** Structural auto-allow for the 1-row-stats broadcast shape: a BNLJ
+    * is fine when every logical join that could have planned as one (no
+    * equi condition) has a side whose row count is STATICALLY bounded —
+    * a global aggregate (maxRows = 1) or a limit. Queries whose tiny
+    * side is only dynamically bounded (a deterministic sample filter)
+    * stay on the name allowlist above.
+    */
+  private def allNonEquiJoinsBounded(
+      qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    val nonEqui = joins.filter { j =>
+      !j.condition.exists(c => c.collectFirst {
+        case _: EqualTo => (); case _: EqualNullSafe => ()
+      }.isDefined)
+    }
+    nonEqui.forall { j =>
+      j.left.maxRows.exists(_ <= 1024L) || j.right.maxRows.exists(_ <= 1024L)
+    }
+  }
+
   test("broadcast nested loop joins only where a tiny side is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      if (!bnljAllowed(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name has an unexpected BNLJ")
+      val qe = fn(spark, dir).queryExecution
+      val plan = qe.executedPlan.toString
+      if (!bnljAllowed(name) && plan.contains("BroadcastNestedLoopJoin"))
+        assert(allNonEquiJoinsBounded(qe),
+          s"$name has a BNLJ whose broadcast side is not statically " +
+            "bounded (global aggregate / limit) and is not allowlisted")
     }
   }
 
