@@ -434,13 +434,22 @@ object SketchEval {
     val toks = tokenize(s)
     val idx = new java.util.HashMap[String, Integer](terms.length * 2)
     var t = 0
-    while (t < terms.length) { idx.put(terms(t), t); t += 1 }
+    while (t < terms.length) { idx.putIfAbsent(terms(t), t); t += 1 }
     val out = new Array[Long](terms.length + 1)
     var i = 0
     while (i < toks.length) {
       val j = idx.get(toks(i))
       if (j != null) out(j.intValue()) += 1L
       i += 1
+    }
+    // a duplicated query term copies its canonical (first-occurrence)
+    // slot's count, matching the old per-term filter probes where every
+    // duplicate saw the same tf — put() left non-canonical slots at 0
+    t = 0
+    while (t < terms.length) {
+      val c = idx.get(terms(t)).intValue()
+      if (c != t) out(t) = out(c)
+      t += 1
     }
     out(terms.length) = toks.length.toLong
     new GenericArrayData(out)

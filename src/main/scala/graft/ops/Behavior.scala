@@ -56,39 +56,44 @@ object Behavior {
   }
 
   /** Robust anomaly report per type: exact lower median + MAD of
-    * `valueCol` in micros (rank inequality rn = (n+1) DIV 2 over
-    * (value, id) — engine-deterministic), and the count/fraction of
-    * rows beyond 3×MAD. Median/MAD come from
-    * [[DistWindow.withGroupedRank]] (no task serializes a type); the
-    * |types|-row median table is lazy-checkpointed because its subtree
-    * — the whole first rank machinery — is consumed by both the MAD
-    * rank and the final gate.
+    * `valueCol` in micros, and the count/fraction of rows beyond 3×MAD.
+    *
+    * One pass over the event stream builds the (type, value-micros)
+    * histogram; the median, the MAD (a second weighted median over the
+    * re-bucketed |v - median| histogram), and the 3×MAD gate all run on
+    * that checkpointed table via [[DistWindow.groupedWeightedMedian]] —
+    * the weighted rank picks the same element the old two-rank-pass
+    * formulation did (position (n+1) DIV 2 of the value-sorted
+    * multiset; the id tie-break never changed which VALUE sits at that
+    * position), at histogram cost instead of 3× event-scan cost.
+    * `idCol` is kept for API stability but no longer participates.
     */
   def robustAnomalyReport(events: DataFrame, typeCol: String,
       idCol: String, valueCol: String): DataFrame = {
-    val e2 = events.select(col(idCol).as("__id"), col(typeCol),
-      expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)").as("v"))
-    val r1 = DistWindow.withGroupedRank(e2, col(typeCol),
-      floor(col("v") / 1000000.0).cast("long"),
-      Seq(col("v"), col("__id")), "rn", Some("n"))
-    val med = r1.filter(expr("rn = (n + 1) DIV 2"))
-      .select(col(typeCol), col("v").as("med_mi"), col("n"))
+    val bkt = (c: Column) => floor(c / 1000000.0).cast("long")
+    val h = events
+      .select(col(typeCol),
+        expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)").as("v"))
+      .groupBy(col(typeCol), col("v"))
+      .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
-    val d = e2.join(broadcast(med), Seq(typeCol))
+    val med = DistWindow.groupedWeightedMedian(h, col(typeCol),
+      bkt(col("v")), col("v"), col("cnt"), typeCol, "med_mi", "n")
+    val hd = h.join(broadcast(med), Seq(typeCol))
       .withColumn("dev", abs(col("v") - col("med_mi")))
-    val r2 = DistWindow.withGroupedRank(d, col(typeCol),
-      floor(col("dev") / 1000000.0).cast("long"),
-      Seq(col("dev"), col("__id")), "rn2")
-    val mad = r2.filter(expr("rn2 = (n + 1) DIV 2"))
-      .select(col(typeCol), col("dev").as("mad_mi"))
-    d.join(broadcast(mad), Seq(typeCol))
-      .withColumn("an",
-        when(col("dev") > col("mad_mi") * 3, 1L).otherwise(0L))
+    // deviation histogram: folding ± around the median keeps it ≤ |h|
+    val hdev = hd.groupBy(col(typeCol), col("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = DistWindow.groupedWeightedMedian(hdev, col(typeCol),
+      bkt(col("dev")), col("dev"), col("cnt"), typeCol, "mad_mi", "n2")
+      .drop("n2")
+    hd.join(broadcast(mad), Seq(typeCol))
       .groupBy(typeCol)
       .agg(max(col("n")).as("n_events"),
         max(col("med_mi")).as("median_micro"),
         max(col("mad_mi")).as("mad_micro"),
-        sum(col("an")).as("n_anomalies"))
+        sum(when(col("dev") > col("mad_mi") * 3, col("cnt"))
+          .otherwise(0L)).as("n_anomalies"))
       .withColumn("anomaly_bp", expr("n_anomalies * 10000 DIV n_events"))
   }
 }

@@ -144,4 +144,50 @@ object DistWindow {
     }
     withTot.drop("__grp", "__bkt", "__rn", "__off")
   }
+
+  /** Exact weighted LOWER median of `value` within each `group`, over a
+    * pre-aggregated (group, value, weight) histogram: one row per group
+    * — (groupOut, outCol, totalCol) — where outCol is the element at
+    * position (Σweight + 1) DIV 2 of the expanded multiset sorted by
+    * value, i.e. the same element a row_number-over-raw-rows rank pass
+    * picks, at histogram cost instead of event cost.
+    *
+    * Same scale shape as [[withGroupedRank]]: the running weight sum is
+    * windowed on (group, bucket) so no task sees more than one bucket of
+    * a group's distinct values, and each bucket's exclusive weight
+    * offset comes from a broadcast prefix-sum over the tiny
+    * one-row-per-(group, bucket) count table. `value` must be unique
+    * within (group, bucket) — the natural histogram contract — and
+    * `bucket` a monotone coarsening of `value` within every group.
+    */
+  def groupedWeightedMedian(df: DataFrame, group: Column, bucket: Column,
+      value: Column, weight: Column, groupOut: String, outCol: String,
+      totalCol: String): DataFrame = {
+    val parted = df.select(group.as("__grp"), bucket.as("__bkt"),
+      value.as("__v"), weight.as("__w"))
+    val w = Window.partitionBy(col("__grp"), col("__bkt"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__cum", sum(col("__w")).over(w))
+    // per-bucket weight total = max running sum over the window's own
+    // exchange (ReuseExchange; see withGlobalRank)
+    val counts = local.groupBy(col("__grp"), col("__bkt"))
+      .agg(max(col("__cum")).as("__n"))
+    val wB = Window.partitionBy(col("__grp"))
+      .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .select(col("__grp"), col("__bkt"), col("__off"))
+    val tots = counts.groupBy(col("__grp")).agg(sum(col("__n")).as("__tot"))
+    local.join(broadcast(offsets), Seq("__grp", "__bkt"))
+      .join(broadcast(tots), Seq("__grp"))
+      .withColumn("__gcum", col("__off") + col("__cum"))
+      .withColumn("__pos", expr("(__tot + 1) DIV 2"))
+      // the median element is the one whose cumulative-weight range
+      // [gcum - w, gcum) contains the target position
+      .filter(col("__gcum") - col("__w") < col("__pos") &&
+        col("__pos") <= col("__gcum"))
+      .select(col("__grp").as(groupOut), col("__v").as(outCol),
+        col("__tot").as(totalCol))
+  }
 }

@@ -86,7 +86,9 @@ object AggQueries {
           .agg(count(lit(1)).as("c"),
             min($"o_totalprice").as("mnp"), max($"o_totalprice").as("mxp"))
         pre.agg(
-          sum($"c").as("n_rows"),
+          // coalesce: sum over an empty pre-agg is NULL where the old
+          // count(*) gave 0 — keep the empty-table contract
+          coalesce(sum($"c"), lit(0L)).as("n_rows"),
           coalesce(sum(when($"o_orderstatus".isNull, $"c")), lit(0L))
             .as("null_status"),
           min($"o_orderstatus").as("min_status"),

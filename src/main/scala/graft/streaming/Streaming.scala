@@ -849,7 +849,8 @@ object Streaming {
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     graft.ops.Gopher.withRules(docs, textCol)
 
-  final case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  final case class FunnelEvent(user_id: Long, event_type: String, us: Long,
+      event_id: Long)
   final case class FunnelState(times: List[Long])
   final case class FunnelProgress(user_id: Long, stage: Int,
       t_first: Long, t_last: Long)
@@ -937,10 +938,12 @@ object Streaming {
     * — the last event seen — so state size is users-bounded and
     * constant per user whatever the event volume. Each arrival emits
     * the (from → to) transition it completes and becomes the new last
-    * event. Within a micro-batch arrivals are folded in event-time
-    * order, so under ordered replay the emitted transition multiset
-    * equals the batch lead() pairs exactly (StreamingSpec aggregates
-    * both sides to counts and pins equality). Downstream, the
+    * event. Within a micro-batch arrivals are folded in (us, event_id)
+    * order — batch q137's exact lead() tie-break — so under ordered
+    * replay the emitted transition multiset equals the batch lead()
+    * pairs exactly, same-timestamp events included (StreamingSpec
+    * aggregates both sides to counts and pins equality, plus a
+    * same-timestamp fixture). Downstream, the
     * transition-matrix aggregation is the same combinable groupBy the
     * batch query runs.
     */
@@ -951,7 +954,7 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[FunnelEvent],
             state: GroupState[LastEvent]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.us, e.event_type))
+          val sorted = batch.toSeq.sortBy(e => (e.us, e.event_id))
           var last = state.getOption
           val out = Seq.newBuilder[Transition]
           sorted.foreach { e =>

@@ -1417,4 +1417,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out("srcRnd")._1 > out("srcRep")._1, s"order: $out")
     assert(out("srcRnd")._2 > 1.0 && out("srcRep")._2 < 1.0, s"boost: $out")
   }
+
+  test("query_tf: duplicate query terms all carry the canonical tf") {
+    import spark.implicits._
+    val row = Seq(Tuple1("a b a a c")).toDF("text")
+      .select(graft.functions.SketchExpressions
+        .query_tf($"text", Seq("a", "b", "a", "z")).as("q"))
+      .as[Seq[Long]].head()
+    // [tf(a), tf(b), tf(a dup), tf(z), dl] — before the putIfAbsent fix
+    // the duplicate slot stayed 0 (put() left only the LAST index live)
+    assert(row == Seq(3L, 1L, 3L, 0L, 5L), s"got $row")
+  }
+
+  test("groupedWeightedMedian picks the rank-(n+1)/2 element per group") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 4).flatMap { g =>
+      (0 until 301 + g).map(_ => (s"t$g", rng.nextInt(5000).toLong))
+    }
+    val h = rows.toDF("grp", "v").groupBy("grp", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val got = graft.ops.DistWindow.groupedWeightedMedian(h, $"grp",
+      floor($"v" / 1000L), $"v", $"cnt", "grp", "med", "n")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val expect = sorted((sorted.length + 1) / 2 - 1)
+      assert(got(g) == (expect, sorted.length.toLong),
+        s"$g: got ${got(g)}, want ($expect, ${sorted.length})")
+    }
+  }
 }

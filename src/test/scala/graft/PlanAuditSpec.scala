@@ -67,16 +67,28 @@ class PlanAuditSpec extends AnyFunSuite {
   private def allNonEquiJoinsBounded(
       qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
     val joins = qe.optimizedPlan.collect { case j: Join => j }
+    // Spark extracts hash keys only from TOP-LEVEL conjuncts
+    // (ExtractEquiJoinKeys splits on And) — an EqualTo buried under an
+    // Or (`a.x = b.x OR a.y = b.y`) still plans as BNLJ, so collectFirst
+    // over the whole tree misclassified such joins as equi
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
     val nonEqui = joins.filter { j =>
-      !j.condition.exists(c => c.collectFirst {
-        case _: EqualTo => (); case _: EqualNullSafe => ()
-      }.isDefined)
+      !j.condition.exists(c => conjuncts(c).exists {
+        case _: EqualTo | _: EqualNullSafe => true
+        case _                             => false
+      })
     }
-    nonEqui.forall { j =>
+    def bounded(j: Join): Boolean =
       j.left.maxRows.exists(_ <= 1024L) || j.right.maxRows.exists(_ <= 1024L)
-    }
+    // the caller only reaches here when the executed plan HAS a BNLJ: if
+    // classification finds no non-equi candidate, some join we called
+    // equi produced it — bound ALL joins rather than pass vacuously
+    if (nonEqui.isEmpty) joins.forall(bounded) else nonEqui.forall(bounded)
   }
 
   test("broadcast nested loop joins only where a tiny side is intended") {

@@ -699,7 +699,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sfunnel")
     val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        unix_micros(col("ts")).as("us"), col("event_id"))
     ev.write.mode("overwrite").parquet(streamDir.toString + "/in")
     val steps = Seq("view", "click", "purchase")
     val H = 604800000000L
@@ -774,7 +774,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_smarkov")
     val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        unix_micros(col("ts")).as("us"), col("event_id"))
     ev.write.mode("overwrite").parquet(streamDir.toString + "/in")
     val stream = spark.readStream.schema(ev.schema)
       .parquet(streamDir.toString + "/in")
@@ -784,9 +784,9 @@ class StreamingSpec extends AnyFunSuite {
     val s = out.groupBy("from_type", "to_type").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
-    // batch side under the same (us, event_type) tie order
+    // batch side under q137's exact (us, event_id) tie order
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("us"), col("event_type"))
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val batch = ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type")).count()
@@ -796,11 +796,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.sum > 0)
   }
 
+  test("streaming markov tie-break matches batch lead() on same-us events") {
+    // three same-timestamp events per user whose event_id order differs
+    // from their lexicographic type order: only the (us, event_id) sort
+    // reproduces q137's lead() pairs (a (us, event_type) sort would emit
+    // a→b→c instead of c→a→b for user 1)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_smtie")
+    val rows = Seq(
+      (1L, "c", 1000L, 10L), (1L, "a", 1000L, 11L), (1L, "b", 1000L, 12L),
+      (2L, "b", 2000L, 20L), (2L, "a", 2000L, 21L), (2L, "c", 3000L, 22L))
+    val ev = rows.toDF("user_id", "event_type", "us", "event_id")
+    ev.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.FunnelEvent]
+    val out = Streaming.runToCompletion(
+      Streaming.markovTransitions(stream).toDF(), "smtie_test")
+    val got = out.select("user_id", "from_type", "to_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "c", "a"), (1L, "a", "b"),
+      (2L, "b", "a"), (2L, "a", "c")), s"got $got")
+  }
+
   test("streaming retention cells match the batch cohort matrix") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sret")
     val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        unix_micros(col("ts")).as("us"), col("event_id"))
     ev.write.mode("overwrite").parquet(streamDir.toString + "/in")
     val stream = spark.readStream.schema(ev.schema)
       .parquet(streamDir.toString + "/in")
@@ -877,7 +899,7 @@ class StreamingSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_srestart")
     val ev = graft.queries.JoinQueries.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        unix_micros(col("ts")).as("us"), col("event_id"))
       .orderBy("us")
     val n = ev.count()
     val rows = ev.collect()
