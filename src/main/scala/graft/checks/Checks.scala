@@ -124,6 +124,55 @@ object Checks {
       else None
     }
 
+  /** EPSG id of a CRS value that may be a PROJJSON document, a
+    * `srid:NNNN` reference, or a `projjson:key` footer reference
+    * (resolved against `kv`) — the simplified identity the reference's
+    * `_crs_equals` / `resolve_crs_reference` compare on
+    * (`core/validate.py:2302-2320`, `core/duckdb_metadata.py:366-405`).
+    */
+  private def crsEpsg(crs: String, kv: Map[String, String]): Option[Int] = {
+    val resolved =
+      if (crs.startsWith("projjson:")) kv.get(crs.stripPrefix("projjson:"))
+      else Some(crs)
+    resolved.flatMap {
+      case s if s.startsWith("srid:") => s.stripPrefix("srid:").toIntOption
+      case s => try Some(graft.geom.Proj.parseEpsg(s))
+        catch { case _: Exception => None }
+    }
+  }
+
+  /** Native Parquet GEOMETRY/GEOGRAPHY column checks shared by the
+    * geoparquet2 and parquet-geo-only flavors: GeospatialStatistics
+    * presence/sanity (reference `core/validate.py:1342-1504`) and the
+    * CRS reference-format compatibility warning
+    * (`core/validate.py:1880-1969`).
+    */
+  private def nativeGeoFindings(info: Footer.FooterInfo, parts: Seq[Path],
+      conf: Configuration): Seq[Finding] = {
+    val out = scala.collection.mutable.ArrayBuffer[Finding]()
+    info.schemaInfo.filter(_.logicalType.exists(n =>
+      n.contains("Geometry") || n.contains("Geography"))).foreach { f =>
+      val boxes = parts.flatMap(p => Footer.read(p, conf).rowGroups
+        .flatMap(_.columns.get(f.name).flatMap(_.geoBbox)))
+      if (boxes.isEmpty)
+        out += Finding("warn", "native_geo_stats",
+          s"geometry column ${f.name} missing native geospatial " +
+            "statistics (geo_bbox) — spatial filtering cannot prune")
+      else if (boxes.exists { case (x0, y0, x1, y1) =>
+          Seq(x0, y0, x1, y1).exists(v => math.abs(v) > 1e15) })
+        out += Finding("info", "native_geo_stats",
+          s"geospatial statistics of ${f.name} appear invalid " +
+            "(implausible magnitude — possible stats parsing error)")
+      f.geoCrs.filter(c => c.startsWith("projjson:") || c.startsWith("srid:"))
+        .foreach { c =>
+          out += Finding("warn", "crs",
+            s"${f.name} uses CRS reference format '$c' — not widely " +
+              "recognized; prefer inline PROJJSON")
+        }
+    }
+    out.toSeq
+  }
+
   /** GeoParquet spec validation (reference `core/validate.py:126-2328`):
     * metadata shape, physical parquet schema, covering structure,
     * declared-vs-actual data properties (encoding, geometry types,
@@ -147,10 +196,11 @@ object Checks {
       case Left(err) =>
         findings += Finding("error", "metadata", s"`geo` key is not valid JSON: $err")
       case Right(None) =>
-        if (fileType == "parquet-geo-only")
+        if (fileType == "parquet-geo-only") {
           findings += Finding("info", "metadata",
             "no `geo` footer key but native geo types present (GeoParquet 2 minimal)")
-        else
+          findings ++= nativeGeoFindings(info, parts, conf)
+        } else
           findings += Finding("error", "metadata", "no `geo` footer key")
       case Right(Some(g)) =>
         // ---- metadata shape (footer-only) ------------------------------
@@ -301,12 +351,61 @@ object Checks {
           if (fileType == "geoparquet2" && pc.encoding == "WKB")
             findings += Finding("warn", "v2",
               "native geo logical type present but encoding declares WKB")
+          if (fileType == "geoparquet2") {
+            findings ++= nativeGeoFindings(info, parts, conf)
+            info.schemaInfo.find(_.name == g.primaryColumn).foreach { f =>
+              val metaCrs = pc.crs.filterNot(_.isNull)
+              // V2-2 (`core/validate.py:1737-1782`): a non-default
+              // metadata CRS must be inline in the Parquet geo type
+              if (metaCrs.isDefined && f.geoCrs.isEmpty)
+                findings += Finding("error", "v2",
+                  "non-default CRS must be inline in the Parquet geo " +
+                    "type, not only in `geo` metadata")
+              // V2-3 (`core/validate.py:1784-1825`): when both carry a
+              // CRS, their EPSG identity must agree
+              for {
+                m <- metaCrs
+                s <- f.geoCrs
+                mId <- crsEpsg(m.toString, info.keyValueMeta)
+                sId <- crsEpsg(s, info.keyValueMeta)
+              } if (mId != sId)
+                findings += Finding("error", "v2",
+                  s"CRS mismatch: geo metadata declares EPSG:$mId but " +
+                    s"Parquet geo type declares EPSG:$sId")
+              // V2-5 (`core/validate.py:1828-1877`): GEOGRAPHY edge
+              // algorithm must match metadata edges (default planar)
+              f.geoAlgorithm.foreach { alg =>
+                val edges = pc.edges.getOrElse("planar")
+                if (edges != alg)
+                  findings += Finding("error", "v2",
+                    s"edges '$edges' in metadata does not match " +
+                      s"GEOGRAPHY algorithm '$alg' in the Parquet type")
+              }
+            }
+          }
 
           // ---- data-dependent checks (Spark jobs) ----------------------
           if (info.schemaFields.contains(g.primaryColumn) &&
               info.schemaInfo.find(_.name == g.primaryColumn)
                 .forall(f => f.primitive && f.primitiveType.contains("BINARY"))) {
-            val t = GeoTable.read(spark, path)
+            // Spark's parquet reader rejects GEOMETRY/GEOGRAPHY logical
+            // types outright — v2 files go through the footer-strip
+            // staged read (same WKB bytes, plain BINARY schema)
+            val t =
+              if (fileType == "geoparquet2") GeoTable.readNativeGeo(spark, path)
+              else GeoTable.read(spark, path)
+            // a file Spark cannot read at all (e.g. a codec this image
+            // lacks) SKIPS the data checks rather than failing them —
+            // the reference's CheckStatus.SKIPPED-on-exception contract
+            val readable =
+              try { t.df.limit(1).collect(); true }
+              catch { case e: Exception =>
+                findings += Finding("info", "data",
+                  "data checks skipped — file unreadable by Spark: " +
+                    String.valueOf(e.getMessage).take(160))
+                false
+              }
+            if (readable) {
             // encoding matches data: a bounded sample must parse as WKB
             try t.df.select(geo.st_geometrytype(col(g.primaryColumn)))
               .limit(1000).collect()
@@ -402,6 +501,7 @@ object Checks {
                 }
               }
             }
+            } // readable
           }
         }
     }

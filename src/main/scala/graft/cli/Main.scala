@@ -1091,6 +1091,14 @@ object Main {
           opt(rest, "id").getOrElse("item"),
           opt(rest, "href").getOrElse(rest.head)))
 
+      // `graft upload <src> <dest> [--pattern glob]` — the reference's
+      // `gpio publish upload` (`cli/main.py:4206-4297`): local file or
+      // directory to object storage through dest's Hadoop FileSystem
+      case "upload" =>
+        val Seq(src, dest) = rest.take(2)
+        val n = GeoTable.uploadTree(spark, src, dest, opt(rest, "pattern"))
+        println(s"uploaded $n file(s) to $dest")
+
       case other => die(s"unknown command $other\n$usage")
     }
   }
@@ -1120,5 +1128,6 @@ object Main {
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
-      |  check [--all], validate, fix, stac-item""".stripMargin
+      |  check [--all], validate, fix, stac-item,
+      |  upload <src> <dest> [--pattern glob]""".stripMargin
 }

@@ -27,7 +27,12 @@ object Footer {
       uncompressedSize: Long,
       nullCount: Option[Long],
       min: Option[Any],
-      max: Option[Any])
+      max: Option[Any],
+      /** Native Parquet GeospatialStatistics xy bounds, when the chunk
+        * carries them (GEOMETRY/GEOGRAPHY columns; reference
+        * `core/validate.py:1430-1504` native_geo_stats).
+        */
+      geoBbox: Option[(Double, Double, Double, Double)] = None)
 
   /** Physical shape of one top-level schema field (validate needs type /
     * repetition / child fields, not just names — reference
@@ -39,7 +44,16 @@ object Footer {
       primitiveType: Option[String],
       repeated: Boolean,
       logicalType: Option[String],
-      groupFields: Seq[(String, String)])
+      groupFields: Seq[(String, String)],
+      /** Inline CRS of a native GEOMETRY/GEOGRAPHY logical type
+        * (GeoParquet 2 carries CRS in the Parquet type itself —
+        * reference `core/validate.py:1737-1782` check V2-2).
+        */
+      geoCrs: Option[String] = None,
+      /** Edge algorithm of a GEOGRAPHY logical type (reference
+        * `core/validate.py:1833-1877` check V2-5).
+        */
+      geoAlgorithm: Option[String] = None)
 
   final case class FooterInfo(
       rowCount: Long,
@@ -91,7 +105,11 @@ object Footer {
             uncompressedSize = c.getTotalUncompressedSize,
             nullCount = stats.filter(_.isNumNullsSet).map(_.getNumNulls),
             min = stats.filter(s => s.hasNonNullValue).map(_.genericGetMin),
-            max = stats.filter(s => s.hasNonNullValue).map(_.genericGetMax))
+            max = stats.filter(s => s.hasNonNullValue).map(_.genericGetMax),
+            geoBbox = Option(c.getGeospatialStatistics)
+              .flatMap(gs => Option(gs.getBoundingBox))
+              .filter(_.isXYValid)
+              .map(b => (b.getXMin, b.getYMin, b.getXMax, b.getYMax)))
         }.toMap
         RowGroupInfo(b.getRowCount, b.getTotalByteSize, b.getCompressedSize, cols)
       }
@@ -107,6 +125,18 @@ object Footer {
             org.apache.parquet.schema.Type.Repetition.REPEATED),
           logicalType =
             Option(f.getLogicalTypeAnnotation).map(_.getClass.getSimpleName),
+          geoCrs = Option(f.getLogicalTypeAnnotation).flatMap {
+            case g: org.apache.parquet.schema.LogicalTypeAnnotation.GeometryLogicalTypeAnnotation =>
+              Option(g.getCrs).filter(_.nonEmpty)
+            case g: org.apache.parquet.schema.LogicalTypeAnnotation.GeographyLogicalTypeAnnotation =>
+              Option(g.getCrs).filter(_.nonEmpty)
+            case _ => None
+          },
+          geoAlgorithm = Option(f.getLogicalTypeAnnotation).collect {
+            case g: org.apache.parquet.schema.LogicalTypeAnnotation.GeographyLogicalTypeAnnotation =>
+              Option(g.getAlgorithm).map(_.name().toLowerCase)
+                .getOrElse("spherical")
+          },
           groupFields =
             if (prim) Seq.empty
             else f.asGroupType().getFields.asScala.toSeq.map { c =>

@@ -58,41 +58,37 @@ object Behavior {
   /** Robust anomaly report per type: exact lower median + MAD of
     * `valueCol` in micros, and the count/fraction of rows beyond 3×MAD.
     *
-    * One pass over the event stream builds the (type, value-micros)
-    * histogram; the median, the MAD (a second weighted median over the
-    * re-bucketed |v - median| histogram), and the 3×MAD gate all run on
-    * that checkpointed table via [[DistWindow.groupedWeightedMedian]] —
-    * the weighted rank picks the same element the old two-rank-pass
-    * formulation did (position (n+1) DIV 2 of the value-sorted
-    * multiset; the id tie-break never changed which VALUE sits at that
-    * position), at histogram cost instead of 3× event-scan cost.
+    * Both medians come from [[DistWindow.groupedWeightedMedian]] with
+    * unit weights — the cumulative-count inequality picks the same
+    * element a row_number rank pass does (position (n+1) DIV 2 of the
+    * value-sorted multiset; an id tie-break never changes which VALUE
+    * sits at that position), but each pass carries ONE fused
+    * offsets+totals broadcast instead of rank machinery with two.
     * `idCol` is kept for API stability but no longer participates.
     */
   def robustAnomalyReport(events: DataFrame, typeCol: String,
       idCol: String, valueCol: String): DataFrame = {
     val bkt = (c: Column) => floor(c / 1000000.0).cast("long")
-    val h = events
-      .select(col(typeCol),
-        expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)").as("v"))
-      .groupBy(col(typeCol), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+    val e2 = events.select(col(typeCol),
+      expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)").as("v"))
+    // the |types|-row median table is lazy-checkpointed: its subtree —
+    // the whole first median machinery — is consumed by both the MAD
+    // pass and the final gate, and exchange reuse alone would still
+    // re-run the windows above the shared exchange per consumer
+    val med = DistWindow.groupedWeightedMedian(e2, col(typeCol),
+      bkt(col("v")), col("v"), lit(1L), typeCol, "med_mi", "n")
       .localCheckpoint(false)
-    val med = DistWindow.groupedWeightedMedian(h, col(typeCol),
-      bkt(col("v")), col("v"), col("cnt"), typeCol, "med_mi", "n")
-    val hd = h.join(broadcast(med), Seq(typeCol))
+    val d = e2.join(broadcast(med), Seq(typeCol))
       .withColumn("dev", abs(col("v") - col("med_mi")))
-    // deviation histogram: folding ± around the median keeps it ≤ |h|
-    val hdev = hd.groupBy(col(typeCol), col("dev"))
-      .agg(sum(col("cnt")).as("cnt"))
-    val mad = DistWindow.groupedWeightedMedian(hdev, col(typeCol),
-      bkt(col("dev")), col("dev"), col("cnt"), typeCol, "mad_mi", "n2")
+    val mad = DistWindow.groupedWeightedMedian(d, col(typeCol),
+      bkt(col("dev")), col("dev"), lit(1L), typeCol, "mad_mi", "n2")
       .drop("n2")
-    hd.join(broadcast(mad), Seq(typeCol))
+    d.join(broadcast(mad), Seq(typeCol))
       .groupBy(typeCol)
       .agg(max(col("n")).as("n_events"),
         max(col("med_mi")).as("median_micro"),
         max(col("mad_mi")).as("mad_micro"),
-        sum(when(col("dev") > col("mad_mi") * 3, col("cnt"))
+        sum(when(col("dev") > col("mad_mi") * 3, 1L)
           .otherwise(0L)).as("n_anomalies"))
       .withColumn("anomaly_bp", expr("n_anomalies * 10000 DIV n_events"))
   }

@@ -128,21 +128,23 @@ object DistWindow {
       .agg(max(col("__rn")).as("__n"))
     val wB = Window.partitionBy(col("__grp"))
       .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
+    // group total (rank-vs-n cuts — the q106/q118/q124 consumers) rides
+    // the SAME tiny broadcast as the offsets: an unbounded frame over
+    // the same count-table exchange, instead of a second groupBy +
+    // broadcast join that would re-read `counts`
+    val wAll = Window.partitionBy(col("__grp")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets0 = counts
       .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
-      .select(col("__grp"), col("__bkt"), col("__off"))
-    val ranked = local.join(broadcast(offsets), Seq("__grp", "__bkt"))
-      .withColumn(outCol, col("__off") + col("__rn"))
-    // group total off the SAME tiny count table (rank-vs-n cuts — the
-    // q106/q118/q124 consumers — would otherwise pay a second pass over
-    // `df` plus its own broadcast join)
-    val withTot = groupTotalCol match {
-      case Some(gt) =>
-        val tots = counts.groupBy(col("__grp")).agg(sum(col("__n")).as(gt))
-        ranked.join(broadcast(tots), Seq("__grp"))
-      case None => ranked
+    val offsets = groupTotalCol match {
+      // select, not drop: a caller may name the total col "__n" itself
+      case Some(gt) => offsets0.withColumn(gt, sum(col("__n")).over(wAll))
+        .select(col("__grp"), col("__bkt"), col("__off"), col(gt))
+      case None => offsets0.select(col("__grp"), col("__bkt"), col("__off"))
     }
-    withTot.drop("__grp", "__bkt", "__rn", "__off")
+    local.join(broadcast(offsets), Seq("__grp", "__bkt"))
+      .withColumn(outCol, col("__off") + col("__rn"))
+      .drop("__grp", "__bkt", "__rn", "__off")
   }
 
   /** Exact weighted LOWER median of `value` within each `group`, over a
@@ -156,9 +158,12 @@ object DistWindow {
     * windowed on (group, bucket) so no task sees more than one bucket of
     * a group's distinct values, and each bucket's exclusive weight
     * offset comes from a broadcast prefix-sum over the tiny
-    * one-row-per-(group, bucket) count table. `value` must be unique
-    * within (group, bucket) — the natural histogram contract — and
-    * `bucket` a monotone coarsening of `value` within every group.
+    * one-row-per-(group, bucket) count table. `bucket` must be a
+    * monotone coarsening of `value` within every group. Duplicate
+    * `value` rows are fine (unit-weight raw rows included): ties split
+    * the cumulative range arbitrarily, but exactly one tied row's range
+    * contains the target position and every tied row carries the same
+    * value, so the SELECTED value is deterministic.
     */
   def groupedWeightedMedian(df: DataFrame, group: Column, bucket: Column,
       value: Column, weight: Column, groupOut: String, outCol: String,
@@ -175,12 +180,16 @@ object DistWindow {
       .agg(max(col("__cum")).as("__n"))
     val wB = Window.partitionBy(col("__grp"))
       .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    // group total rides the SAME tiny broadcast as the offsets (an
+    // unbounded frame over the same exchange) — a separate tots
+    // groupBy+join would add a second broadcast build re-reading `counts`
+    val wAll = Window.partitionBy(col("__grp")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
-      .select(col("__grp"), col("__bkt"), col("__off"))
-    val tots = counts.groupBy(col("__grp")).agg(sum(col("__n")).as("__tot"))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .select(col("__grp"), col("__bkt"), col("__off"), col("__tot"))
     local.join(broadcast(offsets), Seq("__grp", "__bkt"))
-      .join(broadcast(tots), Seq("__grp"))
       .withColumn("__gcum", col("__off") + col("__cum"))
       .withColumn("__pos", expr("(__tot + 1) DIV 2"))
       // the median element is the one whose cumulative-weight range

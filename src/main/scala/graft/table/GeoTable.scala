@@ -732,6 +732,50 @@ object GeoTable {
     }
   }
 
+  /** `publish upload` core (reference `cli/main.py:4206-4297`): copy an
+    * EXISTING local file or directory tree to `dest` through dest's
+    * Hadoop FileSystem — the standalone-upload sibling of
+    * [[uploadIfRemote]] (which wraps a write). s3a://, gs://, abfs://
+    * work when the connector jars are on the classpath; a file:// dest
+    * exercises the same copy path locally (how CliSpec covers it).
+    * Directories copy recursively preserving relative structure;
+    * `pattern` is a glob over the file name or the source-relative path
+    * (reference `--pattern`). Returns the copied file count.
+    */
+  def uploadTree(spark: SparkSession, src: String, dest: String,
+      pattern: Option[String] = None): Int = {
+    import scala.jdk.CollectionConverters._
+    val srcPath = java.nio.file.Paths.get(src)
+    require(java.nio.file.Files.exists(srcPath), s"source not found: $src")
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val matcher = pattern.map(p => java.nio.file.FileSystems.getDefault
+      .getPathMatcher(s"glob:$p"))
+    def keep(f: java.nio.file.Path): Boolean = matcher.forall(m =>
+      m.matches(f.getFileName) || m.matches(srcPath.relativize(f)))
+    if (java.nio.file.Files.isRegularFile(srcPath)) {
+      fs.copyFromLocalFile(false, true,
+        new org.apache.hadoop.fs.Path(srcPath.toString), destPath)
+      1
+    } else {
+      val walk = java.nio.file.Files.walk(srcPath)
+      try {
+        val files = walk.iterator().asScala
+          .filter(f => java.nio.file.Files.isRegularFile(f) && keep(f))
+          .toSeq
+        files.foreach { f =>
+          // Hadoop Path resolves "a/b" children segment-by-segment
+          val rel = srcPath.relativize(f).iterator().asScala
+            .map(_.toString).toSeq
+          val target = rel.foldLeft(destPath)(new org.apache.hadoop.fs.Path(_, _))
+          fs.copyFromLocalFile(false, true,
+            new org.apache.hadoop.fs.Path(f.toString), target)
+        }
+        files.size
+      } finally walk.close()
+    }
+  }
+
   /** Read GeoParquet: data via Spark (Hive partition discovery / globs /
     * mergeSchema native), `geo` metadata via the first part-file footer,
     * geometry column from metadata then name heuristics.

@@ -234,7 +234,11 @@ object ScaleCurve {
         "q145_ab_lift", "q146_pareto_events", "q148_cohort_ltv",
         "q149_gap_percentiles", "q150_attribution",
         "q151_hll_rollup", "q153_dp_counts", "q154_state_lift",
-        "q155_first_touch")(q)))
+        "q155_first_touch", "q160_join_blowup", "q165_session_depth",
+        "q166_stickiness", "q167_pchart_errors", "q168_cuped",
+        "q169_sample_size", "q170_retention_halflife",
+        "q171_weekly_bands", "q172_autocorr_daily",
+        "q173_weekday_profile", "q174_mde_curve")(q)))
       scaleUp("documents", "doc_id", (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))

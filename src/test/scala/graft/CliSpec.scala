@@ -949,4 +949,32 @@ class CliSpec extends AnyFunSuite {
     val plan2 = spark.read.parquet(s"$dir/plan2.parquet").collect()
     assert(plan2.length == 1 && plan2.head.getLong(2) == 120L)
   }
+
+  test("upload command copies a file and a filtered tree via file://") {
+    val dir = tmp("upload")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/one.parquet"), "data")
+    // single file, explicit destination name
+    Main.run(spark, Seq("upload", s"$dir/one.parquet",
+      s"file://$dir/up/one.parquet"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/up/one.parquet")) == "data")
+    // directory tree with a --pattern filter; structure preserved
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/src/sub"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/src/a.parquet"), "a")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/src/skip.json"), "{}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/src/sub/b.parquet"), "b")
+    Main.run(spark, Seq("upload", s"$dir/src",
+      s"file://$dir/up2", "--pattern", "*.parquet"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/up2/a.parquet")) == "a")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/up2/sub/b.parquet")) == "b")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/up2/skip.json")))
+  }
 }

@@ -289,4 +289,44 @@ class ValidateSpec extends AnyFunSuite {
     val gp = Checks.validate(spark, s"$data/buildings_test.parquet")
     assert(!gp.exists(_.level == "error"), gp.toString)
   }
+
+  test("v2 CRS / edges / native-stats checks against reference fixtures") {
+    val data = "/root/reference/tests/data"
+    // gpq2 with a non-default CRS: inline PROJJSON in the Parquet geo
+    // type AND the same EPSG:5070 in geo metadata -> all V2 checks pass
+    val f5070 = Checks.validate(spark, s"$data/fields_gpq2_5070_brotli.parquet")
+    assert(!f5070.exists(f => f.level == "error" && f.check == "v2"),
+      f5070.toString)
+    // native geospatial statistics present on every fixture -> no
+    // missing-stats warning
+    assert(!f5070.exists(_.check == "native_geo_stats"), f5070.toString)
+    // default-CRS gpq2 twin: nothing to reconcile, still clean
+    val fc84 = Checks.validate(spark, s"$data/fields_gpq2_crs84_zstd.parquet")
+    assert(!fc84.exists(f => f.level == "error" && f.check == "v2"),
+      fc84.toString)
+    // reference-format CRS (projjson:key / srid:NNNN) -> compat warning
+    Seq("crs-projjson", "crs-srid").foreach { f =>
+      val r = Checks.validate(spark, s"$data/$f.parquet")
+      assert(r.exists(x => x.level == "warn" && x.check == "crs" &&
+        x.message.contains("reference format")), s"$f: $r")
+    }
+    // footer plumbing the checks ride on: inline/reference CRS resolve
+    // to the same EPSG id, and geo_bbox stats surface typed bounds
+    val inline = Footer.read(new org.apache.hadoop.fs.Path(
+      s"$data/fields_pgo_5070_snappy.parquet"))
+    val viaKey = Footer.read(new org.apache.hadoop.fs.Path(
+      s"$data/crs-projjson.parquet"))
+    val viaSrid = Footer.read(new org.apache.hadoop.fs.Path(
+      s"$data/crs-srid.parquet"))
+    def crsOf(i: Footer.FooterInfo) =
+      i.schemaInfo.find(_.name == "geometry").flatMap(_.geoCrs).get
+    assert(graft.geom.Proj.parseEpsg(crsOf(inline)) == 5070)
+    assert(crsOf(viaKey) == "projjson:projjson_epsg_5070" &&
+      graft.geom.Proj.parseEpsg(
+        viaKey.keyValueMeta("projjson_epsg_5070")) == 5070)
+    assert(crsOf(viaSrid) == "srid:5070")
+    val bb = inline.rowGroups.head.columns("geometry").geoBbox
+    assert(bb.exists { case (x0, y0, x1, y1) =>
+      x0 > 6.7e6 && y0 > 7.3e6 && x1 < 6.8e6 && y1 < 7.31e6 })
+  }
 }
