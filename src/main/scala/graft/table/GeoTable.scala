@@ -67,19 +67,29 @@ final case class GeoTable(
     * exists (Parquet min/max pruning applies), envelope-intersects slow
     * path otherwise (`core/extract.py:568-579`).
     */
-  def filterBbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoTable = {
-    // CRS-mismatch warning (reference `core/extract.py:104-247`): a
-    // degree-sized bbox against a projected table — or one outside
-    // geographic bounds against a lon/lat table — silently selects
-    // nothing; warn rather than fail, like the reference
+  /** CRS-mismatch diagnosis for a bbox filter (reference
+    * `core/extract.py:104-247` _warn_if_crs_mismatch): Some(message)
+    * when the filter's units don't match the table CRS — a degree-sized
+    * bbox against a projected table, or projected magnitudes against a
+    * lon/lat table — either of which silently selects nothing. Pure so
+    * GeoTableSpec can pin both directions; [[filterBbox]] warns on it.
+    */
+  private[graft] def bboxCrsMismatch(xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Option[String] = {
     val looksGeographic =
       xmin >= -180 && xmax <= 180 && ymin >= -90 && ymax <= 90
     if (!isGeographicCrs && looksGeographic)
-      log.warn(s"bbox ($xmin,$ymin,$xmax,$ymax) looks like lon/lat degrees " +
+      Some(s"bbox ($xmin,$ymin,$xmax,$ymax) looks like lon/lat degrees " +
         s"but the table CRS is $crsOrDefault — reproject the filter or the table")
-    if (isGeographicCrs && !looksGeographic)
-      log.warn(s"bbox ($xmin,$ymin,$xmax,$ymax) is outside lon/lat bounds " +
+    else if (isGeographicCrs && !looksGeographic)
+      Some(s"bbox ($xmin,$ymin,$xmax,$ymax) is outside lon/lat bounds " +
         "but the table CRS is geographic — did you pass projected coordinates?")
+    else None
+  }
+
+  def filterBbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoTable = {
+    // warn rather than fail, like the reference
+    bboxCrsMismatch(xmin, ymin, xmax, ymax).foreach(log.warn(_))
     val bboxCol = meta.primary.flatMap(_.coveringBbox)
       .orElse(GeoMeta.BboxNameCandidates.find(df.columns.contains))
     val pred = bboxCol match {

@@ -87,6 +87,26 @@ class GeoTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](projected.addQuadkey())
   }
 
+  test("bbox filter CRS-mismatch warning fires in both directions") {
+    val t = pointsTable(10)
+    // geographic table + degree bbox: no mismatch
+    assert(t.bboxCrsMismatch(-10, -10, 10, 10).isEmpty)
+    // geographic table + projected-magnitude bbox: warn
+    assert(t.bboxCrsMismatch(-1.1e6, -1e6, 1e6, 1e6)
+      .exists(_.contains("outside lon/lat bounds")))
+    val projected = t.copy(meta = t.meta.copy(columns = Map("geometry" ->
+      graft.meta.GeoColumnMeta(crs = Some(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree("""{"id":{"authority":"EPSG","code":3857}}"""))))))
+    // projected table + degree bbox: warn
+    assert(projected.bboxCrsMismatch(-10, -10, 10, 10)
+      .exists(_.contains("looks like lon/lat degrees")))
+    // projected table + projected bbox: no mismatch
+    assert(projected.bboxCrsMismatch(-1.1e6, -1e6, 1e6, 1e6).isEmpty)
+    // and the filter itself still selects correctly either way
+    assert(t.filterBbox(-10, -10, 10, 10).count() > 0)
+  }
+
   test("reproject round-trips through webmercator") {
     val t = pointsTable(50)
     val back = t.reproject("EPSG:4326", "EPSG:3857")
