@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.{ArcGis, Shapefile, Stac}
+import graft.sources.{ArcGis, BigQuery, Shapefile, Stac}
 
 class SourcesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -460,5 +460,83 @@ class SourcesSpec extends AnyFunSuite {
       assert(listed.nonEmpty && listed.forall(l =>
         l.endsWith(".txt") || l.endsWith(".json")), listed.take(3))
     }
+  }
+  test("bigquery source: validation, detection, bbox strategy, scan composition") {
+    import org.apache.spark.sql.functions._
+    // --- id validation (injection-safe patterns) ---
+    assert(BigQuery.normalizeTableId("proj-x1.ds.tbl") == "proj-x1.ds.tbl")
+    assert(BigQuery.normalizeTableId("ds.tbl", Some("my-project")) ==
+      "my-project.ds.tbl")
+    intercept[IllegalArgumentException](BigQuery.normalizeTableId("ds.tbl"))
+    intercept[IllegalArgumentException](
+      BigQuery.normalizeTableId("ds.tbl'; DROP--", Some("my-project")))
+    intercept[IllegalArgumentException](
+      BigQuery.normalizeTableId("ds.tbl", Some("UPPER")))
+
+    // --- geometry detection: typed column wins, explicit validates ---
+    val sch = Seq("id" -> "INT64", "geog" -> "GEOGRAPHY", "name" -> "STRING")
+    assert(BigQuery.detectGeometryColumn(sch, None, "t").contains("geog"))
+    assert(BigQuery.detectGeometryColumn(
+      Seq("id" -> "INT64", "the_geom" -> "BYTES"), None, "t")
+      .contains("the_geom"))
+    assert(BigQuery.detectGeometryColumn(sch, Some("GEOG"), "t")
+      .contains("geog"))
+    intercept[IllegalArgumentException](
+      BigQuery.detectGeometryColumn(sch, Some("nope"), "t"))
+
+    // --- bbox strategy thresholds ---
+    assert(BigQuery.useServerBbox("server", None, 10))
+    assert(!BigQuery.useServerBbox("local", Some(99L), 10))
+    assert(BigQuery.useServerBbox("auto", Some(10L), 10))
+    assert(!BigQuery.useServerBbox("auto", Some(9L), 10))
+    assert(!BigQuery.useServerBbox("auto", None, 10))
+
+    // --- fake transport serving WKB points at (1,1),(5,5),(20,20) ---
+    val pts = Seq((1L, 1.0, 1.0), (2L, 5.0, 5.0), (3L, 20.0, 20.0))
+    val scans = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Option[String])]
+    val fake = new BigQuery.Transport {
+      def schema(t: String) =
+        Seq("id" -> "INT64", "geog" -> "GEOGRAPHY", "name" -> "STRING")
+      def rowCount(t: String) = Some(3L)
+      def scan(s: org.apache.spark.sql.SparkSession, t: String,
+          select: Seq[String], serverFilter: Option[String]) = {
+        scans += ((select, serverFilter))
+        import s.implicits._
+        val df = pts.toDF("id", "x", "y")
+          .withColumn("geog", graft.functions.geo.st_point($"x", $"y"))
+          .withColumn("name", concat(lit("p"), $"id"))
+          .select(select.map(col): _*)
+        // server-side predicate honored by the fake via the bbox WKT
+        serverFilter match {
+          case Some(f) if f.contains("20 20") => df
+          case Some(_) => df.filter($"id" =!= 3)
+          case None => df
+        }
+      }
+    }
+
+    // local strategy (below threshold): Spark-side bbox filter applies
+    val t1 = BigQuery.read(spark, "ds.tbl", Some("my-project"),
+      BigQuery.Query(bbox = Some((0.0, 0.0, 10.0, 10.0)),
+        bboxThreshold = 100L), fake)
+    assert(scans.last._2.isEmpty)
+    assert(t1.meta.primary.flatMap(_.edges).contains("spherical"))
+    assert(t1.df.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // server strategy (forced): predicate handed to the transport
+    val t2 = BigQuery.read(spark, "my-project.ds.tbl", None,
+      BigQuery.Query(bbox = Some((0.0, 0.0, 10.0, 10.0)),
+        bboxMode = "server"), fake)
+    assert(scans.last._2.exists(f => f.startsWith("ST_INTERSECTS(geog") &&
+      f.contains("POLYGON((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0))")))
+    assert(t2.df.count() == 2)
+
+    // column selection force-includes geometry; WHERE + limit compose
+    val t3 = BigQuery.read(spark, "my-project.ds.tbl", None,
+      BigQuery.Query(columns = Some(Seq("id", "name")),
+        where = Some("id >= 2"), limit = Some(1)), fake)
+    assert(scans.last._1 == Seq("id", "name", "geog"))
+    assert(t3.df.count() == 1)
+    assert(t3.df.columns.toSet == Set("id", "name", "geog"))
   }
 }
