@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.{ArcGis, BigQuery, Shapefile, Stac}
+import graft.sources.{ArcGis, BigQuery, PmTiles, Shapefile, Stac}
 
 class SourcesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -538,5 +538,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(scans.last._1 == Seq("id", "name", "geog"))
     assert(t3.df.count() == 1)
     assert(t3.df.columns.toSet == Set("id", "name", "geog"))
+  }
+  test("pmtiles sink: path guard, tippecanoe argv, declarative stages") {
+    import org.apache.spark.sql.functions._
+    // shell-metacharacter guard (reference core.py:24-38)
+    intercept[IllegalArgumentException](PmTiles.validatePath("a;rm -rf"))
+    intercept[IllegalArgumentException](PmTiles.validatePath("a|b"))
+    assert(PmTiles.validatePath("/tmp/ok-path_1.pmtiles") == "/tmp/ok-path_1.pmtiles")
+
+    // argv construction (core.py:160-188): layer from filename, -zg auto
+    assert(PmTiles.tippecanoeCommand("/tmp/roads.pmtiles", PmTiles.Options())
+      == Seq("tippecanoe", "-P", "-o", "/tmp/roads.pmtiles", "-l", "roads",
+        "-zg", "--drop-densest-as-needed"))
+    assert(PmTiles.tippecanoeCommand("/tmp/x.pmtiles",
+      PmTiles.Options(layer = Some("l1"), minZoom = Some(2), maxZoom = Some(9)))
+      == Seq("tippecanoe", "-P", "-o", "/tmp/x.pmtiles", "-l", "l1",
+        "-Z", "2", "-z", "9", "--drop-densest-as-needed"))
+
+    // the piped-subprocess stages as one Spark plan: bbox + where +
+    // column selection + precision all reflected in the feature lines
+    val df = spark.range(1, 21).toDF("id")
+      .withColumn("keep", col("id") % 2 === 0)
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), col("id").cast("double") / 2))
+    val t = graft.table.GeoTable.fromDataFrame(df, "geometry")
+    val lines = PmTiles.featureLines(t, PmTiles.Options(
+      bbox = Some((0.0, 0.0, 10.0, 10.0)), where = Some("keep"),
+      includeCols = Some(Seq("id")), precision = 3))
+      .collect().map(_.getString(0))
+    // ids 2..10 even AND x<=10 -> 2,4,6,8,10
+    assert(lines.length == 5, lines.mkString("\n"))
+    assert(lines.forall(l => l.contains("\"type\":\"Feature\"") &&
+      l.contains("\"id\":") && !l.contains("keep")))
+
+    // execution path: absent binary -> the reference's install guidance
+    if (!PmTiles.tippecanoeAvailable()) {
+      val e = intercept[IllegalStateException](PmTiles.generate(spark,
+        "/tmp/nonexistent.parquet", "/tmp/out.pmtiles"))
+      assert(e.getMessage.contains("install tippecanoe"))
+    }
   }
 }
