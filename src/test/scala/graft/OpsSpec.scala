@@ -1448,4 +1448,42 @@ class OpsSpec extends AnyFunSuite {
         s"$g: got ${got(g)}, want ($expect, ${sorted.length})")
     }
   }
+  test("query_tf randomized parity with brute-force counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(5)))
+        .mkString(" "))
+    }
+    // terms include a duplicate and a never-present token
+    val terms = Seq("bb", "aa", "zz", "bb")
+    val got = docs.toDF("id", "text")
+      .select($"id", graft.functions.SketchExpressions
+        .query_tf($"text", terms).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val want = terms.map(t => toks.count(_ == t).toLong) :+ toks.length.toLong
+      assert(got(id) == want, s"doc $id '$text': ${got(id)} vs $want")
+    }
+  }
+
+  test("groupedWeightedMedian edge shapes: singleton, all-ties, weights") {
+    import spark.implicits._
+    // singleton group; all-equal values; heavy weights crossing buckets
+    val h = Seq(
+      ("solo", 7L, 1L),
+      ("ties", 5L, 3L), ("ties", 5L, 4L),
+      ("wide", 1L, 10L), ("wide", 2000L, 9L), ("wide", 3000L, 2L))
+      .toDF("grp", "v", "cnt")
+    val got = graft.ops.DistWindow.groupedWeightedMedian(h, $"grp",
+      org.apache.spark.sql.functions.floor($"v" / 1000L), $"v", $"cnt",
+      "grp", "med", "n")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("solo") == ((7L, 1L)))
+    assert(got("ties") == ((5L, 7L)))
+    // wide: expanded sorted = 1x10, 2000x9, 3000x2 -> n=21, pos=(21+1)/2=11 -> 2000
+    assert(got("wide") == ((2000L, 21L)))
+  }
 }
