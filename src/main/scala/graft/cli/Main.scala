@@ -1059,6 +1059,15 @@ object Main {
         if (fs.isEmpty) println("valid GeoParquet")
         else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
 
+      // `graft check stac <file>` — the reference's `gpio check stac`
+      // (`cli/main.py:4300-4331` -> `core/stac_check.py`)
+      case "check" if rest.headOption.contains("stac") =>
+        val (errs, warns) = graft.sources.Stac.checkFile(rest(1))
+        if (errs.isEmpty) println("STAC validation passed")
+        errs.foreach(e => println(s"[error] $e"))
+        warns.foreach(w => println(s"[warn] $w"))
+        if (errs.nonEmpty) die("STAC validation failed")
+
       case "check" =>
         val p = rest.head
         println(s"bbox structure: ${Checks.checkBboxStructure(p)}")
@@ -1128,6 +1137,6 @@ object Main {
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
-      |  check [--all], validate, fix, stac-item,
+      |  check [--all|spec|stac|...], validate, fix, stac-item,
       |  upload <src> <dest> [--pattern glob]""".stripMargin
 }

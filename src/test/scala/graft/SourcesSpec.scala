@@ -578,4 +578,47 @@ class SourcesSpec extends AnyFunSuite {
       assert(e.getMessage.contains("install tippecanoe"))
     }
   }
+  test("stac checkFile: full reference check matrix + CLI command") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.geo
+    val dir = java.nio.file.Files.createTempDirectory("graft_stac_chk")
+    // a real item whose asset href resolves locally
+    val data = dir.resolve("d").toString
+    val df = spark.range(10).toDF("id")
+      .withColumn("geometry", geo.st_point(
+        col("id").cast("double"), col("id").cast("double")))
+    graft.table.GeoTable.fromDataFrame(df, "geometry").addBbox().write(data)
+    val good = Stac.item(data, "i1", "d")
+    val gp = dir.resolve("item.json")
+    java.nio.file.Files.writeString(gp, good)
+    val (e1, w1) = Stac.checkFile(gp.toString)
+    assert(e1.isEmpty, e1.toString)
+    // our own items carry a data role + media type; only the self-link
+    // recommendation should remain
+    assert(w1 == Seq("No 'self' link found (recommended)"), w1.toString)
+
+    // broken item: missing fields, dangling asset, inverted bbox
+    val bad = """{"type":"Feature","id":"x","geometry":{"type":"Point",
+      "coordinates":[0,0]},"bbox":[5,5,1,1],"properties":{},
+      "assets":{"data":{"href":"missing.parquet"}},"links":[]}"""
+    val bp = dir.resolve("bad.json")
+    java.nio.file.Files.writeString(bp, bad)
+    val (e2, w2) = Stac.checkFile(bp.toString)
+    assert(e2.exists(_.contains("Invalid bbox ordering")), e2.toString)
+    assert(w2.exists(_.contains("does not resolve locally")), w2.toString)
+    assert(w2.exists(_.contains("missing media type")), w2.toString)
+    assert(w2.exists(_.contains("No asset with 'data' role")), w2.toString)
+    assert(w2.exists(_.contains("Missing 'datetime'")), w2.toString)
+
+    // collection path + unreadable path
+    java.nio.file.Files.writeString(dir.resolve("coll.json"),
+      Stac.collection("c1", "desc", Seq((0.0, 0.0, 1.0, 1.0))))
+    val (e3, _) = Stac.checkFile(dir.resolve("coll.json").toString)
+    assert(e3.isEmpty, e3.toString)
+    val (e4, _) = Stac.checkFile(dir.resolve("nope.json").toString)
+    assert(e4.exists(_.contains("cannot load")), e4.toString)
+
+    // CLI face: passes on the good item
+    graft.cli.Main.run(spark, Seq("check", "stac", gp.toString))
+  }
 }
