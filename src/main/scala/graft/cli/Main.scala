@@ -72,6 +72,12 @@ object Main {
         opt(rest, "limit").foreach(n => t = t.limit(n.toInt))
         t.write(out)
 
+      // `graft add bbox-metadata <file>` — in-place covering metadata
+      // for an existing bbox column (`cli/main.py:3030-3050`)
+      case "add" if rest.headOption.contains("bbox-metadata") =>
+        val covered = GeoTable.addBboxMetadata(rest(1))
+        println(s"bbox covering metadata set for column '$covered'")
+
       case "add" =>
         val what = rest.head
         val Seq(in, out) = rest.tail.take(2)

@@ -786,6 +786,43 @@ object GeoTable {
     }
   }
 
+  /** `add bbox-metadata` (reference `core/add_bbox_metadata.py`):
+    * in-place footer update for a dataset that already HAS a bbox
+    * struct column but no covering metadata — attaches the
+    * `covering.bbox` paths to the `geo` key of every part file without
+    * touching data. Returns the covering column name; no-op (still
+    * returning it) when covering already exists; fails loudly when no
+    * bbox column is present ("use `add bbox` instead", like the
+    * reference).
+    */
+  def addBboxMetadata(path: String): String = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val parts = Footer.partFiles(path, conf)
+    require(parts.nonEmpty, s"no parquet files at $path")
+    val info = Footer.read(parts.head, conf)
+    val geoMeta = info.geo.getOrElse(
+      throw new IllegalArgumentException(s"$path has no `geo` metadata"))
+    geoMeta.primary.flatMap(_.coveringBbox) match {
+      case Some(existing) => existing // already covered — reference no-op
+      case None =>
+        val bboxCol = GeoMeta.BboxNameCandidates.find { cand =>
+          info.schemaInfo.exists(f => f.name == cand && !f.primitive &&
+            Seq("xmin", "ymin", "xmax", "ymax")
+              .forall(f.groupFields.map(_._1).contains))
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$path has no bbox struct column — use `add bbox` to add " +
+            "both the column and the metadata"))
+        val updated = geoMeta.copy(columns = geoMeta.columns.map {
+          case (n, c) if n == geoMeta.primaryColumn =>
+            n -> c.copy(coveringBbox = Some(bboxCol))
+          case kv => kv
+        })
+        parts.foreach(p => Footer.withKeyValueMetadata(p,
+          Map(GeoMeta.FooterKey -> GeoMeta.toJson(updated)), conf))
+        bboxCol
+    }
+  }
+
   /** Read GeoParquet: data via Spark (Hive partition discovery / globs /
     * mergeSchema native), `geo` metadata via the first part-file footer,
     * geometry column from metadata then name heuristics.

@@ -977,4 +977,31 @@ class CliSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/up2/skip.json")))
   }
+  test("add bbox-metadata attaches covering in place, refuses without bbox") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("bboxmeta")
+    // write WITH a bbox column, then strip the covering from the footer
+    val df = spark.range(30).toDF("id")
+      .withColumn("geometry", geo.st_point(
+        col("id").cast("double") % 90, col("id").cast("double") % 45))
+    GeoTable.fromDataFrame(df, "geometry").addBbox().write(s"$dir/a.parquet")
+    val meta0 = GeoTable.read(spark, s"$dir/a.parquet").meta
+    val stripped = meta0.copy(columns = meta0.columns.map { case (n, c) =>
+      n -> c.copy(coveringBbox = None, coveringRaw = None) })
+    graft.meta.Footer.writeGeoMetadata(s"$dir/a.parquet", stripped)
+    assert(GeoTable.read(spark, s"$dir/a.parquet")
+      .meta.primary.flatMap(_.coveringBbox).isEmpty)
+    // the command restores it, in place
+    Main.run(spark, Seq("add", "bbox-metadata", s"$dir/a.parquet"))
+    val after = GeoTable.read(spark, s"$dir/a.parquet")
+    assert(after.meta.primary.flatMap(_.coveringBbox).contains("bbox"))
+    assert(after.count() == 30)
+    // second run is the reference's no-op
+    assert(GeoTable.addBboxMetadata(s"$dir/a.parquet") == "bbox")
+    // a file without any bbox column refuses with the add-bbox hint
+    GeoTable.fromDataFrame(df, "geometry").write(s"$dir/nb.parquet")
+    val e = intercept[IllegalArgumentException](
+      GeoTable.addBboxMetadata(s"$dir/nb.parquet"))
+    assert(e.getMessage.contains("add bbox"))
+  }
 }
