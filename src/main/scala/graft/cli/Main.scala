@@ -1106,6 +1106,24 @@ object Main {
           opt(rest, "id").getOrElse("item"),
           opt(rest, "href").getOrElse(rest.head)))
 
+      // `graft extract-arcgis <serviceUrl> <out> [--where ...] [--bbox
+      // x0,y0,x1,y1] [--fields a,b] [--page-size N] [--max-features N]`
+      // — the reference's `gpio extract arcgis` (`cli/main.py:2175`);
+      // a file: service URL replays a captured page offline
+      case "extract-arcgis" =>
+        val Seq(url, out) = rest.take(2)
+        val q = graft.sources.ArcGis.Query(
+          where = opt(rest, "where").getOrElse("1=1"),
+          outFields = opt(rest, "fields").map(_.split(",").toSeq)
+            .getOrElse(Seq("*")),
+          bbox = opt(rest, "bbox").map { b =>
+            val Array(x0, y0, x1, y1) = b.split(",").map(_.toDouble)
+            (x0, y0, x1, y1)
+          },
+          pageSize = opt(rest, "page-size").map(_.toInt).getOrElse(1000),
+          maxFeatures = opt(rest, "max-features").map(_.toInt))
+        graft.sources.ArcGis.read(spark, url, q).write(out)
+
       // `graft upload <src> <dest> [--pattern glob]` — the reference's
       // `gpio publish upload` (`cli/main.py:4206-4297`): local file or
       // directory to object storage through dest's Hadoop FileSystem

@@ -24,12 +24,24 @@ object ArcGis {
 
   type Fetcher = String => String
 
-  /** Default driver-side HTTP GET (used outside tests). */
+  /** Default driver-side HTTP GET (used outside tests). A `file:`
+    * service URL replays a saved response body instead — offline replay
+    * of a captured service page, and the zero-egress test path for the
+    * CLI face (query params are ignored: a static snapshot is one
+    * page, which terminates pagination by the short-page rule).
+    */
   val httpFetch: Fetcher = { url =>
-    val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .GET().build()
-    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    if (url.startsWith("file:")) {
+      val path = java.nio.file.Paths.get(java.net.URI.create(
+        url.takeWhile(_ != '?').stripSuffix("/query")))
+      new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } else {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .GET().build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    }
   }
 
   /** Build the page URL with server-side pushdown query params
@@ -84,6 +96,19 @@ object ArcGis {
     require(pages.nonEmpty, s"no features returned from $serviceUrl")
     val tables = pages.map(p => GeoTable.fromGeoJsonString(spark, p).df)
     val unioned = tables.reduce(_ unionByName _)
-    GeoTable.fromDataFrame(unioned, "geometry")
+    // typed attribute columns, like the reference's extraction: infer
+    // ONE schema across all pages from the properties JSON, then expand
+    // (a page-local inference could disagree across pages)
+    import org.apache.spark.sql.functions._
+    val props = unioned.select(col("properties_json"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+    val schema = spark.read.json(props).schema
+    val expanded =
+      if (schema.isEmpty) unioned.drop("properties_json")
+      else unioned
+        .withColumn("__props", from_json(col("properties_json"), schema))
+        .select(schema.fieldNames.filterNot(_ == "geometry")
+          .map(n => col(s"__props.`$n`").as(n)).toSeq :+ col("geometry"): _*)
+    GeoTable.fromDataFrame(expanded, "geometry")
   }
 }

@@ -1004,4 +1004,20 @@ class CliSpec extends AnyFunSuite {
       GeoTable.addBboxMetadata(s"$dir/nb.parquet"))
     assert(e.getMessage.contains("add bbox"))
   }
+  test("extract-arcgis replays a captured service page from file:") {
+    val dir = tmp("arcgiscli")
+    val page = """{"type":"FeatureCollection","exceededTransferLimit":false,
+      "features":[
+        {"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},
+         "properties":{"oid":1}},
+        {"type":"Feature","geometry":{"type":"Point","coordinates":[3,4]},
+         "properties":{"oid":2}}]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/page.json"), page)
+    Main.run(spark, Seq("extract-arcgis", s"file://$dir/page.json",
+      s"$dir/out.parquet", "--page-size", "10"))
+    val t = GeoTable.read(spark, s"$dir/out.parquet")
+    assert(t.count() == 2)
+    assert(t.df.columns.contains("oid"))
+  }
 }
