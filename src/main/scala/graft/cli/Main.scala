@@ -1162,5 +1162,6 @@ object Main {
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],
       |  check [--all|spec|stac|...], validate, fix, stac-item,
+      |  add bbox-metadata <file>, extract-arcgis <url> <out>,
       |  upload <src> <dest> [--pattern glob]""".stripMargin
 }
