@@ -1260,11 +1260,14 @@ object CorpusQueries {
         // gram space): corpus word types saturate in dozens on this
         // synthetic data, gram types keep growing — the regime Heaps
         // describes; grams travel as 60-bit hashes
+        // gram_hash_seq emits the 60-bit md5 slice as a LONG in one
+        // codegen pass (md5Long60 ≡ the oracle's first-15-hex-chars
+        // parse) — no per-gram string materialization, and the
+        // first-occurrence exchange carries (long, long) rows only;
+        // per-doc duplicate hashes are harmless under groupBy(g).min
         val firstDoc = docs.select($"doc_id",
             explode(graft.functions.SketchExpressions
-              .word_shingles(coalesce($"text", lit("")), 3)).as("g0"))
-          .select(conv(substring(md5($"g0"), 1, 15), 16, 10).cast("long")
-            .as("g"), $"doc_id")
+              .gram_hash_seq(coalesce($"text", lit("")), 3)).as("g"))
           .groupBy($"g").agg(min($"doc_id").as("doc_id"))
           .groupBy($"doc_id").agg(count(lit(1)).as("new_terms"))
         val joined = ranked.join(firstDoc, Seq("doc_id"), "left")
