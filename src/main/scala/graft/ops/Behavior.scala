@@ -58,37 +58,63 @@ object Behavior {
   /** Robust anomaly report per type: exact lower median + MAD of
     * `valueCol` in micros, and the count/fraction of rows beyond 3×MAD.
     *
-    * Both medians come from [[DistWindow.groupedWeightedMedian]] with
-    * unit weights — the cumulative-count inequality picks the same
-    * element a row_number rank pass does (position (n+1) DIV 2 of the
-    * value-sorted multiset; an id tie-break never changes which VALUE
-    * sits at that position), but each pass carries ONE fused
-    * offsets+totals broadcast instead of rank machinery with two.
-    * `idCol` is kept for API stability but no longer participates.
+    * ONE scan of the raw rows: a combinable aggregation collapses the
+    * events to the (type, value) COUNT HISTOGRAM, and everything else —
+    * median, the deviation histogram (dev = |v − median| re-keys
+    * histogram rows, weights carried), MAD, and the 3×MAD gate count —
+    * is histogram algebra via [[DistWindow.histCeilRanks]]
+    * (whose cumulative-weight inequality picks the same VALUE the
+    * oracle's row_number rank at (n+1) DIV 2 picks; an id tie-break
+    * never changes which value sits at that position). The previous
+    * plan exchanged every event through a (type, bucket) window twice
+    * and re-scanned the input thrice. Telemetry values are fixed-
+    * precision by construction (micros), so the histogram is
+    * range-bounded in practice; in an adversarial all-distinct-values
+    * corpus it degrades to the row-sized exchange the rank formulation
+    * always paid — never worse, and still map-side combined. `idCol`
+    * is kept for API stability but no longer participates.
     */
   def robustAnomalyReport(events: DataFrame, typeCol: String,
       idCol: String, valueCol: String): DataFrame = {
     val bkt = (c: Column) => floor(c / 1000000.0).cast("long")
-    val e2 = events.select(col(typeCol),
-      expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)").as("v"))
-    // the |types|-row median table is lazy-checkpointed: its subtree —
-    // the whole first median machinery — is consumed by both the MAD
-    // pass and the final gate, and exchange reuse alone would still
-    // re-run the windows above the shared exchange per consumer
-    val med = DistWindow.groupedWeightedMedian(e2, col(typeCol),
-      bkt(col("v")), col("v"), lit(1L), typeCol, "med_mi", "n")
-      .localCheckpoint(false)
-    val d = e2.join(broadcast(med), Seq(typeCol))
-      .withColumn("dev", abs(col("v") - col("med_mi")))
-    val mad = DistWindow.groupedWeightedMedian(d, col(typeCol),
-      bkt(col("dev")), col("dev"), lit(1L), typeCol, "mad_mi", "n2")
-      .drop("n2")
-    d.join(broadcast(mad), Seq(typeCol))
-      .groupBy(typeCol)
+    val h = events
+      .select(col(typeCol),
+        expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)").as("v"))
+      .groupBy(col(typeCol), col("v")).agg(count(lit(1)).as("c"))
+    // everything below h rides ONE hash(type) exchange: per-type
+    // histograms are domain-bounded (distinct micro values), so a
+    // type-partitioned window is skew-safe here, and every later
+    // operator's distribution is satisfied by hash(type) — the
+    // deviation group-by ((type, dev) ⊇ type), the MAD window, and
+    // the final gate aggregate all plan with NO further exchange.
+    // The selected row (whose cumulative range contains the target
+    // position) broadcasts its value to its whole type partition via
+    // the tagged-row max-over-unbounded-frame, replacing the
+    // broadcast-join machinery the bucketed variants pay.
+    val wT = Window.partitionBy(col(typeCol))
+    val wV = Window.partitionBy(col(typeCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = h
+      .withColumn("cum", sum(col("c")).over(wV))
+      .withColumn("n", sum(col("c")).over(wT))
+      .withColumn("med_mi", max(when(
+        col("cum") - col("c") < expr("(n + 1) DIV 2") &&
+          expr("(n + 1) DIV 2") <= col("cum"), col("v"))).over(wT))
+    val dh = m
+      .groupBy(col(typeCol), abs(col("v") - col("med_mi")).as("dev"))
+      .agg(sum(col("c")).as("cd"), max(col("med_mi")).as("med_mi"),
+        max(col("n")).as("n"))
+    val wD = Window.partitionBy(col(typeCol)).orderBy(col("dev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = dh.withColumn("cum", sum(col("cd")).over(wD))
+      .withColumn("mad_mi", max(when(
+        col("cum") - col("cd") < expr("(n + 1) DIV 2") &&
+          expr("(n + 1) DIV 2") <= col("cum"), col("dev"))).over(wT))
+    g.groupBy(typeCol)
       .agg(max(col("n")).as("n_events"),
         max(col("med_mi")).as("median_micro"),
         max(col("mad_mi")).as("mad_micro"),
-        sum(when(col("dev") > col("mad_mi") * 3, 1L)
+        sum(when(col("dev") > col("mad_mi") * 3, col("cd"))
           .otherwise(0L)).as("n_anomalies"))
       .withColumn("anomaly_bp", expr("n_anomalies * 10000 DIV n_events"))
   }

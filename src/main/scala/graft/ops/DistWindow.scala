@@ -102,6 +102,47 @@ object DistWindow {
       .drop("__bkt", "__rn", "__off")
   }
 
+  /** Fused global rank + exclusive running weight + grand total — the
+    * "coverage curve" stack ([[withGlobalRank]] →
+    * [[Packing.withRunningBefore]] → a separate total aggregate +
+    * crossJoin) in ONE bucket machinery. Each machinery alone costs a
+    * full exchange, a count aggregate, an offset window and a broadcast
+    * build; stacked they also re-read their input per stage. Here the
+    * row_number and the inclusive running weight ride the SAME
+    * (bucket)-partitioned window, the per-bucket rank/weight totals
+    * come off that window's own exchange, and rank offsets, weight
+    * offsets AND the grand weight total ride ONE broadcast prefix-sum
+    * table. Contracts as [[withGlobalRank]] (monotone bucket,
+    * deterministic order) plus non-negative `weight` (the bucket weight
+    * total is read as max of the nondecreasing running sum).
+    */
+  def withGlobalRankAndBefore(df: DataFrame, bucket: Column,
+      orderCols: Seq[Column], weight: Column, rankOut: String,
+      beforeOut: String, totalOut: String): DataFrame = {
+    val parted = df.withColumn("__bkt", bucket).withColumn("__w", weight)
+    val wR = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+    val wInc = wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__rn", row_number().over(wR))
+      .withColumn("__cw", sum(col("__w")).over(wInc))
+    val counts = local.groupBy(col("__bkt"))
+      .agg(max(col("__rn")).as("__n"), max(col("__cw")).as("__wt"))
+    val wB = Window.partitionBy(pmod(col("__bkt"), lit(1)))
+      .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(pmod(col("__bkt"), lit(1)))
+      .orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("__offr", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .withColumn("__offw", coalesce(sum(col("__wt")).over(wB), lit(0L)))
+      .withColumn("__totw", sum(col("__wt")).over(wAll))
+      .select(col("__bkt"), col("__offr"), col("__offw"), col("__totw"))
+    local.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(rankOut, col("__offr") + col("__rn"))
+      .withColumn(beforeOut, col("__offw") + col("__cw") - col("__w"))
+      .withColumn(totalOut, col("__totw"))
+      .drop("__bkt", "__w", "__rn", "__cw", "__offr", "__offw", "__totw")
+  }
+
   /** Add `outCol` = exact 1-based rank under ORDER BY `orderCols` WITHIN
     * each `group` — the grouped form of [[withGlobalRank]]. A plain
     * `Window.partitionBy(group)` serializes each group through one task,
@@ -165,8 +206,31 @@ object DistWindow {
     * contains the target position and every tied row carries the same
     * value, so the SELECTED value is deterministic.
     */
-  def groupedWeightedMedian(df: DataFrame, group: Column, bucket: Column,
-      value: Column, weight: Column, groupOut: String, outCol: String,
+  /** Exact weighted value at rank ceil(W·p/100) of the expanded
+    * multiset within each `group`, for each percent in `ps` — the
+    * multi-percentile generalization of [[groupedWeightedMedian]]
+    * (p = 50 IS the lower median: ceil(W/2) = (W+1) DIV 2), matching
+    * the oracle-side ceil-rank inequality r·100 ≥ n·p > (r−1)·100.
+    *
+    * Designed to run over a PRE-AGGREGATED (group, value, weight)
+    * histogram: the caller collapses raw rows with one combinable
+    * aggregation (map-side combine does the heavy lifting before the
+    * wire), and every exchange here is histogram-sized, not row-sized.
+    * Same scale shape as [[withGroupedRank]] otherwise: the running
+    * weight sum is windowed on (group, bucket) so no task sees more
+    * than one bucket of a group's distinct values, and offsets + group
+    * totals ride ONE broadcast prefix-sum over the tiny per-(group,
+    * bucket) count table. `bucket` must be a monotone coarsening of
+    * `value` within every group. Duplicate value rows are fine — ties
+    * split the cumulative range arbitrarily but every tied row carries
+    * the same value, so the SELECTED value is deterministic.
+    *
+    * Output: one row per (group, p) — (groupOut, pOut, valueOut,
+    * totalCol) with totalCol = Σweight of the group.
+    */
+  def groupedWeightedCeilRanks(df: DataFrame, group: Column,
+      bucket: Column, value: Column, weight: Column, ps: Seq[Int],
+      groupOut: String, pOut: String, valueOut: String,
       totalCol: String): DataFrame = {
     val parted = df.select(group.as("__grp"), bucket.as("__bkt"),
       value.as("__v"), weight.as("__w"))
@@ -191,12 +255,57 @@ object DistWindow {
       .select(col("__grp"), col("__bkt"), col("__off"), col("__tot"))
     local.join(broadcast(offsets), Seq("__grp", "__bkt"))
       .withColumn("__gcum", col("__off") + col("__cum"))
-      .withColumn("__pos", expr("(__tot + 1) DIV 2"))
-      // the median element is the one whose cumulative-weight range
-      // [gcum - w, gcum) contains the target position
+      // fan each histogram row out per requested percent, then keep the
+      // row whose cumulative-weight range [gcum − w, gcum) contains that
+      // percent's target position (histogram-sized × |ps|, pre-filter)
+      .withColumn("__p", explode(array(ps.map(p => lit(p)): _*)))
+      .withColumn("__pos", expr("(__tot * __p + 99) DIV 100"))
       .filter(col("__gcum") - col("__w") < col("__pos") &&
         col("__pos") <= col("__gcum"))
-      .select(col("__grp").as(groupOut), col("__v").as(outCol),
-        col("__tot").as(totalCol))
+      .select(col("__grp").as(groupOut), col("__p").as(pOut),
+        col("__v").as(valueOut), col("__tot").as(totalCol))
   }
+
+  /** Exact weighted value at rank ceil(W·p/100) per group over a
+    * PRE-AGGREGATED (group, value, weight) histogram, via ONE
+    * per-group window — the stage-lean sibling of
+    * [[groupedWeightedCeilRanks]].
+    *
+    * A `Window.partitionBy(group)` over raw rows is a skew hazard; over
+    * a HISTOGRAM it is not: per-group row count is bounded by the value
+    * domain (distinct values), which does not grow with corpus size —
+    * the same boundedness argument as the broadcast offsets table. So
+    * where the bucketed variant pays window-exchange + count-aggregate
+    * + offset-window + broadcast-join (~4 plan segments), this is one
+    * exchange: cumulative and total weight ride the same sort, and the
+    * ceil-rank inequality r·100 ≥ W·p > (r−1)·100 picks the element.
+    * Use the bucketed variant when the value domain itself is unbounded.
+    */
+  def histCeilRanks(df: DataFrame, group: Column, value: Column,
+      weight: Column, ps: Seq[Int], groupOut: String, pOut: String,
+      valueOut: String, totalCol: String): DataFrame = {
+    val parted = df.select(group.as("__grp"), value.as("__v"),
+      weight.as("__w"))
+    val wC = Window.partitionBy(col("__grp")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col("__grp"))
+    parted.withColumn("__cum", sum(col("__w")).over(wC))
+      .withColumn("__tot", sum(col("__w")).over(wT))
+      .withColumn("__p", explode(array(ps.map(p => lit(p)): _*)))
+      .withColumn("__pos", expr("(__tot * __p + 99) DIV 100"))
+      .filter(col("__cum") - col("__w") < col("__pos") &&
+        col("__pos") <= col("__cum"))
+      .select(col("__grp").as(groupOut), col("__p").as(pOut),
+        col("__v").as(valueOut), col("__tot").as(totalCol))
+  }
+
+  /** Exact weighted LOWER median per group — see
+    * [[groupedWeightedCeilRanks]]; kept as the single-percentile entry
+    * point its consumers read naturally.
+    */
+  def groupedWeightedMedian(df: DataFrame, group: Column, bucket: Column,
+      value: Column, weight: Column, groupOut: String, outCol: String,
+      totalCol: String): DataFrame =
+    groupedWeightedCeilRanks(df, group, bucket, value, weight, Seq(50),
+      groupOut, "__p50", outCol, totalCol).drop("__p50")
 }

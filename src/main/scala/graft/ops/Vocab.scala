@@ -9,12 +9,13 @@ import graft.functions.SketchExpressions
   *
   * Scale shape: term counts come off the `term_counts` codegen kernel
   * (one map-side-combinable aggregation, vocab-sized output); the
-  * frequency rank is [[DistWindow.withGlobalRank]] on the monotone
-  * (-count, term) key and the cumulative mass is
-  * [[Packing.withRunningBefore]] over that rank — the two-phase
-  * distributed recipes, no unpartitioned window. Coverage tests are
-  * exact integer cross-multiplication ((cum)*100 >= total*p); one
-  * prefix relation serves every requested level.
+  * frequency rank, the cumulative mass AND the grand total all come
+  * from ONE [[DistWindow.withGlobalRankAndBefore]] machinery on the
+  * monotone (-count, term) key — no unpartitioned window, one full
+  * exchange, one broadcast (the previous rank → running-before →
+  * total-aggregate stack paid three). Coverage tests are exact integer
+  * cross-multiplication ((cum)*100 >= total*p); one prefix relation
+  * serves every requested level.
   */
 object Vocab {
 
@@ -28,11 +29,10 @@ object Vocab {
         .term_counts(coalesce(col(textCol), lit("")))).as("t"))
       .groupBy(col("t.term").as("term")).agg(sum(col("t.tf")).as("cnt"))
     val keyed = tc.withColumn("__negc", -col("cnt"))
-    val ranked = DistWindow.withGlobalRank(keyed,
-      floor(col("__negc") / 64L), Seq(col("__negc"), col("term")), "r")
-    val pre = Packing.withRunningBefore(ranked, "r", "cnt", "__before")
-    val tot = tc.agg(sum(col("cnt")).as("__t"))
-    pre.crossJoin(broadcast(tot))
+    val pre = DistWindow.withGlobalRankAndBefore(keyed,
+      floor(col("__negc") / 64L), Seq(col("__negc"), col("term")),
+      col("cnt"), "r", "__before", "__t")
+    pre
       .select(col("r"), col("cnt"), col("__before"), col("__t"),
         explode(array(levels.map(lit): _*)).as("p"))
       .filter((col("__before") + col("cnt")) * 100 >= col("__t") * col("p"))

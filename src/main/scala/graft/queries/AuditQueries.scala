@@ -383,27 +383,24 @@ object AuditQueries {
     // ---- exact grouped length percentiles (round 8) --------------------
     // Per-language p50/p90/p99 token length, EXACT (the SLO numbers a
     // context-window decision is made on — approx quantiles drift
-    // exactly where the tail matters). Rank via the (group, bucket)
-    // two-phase window: no task serializes a whole language; the
-    // percentile row is selected by pure integer rank inequalities
-    // (r = ceil(n*p/100) written as r*100 >= n*p AND (r-1)*100 < n*p),
-    // identical in both engines.
+    // exactly where the tail matters). Lengths collapse to a
+    // (lang, len) COUNT HISTOGRAM with one combinable aggregation —
+    // token length is domain-bounded, so the histogram doesn't grow
+    // with corpus size — and DistWindow.histCeilRanks picks all three
+    // percentiles from one per-language window over it, at the same
+    // ceil-rank position r = ceil(n*p/100) the oracle's
+    // r*100 >= n*p AND (r-1)*100 < n*p inequality selects (an id
+    // tie-break never changes which VALUE sits at a position).
     QueryDef(
       "q124_len_pcts",
       (s, dir) => {
         import s.implicits._
-        val base = table(s, dir, "documents")
-          .select($"lang", $"doc_id", tokLen($"text").as("len"))
-        val ranked = graft.ops.DistWindow.withGroupedRank(base, $"lang",
-          floor($"len" / 64L), Seq($"len", $"doc_id"), "r",
-          groupTotalCol = Some("n"))
-        ranked
-          .select($"lang", $"r", $"len", $"n",
-            explode(array(lit(50), lit(90), lit(99))).as("p"))
-          .filter($"r" * 100 >= $"n" * $"p" &&
-            ($"r" - 1) * 100 < $"n" * $"p")
-          .groupBy($"lang", $"p")
-          .agg(max($"n").as("n_docs"), min($"len").as("len_at"))
+        val lh = table(s, dir, "documents")
+          .select($"lang", tokLen($"text").as("len"))
+          .groupBy($"lang", $"len").agg(count(lit(1)).as("c"))
+        graft.ops.DistWindow.histCeilRanks(lh, $"lang", $"len", $"c",
+            Seq(50, 90, 99), "lang", "p", "len_at", "n_docs")
+          .select($"lang", $"p", $"n_docs", $"len_at")
           .orderBy($"lang", $"p")
       },
       Some(raw"""WITH base AS (SELECT lang, doc_id,

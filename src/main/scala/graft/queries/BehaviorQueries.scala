@@ -568,11 +568,14 @@ object BehaviorQueries {
     // Per event type: exact p50/p90/p99 of the gap (in seconds) between
     // an event and the SAME user's previous event of any type — the
     // arrival-cadence report an SLO dashboard reads. Gaps come from the
-    // q137 per-user lead window; the percentiles are the q124 recipe:
-    // DistWindow.withGroupedRank over (type, gap-bucket) windows + the
-    // exact ceil-rank inequality r·100 ≥ n·p > (r−1)·100, so no task
-    // serializes an event type and both engines pick identical
-    // boundary elements.
+    // q137 per-user lead window; the gaps then collapse to a (type,
+    // gap_s) COUNT HISTOGRAM (one combinable aggregation — gap values
+    // are whole seconds bounded by the time horizon, so the histogram
+    // is domain-bounded) and DistWindow.histCeilRanks picks all three
+    // percentiles from one per-type window over it, with the same
+    // ceil-rank position ceil(n·p/100) the oracle's
+    // r·100 ≥ n·p > (r−1)·100 inequality selects — an id tie-break
+    // never changes which VALUE sits at a position.
     QueryDef(
       "q149_gap_percentiles",
       (s, dir) => {
@@ -581,18 +584,13 @@ object BehaviorQueries {
         val gaps = events(s, dir)
           .withColumn("prev_s", lag(unix_timestamp($"ts"), 1).over(w))
           .filter($"prev_s".isNotNull)
-          .select($"event_type", $"event_id",
+          .select($"event_type",
             (unix_timestamp($"ts") - $"prev_s").as("gap_s"))
-        val ranked = DistWindow.withGroupedRank(gaps, $"event_type",
-          floor($"gap_s" / 900L), Seq($"gap_s", $"event_id"), "r",
-          groupTotalCol = Some("n"))
-        ranked
-          .select($"event_type", $"r", $"gap_s", $"n",
-            explode(array(lit(50), lit(90), lit(99))).as("p"))
-          .filter($"r" * 100 >= $"n" * $"p" &&
-            ($"r" - 1) * 100 < $"n" * $"p")
-          .groupBy($"event_type", $"p")
-          .agg(max($"n").as("n_gaps"), min($"gap_s").as("gap_s_at"))
+        val gh = gaps.groupBy($"event_type", $"gap_s")
+          .agg(count(lit(1)).as("c"))
+        DistWindow.histCeilRanks(gh, $"event_type", $"gap_s", $"c",
+            Seq(50, 90, 99), "event_type", "p", "gap_s_at", "n_gaps")
+          .select($"event_type", $"p", $"n_gaps", $"gap_s_at")
           .orderBy($"event_type", $"p")
       },
       Some("""WITH g0 AS (SELECT event_type, event_id,
