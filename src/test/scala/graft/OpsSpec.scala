@@ -1486,4 +1486,64 @@ class OpsSpec extends AnyFunSuite {
     // wide: expanded sorted = 1x10, 2000x9, 3000x2 -> n=21, pos=(21+1)/2=11 -> 2000
     assert(got("wide") == ((2000L, 21L)))
   }
+
+  // brute-force ceil-rank oracle over the expanded multiset: the value at
+  // 1-based position ceil(W*p/100) of the weight-expanded sorted values
+  private def bruteCeilRank(rows: Seq[(Long, Long)], p: Int): (Long, Long) = {
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val tot = expanded.length.toLong
+    (expanded(((tot * p + 99) / 100).toInt - 1), tot)
+  }
+
+  test("histCeilRanks and groupedWeightedCeilRanks match the brute-force " +
+      "ceil-rank oracle at p50/p90/p99") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val hist = (0 until 3).flatMap { g =>
+      (0 until 200 + 17 * g).map(_ =>
+        (s"g$g", rng.nextInt(4000).toLong, 1L + rng.nextInt(5).toLong))
+    }
+    // collapse duplicate (grp, v) rows so both variants see a true histogram
+    val h = hist.toDF("grp", "v", "w").groupBy("grp", "v")
+      .agg(sum($"w").as("w"))
+    val ps = Seq(50, 90, 99)
+    val byGroup = hist.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(t => (t._2, t._3))
+    }
+    val lean = graft.ops.DistWindow.histCeilRanks(h, $"grp", $"v", $"w",
+        ps, "grp", "p", "v_at", "n")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val bucketed = graft.ops.DistWindow.groupedWeightedCeilRanks(h, $"grp",
+        floor($"v" / 500L), $"v", $"w", ps, "grp", "p", "v_at", "n")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for ((g, rs) <- byGroup; p <- ps) {
+      val want = bruteCeilRank(rs, p)
+      assert(lean((g, p)) == want, s"histCeilRanks $g p$p: ${lean((g, p))} vs $want")
+      assert(bucketed((g, p)) == want,
+        s"groupedWeightedCeilRanks $g p$p: ${bucketed((g, p))} vs $want")
+    }
+  }
+
+  test("withGlobalRankAndBefore ≡ withGlobalRank + withRunningBefore + total") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    // unique keys (the withGlobalRank determinism contract), skewed weights
+    val rows = rng.shuffle((0 until 500).toVector)
+      .map(k => (k.toLong, 1L + rng.nextInt(100).toLong))
+    val df = rows.toDF("k", "w")
+    val got = graft.ops.DistWindow.withGlobalRankAndBefore(df,
+        floor($"k" / 64L), Seq($"k"), $"w", "r", "before", "tot")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sorted = rows.sortBy(_._1)
+    val total = rows.map(_._2).sum
+    var running = 0L
+    sorted.zipWithIndex.foreach { case ((k, w), i) =>
+      assert(got(k) == ((i + 1L, running, total)),
+        s"k=$k: ${got(k)} vs (${i + 1}, $running, $total)")
+      running += w
+    }
+  }
 }
