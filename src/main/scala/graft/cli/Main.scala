@@ -532,7 +532,7 @@ object Main {
         val text = opt(rest, "text-column").getOrElse("text")
         def lens(p: String, a: Boolean) = spark.read.parquet(p)
           .select(lit(a).as("a"),
-            size(filter(split(col(text), "\\s+"), t => t =!= ""))
+            regexp_count(col(text), lit("\\S+"))
               .cast("long").as("len"))
         val base = lens(inA, a = true).union(lens(inB, a = false))
         val hist = base.groupBy(col("len"))
@@ -566,7 +566,7 @@ object Main {
         val cap = opt(rest, "cap-pct").map(_.toLong).getOrElse(30L)
         val avail = spark.read.parquet(in)
           .select(col(src).as("source"),
-            size(filter(split(col(text), "\\s+"), t => t =!= ""))
+            regexp_count(col(text), lit("\\S+"))
               .cast("long").as("tok"))
           .groupBy(col("source")).agg(sum(col("tok")).as("avail_tokens"))
         val tot = avail.agg(sum(col("avail_tokens")).as("__t"))
@@ -787,7 +787,7 @@ object Main {
         val cap = opt(rest, "capacity").map(_.toLong).getOrElse(2048L)
         val df = spark.read.parquet(in)
           .withColumn("__ntok",
-            size(filter(split(col(text), "\\s+"), t => t =!= ""))
+            regexp_count(col(text), lit("\\S+"))
               .cast("long"))
         graft.ops.Packing.packBySize(df, id, "__ntok", cap)
           .drop("__ntok")

@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed BPE tokenizer training (merge learning), the word-dict
   * formulation every industrial trainer uses (SentencePiece / HF
@@ -13,12 +12,16 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape at 100 TB:
   *  - one corpus-wide shuffle total (the word-count groupBy, map-side
   *    combinable; distinct words cross the wire, never documents);
-  *  - each merge round is a map-side-combinable pair-count over the
-  *    CACHED word dict plus a 1-row TakeOrdered — no corpus rescan;
+  *  - the dict is then COLLECTED once and every merge round runs in
+  *    driver memory — the dict is Heaps-law bounded (vocabulary, not
+  *    corpus, ~10⁷ entries at 100 TB), i.e. the same bounded-model pull
+  *    as the merge list itself, and exactly how SentencePiece / HF
+  *    trainers hold their word-count tables. The previous formulation
+  *    ran one Spark job per round over the cached dict; at 8–64 rounds
+  *    that is pure scheduler floor for identical arithmetic;
   *  - the learned model (the merge list) is R driver-side rows, folded
-  *    back into the plan as literal `replace` rewrites, so the per-round
-  *    plan holds exactly r string replacements — growth is bounded by
-  *    `rounds`, not by data.
+  *    back into the apply plan as literal `replace` rewrites, so plan
+  *    growth is bounded by `rounds`, not by data.
   *
   * Symbol sequences ride as delimited strings ("␟l␟␟o␟␟w␟") rather than
   * arrays: applying a merge is then ONE codegen `StringReplace`
@@ -48,58 +51,59 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val D2 = Delim + Delim
-    val words = docs
+    // ONE corpus shuffle (map-side-combinable word count), ONE bounded
+    // collect of the vocab-sized dict; the merge rounds below are pure
+    // in-memory arithmetic on it
+    val dict = docs
       .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
         .as("w"))
       .filter($"w".rlike("^[a-z0-9]+$"))
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .withColumn("seq", concat(lit(Delim),
-        array_join(filter(split($"w", ""), c => c =!= ""), D2), lit(Delim)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-      // the working symbol sequence = cached base seq + the merges so far,
-      // applied as literal codegen replaces. The chain is re-materialized
-      // every 16 rounds (localCheckpoint, the connectedComponents
-      // convention): without it, round r replays r replaces per row
-      // (O(R²) total) and a 64-deep nested replace expression risks
-      // blowing codegen method limits — with it, plan depth and per-round
-      // work stay bounded regardless of `rounds`.
-      var working = words
-      var seqCol = col("seq")
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        if ((r - 1) % 16 == 0 && r > 1) {
-          working = working.withColumn("seq", seqCol).localCheckpoint(false)
-          seqCol = col("seq")
+      .select($"w", $"cnt").as[(String, Long)].collect()
+    // delimited symbol sequence per word: "␟l␟␟o␟␟w␟"
+    val seqs = dict.map { case (w, _) =>
+      Delim + w.map(_.toString).mkString(D2) + Delim }
+    val cnts = dict.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // occurrence-weighted adjacent-pair counts over the current seqs
+      val weights =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < seqs.length) {
+        val syms = seqs(i).stripPrefix(Delim).stripSuffix(Delim).split(D2)
+        if (syms.length >= 2) {
+          var j = 0
+          while (j < syms.length - 1) {
+            val k = (syms(j), syms(j + 1))
+            weights.update(k, weights.getOrElse(k, 0L) + cnts(i))
+            j += 1
+          }
         }
-        val syms = split(trim(seqCol, Delim), D2)
-        val best = working
-          .select($"cnt", syms.as("syms"))
-          .filter(size($"syms") >= 2)
-          .select($"cnt", explode(zip_with(
-            slice($"syms", lit(1), size($"syms") - 1),
-            slice($"syms", lit(2), size($"syms") - 1),
-            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
-          .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
-          .agg(sum($"cnt").as("weight"))
-          .orderBy($"weight".desc, $"lhs", $"rhs")
-          .limit(1)
-          .collect()
-        best match {
-          case Array(Row(l: String, rt: String, w: Long)) =>
-            merges += Merge(r, l, rt, l + rt, w)
-            seqCol = replace(seqCol,
-              lit(Delim + l + Delim + Delim + rt + Delim),
-              lit(Delim + l + rt + Delim))
-            r += 1
-          case _ => exhausted = true // no adjacent pairs left to merge
-        }
+        i += 1
       }
-      spark.createDataFrame(merges.toSeq)
-        .select($"merge_rank", $"lhs", $"rhs", $"merged", $"weight")
-    } finally { words.unpersist(); () }
+      if (weights.isEmpty) exhausted = true // no adjacent pairs left
+      else {
+        // max weight, ties ascending on (lhs, rhs) — symbols are ASCII
+        // alnum so Scala string order ≡ the previous orderBy's UTF8
+        // binary order
+        val ((l, rt), w) = weights.minBy { case ((l0, r0), w0) =>
+          (-w0, l0, r0) }
+        merges += Merge(r, l, rt, l + rt, w)
+        // leftmost non-overlapping replace-all — String.replace, the
+        // same semantics as the codegen StringReplace the apply kernel
+        // and segment() use
+        val from = Delim + l + Delim + Delim + rt + Delim
+        val to = Delim + l + rt + Delim
+        var x = 0
+        while (x < seqs.length) { seqs(x) = seqs(x).replace(from, to); x += 1 }
+        r += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .select($"merge_rank", $"lhs", $"rhs", $"merged", $"weight")
   }
 
   /** Tokenizer APPLY at corpus scale: count BPE tokens per document

@@ -600,8 +600,7 @@ object Dedup {
       .agg(array_sort(collect_list(col("pos"))).as("__starts"))
     val starts = coalesce(col("__starts"),
       array().cast(ArrayType(org.apache.spark.sql.types.IntegerType)))
-    val nTokens = size(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
-      t => t =!= ""))
+    val nTokens = regexp_count(coalesce(col(textCol), lit("")), lit("\\S+"))
     val st = SE.span_stats(starts, windowTokens, nTokens)
     docs.join(spans, Seq(idCol), "left")
       .select(col(idCol),

@@ -53,7 +53,7 @@ object Pipeline {
     val train3 = survivors(docs, idCol, textCol, cfg)
     // ---- stage 6: sequence packing (q52 rule) ------------------------
     val toks = train3.select(col("doc_id"),
-      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+      regexp_count(col("text"), lit("\\S+"))
         .cast("long").as("n_tokens"))
     Packing.packBySize(toks, "doc_id", "n_tokens", cfg.packCapacity)
       .select(col("doc_id"), col("n_tokens"), col("pack_id"))

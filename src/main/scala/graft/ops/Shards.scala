@@ -30,7 +30,7 @@ object Shards {
         (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
           .cast("long") % nShards).as("shard"),
         col(idCol),
-        size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+        regexp_count(col(textCol), lit("\\S+"))
           .cast("long").as("__tok"),
         length(col(textCol)).cast("long").as("__ch"),
         conv(substring(md5(col(textCol)), 1, 15), 16, 10)

@@ -27,7 +27,7 @@ object SourceGate {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col(langCol) === keepLang, 1L).otherwise(0L)).as("__en"),
         sum(when(charsCol < shortChars, 1L).otherwise(0L)).as("__short"),
-        sum(size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+        sum(regexp_count(col(textCol), lit("\\S+"))
           .cast("long")).as("__tok"))
       .select(col(sourceCol), col("n_docs"),
         round(col("__en").cast("double") / col("n_docs").cast("double"), 6)

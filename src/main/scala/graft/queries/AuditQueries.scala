@@ -22,7 +22,7 @@ object AuditQueries {
 
   /** Token count under the corpus tokenization (q116/q93 fragment). */
   private def tokLen(c: org.apache.spark.sql.Column) =
-    size(filter(split(c, "\\s+"), t => t =!= "")).cast("long")
+    regexp_count(c, lit("\\S+")).cast("long")
 
   private val tokLenSql = raw"""len(list_filter(
     regexp_split_to_array(text, '\s+'), t -> t <> ''))"""
@@ -1166,7 +1166,7 @@ object AuditQueries {
         import s.implicits._
         val base = table(s, dir, "documents")
           .select($"source", $"doc_id",
-            size(filter(split($"text", "\\s+"), t => t =!= ""))
+            regexp_count($"text", lit("\\S+"))
               .cast("long").as("len"),
             round(element_at(graft.functions.SketchExpressions
               .char_entropy(lower(coalesce($"text", lit("")))), 2) * 1e6)
@@ -1234,7 +1234,7 @@ object AuditQueries {
         import s.implicits._
         val base = table(s, dir, "documents")
           .select($"source", $"doc_id",
-            size(filter(split($"text", "\\s+"), t => t =!= ""))
+            regexp_count($"text", lit("\\S+"))
               .cast("long").as("len"))
         val r = graft.ops.DistWindow.withGroupedRank(base, col("source"),
           floor(col("len") / 64.0).cast("long"),

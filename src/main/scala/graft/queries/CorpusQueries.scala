@@ -502,7 +502,7 @@ object CorpusQueries {
         import s.implicits._
         table(s, dir, "documents")
           .select($"source", $"lang",
-            size(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+            regexp_count(lower($"text"), lit("\\S+"))
               .cast("long").as("ntok"),
             $"n_chars")
           .rollup($"source", $"lang")
@@ -1251,7 +1251,7 @@ object CorpusQueries {
         import s.implicits._
         val docs = table(s, dir, "documents")
         val base = docs.select($"doc_id",
-          size(filter(split($"text", "\\s+"), t => t =!= ""))
+          regexp_count($"text", lit("\\S+"))
             .cast("long").as("len"))
         val ranked = graft.ops.DistWindow.withGlobalRank(base,
           floor($"doc_id" / 256.0).cast("long"),

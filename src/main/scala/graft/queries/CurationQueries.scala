@@ -137,10 +137,15 @@ object CurationQueries {
       "q104_padding_waste",
       (s, dir) => {
         import s.implicits._
+        // regexp_count of \S+ ≡ non-empty split tokens (see q21), no
+        // array materialization; the 2-col projection is checkpointed so
+        // the two independent rank machineries don't each re-run the
+        // text scan + regex (a (doc_id, n_tokens) pair is the same
+        // bounded-width per-row state the q138 user aggregate keeps)
         val docs = table(s, dir, "documents")
           .select($"doc_id",
-            size(filter(split($"text", "\\s+"), t => t =!= ""))
-              .cast("long").as("n_tokens"))
+            regexp_count($"text", lit("\\S+")).cast("long").as("n_tokens"))
+          .localCheckpoint(false)
         def report(tagged: org.apache.spark.sql.DataFrame, name: String) =
           tagged
             .withColumn("batch", floor(($"pos" - 1L) / 16L))

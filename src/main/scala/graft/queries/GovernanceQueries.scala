@@ -193,8 +193,7 @@ object GovernanceQueries {
         val per = pre.groupBy($"source")
           .agg(count(lit(1)).as("n_distinct"), max($"df").as("top_df"))
         val tot = docs.select($"source",
-            greatest(size(filter(split(lower($"text"), "\\s+"),
-              t => t =!= "")) - 2, lit(0)).cast("long").as("occ"))
+            greatest(regexp_count(lower($"text"), lit("\\S+")) - 2, lit(0)).cast("long").as("occ"))
           .groupBy($"source").agg(sum($"occ").as("n_occurrences"))
         tot.join(broadcast(per), Seq("source"))
           .select($"source", $"n_occurrences", $"n_distinct", $"top_df",
@@ -458,7 +457,7 @@ object GovernanceQueries {
           .char_entropy(lower(coalesce($"text", lit("")))), 2), 6)
         val base = table(s, dir, "documents")
           .select($"doc_id",
-            size(filter(split($"text", "\\s+"), t => t =!= ""))
+            regexp_count($"text", lit("\\S+"))
               .cast("long").as("tok"),
             round(ent * 1e6).cast("long").as("em"))
         // sort key monotone with (em DESC, doc_id ASC); headroom contract:

@@ -47,15 +47,17 @@ object TextQueries {
         GROUP BY h ORDER BY h""")),
 
     // ---- token counting (whitespace + word-regex) ----------------------
+    // counting maximal runs directly (regexp_count of \S+ / [A-Za-z0-9]+)
+    // ≡ len(filter(split(sep+), non-empty)) — same token boundaries, but
+    // no per-row array materialization; stays inside codegen
     QueryDef(
       "q21_token_count",
       (s, dir) => {
         import s.implicits._
         table(s, dir, "documents")
           .select($"doc_id",
-            size(filter(split($"text", "\\s+"), t => t =!= "")).as("n_tokens"),
-            size(filter(split($"text", "[^A-Za-z0-9]+"), t => t =!= ""))
-              .as("n_words"),
+            regexp_count($"text", lit("\\S+")).as("n_tokens"),
+            regexp_count($"text", lit("[A-Za-z0-9]+")).as("n_words"),
             length($"text").as("n_chars_actual"))
           .orderBy($"doc_id")
       },
@@ -504,7 +506,7 @@ object TextQueries {
         import s.implicits._
         val docs = table(s, dir, "documents")
           .select($"doc_id",
-            size(filter(split($"text", "\\s+"), t => t =!= ""))
+            regexp_count($"text", lit("\\S+"))
               .cast("long").as("ntok"))
         graft.ops.Packing.packBySize(docs, "doc_id", "ntok", capacity = 256L)
           .groupBy($"pack_id")

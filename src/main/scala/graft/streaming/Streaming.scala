@@ -643,8 +643,7 @@ object Streaming {
       (n, stat, bestLen)
     }
     val evs = docs
-      .withColumn("__len", size(filter(split(col(textCol), "\\s+"),
-        t => t =!= "")).cast("long"))
+      .withColumn("__len", regexp_count(col(textCol), lit("\\S+")).cast("long"))
       .withColumn("__w", window(col(tsCol), windowLen))
       .select(col("__w.start").as("ws"), col("__len"), col(tsCol).as("ts"))
       .withWatermark("ts", watermark)
@@ -685,8 +684,7 @@ object Streaming {
     */
   def lengthHistogram(docs: DataFrame, textCol: String): Map[Long, Long] = {
     import org.apache.spark.sql.functions.{col => c}
-    docs.select(size(filter(split(c(textCol), "\\s+"),
-        t => t =!= "")).cast("long").as("len"))
+    docs.select(regexp_count(c(textCol), lit("\\S+")).cast("long").as("len"))
       .groupBy(c("len")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
