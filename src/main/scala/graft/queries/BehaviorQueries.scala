@@ -1350,27 +1350,26 @@ object BehaviorQueries {
 
     // ---- weekly purchase-value percentile bands ------------------------
     // The metric-over-time monitoring read: per week, exact p50/p90 of
-    // purchase value in cents by the q124 ceil-rank recipe over
-    // (week, value-bucket) grouped windows — percentile bands a
-    // dashboard plots to catch distribution shifts the mean hides.
+    // purchase value in cents — percentile bands a dashboard plots to
+    // catch distribution shifts the mean hides. Purchases collapse to a
+    // (week, cents) COUNT HISTOGRAM with one combinable aggregation
+    // (cents is domain-bounded — the price range, not the corpus) and
+    // DistWindow.histCeilRanks picks both percentiles from one per-week
+    // window over it, at the same ceil-rank position the oracle's
+    // r·100 ≥ n·p > (r−1)·100 inequality selects (an id tie-break never
+    // changes which VALUE sits at a position).
     QueryDef(
       "q171_weekly_bands",
       (s, dir) => {
         import s.implicits._
         val wk = expr("unix_timestamp(ts) DIV 604800")
-        val p = events(s, dir).filter($"event_type" === "purchase")
-          .select(wk.as("week"), $"event_id",
+        val ph = events(s, dir).filter($"event_type" === "purchase")
+          .select(wk.as("week"),
             round($"value" * 100).cast("long").as("cents"))
-        val ranked = DistWindow.withGroupedRank(p, col("week"),
-          floor(col("cents") / 10000.0).cast("long"),
-          Seq(col("cents"), col("event_id")), "r", Some("n"))
-        ranked
-          .select($"week", $"r", $"cents", $"n",
-            explode(array(lit(50), lit(90))).as("p"))
-          .filter($"r" * 100 >= $"n" * $"p" &&
-            ($"r" - 1) * 100 < $"n" * $"p")
-          .groupBy($"week", $"p")
-          .agg(max($"n").as("n_purchases"), min($"cents").as("cents_at"))
+          .groupBy($"week", $"cents").agg(count(lit(1)).as("c"))
+        DistWindow.histCeilRanks(ph, col("week"), $"cents", $"c",
+            Seq(50, 90), "week", "p", "cents_at", "n_purchases")
+          .select($"week", $"p", $"n_purchases", $"cents_at")
           .orderBy($"week", $"p")
       },
       Some("""WITH p AS (SELECT
