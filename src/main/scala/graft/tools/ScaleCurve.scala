@@ -45,7 +45,7 @@ object ScaleCurve {
     "q69_rand_proj",      // codegen projection kernel, zero shuffle
     "q70_winnowing",      // windowed-min sampled fingerprint join
     "q71_prep_pipeline",  // chunk -> two-phase rank -> distributed pack
-    "q72_bpe_merges",     // one corpus shuffle, merge rounds on word dict
+    "q72_bpe_merges",     // one corpus shuffle + in-memory merge rounds
     "q73_bloom_dedup",    // broadcast bitmap prefilter + confirm join
     "q74_char_entropy",   // one-pass codegen kernel, zero shuffle
     "q75_logreg",         // literal-model codegen dot + feature-keyed grads
@@ -95,8 +95,8 @@ object ScaleCurve {
     "q121_mix_plan",      // one source agg + 1-row weight broadcasts
     "q122_winnow_contain",// fingerprint set probe join + source rollup
     "q123_charclass",     // codegen class counts, one combinable agg
-    "q124_len_pcts",      // grouped two-phase rank + integer percentile cut
-    "q125_vocab_curve",   // global rank + distributed prefix over vocab
+    "q124_len_pcts",      // (lang,len) histogram + per-lang ceil-rank window
+    "q125_vocab_curve",   // fused rank+prefix+total machinery over vocab
     "q126_dupsize_hist",  // two chained combinable aggregations
     "q127_trunc_loss",    // one projection + explode(4) + combinable agg
     "q128_source_overlap",// fp-keyed join, blowup bounded by #sources^2
@@ -110,7 +110,7 @@ object ScaleCurve {
     "q136_retention_cohorts", // one user-keyed agg, calendar-bounded state
     "q137_markov_transitions",// per-user lead window + combinable counts
     "q138_rfm_segments",  // 3 parallel two-phase ranks on the user table
-    "q139_anomaly_robust",// two grouped ranks (median, MAD) + gate agg
+    "q139_anomaly_robust",// (type,v) histogram + windows on one exchange
     "q140_repeated_spans",// df-capped gram join + diagonal islands
     "q141_user_lifecycle",// one user-keyed agg + array-land lag
     "q142_silhouette",    // bounded sample x corpus + combinable sums
@@ -120,7 +120,7 @@ object ScaleCurve {
     "q146_pareto_events", // user-count agg + two-phase global rank
     "q147_compaction_plan",// per-shard size agg + distributed prefix sum
     "q148_cohort_ltv",    // (user,week) pre-agg + calendar-bounded collect
-    "q149_gap_percentiles",// per-user lag window + grouped two-phase rank
+    "q149_gap_percentiles",// per-user lag window + gap-histogram ceil-rank
     "q150_attribution",   // one user-keyed as-of union pass + tiny agg
     "q151_hll_rollup",    // weekly register aggs + 256-row merge
     "q152_span_scrub_cross",// matched runs + array-land index removal
@@ -142,7 +142,7 @@ object ScaleCurve {
     "q168_cuped",         // one user-keyed agg + 1-row moment fits
     "q169_sample_size",   // user agg + closed-form power calc
     "q170_retention_halflife", // q136 exchange + 1-row log-linear fit
-    "q171_weekly_bands",  // (week,bucket) grouped rank + ceil cuts
+    "q171_weekly_bands",  // (week,cents) histogram + ceil-rank window
     "q172_autocorr_daily",// calendar-sized daily agg + lag self-join
     "q173_weekday_profile",// one combinable agg + 1-row total
     "q174_mde_curve"      // 1-row moments + 5-row closed-form curve
