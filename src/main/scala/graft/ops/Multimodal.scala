@@ -128,6 +128,145 @@ object Multimodal {
     }(enc)
   }
 
+  /** md5-derived 8-bit luminance for pixel `p` of image class `cls` —
+    * the first hex byte of md5("cls:p"), the same formula a SQL oracle
+    * replays with its own md5 (the q102/q151 hex-arithmetic trick).
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def classLum(cls: Long, p: Int): Int = {
+    val md = md5Local.get(); md.reset()
+    (md.digest(s"$cls:$p".getBytes("UTF-8"))(0)) & 0xff
+  }
+
+  /** Synthesize an 8×8 grayscale real-PNG payload whose pixels are the
+    * [[classLum]] formula for class id % `classes`, with ONE noise
+    * pixel (position id % 64, low luminance bit flipped) so documents
+    * of one class are perceptual NEAR-duplicates, not byte-duplicates —
+    * the fixture for the perceptual-hash dedup family (q175). Pixels
+    * are a pure function of the id, so a SQL oracle can certify the
+    * real encode→decode→hash round-trip.
+    */
+  def withSyntheticClassPng(df: DataFrame, idCol: String, classes: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema.add(payloadCol, BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val id = row.getLong(iIdx)
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < 64) {
+          val base = classLum(id % classes, p)
+          val lum = if (p == (id % 64).toInt) base ^ 1 else base
+          img.setRGB(p % 8, p / 8, lum * 0x010101)
+          p += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Average-hash (aHash) of a decoded image payload, split into two
+    * 32-bit halves (bit p of the row-major pixel order: 1 iff
+    * lum·n_pixels ≥ Σlum — integer-exact, no float mean). Decode is the
+    * REAL javax.imageio path; rows whose payload doesn't decode get
+    * null halves. Partition-local; only the 2×4-byte hash ever reaches
+    * a shuffle — the image bytes never do.
+    */
+  def withAHash(df: DataFrame, payloadCol: String,
+      hiCol: String = "ahash_hi", loCol: String = "ahash_lo"): DataFrame = {
+    val schema = df.schema.add(hiCol, LongType).add(loCol, LongType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](pIdx)
+        val img = if (payload == null || payload.isEmpty) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        if (img == null) Row.fromSeq(row.toSeq :+ null :+ null)
+        else {
+          val w = img.getWidth; val h = img.getHeight; val n = w * h
+          val lums = new Array[Long](n)
+          var s = 0L
+          var p = 0
+          while (p < n) {
+            lums(p) = (img.getRGB(p % w, p / w) & 0xff).toLong
+            s += lums(p); p += 1
+          }
+          var hi = 0L; var lo = 0L
+          p = 0
+          while (p < n && p < 64) {
+            if (lums(p) * n >= s) {
+              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+            }
+            p += 1
+          }
+          Row.fromSeq(row.toSeq :+ hi :+ lo)
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-duplicate pairs over (id, ahash_hi, ahash_lo):
+    * every pair at Hamming distance ≤ `maxHamming` (≤ 3), found by the
+    * 4×16-bit pigeonhole band join — two hashes within distance 3 MUST
+    * agree on at least one of 4 disjoint 16-bit bands, so candidates
+    * come from 4 equi-joins on (band index, band value) and only
+    * hash-sized rows shuffle; the exact Hamming filter then makes the
+    * band pre-filter lossless. The same complete-for-≤3 guarantee the
+    * q29 SimHash pigeonhole uses, here over decoded-image aHashes.
+    */
+  def phashNearDups(sig: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4-band pigeonhole is complete only to 3")
+    val bands = sig
+      .select(col(idCol).as("__id"), col("ahash_hi").as("__hi"),
+        col("ahash_lo").as("__lo"))
+      .where(col("__hi").isNotNull)
+      .select(col("__id"), col("__hi"), col("__lo"),
+        explode(array(
+          struct(lit(0).as("bi"), (col("__lo") % 65536L).as("bv")),
+          struct(lit(1).as("bi"), (col("__lo") / 65536L).cast("long").as("bv")),
+          struct(lit(2).as("bi"), (col("__hi") % 65536L).as("bv")),
+          struct(lit(3).as("bi"), (col("__hi") / 65536L).cast("long").as("bv"))))
+          .as("b"))
+      .select(col("__id"), col("__hi"), col("__lo"),
+        col("b.bi").as("__bi"), col("b.bv").as("__bv"))
+    val a = bands.select(col("__id").as("id_a"), col("__hi").as("ha"),
+      col("__lo").as("la"), col("__bi"), col("__bv"))
+    val b = bands.select(col("__id").as("id_b"), col("__hi").as("hb"),
+      col("__lo").as("lb"), col("__bi"), col("__bv"))
+    // a pair agreeing on k bands appears k times; keep only the row
+    // whose join band is the FIRST band the two hashes agree on — a
+    // projection-level dedupe (both full hashes are in the row), no
+    // distinct() exchange over the candidate fanout
+    val firstAgree = when(
+        col("la") % 65536L === col("lb") % 65536L, 0)
+      .when((col("la") / 65536L).cast("long") ===
+        (col("lb") / 65536L).cast("long"), 1)
+      .when(col("ha") % 65536L === col("hb") % 65536L, 2)
+      .otherwise(3)
+    a.join(b, Seq("__bi", "__bv"))
+      .where(col("id_a") < col("id_b") && col("__bi") === firstAgree)
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic fake resize: a real implementation decodes, scales
     * to targetW × targetH and re-encodes; the stub emits a payload of
     * exactly targetW*targetH bytes sampled by stride from the source so

@@ -340,6 +340,58 @@ object OpsQueries {
           CAST(1 + doc_id % 7 AS BIGINT) AS height
         FROM documents ORDER BY doc_id""")),
 
+    // ---- perceptual-hash image near-dup (aHash + pigeonhole bands) -----
+    // The multimodal member of the dedup family: every document carries
+    // a REAL 8×8 grayscale PNG (pixels = the md5-hex classLum formula
+    // for class doc_id % 40, ONE noise pixel per doc — same-class
+    // images are perceptual near-dups, not byte-dups), the aHash is
+    // computed from the imageio-DECODED pixels (lum·64 ≥ Σlum, integer
+    // exact), and pairs at Hamming ≤ 3 come from the 4×16-bit
+    // pigeonhole band join — complete for ≤ 3, so it equals the
+    // oracle's brute-force all-pairs scan, while Spark shuffles only
+    // 8-byte hashes (never image bytes). The oracle replays the pixel
+    // FORMULA with its own md5 — the cross-engine hash match therefore
+    // certifies the whole encode→decode→hash round-trip (the q46
+    // promise, extended from dimensions to pixel content).
+    QueryDef(
+      "q175_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticClassPng(
+          table(s, dir, "documents").select($"doc_id"), "doc_id", 40)
+        val sig = Multimodal.withAHash(media, "payload")
+          .select($"doc_id", $"ahash_hi", $"ahash_lo")
+        Multimodal.phashNearDups(sig, "doc_id", maxHamming = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH px AS (SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+            CAST(('0x' || substr(md5((doc_id % 40) || ':' || t.p), 1, 2))
+              AS BIGINT) AS base
+          FROM documents, UNNEST(range(0, 64)) t(p)),
+        lum AS (SELECT doc_id, p,
+            CASE WHEN p = doc_id % 64 THEN xor(base, 1) ELSE base END
+              AS lum
+          FROM px),
+        s AS (SELECT doc_id, CAST(SUM(lum) AS BIGINT) AS s FROM lum
+          GROUP BY doc_id),
+        bits AS (SELECT l.doc_id, l.p,
+            CASE WHEN l.lum * 64 >= s.s THEN 1 ELSE 0 END AS b
+          FROM lum l JOIN s USING (doc_id)),
+        h AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN p < 32
+              THEN b * CAST(POWER(2, p) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS lo,
+            CAST(SUM(CASE WHEN p >= 32
+              THEN b * CAST(POWER(2, p - 32) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS hi
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS BIGINT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // ---- exact char-n-gram Jaccard (inverted index + df-pruning) -------
     // The fourth dedup family (exact set similarity, not sketched): the
     // oracle rebuilds the identical gram sets, applies the same

@@ -197,6 +197,44 @@ class OpsSpec extends AnyFunSuite {
       .sameElements(again.collect().map(key).sorted))
   }
 
+  test("aHash round-trip: decoded-pixel hash equals the classLum formula; " +
+      "banded near-dup join equals brute-force Hamming") {
+    // formula-side aHash (what the SQL oracle computes)
+    def formulaHash(id: Long, classes: Int): (Long, Long) = {
+      val lums = (0 until 64).map { p =>
+        val base = Multimodal.classLum(id % classes, p)
+        (if (p == (id % 64).toInt) base ^ 1 else base).toLong
+      }
+      val s = lums.sum
+      var hi = 0L; var lo = 0L
+      for (p <- 0 until 64 if lums(p) * 64 >= s)
+        if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+      (hi, lo)
+    }
+    import spark.implicits._
+    val ids = (0L until 90L).toDF("doc_id")
+    val sig = Multimodal.withAHash(
+        Multimodal.withSyntheticClassPng(ids, "doc_id", classes = 7),
+        "payload")
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    val got = sig.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L until 90L).foreach { id =>
+      assert(got(id) == formulaHash(id, 7), s"doc $id")
+    }
+    // brute-force Hamming ≤ 3 over the formula hashes
+    val want = (for {
+      a <- 0L until 90L; b <- (a + 1) until 90L
+      (ha, la) = formulaHash(a, 7); (hb, lb) = formulaHash(b, 7)
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val pairs = Multimodal.phashNearDups(sig, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == want, s"got ${pairs.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
   test("real image decode: png/jpeg/bmp round-trip, corrupt falls to stub") {
     // real JDK decoders: dimensions must come out of the encoded header
     val png = Multimodal.encodePng(5, 3, seed = 42L)
