@@ -271,6 +271,22 @@ object Main {
             k = opt(rest, "k").map(_.toInt).getOrElse(4))
           .write.mode("overwrite").parquet(out)
 
+      case "dedup" if rest.headOption.contains("phash") =>
+        // dedup phash in out [--payload-column payload] [--max-hamming 3]:
+        // perceptual near-dup pairs over image payloads — imageio decode
+        // + aHash partition-local, 4x16-bit pigeonhole band join (q175)
+        val Seq(in, out) = rest.tail.take(2)
+        val payloadCol = opt(rest, "payload-column").getOrElse("payload")
+        val idCol = opt(rest, "id-column").getOrElse("doc_id")
+        val sig = graft.ops.Multimodal.withAHash(
+            spark.read.parquet(in), payloadCol)
+          .select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col("ahash_hi"),
+            org.apache.spark.sql.functions.col("ahash_lo"))
+        graft.ops.Multimodal.phashNearDups(sig, idCol,
+            maxHamming = opt(rest, "max-hamming").map(_.toInt).getOrElse(3))
+          .write.mode("overwrite").parquet(out)
+
       //   bpe-train in out [--rounds 64]  (learned merge table to parquet)
       case "bpe-train" =>
         val Seq(in, out) = rest.take(2)
@@ -1149,7 +1165,7 @@ object Main {
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
       |  to {geojson|csv|shapefile|gpkg|fgb|fc|jsonl}, from-jsonl,
       |  gopher-gate [--keep-only],
-      |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom},
+      |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom|phash},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
       |  bm25 --terms w1,w2, shard-manifest, zipf-stats,

@@ -182,38 +182,48 @@ object Multimodal {
     * null halves. Partition-local; only the 2×4-byte hash ever reaches
     * a shuffle — the image bytes never do.
     */
+  /** aHash of one payload — (hi, lo) 32-bit halves, or None when the
+    * bytes don't decode. The single definition both the batch column
+    * ([[withAHash]]) and the streaming twin key their state on.
+    */
+  def aHashOf(payload: Array[Byte]): Option[(Long, Long)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = if (payload == null || payload.isEmpty) null
+      else try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight; val n = w * h
+      val lums = new Array[Long](n)
+      var s = 0L
+      var p = 0
+      while (p < n) {
+        lums(p) = (img.getRGB(p % w, p / w) & 0xff).toLong
+        s += lums(p); p += 1
+      }
+      var hi = 0L; var lo = 0L
+      p = 0
+      while (p < n && p < 64) {
+        if (lums(p) * n >= s) {
+          if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+        }
+        p += 1
+      }
+      Some((hi, lo))
+    }
+  }
+
   def withAHash(df: DataFrame, payloadCol: String,
       hiCol: String = "ahash_hi", loCol: String = "ahash_lo"): DataFrame = {
     val schema = df.schema.add(hiCol, LongType).add(loCol, LongType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val pIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
-        val payload = row.getAs[Array[Byte]](pIdx)
-        val img = if (payload == null || payload.isEmpty) null
-          else try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
-          catch { case _: Exception => null }
-        if (img == null) Row.fromSeq(row.toSeq :+ null :+ null)
-        else {
-          val w = img.getWidth; val h = img.getHeight; val n = w * h
-          val lums = new Array[Long](n)
-          var s = 0L
-          var p = 0
-          while (p < n) {
-            lums(p) = (img.getRGB(p % w, p / w) & 0xff).toLong
-            s += lums(p); p += 1
-          }
-          var hi = 0L; var lo = 0L
-          p = 0
-          while (p < n && p < 64) {
-            if (lums(p) * n >= s) {
-              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
-            }
-            p += 1
-          }
-          Row.fromSeq(row.toSeq :+ hi :+ lo)
+        aHashOf(row.getAs[Array[Byte]](pIdx)) match {
+          case Some((hi, lo)) => Row.fromSeq(row.toSeq :+ hi :+ lo)
+          case None           => Row.fromSeq(row.toSeq :+ null :+ null)
         }
       }
     }(enc)

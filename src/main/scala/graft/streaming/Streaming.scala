@@ -373,6 +373,81 @@ object Streaming {
       }
   }
 
+  final case class Media(doc_id: Long, payload: Array[Byte],
+      ts: java.sql.Timestamp)
+  final case class HashHit(band_sig: Long, doc_id: Long, hi: Long,
+      lo: Long, tsMs: Long)
+  final case class HashBucketState(seen: List[(Long, Long, Long, Long)])
+  final case class HamPair(id_a: Long, id_b: Long, hamming: Long)
+
+  /** Streaming perceptual-hash image near-dup detection — the
+    * keyed-state twin of `Multimodal.phashNearDups` (batch q175): each
+    * arriving payload is imageio-DECODED and aHashed partition-locally
+    * ([[graft.ops.Multimodal.aHashOf]] — the identical hash the batch
+    * column computes), then fanned out to its 4 disjoint 16-bit bands;
+    * state lives per (band, band value) holding in-horizon residents,
+    * and every arrival emits a pair per co-resident within `maxHamming`
+    * — complete for Hamming ≤ 3 by the same pigeonhole argument as the
+    * batch join. A pair agreeing on several bands would surface once
+    * per agreeing bucket; the first-agreeing-band guard (both full
+    * hashes are in the hit) keeps exactly one emission, mirroring the
+    * batch side's projection-level dedupe. Horizon + maxBucket bound
+    * state exactly as in [[minhashNearDups]]; only 8-byte hashes enter
+    * state — image bytes never do.
+    */
+  def phashNearDups(media: Dataset[Media], maxHamming: Int = 3,
+      horizon: java.time.Duration = java.time.Duration.ofHours(1),
+      maxBucket: Int = 256): Dataset[HamPair] = {
+    import media.sparkSession.implicits._
+    require(maxHamming <= 3, "4-band pigeonhole is complete only to 3")
+    val horizonMs = horizon.toMillis
+    val banded = media.flatMap { m =>
+      graft.ops.Multimodal.aHashOf(m.payload) match {
+        case Some((hi, lo)) =>
+          val bv = Array(lo % 65536L, lo / 65536L, hi % 65536L, hi / 65536L)
+          (0 until 4).map(b =>
+            HashHit(b.toLong << 56 | bv(b), m.doc_id, hi, lo, m.ts.getTime))
+        case None => Nil
+      }
+    }
+    def firstAgree(ha: Long, la: Long, hb: Long, lb: Long): Int =
+      if (la % 65536L == lb % 65536L) 0
+      else if (la / 65536L == lb / 65536L) 1
+      else if (ha % 65536L == hb % 65536L) 2
+      else 3
+    banded.groupByKey(_.band_sig)
+      .flatMapGroupsWithState[HashBucketState, HamPair](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, batch: Iterator[HashHit],
+            state: GroupState[HashBucketState]) =>
+          val myBand = (bucket >>> 56).toInt
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[HamPair]()
+          batch.toSeq.sortBy(h => (h.tsMs, h.doc_id)).foreach { h =>
+            seen.foreach { case (oid, ohi, olo, _) =>
+              if (oid != h.doc_id &&
+                  firstAgree(h.hi, h.lo, ohi, olo) == myBand) {
+                val d = java.lang.Long.bitCount(h.hi ^ ohi) +
+                  java.lang.Long.bitCount(h.lo ^ olo)
+                if (d <= maxHamming)
+                  out += HamPair(math.min(oid, h.doc_id),
+                    math.max(oid, h.doc_id), d.toLong)
+              }
+            }
+            seen = (h.doc_id, h.hi, h.lo, h.tsMs) :: seen
+            seen = seen.filter(_._4 >= h.tsMs - horizonMs)
+            if (seen.lengthCompare(maxBucket) > 0) {
+              org.slf4j.LoggerFactory.getLogger(Streaming.getClass).warn(
+                s"phash bucket $bucket exceeded maxBucket=$maxBucket; " +
+                  "evicting oldest")
+              seen = seen.take(maxBucket)
+            }
+          }
+          state.update(HashBucketState(seen))
+          out.iterator
+      }
+  }
+
   final case class FpHit(fp: String, doc_id: Long, tsMs: Long)
   final case class FpBucketState(seen: List[(Long, Long)])
   final case class FpPair(id_a: Long, id_b: Long, fp: String)

@@ -122,6 +122,19 @@ class CliSpec extends AnyFunSuite {
     assert(bd(10L) == ((true, "dup_of_base")))
     assert(bd(11L)._2 == "new" && bd(12L)._2 == "new")
 
+    // perceptual-hash near-dup over real PNG payloads: ids 0-9 across
+    // 2 image classes (q175 fixture) — same-class pairs surface with
+    // small hamming, cross-class pairs don't
+    graft.ops.Multimodal.withSyntheticClassPng(
+        spark.range(0, 10).toDF("doc_id"), "doc_id", classes = 2)
+      .write.parquet(s"$dir/media.parquet")
+    Main.run(spark, Seq("dedup", "phash", s"$dir/media.parquet",
+      s"$dir/ph.parquet"))
+    val ph = spark.read.parquet(s"$dir/ph.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ph.contains((0L, 2L)) && ph.contains((1L, 3L)), s"got $ph")
+    assert(!ph.exists { case (a, b) => a % 2 != b % 2 }, s"cross-class: $ph")
+
     // BPE merge learning: the toy corpus' dominant token40-ish chars
     // produce a deterministic 4-round merge table
     Main.run(spark, Seq("bpe-train", s"$dir/docs.parquet",

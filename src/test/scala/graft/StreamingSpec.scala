@@ -361,6 +361,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming perceptual-hash near-dup equals the batch q175 pairs " +
+      "exactly (ids AND hamming)") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sph")
+    val media = graft.ops.Multimodal.withSyntheticClassPng(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select($"doc_id").limit(120), "doc_id", 40)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id"))
+    media.write.mode("overwrite").parquet(streamDir.toString + "/in")
+
+    val stream = spark.readStream.schema(media.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.Media]
+    val streamed = Streaming.runToCompletion(
+      Streaming.phashNearDups(stream,
+          horizon = java.time.Duration.ofDays(365)).toDF(),
+      "sph_test", outputMode = "update")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = graft.ops.Multimodal.withAHash(media.drop("ts"), "payload")
+      .select($"doc_id", $"ahash_hi", $"ahash_lo")
+    val batch = graft.ops.Multimodal.phashNearDups(sig, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // first-agreeing-band dedupe on both sides -> exact multiset parity
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming winnowing near-dup finds the batch shared-fingerprint pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_swin")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
