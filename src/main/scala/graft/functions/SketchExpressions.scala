@@ -166,6 +166,55 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  /** Per-seed md5-min signature over a shingle array: seed i of the
+    * result is min over shingles of the first 60 bits of
+    * md5("i:shingle") — parity with the relational idiom
+    * `array_min(transform(sset, sh -> CAST(('0x' ||
+    * substr(md5(i || ':' || sh), 1, 15)) AS BIGINT)))` both engines
+    * share (q105's calibration family), evaluated in ONE pass instead
+    * of seeds × shingles Catalyst concat/md5/substring/conv trees.
+    */
+  def md5MinhashSigs(sset: ArrayData, seeds: Int): ArrayData = {
+    val n = sset.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // materialize shingle strings once; reused across all seeds
+    val shs = new Array[String](n)
+    var j = 0
+    while (j < n) { shs(j) = sset.getUTF8String(j).toString; j += 1 }
+    val out = new Array[Any](seeds)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < seeds) {
+      var mn = Long.MaxValue
+      j = 0
+      while (j < n) {
+        sb.setLength(0)
+        sb.append(i).append(':').append(shs(j))
+        val h = md5Long60(sb.toString)
+        if (h < mn) mn = h
+        j += 1
+      }
+      out(i) = java.lang.Long.valueOf(mn)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of positions where two equal-length long arrays agree —
+    * parity with `size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))`
+    * without the two intermediate arrays per pair.
+    */
+  def arrayMatchCount(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** First 60 bits of md5 as a long — identical to parsing the first 15
     * lowercase-hex chars (big-endian first 8 bytes, shifted right 4).
     */
@@ -1327,6 +1376,45 @@ object SketchExpressions {
 
   def gram_hash_seq(text: Column, k: Int): Column =
     GraftBridge.column(GramHashSeq(GraftBridge.expression(text), k))
+
+  /** One-pass md5-min calibration signature ([[SketchEval.md5MinhashSigs]]). */
+  case class Md5MinhashSigs(child: Expression, seeds: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType, containsNull = false))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.md5MinhashSigs(s.asInstanceOf[ArrayData], seeds)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.md5MinhashSigs($c, $seeds)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def md5_minhash_sigs(sset: Column, seeds: Int): Column =
+    GraftBridge.column(Md5MinhashSigs(GraftBridge.expression(sset), seeds))
+
+  /** Agreeing-position count of two long arrays ([[SketchEval.arrayMatchCount]]). */
+  case class ArrayMatchCount(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(
+      ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      SketchEval.arrayMatchCount(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$E.arrayMatchCount($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression) = copy(left = newLeft, right = newRight)
+  }
+
+  def array_match_count(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayMatchCount(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
 
   /** Rademacher random-projection values of a float-array column
     * ([[SketchEval.randProject]] — same ±1 family as [[LshSignature]]).

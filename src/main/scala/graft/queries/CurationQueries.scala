@@ -219,11 +219,11 @@ object CurationQueries {
             graft.functions.SketchExpressions.word_shingles($"text", 3)
               .as("sset"))
           .filter(size($"sset") > 0)
+        // one-pass codegen kernel — identical per-seed md5-min values as
+        // the transform/array_min tree the oracle replays, without
+        // seeds × shingles Catalyst concat/md5/substring/conv nodes
         val withSig = sample.withColumn("sig",
-          transform(sequence(lit(0), lit(31)), i =>
-            array_min(transform($"sset", sh =>
-              conv(substring(md5(concat(i.cast("string"), lit(":"), sh)),
-                1, 15), 16, 10).cast("long")))))
+          graft.functions.SketchExpressions.md5_minhash_sigs($"sset", 32))
         // intersections relationally (explode + shingle-keyed self-join
         // + combinable pair count) instead of array_intersect over
         // ~300-element arrays per pair inside the all-pairs loop — the
@@ -234,16 +234,23 @@ object CurationQueries {
             col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .agg(count(lit(1)).cast("long").as("inter"))
+        // checkpoint the sample-sized signature table: the kernel is
+        // codegen-able, so without a materialization barrier whole-stage
+        // codegen fuses the stream-side projection INTO the all-pairs
+        // loop and recomputes every signature per PAIR (the old
+        // higher-order-function formulation broke codegen by accident
+        // and so materialized per row; measured 48 s vs 0.6 s at sf0.1)
         val meta = withSig.select($"doc_id", size($"sset").cast("long")
           .as("sz"), $"sig")
+          .localCheckpoint(false)
         val a = meta.select($"doc_id".as("id_a"), $"sz".as("sz_a"),
           $"sig".as("sig_a"))
         val b = meta.select($"doc_id".as("id_b"), $"sz".as("sz_b"),
           $"sig".as("sig_b"))
         val pairs = a.join(broadcast(b), $"id_a" < $"id_b")
           .select($"id_a", $"id_b",
-            size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y),
-              m => m)).cast("long").as("m"),
+            graft.functions.SketchExpressions
+              .array_match_count($"sig_a", $"sig_b").as("m"),
             ($"sz_a" + $"sz_b").as("szs"))
           .join(broadcast(inter), Seq("id_a", "id_b"), "left")
           .select($"m", coalesce($"inter", lit(0L)).as("inter"),
