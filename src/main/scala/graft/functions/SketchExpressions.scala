@@ -200,6 +200,24 @@ object SketchEval {
     new GenericArrayData(out)
   }
 
+  /** Exact intersection size of two SORTED string arrays (a single
+    * merge pass) — parity with `len(list_intersect(a, b))` over the
+    * same distinct sets, without materializing the intersection or a
+    * relational explode/self-join. Caller contract: both inputs sorted
+    * by the same binary collation (array_sort) and duplicate-free.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Count of positions where two equal-length long arrays agree —
     * parity with `size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))`
     * without the two intermediate arrays per pair.
@@ -1414,6 +1432,27 @@ object SketchExpressions {
 
   def array_match_count(a: Column, b: Column): Column =
     GraftBridge.column(ArrayMatchCount(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+
+  /** Merge-count of two sorted string sets ([[SketchEval.sortedIntersectCount]]). */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(
+      ArrayType(StringType, containsNull = false),
+      ArrayType(StringType, containsNull = false))
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      SketchEval.sortedIntersectCount(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$E.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression) = copy(left = newLeft, right = newRight)
+  }
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(GraftBridge.expression(a),
       GraftBridge.expression(b)))
 
   /** Rademacher random-projection values of a float-array column

@@ -221,28 +221,29 @@ object CurationQueries {
           .filter(size($"sset") > 0)
         // one-pass codegen kernel — identical per-seed md5-min values as
         // the transform/array_min tree the oracle replays, without
-        // seeds × shingles Catalyst concat/md5/substring/conv nodes
-        val withSig = sample.withColumn("sig",
-          graft.functions.SketchExpressions.md5_minhash_sigs($"sset", 32))
-        // intersections relationally (explode + shingle-keyed self-join
-        // + combinable pair count) instead of array_intersect over
-        // ~300-element arrays per pair inside the all-pairs loop — the
-        // exact-overlap work becomes proportional to ACTUAL overlaps,
-        // and the all-pairs side carries only (id, size, 32-long sig)
-        val ex = sample.select($"doc_id", explode($"sset").as("sg"))
-        val inter = ex.as("x").join(ex.as("y"),
-            col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .agg(count(lit(1)).cast("long").as("inter"))
-        // checkpoint the sample-sized signature table: the kernel is
+        // seeds × shingles Catalyst concat/md5/substring/conv nodes.
+        // Checkpoint the sample-sized signature table: the kernels are
         // codegen-able, so without a materialization barrier whole-stage
         // codegen fuses the stream-side projection INTO the all-pairs
         // loop and recomputes every signature per PAIR (the old
         // higher-order-function formulation broke codegen by accident
         // and so materialized per row; measured 48 s vs 0.6 s at sf0.1)
-        val meta = withSig.select($"doc_id", size($"sset").cast("long")
-          .as("sz"), $"sig")
+        val meta = sample.select($"doc_id",
+            size($"sset").cast("long").as("sz"),
+            graft.functions.SketchExpressions
+              .md5_minhash_sigs($"sset", 32).as("sig"))
           .localCheckpoint(false)
+        // intersections relationally (explode + shingle-keyed self-join
+        // + combinable pair count): the 1-in-10 id sample keeps hot
+        // shingles' pair fanout small here, and at this sample size the
+        // relational plan measures ~0.3 s cheaper than the q112-style
+        // per-pair sorted merge (which wins when the pair list spans
+        // the UNsampled corpus and fanout would be quadratic)
+        val ex = sample.select($"doc_id", explode($"sset").as("sg"))
+        val inter = ex.as("x").join(ex.as("y"),
+            col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .agg(count(lit(1)).cast("long").as("inter"))
         val a = meta.select($"doc_id".as("id_a"), $"sz".as("sz_a"),
           $"sig".as("sig_a"))
         val b = meta.select($"doc_id".as("id_b"), $"sz".as("sz_b"),

@@ -251,16 +251,17 @@ object GovernanceQueries {
             graft.functions.SketchExpressions.word_shingles($"text", 3)
               .as("sset"))
           .filter(size($"sset") > 0)
+        // seed-0 of the q105 one-pass kernel (identical md5("0:"+sh)
+        // min); ss = the sorted shingle set for the per-pair exact
+        // intersection merge below. Checkpointed because the kernels
+        // are codegen-able and the pair joins below would otherwise
+        // fuse their computation into the pair loops (the q105 lesson)
         val meta = sample.select($"doc_id",
           size($"sset").cast("long").as("sz"),
-          array_min(transform($"sset", sh =>
-            conv(substring(md5(concat(lit("0:"), sh)), 1, 15), 16, 10)
-              .cast("long"))).as("m0"))
-        val ex = sample.select($"doc_id", explode($"sset").as("sg"))
-        val inter = ex.as("x").join(ex.as("y"),
-            col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .agg(count(lit(1)).cast("long").as("inter"))
+          array_sort($"sset").as("ss"),
+          element_at(graft.functions.SketchExpressions
+            .md5_minhash_sigs($"sset", 1), 1).as("m0"))
+          .localCheckpoint(false)
         val rnd = meta.filter($"doc_id" % 10 === 0)
         val randPairs = rnd.select($"doc_id".as("id_a"))
           .join(broadcast(rnd.select($"doc_id".as("id_b"))), $"id_a" < $"id_b")
@@ -268,16 +269,24 @@ object GovernanceQueries {
             col("p.m0") === col("q.m0") &&
               col("p.doc_id") < col("q.doc_id"))
           .select(col("p.doc_id").as("id_a"), col("q.doc_id").as("id_b"))
-        val szs = meta.select($"doc_id", $"sz")
-        var df = randPairs.select($"id_a", $"id_b").union(candPairs)
+        // exact intersections ONLY for the calibration pairs, as one
+        // merge pass per pair over the broadcast sorted shingle sets —
+        // the previous shingle-keyed self-join computed intersections
+        // for EVERY overlapping pair in the corpus (hot shingles fan
+        // out quadratically) and then discarded most of them in a left
+        // join; this is per-pair work proportional to the pair list,
+        // whose size the doc-id hard cap fixes at any corpus scale
+        val pairSet = randPairs.select($"id_a", $"id_b").union(candPairs)
           .distinct()
-          .join(broadcast(szs.select($"doc_id".as("id_a"), $"sz".as("sza"))),
-            Seq("id_a"))
-          .join(broadcast(szs.select($"doc_id".as("id_b"), $"sz".as("szb"))),
-            Seq("id_b"))
-          .join(broadcast(inter), Seq("id_a", "id_b"), "left")
-          .select(coalesce($"inter", lit(0L)).as("inter"),
-            ($"sza" + $"szb" - coalesce($"inter", lit(0L))).as("un"))
+        val szs = meta.select($"doc_id", $"sz", $"ss")
+        var df = pairSet
+          .join(broadcast(szs.select($"doc_id".as("id_a"), $"sz".as("sza"),
+            $"ss".as("ssa"))), Seq("id_a"))
+          .join(broadcast(szs.select($"doc_id".as("id_b"), $"sz".as("szb"),
+            $"ss".as("ssb"))), Seq("id_b"))
+          .select($"sza", $"szb", graft.functions.SketchExpressions
+            .sorted_intersect_count($"ssa", $"ssb").as("inter"))
+          .select($"inter", ($"sza" + $"szb" - $"inter").as("un"))
           .withColumn("above", $"inter" * 2 >= $"un")
           .withColumn("j1", $"inter".cast("double") / $"un".cast("double"))
         for (e <- Seq(2, 4, 8, 16, 32))
