@@ -392,6 +392,61 @@ object OpsQueries {
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // ---- perceptual-dup cluster resolution (q175 pairs → q39 CC) -------
+    // Closes the multimodal dedup family the way q39 closes minhash:
+    // the Hamming≤3 pair graph resolves to keep-one clusters via the
+    // same iterative hash-to-min connectedComponents, and the oracle
+    // replays pairs from the pixel formula plus the recursive reach
+    // closure — certifying that the decoded-pixel path and the formula
+    // path agree not just pairwise but transitively.
+    QueryDef(
+      "q176_phash_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticClassPng(
+          table(s, dir, "documents").select($"doc_id"), "doc_id", 40)
+        val sig = Multimodal.withAHash(media, "payload")
+          .select($"doc_id", $"ahash_hi", $"ahash_lo")
+        val pairs = Multimodal.phashNearDups(sig, "doc_id", maxHamming = 3)
+        Dedup.connectedComponents(pairs)
+          .select($"id".as("doc_id"), $"cluster_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE px AS (SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+            CAST(('0x' || substr(md5((doc_id % 40) || ':' || t.p), 1, 2))
+              AS BIGINT) AS base
+          FROM documents, UNNEST(range(0, 64)) t(p)),
+        lum AS (SELECT doc_id, p,
+            CASE WHEN p = doc_id % 64 THEN xor(base, 1) ELSE base END
+              AS lum
+          FROM px),
+        s AS (SELECT doc_id, CAST(SUM(lum) AS BIGINT) AS s FROM lum
+          GROUP BY doc_id),
+        bits AS (SELECT l.doc_id, l.p,
+            CASE WHEN l.lum * 64 >= s.s THEN 1 ELSE 0 END AS b
+          FROM lum l JOIN s USING (doc_id)),
+        h AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN p < 32
+              THEN b * CAST(POWER(2, p) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS lo,
+            CAST(SUM(CASE WHEN p >= 32
+              THEN b * CAST(POWER(2, p - 32) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS hi
+          FROM bits GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            <= 3),
+        edges AS (
+          SELECT id_a AS es, id_b AS et FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+        reach(es, et) AS (
+          SELECT es, et FROM edges
+          UNION
+          SELECT r.es, e.et FROM reach r JOIN edges e ON r.et = e.es)
+        SELECT es AS doc_id, LEAST(es, MIN(et)) AS cluster_id
+        FROM reach GROUP BY es ORDER BY doc_id""")),
+
     // ---- exact char-n-gram Jaccard (inverted index + df-pruning) -------
     // The fourth dedup family (exact set similarity, not sketched): the
     // oracle rebuilds the identical gram sets, applies the same
