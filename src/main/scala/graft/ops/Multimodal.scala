@@ -142,6 +142,61 @@ object Multimodal {
     (md.digest(s"$cls:$p".getBytes("UTF-8"))(0)) & 0xff
   }
 
+  /** Minimal spec-conformant PNG encoder for a grayscale image carried
+    * as 8-bit RGB (all three channels = lum): signature + IHDR + one
+    * zlib IDAT of filter-0 scanlines + IEND. Any standards-compliant
+    * decoder (the `javax.imageio` reader the hash side uses, browsers,
+    * libpng) reads it back to the exact pixel values. Hand-rolled
+    * because `ImageIO.write` costs ~100 µs/image in writer plumbing —
+    * 30× the payload's actual work at fixture-corpus scale — and this
+    * repo already writes its binary formats (Shapefile/GPKG/FlatGeobuf)
+    * directly.
+    */
+  def encodeGrayPng(lums: Array[Int], width: Int, height: Int): Array[Byte] = {
+    // raw scanlines: filter byte 0 + RGB triples
+    val raw = new Array[Byte](height * (1 + 3 * width))
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + 3 * width)
+      var x = 0
+      while (x < width) {
+        val l = lums(y * width + x).toByte
+        raw(base + 1 + 3 * x) = l
+        raw(base + 2 + 3 * x) = l
+        raw(base + 3 + 3 * x) = l
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val cbuf = new Array[Byte](raw.length + 128)
+    var clen = 0
+    while (!defl.finished()) clen += defl.deflate(cbuf, clen, cbuf.length - clen)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(64 + clen)
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(tag: String, data: Array[Byte], len: Int): Unit = {
+      dos.writeInt(len)
+      val tb = tag.getBytes("US-ASCII")
+      dos.write(tb)
+      dos.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data, 0, len)
+      dos.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    chunk("IHDR", ihdr.array(), 13)
+    chunk("IDAT", cbuf, clen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    out.toByteArray
+  }
+
   /** Synthesize an 8×8 grayscale real-PNG payload whose pixels are the
     * [[classLum]] formula for class id % `classes`, with ONE noise
     * pixel (position id % 64, low luminance bit flipped) so documents
@@ -156,21 +211,16 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val iIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val lums = new Array[Int](64)
       it.map { row =>
         val id = row.getLong(iIdx)
-        val img = new java.awt.image.BufferedImage(8, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
         var p = 0
         while (p < 64) {
           val base = classLum(id % classes, p)
-          val lum = if (p == (id % 64).toInt) base ^ 1 else base
-          img.setRGB(p % 8, p / 8, lum * 0x010101)
+          lums(p) = if (p == (id % 64).toInt) base ^ 1 else base
           p += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+        Row.fromSeq(row.toSeq :+ encodeGrayPng(lums, 8, 8))
       }
     }(enc)
   }
@@ -241,10 +291,14 @@ object Multimodal {
   def phashNearDups(sig: DataFrame, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4-band pigeonhole is complete only to 3")
+    // materialize the hash table once (24 B/row — hashes, never image
+    // bytes): both sides of the band equi-join consume it, and without
+    // the barrier each side re-runs the upstream decode+hash chain
     val bands = sig
       .select(col(idCol).as("__id"), col("ahash_hi").as("__hi"),
         col("ahash_lo").as("__lo"))
       .where(col("__hi").isNotNull)
+      .localCheckpoint(false)
       .select(col("__id"), col("__hi"), col("__lo"),
         explode(array(
           struct(lit(0).as("bi"), (col("__lo") % 65536L).as("bv")),
