@@ -331,6 +331,26 @@ object Main {
         else graft.ops.Pca.pc1Scores(df, vecCol, idCol, dims, iters))
           .write.mode("overwrite").parquet(out)
 
+      //   percentiles in out --group-column g --value-column v
+      //     [--ps 50,90,99]: exact per-group ceil-rank percentiles via
+      //     the histogram selector (one combinable aggregation + one
+      //     per-group window over the domain-bounded histogram — the
+      //     q124/q149/q171 machinery as a standalone report)
+      case "percentiles" =>
+        import org.apache.spark.sql.functions._
+        val Seq(in, out) = rest.take(2)
+        val g = opt(rest, "group-column").getOrElse("lang")
+        val v = opt(rest, "value-column")
+          .getOrElse(die("percentiles requires --value-column"))
+        val ps = opt(rest, "ps").getOrElse("50,90,99")
+          .split(",").map(_.trim.toInt).toSeq
+        val hist = spark.read.parquet(in)
+          .groupBy(col(g), col(v)).agg(count(lit(1)).as("__c"))
+        graft.ops.DistWindow.histCeilRanks(hist, col(g), col(v),
+            col("__c"), ps, g, "p", "value_at", "n_rows")
+          .select(col(g), col("p"), col("n_rows"), col("value_at"))
+          .write.mode("overwrite").parquet(out)
+
       //   logreg-train in out [--dims 256] [--iters 3] [--label-lang en]
       //   (hashed-BoW quality-classifier weights to parquet)
       case "logreg-train" =>
@@ -1167,6 +1187,7 @@ object Main {
       |  gopher-gate [--keep-only],
       |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom|phash},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
+      |  percentiles --value-column v [--ps 50,90,99],
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
       |  bm25 --terms w1,w2, shard-manifest, zipf-stats,
       |  embed-outliers, source-gate, term-drift, span-scrub,

@@ -1040,6 +1040,50 @@ object Streaming {
       }
   }
 
+  final case class WeekCents(week: Long, cents: Long)
+  final case class BandState(hist: Map[Long, Long])
+  final case class BandRow(week: Long, p: Int, n_purchases: Long,
+      cents_at: Long)
+
+  /** Streaming weekly percentile bands — the keyed-state twin of q171:
+    * per-week state is the (cents → count) HISTOGRAM (domain-bounded by
+    * the price range, the same boundedness argument as the batch
+    * histogram selector — NEVER a buffer of raw purchases), and each
+    * micro-batch folds arrivals in and re-emits the week's ceil-rank
+    * percentile rows. The histogram is an order-independent CRDT-style
+    * state (counts only), so the FINAL Update-mode row per (week, p)
+    * equals the batch `histCeilRanks` selection exactly under any
+    * arrival order or restart; the selection is the identical integer
+    * inequality pos = ceil(n·p/100), cum − c < pos ≤ cum.
+    */
+  def weeklyBands(purchases: Dataset[WeekCents],
+      ps: Seq[Int] = Seq(50, 90)): Dataset[BandRow] = {
+    import purchases.sparkSession.implicits._
+    purchases.groupByKey(_.week)
+      .flatMapGroupsWithState[BandState, BandRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (week: Long, batch: Iterator[WeekCents],
+            state: GroupState[BandState]) =>
+          var hist = state.getOption.map(_.hist)
+            .getOrElse(Map.empty[Long, Long])
+          batch.foreach { r =>
+            hist = hist.updated(r.cents, hist.getOrElse(r.cents, 0L) + 1L)
+          }
+          state.update(BandState(hist))
+          val sorted = hist.toArray.sortBy(_._1)
+          val tot = sorted.iterator.map(_._2).sum
+          ps.iterator.map { p =>
+            val pos = (tot * p + 99) / 100
+            var cum = 0L
+            var i = 0
+            while (i < sorted.length - 1 && cum + sorted(i)._2 < pos) {
+              cum += sorted(i)._2; i += 1
+            }
+            BandRow(week, p, tot, sorted(i)._1)
+          }
+      }
+  }
+
   /** Streaming robust anomaly gate — the scoring face of q139 under a
     * FROZEN per-type (median, MAD) model, the same
     * model-as-deployment-artifact contract as [[nbScore]]/[[bm25Score]]:

@@ -614,6 +614,18 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/ks.parquet")
       .head().getAs[Double]("ks_stat") == 0.0)
 
+    // percentiles: values 1..10 in one group -> p50 = ceil(10*50/100)=5th
+    // element = 5, p90 = 9, p100 = 10
+    (1 to 10).map(i => ("g", i.toLong)).toDF("grp", "v")
+      .write.parquet(s"$dir/pct_in.parquet")
+    Main.run(spark, Seq("percentiles", s"$dir/pct_in.parquet",
+      s"$dir/pct_out.parquet", "--group-column", "grp",
+      "--value-column", "v", "--ps", "50,90,100"))
+    val pct = spark.read.parquet(s"$dir/pct_out.parquet")
+      .orderBy("p")
+      .collect().map(r => (r.getInt(1), r.getLong(3))).toSeq
+    assert(pct == Seq((50, 5L), (90, 9L), (100, 10L)), s"pct=$pct")
+
     // mix-plan: one dominant source capped at 30% of total weight; the
     // small sources upsample toward the 50% budget
     val plan = {

@@ -56,6 +56,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b, s"stream ${s.take(3)}... vs batch ${b.take(3)}...")
   }
 
+  test("streaming weekly percentile bands: final rows equal batch q171") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sband")
+    val p = spark.read.parquet(s"$dir/events.parquet")
+      .filter($"event_type" === "purchase")
+      .select(expr("unix_timestamp(CAST(ts AS TIMESTAMP)) DIV 604800")
+        .as("week"),
+        round($"value" * 100).cast("long").as("cents"))
+    p.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val stream = spark.readStream.schema(p.schema)
+      .parquet(streamDir.toString + "/in")
+      .as[Streaming.WeekCents]
+    val streamed = Streaming.runToCompletion(
+      Streaming.weeklyBands(stream).toDF(), "sband_test",
+      outputMode = "update")
+    // histogram state is order-independent; the memory sink may hold one
+    // emission per micro-batch — the FINAL (largest-n) row per (week, p)
+    // is the converged one
+    val fin = streamed.groupBy("week", "p")
+      .agg(max(struct($"n_purchases", $"cents_at")).as("r"))
+      .select($"week", $"p", $"r.n_purchases", $"r.cents_at")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = SparkEntry.queries("q171_weekly_bands")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(fin == batch, s"stream ${fin.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming exact dedup keeps one row per digest like the batch op") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sdedup")
     // duplicated payloads with distinct ids and a timestamp column
