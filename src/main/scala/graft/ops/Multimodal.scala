@@ -61,25 +61,71 @@ object Multimodal {
   /** Encode an RGB image as real PNG bytes with pixels derived from
     * `seed` — the fixture side of the decode round-trip (tests and q46
     * synthesize corpora whose dimensions are a pure function of the row
-    * id, so a SQL oracle can verify the real decode output).
+    * id, so a SQL oracle can verify the real decode output). Encoded by
+    * [[encodeRgbPng]] — the `ImageIO` READER remains the certified
+    * decode path.
     */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
-    // the default stream cache is a temp FILE per encode — disable once
-    javax.imageio.ImageIO.setUseCache(false)
-    val img = new java.awt.image.BufferedImage(width, height,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](width * height)
+    var p = 0
+    while (p < px.length) {
+      px(p) = Hashing.family(seed, p).toInt & 0xffffff
+      p += 1
+    }
+    encodeRgbPng(px, width, height)
+  }
+
+  /** Minimal spec-conformant PNG encoder for 24-bit RGB pixels
+    * (0xRRGGBB, row-major): signature + IHDR + one zlib IDAT of
+    * filter-0 scanlines + IEND. Any standards-compliant decoder (the
+    * `javax.imageio` reader used throughout, browsers, libpng) reads
+    * back the exact pixel values. Hand-rolled because `ImageIO.write`
+    * costs ~100 µs/image in writer plumbing — 30× the payload's actual
+    * work at fixture-corpus scale — and this repo already writes its
+    * binary formats (Shapefile/GPKG/FlatGeobuf) directly.
+    */
+  def encodeRgbPng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + 3 * width))
     var y = 0
     while (y < height) {
+      val base = y * (1 + 3 * width)
       var x = 0
       while (x < width) {
-        img.setRGB(x, y, Hashing.family(seed, y * width + x).toInt & 0xffffff)
+        val v = pixels(y * width + x)
+        raw(base + 1 + 3 * x) = ((v >> 16) & 0xff).toByte
+        raw(base + 2 + 3 * x) = ((v >> 8) & 0xff).toByte
+        raw(base + 3 + 3 * x) = (v & 0xff).toByte
         x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val cbuf = new Array[Byte](raw.length + 128)
+    var clen = 0
+    while (!defl.finished()) clen += defl.deflate(cbuf, clen, cbuf.length - clen)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(64 + clen)
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(tag: String, data: Array[Byte], len: Int): Unit = {
+      dos.writeInt(len)
+      val tb = tag.getBytes("US-ASCII")
+      dos.write(tb)
+      dos.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data, 0, len)
+      dos.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    chunk("IHDR", ihdr.array(), 13)
+    chunk("IDAT", cbuf, clen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    out.toByteArray
   }
 
   /** Attach decoded metadata partition-locally (no shuffle). Image
@@ -142,60 +188,9 @@ object Multimodal {
     (md.digest(s"$cls:$p".getBytes("UTF-8"))(0)) & 0xff
   }
 
-  /** Minimal spec-conformant PNG encoder for a grayscale image carried
-    * as 8-bit RGB (all three channels = lum): signature + IHDR + one
-    * zlib IDAT of filter-0 scanlines + IEND. Any standards-compliant
-    * decoder (the `javax.imageio` reader the hash side uses, browsers,
-    * libpng) reads it back to the exact pixel values. Hand-rolled
-    * because `ImageIO.write` costs ~100 µs/image in writer plumbing —
-    * 30× the payload's actual work at fixture-corpus scale — and this
-    * repo already writes its binary formats (Shapefile/GPKG/FlatGeobuf)
-    * directly.
-    */
-  def encodeGrayPng(lums: Array[Int], width: Int, height: Int): Array[Byte] = {
-    // raw scanlines: filter byte 0 + RGB triples
-    val raw = new Array[Byte](height * (1 + 3 * width))
-    var y = 0
-    while (y < height) {
-      val base = y * (1 + 3 * width)
-      var x = 0
-      while (x < width) {
-        val l = lums(y * width + x).toByte
-        raw(base + 1 + 3 * x) = l
-        raw(base + 2 + 3 * x) = l
-        raw(base + 3 + 3 * x) = l
-        x += 1
-      }
-      y += 1
-    }
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(raw); defl.finish()
-    val cbuf = new Array[Byte](raw.length + 128)
-    var clen = 0
-    while (!defl.finished()) clen += defl.deflate(cbuf, clen, cbuf.length - clen)
-    defl.end()
-    val out = new java.io.ByteArrayOutputStream(64 + clen)
-    val dos = new java.io.DataOutputStream(out)
-    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
-    def chunk(tag: String, data: Array[Byte], len: Int): Unit = {
-      dos.writeInt(len)
-      val tb = tag.getBytes("US-ASCII")
-      dos.write(tb)
-      dos.write(data, 0, len)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(data, 0, len)
-      dos.writeInt(crc.getValue.toInt)
-    }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-    ihdr.putInt(width).putInt(height)
-      .put(8.toByte)  // bit depth
-      .put(2.toByte)  // color type: truecolor RGB
-      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
-    chunk("IHDR", ihdr.array(), 13)
-    chunk("IDAT", cbuf, clen)
-    chunk("IEND", Array.emptyByteArray, 0)
-    out.toByteArray
-  }
+  /** Grayscale face of [[encodeRgbPng]]: all three channels = lum. */
+  def encodeGrayPng(lums: Array[Int], width: Int, height: Int): Array[Byte] =
+    encodeRgbPng(lums.map(l => (l & 0xff) * 0x010101), width, height)
 
   /** Synthesize an 8×8 grayscale real-PNG payload whose pixels are the
     * [[classLum]] formula for class id % `classes`, with ONE noise
