@@ -990,9 +990,97 @@ object VectorQueries {
             AS n_correct,
           CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) * 10000
             // COUNT(*) AS BIGINT) AS accuracy_bp
-        FROM pred GROUP BY qlabel ORDER BY label""")
+        FROM pred GROUP BY qlabel ORDER BY label""")),
+
+    // ---- greedy k-center coreset (diverse-subset selection) ------------
+    // The data-selection op behind embedding-based coreset curation
+    // (k-center greedy / farthest-point sampling, cosine flavor): start
+    // from the smallest id, then repeatedly add the vector whose MAX
+    // similarity to the already-selected set is smallest — the most
+    // "novel" remaining document. Selection compares the q163
+    // micro-scaled integers (ROUND(cos·1e6) AS BIGINT) with a vec_id
+    // tie-break, so both engines pick identical centers at every step;
+    // the oracle replays all 7 greedy steps as a generated CTE chain
+    // (the q63/q72 unrolled-iteration convention). Scale shape: k
+    // bounded driver iterations, each ONE corpus scan + a 1-row
+    // TakeOrdered — centers ride as codegen literals; nothing quadratic,
+    // nothing corpus-sized on the driver.
+    QueryDef(
+      "q177_kcenter_coreset",
+      (s, dir) => {
+        import s.implicits._
+        val emb = table(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val k = 8
+        val f = emb.orderBy($"vec_id").limit(1).collect()(0)
+        val selected = scala.collection.mutable.ArrayBuffer[
+          (Long, Array[Float], Long)](
+          (f.getLong(0), f.getSeq[Float](1).toArray, -2000000L))
+        while (selected.size < k) {
+          val sims = selected.map { case (_, c, _) =>
+            val cn = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+            dot($"embedding", typedlit(c)) / (norm($"embedding") * lit(cn))
+          }.toSeq
+          val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
+          val ids = selected.map(_._1).toSeq
+          val nxt = emb.filter(!$"vec_id".isin(ids: _*))
+            .withColumn("__ms", ms)
+            .select($"vec_id", $"embedding",
+              expr("CAST(ROUND(__ms * 1000000) AS BIGINT)").as("msm"))
+            .orderBy($"msm".asc, $"vec_id".asc).limit(1).collect()(0)
+          selected += ((nxt.getLong(0), nxt.getSeq[Float](1).toArray,
+            nxt.getLong(2)))
+        }
+        s.createDataFrame(selected.toSeq.zipWithIndex.map {
+          case ((id, _, m), i) => (i + 1L, id, m)
+        }).toDF("rank", "vec_id", "max_sim_micro")
+      },
+      Some(kcenterOracle(8))
     )
   )
+
+  /** Generated oracle for q177: 7 unrolled greedy steps. Step t selects
+    * argmin over unselected vecs of ROUND(1e6 · max(sim to c1..ct))
+    * with a vec_id tie-break — the exact integer rule the Spark loop
+    * applies.
+    */
+  private def kcenterOracle(k: Int): String = {
+    def simCte(t: Int) = raw"""s$t AS MATERIALIZED (SELECT e.vec_id,
+        SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) /
+          (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE)
+                    * CAST(e.embedding[t.i] AS DOUBLE))) *
+           SQRT(SUM(CAST(c.embedding[t.i] AS DOUBLE)
+                    * CAST(c.embedding[t.i] AS DOUBLE)))) AS sim
+      FROM embeddings e CROSS JOIN c$t c
+      CROSS JOIN generate_series(1, 64) t(i)
+      GROUP BY e.vec_id)"""
+    def maxCte(t: Int) = {
+      val joins = (2 to t).map(j => s"JOIN s$j ON s$j.vec_id = s1.vec_id")
+        .mkString(" ")
+      val g = if (t == 1) "s1.sim"
+        else (1 to t).map(j => s"s$j.sim").mkString("GREATEST(", ", ", ")")
+      s"""m$t AS MATERIALIZED (SELECT s1.vec_id,
+          CAST(ROUND($g * 1000000) AS BIGINT) AS msm
+        FROM s1 $joins)"""
+    }
+    def selUnion(t: Int) =
+      (1 to t).map(j => s"SELECT vec_id FROM c$j").mkString(" UNION ALL ")
+    val steps = (2 to k).map { t =>
+      simCte(t - 1) + ",\n        " + maxCte(t - 1) + ",\n        " +
+        s"""c$t AS MATERIALIZED (SELECT e.vec_id, e.embedding FROM embeddings e
+          WHERE e.vec_id = (SELECT m.vec_id FROM m${t - 1} m
+            WHERE m.vec_id NOT IN (${selUnion(t - 1)})
+            ORDER BY m.msm ASC, m.vec_id ASC LIMIT 1))"""
+    }.mkString(",\n        ")
+    val out = (1 to k).map { t =>
+      val ms = if (t == 1) "CAST(-2000000 AS BIGINT)"
+        else s"(SELECT msm FROM m${t - 1} WHERE vec_id = c$t.vec_id)"
+      s"SELECT CAST($t AS BIGINT) AS rank, vec_id, $ms AS max_sim_micro FROM c$t"
+    }.mkString(" UNION ALL ")
+    raw"""WITH c1 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+        $steps
+      SELECT rank, vec_id, max_sim_micro FROM ($out) ORDER BY rank"""
+  }
 
   /** Generated oracle for q63: one CTE chain per subspace replaying
     * Pq.trainCodebooks (stride init, L2 argmin assignment with the
