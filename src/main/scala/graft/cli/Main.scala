@@ -287,6 +287,32 @@ object Main {
             maxHamming = opt(rest, "max-hamming").map(_.toInt).getOrElse(3))
           .write.mode("overwrite").parquet(out)
 
+      //   audio-gate in out [--payload-column payload] [--keep-only]:
+      //   decode audio payloads (JDK javax.sound, partition-local) and
+      //   classify by the q179 rule ladder; --keep-only drops gated rows
+      case "audio-gate" =>
+        import org.apache.spark.sql.functions.col
+        val Seq(in, out) = rest.take(2)
+        val gated = graft.ops.Multimodal.withAudioGate(
+          spark.read.parquet(in),
+          opt(rest, "payload-column").getOrElse("payload"))
+        val res = if (flag(rest, "keep-only"))
+          gated.filter(col("reason") === "keep").drop("reason")
+        else gated
+        res.write.mode("overwrite").parquet(out)
+
+      //   nfc-normalize in out [--text-column text]: Unicode NFC
+      //   canonical composition of the text column (codegen kernel) —
+      //   run before any byte-level dedup/fingerprint stage
+      case "nfc-normalize" =>
+        import org.apache.spark.sql.functions.col
+        val Seq(in, out) = rest.take(2)
+        val txt = opt(rest, "text-column").getOrElse("text")
+        spark.read.parquet(in)
+          .withColumn(txt,
+            graft.functions.SketchExpressions.nfc_normalize(col(txt)))
+          .write.mode("overwrite").parquet(out)
+
       //   bpe-train in out [--rounds 64]  (learned merge table to parquet)
       case "bpe-train" =>
         val Seq(in, out) = rest.take(2)
@@ -1195,6 +1221,7 @@ object Main {
       |  embed-decontam, funnel --steps a,b,c, retention, transitions,
       |  anomaly-report, spans [--min-span N], compact [--target-bytes N],
       |  scrub-blocks,
+      |  audio-gate [--keep-only], nfc-normalize,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

@@ -847,6 +847,28 @@ object SketchEval {
     new GenericArrayData(Array[Any](t.toDouble, h))
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer — the JDK's
+    * Unicode-conformant implementation). Canonical composition is a
+    * property of the Unicode standard, not the library, so the output
+    * is bit-identical to DuckDB's utf8proc `nfc_normalize` — the q180
+    * oracle parity. Fast path: pure-ASCII text (the overwhelmingly
+    * common case in a curation scan) is already NFC; skip the
+    * Normalizer allocation entirely and return the input reference.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) {
+      if (str.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii || java.text.Normalizer.isNormalized(
+        str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   // ---- PII redaction: hand scanners matching the three fixed regexes
   // email  [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
   // ipv4   \b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b
@@ -1811,6 +1833,27 @@ object SketchExpressions {
 
   def char_entropy(text: Column): Column =
     GraftBridge.column(CharEntropy(GraftBridge.expression(text)))
+
+  /** Unicode NFC normalization ([[SketchEval.nfcNormalize]]) — the
+    * canonical-composition cleanup every text-curation pipeline runs
+    * before dedup/tokenization (decomposed `e`+U+0301 and composed `é`
+    * must hash identically). ASCII fast path skips the Normalizer.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(s: Any): Any =
+      SketchEval.nfcNormalize(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.nfcNormalize($c)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def nfc_normalize(text: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
 
   /** Email/IPv4/phone redaction (linear hand scanners ≡ the fixed
     * regex chain — see SketchEval.piiRedact).

@@ -26,6 +26,7 @@ object text {
     one("topgram_stats", es => TopgramStats(es.head))
     one("rep_stats", es => RepStats(es.head))
     one("char_entropy", es => CharEntropy(es.head))
+    one("nfc_normalize", es => NfcNormalize(es.head))
     one("pii_redact", es => PiiRedact(es.head))
     one("simhash64", es => Simhash64(es.head))
     one("sorted_pairs", es => SortedPairs(es.head))

@@ -326,6 +326,173 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ---- audio: real RIFF/WAVE PCM round-trip ---------------------------
+  //
+  // The audio sibling of the PNG path above: the fixture side writes
+  // spec-conformant WAV bytes with a minimal hand-rolled RIFF writer
+  // (like encodeRgbPng — this repo already writes its binary formats
+  // directly), the decode side goes through the JDK's certified
+  // `javax.sound.sampled` reader (ships with the JVM, no external
+  // codecs), and the per-document samples are a pure integer formula a
+  // SQL oracle replays — so a cross-engine hash match certifies the
+  // whole encode→decode→feature round-trip, not just plumbing.
+
+  /** Minimal spec-conformant RIFF/WAVE writer for 16-bit signed PCM
+    * mono: "RIFF" + "WAVE" + a 16-byte "fmt " chunk (PCM, 1 channel)
+    * + one "data" chunk of little-endian samples. Any compliant reader
+    * (the `javax.sound.sampled` reader used by [[decodeWavPcm16]],
+    * ffmpeg, sox) reads back the exact sample values.
+    */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                 // audio format: PCM
+      .putShort(1)                 // channels: mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)      // byte rate
+      .putShort(2)                 // block align
+      .putShort(16)                // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** REAL WAV decode via the JDK's built-in `javax.sound.sampled`
+    * reader — the certified decode path (the writer above is never
+    * consulted). Returns (sampleRate, samples) for 16-bit signed PCM
+    * mono payloads, None when the bytes aren't decodable audio.
+    */
+  def decodeWavPcm16(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (payload == null || payload.length == 0) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (f.isBigEndian)
+            while (i < n) {
+              out(i) = (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+              i += 1
+            }
+          Some((f.getSampleRate.toInt, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Fixture sample rate for the synthetic audio corpus (8 kHz mono —
+    * 0.2–0.4 s clips at the formula lengths below).
+    */
+  val syntheticWavRate = 8000
+
+  /** Deterministic per-document PCM samples — the formula a SQL oracle
+    * replays (all integer arithmetic, BIGINT-exact):
+    * n = 1600 + (id % 32)·50 samples, amplitude amp = 256 + (id % 8)·256,
+    * sample(t) = ((id·7919 + t·104729) mod (2·amp+1)) − amp.
+    */
+  def syntheticSamples(id: Long): Array[Short] = {
+    val n = (1600 + (id % 32) * 50).toInt
+    val amp = 256 + (id % 8) * 256
+    val m = 2 * amp + 1
+    val out = new Array[Short](n)
+    var t = 0
+    while (t < n) {
+      out(t) = ((id * 7919 + t * 104729L) % m - amp).toShort
+      t += 1
+    }
+    out
+  }
+
+  /** Synthesize a real-WAV payload column from an id column
+    * (partition-local): [[syntheticSamples]] through the RIFF writer.
+    */
+  def withSyntheticWav(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema.add(payloadCol, BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(iIdx)
+        Row.fromSeq(row.toSeq :+
+          encodeWavPcm16(syntheticSamples(id), syntheticWavRate))
+      }
+    }(enc)
+  }
+
+  /** Integer-exact features of a decoded clip: n_samples, peak = max|s|,
+    * sum_sq = Σs², zero_cross = #{t ≥ 1 : sign(s[t-1] ≥ 0) ≠ sign(s[t] ≥ 0)}.
+    * All sums fit a Long at any realistic clip length (2³¹ samples of
+    * ±2¹⁵ → Σs² < 2⁶¹).
+    */
+  def audioFeatures(samples: Array[Short]): (Long, Long, Long, Long) = {
+    var peak = 0L; var sumSq = 0L; var zc = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v * v
+      if (i > 0 && (samples(i - 1) >= 0) != (v >= 0)) zc += 1
+      i += 1
+    }
+    (samples.length.toLong, peak, sumSq, zc)
+  }
+
+  /** Decode audio payloads partition-locally (no shuffle) and attach the
+    * integer-exact feature columns; rows whose payload doesn't decode as
+    * 16-bit PCM mono get nulls. Only the 5 feature longs ever reach a
+    * shuffle — the audio bytes never do.
+    */
+  def withAudioFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("sample_rate", LongType).add("n_samples", LongType)
+      .add("peak", LongType).add("sum_sq", LongType)
+      .add("zero_cross", LongType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        decodeWavPcm16(row.getAs[Array[Byte]](pIdx)) match {
+          case Some((rate, samples)) =>
+            val (n, peak, sumSq, zc) = audioFeatures(samples)
+            Row.fromSeq(row.toSeq :+ rate.toLong :+ n :+ peak :+ sumSq :+ zc)
+          case None =>
+            Row.fromSeq(row.toSeq :+ null :+ null :+ null :+ null :+ null)
+        }
+      }
+    }(enc)
+  }
+
+  /** The q179 audio-gate rule ladder over decoded features — FIRST
+    * matching rule wins (clipping ≻ too_short ≻ low_energy ≻ keep), all
+    * integer comparisons. One definition serves the batch query and the
+    * streaming twin, so their verdicts are identical by construction.
+    */
+  def withAudioGate(df: DataFrame, payloadCol: String): DataFrame =
+    withAudioFeatures(df, payloadCol).withColumn("reason",
+      when(col("peak") >= 2040L, "clipping")
+        .when(col("n_samples") < 1700L, "too_short")
+        .when(col("sum_sq") < col("n_samples") * 30000L, "low_energy")
+        .otherwise("keep"))
+
   /** Deterministic fake resize: a real implementation decodes, scales
     * to targetW × targetH and re-encodes; the stub emits a payload of
     * exactly targetW*targetH bytes sampled by stride from the source so

@@ -447,6 +447,44 @@ object CurationQueries {
           ROUND(CAST(loss_micro AS DOUBLE) / 1000000.0, 6) AS mean_nlp,
           ROUND(CAST(w AS DOUBLE) / 1000000000000.0, 6) AS weight,
           ROUND(CAST(w AS DOUBLE) / 1000000000000.0 * k, 6) AS boost
-        FROM r12 CROSS JOIN k0 ORDER BY source"""))
+        FROM r12 CROSS JOIN k0 ORDER BY source""")),
+
+    // ---- Unicode NFC normalization (canonical composition) -------------
+    // The cleanup every curation pipeline runs before dedup/tokenization:
+    // decomposed `e`+U+0301 and composed `é` must hash identically, or
+    // byte-level dedup/fingerprints silently miss equivalent text. The
+    // fixture injects combining marks deterministically (both engines
+    // build the same decomposed string from `documents.text`), the Spark
+    // side normalizes through the codegen NfcNormalize kernel
+    // (java.text.Normalizer), the oracle through DuckDB's utf8proc
+    // `nfc_normalize` — two independent Unicode implementations, and the
+    // md5-of-normalized-text column makes the hash compare certify exact
+    // output bytes, not just lengths.
+    QueryDef(
+      "q180_unicode_nfc",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.SketchExpressions.nfc_normalize
+        val raw = table(s, dir, "documents").select($"doc_id", $"lang",
+          replace(replace($"text", lit("e"), lit("e\u0301")),
+            lit("o"), lit("o\u0308")).as("raw"))
+        raw.select($"doc_id", $"lang", $"raw",
+            nfc_normalize($"raw").as("nfc"))
+          .select($"doc_id", $"lang",
+            length($"raw").cast("long").as("raw_len"),
+            length($"nfc").cast("long").as("nfc_len"),
+            md5($"nfc".cast("binary")).as("h"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, lang,
+            replace(replace(text, 'e', 'e' || chr(769)),
+              'o', 'o' || chr(776)) AS raw
+          FROM documents),
+        n AS (SELECT doc_id, lang, raw, nfc_normalize(raw) AS nfc FROM r)
+        SELECT doc_id, lang,
+          CAST(length(raw) AS BIGINT) AS raw_len,
+          CAST(length(nfc) AS BIGINT) AS nfc_len,
+          md5(nfc) AS h
+        FROM n ORDER BY doc_id"""))
   )
 }

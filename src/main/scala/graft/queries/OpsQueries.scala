@@ -447,6 +447,92 @@ object OpsQueries {
         SELECT es AS doc_id, LEAST(es, MIN(et)) AS cluster_id
         FROM reach GROUP BY es ORDER BY doc_id""")),
 
+    // ---- REAL audio decode (JDK javax.sound.sampled, no external jars) -
+    // The audio sibling of q46: each row's payload is an actual
+    // RIFF/WAVE 16-bit PCM mono clip written by the minimal hand-rolled
+    // encoder, decoded back through the JDK's certified
+    // javax.sound.sampled reader, and reduced to integer-exact features
+    // (peak, Σs², zero crossings) computed from the DECODED samples.
+    // The oracle replays the sample FORMULA (all BIGINT arithmetic), so
+    // the cross-engine hash match certifies the whole encode→decode→
+    // feature round-trip. Decode is partition-local; only 5 longs per
+    // row ever reach the exchange — audio bytes never do, which is the
+    // shape that holds at 100 TB of audio.
+    QueryDef(
+      "q178_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticWav(
+          table(s, dir, "documents").select($"doc_id"), "doc_id")
+        Multimodal.withAudioFeatures(media, "payload")
+          .select($"doc_id", $"sample_rate", $"n_samples", $"peak",
+            $"sum_sq", $"zero_cross")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            1600 + (doc_id % 32) * 50 AS n,
+            256 + (doc_id % 8) * 256 AS amp
+          FROM documents),
+        s AS (SELECT doc_id, n, CAST(u.t AS BIGINT) AS t,
+            ((doc_id * 7919 + u.t * 104729) % (2 * amp + 1)) - amp AS v,
+            CASE WHEN u.t = 0 THEN NULL ELSE
+              ((doc_id * 7919 + (u.t - 1) * 104729) % (2 * amp + 1)) - amp
+            END AS vp
+          FROM d, UNNEST(range(0, n)) u(t))
+        SELECT doc_id,
+          CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(COUNT(*) AS BIGINT) AS n_samples,
+          CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+          CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+          CAST(SUM(CASE WHEN vp IS NOT NULL
+            AND (vp >= 0) <> (v >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+            AS zero_cross
+        FROM s GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- audio curation gate over decoded features ----------------------
+    // The audio member of the quality-gate family (q82/q96/q103 for
+    // text): first-matching-rule classification on the decoded-sample
+    // features — clipping (peak at the 16-bit-ish rail), too-short
+    // clips, low-energy clips — aggregated to a per-reason report. The
+    // thresholds are part of the verified semantics: the oracle applies
+    // the same rule ladder to the formula-replayed samples, so agreement
+    // certifies both the decode and the gate.
+    QueryDef(
+      "q179_audio_gate",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticWav(
+          table(s, dir, "documents").select($"doc_id"), "doc_id")
+        Multimodal.withAudioGate(media, "payload")
+          .groupBy($"reason")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_samples").as("total_samples"),
+            max($"peak").as("max_peak"))
+          .orderBy($"reason")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            1600 + (doc_id % 32) * 50 AS n,
+            256 + (doc_id % 8) * 256 AS amp
+          FROM documents),
+        s AS (SELECT doc_id, n, CAST(u.t AS BIGINT) AS t,
+            ((doc_id * 7919 + u.t * 104729) % (2 * amp + 1)) - amp AS v
+          FROM d, UNNEST(range(0, n)) u(t)),
+        f AS (SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+            CAST(SUM(v * v) AS BIGINT) AS sum_sq
+          FROM s GROUP BY doc_id),
+        g AS (SELECT *,
+            CASE WHEN peak >= 2040 THEN 'clipping'
+                 WHEN n_samples < 1700 THEN 'too_short'
+                 WHEN sum_sq < n_samples * 30000 THEN 'low_energy'
+                 ELSE 'keep' END AS reason
+          FROM f)
+        SELECT reason, COUNT(*) AS n_docs,
+          CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+          MAX(peak) AS max_peak
+        FROM g GROUP BY reason ORDER BY reason""")),
+
     // ---- exact char-n-gram Jaccard (inverted index + df-pruning) -------
     // The fourth dedup family (exact set similarity, not sketched): the
     // oracle rebuilds the identical gram sets, applies the same

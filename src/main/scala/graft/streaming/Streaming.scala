@@ -922,6 +922,21 @@ object Streaming {
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     graft.ops.Gopher.withRules(docs, textCol)
 
+  /** Streaming audio gate — the ingestion face of q179: each arriving
+    * payload is decoded through the JDK's javax.sound reader and
+    * classified by the SAME rule ladder as the batch query
+    * ([[graft.ops.Multimodal.withAudioGate]] — one definition), all
+    * partition-local, so per-record verdicts are stateless and
+    * exactly-once under any trigger like [[piiScrub]]/[[gopherGate]].
+    * The complete-mode per-reason report (count/sum/max) combines
+    * associatively and commutatively, so the snapshot after any prefix
+    * of the stream equals the batch q179 report of that prefix under
+    * any arrival order, trigger boundary, or restart. Audio bytes never
+    * enter state or a shuffle — only the 5 feature longs do.
+    */
+  def audioGate(media: DataFrame, payloadCol: String): DataFrame =
+    graft.ops.Multimodal.withAudioGate(media, payloadCol)
+
   final case class FunnelEvent(user_id: Long, event_type: String, us: Long,
       event_id: Long)
   final case class FunnelState(times: List[Long])

@@ -145,7 +145,10 @@ object ScaleCurve {
     "q171_weekly_bands",  // (week,cents) histogram + ceil-rank window
     "q172_autocorr_daily",// calendar-sized daily agg + lag self-join
     "q173_weekday_profile",// one combinable agg + 1-row total
-    "q174_mde_curve"      // 1-row moments + 5-row closed-form curve
+    "q174_mde_curve",     // 1-row moments + 5-row closed-form curve
+    "q178_audio_decode",  // partition-local WAV encode+decode, zero text shuffle
+    "q179_audio_gate",    // decode projection + combinable reason agg
+    "q180_unicode_nfc"    // codegen NFC projection + per-row md5
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)

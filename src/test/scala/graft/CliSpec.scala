@@ -975,6 +975,32 @@ class CliSpec extends AnyFunSuite {
     assert(plan2.length == 1 && plan2.head.getLong(2) == 120L)
   }
 
+  test("audio-gate and nfc-normalize commands run end-to-end") {
+    val dir = tmp("audio")
+    import spark.implicits._
+    graft.ops.Multimodal.withSyntheticWav(
+        spark.range(0, 64).toDF("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/media.parquet")
+    Main.run(spark, Seq("audio-gate", s"$dir/media.parquet",
+      s"$dir/gated.parquet"))
+    val gated = spark.read.parquet(s"$dir/gated.parquet")
+    assert(gated.columns.contains("reason") && gated.count() == 64)
+    Main.run(spark, Seq("audio-gate", s"$dir/media.parquet",
+      s"$dir/kept.parquet", "--keep-only"))
+    val kept = spark.read.parquet(s"$dir/kept.parquet")
+    assert(kept.count() ==
+      gated.filter($"reason" === "keep").count())
+    assert(!kept.columns.contains("reason"))
+
+    Seq((1L, "déjà vu"), (2L, "plain")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    Main.run(spark, Seq("nfc-normalize", s"$dir/docs.parquet",
+      s"$dir/norm.parquet"))
+    val norm = spark.read.parquet(s"$dir/norm.parquet")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(norm(0)._2 == "déjà vu" && norm(1)._2 == "plain")
+  }
+
   test("upload command copies a file and a filtered tree via file://") {
     val dir = tmp("upload")
     java.nio.file.Files.writeString(

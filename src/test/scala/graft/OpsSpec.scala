@@ -1584,4 +1584,86 @@ class OpsSpec extends AnyFunSuite {
       running += w
     }
   }
+
+  test("WAV PCM round-trip: hand-rolled RIFF writer decodes through the " +
+      "JDK javax.sound reader to exact samples; junk bytes fall to None") {
+    // deterministic pseudo-random samples spanning the full short range
+    val samples = Array.tabulate(3001) { i =>
+      (Hashing.family(7L, i) % 65536L - 32768L).toShort
+    }
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    val Some((rate, back)) = Multimodal.decodeWavPcm16(wav)
+    assert(rate == 8000)
+    assert(back.sameElements(samples))
+    // edge shapes: empty clip, single sample, rail values
+    for (s <- Seq(Array.empty[Short], Array[Short](0),
+        Array[Short](Short.MinValue, Short.MaxValue, -1, 1))) {
+      val Some((r2, b2)) = Multimodal.decodeWavPcm16(
+        Multimodal.encodeWavPcm16(s, 16000))
+      assert(r2 == 16000 && b2.sameElements(s))
+    }
+    assert(Multimodal.decodeWavPcm16(null).isEmpty)
+    assert(Multimodal.decodeWavPcm16(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeWavPcm16("not audio".getBytes).isEmpty)
+    // a PNG payload is not audio
+    assert(Multimodal.decodeWavPcm16(Multimodal.encodePng(4, 4, 1L)).isEmpty)
+  }
+
+  test("audio features from DECODED samples equal the sample formula " +
+      "(what the q178 oracle replays)") {
+    import spark.implicits._
+    val ids = (0L until 70L).toDF("doc_id")
+    val feats = Multimodal.withAudioFeatures(
+        Multimodal.withSyntheticWav(ids, "doc_id"), "payload")
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("peak"), col("sum_sq"), col("zero_cross"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    (0L until 70L).foreach { id =>
+      // formula side, computed independently of the codec path
+      val n = (1600 + (id % 32) * 50).toInt
+      val amp = 256 + (id % 8) * 256
+      def v(t: Int): Long = (id * 7919 + t * 104729L) % (2 * amp + 1) - amp
+      val peak = (0 until n).map(t => math.abs(v(t))).max
+      val sumSq = (0 until n).map(t => v(t) * v(t)).sum
+      val zc = (1 until n).count(t => (v(t - 1) >= 0) != (v(t) >= 0)).toLong
+      assert(feats(id) == ((8000L, n.toLong, peak, sumSq, zc)), s"doc $id")
+    }
+  }
+
+  test("NFC normalization: kernel equals java.text.Normalizer, ASCII fast " +
+      "path skips it, and the SQL registration serves the same kernel") {
+    import graft.functions.SketchExpressions
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      SketchEval_nfc(s)
+    def SketchEval_nfc(s: String): String =
+      graft.functions.SketchEval.nfcNormalize(UTF8String.fromString(s)).toString
+    // composition cases: combining acute/diaeresis, already-composed,
+    // Hangul jamo, and a non-starter ordering case
+    assert(nfc("é") == "é")
+    assert(nfc("ö") == "ö")
+    assert(nfc("é") == "é")
+    assert(nfc("각") == "각") // jamo -> precomposed GAG
+    assert(nfc("ascii only") == "ascii only")
+    // parity with the JDK reference on mixed content
+    val mixed = "mix é and ö with plain text 123"
+    assert(nfc(mixed) == java.text.Normalizer.normalize(
+      mixed, java.text.Normalizer.Form.NFC))
+    // ASCII fast path returns the SAME UTF8String reference (no copy)
+    val asciiU = UTF8String.fromString("plain ascii")
+    assert(graft.functions.SketchEval.nfcNormalize(asciiU) eq asciiU)
+    // column + SQL registration paths agree
+    import spark.implicits._
+    graft.functions.text.register(spark)
+    val df = Seq("é", "café", "öö").toDF("s")
+    val viaCol = df.select(SketchExpressions.nfc_normalize($"s")).as[String].collect()
+    df.createOrReplaceTempView("nfc_in")
+    val viaSql = spark.sql("SELECT nfc_normalize(s) FROM nfc_in")
+      .as[String].collect()
+    assert(viaCol.sameElements(Array("é", "café", "öö")))
+    assert(viaSql.sameElements(viaCol))
+  }
 }

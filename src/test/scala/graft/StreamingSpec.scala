@@ -85,6 +85,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming audio gate: complete-mode report equals the batch q179 " +
+      "aggregation of the same payloads") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_saudio")
+    val media = graft.ops.Multimodal.withSyntheticWav(
+      spark.range(0, 200).toDF("doc_id"), "doc_id")
+    media.write.mode("overwrite").parquet(streamDir.toString + "/in")
+    val stream = spark.readStream.schema(media.schema)
+      .parquet(streamDir.toString + "/in")
+    val report = Streaming.audioGate(stream, "payload")
+      .groupBy($"reason")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_samples").as("total_samples"),
+        max($"peak").as("max_peak"))
+    val streamed = Streaming.runToCompletion(report, "saudio_test",
+        outputMode = "complete")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = graft.ops.Multimodal.withAudioGate(media, "payload")
+      .groupBy($"reason")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_samples").as("total_samples"),
+        max($"peak").as("max_peak"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(batch.map(_._1) == Set("clipping", "too_short", "low_energy", "keep"),
+      s"fixture must exercise every rule: $batch")
+  }
+
   test("streaming exact dedup keeps one row per digest like the batch op") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sdedup")
     // duplicated payloads with distinct ids and a timestamp column
