@@ -301,6 +301,17 @@ object Main {
         else gated
         res.write.mode("overwrite").parquet(out)
 
+      //   video-frames in out [--payload-column payload] [--id-column doc_id]
+      //   [--every-n 2]: sample every Nth frame of GIF video payloads
+      //   (hand-rolled LZW parser, ImageIO fallback) -> per-frame stats
+      case "video-frames" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Multimodal.sampleGifFrameStats(spark.read.parquet(in),
+            opt(rest, "payload-column").getOrElse("payload"),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            everyN = opt(rest, "every-n").map(_.toInt).getOrElse(2))
+          .write.mode("overwrite").parquet(out)
+
       //   nfc-normalize in out [--text-column text]: Unicode NFC
       //   canonical composition of the text column (codegen kernel) —
       //   run before any byte-level dedup/fingerprint stage
@@ -311,6 +322,20 @@ object Main {
         spark.read.parquet(in)
           .withColumn(txt,
             graft.functions.SketchExpressions.nfc_normalize(col(txt)))
+          .write.mode("overwrite").parquet(out)
+
+      case "dedup" if rest.headOption.contains("audio") =>
+        // dedup audio in out [--payload-column payload] [--id-column doc_id]:
+        // acoustic keep-one dedup — decode + quantized energy-envelope
+        // fingerprint partition-local, fingerprint groupBy/join (q182)
+        val Seq(in, out) = rest.tail.take(2)
+        val idCol = opt(rest, "id-column").getOrElse("doc_id")
+        val sig = graft.ops.Multimodal.withAudioFingerprint(
+            spark.read.parquet(in),
+            opt(rest, "payload-column").getOrElse("payload"))
+          .select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col("audio_fp"))
+        graft.ops.Multimodal.audioDedup(sig, idCol)
           .write.mode("overwrite").parquet(out)
 
       //   bpe-train in out [--rounds 64]  (learned merge table to parquet)
@@ -1211,7 +1236,7 @@ object Main {
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
       |  to {geojson|csv|shapefile|gpkg|fgb|fc|jsonl}, from-jsonl,
       |  gopher-gate [--keep-only],
-      |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom|phash},
+      |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom|phash|audio},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
       |  percentiles --value-column v [--ps 50,90,99],
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
@@ -1221,7 +1246,7 @@ object Main {
       |  embed-decontam, funnel --steps a,b,c, retention, transitions,
       |  anomaly-report, spans [--min-span N], compact [--target-bytes N],
       |  scrub-blocks,
-      |  audio-gate [--keep-only], nfc-normalize,
+      |  audio-gate [--keep-only], nfc-normalize, video-frames,
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

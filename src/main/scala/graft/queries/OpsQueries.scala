@@ -447,6 +447,37 @@ object OpsQueries {
         SELECT es AS doc_id, LEAST(es, MIN(et)) AS cluster_id
         FROM reach GROUP BY es ORDER BY doc_id""")),
 
+    // ---- REAL video frame sampling (multi-frame GIF via JDK ImageIO) ---
+    // The third modality out of stub-land: each row's payload is an
+    // actual animated GIF89a (one image stream per frame, hand-rolled
+    // literal-LZW encoder), frame extraction goes through the JDK's
+    // certified multi-frame ImageIO GIF reader, and every 2nd frame is
+    // reduced to its integer luminance sum. Frame count and pixels are
+    // pure md5-formula functions of doc_id, so the oracle replays the
+    // formula — the cross-engine hash match certifies container
+    // structure (n_frames out of the real decode), the sampling stride,
+    // and the decoded pixel content. Decode is partition-local; only
+    // (id, frame_idx, 2 longs) rows reach the exchange.
+    QueryDef(
+      "q181_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticGif(
+          table(s, dir, "documents").select($"doc_id"), "doc_id")
+        Multimodal.sampleGifFrameStats(media, "payload", "doc_id", everyN = 2)
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+        fr AS (SELECT doc_id, nf, CAST(u.f AS BIGINT) AS f
+          FROM d, UNNEST(range(0, nf)) u(f) WHERE u.f % 2 = 0),
+        px AS (SELECT doc_id, nf, f,
+            CAST(('0x' || substr(md5(doc_id || ':' || f || ':' || b.blk),
+              CAST(2 * t.i + 1 AS INT), 2)) AS BIGINT) AS lum
+          FROM fr, UNNEST(range(0, 4)) b(blk), UNNEST(range(0, 16)) t(i))
+        SELECT doc_id, f AS frame_idx, CAST(MAX(nf) AS BIGINT) AS n_frames,
+          CAST(SUM(lum) AS BIGINT) AS sum_lum
+        FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
+
     // ---- REAL audio decode (JDK javax.sound.sampled, no external jars) -
     // The audio sibling of q46: each row's payload is an actual
     // RIFF/WAVE 16-bit PCM mono clip written by the minimal hand-rolled
@@ -532,6 +563,53 @@ object OpsQueries {
           CAST(SUM(n_samples) AS BIGINT) AS total_samples,
           MAX(peak) AS max_peak
         FROM g GROUP BY reason ORDER BY reason""")),
+
+    // ---- acoustic near-dup dedup (envelope fingerprint over decoded) ---
+    // Completes the modality-dedup triangle (text: q28/q29/q47, image:
+    // q175/q176, audio: here): every document carries a REAL WAV clip
+    // whose shape comes from class doc_id % 25 plus one noise sample —
+    // same-class clips are acoustic near-dups, not byte-dups. The
+    // 8-block quantized energy envelope is computed from the DECODED
+    // samples and packed into one long; keep-one clusters come from a
+    // fingerprint groupBy + equi-join (the q20 shape). The oracle
+    // replays clip formula, envelope, quantization and packing in
+    // BIGINT arithmetic — agreement certifies decode AND the acoustic
+    // key. Only (id, fp) longs shuffle; audio bytes never do.
+    QueryDef(
+      "q182_audio_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticClassWav(
+          table(s, dir, "documents").select($"doc_id"), "doc_id", 25)
+        val sig = Multimodal.withAudioFingerprint(media, "payload")
+          .select($"doc_id", $"audio_fp")
+        Multimodal.audioDedup(sig, "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 25 AS c,
+            1600 + ((doc_id % 25) % 16) * 16 AS n,
+            900 + ((doc_id % 25) % 4) * 300 AS amp
+          FROM documents),
+        s AS (SELECT doc_id, n, CAST(u.t AS BIGINT) AS t,
+            CASE WHEN u.t = doc_id % n
+              THEN xor(((c * 104729 + u.t * 7919) % (2 * amp + 1)) - amp, 1)
+              ELSE ((c * 104729 + u.t * 7919) % (2 * amp + 1)) - amp
+            END AS v
+          FROM p, UNNEST(range(0, n)) u(t)),
+        blk AS (SELECT doc_id, (t * 8) // n AS b,
+            CAST(SUM(ABS(v)) AS BIGINT) AS sab,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM s GROUP BY doc_id, (t * 8) // n),
+        f AS (SELECT doc_id,
+            CAST(SUM(((sab // (cnt * 16)) % 128)
+              * CAST(POWER(2, 7 * b) AS BIGINT)) AS BIGINT) AS fp
+          FROM blk GROUP BY doc_id),
+        k AS (SELECT fp, MIN(doc_id) AS cluster_id FROM f GROUP BY fp)
+        SELECT f.doc_id, k.cluster_id,
+          f.doc_id <> k.cluster_id AS is_dup
+        FROM f JOIN k ON f.fp = k.fp
+        ORDER BY f.doc_id""")),
+
 
     // ---- exact char-n-gram Jaccard (inverted index + df-pruning) -------
     // The fourth dedup family (exact set similarity, not sketched): the

@@ -937,6 +937,33 @@ object Streaming {
   def audioGate(media: DataFrame, payloadCol: String): DataFrame =
     graft.ops.Multimodal.withAudioGate(media, payloadCol)
 
+  /** Streaming video frame sampling — the ingestion face of q181: each
+    * arriving GIF container is decoded by the SAME hand-rolled parser
+    * as the batch query (`Multimodal.sampleGifFrameStats` — one
+    * definition) into per-sampled-frame stat rows. Stateless flatMap,
+    * exactly-once per record under any trigger; container bytes never
+    * enter state or a shuffle.
+    */
+  def videoFrameStats(media: DataFrame, payloadCol: String, idCol: String,
+      everyN: Int = 2): DataFrame =
+    graft.ops.Multimodal.sampleGifFrameStats(media, payloadCol, idCol, everyN)
+
+  /** Streaming acoustic dedup — the ingestion face of q182: each
+    * arriving clip is decoded and reduced to its quantized
+    * energy-envelope fingerprint ([[graft.ops.Multimodal
+    * .withAudioFingerprint]] — the identical key the batch op groups
+    * on), and `dropDuplicatesWithinWatermark` keeps the first arrival
+    * per fingerprint — the [[dedupExact]] contract with the acoustic
+    * key: state is one tiny row per distinct fingerprint inside the
+    * watermark horizon, audio bytes never enter state.
+    */
+  def audioDedup(media: DataFrame, payloadCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    graft.ops.Multimodal.withAudioFingerprint(media, payloadCol)
+      .where(col("audio_fp").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("audio_fp")
+
   final case class FunnelEvent(user_id: Long, event_type: String, us: Long,
       event_id: Long)
   final case class FunnelState(times: List[Long])

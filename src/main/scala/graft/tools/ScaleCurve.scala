@@ -148,7 +148,9 @@ object ScaleCurve {
     "q174_mde_curve",     // 1-row moments + 5-row closed-form curve
     "q178_audio_decode",  // partition-local WAV encode+decode, zero text shuffle
     "q179_audio_gate",    // decode projection + combinable reason agg
-    "q180_unicode_nfc"    // codegen NFC projection + per-row md5
+    "q180_unicode_nfc",   // codegen NFC projection + per-row md5
+    "q181_video_frames",  // partition-local GIF frame decode + stats
+    "q182_audio_dedup"    // decode + envelope fp, fp-keyed groupBy/join
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)

@@ -975,7 +975,7 @@ class CliSpec extends AnyFunSuite {
     assert(plan2.length == 1 && plan2.head.getLong(2) == 120L)
   }
 
-  test("audio-gate and nfc-normalize commands run end-to-end") {
+  test("audio-gate, video-frames and nfc-normalize commands run end-to-end") {
     val dir = tmp("audio")
     import spark.implicits._
     graft.ops.Multimodal.withSyntheticWav(
@@ -991,6 +991,28 @@ class CliSpec extends AnyFunSuite {
     assert(kept.count() ==
       gated.filter($"reason" === "keep").count())
     assert(!kept.columns.contains("reason"))
+
+    graft.ops.Multimodal.withSyntheticGif(
+        spark.range(0, 16).toDF("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/vids.parquet")
+    Main.run(spark, Seq("video-frames", s"$dir/vids.parquet",
+      s"$dir/frames.parquet", "--every-n", "2"))
+    val fr = spark.read.parquet(s"$dir/frames.parquet")
+    assert(fr.columns.toSet ==
+      Set("doc_id", "frame_idx", "n_frames", "sum_lum"))
+    // 16 docs, 4 + id%5 frames sampled at stride 2
+    val wantRows = (0L until 16L).map(id => ((4 + id % 5) + 1) / 2).sum
+    assert(fr.count() == wantRows)
+
+    graft.ops.Multimodal.withSyntheticClassWav(
+        spark.range(0, 40).toDF("doc_id"), "doc_id", classes = 8)
+      .write.mode("overwrite").parquet(s"$dir/clips.parquet")
+    Main.run(spark, Seq("dedup", "audio", s"$dir/clips.parquet",
+      s"$dir/aclusters.parquet"))
+    val ac = spark.read.parquet(s"$dir/aclusters.parquet")
+    assert(ac.columns.toSet == Set("doc_id", "cluster_id", "is_dup"))
+    assert(ac.count() == 40)
+    assert(ac.filter($"is_dup").count() > 0)
 
     Seq((1L, "déjà vu"), (2L, "plain")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/docs.parquet")

@@ -1595,18 +1595,41 @@ class OpsSpec extends AnyFunSuite {
     val Some((rate, back)) = Multimodal.decodeWavPcm16(wav)
     assert(rate == 8000)
     assert(back.sameElements(samples))
-    // edge shapes: empty clip, single sample, rail values
+    // the hot-path hand parser is bit-identical to the JDK reader
+    val Some((hr, hb)) = Multimodal.parseWavPcm16(wav)
+    assert(hr == rate && hb.sameElements(back))
+    // edge shapes: empty clip, single sample, rail values — both readers
     for (s <- Seq(Array.empty[Short], Array[Short](0),
         Array[Short](Short.MinValue, Short.MaxValue, -1, 1))) {
-      val Some((r2, b2)) = Multimodal.decodeWavPcm16(
-        Multimodal.encodeWavPcm16(s, 16000))
+      val enc = Multimodal.encodeWavPcm16(s, 16000)
+      val Some((r2, b2)) = Multimodal.decodeWavPcm16(enc)
       assert(r2 == 16000 && b2.sameElements(s))
+      val Some((r3, b3)) = Multimodal.parseWavPcm16(enc)
+      assert(r3 == 16000 && b3.sameElements(s))
     }
-    assert(Multimodal.decodeWavPcm16(null).isEmpty)
-    assert(Multimodal.decodeWavPcm16(Array.emptyByteArray).isEmpty)
-    assert(Multimodal.decodeWavPcm16("not audio".getBytes).isEmpty)
-    // a PNG payload is not audio
-    assert(Multimodal.decodeWavPcm16(Multimodal.encodePng(4, 4, 1L)).isEmpty)
+    for (junk <- Seq(null, Array.emptyByteArray, "not audio".getBytes,
+        Multimodal.encodePng(4, 4, 1L))) { // a PNG payload is not audio
+      assert(Multimodal.decodeWavPcm16(junk).isEmpty)
+      assert(Multimodal.parseWavPcm16(junk).isEmpty)
+    }
+    // an extra RIFF chunk between fmt and data is skipped per spec
+    val withList = {
+      val base = Multimodal.encodeWavPcm16(Array[Short](5, -5), 8000)
+      val bb = java.nio.ByteBuffer.allocate(base.length + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(base, 0, 36)                        // header + fmt chunk
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+      bb.put(base, 36, base.length - 36)         // data chunk
+      val arr = bb.array()
+      // patch the RIFF size for the inserted 12 bytes
+      val riffLen = java.nio.ByteBuffer.wrap(base, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+      java.nio.ByteBuffer.wrap(arr, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(riffLen + 12)
+      arr
+    }
+    assert(Multimodal.parseWavPcm16(withList)
+      .exists(_._2.sameElements(Array[Short](5, -5))))
   }
 
   test("audio features from DECODED samples equal the sample formula " +
@@ -1631,6 +1654,112 @@ class OpsSpec extends AnyFunSuite {
       val zc = (1 until n).count(t => (v(t - 1) >= 0) != (v(t) >= 0)).toLong
       assert(feats(id) == ((8000L, n.toLong, peak, sumSq, zc)), s"doc $id")
     }
+  }
+
+  test("animated-GIF round-trip: hand-rolled multi-frame encoder decodes " +
+      "through the JDK ImageIO reader to exact per-frame pixels") {
+    // frames big enough (20x15 = 300 px) to cross the 254-literal LZW
+    // clear-code boundary, with values covering the full palette
+    val frames = Array.tabulate(4)(f =>
+      Array.tabulate(300)(p => (Hashing.family(f.toLong, p) % 256).toInt & 0xff))
+    val gif = Multimodal.encodeGrayGif(frames, 20, 15)
+    val Some(back) = Multimodal.decodeGifFrames(gif)
+    assert(back.length == 4)
+    (0 until 4).foreach(f => assert(back(f).sameElements(frames(f)), s"frame $f"))
+    // the hot-path hand parser agrees with the ImageIO reader frame-for-frame
+    val Some(hand) = Multimodal.parseGifGrayFrames(gif)
+    assert(hand.length == 4)
+    (0 until 4).foreach(f => assert(hand(f).sameElements(frames(f)), s"hand $f"))
+    // ...and decodes REAL compressed LZW: a grayscale image written by
+    // the JDK's own GIF writer (variable code widths, table growth —
+    // nothing like our literal-only encoder's output)
+    val big = java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val img = new java.awt.image.BufferedImage(64, 48, big)
+    (0 until 48).foreach(y => (0 until 64).foreach { x =>
+      // runs + repetition so LZW actually builds long table entries
+      img.getRaster.setSample(x, y, 0, if ((x / 7 + y / 5) % 2 == 0) 200 else (x + y) % 256)
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val jdkGif = bos.toByteArray
+    val Some(hand2) = Multimodal.parseGifGrayFrames(jdkGif)
+    val Some(ref2) = Multimodal.decodeGifFrames(jdkGif)
+    assert(hand2.length == 1 && ref2.length == 1)
+    assert(hand2(0).sameElements(ref2(0)))
+    // single-frame and single-pixel edge shapes
+    val Some(one) = Multimodal.decodeGifFrames(
+      Multimodal.encodeGrayGif(Array(Array(0), Array(255)), 1, 1))
+    assert(one.length == 2 && one(0)(0) == 0 && one(1)(0) == 255)
+    assert(Multimodal.decodeGifFrames(null).isEmpty)
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.parseGifGrayFrames(null).isEmpty)
+    assert(Multimodal.parseGifGrayFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.parseGifGrayFrames(
+      Multimodal.encodePng(4, 4, 1L)).isEmpty)
+    // frame-sample stats equal the vidLum formula (what the q181 oracle
+    // replays)
+    import spark.implicits._
+    val media = Multimodal.withSyntheticGif((0L until 40L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.sampleGifFrameStats(media, "payload", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = (for {
+      id <- 0L until 40L
+      nf = (4 + id % 5).toInt
+      f <- 0 until nf by 2
+    } yield (id, f.toLong) ->
+      (nf.toLong, Multimodal.vidFrameLums(id, f).map(_.toLong).sum)
+    ).toMap
+    assert(got == want)
+  }
+
+  test("acoustic dedup: decoded-envelope fingerprint equals the clip " +
+      "formula; same-class clips cluster, different classes don't") {
+    import spark.implicits._
+    // formula-side fingerprint (what the q182 oracle computes)
+    def formulaFp(id: Long, classes: Int): Long = {
+      val c = id % classes
+      val n = (1600 + (c % 16) * 16).toInt
+      val amp = 900 + (c % 4) * 300
+      val m = 2 * amp + 1
+      val t0 = (id % n).toInt
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      (0 until n).foreach { t =>
+        val base = (c * 104729 + t * 7919L) % m - amp
+        val v = if (t == t0) base ^ 1L else base
+        val b = (t * 8L / n).toInt
+        sums(b) += math.abs(v); cnts(b) += 1
+      }
+      (0 until 8).map(b => ((sums(b) / (cnts(b) * 16)) & 0x7f) << (7 * b))
+        .reduce(_ | _)
+    }
+    val media = Multimodal.withSyntheticClassWav(
+      (0L until 60L).toDF("doc_id"), "doc_id", classes = 12)
+    val sig = Multimodal.withAudioFingerprint(media, "payload")
+    val got = sig.select(col("doc_id"), col("audio_fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 60L).foreach { id =>
+      assert(got(id) == formulaFp(id, 12), s"doc $id")
+    }
+    // cluster resolution: min-id keeper per fingerprint
+    val clusters = Multimodal.audioDedup(
+        sig.select(col("doc_id"), col("audio_fp")), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val byFp = (0L until 60L).groupBy(formulaFp(_, 12))
+    byFp.values.foreach { ids =>
+      val keeper = ids.min
+      ids.foreach { id =>
+        assert(clusters(id) == ((keeper, id != keeper)), s"doc $id")
+      }
+    }
+    // the fixture must actually produce shared fingerprints AND >1 cluster
+    assert(byFp.size < 60 && byFp.size > 1)
+    // junk payloads get a null fingerprint
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.withAudioFingerprint(junk, "payload")
+      .collect().head.isNullAt(2))
   }
 
   test("NFC normalization: kernel equals java.text.Normalizer, ASCII fast " +

@@ -112,6 +112,43 @@ class StreamingSpec extends AnyFunSuite {
       s"fixture must exercise every rule: $batch")
   }
 
+  test("streaming video frame stats equal the batch q181 rows; streaming " +
+      "audio dedup keeps one clip per fingerprint like the batch op") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_svid")
+    val vids = graft.ops.Multimodal.withSyntheticGif(
+      spark.range(0, 60).toDF("doc_id"), "doc_id")
+    vids.write.mode("overwrite").parquet(streamDir.toString + "/vin")
+    val vstream = spark.readStream.schema(vids.schema)
+      .parquet(streamDir.toString + "/vin")
+    val streamedV = Streaming.runToCompletion(
+      Streaming.videoFrameStats(vstream, "payload", "doc_id"), "svid_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batchV = graft.ops.Multimodal.sampleGifFrameStats(
+        vids, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamedV == batchV && batchV.nonEmpty)
+
+    val clips = graft.ops.Multimodal.withSyntheticClassWav(
+        spark.range(0, 80).toDF("doc_id"), "doc_id", classes = 10)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    clips.write.mode("overwrite").parquet(streamDir.toString + "/ain")
+    val astream = spark.readStream.schema(clips.schema)
+      .parquet(streamDir.toString + "/ain")
+    val kept = Streaming.runToCompletion(
+      Streaming.audioDedup(astream, "payload", "ts"), "saudiodedup_test")
+    // one survivor per distinct fingerprint, same fingerprint set as batch
+    val batchSig = graft.ops.Multimodal.withAudioFingerprint(
+        clips, "payload")
+      .select(col("audio_fp")).collect().map(_.getLong(0)).toSet
+    val streamedFps = kept.select(col("audio_fp"))
+      .collect().map(_.getLong(0))
+    assert(streamedFps.toSet == batchSig)
+    assert(streamedFps.length == streamedFps.toSet.size)
+    assert(batchSig.size < 80, "classes must collapse to shared fingerprints")
+  }
+
   test("streaming exact dedup keeps one row per digest like the batch op") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sdedup")
     // duplicated payloads with distinct ids and a timestamp column
