@@ -338,6 +338,31 @@ object Main {
         graft.ops.Multimodal.audioDedup(sig, idCol)
           .write.mode("overwrite").parquet(out)
 
+      case "dedup" if rest.headOption.contains("video") =>
+        // dedup video in out [--payload-column payload] [--id-column
+        // doc_id] [--min-shared 3]: video keep-one dedup — real
+        // container decode + per-frame aHash partition-local, frame-hash
+        // inverted-index join, connected-component clusters (q183)
+        val Seq(in, out) = rest.tail.take(2)
+        val idCol = opt(rest, "id-column").getOrElse("doc_id")
+        val fh = graft.ops.Multimodal.withFrameHashes(
+          spark.read.parquet(in),
+          opt(rest, "payload-column").getOrElse("payload"), idCol)
+        graft.ops.Multimodal.videoDedup(fh, "doc_id",
+            minShared = opt(rest, "min-shared").map(_.toInt).getOrElse(3))
+          .write.mode("overwrite").parquet(out)
+
+      //   scene-changes in out [--payload-column payload] [--id-column
+      //   doc_id] [--threshold 1000]: per-video cut report from the real
+      //   container decode — n_frames, n_cuts, first_cut, activity (q184)
+      case "scene-changes" =>
+        val Seq(in, out) = rest.take(2)
+        graft.ops.Multimodal.sceneChangeStats(spark.read.parquet(in),
+            opt(rest, "payload-column").getOrElse("payload"),
+            opt(rest, "id-column").getOrElse("doc_id"),
+            threshold = opt(rest, "threshold").map(_.toLong).getOrElse(1000L))
+          .write.mode("overwrite").parquet(out)
+
       //   bpe-train in out [--rounds 64]  (learned merge table to parquet)
       case "bpe-train" =>
         val Seq(in, out) = rest.take(2)
@@ -1236,7 +1261,7 @@ object Main {
       |  convert (.geojson/.csv/.tsv/.shp/.gpkg/.fgb inputs),
       |  to {geojson|csv|shapefile|gpkg|fgb|fc|jsonl}, from-jsonl,
       |  gopher-gate [--keep-only],
-      |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom|phash|audio},
+      |  dedup {exact|minhash|simhash|ngram|embedding|cluster|cross|bloom|phash|audio|video},
       |  split, pack, shuffle, chunk, blocklist, project, winnow,
       |  percentiles --value-column v [--ps 50,90,99],
       |  bpe-train, logreg-train, nb-score, overlap, cms-topk,
@@ -1247,6 +1272,7 @@ object Main {
       |  anomaly-report, spans [--min-span N], compact [--target-bytes N],
       |  scrub-blocks,
       |  audio-gate [--keep-only], nfc-normalize, video-frames,
+      |  scene-changes [--threshold N],
       |  strip-boilerplate, pca [--abtt],
       |  decontaminate, pii-scrub, quality, semdedup, pipeline,
       |  benchmark {suite|report}, inspect, meta [--stats],

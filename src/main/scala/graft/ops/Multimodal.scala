@@ -240,22 +240,8 @@ object Multimodal {
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight; val n = w * h
-      val lums = new Array[Long](n)
-      var s = 0L
-      var p = 0
-      while (p < n) {
-        lums(p) = (img.getRGB(p % w, p / w) & 0xff).toLong
-        s += lums(p); p += 1
-      }
-      var hi = 0L; var lo = 0L
-      p = 0
-      while (p < n && p < 64) {
-        if (lums(p) * n >= s) {
-          if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
-        }
-        p += 1
-      }
-      Some((hi, lo))
+      val lums = Array.tabulate(n)(p => img.getRGB(p % w, p / w) & 0xff)
+      Some(aHashOfLums(lums)) // single bit-formula definition (video too)
     }
   }
 
@@ -983,6 +969,290 @@ object Multimodal {
         .when(col("n_samples") < 1700L, "too_short")
         .when(col("sum_sq") < col("n_samples") * 30000L, "low_energy")
         .otherwise("keep"))
+
+  // ---- video near-dup dedup + scene-change detection ------------------
+  //
+  // The video members of the modality-dedup/curation family (text:
+  // q28/q29/q47 · image: q175/q176 · audio: q182): payloads are REAL
+  // animated GIFs, frame content comes out of the real decode, and the
+  // per-frame keys/deltas are pure integer formulas a SQL oracle
+  // replays — the cross-engine hash match certifies container decode,
+  // the frame-hash key, and the clustering/cut logic end to end.
+
+  /** aHash bit formula over one decoded frame's luminances — bit p set
+    * iff lum(p)·n ≥ Σlum (integer-exact, no float mean), packed into
+    * 32-bit (hi, lo) halves exactly like [[aHashOf]]. One definition
+    * serves still images and per-frame video hashing.
+    */
+  def aHashOfLums(lums: Array[Int]): (Long, Long) = {
+    val n = lums.length
+    var s = 0L
+    var p = 0
+    while (p < n) { s += lums(p); p += 1 }
+    var hi = 0L; var lo = 0L
+    p = 0
+    while (p < n && p < 64) {
+      if (lums(p).toLong * n >= s) {
+        if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+      }
+      p += 1
+    }
+    (hi, lo)
+  }
+
+  /** Class-shared frame pixels for the video-dedup fixture: 64
+    * luminances from the 16 bytes of md5("v<cls>:<f>:<blk>") for blocks
+    * 0-3 — keyed on CLASS, so every document of one class carries
+    * byte-identical shared frames. Key prefix "v" keeps the formula
+    * family disjoint from [[vidFrameLums]] ("id:f:blk").
+    */
+  def classFrameLums(cls: Long, f: Int): Array[Int] = {
+    val out = new Array[Int](64)
+    val md = md5Local.get()
+    var blk = 0
+    while (blk < 4) {
+      md.reset()
+      val d = md.digest(s"v$cls:$f:$blk".getBytes("UTF-8"))
+      var i = 0
+      while (i < 16) { out(blk * 16 + i) = d(i) & 0xff; i += 1 }
+      blk += 1
+    }
+    out
+  }
+
+  /** Document-specific noise frame: md5("n<id>:<blk>") pixels. */
+  def noiseFrameLums(id: Long): Array[Int] = {
+    val out = new Array[Int](64)
+    val md = md5Local.get()
+    var blk = 0
+    while (blk < 4) {
+      md.reset()
+      val d = md.digest(s"n$id:$blk".getBytes("UTF-8"))
+      var i = 0
+      while (i < 16) { out(blk * 16 + i) = d(i) & 0xff; i += 1 }
+      blk += 1
+    }
+    out
+  }
+
+  /** Class-based synthetic video fixture — the video analogue of
+    * [[withSyntheticClassPng]]/[[withSyntheticClassWav]]: class
+    * c = id % `classes` determines the frame count nf = 4 + c % 5 and
+    * frames 0..nf−2 are the class-shared [[classFrameLums]] content;
+    * the LAST frame is the document's own [[noiseFrameLums]] noise — so
+    * documents of one class are near-duplicate videos (nf−1 ≥ 3 shared
+    * frames), never byte-duplicates. All pixels are pure md5 formulas ⇒
+    * a SQL oracle replays the whole construction.
+    */
+  def withSyntheticClassGif(df: DataFrame, idCol: String, classes: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema.add(payloadCol, BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(iIdx)
+        val c = id % classes
+        val nf = (4 + c % 5).toInt
+        val frames = Array.tabulate(nf)(f =>
+          if (f < nf - 1) classFrameLums(c, f) else noiseFrameLums(id))
+        Row.fromSeq(row.toSeq :+ encodeGrayGif(frames, 8, 8))
+      }
+    }(enc)
+  }
+
+  /** Decode a container and reduce it to its DISTINCT per-frame aHash
+    * set (insertion order) plus the frame count — the single definition
+    * the batch inverted index ([[withFrameHashes]]) and the streaming
+    * frame-dedup twin both key on. None when the bytes don't decode.
+    */
+  def decodedFrameHashes(payload: Array[Byte],
+      reader: javax.imageio.ImageReader): Option[(Long, Array[(Long, Long)])] =
+    parseGifGrayFrames(payload).orElse(
+      if (reader == null) None
+      else decodeGifFramesWith(reader, payload)).map { frames =>
+      val seen = new java.util.LinkedHashSet[(Long, Long)]()
+      frames.foreach(f => seen.add(aHashOfLums(f)))
+      val out = new Array[(Long, Long)](seen.size)
+      var i = 0
+      val it = seen.iterator()
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      (frames.length.toLong, out)
+    }
+
+  /** REAL per-frame hashing: decode the GIF partition-locally and emit
+    * one (id, n_frames, frame_hi, frame_lo) row per DISTINCT frame
+    * aHash — the video's frame-hash set, the unit the near-dup inverted
+    * index joins on. Only hash-sized rows reach a shuffle; container
+    * bytes never do. Undecodable payloads produce no rows.
+    */
+  def withFrameHashes(df: DataFrame, payloadCol: String,
+      idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("frame_hi", LongType, nullable = false),
+      StructField("frame_lo", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      lazy val reader = {
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (rs.hasNext) rs.next() else null
+      }
+      it.flatMap { row =>
+        val id = row.getLong(iIdx)
+        decodedFrameHashes(row.getAs[Array[Byte]](pIdx), reader) match {
+          case Some((nf, hashes)) =>
+            hashes.iterator.map { case (hi, lo) => Row(id, nf, hi, lo) }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** Video near-duplicate pairs: the frame-hash inverted index — a
+    * self-equi-join on the 64-bit frame aHash (the q47 inverted-index
+    * shape with frames for grams) counts shared DISTINCT frames per
+    * (id_a < id_b) pair; pairs sharing ≥ `minShared` frames are
+    * near-dups. Join keys are 16-byte hash rows, never pixels; at scale
+    * the per-frame-hash posting-list length (how many videos share one
+    * frame), not corpus size, bounds the candidate fanout.
+    */
+  def videoNearDups(frameHashes: DataFrame, idCol: String,
+      minShared: Int = 3): DataFrame = {
+    // hashes are 24 B/row and both join sides consume them — same
+    // materialize-once rationale as phashNearDups
+    val fh = frameHashes
+      .select(col(idCol).as("__id"), col("frame_hi"), col("frame_lo"))
+      .localCheckpoint(false)
+    val a = fh.select(col("__id").as("id_a"),
+      col("frame_hi"), col("frame_lo"))
+    val b = fh.select(col("__id").as("id_b"),
+      col("frame_hi"), col("frame_lo"))
+    a.join(b, Seq("frame_hi", "frame_lo"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared.toLong)
+  }
+
+  /** Keep-one video dedup over the near-dup pair graph: pairs →
+    * hash-to-min connected components (transitive closure), then every
+    * document left-joins its component label — unpaired documents are
+    * their own cluster. Output (doc_id, cluster_id, is_dup), the q20
+    * contract with a decoded-video key.
+    */
+  def videoDedup(frameHashes: DataFrame, idCol: String,
+      minShared: Int = 3): DataFrame = {
+    val ids = frameHashes.select(col(idCol)).distinct()
+    val pairs = videoNearDups(frameHashes, idCol, minShared)
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    ids.join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
+  }
+
+  /** Scene-structured synthetic video fixture for cut detection: nf =
+    * 6 + id % 3 frames; the cut is at frame k = 2 + id % 3. Scene-A
+    * frames f < k have pixel p = baseA(p) + 2f, scene-B frames f ≥ k
+    * have baseB(p) + 2f, where baseA/baseB are the low 7 bits of
+    * md5("sa<id>:<blk>") / md5("sb<id>:<blk>") bytes (≤ 127, so the
+    * +2f ramp stays ≤ 141 < 256). Consecutive frames within a scene
+    * differ by exactly +2 per pixel (Σ|Δ| = 128); across the cut the
+    * delta is md5 noise (Σ|Δ| ≈ 2700, 7σ above any 1000 threshold).
+    * Pure integer formulas ⇒ a SQL oracle replays pixels AND deltas.
+    */
+  def withSyntheticSceneGif(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema.add(payloadCol, BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      val md = md5Local.get()
+      def base(prefix: String, id: Long): Array[Int] = {
+        val out = new Array[Int](64)
+        var blk = 0
+        while (blk < 4) {
+          md.reset()
+          val d = md.digest(s"$prefix$id:$blk".getBytes("UTF-8"))
+          var i = 0
+          while (i < 16) { out(blk * 16 + i) = d(i) & 0x7f; i += 1 }
+          blk += 1
+        }
+        out
+      }
+      it.map { row =>
+        val id = row.getLong(iIdx)
+        val nf = (6 + id % 3).toInt
+        val k = (2 + id % 3).toInt
+        val ba = base("sa", id); val bb = base("sb", id)
+        val frames = Array.tabulate(nf) { f =>
+          val b = if (f < k) ba else bb
+          Array.tabulate(64)(p => b(p) + 2 * f)
+        }
+        Row.fromSeq(row.toSeq :+ encodeGrayGif(frames, 8, 8))
+      }
+    }(enc)
+  }
+
+  /** REAL scene-change detection: decode the container partition-
+    * locally, compute Σ|lum_f(p) − lum_{f−1}(p)| for every consecutive
+    * frame pair, and reduce to one row per video — frame count, number
+    * of cuts (delta > `threshold`), the FIRST cut frame index (null if
+    * none), and total temporal activity. Zero shuffle: the whole
+    * reduction happens inside the decode task; only 5-long rows leave.
+    */
+  def sceneChangeStats(df: DataFrame, payloadCol: String, idCol: String,
+      threshold: Long = 1000L): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_cuts", LongType, nullable = false),
+      StructField("first_cut", LongType, nullable = true),
+      StructField("activity", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      lazy val reader = {
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (rs.hasNext) rs.next() else null
+      }
+      it.flatMap { row =>
+        val id = row.getLong(iIdx)
+        val payload = row.getAs[Array[Byte]](pIdx)
+        parseGifGrayFrames(payload).orElse(
+          if (reader == null) None
+          else decodeGifFramesWith(reader, payload)) match {
+          case Some(frames) =>
+            var cuts = 0L; var firstCut: java.lang.Long = null
+            var activity = 0L
+            var f = 1
+            while (f < frames.length) {
+              val prev = frames(f - 1); val cur = frames(f)
+              var d = 0L
+              var p = 0
+              while (p < cur.length && p < prev.length) {
+                d += math.abs(cur(p) - prev(p)); p += 1
+              }
+              activity += d
+              if (d > threshold) {
+                cuts += 1
+                if (firstCut == null) firstCut = f.toLong
+              }
+              f += 1
+            }
+            Iterator.single(
+              Row(id, frames.length.toLong, cuts, firstCut, activity))
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
 
   /** Deterministic fake resize: a real implementation decodes, scales
     * to targetW × targetH and re-encodes; the stub emits a payload of

@@ -610,6 +610,112 @@ object OpsQueries {
         FROM f JOIN k ON f.fp = k.fp
         ORDER BY f.doc_id""")),
 
+    // ---- video near-dup dedup (frame-hash inverted index) --------------
+    // Completes the modality-dedup family for VIDEO: every document
+    // carries a real animated GIF whose first nf−1 frames are shared by
+    // its class (c = doc_id % 30) and whose last frame is doc-specific
+    // noise — same-class videos are near-dups (≥3 shared frames), never
+    // byte-dups. Per-frame aHashes come out of the REAL decode; the
+    // near-dup key is "≥3 shared distinct frame hashes", found by a
+    // frame-hash inverted-index self-join (the q47 shape with frames
+    // for grams), resolved to keep-one clusters by hash-to-min
+    // connected components. The oracle replays pixels → aHash bits →
+    // pair counts → recursive closure, so the cross-engine hash match
+    // certifies container decode, the frame key, and the clustering.
+    // Only 24-byte hash rows ever shuffle; at 100 TB the posting-list
+    // length per frame hash (true dup rate), not corpus size, bounds
+    // the join fanout.
+    QueryDef(
+      "q183_video_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticClassGif(
+          table(s, dir, "documents").select($"doc_id"), "doc_id", 30)
+        val fh = Multimodal.withFrameHashes(media, "payload", "doc_id")
+        Multimodal.videoDedup(fh, "doc_id", minShared = 3)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, doc_id % 30 AS c,
+            4 + (doc_id % 30) % 5 AS nf FROM documents),
+        fr AS (SELECT doc_id, nf, CAST(u.f AS BIGINT) AS f,
+            CASE WHEN u.f < nf - 1 THEN 'v' || c || ':' || u.f
+              ELSE 'n' || doc_id END AS key
+          FROM d, UNNEST(range(0, nf)) u(f)),
+        px AS (SELECT doc_id, f, CAST(16 * b.blk + t.i AS BIGINT) AS p,
+            CAST(('0x' || substr(md5(key || ':' || b.blk),
+              CAST(2 * t.i + 1 AS INT), 2)) AS BIGINT) AS lum
+          FROM fr, UNNEST(range(0, 4)) b(blk), UNNEST(range(0, 16)) t(i)),
+        s AS (SELECT doc_id, f, CAST(SUM(lum) AS BIGINT) AS s
+          FROM px GROUP BY doc_id, f),
+        bits AS (SELECT px.doc_id, px.f, px.p,
+            CASE WHEN px.lum * 64 >= s.s THEN 1 ELSE 0 END AS b
+          FROM px JOIN s ON px.doc_id = s.doc_id AND px.f = s.f),
+        h AS (SELECT doc_id, f,
+            CAST(SUM(CASE WHEN p < 32
+              THEN b * CAST(POWER(2, p) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS lo,
+            CAST(SUM(CASE WHEN p >= 32
+              THEN b * CAST(POWER(2, p - 32) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS hi
+          FROM bits GROUP BY doc_id, f),
+        hd AS (SELECT DISTINCT doc_id, hi, lo FROM h),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM hd a JOIN hd b
+            ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3),
+        edges AS (SELECT id_a AS es, id_b AS et FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+        reach(es, et) AS (SELECT es, et FROM edges
+          UNION
+          SELECT r.es, e.et FROM reach r JOIN edges e ON r.et = e.es),
+        lab AS (SELECT es AS doc_id, LEAST(es, MIN(et)) AS cluster_id
+          FROM reach GROUP BY es)
+        SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id,
+          d.doc_id <> COALESCE(lab.cluster_id, d.doc_id) AS is_dup
+        FROM d LEFT JOIN lab ON d.doc_id = lab.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- scene-change detection (temporal delta over real decode) ------
+    // The temporal face of the video family: each document's GIF has two
+    // md5-noise "scenes" joined at a known cut frame, with a +2/frame
+    // brightness ramp inside each scene — so consecutive-frame deltas
+    // are exactly 128 within a scene and md5-noise (≈2700) across the
+    // cut. The operator decodes the real container and reduces each pair of
+    // consecutive frames to Σ|Δlum| entirely inside the decode task
+    // (zero shuffle; only 5-long rows leave). The oracle replays pixels
+    // and deltas, certifying decode, frame ORDER out of the container,
+    // and the cut logic.
+    QueryDef(
+      "q184_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticSceneGif(
+          table(s, dir, "documents").select($"doc_id"), "doc_id")
+        Multimodal.sceneChangeStats(media, "payload", "doc_id",
+          threshold = 1000L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf,
+            2 + doc_id % 3 AS k FROM documents),
+        fr AS (SELECT doc_id, nf, k, CAST(u.f AS BIGINT) AS f
+          FROM d, UNNEST(range(0, nf)) u(f)),
+        px AS (SELECT doc_id, nf, f, CAST(16 * b.blk + t.i AS BIGINT) AS p,
+            (CAST(('0x' || substr(md5(CASE WHEN f < k THEN 'sa' ELSE 'sb'
+                END || doc_id || ':' || b.blk),
+              CAST(2 * t.i + 1 AS INT), 2)) AS BIGINT) % 128) + 2 * f
+              AS lum
+          FROM fr, UNNEST(range(0, 4)) b(blk), UNNEST(range(0, 16)) t(i)),
+        dl AS (SELECT a.doc_id, a.nf, a.f,
+            CAST(SUM(ABS(a.lum - b.lum)) AS BIGINT) AS delta
+          FROM px a JOIN px b
+            ON a.doc_id = b.doc_id AND a.p = b.p AND b.f = a.f - 1
+          GROUP BY a.doc_id, a.nf, a.f)
+        SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+          CAST(SUM(CASE WHEN delta > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cuts,
+          MIN(CASE WHEN delta > 1000 THEN f END) AS first_cut,
+          CAST(SUM(delta) AS BIGINT) AS activity
+        FROM dl GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- exact char-n-gram Jaccard (inverted index + df-pruning) -------
     // The fourth dedup family (exact set similarity, not sketched): the

@@ -964,6 +964,60 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("audio_fp")
 
+  /** Streaming scene-cut detection — the ingestion face of q184: each
+    * arriving container is decoded and reduced to its per-video cut
+    * report by the SAME definition as the batch query
+    * ([[graft.ops.Multimodal.sceneChangeStats]]): stateless flatMap,
+    * exactly-once per record under any trigger like [[videoFrameStats]];
+    * container bytes never enter state or a shuffle.
+    */
+  def sceneCuts(media: DataFrame, payloadCol: String, idCol: String,
+      threshold: Long = 1000L): DataFrame =
+    graft.ops.Multimodal.sceneChangeStats(media, payloadCol, idCol, threshold)
+
+  /** Streaming frame-level dedup — the ingestion face of q183's
+    * inverted index: each arriving container is decoded to its DISTINCT
+    * per-frame aHashes ([[graft.ops.Multimodal.decodedFrameHashes]] —
+    * the identical key the batch index joins on), and
+    * `dropDuplicatesWithinWatermark` keeps the FIRST arrival per frame
+    * hash — frame-level storage dedup (each distinct frame is kept
+    * once); the batch near-dup clustering (q183) runs downstream over
+    * the compacted (id, frame-hash) table. State is one tiny row per
+    * distinct frame hash inside the watermark horizon; pixels never
+    * enter state or a shuffle.
+    */
+  def frameDedup(media: DataFrame, payloadCol: String, idCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("frame_hi", LongType, nullable = false),
+      StructField("frame_lo", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = media.schema.fieldIndex(payloadCol)
+    val iIdx = media.schema.fieldIndex(idCol)
+    val tIdx = media.schema.fieldIndex(tsCol)
+    val rows = media.mapPartitions { it =>
+      lazy val reader = {
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (rs.hasNext) rs.next() else null
+      }
+      it.flatMap { row =>
+        graft.ops.Multimodal.decodedFrameHashes(
+            row.getAs[Array[Byte]](pIdx), reader) match {
+          case Some((_, hashes)) =>
+            val id = row.getLong(iIdx)
+            val ts = row.getAs[java.sql.Timestamp](tIdx)
+            hashes.iterator.map { case (hi, lo) =>
+              org.apache.spark.sql.Row(id, ts, hi, lo) }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+    rows.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("frame_hi", "frame_lo")
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String, us: Long,
       event_id: Long)
   final case class FunnelState(times: List[Long])

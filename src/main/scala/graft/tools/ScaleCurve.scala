@@ -150,7 +150,11 @@ object ScaleCurve {
     "q179_audio_gate",    // decode projection + combinable reason agg
     "q180_unicode_nfc",   // codegen NFC projection + per-row md5
     "q181_video_frames",  // partition-local GIF frame decode + stats
-    "q182_audio_dedup"    // decode + envelope fp, fp-keyed groupBy/join
+    "q182_audio_dedup",   // decode + envelope fp, fp-keyed groupBy/join
+    // q183_video_dedup is deliberately absent for the q175/q176 reason:
+    // the fixed class count makes verbatim k× growth quadratic in
+    // near-dup PAIRS (the output), a distribution change not a scale-up
+    "q184_scene_cuts"     // partition-local decode + per-video reduce
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)

@@ -1023,6 +1023,31 @@ class CliSpec extends AnyFunSuite {
     assert(norm(0)._2 == "déjà vu" && norm(1)._2 == "plain")
   }
 
+  test("dedup video and scene-changes commands run end-to-end") {
+    val dir = tmp("video")
+    import spark.implicits._
+    graft.ops.Multimodal.withSyntheticClassGif(
+        spark.range(0, 24).toDF("doc_id"), "doc_id", classes = 6)
+      .write.mode("overwrite").parquet(s"$dir/cvids.parquet")
+    Main.run(spark, Seq("dedup", "video", s"$dir/cvids.parquet",
+      s"$dir/vclusters.parquet"))
+    val vc = spark.read.parquet(s"$dir/vclusters.parquet")
+    assert(vc.columns.toSet == Set("doc_id", "cluster_id", "is_dup"))
+    assert(vc.count() == 24)
+    assert(vc.filter($"is_dup").count() == 18) // 6 keepers, 18 dups
+
+    graft.ops.Multimodal.withSyntheticSceneGif(
+        spark.range(0, 12).toDF("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/svids.parquet")
+    Main.run(spark, Seq("scene-changes", s"$dir/svids.parquet",
+      s"$dir/cuts.parquet", "--threshold", "1000"))
+    val cuts = spark.read.parquet(s"$dir/cuts.parquet")
+    assert(cuts.columns.toSet ==
+      Set("doc_id", "n_frames", "n_cuts", "first_cut", "activity"))
+    assert(cuts.count() == 12)
+    assert(cuts.filter($"n_cuts" === 1L).count() == 12)
+  }
+
   test("upload command copies a file and a filtered tree via file://") {
     val dir = tmp("upload")
     java.nio.file.Files.writeString(

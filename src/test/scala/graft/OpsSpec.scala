@@ -1762,6 +1762,80 @@ class OpsSpec extends AnyFunSuite {
       .collect().head.isNullAt(2))
   }
 
+  test("video dedup: decoded frame hashes equal the formula hashes, " +
+      "same-class videos share nf-1 frames and cluster to the min id") {
+    import spark.implicits._
+    val classes = 7
+    def formulaHash(lums: Array[Int]): (Long, Long) =
+      Multimodal.aHashOfLums(lums)
+    val media = Multimodal.withSyntheticClassGif(
+      (0L until 40L).toDF("doc_id"), "doc_id", classes)
+    val fh = Multimodal.withFrameHashes(media, "payload", "doc_id")
+    val got = fh.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getLong(2), r.getLong(3))).toSet }
+    (0L until 40L).foreach { id =>
+      val c = id % classes
+      val nf = (4 + c % 5).toInt
+      val want = ((0 until nf - 1)
+        .map(f => formulaHash(Multimodal.classFrameLums(c, f))) :+
+        formulaHash(Multimodal.noiseFrameLums(id))).toSet
+      assert(got(id) == want, s"doc $id")
+      // same-class docs share exactly the nf-1 class frames
+      val other = id + classes
+      if (other < 40L)
+        assert((got(id) intersect got(other)).size == nf - 1, s"pair $id")
+    }
+    // cross-class pairs share nothing
+    assert((got(0L) intersect got(1L)).isEmpty)
+    // keep-one clusters resolve to the class minimum; everything else dup
+    val clusters = Multimodal.videoDedup(fh, "doc_id", minShared = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    (0L until 40L).foreach { id =>
+      val keeper = id % classes // class min in 0..classes-1
+      assert(clusters(id) == ((keeper, id != keeper)), s"doc $id")
+    }
+    // under-threshold pairs never become edges: with minShared above the
+    // max shared count, every doc is its own cluster
+    val solo = Multimodal.videoDedup(fh, "doc_id", minShared = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 40L).foreach(id => assert(solo(id) == id))
+  }
+
+  test("scene cuts: decoded deltas match the ramp+cut formula — one cut " +
+      "at frame k, intra-scene delta exactly 128") {
+    import spark.implicits._
+    val media = Multimodal.withSyntheticSceneGif(
+      (0L until 30L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.sceneChangeStats(media, "payload", "doc_id", 1000L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      .toMap
+    def base(prefix: String, id: Long): Array[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 4).flatMap { blk =>
+        md.reset()
+        md.digest(s"$prefix$id:$blk".getBytes("UTF-8")).map(_ & 0x7f)
+      }.toArray
+    }
+    (0L until 30L).foreach { id =>
+      val nf = (6 + id % 3).toInt
+      val k = (2 + id % 3).toInt
+      val ba = base("sa", id); val bb = base("sb", id)
+      val cutDelta = (0 until 64).map { p =>
+        math.abs((bb(p) + 2 * k) - (ba(p) + 2 * (k - 1))).toLong }.sum
+      val want = (nf.toLong, 1L, k.toLong, (nf - 2) * 128L + cutDelta)
+      assert(got(id) == want, s"doc $id")
+    }
+    // a threshold above the cut delta reports zero cuts and a null first
+    val none = Multimodal.sceneChangeStats(media, "payload", "doc_id",
+        1000000L).collect()
+    assert(none.forall(r => r.getLong(2) == 0L && r.isNullAt(3)))
+  }
+
   test("NFC normalization: kernel equals java.text.Normalizer, ASCII fast " +
       "path skips it, and the SQL registration serves the same kernel") {
     import graft.functions.SketchExpressions

@@ -149,6 +149,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSig.size < 80, "classes must collapse to shared fingerprints")
   }
 
+  test("streaming scene cuts equal the batch q184 rows; streaming frame " +
+      "dedup keeps one row per distinct frame hash like the batch index") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_svcut")
+    val vids = graft.ops.Multimodal.withSyntheticSceneGif(
+      spark.range(0, 50).toDF("doc_id"), "doc_id")
+    vids.write.mode("overwrite").parquet(streamDir.toString + "/cin")
+    val cstream = spark.readStream.schema(vids.schema)
+      .parquet(streamDir.toString + "/cin")
+    val streamedC = Streaming.runToCompletion(
+      Streaming.sceneCuts(cstream, "payload", "doc_id"), "scut_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batchC = graft.ops.Multimodal.sceneChangeStats(
+        vids, "payload", "doc_id", 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamedC == batchC && batchC.nonEmpty)
+
+    // frame dedup: same-class videos re-deliver the shared class frames;
+    // the stream keeps each distinct frame hash exactly once
+    val cvids = graft.ops.Multimodal.withSyntheticClassGif(
+        spark.range(0, 40).toDF("doc_id"), "doc_id", classes = 8)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    cvids.write.mode("overwrite").parquet(streamDir.toString + "/fin")
+    val fstream = spark.readStream.schema(cvids.schema)
+      .parquet(streamDir.toString + "/fin")
+    val kept = Streaming.runToCompletion(
+      Streaming.frameDedup(fstream, "payload", "doc_id", "ts"), "sfdedup_test")
+    val streamedF = kept.select(col("frame_hi"), col("frame_lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchF = graft.ops.Multimodal.withFrameHashes(
+        cvids, "payload", "doc_id")
+      .select(col("frame_hi"), col("frame_lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedF.toSet == batchF)
+    assert(streamedF.length == streamedF.toSet.size)
+    // the class structure must actually collapse frames (40 videos of
+    // 4-8 frames share their class frames)
+    assert(batchF.size < 40L * 4)
+  }
+
   test("streaming exact dedup keeps one row per digest like the batch op") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sdedup")
     // duplicated payloads with distinct ids and a timestamp column
