@@ -173,6 +173,63 @@ object Checks {
     out.toSeq
   }
 
+  /** WKB geometry-type code → display name (codes may carry +1000/2000/
+    * 3000 Z/M/ZM offsets; the base code mod 1000 names the type).
+    */
+  private val wkbTypeNames = Map(1 -> "point", 2 -> "linestring",
+    3 -> "polygon", 4 -> "multipoint", 5 -> "multilinestring",
+    6 -> "multipolygon", 7 -> "geometrycollection")
+
+  /** Native GeospatialStatistics vs actual data (reference
+    * `core/validate.py:1506-1616` native_geo_stats_contains_data and
+    * `:1617-1700` native_geo_types_match): the footer-declared geo_bbox
+    * must contain the data extent, and footer-declared geo type codes
+    * must cover every geometry type present. Consumes an
+    * ALREADY-COMPUTED data probe (types + extent) — adds zero scans.
+    */
+  private def nativeStatsVsData(parts: Seq[Path], conf: Configuration,
+      geomCol: String, actualTypes: Seq[String],
+      dataBbox: Option[(Double, Double, Double, Double)]): Seq[Finding] =
+    nativeStatsVsData(
+      parts.flatMap(p => Footer.read(p, conf).rowGroups
+        .flatMap(_.columns.get(geomCol))),
+      actualTypes, dataBbox)
+
+  /** Core comparison over already-extracted chunk stats (separated so
+    * the spec can drive it with synthetic disagreeing stats — real v2
+    * writers aren't available in this container to author a corrupt
+    * fixture).
+    */
+  private[graft] def nativeStatsVsData(chunks: Seq[Footer.ColumnStats],
+      actualTypes: Seq[String],
+      dataBbox: Option[(Double, Double, Double, Double)]): Seq[Finding] = {
+    val out = scala.collection.mutable.ArrayBuffer[Finding]()
+    val boxes = chunks.flatMap(_.geoBbox)
+    if (boxes.nonEmpty) dataBbox.foreach { case (dx0, dy0, dx1, dy1) =>
+      val sx0 = boxes.map(_._1).min; val sy0 = boxes.map(_._2).min
+      val sx1 = boxes.map(_._3).max; val sy1 = boxes.map(_._4).max
+      val eps = 1e-9
+      if (dx0 < sx0 - eps || dy0 < sy0 - eps ||
+          dx1 > sx1 + eps || dy1 > sy1 + eps)
+        out += Finding("error", "native_geo_stats",
+          s"data extent ($dx0,$dy0,$dx1,$dy1) outside declared native " +
+            s"geospatial statistics bbox ($sx0,$sy0,$sx1,$sy1)")
+    }
+    val declared = chunks.flatMap(_.geoTypes).flatten.toSet
+    if (declared.nonEmpty && actualTypes.nonEmpty) {
+      val declaredNames =
+        declared.map(c => wkbTypeNames.getOrElse(c % 1000, s"type$c"))
+      val undeclared = actualTypes.map(_.toLowerCase)
+        .filterNot(declaredNames).distinct.sorted
+      if (undeclared.nonEmpty)
+        out += Finding("error", "native_geo_types",
+          s"data contains geometry types ${undeclared.mkString(", ")} " +
+            s"not declared in native geospatial statistics " +
+            s"[${declaredNames.toSeq.sorted.mkString(", ")}]")
+    }
+    out.toSeq
+  }
+
   /** GeoParquet spec validation (reference `core/validate.py:126-2328`):
     * metadata shape, physical parquet schema, covering structure,
     * declared-vs-actual data properties (encoding, geometry types,
@@ -200,6 +257,26 @@ object Checks {
           findings += Finding("info", "metadata",
             "no `geo` footer key but native geo types present (GeoParquet 2 minimal)")
           findings ++= nativeGeoFindings(info, parts, conf)
+          // native stats vs data — one aggregate job over the staged
+          // WKB read; an unreadable file SKIPS rather than fails (the
+          // reference's CheckStatus.SKIPPED-on-exception contract)
+          try {
+            val t = GeoTable.readNativeGeo(spark, path)
+            info.schemaInfo.find(_.logicalType.exists(n =>
+              n.contains("Geometry") || n.contains("Geography")))
+              .map(_.name).foreach { gcName =>
+                val gc = col(gcName)
+                val r = t.df.agg(
+                  collect_set(geo.st_geometrytype(gc)).as("types"),
+                  min(geo.st_xmin(gc)), min(geo.st_ymin(gc)),
+                  max(geo.st_xmax(gc)), max(geo.st_ymax(gc))).head()
+                val bbox = if ((1 to 4).exists(r.isNullAt)) None
+                  else Some((r.getDouble(1), r.getDouble(2),
+                    r.getDouble(3), r.getDouble(4)))
+                findings ++= nativeStatsVsData(parts, conf, gcName,
+                  r.getSeq[String](0), bbox)
+              }
+          } catch { case _: Exception => () }
         } else
           findings += Finding("error", "metadata", "no `geo` footer key")
       case Right(Some(g)) =>
@@ -458,6 +535,16 @@ object Checks {
                   findings += Finding("error", "crs_range",
                     s"data bbox ($dx0,$dy0,$dx1,$dy1) outside CRS bounds ($bx0,$by0,$bx1,$by1)")
               }
+            }
+            // native GeospatialStatistics vs data (geoparquet2 files) —
+            // reuses the one-pass probe above, zero extra jobs
+            if (fileType == "geoparquet2") {
+              val dataBbox = probe
+                .filterNot(r => (2 to 5).exists(r.isNullAt))
+                .map(r => (r.getDouble(2), r.getDouble(3),
+                  r.getDouble(4), r.getDouble(5)))
+              findings ++= nativeStatsVsData(parts, conf, g.primaryColumn,
+                actualTypes, dataBbox)
             }
             // per-file: each part's declared bbox must contain that
             // part's data (parts carry their own bbox — reference

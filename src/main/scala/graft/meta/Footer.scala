@@ -32,7 +32,13 @@ object Footer {
         * carries them (GEOMETRY/GEOGRAPHY columns; reference
         * `core/validate.py:1430-1504` native_geo_stats).
         */
-      geoBbox: Option[(Double, Double, Double, Double)] = None)
+      geoBbox: Option[(Double, Double, Double, Double)] = None,
+      /** Native GeospatialStatistics WKB type codes (1=Point …
+        * 7=GeometryCollection, +1000/2000/3000 for Z/M/ZM), when the
+        * chunk declares them (reference `core/validate.py:1617-1700`
+        * native_geo_types_match).
+        */
+      geoTypes: Option[Set[Int]] = None)
 
   /** Physical shape of one top-level schema field (validate needs type /
     * repetition / child fields, not just names — reference
@@ -109,7 +115,12 @@ object Footer {
             geoBbox = Option(c.getGeospatialStatistics)
               .flatMap(gs => Option(gs.getBoundingBox))
               .filter(_.isXYValid)
-              .map(b => (b.getXMin, b.getYMin, b.getXMax, b.getYMax)))
+              .map(b => (b.getXMin, b.getYMin, b.getXMax, b.getYMax)),
+            geoTypes = Option(c.getGeospatialStatistics)
+              .flatMap(gs => Option(gs.getGeospatialTypes))
+              .flatMap(gt => Option(gt.getTypes))
+              .map(_.asScala.map(_.toInt).toSet)
+              .filter(_.nonEmpty))
         }.toMap
         RowGroupInfo(b.getRowCount, b.getTotalByteSize, b.getCompressedSize, cols)
       }

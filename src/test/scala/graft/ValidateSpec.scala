@@ -329,4 +329,45 @@ class ValidateSpec extends AnyFunSuite {
     assert(bb.exists { case (x0, y0, x1, y1) =>
       x0 > 6.7e6 && y0 > 7.3e6 && x1 < 6.8e6 && y1 < 7.31e6 })
   }
+
+  test("native geo stats vs data: bbox containment and type coverage " +
+      "(validate.py:1506-1700)") {
+    val data = "/root/reference/tests/data"
+    // real fixtures: data sits inside the declared native stats and the
+    // declared type set covers the data — neither check fires, for both
+    // the with-metadata (gpq2) and no-metadata (pgo) validate paths
+    Seq("fields_gpq2_5070_brotli", "fields_pgo_crs84_zstd").foreach { f =>
+      val r = Checks.validate(spark, s"$data/$f.parquet")
+      assert(!r.exists(x => x.check == "native_geo_stats" &&
+        x.level == "error"), s"$f: $r")
+      assert(!r.exists(_.check == "native_geo_types"), s"$f: $r")
+    }
+    // the fixture footers actually declare WKB type codes (all polygon
+    // families) — so the coverage check above ran against real stats,
+    // not vacuously
+    val fi = Footer.read(new org.apache.hadoop.fs.Path(
+      s"$data/fields_gpq2_5070_brotli.parquet"))
+    val types = fi.rowGroups.flatMap(_.columns.get("geometry"))
+      .flatMap(_.geoTypes).flatten.toSet
+    assert(types.nonEmpty && types.forall(_ % 1000 == 3), types.toString)
+    // synthetic disagreement (no v2 writer exists in this container to
+    // author a corrupt fixture): a stats bbox that excludes the data
+    // extent and a declared type set missing Polygon must both fire
+    import graft.meta.Footer.ColumnStats
+    def cs(bbox: Option[(Double, Double, Double, Double)],
+        t: Option[Set[Int]]) =
+      ColumnStats("SNAPPY", 0L, 0L, None, None, None, bbox, t)
+    val bad = Checks.nativeStatsVsData(
+      Seq(cs(Some((0.0, 0.0, 1.0, 1.0)), Some(Set(1)))),
+      Seq("Polygon"), Some((2.0, 2.0, 3.0, 3.0)))
+    assert(bad.exists(f => f.check == "native_geo_stats" &&
+      f.level == "error"), bad.toString)
+    assert(bad.exists(f => f.check == "native_geo_types" &&
+      f.message.contains("polygon")), bad.toString)
+    // agreeing stats (Z-flavored code 1003 still names polygon) — clean
+    val good = Checks.nativeStatsVsData(
+      Seq(cs(Some((0.0, 0.0, 10.0, 10.0)), Some(Set(3, 1003)))),
+      Seq("Polygon"), Some((2.0, 2.0, 3.0, 3.0)))
+    assert(good.isEmpty, good.toString)
+  }
 }
