@@ -717,6 +717,86 @@ object OpsQueries {
           CAST(SUM(delta) AS BIGINT) AS activity
         FROM dl GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- cross-modal curation gate -------------------------------------
+    // The join face of the multimodal family: a training-corpus document
+    // carries text + an audio clip + a video, each curated by its own
+    // modality gate (q179 rule ladder over decoded samples, q184
+    // temporal-activity report over decoded frames, q21 token kernel
+    // over the text), and the final keep verdict is the conjunction.
+    // Three per-doc-keyed derived tables meet in doc_id equi-joins — at
+    // 100 TB these are the co-partitioned media/text table joins a real
+    // pipeline runs (media bytes reduce to verdict rows partition-
+    // locally BEFORE the join; payloads never shuffle). Every branch's
+    // formula is oracle-replayable, so the hash match certifies all
+    // three decodes AND the join/conjunction.
+    QueryDef(
+      "q185_crossmodal_gate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"text")
+        val audio = Multimodal.withAudioGate(
+            Multimodal.withSyntheticWav(docs.select($"doc_id"), "doc_id"),
+            "payload")
+          .select($"doc_id", $"reason".as("audio_reason"))
+        val video = Multimodal.sceneChangeStats(
+            Multimodal.withSyntheticSceneGif(docs.select($"doc_id"),
+              "doc_id"), "payload", "doc_id", threshold = 1000L)
+          .select($"doc_id", $"n_cuts", $"activity")
+        val text = docs.select($"doc_id",
+          regexp_count($"text", lit("\\S+")).as("n_tokens"))
+        text.join(audio, Seq("doc_id")).join(video, Seq("doc_id"))
+          .select($"doc_id", $"audio_reason", $"n_tokens", $"n_cuts",
+            $"activity",
+            ($"audio_reason" === "keep" && $"activity" <= 3300L &&
+              $"n_tokens" >= 5).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ad AS (SELECT doc_id, 1600 + (doc_id % 32) * 50 AS n,
+            256 + (doc_id % 8) * 256 AS amp FROM documents),
+        asamp AS (SELECT doc_id, CAST(u.t AS BIGINT) AS t,
+            ((doc_id * 7919 + u.t * 104729) % (2 * amp + 1)) - amp AS v
+          FROM ad, UNNEST(range(0, n)) u(t)),
+        af AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+            CAST(SUM(v * v) AS BIGINT) AS sum_sq
+          FROM asamp GROUP BY doc_id),
+        ag AS (SELECT doc_id,
+            CASE WHEN peak >= 2040 THEN 'clipping'
+                 WHEN n_samples < 1700 THEN 'too_short'
+                 WHEN sum_sq < n_samples * 30000 THEN 'low_energy'
+                 ELSE 'keep' END AS audio_reason
+          FROM af),
+        vd AS (SELECT doc_id, 6 + doc_id % 3 AS nf, 2 + doc_id % 3 AS k
+          FROM documents),
+        vfr AS (SELECT doc_id, nf, k, CAST(u.f AS BIGINT) AS f
+          FROM vd, UNNEST(range(0, nf)) u(f)),
+        vpx AS (SELECT doc_id, f, CAST(16 * b.blk + t.i AS BIGINT) AS p,
+            (CAST(('0x' || substr(md5(CASE WHEN f < k THEN 'sa' ELSE 'sb'
+                END || doc_id || ':' || b.blk),
+              CAST(2 * t.i + 1 AS INT), 2)) AS BIGINT) % 128) + 2 * f
+              AS lum
+          FROM vfr, UNNEST(range(0, 4)) b(blk), UNNEST(range(0, 16)) t(i)),
+        vdl AS (SELECT a.doc_id, a.f,
+            CAST(SUM(ABS(a.lum - b.lum)) AS BIGINT) AS delta
+          FROM vpx a JOIN vpx b
+            ON a.doc_id = b.doc_id AND a.p = b.p AND b.f = a.f - 1
+          GROUP BY a.doc_id, a.f),
+        vg AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN delta > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_cuts,
+            CAST(SUM(delta) AS BIGINT) AS activity
+          FROM vdl GROUP BY doc_id),
+        tg AS (SELECT doc_id,
+            len(list_filter(regexp_split_to_array(text, '\s+'),
+              t -> t <> '')) AS n_tokens
+          FROM documents)
+        SELECT t.doc_id, a.audio_reason, t.n_tokens, v.n_cuts, v.activity,
+          a.audio_reason = 'keep' AND v.activity <= 3300
+            AND t.n_tokens >= 5 AS keep
+        FROM tg t JOIN ag a ON t.doc_id = a.doc_id
+          JOIN vg v ON t.doc_id = v.doc_id
+        ORDER BY t.doc_id""")),
+
     // ---- exact char-n-gram Jaccard (inverted index + df-pruning) -------
     // The fourth dedup family (exact set similarity, not sketched): the
     // oracle rebuilds the identical gram sets, applies the same

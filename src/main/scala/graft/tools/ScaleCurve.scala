@@ -154,7 +154,8 @@ object ScaleCurve {
     // q183_video_dedup is deliberately absent for the q175/q176 reason:
     // the fixed class count makes verbatim k× growth quadratic in
     // near-dup PAIRS (the output), a distribution change not a scale-up
-    "q184_scene_cuts"     // partition-local decode + per-video reduce
+    "q184_scene_cuts",    // partition-local decode + per-video reduce
+    "q185_crossmodal_gate" // three per-doc gates + doc_id equi-joins
   )
 
   /** Input tables per flagship — lets a filtered run (SPARK_GRAFT_ONLY)
