@@ -134,7 +134,11 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "BENCH_subset.json" else "BENCH_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
-    val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1900").toInt
+    // 1900 was ~7 chars too long in r9: sbt appends a "[success] Total
+    // time: ..." line (~75 chars) AFTER ours inside the same tail window,
+    // so the head of the JSON line fell off and the driver recorded
+    // parsed:null. Leave real headroom for the sbt epilogue.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1600").toInt
     val slowest = results.sortBy(-_._2)
     val head = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"job_floor_sec":$floor%.4f,"total_minus_floor":$work%.4f,"full_results":"$outFile"""" +
       duck.map { m =>

@@ -9,15 +9,23 @@ import org.apache.spark.sql.functions._
   * (c(w1·) + 0.5·V), each document scored by its average bigram
   * surprisal (q92; the n-gram upgrade of the q57 unigram filter).
   *
-  * Scale shape — the q57 window discipline, one key deeper, now on ONE
-  * exchange: the distinct (doc, w1, w2, c) relation is partitioned by
-  * `w1` once; the head count c(w1·) is a plain partition sum and the
-  * bigram count c(w1,w2) is a sum over the ORDER BY w2 range frame of
-  * its ties (peers with equal w2 ≡ the (w1,w2) group), so BOTH model
-  * counts ride the same shuffle — no second exchange, no model join,
-  * and the model is never driver-materialized (a 100 TB bigram
-  * vocabulary is fine). V rides as a broadcast 1-row
-  * distinct-successor count.
+  * Scale shape (round 10) — model-side aggregation + shuffled hash
+  * join, replacing the round-8 single-exchange window. The window
+  * formulation partitioned the full per-doc (doc, w1, w2, c) relation
+  * by `w1` alone, which serializes every bigram headed by a stopword
+  * ("the …") through ONE task and sorts the whole relation — the
+  * classic Zipf-head skew, measured as the dominant cost at sf0.1 and
+  * fatal at 100 TB. Here the corpus model c(w1,w2)/c(w1·) is built by
+  * a COMBINABLE groupBy(w1,w2) (map-side partials collapse each
+  * partition's duplicate pairs before the wire, so the exchange
+  * carries distinct-pairs-per-partition, not occurrences), c(w1·) is
+  * a window over that already-tiny pair relation, and per-doc rows
+  * ride ONE exchange keyed by (w1,w2) — Zipf heads spread over the
+  * full w2 fan-out — into a SHUFFLE_HASH join (no probe-side sort; a
+  * sort-merge join would re-sort the full relation and forfeit the
+  * win). The model is never driver-materialized (a 100 TB bigram
+  * vocabulary is fine — it stays partitioned). V rides as a broadcast
+  * 1-row distinct-successor count.
   */
 object BigramLm {
 
@@ -39,20 +47,21 @@ object BigramLm {
         .bigram_counts(col(textCol))).as("b")): _*)
       .select((keyCols :+ col("b.w1").as("w1") :+ col("b.w2").as("w2")
         :+ col("b.c").as("c")): _*)
-    // V = distinct successor tokens, from a token-slice projection
-    // (positions 2..n of docs with >= 2 tokens) — the same set bg's w2
-    // column holds, without re-deriving the pair relation for a scalar
-    val vBr = broadcast(docs
-      .select(toks.as("toks")).filter(size(col("toks")) >= 2)
-      .select(explode(slice(col("toks"), lit(2), size(col("toks")) - 1))
-        .as("w2"))
-      .distinct().agg(count(lit(1)).as("__V")))
-    val wHead = Window.partitionBy(col("w1"))
-    // peers under ORDER BY w2 = the (w1, w2) group: same exchange as wHead
-    val wTie = Window.partitionBy(col("w1")).orderBy(col("w2"))
-      .rangeBetween(Window.currentRow, Window.currentRow)
-    bg.withColumn("c2", sum(col("c")).over(wTie))
-      .withColumn("c1", sum(col("c")).over(wHead))
+    // corpus model: combinable pair counts, then heads over the pair
+    // relation (rows per w1 partition = distinct successors of that
+    // head — vocab-bounded, NOT occurrence-bounded, so the window is
+    // skew-safe where the old per-doc-row w1 window was not)
+    val pairCounts = bg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c2"))
+    val pairStats = pairCounts
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+    // V = distinct successor tokens = distinct w2 of the PAIR relation:
+    // deriving it from pairCounts (not a third token-slice projection
+    // over the corpus) lets ReuseExchange serve both this branch and
+    // the model build side from ONE scan + kernel + pair exchange
+    val vBr = broadcast(pairCounts
+      .select(col("w2")).distinct().agg(count(lit(1)).as("__V")))
+    bg.join(pairStats.hint("shuffle_hash"), Seq("w1", "w2"))
       .crossJoin(vBr)
       .groupBy(keyCols: _*)
       .agg(sum(col("c")).as("n_bigrams"),

@@ -726,15 +726,21 @@ object VectorQueries {
           ROUND(SQRT(s2 / 64.0), 6) > 1.01 AS is_outlier
         FROM d ORDER BY vec_id""")),
 
-    // ---- matryoshka truncation recall (round 8) ------------------------
+    // ---- matryoshka truncation recall (round 8, fused round 10) --------
     // The dimension-budget question behind MRL-style embeddings: how
     // much top-10 retrieval quality survives if vectors are truncated
     // to their first d dims (d = 8/16/32) before search? Truth = full
-    // 64-dim brute top-10 (the q64 harness); the candidate set per d is
-    // the same bounded-heap TopK over prefix-cosine — a slice() of the
-    // vector column feeding the identical broadcast + codegen-kernel
-    // scan, so each tier costs one corpus pass and nothing shuffles but
-    // (qid, id) pairs. Output: one row per d with pooled recall.
+    // 64-dim brute top-10 (the q64 harness). Round 10 fuses what was
+    // four separate corpus passes (one bruteTopKBatch per tier + truth,
+    // then three truth-vs-tier joins — pure job-count floor, 5.8× its
+    // oracle at 0.79 s) into ONE: the scan projection emits all four
+    // prefix-cosines per (query, doc) pair, a single bounded-heap TopK
+    // keyed by (qid, tier) collapses them map-side (nothing shuffles
+    // but partial heaps), and recall falls out of per-pair tier flags
+    // — in-truth × in-tier products summed in one tiny aggregate, so
+    // no truth self-join ever materializes (a self-join over the heap
+    // output would re-run the corpus scan for both branches).
+    // Output: one row per d with pooled recall.
     QueryDef(
       "q108_matryoshka",
       (s, dir) => {
@@ -742,24 +748,35 @@ object VectorQueries {
         val emb = table(s, dir, "embeddings")
         val queries = emb.filter($"vec_id" < 10)
         val corpus = emb.filter($"vec_id" >= 10)
-        val truth = graft.ops.Ann.bruteTopKBatch(corpus, queries,
-            "embedding", "vec_id", "vec_id", "embedding", k = 10)
-          .select($"qid", $"id")
-        val tiers = Seq(8, 16, 32).map { d =>
-          val approx = graft.ops.Ann.bruteTopKBatch(
-              corpus.withColumn("embedding", slice($"embedding", 1, d)),
-              queries.withColumn("embedding", slice($"embedding", 1, d)),
-              "embedding", "vec_id", "vec_id", "embedding", k = 10)
-            .select($"qid", $"id")
-          truth
-            .join(approx.withColumn("__hit", lit(1L)), Seq("qid", "id"),
-              "left")
-            .agg(count(lit(1)).as("n_true"),
-              sum(coalesce($"__hit", lit(0L))).as("n_overlap"))
-            .select(lit(d).as("d"), $"n_true", $"n_overlap",
-              round($"n_overlap".cast("double") / $"n_true", 6).as("recall"))
-        }
-        tiers.reduce(_ unionAll _).orderBy($"d")
+        val tiers = Seq(8, 16, 32, 64)
+        val scored = corpus
+          .select($"vec_id".as("id"), $"embedding".as("__v"))
+          .crossJoin(broadcast(
+            queries.select($"vec_id".as("qid"), $"embedding".as("__q"))))
+          .select($"qid", $"id", posexplode(graft.functions
+            .VectorExpressions.prefix_cosines($"__v", $"__q", tiers)))
+          .select($"qid", $"id",
+            element_at(typedLit(tiers), $"pos" + 1).as("d"), $"col".as("sim"))
+        val top = graft.ops.TopK.perGroup(scored, Seq("qid", "d"),
+            Seq(($"sim", true), ($"id", false)), 10, "rank")
+          .select($"qid", $"id", $"d")
+        val flags = top.groupBy($"qid", $"id")
+          .agg(tiers.map(d =>
+            max(when($"d" === d, 1L).otherwise(0L)).as(s"f$d")).head,
+            tiers.map(d =>
+              max(when($"d" === d, 1L).otherwise(0L)).as(s"f$d")).tail: _*)
+        val pooled = flags.agg(sum($"f64").as("nt"),
+          sum($"f8" * $"f64").as("o8"), sum($"f16" * $"f64").as("o16"),
+          sum($"f32" * $"f64").as("o32"))
+        pooled
+          .select(explode(array(Seq(8, 16, 32).map(d => struct(
+            lit(d).as("d"), $"nt".as("n_true"),
+            col(s"o$d").as("n_overlap"),
+            round(col(s"o$d").cast("double") / $"nt", 6).as("recall")))
+            : _*)).as("r"))
+          .select($"r.d".as("d"), $"r.n_true".as("n_true"),
+            $"r.n_overlap".as("n_overlap"), $"r.recall".as("recall"))
+          .orderBy($"d")
       },
       Some(raw"""WITH pairs AS (
           SELECT q.vec_id AS qid, c.vec_id AS id,

@@ -63,7 +63,7 @@ object ScaleCurve {
     "q89_abtt",           // q88 moments + zero-shuffle removal scan
     "q90_cms_heavy",      // combinable counter-table aggs + tiny joins
     "q91_bm25",           // zero-shuffle kernel scan + broadcast stats
-    "q92_bigram_lm",      // two window exchanges, zero model joins
+    "q92_bigram_lm",      // combinable pair model + shuffle-hash join
     "q93_shard_manifest", // one combinable manifest aggregation
     "q94_zipf_stats",     // combinable term count + bounded head fit
     "q95_embed_outliers", // one-job moment triangle + zero-shuffle scan
@@ -77,7 +77,7 @@ object ScaleCurve {
     "q103_gopher_rules",  // one projection pass + combinable source agg
     "q104_padding_waste", // two bucketed global ranks + batch aggs
     "q105_dedup_recall",  // bounded sample sigs + capped all-pairs
-    "q106_ppl_buckets",   // q92 LM windows + grouped two-phase rank
+    "q106_ppl_buckets",   // q92 LM join plan + grouped two-phase rank
     "q107_jsonl_format",  // pure projection + combinable source agg
     "q108_matryoshka",    // 4 broadcast TopK corpus passes (8/16/32/64)
     "q109_doremi_mix",    // one LM+source agg job + driver EG rounds

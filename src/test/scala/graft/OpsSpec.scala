@@ -1869,4 +1869,43 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCol.sameElements(Array("é", "café", "öö")))
     assert(viaSql.sameElements(viaCol))
   }
+
+  test("prefix_cosines == per-tier sliced cosine, bit for bit") {
+    import graft.functions.VectorExpressions
+    val rnd = new scala.util.Random(7)
+    val dims = Seq(8, 16, 32, 64)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val q = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val df = rows.toDF("id", "v")
+      .select($"id", $"v".cast("array<float>").as("v"),
+        typedLit(q.toSeq).cast("array<float>").as("q"))
+    val fused = df.select($"id",
+        VectorExpressions.prefix_cosines($"v", $"q", dims).as("cs"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // reference: Ann.cosineArrays on the materialized prefix — the same
+    // sequential double accumulation the sliced-column plan ran, so the
+    // kernel's snapshot-at-boundary trick must match EXACTLY (==), not
+    // within epsilon: ranking tie-breaks depend on it
+    rows.foreach { case (id, v) =>
+      dims.zipWithIndex.foreach { case (d, k) =>
+        val ref = graft.ops.Ann.cosineArrays(
+          v.take(d).toArray, q.take(d))
+        assert(fused(id)(k) == ref, s"id=$id d=$d")
+      }
+    }
+    // ragged input: cosine over the common prefix (min length rule)
+    val short = df.select(VectorExpressions
+        .prefix_cosines(slice($"v", 1, 12), $"q", dims).as("cs"))
+      .as[Seq[Double]].head()
+    val vv = rows.head._2
+    assert(short(1) == graft.ops.Ann.cosineArrays(
+      vv.take(12).toArray, q.take(12)))
+    assert(short(1) == short(2) && short(2) == short(3))
+    // unsorted dims rejected at construction
+    intercept[IllegalArgumentException] {
+      VectorExpressions.prefix_cosines($"v", $"q", Seq(16, 8))
+    }
+  }
 }
