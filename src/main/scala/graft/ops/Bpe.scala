@@ -64,26 +64,39 @@ object Bpe {
     val seqs = dict.map { case (w, _) =>
       Delim + w.map(_.toString).mkString(D2) + Delim }
     val cnts = dict.map(_._2)
+
+    // Incremental pair bookkeeping (the SentencePiece/HF trainer
+    // discipline): pair weights and a pair → candidate-word inverted
+    // index are built ONCE, and each merge round touches only the words
+    // that actually contain the chosen pair — a full recount per round
+    // is O(rounds × Σ|word|) of hashing for arithmetic that changes in
+    // only a few rows. Index entries go stale when a word is rewritten;
+    // candidates are re-validated by a cheap substring check, so stale
+    // ids cost a contains(), never correctness. All updates are exact
+    // integer deltas, so every round's weights equal the full recount's
+    // bit for bit (ties break on (-w, lhs, rhs) total order, not map
+    // iteration order).
+    def wordPairs(seq: String): Array[(String, String)] = {
+      val syms = seq.stripPrefix(Delim).stripSuffix(Delim).split(D2)
+      if (syms.length < 2) Array.empty
+      else Array.tabulate(syms.length - 1)(j => (syms(j), syms(j + 1)))
+    }
+    val weights =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    var i = 0
+    while (i < seqs.length) {
+      for (k <- wordPairs(seqs(i))) {
+        weights.update(k, weights.getOrElse(k, 0L) + cnts(i))
+        index.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += i
+      }
+      i += 1
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      // occurrence-weighted adjacent-pair counts over the current seqs
-      val weights =
-        scala.collection.mutable.HashMap.empty[(String, String), Long]
-      var i = 0
-      while (i < seqs.length) {
-        val syms = seqs(i).stripPrefix(Delim).stripSuffix(Delim).split(D2)
-        if (syms.length >= 2) {
-          var j = 0
-          while (j < syms.length - 1) {
-            val k = (syms(j), syms(j + 1))
-            weights.update(k, weights.getOrElse(k, 0L) + cnts(i))
-            j += 1
-          }
-        }
-        i += 1
-      }
       if (weights.isEmpty) exhausted = true // no adjacent pairs left
       else {
         // max weight, ties ascending on (lhs, rhs) — symbols are ASCII
@@ -97,8 +110,25 @@ object Bpe {
         // and segment() use
         val from = Delim + l + Delim + Delim + rt + Delim
         val to = Delim + l + rt + Delim
-        var x = 0
-        while (x < seqs.length) { seqs(x) = seqs(x).replace(from, to); x += 1 }
+        val cands = index.remove((l, rt)).getOrElse(
+          scala.collection.mutable.ArrayBuffer.empty)
+        // dedupe stale repeats so a word's delta applies exactly once
+        for (x <- cands.distinct if seqs(x).contains(from)) {
+          for (k <- wordPairs(seqs(x))) {
+            val nw = weights(k) - cnts(x)
+            if (nw == 0L) weights.remove(k) else weights.update(k, nw)
+          }
+          seqs(x) = seqs(x).replace(from, to)
+          for (k <- wordPairs(seqs(x))) {
+            weights.update(k, weights.getOrElse(k, 0L) + cnts(x))
+            index.getOrElseUpdate(k,
+              scala.collection.mutable.ArrayBuffer.empty) += x
+          }
+        }
+        // the chosen pair's weight reaches exactly 0 through the per-word
+        // deltas (a rewritten word never retains an (l, rt) adjacency —
+        // leftmost non-overlapping replace consumes them all), so the
+        // entry has already been purged; nothing to clean up here
         r += 1
       }
     }
