@@ -90,44 +90,45 @@ object BehaviorQueries {
       (s, dir) => {
         import s.implicits._
         val e = events(s, dir)
-        // lazy checkpoint: the per-user aggregate feeds the user count,
-        // the anchor cross-join and all three rank passes — without the
-        // barrier each branch replays the events scan + aggregation
         val p = e.filter($"event_type" === "purchase")
           .groupBy($"user_id")
           .agg(max(unix_timestamp($"ts")).as("last_s"),
             count(lit(1)).as("freq"),
             sum(round($"value" * 100).cast("long")).as("mon_c"))
-          .localCheckpoint(false)
         val anchor = e.agg(max(unix_timestamp($"ts")).as("anchor_s"))
-        val nu = p.agg(count(lit(1)).as("nu"))
         val r0 = p.crossJoin(broadcast(anchor))
           .withColumn("rec_d", expr("(anchor_s - last_s) DIV 86400"))
-        // three INDEPENDENT rank branches off the checkpointed user
-        // table, assembled by a user-keyed join — chaining them instead
-        // serializes three two-phase rank machineries into one long
-        // stage path (measured 3x the wall time of the widest branch;
-        // the scheduler overlaps independent branches)
-        def quart(df: org.apache.spark.sql.DataFrame,
-            bucket: org.apache.spark.sql.Column,
-            order: Seq[org.apache.spark.sql.Column], out: String,
-            carry: Seq[String] = Nil) =
-          DistWindow.withGlobalRank(df, bucket, order, "__r")
-            .crossJoin(broadcast(nu))
-            .select(($"user_id" +: expr(s"(__r-1)*4 DIV nu + 1").as(out) +:
-              carry.map(col)): _*)
-        val rq = quart(r0, col("rec_d"),
-          Seq(col("rec_d"), col("user_id")), "rq", carry = Seq("mon_c"))
-        val fq = quart(p, col("freq"),
-          Seq(col("freq"), col("user_id")), "fq")
-        val mq = quart(p, floor(col("mon_c") / 10000.0).cast("long"),
-          Seq(col("mon_c"), col("user_id")), "mq")
-        rq.join(fq, Seq("user_id")).join(mq, Seq("user_id"))
+        // melt to 3 rows per user (tag 1=R, 2=F, 3=M), each carrying its
+        // measure's sort value and monotone bucket: ONE grouped-rank
+        // machinery (one exchange + one tiny count/offset broadcast)
+        // replaces three independent global-rank machineries, the
+        // separate user-count aggregate, the checkpoint barrier and two
+        // of the three user-keyed assembly joins; nu rides the same
+        // count table as the rank offsets (groupTotalCol). Bucket
+        // contract per tag matches the old branches: rec_d / freq /
+        // mon_c DIV 10000, each a monotone coarsening of its order
+        val melted = r0.select($"user_id", $"mon_c",
+          explode(array(
+            struct(lit(1).as("tag"), $"rec_d".as("v"), $"rec_d".as("bkt")),
+            struct(lit(2).as("tag"), $"freq".as("v"), $"freq".as("bkt")),
+            struct(lit(3).as("tag"), $"mon_c".as("v"),
+              floor($"mon_c" / 10000.0).cast("long").as("bkt")))).as("m"))
+          .select($"user_id", $"mon_c", $"m.tag", $"m.v", $"m.bkt")
+        DistWindow.withGroupedRank(melted, col("tag"), col("bkt"),
+            Seq(col("v"), col("user_id")), "rk",
+            groupTotalCol = Some("nu"))
+          .groupBy($"user_id")
+          .agg(max($"mon_c").as("mon_c"),
+            max(when($"tag" === 1, expr("(rk-1)*4 DIV nu + 1"))).as("rq"),
+            max(when($"tag" === 2, expr("(rk-1)*4 DIV nu + 1"))).as("fq"),
+            max(when($"tag" === 3, expr("(rk-1)*4 DIV nu + 1"))).as("mq"))
           .select(expr("rq*100 + fq*10 + mq").as("rfm_code"), $"mon_c")
           .groupBy("rfm_code")
           .agg(count(lit(1)).as("n_users"),
             sum($"mon_c").as("total_monetary_cents"))
-          .orderBy("rfm_code")
+          // rfm_code domain is ≤64 rows at ANY scale: a 1-partition sort
+          // is exact and skips orderBy's range-sampling job + exchange
+          .coalesce(1).sortWithinPartitions("rfm_code")
       },
       Some("""WITH p AS (SELECT user_id,
             MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS last_s,

@@ -22,20 +22,38 @@ object Prof {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    t("warm: docs scan")(force(docs.select($"doc_id", $"text")))
-    val tf0 = docs.select($"doc_id",
-        explode(graft.functions.SketchExpressions
-          .term_counts(coalesce($"text", lit(""))))
-          .as("tc"))
-      .select($"doc_id", $"tc.term".as("term"), $"tc.tf".as("tf"))
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    t("warm: events scan")(force(e.select($"user_id")))
+    val p = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(max(unix_timestamp($"ts")).as("last_s"),
+        count(lit(1)).as("freq"),
+        sum(round($"value" * 100).cast("long")).as("mon_c"))
+    val anchor = e.agg(max(unix_timestamp($"ts")).as("anchor_s"))
+    val r0 = p.crossJoin(broadcast(anchor))
+      .withColumn("rec_d", expr("(anchor_s - last_s) DIV 86400"))
+    val melted = r0.select($"user_id", $"mon_c",
+      explode(array(
+        struct(lit(1).as("tag"), $"rec_d".as("v"), $"rec_d".as("bkt")),
+        struct(lit(2).as("tag"), $"freq".as("v"), $"freq".as("bkt")),
+        struct(lit(3).as("tag"), $"mon_c".as("v"),
+          floor($"mon_c" / 10000.0).cast("long").as("bkt")))).as("m"))
+      .select($"user_id", $"mon_c", $"m.tag", $"m.v", $"m.bkt")
+    val ranked = graft.ops.DistWindow.withGroupedRank(melted, col("tag"),
+      col("bkt"), Seq(col("v"), col("user_id")), "rk",
+      groupTotalCol = Some("nu"))
+    val piv = ranked.groupBy($"user_id")
+      .agg(max($"mon_c").as("mon_c"),
+        max(when($"tag" === 1, expr("(rk-1)*4 DIV nu + 1"))).as("rq"),
+        max(when($"tag" === 2, expr("(rk-1)*4 DIV nu + 1"))).as("fq"),
+        max(when($"tag" === 3, expr("(rk-1)*4 DIV nu + 1"))).as("mq"))
     for (r <- 1 to 3) {
-      t(s"run$r: kernel+explode only")(force(tf0))
-      t(s"run$r: + window df")(force(
-        tf0.withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"term")))))
-      val q = graft.SparkEntry.queries("q54_tfidf")
-      t(s"run$r: full q54")(force(q(spark, sfDir)))
+      t(s"run$r: per-user agg p")(force(p))
+      t(s"run$r: + melt")(force(melted))
+      t(s"run$r: + grouped rank")(force(ranked))
+      t(s"run$r: + pivot")(force(piv))
+      val q = graft.SparkEntry.queries("q138_rfm_segments")
+      t(s"run$r: full q138")(force(q(spark, sfDir)))
     }
     spark.stop()
   }
