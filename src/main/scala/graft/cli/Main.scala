@@ -99,9 +99,7 @@ object Main {
               opt(rest, "boundaries").getOrElse(die("--boundaries required")))
             val cols = opt(rest, "admin-columns").map(_.split(",").toSeq)
               .getOrElse(die("--admin-columns required"))
-            t.enrichSpatial(b.df,
-              b.geometryColumn.getOrElse(die("boundaries have no geometry")),
-              cols).write(out)
+            t.enrichSpatial(b, cols).write(out)
           case other => die(s"unknown add target $other")
         }
 

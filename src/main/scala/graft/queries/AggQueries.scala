@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.geo
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 import Coords._
 
 /** Aggregation + inspection surface (SURVEY §2.4, §2.10): dataset bounds,
@@ -146,7 +146,7 @@ object AggQueries {
           .select(substring($"p_type", 1, 6).as("type_prefix"))
           .where($"type_prefix".isNotNull)
           .distinct()
-          .orderBy($"type_prefix")
+          .sortBounded($"type_prefix")
       },
       Some("""SELECT DISTINCT substr(p_type, 1, 6) AS type_prefix
         FROM part WHERE substr(p_type, 1, 6) IS NOT NULL

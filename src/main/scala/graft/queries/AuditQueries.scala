@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 import graft.functions.SketchExpressions
 
 /** Round-8 corpus-audit operators: the measurement layer a pipeline
@@ -102,7 +102,7 @@ object AuditQueries {
             Seq("lang", "source"), "doc_id")
           .groupBy($"lang", $"source", $"split")
           .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
-          .orderBy($"lang", $"source", $"split")
+          .sortBounded($"lang", $"source", $"split")
       },
       Some(raw"""WITH b AS (SELECT doc_id, lang, source, n_chars,
             md5(CAST(doc_id AS VARCHAR)) AS hk
@@ -156,7 +156,7 @@ object AuditQueries {
           .select($"bin", $"n", $"n_pos", $"n_correct",
             round($"__sm".cast("double") / $"n" / 1e6, 6).as("mean_score"),
             round($"n_correct".cast("double") / $"n", 6).as("accuracy"))
-          .orderBy($"bin")
+          .sortBounded($"bin")
       },
       Some(raw"""WITH ${CorpusQueries.nbScoreCtes},
         j AS (SELECT sc.doc_id, ROUND(s, 6) AS sco, ROUND(s, 6) > 0 AS p,
@@ -265,7 +265,7 @@ object AuditQueries {
               $"target_tokens".cast("double") / $"avail_tokens"), 6)
               .as("rate"),
             ($"target_tokens" > $"avail_tokens").as("upsample"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH a AS (SELECT source,
             CAST(SUM($tokLenSql) AS BIGINT) AS avail
@@ -312,7 +312,7 @@ object AuditQueries {
             sum($"n_hit").as("__h"), sum($"n_fp").as("__f"))
           .select($"source", $"n_docs", $"n_flagged",
             round($"__h".cast("double") / $"__f", 6).as("containment"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH $winnowCtes,
         aset AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 3 = 0),
@@ -356,7 +356,7 @@ object AuditQueries {
             round($"__s".cast("double") / $"n_chars", 6).as("space_frac"),
             round(($"n_chars" - $"__l" - $"__d" - $"__s").cast("double")
               / $"n_chars", 6).as("other_frac"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH b AS (SELECT source,
             CAST(length(lt) AS BIGINT) AS nt,
@@ -401,7 +401,7 @@ object AuditQueries {
         graft.ops.DistWindow.histCeilRanks(lh, $"lang", $"len", $"c",
             Seq(50, 90, 99), "lang", "p", "len_at", "n_docs")
           .select($"lang", $"p", $"n_docs", $"len_at")
-          .orderBy($"lang", $"p")
+          .sortBounded($"lang", $"p")
       },
       Some(raw"""WITH base AS (SELECT lang, doc_id,
             CAST($tokLenSql AS BIGINT) AS len
@@ -480,7 +480,7 @@ object AuditQueries {
             element_at(array(lit("1"), lit("2"), lit("3-4"), lit("5-8"),
               lit("9-16"), lit("17+")), $"bucket_id" + 1))
           .select($"bucket_id", $"bucket", $"n_groups", $"n_docs")
-          .orderBy($"bucket_id")
+          .sortBounded($"bucket_id")
       },
       Some(raw"""WITH g AS (SELECT
             md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -522,7 +522,7 @@ object AuditQueries {
             $"tokens_kept",
             round(($"tokens_total" - $"tokens_kept").cast("double")
               / $"tokens_total", 6).as("loss_frac"))
-          .orderBy($"limit")
+          .sortBounded($"limit")
       },
       Some(raw"""WITH base AS (SELECT CAST($tokLenSql AS BIGINT) AS tok
           FROM documents),
@@ -572,7 +572,7 @@ object AuditQueries {
           .select($"src_a", $"src_b", $"shared", $"na", $"nb",
             round($"shared".cast("double") / ($"na" + $"nb" - $"shared"),
               6).as("jaccard"))
-          .orderBy($"src_a", $"src_b")
+          .sortBounded($"src_a", $"src_b")
       },
       Some(raw"""WITH $winnowCtes,
         sf AS (SELECT DISTINCT source, fp FROM fpt),
@@ -615,7 +615,7 @@ object AuditQueries {
             round($"__sm".cast("double") / $"n_vecs" / 1e6, 6)
               .as("mean_norm"),
             round($"__mx" / 1e6, 6).as("max_norm"))
-          .orderBy($"label")
+          .sortBounded($"label")
       },
       Some(raw"""WITH v AS (SELECT label,
             CAST(ROUND(SQRT(list_sum(list_transform(embedding,
@@ -774,7 +774,7 @@ object AuditQueries {
             max($"doc_id").as("max_doc_id"),
             sum($"tok").as("n_tokens"), sum($"ch").as("n_chars"),
             expr("bit_xor(sig)").as("content_sig"))
-          .orderBy($"split")
+          .sortBounded($"split")
       },
       Some(raw"""WITH ${GovernanceQueries.entropyCtes},
         base AS (SELECT d.doc_id, d.lang, d.source, d.text,
@@ -862,7 +862,7 @@ object AuditQueries {
             $"n_oov_terms",
             round($"n_oov_tokens".cast("double") / $"n_tokens", 6)
               .as("oov_rate"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH tm AS (SELECT doc_id, source,
             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -1007,7 +1007,7 @@ object AuditQueries {
             coalesce($"n_new_grams", lit(0L)).as("n_new_grams"))
           .withColumn("novelty_bp",
             expr("n_new_grams * 10000 DIV n_distinct_grams"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH d0 AS (SELECT source,
             list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -1061,7 +1061,7 @@ object AuditQueries {
             sum($"cross").as("n_cross_dupes"),
             sum($"within").as("n_within_dupes"),
             (sum($"n") - sum($"cross") - sum($"within")).as("n_kept"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some("""WITH d AS (SELECT source,
             md5(trim(regexp_replace(
@@ -1122,7 +1122,7 @@ object AuditQueries {
             sum($"inb").as("n_in_interval"))
           .withColumn("coverage_bp",
             expr("n_in_interval * 10000 DIV n_docs"))
-          .orderBy($"label")
+          .sortBounded($"label")
       },
       Some(raw"""WITH ${CorpusQueries.nbScoreCtes},
         j AS (SELECT sc.doc_id,
@@ -1191,7 +1191,7 @@ object AuditQueries {
           .withColumn("spearman", round(lit(1.0) -
             lit(6.0) * $"sum_d2" /
               ($"n_docs" * ($"n_docs" * $"n_docs" - 1)), 6))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH ch AS (SELECT doc_id,
             unnest(string_split(lower(coalesce(text, '')), '')) AS c
@@ -1246,7 +1246,7 @@ object AuditQueries {
             (lit(2.0) * $"__s1" - ($"n_docs" + 1) * $"sum_tokens") /
               ($"n_docs" * $"sum_tokens"), 6))
           .drop("__s1")
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH base AS (SELECT source, doc_id,
             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -1296,7 +1296,7 @@ object AuditQueries {
             expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 10000 DIV (tp + fn) END"))
           .withColumn("f1_bp", expr(
             "CASE WHEN 2*tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 10000 DIV (2*tp + fp + fn) END"))
-          .orderBy($"thr")
+          .sortBounded($"thr")
       },
       Some(raw"""WITH ${CorpusQueries.nbScoreCtes},
         j AS (SELECT CAST(ROUND(ROUND(s, 6) * 1000000) AS BIGINT) AS sm,

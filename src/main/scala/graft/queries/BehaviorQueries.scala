@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.DistWindow
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 import JoinQueries.events
 
 /** Event-behavior analytics (beyond the reference): the product-side
@@ -36,7 +36,7 @@ object BehaviorQueries {
         graft.ops.Behavior
           .retentionCohorts(events(s, dir), "user_id",
             unix_timestamp(col("ts")))
-          .orderBy("cohort_week", "week_offset")
+          .sortBounded("cohort_week", "week_offset")
       },
       Some("""WITH uw AS (SELECT DISTINCT user_id,
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk
@@ -63,7 +63,7 @@ object BehaviorQueries {
         graft.ops.Behavior
           .markovTransitions(events(s, dir), "user_id", "event_type",
             Seq(col("ts"), col("event_id")))
-          .orderBy("from_type", "to_type")
+          .sortBounded("from_type", "to_type")
       },
       Some("""WITH t AS (SELECT event_type,
             LEAD(event_type) OVER (PARTITION BY user_id
@@ -170,7 +170,7 @@ object BehaviorQueries {
         graft.ops.Behavior
           .robustAnomalyReport(events(s, dir), "event_type", "event_id",
             "value")
-          .orderBy("event_type")
+          .sortBounded("event_type")
       },
       Some("""WITH e AS (SELECT event_id, event_type,
             CAST(ROUND(value * 1000000) AS BIGINT) AS v FROM events),
@@ -293,7 +293,7 @@ object BehaviorQueries {
               .as("n_resurrected"),
             sum(when($"state" === "churned", 1L).otherwise(0L))
               .as("n_churned"))
-          .orderBy("week")
+          .sortBounded("week")
       },
       Some("""WITH uw AS (SELECT DISTINCT user_id,
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk
@@ -540,7 +540,7 @@ object BehaviorQueries {
             max(when($"week_offset" === 0, $"n_users")).over(wC0))
           .withColumn("ltv_cents", expr("cum_rev_cents DIV n0"))
           .drop("rev_cents", "n0")
-          .orderBy("cohort_week", "week_offset")
+          .sortBounded("cohort_week", "week_offset")
       },
       Some("""WITH uw AS (SELECT user_id,
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk,
@@ -592,7 +592,7 @@ object BehaviorQueries {
         DistWindow.histCeilRanks(gh, $"event_type", $"gap_s", $"c",
             Seq(50, 90, 99), "event_type", "p", "gap_s_at", "n_gaps")
           .select($"event_type", $"p", $"n_gaps", $"gap_s_at")
-          .orderBy($"event_type", $"p")
+          .sortBounded($"event_type", $"p")
       },
       Some("""WITH g0 AS (SELECT event_type, event_id,
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) -
@@ -648,7 +648,7 @@ object BehaviorQueries {
           .groupBy($"campaign")
           .agg(count(lit(1)).as("n_purchases"),
             sum($"cents").as("revenue_cents"))
-          .orderBy($"campaign")
+          .sortBounded($"campaign")
       },
       Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
             CAST(ROUND(value * 100) AS BIGINT) AS cents
@@ -695,7 +695,7 @@ object BehaviorQueries {
           .agg(count(lit(1)).as("n_distinct")).withColumn("week", lit(-1L))
         val total = totalExact.join(totalEst, Seq("week"))
           .select($"week", $"n_distinct", $"hll_est")
-        weekly.unionByName(total).orderBy($"week")
+        weekly.unionByName(total).sortBounded($"week")
       },
       Some(raw"""WITH uw AS (SELECT DISTINCT
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk,
@@ -823,7 +823,7 @@ object BehaviorQueries {
             LN(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5))), 3)"""))
           .select($"event_type", $"n", $"dp_n",
             lit(1.0).as("epsilon"))
-          .orderBy($"event_type")
+          .sortBounded($"event_type")
       },
       Some("""WITH c AS (SELECT event_type, COUNT(*) AS n,
             CAST(('0x' || substr(md5('dp:' || event_type), 1, 13))
@@ -865,7 +865,7 @@ object BehaviorQueries {
           .groupBy("state")
           .agg(count(lit(1)).as("n_user_weeks"), sum($"p").as("n_converted"))
           .withColumn("cvr_bp", expr("n_converted * 10000 DIV n_user_weeks"))
-          .orderBy("state")
+          .sortBounded("state")
       },
       Some("""WITH uw AS (SELECT user_id,
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk,
@@ -919,7 +919,7 @@ object BehaviorQueries {
           .groupBy($"campaign")
           .agg(count(lit(1)).as("n_purchases"),
             sum($"cents").as("revenue_cents"))
-          .orderBy($"campaign")
+          .sortBounded($"campaign")
       },
       Some("""WITH tl AS (SELECT user_id,
             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t_s,
@@ -1011,7 +1011,7 @@ object BehaviorQueries {
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_sessions"), sum($"conv").as("n_converted"))
           .withColumn("cvr_bp", expr("n_converted * 10000 DIV n_sessions"))
-          .orderBy($"bucket")
+          .sortBounded($"bucket")
       },
       Some("""WITH m AS (SELECT user_id, event_id, event_type, ts,
             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1063,7 +1063,7 @@ object BehaviorQueries {
         dau.join(wau, Seq("wk"))
           .select($"wk".as("week"), $"user_days", $"wau",
             expr("user_days * 10000 DIV (7 * wau)").as("stickiness_bp"))
-          .orderBy($"week")
+          .sortBounded($"week")
       },
       Some("""WITH ud AS (SELECT DISTINCT user_id,
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400 AS d
@@ -1114,7 +1114,7 @@ object BehaviorQueries {
              expr("CAST(ROUND(CAST(n_errors AS DOUBLE) / n_events * 1000000) AS BIGINT)")
               < expr("CAST(ROUND(GREATEST(0.0, pbar - 3 * sig) * 1000000) AS BIGINT)"))
               .as("breach"))
-          .orderBy($"week")
+          .sortBounded($"week")
       },
       Some("""WITH per AS (SELECT
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS week,
@@ -1371,7 +1371,7 @@ object BehaviorQueries {
         DistWindow.histCeilRanks(ph, col("week"), $"cents", $"c",
             Seq(50, 90), "week", "p", "cents_at", "n_purchases")
           .select($"week", $"p", $"n_purchases", $"cents_at")
-          .orderBy($"week", $"p")
+          .sortBounded($"week", $"p")
       },
       Some("""WITH p AS (SELECT
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS week,
@@ -1454,7 +1454,7 @@ object BehaviorQueries {
         per.crossJoin(broadcast(tot))
           .select($"weekday", $"n_events",
             expr("n_events * 7 * 10000 DIV tn").as("index_bp"))
-          .orderBy($"weekday")
+          .sortBounded($"weekday")
       },
       Some("""WITH per AS (SELECT
             ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400 + 3)
@@ -1495,7 +1495,7 @@ object BehaviorQueries {
             expr("""CAST(ROUND((1.959964 + 0.841621)
               * SQRT(variance * 2.0 / (n * mult)) / mean * 10000)
               AS BIGINT)""").as("mde_bp"))
-          .orderBy($"n_per_arm")
+          .sortBounded($"n_per_arm")
       },
       Some("""WITH per AS (SELECT user_id,
             CAST(SUM(CASE WHEN event_type = 'purchase'

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.geo
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 
 /** Core relational operator surface (SURVEY §2.2-§2.5): extract
   * (project/filter/limit), aggregation, broadcast joins, windows — each
@@ -45,7 +45,7 @@ object CoreQueries {
               .as("sum_charge"),
             exactSum($"l_discount", 2).as("sum_disc"),
             count(lit(1)).as("count_order"))
-          .orderBy($"l_returnflag", $"l_linestatus")
+          .sortBounded($"l_returnflag", $"l_linestatus")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
         SUM(l_quantity) AS sum_qty,
@@ -92,7 +92,7 @@ object CoreQueries {
           .groupBy($"n_name")
           .agg(count(lit(1)).as("n_orders"),
             exactSum($"o_totalprice", 2).as("revenue"))
-          .orderBy($"n_name")
+          .sortBounded($"n_name")
       },
       Some(s"""SELECT n_name, COUNT(*) AS n_orders,
         ${sqlExactSum("o_totalprice", 2)} AS revenue
@@ -142,7 +142,7 @@ object CoreQueries {
             Seq("o_orderpriority"),
             Seq(($"o_totalprice", true), ($"o_orderkey", false)), 5, "rn")
           .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
-          .orderBy($"o_orderpriority", $"rn")
+          .sortBounded($"o_orderpriority", $"rn")
       },
       Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
           SELECT o_orderpriority, o_orderkey, o_totalprice,

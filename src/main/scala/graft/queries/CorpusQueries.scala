@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 
 /** Corpus-curation operators beyond the round-4 surface: duplicated-
   * passage detection (exact substring-level overlap), unigram-LM quality
@@ -515,7 +515,7 @@ object CorpusQueries {
             $"n_docs", $"total_tokens", $"total_chars",
             round($"total_tokens".cast("double") / $"n_docs", 6)
               .as("mean_tokens"))
-          .orderBy($"source", $"lang")
+          .sortBounded($"source", $"lang")
       },
       Some(raw"""WITH t AS (SELECT source, lang,
             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -1145,7 +1145,7 @@ object CorpusQueries {
           .select($"source", explode(filter(split(lower($"text"), "\\s+"),
             t => t =!= "")).as("term"))
         graft.ops.Hll.distinctPerGroup(terms, $"source", $"term", "source")
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH pairs AS (SELECT DISTINCT source,
             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -1218,7 +1218,7 @@ object CorpusQueries {
               .as("chars_per_token"),
             round($"n_bpe_tokens".cast("double") / $"n_words".cast("double"), 6)
               .as("tokens_per_word"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some("WITH " + bpeTrainCtes(8, "documents") +
         bpeApplyCtes(8, "documents") + raw""",
@@ -1295,7 +1295,7 @@ object CorpusQueries {
           .select((round($"b", 6) + 0.0).as("heaps_beta"),
             round(exp(($"sy" - $"b" * $"sx") / $"k"), 6).as("heaps_k"))
         cps.crossJoin(broadcast(fit))
-          .orderBy($"n_docs_prefix")
+          .sortBounded($"n_docs_prefix")
       },
       Some(raw"""WITH base AS (SELECT doc_id,
             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 
 /** Round-8 curation/report operators over `documents`: the rule-based
   * document gate (Gopher), training-batch padding economics, sketch
@@ -88,7 +88,7 @@ object CurationQueries {
             sum(when(!$"r_symbol", 1L).otherwise(0L)).as("f_symbol"),
             sum(when($"r_wordcount" && $"r_meanlen" && $"r_alpha" &&
               $"r_stop" && $"r_symbol", 1L).otherwise(0L)).as("n_pass"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH d AS (SELECT source,
             list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -166,7 +166,7 @@ object CurationQueries {
         val sorted = graft.ops.DistWindow.withGlobalRank(docs,
           -$"n_tokens", Seq(-$"n_tokens", $"doc_id"), "pos")
         report(arrival, "arrival").unionAll(report(sorted, "length_sorted"))
-          .orderBy($"strategy")
+          .sortBounded($"strategy")
       },
       Some(raw"""WITH toks AS (SELECT doc_id,
             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -266,7 +266,7 @@ object CurationQueries {
               / (lit(32.0) * count(lit(1))), 6).as("avg_est"),
             round(sum($"jp").cast("double") / 1e9 / count(lit(1)), 6)
               .as("avg_exact"))
-          .orderBy($"bucket")
+          .sortBounded($"bucket")
       },
       Some(raw"""WITH d0 AS (SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -345,7 +345,7 @@ object CurationQueries {
               .as("avg_nlp"),
             round(min($"sk").cast("double") / 1e6, 6).as("min_nlp"),
             round(max($"sk").cast("double") / 1e6, 6).as("max_nlp"))
-          .orderBy($"lang", $"tercile")
+          .sortBounded($"lang", $"tercile")
       },
       Some(raw"""WITH $lmScoreCtes,
         rk AS (SELECT lang, sk,
@@ -390,7 +390,7 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_docs"), sum($"nb").as("sum_bytes"),
             sum(when($"ok", 1L).otherwise(0L)).as("n_parse_ok"),
             sum($"hv").as("digest"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH l AS (SELECT source, text,
             '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"'

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 
 /** Round-8 corpus-governance operators: the policy layer a pipeline
   * runs between curation and training — per-domain quota caps,
@@ -98,7 +98,7 @@ object GovernanceQueries {
           .select($"source", $"n_docs", $"n_kept",
             ($"n_docs" - $"n_kept").as("n_dropped"), $"kept_chars",
             round($"cutm" / 1e6, 6).as("cut_entropy"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH $entropyCtes,
         base AS (SELECT d.doc_id, d.source, d.n_chars,
@@ -142,7 +142,7 @@ object GovernanceQueries {
           .select($"label", $"n_vecs", $"n_flagged",
             ($"n_vecs" - $"n_flagged").as("n_kept"),
             round($"__mx" / 1e5, 5).as("max_sim"))
-          .orderBy($"label")
+          .sortBounded($"label")
       },
       Some(raw"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
           FROM embeddings WHERE vec_id % 50 = 0),
@@ -199,7 +199,7 @@ object GovernanceQueries {
           .select($"source", $"n_occurrences", $"n_distinct", $"top_df",
             round($"n_distinct".cast("double") / $"n_occurrences", 6)
               .as("diversity"))
-          .orderBy($"source")
+          .sortBounded($"source")
       },
       Some(raw"""WITH d0 AS (SELECT doc_id, source,
             list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -317,7 +317,7 @@ object GovernanceQueries {
         ag.crossJoin(broadcast(ag.agg(min($"err_nano").as("__m"))))
           .select($"b", $"r", $"n_above", $"n_below", $"fp_nano",
             $"fn_nano", $"err_nano", ($"err_nano" === $"__m").as("chosen"))
-          .orderBy($"b".desc)
+          .sortBounded($"b".desc)
       },
       Some(raw"""WITH d0 AS (SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -488,7 +488,7 @@ object GovernanceQueries {
             min($"em").as("__cutm"))
           .select(($"f10" * 10).as("budget_pct"), $"n_selected",
             $"tokens_selected", round($"__cutm" / 1e6, 6).as("cut_entropy"))
-          .orderBy($"budget_pct")
+          .sortBounded($"budget_pct")
       },
       Some(raw"""WITH $entropyCtes,
         base AS (SELECT d.doc_id,

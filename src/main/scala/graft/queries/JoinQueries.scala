@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.geo
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 import Coords._
 
 /** Join surface (SURVEY §2.3) + event-time windowing. The spatial enrich
@@ -104,7 +104,7 @@ object JoinQueries {
             "left")
           .groupBy($"n_name")
           .agg(count($"c_custkey").as("n_points"))
-          .orderBy($"n_name".asc_nulls_first)
+          .sortBounded($"n_name".asc_nulls_first)
       },
       Some(s"""WITH pts AS (
           SELECT c_custkey, ${lonSql("c_custkey")} AS x, ${latSql("c_custkey")} AS y
@@ -133,7 +133,7 @@ object JoinQueries {
             (sum(round($"value" * 100).cast("long")) / 100.0).as("sum_value"))
           .select(unix_timestamp($"w.start").as("window_start"),
             $"event_type", $"n", $"sum_value")
-          .orderBy($"window_start", $"event_type")
+          .sortBounded($"window_start", $"event_type")
       },
       Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
           event_type, COUNT(*) AS n,
@@ -201,7 +201,7 @@ object JoinQueries {
             sum($"k").as("sum_k"),
             min($"k").as("min_k"), max($"k").as("max_k"),
             sum(when($"k" > 50, 1L).otherwise(0L)).as("n_high"))
-          .orderBy($"event_type")
+          .sortBounded($"event_type")
       },
       Some("""WITH e AS (SELECT event_type,
             CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Ann, Dedup, KdTree, Multimodal}
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 import Coords._
 
 /** Sketch/model-based operators from graft.ops exercised as queries.
@@ -117,7 +117,7 @@ object OpsQueries {
         KdTree.withCell(pts, "x", "y", tree)
           .groupBy($"kdtree_cell")
           .agg(count(lit(1)).as("n_rows"))
-          .orderBy($"kdtree_cell")
+          .sortBounded($"kdtree_cell")
       },
       Some {
         // one median+split level: median from the sample chain (s_i),
@@ -267,7 +267,7 @@ object OpsQueries {
           .agg(count(lit(1)).as("n_docs"),
             min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
             sum($"doc_id").as("sum_id"))
-          .orderBy($"split")
+          .sortBounded($"split")
       },
       Some {
         def nib(i: Int): String =
@@ -539,7 +539,7 @@ object OpsQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_samples").as("total_samples"),
             max($"peak").as("max_peak"))
-          .orderBy($"reason")
+          .sortBounded($"reason")
       },
       Some("""WITH d AS (SELECT doc_id,
             1600 + (doc_id % 32) * 50 AS n,

@@ -28,4 +28,19 @@ object QueryDef {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+
+  /** Deterministic sort for a BOUNDED final result. A trailing `orderBy`
+    * pays a range-boundary sampling job plus a range exchange even for a
+    * 10-row rollup; for a result whose row count is bounded by a DOMAIN
+    * (sources, languages, weeks, buckets, event types...) — not by the
+    * data — a single-partition sort is the same rows in the same order
+    * at one narrow stage. Never use on per-doc/per-user/per-pair
+    * outputs: those grow with the data and must keep the range sort.
+    */
+  implicit final class BoundedSort(private val df: DataFrame) {
+    def sortBounded(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols: _*)
+    def sortBounded(first: String, rest: String*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(first, rest: _*)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 
 /** Training-data text operators over `documents` (builder-prompt surface:
   * dedup, token counting, quality scoring, language-ID, fingerprinting).
@@ -124,7 +124,7 @@ object TextQueries {
               .otherwise("unknown"))
           .groupBy($"lang", $"predicted")
           .agg(count(lit(1)).as("n"))
-          .orderBy($"lang", $"predicted")
+          .sortBounded($"lang", $"predicted")
       },
       Some(s"""WITH scored AS (
           SELECT doc_id, lang,
@@ -201,7 +201,7 @@ object TextQueries {
             Seq((md5($"doc_id".cast("string")), false), ($"doc_id", false)),
             5, "rk")
           .select($"lang", $"source", $"doc_id", $"rk")
-          .orderBy($"lang", $"source", $"rk")
+          .sortBounded($"lang", $"source", $"rk")
       },
       Some("""SELECT lang, source, doc_id, rk FROM (
           SELECT lang, source, doc_id,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
-import QueryDef.table
+import QueryDef.{table, BoundedSort}
 
 /** Embedding-column operators over `embeddings` (builder-prompt surface:
   * similarity search + embedding near-dup). Brute-force cosine is the
@@ -184,7 +184,7 @@ object VectorQueries {
             emb.filter($"vec_id" >= 10), emb.filter($"vec_id" < 10),
             "embedding", "vec_id", "vec_id", "embedding", k = 5)
           .select($"qid", $"rank", $"id", round($"sim", 5).as("sim"))
-          .orderBy($"qid", $"rank")
+          .sortBounded($"qid", $"rank")
       },
       Some("""WITH q AS (
           SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -225,7 +225,7 @@ object VectorQueries {
             "embedding", "vec_id", "vec_id", "embedding",
             k = 5, dupCeil = 0.35)
           .select($"qid", $"rank", $"id", round($"sim", 5).as("sim"))
-          .orderBy($"qid", $"rank")
+          .sortBounded($"qid", $"rank")
       },
       Some("""WITH q AS (
           SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -266,7 +266,7 @@ object VectorQueries {
         assigned.groupBy($"cluster").agg(count(lit(1)).as("n_members"))
           .join(broadcast(centsDf), Seq("cluster"))
           .select($"cluster", $"n_members", round($"d0", 6).as("cent_d0"))
-          .orderBy($"cluster")
+          .sortBounded($"cluster")
       },
       Some(kmeansCte + raw"""
         SELECT a.c AS cluster, COUNT(*) AS n_members,
@@ -362,7 +362,7 @@ object VectorQueries {
             round(dotF($"embedding", qlit) /
               (sqrt(dotF($"embedding", $"embedding")) *
                 sqrt(dotF(qlit, qlit))), 5).as("sim_exact"))
-          .orderBy($"sim_sq8".desc, $"vec_id")
+          .sortBounded($"sim_sq8".desc, $"vec_id")
       },
       Some("""WITH dims AS (
           SELECT t.i, MIN(CAST(e.embedding[t.i] AS DOUBLE)) AS lo,
@@ -479,7 +479,7 @@ object VectorQueries {
             round(dot($"embedding", qlit) /
               (sqrt(dot($"embedding", $"embedding")) * sqrt(dot(qlit, qlit))),
               5).as("sim_exact"))
-          .orderBy($"sim_pq".desc, $"vec_id")
+          .sortBounded($"sim_pq".desc, $"vec_id")
       },
       Some(pqOracle)),
 
@@ -518,7 +518,7 @@ object VectorQueries {
           .select($"qid", $"n_true",
             coalesce($"n_approx", lit(0L)).as("n_approx"), $"n_overlap",
             round($"n_overlap".cast("double") / $"n_true", 6).as("recall"))
-          .orderBy($"qid")
+          .sortBounded($"qid")
       },
       Some("""WITH planes AS (
           SELECT pp.p, jj.j,
@@ -776,7 +776,7 @@ object VectorQueries {
             : _*)).as("r"))
           .select($"r.d".as("d"), $"r.n_true".as("n_true"),
             $"r.n_overlap".as("n_overlap"), $"r.recall".as("recall"))
-          .orderBy($"d")
+          .sortBounded($"d")
       },
       Some(raw"""WITH pairs AS (
           SELECT q.vec_id AS qid, c.vec_id AS id,
@@ -893,7 +893,7 @@ object VectorQueries {
           .select($"cluster", $"n_sampled",
             round($"__ss".cast("double") / ($"n_sampled" * 1000000.0), 6)
               .as("avg_silhouette"))
-          .orderBy($"cluster")
+          .sortBounded($"cluster")
       },
       Some(kmeansCte + raw""",
         sparams AS (SELECT GREATEST(1, COUNT(*) // 200) AS sstride
@@ -973,7 +973,7 @@ object VectorQueries {
           .groupBy($"qlabel".as("label"))
           .agg(count(lit(1)).as("n_sampled"), sum($"ok").as("n_correct"))
           .withColumn("accuracy_bp", expr("n_correct * 10000 DIV n_sampled"))
-          .orderBy($"label")
+          .sortBounded($"label")
       },
       Some(raw"""WITH sparams AS (SELECT GREATEST(1, COUNT(*) // 200)
             AS sstride FROM embeddings),

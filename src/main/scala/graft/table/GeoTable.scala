@@ -429,6 +429,36 @@ final case class GeoTable(
     * `boundaries` must carry a WKB geometry column plus the attribute
     * columns to attach (e.g. country_code, subdivision_code).
     */
+  /** CRS-consistency diagnosis for the enrich join: Some(message) when
+    * the boundary table's declared CRS does not match this table's — a
+    * degrees-vs-meters join passes the bbox pre-filter for nothing and
+    * silently attaches NULLs everywhere. Same warn-don't-fail contract
+    * as [[bboxCrsMismatch]]; pure so GeoTableSpec can pin both
+    * directions. Geographic systems (EPSG:4326 / OGC:CRS84) are treated
+    * as one family; projected systems must match by name.
+    */
+  private[graft] def enrichCrsMismatch(boundaries: GeoTable): Option[String] = {
+    val (tg, bg) = (isGeographicCrs, boundaries.isGeographicCrs)
+    if (tg != bg)
+      Some(s"CRS mismatch: table is ${crsOrDefault} but boundaries are " +
+        s"${boundaries.crsOrDefault} (geographic vs projected) — the " +
+        "enrich join will attach nothing; reproject one side first")
+    else if (!tg && crsOrDefault != boundaries.crsOrDefault)
+      Some(s"CRS mismatch: table is ${crsOrDefault} but boundaries are " +
+        s"${boundaries.crsOrDefault} — reproject one side first")
+    else None
+  }
+
+  /** [[enrichSpatial]] with the boundary side as a GeoTable: runs the
+    * CRS-consistency gate (warn, don't fail — reference behavior) and
+    * resolves the geometry column from the boundary footer. */
+  def enrichSpatial(boundaries: GeoTable, attach: Seq[String]): GeoTable = {
+    enrichCrsMismatch(boundaries).foreach(log.warn(_))
+    val bcol = boundaries.geometryColumn.getOrElse(
+      throw new IllegalArgumentException("boundary table has no geometry column"))
+    enrichSpatial(boundaries.df, bcol, attach)
+  }
+
   def enrichSpatial(boundaries: DataFrame, boundaryGeomCol: String,
       attach: Seq[String]): GeoTable = {
     val (x0, y0, x1, y1) = bounds()

@@ -107,6 +107,28 @@ class GeoTableSpec extends AnyFunSuite {
     assert(t.filterBbox(-10, -10, 10, 10).count() > 0)
   }
 
+  test("enrich join CRS-consistency gate fires on mismatched sides") {
+    val t = pointsTable(10)
+    def projected(g: GeoTable) = g.copy(meta = g.meta.copy(columns =
+      Map("geometry" -> graft.meta.GeoColumnMeta(crs = Some(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree("""{"id":{"authority":"EPSG","code":3857}}"""))))))
+    // same family (both geographic): no warning
+    assert(t.enrichCrsMismatch(pointsTable(5)).isEmpty)
+    // geographic table vs projected boundaries: warn
+    assert(t.enrichCrsMismatch(projected(pointsTable(5)))
+      .exists(_.contains("geographic vs projected")))
+    // projected vs geographic: warn (other direction)
+    assert(projected(t).enrichCrsMismatch(pointsTable(5))
+      .exists(_.contains("geographic vs projected")))
+    // both projected, same CRS: no warning
+    assert(projected(t).enrichCrsMismatch(projected(pointsTable(5))).isEmpty)
+    // and the GeoTable-typed enrich entry still joins (warn, don't fail)
+    val bounds = pointsTable(5)
+    val enriched = t.enrichSpatial(bounds, Seq.empty)
+    assert(enriched.df.count() >= t.df.count())
+  }
+
   test("reproject round-trips through webmercator") {
     val t = pointsTable(50)
     val back = t.reproject("EPSG:4326", "EPSG:3857")
