@@ -1078,6 +1078,23 @@ object Main {
               java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
             BenchSuite.report(
               BenchSuite.compare(load(current), load(baseline).toMap))
+          // benchmark compare <input> [--converters a,b] [--iterations n]
+          //   [--no-warmup] [--output-json f] — reference `gpio benchmark
+          //   compare` (converter race on one file; see
+          //   BenchSuite.compareConverters for the backend→format mapping)
+          case "compare" =>
+            val in = rest.tail.head
+            val fmts = opt(rest, "converters")
+              .map(_.split(",").map(_.trim).toSeq)
+              .getOrElse(Seq("geoparquet", "geojson", "csv", "flatgeobuf"))
+            val res = BenchSuite.compareConverters(spark, in, fmts,
+              opt(rest, "iterations").map(_.toInt).getOrElse(3),
+              warmup = !flag(rest, "no-warmup"))
+            opt(rest, "output-json").foreach { o =>
+              java.nio.file.Files.writeString(java.nio.file.Paths.get(o),
+                res.map { case (f, s, b) =>
+                  s""""$f":{"sec":$s,"bytes":$b}""" }.mkString("{", ",", "}"))
+            }
           case other => die(s"unknown benchmark mode $other")
         }
 

@@ -83,6 +83,7 @@ object Cms {
       .agg(max(col("cnt")).as("exact_cnt"), min(col("cell")).as("cms_est"))
       .select(col("term"), col("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("exact_cnt")).as("overcount"))
-      .orderBy(col("exact_cnt").desc, col("term"))
+      // bounded by topK: 1-partition sort skips orderBy's sampling job
+      .coalesce(1).sortWithinPartitions(col("exact_cnt").desc, col("term"))
   }
 }

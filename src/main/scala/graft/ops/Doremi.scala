@@ -32,7 +32,8 @@ object Doremi {
         round(col("avg_neg_logp") * 1e6).cast("long").as("sk"))
     val base = sc.groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("sk")).as("ss"))
-      .orderBy(col("source"))
+      // bounded source domain: 1-partition sort, same deterministic order
+      .coalesce(1).sortWithinPartitions(col("source"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val k = base.length
@@ -61,6 +62,7 @@ object Doremi {
           .as("weight"),
         round(col("w_pico").cast("double") / 1000000000000.0 * k, 6)
           .as("boost"))
-      .orderBy(col("source"))
+      // bounded source domain: 1-partition sort skips the sampling job
+      .coalesce(1).sortWithinPartitions(col("source"))
   }
 }

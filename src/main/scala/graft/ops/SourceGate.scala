@@ -38,5 +38,6 @@ object SourceGate {
           .as("mean_tokens"),
         ((col("__en") * 10 >= col("n_docs") * minEnTenths) &&
           (col("__short") * 10 <= col("n_docs") * maxShortTenths)).as("kept"))
-      .orderBy(col(sourceCol))
+      // bounded source domain: 1-partition sort skips the sampling job
+      .coalesce(1).sortWithinPartitions(col(sourceCol))
 }

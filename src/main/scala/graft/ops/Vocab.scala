@@ -42,6 +42,7 @@ object Vocab {
         max(col("__t")).as("total_tokens"))
       .select(col("p").as("coverage_pct"), col("vocab_size"),
         col("tokens_covered"), col("total_tokens"))
-      .orderBy(col("coverage_pct"))
+      // bounded percent grid: 1-partition sort skips the sampling job
+      .coalesce(1).sortWithinPartitions(col("coverage_pct"))
   }
 }

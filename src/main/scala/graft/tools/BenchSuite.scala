@@ -122,6 +122,48 @@ object BenchSuite {
     regressed
   }
 
+  /** `benchmark compare` (reference `cli/main.py:4401-4500`): the
+    * reference races converter BACKENDS (DuckDB / GeoPandas / GDAL) on
+    * one input file. This engine has exactly one backend (Spark), so
+    * the comparable axis is the SINK FORMAT: convert the input to each
+    * requested format (optional warmup, best-of-N) and report seconds +
+    * output bytes — the same "which conversion path should I use for
+    * this file" answer. Returns (format, bestSeconds, outputBytes).
+    */
+  def compareConverters(spark: SparkSession, input: String,
+      formats: Seq[String], iterations: Int,
+      warmup: Boolean): Seq[(String, Double, Long)] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    def sizeOf(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum else f.length
+      walk(new java.io.File(p))
+    }
+    formats.map { fmt =>
+      val out = s"$work/out_$fmt"
+      def once(): Double = {
+        val t = GeoTable.read(spark, input)
+        val t0 = System.nanoTime()
+        fmt match {
+          case "geoparquet" => t.write(out)
+          case "geojson"    => t.writeGeoJsonSeq(out)
+          case "csv"        => t.writeCsv(out)
+          case "shapefile"  => t.writeShapefile(out)
+          case "geopackage" => t.writeGeoPackage(out)
+          case "flatgeobuf" => t.writeFlatGeobuf(out)
+          case other =>
+            throw new IllegalArgumentException(s"unknown converter $other")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (warmup) once()
+      val best = (1 to iterations).map(_ => once()).min
+      val bytes = sizeOf(out)
+      println(f"[compare] $fmt%-12s $best%8.3f s $bytes%12d bytes")
+      (fmt, best, bytes)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toInt).getOrElse(100000)
     val baselinePath = args.lift(1).getOrElse("bench_baseline.json")

@@ -794,6 +794,30 @@ class CliSpec extends AnyFunSuite {
       s"$dir/run1.json"))
   }
 
+  test("benchmark compare: per-format converter race on one input") {
+    import spark.implicits._
+    val dir = tmp("benchcmp")
+    val pts = spark.range(0, 200).toDF("id")
+      .withColumn("name", concat(lit("f"), $"id"))
+      .withColumn("geometry",
+        graft.functions.geo.st_point($"id" % 90, ($"id" % 60) - 30))
+    GeoTable.fromDataFrame(pts, "geometry").write(s"$dir/in.parquet")
+    Main.run(spark, Seq("benchmark", "compare", s"$dir/in.parquet",
+      "--converters", "geoparquet,geojson,csv", "--iterations", "1",
+      "--no-warmup", "--output-json", s"$dir/cmp.json"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/cmp.json")))
+    // every requested converter reports a positive time and real bytes
+    for (f <- Seq("geoparquet", "geojson", "csv")) {
+      assert(node.get(f).get("sec").asDouble > 0, s"$f sec")
+      assert(node.get(f).get("bytes").asLong > 0, s"$f bytes")
+    }
+    // unknown converter dies loudly rather than silently skipping
+    intercept[Exception](Main.run(spark, Seq("benchmark", "compare",
+      s"$dir/in.parquet", "--converters", "nope", "--iterations", "1")))
+  }
+
   test("admin enrich and hierarchical admin partition via the CLI") {
     import spark.implicits._
     val dir = tmp("admin")
