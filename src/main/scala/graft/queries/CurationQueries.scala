@@ -324,16 +324,11 @@ object CurationQueries {
       "q106_ppl_buckets",
       (s, dir) => {
         import s.implicits._
-        // lazy checkpoint at the LM boundary: the ranked/count/join
-        // consumers below would otherwise each replay the whole bigram
-        // scoring chain (measured 8 scans / 30 exchanges in the final
-        // plan) — materialized once, they read a ~20-byte row instead
         val scored = graft.ops.BigramLm
           .scoreDocs(table(s, dir, "documents"), "text", "doc_id",
             carry = Seq("lang"))
           .select($"doc_id", $"lang",
             round($"avg_neg_logp" * 1e6).cast("long").as("sk"))
-          .localCheckpoint(false)
         val ranked = graft.ops.DistWindow.withGroupedRank(scored, $"lang",
           floor($"sk" / 4096L).cast("long"), Seq($"sk", $"doc_id"), "rank",
           groupTotalCol = Some("n_lang"))

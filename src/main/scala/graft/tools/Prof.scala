@@ -22,15 +22,22 @@ object Prof {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    t("warm: lineitem scan")(force(li.select($"l_returnflag")))
-    val agg = li.groupBy($"l_returnflag", $"l_linestatus")
-      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    t("warm: docs scan")(force(docs.select($"doc_id", $"text")))
+    def scored = graft.ops.BigramLm
+      .scoreDocs(docs, "text", "doc_id", carry = Seq("lang"))
+      .select($"doc_id", $"lang",
+        round($"avg_neg_logp" * 1e6).cast("long").as("sk"))
+    def ranked = graft.ops.DistWindow.withGroupedRank(scored, $"lang",
+      floor($"sk" / 4096L).cast("long"), Seq($"sk", $"doc_id"), "rank",
+      groupTotalCol = Some("n_lang"))
     for (r <- 1 to 3) {
-      t(s"run$r: agg only")(force(agg))
-      t(s"run$r: agg+orderBy")(force(agg.orderBy("l_returnflag", "l_linestatus")))
-      t(s"run$r: agg+coalesce1 sort")(force(
-        agg.coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus")))
+      t(s"run$r: scoreDocs")(force(scored))
+      t(s"run$r: + grouped rank")(force(ranked))
+      val q = graft.SparkEntry.queries("q106_ppl_buckets")
+      t(s"run$r: full q106")(force(q(spark, sfDir)))
+      val q92 = graft.SparkEntry.queries("q92_bigram_lm")
+      t(s"run$r: q92 for reference")(force(q92(spark, sfDir)))
     }
     spark.stop()
   }
