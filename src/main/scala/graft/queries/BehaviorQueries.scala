@@ -106,7 +106,18 @@ object BehaviorQueries {
         // of the three user-keyed assembly joins; nu rides the same
         // count table as the rank offsets (groupTotalCol). Bucket
         // contract per tag matches the old branches: rec_d / freq /
-        // mon_c DIV 10000, each a monotone coarsening of its order
+        // mon_c DIV 10000, each a monotone coarsening of its order.
+        // Scale note: a static bucket cannot subdivide a heavy TIE
+        // block (freq=1 may hold a large user fraction, and its window
+        // task sorts that block by user_id alone). At extreme skew the
+        // production shape is quantile CUTS — per-measure histogram
+        // (value, count) → the 3 cut values, then resolve the cut
+        // block's user_id boundary by distributed selection — because
+        // only users AT a cut value need the tiebreak; every other
+        // quartile is decided by the combinable histogram. Kept as the
+        // exact-rank form here: the oracle pins per-user (v, user_id)
+        // rank semantics, and the tie-block bound at this corpus's
+        // freq/rec_d domains stays far under one task's memory.
         val melted = r0.select($"user_id", $"mon_c",
           explode(array(
             struct(lit(1).as("tag"), $"rec_d".as("v"), $"rec_d".as("bkt")),
