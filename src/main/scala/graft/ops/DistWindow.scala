@@ -188,24 +188,6 @@ object DistWindow {
       .drop("__grp", "__bkt", "__rn", "__off")
   }
 
-  /** Exact weighted LOWER median of `value` within each `group`, over a
-    * pre-aggregated (group, value, weight) histogram: one row per group
-    * — (groupOut, outCol, totalCol) — where outCol is the element at
-    * position (Σweight + 1) DIV 2 of the expanded multiset sorted by
-    * value, i.e. the same element a row_number-over-raw-rows rank pass
-    * picks, at histogram cost instead of event cost.
-    *
-    * Same scale shape as [[withGroupedRank]]: the running weight sum is
-    * windowed on (group, bucket) so no task sees more than one bucket of
-    * a group's distinct values, and each bucket's exclusive weight
-    * offset comes from a broadcast prefix-sum over the tiny
-    * one-row-per-(group, bucket) count table. `bucket` must be a
-    * monotone coarsening of `value` within every group. Duplicate
-    * `value` rows are fine (unit-weight raw rows included): ties split
-    * the cumulative range arbitrarily, but exactly one tied row's range
-    * contains the target position and every tied row carries the same
-    * value, so the SELECTED value is deterministic.
-    */
   /** Exact weighted value at rank ceil(W·p/100) of the expanded
     * multiset within each `group`, for each percent in `ps` — the
     * multi-percentile generalization of [[groupedWeightedMedian]]

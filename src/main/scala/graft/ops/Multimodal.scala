@@ -101,10 +101,19 @@ object Multimodal {
     }
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
-    val cbuf = new Array[Byte](raw.length + 128)
-    var clen = 0
-    while (!defl.finished()) clen += defl.deflate(cbuf, clen, cbuf.length - clen)
+    // drain through a growable sink: a fixed raw.length+slack buffer is
+    // below deflate's worst case (~5 bytes/16 KiB block of stored-mode
+    // overhead) on large incompressible input, and a full buffer makes
+    // deflate() return 0 forever — a spin, not an exception
+    val csink = new java.io.ByteArrayOutputStream(raw.length / 2 + 256)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) {
+      val k = defl.deflate(tmp)
+      if (k > 0) csink.write(tmp, 0, k)
+    }
     defl.end()
+    val cbuf = csink.toByteArray
+    val clen = cbuf.length
     val out = new java.io.ByteArrayOutputStream(64 + clen)
     val dos = new java.io.DataOutputStream(out)
     dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
@@ -220,16 +229,20 @@ object Multimodal {
     }(enc)
   }
 
-  /** Average-hash (aHash) of a decoded image payload, split into two
-    * 32-bit halves (bit p of the row-major pixel order: 1 iff
-    * lum·n_pixels ≥ Σlum — integer-exact, no float mean). Decode is the
-    * REAL javax.imageio path; rows whose payload doesn't decode get
-    * null halves. Partition-local; only the 2×4-byte hash ever reaches
-    * a shuffle — the image bytes never do.
-    */
-  /** aHash of one payload — (hi, lo) 32-bit halves, or None when the
-    * bytes don't decode. The single definition both the batch column
+  /** Average-hash (aHash) of a decoded image payload — (hi, lo) 32-bit
+    * halves, or None when the bytes don't decode. Decode is the REAL
+    * javax.imageio path. The single definition both the batch column
     * ([[withAHash]]) and the streaming twin key their state on.
+    * Partition-local; only the 2×4-byte hash ever reaches a shuffle —
+    * the image bytes never do.
+    *
+    * 8×8 inputs (the certified fixture path, and any pre-downscaled
+    * thumbnail) go straight to [[aHashOfLums]]'s integer-exact
+    * bit formula (bit p: 1 iff lum·n ≥ Σlum). Anything larger is first
+    * block-mean downscaled to the standard 8×8 aHash grid — without
+    * that step the 64 hash bits would all come from the top row(s) of
+    * the image compared against a whole-image mean, which is not a
+    * perceptual hash at all.
     */
   def aHashOf(payload: Array[Byte]): Option[(Long, Long)] = {
     javax.imageio.ImageIO.setUseCache(false)
@@ -239,9 +252,45 @@ object Multimodal {
       catch { case _: Exception => null }
     if (img == null) None
     else {
-      val w = img.getWidth; val h = img.getHeight; val n = w * h
-      val lums = Array.tabulate(n)(p => img.getRGB(p % w, p / w) & 0xff)
-      Some(aHashOfLums(lums)) // single bit-formula definition (video too)
+      val w = img.getWidth; val h = img.getHeight
+      if (w == 8 && h == 8) {
+        val lums = Array.tabulate(64)(p => img.getRGB(p % 8, p / 8) & 0xff)
+        Some(aHashOfLums(lums)) // single bit-formula definition (video too)
+      } else {
+        // block-mean downscale to the 8×8 grid: cell (cx, cy) averages
+        // its [cx·w/8, (cx+1)·w/8) × [cy·h/8, (cy+1)·h/8) pixel block
+        // (clamped to ≥1 pixel so degenerate <8-wide images still fill
+        // all 64 cells), then the same ≥-mean threshold over the cells
+        val cells = new Array[Double](64)
+        var cy = 0
+        while (cy < 8) {
+          val y0 = cy * h / 8
+          val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / 8))
+          var cx = 0
+          while (cx < 8) {
+            val x0 = cx * w / 8
+            val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / 8))
+            var s = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            cells(cy * 8 + cx) = s.toDouble / ((y1 - y0).toLong * (x1 - x0))
+            cx += 1
+          }
+          cy += 1
+        }
+        val mean = cells.sum / 64.0
+        var hi = 0L; var lo = 0L; var p = 0
+        while (p < 64) {
+          if (cells(p) >= mean) {
+            if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+          }
+          p += 1
+        }
+        Some((hi, lo))
+      }
     }
   }
 
@@ -965,7 +1014,13 @@ object Multimodal {
     */
   def withAudioGate(df: DataFrame, payloadCol: String): DataFrame =
     withAudioFeatures(df, payloadCol).withColumn("reason",
-      when(col("peak") >= 2040L, "clipping")
+      // rule 0: a payload the decoder rejected has null features; every
+      // threshold below evaluates null on it and when() would skip all
+      // three, so without this branch corrupt audio silently lands on
+      // otherwise("keep") — the one verdict a curation gate must never
+      // hand undecodable bytes
+      when(col("n_samples").isNull, "undecodable")
+        .when(col("peak") >= 2040L, "clipping")
         .when(col("n_samples") < 1700L, "too_short")
         .when(col("sum_sq") < col("n_samples") * 30000L, "low_energy")
         .otherwise("keep"))

@@ -72,17 +72,28 @@ object ArcGis {
     var offset = 0
     var continue = true
     var fetched = 0
+    var prevBody: String = null
     while (continue) {
       val body = fetch(pageUrl(serviceUrl, q, offset))
-      val root = mapper.readTree(body)
-      val features = Option(root.get("features"))
-        .map(_.size()).getOrElse(0)
-      if (features > 0) pages += body
-      fetched += features
-      val exceeded = Option(root.get("exceededTransferLimit")).exists(_.asBoolean)
-      val hitMax = q.maxFeatures.exists(fetched >= _)
-      continue = features > 0 && (exceeded || features == q.pageSize) && !hitMax
-      offset += q.pageSize
+      // a fetcher that ignores resultOffset (the file: snapshot replay,
+      // or a misbehaving server) returns the SAME page for every
+      // offset; without this guard a snapshot of exactly pageSize
+      // features keeps features == pageSize true forever — infinite
+      // loop, unbounded driver memory. Distinct offsets can never
+      // legitimately yield byte-identical bodies (feature ids repeat).
+      if (body == prevBody) continue = false
+      else {
+        prevBody = body
+        val root = mapper.readTree(body)
+        val features = Option(root.get("features"))
+          .map(_.size()).getOrElse(0)
+        if (features > 0) pages += body
+        fetched += features
+        val exceeded = Option(root.get("exceededTransferLimit")).exists(_.asBoolean)
+        val hitMax = q.maxFeatures.exists(fetched >= _)
+        continue = features > 0 && (exceeded || features == q.pageSize) && !hitMax
+        offset += q.pageSize
+      }
     }
     pages.toSeq
   }

@@ -100,6 +100,23 @@ object PmTiles {
     val lines = featureLines(GeoTable.read(spark, inputPath), opts)
     val proc = new ProcessBuilder(tippecanoeCommand(outputPath, opts): _*)
       .redirectErrorStream(true).start()
+    // drain the child's merged stdout/stderr CONCURRENTLY with the
+    // stdin writes: tippecanoe emits progress lines while ingesting,
+    // and once the ~64 KiB OS pipe fills it blocks on write — which
+    // stops it reading stdin, which blocks our println — a silent
+    // two-process deadlock, not an error
+    val drained = new java.lang.StringBuilder
+    val drainer = new Thread(() => {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      var line = r.readLine()
+      while (line != null) {
+        if (drained.length < 8192) drained.append(line).append('\n')
+        line = r.readLine()
+      }
+    }, "pmtiles-drain")
+    drainer.setDaemon(true)
+    drainer.start()
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
       proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
     // toLocalIterator: one partition in flight — the driver streams
@@ -107,6 +124,8 @@ object PmTiles {
     try lines.toLocalIterator().forEachRemaining(r => out.println(r.getString(0)))
     finally out.close()
     val rc = proc.waitFor()
-    require(rc == 0, s"tippecanoe exited with $rc")
+    drainer.join(5000)
+    require(rc == 0,
+      s"tippecanoe exited with $rc\n${drained.toString.take(4096)}")
   }
 }

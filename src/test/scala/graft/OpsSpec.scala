@@ -1632,6 +1632,57 @@ class OpsSpec extends AnyFunSuite {
       .exists(_._2.sameElements(Array[Short](5, -5))))
   }
 
+  test("audio gate flags undecodable payloads instead of keeping them") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "corrupt".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Multimodal.encodeWavPcm16(
+        Array.tabulate(2000)(i => ((i % 37) * 50 - 900).toShort), 16000)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.withAudioGate(rows, "payload")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "undecodable", s"corrupt bytes: ${got(1L)}")
+    assert(got(2L) == "undecodable", s"null payload: ${got(2L)}")
+    assert(got(3L) != "undecodable", s"valid wav: ${got(3L)}")
+  }
+
+  test("aHash of a larger-than-8x8 image block-mean downscales: a 2x " +
+      "pixel-replicated image hashes identically to its 8x8 source") {
+    val lums8 = Array.tabulate(64)(p => Multimodal.classLum(3L, p))
+    val want = Multimodal.aHashOfLums(lums8)
+    // 16x16: each source pixel becomes a 2x2 block — every downscale
+    // cell averages 4 equal values, so the cell grid IS the 8x8 image
+    val lums16 = Array.tabulate(256) { p =>
+      val x = p % 16; val y = p / 16
+      lums8((y / 2) * 8 + (x / 2))
+    }
+    val png16 = Multimodal.encodeGrayPng(lums16, 16, 16)
+    assert(Multimodal.aHashOf(png16).contains(want))
+    // non-multiple-of-8 dims still fill all 64 cells (no crash, no
+    // empty-cell division) and stay deterministic
+    val lums19 = Array.tabulate(19 * 11)(p => (p * 37) % 256)
+    val png19 = Multimodal.encodeGrayPng(lums19, 19, 11)
+    assert(Multimodal.aHashOf(png19) == Multimodal.aHashOf(png19))
+    assert(Multimodal.aHashOf(png19).isDefined)
+  }
+
+  test("encodeRgbPng round-trips a large incompressible image (the " +
+      "deflate sink must grow past the fixed-buffer worst case)") {
+    val w = 300; val h = 300
+    val px = Array.tabulate(w * h) { p =>
+      // LCG noise: near-incompressible input, deflate expands it
+      val v = (p * 1103515245 + 12345) & 0x7fffffff
+      v & 0xffffff
+    }
+    val png = Multimodal.encodeRgbPng(px, w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (p <- Seq(0, 1, w - 1, w * h / 2, w * h - 1))
+      assert((img.getRGB(p % w, p / w) & 0xffffff) == px(p), s"pixel $p")
+  }
+
   test("audio features from DECODED samples equal the sample formula " +
       "(what the q178 oracle replays)") {
     import spark.implicits._

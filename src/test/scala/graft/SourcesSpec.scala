@@ -41,6 +41,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(requested.size == 3)
   }
 
+  test("arcgis offset-blind fetcher (file: snapshot of exactly pageSize " +
+      "features) terminates after one page instead of looping") {
+    // a file: replay ignores resultOffset entirely — every offset gets
+    // the same body. With exactly pageSize features and no repeat guard,
+    // features == pageSize kept continue=true forever.
+    val body =
+      s"""{"type":"FeatureCollection","features":[
+         {"type":"Feature","geometry":{"type":"Point","coordinates":[1,1]},"properties":{"oid":1}},
+         {"type":"Feature","geometry":{"type":"Point","coordinates":[2,2]},"properties":{"oid":2}},
+         {"type":"Feature","geometry":{"type":"Point","coordinates":[3,3]},"properties":{"oid":3}}]}"""
+    var calls = 0
+    val fetch: ArcGis.Fetcher = { _ => calls += 1; body }
+    val pages = ArcGis.fetchAllPages("http://example.test/FeatureServer/0",
+      ArcGis.Query(pageSize = 3), fetch)
+    assert(pages == Seq(body), "the snapshot must be ingested exactly once")
+    assert(calls == 2, s"one content fetch + one repeat probe, got $calls")
+  }
+
   test("stac item from written geoparquet validates") {
     import graft.functions.geo
     val out = java.nio.file.Files.createTempDirectory("graft_stac").toString + "/d"
