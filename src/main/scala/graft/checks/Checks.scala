@@ -425,9 +425,15 @@ object Checks {
           if (g.version.startsWith("2") && fileType == "geoparquet")
             findings += Finding("warn", "v2",
               "metadata declares 2.x but schema has no native geo logical type")
-          if (fileType == "geoparquet2" && pc.encoding == "WKB")
+          // NOTE: encoding "WKB" alongside the native logical type is
+          // CONFORMANT 2.0 (the reference's own gpq2 fixtures declare
+          // it — the native annotation describes the same WKB bytes);
+          // only a non-WKB declaration disagrees with the pages
+          if (fileType == "geoparquet2" && pc.encoding != "WKB")
             findings += Finding("warn", "v2",
-              "native geo logical type present but encoding declares WKB")
+              s"native geo logical type present but encoding declares " +
+                s"'${pc.encoding}' — the native GEOMETRY/GEOGRAPHY " +
+                "annotation describes WKB-encoded pages")
           if (fileType == "geoparquet2") {
             findings ++= nativeGeoFindings(info, parts, conf)
             info.schemaInfo.find(_.name == g.primaryColumn).foreach { f =>

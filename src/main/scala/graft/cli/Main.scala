@@ -72,6 +72,16 @@ object Main {
         opt(rest, "limit").foreach(n => t = t.limit(n.toInt))
         t.write(out)
 
+      // `graft set-version <path> <1.0|1.1|2.0|parquet-geo-only>` —
+      // in-place GeoParquet version conversion of an EXISTING dataset
+      // (the parquet-input face of the reference's `convert
+      // --geoparquet-version`, `core/convert.py:1011-1102`): a
+      // footer-only rewrite, pages byte-copied
+      case "set-version" =>
+        val Seq(path, v) = rest.take(2)
+        GeoTable.setGeoParquetVersion(path, v)
+        println(s"$path now geoparquet-version $v")
+
       // `graft add bbox-metadata <file>` — in-place covering metadata
       // for an existing bbox column (`cli/main.py:3030-3050`)
       case "add" if rest.headOption.contains("bbox-metadata") =>
@@ -188,11 +198,18 @@ object Main {
           else die(s"unsupported input format: $in")
         // CLI convert applies hilbert sort by default (reference
         // `core/convert.py:521-597`; --skip-hilbert opts out) and adds
-        // a bbox covering column for 1.x outputs
+        // a bbox covering column for 1.x outputs. For 2.0/parquet-geo-
+        // only the bbox column is skipped (reference should_skip_bbox,
+        // `core/convert.py:552-557` — native geo types make it
+        // redundant) and the footer is upgraded post-write.
+        val gpVersion = opt(rest, "geoparquet-version").getOrElse("1.1")
+        val skipBbox = gpVersion == "2.0" || gpVersion == "parquet-geo-only"
         val sorted =
           if (flag(rest, "skip-hilbert")) t
+          else if (skipBbox) t.sortHilbert()
           else t.addBbox().sortHilbert()
         sorted.write(out)
+        if (gpVersion != "1.1") GeoTable.setGeoParquetVersion(out, gpVersion)
 
       case "to" =>
         val what = rest.head
@@ -1293,5 +1310,6 @@ object Main {
       |  benchmark {suite|report}, inspect, meta [--stats],
       |  check [--all|spec|stac|...], validate, fix, stac-item,
       |  add bbox-metadata <file>, extract-arcgis <url> <out>,
+      |  set-version <path> <1.0|1.1|2.0|parquet-geo-only>,
       |  upload <src> <dest> [--pattern glob]""".stripMargin
 }

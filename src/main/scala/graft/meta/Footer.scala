@@ -288,6 +288,73 @@ object Footer {
     writer.end(kv.asJava)
   }
 
+  /** Inverse of [[stripNativeGeoTypes]] — upgrade a WKB GeoParquet file
+    * to GeoParquet 2.0 / parquet-geo-only (reference `convert
+    * --geoparquet-version`, `core/convert.py:552-683` +
+    * `GEOPARQUET_VERSIONS` in `core/common.py:56-66`): byte-copy the
+    * row groups under a schema where `geomCol`'s BINARY column carries
+    * the native Parquet GEOMETRY (or GEOGRAPHY) logical type. The pages
+    * are untouched — WKB is exactly what the native annotation
+    * describes, which is why the reference's own 2.0 fixtures still
+    * declare `encoding: "WKB"`.
+    *
+    * `crs` inlines a CRS string (PROJJSON or "EPSG:nnnn") into the
+    * Parquet type — required by spec when the metadata CRS is
+    * non-default (validate check V2-2). `kv` REPLACES the key-value
+    * metadata wholesale (unlike [[withKeyValueMetadata]]'s union), so
+    * the parquet-geo-only flavor can drop the `geo` key entirely.
+    *
+    * Native GeospatialStatistics are NOT synthesized: appendFile
+    * copies the source chunks' metadata verbatim, and fabricating
+    * per-chunk stats would require re-encoding every page. Readers fall
+    * back to the `geo` bbox / a data probe (our validate marks the
+    * native-stats checks SKIPPED, like the reference on GDAL-written
+    * files without them).
+    */
+  def addNativeGeoTypes(in: Path, out: Path, geomCol: String,
+      kv: Map[String, String],
+      crs: Option[String] = None,
+      geographyAlgorithm: Option[String] = None,
+      conf: Configuration = newConf()): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type}
+    val inFile = HadoopInputFile.fromPath(in, conf)
+    val reader = ParquetFileReader.open(inFile)
+    val schema =
+      try reader.getFooter.getFileMetaData.getSchema
+      finally reader.close()
+    val fields: java.util.List[Type] = schema.getFields
+    var found = false
+    val upgraded = new MessageType(schema.getName,
+      fields.asScala.map {
+        case p: PrimitiveType if p.getName == geomCol =>
+          require(p.getPrimitiveTypeName ==
+              PrimitiveType.PrimitiveTypeName.BINARY,
+            s"geometry column $geomCol must be BINARY WKB, found " +
+              p.getPrimitiveTypeName)
+          found = true
+          val ann = geographyAlgorithm match {
+            case Some(alg) => LogicalTypeAnnotation.geographyType(
+              crs.orNull,
+              org.apache.parquet.column.schema.EdgeInterpolationAlgorithm
+                .valueOf(alg.toUpperCase))
+            case None => LogicalTypeAnnotation.geometryType(crs.orNull)
+          }
+          org.apache.parquet.schema.Types
+            .primitive(p.getPrimitiveTypeName, p.getRepetition)
+            .as(ann).named(p.getName)
+        case t => t
+      }.asJava)
+    require(found, s"geometry column $geomCol not found in schema")
+    val fs = out.getFileSystem(conf)
+    if (fs.exists(out)) fs.delete(out, false)
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(out, conf), upgraded,
+      ParquetFileWriter.Mode.CREATE, 128L * 1024 * 1024, 8 * 1024 * 1024)
+    writer.start()
+    writer.appendFile(inFile)
+    writer.end(kv.asJava)
+  }
+
   /** Attach GeoParquet metadata to every part file of a written dataset.
     * When `perFileBbox` is set, each part's `geo` carries its own bbox
     * recomputed from that file's row-group stats (reference strips the

@@ -825,6 +825,75 @@ object GeoTable {
     * bbox column is present ("use `add bbox` instead", like the
     * reference).
     */
+  /** In-place GeoParquet version conversion (reference `convert
+    * --geoparquet-version`, `core/convert.py:1011-1102` +
+    * `GEOPARQUET_VERSIONS`, `core/common.py:56-66`) — a footer-only
+    * rewrite: row-group pages are byte-copied, never re-encoded, so the
+    * cost is O(footer), not O(data).
+    *
+    *  - "1.0" / "1.1": strip any native geo logical type (Spark can
+    *    then read the file directly) and stamp `geo.version`.
+    *  - "2.0": annotate the primary geometry column with the native
+    *    Parquet GEOMETRY (or GEOGRAPHY, when `geo.edges` = spherical)
+    *    logical type — inlining the metadata CRS per spec — and stamp
+    *    `geo.version` 2.0.0.
+    *  - "parquet-geo-only": native logical type, `geo` key dropped.
+    */
+  def setGeoParquetVersion(path: String, version: String): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val parts = Footer.partFiles(path, conf)
+    require(parts.nonEmpty, s"no parquet files at $path")
+    val metaVersion = version match {
+      case "1.0" => "1.0.0"
+      case "1.1" => "1.1.0"
+      case "2.0" => "2.0.0"
+      case "parquet-geo-only" => ""
+      case other => throw new IllegalArgumentException(
+        s"unknown geoparquet version '$other' " +
+          "(expected 1.0, 1.1, 2.0 or parquet-geo-only)")
+    }
+    parts.foreach { p =>
+      val info = Footer.read(p, conf)
+      val geoMeta = info.geo.getOrElse(
+        throw new IllegalArgumentException(s"$p has no `geo` metadata"))
+      val fs = p.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.vtmp")
+      def swap(): Unit = {
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"rename $tmp -> $p failed")
+      }
+      version match {
+        case "1.0" | "1.1" =>
+          val hasNative = info.schemaInfo.exists(f =>
+            f.name == geoMeta.primaryColumn && f.geoCrs.isDefined ||
+              f.logicalType.exists(lt =>
+                f.name == geoMeta.primaryColumn &&
+                  (lt.contains("Geometry") || lt.contains("Geography"))))
+          if (hasNative) { Footer.stripNativeGeoTypes(p, tmp, conf); swap() }
+          Footer.withKeyValueMetadata(p, Map(GeoMeta.FooterKey ->
+            GeoMeta.toJson(geoMeta.copy(version = metaVersion))), conf)
+        case "2.0" | "parquet-geo-only" =>
+          val pc = geoMeta.primary.getOrElse(
+            throw new IllegalArgumentException(
+              s"$p: primary column ${geoMeta.primaryColumn} missing " +
+                "from `geo` metadata"))
+          val crs = pc.crs.filterNot(_.isNull).map(_.toString)
+          val alg = pc.edges.filter(_ == "spherical").map(_ => "SPHERICAL")
+          val kv = info.keyValueMeta -
+            GeoMeta.FooterKey ++
+            (if (version == "2.0")
+              Map(GeoMeta.FooterKey ->
+                GeoMeta.toJson(geoMeta.copy(version = metaVersion)))
+            else Map.empty)
+          Footer.addNativeGeoTypes(p, tmp, geoMeta.primaryColumn, kv,
+            crs, alg, conf)
+          swap()
+      }
+    }
+  }
+
   def addBboxMetadata(path: String): String = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val parts = Footer.partFiles(path, conf)

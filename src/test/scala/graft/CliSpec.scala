@@ -48,6 +48,20 @@ class CliSpec extends AnyFunSuite {
     val q = GeoTable.read(spark, s"$dir/q.parquet")
     assert(q.df.columns.contains("quadkey"))
 
+    // convert straight to 2.0: no bbox column, native geo type footer
+    Main.run(spark, Seq("convert", s"$dir/in.csv", s"$dir/v2.parquet",
+      "--wkt-column", "wkt", "--geoparquet-version", "2.0"))
+    val v2part = graft.meta.Footer.partFiles(s"$dir/v2.parquet",
+      new org.apache.hadoop.conf.Configuration()).head
+    assert(graft.meta.Footer.detectFileType(v2part) == "geoparquet2")
+    val v2 = GeoTable.readNativeGeo(spark, s"$dir/v2.parquet")
+    assert(v2.count() == 200 && !v2.df.columns.contains("bbox"))
+
+    // in-place version conversion of an existing dataset
+    Main.run(spark, Seq("set-version", s"$dir/v2.parquet", "1.1"))
+    assert(graft.meta.Footer.detectFileType(v2part) == "geoparquet")
+    assert(GeoTable.read(spark, s"$dir/v2.parquet").count() == 200)
+
     Main.run(spark, Seq("reproject", s"$dir/a.parquet", s"$dir/m.parquet",
       "--from", "EPSG:4326", "--to", "EPSG:3857"))
     val m = GeoTable.read(spark, s"$dir/m.parquet")

@@ -370,4 +370,54 @@ class ValidateSpec extends AnyFunSuite {
       Seq("Polygon"), Some((2.0, 2.0, 3.0, 3.0)))
     assert(good.isEmpty, good.toString)
   }
+
+  test("setGeoParquetVersion: 1.1 -> 2.0 -> 1.1 -> parquet-geo-only " +
+      "round-trip, footer-only, rows byte-identical") {
+    import org.apache.hadoop.fs.Path
+    val out = write("vconv", polyTable(ccw = true))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), geo.st_astext(col("geometry")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val before = rows(GeoTable.read(spark, out).df)
+    def part = Footer.partFiles(out, new Configuration()).head
+
+    // upgrade: native GEOMETRY logical type + version 2.0.0; Spark's
+    // own reader now rejects the file, the staged readNativeGeo path
+    // recovers identical rows, and the v2 validate family passes
+    GeoTable.setGeoParquetVersion(out, "2.0")
+    assert(Footer.detectFileType(part) == "geoparquet2")
+    assert(Footer.read(part).geo.exists(_.version == "2.0.0"))
+    assert(rows(GeoTable.readNativeGeo(spark, out).df) == before)
+    val v2errs = Checks.validate(spark, out).filter(_.level == "error")
+    assert(v2errs.isEmpty, s"unexpected: $v2errs")
+
+    // downgrade: annotation stripped, plain Spark read works again
+    GeoTable.setGeoParquetVersion(out, "1.1")
+    assert(Footer.detectFileType(part) == "geoparquet")
+    assert(Footer.read(part).geo.exists(_.version == "1.1.0"))
+    assert(rows(GeoTable.read(spark, out).df) == before)
+
+    // minimal flavor: native type, `geo` key dropped — still validates
+    // (classified as GeoParquet-2-minimal, not an error)
+    GeoTable.setGeoParquetVersion(out, "parquet-geo-only")
+    assert(Footer.detectFileType(part) == "parquet-geo-only")
+    assert(rows(GeoTable.readNativeGeo(spark, out).df) == before)
+    val pgoErrs = Checks.validate(spark, out).filter(_.level == "error")
+    assert(pgoErrs.isEmpty, s"unexpected: $pgoErrs")
+  }
+
+  test("setGeoParquetVersion 2.0 inlines a non-default CRS into the " +
+      "Parquet geo type (validate check V2-2/V2-3 pass)") {
+    import org.apache.hadoop.fs.Path
+    val out = write("vconv3857", polyTable(ccw = true)
+      .reproject("EPSG:4326", "EPSG:3857"))
+    GeoTable.setGeoParquetVersion(out, "2.0")
+    val part = Footer.partFiles(out, new Configuration()).head
+    val info = Footer.read(part)
+    val f = info.schemaInfo.find(_.name == "geometry").get
+    assert(f.geoCrs.exists(_.contains("3857")), s"schema crs: ${f.geoCrs}")
+    val v2errs = Checks.validate(spark, out)
+      .filter(x => x.level == "error" && x.check == "v2")
+    assert(v2errs.isEmpty, s"unexpected: $v2errs")
+  }
 }
