@@ -35,8 +35,19 @@ object Streaming {
     * footer-only batch read (no data scan) and adapt.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the nanosAsLong flag is needed for the schema probe and — when the
+    // stored ts really is TIMESTAMP(NANOS) — for the streaming scan
+    // itself. When the dataset does NOT need it, restore the previous
+    // value: leaving it set would silently change how every later
+    // parquet read in this session types TIMESTAMP(NANOS) columns.
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
     val tsIsLong = spark.read.parquet(dir).schema("ts").dataType == LongType
+    if (!tsIsLong) prev match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None    => spark.conf.unset(flag)
+    }
     val schema =
       if (tsIsLong) eventsRawSchema
       else StructType(eventsRawSchema.map(f =>
@@ -81,6 +92,46 @@ object Streaming {
   final case class BestState(em: Long, id: Long, lastSeenMs: Long)
   final case class BestRow(digest: String, doc_id: Long, em: Long)
 
+  /** Per-thread MD5 + allocation-free hex — the keyed-state operators
+    * digest every block/document, so per-record `getInstance` +
+    * `"%02x".format` boxing is pure hot-path waste.
+    */
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private def md5Hex(s: String): String = {
+    val md = md5Tl.get(); md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Batch `md5(normalize(col))` digests NULL text to a NULL group key
+    * (one SQL group, separate from md5(norm(""))); keyed state can't
+    * group on null, so null text maps to this sentinel — 7 chars, so it
+    * can never collide with a 32-char md5 hex — and back to null at
+    * emission.
+    */
+  private val NullDigest = "<null/>"
+
+  /** "N unit" duration string (the withWatermark/window grammar) → ms;
+    * calendar months are rejected (no fixed ms length).
+    */
+  private[streaming] def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"calendar-month intervals unsupported: $s")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   /** Streaming twin of `Dedup.exactBest` — quality-aware dedup as an
     * Update-mode UPSERT keyed by content digest: state per digest is
     * the current best (quality-micro, id) pair (one tiny record), and a
@@ -109,10 +160,10 @@ object Streaming {
         .getDouble(1)
       val em = math.round(BigDecimal(ent)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(graft.ops.Dedup.normalizeText(
-          if (d.text == null) "" else d.text).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      // null text keys its OWN group (the batch md5(normalize(col))
+      // groups all nulls together, apart from md5(norm("")))
+      val digest = if (d.text == null) NullDigest
+        else md5Hex(graft.ops.Dedup.normalizeText(d.text))
       (digest, d.doc_id, em, d.ts)
     }.toDF("digest", "doc_id", "em", "ts")
     keyed.withWatermark("ts", s"${horizon.toSeconds} seconds")
@@ -138,7 +189,8 @@ object Streaming {
             }
             state.update(st)
             state.setTimeoutTimestamp(st.lastSeenMs + horizonMs)
-            if (changed) Iterator(BestRow(digest, st.id, st.em))
+            if (changed) Iterator(BestRow(
+              if (digest == NullDigest) null else digest, st.id, st.em))
             else Iterator.empty
           }
       }
@@ -236,7 +288,7 @@ object Streaming {
 
   final case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
   final case class BandHit(band_sig: Long, doc_id: Long, norm: String,
-      tsMs: Long)
+      ts: java.sql.Timestamp)
   final case class BucketState(seen: List[(Long, String, Long)])
   final case class DupPair(id_a: Long, id_b: Long, jaccard: Double)
 
@@ -271,21 +323,35 @@ object Streaming {
     val rowsPerBand = numHashes / bands
     val horizonMs = horizon.toMillis
     val banded = docs.flatMap { d =>
-      val norm = graft.ops.Dedup.normalizeText(d.text)
+      // null text ≡ empty (the batch coalesce): no shingles, no pairs
+      val norm = graft.ops.Dedup.normalizeText(
+        if (d.text == null) "" else d.text)
       val sig = graft.ops.Dedup.minhashSignature(norm, numHashes, shingleK)
       (0 until bands).map { b =>
         val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
         BandHit(b.toLong << 56 | (java.util.Arrays.hashCode(slice) & 0xffffffffL),
-          d.doc_id, norm, d.ts.getTime)
+          d.doc_id, norm, d.ts)
       }
     }
-    banded.groupByKey(_.band_sig)
+    // watermark + event-time timeout so IDLE buckets are dropped from
+    // the store: the in-callback horizon filter only prunes a bucket
+    // when a NEW row hits the same key, and a corpus of mostly-unique
+    // documents creates ~`bands` one-off keys per document — with
+    // NoTimeout their state objects lived forever and the store grew
+    // with the corpus, not the horizon
+    banded.withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .groupByKey(_.band_sig)
       .flatMapGroupsWithState[BucketState, DupPair](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (bucket: Long, batch: Iterator[BandHit], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          var newestMs = seen.headOption.map(_._3).getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer[DupPair]()
-          batch.toSeq.sortBy(h => (h.tsMs, h.doc_id)).foreach { h =>
+          batch.toSeq.sortBy(h => (h.ts.getTime, h.doc_id)).foreach { h =>
+            val tsMs = h.ts.getTime
+            newestMs = math.max(newestMs, tsMs)
             seen.foreach { case (oid, onorm, _) =>
               if (oid != h.doc_id) {
                 val j = graft.ops.Dedup.jaccard(h.norm, onorm, shingleK)
@@ -294,9 +360,9 @@ object Streaming {
                     math.max(oid, h.doc_id), j)
               }
             }
-            seen = (h.doc_id, h.norm, h.tsMs) :: seen
+            seen = (h.doc_id, h.norm, tsMs) :: seen
             // horizon eviction keyed on the newest arrival's event time
-            seen = seen.filter(_._3 >= h.tsMs - horizonMs)
+            seen = seen.filter(_._3 >= tsMs - horizonMs)
             // hot-bucket cap: the list is newest-first, so take keeps
             // the newest maxBucket residents
             if (seen.lengthCompare(maxBucket) > 0) {
@@ -308,14 +374,16 @@ object Streaming {
             }
           }
           state.update(BucketState(seen))
+          state.setTimeoutTimestamp(newestMs + horizonMs)
           out.iterator
+          }
       }
   }
 
   final case class Vec(vec_id: Long, embedding: Array[Float],
       ts: java.sql.Timestamp)
   final case class VecBandHit(band_sig: Long, vec_id: Long,
-      vec: Array[Float], tsMs: Long)
+      vec: Array[Float], ts: java.sql.Timestamp)
   final case class VecBucketState(seen: List[(Long, Array[Float], Long)])
   final case class CosPair(id_a: Long, id_b: Long, cosine: Double)
 
@@ -334,23 +402,35 @@ object Streaming {
     import vecs.sparkSession.implicits._
     require(bits % bands == 0, "bits must be divisible by bands")
     val per = bits / bands
+    // per == 32 would overflow the Int mask (1 << 32 == 1 → mask 0,
+    // every vector in ONE global bucket); the Long mask below is exact
+    // up to 32, and the (band | sig) packing reserves 32 bits
+    require(per >= 1 && per <= 32, s"bits/bands must be in 1..32, got $per")
     val horizonMs = horizon.toMillis
     val banded = vecs.flatMap { v =>
       val sig = graft.ops.Ann.lshSignature(v.embedding, bits)
       (0 until bands).map { b =>
-        val bandSig = (sig >>> (b * per)) & ((1 << per) - 1)
+        val bandSig = (sig >>> (b * per)) & ((1L << per) - 1L)
         VecBandHit(b.toLong << 32 | (bandSig & 0xffffffffL),
-          v.vec_id, v.embedding, v.ts.getTime)
+          v.vec_id, v.embedding, v.ts)
       }
     }
-    banded.groupByKey(_.band_sig)
+    // watermark + event-time timeout: idle buckets leave the store (see
+    // minhashNearDups — same bounded-state rationale)
+    banded.withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .groupByKey(_.band_sig)
       .flatMapGroupsWithState[VecBucketState, CosPair](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (bucket: Long, batch: Iterator[VecBandHit],
             state: GroupState[VecBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          var newestMs = seen.headOption.map(_._3).getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer[CosPair]()
-          batch.toSeq.sortBy(h => (h.tsMs, h.vec_id)).foreach { h =>
+          batch.toSeq.sortBy(h => (h.ts.getTime, h.vec_id)).foreach { h =>
+            val tsMs = h.ts.getTime
+            newestMs = math.max(newestMs, tsMs)
             seen.foreach { case (oid, ovec, _) =>
               if (oid != h.vec_id) {
                 val c = graft.ops.Ann.cosineArrays(h.vec, ovec)
@@ -359,8 +439,8 @@ object Streaming {
                     math.max(oid, h.vec_id), c)
               }
             }
-            seen = (h.vec_id, h.vec, h.tsMs) :: seen
-            seen = seen.filter(_._3 >= h.tsMs - horizonMs)
+            seen = (h.vec_id, h.vec, tsMs) :: seen
+            seen = seen.filter(_._3 >= tsMs - horizonMs)
             if (seen.lengthCompare(maxBucket) > 0) {
               org.slf4j.LoggerFactory.getLogger(Streaming.getClass).warn(
                 s"embedding bucket $bucket exceeded maxBucket=$maxBucket; " +
@@ -369,14 +449,16 @@ object Streaming {
             }
           }
           state.update(VecBucketState(seen))
+          state.setTimeoutTimestamp(newestMs + horizonMs)
           out.iterator
+          }
       }
   }
 
   final case class Media(doc_id: Long, payload: Array[Byte],
       ts: java.sql.Timestamp)
   final case class HashHit(band_sig: Long, doc_id: Long, hi: Long,
-      lo: Long, tsMs: Long)
+      lo: Long, ts: java.sql.Timestamp)
   final case class HashBucketState(seen: List[(Long, Long, Long, Long)])
   final case class HamPair(id_a: Long, id_b: Long, hamming: Long)
 
@@ -406,7 +488,7 @@ object Streaming {
         case Some((hi, lo)) =>
           val bv = Array(lo % 65536L, lo / 65536L, hi % 65536L, hi / 65536L)
           (0 until 4).map(b =>
-            HashHit(b.toLong << 56 | bv(b), m.doc_id, hi, lo, m.ts.getTime))
+            HashHit(b.toLong << 56 | bv(b), m.doc_id, hi, lo, m.ts))
         case None => Nil
       }
     }
@@ -415,15 +497,23 @@ object Streaming {
       else if (la / 65536L == lb / 65536L) 1
       else if (ha % 65536L == hb % 65536L) 2
       else 3
-    banded.groupByKey(_.band_sig)
+    // watermark + event-time timeout: idle buckets leave the store (see
+    // minhashNearDups — same bounded-state rationale)
+    banded.withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .groupByKey(_.band_sig)
       .flatMapGroupsWithState[HashBucketState, HamPair](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (bucket: Long, batch: Iterator[HashHit],
             state: GroupState[HashBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           val myBand = (bucket >>> 56).toInt
           var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          var newestMs = seen.headOption.map(_._4).getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer[HamPair]()
-          batch.toSeq.sortBy(h => (h.tsMs, h.doc_id)).foreach { h =>
+          batch.toSeq.sortBy(h => (h.ts.getTime, h.doc_id)).foreach { h =>
+            val tsMs = h.ts.getTime
+            newestMs = math.max(newestMs, tsMs)
             seen.foreach { case (oid, ohi, olo, _) =>
               if (oid != h.doc_id &&
                   firstAgree(h.hi, h.lo, ohi, olo) == myBand) {
@@ -434,8 +524,8 @@ object Streaming {
                     math.max(oid, h.doc_id), d.toLong)
               }
             }
-            seen = (h.doc_id, h.hi, h.lo, h.tsMs) :: seen
-            seen = seen.filter(_._4 >= h.tsMs - horizonMs)
+            seen = (h.doc_id, h.hi, h.lo, tsMs) :: seen
+            seen = seen.filter(_._4 >= tsMs - horizonMs)
             if (seen.lengthCompare(maxBucket) > 0) {
               org.slf4j.LoggerFactory.getLogger(Streaming.getClass).warn(
                 s"phash bucket $bucket exceeded maxBucket=$maxBucket; " +
@@ -444,11 +534,13 @@ object Streaming {
             }
           }
           state.update(HashBucketState(seen))
+          state.setTimeoutTimestamp(newestMs + horizonMs)
           out.iterator
+          }
       }
   }
 
-  final case class FpHit(fp: String, doc_id: Long, tsMs: Long)
+  final case class FpHit(fp: String, doc_id: Long, ts: java.sql.Timestamp)
   final case class FpBucketState(seen: List[(Long, Long)])
   final case class FpPair(id_a: Long, id_b: Long, fp: String)
 
@@ -473,26 +565,36 @@ object Streaming {
     import docs.sparkSession.implicits._
     val horizonMs = horizon.toMillis
     val hits = docs.flatMap { d =>
+      // null text ≡ empty: the batch kernel short-circuits null input
       val ad = graft.functions.SketchEval.winnow(
-        org.apache.spark.unsafe.types.UTF8String.fromString(d.text),
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (d.text == null) "" else d.text),
         shingleK, window)
       (0 until ad.numElements()).map(i =>
-        FpHit(ad.getUTF8String(i).toString, d.doc_id, d.ts.getTime))
+        FpHit(ad.getUTF8String(i).toString, d.doc_id, d.ts))
     }
-    hits.groupByKey(_.fp)
+    // watermark + event-time timeout: idle fingerprints leave the store
+    // (see minhashNearDups — same bounded-state rationale)
+    hits.withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .groupByKey(_.fp)
       .flatMapGroupsWithState[FpBucketState, FpPair](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (fp: String, batch: Iterator[FpHit], state: GroupState[FpBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          var newestMs = seen.headOption.map(_._2).getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer[FpPair]()
-          batch.toSeq.sortBy(h => (h.tsMs, h.doc_id)).foreach { h =>
+          batch.toSeq.sortBy(h => (h.ts.getTime, h.doc_id)).foreach { h =>
+            val tsMs = h.ts.getTime
+            newestMs = math.max(newestMs, tsMs)
             seen.foreach { case (oid, _) =>
               if (oid != h.doc_id)
                 out += FpPair(math.min(oid, h.doc_id),
                   math.max(oid, h.doc_id), fp)
             }
-            seen = (h.doc_id, h.tsMs) :: seen
-            seen = seen.filter(_._2 >= h.tsMs - horizonMs)
+            seen = (h.doc_id, tsMs) :: seen
+            seen = seen.filter(_._2 >= tsMs - horizonMs)
             if (seen.lengthCompare(maxBucket) > 0) {
               org.slf4j.LoggerFactory.getLogger(Streaming.getClass).warn(
                 s"winnow fingerprint $fp exceeded maxBucket=$maxBucket " +
@@ -501,12 +603,27 @@ object Streaming {
             }
           }
           state.update(FpBucketState(seen))
+          state.setTimeoutTimestamp(newestMs + horizonMs)
           out.iterator
+          }
       }
   }
 
   final case class BlockHit(bh: String, doc_id: Long, idx: Int, blk: String,
       ts: java.sql.Timestamp)
+
+  /** Shared digest fan-out for the block-keyed twins (scrub + strip):
+    * one definition so the digesting can never drift between them.
+    */
+  private def blockHits(d: Doc, blockTokens: Int): Seq[BlockHit] = {
+    val ad = graft.functions.SketchEval.tokenBlocks(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (d.text == null) "" else d.text), blockTokens)
+    (0 until ad.numElements()).map { i =>
+      val blk = ad.getUTF8String(i).toString
+      BlockHit(md5Hex(blk), d.doc_id, i, blk, d.ts)
+    }
+  }
   final case class BlockFirst(firstDoc: Long, firstIdx: Int, lastSeenMs: Long)
   final case class BlockDecision(doc_id: Long, idx: Int, blk: String,
       kept: Boolean)
@@ -534,19 +651,7 @@ object Streaming {
       : Dataset[BlockDecision] = {
     import docs.sparkSession.implicits._
     val horizonMs = horizon.toMillis
-    val hits = docs.flatMap { d =>
-      val ad = graft.functions.SketchEval.tokenBlocks(
-        org.apache.spark.unsafe.types.UTF8String.fromString(
-          if (d.text == null) "" else d.text), blockTokens)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until ad.numElements()).map { i =>
-        val blk = ad.getUTF8String(i).toString
-        md.reset()
-        val bh = md.digest(blk.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        BlockHit(bh, d.doc_id, i, blk, d.ts)
-      }
-    }
+    val hits = docs.flatMap(d => blockHits(d, blockTokens))
     hits.withWatermark("ts", s"${horizon.toSeconds} seconds")
       .groupByKey(_.bh)
       .flatMapGroupsWithState[BlockFirst, BlockDecision](
@@ -610,19 +715,7 @@ object Streaming {
       maxKeptPerKey: Int = 4096): Dataset[StripDecision] = {
     import docs.sparkSession.implicits._
     val horizonMs = horizon.toMillis
-    val hits = docs.flatMap { d =>
-      val ad = graft.functions.SketchEval.tokenBlocks(
-        org.apache.spark.unsafe.types.UTF8String.fromString(
-          if (d.text == null) "" else d.text), blockTokens)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until ad.numElements()).map { i =>
-        val blk = ad.getUTF8String(i).toString
-        md.reset()
-        val bh = md.digest(blk.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        BlockHit(bh, d.doc_id, i, blk, d.ts)
-      }
-    }
+    val hits = docs.flatMap(d => blockHits(d, blockTokens))
     hits.withWatermark("ts", s"${horizon.toSeconds} seconds")
       .groupByKey(_.bh)
       .flatMapGroupsWithState[StripState, StripDecision](
@@ -697,6 +790,12 @@ object Streaming {
       watermark: String = "1 hour", maxLens: Int = 65536)
       : Dataset[DriftRow] = {
     import docs.sparkSession.implicits._
+    // eviction horizon derived from the ACTUAL window + watermark: a
+    // hardcoded constant shorter than windowLen would let the timeout
+    // fire mid-window and silently reset the histogram (a wrong final
+    // KS for that window); lastMs + windowMs + wmMs can never pass the
+    // watermark while a row for this window is still admissible
+    val evictMs = intervalMs(windowLen) + intervalMs(watermark)
     val refN = ref.values.sum
     def ks(counts: Map[Long, Long]): (Long, Double, Long) = {
       val n = counts.values.sum
@@ -745,7 +844,7 @@ object Streaming {
                     " from the histogram (KS becomes approximate)")
             }
             state.update(DriftState(counts, lastMs))
-            state.setTimeoutTimestamp(lastMs + 3600000L)
+            state.setTimeoutTimestamp(lastMs + evictMs)
             val (n, stat, atLen) = ks(counts)
             Iterator(DriftRow(new java.sql.Timestamp(wsMs), n, refN,
               stat, atLen))
@@ -780,11 +879,11 @@ object Streaming {
       .flatMapGroupsWithState[TopKState, TopKRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (grp: String, batch: Iterator[Scored], state: GroupState[TopKState]) =>
-          var best = state.getOption.map(_.items).getOrElse(Nil)
-          batch.foreach { e =>
-            best = ((e.score, e.id) :: best)
-              .sortBy { case (s, id) => (-s, id) }.take(k)
-          }
+          // fold the whole batch, then ONE sort+take — a per-row sort of
+          // the list is O(B·k log k) busywork for identical results
+          val prev = state.getOption.map(_.items).getOrElse(Nil)
+          val best = (batch.map(e => (e.score, e.id)).toList ::: prev)
+            .sortBy { case (s, id) => (-s, id) }.take(k)
           state.update(TopKState(best))
           best.zipWithIndex.iterator.map { case ((s, id), i) =>
             TopKRow(grp, i + 1, id, s)

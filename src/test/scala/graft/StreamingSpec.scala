@@ -470,6 +470,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // fixture plants near-duplicates
   }
 
+  test("idle near-dup bucket state is evicted at the event-time horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Streaming.Doc]
+    val q = Streaming.minhashNearDups(in.toDS(),
+        horizon = java.time.Duration.ofMinutes(10)).toDF()
+      .writeStream.format("memory").queryName("smh_evict")
+      .outputMode("update").start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    try {
+      def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+      // 20 unique docs -> hundreds of one-off band buckets
+      in.addData((0 until 20).map(i => Streaming.Doc(i.toLong,
+        s"unique document number $i with words ${i * 7} ${i * 13} ${i * 31}",
+        t(i))))
+      q.processAllAvailable()
+      val before = stateRows
+      assert(before > 100, s"expected many live buckets, got $before")
+      // advance the watermark far past every batch-1 timeout, then one
+      // more batch so the timeout pass actually runs
+      in.addData(Seq(Streaming.Doc(999L, "advance the watermark", t(100000))))
+      q.processAllAvailable()
+      in.addData(Seq(Streaming.Doc(1000L, "another tick", t(100001))))
+      q.processAllAvailable()
+      val after = stateRows
+      // only the two fresh docs' buckets may remain — before the
+      // EventTimeTimeout fix every batch-1 bucket lived forever
+      assert(after < before && after <= 2 * 32,
+        s"state rows $before -> $after; idle buckets must be evicted")
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup finds the batch operator's pairs") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_semb")
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -686,6 +720,32 @@ class StreamingSpec extends AnyFunSuite {
     // copies, and the tie path held: no equal-quality late copy won
     assert(got.values.count(_._1 >= 30000) > 0)
     assert(got.values.count(v => v._1 >= 10000 && v._1 < 30000) == 0)
+  }
+
+  test("keep-best dedup separates null-text and empty-text groups like " +
+      "the batch md5(normalize) null key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Streaming.Doc]
+    val q = Streaming.dedupBest(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("best_null")
+      .outputMode("update").start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+      in.addData(Seq(
+        Streaming.Doc(1L, null, t(0)), Streaming.Doc(2L, null, t(1)),
+        Streaming.Doc(3L, "", t(2)), Streaming.Doc(4L, "   ", t(3))))
+      q.processAllAvailable()
+      val rows = spark.table("best_null").collect().zipWithIndex
+      val winners = rows.groupBy(r => Option(r._1.getString(0)))
+        .map { case (dg, arr) => dg -> arr.maxBy(_._2)._1.getLong(1) }
+      // batch: all null texts form ONE null-digest group (winner id 1),
+      // empty/whitespace normalize to "" in a SEPARATE group (id 3)
+      assert(winners(None) == 1L, s"null group: $winners")
+      assert(winners.exists { case (k, id) => k.isDefined && id == 3L },
+        s"empty group: $winners")
+      assert(winners.size == 2, s"exactly two groups: $winners")
+    } finally q.stop()
   }
 
   test("streaming length-drift monitor matches the batch KS per window") {
