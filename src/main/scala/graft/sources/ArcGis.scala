@@ -40,7 +40,15 @@ object ArcGis {
       val client = java.net.http.HttpClient.newHttpClient()
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .GET().build()
-      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      // non-2xx must not read as "empty page" (fetchAllPages separately
+      // surfaces the 200-with-error-JSON ArcGIS convention)
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"arcgis fetch failed: HTTP ${resp.statusCode()} for $url: " +
+            resp.body().take(300))
+      resp.body()
     }
   }
 
@@ -85,6 +93,14 @@ object ArcGis {
       else {
         prevBody = body
         val root = mapper.readTree(body)
+        // surface the service's error envelope (an ArcGIS convention:
+        // HTTP 200 with {"error": {code, message}}) instead of letting
+        // it read as an empty page — silently truncated data otherwise
+        Option(root.get("error")).foreach { e =>
+          throw new java.io.IOException(
+            s"arcgis service error at offset $offset: " +
+              Option(e.get("message")).map(_.asText).getOrElse(e.toString))
+        }
         val features = Option(root.get("features"))
           .map(_.size()).getOrElse(0)
         if (features > 0) pages += body
@@ -92,7 +108,13 @@ object ArcGis {
         val exceeded = Option(root.get("exceededTransferLimit")).exists(_.asBoolean)
         val hitMax = q.maxFeatures.exists(fetched >= _)
         continue = features > 0 && (exceeded || features == q.pageSize) && !hitMax
-        offset += q.pageSize
+        // advance by what the server actually RETURNED, not what was
+        // asked: services clamp resultRecordCount to their own
+        // maxRecordCount, and a pageSize-stride over clamped pages
+        // would silently skip every record between the clamp and the
+        // stride (the reference's short-page offset correction,
+        // `core/arcgis.py:548-552`)
+        offset += features
       }
     }
     pages.toSeq
@@ -106,7 +128,12 @@ object ArcGis {
     val pages = fetchAllPages(serviceUrl, q, fetch)
     require(pages.nonEmpty, s"no features returned from $serviceUrl")
     val tables = pages.map(p => GeoTable.fromGeoJsonString(spark, p).df)
-    val unioned = tables.reduce(_ unionByName _)
+    // pagination stops at the page that CROSSES maxFeatures, so the
+    // last page can overshoot by up to pageSize-1 rows — trim to the
+    // requested cap (the reference clamps `total` upfront,
+    // `core/arcgis.py:39-40`)
+    val unioned = q.maxFeatures.foldLeft(tables.reduce(_ unionByName _))(
+      (d, m) => d.limit(m))
     // typed attribute columns, like the reference's extraction: infer
     // ONE schema across all pages from the properties JSON, then expand
     // (a page-local inference could disagree across pages)

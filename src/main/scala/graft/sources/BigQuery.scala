@@ -171,7 +171,6 @@ object BigQuery {
     }
     var df = transport.scan(spark, tid, cols, serverFilter)
     q.where.foreach(w => df = df.filter(expr(w)))
-    q.limit.foreach(n => df = df.limit(n))
     val t = geom match {
       case Some(g) =>
         val base = GeoTable(df,
@@ -183,6 +182,10 @@ object BigQuery {
         }.getOrElse(base)
       case None => GeoTable(df, GeoMeta(primaryColumn = "", columns = Map()), None)
     }
-    t
+    // LIMIT applies after the bbox filter in BOTH strategies: server
+    // mode filters inside the scan, so local mode must filter before
+    // limiting too — otherwise the auto row-count threshold silently
+    // changes how many matching rows a bbox+limit query returns
+    q.limit.map(t.limit).getOrElse(t)
   }
 }

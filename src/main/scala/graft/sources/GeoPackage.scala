@@ -188,8 +188,12 @@ object GeoPackage {
       }
   }
 
-  /** GPKG geometry blob ("GP" header + envelope + WKB). */
+  /** GPKG geometry blob ("GP" header + envelope + WKB). A NULL stored
+    * value is a legal GeoPackage geometry (spec table schemas allow it)
+    * and maps to a null Geom, not an error.
+    */
   private def parseGpkgGeom(b: Array[Byte]): Geom = {
+    if (b == null || b.isEmpty) return null
     require(b.length > 8 && b(0) == 'G' && b(1) == 'P', "not a GPKG geometry blob")
     val flags = b(3) & 0xff
     val envIndicator = (flags >> 1) & 7
@@ -204,8 +208,11 @@ object GeoPackage {
     Wkb.read(java.util.Arrays.copyOfRange(b, wkbStart, b.length))
   }
 
-  def featureTables(path: String): Seq[FeatureTable] = {
-    val db = new Db(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+  def featureTables(path: String): Seq[FeatureTable] =
+    featureTables(new Db(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))))
+
+  private def featureTables(db: Db): Seq[FeatureTable] = {
     // sqlite_master: (type, name, tbl_name, rootpage, sql)
     val master = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
     db.walk(1) { (_, rec) =>
@@ -475,6 +482,7 @@ object GeoPackage {
     * ([minx,maxx,miny,maxy]), srs id, then ISO WKB.
     */
   private[graft] def gpkgBlob(g: Geom, srsId: Int): Array[Byte] = {
+    if (g == null) return null // stored as SQL NULL — spec-legal
     val wkb = Wkb.write(g)
     val (x0, y0, x1, y1) = g.envelope
     val buf = ByteBuffer.allocate(8 + 32 + wkb.length).order(ByteOrder.LITTLE_ENDIAN)
@@ -539,8 +547,9 @@ object GeoPackage {
         (i + 1L, buildRecord(null +: gpkgBlob(g, srsId) +: attrs))
     })
 
-    // gpkg_contents with the dataset envelope
-    val env = geoms.map(_.envelope)
+    // gpkg_contents with the dataset envelope (null geometries are
+    // legal stored values and contribute nothing to the extent)
+    val env = geoms.filter(_ != null).map(_.envelope)
     val (cx0, cy0, cx1, cy1) =
       if (env.isEmpty) (null, null, null, null)
       else (env.map(_._1).min: Any, env.map(_._2).min: Any,
@@ -550,7 +559,7 @@ object GeoPackage {
       cx0, cy0, cx1, cy1, srsId.toLong)))))
 
     val gcRoot = b.table(Seq((1L, buildRecord(Seq[Any](
-      tableName, geometryColumn, geometryTypeName(geoms), srsId.toLong,
+      tableName, geometryColumn, geometryTypeName(geoms.filter(_ != null)), srsId.toLong,
       0L, 0L)))))
 
     // automatic indexes implied by the TEXT PRIMARY KEY / UNIQUE
@@ -584,7 +593,7 @@ object GeoPackage {
           "CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"),
       tableName ->
         (s"""CREATE TABLE "$tableName" ("fid" INTEGER PRIMARY KEY, """ +
-          s""""$geometryColumn" ${geometryTypeName(geoms)}""" +
+          s""""$geometryColumn" ${geometryTypeName(geoms.filter(_ != null))}""" +
           (if (attrDdl.isEmpty) "" else attrDdl.mkString(", ", ", ", "")) + ")"))
     val masterRows = Seq[(String, String, String, Int, Any)](
       ("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot,
@@ -608,8 +617,11 @@ object GeoPackage {
   }
 
   def read(path: String, tableName: Option[String] = None): Contents = {
+    // ONE byte-array copy of the file: featureTables reuses this Db
+    // rather than re-reading (a 1.5 GB .gpkg would otherwise hold two
+    // full copies on the driver heap)
     val db = new Db(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
-    val tables = featureTables(path)
+    val tables = featureTables(db)
     require(tables.nonEmpty, s"no feature tables in $path")
     val t = tableName match {
       case Some(n) => tables.find(_.name == n)

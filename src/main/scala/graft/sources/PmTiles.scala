@@ -120,9 +120,20 @@ object PmTiles {
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
       proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
     // toLocalIterator: one partition in flight — the driver streams
-    // features without materializing the corpus
-    try lines.toLocalIterator().forEachRemaining(r => out.println(r.getString(0)))
-    finally out.close()
+    // features without materializing the corpus. checkError(): a
+    // PrintWriter swallows broken-pipe IOExceptions into a flag, so if
+    // tippecanoe exits early (e.g. output exists without --force) we'd
+    // otherwise pump the whole dataset into a dead pipe before failing
+    try {
+      var n = 0L
+      lines.toLocalIterator().forEachRemaining { r =>
+        out.println(r.getString(0))
+        n += 1
+        if (n % 4096 == 0 && out.checkError())
+          throw new java.io.IOException(
+            "tippecanoe stopped reading its stdin (exited early?)")
+      }
+    } finally out.close()
     val rc = proc.waitFor()
     drainer.join(5000)
     require(rc == 0,

@@ -267,6 +267,13 @@ object Shapefile {
             String.format(java.util.Locale.ROOT, s"%${f.length}.${f.decimals}f", d)
           case other => other.toString
         }.getOrElse("")
+        // numeric overflow must fail loudly: right-aligned take() would
+        // drop the LEAST-significant digits and store a different
+        // number with no warning (character fields truncate by DBF
+        // convention — lossy but standard)
+        if ((f.kind == 'N' || f.kind == 'F') && s.length > f.length)
+          throw new IllegalArgumentException(
+            s"dbf field ${f.name}: value '$s' exceeds width ${f.length}")
         val padded =
           if (f.kind == 'N' || f.kind == 'F') s.reverse.padTo(f.length, ' ').reverse
           else s.padTo(f.length, ' ')

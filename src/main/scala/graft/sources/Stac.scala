@@ -130,6 +130,10 @@ object Stac {
         errs += s"Invalid bbox length: ${bb.size} (expected 4 or 6)"
       else if (bb.size == 4) {
         val Seq(x0, y0, x1, y1) = (0 until 4).map(bb.get(_).asDouble)
+        // NOTE: west > east is spec-LEGAL for antimeridian-crossing
+        // boxes (RFC 7946 §5.2); flagging it mirrors the reference's
+        // own check (`core/stac_check.py:123-127`), which we match for
+        // result parity — a Fiji-spanning Item fails both tools alike
         if (x0 > x1 || y0 > y1)
           errs += s"Invalid bbox ordering: [$x0, $y0, $x1, $y1]"
       }

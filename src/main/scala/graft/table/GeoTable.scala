@@ -612,8 +612,11 @@ final case class GeoTable(
       .filter(c => Seq("string", "long", "integer", "double", "boolean")
         .contains(df.schema(c).dataType.typeName))
     val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
-    val geoms = rows.map(r =>
-      graft.geom.Wkb.read(r.getAs[Array[Byte]](scalarCols.length))).toSeq
+    // null WKB rows stay null Geoms — GeoPackage stores them as SQL NULL
+    val geoms = rows.map { r =>
+      val wkb = r.getAs[Array[Byte]](scalarCols.length)
+      if (wkb == null) null else graft.geom.Wkb.read(wkb)
+    }.toSeq
     val recs = rows.map(r => scalarCols.indices.map(r.get).toSeq).toSeq
     GeoTable.uploadIfRemote(df.sparkSession, path)(
       graft.sources.GeoPackage.write(_, tableName, "geom", srsId,
@@ -1102,7 +1105,9 @@ object GeoTable {
     }
     val schema = StructType(fields :+ StructField("geometry", BinaryType))
     val rows = c.rows.zip(c.geoms).map { case (attrs, g) =>
-      org.apache.spark.sql.Row.fromSeq(attrs :+ graft.geom.Wkb.write(g))
+      // NULL stored geometries are spec-legal and stay null WKB
+      org.apache.spark.sql.Row.fromSeq(attrs :+
+        (if (g == null) null else graft.geom.Wkb.write(g)))
     }
     fromDataFrame(spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters
@@ -1126,7 +1131,9 @@ object GeoTable {
     }
     val schema = StructType(fields :+ StructField("geometry", BinaryType))
     val rows = c.rows.zip(c.geoms).map { case (attrs, g) =>
-      org.apache.spark.sql.Row.fromSeq(attrs :+ graft.geom.Wkb.write(g))
+      // NULL stored geometries are spec-legal and stay null WKB
+      org.apache.spark.sql.Row.fromSeq(attrs :+
+        (if (g == null) null else graft.geom.Wkb.write(g)))
     }
     fromDataFrame(spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters

@@ -41,6 +41,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(requested.size == 3)
   }
 
+  test("arcgis pagination advances by features RETURNED, not requested " +
+      "(server clamps resultRecordCount to its own maxRecordCount)") {
+    def page(ids: Seq[Int], exceeded: Boolean): String = {
+      val fs = ids.map(i =>
+        s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$i,$i]},"properties":{"oid":$i}}""")
+        .mkString(",")
+      s"""{"type":"FeatureCollection","exceededTransferLimit":$exceeded,"features":[$fs]}"""
+    }
+    // the service clamps every page to 2 features although pageSize=5;
+    // a pageSize-stride (0 -> 5 -> 10) would skip oids 3,4 and 8,9
+    val all = (1 to 9).toSeq
+    val fetch: ArcGis.Fetcher = { url =>
+      val off = "resultOffset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      val slice = all.drop(off).take(2)
+      page(slice, exceeded = off + slice.size < all.size)
+    }
+    val t = ArcGis.read(spark, "http://example.test/FeatureServer/0",
+      ArcGis.Query(pageSize = 5), fetch)
+    assert(t.df.select("oid").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 9L), "every feature must be fetched exactly once")
+  }
+
+  test("arcgis maxFeatures trims the overshooting last page and the " +
+      "error envelope surfaces as an exception") {
+    def page(ids: Seq[Int]): String = {
+      val fs = ids.map(i =>
+        s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$i,$i]},"properties":{"oid":$i}}""")
+        .mkString(",")
+      s"""{"type":"FeatureCollection","exceededTransferLimit":true,"features":[$fs]}"""
+    }
+    val fetch: ArcGis.Fetcher = { url =>
+      val off = "resultOffset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      page((off + 1 to off + 3).toSeq)
+    }
+    val t = ArcGis.read(spark, "http://example.test/FeatureServer/0",
+      ArcGis.Query(pageSize = 3, maxFeatures = Some(4)), fetch)
+    assert(t.count() == 4, "pagination overshoots by a page; read must trim")
+
+    val errFetch: ArcGis.Fetcher = { _ =>
+      """{"error":{"code":400,"message":"Invalid where clause"}}"""
+    }
+    val ex = intercept[java.io.IOException] {
+      ArcGis.fetchAllPages("http://example.test/FeatureServer/0",
+        ArcGis.Query(), errFetch)
+    }
+    assert(ex.getMessage.contains("Invalid where clause"))
+  }
+
   test("arcgis offset-blind fetcher (file: snapshot of exactly pageSize " +
       "features) terminates after one page instead of looping") {
     // a file: replay ignores resultOffset entirely — every offset gets
@@ -195,6 +243,40 @@ class SourcesSpec extends AnyFunSuite {
     val mx = tp.df.select(max(graft.functions.geo.st_x(col("geometry"))))
       .head().getDouble(0)
     assert(math.abs(mx) > 180.0)
+  }
+
+  test("dbf numeric overflow fails loudly instead of dropping digits") {
+    import graft.table.GeoTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbfo").toString
+    // 19 significant digits exceed the N(18,0) attribute field: the old
+    // right-aligned take() stored a DIFFERENT number silently
+    val df = spark.range(1, 3).toDF("id")
+      .withColumn("big", lit(1234567890123456789L))
+      .withColumn("geometry", graft.functions.geo.st_point(col("id"), col("id")))
+    val ex = intercept[Exception] {
+      GeoTable.fromDataFrame(df, "geometry").writeShapefile(s"$dir/o.shp")
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(ex).getMessage.contains("exceeds width"),
+      s"got: ${rootCause(ex).getMessage}")
+  }
+
+  test("geopackage NULL geometry rows round-trip (spec-legal stored value)") {
+    import graft.table.GeoTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpkgn").toString
+    val df = spark.range(1, 6).toDF("id")
+      .withColumn("geometry",
+        when(col("id") === 3L, lit(null).cast("binary"))
+          .otherwise(graft.functions.geo.st_point(col("id"), col("id"))))
+    GeoTable(df, graft.meta.GeoMeta(primaryColumn = "geometry",
+        columns = Map("geometry" -> graft.meta.GeoColumnMeta())),
+      Some("geometry")).writeGeoPackage(s"$dir/n.gpkg", "pts")
+    val back = GeoTable.fromGeoPackage(spark, s"$dir/n.gpkg").df
+    assert(back.count() == 5)
+    assert(back.filter(col("geometry").isNull).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(back.filter(col("geometry").isNotNull).count() == 4)
   }
 
   test("geopackage sink round-trips and matches the reference fixture") {
