@@ -97,13 +97,21 @@ object Ann {
     out
   }
 
+  /** Cosine similarity, with the zero-vector case pinned to 0.0: the
+    * raw 0/0 division yields NaN, and NaN sorts ABOVE every real value
+    * in Spark's descending order — one all-zero embedding (e.g. a
+    * failed-decode feature stub) would otherwise rank #1 in every
+    * top-k, hard-negative and threshold result.
+    */
   def cosine(a: Column, b: Column): Column = {
     val dot = graft.functions.VectorExpressions.dot_f _
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
   }
 
   /** JVM-side twin of [[cosine]] (streaming/state code paths) — same
-    * sequential double accumulation, same values.
+    * sequential double accumulation, same values, same zero-vector
+    * pinning.
     */
   def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
@@ -113,7 +121,8 @@ object Ann {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** Exact brute-force cosine top-k against one query vector. */
@@ -286,18 +295,10 @@ object Ann {
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int, cents: Array[Array[Float]],
       nProbe: Int = 4): DataFrame = {
-    // rank centroids by similarity to the query
-    val bysim = cents.indices.sortBy { c =>
-      -{
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < query.length) {
-          dot += query(i).toDouble * cents(c)(i); na += query(i).toDouble * query(i)
-          nb += cents(c)(i).toDouble * cents(c)(i); i += 1
-        }
-        dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-    }.take(nProbe)
+    // rank centroids by similarity to the query (the one cosine
+    // definition — an inline copy could silently diverge)
+    val bysim = cents.indices.sortBy(c => -cosineArrays(query, cents(c)))
+      .take(nProbe)
     val assigned = withIvfList(df, vecCol, cents)
     bruteTopK(assigned.filter(col("ivf_list").isin(bysim: _*)),
       vecCol, idCol, query, k)

@@ -25,18 +25,28 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       payload: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
     val srcCols = payload.keys.toSeq
     val outCols = payload.values.toSeq
 
+    // the payload rides as ONE struct: a right row's struct is non-null
+    // even when every payload FIELD is null, so `last(ignoreNulls)` —
+    // which must skip the left rows' null slots — can no longer skip a
+    // legitimately-null matched value and resurrect an older one (the
+    // DuckDB/pandas ASOF answer for that row is the matched row's NULL).
+    // One struct also means one window expression instead of N.
+    val pType = StructType(srcCols.zip(outCols).map { case (s, o) =>
+      StructField(o, right.schema(s).dataType, nullable = true) })
     val taggedRight = right.select(
       (col(key) :: col(rightTs).as("__ts") :: lit(1).as("__isr") ::
-        srcCols.zip(outCols).map { case (s, o) => col(s).as(s"__p_$o") }.toList): _*)
+        struct(srcCols.zip(outCols).map { case (s, o) => col(s).as(o) }: _*)
+          .as("__p") :: Nil): _*)
     val taggedLeft = left.select(
       (col(key) :: col(leftTs).as("__ts") :: lit(0).as("__isr") ::
-        outCols.map(o => lit(null).cast(
-          right.schema(payload.find(_._2 == o).get._1).dataType).as(s"__p_$o")).toList
-        ::: leftCols.filterNot(c => c == key || c == leftTs).map(c => col(c).as(s"__l_$c")).toList): _*)
+        lit(null).cast(pType).as("__p") ::
+        leftCols.filterNot(c => c == key || c == leftTs)
+          .map(c => col(c).as(s"__l_$c")).toList): _*)
     val taggedRightPadded = taggedRight.select(
       (taggedRight.columns.map(col).toList :::
         leftCols.filterNot(c => c == key || c == leftTs).map(c =>
@@ -47,13 +57,11 @@ object AsOf {
       .orderBy(col("__ts").asc, col("__isr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val unioned = taggedLeft.unionByName(taggedRightPadded)
-    val carried = outCols.foldLeft(unioned) { (d, o) =>
-      d.withColumn(s"__m_$o", last(col(s"__p_$o"), ignoreNulls = true).over(w))
-    }
+    val carried = taggedLeft.unionByName(taggedRightPadded)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__isr") === 0)
       .select((col(key) :: col("__ts").as(leftTs) ::
         leftCols.filterNot(c => c == key || c == leftTs).map(c => col(s"__l_$c").as(c)).toList :::
-        outCols.map(o => col(s"__m_$o").as(o)).toList): _*)
+        outCols.map(o => col("__m").getField(o).as(o)).toList): _*)
   }
 }

@@ -76,7 +76,6 @@ object Behavior {
     */
   def robustAnomalyReport(events: DataFrame, typeCol: String,
       idCol: String, valueCol: String): DataFrame = {
-    val bkt = (c: Column) => floor(c / 1000000.0).cast("long")
     val h = events
       .select(col(typeCol),
         expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)").as("v"))

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -39,8 +39,13 @@ object CollectCapped {
       cap: Int,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Buffer] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Buffer] with UnaryLike[Expression]
+    with ImplicitCastInputTypes {
     require(cap >= 1, "collect_capped needs cap >= 1")
+
+    // analysis-time type contract: without it a non-Long child passed
+    // analysis and died per-row with ClassCastException inside update()
+    override def inputTypes: Seq[DataType] = Seq(LongType)
 
     override def createAggregationBuffer(): Buffer = new Buffer(cap)
 

@@ -65,7 +65,15 @@ object Drift {
     * (n, n_rows, n_cols, dof, chi2, cramers_v).
     */
   def balanceChi2(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
-    val obs = df.groupBy(rowCol.as("__r"), colCol.as("__c"))
+    // rows with a NULL attribute are excluded UP FRONT: a null-keyed
+    // cell would be counted in n (groupBy keeps a null group) but
+    // silently dropped from the O²/(rt·ct) sum by the null-equality
+    // joins below — chi2 = n·(sum−1) then understates, and can even go
+    // negative. Excluding nulls from the table entirely (the standard
+    // contingency-table convention, matching countDistinct) keeps every
+    // term and n consistent.
+    val obs = df.filter(rowCol.isNotNull && colCol.isNotNull)
+      .groupBy(rowCol.as("__r"), colCol.as("__c"))
       .agg(count(lit(1)).as("__o"))
     val rt = obs.groupBy(col("__r")).agg(sum(col("__o")).as("__rt"))
     val ct = obs.groupBy(col("__c")).agg(sum(col("__o")).as("__ct"))

@@ -53,7 +53,12 @@ object Hll {
   def registers(df: DataFrame, groupCol: Column, valueCol: Column,
       groupName: String = "group"): DataFrame = {
     val h = md5(valueCol.cast("string"))
-    df.select(groupCol.as(groupName),
+    // NULL values are ignored, the countDistinct convention: md5(null)
+    // would otherwise emit a (null-bucket, null-rho) register row that
+    // inflates the occupied-register count without contributing to the
+    // harmonic sum — a silently biased estimate
+    df.filter(valueCol.isNotNull)
+      .select(groupCol.as(groupName),
         conv(substring(h, 1, 2), 16, 10).cast("int").as("hll_bucket"),
         rhoExpr(substring(h, 3, 13)).as("__rho"))
       .groupBy(col(groupName), col("hll_bucket"))
@@ -86,7 +91,10 @@ object Hll {
     */
   def distinctPerGroup(df: DataFrame, groupCol: Column,
       valueCol: Column, groupName: String = "group"): DataFrame = {
-    val pairs = df.select(groupCol.as("__g"), valueCol.as("__v")).distinct()
+    // NULLs excluded on BOTH sides so n_distinct (the certification
+    // baseline) agrees with countDistinct and with the registers table
+    val pairs = df.filter(valueCol.isNotNull)
+      .select(groupCol.as("__g"), valueCol.as("__v")).distinct()
     val h = md5(col("__v").cast("string"))
     val regs = pairs
       .select(col("__g"),

@@ -48,14 +48,41 @@ object Multimodal {
     * image. ImageIO's default stream cache is a temp FILE per decode;
     * disable it once — payloads are already in memory.
     */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] = {
-    if (payload == null || payload.length == 0) None
-    else try {
-      javax.imageio.ImageIO.setUseCache(false)
-      val img = javax.imageio.ImageIO.read(
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    Option(readImageOrNull(payload)).map(i => (i.getWidth, i.getHeight))
+
+  /** One PNG ImageReader per thread: `ImageIO.read`'s synchronized
+    * provider-registry scan is a per-CALL cost (the parseWavPcm16 /
+    * decodeGifFramesWith lesson — invisible per row, serializing across
+    * executor threads at corpus scale), and a Spark task is
+    * single-threaded, so thread-local reuse is safe.
+    */
+  private val pngReaderTl = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader = {
+      val rs = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (rs.hasNext) rs.next() else null
+    }
+  }
+
+  /** Decode an image payload, or null: PNG payloads (signature-sniffed)
+    * go through the per-thread cached reader; every other format falls
+    * back to the generic `ImageIO.read` registry path.
+    */
+  private def readImageOrNull(payload: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    if (payload == null || payload.length == 0) return null
+    javax.imageio.ImageIO.setUseCache(false)
+    val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    try {
+      val r = if (isPng) pngReaderTl.get() else null
+      if (r != null) {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try { r.setInput(iis, false); r.read(0) } finally iis.close()
+      } else javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
-      Option(img).map(i => (i.getWidth, i.getHeight))
-    } catch { case _: Exception => None }
+    } catch { case _: Exception => null }
   }
 
   /** Encode an RGB image as real PNG bytes with pixels derived from
@@ -245,11 +272,7 @@ object Multimodal {
     * perceptual hash at all.
     */
   def aHashOf(payload: Array[Byte]): Option[(Long, Long)] = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val img = if (payload == null || payload.isEmpty) null
-      else try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
+    val img = readImageOrNull(payload)
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight
@@ -685,8 +708,20 @@ object Multimodal {
     * with the ImageIO reader on this repo's encodings AND on the JDK GIF
     * WRITER's real compressed-LZW output — and cross-engine by the q181
     * formula oracle. Returns per-frame luminance (palette blue channel).
+    *
+    * Malformed/truncated containers return None, never throw — the
+    * callers' "undecodable payloads produce no rows" contract; explicit
+    * bounds checks handle the known truncation points and this wrapper
+    * backstops any residual index arithmetic.
     */
-  def parseGifGrayFrames(payload: Array[Byte]): Option[Array[Array[Int]]] = {
+  def parseGifGrayFrames(payload: Array[Byte]): Option[Array[Array[Int]]] =
+    try gifGrayFramesImpl(payload)
+    catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
+        None
+    }
+
+  private def gifGrayFramesImpl(payload: Array[Byte]): Option[Array[Array[Int]]] = {
     if (payload == null || payload.length < 13) return None
     val b = payload
     def u8(i: Int): Int = b(i) & 0xff
@@ -712,6 +747,8 @@ object Multimodal {
           while (pos < b.length && u8(pos) != 0) pos += 1 + u8(pos)
           pos += 1
         case 0x2c =>
+          // a descriptor cut off mid-field is malformed, not a crash
+          if (pos + 10 > b.length) return None
           val left = u16(pos + 1); val top = u16(pos + 3)
           val w = u16(pos + 5); val h = u16(pos + 7)
           val packed = u8(pos + 9)
@@ -727,19 +764,27 @@ object Multimodal {
             pos += 3 * n
           }
           if (pal == null) return None
+          if (pos >= b.length) return None
           val minCode = u8(pos); pos += 1
-          // concatenate data sub-blocks
+          // concatenate data sub-blocks; a declared sub-block length
+          // extending past the payload end (truncated container) is
+          // clamped — the LZW decode below then runs out of codes and
+          // the frame-count check rejects the file, instead of the
+          // unclamped arraycopy throwing AIOOBE out of the task
           val dataLen = {
             var q = pos; var t = 0
-            while (q < b.length && u8(q) != 0) { t += u8(q); q += 1 + u8(q) }
+            while (q < b.length && u8(q) != 0) {
+              t += math.min(u8(q), math.max(0, b.length - (q + 1)))
+              q += 1 + u8(q)
+            }
             t
           }
           val data = new Array[Byte](dataLen)
           var q = pos; var o = 0
           while (q < b.length && u8(q) != 0) {
-            val len = u8(q)
+            val len = math.min(u8(q), math.max(0, b.length - (q + 1)))
             System.arraycopy(b, q + 1, data, o, len)
-            o += len; q += 1 + len
+            o += len; q += 1 + u8(q)
           }
           pos = q + 1
           // ---- generic LZW decode ----

@@ -279,6 +279,52 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(10L, 10L, 10L, 20L))
   }
 
+  test("asof join: a NULL payload on the matched row stays NULL (no " +
+      "resurrection of an older non-null value)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, 10L, ts(300))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(100), Some(5.0)),
+      (10L, ts(200), None: Option[Double])) // the ASOF match for ts=300
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.AsOf.join(left, right, "user_id", "ts", "ts",
+      Map("value" -> "matched")).collect()
+    // DuckDB ASOF matches the ts=200 row and returns ITS null — a
+    // last(ignoreNulls) over the raw column returned 5.0 instead
+    assert(out.length == 1 && out.head.isNullAt(3),
+      s"expected the matched row's NULL, got ${out.head.get(3)}")
+  }
+
+  test("cosine pins zero vectors to 0.0 so they can't NaN-poison top-k") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))) // failed-decode stub: all-zero embedding
+      .toDF("vec_id", "embedding")
+    val top = Ann.bruteTopK(corpus, "embedding", "vec_id",
+      Array(1.0f, 0.0f), 3).collect()
+    // NaN sorts above +Inf in Spark's descending order — before the
+    // pinning, vec 3 ranked #1 in every result
+    assert(top.head.getLong(0) == 1L, s"rank 1: ${top.head}")
+    assert(top.last.getLong(0) == 3L &&
+      top.last.getDouble(top.last.length - 1) == 0.0,
+      s"zero vector must rank last with sim 0.0: ${top.last}")
+    assert(Ann.cosineArrays(Array(0.0f), Array(1.0f)) == 0.0)
+  }
+
+  test("truncated GIF containers return None instead of throwing") {
+    val good = Multimodal.encodeGrayGif(
+      Array(Array.tabulate(64)(i => i * 4), Array.tabulate(64)(i => 255 - i)),
+      8, 8)
+    assert(Multimodal.parseGifGrayFrames(good).exists(_.length == 2))
+    // cut the container at every prefix length: none may throw, and a
+    // Some result may only surface complete frames
+    (1 until good.length).foreach { n =>
+      val r = Multimodal.parseGifGrayFrames(java.util.Arrays.copyOf(good, n))
+      r.foreach(fs => assert(fs.forall(_.length == 64), s"cut at $n"))
+    }
+  }
+
   test("exact dedup keeps one row per normalized content") {
     val df = Seq(
       (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text"))
