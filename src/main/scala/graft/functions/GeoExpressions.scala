@@ -12,8 +12,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object GeoExpressions {
   private val E = "graft.functions.GeoEval"
 
-  abstract class GeoUnary extends UnaryExpression with Serializable {
+  abstract class GeoUnary extends UnaryExpression with Serializable
+      with ImplicitCastInputTypes {
     override def nullIntolerant: Boolean = true
+    /** expected child type: WKB binary for geometry inputs, string for
+      * the text parsers. Without the declaration a wrong-typed SQL
+      * argument passed analysis and failed per-row at execution —
+      * ClassCastException interpreted, or silent widening in codegen.
+      */
+    def inputType: DataType = BinaryType
+    override def inputTypes: Seq[DataType] = Seq(inputType)
     /** name of the GeoEval method; child codegen value is its single arg */
     def evalMethod: String
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -85,6 +93,7 @@ object GeoExpressions {
   }
 
   case class StGeomFromText(child: Expression) extends GeoUnary {
+    override def inputType: DataType = StringType
     def evalMethod = "stGeomFromText"
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(v: Any): Any =
@@ -93,7 +102,9 @@ object GeoExpressions {
   }
 
   /** TRY_CAST(wkt AS GEOMETRY): null (not error) on malformed input. */
-  case class TryGeomFromText(child: Expression) extends UnaryExpression {
+  case class TryGeomFromText(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override protected def nullSafeEval(v: Any): Any =
@@ -110,6 +121,7 @@ object GeoExpressions {
   }
 
   case class StGeomFromGeoJson(child: Expression) extends GeoUnary {
+    override def inputType: DataType = StringType
     def evalMethod = "stGeomFromGeoJson"
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(v: Any): Any =
@@ -117,7 +129,9 @@ object GeoExpressions {
     override protected def withNewChildInternal(c: Expression): StGeomFromGeoJson = copy(c)
   }
 
-  case class StAsGeoJson(child: Expression, precision: Int) extends UnaryExpression {
+  case class StAsGeoJson(child: Expression, precision: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = StringType
     override protected def nullSafeEval(v: Any): Any =
@@ -161,7 +175,9 @@ object GeoExpressions {
   }
 
   case class StReducePrecision(child: Expression, grid: Double)
-      extends UnaryExpression {
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(v: Any): Any =
@@ -176,7 +192,9 @@ object GeoExpressions {
     * (reference reprojects whole files: `core/reproject.py:94-180`).
     */
   case class StTransform(child: Expression, from: String, to: String)
-      extends UnaryExpression {
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = BinaryType
     private lazy val fromU = UTF8String.fromString(from)
@@ -192,7 +210,9 @@ object GeoExpressions {
       copy(child = c)
   }
 
-  case class StPoint(left: Expression, right: Expression) extends BinaryExpression {
+  case class StPoint(left: Expression, right: Expression) extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(x: Any, y: Any): Any =
@@ -208,7 +228,10 @@ object GeoExpressions {
     * (text codecs belong at the edges, not inside hot filters).
     */
   case class StMakeEnvelope(first: Expression, second: Expression,
-      third: Expression, fourth: Expression) extends QuaternaryExpression {
+      third: Expression, fourth: Expression) extends QuaternaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
@@ -222,7 +245,9 @@ object GeoExpressions {
   }
 
   case class StDistance(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -234,7 +259,8 @@ object GeoExpressions {
   }
 
   case class StIntersects(left: Expression, right: Expression)
-      extends BinaryExpression with Predicate {
+      extends BinaryExpression with Predicate with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any =
       GeoEval.stIntersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -245,7 +271,8 @@ object GeoExpressions {
   }
 
   case class StContains(left: Expression, right: Expression)
-      extends BinaryExpression with Predicate {
+      extends BinaryExpression with Predicate with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any =
       GeoEval.stContains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -259,7 +286,8 @@ object GeoExpressions {
     * "slow path" when no bbox column exists (`core/extract.py:576-579`).
     */
   case class EnvelopeIntersects(child: Expression, x0: Double, y0: Double,
-      x1: Double, y1: Double) extends UnaryExpression with Predicate {
+      x1: Double, y1: Double) extends UnaryExpression with Predicate with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(v: Any): Any =
       GeoEval.envIntersects(v.asInstanceOf[Array[Byte]], x0, y0, x1, y1)
@@ -274,7 +302,9 @@ object GeoExpressions {
     * (`core/hilbert_order.py:80-113`).
     */
   case class HilbertIndex(child: Expression, xmin: Double, ymin: Double,
-      xmax: Double, ymax: Double) extends UnaryExpression {
+      xmax: Double, ymax: Double) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = LongType
     override protected def nullSafeEval(v: Any): Any =
@@ -288,7 +318,9 @@ object GeoExpressions {
   /** Hilbert index of raw x/y columns (geometry-free fast path). */
   case class HilbertIndexXY(left: Expression, right: Expression,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = LongType
     override protected def nullSafeEval(x: Any, y: Any): Any =
@@ -303,7 +335,9 @@ object GeoExpressions {
 
   case class MortonIndexXY(left: Expression, right: Expression,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = LongType
     override protected def nullSafeEval(x: Any, y: Any): Any =
@@ -320,7 +354,9 @@ object GeoExpressions {
     * as its one UDF, `core/add_quadkey_column.py:171-235`).
     */
   case class QuadkeyLonLat(left: Expression, right: Expression, zoom: Int)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = StringType
     override protected def nullSafeEval(lon: Any, lat: Any): Any =
@@ -331,7 +367,9 @@ object GeoExpressions {
       copy(l, r)
   }
 
-  case class QuadkeyGeom(child: Expression, zoom: Int) extends UnaryExpression {
+  case class QuadkeyGeom(child: Expression, zoom: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = StringType
     override protected def nullSafeEval(v: Any): Any =
@@ -362,7 +400,9 @@ object GeoExpressions {
   /** Exterior-ring orientation probe: true = all CCW, null = not
     * polygonal (validate orientation check).
     */
-  case class StExteriorsCcw(child: Expression) extends UnaryExpression {
+  case class StExteriorsCcw(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = true
     override protected def nullSafeEval(v: Any): Any =
@@ -379,7 +419,9 @@ object GeoExpressions {
   }
 
   /** H3 cell string of a geometry (centroid rule). */
-  case class H3Geom(child: Expression, res: Int) extends UnaryExpression {
+  case class H3Geom(child: Expression, res: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = StringType
     override protected def nullSafeEval(v: Any): Any =

@@ -45,6 +45,9 @@ object SketchEval {
   def ivfAssign(v: ArrayData, cents: Array[Array[Float]]): Int = {
     var best = 0; var bestSim = Double.NegativeInfinity
     val n = v.numElements()
+    if (cents.length > 0 && n != cents(0).length)
+      throw new IllegalArgumentException(
+        s"ivf_assign: vector dims $n != centroid dims ${cents(0).length}")
     var c = 0
     while (c < cents.length) {
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -65,6 +68,9 @@ object SketchEval {
     var best = if (labels.length > 0) labels(0) else -1
     var bestSim = Double.NegativeInfinity
     val n = v.numElements()
+    if (cents.length > 0 && n != cents(0).length)
+      throw new IllegalArgumentException(
+        s"kmeans_assign: vector dims $n != centroid dims ${cents(0).length}")
     var c = 0
     while (c < cents.length) {
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -629,6 +635,13 @@ object SketchEval {
     * position math, used by the map-side bitmap-building aggregate).
     */
   def bloomSet(h: UTF8String, bitmap: Array[Long], k: Int): Unit = {
+    // position math reads hex chars [8i, 8i+8) via UNCHECKED getByte —
+    // out-of-range k or a short digest would read adjacent memory and
+    // yield garbage positions (silent false negatives), not an error
+    if (k < 1 || k > 4 || h.numBytes < 8 * k)
+      throw new IllegalArgumentException(
+        s"bloom: need 1 <= k <= 4 and a >= ${8 * math.max(k, 1)}-hex-char " +
+          s"digest (got k=$k, ${h.numBytes} chars)")
     val mBits = bitmap.length * 64L
     var i = 0
     while (i < k) {
@@ -639,6 +652,10 @@ object SketchEval {
   }
 
   def bloomHit(h: UTF8String, bitmap: Array[Long], k: Int): Boolean = {
+    if (k < 1 || k > 4 || h.numBytes < 8 * k)
+      throw new IllegalArgumentException(
+        s"bloom: need 1 <= k <= 4 and a >= ${8 * math.max(k, 1)}-hex-char " +
+          s"digest (got k=$k, ${h.numBytes} chars)")
     val mBits = bitmap.length * 64L
     var i = 0
     while (i < k) {
@@ -685,7 +702,13 @@ object SketchEval {
     var i = 0
     while (i < n) {
       val s = arr.getStruct(i, 2)
-      acc += w(s.getLong(0).toInt) * s.getLong(1)
+      val f = s.getLong(0)
+      if (f < 0 || f >= w.length)
+        throw new IllegalArgumentException(
+          s"dot_weights: feature index $f outside the model's " +
+            s"[0, ${w.length}) range — features and weights were built " +
+            "with different dims")
+      acc += w(f.toInt) * s.getLong(1)
       i += 1
     }
     acc
@@ -763,6 +786,13 @@ object SketchEval {
     * an unsorted array throws rather than silently under-counting.
     */
   def spanStats(starts: ArrayData, k: Int, n: Int): ArrayData = {
+    var ci = 0
+    while (ci < starts.numElements()) {
+      if (starts.isNullAt(ci))
+        throw new IllegalArgumentException(
+          "span_stats: null element in the starts array")
+      ci += 1
+    }
     require(k >= 1, s"spanStats: k must be >= 1, got $k")
     var removed = 0L
     var spans = 0L
@@ -790,6 +820,13 @@ object SketchEval {
     * Start order is irrelevant here — coverage is a union.
     */
   def scrubSpans(s: UTF8String, starts: ArrayData, k: Int): UTF8String = {
+    var ci = 0
+    while (ci < starts.numElements()) {
+      if (starts.isNullAt(ci))
+        throw new IllegalArgumentException(
+          "scrub_spans: null element in the starts array")
+      ci += 1
+    }
     require(k >= 1, s"scrubSpans: k must be >= 1, got $k")
     val raw = wsRe.split(s.toString)
     val toks = if (raw.nonEmpty && raw(0).isEmpty)
@@ -1060,7 +1097,14 @@ object SketchEval {
     val n = v.numElements()
     val a = new Array[Long](n)
     var i = 0
-    while (i < n) { a(i) = v.getLong(i); i += 1 }
+    while (i < n) {
+      // an unchecked getLong on a null slot fabricates a 0 (Unsafe) or
+      // NPEs (Generic) — both corrupt co-occurrence counts silently
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          "sorted_pairs: null element in the id array")
+      a(i) = v.getLong(i); i += 1
+    }
     java.util.Arrays.sort(a)
     val out = new Array[Any](n * (n + 1) / 2)
     var idx = 0
@@ -1110,6 +1154,13 @@ object SketchEval {
       q: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     val n = v.numElements()
+    // a shorter vector would silently compute a PREFIX cosine (wrong,
+    // plausible-looking similarity); a longer one a bare AIOOBE —
+    // the pqEncode/centroidCosine loud-dims rule applies here too
+    if (n != lo.length || n != q.length)
+      throw new IllegalArgumentException(
+        s"sq8_cosine: vector dims $n != quantizer dims ${lo.length} / " +
+          s"query dims ${q.length}")
     var i = 0
     while (i < n) {
       val x = sq8Dequant(v.getFloat(i).toDouble, lo(i), hi(i))
@@ -1273,6 +1324,8 @@ object SketchExpressions {
   /** b-bit sign-random-projection LSH signature of a float-array column. */
   case class LshSignature(child: Expression, bits: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(bits >= 1 && bits <= 32,
+      s"lsh_signature: bits must be in 1..32 (Int signature), got $bits")
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = IntegerType
@@ -1333,6 +1386,7 @@ object SketchExpressions {
   /** Distinct character n-grams of a string, insertion order. */
   case class CharNgrams(child: Expression, n: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(n >= 1, s"char_ngrams: n must be >= 1, got $n")
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -1386,6 +1440,7 @@ object SketchExpressions {
   /** Distinct k-word shingles (lowercase, whitespace-tokenized). */
   case class WordShingles(child: Expression, k: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, s"wordshingles: k must be >= 1, got ${k}")
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -1403,6 +1458,7 @@ object SketchExpressions {
   /** Positional 60-bit k-gram hashes ([[SketchEval.gramHashSeq]]). */
   case class GramHashSeq(child: Expression, k: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, s"gramhashseq: k must be >= 1, got ${k}")
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -1482,6 +1538,7 @@ object SketchExpressions {
     */
   case class RandProject(child: Expression, nPlanes: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(nPlanes >= 1, s"rand_project: nPlanes must be >= 1, got $nPlanes")
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -1499,6 +1556,10 @@ object SketchExpressions {
   /** Sorted distinct winnowing fingerprints ([[SketchEval.winnow]]). */
   case class Winnow(child: Expression, shingleK: Int, window: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    // window = 0 read one past the hash array (AIOOBE mid-task); the
+    // siblings (window_digests/span_stats/scrub_spans) all validate
+    require(shingleK >= 1 && window >= 1,
+      s"winnow: shingleK and window must be >= 1, got ($shingleK, $window)")
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -1739,6 +1800,7 @@ object SketchExpressions {
   /** Consecutive k-token blocks (original case), space-joined. */
   case class TokenBlocks(child: Expression, k: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, s"tokenblocks: k must be >= 1, got ${k}")
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)

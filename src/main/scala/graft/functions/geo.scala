@@ -62,8 +62,7 @@ object geo {
   def geojson_lit(json: String): Column = geom_lit(graft.geom.GeoJson.parse(json))
   def st_makeenvelope(xmin: Double, ymin: Double, xmax: Double,
       ymax: Double): Column =
-    geom_lit(graft.geom.Polygon(Array(graft.geom.CoordSeq.of(
-      (xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)))))
+    lit(GeoEval.stMakeEnvelope(xmin, ymin, xmax, ymax)) // one shell builder
 
   /** Column form: numeric envelope construction per row (codegen'd). */
   def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column,
@@ -88,7 +87,11 @@ object geo {
     one("st_astext", es => StAsText(es.head))
     one("st_geomfromtext", es => StGeomFromText(es.head))
     one("st_geomfromgeojson", es => StGeomFromGeoJson(es.head))
-    one("st_asgeojson", es => StAsGeoJson(es.head, -1))
+    // optional 2nd arg = precision; dropping a supplied precision
+    // silently (the old `-1` hardcode) returned full-precision output
+    // for `st_asgeojson(g, 6)` with no diagnostic
+    one("st_asgeojson", es => StAsGeoJson(es.head,
+      if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue else -1))
     one("st_geometrytype", es => StGeometryType(es.head))
     one("st_isvalid", es => StIsValid(es.head))
     one("st_isempty", es => StIsEmpty(es.head))

@@ -42,7 +42,14 @@ object text {
     one("minhash_signature", es =>
       MinhashSignature(es.head, intArg(es, 1), intArg(es, 2)))
     one("jaccard_sim", es => JaccardSim(es(0), es(1), intArg(es, 2)))
-    one("span_stats", es => SpanStats(es(0), es(1), intArg(es, 2)))
+    // same argument order as the Scala builder — span_stats(starts, k,
+    // nTokens) — so a transliterated call works in both surfaces
+    one("span_stats", es => SpanStats(es(0), es(2), intArg(es, 1)))
+    one("scrub_spans", es => ScrubSpans(es(0), es(1), intArg(es, 2)))
     one("winnow", es => Winnow(es.head, intArg(es, 1), intArg(es, 2)))
+    one("md5_minhash_sigs", es => Md5MinhashSigs(es.head, intArg(es, 1)))
+    one("array_match_count", es => ArrayMatchCount(es(0), es(1)))
+    one("sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)))
+    one("lsh_probes", es => LshProbes(es(0), intArg(es, 1)))
   }
 }

@@ -325,6 +325,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel misuse fails loudly: bad params, null elements, wrong types") {
+    import graft.functions.SketchExpressions
+    // k/window validation at expression construction
+    intercept[IllegalArgumentException](
+      SketchExpressions.winnow(lit("a b c d"), 3, 0))
+    intercept[IllegalArgumentException](
+      SketchExpressions.word_shingles(lit("a b"), 0))
+    intercept[IllegalArgumentException](
+      SketchExpressions.token_blocks(lit("a b"), 0))
+    // null id element must not fabricate a (0, id) pair
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq[Option[Long]](Some(1L), None))).toDF("ids")
+        .select(SketchExpressions.sorted_pairs($"ids")).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert(root(ex).getMessage.contains("null element"), root(ex).getMessage)
+    // SQL surface: precision argument is honored, arg order matches the
+    // Scala builder, and a wrong-typed geometry fails at analysis
+    graft.functions.geo.register(spark)
+    graft.functions.text.register(spark)
+    val gj = spark.sql(
+      "SELECT st_asgeojson(st_point(1.23456789, 2.0), 2) AS g").head.getString(0)
+    assert(gj.contains("1.23") && !gj.contains("1.2345"), gj)
+    val st = spark.sql(
+      "SELECT span_stats(array(0, 5), 3, 10) AS s").head.getSeq[Long](0)
+    assert(st.nonEmpty) // (starts, k, nTokens) — the Scala builder order
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT st_x(42)").collect())
+  }
+
   test("exact dedup keeps one row per normalized content") {
     val df = Seq(
       (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text"))
