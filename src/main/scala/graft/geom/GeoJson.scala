@@ -132,8 +132,12 @@ object GeoJson {
 
     typ match {
       case "Feature" =>
-        require(geometry != null, "Feature without geometry")
-        geometry
+        // "geometry": null is explicitly legal (RFC 7946 §3.2) — an
+        // unlocated feature. Map it to the empty geometry instead of
+        // rejecting the document (which silently nulled VALID siblings
+        // through the TRY surface).
+        if (geometry != null) geometry
+        else GeometryCollection(Array.empty)
       case "FeatureCollection" =>
         require(features != null, "empty FeatureCollection")
         features

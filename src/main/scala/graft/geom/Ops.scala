@@ -36,16 +36,27 @@ object Ops {
     var pN = 0; var pCx = 0.0; var pCy = 0.0 // points
 
     def addRing(r: CoordSeq, sign: Double): Unit = {
+      // local shoelace sums first: the ring's own winding must not
+      // decide whether it adds or subtracts — WKB imposes no winding
+      // rule, and a hole wound like its shell would otherwise ADD area.
+      // `sign` (+1 shell, -1 hole) is applied against the ring's |area|:
+      // for valid CCW-shell/CW-hole data this is bit-identical to the
+      // raw signed sums (GEOS ring-position semantics either way).
+      var rs = 0.0; var rcx = 0.0; var rcy = 0.0
       var i = 0
       while (i < r.size - 1) {
         val x0 = r.xs(i); val y0 = r.ys(i)
         val x1 = r.xs(i + 1); val y1 = r.ys(i + 1)
         val cross = x0 * y1 - x1 * y0
-        aSum += sign * cross
-        aCx += sign * (x0 + x1) * cross
-        aCy += sign * (y0 + y1) * cross
+        rs += cross
+        rcx += (x0 + x1) * cross
+        rcy += (y0 + y1) * cross
         i += 1
       }
+      val f = if (rs == 0.0) 0.0 else sign * math.signum(rs)
+      aSum += f * rs
+      aCx += f * rcx
+      aCy += f * rcy
     }
     def addLine(cs: CoordSeq): Unit = {
       var i = 0
@@ -64,12 +75,9 @@ object Ops {
       case LineString(cs) => addLine(cs)
       case Polygon(rings) =>
         if (rings.nonEmpty) {
-          addRing(rings(0), 1.0)
+          addRing(rings(0), 1.0) // ring 0 = shell, always adds |area|
           var i = 1
-          while (i < rings.length) { addRing(rings(i), 1.0); i += 1 }
-          // holes are wound opposite to the shell in valid data, so the
-          // signed cross terms subtract them automatically; if wound the
-          // same way they still subtract via the shoelace sign.
+          while (i < rings.length) { addRing(rings(i), -1.0); i += 1 }
         }
       case MultiPoint(ps) => ps.foreach(visit)
       case MultiLineString(ls) => ls.foreach(visit)

@@ -23,7 +23,9 @@ object Orientation {
   def exteriorsCcw(g: Geom): Option[Boolean] = g match {
     case p: Polygon if !p.isEmpty => Some(signedArea(p.shell) > 0)
     case mp: MultiPolygon if !mp.isEmpty =>
-      Some(mp.polys.forall(p => !p.isEmpty && signedArea(p.shell) > 0))
+      // an empty member has no rings and constrains nothing — it must
+      // not count as a CCW violation
+      Some(mp.polys.filter(!_.isEmpty).forall(p => signedArea(p.shell) > 0))
     case gc: GeometryCollection =>
       val rs = gc.geoms.flatMap(exteriorsCcw)
       if (rs.isEmpty) None else Some(rs.forall(identity))

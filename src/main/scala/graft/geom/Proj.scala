@@ -75,6 +75,10 @@ object Proj {
 
     private def qOf(phi: Double): Double = {
       val sin = math.sin(phi)
+      // spherical limit (e = 0, reachable via PROJJSON sphere-based
+      // CRSs like the EASE grids): q -> 2 sin(phi); the ellipsoidal
+      // form divides by 2e and would return NaN for every coordinate
+      if (e == 0) return 2.0 * sin
       (1 - e2) * (sin / (1 - e2 * sin * sin) -
         (1 / (2 * e)) * math.log((1 - e * sin) / (1 + e * sin)))
     }
@@ -106,7 +110,9 @@ object Proj {
       val q = (c - rho * rho * n * n / (a * a)) / n
       // iterate for phi
       var phi = math.asin(math.max(-1, math.min(1, q / 2)))
-      var i = 0
+      // e = 0: asin(q/2) IS the spherical answer; the ellipsoidal
+      // iteration below divides by 2e and would NaN
+      var i = if (e == 0) 100 else 0
       while (i < 15) {
         val sin = math.sin(phi)
         val esin = e * sin
@@ -373,6 +379,10 @@ object Proj {
     private val lon0 = math.toRadians(lon0d)
     private def qOf(phi: Double): Double = {
       val sin = math.sin(phi)
+      // spherical limit (e = 0, reachable via PROJJSON sphere-based
+      // CRSs like the EASE grids): q -> 2 sin(phi); the ellipsoidal
+      // form divides by 2e and would return NaN for every coordinate
+      if (e == 0) return 2.0 * sin
       (1 - e2) * (sin / (1 - e2 * sin * sin) -
         (1 / (2 * e)) * math.log((1 - e * sin) / (1 + e * sin)))
     }
@@ -404,7 +414,9 @@ object Proj {
         rho * math.cos(beta0) * math.cos(ce) - yp * math.sin(beta0) * math.sin(ce))
       // iterate phi from q (same relation as Albers)
       var phi = math.asin(math.max(-1, math.min(1, q / 2)))
-      var i = 0
+      // e = 0: asin(q/2) IS the spherical answer; the ellipsoidal
+      // iteration below divides by 2e and would NaN
+      var i = if (e == 0) 100 else 0
       while (i < 15) {
         val sin = math.sin(phi)
         val esin = e * sin
@@ -431,7 +443,18 @@ object Proj {
   private[graft] def parseEpsg(crs: String): Int = {
     val s = crs.trim
     if (s.startsWith("{")) {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      if (epsgCache.size > CacheCap) epsgCache.clear()
+      return epsgCache.computeIfAbsent(s, { _ =>
+        try Some(parseEpsgJson(s)) catch { case _: Exception => None }
+      }).getOrElse(throw new IllegalArgumentException(
+        s"PROJJSON without id: $s"))
+    }
+    parseEpsgPlain(s)
+  }
+
+  private def parseEpsgJson(s: String): Int = {
+    {
+      val node = jsonMapper.readTree(s)
       val id = node.get("id")
       if (id != null && id.get("code") != null) {
         val code = id.get("code")
@@ -448,6 +471,9 @@ object Proj {
         return 4326
       throw new IllegalArgumentException(s"PROJJSON without id: $s")
     }
+  }
+
+  private def parseEpsgPlain(s: String): Int = {
     val u = s.toUpperCase
     if (u == "OGC:CRS84" || u == "CRS84") return 4326
     val code =
@@ -455,6 +481,10 @@ object Proj {
       else if (u.startsWith("EPSG:")) u.substring(5)
       else if (u.startsWith("ESRI:")) u.substring(5) // 54008/54009/54030 world codes
       else u
+    // the URN suffix may itself be the NAMED default —
+    // "urn:ogc:def:crs:OGC:1.3:CRS84" is RFC 7946's legacy GeoJSON crs
+    // string; without this it fell through to toInt and threw
+    if (code == "CRS84") return 4326
     code.toInt
   }
 
@@ -1023,19 +1053,31 @@ object Proj {
   // role pyproj's CRS.from_json plays for the reference,
   // `core/reproject.py:94-430`).
 
+  // one shared mapper (Jackson ObjectMapper is thread-safe after
+  // configuration) — constructing one per parseEpsg call put mapper
+  // construction + a full JSON tree parse on the PER-ROW st_transform
+  // path. Both caches are bounded: adversarially distinct documents
+  // must not grow driver/executor memory without limit.
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val CacheCap = 1024
+
+  private val epsgCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+
   private val projjsonCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Projection]]()
 
   private[graft] def projjsonProjection(crs: String): Option[Projection] = {
     val s = crs.trim
     if (!s.startsWith("{")) return None
+    if (projjsonCache.size > CacheCap) projjsonCache.clear()
     projjsonCache.computeIfAbsent(s, { _ =>
       try buildFromProjjson(s) catch { case _: Exception => None }
     })
   }
 
   private def buildFromProjjson(s: String): Option[Projection] = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    val node = jsonMapper.readTree(s)
     val conv = node.get("conversion")
     if (conv == null || conv.get("method") == null) return None
     val method = conv.get("method")

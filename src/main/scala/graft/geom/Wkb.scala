@@ -15,10 +15,22 @@ object Wkb {
 
   // ---- reading ----------------------------------------------------------
 
-  /** Parse WKB; throws IllegalArgumentException on malformed input. */
+  /** Parse WKB; throws IllegalArgumentException on malformed input —
+    * including truncated buffers (BufferUnderflow) and mistyped nested
+    * members (ClassCast), which are wrapped so callers that follow the
+    * documented contract don't miss raw NIO/cast errors.
+    */
   def read(bytes: Array[Byte]): Geom = {
     val buf = ByteBuffer.wrap(bytes)
-    readGeom(buf)
+    try readGeom(buf)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: java.nio.BufferUnderflowException |
+          _: ClassCastException | _: IndexOutOfBoundsException |
+          _: NegativeArraySizeException) =>
+        throw new IllegalArgumentException(
+          s"malformed WKB (${bytes.length} bytes): ${e.getClass.getSimpleName}", e)
+    }
   }
 
   /** Null-safe parse: None on malformed input (TRY_CAST semantics,

@@ -47,7 +47,15 @@ object Wkt {
     if (d == math.rint(d) && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
-  def parse(s: String): Geom = new WktParser(s).parseGeom()
+  def parse(s: String): Geom = {
+    val p = new WktParser(s)
+    val g = p.parseGeom()
+    // trailing garbage after a complete geometry is malformed input,
+    // not a shorter valid geometry — "POINT (1 2) junk" must fail (the
+    // TRY surface otherwise silently accepts truncated data)
+    p.requireFullyConsumed()
+    g
+  }
 
   def parseOpt(s: String): Option[Geom] =
     try Some(parse(s)) catch { case _: Exception => None }
@@ -97,6 +105,10 @@ object Wkt {
 
     private def dimTag(): Unit = {
       skipWs()
+      // reset first: extraDims is parser state, and without the reset a
+      // Z/M tag on one GEOMETRYCOLLECTION member leaked into untagged
+      // SIBLING members, making valid mixed collections fail to parse
+      extraDims = 0
       if (peekWordIs("ZM")) { pos += 2; extraDims = 2 }
       else if (peekWordIs("Z") && !peekWordIs("ZM")) {
         // single letter followed by non-letter
@@ -104,6 +116,13 @@ object Wkt {
       } else if (peekWordIs("M")) {
         if (pos + 1 >= s.length || !s.charAt(pos + 1).isLetter) { pos += 1; extraDims = 1 }
       }
+    }
+
+    def requireFullyConsumed(): Unit = {
+      skipWs()
+      if (pos < s.length)
+        throw new IllegalArgumentException(
+          s"WKT parse error: trailing input at $pos in '$s'")
     }
 
     private def coord(): (Double, Double) = {

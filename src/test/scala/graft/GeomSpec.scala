@@ -178,4 +178,93 @@ class GeomSpec extends AnyFunSuite {
     val pt = g.asInstanceOf[Point]
     assert(math.abs(pt.x - 1.23) < 1e-12 && math.abs(pt.y + 7.89) < 1e-12)
   }
+
+  test("WKT: Z tag on one collection member does not leak into siblings") {
+    val g = Wkt.parse("GEOMETRYCOLLECTION (POINT Z (1 2 3), POINT (4 5))")
+      .asInstanceOf[GeometryCollection]
+    assert(g.geoms.length == 2)
+    assert(g.geoms(1).asInstanceOf[Point] == Point(4, 5))
+  }
+
+  test("WKT: trailing garbage is rejected, not silently truncated") {
+    assert(Wkt.parseOpt("POINT (1 2)").isDefined)
+    assert(Wkt.parseOpt("POINT (1 2) garbage").isEmpty)
+    assert(Wkt.parseOpt("POINT (1 2) POINT (3 4)").isEmpty)
+  }
+
+  test("centroid subtracts holes regardless of their winding") {
+    def sq(x0: Double, y0: Double, x1: Double, y1: Double, ccw: Boolean) =
+      if (ccw) ring((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+      else ring((x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0))
+    // shell [0,10]^2 with hole [6,8]x[4,6]: true centroid pulls LEFT of
+    // (5,5) — x = (50*5 - 4*7)/(100-4) = 2.3125... wait, hole area 4 at
+    // cx 7: (500 - 28)/96 = 4.9167
+    val want = (500.0 - 4.0 * 7.0) / 96.0
+    val opposite = Polygon(Array(sq(0, 0, 10, 10, ccw = true),
+      sq(6, 4, 8, 6, ccw = false)))
+    val sameWound = Polygon(Array(sq(0, 0, 10, 10, ccw = true),
+      sq(6, 4, 8, 6, ccw = true)))
+    val c1 = Ops.centroid(opposite)
+    val c2 = Ops.centroid(sameWound)
+    assert(math.abs(c1.x - want) < 1e-9 && math.abs(c1.y - 5.0) < 1e-9, c1)
+    assert(math.abs(c2.x - c1.x) < 1e-12 && math.abs(c2.y - c1.y) < 1e-12,
+      s"same-wound hole must subtract like an opposite-wound one: $c2 vs $c1")
+  }
+
+  test("GeoJSON: a Feature with null geometry maps to the empty geometry") {
+    val fc = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","geometry":null,"properties":{}}]}"""
+    val g = GeoJson.parse(fc)
+    assert(g.isInstanceOf[GeometryCollection] &&
+      g.asInstanceOf[GeometryCollection].geoms.isEmpty)
+  }
+
+  test("orientation: empty MultiPolygon member is not a CCW violation") {
+    val mp = MultiPolygon(Array(
+      Polygon(Array(ring((0, 0), (1, 0), (1, 1), (0, 1), (0, 0)))),
+      Polygon(Array.empty)))
+    assert(Orientation.exteriorsCcw(mp) == Some(true))
+  }
+
+  test("WKB: truncated/mistyped input throws IllegalArgumentException") {
+    val full = Wkb.write(Point(1, 2))
+    (1 until full.length).foreach { n =>
+      intercept[IllegalArgumentException](
+        Wkb.read(java.util.Arrays.copyOf(full, n)))
+    }
+    // MULTIPOINT whose child record is a LineString type code
+    val bad = java.nio.ByteBuffer.allocate(1 + 4 + 4 + full.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put(1.toByte).putInt(4).putInt(1) // multipoint, 1 member
+    val ls = Wkb.write(LineString(ring((0, 0), (1, 1))))
+    val buf = java.nio.ByteBuffer.allocate(9 + ls.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(4).putInt(1).put(ls)
+    intercept[IllegalArgumentException](Wkb.read(buf.array()))
+  }
+
+  test("CRS84 URN and spherical authalic projections transform cleanly") {
+    // RFC 7946's legacy named CRS
+    val (x, y) = Proj.transform(10.0, 20.0,
+      "urn:ogc:def:crs:OGC:1.3:CRS84", "EPSG:3857")
+    assert(math.abs(x - 1113194.9079327357) < 1e-3 && y > 2000000, s"($x,$y)")
+    // sphere-based LAEA via PROJJSON (EASE-grid shape): e = 0 must not NaN
+    val sphereLaea = """{
+      "type": "ProjectedCRS", "name": "sphere laea",
+      "base_crs": {"datum": {"ellipsoid":
+        {"semi_major_axis": 6371228, "semi_minor_axis": 6371228}}},
+      "conversion": {"method": {"name": "Lambert Azimuthal Equal Area"},
+        "parameters": [
+          {"name": "Latitude of natural origin", "value": 90},
+          {"name": "Longitude of natural origin", "value": 0},
+          {"name": "False easting", "value": 0},
+          {"name": "False northing", "value": 0}]}}"""
+    val p2 = Proj.projjsonProjection(sphereLaea)
+    assert(p2.isDefined, "sphere LAEA must build")
+    val (fx, fy) = p2.get.forward(45.0, 60.0)
+    assert(!fx.isNaN && !fy.isNaN, s"forward NaN: ($fx,$fy)")
+    val (lon, lat) = p2.get.inverse(fx, fy)
+    assert(math.abs(lon - 45.0) < 1e-6 && math.abs(lat - 60.0) < 1e-6,
+      s"round-trip ($lon,$lat)")
+  }
 }
