@@ -568,6 +568,19 @@ object Checks {
                 .map(b => part.toUri.getPath -> b)
             }.toMap
             if (declaredPartBbox.nonEmpty) {
+              // geoparquet2 goes through readNativeGeo's STAGED copies,
+              // so input_file_name() returns temp paths — map the
+              // deterministic staged names (staged.parquet /
+              // part-%05d.parquet in partFiles order) back to the
+              // originals, else every declared-bbox lookup missed and
+              // the check silently never fired for v2 datasets
+              val stagedToOrig: Map[String, String] =
+                if (fileType != "geoparquet2") Map.empty
+                else if (parts.length == 1)
+                  Map("staged.parquet" -> parts.head.toUri.getPath)
+                else parts.zipWithIndex.map { case (p, i) =>
+                  f"part-$i%05d.parquet" -> p.toUri.getPath
+                }.toMap
               val gc = col(g.primaryColumn)
               val perFile = t.df.select(input_file_name().as("__f"),
                   geo.st_xmin(gc).as("x0"), geo.st_ymin(gc).as("y0"),
@@ -581,9 +594,11 @@ object Checks {
                 // input_file_name() is a percent-encoded URI; URI.getPath
                 // both decodes and strips the scheme, matching
                 // part.toUri.getPath above.
-                val fname =
+                val fname0 =
                   try new java.net.URI(r.getString(0)).getPath
                   catch { case _: Exception => r.getString(0) }
+                val fname = stagedToOrig.getOrElse(
+                  fname0.substring(fname0.lastIndexOf('/') + 1), fname0)
                 declaredPartBbox.get(fname).foreach { case (x0, y0, x1, y1) =>
                   val (dx0, dy0, dx1, dy1) =
                     (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))

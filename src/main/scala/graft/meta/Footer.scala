@@ -179,7 +179,13 @@ object Footer {
     def agg(corner: String, isMin: Boolean): Option[Double] = {
       val vs = infos.flatMap(_.rowGroups).flatMap { rg =>
         rg.columns.get(s"$bboxCol.$corner").flatMap(c => if (isMin) c.min else c.max)
-          .collect { case d: java.lang.Double => d.doubleValue }
+          .collect {
+            // FLOAT coverings are spec-legal (Checks accepts FLOAT or
+            // DOUBLE fields) — a Double-only collect silently returned
+            // None for them, stripping per-file bboxes downstream
+            case d: java.lang.Double => d.doubleValue
+            case f: java.lang.Float  => f.doubleValue
+          }
       }
       if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max)
     }

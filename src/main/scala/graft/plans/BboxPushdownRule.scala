@@ -52,23 +52,46 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** top-level AND conjuncts of a predicate */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       bboxAttr(child) match {
         case Some(b) if !touchesBbox(cond, b) =>
+          // the rewrite is only sound when the covering struct describes
+          // the FILTERED geometry column. The plan carries no geo
+          // metadata, so require the filtered side to be the plan's one
+          // and only BinaryType attribute — a two-geometry output (e.g.
+          // post-join) is skipped rather than pruned by the wrong
+          // column's envelope.
+          val binaryAttrs = child.output.filter(_.dataType ==
+            org.apache.spark.sql.types.BinaryType)
           var added: Seq[Expression] = Nil
+          // ONLY top-level conjuncts: an st_intersects nested under
+          // OR/NOT does not imply the bbox overlap for every surviving
+          // row — ANDing it on there silently dropped rows.
           // st_intersects is symmetric: the literal may sit in either
-          // argument position (the reference emits both orders)
-          cond.foreach {
+          // argument position (the reference emits both orders).
+          conjuncts(cond).foreach {
             case StIntersects(a, c) =>
-              literalEnvelope(c).orElse(literalEnvelope(a))
-                .foreach { case (x0, y0, x1, y1) =>
-                  added = Seq(
-                    GreaterThanOrEqual(field(b, "xmax"), Literal(x0)),
-                    LessThanOrEqual(field(b, "xmin"), Literal(x1)),
-                    GreaterThanOrEqual(field(b, "ymax"), Literal(y0)),
-                    LessThanOrEqual(field(b, "ymin"), Literal(y1)))
-                }
+              val geomAttr = Seq(a, c).collectFirst {
+                case at: Attribute
+                    if at.dataType == org.apache.spark.sql.types.BinaryType => at
+              }
+              if (geomAttr.exists(g => binaryAttrs.length == 1 &&
+                  binaryAttrs.head.semanticEquals(g)))
+                literalEnvelope(c).orElse(literalEnvelope(a))
+                  .foreach { case (x0, y0, x1, y1) =>
+                    added = Seq(
+                      GreaterThanOrEqual(field(b, "xmax"), Literal(x0)),
+                      LessThanOrEqual(field(b, "xmin"), Literal(x1)),
+                      GreaterThanOrEqual(field(b, "ymax"), Literal(y0)),
+                      LessThanOrEqual(field(b, "ymin"), Literal(y1)))
+                  }
             case _ => ()
           }
           if (added.isEmpty) f

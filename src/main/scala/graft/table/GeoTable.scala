@@ -90,7 +90,11 @@ final case class GeoTable(
   def filterBbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoTable = {
     // warn rather than fail, like the reference
     bboxCrsMismatch(xmin, ymin, xmax, ymax).foreach(log.warn(_))
+    // the covering named in meta may have been projected away
+    // (selectColumns exclude) — fall back to the slow path rather than
+    // resolve a missing column
     val bboxCol = meta.primary.flatMap(_.coveringBbox)
+      .filter(df.columns.contains)
       .orElse(GeoMeta.BboxNameCandidates.find(df.columns.contains))
     val pred = bboxCol match {
       case Some(b) =>
@@ -202,7 +206,11 @@ final case class GeoTable(
         df.agg(min(geo.st_xmin(g)), min(geo.st_ymin(g)),
           max(geo.st_xmax(g)), max(geo.st_ymax(g))).head()
     }
-    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // an empty (or all-null-geometry) table aggregates to NULLs; a
+    // degenerate world envelope keeps the callers (sortHilbert,
+    // enrichSpatial, fix) total instead of NPEing on getDouble
+    if (r.isNullAt(0)) (-180.0, -90.0, 180.0, 90.0)
+    else (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
 
   /** Two-phase Hilbert sort (`core/hilbert_order.py`): bounds agg, then
@@ -220,9 +228,12 @@ final case class GeoTable(
     * drop (`core/sort_quadkey.py:30-83,236-255`).
     */
   def sortQuadkey(zoom: Int = 13, keepColumn: Boolean = false): GeoTable = {
-    val t = if (df.columns.contains("quadkey")) this else addQuadkey(zoom)
+    // drop only a quadkey column THIS method added: keepColumn=false
+    // must never delete a user's pre-existing input column
+    val hadQuadkey = df.columns.contains("quadkey")
+    val t = if (hadQuadkey) this else addQuadkey(zoom)
     val sorted = t.df.orderBy(col("quadkey"))
-    copy(df = if (keepColumn) sorted else sorted.drop("quadkey"))
+    copy(df = if (keepColumn || hadQuadkey) sorted else sorted.drop("quadkey"))
   }
 
   /** Multi-column sort, one direction for all columns
@@ -243,14 +254,24 @@ final case class GeoTable(
     // carry the new CRS in the footer metadata (the reference rewrites
     // PROJJSON on reproject, `core/reproject.py:150-156`) so downstream
     // CRS gates (quadkey/H3) see the projected system
+    // the declared dataset bbox is in the OLD CRS — drop it (write()
+    // recomputes); same for a covering bbox COLUMN, which would
+    // otherwise keep old-CRS values while meta still advertises it and
+    // filterBbox's fast path compares new-CRS filter bounds against it
     val newMeta = meta.primary match {
       case Some(pc) => meta.copy(columns = meta.columns.updated(
-        meta.primaryColumn, pc.copy(crs = Some(GeoMeta.crsNode(toCrs)))))
+        meta.primaryColumn, pc.copy(crs = Some(GeoMeta.crsNode(toCrs)),
+          bbox = None)))
       case None => meta
     }
-    copy(
+    val projected = copy(
       df = df.withColumn(geomCol, geo.st_transform(col(geomCol), fromCrs, toCrs)),
       meta = newMeta)
+    meta.primary.flatMap(_.coveringBbox) match {
+      case Some(bcol) if df.columns.contains(bcol) =>
+        projected.addBbox(bcol) // recompute in the new CRS
+      case _ => projected
+    }
   }
 
   // ---- analytics / checks ----------------------------------------------
@@ -286,20 +307,26 @@ final case class GeoTable(
     // (GlobalLimit); pmod(i,1) — always 0, but not foldable — keeps the
     // deliberate single partition off WindowExec's no-partition warning
     val w = Window.partitionBy(pmod(col("i"), lit(1))).orderBy("i")
-    val consec = pts
+    val consecRow = pts
       .withColumn("px", lag(col("x"), 1).over(w))
       .withColumn("py", lag(col("y"), 1).over(w))
       .filter(col("px").isNotNull)
       .agg(avg(sqrt(pow(col("x") - col("px"), 2) + pow(col("y") - col("py"), 2))))
-      .head().getDouble(0)
+      .head()
+    // < 2 rows: no consecutive pairs, order is trivially "sorted" —
+    // NaN (no signal) beats an NPE out of Checks.fix on a 1-row file
+    if (consecRow.isNullAt(0)) return Double.NaN
+    val consec = consecRow.getDouble(0)
     val sampleA = pts.orderBy(rand(seed)).limit(100)
       .select(col("x").as("ax"), col("y").as("ay"))
     val sampleB = pts.orderBy(rand(seed + 1)).limit(100)
       .select(col("x").as("bx"), col("y").as("by"))
-    val rnd = sampleA.crossJoin(sampleB)
+    val rndRow = sampleA.crossJoin(sampleB)
       .filter(col("ax") =!= col("bx") || col("ay") =!= col("by"))
       .agg(avg(sqrt(pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2))))
-      .head().getDouble(0)
+      .head()
+    if (rndRow.isNullAt(0)) return Double.NaN
+    val rnd = rndRow.getDouble(0)
     if (rnd == 0) Double.NaN else consec / rnd
   }
 
@@ -359,11 +386,19 @@ final case class GeoTable(
       .write.partitionBy("__pk").mode("overwrite").parquet(staging.toString)
     if (fs.exists(outP)) fs.delete(outP, true)
     fs.mkdirs(outP)
+    // sanitized names may COLLIDE ("a b" and "a_b" both map to "a_b");
+    // a collision would make the second rename fail/overwrite and the
+    // staging delete below would then silently drop a whole partition —
+    // disambiguate with a counter, and treat a failed rename as fatal
+    val used = scala.collection.mutable.HashMap[String, Int]()
     fs.listStatus(staging).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("__pk=")).foreach { d =>
       val value = java.net.URLDecoder.decode(
         d.getPath.getName.substring(5), "UTF-8")
-      val safe = value.replaceAll("[^A-Za-z0-9._-]", "_")
+      val safe0 = value.replaceAll("[^A-Za-z0-9._-]", "_")
+      val n = used.getOrElse(safe0, 0)
+      used(safe0) = n + 1
+      val safe = if (n == 0) safe0 else s"$safe0.key$n"
       val parts = fs.listStatus(d.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       parts.zipWithIndex.foreach { case (p, i) =>
@@ -374,7 +409,9 @@ final case class GeoTable(
           case Some(pre) => s"${pre}_$safe$suffix.parquet"
           case None => s"$safe$suffix.parquet"
         }
-        fs.rename(p.getPath, new Path(outP, fname))
+        if (!fs.rename(p.getPath, new Path(outP, fname)))
+          throw new java.io.IOException(
+            s"rename ${p.getPath} -> $outP/$fname failed")
       }
     }
     fs.delete(staging, true)
@@ -591,8 +628,15 @@ final case class GeoTable(
       }
     }.toSeq
     val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
-    val geoms = rows.map(r =>
-      graft.geom.Wkb.read(r.getAs[Array[Byte]](scalarCols.length))).toSeq
+    val geoms = rows.map { r =>
+      val wkb = r.getAs[Array[Byte]](scalarCols.length)
+      // a clear error beats an NPE inside Wkb.read: this sink's encoder
+      // has no null-shape support — filter nulls or use the gpkg sink
+      require(wkb != null,
+        s"null geometry cannot be written by this sink (column $geomCol); " +
+          "filter null geometries out or use writeGeoPackage")
+      graft.geom.Wkb.read(wkb)
+    }.toSeq
     val recs = rows.map(r => scalarCols.indices.map(r.get).toSeq).toSeq
     GeoTable.uploadIfRemote(df.sparkSession, path)(
       Shapefile.write(_, geoms, fields, recs))
@@ -641,8 +685,15 @@ final case class GeoTable(
       }
     }.toSeq
     val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
-    val geoms = rows.map(r =>
-      graft.geom.Wkb.read(r.getAs[Array[Byte]](scalarCols.length))).toSeq
+    val geoms = rows.map { r =>
+      val wkb = r.getAs[Array[Byte]](scalarCols.length)
+      // a clear error beats an NPE inside Wkb.read: this sink's encoder
+      // has no null-shape support — filter nulls or use the gpkg sink
+      require(wkb != null,
+        s"null geometry cannot be written by this sink (column $geomCol); " +
+          "filter null geometries out or use writeGeoPackage")
+      graft.geom.Wkb.read(wkb)
+    }.toSeq
     val recs = rows.map(r => scalarCols.indices.map { i =>
       r.get(i) match {
         case x: java.lang.Integer => x.longValue

@@ -321,4 +321,72 @@ class GeoTableSpec extends AnyFunSuite {
     assert(t.checkSpatialOrder() < 0.5)
     assert(Checks.checkBboxStructure(outFixed) == "optimal")
   }
+
+  test("reproject recomputes the bbox covering column in the new CRS") {
+    val out = tmpDir("reproj_bbox")
+    pointsTable(200).addBbox().write(out)
+    val t = GeoTable.read(spark, out).reproject("EPSG:4326", "EPSG:3857")
+    // the covering fast path must now carry METER values — a filter in
+    // meters has to find the same rows the precise predicate finds
+    val viaBbox = t.filterBbox(-7e6, -4e6, 7e6, 4e6).count()
+    val precise = t.df.filter(
+      geo.st_x(col("geometry")).between(-7e6, 7e6) &&
+        geo.st_y(col("geometry")).between(-4e6, 4e6)).count()
+    assert(viaBbox == precise && viaBbox > 0, s"$viaBbox vs $precise")
+    // and the declared dataset bbox was invalidated (write recomputes)
+    assert(t.meta.primary.get.bbox.isEmpty)
+  }
+
+  test("filterBbox falls back to the slow path when the covering column " +
+      "was projected away") {
+    val out = tmpDir("cov_dropped")
+    pointsTable(100).addBbox().write(out)
+    val t = GeoTable.read(spark, out).selectColumns(exclude = Seq("bbox"))
+    val n = t.filterBbox(-60, -30, 60, 30).count() // must not throw
+    val want = t.df.filter(geo.st_x(col("geometry")).between(-60, 60) &&
+      geo.st_y(col("geometry")).between(-30, 30)).count()
+    assert(n == want)
+  }
+
+  test("partitionByFlat: sanitized-name collisions keep BOTH partitions") {
+    val out = tmpDir("flat_collide")
+    val df = spark.range(40).toDF("id")
+      .withColumn("k", when(col("id") % 2 === 0, "a b").otherwise("a_b"))
+      .withColumn("geometry", geo.st_point(col("id").cast("double"), lit(0.0)))
+    GeoTable.fromDataFrame(df, "geometry")
+      .partitionByFlat(col("k"), out, force = true)
+    val back = spark.read.parquet(out + "/*.parquet")
+    assert(back.count() == 40, "a colliding partition silently vanished")
+    val files = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.length >= 2, files.mkString(","))
+  }
+
+  test("sortQuadkey never drops a user's pre-existing quadkey column") {
+    val t = pointsTable(50).addQuadkey(6)
+    assert(t.sortQuadkey(6).df.columns.contains("quadkey"))
+    // while a quadkey the method itself added is still dropped
+    assert(!pointsTable(50).sortQuadkey(6).df.columns.contains("quadkey"))
+  }
+
+  test("empty tables: bounds/sortHilbert/checkSpatialOrder stay total") {
+    val empty = pointsTable(100).filterWhere("id < 0")
+    assert(empty.bounds() == (-180.0, -90.0, 180.0, 90.0))
+    assert(empty.sortHilbert().count() == 0) // no NPE
+    val one = pointsTable(1)
+    assert(one.checkSpatialOrder().isNaN) // < 2 rows: no signal, no NPE
+  }
+
+  test("bboxFromStats reads FLOAT covering statistics") {
+    val out = tmpDir("float_bbox")
+    spark.range(100).toDF("id")
+      .withColumn("bbox", struct(
+        (col("id") % 10).cast("float").as("xmin"),
+        (col("id") % 5).cast("float").as("ymin"),
+        (col("id") % 10 + 1).cast("float").as("xmax"),
+        (col("id") % 5 + 1).cast("float").as("ymax")))
+      .write.parquet(out)
+    val bb = Footer.bboxFromStats(out, "bbox")
+    assert(bb.contains((0.0, 0.0, 10.0, 5.0)), bb.toString)
+  }
 }

@@ -68,4 +68,39 @@ class PlanRuleSpec extends AnyFunSuite {
     val twice = graft.plans.BboxPushdownRule(once)
     assert(once.toString == twice.toString)
   }
+
+  test("rule must NOT fire on st_intersects under OR (bbox overlap is " +
+      "not implied for every surviving row)") {
+    GraftExtensions.install(spark)
+    val out = writtenTable()
+    // rows far outside the envelope but with id < 100 satisfy the OR;
+    // the old rule ANDed the bbox conjuncts on and dropped them
+    val df = spark.read.parquet(out).filter(
+      geo.st_intersects(col("geometry"), geo.st_makeenvelope(-1, -1, 1, 1))
+        || col("id") < 100)
+    val want = spark.read.parquet(out).collect().count { r =>
+      val id = r.getAs[Long]("id")
+      val x = id * 37 % 360 - 180; val y = id * 91 % 180 - 90
+      (x >= -1 && x <= 1 && y >= -1 && y <= 1) || id < 100
+    }
+    assert(df.count() == want, s"OR semantics: got ${df.count()}, want $want")
+  }
+
+  test("rule skips plans with two geometry-typed columns (the covering " +
+      "may describe the OTHER one)") {
+    GraftExtensions.install(spark)
+    val out = writtenTable()
+    // a second binary column rides along: the rule cannot know which
+    // geometry the bbox struct covers, so it must not prune
+    val df = spark.read.parquet(out)
+      .withColumn("geometry2", geo.st_point(lit(100.0), lit(80.0)))
+      .filter(geo.st_intersects(col("geometry2"),
+        geo.st_makeenvelope(99, 79, 101, 81)))
+    // every row's geometry2 intersects; pruning by the FIRST geometry's
+    // bbox (the old behavior) would drop most rows
+    assert(df.count() == 2000, s"got ${df.count()}")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("bbox.xmax"),
+      s"rule must not add conjuncts for an uncovered geometry:\n$optimized")
+  }
 }

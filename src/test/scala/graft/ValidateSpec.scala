@@ -406,6 +406,27 @@ class ValidateSpec extends AnyFunSuite {
     assert(pgoErrs.isEmpty, s"unexpected: $pgoErrs")
   }
 
+  test("v2 datasets: the per-file declared-bbox-vs-data check really " +
+      "fires (staged readNativeGeo paths map back to the originals)") {
+    val out = write("v2bbox", polyTable(ccw = true))
+    GeoTable.setGeoParquetVersion(out, "2.0")
+    // a clean v2 file passes
+    assert(Checks.validate(spark, out).count(_.level == "error") == 0)
+    // corrupt the declared bbox to exclude the data: the check must
+    // fire — before the staged-name mapping every lookup missed and v2
+    // files passed this check unconditionally
+    val part = Footer.partFiles(out, new Configuration()).head
+    val gm = Footer.read(part).geo.get
+    poke(out, GeoMeta.toJson(gm.copy(columns = gm.columns.map {
+      case (n, c) if n == gm.primaryColumn =>
+        n -> c.copy(bbox = Some((200.0, 200.0, 201.0, 201.0)))
+      case kv => kv
+    })))
+    val f = Checks.validate(spark, out)
+    assert(f.exists(x => x.level == "error" && x.check == "bbox" &&
+      x.message.contains("outside declared")), f.toString)
+  }
+
   test("setGeoParquetVersion 2.0 inlines a non-default CRS into the " +
       "Parquet geo type (validate check V2-2/V2-3 pass)") {
     import org.apache.hadoop.fs.Path
