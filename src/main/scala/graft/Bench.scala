@@ -55,15 +55,22 @@ object Bench {
     // Dev loop: SPARK_GRAFT_ONLY=q7_... restricts to a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      .filter(kv => only.forall(_.contains(kv._1))).flatMap { case (name, fn) =>
+      // a FAILED iteration must never become the reported time: a fast
+      // AnalysisException would read as a huge speedup in the artifact.
+      // Only successful runs enter best-of-N; an all-failures query is
+      // excluded and listed under "errors" in both emitters.
+      val times = (1 to iters).flatMap { _ =>
         val sess = if (isolate) spark.newSession() else spark
         val t0 = System.nanoTime()
-        try force(fn(sess, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { force(fn(sess, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // release cached/checkpointed blocks the query materialized
         // (localCheckpoint in the iterative/pipeline operators) so one
@@ -72,9 +79,10 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         if (isolate) sess.sharedState.cacheManager.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      if (times.isEmpty) { failed += name; None }
+      else Some(name -> times.min)
     }
     // Spark's fixed per-job floor (scheduler + planning + noop sink on a
     // 1-row frame): queries whose total is within ~2x of this number are
@@ -110,18 +118,26 @@ object Bench {
           if (m.isEmpty) None else Some(m)
         }
       }
+    // ONE comparable computation reused by both emitters — hand-synced
+    // copies could silently disagree on the totals
+    val resultMap = results.toMap
+    val comparableTotals = duck.map { m =>
+      val comparable = results.map(_._1).filter(k => m.get(k).exists(_ >= 0))
+      (comparable.map(m).sum, comparable.map(resultMap).sum)
+    }
     val duckJson = duck.map { m =>
       val known = results.map(_._1).filter(m.contains)
       val pairs = known.map(k => "\"" + k + "\":" + m(k)).mkString("{", ",", "}")
       val touts = known.filter(k => m(k) < 0)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      val comparable = known.filter(k => m(k) >= 0)
-      val dTot = comparable.map(m).sum
-      val sTot = comparable.map(results.toMap).sum
+      val (dTot, sTot) = comparableTotals.get
       s""","duckdb_sec":$pairs,"duckdb_timeouts":$touts""" +
         f""","duckdb_total_comparable":$dTot%.3f,"spark_total_comparable":$sTot%.3f"""
     }.getOrElse("")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work$duckJson}"""
+    val errJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work$duckJson$errJson}"""
     // The driver captures only a ~2000-char tail of stdout, so a
     // 100-query JSON line is never machine-readable there (BENCH_r05-07
     // all landed with parsed:null). Split the contract: the FULL results
@@ -141,15 +157,15 @@ object Bench {
     val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1600").toInt
     val slowest = results.sortBy(-_._2)
     val head = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"job_floor_sec":$floor%.4f,"total_minus_floor":$work%.4f,"full_results":"$outFile"""" +
-      duck.map { m =>
-        val comparable = results.map(_._1).filter(k => m.get(k).exists(_ >= 0))
-        val dTot = comparable.map(m).sum
-        val sTot = comparable.map(results.toMap).sum
+      comparableTotals.map { case (dTot, sTot) =>
         f""","duckdb_total_comparable":$dTot%.3f,"spark_total_comparable":$sTot%.3f,"spark_vs_duckdb":${sTot / math.max(dTot, 1e-9)}%.2f"""
-      }.getOrElse("")
+      }.getOrElse("") + errJson
     val entries = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
+    // the reserve must cover the queries_note SUFFIX (~75 chars) that
+    // only appears when truncation happens — a 40-char reserve could
+    // overflow the budget by ~35 chars in exactly the truncated case
     val fit = entries.scanLeft(0)(_ + _.length + 1)
-      .indexWhere(_ > budget - head.length - 40) match {
+      .indexWhere(_ > budget - head.length - 120) match {
         case -1 => entries.size
         case i  => math.max(0, i - 1)
       }

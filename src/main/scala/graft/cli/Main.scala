@@ -29,6 +29,23 @@ import graft.table.GeoTable
   */
 object Main {
 
+  /** Thrown (not sys.exit) on a FAIL benchmark regression so the gate
+    * trips with exit 1 from main() without killing in-process callers.
+    */
+  final class BenchmarkRegression(msg: String) extends RuntimeException(msg)
+
+  /** Micro-unit char-entropy quality key (the q117 fixed-point
+    * contract) — ONE definition so every keep-best-style command ranks
+    * survivors identically.
+    */
+  private def entropyMicros(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    round(round(element_at(graft.functions.SketchExpressions
+      .char_entropy(lower(coalesce(textCol, lit("")))), 2), 6) * 1e6)
+      .cast("long")
+  }
+
   private def opt(args: Seq[String], name: String): Option[String] = {
     val i = args.indexOf(s"--$name")
     if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
@@ -49,6 +66,12 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.geo.register(spark)
     try run(spark, argv.toSeq)
+    catch {
+      case e: BenchmarkRegression =>
+        System.err.println(e.getMessage)
+        spark.stop()
+        sys.exit(1)
+    }
     finally spark.stop()
   }
 
@@ -204,10 +227,12 @@ object Main {
         // redundant) and the footer is upgraded post-write.
         val gpVersion = opt(rest, "geoparquet-version").getOrElse("1.1")
         val skipBbox = gpVersion == "2.0" || gpVersion == "parquet-geo-only"
+        // --skip-hilbert skips ONLY the sort: 1.x outputs keep their
+        // bbox covering column either way (only the native-geo-type
+        // flavors make it redundant, reference should_skip_bbox)
+        val withBbox = if (skipBbox) t else t.addBbox()
         val sorted =
-          if (flag(rest, "skip-hilbert")) t
-          else if (skipBbox) t.sortHilbert()
-          else t.addBbox().sortHilbert()
+          if (flag(rest, "skip-hilbert")) withBbox else withBbox.sortHilbert()
         sorted.write(out)
         if (gpVersion != "1.1") GeoTable.setGeoParquetVersion(out, gpVersion)
 
@@ -487,7 +512,7 @@ object Main {
         val Seq(in, out) = rest.take(2)
         val terms = opt(rest, "terms")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(sys.error("bm25 requires --terms w1,w2,..."))
+          .getOrElse(die("bm25 requires --terms w1,w2,..."))
         graft.ops.Bm25.score(spark.read.parquet(in),
             opt(rest, "text-column").getOrElse("text"),
             opt(rest, "id-column").getOrElse("doc_id"), terms,
@@ -626,9 +651,7 @@ object Main {
         val id = opt(rest, "id-column").getOrElse("doc_id")
         val k = opt(rest, "k").map(_.toInt).getOrElse(1000)
         val df = spark.read.parquet(in)
-        val em = round(round(element_at(graft.functions.SketchExpressions
-          .char_entropy(lower(coalesce(col(txt), lit("")))), 2), 6) * 1e6)
-          .cast("long")
+        val em = entropyMicros(col(txt))
         graft.ops.TopK.perGroup(df.withColumn("__em", em), Seq(src),
             Seq((col("__em"), true), (col(id), false)), k, "__rk")
           .drop("__em", "__rk")
@@ -646,8 +669,12 @@ object Main {
           opt(rest, "threshold").map(_.toDouble).getOrElse(0.3) * 1e5)
         val scored = graft.ops.Ann.semanticDecontam(
           spark.read.parquet(corpus), spark.read.parquet(eval_), vec)
+        // null max_sim_u (empty eval set / null embedding) means NO
+        // measured contamination — keep the row; the bare < dropped the
+        // ENTIRE corpus when the eval set was empty
         val result = if (flag(rest, "report")) scored
-          else scored.filter(col("max_sim_u") < tauU).drop("max_sim_u")
+          else scored.filter(col("max_sim_u") < tauU ||
+            col("max_sim_u").isNull).drop("max_sim_u")
         result.write.mode("overwrite").parquet(out)
 
       //   ks-drift a b out  (exact two-sample KS over token lengths
@@ -836,11 +863,8 @@ object Main {
           case "best" =>
             // survivor = highest char-entropy copy (micro-unit fixed
             // point, the q117 contract), not the first occurrence
-            import org.apache.spark.sql.functions._
-            val em = round(round(element_at(graft.functions
-              .SketchExpressions.char_entropy(
-                lower(coalesce(col(text), lit("")))), 2), 6) * 1e6)
-              .cast("long")
+            val em = entropyMicros(
+              org.apache.spark.sql.functions.col(text))
             Dedup.exactBest(df.withColumn("__em", em), text, id, "__em")
               .drop("__em")
           case "minhash" => Dedup.minhashNearDups(df, text, id,
@@ -861,6 +885,8 @@ object Main {
             bands = opt(rest, "bands").map(_.toInt).getOrElse(4))
           case "cluster" => Dedup.connectedComponents(
             Dedup.minhashNearDups(df, text, id,
+              numHashes = opt(rest, "hashes").map(_.toInt).getOrElse(128),
+              bands = opt(rest, "bands").map(_.toInt).getOrElse(32),
               threshold = opt(rest, "threshold").map(_.toDouble).getOrElse(0.8)))
           case other => die(s"unknown dedup mode $other")
         }
@@ -1087,14 +1113,22 @@ object Main {
             opt(rest, "baseline").foreach { b =>
               val base = BenchSuite.parseJson(
                 java.nio.file.Files.readString(java.nio.file.Paths.get(b)))
-              BenchSuite.report(BenchSuite.compare(ops, base.toMap))
+              // a FAIL regression must trip the gate, matching
+              // BenchSuite.main's standalone behavior — but via an
+              // exception so in-process callers (tests) survive;
+              // main() maps it to exit 1
+              if (BenchSuite.report(BenchSuite.compare(ops, base.toMap)))
+                throw new BenchmarkRegression(
+                  "benchmark suite regression: FAIL threshold exceeded")
             }
           case "report" =>
             val Seq(baseline, current) = rest.tail.take(2)
             def load(p: String) = BenchSuite.parseJson(
               java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
-            BenchSuite.report(
-              BenchSuite.compare(load(current), load(baseline).toMap))
+            if (BenchSuite.report(
+                BenchSuite.compare(load(current), load(baseline).toMap)))
+              throw new BenchmarkRegression(
+                "benchmark report regression: FAIL threshold exceeded")
           // benchmark compare <input> [--converters a,b] [--iterations n]
           //   [--no-warmup] [--output-json f] — reference `gpio benchmark
           //   compare` (converter race on one file; see

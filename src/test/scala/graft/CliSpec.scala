@@ -48,6 +48,14 @@ class CliSpec extends AnyFunSuite {
     val q = GeoTable.read(spark, s"$dir/q.parquet")
     assert(q.df.columns.contains("quadkey"))
 
+    // --skip-hilbert skips ONLY the sort — the 1.x bbox covering stays
+    Main.run(spark, Seq("convert", s"$dir/in.csv", s"$dir/nh.parquet",
+      "--wkt-column", "wkt", "--skip-hilbert"))
+    val nh = GeoTable.read(spark, s"$dir/nh.parquet")
+    assert(nh.df.columns.contains("bbox") &&
+      nh.meta.primary.get.coveringBbox.contains("bbox"),
+      "--skip-hilbert must not drop the bbox covering")
+
     // convert straight to 2.0: no bbox column, native geo type footer
     Main.run(spark, Seq("convert", s"$dir/in.csv", s"$dir/v2.parquet",
       "--wkt-column", "wkt", "--geoparquet-version", "2.0"))
@@ -563,6 +571,14 @@ class CliSpec extends AnyFunSuite {
     val clean = spark.read.parquet(s"$dir/clean.parquet")
     assert(clean.select("vec_id").as[Long].collect().toSeq == Seq(1L))
     assert(!clean.columns.contains("max_sim_u"))
+    // EMPTY eval set: no measured contamination -> keep everything
+    // (the bare `< tau` filter used to drop the whole corpus on null)
+    Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/eval0.parquet")
+    Main.run(spark, Seq("embed-decontam", s"$dir/corpus.parquet",
+      s"$dir/eval0.parquet", s"$dir/clean0.parquet"))
+    assert(spark.read.parquet(s"$dir/clean0.parquet").count() == 2,
+      "empty eval set must keep the whole corpus")
 
     // funnel: one converting user, one who clicks before viewing
     Seq((1L, "view", "2026-01-01 00:00:00"),
@@ -803,8 +819,14 @@ class CliSpec extends AnyFunSuite {
     val printed = out.toString
     assert(printed.contains("[suite] REGRESSION"))
     assert(printed.linesIterator.count(_.contains("vs baseline")) == 12)
-    // the CLI report path over the two stored files agrees
-    Main.run(spark, Seq("benchmark", "report", s"$dir/baseline.json",
+    // the CLI report path over the two stored files agrees — and the
+    // regression GATE trips (exception-based so in-process callers
+    // survive; main() maps it to exit 1)
+    intercept[Main.BenchmarkRegression](
+      Main.run(spark, Seq("benchmark", "report", s"$dir/baseline.json",
+        s"$dir/run1.json")))
+    // a same-vs-same report is clean
+    Main.run(spark, Seq("benchmark", "report", s"$dir/run1.json",
       s"$dir/run1.json"))
   }
 
