@@ -52,9 +52,14 @@ object AsOf {
         leftCols.filterNot(c => c == key || c == leftTs).map(c =>
           lit(null).cast(left.schema(c).dataType).as(s"__l_$c")).toList): _*)
 
-    // right rows sort before left rows at equal ts (inclusive <= match)
+    // right rows sort before left rows at equal ts (inclusive <= match).
+    // The payload struct is the TERTIARY key so two right rows tied on
+    // (key, ts) resolve deterministically — last() then picks the
+    // GREATEST payload tuple, run-to-run stable under any shuffle order
+    // (DuckDB's native ASOF leaves the tied pick unspecified, so a
+    // tie-free right side is still what cross-engine comparisons need).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__isr").desc)
+      .orderBy(col("__ts").asc, col("__isr").desc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedLeft.unionByName(taggedRightPadded)

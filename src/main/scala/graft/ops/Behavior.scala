@@ -17,6 +17,26 @@ object Behavior {
     *
     * @param tsSecs column of epoch SECONDS for the activity instant.
     */
+  /** Session bookkeeping columns over a (user_id, ts, event_id) event
+    * stream: `prev_ts`, `new_session` (1L at a gap > `gapSec` or at the
+    * first event), and the running `session_id` — ONE definition of the
+    * sessionization rule shared by q19/q144/q165 (hand-copied variants
+    * had already drifted on literal types). Scale shape: one window on
+    * hash(user), deterministic (ts, event_id) tie-break.
+    */
+  def withSessionIds(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String,
       tsSecs: Column): DataFrame = {
     val per = events.select(col(userCol).as("__u"),

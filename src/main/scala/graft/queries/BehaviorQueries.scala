@@ -137,9 +137,9 @@ object BehaviorQueries {
           .groupBy("rfm_code")
           .agg(count(lit(1)).as("n_users"),
             sum($"mon_c").as("total_monetary_cents"))
-          // rfm_code domain is ≤64 rows at ANY scale: a 1-partition sort
-          // is exact and skips orderBy's range-sampling job + exchange
-          .coalesce(1).sortWithinPartitions("rfm_code")
+          // rfm_code domain is ≤64 rows at ANY scale — the bounded-sort
+          // contract (one helper, documented on QueryDef.sortBounded)
+          .sortBounded($"rfm_code")
       },
       Some("""WITH p AS (SELECT user_id,
             MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS last_s,
@@ -350,13 +350,7 @@ object BehaviorQueries {
         import s.implicits._
         val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         val run = w.rowsBetween(Window.unboundedPreceding, 0)
-        val marked = events(s, dir)
-          .withColumn("prev_ts", lag($"ts", 1).over(w))
-          .withColumn("new_session",
-            when($"prev_ts".isNull ||
-              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
-              .otherwise(0L))
-          .withColumn("session_id", sum($"new_session").over(run))
+        val marked = graft.ops.Behavior.withSessionIds(events(s, dir))
           .withColumn("rn", row_number().over(w))
           .withColumn("start_rn",
             last(when($"new_session" === 1L, $"rn"), ignoreNulls = true)
@@ -429,14 +423,20 @@ object BehaviorQueries {
             sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
             sum(when($"arm" === 0, $"conv").otherwise(0L)).as("conv_a"),
             sum(when($"arm" === 1, $"conv").otherwise(0L)).as("conv_b"))
-          .withColumn("cvr_a_bp", expr("conv_a * 10000 DIV n_a"))
-          .withColumn("cvr_b_bp", expr("conv_b * 10000 DIV n_b"))
+          // empty-arm guard (the q164/q121 convention): an all-one-arm
+          // slice must yield NULL rates, not an engine-asymmetric
+          // division error (DuckDB raises on x // 0, Spark DIV nulls)
+          .withColumn("cvr_a_bp",
+            expr("CASE WHEN n_a > 0 THEN conv_a * 10000 DIV n_a END"))
+          .withColumn("cvr_b_bp",
+            expr("CASE WHEN n_b > 0 THEN conv_b * 10000 DIV n_b END"))
           .withColumn("diff_bp", $"cvr_b_bp" - $"cvr_a_bp")
-          .withColumn("z_micro", expr("""CAST(ROUND(
+          .withColumn("z_micro", expr("""CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(ROUND(
             (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) /
             SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
                  (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
-                 (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT)"""))
+                 (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT) END"""))
       },
       Some("""WITH per AS (SELECT user_id,
             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
@@ -454,15 +454,18 @@ object BehaviorQueries {
               AS conv_b
           FROM per)
         SELECT n_a, n_b, conv_a, conv_b,
-          CAST(conv_a * 10000 // n_a AS BIGINT) AS cvr_a_bp,
-          CAST(conv_b * 10000 // n_b AS BIGINT) AS cvr_b_bp,
-          CAST(conv_b * 10000 // n_b - conv_a * 10000 // n_a AS BIGINT)
-            AS diff_bp,
-          CAST(ROUND(
+          CAST(CASE WHEN n_a > 0 THEN conv_a * 10000 // n_a END
+            AS BIGINT) AS cvr_a_bp,
+          CAST(CASE WHEN n_b > 0 THEN conv_b * 10000 // n_b END
+            AS BIGINT) AS cvr_b_bp,
+          CAST(CASE WHEN n_a > 0 AND n_b > 0
+            THEN conv_b * 10000 // n_b - conv_a * 10000 // n_a END
+            AS BIGINT) AS diff_bp,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(ROUND(
             (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) /
             SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
                  (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
-                 (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT) AS z_micro
+                 (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT) END AS z_micro
         FROM s""")),
 
     // ---- Pareto concentration (power-user share) -----------------------
@@ -1001,15 +1004,7 @@ object BehaviorQueries {
       "q165_session_depth",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        val run = w.rowsBetween(Window.unboundedPreceding, 0)
-        val sess = events(s, dir)
-          .withColumn("prev_ts", lag($"ts", 1).over(w))
-          .withColumn("new_session",
-            when($"prev_ts".isNull ||
-              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
-              .otherwise(0L))
-          .withColumn("session_id", sum($"new_session").over(run))
+        val sess = graft.ops.Behavior.withSessionIds(events(s, dir))
           .groupBy($"user_id", $"session_id")
           .agg(count(lit(1)).as("depth"),
             max(when($"event_type" === "purchase", 1L).otherwise(0L))

@@ -370,8 +370,14 @@ object CurationQueries {
       "q107_jsonl_format",
       (s, dir) => {
         import s.implicits._
+        // backslash, quote, AND the common control chars — a raw
+        // newline/tab in text would otherwise build INVALID JSON, which
+        // Spark counts as a parse failure but DuckDB hard-errors on
         def esc(c: org.apache.spark.sql.Column) =
-          replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+          replace(replace(replace(replace(replace(
+            c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+            lit("\n"), lit("\\n")), lit("\r"), lit("\\r")),
+            lit("\t"), lit("\\t"))
         val j = concat(lit("{\"doc_id\":"), $"doc_id".cast("string"),
           lit(",\"lang\":\""), esc($"lang"),
           lit("\",\"source\":\""), esc($"source"),
@@ -389,17 +395,25 @@ object CurationQueries {
       },
       Some(raw"""WITH l AS (SELECT source, text,
             '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"'
-              || replace(replace(lang, '\', '\\'), '"', '\"')
+              || replace(replace(replace(replace(replace(lang,
+                   '\', '\\'), '"', '\"'),
+                   chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
               || '","source":"'
-              || replace(replace(source, '\', '\\'), '"', '\"')
+              || replace(replace(replace(replace(replace(source,
+                   '\', '\\'), '"', '\"'),
+                   chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
               || '","text":"'
-              || replace(replace(text, '\', '\\'), '"', '\"')
+              || replace(replace(replace(replace(replace(text,
+                   '\', '\\'), '"', '\"'),
+                   chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
               || '"}' AS j
           FROM documents),
         p AS (SELECT source,
             CAST(length(j) AS BIGINT) AS nb,
             CAST(('0x' || substr(md5(j), 1, 8)) AS BIGINT) AS hv,
-            (json_extract_string(j, '$$.text') = text) AS ok
+            (CASE WHEN json_valid(j)
+              THEN json_extract_string(j, '$$.text') = text
+              ELSE FALSE END) AS ok
           FROM l)
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(nb) AS BIGINT) AS sum_bytes,

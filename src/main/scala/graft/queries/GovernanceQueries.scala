@@ -387,8 +387,10 @@ object GovernanceQueries {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
+        // null-safe digest (the q60/q73 convention): NULL text hashes
+        // as empty instead of propagating a NULL key
         val withH = docs.withColumn("h",
-          md5(graft.ops.Dedup.normalize($"text")))
+          md5(graft.ops.Dedup.normalize(coalesce($"text", lit("")))))
         val baseD = withH.filter($"doc_id" % 3 === 0)
           .select($"h").distinct()
         val dd = withH.filter($"doc_id" % 3 =!= 0)
@@ -401,12 +403,12 @@ object GovernanceQueries {
         graft.ops.Shards.manifest(gated, "text", "doc_id", nShards = 8)
       },
       Some(raw"""WITH nm AS (SELECT doc_id, text,
-            md5(trim(regexp_replace(regexp_replace(lower(text),
+            md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
           FROM documents),
         bd AS (SELECT DISTINCT h FROM nm WHERE doc_id % 3 = 0),
-        dd AS (SELECT * FROM nm WHERE doc_id % 3 <> 0
-          AND h NOT IN (SELECT h FROM bd)),
+        dd AS (SELECT nm.* FROM nm WHERE doc_id % 3 <> 0
+          AND NOT EXISTS (SELECT 1 FROM bd WHERE bd.h = nm.h)),
         fo AS (SELECT h, MIN(doc_id) AS keep_id FROM dd GROUP BY h),
         sv AS (SELECT dd.doc_id, dd.text FROM dd
           JOIN fo ON dd.h = fo.h AND dd.doc_id = fo.keep_id),

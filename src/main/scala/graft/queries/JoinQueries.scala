@@ -147,16 +147,7 @@ object JoinQueries {
       "q19_sessionize",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        events(s, dir)
-          .withColumn("prev_ts", lag($"ts", 1).over(w))
-          .withColumn("new_session",
-            when($"prev_ts".isNull ||
-              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
-              .otherwise(0))
-          .withColumn("session_id", sum($"new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
+        graft.ops.Behavior.withSessionIds(events(s, dir))
           .groupBy($"user_id")
           .agg(max($"session_id").as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy($"user_id")
