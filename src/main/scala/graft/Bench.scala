@@ -15,11 +15,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Generated-class cache: the static default (100 entries) is far
+    // smaller than the ~600+ codegen stages a 185-query suite produces,
+    // so the LRU cache thrashes and a rotating minority of queries pays
+    // a 0.5-2 s Janino recompile in-suite that never shows up solo —
+    // the documented "spike rotation". Sizing the cache to the suite
+    // removes the mechanism instead of adjudicating around it. A real
+    // cluster deployment running a query library this size would set
+    // the same knob (it bounds generated-class metadata, not data).
+    val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -125,6 +135,41 @@ object Bench {
       val comparable = results.map(_._1).filter(k => m.get(k).exists(_ >= 0))
       (comparable.map(m).sum, comparable.map(resultMap).sum)
     }
+    // Spike adjudicator (round-11, VERDICT r10 #1/#2): any query whose
+    // in-suite time reads >=2x its DuckDB oracle at >=1 s is re-measured
+    // solo best-of-5 in the same JVM, and the weak set is computed from
+    // the ADJUDICATED numbers — the artifact carries the adjudication
+    // instead of COVERAGE prose. Oracle timeouts (-1) are excluded: Spark
+    // wins those by construction. The solo loop reuses `force` and the
+    // same unpersist hygiene as the main loop so the two numbers differ
+    // only by suite context, which is exactly what's being adjudicated.
+    val adjudicated: Seq[(String, Double, Double, Double)] = duck.map { m =>
+      results.filter { case (k, v) =>
+        v >= 1.0 && m.get(k).exists(d => d >= 0 && v / math.max(d, 1e-9) >= 2.0)
+      }.map { case (k, inSuite) =>
+        val fn = SparkEntry.queries(k)
+        val solo = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (k, inSuite, solo, m(k))
+      }
+    }.getOrElse(Seq.empty)
+    // weak = still >2x its oracle at >=1 s AFTER solo adjudication
+    val weak = adjudicated.collect {
+      case (k, _, solo, d) if solo >= 1.0 && solo / math.max(d, 1e-9) > 2.0 => k
+    }
+    val adjJson =
+      if (adjudicated.isEmpty) ""
+      else {
+        val items = adjudicated.map { case (k, ins, solo, d) =>
+          f""""$k":{"in_suite":$ins%.3f,"solo_best5":$solo%.3f,"oracle":$d%.3f,"ratio_in_suite":${ins / math.max(d, 1e-9)}%.1f,"ratio_solo":${solo / math.max(d, 1e-9)}%.1f}"""
+        }.mkString("{", ",", "}")
+        s""","solo_adjudicated":$items,"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      }
     val duckJson = duck.map { m =>
       val known = results.map(_._1).filter(m.contains)
       val pairs = known.map(k => "\"" + k + "\":" + m(k)).mkString("{", ",", "}")
@@ -137,7 +182,7 @@ object Bench {
     val errJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work$duckJson$errJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work,"codegen_cache":$codegenCache$adjJson$duckJson$errJson}"""
     // The driver captures only a ~2000-char tail of stdout, so a
     // 100-query JSON line is never machine-readable there (BENCH_r05-07
     // all landed with parsed:null). Split the contract: the FULL results
@@ -159,7 +204,10 @@ object Bench {
     val head = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"job_floor_sec":$floor%.4f,"total_minus_floor":$work%.4f,"full_results":"$outFile"""" +
       comparableTotals.map { case (dTot, sTot) =>
         f""","duckdb_total_comparable":$dTot%.3f,"spark_total_comparable":$sTot%.3f,"spark_vs_duckdb":${sTot / math.max(dTot, 1e-9)}%.2f"""
-      }.getOrElse("") + errJson
+      }.getOrElse("") +
+      (if (duck.isEmpty) ""
+       else s""","n_adjudicated":${adjudicated.size},"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")}""") +
+      errJson
     val entries = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
     // the reserve must cover the queries_note SUFFIX (~75 chars) that
     // only appears when truncation happens — a 40-char reserve could

@@ -1302,7 +1302,20 @@ object Proj {
   /** Rough geographic-vs-projected classification used for CRS gates
     * (reference `core/add_quadkey_column.py:78-143`, `core/extract.py:104-247`).
     */
-  def isGeographic(crs: String): Boolean =
+  def isGeographic(crs: String): Boolean = {
+    // PROJJSON carries the answer directly (reference is_geographic_crs,
+    // core/extract.py:115-147): trust the document type before any code
+    // or name heuristic — a ProjectedCRS whose base_crs is named
+    // "WGS 84" must not classify as geographic via the substring fallback
+    val t = crs.trim
+    if (t.startsWith("{")) {
+      try {
+        val tpe = Option(jsonMapper.readTree(t).get("type"))
+          .map(_.asText).getOrElse("")
+        if (tpe == "GeographicCRS") return true
+        if (tpe == "ProjectedCRS") return false
+      } catch { case _: Exception => () }
+    }
     try {
       val c = parseEpsg(crs)
       c == 4326 || c == 4269 || c == 4258
@@ -1310,4 +1323,5 @@ object Proj {
       val s = crs.toUpperCase
       s.contains("4326") || s.contains("CRS84") || s.contains("WGS 84") || s.contains("WGS84")
     }
+  }
 }

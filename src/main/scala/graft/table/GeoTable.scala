@@ -87,9 +87,40 @@ final case class GeoTable(
     else None
   }
 
+  /** Actual data bounds for the warning path, mirroring the reference's
+    * `_get_data_bounds` (`core/extract.py:200-221`). Prefers the declared
+    * metadata bbox (O(1), footer-only — the right call at 100 TB where a
+    * min/max scan just to decorate a warning would read the whole table);
+    * falls back to one envelope aggregation like the reference only when
+    * the footer carries no bbox. Returns None on any failure — bounds are
+    * decoration for the message, never load-bearing.
+    */
+  private[graft] def dataBounds: Option[(Double, Double, Double, Double)] =
+    meta.primary.flatMap(_.bbox).orElse {
+      try {
+        val g = col(geomCol)
+        val r = df.agg(
+          min(geo.st_xmin(g)), min(geo.st_ymin(g)),
+          max(geo.st_xmax(g)), max(geo.st_ymax(g))).head()
+        if ((0 to 3).exists(r.isNullAt)) None
+        else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      } catch { case _: Exception => None }
+    }
+
   def filterBbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoTable = {
-    // warn rather than fail, like the reference
-    bboxCrsMismatch(xmin, ymin, xmax, ymax).foreach(log.warn(_))
+    // warn rather than fail, like the reference (`_warn_if_crs_mismatch`,
+    // core/extract.py:222-247): degree-shaped bbox against projected data
+    // gets the data bounds + the 0-results hint so the user can see how
+    // far off their filter is
+    bboxCrsMismatch(xmin, ymin, xmax, ymax).foreach { m =>
+      val detail =
+        if (isGeographicCrs) ""
+        else dataBounds.map { case (x0, y0, x1, y1) =>
+          f"; data bounds: xmin=$x0%.2f, ymin=$y0%.2f, xmax=$x1%.2f, ymax=$y1%.2f"
+        }.getOrElse("")
+      log.warn(m + detail +
+        "; if you get 0 results, use coordinates in the table's CRS")
+    }
     // the covering named in meta may have been projected away
     // (selectColumns exclude) — fall back to the slow path rather than
     // resolve a missing column
@@ -1026,15 +1057,42 @@ object GeoTable {
     val tmp = new Path(
       java.nio.file.Files.createTempDirectory("graft_nativegeo").toString,
       "staged.parquet")
-    Footer.partFiles(path, conf) match {
+    val parts = Footer.partFiles(path, conf)
+    parts match {
       case Seq(single) => Footer.stripNativeGeoTypes(single, tmp, conf)
-      case parts =>
-        parts.zipWithIndex.foreach { case (p, i) =>
+      case many =>
+        many.zipWithIndex.foreach { case (p, i) =>
           Footer.stripNativeGeoTypes(p,
             new Path(tmp.getParent, f"part-$i%05d.parquet"), conf)
         }
     }
-    read(spark, tmp.getParent.toString)
+    val t = read(spark, tmp.getParent.toString)
+    // parquet-geo-only files carry the CRS in the GEOMETRY/GEOGRAPHY
+    // logical type, not a geo footer (reference _get_crs_from_file
+    // fallback, core/extract.py:149-195). Stripping the native type for
+    // Spark's reader loses it, so lift it out of the ORIGINAL footer into
+    // the table metadata — otherwise a projected pgo file silently
+    // classifies as geographic and every CRS gate (bbox mismatch warning,
+    // quadkey/H3 refusal) misfires.
+    val typeCrs: Map[String, com.fasterxml.jackson.databind.JsonNode] =
+      Footer.read(parts.head, conf)
+      .schemaInfo.flatMap { f =>
+        f.geoCrs.flatMap { c =>
+          try Some(f.name -> new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(if (c.trim.startsWith("{")) c else "\"" + c + "\""))
+          catch { case _: Exception => None }
+        }
+      }.toMap
+    if (typeCrs.isEmpty) t
+    else {
+      // a pure pgo file has no geo footer at all, so the column map may
+      // be empty — insert an entry rather than only updating existing ones
+      val cols = typeCrs.foldLeft(t.meta.columns) { case (m, (n, crs)) =>
+        val cur = m.getOrElse(n, GeoColumnMeta())
+        if (cur.crs.isDefined) m else m.updated(n, cur.copy(crs = Some(crs)))
+      }
+      t.copy(meta = t.meta.copy(columns = cols))
+    }
   }
 
   /** Wrap an arbitrary DataFrame whose `geometryCol` holds WKB. */

@@ -107,6 +107,25 @@ class GeoTableSpec extends AnyFunSuite {
     assert(t.filterBbox(-10, -10, 10, 10).count() > 0)
   }
 
+  test("CRS-mismatch warning on the reference 5070 fixture carries data bounds") {
+    // real projected data (EPSG:5070 Albers, reference fixture): a
+    // degree-shaped bbox must diagnose the mismatch, and the warning
+    // path must be able to report the actual data bounds like the
+    // reference's _warn_if_crs_mismatch (core/extract.py:222-247)
+    val t = GeoTable.readNativeGeo(spark,
+      "/root/reference/tests/data/fields_pgo_5070_snappy.parquet")
+    assert(!t.isGeographicCrs)
+    assert(t.bboxCrsMismatch(-10, -10, 10, 10)
+      .exists(_.contains("looks like lon/lat degrees")))
+    val b = t.dataBounds
+    assert(b.isDefined)
+    // Albers CONUS coordinates are in meters — magnitudes far outside
+    // degree range prove the bounds came from the projected data
+    assert(math.abs(b.get._1) > 1000 || math.abs(b.get._3) > 1000)
+    // no mismatch for a bbox in the data's own CRS
+    assert(t.bboxCrsMismatch(b.get._1, b.get._2, b.get._3, b.get._4).isEmpty)
+  }
+
   test("enrich join CRS-consistency gate fires on mismatched sides") {
     val t = pointsTable(10)
     def projected(g: GeoTable) = g.copy(meta = g.meta.copy(columns =
