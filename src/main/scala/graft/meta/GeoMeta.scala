@@ -44,6 +44,15 @@ object GeoMeta {
 
   val BboxNameCandidates: Seq[String] = Seq("bbox", "bounds", "bounding_box")
 
+  /** Column-metadata key pairing a geometry column with the bbox covering
+    * that describes it. Both columns carry the same opaque id, so
+    * [[graft.plans.BboxPushdownRule]] can prune post-join two-geometry
+    * plans by matching the FILTERED geometry to ITS covering — name
+    * heuristics can't do that soundly. Spark persists field metadata in
+    * the parquet footer schema, so the pairing survives write/read.
+    */
+  val GeoPairKey: String = "graft.geo.pair"
+
   /** Minimal PROJJSON-shaped node for an "EPSG:nnnn"-style CRS string —
     * enough for the spec's `crs.id` shape and our geographic/projected
     * classification.

@@ -25,13 +25,42 @@ import graft.meta.GeoMeta
   */
 object BboxPushdownRule extends Rule[LogicalPlan] {
 
-  private def bboxAttr(plan: LogicalPlan): Option[Attribute] =
-    plan.output.find { a =>
-      GeoMeta.BboxNameCandidates.contains(a.name) && (a.dataType match {
-        case s: StructType =>
-          Seq("xmin", "ymin", "xmax", "ymax").forall(f => s.fieldNames.contains(f))
-        case _ => false
-      })
+  private def isBboxStruct(a: Attribute): Boolean = a.dataType match {
+    case s: StructType =>
+      Seq("xmin", "ymin", "xmax", "ymax").forall(f => s.fieldNames.contains(f))
+    case _ => false
+  }
+
+  private def pairOf(a: Attribute): Option[String] =
+    if (a.metadata.contains(GeoMeta.GeoPairKey))
+      Some(a.metadata.getString(GeoMeta.GeoPairKey))
+    else None
+
+  /** The bbox covering attribute for the FILTERED geometry `g`, or None
+    * when no covering can soundly be tied to it.
+    *
+    *  - Pair-metadata path (GeoTable-produced plans): the covering is the
+    *    unique bbox-shaped attribute sharing `g`'s pair id. Works after
+    *    joins with any number of geometry columns. A self-join reuses the
+    *    id on both sides — two matches → ambiguous → skip (sound).
+    *  - Fallback (plain spark.read plans with no metadata): the old
+    *    one-binary-column heuristic — `g` must be the plan's only
+    *    BinaryType attribute, covering found by conventional name.
+    */
+  private def bboxFor(child: LogicalPlan, g: Attribute): Option[Attribute] =
+    pairOf(g) match {
+      case Some(id) =>
+        child.output.filter(a => isBboxStruct(a) && pairOf(a).contains(id)) match {
+          case Seq(one) => Some(one)
+          case _ => None
+        }
+      case None =>
+        val binaryAttrs = child.output.filter(_.dataType ==
+          org.apache.spark.sql.types.BinaryType)
+        if (binaryAttrs.length == 1 && binaryAttrs.head.semanticEquals(g))
+          child.output.find(a =>
+            GeoMeta.BboxNameCandidates.contains(a.name) && isBboxStruct(a))
+        else None
     }
 
   /** envelope of the literal geometry, if it parses */
@@ -60,44 +89,37 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      bboxAttr(child) match {
-        case Some(b) if !touchesBbox(cond, b) =>
-          // the rewrite is only sound when the covering struct describes
-          // the FILTERED geometry column. The plan carries no geo
-          // metadata, so require the filtered side to be the plan's one
-          // and only BinaryType attribute — a two-geometry output (e.g.
-          // post-join) is skipped rather than pruned by the wrong
-          // column's envelope.
-          val binaryAttrs = child.output.filter(_.dataType ==
-            org.apache.spark.sql.types.BinaryType)
-          var added: Seq[Expression] = Nil
-          // ONLY top-level conjuncts: an st_intersects nested under
-          // OR/NOT does not imply the bbox overlap for every surviving
-          // row — ANDing it on there silently dropped rows.
-          // st_intersects is symmetric: the literal may sit in either
-          // argument position (the reference emits both orders).
-          conjuncts(cond).foreach {
-            case StIntersects(a, c) =>
-              val geomAttr = Seq(a, c).collectFirst {
-                case at: Attribute
-                    if at.dataType == org.apache.spark.sql.types.BinaryType => at
-              }
-              if (geomAttr.exists(g => binaryAttrs.length == 1 &&
-                  binaryAttrs.head.semanticEquals(g)))
-                literalEnvelope(c).orElse(literalEnvelope(a))
-                  .foreach { case (x0, y0, x1, y1) =>
-                    added = Seq(
-                      GreaterThanOrEqual(field(b, "xmax"), Literal(x0)),
-                      LessThanOrEqual(field(b, "xmin"), Literal(x1)),
-                      GreaterThanOrEqual(field(b, "ymax"), Literal(y0)),
-                      LessThanOrEqual(field(b, "ymin"), Literal(y1)))
-                  }
-            case _ => ()
+      var added: Seq[Expression] = Nil
+      // ONLY top-level conjuncts: an st_intersects nested under OR/NOT
+      // does not imply the bbox overlap for every surviving row — ANDing
+      // it on there silently dropped rows. st_intersects is symmetric:
+      // the literal may sit in either argument position (the reference
+      // emits both orders). Each conjunct resolves its OWN covering via
+      // bboxFor, so a post-join filter touching both sides' geometries
+      // prunes both coverings.
+      conjuncts(cond).foreach {
+        case StIntersects(a, c) =>
+          val geomAttr = Seq(a, c).collectFirst {
+            case at: Attribute
+                if at.dataType == org.apache.spark.sql.types.BinaryType => at
           }
-          if (added.isEmpty) f
-          else Filter(added.foldLeft(cond)((acc, c) => And(acc, c)), child)
-        case _ => f
+          for {
+            g <- geomAttr
+            b <- bboxFor(child, g)
+            if !touchesBbox(cond, b) && !added.exists(_.exists {
+              case gs: GetStructField => gs.child.semanticEquals(b)
+              case _ => false
+            })
+            (x0, y0, x1, y1) <- literalEnvelope(c).orElse(literalEnvelope(a))
+          } added ++= Seq(
+            GreaterThanOrEqual(field(b, "xmax"), Literal(x0)),
+            LessThanOrEqual(field(b, "xmin"), Literal(x1)),
+            GreaterThanOrEqual(field(b, "ymax"), Literal(y0)),
+            LessThanOrEqual(field(b, "ymin"), Literal(y1)))
+        case _ => ()
       }
+      if (added.isEmpty) f
+      else Filter(added.foldLeft(cond)((acc, c) => And(acc, c)), child)
   }
 }
 

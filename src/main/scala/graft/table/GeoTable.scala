@@ -170,10 +170,11 @@ final case class GeoTable(
     */
   def addBbox(bboxCol: String = "bbox"): GeoTable = {
     val g = col(geomCol)
-    val d = (if (df.columns.contains(bboxCol)) df.drop(bboxCol) else df)
+    val d0 = (if (df.columns.contains(bboxCol)) df.drop(bboxCol) else df)
       .withColumn(bboxCol, struct(
         geo.st_xmin(g).as("xmin"), geo.st_ymin(g).as("ymin"),
         geo.st_xmax(g).as("xmax"), geo.st_ymax(g).as("ymax")))
+    val d = GeoTable.tagGeoPair(d0, geomCol, bboxCol)
     val newMeta = meta.copy(columns = meta.columns.map { case (n, c) =>
       if (n == meta.primaryColumn) n -> c.copy(coveringBbox = Some(bboxCol))
       else n -> c
@@ -1013,13 +1014,42 @@ object GeoTable {
     */
   def read(spark: SparkSession, path: String,
       mergeSchema: Boolean = false): GeoTable = {
-    val df = spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+    val df0 = spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
     val geoMeta = Footer.partFiles(path).headOption
       .flatMap(p => Footer.read(p).geo)
     val geomCol = geoMeta.map(_.primaryColumn)
-      .filter(df.columns.contains)
-      .orElse(GeoMeta.GeometryNameCandidates.find(df.columns.contains))
+      .filter(df0.columns.contains)
+      .orElse(GeoMeta.GeometryNameCandidates.find(df0.columns.contains))
+    // files WE wrote restore the geometry<->bbox pair metadata from the
+    // parquet schema automatically; files the reference wrote declare the
+    // covering only in the geo footer — lift it into attribute metadata
+    // so BboxPushdownRule can prune post-join plans on them too
+    val df = (for {
+      gm <- geoMeta; g <- geomCol
+      b <- gm.columns.get(gm.primaryColumn).flatMap(_.coveringBbox)
+      if !df0.schema.fields.find(_.name == g)
+        .exists(_.metadata.contains(GeoMeta.GeoPairKey))
+    } yield tagGeoPair(df0, g, b)).getOrElse(df0)
     GeoTable(df, geoMeta.getOrElse(GeoMeta()), geomCol)
+  }
+
+  /** Stamp `geomCol` and `bboxCol` with one shared [[GeoMeta.GeoPairKey]]
+    * id (existing field metadata preserved). No-op when either column is
+    * absent. One extra Project — no data movement.
+    */
+  private[graft] def tagGeoPair(df: DataFrame, geomCol: String,
+      bboxCol: String): DataFrame = {
+    if (!df.columns.contains(geomCol) || !df.columns.contains(bboxCol)) df
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      def tagged(c: String) = col(c).as(c,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(df.schema(c).metadata)
+          .putString(GeoMeta.GeoPairKey, id).build())
+      df.select(df.columns.map { c =>
+        if (c == geomCol || c == bboxCol) tagged(c) else col(c)
+      }.toIndexedSeq: _*)
+    }
   }
 
   /** Read a FLAT-layout partition directory, recovering the partition

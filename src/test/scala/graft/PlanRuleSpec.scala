@@ -86,6 +86,65 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(df.count() == want, s"OR semantics: got ${df.count()}, want $want")
   }
 
+  test("pair metadata prunes when the relation carries a second binary " +
+      "column (old heuristic had to skip)") {
+    GraftExtensions.install(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft_rule").toString + "/d"
+    val df = spark.range(2000).toDF("id")
+      .withColumn("geometry", geo.st_point(
+        col("id") * 37 % 360 - 180, col("id") * 91 % 180 - 90))
+      .withColumn("payload", expr("cast(cast(id as string) as binary)"))
+    GeoTable.fromDataFrame(df, "geometry").addBbox().write(out)
+    val filtered = spark.read.parquet(out)
+      .filter(geo.st_intersects(col("geometry"), geo.st_makeenvelope(-60, -30, 60, 30)))
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("bbox.xmax"),
+      s"pair metadata should identify the covering despite the payload column:\n${physical.take(2000)}")
+    val expected = spark.read.parquet(out)
+      .filter(col("bbox.xmax") >= -60 && col("bbox.xmin") <= 60 &&
+        col("bbox.ymax") >= -30 && col("bbox.ymin") <= 30).count()
+    assert(filtered.count() == expected)
+  }
+
+  test("post-join filter on one side's geometry prunes that side's scan") {
+    GraftExtensions.install(spark)
+    val out1 = writtenTable()
+    val out2 = writtenTable()
+    val l = spark.read.parquet(out1)
+    val r = spark.read.parquet(out2).select(col("id").as("rid"),
+      col("geometry").as("geometry_r"), col("bbox").as("bbox_r"))
+    val joined = l.join(r, col("id") === col("rid"))
+      .filter(geo.st_intersects(col("geometry_r"), geo.st_makeenvelope(-60, -30, 60, 30)))
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("bbox.xmax"),
+      s"right side's scan should carry bbox pushed filters:\n${physical.take(3000)}")
+    val expected = l.join(
+      spark.read.parquet(out2).select(col("id").as("rid"),
+        col("geometry").as("geometry_r"), col("bbox").as("bbox_r"))
+        .filter(col("bbox_r.xmax") >= -60 && col("bbox_r.xmin") <= 60 &&
+          col("bbox_r.ymax") >= -30 && col("bbox_r.ymin") <= 30),
+      col("id") === col("rid")).count()
+    assert(joined.count() == expected)
+  }
+
+  test("self-join shares one pair id on both sides -> ambiguous covering " +
+      "-> rule must not prune (soundness)") {
+    GraftExtensions.install(spark)
+    val out = writtenTable()
+    val l = spark.read.parquet(out)
+    val r = spark.read.parquet(out).select(col("id").as("rid"),
+      col("geometry").as("g2"), col("bbox").as("b2"))
+    // left_outer keeps the filter on the null-producing side ABOVE the
+    // join, where BOTH same-id coverings are in scope — pruning with the
+    // wrong one would silently drop rows
+    val joined = l.join(r, col("id") === col("rid"), "left_outer")
+      .filter(geo.st_intersects(col("g2"), geo.st_makeenvelope(-60, -30, 60, 30)))
+    val want = l.join(r, col("id") === col("rid"), "left_outer")
+      .filter(col("b2.xmax") >= -60 && col("b2.xmin") <= 60 &&
+        col("b2.ymax") >= -30 && col("b2.ymin") <= 30).count()
+    assert(joined.count() == want, s"got ${joined.count()}, want $want")
+  }
+
   test("rule skips plans with two geometry-typed columns (the covering " +
       "may describe the OTHER one)") {
     GraftExtensions.install(spark)
