@@ -481,7 +481,8 @@ object Checks {
             // lacks) SKIPS the data checks rather than failing them —
             // the reference's CheckStatus.SKIPPED-on-exception contract
             val readable =
-              try { t.df.limit(1).collect(); true }
+              try { graft.util.CollectCapped(t.df.limit(1), 1,
+                "readability probe"); true }
               catch { case e: Exception =>
                 findings += Finding("info", "data",
                   "data checks skipped — file unreadable by Spark: " +
@@ -490,8 +491,9 @@ object Checks {
               }
             if (readable) {
             // encoding matches data: a bounded sample must parse as WKB
-            try t.df.select(geo.st_geometrytype(col(g.primaryColumn)))
-              .limit(1000).collect()
+            try graft.util.CollectCapped(
+              t.df.select(geo.st_geometrytype(col(g.primaryColumn)))
+                .limit(1000), 1000, "WKB-encoding sample")
             catch {
               case e: Exception =>
                 findings += Finding("error", "encoding",
@@ -582,13 +584,14 @@ object Checks {
                   f"part-$i%05d.parquet" -> p.toUri.getPath
                 }.toMap
               val gc = col(g.primaryColumn)
-              val perFile = t.df.select(input_file_name().as("__f"),
+              val perFile0 = t.df.select(input_file_name().as("__f"),
                   geo.st_xmin(gc).as("x0"), geo.st_ymin(gc).as("y0"),
                   geo.st_xmax(gc).as("x1"), geo.st_ymax(gc).as("y1"))
                 .groupBy(col("__f"))
                 .agg(min(col("x0")).as("dx0"), min(col("y0")).as("dy0"),
                   max(col("x1")).as("dx1"), max(col("y1")).as("dy1"))
-                .collect()
+              val perFile = graft.util.CollectCapped(perFile0, 100000,
+                "per-file bbox rollup (one row per part file)")
               val eps = 1e-9
               perFile.filterNot(r => (1 to 4).exists(r.isNullAt)).foreach { r =>
                 // input_file_name() is a percent-encoded URI; URI.getPath

@@ -1209,7 +1209,8 @@ object Main {
           case None => println("{}")
         }
         if (flag(rest, "stats"))
-          GeoTable.read(spark, p).stats().collect().foreach(println)
+          graft.util.CollectCapped(GeoTable.read(spark, p).stats(), 10000,
+            "per-column stats rows").foreach(println)
 
       case "check" if flag(rest, "all") =>
         val fs = Checks.checkAll(spark, rest.head)

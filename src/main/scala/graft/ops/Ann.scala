@@ -273,12 +273,13 @@ object Ann {
     val nDf = broadcast(df.agg(count(lit(1)).as("__n")))
     val stride =
       greatest(lit(1L), floor(col("__n") / nLists).cast("long"))
-    df.select(col(idCol), col(vecCol)).crossJoin(nDf)
+    val seeds = df.select(col(idCol), col(vecCol)).crossJoin(nDf)
       .filter(pmod(col(idCol), stride) === 0)
       .orderBy(col(idCol))
       .limit(nLists)
       .select(col(idCol), col(vecCol))
-      .collect()
+    graft.util.CollectCapped(seeds, nLists.toLong,
+      "IVF seed centroids")
       .map(_.getSeq[Float](1).toArray)
   }
 

@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Collect-bound cap on the word-frequency dictionary: Heaps-law vocab
+    * growth keeps real corpora far below this; a corpus that trips it is
+    * feeding unsegmented garbage into the trainer. */
+  val MaxVocab = 20000000
+
   /** Symbol delimiter — U+241F SYMBOL FOR UNIT SEPARATOR. */
   val Delim = "␟"
 
@@ -54,12 +59,14 @@ object Bpe {
     // ONE corpus shuffle (map-side-combinable word count), ONE bounded
     // collect of the vocab-sized dict; the merge rounds below are pure
     // in-memory arithmetic on it
-    val dict = docs
+    val dict0 = docs
       .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
         .as("w"))
       .filter($"w".rlike("^[a-z0-9]+$"))
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .select($"w", $"cnt").as[(String, Long)].collect()
+      .select($"w", $"cnt").as[(String, Long)]
+    val dict = graft.util.CollectCapped(dict0, MaxVocab,
+      "BPE word-frequency dictionary (Heaps-law vocab)")
     // delimited symbol sequence per word: "␟l␟␟o␟␟w␟"
     val seqs = dict.map { case (w, _) =>
       Delim + w.map(_.toString).mkString(D2) + Delim }

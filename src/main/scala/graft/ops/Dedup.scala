@@ -762,8 +762,9 @@ object Dedup {
           (coalesce(col("__nbr"), col("cluster_id")) < col("cluster_id"))
             .as("__chg"))
         .localCheckpoint(false)
-      converged = !next.agg(coalesce(max(col("__chg")), lit(false)))
-        .collect()(0).getBoolean(0)
+      converged = !graft.util.CollectCapped(
+        next.agg(coalesce(max(col("__chg")), lit(false))), 1,
+        "connected-components convergence flag")(0).getBoolean(0)
       labels = next.drop("__chg")
       i += 1
     }

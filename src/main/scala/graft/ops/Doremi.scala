@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Doremi {
 
+  /** Collect-bound cap on distinct mixture domains: DoReMi reweights a
+    * hand-curated source taxonomy (tens of entries), never raw keys. */
+  val MaxDomains = 100000
+
   /** Final mixture weights after `rounds` EG updates with fixed
     * eta=0.5, alpha=0.01 (the literals are baked into the generated
     * oracle, so they are not parameters here).
@@ -30,11 +34,12 @@ object Doremi {
         carry = Seq(sourceCol))
       .select(col(sourceCol).as("source"),
         round(col("avg_neg_logp") * 1e6).cast("long").as("sk"))
-    val base = sc.groupBy(col("source"))
+    val base0 = sc.groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("sk")).as("ss"))
       // bounded source domain: 1-partition sort, same deterministic order
       .coalesce(1).sortWithinPartitions(col("source"))
-      .collect()
+    val base = graft.util.CollectCapped(base0, MaxDomains,
+      "DoReMi per-domain loss rollup")
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val k = base.length
     val lossMicro = base.map { case (_, n, ss) => math.round(ss.toDouble / n) }

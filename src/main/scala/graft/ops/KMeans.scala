@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Collect-bound sanity cap on embedding dimensionality: the centroid
+    * update materializes k x dims partial-sum rows on the driver. */
+  val MaxDims = 65536
+
   /** Scale of the fixed-point centroid mean (see determinism contract). */
   val Scale = 1e6
 
@@ -66,13 +70,14 @@ object KMeans {
     while (it < iters) {
       // exact integer partial sums per (cluster, dim); n is the member
       // count (identical across dims of one cluster)
-      val rows = assign(input, cents)
+      val rows0 = assign(input, cents)
         .select(col(clusterCol).as("__c"),
           posexplode(col(vecCol)).as(Seq("__i", "__v")))
         .groupBy(col("__c"), col("__i"))
         .agg(sum(round(col("__v").cast("double") * Scale).cast("long")).as("__s"),
           count(lit(1)).as("__n"))
-        .collect()
+      val rows = graft.util.CollectCapped(rows0, k.toLong * MaxDims,
+        "k-means centroid partial sums (k x dims)")
       cents = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (c, rs) =>
         val dims = rs.sortBy(_.getInt(1))
           .map(r => r.getLong(2).toDouble / (r.getLong(3) * Scale)).toArray
@@ -139,8 +144,10 @@ object KMeans {
     // and the join then reads the materialized partitions instead of
     // re-running the assignment twice more.
     val mat = assigned.localCheckpoint(false)
-    val sizes = mat.groupBy(col(clusterCol)).count()
-      .filter(col("count") > warnSize).limit(1).collect()
+    val sizes = graft.util.CollectCapped(
+      mat.groupBy(col(clusterCol)).count()
+        .filter(col("count") > warnSize).limit(1), 1,
+      "semDedup oversized-cluster probe")
     if (sizes.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"semDedup: cluster ${sizes(0).get(0)} has ${sizes(0).getLong(1)} " +

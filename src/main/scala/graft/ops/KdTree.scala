@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object KdTree {
 
+  /** Absolute cap on the split-sample collect when a caller passes
+    * sampleRows<=0 ("use everything"): a KD split map estimated from 10M
+    * points is already saturated — beyond that the caller is trying to
+    * materialize the dataset, which this bound refuses. */
+  val AbsoluteSampleCap = 10000000L
+
   /** Binary tree of alternating x/y median splits. */
   final case class Node(split: Double, left: Option[Node], right: Option[Node])
 
@@ -38,21 +44,27 @@ object KdTree {
       col(yCol).cast("double").as("y"))
     val rows = rankBy match {
       case Some(idCol) if sampleRows > 0 =>
-        df.select(col(xCol).cast("double").as("x"),
+        val ranked = df.select(col(xCol).cast("double").as("x"),
             col(yCol).cast("double").as("y"),
             md5(col(idCol).cast("string")).as("__rk"),
             col(idCol).as("__id"))
           .orderBy(col("__rk"), col("__id")).limit(sampleRows)
-          .select("x", "y").collect()
+          .select("x", "y")
+        graft.util.CollectCapped(ranked, sampleRows.toLong,
+          "KD-tree deterministic rank sample")
       case _ =>
         val total = base.count()
-        if (sampleRows <= 0 || total <= sampleRows) base.collect()
+        if (sampleRows <= 0 || total <= sampleRows)
+          graft.util.CollectCapped(base, AbsoluteSampleCap,
+            "KD-tree full-input split sample")
         else {
           // oversample 1.2× then trim to the exact budget; the trim bias
           // (drops late-partition rows) is acceptable for split estimation
           val frac = math.min(1.0, sampleRows * 1.2 / total)
-          base.sample(withReplacement = false, frac, seed)
-            .limit(sampleRows).collect()
+          graft.util.CollectCapped(
+            base.sample(withReplacement = false, frac, seed)
+              .limit(sampleRows), sampleRows.toLong,
+            "KD-tree random split sample")
         }
     }
     val sample = rows.map(r => (r.getDouble(0), r.getDouble(1)))

@@ -77,11 +77,12 @@ object NaiveBayes {
     val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     val counts =
-      try prep.select(explode(col("__fs")).as("e"), col("__y"))
-        .groupBy(col("e.f").as("f"))
-        .agg(sum(when(col("__y") === 1.0, col("e.x")).otherwise(0L)).as("c1"),
-          sum(when(col("__y") =!= 1.0, col("e.x")).otherwise(0L)).as("c0"))
-        .collect()
+      try graft.util.CollectCapped(
+        prep.select(explode(col("__fs")).as("e"), col("__y"))
+          .groupBy(col("e.f").as("f"))
+          .agg(sum(when(col("__y") === 1.0, col("e.x")).otherwise(0L)).as("c1"),
+            sum(when(col("__y") =!= 1.0, col("e.x")).otherwise(0L)).as("c0")),
+        dims.toLong + 1, "naive-Bayes per-feature counts")
       finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
     val c1 = new Array[Long](dims + 1)
     val c0 = new Array[Long](dims + 1)

@@ -86,7 +86,9 @@ object Pipeline {
       cfg: Config = Config()): DataFrame = {
     val surv = survivors(docs, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merges = Bpe.trainMerges(surv, "text", rounds).collect()
+    val merges = graft.util.CollectCapped(
+      Bpe.trainMerges(surv, "text", rounds), math.max(rounds, 1),
+      "BPE merge table")
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val counts = Bpe.tokenizeCount(surv, "text", merges)
       .select(col("doc_id"), col("n_bpe_tokens"))

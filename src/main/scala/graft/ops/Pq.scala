@@ -62,7 +62,7 @@ object Pq {
     // the collect is the bounded m×k×sub model (4096 doubles at
     // m=4,k=16,sub=16), the same driver-synchronization contract as
     // KMeans.kmeans
-    val rows = df
+    val rows0 = df
       .select(graft.functions.SketchExpressions
           .pq_encode(col(vecCol), cb0).as("__codes"),
         posexplode(col(vecCol)).as(Seq("__i", "__x")))
@@ -74,7 +74,8 @@ object Pq {
       .agg(sum(round(col("__x").cast("double") * KMeans.Scale).cast("long"))
           .as("__sum"),
         count(lit(1)).as("__n"))
-      .collect()
+    val rows = graft.util.CollectCapped(rows0,
+      256L * KMeans.MaxDims, "PQ codebook partial sums (m x k x subDim)")
     // empty codes keep their init entry (mirrored by the oracle's
     // COALESCE over a LEFT JOIN from the init table)
     val cb1 = cb0.map(_.map(_.clone()))

@@ -247,7 +247,8 @@ object CorpusQueries {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
-        val m = graft.ops.Bpe.trainMerges(docs, "text", 8).collect()
+        val m = graft.util.CollectCapped(
+          graft.ops.Bpe.trainMerges(docs, "text", 8), 8, "BPE merge table")
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ops.Bpe.tokenizeCount(docs, "text", m)
           .select($"doc_id", $"n_words", $"n_bpe_tokens")
@@ -1204,7 +1205,8 @@ object CorpusQueries {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
-        val m = graft.ops.Bpe.trainMerges(docs, "text", 8).collect()
+        val m = graft.util.CollectCapped(
+          graft.ops.Bpe.trainMerges(docs, "text", 8), 8, "BPE merge table")
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ops.Bpe.tokenizeCount(docs, "text", m)
           .groupBy($"source")

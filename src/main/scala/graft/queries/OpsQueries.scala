@@ -165,8 +165,9 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val emb = table(s, dir, "embeddings")
-        val query = emb.filter($"vec_id" === 1)
-          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        val query = graft.util.CollectCapped(
+          emb.filter($"vec_id" === 1).select($"embedding"), 1,
+          "single query vector")(0).getSeq[Float](0).toArray
         Ann.lshTopK(emb.filter($"vec_id" =!= 1), "embedding", "vec_id",
             query, k = 10, bits = 8)
           .select($"vec_id", round($"sim", 5).as("sim"))

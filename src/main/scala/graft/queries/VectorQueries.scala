@@ -115,8 +115,9 @@ object VectorQueries {
       (s, dir) => {
         import s.implicits._
         val emb = table(s, dir, "embeddings")
-        val query = emb.filter($"vec_id" === 2)
-          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        val query = graft.util.CollectCapped(
+          emb.filter($"vec_id" === 2).select($"embedding"), 1,
+          "single query vector")(0).getSeq[Float](0).toArray
         val cents = graft.ops.Ann.ivfCentroids(emb, "embedding", "vec_id",
           nLists = 8)
         graft.ops.Ann.ivfTopK(emb.filter($"vec_id" =!= 2), "embedding",
@@ -334,15 +335,17 @@ object VectorQueries {
         import s.implicits._
         val emb = table(s, dir, "embeddings")
         // bounded quantizer model: one (lo, hi) pair per dimension
-        val dims = emb.select(posexplode($"embedding").as(Seq("i", "v")))
-          .groupBy($"i").agg(min($"v").as("lo"), max($"v").as("hi"))
-          .orderBy($"i").collect()
+        val dims = graft.util.CollectCapped(
+          emb.select(posexplode($"embedding").as(Seq("i", "v")))
+            .groupBy($"i").agg(min($"v").as("lo"), max($"v").as("hi"))
+            .orderBy($"i"), 65536, "per-dimension quantizer ranges")
         val lo = dims.map(_.getFloat(1).toDouble)
         val hi = dims.map(_.getFloat(2).toDouble)
         // the query vector is one row (the q44 precedent); dequantize it
         // driver-side with the kernel's own arithmetic
-        val qraw = emb.filter($"vec_id" === 3)
-          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        val qraw = graft.util.CollectCapped(
+          emb.filter($"vec_id" === 3).select($"embedding"), 1,
+          "single query vector")(0).getSeq[Float](0).toArray
         val qdq = Array.tabulate(qraw.length)(i =>
           graft.functions.SketchEval.sq8Dequant(qraw(i).toDouble, lo(i), hi(i)))
         // candidate scan: one fused codegen pass (dequantize + cosine),
@@ -463,8 +466,9 @@ object VectorQueries {
         val aqePrev = s.conf.get("spark.sql.adaptive.enabled", "true")
         s.conf.set("spark.sql.adaptive.enabled", "false")
         val qraw =
-          try emb.filter($"vec_id" === 4)
-            .select($"embedding").collect()(0).getSeq[Float](0).toArray
+          try graft.util.CollectCapped(
+            emb.filter($"vec_id" === 4).select($"embedding"), 1,
+            "single query vector")(0).getSeq[Float](0).toArray
           finally s.conf.set("spark.sql.adaptive.enabled", aqePrev)
         val top = emb.filter($"vec_id" =!= 4)
           .select($"vec_id",
@@ -1028,7 +1032,8 @@ object VectorQueries {
         import s.implicits._
         val emb = table(s, dir, "embeddings").select($"vec_id", $"embedding")
         val k = 8
-        val f = emb.orderBy($"vec_id").limit(1).collect()(0)
+        val f = graft.util.CollectCapped(
+          emb.orderBy($"vec_id").limit(1), 1, "k-center seed row")(0)
         val selected = scala.collection.mutable.ArrayBuffer[
           (Long, Array[Float], Long)](
           (f.getLong(0), f.getSeq[Float](1).toArray, -2000000L))
@@ -1039,11 +1044,13 @@ object VectorQueries {
           }.toSeq
           val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
           val ids = selected.map(_._1).toSeq
-          val nxt = emb.filter(!$"vec_id".isin(ids: _*))
+          val nxt0 = emb.filter(!$"vec_id".isin(ids: _*))
             .withColumn("__ms", ms)
             .select($"vec_id", $"embedding",
               expr("CAST(ROUND(__ms * 1000000) AS BIGINT)").as("msm"))
-            .orderBy($"msm".asc, $"vec_id".asc).limit(1).collect()(0)
+            .orderBy($"msm".asc, $"vec_id".asc).limit(1)
+          val nxt = graft.util.CollectCapped(nxt0, 1,
+            "k-center farthest-point row")(0)
           selected += ((nxt.getLong(0), nxt.getSeq[Float](1).toArray,
             nxt.getLong(2)))
         }

@@ -858,9 +858,11 @@ object Streaming {
     */
   def lengthHistogram(docs: DataFrame, textCol: String): Map[Long, Long] = {
     import org.apache.spark.sql.functions.{col => c}
-    docs.select(regexp_count(c(textCol), lit("\\S+")).cast("long").as("len"))
-      .groupBy(c("len")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.CollectCapped(
+      docs.select(regexp_count(c(textCol), lit("\\S+")).cast("long").as("len"))
+        .groupBy(c("len")).count(), 1000000,
+      "reference length histogram (distinct doc lengths)")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   final case class Scored(grp: String, id: Long, score: Double)

@@ -323,8 +323,9 @@ final case class GeoTable(
 
   /** Geometry-type profile (`core/common.py:1989-2042`). */
   def geometryTypes(): Seq[String] =
-    df.select(geo.st_geometrytype(col(geomCol)).as("t"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    graft.util.CollectCapped(
+      df.select(geo.st_geometrytype(col(geomCol)).as("t")).distinct(), 64,
+      "geometry-type profile").map(_.getString(0)).sorted.toSeq
 
   /** Spatial-order ratio: avg consecutive distance / avg sampled-pair
     * distance, pass < 0.5 (`core/check_spatial_order.py`).
@@ -659,7 +660,9 @@ final case class GeoTable(
         case _ => Shapefile.DbfField(c.take(10), 'C', 64, 0)
       }
     }.toSeq
-    val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
+    val rows = graft.util.CollectCapped(
+      df.select((scalarCols.map(col) :+ col(geomCol)): _*),
+      GeoTable.SingleFileSinkMaxRows, "single-file boundary-format sink")
     val geoms = rows.map { r =>
       val wkb = r.getAs[Array[Byte]](scalarCols.length)
       // a clear error beats an NPE inside Wkb.read: this sink's encoder
@@ -687,7 +690,9 @@ final case class GeoTable(
       .filterNot(_.equalsIgnoreCase("fid"))
       .filter(c => Seq("string", "long", "integer", "double", "boolean")
         .contains(df.schema(c).dataType.typeName))
-    val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
+    val rows = graft.util.CollectCapped(
+      df.select((scalarCols.map(col) :+ col(geomCol)): _*),
+      GeoTable.SingleFileSinkMaxRows, "single-file boundary-format sink")
     // null WKB rows stay null Geoms — GeoPackage stores them as SQL NULL
     val geoms = rows.map { r =>
       val wkb = r.getAs[Array[Byte]](scalarCols.length)
@@ -716,7 +721,9 @@ final case class GeoTable(
         case _ => (c, FlatGeobuf.CtString)
       }
     }.toSeq
-    val rows = df.select((scalarCols.map(col) :+ col(geomCol)): _*).collect()
+    val rows = graft.util.CollectCapped(
+      df.select((scalarCols.map(col) :+ col(geomCol)): _*),
+      GeoTable.SingleFileSinkMaxRows, "single-file boundary-format sink")
     val geoms = rows.map { r =>
       val wkb = r.getAs[Array[Byte]](scalarCols.length)
       // a clear error beats an NPE inside Wkb.read: this sink's encoder
@@ -742,7 +749,8 @@ final case class GeoTable(
     * materializes the features on the driver.
     */
   def toFeatureCollection(precision: Int = -1): String =
-    toGeoJsonFeatures(precision).collect()
+    graft.util.CollectCapped(toGeoJsonFeatures(precision),
+      GeoTable.SingleFileSinkMaxRows, "in-memory FeatureCollection")
       .map(_.getString(0))
       .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
 
@@ -815,6 +823,13 @@ final case class PartitionAnalysis(nPartitions: Long, minRows: Long,
 }
 
 object GeoTable {
+
+  /** Collect bound for the driver-assembled single-file sinks (shapefile/
+    * GeoPackage/FlatGeobuf/in-memory FeatureCollection): these formats are
+    * one non-splittable file BY DESIGN (shapefile caps at 2 GB), for
+    * boundary-scale outputs. Data-scale exports use the distributed
+    * parquet/ndjson/writeFeatureCollection paths instead. */
+  val SingleFileSinkMaxRows = 20000000L
 
   /** Write-local-then-upload for the single-file sinks (the reference's
     * `upload_if_remote` / `remote_write_context`,

@@ -33,8 +33,9 @@ object Smoke {
 
     println("== malformed WKB via strict st_x (error surfaced) ==")
     try {
-      Seq(Array[Byte](9, 9, 9)).toDF("b")
-        .select(graft.functions.geo.st_x($"b")).collect()
+      graft.util.CollectCapped(
+        Seq(Array[Byte](9, 9, 9)).toDF("b")
+          .select(graft.functions.geo.st_x($"b")), 1000, "smoke probe").head
       println("ERROR: expected exception")
     } catch {
       case e: Exception =>
@@ -91,7 +92,9 @@ object Smoke {
         .withColumn("bgeom", graft.functions.geo.st_geomfromtext($"wkt")).drop("wkt")
       val enriched = GeoTable.read(spark, out)
         .enrichSpatial(boundaries, "bgeom", Seq("region"))
-      enriched.df.groupBy("region").count().orderBy("region").collect()
+      graft.util.CollectCapped(
+      enriched.df.groupBy("region").count().orderBy("region"), 1000,
+      "smoke region rollup")
         .foreach(r => println(s"region ${r.get(0)}: ${r.getLong(1)} points"))
       println(s"file type: ${graft.meta.Footer.detectFileType(graft.meta.Footer.partFiles(out).head)}")
       // write-settings surface: zstd level + row-group byte target
