@@ -169,8 +169,78 @@ object Checks {
             s"${f.name} uses CRS reference format '$c' — not widely " +
               "recognized; prefer inline PROJJSON")
         }
+      // PGO-3 tail (`core/validate.py:1122-1181`): a CRS that is neither
+      // inline PROJJSON, a srid:/projjson: reference, nor a plain
+      // authority:code may not be recognized by other readers
+      f.geoCrs.filterNot(c => c.trim.startsWith("{") ||
+          c.startsWith("projjson:") || c.startsWith("srid:") ||
+          c.matches("(?i)[a-z]+:[0-9a-z]+"))
+        .foreach { c =>
+          out += Finding("warn", "crs",
+            s"${f.name} CRS format '${c.take(80)}' may not be widely " +
+              "recognized (expect inline PROJJSON or srid:NNNN)")
+        }
+      // PGO-4 (`core/validate.py:1183-1231`): GEOGRAPHY edge algorithm
+      // must be a registered spec value
+      val validAlgorithms =
+        Set("spherical", "vincenty", "thomas", "andoyer", "karney")
+      f.geoAlgorithm.filterNot(validAlgorithms).foreach { a =>
+        out += Finding("error", "edges",
+          s"${f.name} GEOGRAPHY algorithm '$a' not one of " +
+            validAlgorithms.toSeq.sorted.mkString(", "))
+      }
     }
     out.toSeq
+  }
+
+  /** Raw `geo` JSON shape checks the typed GeoMeta parser is too
+    * forgiving to catch (it fills defaults): required keys present with
+    * the required JSON types (reference checks 4/5/8,
+    * `core/validate.py:152-221,237-266`) and optional `epoch` numeric
+    * (check 13, `:390-411`).
+    */
+  private[graft] def rawShapeFindings(geoJson: String): Seq[Finding] = {
+    val out = scala.collection.mutable.ArrayBuffer[Finding]()
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(geoJson)
+      catch { case _: Exception => return out.toSeq } // JSON error reported upstream
+    if (!node.has("primary_column") || !node.get("primary_column").isTextual)
+      out += Finding("error", "metadata",
+        "`primary_column` missing or not a string")
+    if (!node.has("columns") || !node.get("columns").isObject)
+      out += Finding("error", "metadata", "`columns` missing or not an object")
+    else {
+      val cols = node.get("columns")
+      cols.fieldNames().forEachRemaining { cn =>
+        val c = cols.get(cn)
+        if (!c.has("geometry_types"))
+          out += Finding("error", "geometry_types",
+            s"column $cn: required `geometry_types` key missing")
+        else if (!c.get("geometry_types").isArray)
+          out += Finding("error", "geometry_types",
+            s"column $cn: `geometry_types` must be a JSON array")
+        if (c.has("epoch") && !c.get("epoch").isNumber)
+          out += Finding("error", "metadata",
+            s"column $cn: `epoch` must be a number")
+      }
+    }
+    out.toSeq
+  }
+
+  /** Check 1.1-8 (`core/validate.py:1059-1091`): extension should be
+    * `.parquet`; `.geoparquet` and anything else warn. Directories (part
+    * datasets) are exempt — their parts are `.parquet` by construction.
+    */
+  private[graft] def extensionFindings(path: String): Seq[Finding] = {
+    val name = path.stripSuffix("/").split('/').last
+    if (!name.contains('.')) Nil // directory or extensionless dataset root
+    else if (name.toLowerCase.endsWith(".parquet")) Nil
+    else if (name.toLowerCase.endsWith(".geoparquet"))
+      Seq(Finding("warn", "extension",
+        "file extension is .geoparquet — GeoParquet 1.1 recommends .parquet"))
+    else
+      Seq(Finding("warn", "extension",
+        s"unusual file extension on $name (expected .parquet)"))
   }
 
   /** WKB geometry-type code → display name (codes may carry +1000/2000/
@@ -244,6 +314,8 @@ object Checks {
     val info = Footer.read(parts.head, conf)
     val findings = scala.collection.mutable.ArrayBuffer[Finding]()
     val fileType = Footer.detectFileType(parts.head, conf)
+    findings ++= extensionFindings(path)
+    info.keyValueMeta.get("geo").foreach(findings ++= rawShapeFindings(_))
 
     val geoParsed: Either[String, Option[GeoMeta]] =
       try Right(info.geo)
@@ -455,6 +527,20 @@ object Checks {
                 findings += Finding("error", "v2",
                   s"CRS mismatch: geo metadata declares EPSG:$mId but " +
                     s"Parquet geo type declares EPSG:$sId")
+              // V2-3 asymmetric case (reference _crs_equals treats
+              // one-sided CRS as a mismatch, `core/validate.py:2302-2310`):
+              // the schema type pins a non-default CRS while the geo
+              // metadata stays on the CRS84 default — readers that trust
+              // only the metadata will misplace every coordinate
+              if (metaCrs.isEmpty)
+                f.geoCrs.filterNot(s =>
+                  crsEpsg(s, info.keyValueMeta).contains(4326) ||
+                    s.toUpperCase.contains("CRS84")).foreach { s =>
+                  findings += Finding("error", "v2",
+                    "Parquet geo type declares a non-default CRS " +
+                      s"(${s.take(80)}) but geo metadata has none " +
+                      "(defaults to OGC:CRS84)")
+                }
               // V2-5 (`core/validate.py:1828-1877`): GEOGRAPHY edge
               // algorithm must match metadata edges (default planar)
               f.geoAlgorithm.foreach { alg =>
@@ -544,6 +630,22 @@ object Checks {
                     s"data bbox ($dx0,$dy0,$dx1,$dy1) outside CRS bounds ($bx0,$by0,$bx1,$by1)")
               }
             }
+            // geographic-looking coordinates under a projected CRS
+            // (reference _detect_geographic_in_projected,
+            // `core/validate.py:2156-2169`): a degree-ranged extent can
+            // sit comfortably INSIDE projected meter bounds, so the range
+            // check above never fires — this is the un-reprojected-data
+            // failure mode and gets its own error
+            if (!graft.geom.Proj.isGeographic(crsStr))
+              probe.filterNot(r => (2 to 5).exists(r.isNullAt)).foreach { r =>
+                val (dx0, dy0, dx1, dy1) =
+                  (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+                if (dx0 >= -180 && dx1 <= 180 && dy0 >= -90 && dy1 <= 90)
+                  findings += Finding("error", "crs_range",
+                    f"coordinates look geographic ($dx0%.2f,$dy0%.2f - " +
+                      f"$dx1%.2f,$dy1%.2f) but CRS is projected " +
+                      s"(${crsStr.take(60)})")
+              }
             // native GeospatialStatistics vs data (geoparquet2 files) —
             // reuses the one-pass probe above, zero extra jobs
             if (fileType == "geoparquet2") {
