@@ -23,7 +23,9 @@ object Bench {
     // removes the mechanism instead of adjudicating around it. A real
     // cluster deployment running a query library this size would set
     // the same knob (it bounds generated-class metadata, not data).
-    val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
+    // parsed eagerly so a bad env value fails loudly at startup instead of
+    // writing unquoted garbage into the JSON artifact
+    val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -148,13 +150,23 @@ object Bench {
         v >= 1.0 && m.get(k).exists(d => d >= 0 && v / math.max(d, 1e-9) >= 2.0)
       }.map { case (k, inSuite) =>
         val fn = SparkEntry.queries(k)
-        val solo = (1 to 5).map { _ =>
+        // same failed-iteration contract as the main loop: a failure's
+        // wall time must never become the adjudicated number (a fast
+        // crash would clear a genuinely weak query). All-failures falls
+        // back to the in-suite time — the conservative verdict.
+        val solo = (1 to 5).flatMap { _ =>
           val t0 = System.nanoTime()
-          try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+          val ok =
+            try { force(fn(spark, sfDir)); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] adjudicate $k failed: ${e.getMessage}")
+              false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
-          (System.nanoTime() - t0) / 1e9
-        }.min
+          if (ok) Some(dt) else None
+        }.minOption.getOrElse(inSuite)
         (k, inSuite, solo, m(k))
       }
     }.getOrElse(Seq.empty)

@@ -314,7 +314,13 @@ object Checks {
     val info = Footer.read(parts.head, conf)
     val findings = scala.collection.mutable.ArrayBuffer[Finding]()
     val fileType = Footer.detectFileType(parts.head, conf)
-    findings ++= extensionFindings(path)
+    // extension applies to FILES only — a dataset directory named
+    // "sf0.1" or "data.v2" contains a dot but is not an extension
+    val hp = new Path(path)
+    val isFile =
+      try hp.getFileSystem(conf).getFileStatus(hp).isFile
+      catch { case _: Exception => false }
+    if (isFile) findings ++= extensionFindings(path)
     info.keyValueMeta.get("geo").foreach(findings ++= rawShapeFindings(_))
 
     val geoParsed: Either[String, Option[GeoMeta]] =
@@ -635,8 +641,14 @@ object Checks {
             // `core/validate.py:2156-2169`): a degree-ranged extent can
             // sit comfortably INSIDE projected meter bounds, so the range
             // check above never fires — this is the un-reprojected-data
-            // failure mode and gets its own error
-            if (!graft.geom.Proj.isGeographic(crsStr))
+            // failure mode and gets its own error. Gated on POSITIVE
+            // knowledge that the CRS is projected (its registered bounds
+            // are not the degree box) — "not recognizably geographic"
+            // would flag valid data in any geographic CRS our EPSG
+            // whitelist doesn't know (e.g. GDA94)
+            val knownProjected = crsBounds(crsStr)
+              .exists(_ != ((-180.0, -90.0, 180.0, 90.0)))
+            if (knownProjected)
               probe.filterNot(r => (2 to 5).exists(r.isNullAt)).foreach { r =>
                 val (dx0, dy0, dx1, dy1) =
                   (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
@@ -692,8 +704,18 @@ object Checks {
                 .groupBy(col("__f"))
                 .agg(min(col("x0")).as("dx0"), min(col("y0")).as("dy0"),
                   max(col("x1")).as("dx1"), max(col("y1")).as("dy1"))
-              val perFile = graft.util.CollectCapped(perFile0, 100000,
-                "per-file bbox rollup (one row per part file)")
+              // a tripped bound must degrade THIS check, not abort the
+              // whole validation: a >100k-part dataset gets an info
+              // finding instead of per-file verdicts
+              val perFile =
+                try graft.util.CollectCapped(perFile0, 100000,
+                  "per-file bbox rollup (one row per part file)")
+                catch { case _: IllegalArgumentException =>
+                  findings += Finding("info", "bbox",
+                    "per-file bbox check skipped: more than 100000 part " +
+                      "files — run it per partition directory instead")
+                  Array.empty[org.apache.spark.sql.Row]
+                }
               val eps = 1e-9
               perFile.filterNot(r => (1 to 4).exists(r.isNullAt)).foreach { r =>
                 // input_file_name() is a percent-encoded URI; URI.getPath

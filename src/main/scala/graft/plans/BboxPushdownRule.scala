@@ -40,14 +40,28 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
     * when no covering can soundly be tied to it.
     *
     *  - Pair-metadata path (GeoTable-produced plans): the covering is the
-    *    unique bbox-shaped attribute sharing `g`'s pair id. Works after
-    *    joins with any number of geometry columns. A self-join reuses the
-    *    id on both sides — two matches → ambiguous → skip (sound).
+    *    unique bbox-shaped attribute sharing `g`'s pair id — BUT only in
+    *    join-free subplans. The pair id identifies (table, column), not
+    *    row alignment: joining two reads of the same file where one side
+    *    projected its bbox away leaves ONE same-id covering in scope that
+    *    describes the OTHER side's rows, and pruning with it silently
+    *    drops rows. Below a join, Project/Filter/Aggregate/Generate/Union
+    *    all preserve within-row alignment, so the unique-id match is
+    *    sound there — and Catalyst pushes eligible filters below inner
+    *    joins before this rule runs, so the join-free restriction costs
+    *    nothing (a filter stranded ABOVE an outer join couldn't feed
+    *    PushedFilters anyway).
     *  - Fallback (plain spark.read plans with no metadata): the old
     *    one-binary-column heuristic — `g` must be the plan's only
     *    BinaryType attribute, covering found by conventional name.
     */
-  private def bboxFor(child: LogicalPlan, g: Attribute): Option[Attribute] =
+  private def bboxFor(child: LogicalPlan, g: Attribute): Option[Attribute] = {
+    // the name-based fallback is exposed to the same cross-side hazard
+    // (join one side's lone geometry with the other side's "bbox"), so
+    // the join-free restriction applies to BOTH paths
+    if (child.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))
+      return None
     pairOf(g) match {
       case Some(id) =>
         child.output.filter(a => isBboxStruct(a) && pairOf(a).contains(id)) match {
@@ -62,6 +76,7 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
             GeoMeta.BboxNameCandidates.contains(a.name) && isBboxStruct(a))
         else None
     }
+  }
 
   /** envelope of the literal geometry, if it parses */
   private def literalEnvelope(e: Expression): Option[(Double, Double, Double, Double)] =

@@ -87,13 +87,13 @@ final case class GeoTable(
     else None
   }
 
-  /** Actual data bounds for the warning path, mirroring the reference's
-    * `_get_data_bounds` (`core/extract.py:200-221`). Prefers the declared
-    * metadata bbox (O(1), footer-only — the right call at 100 TB where a
-    * min/max scan just to decorate a warning would read the whole table);
-    * falls back to one envelope aggregation like the reference only when
-    * the footer carries no bbox. Returns None on any failure — bounds are
-    * decoration for the message, never load-bearing.
+  /** Actual data bounds, mirroring the reference's `_get_data_bounds`
+    * (`core/extract.py:200-221`). Prefers the declared metadata bbox
+    * (O(1), footer-only); falls back to one envelope aggregation — a
+    * FULL SCAN, so this is for explicit diagnostic calls, and
+    * [[filterBbox]]'s warning path deliberately uses only the footer
+    * bbox (at 100 TB a scan to decorate a log line is wrong). Returns
+    * None on any failure — bounds are decoration, never load-bearing.
     */
   private[graft] def dataBounds: Option[(Double, Double, Double, Double)] =
     meta.primary.flatMap(_.bbox).orElse {
@@ -111,11 +111,13 @@ final case class GeoTable(
     // warn rather than fail, like the reference (`_warn_if_crs_mismatch`,
     // core/extract.py:222-247): degree-shaped bbox against projected data
     // gets the data bounds + the 0-results hint so the user can see how
-    // far off their filter is
+    // far off their filter is. Bounds come from the DECLARED footer bbox
+    // only — the reference scans for them, but a full-table aggregation
+    // ahead of the actual filter doubles the query cost at scale
     bboxCrsMismatch(xmin, ymin, xmax, ymax).foreach { m =>
       val detail =
         if (isGeographicCrs) ""
-        else dataBounds.map { case (x0, y0, x1, y1) =>
+        else meta.primary.flatMap(_.bbox).map { case (x0, y0, x1, y1) =>
           f"; data bounds: xmin=$x0%.2f, ymin=$y0%.2f, xmax=$x1%.2f, ymax=$y1%.2f"
         }.getOrElse("")
       log.warn(m + detail +
@@ -1041,6 +1043,11 @@ object GeoTable {
     // so BboxPushdownRule can prune post-join plans on them too
     val df = (for {
       gm <- geoMeta; g <- geomCol
+      // the footer's covering describes the PRIMARY column; if the data
+      // lost that column and a name-candidate stood in for it, pairing
+      // the stand-in with the primary's bbox would bless a covering that
+      // describes different geometry
+      if g == gm.primaryColumn
       b <- gm.columns.get(gm.primaryColumn).flatMap(_.coveringBbox)
       if !df0.schema.fields.find(_.name == g)
         .exists(_.metadata.contains(GeoMeta.GeoPairKey))
@@ -1136,7 +1143,17 @@ object GeoTable {
         val cur = m.getOrElse(n, GeoColumnMeta())
         if (cur.crs.isDefined) m else m.updated(n, cur.copy(crs = Some(crs)))
       }
-      t.copy(meta = t.meta.copy(columns = cols))
+      // the default GeoMeta points primary at "geometry"; a pgo file whose
+      // native-typed column has another name would leave meta.primary (and
+      // with it every CRS gate) looking at a nonexistent entry — aim the
+      // primary at the actual native geometry column when no footer chose
+      val primary =
+        if (cols.contains(t.meta.primaryColumn)) t.meta.primaryColumn
+        else t.geometryColumn.filter(cols.contains)
+          .orElse(typeCrs.keys.headOption)
+          .getOrElse(t.meta.primaryColumn)
+      t.copy(meta = t.meta.copy(columns = cols, primaryColumn = primary),
+        geometryColumn = t.geometryColumn.orElse(Some(primary)))
     }
   }
 

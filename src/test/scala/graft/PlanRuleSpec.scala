@@ -127,6 +127,28 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(joined.count() == expected)
   }
 
+  test("join where the filtered side dropped its bbox: the OTHER side's " +
+      "same-id covering must not prune (row alignment, soundness)") {
+    GraftExtensions.install(spark)
+    val out = writtenTable()
+    // left keeps geometry but drops its bbox; right keeps only its bbox,
+    // row-shifted by one id. Both carry the SAME pair id (same file) — a
+    // unique-id match above the join would prune left rows by right's
+    // shifted envelope. right_outer keeps the filter ABOVE the join
+    // (left is the null-producing side, so pushdown can't rescue us).
+    val l = spark.read.parquet(out).select(col("id"), col("geometry"))
+    val r = spark.read.parquet(out).select((col("id") + 1).as("rid"),
+      col("bbox").as("b2"))
+    val joined = l.join(r, col("id") === col("rid"), "right_outer")
+      .filter(geo.st_intersects(col("geometry"), geo.st_makeenvelope(-60, -30, 60, 30)))
+    // surviving rows: matched ids 1..1999 whose OWN geometry intersects
+    val want = spark.read.parquet(out)
+      .filter(col("id") >= 1 && col("id") <= 1999 &&
+        col("bbox.xmax") >= -60 && col("bbox.xmin") <= 60 &&
+        col("bbox.ymax") >= -30 && col("bbox.ymin") <= 30).count()
+    assert(joined.count() == want, s"got ${joined.count()}, want $want")
+  }
+
   test("self-join shares one pair id on both sides -> ambiguous covering " +
       "-> rule must not prune (soundness)") {
     GraftExtensions.install(spark)

@@ -482,9 +482,16 @@ class ValidateSpec extends AnyFunSuite {
       .exists(f => f.level == "warn" && f.message.contains(".geoparquet")))
     assert(Checks.extensionFindings("/data/a.pq")
       .exists(f => f.level == "warn" && f.message.contains("unusual")))
-    // end-to-end: the warning must surface through validate()
-    val out = write("ext.geoparquet", polyTable(ccw = true))
-    assert(Checks.validate(spark, out).exists(_.check == "extension"))
+    // end-to-end: the warning must surface through validate() for a FILE;
+    // a dataset DIRECTORY with a dot in its name must stay exempt
+    val dir = write("ext.v1", polyTable(ccw = true))
+    assert(!Checks.validate(spark, dir).exists(_.check == "extension"),
+      "directory names are not extensions")
+    val part = Footer.partFiles(dir, new Configuration()).head
+    val file = tmp.resolve("single.geoparquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(part.toUri.getPath), file,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(Checks.validate(spark, file.toString).exists(_.check == "extension"))
   }
 
   test("geographic-looking coordinates under a projected CRS are an " +
@@ -584,5 +591,17 @@ class ValidateSpec extends AnyFunSuite {
     assert(unimplemented.isEmpty,
       s"unimplemented reference checks: ${unimplemented.map(_._1)}")
     assert(checklist.size >= 41, "checklist shrank — keep parity with the reference")
+    // load-bearing half: every mapped category must actually be a Finding
+    // category the implementation emits — deleting a check family from
+    // Checks.scala fails this test, not just the prose
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/checks/Checks.scala")))
+    val emitted = """Finding\("(?:error|warn|info)",\s*"([a-z0-9_]+)"""".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    val mappedCategories = checklist.map(_._2.split("[ (]").head).distinct
+    val missing = mappedCategories.filterNot(emitted.contains)
+    assert(missing.isEmpty,
+      s"checklist maps to categories the implementation never emits: $missing " +
+        s"(emitted: ${emitted.toSeq.sorted.mkString(",")})")
   }
 }
