@@ -106,7 +106,10 @@ object Ann {
   def cosine(a: Column, b: Column): Column = {
     val dot = graft.functions.VectorExpressions.dot_f _
     val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+    // nanvl: a NaN COMPONENT (failed decode emitting NaN, not zeros)
+    // makes denom NaN, slips past the === 0.0 pin, and would rank #1
+    // in every descending top-k — same failure mode, different input
+    nanvl(when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom), lit(0.0))
   }
 
   /** JVM-side twin of [[cosine]] (streaming/state code paths) — same
@@ -122,7 +125,8 @@ object Ann {
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
+    val sim = if (denom == 0.0) 0.0 else dot / denom
+    if (sim.isNaN) 0.0 else sim // NaN component — same pin as the Column twin
   }
 
   /** Exact brute-force cosine top-k against one query vector. */
@@ -173,11 +177,30 @@ object Ann {
     */
   def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
       vecCol: String, simCol: String = "max_sim_u"): DataFrame = {
-    val evs = evalSet.agg(collect_list(col(vecCol)).as("__evs"))
+    val dot = graft.functions.VectorExpressions.dot_f _
+    // eval norms ride in the broadcast (computed once per eval vector,
+    // not once per corpus row), and the corpus self-norm hoists to one
+    // column per row — the naive cosine-in-a-lambda recomputed
+    // sqrt(dot(v,v)) |eval| times per row, ~1/3 of the kernel's FLOPs.
+    // Same float-op order as cosine() (dot / (sqrt(na)*sqrt(nb))), so
+    // annotated values are bit-identical to the previous formulation.
+    val evs = evalSet.agg(collect_list(col(vecCol)).as("__evs0"))
+      .select(transform(col("__evs0"), e =>
+        struct(e.as("v"), sqrt(dot(e, e)).as("n"))).as("__evs"))
+    // empty eval set: array_max over an empty array is NULL, which makes
+    // BOTH `sim < T` (keep-clean) and `sim >= T` (flag) silently select
+    // nothing — pin to the cosine floor so filters behave and the
+    // annotation reads "similar to nothing"
     corpus.crossJoin(broadcast(evs))
-      .withColumn(simCol, array_max(transform(col("__evs"), q =>
-        round(cosine(col(vecCol), q) * 1e5).cast("long"))))
-      .drop("__evs")
+      .withColumn("__vn", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn(simCol, coalesce(
+        array_max(transform(col("__evs"), q =>
+          round(nanvl(
+            when(col("__vn") * q("n") === 0.0, 0.0)
+              .otherwise(dot(col(vecCol), q("v")) / (col("__vn") * q("n"))),
+            lit(0.0)) * 1e5).cast("long"))),
+        lit(-100000L)))
+      .drop("__evs", "__vn")
   }
 
   /** Hard-negative mining for contrastive training: for each query,
@@ -267,6 +290,13 @@ object Ann {
     * q14 trick) instead of a driver `count()` action, so the whole
     * centroid pick is ONE action — no separate count job per call
     * (q44 pays this once, q51/q53 twice more via [[KMeans.kmeans]]).
+    *
+    * CONTRACT: `idCol` is assumed roughly dense from 0 (the recipe every
+    * oracle replays: `id % stride == 0`, first nLists by id). Structured
+    * id spaces break the stride filter — all-odd ids with an even stride
+    * match NOTHING — so a degenerate pick fails loudly here instead of
+    * cascading zero centroids into ivf_assign/k-means. Remap ids (e.g.
+    * `row_number`-style dense ranks) before calling with sparse ids.
     */
   def ivfCentroids(df: DataFrame, vecCol: String, idCol: String,
       nLists: Int): Array[Array[Float]] = {
@@ -278,9 +308,13 @@ object Ann {
       .orderBy(col(idCol))
       .limit(nLists)
       .select(col(idCol), col(vecCol))
-    graft.util.CollectCapped(seeds, nLists.toLong,
+    val picked = graft.util.CollectCapped(seeds, nLists.toLong,
       "IVF seed centroids")
       .map(_.getSeq[Float](1).toArray)
+    require(picked.nonEmpty,
+      s"stride sample over $idCol selected no rows — ids are not " +
+        "dense-from-0 (see ivfCentroids contract); densify ids first")
+    picked
   }
 
   /** Assign each vector to its IVF list. Codegen expression carrying the

@@ -45,7 +45,7 @@ object Dedup {
     * simhash bench). Semantics: null and empty documents are identical,
     * so they dedup together — the honest reading for a dedup pipeline.
     */
-  private def normalizeNN(text: Column): Column =
+  private[graft] def normalizeNN(text: Column): Column =
     normalize(coalesce(text, lit("")))
 
   /** JVM-side twin of [[normalize]] (streaming/state code paths) —
@@ -68,7 +68,7 @@ object Dedup {
     */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
     val cols = df.columns.toSeq
-    df.withColumn("__h", md5(normalize(col(keyCol))))
+    df.withColumn("__h", md5(normalizeNN(col(keyCol))))
       .groupBy(col("__h"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
       .select(col("__r.*"))
@@ -88,7 +88,7 @@ object Dedup {
   def exactBest(df: DataFrame, keyCol: String, idCol: String,
       qualityCol: String, countCol: Option[String] = None): DataFrame = {
     val cols = df.columns.toSeq
-    val agg = df.withColumn("__h", md5(normalize(col(keyCol))))
+    val agg = df.withColumn("__h", md5(normalizeNN(col(keyCol))))
       .groupBy(col("__h"))
       .agg(max_by(struct(cols.map(col): _*),
           struct(col(qualityCol), -col(idCol))).as("__r"),
@@ -212,6 +212,12 @@ object Dedup {
     val gramExpr =
       if (n <= 8) graft.functions.SketchExpressions.char_ngram_codes(col("__t"), n)
       else graft.functions.SketchExpressions.char_ngrams(col("__t"), n)
+    // the posting-list aggregate carries ids as longs; a non-numeric id
+    // column would null-cast silently (empty pairs + inflated df counts)
+    require(Seq("long", "integer", "short", "byte")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"$idCol must be an integral id column for the packed posting " +
+        s"lists, got ${df.schema(idCol).dataType.typeName}")
     val grams = df.select(col(idCol).cast("long").as("__id"),
         normalizeNN(col(textCol)).as("__t"))
       .select(col("__id"), explode(gramExpr).as("__g"))
@@ -261,6 +267,9 @@ object Dedup {
       threshold: Double = 0.9, bits: Int = 12, bands: Int = 1): DataFrame = {
     require(bits % bands == 0, "bits must be divisible by bands")
     val per = bits / bands
+    // same shift-mod-width hazard as simhash at the Int width: bits=32
+    // with bands=1 made (1 << 32) - 1 == 0 and one giant bucket
+    val bandMask = if (per >= 32) -1 else (1 << per) - 1
     val sigs = Ann.withLshBucket(
         df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
         "__v", bits, "__sig")
@@ -268,7 +277,7 @@ object Dedup {
         posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__bi", "__b")))
       .withColumn("__bandSig",
         expr(s"shiftrightunsigned(__sig, __b * $per)")
-          .bitwiseAND(lit((1 << per) - 1)))
+          .bitwiseAND(lit(bandMask)))
       .select(col("__id"), col("__b"), col("__bandSig"))
     val a = banded.select(col("__b"), col("__bandSig"), col("__id").as("id_a"))
     val b = banded.select(col("__b"), col("__bandSig"), col("__id").as("id_b"))
@@ -421,8 +430,12 @@ object Dedup {
     // range-sampling pass all read the same cached projection instead
     // of re-deriving the batch digests per consumer. Misses never reach
     // the join's exchange.
+    // a null digest makes bloom_hit NULL, which both filters below
+    // reject — the row would vanish from the report; pin it to a miss
+    // (a null digest is definitionally not in the base bitmap)
     val inc = incoming.select(col(idCol), col(digestCol).as("__h"))
-      .withColumn("bloom_hit", bloomHitExpr(col("__h"), bitmap, k))
+      .withColumn("bloom_hit",
+        coalesce(bloomHitExpr(col("__h"), bitmap, k), lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baseH = baseH0.withColumn("__inBase", lit(true))
     val maybe = inc.filter(col("bloom_hit"))
@@ -827,6 +840,11 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // Scala shifts mod the width: at maxHamming=0 (one 64-bit chunk)
+    // (1L << 64) - 1 is 0, which collapsed every fingerprint into ONE
+    // join bucket — an O(n^2) single-task cross-product with correct
+    // output, invisible until corpus scale
+    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val fps = df.select(col(idCol).as("__id"),
       graft.functions.SketchExpressions.simhash64(normalizeNN(col(textCol)))
         .as("__fp"))
@@ -834,7 +852,7 @@ object Dedup {
         posexplode(sequence(lit(0), lit(chunks - 1))).as(Seq("__ci", "__c")))
       .withColumn("__chunk",
         expr(s"shiftrightunsigned(__fp, __c * $bitsPer)")
-          .bitwiseAND(lit((1L << bitsPer) - 1)))
+          .bitwiseAND(lit(chunkMask)))
       .select(col("__id"), col("__fp"), col("__c"), col("__chunk"))
     val a = banded.select(col("__c"), col("__chunk"),
       col("__id").as("id_a"), col("__fp").as("fp_a"))

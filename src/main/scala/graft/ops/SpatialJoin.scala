@@ -39,6 +39,12 @@ object SpatialJoin {
     */
   def envelopeJoin(left: DataFrame, right: DataFrame,
       leftId: String, rightId: String, cellSize: Double): DataFrame = {
+    // cellSize 0 turns floor(x/0.0) into +-Inf casts and sequence() into
+    // either an opaque "too long sequence" job failure or one giant
+    // bucket (O(n^2) in a single task); negative sizes enumerate
+    // reversed ranges — fail fast like every other op's params
+    require(cellSize > 0 && !cellSize.isNaN && !cellSize.isInfinite,
+      s"cellSize must be a positive finite number, got $cellSize")
     def gridded(df: DataFrame, id: String, p: String): DataFrame =
       df.select(col(id).as(s"${p}_id"),
           col("xmin").as(s"${p}_xmin"), col("ymin").as(s"${p}_ymin"),

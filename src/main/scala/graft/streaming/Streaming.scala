@@ -84,7 +84,7 @@ object Streaming {
   def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("__digest", md5(graft.ops.Dedup.normalize(col(textCol))))
+      .withColumn("__digest", md5(graft.ops.Dedup.normalizeNN(col(textCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")

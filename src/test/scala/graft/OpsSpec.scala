@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Dedup, Hashing, KdTree, Multimodal}
+import graft.ops.{Ann, Dedup, Hashing, KdTree, Multimodal, SpatialJoin}
 
 class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -2035,5 +2035,119 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VectorExpressions.prefix_cosines($"v", $"q", Seq(16, 8))
     }
+  }
+
+  // ---- round-11 review-fix regressions ---------------------------------
+
+  test("simhashNearDups maxHamming=0: exact-fingerprint dups found and the " +
+      "64-bit chunk mask is not zero (shift-mod-width)") {
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "text", "doc_id", maxHamming = 0)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // mask regression: with mask 0 every row lands in ONE bucket, so the
+    // unrelated doc would also appear as a candidate pre-filter; assert
+    // the banded chunk really carries fingerprint bits by checking two
+    // different fingerprints get different chunks
+    val fp1 = Dedup.simhash64(a); val fp3 = Dedup.simhash64("unrelated words entirely")
+    assert(fp1 != fp3)
+  }
+
+  test("embeddingNearDups bits=32 bands=1: Int-width band mask does not " +
+      "collapse to zero") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i => (Hashing.family(seed.toLong, i) % 1000).toFloat / 1000f)
+    val planted = vec(5).zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + 0.001f else v }
+    val rows = (1 to 50).map(i => (i.toLong, vec(i))) :+ (999L, planted)
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "embedding", "vec_id",
+      threshold = 0.999, bits = 32, bands = 1).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((5L, 999L)))
+  }
+
+  test("bloomCrossDedupByDigest: null digest lands in the report as new, " +
+      "not dropped") {
+    val da = "a" * 32; val db = "b" * 32 // digests must be md5-shaped
+    val base = Seq((1L, da)).toDF("doc_id", "digest")
+    val inc = Seq((10L, da), (11L, db), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "digest")
+    val out = Dedup.bloomCrossDedupByDigest(base, inc, "doc_id", "digest")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.size == 3, s"one row per incoming row: $out")
+    assert(out(12L) == "new")
+    assert(out(10L) == "dup_of_base")
+  }
+
+  test("ngramJaccardNearDups rejects non-integral id columns loudly") {
+    val df = Seq(("a", "alpha bravo"), ("b", "alpha bravo"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardNearDups(df, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("envelopeJoin rejects non-positive cellSize") {
+    val df = Seq((1L, 0.0, 0.0, 1.0, 1.0)).toDF("id", "xmin", "ymin", "xmax", "ymax")
+    intercept[IllegalArgumentException] {
+      SpatialJoin.envelopeJoin(df, df, "id", "id", cellSize = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      SpatialJoin.envelopeJoin(df, df, "id", "id", cellSize = -1.0)
+    }
+  }
+
+  test("cosine pins NaN components to 0.0 (Column and JVM twins)") {
+    assert(Ann.cosineArrays(Array(Float.NaN, 1f), Array(1f, 1f)) == 0.0)
+    assert(Ann.cosineArrays(Array(0f, 0f), Array(1f, 1f)) == 0.0)
+    val df = Seq(
+      (1L, Array(Float.NaN, 1f)),
+      (2L, Array(0.9f, 1f)),
+      (3L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteTopK(df.filter($"vec_id" =!= 3),
+      "embedding", "vec_id", Array(1f, 1f), 2).collect()
+    assert(top.head.getLong(0) == 2L,
+      s"a NaN-component vector must not rank #1: ${top.toSeq}")
+  }
+
+  test("semanticDecontam with an empty eval set annotates the cosine " +
+      "floor, not NULL") {
+    val corpus = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val evalSet = Seq((9L, Array(1f, 0f))).toDF("vec_id", "embedding")
+      .filter($"vec_id" === -1) // empty
+    val out = Ann.semanticDecontam(corpus, evalSet, "embedding").collect()
+    assert(!out.head.isNullAt(out.head.fieldIndex("max_sim_u")))
+    assert(out.head.getAs[Long]("max_sim_u") == -100000L)
+    // and filters behave: nothing is "contaminated"
+    assert(Ann.semanticDecontam(corpus, evalSet, "embedding")
+      .filter($"max_sim_u" >= 99000).count() == 0)
+  }
+
+  test("ivfCentroids fails loudly on id spaces the stride recipe cannot " +
+      "sample (all-odd ids, even stride)") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (Hashing.family(seed.toLong, i) % 1000).toFloat / 1000f)
+    // 64 rows, ids 1,3,5,...,127: stride = 64/8 = 8 (even) -> no id % 8 == 0
+    val df = (0 until 64).map(i => (2L * i + 1, vec(i))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfCentroids(df, "embedding", "vec_id", 8)
+    }
+    assert(e.getMessage.contains("dense"))
+  }
+
+  test("exact/exactBest follow the normalizeNN contract: null and empty " +
+      "text dedup together") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "real text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "text", "doc_id").collect()
+    assert(kept.length == 2, s"null+empty must share one digest: ${kept.toSeq}")
+    assert(kept.map(_.getLong(0)).toSet == Set(1L, 3L))
+    val best = Dedup.exactBest(
+      df.withColumn("q", $"doc_id" * 10), "text", "doc_id", "q").collect()
+    assert(best.length == 2)
+    assert(best.map(_.getLong(0)).toSet == Set(2L, 3L), "highest q wins")
   }
 }
