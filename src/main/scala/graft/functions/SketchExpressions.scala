@@ -43,6 +43,9 @@ object SketchEval {
   // vectors so the case cannot arise from [[graft.ops.KMeans]] output).
   // OpsSpec pins the zero-vector behavior.
   def ivfAssign(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    // empty centroid table -> -1 (the kmeansAssign sentinel); 0 would be
+    // a plausible-looking assignment to a list that does not exist
+    if (cents.isEmpty) return -1
     var best = 0; var bestSim = Double.NegativeInfinity
     val n = v.numElements()
     if (cents.length > 0 && n != cents(0).length)
@@ -624,7 +627,14 @@ object SketchEval {
     val end = j + 8
     while (j < end) {
       val c = h.getByte(j)
-      v = (v << 4) | (if (c <= '9') c - '0' else c - 'a' + 10)
+      val nib =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else throw new IllegalArgumentException(
+          s"bloom: digest is not hex (byte '${c.toChar}') — positions " +
+            "would silently corrupt")
+      v = (v << 4) | nib
       j += 1
     }
     v % mBits
@@ -721,10 +731,20 @@ object SketchEval {
     * over `filter(split(text, "\s+"), _ != "")` — the interpreted
     * split+slice+join chain allocates per block; this allocates once.
     */
-  def tokenBlocks(s: UTF8String, k: Int): ArrayData = {
+  /** Original-case whitespace tokens with the leading-empty strip —
+    * the one tokenizer the original-case kernels (tokenBlocks,
+    * windowDigests, scrubSpans) share; [[tokenize]] is its lowercasing
+    * twin. Keep the empty-strip rule HERE so the four call sites cannot
+    * drift (review r11).
+    */
+  private def tokenizeKeepCase(s: UTF8String): Array[String] = {
     val raw = wsRe.split(s.toString)
-    val toks = if (raw.nonEmpty && raw(0).isEmpty)
+    if (raw.nonEmpty && raw(0).isEmpty)
       java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+  }
+
+  def tokenBlocks(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenizeKeepCase(s)
     if (toks.length == 0) return new GenericArrayData(Array.empty[Any])
     val n = (toks.length - 1) / k + 1
     val out = new Array[Any](n)
@@ -757,9 +777,7 @@ object SketchEval {
     */
   def windowDigests(s: UTF8String, k: Int): ArrayData = {
     require(k >= 1, s"windowDigests: k must be >= 1, got $k")
-    val raw = wsRe.split(s.toString)
-    val toks = if (raw.nonEmpty && raw(0).isEmpty)
-      java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+    val toks = tokenizeKeepCase(s)
     val n = toks.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n)
@@ -805,10 +823,15 @@ object SketchEval {
       if (st < prev) throw new IllegalArgumentException(
         s"spanStats: starts must be sorted ascending (saw $prev then $st)")
       prev = st
+      val st0 = math.max(st, 0) // scrubSpans clamps too — keep siblings agreeing
       val e = math.min(st + k, n)
-      if (st > prevEnd) spans += 1
-      if (e > math.max(st, prevEnd)) removed += e - math.max(st, prevEnd)
-      if (e > prevEnd) prevEnd = e
+      // a span with no effective coverage (entirely below 0 or past n)
+      // must count nothing — scrubSpans removes nothing for it
+      if (e > st0) {
+        if (st0 > prevEnd) spans += 1
+        if (e > math.max(st0, prevEnd)) removed += e - math.max(st0, prevEnd)
+        if (e > prevEnd) prevEnd = e
+      }
       i += 1
     }
     new GenericArrayData(Array[Any](removed, spans))
@@ -828,9 +851,7 @@ object SketchEval {
       ci += 1
     }
     require(k >= 1, s"scrubSpans: k must be >= 1, got $k")
-    val raw = wsRe.split(s.toString)
-    val toks = if (raw.nonEmpty && raw(0).isEmpty)
-      java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+    val toks = tokenizeKeepCase(s)
     val n = toks.length
     if (n == 0) return UTF8String.fromString("")
     val covered = new Array[Boolean](n)
@@ -1073,14 +1094,20 @@ object SketchEval {
     var i = 0
     while (i < n - 1) { code = (code << 8) | (bytes(i) & 0xffL); i += 1 }
     var m = 0
+    var zeroSeen = false // code 0 (all-NUL gram) collides with the
+                         // empty-slot sentinel — dedup it out of band
     while (i < len) {
       code = ((code << 8) | (bytes(i) & 0xffL)) & mask
-      var h = java.lang.Long.hashCode(code * -7046029254386353131L) & (cap - 1)
-      var seen = false
-      while (table(h) != 0L && !seen) {
-        if (table(h) == code) seen = true else h = (h + 1) & (cap - 1)
+      if (code == 0L) {
+        if (!zeroSeen) { zeroSeen = true; out(m) = 0L; m += 1 }
+      } else {
+        var h = java.lang.Long.hashCode(code * -7046029254386353131L) & (cap - 1)
+        var seen = false
+        while (table(h) != 0L && !seen) {
+          if (table(h) == code) seen = true else h = (h + 1) & (cap - 1)
+        }
+        if (!seen) { table(h) = code; out(m) = code; m += 1 }
       }
-      if (!seen) { table(h) = code; out(m) = code; m += 1 }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
@@ -1095,6 +1122,11 @@ object SketchEval {
     */
   def sortedPairs(v: ArrayData): ArrayData = {
     val n = v.numElements()
+    // n*(n+1)/2 wraps negative in Int arithmetic at n >= 65536 — fail
+    // with the real reason, not a NegativeArraySizeException
+    require(n <= 65535,
+      s"sorted_pairs: $n ids give a ${n.toLong * (n + 1) / 2}-pair " +
+        "triangle — cap the posting list (maxDf) below 65536")
     val a = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -1623,6 +1655,9 @@ object SketchExpressions {
   /** f-ascending hashed-BoW [(f, x)] rows + bias (see SketchEval). */
   case class TokenHashCounts(child: Expression, dims: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(dims >= 1,
+      s"token_hash_counts: dims must be >= 1, got $dims") // % dims / array alloc
+
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(
@@ -1966,6 +2001,8 @@ object SketchExpressions {
     */
   case class LshProbes(child: Expression, bits: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(bits >= 1 && bits <= 32,
+      s"lsh_probes: bits must be in 1..32, got $bits") // 1<<b wraps mod 32
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(IntegerType)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -15,9 +15,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the DuckDB oracle formulation exactly.
   */
 object VectorEval {
-  /** dot(a, b) over float arrays, double accumulation, sequential. */
+  // NULL-ELEMENT SEMANTIC (applies to every array kernel here and in
+  // SketchExpressions): a null element reads as 0.0f — both UnsafeArrayData
+  // and GenericArrayData zero the value slot — i.e. standard zero
+  // imputation for a missing component. A per-element isNullAt branch in
+  // these hot loops would cost more than the (already-pinned) NaN/zero
+  // similarity guards justify; callers that must distinguish should
+  // filter array_contains(transform(v, isnull...)) upstream.
+
+  /** dot(a, b) over float arrays, double accumulation, sequential.
+    * Dimension mismatch is LOUD (the sq8Cosine rule): a shorter vector
+    * would silently compute a plausible-looking PREFIX dot.
+    */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -35,6 +49,9 @@ object VectorEval {
     * allocations — the matryoshka (MRL) tier-scoring kernel.
     */
   def prefixCosines(a: ArrayData, b: ArrayData, dims: Array[Int]): ArrayData = {
+    // tiers CLAMP to the available dims by contract — the pinned
+    // slice-equivalence (cosine(slice(a,1,d), ...)) clamps the same way,
+    // so a tier larger than the vector scores the full-vector cosine
     val n = math.min(a.numElements(), b.numElements())
     val out = new Array[Double](dims.length)
     var acc = 0.0; var na = 0.0; var nb = 0.0

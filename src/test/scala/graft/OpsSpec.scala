@@ -2150,4 +2150,53 @@ class OpsSpec extends AnyFunSuite {
     assert(best.length == 2)
     assert(best.map(_.getLong(0)).toSet == Set(2L, 3L), "highest q wins")
   }
+
+  test("kernel guards (r11 review): span_stats clamps like scrub_spans, " +
+      "bloom accepts uppercase hex, probes/pairs/dims validate loudly") {
+    import graft.functions.{SketchEval, SketchExpressions}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // span_stats: negative start clamps to 0 (2 tokens removed, 1 span)
+    val r = SketchEval.spanStats(new GenericArrayData(Array[Any](-1)), 3, 10)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1, r.toString)
+    // a span with no effective coverage counts nothing
+    val r2 = SketchEval.spanStats(new GenericArrayData(Array[Any](-5)), 3, 10)
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 0, r2.toString)
+    // bloom: uppercase hex digests hash to the same positions as lowercase
+    val bm1 = new Array[Long](4); val bm2 = new Array[Long](4)
+    SketchEval.bloomSet(UTF8String.fromString("abcdef0123456789" * 2), bm1, 4)
+    SketchEval.bloomSet(UTF8String.fromString("ABCDEF0123456789" * 2), bm2, 4)
+    assert(bm1.toSeq == bm2.toSeq)
+    intercept[IllegalArgumentException] {
+      SketchEval.bloomSet(UTF8String.fromString("zzzzzzzz" * 4), new Array[Long](4), 1)
+    }
+    // lsh_probes bits out of range is a construction-time error
+    intercept[IllegalArgumentException] {
+      SketchExpressions.lsh_probes(lit(1), 33)
+    }
+    // sorted_pairs triangular-size overflow guard
+    intercept[IllegalArgumentException] {
+      SketchEval.sortedPairs(new GenericArrayData(
+        Array.tabulate(65536)(i => i.toLong.asInstanceOf[Any])))
+    }
+    // token_hash_counts dims guard
+    intercept[IllegalArgumentException] {
+      SketchExpressions.token_hash_counts(lit("a"), 0)
+    }
+    // char_ngram_codes: the all-NUL gram (code 0) still dedups
+    val codes = SketchEval.charNgramCodes(
+      UTF8String.fromString("\u0000\u0000\u0000"), 2)
+    assert(codes.numElements() == 1 && codes.getLong(0) == 0L, codes.toString)
+    // ivf_assign: empty centroid table is the -1 sentinel, not list 0
+    val a = Seq((1L, Array(1f, 0f))).toDF("id", "v")
+      .select(SketchExpressions.ivf_assign($"v",
+        Array.empty[Array[Float]]).as("c")).collect()
+    assert(a.head.getInt(0) == -1)
+    // dot dimension mismatch is loud, not a silent prefix dot
+    val e = intercept[Exception] {
+      Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+        .select(graft.functions.VectorExpressions.dot_f($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
