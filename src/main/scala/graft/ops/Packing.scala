@@ -65,6 +65,8 @@ object Packing {
     */
   def withRunningBeforeMulti(df: DataFrame, orderCol: String,
       valCols: Seq[(String, String)], chunk: Long = 65536L): DataFrame = {
+    require(valCols.nonEmpty,
+      "withRunningBeforeMulti: valCols must be non-empty") // vs opaque .head crash
     val key = col(orderCol)
     val parted = df.withColumn("__bkt", floor(key / chunk))
     val w = Window.partitionBy(col("__bkt")).orderBy(key)

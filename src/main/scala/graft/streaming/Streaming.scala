@@ -43,7 +43,17 @@ object Streaming {
     val flag = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(flag)
     spark.conf.set(flag, "true")
-    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType == LongType
+    // restore on ANY non-success (missing dir, no ts column): leaking the
+    // flag would silently retype TIMESTAMP(NANOS) in unrelated reads
+    val tsIsLong =
+      try spark.read.parquet(dir).schema("ts").dataType == LongType
+      catch { case e: Throwable =>
+        prev match {
+          case Some(v) => spark.conf.set(flag, v)
+          case None    => spark.conf.unset(flag)
+        }
+        throw e
+      }
     if (!tsIsLong) prev match {
       case Some(v) => spark.conf.set(flag, v)
       case None    => spark.conf.unset(flag)
@@ -160,10 +170,11 @@ object Streaming {
         .getDouble(1)
       val em = math.round(BigDecimal(ent)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
-      // null text keys its OWN group (the batch md5(normalize(col))
-      // groups all nulls together, apart from md5(norm("")))
-      val digest = if (d.text == null) NullDigest
-        else md5Hex(graft.ops.Dedup.normalizeText(d.text))
+      // null text == empty text (the batch exactBest normalizeNN
+      // contract) — a divergent NullDigest group here made the streaming
+      // twin keep one extra document vs batch
+      val digest =
+        md5Hex(graft.ops.Dedup.normalizeText(if (d.text == null) "" else d.text))
       (digest, d.doc_id, em, d.ts)
     }.toDF("digest", "doc_id", "em", "ts")
     keyed.withWatermark("ts", s"${horizon.toSeconds} seconds")
@@ -216,7 +227,7 @@ object Streaming {
       tsCol: String, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("__digest",
-        md5(graft.ops.Dedup.normalize(coalesce(col(textCol), lit("")))))
+        md5(graft.ops.Dedup.normalizeNN(col(textCol))))
       .join(baseDigests.select(col("digest").as("__digest"),
         lit(true).as("__inBase")), Seq("__digest"), "left")
       .filter(col("__inBase").isNull)
@@ -240,7 +251,7 @@ object Streaming {
       watermark: String = "1 hour"): DataFrame = {
     val withH = docs
       .withColumn("__digest",
-        md5(graft.ops.Dedup.normalize(coalesce(col(textCol), lit("")))))
+        md5(graft.ops.Dedup.normalizeNN(col(textCol))))
       .withColumn("__hit",
         graft.ops.Dedup.bloomHitExpr(col("__digest"), bitmap, k))
     val misses = withH.filter(!col("__hit"))
@@ -320,6 +331,8 @@ object Streaming {
       maxBucket: Int = 256)
       : Dataset[DupPair] = {
     import docs.sparkSession.implicits._
+    require(numHashes % bands == 0,
+      s"numHashes must divide into bands (got $numHashes/$bands)") // batch parity
     val rowsPerBand = numHashes / bands
     val horizonMs = horizon.toMillis
     val banded = docs.flatMap { d =>
@@ -401,10 +414,11 @@ object Streaming {
       maxBucket: Int = 256): Dataset[CosPair] = {
     import vecs.sparkSession.implicits._
     require(bits % bands == 0, "bits must be divisible by bands")
+    // the signature itself is a 32-bit Int: bits > 32 would alias planes
+    // mod 32 and make every band's slice identical — silent recall loss,
+    // not an error (the per-band mask guard alone missed this)
+    require(bits >= 1 && bits <= 32, s"bits must be in 1..32, got $bits")
     val per = bits / bands
-    // per == 32 would overflow the Int mask (1 << 32 == 1 → mask 0,
-    // every vector in ONE global bucket); the Long mask below is exact
-    // up to 32, and the (band | sig) packing reserves 32 bits
     require(per >= 1 && per <= 32, s"bits/bands must be in 1..32, got $per")
     val horizonMs = horizon.toMillis
     val banded = vecs.flatMap { v =>
@@ -800,16 +814,21 @@ object Streaming {
     def ks(counts: Map[Long, Long]): (Long, Double, Long) = {
       val n = counts.values.sum
       val lens = (counts.keySet ++ ref.keySet).toArray.sorted
-      var ca = 0L; var cb = 0L; var best = 0L; var bestLen = 0L
+      var ca = 0L; var cb = 0L; var best = BigInt(0); var bestLen = 0L
+      // cross-multiplication in BigInt: at the corpus scale this module
+      // targets, ca * refN can pass Long.MaxValue (1e9-doc window vs
+      // 1e11-doc reference ~ 1e20) and a silent wrap would garble the
+      // sup; the loop runs over <= maxLens entries once per trigger, so
+      // the BigInt cost is irrelevant
       lens.foreach { l =>
         ca += counts.getOrElse(l, 0L)
         cb += ref.getOrElse(l, 0L)
-        val d = math.abs(ca * refN - cb * n)
+        val d = (BigInt(ca) * refN - BigInt(cb) * n).abs
         if (d > best) { best = d; bestLen = l }
       }
       val stat = if (n == 0 || refN == 0) 0.0
         else {
-          val raw = best.toDouble / n / refN
+          val raw = best.toDouble / n.toDouble / refN.toDouble
           // one rounding at the edge (the q120 contract)
           BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble
@@ -817,7 +836,11 @@ object Streaming {
       (n, stat, bestLen)
     }
     val evs = docs
-      .withColumn("__len", regexp_count(col(textCol), lit("\\S+")).cast("long"))
+      // null text counts as a 0-length document (regexp_count(null) is
+      // null, and the non-nullable tuple decode below would kill the
+      // whole streaming query on the first null row)
+      .withColumn("__len", coalesce(
+        regexp_count(col(textCol), lit("\\S+")).cast("long"), lit(0L)))
       .withColumn("__w", window(col(tsCol), windowLen))
       .select(col("__w.start").as("ws"), col("__len"), col(tsCol).as("ts"))
       .withWatermark("ts", watermark)
@@ -833,16 +856,20 @@ object Streaming {
             var st = state.getOption.getOrElse(DriftState(Map.empty, 0L))
             var counts = st.counts
             var lastMs = st.lastSeenMs
+            var dropped = 0L // warn ONCE per trigger, not per row — a
+                             // high-rate stream past the cap would flood
+                             // executor logs from inside the fold
             batch.foreach { case (_, len, ts) =>
               lastMs = math.max(lastMs, ts.getTime)
               if (counts.size < maxLens || counts.contains(len))
                 counts = counts.updated(len, counts.getOrElse(len, 0L) + 1L)
-              else
-                org.slf4j.LoggerFactory.getLogger(Streaming.getClass)
-                  .warn(s"lengthDrift window $wsMs exceeded maxLens=" +
-                    s"$maxLens distinct lengths; dropping new-length rows" +
-                    " from the histogram (KS becomes approximate)")
+              else dropped += 1
             }
+            if (dropped > 0)
+              org.slf4j.LoggerFactory.getLogger(Streaming.getClass)
+                .warn(s"lengthDrift window $wsMs exceeded maxLens=" +
+                  s"$maxLens distinct lengths; dropped $dropped new-length" +
+                  " rows this trigger (KS becomes approximate)")
             state.update(DriftState(counts, lastMs))
             state.setTimeoutTimestamp(lastMs + evictMs)
             val (n, stat, atLen) = ks(counts)
@@ -903,7 +930,7 @@ object Streaming {
     */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, textCol: String,
       idCol: String, tsCol: String, shingleK: Int = 4,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", windowLen: String = "1 hour"): DataFrame = {
     val sh = graft.functions.SketchExpressions.word_shingles(col(textCol),
       shingleK)
     val evalSh = evalDocs.select(explode(
@@ -912,9 +939,13 @@ object Streaming {
     docs.withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol), explode(sh).as("__sh"))
       .join(evalSh, Seq("__sh")) // per-doc shingles are already distinct
-      .groupBy(window(col(tsCol), "1 hour"), col(idCol))
+      .groupBy(window(col(tsCol), windowLen).as("__w"), col(idCol))
       .agg(count(lit(1)).as("n_shared"))
-      .select(col(idCol), col("n_shared"))
+      // window_start rides along: a document whose matches straddle two
+      // windows emits two rows, and without the window key downstream
+      // cannot tell partial counts apart or upsert by (window, id)
+      .select(col("__w.start").as("window_start"), col(idCol),
+        col("n_shared"))
   }
 
   /** Streaming count-min sketch — the frequency sketch CMS exists for:

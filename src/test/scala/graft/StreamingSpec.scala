@@ -659,7 +659,11 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = Streaming.runToCompletion(
       Streaming.decontaminate(stream, evalDocs, "text", "doc_id", "ts"),
       "decon_test", outputMode = "complete")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // output now leads with window_start (r11: multi-window rows are
+      // distinguishable); the fixture spans one window, so summing per
+      // id equals the batch total
+      .collect().groupBy(_.getLong(1))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).sum }
     // batch formulation (the q50 shape)
     val sh = graft.functions.SketchExpressions.word_shingles($"text", 4)
     val evalSh = evalDocs.select(explode(sh).as("sh")).distinct()
@@ -722,8 +726,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.count(v => v._1 >= 10000 && v._1 < 30000) == 0)
   }
 
-  test("keep-best dedup separates null-text and empty-text groups like " +
-      "the batch md5(normalize) null key") {
+  test("keep-best dedup merges null and empty text into ONE group like " +
+      "the batch exactBest normalizeNN contract") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Streaming.Doc]
@@ -737,14 +741,21 @@ class StreamingSpec extends AnyFunSuite {
         Streaming.Doc(3L, "", t(2)), Streaming.Doc(4L, "   ", t(3))))
       q.processAllAvailable()
       val rows = spark.table("best_null").collect().zipWithIndex
-      val winners = rows.groupBy(r => Option(r._1.getString(0)))
+      val winners = rows.groupBy(r => r._1.getString(0))
         .map { case (dg, arr) => dg -> arr.maxBy(_._2)._1.getLong(1) }
-      // batch: all null texts form ONE null-digest group (winner id 1),
-      // empty/whitespace normalize to "" in a SEPARATE group (id 3)
-      assert(winners(None) == 1L, s"null group: $winners")
-      assert(winners.exists { case (k, id) => k.isDefined && id == 3L },
-        s"empty group: $winners")
-      assert(winners.size == 2, s"exactly two groups: $winners")
+      // batch exactBest digests via normalizeNN: null == "" == "   ",
+      // so all four docs are ONE dedup group; equal entropy quality
+      // (all empty after normalize) ties break to the LOWEST id (1)
+      assert(winners.size == 1, s"exactly one group: $winners")
+      assert(winners.values.head == 1L, s"winner: $winners")
+      // and the batch side agrees end-to-end
+      import spark.implicits._
+      val batch = graft.ops.Dedup.exactBest(
+        Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+          (3L, ""), (4L, "   ")).toDF("doc_id", "text"),
+        "text", "doc_id", "doc_id").collect()
+      // (quality=doc_id here, so batch keeps id 4 — the point is ONE group)
+      assert(batch.length == 1, s"one batch group: ${batch.toSeq}")
     } finally q.stop()
   }
 
