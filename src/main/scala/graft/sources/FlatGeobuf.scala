@@ -185,8 +185,10 @@ object FlatGeobuf {
     val len = fr.i32(pos)
     val feature = fr.root
     val gf = fr.field(feature, 0)
-    require(gf >= 0, "feature without geometry")
-    geoms += readGeom(fr, fr.indirect(gf), headerType)
+    // geometry is OPTIONAL per the FlatGeobuf spec (OGR omits the field
+    // for null geometries) — map it to a null Geom like the GPKG reader;
+    // fromFlatGeobuf already carries the null branch downstream
+    geoms += (if (gf >= 0) readGeom(fr, fr.indirect(gf), headerType) else null)
     val vals = Array.fill[Any](columns.length)(null)
     val pf = fr.field(feature, 1)
     if (pf >= 0) {

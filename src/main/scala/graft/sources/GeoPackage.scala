@@ -16,7 +16,10 @@ import graft.geom.{Geom, Wkb}
 object GeoPackage {
 
   final case class FeatureTable(name: String, geometryColumn: String,
-      srsId: Int, columns: Seq[String], rootPage: Int)
+      srsId: Int, columns: Seq[String], rootPage: Int,
+      /** declaration index of the INTEGER PRIMARY KEY rowid alias, or -1 —
+        * SQLite stores that column as NULL and the rowid IS the value. */
+      pkIndex: Int = -1)
 
   final case class Contents(columns: Seq[String], geometryColumn: String,
       srsId: Int, rows: Seq[Seq[Any]], geoms: Seq[Geom])
@@ -167,8 +170,8 @@ object GeoPackage {
 
   // ---- GeoPackage layer --------------------------------------------------
 
-  /** crude CREATE TABLE parser: column names in declaration order. */
-  private def columnsFromSql(sql: String): Seq[String] = {
+  /** crude CREATE TABLE parser: column declarations in order. */
+  private def columnDecls(sql: String): Seq[String] = {
     val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
     var depth = 0
     val parts = scala.collection.mutable.ArrayBuffer[StringBuilder](new StringBuilder)
@@ -181,12 +184,31 @@ object GeoPackage {
     parts.toSeq.map(_.toString.trim)
       .filterNot(p => Seq("CONSTRAINT", "PRIMARY", "UNIQUE", "CHECK", "FOREIGN")
         .exists(k => p.toUpperCase.startsWith(k)))
-      .map { p =>
-        val tok = p.split("\\s+").head
-        tok.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
-          .stripPrefix("[").stripSuffix("]")
-      }
   }
+
+  /** First identifier of a column declaration — quote-aware, so a quoted
+    * name containing spaces ("zip code") survives instead of truncating
+    * at the first space. */
+  private def declName(p: String): String = p.headOption match {
+    case Some(q @ ('"' | '`')) =>
+      val end = p.indexOf(q, 1)
+      if (end > 0) p.substring(1, end) else p.drop(1)
+    case Some('[') =>
+      val end = p.indexOf(']', 1)
+      if (end > 0) p.substring(1, end) else p.drop(1)
+    case _ => p.split("\\s+").head
+  }
+
+  private def columnsFromSql(sql: String): Seq[String] =
+    columnDecls(sql).map(declName)
+
+  /** Index of the INTEGER PRIMARY KEY column (the rowid alias SQLite
+    * stores as NULL), or -1. */
+  private def rowidAliasIndex(sql: String): Int =
+    columnDecls(sql).indexWhere { d =>
+      val u = d.toUpperCase
+      u.contains("INTEGER") && u.contains("PRIMARY KEY")
+    }
 
   /** GPKG geometry blob ("GP" header + envelope + WKB). A NULL stored
     * value is a legal GeoPackage geometry (spec table schemas allow it)
@@ -196,6 +218,11 @@ object GeoPackage {
     if (b == null || b.isEmpty) return null
     require(b.length > 8 && b(0) == 'G' && b(1) == 'P', "not a GPKG geometry blob")
     val flags = b(3) & 0xff
+    // ExtendedGeoPackageBinary (flags bit 5) carries a 4-byte extension
+    // code before an extension-DEFINED body — parsing it as WKB would
+    // read garbage; fail with the real reason
+    require((flags & 0x20) == 0,
+      "extended GeoPackage binary (flags bit 5) is not supported")
     val envIndicator = (flags >> 1) & 7
     val envDoubles = envIndicator match {
       case 0 => 0
@@ -230,7 +257,8 @@ object GeoPackage {
     }
     geomCols.flatMap { case (tbl, gcol, srs) =>
       master.find(_._1 == tbl).map { m =>
-        FeatureTable(tbl, gcol, srs, columnsFromSql(m._4), m._3.toInt)
+        FeatureTable(tbl, gcol, srs, columnsFromSql(m._4), m._3.toInt,
+          rowidAliasIndex(m._4))
       }
     }
   }
@@ -635,9 +663,18 @@ object GeoPackage {
     val geoms = scala.collection.mutable.ArrayBuffer[Geom]()
     db.walk(t.rootPage) { (rowid, rec) =>
       val vals0 = db.record(rec)
-      // INTEGER PRIMARY KEY (fid) is a rowid alias stored as NULL
-      val vals = vals0.zipWithIndex.map {
-        case (null, 0) => rowid
+      // ALTER TABLE ADD COLUMN leaves pre-existing records SHORT of the
+      // schema arity (SQLite semantics: missing trailing values read as
+      // NULL) — pad, or the geometry index lands out of bounds and row
+      // arity drifts from the schema
+      val valsP =
+        if (vals0.length >= t.columns.length) vals0
+        else vals0 ++ Seq.fill(t.columns.length - vals0.length)(null)
+      // the INTEGER PRIMARY KEY column (by DECLARATION, not position 0)
+      // is a rowid alias stored as NULL — a genuinely-NULL first column
+      // must stay NULL
+      val vals = valsP.zipWithIndex.map {
+        case (null, i) if i == t.pkIndex => rowid
         case (v, _) => v
       }
       geoms += parseGpkgGeom(vals(gIdx).asInstanceOf[Array[Byte]])

@@ -115,6 +115,7 @@ object Shapefile {
       if (Orientation.signedArea(r) < 0) reversed(r) else r
     def cwHole(r: CoordSeq): CoordSeq =
       if (Orientation.signedArea(r) > 0) reversed(r) else r
+    if (rings.isEmpty) return Polygon(Array.empty) // empty polygon record
     if (rings.length == 1) return Polygon(Array(ccwShell(rings(0))))
     val (shells, holes) = rings.partition(r => Orientation.signedArea(r) < 0)
     if (shells.isEmpty) {
@@ -203,7 +204,10 @@ object Shapefile {
           else { if (area < 0) rev(r) else r }
         }
         val n = rings.map(_.size).sum
-        val c = ByteBuffer.allocate(44 + 8 + rings.length * 4 + n * 16)
+        // 4 type + 32 bbox + 8 counts + 4/part + 16/point — an extra 8
+        // bytes here padded every record with junk zeros that strict
+        // readers reject against the shape-type length formula
+        val c = ByteBuffer.allocate(44 + rings.length * 4 + n * 16)
           .order(ByteOrder.LITTLE_ENDIAN)
         c.putInt(5)
         val (x0, y0, x1, y1) = p.envelope
@@ -226,8 +230,13 @@ object Shapefile {
     buf.putInt(recs.headOption.map(r =>
       ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN).getInt).getOrElse(0))
     val env = geoms.map(_.envelope)
-    buf.putDouble(env.map(_._1).min); buf.putDouble(env.map(_._2).min)
-    buf.putDouble(env.map(_._3).max); buf.putDouble(env.map(_._4).max)
+    // empty input is legal (header-only file) — min/max over an empty
+    // Seq would throw 'empty.min'
+    if (env.isEmpty) { (1 to 4).foreach(_ => buf.putDouble(0.0)) }
+    else {
+      buf.putDouble(env.map(_._1).min); buf.putDouble(env.map(_._2).min)
+      buf.putDouble(env.map(_._3).max); buf.putDouble(env.map(_._4).max)
+    }
     buf.position(100)
     recs.zipWithIndex.foreach { case (r, i) =>
       buf.order(ByteOrder.BIG_ENDIAN)
@@ -260,6 +269,11 @@ object Shapefile {
     }
     buf.put(0x0d.toByte)
     records.foreach { r =>
+      // zip would silently TRUNCATE a short record and shift every later
+      // record left in the fixed-stride buffer — all subsequent rows
+      // would read back as garbage
+      require(r.size == fields.size,
+        s"dbf record has ${r.size} values for ${fields.size} fields")
       buf.put(' '.toByte)
       r.zip(fields).foreach { case (v, f) =>
         val s = Option(v).map {
@@ -274,10 +288,23 @@ object Shapefile {
         if ((f.kind == 'N' || f.kind == 'F') && s.length > f.length)
           throw new IllegalArgumentException(
             s"dbf field ${f.name}: value '$s' exceeds width ${f.length}")
-        val padded =
-          if (f.kind == 'N' || f.kind == 'F') s.reverse.padTo(f.length, ' ').reverse
-          else s.padTo(f.length, ' ')
-        buf.put(padded.take(f.length).getBytes(StandardCharsets.US_ASCII))
+        // UTF-8 to match parseDbf's decode (US_ASCII silently mangled
+        // non-ASCII to '?'); truncate at BYTE budget without splitting a
+        // multi-byte sequence, then pad with spaces to the field width
+        val raw = s.getBytes(StandardCharsets.UTF_8)
+        val cut =
+          if (raw.length <= f.length) raw.length
+          else {
+            var c = f.length
+            while (c > 0 && (raw(c) & 0xc0) == 0x80) c -= 1
+            c
+          }
+        val cell = new Array[Byte](f.length)
+        java.util.Arrays.fill(cell, ' '.toByte)
+        if (f.kind == 'N' || f.kind == 'F')
+          System.arraycopy(raw, 0, cell, f.length - cut, cut) // right-align
+        else System.arraycopy(raw, 0, cell, 0, cut)
+        buf.put(cell)
       }
     }
     buf.put(0x1a.toByte)

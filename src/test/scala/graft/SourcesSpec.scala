@@ -721,4 +721,66 @@ class SourcesSpec extends AnyFunSuite {
     // CLI face: passes on the good item
     graft.cli.Main.run(spark, Seq("check", "stac", gp.toString))
   }
+
+  // ---- round-11 codec review regressions --------------------------------
+
+  test("dbf round-trips non-ASCII attributes (UTF-8, byte-budget truncation)") {
+    import graft.geom._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shputf")
+    val shp = dir.resolve("u.shp").toString
+    val fields = Seq(Shapefile.DbfField("name", 'C', 16, 0))
+    Shapefile.write(shp, Seq(Point(1, 2), Point(3, 4)),
+      fields, Seq(Seq("caf\u00e9"), Seq("z\u00fcrich")))
+    val t = graft.table.GeoTable.fromShapefile(spark, shp)
+    val names = t.df.select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("caf\u00e9", "z\u00fcrich"), names.toString)
+    // byte-budget truncation must not split a multi-byte char: 16 ASCII
+    // chars + one 2-byte char over the 16-byte budget drops the whole char
+    Shapefile.write(dir.resolve("t.shp").toString, Seq(Point(1, 2)),
+      fields, Seq(Seq(("x" * 15) + "\u00e9")))
+    val trunc = graft.table.GeoTable
+      .fromShapefile(spark, dir.resolve("t.shp").toString)
+      .df.select("name").collect().head.getString(0)
+    assert(trunc == "x" * 15, s"got '$trunc'")
+  }
+
+  test("dbf rejects a record with the wrong arity instead of shifting " +
+      "every later record") {
+    import graft.geom._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shpar")
+    val fields = Seq(Shapefile.DbfField("a", 'C', 4, 0),
+      Shapefile.DbfField("b", 'C', 4, 0))
+    val ex = intercept[IllegalArgumentException] {
+      Shapefile.write(dir.resolve("x.shp").toString,
+        Seq(Point(1, 2)), fields, Seq(Seq("only")))
+    }
+    assert(ex.getMessage.contains("values for"))
+  }
+
+  test("shapefile sink tolerates empty input (header-only file)") {
+    import graft.geom._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shpe")
+    val shp = dir.resolve("e.shp").toString
+    Shapefile.write(shp, Seq.empty, Seq(Shapefile.DbfField("a", 'C', 4, 0)),
+      Seq.empty)
+    val t = graft.table.GeoTable.fromShapefile(spark, shp)
+    assert(t.df.count() == 0)
+  }
+
+  test("shapefile polygon record length matches the shape-type formula " +
+      "(no junk padding words)") {
+    import graft.geom._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shplen")
+    val shp = dir.resolve("p.shp").toString
+    val ring = CoordSeq(Array(0.0, 4.0, 4.0, 0.0, 0.0), Array(0.0, 0.0, 4.0, 4.0, 0.0))
+    Shapefile.write(shp, Seq(Polygon(Array(ring))), Seq.empty, Seq(Seq()))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(shp))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.position(104) // first record: header(8) at 100, content length at 104
+    bb.order(java.nio.ByteOrder.BIG_ENDIAN)
+    val contentWords = bb.getInt(104)
+    // formula: (4 type + 32 bbox + 8 counts + 4*parts + 16*points) / 2
+    val expect = (44 + 4 * 1 + 16 * 5) / 2
+    assert(contentWords == expect, s"content $contentWords words, want $expect")
+  }
 }
