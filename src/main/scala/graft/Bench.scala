@@ -12,7 +12,72 @@ import org.apache.spark.sql.SparkSession
   * benchmark suite uses multiple iterations (`benchmarks/config.py`).
   */
 object Bench {
+  /** DuckDB one-query timing worker, same protocol as
+    * dev/bench_oracle.py (per-query subprocess, SET threads, views over
+    * the sf parquet, one timed fetchall). Embedded here so the spike
+    * adjudicator can re-time the oracle IN THE SAME WINDOW as its solo
+    * best-of-5 — a weak verdict computed from a stale fast-window
+    * oracle snapshot against slow-window Spark numbers is
+    * cross-window-inflated (round-11 verdict item 1). DuckDB is a
+    * dev/driver-side measurement tool only; nothing in the library
+    * depends on it, and a missing python3/duckdb just leaves the
+    * same-window field absent (falls back to the snapshot).
+    */
+  private val oracleWorkerPy: String =
+    """import json, os, sys, time
+      |import duckdb
+      |sf_dir, threads = sys.argv[1], int(sys.argv[2])
+      |sql = sys.stdin.read()
+      |con = duckdb.connect()
+      |con.execute(f"SET threads TO {threads}")
+      |con.execute("SET enable_progress_bar = false")
+      |for t in ["region", "nation", "customer", "supplier", "part",
+      |          "orders", "lineitem", "events", "documents", "embeddings"]:
+      |    p = f"{sf_dir}/{t}.parquet"
+      |    if os.path.exists(p):
+      |        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+      |t0 = time.time()
+      |con.execute(sql).fetchall()
+      |print(json.dumps({"sec": time.time() - t0}))
+      |""".stripMargin
+
+  /** Best-of-2 same-window oracle time, 30 s cap per run (the
+    * bench_oracle.py protocol). None = worker unavailable, errored, or
+    * capped — callers fall back to the snapshot time.
+    */
+  private[graft] def timeOracleSameWindow(sfDir: String, sql: String,
+      threads: Int = 32): Option[Double] = {
+    def once(): Option[Double] =
+      try {
+        val pb = new ProcessBuilder("python3", "-c", oracleWorkerPy,
+          sfDir, threads.toString)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val in = p.getOutputStream
+        in.write(sql.getBytes("UTF-8")); in.close()
+        // stdout is one short JSON line, far below the pipe buffer, so
+        // reading it after waitFor cannot deadlock the child
+        if (!p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly(); None
+        } else if (p.exitValue() != 0) None
+        else {
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          """"sec":\s*([0-9.eE+-]+)""".r
+            .findFirstMatchIn(out).map(_.group(1).toDouble)
+        }
+      } catch { case _: Throwable => None }
+    val ts = (1 to 2).flatMap(_ => once())
+    ts.minOption
+  }
+
   def main(args: Array[String]): Unit = {
+    // Ambient 1-min loadavg BEFORE Spark spins up: once the suite runs,
+    // loadavg measures our own work; this sample is the window's
+    // pre-existing contention, kept in the artifact for forensics.
+    val loadavgStart: Option[Double] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
+      catch { case _: Throwable => None }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Generated-class cache: the static default (100 entries) is far
@@ -145,40 +210,54 @@ object Bench {
     // wins those by construction. The solo loop reuses `force` and the
     // same unpersist hygiene as the main loop so the two numbers differ
     // only by suite context, which is exactly what's being adjudicated.
-    val adjudicated: Seq[(String, Double, Double, Double)] = duck.map { m =>
-      results.filter { case (k, v) =>
-        v >= 1.0 && m.get(k).exists(d => d >= 0 && v / math.max(d, 1e-9) >= 2.0)
-      }.map { case (k, inSuite) =>
-        val fn = SparkEntry.queries(k)
-        // same failed-iteration contract as the main loop: a failure's
-        // wall time must never become the adjudicated number (a fast
-        // crash would clear a genuinely weak query). All-failures falls
-        // back to the in-suite time — the conservative verdict.
-        val solo = (1 to 5).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { force(fn(spark, sfDir)); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] adjudicate $k failed: ${e.getMessage}")
-              false
-            }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          if (ok) Some(dt) else None
-        }.minOption.getOrElse(inSuite)
-        (k, inSuite, solo, m(k))
-      }
-    }.getOrElse(Seq.empty)
-    // weak = still >2x its oracle at >=1 s AFTER solo adjudication
+    val adjudicated: Seq[(String, Double, Double, Double, Option[Double])] =
+      duck.map { m =>
+        results.filter { case (k, v) =>
+          v >= 1.0 && m.get(k).exists(d => d >= 0 && v / math.max(d, 1e-9) >= 2.0)
+        }.map { case (k, inSuite) =>
+          val fn = SparkEntry.queries(k)
+          // same failed-iteration contract as the main loop: a failure's
+          // wall time must never become the adjudicated number (a fast
+          // crash would clear a genuinely weak query). All-failures falls
+          // back to the in-suite time — the conservative verdict.
+          val solo = (1 to 5).flatMap { _ =>
+            val t0 = System.nanoTime()
+            val ok =
+              try { force(fn(spark, sfDir)); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] adjudicate $k failed: ${e.getMessage}")
+                false
+              }
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            if (ok) Some(dt) else None
+          }.minOption.getOrElse(inSuite)
+          // Same-window oracle (round-11 verdict item 1): re-time the
+          // DuckDB SQL NOW, in the window that just produced the solo
+          // number, so the weak verdict's numerator and denominator see
+          // the same machine. The snapshot stays in the artifact for
+          // cross-window comparison.
+          val sameWin = SparkEntry.oracleSql.get(k)
+            .flatMap(sql => timeOracleSameWindow(sfDir, sql))
+          (k, inSuite, solo, m(k), sameWin)
+        }
+      }.getOrElse(Seq.empty)
+    // weak = still >2x its oracle at >=1 s AFTER solo adjudication,
+    // judged against the same-window oracle when one was obtained
     val weak = adjudicated.collect {
-      case (k, _, solo, d) if solo >= 1.0 && solo / math.max(d, 1e-9) > 2.0 => k
+      case (k, _, solo, d, sw)
+        if solo >= 1.0 &&
+          solo / math.max(sw.getOrElse(d), 1e-9) > 2.0 => k
     }
     val adjJson =
       if (adjudicated.isEmpty) ""
       else {
-        val items = adjudicated.map { case (k, ins, solo, d) =>
-          f""""$k":{"in_suite":$ins%.3f,"solo_best5":$solo%.3f,"oracle":$d%.3f,"ratio_in_suite":${ins / math.max(d, 1e-9)}%.1f,"ratio_solo":${solo / math.max(d, 1e-9)}%.1f}"""
+        val items = adjudicated.map { case (k, ins, solo, d, sw) =>
+          val den = sw.getOrElse(d)
+          f""""$k":{"in_suite":$ins%.3f,"solo_best5":$solo%.3f,"oracle":$d%.3f,""" +
+            sw.map(v => f""""oracle_same_window":$v%.3f,""").getOrElse("") +
+            f""""ratio_in_suite":${ins / math.max(d, 1e-9)}%.1f,"ratio_solo":${solo / math.max(den, 1e-9)}%.1f}"""
         }.mkString("{", ",", "}")
         s""","solo_adjudicated":$items,"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       }
@@ -194,7 +273,16 @@ object Bench {
     val errJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work,"codegen_cache":$codegenCache$adjJson$duckJson$errJson}"""
+    // Load-validity gate (round-11 verdict item 4): a job floor above
+    // ~0.025 s means the window was visibly contended (clean windows
+    // measure 0.014-0.020); the artifact self-classifies so nobody has
+    // to adjudicate window quality from prose. The >=2x-at->=1s
+    // adjudication above already re-times every candidate solo AND
+    // re-times its oracle in the same window, so a suspect run still
+    // ships window-consistent verdicts.
+    val loadSuspect = floor > 0.025
+    val loadJson = f""","loadavg1_start":${loadavgStart.getOrElse(-1.0)}%.2f,"load_suspect":$loadSuspect"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work,"codegen_cache":$codegenCache$loadJson$adjJson$duckJson$errJson}"""
     // The driver captures only a ~2000-char tail of stdout, so a
     // 100-query JSON line is never machine-readable there (BENCH_r05-07
     // all landed with parsed:null). Split the contract: the FULL results
@@ -218,8 +306,11 @@ object Bench {
         f""","duckdb_total_comparable":$dTot%.3f,"spark_total_comparable":$sTot%.3f,"spark_vs_duckdb":${sTot / math.max(dTot, 1e-9)}%.2f"""
       }.getOrElse("") +
       (if (duck.isEmpty) ""
-       else s""","n_adjudicated":${adjudicated.size},"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")}""") +
-      errJson
+       // weak_in_suite (= the adjudication candidates) stays in the head
+       // line next to the adjudicated set so a consistent in-suite
+       // regression is visible even in the truncated stdout tail
+       else s""","n_adjudicated":${adjudicated.size},"weak_in_suite":${adjudicated.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")}""") +
+      loadJson + errJson
     val entries = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
     // the reserve must cover the queries_note SUFFIX (~75 chars) that
     // only appears when truncation happens — a 40-char reserve could

@@ -36,47 +36,83 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
       Some(a.metadata.getString(GeoMeta.GeoPairKey))
     else None
 
+  /** Does the covering `b` describe the SAME ROW as geometry `g`
+    * everywhere in `plan`? The pair id identifies (table, column), not
+    * row alignment — joining two reads of the same file puts same-id
+    * attributes from DIFFERENT rows in one scope. Alignment holds iff
+    * the two attributes ride the same side of every Join on their way
+    * up: unary nodes (Project/Filter/Aggregate/Generate/Window/Sort)
+    * compute all outputs from one input row, Union is checked per-child
+    * by ordinal, and a Join splits alignment unless both attributes
+    * come from one side. Outer-join null-filling is safe: a null-filled
+    * side nulls `g` and `b` together, and a null `g` already fails the
+    * st_intersects conjunct this rule fires on.
+    */
+  private def aligned(plan: LogicalPlan, g: Attribute, b: Attribute): Boolean =
+    plan match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        if (j.left.outputSet.contains(g) && j.left.outputSet.contains(b))
+          aligned(j.left, g, b)
+        else if (j.right.outputSet.contains(g) && j.right.outputSet.contains(b))
+          aligned(j.right, g, b)
+        else false
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        // each child has its own attribute ids at the same ordinals
+        val gi = u.output.indexWhere(_.exprId == g.exprId)
+        val bi = u.output.indexWhere(_.exprId == b.exprId)
+        gi >= 0 && bi >= 0 &&
+          u.children.forall(c => aligned(c, c.output(gi), c.output(bi)))
+      case _ =>
+        plan.children.find(c =>
+          c.outputSet.contains(g) && c.outputSet.contains(b)) match {
+          case Some(c) => aligned(c, g, b)
+          case None =>
+            // both attributes surface at this node (leaf relation, or a
+            // unary node aliasing one of them): within-row by
+            // construction for leaves and unary nodes; any other
+            // multi-child node is out of pattern — refuse.
+            plan.children.size <= 1
+        }
+    }
+
   /** The bbox covering attribute for the FILTERED geometry `g`, or None
     * when no covering can soundly be tied to it.
     *
-    *  - Pair-metadata path (GeoTable-produced plans): the covering is the
-    *    unique bbox-shaped attribute sharing `g`'s pair id — BUT only in
-    *    join-free subplans. The pair id identifies (table, column), not
-    *    row alignment: joining two reads of the same file where one side
-    *    projected its bbox away leaves ONE same-id covering in scope that
-    *    describes the OTHER side's rows, and pruning with it silently
-    *    drops rows. Below a join, Project/Filter/Aggregate/Generate/Union
-    *    all preserve within-row alignment, so the unique-id match is
-    *    sound there — and Catalyst pushes eligible filters below inner
-    *    joins before this rule runs, so the join-free restriction costs
-    *    nothing (a filter stranded ABOVE an outer join couldn't feed
-    *    PushedFilters anyway).
+    *  - Pair-metadata path (GeoTable-produced plans): candidates are the
+    *    bbox-shaped attributes sharing `g`'s pair id; each must also be
+    *    row-ALIGNED with `g` (see [[aligned]] — same side of every
+    *    Join), and exactly one may survive. This prunes join-free plans
+    *    and post-join filters alike: a filter stranded above an outer
+    *    join still gets the cheap scalar conjuncts, and a filter
+    *    Catalyst pushed below the join resolves within its side.
     *  - Fallback (plain spark.read plans with no metadata): the old
     *    one-binary-column heuristic — `g` must be the plan's only
-    *    BinaryType attribute, covering found by conventional name.
+    *    BinaryType attribute, covering found by conventional name. No
+    *    ids means alignment can't be verified, so this path stays
+    *    join-free (join one side's lone geometry with the other side's
+    *    "bbox" column and the heuristic would pair across rows).
     */
-  private def bboxFor(child: LogicalPlan, g: Attribute): Option[Attribute] = {
-    // the name-based fallback is exposed to the same cross-side hazard
-    // (join one side's lone geometry with the other side's "bbox"), so
-    // the join-free restriction applies to BOTH paths
-    if (child.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))
-      return None
+  private def bboxFor(child: LogicalPlan, g: Attribute): Option[Attribute] =
     pairOf(g) match {
       case Some(id) =>
-        child.output.filter(a => isBboxStruct(a) && pairOf(a).contains(id)) match {
+        child.output.filter(a => isBboxStruct(a) && pairOf(a).contains(id))
+          .filter(b => aligned(child, g, b)) match {
           case Seq(one) => Some(one)
           case _ => None
         }
       case None =>
-        val binaryAttrs = child.output.filter(_.dataType ==
-          org.apache.spark.sql.types.BinaryType)
-        if (binaryAttrs.length == 1 && binaryAttrs.head.semanticEquals(g))
-          child.output.find(a =>
-            GeoMeta.BboxNameCandidates.contains(a.name) && isBboxStruct(a))
-        else None
+        if (child.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))
+          None
+        else {
+          val binaryAttrs = child.output.filter(_.dataType ==
+            org.apache.spark.sql.types.BinaryType)
+          if (binaryAttrs.length == 1 && binaryAttrs.head.semanticEquals(g))
+            child.output.find(a =>
+              GeoMeta.BboxNameCandidates.contains(a.name) && isBboxStruct(a))
+          else None
+        }
     }
-  }
 
   /** envelope of the literal geometry, if it parses */
   private def literalEnvelope(e: Expression): Option[(Double, Double, Double, Double)] =
@@ -111,7 +147,8 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
       // the literal may sit in either argument position (the reference
       // emits both orders). Each conjunct resolves its OWN covering via
       // bboxFor, so a post-join filter touching both sides' geometries
-      // prunes both coverings.
+      // prunes both coverings (pair-metadata plans; the name-based
+      // fallback stays join-free — see bboxFor).
       conjuncts(cond).foreach {
         case StIntersects(a, c) =>
           val geomAttr = Seq(a, c).collectFirst {

@@ -149,20 +149,87 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(joined.count() == want, s"got ${joined.count()}, want $want")
   }
 
-  test("self-join shares one pair id on both sides -> ambiguous covering " +
-      "-> rule must not prune (soundness)") {
+  test("self-join shares one pair id on both sides -> alignment walk " +
+      "resolves the covering from the FILTERED geometry's own side") {
     GraftExtensions.install(spark)
     val out = writtenTable()
     val l = spark.read.parquet(out)
     val r = spark.read.parquet(out).select(col("id").as("rid"),
       col("geometry").as("g2"), col("bbox").as("b2"))
-    // left_outer keeps the filter on the null-producing side ABOVE the
-    // join, where BOTH same-id coverings are in scope — pruning with the
-    // wrong one would silently drop rows
+    // a non-deterministic projected column (sample tag) blocks predicate
+    // pushdown, stranding the filter ABOVE the join where BOTH same-id
+    // coverings are in scope — pruning with the OTHER side's covering
+    // would silently drop rows. The alignment walk rejects bbox (left)
+    // and accepts b2 (g2's own side), so the rule adds exactly the sound
+    // covering's conjuncts at the stranded filter.
     val joined = l.join(r, col("id") === col("rid"), "left_outer")
+      .withColumn("tag", rand(7))
       .filter(geo.st_intersects(col("g2"), geo.st_makeenvelope(-60, -30, 60, 30)))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert("""b2#\d+\.xmax""".r.findFirstIn(optimized).isDefined,
+      s"expected g2's own covering (b2) in the rewrite:\n$optimized")
+    assert("""bbox#\d+\.xmax""".r.findFirstIn(optimized).isEmpty,
+      s"left side's same-id covering must NOT prune g2's filter:\n$optimized")
     val want = l.join(r, col("id") === col("rid"), "left_outer")
       .filter(col("b2.xmax") >= -60 && col("b2.xmin") <= 60 &&
+        col("b2.ymax") >= -30 && col("b2.ymin") <= 30).count()
+    assert(joined.count() == want, s"got ${joined.count()}, want $want")
+  }
+
+  test("post-join filter on BOTH sides' geometries prunes both scans") {
+    GraftExtensions.install(spark)
+    val out1 = writtenTable()
+    val out2 = writtenTable()
+    val l = spark.read.parquet(out1)
+    val r = spark.read.parquet(out2).select(col("id").as("rid"),
+      col("geometry").as("g2"), col("bbox").as("b2"))
+    val env = geo.st_makeenvelope(-60, -30, 60, 30)
+    val joined = l.join(r, col("id") === col("rid"))
+      .filter(geo.st_intersects(col("geometry"), env) &&
+        geo.st_intersects(col("g2"), env))
+    // inner join: Catalyst pushes each side's conjunct below the join,
+    // each side's filter resolves its OWN covering -> both scans carry
+    // bbox pushed filters
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.split("PushedFilters").count(_.contains("xmax")) >= 2,
+      s"both scans should carry bbox pushed filters:\n${physical.take(3000)}")
+    val want = l.filter(col("bbox.xmax") >= -60 && col("bbox.xmin") <= 60 &&
+        col("bbox.ymax") >= -30 && col("bbox.ymin") <= 30)
+      .join(r.filter(col("b2.xmax") >= -60 && col("b2.xmin") <= 60 &&
+        col("b2.ymax") >= -30 && col("b2.ymin") <= 30),
+        col("id") === col("rid")).count()
+    assert(joined.count() == want, s"got ${joined.count()}, want $want")
+  }
+
+  test("filter stranded above a FULL OUTER join still gets both " +
+      "coverings' scalar conjuncts (pair alignment across the join)") {
+    GraftExtensions.install(spark)
+    val out1 = writtenTable()
+    val out2 = writtenTable()
+    val l = spark.read.parquet(out1)
+    val r = spark.read.parquet(out2).select(col("id").as("rid"),
+      col("geometry").as("g2"), col("bbox").as("b2"))
+    val env = geo.st_makeenvelope(-60, -30, 60, 30)
+    // the rand() sample tag blocks predicate pushdown (non-deterministic
+    // project field) and shields the full outer join from
+    // EliminateOuterJoin, so the filter stays stranded above the join —
+    // exactly the case the old join-free restriction left unrewritten
+    val joined = l.join(r, col("id") === col("rid"), "full_outer")
+      .withColumn("tag", rand(7))
+      .filter(geo.st_intersects(col("geometry"), env) &&
+        geo.st_intersects(col("g2"), env))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("FullOuter"),
+      s"premise: the join must stay full outer for the stranded case:\n$optimized")
+    assert("""bbox#\d+\.xmax""".r.findFirstIn(optimized).isDefined &&
+      """b2#\d+\.xmax""".r.findFirstIn(optimized).isDefined,
+      s"expected BOTH coverings' conjuncts above the full outer join:\n$optimized")
+    val want = l.join(r, col("id") === col("rid"), "full_outer")
+      .filter(geo.st_intersects(col("geometry"), env) &&
+        geo.st_intersects(col("g2"), env) &&
+        col("bbox.xmax") >= -60 && col("bbox.xmin") <= 60 &&
+        col("bbox.ymax") >= -30 && col("bbox.ymin") <= 30 &&
+        col("b2.xmax") >= -60 && col("b2.xmin") <= 60 &&
         col("b2.ymax") >= -30 && col("b2.ymin") <= 30).count()
     assert(joined.count() == want, s"got ${joined.count()}, want $want")
   }
