@@ -61,7 +61,15 @@ object BigramLm {
     // the model build side from ONE scan + kernel + pair exchange
     val vBr = broadcast(pairCounts
       .select(col("w2")).distinct().agg(count(lit(1)).as("__V")))
-    bg.join(pairStats.hint("shuffle_hash"), Seq("w1", "w2"))
+    // No join-strategy hint (round 12): an explicit shuffle_hash hint
+    // wins over runtime stats in JoinSelection, so it also FORCES the
+    // full per-doc bigram relation through a (w1,w2) exchange when the
+    // pair model is tiny (synthetic corpora measure ~1k pairs; the
+    // probe side is 250x larger). Unhinted, AQE sizes the built model
+    // at runtime: small model -> broadcast hash join, probe side never
+    // shuffles; big model (the 100 TB case) -> shuffled join on
+    // (w1,w2), Zipf heads spread over the w2 fan-out as before.
+    bg.join(pairStats, Seq("w1", "w2"))
       .crossJoin(vBr)
       .groupBy(keyCols: _*)
       .agg(sum(col("c")).as("n_bigrams"),

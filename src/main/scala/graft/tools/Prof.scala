@@ -31,14 +31,26 @@ object Prof {
     def ranked = graft.ops.DistWindow.withGroupedRank(scored, $"lang",
       floor($"sk" / 4096L).cast("long"), Seq($"sk", $"doc_id"), "rank",
       groupTotalCol = Some("n_lang"))
+    // sub-stage decomposition of scoreDocs (the dominant phase)
+    def bg = docs
+      .select($"doc_id", $"lang", explode(graft.functions.SketchExpressions
+        .bigram_counts($"text")).as("b"))
+      .select($"doc_id", $"lang", $"b.w1".as("w1"), $"b.w2".as("w2"),
+        $"b.c".as("c"))
+    def pairCounts = bg.groupBy($"w1", $"w2").agg(sum($"c").as("c2"))
+    def pairStats = pairCounts.withColumn("c1",
+      sum($"c2").over(org.apache.spark.sql.expressions.Window.partitionBy($"w1")))
     for (r <- 1 to 3) {
+      t(s"run$r: bg kernel only")(force(bg))
+      t(s"run$r: pairCounts")(force(pairCounts))
+      t(s"run$r: pairStats")(force(pairStats))
       t(s"run$r: scoreDocs")(force(scored))
       t(s"run$r: + grouped rank")(force(ranked))
       val q = graft.SparkEntry.queries("q106_ppl_buckets")
       t(s"run$r: full q106")(force(q(spark, sfDir)))
-      val q92 = graft.SparkEntry.queries("q92_bigram_lm")
-      t(s"run$r: q92 for reference")(force(q92(spark, sfDir)))
     }
+    println("[prof] rows: bg=" + bg.count() + " pairs=" + pairCounts.count() +
+      " docs=" + docs.count())
     spark.stop()
   }
 }
