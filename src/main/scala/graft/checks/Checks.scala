@@ -228,13 +228,15 @@ object Checks {
   }
 
   /** Check 1.1-8 (`core/validate.py:1059-1091`): extension should be
-    * `.parquet`; `.geoparquet` and anything else warn. Directories (part
-    * datasets) are exempt — their parts are `.parquet` by construction.
+    * `.parquet`; `.geoparquet` and anything else — including NO
+    * extension — warns, matching the reference's behavior for any
+    * non-.parquet suffix. Directories (part datasets) are exempt via
+    * the caller's isFile gate, never here: a dot-less name that reaches
+    * this check is a real extensionless FILE.
     */
   private[graft] def extensionFindings(path: String): Seq[Finding] = {
     val name = path.stripSuffix("/").split('/').last
-    if (!name.contains('.')) Nil // directory or extensionless dataset root
-    else if (name.toLowerCase.endsWith(".parquet")) Nil
+    if (name.toLowerCase.endsWith(".parquet")) Nil
     else if (name.toLowerCase.endsWith(".geoparquet"))
       Seq(Finding("warn", "extension",
         "file extension is .geoparquet — GeoParquet 1.1 recommends .parquet"))

@@ -190,16 +190,19 @@ object Ann {
     // empty eval set: array_max over an empty array is NULL, which makes
     // BOTH `sim < T` (keep-clean) and `sim >= T` (flag) silently select
     // nothing — pin to the cosine floor so filters behave and the
-    // annotation reads "similar to nothing"
+    // annotation reads "similar to nothing". The pin is gated on the
+    // eval set actually being empty (NOT a blanket coalesce): a corpus
+    // row whose VECTOR is null must keep a null sim — "similar to
+    // nothing" would sneak an unembeddable row past a sim<T keep-clean
+    // filter that null correctly excludes.
     corpus.crossJoin(broadcast(evs))
       .withColumn("__vn", sqrt(dot(col(vecCol), col(vecCol))))
-      .withColumn(simCol, coalesce(
-        array_max(transform(col("__evs"), q =>
+      .withColumn(simCol, when(size(col("__evs")) === 0, lit(-100000L))
+        .otherwise(array_max(transform(col("__evs"), q =>
           round(nanvl(
             when(col("__vn") * q("n") === 0.0, 0.0)
               .otherwise(dot(col(vecCol), q("v")) / (col("__vn") * q("n"))),
-            lit(0.0)) * 1e5).cast("long"))),
-        lit(-100000L)))
+            lit(0.0)) * 1e5).cast("long")))))
       .drop("__evs", "__vn")
   }
 

@@ -10,10 +10,15 @@ import org.apache.spark.sql.types._
   * batch functions over the binary payloads (the Scala analogue of a
   * Pandas-UDF-over-mapInPandas pipeline).
   *
-  * The actual codecs are NOT available in this container, so
-  * `decodeStub` produces a deterministic fake decode — the Spark-side
-  * contract (schema, batching, partition locality, null behavior) is
-  * real and tested; swapping in a real codec is a one-function change.
+  * Codec architecture: this file carries its OWN pure-JVM codecs for
+  * the formats the pipeline exercises — PNG encode/decode
+  * ([[encodeRgbPng]]/[[parsePngRgb]]), GIF frame extraction
+  * ([[parseGifGrayFrames]]), and WAV PCM16 ([[parseWavPcm16]]) — so
+  * image/audio/video feature extraction (pHash, scene cuts, audio
+  * gates) runs on real decoded samples. [[decodeStub]] remains only as
+  * the clearly-marked fallback for payloads no JVM codec here covers
+  * (exotic AV containers), keeping the Spark-side contract (schema,
+  * batching, partition locality, null behavior) total over any input.
   */
 object Multimodal {
 

@@ -72,7 +72,7 @@ object AuditQueries {
       },
       Some(raw"""WITH ${GovernanceQueries.entropyCtes},
         base AS (SELECT d.doc_id, d.source,
-            md5(trim(regexp_replace(regexp_replace(lower(text),
+            md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
             CAST(ROUND(COALESCE(e0.ent, 0.0) * 1000000.0) AS BIGINT) AS em
           FROM documents d LEFT JOIN e0 ON d.doc_id = e0.doc_id),
@@ -778,7 +778,7 @@ object AuditQueries {
       },
       Some(raw"""WITH ${GovernanceQueries.entropyCtes},
         base AS (SELECT d.doc_id, d.lang, d.source, d.text,
-            md5(trim(regexp_replace(regexp_replace(lower(text),
+            md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
             CAST(ROUND(COALESCE(e0.ent, 0.0) * 1000000.0) AS BIGINT) AS em
           FROM documents d LEFT JOIN e0 ON d.doc_id = e0.doc_id),
@@ -1168,8 +1168,11 @@ object AuditQueries {
           .select($"source", $"doc_id",
             regexp_count($"text", lit("\\S+"))
               .cast("long").as("len"),
-            round(element_at(graft.functions.SketchExpressions
-              .char_entropy(lower(coalesce($"text", lit("")))), 2) * 1e6)
+            // two-step round(round(x,6)*1e6) — the file-wide fixed-point
+            // discipline; a one-step round(x*1e6) can differ by 1 micro
+            // at a 5e-7 boundary and flip the entropy rank
+            round(round(element_at(graft.functions.SketchExpressions
+              .char_entropy(lower(coalesce($"text", lit("")))), 2), 6) * 1e6)
               .cast("long").as("em"))
         // PARALLEL ranks off one checkpointed projection (the q138
         // recipe): chaining them serialized the second rank machinery

@@ -668,7 +668,7 @@ object BehaviorQueries {
             CAST(ROUND(value * 100) AS BIGINT) AS cents
           FROM events WHERE event_type = 'purchase'),
         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS campaign,
+            CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) % 10 END AS campaign,
             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS click_s
           FROM events WHERE event_type = 'click'),
         j AS (SELECT p.cents,
@@ -940,7 +940,7 @@ object BehaviorQueries {
             event_type,
             CASE WHEN event_type = 'click'
               THEN (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 100
-                + CAST(json_extract(props, '$.k') AS BIGINT) % 10
+                + CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) % 10 END
               END AS ck,
             CASE WHEN event_type = 'purchase'
               THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents

@@ -112,21 +112,18 @@ object CoreQueries {
       (s, dir) => {
         import s.implicits._
         val p = table(s, dir, "part")
-        val lon = (($"p_partkey" * 37) % 360 - 180 + ($"p_partkey" % 8) * 0.125)
-        val lat = (($"p_partkey" * 91) % 180 - 90 + ($"p_partkey" % 4) * 0.25)
-        p.withColumn("g", geo.st_point(lon, lat))
+        p.withColumn("g", geo.st_point(Coords.lon($"p_partkey"),
+            Coords.lat($"p_partkey")))
           .filter(geo.st_intersects($"g", geo.st_makeenvelope(-90, -45, 90, 45)))
           .select($"p_partkey", geo.st_x($"g").as("x"), geo.st_y($"g").as("y"))
           .orderBy($"p_partkey")
       },
-      Some("""SELECT p_partkey,
-        CAST((p_partkey * 37) % 360 - 180 + (p_partkey % 8) * 0.125 AS DOUBLE) AS x,
-        CAST((p_partkey * 91) % 180 - 90 + (p_partkey % 4) * 0.25 AS DOUBLE) AS y
+      Some(s"""SELECT p_partkey,
+        ${Coords.lonSql("p_partkey")} AS x,
+        ${Coords.latSql("p_partkey")} AS y
         FROM part
-        WHERE ((p_partkey * 37) % 360 - 180 + (p_partkey % 8) * 0.125)
-            BETWEEN -90 AND 90
-          AND ((p_partkey * 91) % 180 - 90 + (p_partkey % 4) * 0.25)
-            BETWEEN -45 AND 45
+        WHERE ${Coords.lonSql("p_partkey")} BETWEEN -90 AND 90
+          AND ${Coords.latSql("p_partkey")} BETWEEN -45 AND 45
         ORDER BY p_partkey""")),
 
     // ---- window-equivalent: partitioned top-k (SURVEY §2.5) ------------

@@ -542,7 +542,7 @@ object GovernanceQueries {
               .as("avg_complete_sec"))
       },
       Some(raw"""WITH e AS (SELECT user_id, event_type,
-            epoch_us(ts) AS us FROM events),
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         u AS (SELECT user_id,
             MIN(us) FILTER (WHERE event_type = 'view') AS t1,
             list(us) FILTER (WHERE event_type = 'click') AS bs,

@@ -20,8 +20,19 @@ object JoinQueries {
     * physical type the file carries.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, dir, "events")
+    // Probe WITHOUT the legacy flag first: nanosAsLong is session-global
+    // and silently changes how every later parquet read in the session
+    // treats TIMESTAMP(NANOS) columns, so it is set only when this
+    // file's schema inference actually demands it. Once set it must
+    // STAY set for the session — the scan re-reads the conf at physical
+    // planning, so a save/restore around the (lazy) read would break
+    // the eventual execution.
+    val raw = try table(s, dir, "events") catch {
+      case e: Throwable if e.getMessage != null &&
+          e.getMessage.toUpperCase.contains("NANOS") =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        table(s, dir, "events")
+    }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer division: ns values ~1.7e18 exceed double's 2^53
@@ -195,7 +206,7 @@ object JoinQueries {
           .sortBounded($"event_type")
       },
       Some("""WITH e AS (SELECT event_type,
-            CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+            CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k FROM events)
         SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
           MIN(k) AS min_k, MAX(k) AS max_k,
           CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high

@@ -25,9 +25,15 @@ object QueryDef {
     * toll that a real deployment pays once. (Data is NOT cached; only
     * the relation/plan node.)
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict relations owned by stopped sessions first: a (session, path)
+    // key would otherwise pin the stopped session's whole object graph
+    // (catalog, analyzed plans) for the JVM lifetime in any long-lived
+    // process that cycles sessions (test suites, multi-sf drivers)
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   /** Deterministic sort for a BOUNDED final result. A trailing `orderBy`
     * pays a range-boundary sampling job plus a range exchange even for a

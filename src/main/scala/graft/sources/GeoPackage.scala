@@ -202,12 +202,31 @@ object GeoPackage {
   private def columnsFromSql(sql: String): Seq[String] =
     columnDecls(sql).map(declName)
 
-  /** Index of the INTEGER PRIMARY KEY column (the rowid alias SQLite
-    * stores as NULL), or -1. */
-  private def rowidAliasIndex(sql: String): Int =
+  /** Declaration tail after the (quote-aware) column name. */
+  private def declTail(p: String): String = p.headOption match {
+    case Some(q @ ('"' | '`')) =>
+      val end = p.indexOf(q, 1)
+      if (end > 0) p.substring(end + 1) else ""
+    case Some('[') =>
+      val end = p.indexOf(']', 1)
+      if (end > 0) p.substring(end + 1) else ""
+    case _ =>
+      val m = "\\s".r.findFirstMatchIn(p)
+      m.map(x => p.substring(x.start)).getOrElse("")
+  }
+
+  /** Index of the rowid-alias column (the one SQLite stores as NULL),
+    * or -1. Per SQLite's rowid rules the declared TYPE must be exactly
+    * INTEGER and the column-level PRIMARY KEY must not be DESC
+    * ("x INTEGER PRIMARY KEY DESC" stores REAL values, it is NOT an
+    * alias). Matching the declaration TAIL (not the whole decl) keeps a
+    * CHECK expression that merely mentions both words from matching,
+    * and the contiguous PRIMARY\s+KEY phrase is required. */
+  private val RowidAliasTail =
+    """(?is)^INTEGER\b.*\bPRIMARY\s+KEY(?!\s+DESC\b).*""".r
+  private[graft] def rowidAliasIndex(sql: String): Int =
     columnDecls(sql).indexWhere { d =>
-      val u = d.toUpperCase
-      u.contains("INTEGER") && u.contains("PRIMARY KEY")
+      RowidAliasTail.matches(declTail(d).trim)
     }
 
   /** GPKG geometry blob ("GP" header + envelope + WKB). A NULL stored

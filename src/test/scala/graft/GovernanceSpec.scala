@@ -70,6 +70,30 @@ class GovernanceSpec extends AnyFunSuite {
     // anti-parallel to e2 gives -1e5; vs e1 gives 0 -> max is 0
   }
 
+  test("semanticDecontam: null corpus vector keeps a NULL sim (not the " +
+      "empty-eval pin) so keep-clean filters exclude it") {
+    val corpus = Seq((1L, Some(Array(1.0f, 0.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val ev = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Ann.semanticDecontam(corpus, ev, "embedding")
+    val byId = out.select($"vec_id", $"max_sim_u").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId(1L).contains(100000L))
+    assert(byId(2L).isEmpty,
+      "a row that can't be embedded must not read as 'similar to nothing'")
+    // and the unembeddable row passes NEITHER side of a threshold split
+    assert(out.filter($"max_sim_u" < 50000L).count() == 0L ||
+      !out.filter($"max_sim_u" < 50000L).collect().exists(_.getLong(0) == 2L))
+    assert(!out.filter($"max_sim_u" >= 50000L).collect()
+      .exists(_.getLong(0) == 2L))
+    // the empty-eval pin still fires for rows WITH vectors
+    val pinned = graft.ops.Ann.semanticDecontam(
+      corpus, ev.limit(0), "embedding")
+      .select($"vec_id", $"max_sim_u").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(pinned(1L).contains(-100000L))
+  }
+
   test("semanticDecontam rounds each pair BEFORE the max (integer max)") {
     // two eval vectors with sims straddling a rounding boundary must
     // produce exactly the max of the individually-rounded values

@@ -418,6 +418,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("gpkg rowid-alias detection follows SQLite's actual rules") {
+    import graft.sources.GeoPackage.rowidAliasIndex
+    // the classic GPKG pk IS the alias, wherever it sits
+    assert(rowidAliasIndex(
+      "CREATE TABLE t (fid INTEGER PRIMARY KEY AUTOINCREMENT, g BLOB)") == 0)
+    assert(rowidAliasIndex(
+      "CREATE TABLE t (g BLOB, id INTEGER NOT NULL PRIMARY KEY)") == 1)
+    // quoted name with spaces: the TAIL is matched, not the name
+    assert(rowidAliasIndex(
+      "CREATE TABLE t (\"zip code\" INTEGER PRIMARY KEY, v TEXT)") == 0)
+    // PRIMARY KEY DESC is NOT a rowid alias (values are stored for real
+    // — treating it as the alias would overwrite stored values' slots)
+    assert(rowidAliasIndex(
+      "CREATE TABLE t (x INTEGER PRIMARY KEY DESC, y TEXT)") == -1)
+    // declared type must be exactly INTEGER
+    assert(rowidAliasIndex(
+      "CREATE TABLE t (x INT PRIMARY KEY, y TEXT)") == -1)
+    // a CHECK expression mentioning both words must not match
+    assert(rowidAliasIndex(
+      "CREATE TABLE t (y TEXT CHECK (y <> 'INTEGER' AND y <> 'PRIMARY KEY'), z TEXT)") == -1)
+    // ASC is fine
+    assert(rowidAliasIndex(
+      "CREATE TABLE t (x INTEGER PRIMARY KEY ASC, y TEXT)") == 0)
+  }
+
   test("gpkg and fgb sinks tolerate empty inputs") {
     import graft.sources.{FlatGeobuf, GeoPackage}
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString

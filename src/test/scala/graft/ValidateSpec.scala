@@ -477,7 +477,11 @@ class ValidateSpec extends AnyFunSuite {
   test("file extension check warns on .geoparquet and unusual suffixes " +
       "(reference check 1.1-8)") {
     assert(Checks.extensionFindings("/data/a.parquet").isEmpty)
-    assert(Checks.extensionFindings("/data/partdir").isEmpty)
+    // a dot-less FILE (the caller's isFile gate exempts directories
+    // before this check) warns like any other non-.parquet suffix —
+    // reference parity: _check_file_extension warns on an empty suffix
+    assert(Checks.extensionFindings("/data/noext")
+      .exists(f => f.level == "warn" && f.message.contains("unusual")))
     assert(Checks.extensionFindings("/data/a.geoparquet")
       .exists(f => f.level == "warn" && f.message.contains(".geoparquet")))
     assert(Checks.extensionFindings("/data/a.pq")
