@@ -203,9 +203,16 @@ object ScaleCurve {
         perShard: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
       val src = spark.read.parquet(s"$baseDir/$name.parquet")
       val span = src.agg(max(col(idCol))).head().getLong(0) + 1
-      val big = (0 until factor).map(i => shifted(perShard(src, i), idCol, i, span))
-        .reduce(_ union _)
-      big.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      // write in bounded union batches: a single factor-wide union is a
+      // factor-child plan with factor distinct salt projections, whose
+      // analysis cost grows superlinearly — the ×1000 tier would spend
+      // longer planning than writing
+      (0 until factor).grouped(64).zipWithIndex.foreach { case (batch, bi) =>
+        val big = batch.map(i => shifted(perShard(src, i), idCol, i, span))
+          .reduce(_ union _)
+        big.write.mode(if (bi == 0) "overwrite" else "append")
+          .parquet(s"$outDir/$name.parquet")
+      }
     }
 
     if (picked.contains("q13_hilbert_sort")) scaleUp("customer", "c_custkey")
