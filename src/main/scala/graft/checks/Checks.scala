@@ -584,9 +584,14 @@ object Checks {
                 false
               }
             if (readable) {
-            // encoding matches data: a bounded sample must parse as WKB
+            // encoding matches data: a bounded sample must parse as WKB.
+            // st_npoints, NOT st_geometrytype: the type name is now read
+            // from the 5-byte header alone (O(1) per row), so it no
+            // longer throws on a truncated body — this probe needs a
+            // function that decodes every coordinate to certify the
+            // bytes actually parse
             try graft.util.CollectCapped(
-              t.df.select(geo.st_geometrytype(col(g.primaryColumn)))
+              t.df.select(geo.st_npoints(col(g.primaryColumn)))
                 .limit(1000), 1000, "WKB-encoding sample")
             catch {
               case e: Exception =>

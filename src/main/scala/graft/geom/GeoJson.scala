@@ -98,8 +98,14 @@ object GeoJson {
   def parseOpt(json: String): Option[Geom] =
     try Some(parse(json)) catch { case _: Exception => None }
 
-  /** Parser positioned just after START_OBJECT. */
-  private def parseObject(p: JsonParser): Geom = {
+  /** Parser positioned just after START_OBJECT. Depth-bounded like
+    * Wkb.readGeom: nested "geometries"/"geometry"/"features" recursion
+    * on hostile input would otherwise reach StackOverflowError, which
+    * escapes parseOpt's Exception catch.
+    */
+  private def parseObject(p: JsonParser, depth: Int = 0): Geom = {
+    require(depth <= Wkb.MaxNesting,
+      s"GeoJSON nesting deeper than ${Wkb.MaxNesting}")
     var typ: String = null
     var coords: Any = null // nested ArrayBuffer structure of Double
     var geometries: ArrayBuffer[Geom] = null
@@ -115,15 +121,15 @@ object GeoJson {
         case "geometries" =>
           geometries = ArrayBuffer.empty
           require(p.currentToken() == JsonToken.START_ARRAY, "geometries not array")
-          while (p.nextToken() != JsonToken.END_ARRAY) geometries += parseObject(p)
+          while (p.nextToken() != JsonToken.END_ARRAY) geometries += parseObject(p, depth + 1)
         case "geometry" =>
-          if (p.currentToken() == JsonToken.START_OBJECT) geometry = parseObject(p)
+          if (p.currentToken() == JsonToken.START_OBJECT) geometry = parseObject(p, depth + 1)
           else p.skipChildren()
         case "features" =>
           require(p.currentToken() == JsonToken.START_ARRAY, "features not array")
           var first = true
           while (p.nextToken() != JsonToken.END_ARRAY) {
-            if (first) { features = parseObject(p); first = false }
+            if (first) { features = parseObject(p, depth + 1); first = false }
             else p.skipChildren()
           }
         case _ => p.skipChildren()
@@ -147,11 +153,16 @@ object GeoJson {
     }
   }
 
-  /** Parses nested arrays of numbers into ArrayBuffer[Any]. */
-  private def parseNested(p: JsonParser): Any = p.currentToken() match {
+  /** Parses nested arrays of numbers into ArrayBuffer[Any].
+    * Depth-bounded for the same reason as parseObject (coordinates
+    * arrays legitimately nest 4 deep at most — MultiPolygon).
+    */
+  private def parseNested(p: JsonParser, depth: Int = 0): Any = p.currentToken() match {
     case JsonToken.START_ARRAY =>
+      require(depth <= Wkb.MaxNesting,
+        s"GeoJSON coordinate nesting deeper than ${Wkb.MaxNesting}")
       val buf = ArrayBuffer[Any]()
-      while (p.nextToken() != JsonToken.END_ARRAY) buf += parseNested(p)
+      while (p.nextToken() != JsonToken.END_ARRAY) buf += parseNested(p, depth + 1)
       buf
     case JsonToken.VALUE_NUMBER_FLOAT | JsonToken.VALUE_NUMBER_INT =>
       p.getDoubleValue

@@ -240,7 +240,16 @@ object H3 {
     val y = math.cos(lat) * math.sin(lng)
     val z = math.sin(lat)
     val dx = x - p(0); val dy = y - p(1); val dz = z - p(2)
-    val sqd = dx * dx + dy * dy + dz * dz
+    geoToHex2dOnFaceSqd(face, lat, lng, res, dx * dx + dy * dy + dz * dz)
+  }
+
+  /** Same, with the face-center squared chord distance already in hand —
+    * the per-row path computes it in [[nearestFaceSqd]]; recomputing the
+    * point's 3D vector and the distance here doubled the trig per call
+    * (h3lib's _geoToClosestFace returns sqd for exactly this reason).
+    */
+  private def geoToHex2dOnFaceSqd(face: Int, lat: Double, lng: Double,
+      res: Int, sqd: Double): (Double, Double) = {
     var r = math.acos(math.max(-1.0, math.min(1.0, 1.0 - sqd / 2.0)))
     if (r < Eps) return (0.0, 0.0)
     var theta = posAngle(faceAzI(face) -
@@ -253,8 +262,8 @@ object H3 {
     (r * math.cos(theta), r * math.sin(theta))
   }
 
-  /** nearest face to a geo point. */
-  private def nearestFace(lat: Double, lng: Double): Int = {
+  /** nearest face to a geo point, plus its squared chord distance. */
+  private def nearestFaceSqd(lat: Double, lng: Double): (Int, Double) = {
     val x = math.cos(lat) * math.cos(lng)
     val y = math.cos(lat) * math.sin(lng)
     val z = math.sin(lat)
@@ -267,8 +276,12 @@ object H3 {
       if (sqd < bestSqd) { bestSqd = sqd; best = f }
       f += 1
     }
-    best
+    (best, bestSqd)
   }
+
+  /** nearest face to a geo point. */
+  private def nearestFace(lat: Double, lng: Double): Int =
+    nearestFaceSqd(lat, lng)._1
 
   /** hex2d -> nearest hex cell IJK (published H3 rounding). */
   private def hex2dToIjk(xIn: Double, yIn: Double): Array[Int] = {
@@ -336,21 +349,68 @@ object H3 {
     if (d == to) r else -1
   }
 
-  /** packed (bc << 3 | ccwRot60) for each face and i,j,k in 0..2.
-    *
-    * Built in three phases: (1) each slot's base cell by nearest-center
-    * matching (inverse projection of the slot vs the 122 home-derived
-    * centers — robust, centers are ≥ 0.17 rad apart); (2) hexagon slot
-    * rotations from res-0 neighbor topology (which neighboring base cell
-    * lies in each hex direction, seen from both frames — pure table
-    * lookups, no cross-face projection); (3) pentagon slot rotations by
-    * searching the rotation assignment under which sample rings around
-    * the pentagon's vertex tile into exactly the 6 valid children with
-    * contiguous arcs at res 1 and 2 (wrong rotations tear the tiling).
+  /** packed (bc << 3 | ccwRot60) for each face and i,j,k in 0..2 —
+    * derived by [[deriveTable]], pinned as a constant: the derivation costs
+    * ~10^5 trial projections plus pentagon ring searches at class init
+    * (paid per executor JVM on the codegen'd expression path), and any
+    * floating-point environment where one of its require()s trips
+    * would surface as ExceptionInInitializerError killing every H3
+    * query. H3Spec re-derives the table and asserts it matches this
+    * constant, so the derivation machinery remains the checked source
+    * of truth without riding the hot path.
     */
-  private val fijkBaseCell: Array[Int] = buildTable()
+  private val fijkBaseCell: Array[Int] =
+    (
+      "128 144 192 264 240 259 393 387 403 64 45 85 176 128 144 329 264 240 " +
+      "32 5 21 121 64 45 249 176 128 16 48 112 80 88 139 193 187 203 0 13 " +
+      "77 40 16 48 145 80 88 33 29 61 65 0 13 129 40 16 56 168 304 72 152 " +
+      "275 113 163 291 24 109 237 8 56 168 49 72 152 34 101 213 1 24 109 17 " +
+      "8 56 208 336 464 232 344 499 305 379 515 96 229 357 104 208 336 169 " +
+      "232 344 35 125 253 25 96 229 57 104 208 248 328 392 352 424 491 465 " +
+      "523 603 120 181 269 224 248 328 337 352 424 36 69 133 97 120 181 209 " +
+      "224 248 400 384 395 256 243 267 195 147 131 560 536 531 419 400 384 " +
+      "299 256 243 664 699 683 595 560 536 459 419 400 200 184 195 136 91 " +
+      "83 115 51 19 360 312 299 283 200 184 219 136 91 504 475 459 451 360 " +
+      "312 371 283 200 288 160 115 272 155 75 307 171 59 440 320 219 435 " +
+      "288 160 411 272 155 576 483 371 587 440 320 571 435 288 512 376 307 " +
+      "496 347 235 467 339 211 672 552 411 659 512 376 611 496 347 776 715 " +
+      "571 787 672 552 771 659 512 600 520 467 488 427 355 395 331 251 752 " +
+      "688 611 651 600 520 531 488 427 856 835 771 811 752 688 683 651 600 " +
+      "456 472 507 592 627 635 667 739 763 296 315 363 416 456 472 563 592 " +
+      "627 192 187 203 259 296 315 403 416 456 368 480 579 448 547 643 507 " +
+      "619 723 216 323 443 280 368 480 363 448 547 112 163 291 139 216 323 " +
+      "203 280 368 568 712 779 584 731 827 579 707 843 408 555 675 432 568 " +
+      "712 443 584 731 304 379 515 275 408 555 291 432 568 768 832 859 784 " +
+      "883 923 779 891 955 608 691 755 656 768 832 675 784 883 464 523 603 " +
+      "499 608 691 515 656 768 680 696 667 808 819 803 859 899 915 528 539 " +
+      "563 648 680 696 755 808 819 392 387 403 491 528 539 603 648 680 760 " +
+      "736 664 632 624 595 505 475 459 872 864 805 745 760 736 617 632 624 " +
+      "940 949 917 849 872 864 721 745 760 720 616 504 640 544 451 577 483 " +
+      "371 848 744 637 793 720 616 705 640 544 939 877 765 905 848 744 841 " +
+      "793 720 840 704 576 824 728 587 777 715 571 904 792 645 929 840 704 " +
+      "889 824 728 938 853 725 969 904 792 953 929 840 952 888 776 920 880 " +
+      "787 857 835 771 968 928 829 961 952 888 897 920 880 937 909 845 945 " +
+      "968 928 913 961 952 912 896 856 800 816 811 665 699 683 944 960 925 " +
+      "865 912 896 737 800 816 936 973 957 873 944 960 761 865 912 "
+    ).trim.split(' ').map(_.toInt)
 
-  private def buildTable(): Array[Int] = {
+
+  /** test access: H3Spec pins deriveTable() == this constant. */
+  private[graft] def pinnedTable: Array[Int] = fijkBaseCell
+
+  /** Re-derives [[fijkBaseCell]] in three phases: (1) each slot's base
+    * cell by nearest-center matching (inverse projection of the slot vs
+    * the 122 home-derived centers — robust, centers are ≥ 0.17 rad
+    * apart); (2) hexagon slot rotations from res-0 neighbor topology
+    * (which neighboring base cell lies in each hex direction, seen from
+    * both frames — pure table lookups, no cross-face projection); (3)
+    * pentagon slot rotations by searching the rotation assignment under
+    * which sample rings around the pentagon's vertex tile into exactly
+    * the 6 valid children with contiguous arcs at res 1 and 2 (wrong
+    * rotations tear the tiling). Test-only at runtime: H3Spec asserts
+    * derived == pinned.
+    */
+  private[graft] def deriveTable(): Array[Int] = {
     val centers = Array.tabulate(122)(baseCellCenter)
     // sanity: base-cell centers are pairwise distinct on the sphere
     for (a <- 0 until 122; b <- (a + 1) until 122) {
@@ -613,8 +673,8 @@ object H3 {
     */
   private def latLngToCellImpl(lat: Double, lng: Double, res: Int,
       table: Array[Int]): Long = {
-    val face = nearestFace(lat, lng)
-    val (x, y) = geoToHex2dOnFace(face, lat, lng, res)
+    val (face, sqd) = nearestFaceSqd(lat, lng)
+    val (x, y) = geoToHex2dOnFaceSqd(face, lat, lng, res, sqd)
     var ijk = hex2dToIjk(x, y)
 
     var h = initIndex(res)

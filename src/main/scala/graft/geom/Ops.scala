@@ -289,19 +289,150 @@ object Ops {
     pa.polys.exists(p1 => pb.polys.exists(p2 => polyPolyIntersects(p1, p2)))
   }
 
-  /** `a` contains `b`: every point of b within a (polygon containment
-    * approximated: all vertices of b inside a and no edge of b crossing
-    * outside — sufficient for convex-ish test data; documented limit).
+  /** Segments properly cross: intersection strictly interior to both
+    * (touching an endpoint or collinear overlap is NOT a proper cross).
+    */
+  @inline private def properCross(x1: Double, y1: Double, x2: Double,
+      y2: Double, x3: Double, y3: Double, x4: Double, y4: Double): Boolean = {
+    val d1 = orient(x3, y3, x4, y4, x1, y1)
+    val d2 = orient(x3, y3, x4, y4, x2, y2)
+    val d3 = orient(x1, y1, x2, y2, x3, y3)
+    val d4 = orient(x1, y1, x2, y2, x4, y4)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  /** `a` contains `b`: every vertex of b inside a, no edge of b
+    * properly crossing a ring of a, every edge midpoint of b inside a
+    * (catches collinear passes through concave notches that cross no
+    * edge properly), and no hole of a whose interior b's interior
+    * overlaps (probed at a strict-interior point of the hole). A
+    * structurally non-empty b that contributes zero coordinates (e.g.
+    * a MultiPoint of empty points) is NOT contained — the vacuous
+    * all-vertices-pass must not read as true.
+    *
+    * Boundary semantics are DELIBERATELY closed-set (ST_Covers-like on
+    * boundary-only intersections): a point or edge of b lying ON a's
+    * boundary counts as contained. q17's oracle equates st_contains on
+    * an envelope with the inclusive >=/<= range filter, and GeomSpec
+    * pins boundary-point containment — flipping to DE-9IM ST_Contains
+    * (interior-intersection required) would break that contract; if
+    * you change this, change the q17 predicate AND its oracle together.
+    * Still an approximation of full DE-9IM relate (documented limit),
+    * but exact for the concave/hole cases a vertex-only test got wrong.
     */
   def contains(a: Geom, b: Geom): Boolean = {
     if (a.isEmpty || b.isEmpty) return false
     val pa = decompose(a)
     if (pa.polys.isEmpty) return false
+    var any = false
     var all = true
     b.foreachCoord { (x, y) =>
+      any = true
       if (all && !pa.polys.exists(p => pointInPolygon(x, y, p))) all = false
     }
-    all
+    if (!any || !all) return false
+    val pb = decompose(b)
+    val bSegs = pb.lines ++ pb.polys.flatMap(_.rings)
+    val aRings = pa.polys.flatMap(_.rings)
+    var k = 0
+    while (k < bSegs.length) {
+      val l = bSegs(k)
+      var i = 0
+      while (i < l.size - 1) {
+        val x1 = l.xs(i); val y1 = l.ys(i)
+        val x2 = l.xs(i + 1); val y2 = l.ys(i + 1)
+        var r = 0
+        while (r < aRings.length) {
+          val rr = aRings(r)
+          var j = 0
+          while (j < rr.size - 1) {
+            if (properCross(x1, y1, x2, y2, rr.xs(j), rr.ys(j),
+                rr.xs(j + 1), rr.ys(j + 1))) return false
+            j += 1
+          }
+          r += 1
+        }
+        val mx = (x1 + x2) / 2; val my = (y1 + y2) / 2
+        if (!pa.polys.exists(p => pointInPolygon(mx, my, p))) return false
+        i += 1
+      }
+      k += 1
+    }
+    // A hole of a whose INTERIOR b's interior overlaps means b covers
+    // ground a excludes. Probe a strict-interior point of the hole
+    // (vertex tests alone miss b EXACTLY filling the hole — every hole
+    // vertex then lies ON b's boundary). pointInPolygon(probe, bp) is
+    // already hole-aware on b's side, so a donut-in-donut containment
+    // (b's own hole covering a's hole) correctly passes.
+    if (pb.polys.nonEmpty) {
+      var pi = 0
+      while (pi < pa.polys.length) {
+        val p = pa.polys(pi)
+        var hi = 1
+        while (hi < p.rings.length) {
+          val h = p.rings(hi)
+          interiorPoint(h) match {
+            case Some((hx, hy)) =>
+              if (pb.polys.exists(bp => pointInPolygon(hx, hy, bp) &&
+                  !bp.rings.exists(r => onRingBoundary(hx, hy, r))))
+                return false
+            case None => // degenerate hole (no measurable interior)
+          }
+          hi += 1
+        }
+        pi += 1
+      }
+    }
+    true
+  }
+
+  /** A point strictly inside ring `h` (not on its boundary), or None
+    * for degenerate rings. Tries the shoelace centroid, then the vertex
+    * mean, then perpendicular nudges off each edge midpoint — enough
+    * for any ring with nonzero area.
+    */
+  private def interiorPoint(h: CoordSeq): Option[(Double, Double)] = {
+    if (h.size < 4) return None
+    @inline def strictIn(x: Double, y: Double): Boolean =
+      pointInRing(x, y, h) && !onRingBoundary(x, y, h)
+    // shoelace centroid
+    var a2 = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < h.size - 1) {
+      val cr = h.xs(i) * h.ys(i + 1) - h.xs(i + 1) * h.ys(i)
+      a2 += cr
+      cx += (h.xs(i) + h.xs(i + 1)) * cr
+      cy += (h.ys(i) + h.ys(i + 1)) * cr
+      i += 1
+    }
+    if (a2 != 0.0) {
+      val px = cx / (3.0 * a2); val py = cy / (3.0 * a2)
+      if (strictIn(px, py)) return Some((px, py))
+    }
+    // vertex mean
+    var sx = 0.0; var sy = 0.0
+    i = 0
+    while (i < h.size - 1) { sx += h.xs(i); sy += h.ys(i); i += 1 }
+    val mx = sx / (h.size - 1); val my = sy / (h.size - 1)
+    if (strictIn(mx, my)) return Some((mx, my))
+    // perpendicular nudges off edge midpoints (concave slivers)
+    i = 0
+    while (i < h.size - 1) {
+      val ex = h.xs(i + 1) - h.xs(i); val ey = h.ys(i + 1) - h.ys(i)
+      val len = math.hypot(ex, ey)
+      if (len > 0) {
+        val midx = (h.xs(i) + h.xs(i + 1)) / 2
+        val midy = (h.ys(i) + h.ys(i + 1)) / 2
+        val d = len * 1e-6
+        val c1x = midx - ey / len * d; val c1y = midy + ex / len * d
+        if (strictIn(c1x, c1y)) return Some((c1x, c1y))
+        val c2x = midx + ey / len * d; val c2y = midy - ex / len * d
+        if (strictIn(c2x, c2y)) return Some((c2x, c2y))
+      }
+      i += 1
+    }
+    None
   }
 
   /** Euclidean distance between nearest points (0 when intersecting). */
@@ -382,12 +513,29 @@ object Ops {
 
   private def ringSelfIntersects(r: CoordSeq): Boolean = {
     val n = r.size - 1 // closed
+    // adjacent segments share an endpoint legitimately, but must not
+    // double back over each other: a spike like (0 0,2 0,1 0,0 0) is
+    // collinear at the shared vertex with both neighbors on the SAME
+    // side — self-intersecting even though no non-adjacent pair
+    // crosses. (A straight-through collinear vertex has the neighbors
+    // on opposite sides: valid, just redundant.) Includes the pair
+    // wrapping through the closing vertex.
     var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ax = r.xs(i); val ay = r.ys(i)
+      val bx = r.xs(j); val by = r.ys(j) // shared vertex
+      val cx = r.xs((j + 1) % n); val cy = r.ys((j + 1) % n)
+      if (orient(ax, ay, bx, by, cx, cy) == 0 &&
+          (ax - bx) * (cx - bx) + (ay - by) * (cy - by) > 0) return true
+      i += 1
+    }
+    i = 0
     while (i < n) {
       var j = i + 2
       while (j < n) {
-        // skip adjacent segments (they share an endpoint) and the
-        // first/last pair which share the closing vertex
+        // non-adjacent pairs; (0, n-1) share the closing vertex and got
+        // the spike check above
         if (!(i == 0 && j == n - 1)) {
           if (segIntersects(r.xs(i), r.ys(i), r.xs(i + 1), r.ys(i + 1),
               r.xs(j), r.ys(j), r.xs(j + 1), r.ys(j + 1))) return true

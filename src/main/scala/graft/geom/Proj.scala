@@ -459,7 +459,22 @@ object Proj {
       if (id != null && id.get("code") != null) {
         val code = id.get("code")
         if (code.isNumber) return code.asInt
-        else return code.asText.toInt
+        val codeTxt = code.asText.trim
+        if (codeTxt.nonEmpty && codeTxt.forall(_.isDigit))
+          return codeTxt.toInt
+        // non-numeric authority codes: the GeoParquet spec's DEFAULT
+        // CRS document carries id {"authority":"OGC","code":"CRS84"} —
+        // toInt here used to throw, and the throw made the single most
+        // common CRS in the wild read as unsupported (the name fallback
+        // below was unreachable whenever an id was present)
+        val auth = Option(id.get("authority"))
+          .map(_.asText.toUpperCase).getOrElse("")
+        (auth, codeTxt.toUpperCase) match {
+          case ("OGC", "CRS84") => return 4326
+          case ("OGC", "CRS83") => return 4269 // NAD83 lon-lat
+          case ("OGC", "CRS27") => return 4267 // NAD27 lon-lat
+          case _ => () // fall through to the geographic-name heuristic
+        }
       }
       val name = Option(node.get("name")).map(_.asText.toUpperCase).getOrElse("")
       // the name fallback must only apply to GEOGRAPHIC CRSs — a

@@ -39,7 +39,17 @@ object Wkb {
   def readOpt(bytes: Array[Byte]): Option[Geom] =
     try Some(read(bytes)) catch { case _: Exception => None }
 
-  private def readGeom(buf: ByteBuffer): Geom = {
+  /** Nesting bound for recursive GEOMETRYCOLLECTION parsing: real data
+    * nests a handful of levels; a corrupt blob of repeated collection
+    * headers would otherwise recurse to StackOverflowError, an Error
+    * that escapes readOpt's Exception catch and kills the Spark task
+    * instead of skipping the row. Shared by the WKT and GeoJSON
+    * parsers (same recursive shape).
+    */
+  private[geom] val MaxNesting = 64
+
+  private def readGeom(buf: ByteBuffer, depth: Int = 0): Geom = {
+    require(depth <= MaxNesting, s"WKB nesting deeper than $MaxNesting")
     val order = buf.get() match {
       case 0 => ByteOrder.BIG_ENDIAN
       case 1 => ByteOrder.LITTLE_ENDIAN
@@ -86,19 +96,19 @@ object Wkb {
       case 4 =>
         val n = buf.getInt()
         require(n >= 0 && n <= buf.remaining(), s"bad multi size $n")
-        MultiPoint(Array.fill(n)(readGeom(buf).asInstanceOf[Point]))
+        MultiPoint(Array.fill(n)(readGeom(buf, depth + 1).asInstanceOf[Point]))
       case 5 =>
         val n = buf.getInt()
         require(n >= 0 && n <= buf.remaining(), s"bad multi size $n")
-        MultiLineString(Array.fill(n)(readGeom(buf).asInstanceOf[LineString]))
+        MultiLineString(Array.fill(n)(readGeom(buf, depth + 1).asInstanceOf[LineString]))
       case 6 =>
         val n = buf.getInt()
         require(n >= 0 && n <= buf.remaining(), s"bad multi size $n")
-        MultiPolygon(Array.fill(n)(readGeom(buf).asInstanceOf[Polygon]))
+        MultiPolygon(Array.fill(n)(readGeom(buf, depth + 1).asInstanceOf[Polygon]))
       case 7 =>
         val n = buf.getInt()
         require(n >= 0 && n <= buf.remaining(), s"bad collection size $n")
-        GeometryCollection(Array.fill(n)(readGeom(buf)))
+        GeometryCollection(Array.fill(n)(readGeom(buf, depth + 1)))
       case t => throw new IllegalArgumentException(s"bad WKB geometry type $t")
     }
   }
@@ -149,8 +159,36 @@ object Wkb {
     }
   }
 
-  /** Geometry type name as the reference reports it
-    * (`ST_GeometryType` style: "POINT", "POLYGON", ...).
+  /** Geometry type name as the reference reports it ("POINT",
+    * "POLYGON", ...), read from the 5-byte header only — decoding every coordinate
+    * of a large polygon to answer "what type is it" made st_geometrytype
+    * O(geometry size) per row. Same EWKB/ISO masking as readGeom; falls
+    * back to the full parse (and its malformed-input contract) when the
+    * header is short or carries an unknown code.
     */
-  def typeName(bytes: Array[Byte]): String = read(bytes).typeName
+  def typeName(bytes: Array[Byte]): String = {
+    if (bytes != null && bytes.length >= 5) {
+      val order = bytes(0) match {
+        case 0 => ByteOrder.BIG_ENDIAN
+        case 1 => ByteOrder.LITTLE_ENDIAN
+        case _ => null
+      }
+      if (order != null) {
+        val rawType = ByteBuffer.wrap(bytes, 1, 4).order(order).getInt()
+        val geomType = (rawType & 0x0FFFFFFF) % 1000
+        val name = geomType match {
+          case 1 => "POINT"
+          case 2 => "LINESTRING"
+          case 3 => "POLYGON"
+          case 4 => "MULTIPOINT"
+          case 5 => "MULTILINESTRING"
+          case 6 => "MULTIPOLYGON"
+          case 7 => "GEOMETRYCOLLECTION"
+          case _ => null
+        }
+        if (name != null) return name
+      }
+    }
+    read(bytes).typeName
+  }
 }

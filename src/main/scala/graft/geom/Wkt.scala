@@ -42,10 +42,17 @@ object Wkt {
     sb.append(")").toString
   }
 
-  /** Integral doubles print without trailing ".0" (matches DuckDB/PostGIS). */
+  /** Integral doubles print without trailing ".0", and non-integral
+    * ones as plain decimals (matches DuckDB/PostGIS ST_AsText): Java's
+    * Double.toString emits scientific notation for |x| < 1e-3 and
+    * >= 1e7 ("1.0E-5"), which strict WKT consumers reject and
+    * reference-output diffs flag. BigDecimal.valueOf keeps the same
+    * shortest-round-trip digits, just positionally.
+    */
   private def num(d: Double): String =
-    if (d == math.rint(d) && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
-    else d.toString
+    if (d.isNaN || d.isInfinite) d.toString // BigDecimal would throw
+    else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else java.math.BigDecimal.valueOf(d).stripTrailingZeros.toPlainString
 
   def parse(s: String): Geom = {
     val p = new WktParser(s)
@@ -149,6 +156,8 @@ object Wkt {
       if (peekWordIs("EMPTY")) { pos += 5; true } else false
     }
 
+    private var depth = 0
+
     def parseGeom(): Geom = {
       val t = word()
       dimTag()
@@ -215,11 +224,18 @@ object Wkt {
         case "GEOMETRYCOLLECTION" =>
           if (isEmptyTag()) GeometryCollection(Array.empty)
           else {
+            // bounded like Wkb.readGeom: unbounded recursion on a
+            // hostile "GEOMETRYCOLLECTION("*k string would reach
+            // StackOverflowError, an Error parseOpt's catch misses
+            depth += 1
+            require(depth <= Wkb.MaxNesting,
+              s"WKT nesting deeper than ${Wkb.MaxNesting}")
             expect('(')
             val gs = ArrayBuffer[Geom]()
             var cont = true
             while (cont) { gs += parseGeom(); cont = tryChar(',') }
             expect(')')
+            depth -= 1
             GeometryCollection(gs.toArray)
           }
         case other =>

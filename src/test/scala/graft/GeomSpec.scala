@@ -267,4 +267,103 @@ class GeomSpec extends AnyFunSuite {
     assert(math.abs(lon - 45.0) < 1e-6 && math.abs(lat - 60.0) < 1e-6,
       s"round-trip ($lon,$lat)")
   }
+
+  // ---- round-12 geom sweep regressions ---------------------------------
+
+  test("Proj: the GeoParquet DEFAULT CRS (OGC:CRS84 PROJJSON id) dispatches") {
+    val projjson = """{"type":"GeographicCRS","name":"WGS 84 (CRS84)",""" +
+      """"id":{"authority":"OGC","code":"CRS84"}}"""
+    assert(Proj.parseEpsg(projjson) == 4326)
+    assert(Proj.parseEpsg(
+      """{"type":"GeographicCRS","name":"NAD83",""" +
+        """"id":{"authority":"OGC","code":"CRS83"}}""") == 4269)
+  }
+
+  test("contains: concave polygon rejects a line whose middle exits") {
+    // U-shape: both endpoints inside the arms, the middle outside
+    val u = Wkt.parse(
+      "POLYGON((0 0,10 0,10 10,8 10,8 2,2 2,2 10,0 10,0 0))")
+    val cross = Wkt.parse("LINESTRING(1 5, 9 5)")
+    assert(!Ops.contains(u, cross))
+    val insideArm = Wkt.parse("LINESTRING(0.5 5, 1.5 5)")
+    assert(Ops.contains(u, insideArm))
+  }
+
+  test("contains: a line over a hole is not contained; covering the " +
+      "hole entirely is not contained") {
+    val donut = Wkt.parse(
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))")
+    assert(!Ops.contains(donut, Wkt.parse("LINESTRING(3 5, 7 5)")))
+    assert(Ops.contains(donut, Wkt.parse("LINESTRING(1 1, 3 1)")))
+    // b covers the hole: all b vertices in the shell, no edge cross
+    assert(!Ops.contains(donut, Wkt.parse("POLYGON((3 3,7 3,7 7,3 7,3 3))")))
+    // b EXACTLY fills the hole (every hole vertex ON b's boundary):
+    // interiors are disjoint — must not be contained
+    assert(!Ops.contains(donut, Wkt.parse("POLYGON((4 4,6 4,6 6,4 6,4 4))")))
+    // b corner-shares the hole but covers it: still not contained
+    assert(!Ops.contains(donut, Wkt.parse("POLYGON((4 4,8 4,8 8,4 8,4 4))")))
+    // donut-in-donut: b's own hole covers a's hole -> genuinely contained
+    assert(Ops.contains(donut, Wkt.parse(
+      "POLYGON((3 3,7 3,7 7,3 7,3 3),(3.5 3.5,6.5 3.5,6.5 6.5,3.5 6.5,3.5 3.5))")))
+  }
+
+  test("contains: structurally non-empty b with zero coordinates is false") {
+    val sq = Wkt.parse("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    assert(!Ops.contains(sq, MultiPoint(Array(Point(Double.NaN, Double.NaN)))))
+    assert(!Ops.contains(sq, GeometryCollection(
+      Array(GeometryCollection(Array.empty)))))
+  }
+
+  test("isValid: collinear spike ring is self-intersecting") {
+    // adjacent segments double back: (0 0)->(2 0)->(1 0)
+    assert(!Ops.isValid(Wkt.parse("POLYGON((0 0,2 0,1 0,0 0))")))
+    // straight-through collinear vertex stays valid (just redundant)
+    assert(Ops.isValid(Wkt.parse("POLYGON((0 0,1 0,2 0,2 2,0 2,0 0))")))
+    // straight-through collinear pass at the CLOSING vertex is valid too
+    assert(Ops.isValid(Wkt.parse("POLYGON((0 0,3 0,3 3,0 3,-2 0,0 0))")))
+  }
+
+  test("deep GEOMETRYCOLLECTION nesting returns None through the TRY " +
+      "surface instead of StackOverflowError") {
+    // WKB: repeated little-endian collection(count=1) headers
+    val depth = 100000
+    val bb = java.nio.ByteBuffer.allocate(9 * depth + 21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (1 to depth).foreach { _ => bb.put(1.toByte).putInt(7).putInt(1) }
+    bb.put(1.toByte).putInt(1).putDouble(1.0).putDouble(2.0)
+    assert(Wkb.readOpt(bb.array()).isEmpty)
+    // WKT: same shape as text
+    val wkt = "GEOMETRYCOLLECTION(" * depth + "POINT(1 2)" + ")" * depth
+    assert(Wkt.parseOpt(wkt).isEmpty)
+    // GeoJSON: nested geometries arrays
+    val json = """{"type":"GeometryCollection","geometries":[""" * depth +
+      """{"type":"Point","coordinates":[1,2]}""" + "]}" * depth
+    assert(GeoJson.parseOpt(json).isEmpty)
+    // sane nesting still parses everywhere
+    assert(Wkt.parseOpt("GEOMETRYCOLLECTION(GEOMETRYCOLLECTION(" +
+      "POINT(1 2)))").isDefined)
+  }
+
+  test("WKT printing: small/large non-integral doubles stay plain decimal") {
+    assert(Wkt.print(Point(0.00001, 0)) == "POINT (0.00001 0)")
+    assert(Wkt.print(Point(1.5e-7, 2.5)) == "POINT (0.00000015 2.5)")
+    assert(!Wkt.print(Point(12345678.9, 0)).contains("E"))
+    // non-finite ordinates print like Double.toString, never throw
+    assert(Wkt.print(LineString(CoordSeq(Array(Double.NaN, 1.0),
+      Array(5.0, Double.PositiveInfinity)))) ==
+      "LINESTRING (NaN 5, 1 Infinity)")
+  }
+
+  test("Wkb.typeName reads the header only but agrees with the full parse") {
+    val gs = Seq("POINT(1 2)", "LINESTRING(0 0,1 1)",
+      "POLYGON((0 0,1 0,1 1,0 0))", "MULTIPOINT((1 2))",
+      "GEOMETRYCOLLECTION(POINT(1 2))")
+    gs.foreach { w =>
+      val g = Wkt.parse(w)
+      assert(Wkb.typeName(Wkb.write(g)) == g.typeName, w)
+    }
+    // a truncated body with a valid header still names the type
+    val poly = Wkb.write(Wkt.parse("POLYGON((0 0,1 0,1 1,0 0))"))
+    assert(Wkb.typeName(poly.take(9)) == "POLYGON")
+  }
 }

@@ -10,6 +10,15 @@ import graft.table.GeoTable
   * invariants, and the GeoTable/SQL surface.
   */
 class H3Spec extends AnyFunSuite {
+
+  test("pinned face+IJK base-cell table matches a fresh derivation") {
+    // the table constant removed the per-JVM derivation cost from the
+    // hot path; this keeps the derivation machinery the checked source
+    // of truth (a wrong edit to either side fails here)
+    assert(graft.geom.H3.deriveTable()
+      .sameElements(graft.geom.H3.pinnedTable))
+  }
+
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

@@ -51,6 +51,21 @@ class ValidateSpec extends AnyFunSuite {
   private def errs(path: String): Seq[Checks.Finding] =
     Checks.validate(spark, path).filter(_.level == "error")
 
+  test("encoding check catches corrupt WKB that keeps a valid header") {
+    // truncated POLYGON body behind a plausible 5-byte header: the
+    // header-only st_geometrytype no longer throws on these, so the
+    // probe must use a fully-parsing expression (st_npoints)
+    import spark.implicits._
+    val good = graft.geom.Wkb.write(
+      graft.geom.Wkt.parse("POLYGON((0 0,1 0,1 1,0 0))"))
+    val out = tmp.resolve("badwkb").toString
+    Seq((1L, good.take(9))).toDF("id", "geometry").write.parquet(out)
+    poke(out, """{"version":"1.1.0","primary_column":"geometry",""" +
+      """"columns":{"geometry":{"encoding":"WKB","geometry_types":[]}}}""")
+    assert(errs(out).exists(_.check == "encoding"),
+      s"expected the WKB-encoding finding: ${errs(out)}")
+  }
+
   test("clean write validates with no errors") {
     val out = write("clean", polyTable(ccw = true))
     val f = errs(out)
