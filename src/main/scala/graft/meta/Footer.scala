@@ -72,7 +72,17 @@ object Footer {
       keyValueMeta.get(GeoMeta.FooterKey).map(GeoMeta.fromJson)
   }
 
-  private def newConf(): Configuration = new Configuration()
+  /** Default Hadoop conf for footer IO: the ACTIVE session's, when one
+    * exists — a bare `new Configuration()` ignores every fs.* setting
+    * the user put in Spark conf (s3a credentials, custom schemes), so
+    * footer reads/writes against remote filesystems failed AFTER the
+    * data was already written. Falls back to a plain Configuration in
+    * session-less contexts (unit helpers).
+    */
+  private[graft] def newConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   /** All parquet part-files under a path (single file or directory). */
   def partFiles(path: String, conf: Configuration = newConf()): Seq[Path] = {

@@ -50,6 +50,12 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
     */
   private def aligned(plan: LogicalPlan, g: Attribute, b: Attribute): Boolean =
     plan match {
+      // Expand (cube/rollup/grouping sets) is unary but NOT
+      // slot-aligned: each projection null-fills individual output
+      // slots, so a grouping set that keeps g while nulling b would
+      // turn the appended bbox conjunct null and silently drop
+      // subtotal rows the original filter keeps
+      case _: org.apache.spark.sql.catalyst.plans.logical.Expand => false
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         if (j.left.outputSet.contains(g) && j.left.outputSet.contains(b))
           aligned(j.left, g, b)

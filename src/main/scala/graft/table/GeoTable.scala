@@ -125,10 +125,21 @@ final case class GeoTable(
     }
     // the covering named in meta may have been projected away
     // (selectColumns exclude) — fall back to the slow path rather than
-    // resolve a missing column
+    // resolve a missing column. Both paths also require the covering
+    // SHAPE (struct with xmin/ymin/xmax/ymax): a payload column that
+    // merely happens to be NAMED "bounds" would otherwise throw on
+    // field extraction (string) or silently mis-filter (odd struct).
+    def bboxShaped(name: String): Boolean =
+      df.schema(name).dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          Seq("xmin", "ymin", "xmax", "ymax")
+            .forall(s.fieldNames.contains)
+        case _ => false
+      }
     val bboxCol = meta.primary.flatMap(_.coveringBbox)
-      .filter(df.columns.contains)
-      .orElse(GeoMeta.BboxNameCandidates.find(df.columns.contains))
+      .filter(df.columns.contains).filter(bboxShaped)
+      .orElse(GeoMeta.BboxNameCandidates.find(c =>
+        df.columns.contains(c) && bboxShaped(c)))
     val pred = bboxCol match {
       case Some(b) =>
         col(s"$b.xmax") >= xmin && col(s"$b.xmin") <= xmax &&
@@ -177,10 +188,15 @@ final case class GeoTable(
         geo.st_xmin(g).as("xmin"), geo.st_ymin(g).as("ymin"),
         geo.st_xmax(g).as("xmax"), geo.st_ymax(g).as("ymax")))
     val d = GeoTable.tagGeoPair(d0, geomCol, bboxCol)
-    val newMeta = meta.copy(columns = meta.columns.map { case (n, c) =>
-      if (n == meta.primaryColumn) n -> c.copy(coveringBbox = Some(bboxCol))
-      else n -> c
-    })
+    // updated, not map-over: a footer-less table has an EMPTY columns
+    // map, and mapping over it silently skipped recording the covering —
+    // files we then wrote never advertised the bbox fast path. Keyed by
+    // geomCol for the same footer-less reason as reproject.
+    val newMeta = meta.copy(primaryColumn = geomCol,
+      columns = meta.columns.updated(geomCol,
+        meta.columns.getOrElse(geomCol,
+          meta.primary.getOrElse(GeoColumnMeta()))
+          .copy(coveringBbox = Some(bboxCol))))
     copy(df = d, meta = newMeta)
   }
 
@@ -292,12 +308,19 @@ final case class GeoTable(
     // recomputes); same for a covering bbox COLUMN, which would
     // otherwise keep old-CRS values while meta still advertises it and
     // filterBbox's fast path compares new-CRS filter bounds against it
-    val newMeta = meta.primary match {
-      case Some(pc) => meta.copy(columns = meta.columns.updated(
-        meta.primaryColumn, pc.copy(crs = Some(GeoMeta.crsNode(toCrs)),
-          bbox = None)))
-      case None => meta
-    }
+    // updated with a DEFAULT entry when the footer had none (plain
+    // parquet read): silently keeping the old meta left the projected
+    // table classified geographic, so quadkey/H3 gates passed on meter
+    // coordinates and produced garbage cells with no error. Keyed by
+    // the ACTUAL geometry column (a footer-less GeoMeta defaults
+    // primaryColumn to "geometry" even when the heuristics found
+    // another name, and writeGeoFooter keys its meta.columns check on
+    // geomCol).
+    val pc0 = meta.columns.getOrElse(geomCol,
+      meta.primary.getOrElse(GeoColumnMeta()))
+    val newMeta = meta.copy(primaryColumn = geomCol,
+      columns = meta.columns.updated(geomCol,
+        pc0.copy(crs = Some(GeoMeta.crsNode(toCrs)), bbox = None)))
     val projected = copy(
       df = df.withColumn(geomCol, geo.st_transform(col(geomCol), fromCrs, toCrs)),
       meta = newMeta)
@@ -320,7 +343,11 @@ final case class GeoTable(
           max(col(f.name)).cast("string").as(s"${f.name}__max"),
           approx_count_distinct(col(f.name)).as(s"${f.name}__approx_distinct"))
       }
-    df.agg(aggs.head, aggs.tail: _*)
+    // no stat-able columns (geometry + structs only): one row count,
+    // not aggs.head on an empty array
+    if (aggs.isEmpty)
+      df.agg(org.apache.spark.sql.functions.count(lit(1)).as("rows"))
+    else df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Geometry-type profile (`core/common.py:1989-2042`). */
@@ -610,13 +637,20 @@ final case class GeoTable(
 
   private def writeGeoFooter(path: String): Unit = {
     if (geometryColumn.isDefined) {
-      val gm =
+      val gm0 =
         if (meta.columns.contains(geomCol)) meta.copy(primaryColumn = geomCol)
         else GeoMeta(version = "1.1.0", primaryColumn = geomCol,
           columns = Map(geomCol -> GeoColumnMeta(
             coveringBbox = meta.primary.flatMap(_.coveringBbox))))
-      val bboxCol = gm.primary.flatMap(_.coveringBbox)
+      val bboxCol = gm0.primary.flatMap(_.coveringBbox)
         .filter(df.columns.contains)
+      // the covering must describe a column that actually rides in the
+      // written schema: after selectColumns(exclude = bbox) the stale
+      // metadata would declare covering paths into a nonexistent column
+      // — invalid GeoParquet that spec validators reject
+      val gm = gm0.copy(columns = gm0.columns.updated(gm0.primaryColumn,
+        gm0.columns.getOrElse(gm0.primaryColumn, GeoColumnMeta())
+          .copy(coveringBbox = bboxCol)))
       Footer.writeGeoMetadata(path, gm, bboxCol)
     }
   }
@@ -943,7 +977,7 @@ object GeoTable {
     *  - "parquet-geo-only": native logical type, `geo` key dropped.
     */
   def setGeoParquetVersion(path: String, version: String): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = graft.meta.Footer.newConf() // session-aware fs settings
     val parts = Footer.partFiles(path, conf)
     require(parts.nonEmpty, s"no parquet files at $path")
     val metaVersion = version match {
@@ -998,7 +1032,7 @@ object GeoTable {
   }
 
   def addBboxMetadata(path: String): String = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = graft.meta.Footer.newConf() // session-aware fs settings
     val parts = Footer.partFiles(path, conf)
     require(parts.nonEmpty, s"no parquet files at $path")
     val info = Footer.read(parts.head, conf)
@@ -1014,13 +1048,21 @@ object GeoTable {
         }.getOrElse(throw new IllegalArgumentException(
           s"$path has no bbox struct column — use `add bbox` to add " +
             "both the column and the metadata"))
-        val updated = geoMeta.copy(columns = geoMeta.columns.map {
-          case (n, c) if n == geoMeta.primaryColumn =>
-            n -> c.copy(coveringBbox = Some(bboxCol))
-          case kv => kv
-        })
-        parts.foreach(p => Footer.withKeyValueMetadata(p,
-          Map(GeoMeta.FooterKey -> GeoMeta.toJson(updated)), conf))
+        // update each part's OWN metadata: stamping parts.head's JSON
+        // onto every file would clobber per-file keys (notably the
+        // per-file bbox a partitioned write declares) — a reader doing
+        // file-level bbox pruning would then skip files whose true
+        // extent the head's bbox doesn't cover. updated (not map) so a
+        // missing primary-column entry still gets the covering recorded.
+        parts.foreach { p =>
+          val partGeo = Footer.read(p, conf).geo.getOrElse(geoMeta)
+          val pc = partGeo.columns
+            .getOrElse(partGeo.primaryColumn, GeoColumnMeta())
+          val updated = partGeo.copy(columns = partGeo.columns.updated(
+            partGeo.primaryColumn, pc.copy(coveringBbox = Some(bboxCol))))
+          Footer.withKeyValueMetadata(p,
+            Map(GeoMeta.FooterKey -> GeoMeta.toJson(updated)), conf)
+        }
         bboxCol
     }
   }
@@ -1106,9 +1148,20 @@ object GeoTable {
     */
   def readNativeGeo(spark: SparkSession, path: String): GeoTable = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val tmp = new Path(
-      java.nio.file.Files.createTempDirectory("graft_nativegeo").toString,
-      "staged.parquet")
+    // Staging location: every EXECUTOR must be able to read it, so on a
+    // multi-node cluster set spark.graft.stagingDir to a shared
+    // filesystem path (HDFS/S3); the default driver-local tempdir only
+    // works in local mode (scheme made explicit so a cluster whose
+    // defaultFS is HDFS doesn't resolve the local path against HDFS).
+    // deleteOnExit bounds the leak either way.
+    val stagingRoot = spark.conf.getOption("spark.graft.stagingDir")
+      .map(new Path(_))
+      .getOrElse(new Path("file://" +
+        java.nio.file.Files.createTempDirectory("graft_nativegeo")))
+    val tmpDir = stagingRoot.suffix(
+      "/graft_nativegeo_" + java.util.UUID.randomUUID().toString)
+    tmpDir.getFileSystem(conf).deleteOnExit(tmpDir)
+    val tmp = new Path(tmpDir, "staged.parquet")
     val parts = Footer.partFiles(path, conf)
     parts match {
       case Seq(single) => Footer.stripNativeGeoTypes(single, tmp, conf)
@@ -1220,17 +1273,26 @@ object GeoTable {
       }
     }
     val schema = StructType(attrTypes :+ StructField("geometry", BinaryType))
-    val rows = c.geoms.zipAll(c.records, null, Seq.empty[Any]).map {
+    // pad mismatched .shp/.dbf record counts (truncated dbf, deleted
+    // rows) with NULLS of the right arity: the old zipAll defaults fed
+    // Wkb.write(null) (MatchError) on extra dbf records and built
+    // wrong-arity Rows on extra geometries
+    val nullAttrs: Seq[Any] = attrTypes.map(_ => null)
+    val rows = c.geoms.map(Option(_)).zipAll(
+        c.records.map(Option(_)), None, None).map {
       case (g, attrs) =>
-        val vals = attrs.zip(attrTypes).map {
+        // pad short records too, so the Row arity always matches schema
+        val vals = (attrs.getOrElse(nullAttrs) ++ nullAttrs)
+          .take(attrTypes.length).zip(attrTypes).map {
           case (v: java.lang.Double, StructField(_, LongType, _, _)) =>
             java.lang.Long.valueOf(v.longValue)
           case (v: java.lang.Long, StructField(_, DoubleType, _, _)) =>
             java.lang.Double.valueOf(v.doubleValue)
           case (v, _) => v
         }
-        org.apache.spark.sql.Row.fromSeq(
-          vals :+ graft.geom.Wkb.write(g.asInstanceOf[graft.geom.Geom]))
+        org.apache.spark.sql.Row.fromSeq(vals :+
+          g.map(x => graft.geom.Wkb.write(x.asInstanceOf[graft.geom.Geom]))
+            .orNull)
     }
     fromDataFrame(spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters

@@ -408,4 +408,97 @@ class GeoTableSpec extends AnyFunSuite {
     val bb = Footer.bboxFromStats(out, "bbox")
     assert(bb.contains((0.0, 0.0, 10.0, 5.0)), bb.toString)
   }
+
+  // ---- round-12 table sweep regressions ---------------------------------
+
+  test("reproject on a footer-less table records the new CRS (quadkey " +
+      "gate must reject meter coordinates)") {
+    val df = spark.range(1, 50).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), col("id").cast("double")))
+    // footer-less: GeoMeta() with an empty columns map
+    val t = GeoTable(df, graft.meta.GeoMeta(), Some("geometry"))
+    val projected = t.reproject("EPSG:4326", "EPSG:3857")
+    assert(!projected.isGeographicCrs,
+      "projected table must not classify as geographic")
+    val e = intercept[IllegalArgumentException](projected.addQuadkey())
+    assert(e.getMessage.contains("geographic"))
+  }
+
+  test("addBbox on a footer-less table records the covering in metadata") {
+    val df = spark.range(1, 20).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), lit(1.0)))
+    val t = GeoTable(df, graft.meta.GeoMeta(), Some("geometry")).addBbox()
+    assert(t.meta.primary.flatMap(_.coveringBbox).contains("bbox"))
+    // and it survives a write/read round trip
+    val out = java.nio.file.Files.createTempDirectory("graft_cov").toString + "/d"
+    t.write(out)
+    val back = GeoTable.read(spark, out)
+    assert(back.meta.primary.flatMap(_.coveringBbox).contains("bbox"))
+  }
+
+  test("writing after the covering column was excluded drops the stale " +
+      "covering from the footer") {
+    val df = spark.range(1, 20).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), lit(1.0)))
+    val t = GeoTable.fromDataFrame(df, "geometry").addBbox()
+    val out = java.nio.file.Files.createTempDirectory("graft_nocov").toString + "/d"
+    t.selectColumns(exclude = Seq("bbox")).write(out)
+    val back = GeoTable.read(spark, out)
+    assert(back.meta.primary.flatMap(_.coveringBbox).isEmpty,
+      "footer must not advertise a covering for a column absent from the schema")
+  }
+
+  test("filterBbox ignores a payload column that is merely NAMED bounds") {
+    val df = spark.range(1, 20).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), lit(1.0)))
+      .withColumn("bounds", concat(lit("row-"), col("id"))) // a string!
+    val t = GeoTable(df, graft.meta.GeoMeta(), Some("geometry"))
+    // must take the slow path, not throw on bounds.xmax extraction
+    assert(t.filterBbox(0, 0, 5, 2).df.count() == 5)
+  }
+
+  test("stats() on a table with only geometry+struct columns stays total") {
+    val df = spark.range(1, 9).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), lit(1.0)))
+    val t = GeoTable.fromDataFrame(df, "geometry").addBbox()
+      .selectColumns(exclude = Seq("id"))
+    val r = t.stats().collect()
+    assert(r.length == 1 && r.head.getLong(0) == 8L)
+  }
+
+  test("addBboxMetadata preserves each part's own per-file bbox") {
+    import graft.meta.{Footer, GeoMeta}
+    import org.apache.hadoop.conf.Configuration
+    val df = spark.range(1, 41).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), lit(1.0)))
+      .repartitionByRange(2, col("id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_pf").toString + "/d"
+    GeoTable.fromDataFrame(df, "geometry").addBbox().write(out)
+    val conf = new Configuration()
+    val parts = Footer.partFiles(out, conf)
+    assume(parts.length >= 2, "fixture needs multiple parts")
+    val before = parts.map(p => p.toString ->
+      Footer.read(p, conf).geo.get.primary.get.bbox).toMap
+    assert(before.values.toSet.size > 1, "per-file bboxes must differ")
+    // strip the covering declaration from every part (keep its own bbox)
+    parts.foreach { p =>
+      val g = Footer.read(p, conf).geo.get
+      val pc = g.primary.get.copy(coveringBbox = None)
+      Footer.withKeyValueMetadata(p, Map(GeoMeta.FooterKey -> GeoMeta.toJson(
+        g.copy(columns = g.columns.updated(g.primaryColumn, pc)))), conf)
+    }
+    GeoTable.addBboxMetadata(out)
+    parts.foreach { p =>
+      val g = Footer.read(p, conf).geo.get
+      assert(g.primary.flatMap(_.coveringBbox).contains("bbox"))
+      assert(g.primary.get.bbox == before(p.toString),
+        s"per-file bbox of $p must survive the metadata-only rewrite")
+    }
+  }
 }

@@ -251,4 +251,23 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(!optimized.contains("bbox.xmax"),
       s"rule must not add conjuncts for an uncovered geometry:\n$optimized")
   }
+
+  test("rule must not prune through Expand (cube null-fills slots)") {
+    GraftExtensions.install(spark)
+    val out = writtenTable()
+    val df = spark.read.parquet(out)
+      .cube(col("geometry"), col("bbox")).count()
+      .filter(geo.st_intersects(col("geometry"),
+        geo.st_makeenvelope(-60, -30, 60, 30)))
+    // grouping sets where bbox is null-filled but geometry kept would
+    // have the appended conjunct silently drop subtotal rows
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!"""bbox#\d+\.xmax""".r.findFirstIn(optimized).isDefined,
+      s"no bbox conjunct may be added above Expand:\n$optimized")
+    val want = spark.read.parquet(out)
+      .cube(col("geometry"), col("bbox")).count()
+      .filter(geo.st_intersects(col("geometry"),
+        geo.st_makeenvelope(-60, -30, 60, 30))).count()
+    assert(df.count() == want)
+  }
 }
