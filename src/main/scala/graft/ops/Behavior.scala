@@ -98,7 +98,11 @@ object Behavior {
       idCol: String, valueCol: String): DataFrame = {
     val h = events
       .select(col(typeCol),
-        expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)").as("v"))
+        // Column form, not a spliced SQL string: a name needing
+        // backticks ("value micros") failed to parse, and a dotted one
+        // silently resolved a struct field (siblings here all take
+        // resolvable names through col())
+        round(col(valueCol) * 1000000).cast("long").as("v"))
       .groupBy(col(typeCol), col("v")).agg(count(lit(1)).as("c"))
     // everything below h rides ONE hash(type) exchange: per-type
     // histograms are domain-bounded (distinct micro values), so a

@@ -84,14 +84,20 @@ object Dedup {
     * be an exact integer (micro-unit fixed point) for an
     * engine-deterministic winner. With `countCol` set, the duplicate
     * count per digest rides along in the output.
+    *
+    * min_by over (-quality, id) rather than max_by over (quality, -id):
+    * negating the NUMERIC quality is always well-typed, while negating
+    * the id silently null-cast STRING ids to double (every tie then
+    * resolved arbitrarily by shuffle order — nondeterministic output)
+    * and ANSI mode made it a runtime error.
     */
   def exactBest(df: DataFrame, keyCol: String, idCol: String,
       qualityCol: String, countCol: Option[String] = None): DataFrame = {
     val cols = df.columns.toSeq
     val agg = df.withColumn("__h", md5(normalizeNN(col(keyCol))))
       .groupBy(col("__h"))
-      .agg(max_by(struct(cols.map(col): _*),
-          struct(col(qualityCol), -col(idCol))).as("__r"),
+      .agg(min_by(struct(cols.map(col): _*),
+          struct(-col(qualityCol), col(idCol))).as("__r"),
         count(lit(1)).as("__n"))
     countCol match {
       case Some(c) => agg.select(col("__r.*"), col("__n").as(c))

@@ -35,6 +35,11 @@ object DistWindow {
     */
   def withLag1(df: DataFrame, orderCol: String,
       lagCols: Seq[(String, String)], chunk: Long = 65536L): DataFrame = {
+    // an output name shadowing a source would make the boundary table
+    // (built off the windowed output below) read LAGGED values
+    require(!lagCols.exists { case (src, out) =>
+      lagCols.exists(_._1 == out) || src == out },
+      s"lag output names must not shadow source columns: $lagCols")
     val key: Column = col(orderCol)
     val parted = df.withColumn("__bkt", floor(key / chunk))
     val w = Window.partitionBy(col("__bkt")).orderBy(key)
@@ -43,7 +48,12 @@ object DistWindow {
     }.withColumn("__rn", row_number().over(w))
 
     // Last (max-key) row of each non-empty bucket: tiny by construction.
-    val lastPer = parted.groupBy(col("__bkt"))
+    // Derived from `lagged` (the windowed output, same rows/columns),
+    // NOT `parted`: a groupBy on the un-exchanged input hangs a second
+    // partial-agg exchange off it and recomputes the whole upstream
+    // subtree — the exact anti-pattern withGlobalRank documents; off
+    // the windowed child, ReuseExchange shares the one shuffle.
+    val lastPer = lagged.groupBy(col("__bkt"))
       .agg(max_by(struct(lagCols.map { case (src, _) => col(src) }: _*),
         key).as("__last"))
     // The constant partition key is deliberate: this window runs over the

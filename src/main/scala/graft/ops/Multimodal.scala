@@ -73,10 +73,18 @@ object Multimodal {
     * go through the per-thread cached reader; every other format falls
     * back to the generic `ImageIO.read` registry path.
     */
+  /** one-time global init: the disk-cache flag is JVM-global state —
+    * writing it per decoded row was a pointless cross-thread static
+    * write on the hot path (and contradicted the "disable it once"
+    * intent).
+    */
+  private val imageIoCacheOff: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def readImageOrNull(payload: Array[Byte])
       : java.awt.image.BufferedImage = {
     if (payload == null || payload.length == 0) return null
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoCacheOff
     val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
     try {
@@ -496,7 +504,12 @@ object Multimodal {
         buf.getInt(); buf.getShort() // byte rate, block align
         val bits = buf.getShort()
         ok = fmtCode == 1 && channels == 1 && bits == 16
-        buf.position(buf.position() + len - 16 + (len & 1))
+        // clamp: a final chunk with the RIFF pad byte omitted (odd
+        // length at end-of-payload, common in the wild) would compute
+        // limit+1 and ByteBuffer.position would THROW — breaking the
+        // malformed-containers-return-None contract mid-task
+        buf.position(math.min(buf.position() + len - 16 + (len & 1),
+          buf.limit()))
       } else if (tag == DATA) {
         if (!ok) return None // fmt must precede data and be PCM-16 mono
         val n = len / 2
@@ -504,7 +517,9 @@ object Multimodal {
         buf.asShortBuffer().get(out)
         samples = out
       } else {
-        buf.position(buf.position() + len + (len & 1)) // skip + pad byte
+        // skip + pad byte, clamped for the same trailing-chunk reason
+        buf.position(math.min(buf.position() + len + (len & 1),
+          buf.limit()))
       }
     }
     if (ok && samples != null) Some((rate, samples)) else None
@@ -685,7 +700,7 @@ object Multimodal {
   def decodeGifFramesWith(reader: javax.imageio.ImageReader,
       payload: Array[Byte]): Option[Array[Array[Int]]] = {
     if (payload == null || payload.length == 0) return None
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoCacheOff
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -920,6 +935,7 @@ object Multimodal {
     */
   def sampleGifFrameStats(df: DataFrame, payloadCol: String, idCol: String,
       everyN: Int = 2): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("frame_idx", LongType, nullable = false),
@@ -1442,6 +1458,7 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, payloadCol: String, idCol: String,
       everyN: Int = 10): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("frame_idx", IntegerType),

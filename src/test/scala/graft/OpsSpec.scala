@@ -2138,6 +2138,38 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dense"))
   }
 
+  test("exactBest: STRING ids tie-break deterministically (lowest id)") {
+    // -col(id) silently null-cast string ids to double, making every
+    // equal-quality tie resolve by shuffle order
+    val df = Seq(("doc-b", "same text", 10L), ("doc-a", "same text", 10L),
+      ("doc-c", "other", 5L)).toDF("doc_id", "text", "q")
+    val kept = Dedup.exactBest(df, "text", "doc_id", "q").collect()
+      .map(_.getString(0)).toSet
+    assert(kept == Set("doc-a", "doc-c"), s"lowest id must win ties: $kept")
+  }
+
+  test("WAV: trailing odd-length chunk with the pad byte omitted " +
+      "returns None, never throws") {
+    val base = Multimodal.encodeWavPcm16(Array[Short](5, -5), 8000)
+    // append a chunk header claiming odd length 3 with only 3 payload
+    // bytes and NO pad byte — position(limit+1) used to throw
+    val bb = java.nio.ByteBuffer.allocate(base.length + 8 + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base).put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3))
+    // data chunk was already consumed before the trailing junk, so the
+    // samples still parse; the point is NO IllegalArgumentException
+    assert(Multimodal.parseWavPcm16(bb.array())
+      .exists(_._2.sameElements(Array[Short](5, -5))))
+    // same shape but the odd chunk sits BETWEEN fmt and data: clamped
+    // skip lands at limit, loop exits, returns None (no data found)
+    val bb2 = java.nio.ByteBuffer.allocate(36 + 8 + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.put(base, 0, 36).put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3))
+    assert(Multimodal.parseWavPcm16(bb2.array()).isEmpty)
+  }
+
   test("exact/exactBest follow the normalizeNN contract: null and empty " +
       "text dedup together") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "real text"))
