@@ -55,9 +55,13 @@ object Checks {
     * recommends (`core/check_parquet_structure.py:14-209`).
     */
   def checkRowGroups(path: String,
-      targetBytes: Long = 130L * 1024 * 1024): Seq[Finding] = {
+      targetBytes: Long = 130L * 1024 * 1024): Seq[Finding] =
+    checkRowGroups(Footer.partFiles(path, new Configuration()), targetBytes)
+
+  /** Same, over an explicit part list (the [[dispatchFiles]] surface). */
+  def checkRowGroups(parts: Seq[Path], targetBytes: Long): Seq[Finding] = {
     val conf = new Configuration()
-    Footer.partFiles(path, conf).flatMap { p =>
+    parts.flatMap { p =>
       val info = Footer.read(p, conf)
       info.rowGroups.zipWithIndex.flatMap { case (rg, i) =>
         val sz = rg.compressedSize
@@ -75,9 +79,13 @@ object Checks {
   /** Compression codec check; recommends ZSTD like the reference
     * (`core/check_parquet_structure.py:444-506`).
     */
-  def checkCompression(path: String): Seq[Finding] = {
+  def checkCompression(path: String): Seq[Finding] =
+    checkCompression(Footer.partFiles(path, new Configuration()))
+
+  /** Same, over an explicit part list (the [[dispatchFiles]] surface). */
+  def checkCompression(parts: Seq[Path]): Seq[Finding] = {
     val conf = new Configuration()
-    val codecs = Footer.partFiles(path, conf).flatMap { p =>
+    val codecs = parts.flatMap { p =>
       Footer.read(p, conf).rowGroups.flatMap(_.columns.values.map(_.codec))
     }.distinct
     if (codecs.forall(c => c == "ZSTD")) Seq.empty
@@ -147,12 +155,12 @@ object Checks {
     * CRS reference-format compatibility warning
     * (`core/validate.py:1880-1969`).
     */
-  private def nativeGeoFindings(info: Footer.FooterInfo, parts: Seq[Path],
-      conf: Configuration): Seq[Finding] = {
+  private def nativeGeoFindings(info: Footer.FooterInfo,
+      partInfos: Seq[Footer.FooterInfo]): Seq[Finding] = {
     val out = scala.collection.mutable.ArrayBuffer[Finding]()
     info.schemaInfo.filter(_.logicalType.exists(n =>
       n.contains("Geometry") || n.contains("Geography"))).foreach { f =>
-      val boxes = parts.flatMap(p => Footer.read(p, conf).rowGroups
+      val boxes = partInfos.flatMap(_.rowGroups
         .flatMap(_.columns.get(f.name).flatMap(_.geoBbox)))
       if (boxes.isEmpty)
         out += Finding("warn", "native_geo_stats",
@@ -174,7 +182,10 @@ object Checks {
       // authority:code may not be recognized by other readers
       f.geoCrs.filterNot(c => c.trim.startsWith("{") ||
           c.startsWith("projjson:") || c.startsWith("srid:") ||
-          c.matches("(?i)[a-z]+:[0-9a-z]+"))
+          // authority:code plus multi-colon OGC URNs
+          // (urn:ogc:def:crs:EPSG::3857) — formats Proj.parseEpsg
+          // itself accepts must not warn as unrecognized
+          c.matches("(?i)[a-z]+(:[0-9a-z.]*)+"))
         .foreach { c =>
           out += Finding("warn", "crs",
             s"${f.name} CRS format '${c.take(80)}' may not be widely " +
@@ -259,12 +270,11 @@ object Checks {
     * must cover every geometry type present. Consumes an
     * ALREADY-COMPUTED data probe (types + extent) — adds zero scans.
     */
-  private def nativeStatsVsData(parts: Seq[Path], conf: Configuration,
+  private def nativeStatsVsData(partInfos: Seq[Footer.FooterInfo],
       geomCol: String, actualTypes: Seq[String],
       dataBbox: Option[(Double, Double, Double, Double)]): Seq[Finding] =
     nativeStatsVsData(
-      parts.flatMap(p => Footer.read(p, conf).rowGroups
-        .flatMap(_.columns.get(geomCol))),
+      partInfos.flatMap(_.rowGroups.flatMap(_.columns.get(geomCol))),
       actualTypes, dataBbox)
 
   /** Core comparison over already-extracted chunk stats (separated so
@@ -315,6 +325,37 @@ object Checks {
     if (parts.isEmpty) return Seq(Finding("error", "files", "no parquet files"))
     val info = Footer.read(parts.head, conf)
     val findings = scala.collection.mutable.ArrayBuffer[Finding]()
+    // Each part's footer is read at most ONCE per validate() (the old
+    // shape re-read the full fleet in four places — ~4x remote footer
+    // opens on a many-part dataset) and a malformed non-head part
+    // surfaces as a finding instead of an uncaught parse exception.
+    // lazy: branches that never touch the fleet (plain parquet, single
+    // file) keep paying only the head read.
+    lazy val partInfoList: Seq[(Path, Either[String, Footer.FooterInfo])] =
+      parts.map { p =>
+        p -> (if (p == parts.head) Right(info)
+        else try Right(Footer.read(p, conf))
+        catch { case e: Exception => Left(String.valueOf(e.getMessage)) })
+      }
+    lazy val partInfos: Seq[Footer.FooterInfo] = {
+      partInfoList.foreach {
+        case (p, Left(err)) =>
+          val f = Finding("error", "files",
+            s"${p.getName}: footer unreadable: ${err.take(160)}")
+          if (!findings.contains(f)) findings += f
+        case _ => ()
+      }
+      partInfoList.flatMap(_._2.toOption)
+    }
+    /** a part's geo metadata, malformed JSON captured as a finding. */
+    def partGeo(part: Path, i: Footer.FooterInfo): Option[GeoMeta] =
+      try i.geo catch {
+        case e: Exception =>
+          val f = Finding("error", "metadata",
+            s"${part.getName}: `geo` key is not valid JSON: ${e.getMessage}")
+          if (!findings.contains(f)) findings += f
+          None
+      }
     val fileType = Footer.detectFileType(parts.head, conf)
     // extension applies to FILES only — a dataset directory named
     // "sf0.1" or "data.v2" contains a dot but is not an extension
@@ -336,7 +377,7 @@ object Checks {
         if (fileType == "parquet-geo-only") {
           findings += Finding("info", "metadata",
             "no `geo` footer key but native geo types present (GeoParquet 2 minimal)")
-          findings ++= nativeGeoFindings(info, parts, conf)
+          findings ++= nativeGeoFindings(info, partInfos)
           // native stats vs data — one aggregate job over the staged
           // WKB read; an unreadable file SKIPS rather than fails (the
           // reference's CheckStatus.SKIPPED-on-exception contract)
@@ -353,7 +394,7 @@ object Checks {
                 val bbox = if ((1 to 4).exists(r.isNullAt)) None
                   else Some((r.getDouble(1), r.getDouble(2),
                     r.getDouble(3), r.getDouble(4)))
-                findings ++= nativeStatsVsData(parts, conf, gcName,
+                findings ++= nativeStatsVsData(partInfos, gcName,
                   r.getSeq[String](0), bbox)
               }
           } catch { case _: Exception => () }
@@ -487,8 +528,8 @@ object Checks {
             // row-group statistics on the bbox fields are what make the
             // covering usable for predicate pushdown at scale (reference
             // `core/validate.py:1342-1430`); their absence is a warning
-            val missingStats = parts.exists { part =>
-              Footer.read(part, conf).rowGroups.exists { rg =>
+            val missingStats = partInfos.exists { i =>
+              i.rowGroups.exists { rg =>
                 Seq("xmin", "ymin", "xmax", "ymax").exists { fldm =>
                   rg.columns.get(s"$b.$fldm")
                     .forall(cs => cs.min.isEmpty || cs.max.isEmpty)
@@ -515,12 +556,18 @@ object Checks {
                 s"'${pc.encoding}' — the native GEOMETRY/GEOGRAPHY " +
                 "annotation describes WKB-encoded pages")
           if (fileType == "geoparquet2") {
-            findings ++= nativeGeoFindings(info, parts, conf)
+            findings ++= nativeGeoFindings(info, partInfos)
             info.schemaInfo.find(_.name == g.primaryColumn).foreach { f =>
               val metaCrs = pc.crs.filterNot(_.isNull)
               // V2-2 (`core/validate.py:1737-1782`): a non-default
-              // metadata CRS must be inline in the Parquet geo type
-              if (metaCrs.isDefined && f.geoCrs.isEmpty)
+              // metadata CRS must be inline in the Parquet geo type.
+              // An EXPLICIT default (CRS84/4326 PROJJSON, which common
+              // writers materialize) is not "non-default" — same
+              // whitelist as the asymmetric V2-3 case below.
+              val nonDefaultMetaCrs = metaCrs.filterNot(m =>
+                crsEpsg(m.toString, info.keyValueMeta).contains(4326) ||
+                  m.toString.toUpperCase.contains("CRS84"))
+              if (nonDefaultMetaCrs.isDefined && f.geoCrs.isEmpty)
                 findings += Finding("error", "v2",
                   "non-default CRS must be inline in the Parquet geo " +
                     "type, not only in `geo` metadata")
@@ -672,7 +719,7 @@ object Checks {
                 .filterNot(r => (2 to 5).exists(r.isNullAt))
                 .map(r => (r.getDouble(2), r.getDouble(3),
                   r.getDouble(4), r.getDouble(5)))
-              findings ++= nativeStatsVsData(parts, conf, g.primaryColumn,
+              findings ++= nativeStatsVsData(partInfos, g.primaryColumn,
                 actualTypes, dataBbox)
             }
             // per-file: each part's declared bbox must contain that
@@ -686,8 +733,9 @@ object Checks {
             // layouts reuse basenames across key=value directories
             // (key=a/data.parquet vs key=b/data.parquet), and a
             // basename-keyed map silently collides.
-            val declaredPartBbox = parts.flatMap { part =>
-              Footer.read(part, conf).geo.flatMap(_.primary).flatMap(_.bbox)
+            val declaredPartBbox = partInfoList.flatMap { case (part, ei) =>
+              ei.toOption.flatMap(i => partGeo(part, i))
+                .flatMap(_.primary).flatMap(_.bbox)
                 .map(b => part.toUri.getPath -> b)
             }.toMap
             if (declaredPartBbox.nonEmpty) {
@@ -810,6 +858,7 @@ object Checks {
     */
   def dispatchFiles(path: String, mode: String = "first",
       sampleN: Int = 3): Seq[Path] = {
+    require(sampleN > 0, s"sampleN must be positive, got $sampleN")
     val parts = Footer.partFiles(path, new Configuration())
     mode match {
       case "first" => parts.take(1)

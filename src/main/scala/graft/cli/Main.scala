@@ -34,6 +34,12 @@ object Main {
     */
   final class BenchmarkRegression(msg: String) extends RuntimeException(msg)
 
+  /** Thrown (not sys.exit) on a failed check gate — same exit-1 mapping
+    * in main(), catchable by in-process callers (sys.exit killed the
+    * forked test JVM mid-suite; see the r10d lesson).
+    */
+  final class CheckFailure(msg: String) extends RuntimeException(msg)
+
   /** Micro-unit char-entropy quality key (the q117 fixed-point
     * contract) — ONE definition so every keep-best-style command ranks
     * survivors identically.
@@ -67,7 +73,7 @@ object Main {
     graft.functions.geo.register(spark)
     try run(spark, argv.toSeq)
     catch {
-      case e: BenchmarkRegression =>
+      case e @ (_: BenchmarkRegression | _: CheckFailure) =>
         System.err.println(e.getMessage)
         spark.stop()
         sys.exit(1)
@@ -993,8 +999,14 @@ object Main {
         val id = opt(rest, "id-column").getOrElse("doc_id")
         val text = opt(rest, "text-column").getOrElse("text")
         val ph = opt(rest, "phrase-column").getOrElse("phrase")
+        // phrases get the SAME normalization as document text: a phrase
+        // carrying a double space / tab / trailing newline could never
+        // match the whitespace-squeezed __norm, silently passing banned
+        // content through the gate
         val p = spark.read.parquet(phrases)
-          .select(lower(col(ph)).as("__ph")).distinct()
+          .select(trim(regexp_replace(lower(col(ph)), "\\s+", " "))
+            .as("__ph"))
+          .filter(col("__ph") =!= "").distinct()
         spark.read.parquet(in)
           .withColumn("__norm", regexp_replace(lower(col(text)), "\\s+", " "))
           .join(broadcast(p), contains(col("__norm"), col("__ph")), "left")
@@ -1022,10 +1034,15 @@ object Main {
         val text = opt(rest, "text-column").getOrElse("text")
         val k = opt(rest, "shingle-words").map(_.toInt).getOrElse(3)
         val w = opt(rest, "window").map(_.toInt).getOrElse(4)
+        // materialize once: fps feeds BOTH the share-count aggregate and
+        // the join probe side — unchecked, the text scan + per-shingle
+        // hashing kernel (the dominant cost) would execute twice (the
+        // videoNearDups localCheckpoint rationale)
         val fps = spark.read.parquet(in)
           .select(col(id),
             explode(graft.functions.SketchExpressions.winnow(col(text), k, w))
               .as("fp"))
+          .localCheckpoint(false)
         val shared = fps.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
           .filter(col("__nd") >= 2).select(col("fp").as("__sfp"))
         fps.join(shared, col("fp") === col("__sfp"), "left")
@@ -1212,22 +1229,28 @@ object Main {
           graft.util.CollectCapped(GeoTable.read(spark, p).stats(), 10000,
             "per-column stats rows").foreach(println)
 
-      case "check" if flag(rest, "all") =>
-        val fs = Checks.checkAll(spark, rest.head)
-        if (fs.isEmpty) println("all checks passed")
-        else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
-
       // granular check families (reference `check spatial|compression|
       // bbox|row-group|spec` subcommands); bare `check` runs the default
-      // structural set
+      // structural set; `check --all <path>` / `check <path> --all` runs
+      // every family (matched AFTER the named families so their own
+      // trailing flags can't hijack the dispatch)
       case "check" if rest.headOption.contains("spatial") =>
         val t = GeoTable.read(spark, rest(1))
         val r = t.checkSpatialOrder()
         println(f"spatial order ratio: $r%.3f (pass < 0.5)")
-        if (!(r < 0.5)) sys.exit(1)
+        // NaN (empty/unmeasurable) passes, consistent with checkAll;
+        // failure raises the catchable gate exception (exit 1 in main)
+        // instead of sys.exit, which killed in-process callers
+        if (r >= 0.5)
+          throw new CheckFailure(
+            f"spatial order check FAILED: ratio $r%.3f >= 0.5")
 
       case "check" if rest.headOption.contains("compression") =>
-        val fs = Checks.checkCompression(rest(1))
+        // --files first|all|sample picks which parts the check reads
+        // (reference partition_reader dispatch); default all
+        val fs = Checks.checkCompression(Checks.dispatchFiles(rest(1),
+          opt(rest, "files").getOrElse("all"),
+          opt(rest, "sample-n").map(_.toInt).getOrElse(3)))
         if (fs.isEmpty) println("compression ok (ZSTD)")
         else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
 
@@ -1235,7 +1258,10 @@ object Main {
         println(s"bbox structure: ${Checks.checkBboxStructure(rest(1))}")
 
       case "check" if rest.headOption.contains("row-group") =>
-        val fs = Checks.checkRowGroups(rest(1))
+        val fs = Checks.checkRowGroups(Checks.dispatchFiles(rest(1),
+          opt(rest, "files").getOrElse("all"),
+          opt(rest, "sample-n").map(_.toInt).getOrElse(3)),
+          130L * 1024 * 1024)
         if (fs.isEmpty) println("row groups ok")
         else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
 
@@ -1252,6 +1278,15 @@ object Main {
         errs.foreach(e => println(s"[error] $e"))
         warns.foreach(w => println(s"[warn] $w"))
         if (errs.nonEmpty) die("STAC validation failed")
+
+      case "check" if flag(rest, "all") =>
+        // first non-flag argument is the dataset path ("check --all d"
+        // and "check d --all" both work; rest.head was "--all" itself
+        // in the flag-first form and went to Hadoop as a path)
+        val fs = Checks.checkAll(spark,
+          rest.find(!_.startsWith("--")).getOrElse(die("check --all: no path")))
+        if (fs.isEmpty) println("all checks passed")
+        else fs.foreach(f => println(s"[${f.level}] ${f.check}: ${f.message}"))
 
       case "check" =>
         val p = rest.head

@@ -11,6 +11,7 @@ import graft.table.GeoTable
   */
 class CliSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
 
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_cli_$name").toString
@@ -91,6 +92,58 @@ class CliSpec extends AnyFunSuite {
     Main.run(spark, Seq("check", "spec", s"$dir/d.parquet"))
     Main.run(spark, Seq("inspect", s"$dir/d.parquet", "--json"))
     Main.run(spark, Seq("meta", s"$dir/d.parquet"))
+  }
+
+  test("check dispatch hardening (r12): --all flag-first, spatial " +
+      "failure raises CheckFailure, --files dispatch modes") {
+    val dir = tmp("dispatch")
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 90, col("id") % 45))
+    GeoTable.fromDataFrame(df, "geometry").addBbox().sortHilbert()
+      .write(s"$dir/d.parquet", compression = "zstd")
+    // flag BEFORE the path used to send "--all" to Hadoop as the path
+    Main.run(spark, Seq("check", "--all", s"$dir/d.parquet"))
+    Main.run(spark, Seq("check", s"$dir/d.parquet", "--all"))
+    // `check spec <path> --all` must run the SPEC family, not hijack
+    Main.run(spark, Seq("check", "spec", s"$dir/d.parquet", "--all"))
+    // a poorly-ordered dataset fails `check spatial` with the catchable
+    // gate exception, not sys.exit (which killed the test JVM)
+    val bad = tmp("unordered")
+    val shuffled = spark.range(0, 4000).toDF("id")
+      .withColumn("k", expr("hash(id)"))
+      .orderBy(col("k"))
+      .withColumn("geometry", geo.st_point(col("id") % 180 - 90,
+        (col("id") * 7) % 90 - 45))
+      .drop("k")
+    GeoTable.fromDataFrame(shuffled, "geometry").write(s"$bad/u.parquet")
+    intercept[Main.CheckFailure] {
+      Main.run(spark, Seq("check", "spatial", s"$bad/u.parquet"))
+    }
+    // --files dispatch: sample/first/all all run; bad mode dies loudly
+    Main.run(spark, Seq("check", "row-group", s"$dir/d.parquet",
+      "--files", "sample", "--sample-n", "2"))
+    Main.run(spark, Seq("check", "compression", s"$dir/d.parquet",
+      "--files", "first"))
+    assert(graft.checks.Checks.dispatchFiles(s"$dir/d.parquet", "first")
+      .size == 1)
+    intercept[IllegalArgumentException] {
+      graft.checks.Checks.dispatchFiles(s"$dir/d.parquet", "sample", 0)
+    }
+  }
+
+  test("blocklist phrases with messy whitespace still match (r12)") {
+    val dir = tmp("bl")
+    Seq((1L, "Click  HERE to win"), (2L, "plain text"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs.parquet")
+    // phrase carries a double space + trailing newline — the document
+    // text is whitespace-squeezed, so the phrase must be too
+    Seq("click  here\n").toDF("phrase").write.parquet(s"$dir/ph.parquet")
+    Main.run(spark, Seq("blocklist", s"$dir/docs.parquet",
+      s"$dir/ph.parquet", s"$dir/out.parquet"))
+    val out = spark.read.parquet(s"$dir/out.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L, s"normalized phrase must match: $out")
+    assert(out(2L) == 0L)
   }
 
   test("dedup / split / to fc pipeline commands run end to end") {
