@@ -1209,24 +1209,40 @@ object Multimodal {
     */
   def withFrameHashes(df: DataFrame, payloadCol: String,
       idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_frames", LongType, nullable = false),
-      StructField("frame_hi", LongType, nullable = false),
-      StructField("frame_lo", LongType, nullable = false)))
+    val iIdx = df.schema.fieldIndex(idCol)
+    frameHashRows(df, payloadCol,
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_frames", LongType, nullable = false),
+        StructField("frame_hi", LongType, nullable = false),
+        StructField("frame_lo", LongType, nullable = false))),
+      (row, nf) => Seq(row.getLong(iIdx), nf))
+  }
+
+  /** Shared GIF-decode fan-out behind [[withFrameHashes]] and the
+    * streaming frameDedup twin: ONE reader per task, one output row per
+    * decoded frame hash, caller-chosen leading columns (the two
+    * consumers previously carried near-verbatim copies of this loop,
+    * which could drift on reader/edge-case fixes). `prefix` receives
+    * the input row and the container's frame count and returns the
+    * leading column values; the trailing columns are always
+    * (frame_hi, frame_lo).
+    */
+  private[graft] def frameHashRows(df: DataFrame, payloadCol: String,
+      schema: StructType, prefix: (Row, Long) => Seq[Any]): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val pIdx = df.schema.fieldIndex(payloadCol)
-    val iIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { it =>
       lazy val reader = {
         val rs = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
         if (rs.hasNext) rs.next() else null
       }
       it.flatMap { row =>
-        val id = row.getLong(iIdx)
         decodedFrameHashes(row.getAs[Array[Byte]](pIdx), reader) match {
           case Some((nf, hashes)) =>
-            hashes.iterator.map { case (hi, lo) => Row(id, nf, hi, lo) }
+            val pre = prefix(row, nf)
+            hashes.iterator.map { case (hi, lo) =>
+              Row.fromSeq(pre ++ Seq(hi, lo)) }
           case None => Iterator.empty
         }
       }

@@ -124,14 +124,6 @@ object Streaming {
     new String(out)
   }
 
-  /** Batch `md5(normalize(col))` digests NULL text to a NULL group key
-    * (one SQL group, separate from md5(norm(""))); keyed state can't
-    * group on null, so null text maps to this sentinel — 7 chars, so it
-    * can never collide with a 32-char md5 hex — and back to null at
-    * emission.
-    */
-  private val NullDigest = "<null/>"
-
   /** "N unit" duration string (the withWatermark/window grammar) → ms;
     * calendar months are rejected (no fixed ms length).
     */
@@ -166,7 +158,10 @@ object Streaming {
       // (Spark's round = BigDecimal HALF_UP), so quality keys agree
       val ent = graft.functions.SketchEval.charEntropy(
         org.apache.spark.unsafe.types.UTF8String.fromString(
-          if (d.text == null) "" else d.text.toLowerCase))
+          // Locale.ROOT: a Turkish-locale executor lowercases "I" to
+          // dotless ı (outside the ASCII entropy histogram), silently
+          // picking a different dedup winner than the batch SQL lower()
+          if (d.text == null) "" else d.text.toLowerCase(java.util.Locale.ROOT)))
         .getDouble(1)
       val em = math.round(BigDecimal(ent)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
@@ -200,8 +195,7 @@ object Streaming {
             }
             state.update(st)
             state.setTimeoutTimestamp(st.lastSeenMs + horizonMs)
-            if (changed) Iterator(BestRow(
-              if (digest == NullDigest) null else digest, st.id, st.em))
+            if (changed) Iterator(BestRow(digest, st.id, st.em))
             else Iterator.empty
           }
       }
@@ -841,6 +835,10 @@ object Streaming {
       // whole streaming query on the first null row)
       .withColumn("__len", coalesce(
         regexp_count(col(textCol), lit("\\S+")).cast("long"), lit(0L)))
+      // null event time gets the same treatment as null text: without
+      // the filter, window(null) null-fills the struct and the
+      // non-nullable tuple decode NPEs, killing the monitor
+      .filter(col(tsCol).isNotNull)
       .withColumn("__w", window(col(tsCol), windowLen))
       .select(col("__w.start").as("ws"), col("__len"), col(tsCol).as("ts"))
       .withWatermark("ts", watermark)
@@ -1120,32 +1118,18 @@ object Streaming {
     */
   def frameDedup(media: DataFrame, payloadCol: String, idCol: String,
       tsCol: String, watermark: String = "1 hour"): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("ts", TimestampType, nullable = true),
-      StructField("frame_hi", LongType, nullable = false),
-      StructField("frame_lo", LongType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    val pIdx = media.schema.fieldIndex(payloadCol)
     val iIdx = media.schema.fieldIndex(idCol)
     val tIdx = media.schema.fieldIndex(tsCol)
-    val rows = media.mapPartitions { it =>
-      lazy val reader = {
-        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
-        if (rs.hasNext) rs.next() else null
-      }
-      it.flatMap { row =>
-        graft.ops.Multimodal.decodedFrameHashes(
-            row.getAs[Array[Byte]](pIdx), reader) match {
-          case Some((_, hashes)) =>
-            val id = row.getLong(iIdx)
-            val ts = row.getAs[java.sql.Timestamp](tIdx)
-            hashes.iterator.map { case (hi, lo) =>
-              org.apache.spark.sql.Row(id, ts, hi, lo) }
-          case None => Iterator.empty
-        }
-      }
-    }(enc)
+    // decode fan-out shared with the batch op (one reader per task,
+    // same edge-case handling) — only the leading columns differ
+    val rows = graft.ops.Multimodal.frameHashRows(media, payloadCol,
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = true),
+        StructField("frame_hi", LongType, nullable = false),
+        StructField("frame_lo", LongType, nullable = false))),
+      (row, _) => Seq(row.getLong(iIdx),
+        row.getAs[java.sql.Timestamp](tIdx)))
     rows.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("frame_hi", "frame_lo")
   }
@@ -1328,12 +1312,16 @@ object Streaming {
       Seq(lit(t), lit(d)) }: _*)
     events
       .withColumn("v_micros",
-        expr(s"CAST(ROUND($valueCol * 1000000) AS BIGINT)"))
+        round(col(valueCol) * 1000000).cast("long"))
       .withColumn("median_micro", element_at(medMap, col(typeCol)))
       .withColumn("mad_micro", element_at(madMap, col(typeCol)))
-      .withColumn("is_anomaly",
+      // unseen event types (deployed after the model was fitted) have
+      // no (median, MAD) entry; a null verdict vanished from BOTH sides
+      // of a downstream filter — exactly the novel traffic an anomaly
+      // gate exists to surface, so they flag as anomalous
+      .withColumn("is_anomaly", coalesce(
         abs(col("v_micros") - col("median_micro")) >
-          col("mad_micro") * 3)
+          col("mad_micro") * 3, lit(true)))
   }
 
   /** Streaming ordered-sequence funnel — the keyed-state twin of
