@@ -157,8 +157,16 @@ object BigQuery {
     val geom = detectGeometryColumn(schema, q.geographyColumn, tid)
     val cols = q.columns match {
       case Some(cs) =>
-        val withGeom = geom.filterNot(cs.contains).map(cs :+ _).getOrElse(cs)
-        withGeom.filter(schema.map(_._1).contains)
+        // unknown requested columns fail loudly (a typo'd name used to
+        // be silently dropped, returning a table missing the data the
+        // caller asked for) — same contract as the explicit
+        // geography-column path above
+        val known = schema.map(_._1).toSet
+        val missing = cs.filterNot(known.contains)
+        require(missing.isEmpty,
+          s"columns not in $tid: ${missing.mkString(", ")} " +
+            s"(table has: ${schema.map(_._1).mkString(", ")})")
+        geom.filterNot(cs.contains).map(cs :+ _).getOrElse(cs)
       case None => schema.map(_._1)
     }
     val (serverFilter, localBbox) = (q.bbox, geom) match {

@@ -238,8 +238,13 @@ object FlatGeobuf {
       }
 
     var pos = 12 + headerLen
-    if (nodeSize > 0 && featuresCount > 0)
-      pos += indexSize(featuresCount, nodeSize).toInt
+    if (nodeSize > 0 && featuresCount > 0) {
+      val idxBytes = indexSize(featuresCount, nodeSize)
+      require(idxBytes >= 0 && pos + idxBytes <= bytes.length,
+        s"corrupt spatial index: $featuresCount features / node size " +
+          s"$nodeSize imply $idxBytes index bytes in a ${bytes.length}-byte file")
+      pos += idxBytes.toInt
+    }
 
     val rows = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     val geoms = scala.collection.mutable.ArrayBuffer[Geom]()
@@ -642,13 +647,23 @@ object FlatGeobuf {
     }
     if (nodeSize < 2 || featuresCount == 0) {
       val full = read(path)
-      val keep = full.geoms.indices.filter(i => hit(full.geoms(i).envelope))
+      // a null geometry (spec-legal missing geometry field) matches no
+      // spatial filter — dereferencing .envelope NPE'd on unindexed
+      // files that read() itself accepts
+      val keep = full.geoms.indices.filter(i =>
+        full.geoms(i) != null && hit(full.geoms(i).envelope))
       return full.copy(rows = keep.map(full.rows),
         geoms = keep.map(full.geoms))
     }
     val indexStart = 12 + headerLen
-    val featuresStart =
-      indexStart + indexSize(featuresCount, nodeSize).toInt
+    // bound BEFORE the Int narrowing: a corrupt header claiming huge
+    // featuresCount yields an index size whose .toInt wraps, silently
+    // decoding mid-file bytes as features instead of failing loudly
+    val idxBytes = indexSize(featuresCount, nodeSize)
+    require(idxBytes >= 0 && indexStart + idxBytes <= bytes.length,
+      s"corrupt spatial index: $featuresCount features / node size " +
+        s"$nodeSize imply $idxBytes index bytes in a ${bytes.length}-byte file")
+    val featuresStart = indexStart + idxBytes.toInt
     def node(i: Int): ((Double, Double, Double, Double), Long) = {
       val p = indexStart + 40 * i
       ((hr.f64(p), hr.f64(p + 8), hr.f64(p + 16), hr.f64(p + 24)),

@@ -182,8 +182,15 @@ object GeoPackage {
       case c => parts.last.append(c)
     }
     parts.toSeq.map(_.toString.trim)
-      .filterNot(p => Seq("CONSTRAINT", "PRIMARY", "UNIQUE", "CHECK", "FOREIGN")
-        .exists(k => p.toUpperCase.startsWith(k)))
+      // table-constraint clauses are recognized by their FIRST TOKEN
+      // exactly: a startsWith test filtered real columns whose names
+      // merely begin with a keyword ("primary_fuel TEXT"), shifting
+      // every later column against the stored record
+      .filterNot { p =>
+        val tok = p.split("[\\s(]", 2)(0).toUpperCase
+        Seq("CONSTRAINT", "PRIMARY", "UNIQUE", "CHECK", "FOREIGN")
+          .contains(tok)
+      }
   }
 
   /** First identifier of a column declaration — quote-aware, so a quoted
@@ -569,6 +576,14 @@ object GeoPackage {
       srsId: Int, attrNames: Seq[String], rows: Seq[Seq[Any]],
       geoms: Seq[Geom]): Unit = {
     require(rows.length == geoms.length, "rows/geoms length mismatch")
+    // identifiers are embedded in generated DDL inside double quotes
+    // without escaping; an embedded quote would produce schema SQL this
+    // module's own reader (and external SQLite tools) mis-parse — the
+    // column list would diverge from the record arity. Reject loudly.
+    (tableName +: geometryColumn +: attrNames).foreach { n =>
+      require(!n.contains('"') && !n.contains('\u0000'),
+        s"identifier contains a double quote or NUL: $n")
+    }
     val b = new SqliteBuilder()
     b.alloc() // page 1: sqlite_master root + file header
 

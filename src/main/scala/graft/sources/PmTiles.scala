@@ -58,6 +58,9 @@ object PmTiles {
     val zooms = (opts.minZoom, opts.maxZoom) match {
       case (Some(z0), Some(z1)) => Seq("-Z", z0.toString, "-z", z1.toString)
       case (None, Some(z1))     => Seq("-z", z1.toString)
+      // an explicit minimum with auto maximum: -zg guesses the max but
+      // the user's floor must survive (it used to be silently dropped)
+      case (Some(z0), None)     => Seq("-Z", z0.toString, "-zg")
       case _                    => Seq("-zg")
     }
     Seq("tippecanoe", "-P", "-o", outputPath, "-l", layer) ++ zooms ++

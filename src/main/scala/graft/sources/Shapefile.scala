@@ -40,7 +40,12 @@ object Shapefile {
         Some(new String(java.nio.file.Files.readAllBytes(prjPath),
           StandardCharsets.UTF_8).trim)
       else None
-    require(records.isEmpty || records.size == geoms.size,
+    // strict arity: when the dbf is absent the branch above already
+    // synthesizes one empty record per shape, so ANY size mismatch here
+    // — including a present dbf declaring 0 records next to N shapes
+    // (the old records.isEmpty escape hatch) — is corruption and must
+    // fail loudly, not silently drop every attribute
+    require(records.size == geoms.size,
       s"dbf has ${records.size} records but shp has ${geoms.size} shapes")
     Contents(geoms, fields, records, prj)
   }

@@ -55,6 +55,8 @@ object Stac {
     root.put("id", collectionId)
     root.put("description", description)
     root.put("license", "proprietary")
+    require(itemBboxes.nonEmpty,
+      "STAC collection needs at least one item bbox for its spatial extent")
     val extent = root.putObject("extent")
     val spatial = extent.putObject("spatial").putArray("bbox").addArray()
     val x0 = itemBboxes.map(_._1).min; val y0 = itemBboxes.map(_._2).min

@@ -808,4 +808,96 @@ class SourcesSpec extends AnyFunSuite {
     val expect = (44 + 4 * 1 + 16 * 5) / 2
     assert(contentWords == expect, s"content $contentWords words, want $expect")
   }
+
+  // ---- round-12 sources sweep regressions --------------------------------
+
+  test("gpkg: a column NAMED like a constraint keyword survives parsing") {
+    import graft.sources.GeoPackage
+    val dir = java.nio.file.Files.createTempDirectory("graft_kw").toString
+    GeoPackage.write(s"$dir/kw.gpkg", "t", "geom", 4326,
+      Seq("primary_fuel", "checksum", "v"),
+      Seq(Seq("coal", "abc", 1L), Seq("wind", "def", 2L)),
+      Seq(graft.geom.Point(1, 2), graft.geom.Point(3, 4)))
+    val c = GeoPackage.read(s"$dir/kw.gpkg")
+    assert(c.columns.takeRight(3) == Seq("primary_fuel", "checksum", "v"),
+      s"keyword-prefixed columns must not be dropped: ${c.columns}")
+    val fi = c.columns.indexOf("primary_fuel")
+    assert(c.rows.map(_(fi)) == Seq("coal", "wind"))
+    assert(c.geoms.forall(_ != null))
+  }
+
+  test("gpkg: identifiers with embedded double quotes are rejected loudly") {
+    import graft.sources.GeoPackage
+    val dir = java.nio.file.Files.createTempDirectory("graft_q").toString
+    val e = intercept[IllegalArgumentException] {
+      GeoPackage.write(s"$dir/q.gpkg", "a\"b", "geom", 4326,
+        Seq("v"), Seq(Seq(1L)), Seq(graft.geom.Point(1, 2)))
+    }
+    assert(e.getMessage.contains("double quote"))
+  }
+
+  test("tar shards: multi-dot extensions split at the FIRST dot " +
+      "(webdataset convention) so one sample's entries share a key") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello".getBytes("UTF-8"), "{}".getBytes("UTF-8")))
+      .toDF("doc_id", "payload", "meta")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar2").toString
+    graft.sources.TarShards.write(docs, dir, "doc_id",
+      Seq("json.gz" -> "meta", "cls" -> "payload"), nShards = 1)
+    val back = graft.sources.TarShards.read(spark, dir)
+      .select($"key", $"ext").as[(String, String)].collect().toSet
+    assert(back == Set(("7", "json.gz"), ("7", "cls")),
+      s"entries of one sample must share key: $back")
+  }
+
+  test("shapefile: a present dbf declaring 0 records next to shapes " +
+      "fails loudly instead of silently dropping attributes") {
+    import graft.sources.Shapefile
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp0").toString
+    Shapefile.write(s"$dir/a.shp",
+      Seq(graft.geom.Point(1, 2), graft.geom.Point(3, 4)),
+      Seq(Shapefile.DbfField("v", 'N', 18, 0)),
+      Seq(Seq(java.lang.Long.valueOf(1L)), Seq(java.lang.Long.valueOf(2L))))
+    // zero out the dbf header's record count (LE u32 at offset 4)
+    val dbf = java.nio.file.Paths.get(s"$dir/a.dbf")
+    val bytes = java.nio.file.Files.readAllBytes(dbf)
+    bytes(4) = 0; bytes(5) = 0; bytes(6) = 0; bytes(7) = 0
+    java.nio.file.Files.write(dbf, bytes)
+    val e = intercept[IllegalArgumentException] {
+      Shapefile.read(s"$dir/a.shp")
+    }
+    assert(e.getMessage.contains("0 records"), e.getMessage)
+  }
+
+  test("pmtiles: explicit minZoom with auto maxZoom keeps the floor") {
+    val cmd = graft.sources.PmTiles.tippecanoeCommand("/tmp/x.pmtiles",
+      graft.sources.PmTiles.Options(minZoom = Some(10), maxZoom = None))
+    val zi = cmd.indexOf("-Z")
+    assert(zi >= 0 && cmd(zi + 1) == "10" && cmd.contains("-zg"),
+      s"minZoom must survive: $cmd")
+  }
+
+  test("bigquery: a typo'd requested column fails loudly, not silently") {
+    import graft.sources.BigQuery
+    val fake = new BigQuery.Transport {
+      def schema(t: String) =
+        Seq("id" -> "INT64", "geog" -> "GEOGRAPHY", "name" -> "STRING")
+      def rowCount(t: String) = Some(1L)
+      def scan(s: org.apache.spark.sql.SparkSession, t: String,
+          select: Seq[String], serverFilter: Option[String]) =
+        throw new IllegalStateException("must not scan")
+    }
+    val e = intercept[IllegalArgumentException] {
+      BigQuery.read(spark, "ds.tbl", Some("my-project"),
+        BigQuery.Query(columns = Some(Seq("nmae"))), fake)
+    }
+    assert(e.getMessage.contains("nmae"))
+  }
+
+  test("stac: empty item set makes collection() fail with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Stac.collection("c", "d", Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one item"))
+  }
 }
