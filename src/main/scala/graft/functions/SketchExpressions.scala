@@ -48,7 +48,7 @@ object SketchEval {
     if (cents.isEmpty) return -1
     var best = 0; var bestSim = Double.NegativeInfinity
     val n = v.numElements()
-    if (cents.length > 0 && n != cents(0).length)
+    if (n != cents(0).length) // nonempty guaranteed by the early return
       throw new IllegalArgumentException(
         s"ivf_assign: vector dims $n != centroid dims ${cents(0).length}")
     var c = 0
@@ -68,6 +68,12 @@ object SketchEval {
 
   def kmeansAssign(v: ArrayData, labels: Array[Int],
       cents: Array[Array[Double]]): Int = {
+    // loud contract: labels must mirror the centroid table — a shorter
+    // array threw a bare AIOOBE mid-job, a longer one silently returned
+    // labels(0) as if a real assignment happened
+    if (labels.length != cents.length)
+      throw new IllegalArgumentException(
+        s"kmeans_assign: ${labels.length} labels for ${cents.length} centroids")
     var best = if (labels.length > 0) labels(0) else -1
     var bestSim = Double.NegativeInfinity
     val n = v.numElements()
@@ -122,6 +128,22 @@ object SketchEval {
     * (the interpreted transform+slice+array_distinct chain costs ~30×
     * more per doc; same lesson as [[charNgrams]]).
     */
+
+  /** Writes the space-joined k-gram toks(i..i+k) into sb (cleared
+    * first). ONE definition for every gram-building kernel — the five
+    * previous inline copies had to stay byte-identical for cross-kernel
+    * hash parity (the r11 tokenize lesson, applied to the joiner).
+    */
+  @inline private def joinGram(sb: java.lang.StringBuilder,
+      toks: Array[String], i: Int, k: Int): Unit = {
+    sb.setLength(0)
+    var j = 0
+    while (j < k) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(i + j)); j += 1
+    }
+  }
+
   def wordShingles(s: UTF8String, k: Int): ArrayData = {
     val toks = tokenize(s)
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
@@ -129,12 +151,7 @@ object SketchEval {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i + k <= toks.length) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j)); j += 1
-      }
+      joinGram(sb, toks, i, k)
       set.add(sb.toString); i += 1
     }
     val out = new Array[Any](set.size)
@@ -163,12 +180,7 @@ object SketchEval {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j)); j += 1
-      }
+      joinGram(sb, toks, i, k)
       out(i) = java.lang.Long.valueOf(md5Long60(sb.toString))
       i += 1
     }
@@ -294,12 +306,7 @@ object SketchEval {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j)); j += 1
-      }
+      joinGram(sb, toks, i, k)
       hs(i) = md5Hex16(sb.toString); i += 1
     }
     val sel = new java.util.TreeSet[String]()
@@ -450,13 +457,7 @@ object SketchEval {
         var mx = 0L
         var i = 0
         while (i + n <= toks.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
+          joinGram(sb, toks, i, n)
           val g = sb.toString
           val c = m.merge(g, 1L, (a, b) => a + b)
           val v = c * g.codePointCount(0, g.length)
@@ -506,28 +507,42 @@ object SketchEval {
     * per token; dl rides along for free so the aggregate() fold over
     * the tf array disappears too.
     */
-  def queryTf(s: UTF8String, terms: Array[String]): ArrayData = {
-    val toks = tokenize(s)
+  /** Precomputed query-term lookup: built ONCE per expression (a
+    * codegen reference object) instead of per document row — the
+    * per-row HashMap build + duplicate canonicalization was millions
+    * of redundant map constructions on the BM25 scoring hot path.
+    */
+  final class QueryTfLookup(terms: Array[String]) extends Serializable {
+    val m: Int = terms.length
     val idx = new java.util.HashMap[String, Integer](terms.length * 2)
-    var t = 0
-    while (t < terms.length) { idx.putIfAbsent(terms(t), t); t += 1 }
-    val out = new Array[Long](terms.length + 1)
+    locally {
+      var t = 0
+      while (t < terms.length) { idx.putIfAbsent(terms(t), t); t += 1 }
+    }
+    /** canonical (first-occurrence) slot per term position. */
+    val canon: Array[Int] =
+      terms.map(t => idx.get(t).intValue())
+  }
+
+  def queryTf(s: UTF8String, lut: QueryTfLookup): ArrayData = {
+    val toks = tokenize(s)
+    val out = new Array[Long](lut.m + 1)
     var i = 0
     while (i < toks.length) {
-      val j = idx.get(toks(i))
+      val j = lut.idx.get(toks(i))
       if (j != null) out(j.intValue()) += 1L
       i += 1
     }
     // a duplicated query term copies its canonical (first-occurrence)
     // slot's count, matching the old per-term filter probes where every
-    // duplicate saw the same tf — put() left non-canonical slots at 0
-    t = 0
-    while (t < terms.length) {
-      val c = idx.get(terms(t)).intValue()
+    // duplicate saw the same tf — putIfAbsent left non-canonical slots at 0
+    var t = 0
+    while (t < lut.m) {
+      val c = lut.canon(t)
       if (c != t) out(t) = out(c)
       t += 1
     }
-    out(terms.length) = toks.length.toLong
+    out(lut.m) = toks.length.toLong
     new GenericArrayData(out)
   }
 
@@ -688,6 +703,10 @@ object SketchEval {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_micro: null feature struct at position $i — sparse rows " +
+            "must not contain null elements")
       val s = arr.getStruct(i, 2)
       val f = s.getLong(0)
       if (f < 0 || f >= w.length)
@@ -711,6 +730,10 @@ object SketchEval {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_weights: null feature struct at position $i — sparse " +
+            "rows must not contain null elements")
       val s = arr.getStruct(i, 2)
       val f = s.getLong(0)
       if (f < 0 || f >= w.length)
@@ -1298,9 +1321,20 @@ object SketchEval {
       normLut: Array[Array[Double]], qNorm: Double): Double = {
     var dot = 0.0; var n2 = 0.0
     val m = codes.numElements()
+    // loud dims rule (pqEncode/sq8Cosine convention): a truncated codes
+    // row silently returned a plausible-looking prefix ADC cosine, and
+    // a corrupted code threw a contextless AIOOBE
+    if (m != dotLut.length)
+      throw new IllegalArgumentException(
+        s"pq_adc_cosine: $m codes for ${dotLut.length} subspaces — codes " +
+          "and codebook were built with different m")
     var s = 0
     while (s < m) {
       val c = codes.getInt(s)
+      if (c < 0 || c >= dotLut(s).length)
+        throw new IllegalArgumentException(
+          s"pq_adc_cosine: code $c outside the codebook's " +
+            s"[0, ${dotLut(s).length}) range in subspace $s")
       dot += dotLut(s)(c); n2 += normLut(s)(c); s += 1
     }
     dot / (math.sqrt(n2) * qNorm)
@@ -1508,6 +1542,7 @@ object SketchExpressions {
   /** One-pass md5-min calibration signature ([[SketchEval.md5MinhashSigs]]). */
   case class Md5MinhashSigs(child: Expression, seeds: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    require(seeds > 0, s"md5_minhash_sigs: seeds must be positive, got $seeds")
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] =
       Seq(ArrayType(StringType, containsNull = false))
@@ -1720,10 +1755,15 @@ object SketchExpressions {
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // the term lookup rides as ONE reference object per generated plan
+    // (lazy so optimizer copies don't rebuild it; the per-row HashMap
+    // build it replaces dominated the BM25 scoring loop)
+    @transient private lazy val lut = new SketchEval.QueryTfLookup(terms)
     override protected def nullSafeEval(s: Any): Any =
-      SketchEval.queryTf(s.asInstanceOf[UTF8String], terms)
+      SketchEval.queryTf(s.asInstanceOf[UTF8String], lut)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val t = ctx.addReferenceObj("queryTerms", terms, "java.lang.String[]")
+      val t = ctx.addReferenceObj("queryTfLut", lut,
+        "graft.functions.SketchEval$QueryTfLookup") // Java binary name
       defineCodeGen(ctx, ev, c => s"$E.queryTf($c, $t)")
     }
     override protected def withNewChildInternal(newChild: Expression) =
@@ -1976,10 +2016,15 @@ object SketchExpressions {
     */
   case class LangHits(child: Expression, lists: Array[Array[String]])
       extends UnaryExpression with ImplicitCastInputTypes {
-    private val sets: Array[java.util.HashSet[String]] = lists.map { ws =>
-      val s = new java.util.HashSet[String]()
-      ws.foreach(s.add); s
-    }
+    // lazy: every Catalyst copy() of the expression (each optimizer /
+    // AQE transform) constructed a fresh instance, and an eager val
+    // re-hashed every stopword list per copy — thousands of string
+    // inserts per plan pass that only execution actually needs
+    @transient private lazy val sets: Array[java.util.HashSet[String]] =
+      lists.map { ws =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add); s
+      }
     override def nullIntolerant: Boolean = true
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -49,9 +49,11 @@ object VectorEval {
     * allocations — the matryoshka (MRL) tier-scoring kernel.
     */
   def prefixCosines(a: ArrayData, b: ArrayData, dims: Array[Int]): ArrayData = {
-    // tiers CLAMP to the available dims by contract — the pinned
-    // slice-equivalence (cosine(slice(a,1,d), ...)) clamps the same way,
-    // so a tier larger than the vector scores the full-vector cosine
+    // DELIBERATE divergence from dotFF's loud-dims rule: prefix tiers
+    // legitimately compare a truncated (matryoshka head) vector against
+    // a full one — cosine over the COMMON prefix is the semantics, and
+    // OpsSpec pins it ("ragged input: cosine over the common prefix").
+    // Don't "fix" this to throw; tier clamping below uses the same min.
     val n = math.min(a.numElements(), b.numElements())
     val out = new Array[Double](dims.length)
     var acc = 0.0; var na = 0.0; var nb = 0.0
