@@ -165,11 +165,15 @@ object Proj {
       (x, y)
     }
 
+    // constants of the projection instance — hoisted off the per-row
+    // inverse hot path (two sqrts + series denominator per coordinate)
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    private val muDen = a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256)
+
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
       val xm = x - fe
       val m = m0 + (y - fn) / k0
-      val mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val mu = m / muDen
       val phi1 = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
         (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
         (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
@@ -589,8 +593,12 @@ object Proj {
       (fe + nu1Cos * (math.toRadians(lon) - lon0),
         fn + mOf(math.toRadians(lat)))
 
+    // constants of the projection instance — hoisted off the per-row
+    // inverse hot path (two sqrts + series denominator per coordinate)
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    private val muDen = a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256)
+
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
       val mu = (y - fn) /
         (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
       var phi = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
@@ -678,8 +686,12 @@ object Proj {
         fn + mOf(phi))
     }
 
+    // constants of the projection instance — hoisted off the per-row
+    // inverse hot path (two sqrts + series denominator per coordinate)
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    private val muDen = a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256)
+
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
       val mu = (y - fn) /
         (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
       var phi = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
@@ -1095,6 +1107,35 @@ object Proj {
     val node = jsonMapper.readTree(s)
     val conv = node.get("conversion")
     if (conv == null || conv.get("method") == null) return None
+    // REFUSE (unsupported, loud at reproject) rather than silently
+    // mis-project: non-metre projected axes (ftUS State Plane zones
+    // would come out ~3.28x off) and non-Greenwich prime meridians
+    // (Paris-based CRSs would shift 2.34 deg)
+    val cs = node.get("coordinate_system")
+    if (cs != null && cs.get("axis") != null) {
+      var metric = true
+      cs.get("axis").forEach { ax =>
+        val u = ax.get("unit")
+        if (u != null) {
+          if (u.isTextual) { if (u.asText != "metre") metric = false }
+          else {
+            val f = Option(u.get("conversion_factor"))
+              .map(_.asDouble).getOrElse(1.0)
+            if (math.abs(f - 1.0) > 1e-12) metric = false
+          }
+        }
+      }
+      if (!metric) return None
+    }
+    val pm = Option(node.get("base_crs"))
+      .flatMap(b => (Option(b.get("datum")) orElse
+        Option(b.get("datum_ensemble"))))
+      .flatMap(d => Option(d.get("prime_meridian")))
+      .flatMap(m => Option(m.get("longitude")))
+      .map(l => if (l.isNumber) l.asDouble else
+        Option(l.get("value")).map(_.asDouble).getOrElse(0.0))
+      .getOrElse(0.0)
+    if (pm != 0.0) return None
     val method = conv.get("method")
     val methodCode: Int =
       Option(method.get("id")).flatMap(id => Option(id.get("code")))
@@ -1103,10 +1144,18 @@ object Proj {
           val n = Option(method.get("name")).map(_.asText.toLowerCase)
             .getOrElse("")
           if (n.contains("transverse mercator")) 9807
+          // 1SP LCC has no standard parallels: matching it to the 2SP
+          // builder made n = log(1)/log(1) = NaN and every transform
+          // NaN'd silently — refuse so supported() answers honestly
+          else if (n.contains("conic conformal") && n.contains("1sp")) -1
           else if (n.contains("conic conformal")) 9802
           else if (n.contains("albers")) 9822
           else if (n.contains("azimuthal equal area")) 9820
           else if (n.contains("polar stereographic") && n.contains("variant b")) 9829
+          // variant C's latitude-of-standard-parallel/false-origin
+          // parameterization is NOT the 9810 shape (a south-polar doc
+          // would be projected as north polar) — refuse
+          else if (n.contains("polar stereographic") && n.contains("variant c")) -1
           else if (n.contains("polar stereographic")) 9810
           else if (n.contains("krovak") &&
             (n.contains("north") || n.contains("east"))) 1041
@@ -1158,14 +1207,24 @@ object Proj {
       (Option(b.get("datum")) orElse Option(b.get("datum_ensemble")))
         .flatMap(d => Option(d.get("ellipsoid")))
     }
-    val a = ell.flatMap(e => Option(e.get("semi_major_axis")))
-      .map(n => if (n.isNumber) n.asDouble else n.get("value").asDouble)
+    // every ellipsoid number may be a bare number OR a {value, unit}
+    // object (Jackson's asDouble on an object is 0.0 — flattening 1.0
+    // and all-NaN coordinates, silently)
+    def num(n: com.fasterxml.jackson.databind.JsonNode): Double =
+      if (n.isNumber) n.asDouble
+      else Option(n.get("value")).map(_.asDouble).getOrElse(Double.NaN)
+    // sphere form {"radius": R}: a = R, flattening 0 — this is what
+    // makes the e == 0 code paths reachable from EASE-grid-style docs
+    val radius = ell.flatMap(e => Option(e.get("radius"))).map(num)
+    val a = radius.orElse(
+      ell.flatMap(e => Option(e.get("semi_major_axis"))).map(num))
       .getOrElse(A)
-    val flat = ell.flatMap { e =>
-      Option(e.get("inverse_flattening")).map(1.0 / _.asDouble)
+    val flat = if (radius.isDefined) 0.0 else ell.flatMap { e =>
+      Option(e.get("inverse_flattening")).map(n => 1.0 / num(n))
         .orElse(Option(e.get("semi_minor_axis"))
-          .map(b => 1.0 - b.asDouble / a))
+          .map(b => 1.0 - num(b) / a))
     }.getOrElse(FWgs)
+    if (a.isNaN || flat.isNaN) return None
     methodCode match {
       case 9807 => Some(new Tm(
         pv(8801, "latitude of natural origin"),

@@ -197,6 +197,65 @@ class SpatialKeySpec extends AnyFunSuite {
     }
   }
 
+  test("PROJJSON hardening (r12): sphere radius, object-form ellipsoid " +
+      "values, non-metre axes and over-broad name fallbacks refuse") {
+    // sphere form {"radius": R}: a = R, flattening 0 — round-trip
+    // through a spherical LAEA must invert exactly
+    val sphereLaea = """{"type":"ProjectedCRS","name":"sphere laea",
+      "base_crs":{"name":"s","datum":{"type":"GeodeticReferenceFrame",
+        "name":"s","ellipsoid":{"name":"Authalic sphere","radius":6371228}}},
+      "conversion":{"name":"laea",
+        "method":{"name":"Lambert Azimuthal Equal Area","id":{"authority":"EPSG","code":9820}},
+        "parameters":[
+          {"name":"Latitude of natural origin","value":52,"unit":"degree","id":{"authority":"EPSG","code":8801}},
+          {"name":"Longitude of natural origin","value":10,"unit":"degree","id":{"authority":"EPSG","code":8802}},
+          {"name":"False easting","value":0,"unit":"metre","id":{"authority":"EPSG","code":8806}},
+          {"name":"False northing","value":0,"unit":"metre","id":{"authority":"EPSG","code":8807}}]}}"""
+    val pSphere = Proj.projjsonProjection(sphereLaea)
+    assert(pSphere.isDefined)
+    val (fx, fy) = pSphere.get.forward(15.0, 45.0)
+    val (lon, lat) = pSphere.get.inverse(fx, fy)
+    assert(math.abs(lon - 15.0) < 1e-7 && math.abs(lat - 45.0) < 1e-7)
+    // and the sphere must differ from the WGS84-ellipsoid projection of
+    // the same point (the old fallback silently used a=6378137, e!=0)
+    val wgsLaea = sphereLaea.replace(
+      """"ellipsoid":{"name":"Authalic sphere","radius":6371228}""",
+      """"ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}""")
+    val (gx, gy) = Proj.projjsonProjection(wgsLaea).get.forward(15.0, 45.0)
+    assert(math.abs(gx - fx) > 100 || math.abs(gy - fy) > 100,
+      "sphere and ellipsoid projections must differ")
+
+    // object-form semi_minor_axis must parse, not read 0.0
+    val objMinor = sphereLaea.replace(
+      """"ellipsoid":{"name":"Authalic sphere","radius":6371228}""",
+      """"ellipsoid":{"name":"Airy","semi_major_axis":6377563.396,"semi_minor_axis":{"value":6356256.909,"unit":"metre"}}""")
+    val pObj = Proj.projjsonProjection(objMinor)
+    assert(pObj.isDefined)
+    val (ox, oy) = pObj.get.forward(15.0, 45.0)
+    assert(!ox.isNaN && !oy.isNaN, "object-form semi_minor must not NaN")
+
+    // ftUS projected axes: refuse (silently projecting feet as metres
+    // put State Plane positions ~3.28x off)
+    val ftUs = sphereLaea.replace(""""conversion":""",
+      """"coordinate_system":{"subtype":"Cartesian","axis":[
+        {"name":"Easting","abbreviation":"X","direction":"east",
+         "unit":{"type":"LinearUnit","name":"US survey foot","conversion_factor":0.304800609601219}}]},
+      "conversion":""")
+    assert(Proj.projjsonProjection(ftUs).isEmpty, "ftUS axes must refuse")
+
+    // 1SP Lambert by NAME (no id): refuse — the 2SP builder NaN'd
+    val lcc1sp = """{"type":"ProjectedCRS","name":"x",
+      "base_crs":{"name":"s","datum":{"type":"GeodeticReferenceFrame",
+        "name":"s","ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+      "conversion":{"name":"c","method":{"name":"Lambert Conic Conformal (1SP)"},
+        "parameters":[]}}"""
+    assert(Proj.projjsonProjection(lcc1sp).isEmpty)
+    // polar stereographic variant C by name: refuse (wrong hemisphere)
+    val psC = lcc1sp.replace("Lambert Conic Conformal (1SP)",
+      "Polar Stereographic (variant C)")
+    assert(Proj.projjsonProjection(psC).isEmpty)
+  }
+
   test("PROJJSON conversion-driven dispatch: unlisted codes project") {
     // EPSG:27700 (OSGB British National Grid) is NOT in the EPSG-keyed
     // table and sits on a different ellipsoid (Airy 1830) — the generic
