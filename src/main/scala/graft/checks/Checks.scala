@@ -1,6 +1,5 @@
 package graft.checks
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -31,7 +30,7 @@ object Checks {
 
   /** Footer-only summary — no Spark job (reference `core/inspect.py:64-186`). */
   def inspect(path: String): InspectSummary = {
-    val conf = new Configuration()
+    val conf = Footer.newConf()
     val parts = Footer.partFiles(path, conf)
     val infos = parts.map(p => Footer.read(p, conf))
     val geo = infos.headOption.flatMap(_.geo)
@@ -56,11 +55,11 @@ object Checks {
     */
   def checkRowGroups(path: String,
       targetBytes: Long = 130L * 1024 * 1024): Seq[Finding] =
-    checkRowGroups(Footer.partFiles(path, new Configuration()), targetBytes)
+    checkRowGroups(Footer.partFiles(path, Footer.newConf()), targetBytes)
 
   /** Same, over an explicit part list (the [[dispatchFiles]] surface). */
   def checkRowGroups(parts: Seq[Path], targetBytes: Long): Seq[Finding] = {
-    val conf = new Configuration()
+    val conf = Footer.newConf()
     parts.flatMap { p =>
       val info = Footer.read(p, conf)
       info.rowGroups.zipWithIndex.flatMap { case (rg, i) =>
@@ -80,11 +79,11 @@ object Checks {
     * (`core/check_parquet_structure.py:444-506`).
     */
   def checkCompression(path: String): Seq[Finding] =
-    checkCompression(Footer.partFiles(path, new Configuration()))
+    checkCompression(Footer.partFiles(path, Footer.newConf()))
 
   /** Same, over an explicit part list (the [[dispatchFiles]] surface). */
   def checkCompression(parts: Seq[Path]): Seq[Finding] = {
-    val conf = new Configuration()
+    val conf = Footer.newConf()
     val codecs = parts.flatMap { p =>
       Footer.read(p, conf).rowGroups.flatMap(_.columns.values.map(_.codec))
     }.distinct
@@ -97,7 +96,7 @@ object Checks {
     * suboptimal / missing (`core/common.py:3254-3400`).
     */
   def checkBboxStructure(path: String): String = {
-    val conf = new Configuration()
+    val conf = Footer.newConf()
     val info = Footer.partFiles(path, conf).headOption.map(p => Footer.read(p, conf))
     val hasBboxCol = info.exists(_.schemaFields.exists(
       GeoMeta.BboxNameCandidates.contains))
@@ -320,7 +319,7 @@ object Checks {
     * checks are a handful of aggregate jobs.
     */
   def validate(spark: SparkSession, path: String): Seq[Finding] = {
-    val conf = new Configuration()
+    val conf = Footer.newConf()
     val parts = Footer.partFiles(path, conf)
     if (parts.isEmpty) return Seq(Finding("error", "files", "no parquet files"))
     val info = Footer.read(parts.head, conf)
@@ -826,7 +825,7 @@ object Checks {
     * is_partition_path.)
     */
   def isPartitionPath(path: String): Boolean = {
-    val conf = new Configuration()
+    val conf = Footer.newConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p) || fs.getFileStatus(p).isFile) false
@@ -859,7 +858,7 @@ object Checks {
   def dispatchFiles(path: String, mode: String = "first",
       sampleN: Int = 3): Seq[Path] = {
     require(sampleN > 0, s"sampleN must be positive, got $sampleN")
-    val parts = Footer.partFiles(path, new Configuration())
+    val parts = Footer.partFiles(path, Footer.newConf())
     mode match {
       case "first" => parts.take(1)
       case "all" => parts

@@ -68,16 +68,39 @@ object BboxPushdownRule extends Rule[LogicalPlan] {
         val bi = u.output.indexWhere(_.exprId == b.exprId)
         gi >= 0 && bi >= 0 &&
           u.children.forall(c => aligned(c, c.output(gi), c.output(bi)))
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if !(p.child.outputSet.contains(g) && p.child.outputSet.contains(b)) =>
+        // an Alias changes the exprId but preserves row identity — map
+        // each attribute through the projection list and KEEP DESCENDING.
+        // Stopping here (old behavior: "unary ⇒ aligned") was unsound: a
+        // Project that re-aliases the covering above a self-join hid the
+        // cross-side misalignment below it, so the rule could AND in a
+        // conjunct describing the other join side's rows.
+        def resolve(a: Attribute): Option[Attribute] =
+          if (p.child.outputSet.contains(a)) Some(a)
+          else p.projectList.collectFirst {
+            case al @ Alias(under: Attribute, _) if al.exprId == a.exprId =>
+              under
+          }
+        (resolve(g), resolve(b)) match {
+          case (Some(g2), Some(b2)) => aligned(p.child, g2, b2)
+          case _ => false // computed/unknown provenance — refuse
+        }
       case _ =>
         plan.children.find(c =>
           c.outputSet.contains(g) && c.outputSet.contains(b)) match {
           case Some(c) => aligned(c, g, b)
           case None =>
-            // both attributes surface at this node (leaf relation, or a
-            // unary node aliasing one of them): within-row by
-            // construction for leaves and unary nodes; any other
-            // multi-child node is out of pattern — refuse.
-            plan.children.size <= 1
+            // both attributes surface at this node. A leaf relation is
+            // within-row by construction. A non-Project unary node that
+            // mints one of the ids (Aggregate alias, Generate, Window
+            // expr) computes outputs from one input row, but the input
+            // row may itself combine misaligned sides — accept only when
+            // the subtree is join-free. Multi-child nodes are out of
+            // pattern — refuse.
+            plan.children.isEmpty ||
+              (plan.children.size == 1 && !plan.exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))
         }
     }
 

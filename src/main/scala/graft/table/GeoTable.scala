@@ -1273,16 +1273,14 @@ object GeoTable {
       }
     }
     val schema = StructType(attrTypes :+ StructField("geometry", BinaryType))
-    // pad mismatched .shp/.dbf record counts (truncated dbf, deleted
-    // rows) with NULLS of the right arity: the old zipAll defaults fed
-    // Wkb.write(null) (MatchError) on extra dbf records and built
-    // wrong-arity Rows on extra geometries
+    // Shapefile.read enforces records.size == geoms.size (a count
+    // mismatch is corruption and fails loudly THERE), so only SHORT
+    // records — a dbf row narrower than its field list — need null
+    // padding here to keep every Row's arity matching the schema
     val nullAttrs: Seq[Any] = attrTypes.map(_ => null)
-    val rows = c.geoms.map(Option(_)).zipAll(
-        c.records.map(Option(_)), None, None).map {
+    val rows = c.geoms.zip(c.records).map {
       case (g, attrs) =>
-        // pad short records too, so the Row arity always matches schema
-        val vals = (attrs.getOrElse(nullAttrs) ++ nullAttrs)
+        val vals = (attrs ++ nullAttrs)
           .take(attrTypes.length).zip(attrTypes).map {
           case (v: java.lang.Double, StructField(_, LongType, _, _)) =>
             java.lang.Long.valueOf(v.longValue)
@@ -1291,8 +1289,7 @@ object GeoTable {
           case (v, _) => v
         }
         org.apache.spark.sql.Row.fromSeq(vals :+
-          g.map(x => graft.geom.Wkb.write(x.asInstanceOf[graft.geom.Geom]))
-            .orNull)
+          Option(g).map(x => graft.geom.Wkb.write(x)).orNull)
     }
     fromDataFrame(spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters

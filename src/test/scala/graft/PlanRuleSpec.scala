@@ -149,6 +149,59 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(joined.count() == want, s"got ${joined.count()}, want $want")
   }
 
+  test("covering re-aliased ABOVE a misaligned join must not prune " +
+      "(Alias changes the exprId; the walk must map through the Project)") {
+    GraftExtensions.install(spark)
+    val out = writtenTable()
+    // same pair id on both sides, right's covering row-shifted by one id;
+    // a Project ABOVE the join re-aliases the covering (new exprId), so a
+    // walk that stops at the first node where the child no longer holds
+    // both attributes would declare them aligned and prune left rows by
+    // right's shifted envelope. right_outer keeps the filter above the
+    // join (left is the null-producing side).
+    val l = spark.read.parquet(out).select(col("id"), col("geometry"))
+    val r = spark.read.parquet(out).select((col("id") + 1).as("rid"),
+      col("bbox"))
+    val joined = l.join(r, col("id") === col("rid"), "right_outer")
+      .select(col("id"), col("geometry"), col("bbox").as("b3"))
+      .withColumn("tag", rand(7)) // strands the filter above the Project
+      .filter(geo.st_intersects(col("geometry"), geo.st_makeenvelope(-60, -30, 60, 30)))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains(".xmax"),
+      s"misaligned covering must not prune even when re-aliased above the join:\n$optimized")
+    // surviving rows: matched ids 1..1999 whose OWN geometry intersects
+    val want = spark.read.parquet(out)
+      .filter(col("id") >= 1 && col("id") <= 1999 &&
+        col("bbox.xmax") >= -60 && col("bbox.xmin") <= 60 &&
+        col("bbox.ymax") >= -30 && col("bbox.ymin") <= 30).count()
+    assert(joined.count() == want, s"got ${joined.count()}, want $want")
+  }
+
+  test("aligned covering re-aliased above a join STILL prunes (the walk " +
+      "maps through the Project instead of refusing)") {
+    GraftExtensions.install(spark)
+    val out1 = writtenTable()
+    val out2 = writtenTable()
+    val l = spark.read.parquet(out1).select(col("id"), col("geometry"),
+      col("bbox"))
+    val r = spark.read.parquet(out2).select((col("id")).as("rid"))
+    // left carries BOTH geometry and its own covering through the join;
+    // re-aliasing the covering above the join must not lose the pruning.
+    // rand() blocks predicate pushdown so the filter stays stranded above.
+    val joined = l.join(r, col("id") === col("rid"), "left_outer")
+      .select(col("id"), col("geometry"), col("bbox").as("b4"))
+      .withColumn("tag", rand(7))
+      .filter(geo.st_intersects(col("geometry"), geo.st_makeenvelope(-60, -30, 60, 30)))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert("""b4#\d+\.xmax""".r.findFirstIn(optimized).isDefined ||
+      """bbox#\d+\.xmax""".r.findFirstIn(optimized).isDefined,
+      s"aligned re-aliased covering should still prune:\n$optimized")
+    val want = spark.read.parquet(out1)
+      .filter(col("bbox.xmax") >= -60 && col("bbox.xmin") <= 60 &&
+        col("bbox.ymax") >= -30 && col("bbox.ymin") <= 30).count()
+    assert(joined.count() == want, s"got ${joined.count()}, want $want")
+  }
+
   test("self-join shares one pair id on both sides -> alignment walk " +
       "resolves the covering from the FILTERED geometry's own side") {
     GraftExtensions.install(spark)
