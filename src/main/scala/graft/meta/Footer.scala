@@ -378,7 +378,8 @@ object Footer {
     */
   def writeGeoMetadata(path: String, geo: GeoMeta,
       perFileBboxCol: Option[String] = None,
-      conf: Configuration = newConf()): Unit = {
+      conf: Configuration = newConf(),
+      extra: Map[String, String] = Map.empty): Unit = {
     partFiles(path, conf).foreach { p =>
       val m = perFileBboxCol match {
         case Some(bcol) =>
@@ -388,7 +389,8 @@ object Footer {
           })
         case None => geo
       }
-      withKeyValueMetadata(p, Map(GeoMeta.FooterKey -> GeoMeta.toJson(m)), conf)
+      withKeyValueMetadata(p,
+        extra + (GeoMeta.FooterKey -> GeoMeta.toJson(m)), conf)
     }
   }
 }

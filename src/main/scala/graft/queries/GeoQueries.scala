@@ -196,6 +196,54 @@ object GeoQueries {
           (3, '850dab63fffffff'),
           (4, '8029fffffffffff'),
           (5, '8928308280fffff')) AS t(id, h3_cell)
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // ---- spatial partition pruning on read ------------------------------
+    // Write a quadkey-partitioned Hive dataset (the engine's own §2.7
+    // writer), read it back, and bbox-filter: filterBbox derives the
+    // partition-column covering predicate from the recorded
+    // `graft:partitioning` footer so the scan prunes DIRECTORIES
+    // (reference `core/partition_by_quadkey.py:27-226` + the
+    // best-practices spatial-query guidance). The oracle recomputes the
+    // surviving key set with a plain coordinate filter — hash equality
+    // proves pruning dropped no row. The staged dataset is cached per
+    // (session, dir) so bench repeats measure the pruned READ, not the
+    // staging write.
+    QueryDef(
+      "q186_partition_prune",
+      (s, dir) => {
+        import s.implicits._
+        val out = GeoQueries.prunedDataset(s, dir)
+        graft.table.GeoTable.read(s, out)
+          .filterBbox(-60, -30, 60, 30)
+          .df.select($"c_custkey").orderBy($"c_custkey")
+      },
+      Some(s"""WITH pts AS (
+          SELECT c_custkey, ${lonSql("c_custkey")} AS cx,
+                 ${latSql("c_custkey")} AS cy
+          FROM customer)
+        SELECT c_custkey FROM pts
+        WHERE cx >= -60 AND cx <= 60 AND cy >= -30 AND cy <= 30
+        ORDER BY c_custkey"""))
   )
+
+  private val prunedCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  /** Stage the quadkey-partitioned customer-points dataset once per
+    * (session, sf dir); queries then exercise only the read+prune path.
+    */
+  private def prunedDataset(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    prunedCache.computeIfAbsent((s, dir), { case (spark, d) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q186").toString + "/qk"
+      val pts = table(spark, d, "customer")
+        .withColumn("geometry", geo.st_point(
+          Coords.lon(col("c_custkey")), Coords.lat(col("c_custkey"))))
+        .select(col("c_custkey"), col("geometry"))
+      graft.table.GeoTable.fromDataFrame(pts, "geometry")
+        .partitionByQuadkey(zoom = 6, prefixChars = 2, out, force = true)
+      out
+    })
 }

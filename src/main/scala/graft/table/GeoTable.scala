@@ -22,7 +22,13 @@ import graft.meta.{Footer, GeoColumnMeta, GeoMeta}
 final case class GeoTable(
     df: DataFrame,
     meta: GeoMeta,
-    geometryColumn: Option[String]) {
+    geometryColumn: Option[String],
+    /** Spatial-partitioning descriptor restored from the
+      * `graft:partitioning` footer of a Hive dataset written by
+      * [[partitionByQuadkey]]/[[partitionByH3]]/[[partitionByKdtree]];
+      * lets [[filterBbox]] prune directories, not just row groups.
+      */
+    partitioning: Option[graft.meta.SpatialPartitioning] = None) {
 
   private def spark: SparkSession = df.sparkSession
 
@@ -147,7 +153,15 @@ final case class GeoTable(
       case None =>
         geo.envelope_intersects(col(geomCol), xmin, ymin, xmax, ymax)
     }
-    copy(df = df.filter(pred))
+    // Hive dataset written by our spatial partitioners: AND in the
+    // partition-column covering conjunct so the scan gets
+    // PartitionFilters (directory pruning), not just row-group pruning.
+    // Sound for non-point geometries: the covering is computed over the
+    // query box expanded by the dataset's recorded anchor reach — see
+    // SpatialPartitioning's scaladoc.
+    val partPred = partitioning.flatMap(sp =>
+      graft.meta.SpatialPartitioning.predicate(sp, df, xmin, ymin, xmax, ymax))
+    copy(df = df.filter(partPred.map(pred && _).getOrElse(pred)))
   }
 
   /** Precise geometry-intersects filter; WKT/GeoJSON literal input
@@ -228,14 +242,22 @@ final case class GeoTable(
     * tiny tree walk over two doubles.
     */
   def addKdtree(iterations: Int = 4, cellCol: String = "kdtree_cell",
-      sampleRows: Int = 100000, seed: Long = 42L): GeoTable = {
+      sampleRows: Int = 100000, seed: Long = 42L): GeoTable =
+    addKdtreeWithTree(iterations, cellCol, sampleRows, seed)._1
+
+  /** [[addKdtree]] plus the built split tree — the partition writer
+    * records the tree in the footer so reads can prune leaf rectangles.
+    */
+  private[table] def addKdtreeWithTree(iterations: Int = 4,
+      cellCol: String = "kdtree_cell", sampleRows: Int = 100000,
+      seed: Long = 42L): (GeoTable, graft.ops.KdTree.Node) = {
     val cen = geo.st_centroid(col(geomCol))
     val pts = df.select(geo.st_x(cen).as("__x"), geo.st_y(cen).as("__y"))
     val tree = graft.ops.KdTree.build(pts, "__x", "__y", iterations,
       sampleRows, seed)
-    copy(df = graft.ops.KdTree.withCell(
+    (copy(df = graft.ops.KdTree.withCell(
       df.withColumn("__cx", geo.st_x(cen)).withColumn("__cy", geo.st_y(cen)),
-      "__cx", "__cy", tree, cellCol).drop("__cx", "__cy"))
+      "__cx", "__cy", tree, cellCol).drop("__cx", "__cy")), tree)
   }
 
   // ---- sorts (SURVEY §2.6) ----------------------------------------------
@@ -480,17 +502,28 @@ final case class GeoTable(
     writeGeoFooter(outPath)
   }
 
-  /** Partition by quadkey prefix (`core/partition_by_quadkey.py`). */
+  /** Partition by quadkey prefix (`core/partition_by_quadkey.py`).
+    * When this call computes the key itself (no pre-existing `quadkey`
+    * column whose anchor rule we can't know), it also records a
+    * [[graft.meta.SpatialPartitioning]] footer so a later
+    * [[filterBbox]] over the dataset prunes partition DIRECTORIES.
+    */
   def partitionByQuadkey(zoom: Int, prefixChars: Int, outPath: String,
       force: Boolean = false): Unit = {
-    val t = if (df.columns.contains("quadkey")) this else addQuadkey(zoom)
+    val hadKey = df.columns.contains("quadkey")
+    val t = if (hadKey) this else addQuadkey(zoom)
     val key = substring(col("quadkey"), 1, prefixChars)
     val analysis = t.analyzePartitionKey(key)
     if (!force) analysis.requireSane()
     t.df.withColumn("__qk", key)
       .repartition(col("__qk"))
       .write.partitionBy("__qk").mode("overwrite").parquet(outPath)
-    writeGeoFooter(outPath)
+    val sp = if (hadKey) None else {
+      val (rw, rh) = midpointReach() // quadkeyGeom anchors at envelope midpoint
+      Some(graft.meta.SpatialPartitioning("quadkey", "__qk",
+        level = math.min(zoom, prefixChars), maxHalfW = rw, maxHalfH = rh))
+    }
+    writeGeoFooter(outPath, sp)
   }
 
   /** Partition by H3 cell (`core/partition_by_h3.py:98-215`): ensure the
@@ -499,23 +532,32 @@ final case class GeoTable(
     */
   def partitionByH3(resolution: Int, outPath: String,
       h3Col: String = "h3_cell", force: Boolean = false): Unit = {
-    val t = if (df.columns.contains(h3Col)) this else addH3(resolution, h3Col)
+    val hadKey = df.columns.contains(h3Col)
+    val t = if (hadKey) this else addH3(resolution, h3Col)
     val analysis = t.analyzePartitionKey(col(h3Col))
     if (!force) analysis.requireSane()
     t.df.withColumn("__h3", col(h3Col))
       .repartition(col("__h3"))
       .write.partitionBy("__h3").mode("overwrite").parquet(outPath)
-    writeGeoFooter(outPath)
+    val sp = if (hadKey) None else {
+      val (rw, rh) = centroidReach() // h3Geom anchors at the centroid
+      Some(graft.meta.SpatialPartitioning("h3", "__h3",
+        resolution = resolution, maxHalfW = rw, maxHalfH = rh))
+    }
+    writeGeoFooter(outPath, sp)
   }
 
   /** Partition by KD-tree cell — balanced output files
     * (`core/partition_by_kdtree.py`).
     */
   def partitionByKdtree(iterations: Int, outPath: String): Unit = {
-    val t = addKdtree(iterations)
+    val (t, tree) = addKdtreeWithTree(iterations)
     t.df.repartition(col("kdtree_cell"))
       .write.partitionBy("kdtree_cell").mode("overwrite").parquet(outPath)
-    writeGeoFooter(outPath)
+    val (rw, rh) = centroidReach() // kd cells anchor at the centroid
+    writeGeoFooter(outPath, Some(graft.meta.SpatialPartitioning(
+      "kdtree", "kdtree_cell", splits = Some(tree),
+      maxHalfW = rw, maxHalfH = rh)))
   }
 
   /** Spatial enrich join against a boundary table (the reference's
@@ -635,7 +677,34 @@ final case class GeoTable(
     writeGeoFooter(path)
   }
 
-  private def writeGeoFooter(path: String): Unit = {
+  /** Max distance from each row's partition-key ANCHOR point to its
+    * envelope edge, per axis — the reach [[filterBbox]] must expand a
+    * query box by before partition pruning can be sound for non-point
+    * geometries (see [[graft.meta.SpatialPartitioning]]). One bounded
+    * aggregation; null/empty tables read as reach 0.
+    */
+  private def anchorReach(anchorX: Column, anchorY: Column): (Double, Double) = {
+    val g = col(geomCol)
+    val r = df.agg(
+      max(greatest(anchorX - geo.st_xmin(g), geo.st_xmax(g) - anchorX)),
+      max(greatest(anchorY - geo.st_ymin(g), geo.st_ymax(g) - anchorY))).head()
+    (if (r.isNullAt(0)) 0.0 else math.max(0.0, r.getDouble(0)),
+      if (r.isNullAt(1)) 0.0 else math.max(0.0, r.getDouble(1)))
+  }
+
+  private def midpointReach(): (Double, Double) = {
+    val g = col(geomCol)
+    anchorReach((geo.st_xmin(g) + geo.st_xmax(g)) / 2,
+      (geo.st_ymin(g) + geo.st_ymax(g)) / 2)
+  }
+
+  private def centroidReach(): (Double, Double) = {
+    val c = geo.st_centroid(col(geomCol))
+    anchorReach(geo.st_x(c), geo.st_y(c))
+  }
+
+  private def writeGeoFooter(path: String,
+      partitioning: Option[graft.meta.SpatialPartitioning] = None): Unit = {
     if (geometryColumn.isDefined) {
       val gm0 =
         if (meta.columns.contains(geomCol)) meta.copy(primaryColumn = geomCol)
@@ -651,7 +720,10 @@ final case class GeoTable(
       val gm = gm0.copy(columns = gm0.columns.updated(gm0.primaryColumn,
         gm0.columns.getOrElse(gm0.primaryColumn, GeoColumnMeta())
           .copy(coveringBbox = bboxCol)))
-      Footer.writeGeoMetadata(path, gm, bboxCol)
+      Footer.writeGeoMetadata(path, gm, bboxCol,
+        extra = partitioning.map(sp =>
+          graft.meta.SpatialPartitioning.FooterKey ->
+            graft.meta.SpatialPartitioning.toJson(sp)).toMap)
     }
   }
 
@@ -1074,8 +1146,11 @@ object GeoTable {
   def read(spark: SparkSession, path: String,
       mergeSchema: Boolean = false): GeoTable = {
     val df0 = spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
-    val geoMeta = Footer.partFiles(path).headOption
-      .flatMap(p => Footer.read(p).geo)
+    val firstInfo = Footer.partFiles(path).headOption.map(p => Footer.read(p))
+    val geoMeta = firstInfo.flatMap(_.geo)
+    val partitioning = firstInfo
+      .flatMap(_.keyValueMeta.get(graft.meta.SpatialPartitioning.FooterKey))
+      .flatMap(graft.meta.SpatialPartitioning.fromJsonOpt)
     val geomCol = geoMeta.map(_.primaryColumn)
       .filter(df0.columns.contains)
       .orElse(GeoMeta.GeometryNameCandidates.find(df0.columns.contains))
@@ -1094,7 +1169,7 @@ object GeoTable {
       if !df0.schema.fields.find(_.name == g)
         .exists(_.metadata.contains(GeoMeta.GeoPairKey))
     } yield tagGeoPair(df0, g, b)).getOrElse(df0)
-    GeoTable(df, geoMeta.getOrElse(GeoMeta()), geomCol)
+    GeoTable(df, geoMeta.getOrElse(GeoMeta()), geomCol, partitioning)
   }
 
   /** Stamp `geomCol` and `bboxCol` with one shared [[GeoMeta.GeoPairKey]]
