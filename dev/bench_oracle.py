@@ -60,7 +60,15 @@ def time_query(sql: str):
         if out.returncode != 0:
             print(out.stderr[-500:], file=sys.stderr)
             return None
-        sec = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+        # a rc-0 worker with unparseable stdout must degrade to a timeout
+        # record for THIS query, never crash the run (185 prior timings
+        # would be lost — the whole file is the round's oracle denominator)
+        try:
+            sec = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+        except (IndexError, KeyError, ValueError):
+            print(f"unparseable worker stdout: {out.stdout[-200:]!r}",
+                  file=sys.stderr)
+            return None
         best = sec if best is None else min(best, sec)
     return best
 
@@ -70,7 +78,19 @@ def main():
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     times, timeouts = {}, []
     t_start = time.time()
-    for name in sorted(oracles):
+    dest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"duckdb_times_{sf_name}.json")
+
+    def flush():
+        # incremental write: a crash or ctrl-C at query N keeps the first
+        # N-1 timings (a 185-query sf0.1 pass is ~20 min of wall clock)
+        out = {"sf": sf_name, "threads": THREADS, "cap_sec": CAP_SEC,
+               "runs": RUNS, "times": times}
+        tmp = dest + ".tmp"
+        json.dump(out, open(tmp, "w"), indent=1, sort_keys=True)
+        os.replace(tmp, dest)
+
+    for i, name in enumerate(sorted(oracles)):
         sec = time_query(oracles[name])
         if sec is None:
             times[name] = -1.0
@@ -79,16 +99,9 @@ def main():
         else:
             times[name] = round(sec, 4)
             print(f"{name}: {sec:.3f} s")
-    out = {
-        "sf": sf_name,
-        "threads": THREADS,
-        "cap_sec": CAP_SEC,
-        "runs": RUNS,
-        "times": times,
-    }
-    dest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"duckdb_times_{sf_name}.json")
-    json.dump(out, open(dest, "w"), indent=1, sort_keys=True)
+        if i % 10 == 9:
+            flush()
+    flush()
     print(f"wrote {dest}: {len(times)} queries, {len(timeouts)} timeouts, "
           f"{time.time() - t_start:.0f} s total")
 

@@ -23,7 +23,7 @@ object Bench {
     * depends on it, and a missing python3/duckdb just leaves the
     * same-window field absent (falls back to the snapshot).
     */
-  private val oracleWorkerPy: String =
+  private[graft] val oracleWorkerPy: String =
     """import json, os, sys, time
       |import duckdb
       |sf_dir, threads = sys.argv[1], int(sys.argv[2])
@@ -69,6 +69,64 @@ object Bench {
     val ts = (1 to 2).flatMap(_ => once())
     ts.minOption
   }
+
+  /** Parse a dev/duckdb_times_<sf>.json snapshot: None unless the file
+    * declares the SAME scale factor as this run (a stale sf0.01 snapshot
+    * must never become the denominator of an sf0.1 ratio) and carries at
+    * least one query entry. Timeout sentinels (-1) are preserved —
+    * downstream comparisons exclude them explicitly. Extracted from
+    * main() so the gate that decides whether an oracle comparison ships
+    * at all is unit-testable (round-12 verdict: sweep the measurement
+    * chain itself).
+    */
+  private[graft] def parseSnapshot(txt: String, sfName: String): Option[Map[String, Double]] = {
+    if (!txt.contains("\"sf\": \"" + sfName + "\"") &&
+        !txt.contains("\"sf\":\"" + sfName + "\"")) None
+    else {
+      val entry = """"(q\w+)":\s*(-?[0-9.]+)""".r
+      val m = entry.findAllMatchIn(txt)
+        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+      if (m.isEmpty) None else Some(m)
+    }
+  }
+
+  /** Spike-adjudication candidates: in-suite time >= minSec AND >= minRatio
+    * of the snapshot oracle. Oracle timeouts (-1) are excluded — Spark wins
+    * those by construction, so re-timing them solo would only burn window.
+    */
+  private[graft] def adjudicationCandidates(results: Seq[(String, Double)],
+      oracle: Map[String, Double], minSec: Double = 1.0,
+      minRatio: Double = 2.0): Seq[(String, Double)] =
+    results.filter { case (k, v) =>
+      v >= minSec && oracle.get(k).exists(d => d >= 0 && v / math.max(d, 1e-9) >= minRatio)
+    }
+
+  /** Post-adjudication weak set: still above the ratio bar at >= minSec
+    * AFTER the solo best-of-5, judged against the same-window oracle when
+    * one was obtained (falling back to the snapshot). Tuple layout matches
+    * the adjudication loop: (name, inSuite, solo, snapshotOracle, sameWindow).
+    */
+  private[graft] def weakAfterAdjudication(
+      adjudicated: Seq[(String, Double, Double, Double, Option[Double])],
+      minSec: Double = 1.0, maxRatio: Double = 2.0): Seq[String] =
+    adjudicated.collect {
+      case (k, _, solo, d, sw)
+        if solo >= minSec && solo / math.max(sw.getOrElse(d), 1e-9) > maxRatio => k
+    }
+
+  /** How many per-query entries fit in the stdout line without blowing the
+    * driver's tail-capture budget: cumulative entry length (with the comma
+    * separator) must stay under budget - headLen - reserve, where the
+    * reserve covers the closing braces AND the queries_note suffix that
+    * only appears in exactly the truncated case.
+    */
+  private[graft] def fitCount(entries: Seq[String], headLen: Int,
+      budget: Int, reserve: Int = 120): Int =
+    entries.scanLeft(0)(_ + _.length + 1)
+      .indexWhere(_ > budget - headLen - reserve) match {
+        case -1 => entries.size
+        case i  => math.max(0, i - 1)
+      }
 
   def main(args: Array[String]): Unit = {
     // Ambient 1-min loadavg BEFORE Spark spins up: once the suite runs,
@@ -186,14 +244,7 @@ object Bench {
       .map(new java.io.File(_)).filter(_.isFile)
       .flatMap { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
-        if (!txt.contains("\"sf\": \"" + sfName + "\"") &&
-            !txt.contains("\"sf\":\"" + sfName + "\"")) None
-        else {
-          val entry = """"(q\w+)":\s*(-?[0-9.]+)""".r
-          val m = entry.findAllMatchIn(txt)
-            .map(x => x.group(1) -> x.group(2).toDouble).toMap
-          if (m.isEmpty) None else Some(m)
-        }
+        parseSnapshot(txt, sfName)
       }
     // ONE comparable computation reused by both emitters — hand-synced
     // copies could silently disagree on the totals
@@ -212,9 +263,7 @@ object Bench {
     // only by suite context, which is exactly what's being adjudicated.
     val adjudicated: Seq[(String, Double, Double, Double, Option[Double])] =
       duck.map { m =>
-        results.filter { case (k, v) =>
-          v >= 1.0 && m.get(k).exists(d => d >= 0 && v / math.max(d, 1e-9) >= 2.0)
-        }.map { case (k, inSuite) =>
+        adjudicationCandidates(results, m).map { case (k, inSuite) =>
           val fn = SparkEntry.queries(k)
           // same failed-iteration contract as the main loop: a failure's
           // wall time must never become the adjudicated number (a fast
@@ -245,11 +294,7 @@ object Bench {
       }.getOrElse(Seq.empty)
     // weak = still >2x its oracle at >=1 s AFTER solo adjudication,
     // judged against the same-window oracle when one was obtained
-    val weak = adjudicated.collect {
-      case (k, _, solo, d, sw)
-        if solo >= 1.0 &&
-          solo / math.max(sw.getOrElse(d), 1e-9) > 2.0 => k
-    }
+    val weak = weakAfterAdjudication(adjudicated)
     val adjJson =
       if (adjudicated.isEmpty) ""
       else {
@@ -315,11 +360,7 @@ object Bench {
     // the reserve must cover the queries_note SUFFIX (~75 chars) that
     // only appears when truncation happens — a 40-char reserve could
     // overflow the budget by ~35 chars in exactly the truncated case
-    val fit = entries.scanLeft(0)(_ + _.length + 1)
-      .indexWhere(_ > budget - head.length - 120) match {
-        case -1 => entries.size
-        case i  => math.max(0, i - 1)
-      }
+    val fit = fitCount(entries, head.length, budget)
     val note = if (fit < entries.size) s""","queries_note":"slowest $fit of ${entries.size}; full set in $outFile"""" else ""
     println(head + s""","queries":${entries.take(fit).mkString("{", ",", "}")}$note}""")
     spark.stop()

@@ -81,9 +81,42 @@ object Multimodal {
   private val imageIoCacheOff: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Largest raster any decode path will materialize (64 Mpx = 256 MB
+    * as an ARGB int raster). A 4-byte header mutation in an untrusted
+    * payload can claim a 2-gigapixel image; allocating it is an
+    * OutOfMemoryError — an Error, which escapes the per-row
+    * Exception-to-null contracts and kills the whole executor. Every
+    * decoder checks DECLARED dimensions against this cap before its
+    * first allocation and treats a violation as undecodable (null/None).
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Declared pixel count sniffed from the container header: PNG IHDR
+    * (offsets 16-23, big-endian) or GIF logical screen descriptor
+    * (offsets 6-9, LE u16). 0 = format unrecognized (no claim; the
+    * decoder's own error handling applies), -1 = header present but
+    * dimensions non-positive (undecodable).
+    */
+  private[graft] def declaredPixels(payload: Array[Byte]): Long = {
+    if (payload == null) return -1
+    if (payload.length >= 24 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') {
+      val bb = java.nio.ByteBuffer.wrap(payload, 16, 8)
+      val w = bb.getInt(); val h = bb.getInt()
+      if (w <= 0 || h <= 0) -1 else w.toLong * h
+    } else if (payload.length >= 10 && payload(0) == 'G' &&
+        payload(1) == 'I' && payload(2) == 'F') {
+      val w = (payload(6) & 0xff) | ((payload(7) & 0xff) << 8)
+      val h = (payload(8) & 0xff) | ((payload(9) & 0xff) << 8)
+      if (w <= 0 || h <= 0) -1 else w.toLong * h
+    } else 0L
+  }
+
   private def readImageOrNull(payload: Array[Byte])
       : java.awt.image.BufferedImage = {
     if (payload == null || payload.length == 0) return null
+    val claim = declaredPixels(payload)
+    if (claim < 0 || claim > MaxDecodePixels) return null
     imageIoCacheOff
     val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
@@ -700,6 +733,8 @@ object Multimodal {
   def decodeGifFramesWith(reader: javax.imageio.ImageReader,
       payload: Array[Byte]): Option[Array[Array[Int]]] = {
     if (payload == null || payload.length == 0) return None
+    if (declaredPixels(payload) < 0 ||
+        declaredPixels(payload) > MaxDecodePixels) return None
     imageIoCacheOff
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -707,11 +742,22 @@ object Multimodal {
       reader.setInput(iis, false)
       val n = reader.getNumImages(true)
       if (n <= 0) None
-      else Some(Array.tabulate(n) { i =>
-        val img = reader.read(i)
-        val w = img.getWidth; val h = img.getHeight
-        Array.tabulate(w * h)(p => img.getRGB(p % w, p / w) & 0xff)
-      })
+      else {
+        // per-frame dims come from the image descriptor, which may claim
+        // far more than the canvas — check each BEFORE reader.read(i)
+        // allocates its BufferedImage (getWidth/getHeight are header-only)
+        var i = 0
+        while (i < n) {
+          if (reader.getWidth(i).toLong * reader.getHeight(i) > MaxDecodePixels)
+            return None
+          i += 1
+        }
+        Some(Array.tabulate(n) { i =>
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          Array.tabulate(w * h)(p => img.getRGB(p % w, p / w) & 0xff)
+        })
+      }
     } catch { case _: Exception => None }
     finally { reader.reset(); iis.close() }
   }
@@ -748,6 +794,10 @@ object Multimodal {
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F')) return None
     val width = u16(6); val height = u16(8)
+    // frames are required to be full-canvas below, so the canvas claim
+    // bounds every allocation; an absurd claim (u16 dims allow up to
+    // 4.3 Gpx = 17 GB of int rasters) must refuse BEFORE allocating
+    if (width.toLong * height > MaxDecodePixels) return None
     var pos = 13
     var gct: Array[Int] = null // blue channel per index
     val gctFlag = (u8(10) & 0x80) != 0

@@ -62,6 +62,17 @@ object FlatGeobuf {
     def vector(p: Int): (Int, Int) = {
       val v = indirect(p); (v + 4, i32(v))
     }
+    /** [[vector]] with an element-size bound checked BEFORE the caller
+      * allocates: a corrupt length can claim 2^31 elements (a 16 GB
+      * coordinate array — an OOM Error that kills the executor, not a
+      * per-row exception); the data must physically fit the buffer.
+      */
+    def vectorBounded(p: Int, elemBytes: Int): (Int, Int) = {
+      val (s, n) = vector(p)
+      require(n >= 0 && s >= 0 && s.toLong + elemBytes.toLong * n <= buf.length,
+        s"corrupt vector: $n elements of $elemBytes B at $s in a ${buf.length}-byte file")
+      (s, n)
+    }
     def string(p: Int): String = {
       val v = indirect(p)
       new String(buf, v + 4, i32(v), StandardCharsets.UTF_8)
@@ -90,7 +101,7 @@ object FlatGeobuf {
       val f = r.field(table, 1)
       if (f < 0) (Array.empty[Double], Array.empty[Double])
       else {
-        val (p, n) = r.vector(f)
+        val (p, n) = r.vectorBounded(f, 8) // n doubles (n/2 xy pairs)
         val xs = new Array[Double](n / 2); val ys = new Array[Double](n / 2)
         var i = 0
         while (i < n / 2) {
@@ -103,7 +114,7 @@ object FlatGeobuf {
       val f = r.field(table, 0)
       if (f < 0) Array.empty
       else {
-        val (p, n) = r.vector(f)
+        val (p, n) = r.vectorBounded(f, 4)
         Array.tabulate(n)(i => r.i32(p + 4 * i))
       }
     }
@@ -118,7 +129,7 @@ object FlatGeobuf {
       case GtMultiPolygon =>
         val f = r.field(table, 7)
         require(f >= 0, "MultiPolygon without parts")
-        val (p, n) = r.vector(f)
+        val (p, n) = r.vectorBounded(f, 4)
         MultiPolygon(Array.tabulate(n) { i =>
           readGeom(r, r.indirect(p + 4 * i), GtPolygon)
             .asInstanceOf[Polygon]
@@ -143,6 +154,10 @@ object FlatGeobuf {
     */
   private[graft] def indexSize(numItems: Long, nodeSize: Int): Long = {
     require(nodeSize >= 2)
+    // a corrupt NEGATIVE featuresCount reaches here through the == 0
+    // guards; (n + nodeSize - 1) / nodeSize then fixes at 0 and the
+    // level walk never reaches 1 — an infinite loop, not an error
+    require(numItems >= 1, s"bad feature count $numItems")
     var n = numItems
     var total = numItems
     while ({ n = (n + nodeSize - 1) / nodeSize; total += n; n != 1 }) ()
@@ -161,7 +176,7 @@ object FlatGeobuf {
       val f = hr.field(header, 7)
       if (f < 0) Seq.empty
       else {
-        val (p, n) = hr.vector(f)
+        val (p, n) = hr.vectorBounded(f, 4)
         (0 until n).map { i =>
           val ct = hr.indirect(p + 4 * i)
           val cname = hr.string(hr.field(ct, 0))
@@ -192,7 +207,7 @@ object FlatGeobuf {
     val vals = Array.fill[Any](columns.length)(null)
     val pf = fr.field(feature, 1)
     if (pf >= 0) {
-      val (p, n) = fr.vector(pf)
+      val (p, n) = fr.vectorBounded(pf, 1)
       var q = p
       while (q < p + n) {
         val ci = fr.u16(q); q += 2
@@ -678,6 +693,12 @@ object FlatGeobuf {
       if (!hit(box)) return
       if (level == leafLevel) featureOffsets += off
       else {
+        // a corrupt child offset (negative, or before the next level's
+        // start) must refuse: a very negative off.toInt makes this range
+        // billions of elements — a HANG, not an error (10k-case fuzz)
+        require(off >= starts(level + 1) && off <= starts(level + 2),
+          s"corrupt index: child offset $off outside level ${level + 1} " +
+            s"[${starts(level + 1)}, ${starts(level + 2)})")
         val childEnd = math.min(off.toInt + nodeSize, starts(level + 2))
         (off.toInt until childEnd).foreach(c => search(c, level + 1))
       }

@@ -61,6 +61,10 @@ object Shapefile {
     var off = 100
     while (off + 8 <= math.min(fileLenBytes, bytes.length)) {
       val contentWords = buf.getInt(off + 4)
+      // every record carries at least the 4-byte shape type (2 words); a
+      // zero or negative declared length would stall or reverse the walk
+      // — unbounded geoms growth on corrupt input, an OOM not an error
+      require(contentWords >= 2, s"bad record content length $contentWords")
       val contentStart = off + 8
       geoms += parseRecord(bytes, contentStart)
       off = contentStart + contentWords * 2
@@ -78,6 +82,10 @@ object Shapefile {
       case 8 | 18 | 28 => // MultiPoint: bbox + n + points
         b.position(b.position() + 32)
         val n = b.getInt
+        // allocation bound BEFORE Array.fill: a corrupt count claims up
+        // to 2^31 points; the buffer can hold at most remaining/16
+        require(n >= 0 && n.toLong * 16 <= b.remaining(),
+          s"bad multipoint count $n for ${b.remaining()} bytes")
         MultiPoint(Array.fill(n)(Point(b.getDouble, b.getDouble)))
       case 3 | 13 | 23 => // PolyLine: bbox + parts + points
         val parts = readParts(b)
@@ -95,6 +103,13 @@ object Shapefile {
     b.position(b.position() + 32) // skip bbox
     val numParts = b.getInt
     val numPoints = b.getInt
+    // corrupt counts must refuse before allocating (see parseRecord):
+    // parts are 4 bytes each, points 16, and both live in THIS buffer
+    require(numParts >= 0 && numParts.toLong * 4 <= b.remaining(),
+      s"bad part count $numParts for ${b.remaining()} bytes")
+    require(numPoints >= 0 &&
+      numPoints.toLong * 16 <= b.remaining() - numParts.toLong * 4,
+      s"bad point count $numPoints for ${b.remaining()} bytes")
     val starts = Array.fill(numParts)(b.getInt)
     val xs = new Array[Double](numPoints)
     val ys = new Array[Double](numPoints)
@@ -152,6 +167,14 @@ object Shapefile {
     val numRecords = b.getInt(4)
     val headerSize = java.lang.Short.toUnsignedInt(b.getShort(8))
     val recordSize = java.lang.Short.toUnsignedInt(b.getShort(10))
+    // declared records must physically fit the file (spec: file length =
+    // header + n*recordSize + EOF byte); without this a corrupt count
+    // with zero declared fields materializes 2^31 empty rows — an OOM,
+    // not a loud error. recordSize >= 1 (the deletion flag) per spec.
+    require(recordSize >= 1, s"bad dbf record size $recordSize")
+    require(numRecords >= 0 &&
+      numRecords.toLong * recordSize <= bytes.length.toLong,
+      s"dbf declares $numRecords records of $recordSize B in ${bytes.length} B")
     // field descriptors: 32 bytes each, from offset 32 to 0x0D terminator
     val fields = scala.collection.mutable.ArrayBuffer[DbfField]()
     var off = 32

@@ -135,8 +135,11 @@ object BenchSuite {
       warmup: Boolean): Seq[(String, Double, Long)] = {
     val work = java.nio.file.Files.createTempDirectory("graft_cmp").toString
     def sizeOf(p: String): Long = {
+      // listFiles is null (not empty) on a vanished dir or an IO error —
+      // a race with the writer's temp-file cleanup must not NPE the report
       def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles.map(walk).sum else f.length
+        if (f.isDirectory) Option(f.listFiles).fold(0L)(_.map(walk).sum)
+        else f.length
       walk(new java.io.File(p))
     }
     formats.map { fmt =>

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** q175_phash_dedup stage decomposition (round-12 verdict item 5: the
+  * only adjudicated query above 1x solo). Times each pipeline stage —
+  * PNG encode, encode+ImageIO decode+aHash, hash checkpoint, band join,
+  * full query — best-of-3 each, so the artifact can say whether the
+  * 1.6x is decode work, join work, or job floor.
+  */
+object ProfPhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def best3(label: String)(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
+      }
+      println(f"[phash] $label%-28s best ${ts.min}%.3f s (${ts.map(t => f"$t%.2f").mkString(", ")})")
+      ts.min
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id")
+    println(s"[phash] docs=${docs.count()} sf=$sfDir")
+    def media = graft.ops.Multimodal.withSyntheticClassPng(docs, "doc_id", 40)
+    def sig = graft.ops.Multimodal.withAHash(media, "payload")
+      .select($"doc_id", $"ahash_hi", $"ahash_lo")
+
+    // warmup: JIT the codec paths
+    force(graft.ops.Multimodal.phashNearDups(sig, "doc_id", 3))
+
+    val tFloor = best3("job floor (1-row noop)")(force(spark.range(1).toDF("x")))
+    val tScan = best3("docs scan only")(force(docs))
+    val tEnc = best3("+ PNG encode")(force(media.select($"doc_id", length($"payload"))))
+    val tHash = best3("+ ImageIO decode + aHash")(force(sig))
+    val tPairs = best3("full: + band join + hamming")(
+      force(graft.ops.Multimodal.phashNearDups(sig, "doc_id", 3)))
+    val tQuery = best3("q175 as declared (w/ orderBy)")(
+      force(graft.SparkEntry.queries("q175_phash_dedup")(spark, sfDir)))
+    println(f"""{"metric":"phash_decomp","sf":"$sfDir","floor":$tFloor%.3f,"scan":$tScan%.3f,"encode":$tEnc%.3f,"encode_decode_hash":$tHash%.3f,"pairs":$tPairs%.3f,"query":$tQuery%.3f}""")
+    spark.stop()
+  }
+}

@@ -194,6 +194,37 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // Multimodal dedup tier (round-12 verdict item 4): q175/q176/q183 are
+    // absent from `flagships` because their near-dup CLASS count is fixed
+    // (40/30) — verbatim k× growth multiplies every class by k and the
+    // pair OUTPUT grows k², a distribution change, not a scale-up. The
+    // honest scale-up (the q53 scaled-k pattern) grows the class count
+    // with the corpus so class size stays bounded: pairs then grow
+    // linearly and the exponent measures the ENGINE's shuffles (decode,
+    // band join, inverted index, CC), not the output's combinatorics.
+    val mediaScaled: Seq[(String, Int, (String, Int) => DataFrame)] = Seq(
+      ("q175_phash_scaledclasses", 40, (dir: String, classes: Int) => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        val media = graft.ops.Multimodal.withSyntheticClassPng(docs, "doc_id", classes)
+        val sig = graft.ops.Multimodal.withAHash(media, "payload")
+          .select("doc_id", "ahash_hi", "ahash_lo")
+        graft.ops.Multimodal.phashNearDups(sig, "doc_id", maxHamming = 3)
+      }),
+      ("q176_phashcc_scaledclasses", 40, (dir: String, classes: Int) => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        val media = graft.ops.Multimodal.withSyntheticClassPng(docs, "doc_id", classes)
+        val sig = graft.ops.Multimodal.withAHash(media, "payload")
+          .select("doc_id", "ahash_hi", "ahash_lo")
+        graft.ops.Dedup.connectedComponents(
+          graft.ops.Multimodal.phashNearDups(sig, "doc_id", maxHamming = 3))
+      }),
+      ("q183_video_scaledclasses", 30, (dir: String, classes: Int) => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        val media = graft.ops.Multimodal.withSyntheticClassGif(docs, "doc_id", classes)
+        val fh = graft.ops.Multimodal.withFrameHashes(media, "payload", "doc_id")
+        graft.ops.Multimodal.videoDedup(fh, "doc_id", minShared = 3)
+      }))
+      .filter { case (n, _, _) => only.exists(_.contains(n)) }
 
     // ---- synthesize the k× tables ------------------------------------
     def shifted(df: DataFrame, idCol: String, shard: Int, span: Long): DataFrame =
@@ -243,7 +274,8 @@ object ScaleCurve {
     // stay within-shard and the pair count scales ×k — copying text
     // verbatim would instead multiply every dup cluster by k and grow
     // pair work k², which is a data-distribution change, not a scale-up
-    if (picked.exists(q => !embQueries(q) && !Set("q5_window_topk",
+    if (mediaScaled.nonEmpty ||
+        picked.exists(q => !embQueries(q) && !Set("q5_window_topk",
         "q13_hilbert_sort", "q83_json_extract", "q113_funnel",
         "q136_retention_cohorts", "q137_markov_transitions",
         "q138_rfm_segments", "q139_anomaly_robust",
@@ -282,7 +314,14 @@ object ScaleCurve {
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         force(graft.SparkEntry.queries(name)(spark, dir))
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // same per-run hygiene as Bench: release checkpoint/cache blocks
+        // the iterative operators (connectedComponents, BPE, k-means)
+        // materialized, so one flagship's block-manager residue never
+        // taxes the next timing — over 100+ timed runs the leak compounds
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
       }.min
 
     var rows = picked.map { q =>
@@ -309,11 +348,33 @@ object ScaleCurve {
         (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           semdedup(dir, k)
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          dt
         }.min
       val tS = timeSem(baseDir, 8)
       val tB = timeSem(outDir, 8 * factor)
       rows = rows :+ (("q53_semdedup_scaledk", tS, tB,
+        math.log(tB / tS) / math.log(factor.toDouble)))
+    }
+    // multimodal scaled-class tier: base classes c0 at baseDir, c0×factor
+    // at the k× corpus — class SIZE constant, pair output linear (the
+    // same contract as the token salt / embedding shift / semdedup k)
+    mediaScaled.foreach { case (name, c0, build) =>
+      def timeMedia(dir: String, classes: Int): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          force(build(dir, classes))
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          dt
+        }.min
+      timeMedia(baseDir, c0) // warmup (JIT the codec + band-join paths)
+      val tS = timeMedia(baseDir, c0)
+      val tB = timeMedia(outDir, c0 * factor)
+      rows = rows :+ ((name, tS, tB,
         math.log(tB / tS) / math.log(factor.toDouble)))
     }
     val qjson = rows.map { case (q, ts, tb, e) =>

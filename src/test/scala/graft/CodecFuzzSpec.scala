@@ -1,0 +1,459 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom._
+
+/** Systematic property + bounded-mutation fuzz tests for every binary
+  * codec in the repo (round-12 verdict item 3): the review sweeps kept
+  * finding the same defect class by hand (GPKG DDL column shift, FGB
+  * Int-wrap, WAV pad clamp, WKB parser depth bounds) — this suite makes
+  * that class a standing regression gate instead of a per-round hunt.
+  *
+  * Two invariant families:
+  *
+  *  1. Round-trip identity on GENERATED inputs: parse∘print == id for
+  *     WKT/GeoJSON, read∘write == id for WKB (plus ISO Z/M/ZM and EWKB
+  *     forms in both endiannesses projecting to the same XY geometry).
+  *  2. Mutation robustness: for seeded byte/char mutations and
+  *     truncations of VALID encodings, every reader must return a loud
+  *     error (an Exception for strict `read`s, None/null for the Opt
+  *     forms) or a decoded value — never an Error (StackOverflow, OOM),
+  *     never a hang. "Silent wrong data" is covered where the format
+  *     carries integrity metadata worth honoring; structural corruption
+  *     below that is indistinguishable from valid data by construction.
+  *
+  * Iterations are bounded and the seed fixed so the suite is
+  * deterministic; set GRAFT_FUZZ_ITERS (per-target case count) for the
+  * long certification run (the 10k-case bar in the round-12 verdict).
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val iters =
+    sys.env.get("GRAFT_FUZZ_ITERS").map(_.toInt).getOrElse(2000)
+
+  /** Geometry equality via canonical WKB bytes: case-class equality on
+    * Double fields breaks on NaN (empty POINT), byte equality doesn't.
+    */
+  private def geomEq(a: Geom, b: Geom): Boolean =
+    java.util.Arrays.equals(Wkb.write(a), Wkb.write(b))
+
+  // ---- deterministic geometry generator ---------------------------------
+
+  private def genCoord(r: scala.util.Random): (Double, Double) = {
+    // full-precision doubles in a plausible range, with exact-integer and
+    // tiny/huge magnitudes mixed in (the WKT printer's three formatting
+    // regimes: integral, plain decimal, would-be-scientific)
+    def d(): Double = r.nextInt(5) match {
+      case 0 => r.nextInt(361) - 180.0
+      case 1 => (r.nextDouble() - 0.5) * 360.0
+      case 2 => (r.nextDouble() - 0.5) * 1e-4
+      case 3 => (r.nextDouble() - 0.5) * 1e9
+      case _ => r.nextDouble() - 0.5
+    }
+    (d(), d())
+  }
+
+  private def genSeq(r: scala.util.Random, min: Int): CoordSeq = {
+    val n = min + r.nextInt(5)
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) { val (x, y) = genCoord(r); xs(i) = x; ys(i) = y; i += 1 }
+    CoordSeq(xs, ys)
+  }
+
+  private def genRing(r: scala.util.Random): CoordSeq = {
+    val open = genSeq(r, 3)
+    CoordSeq(open.xs :+ open.xs(0), open.ys :+ open.ys(0))
+  }
+
+  private def genGeom(r: scala.util.Random, depth: Int = 0): Geom =
+    r.nextInt(if (depth >= 2) 6 else 7) match {
+      case 0 => val (x, y) = genCoord(r); Point(x, y)
+      case 1 => LineString(genSeq(r, 2))
+      case 2 => Polygon(Array.fill(1 + r.nextInt(2))(genRing(r)))
+      case 3 => MultiPoint(Array.fill(1 + r.nextInt(3)) {
+        val (x, y) = genCoord(r); Point(x, y)
+      })
+      case 4 => MultiLineString(Array.fill(1 + r.nextInt(3))(LineString(genSeq(r, 2))))
+      case 5 => MultiPolygon(Array.fill(1 + r.nextInt(2))(
+        Polygon(Array.fill(1 + r.nextInt(2))(genRing(r)))))
+      case _ => GeometryCollection(Array.fill(1 + r.nextInt(3))(genGeom(r, depth + 1)))
+    }
+
+  private def emptyGeoms: Seq[Geom] = Seq(
+    Point(Double.NaN, Double.NaN), LineString(CoordSeq.empty),
+    Polygon(Array.empty), MultiPoint(Array.empty),
+    MultiLineString(Array.empty), MultiPolygon(Array.empty),
+    GeometryCollection(Array.empty))
+
+  // ---- helpers -----------------------------------------------------------
+
+  /** The call may throw an Exception (strict readers are loud by
+    * contract) but never an Error — a StackOverflowError or OOM kills
+    * the whole Spark executor, not just the row.
+    */
+  private def neverError[A](label: String)(f: => A): Unit =
+    try { f; () }
+    catch {
+      case _: Exception => ()
+      case t: Throwable =>
+        fail(s"$label: non-Exception throwable ${t.getClass.getName}: ${t.getMessage}")
+    }
+
+  /** Opt-form decoders must never throw AT ALL (None is their error). */
+  private def neverThrows[A](label: String)(f: => A): Unit =
+    try { f; () }
+    catch {
+      case t: Throwable =>
+        fail(s"$label: Opt decoder threw ${t.getClass.getName}: ${t.getMessage}")
+    }
+
+  private def mutate(r: scala.util.Random, bytes: Array[Byte]): Array[Byte] = {
+    val out = bytes.clone()
+    r.nextInt(3) match {
+      case 0 => // flip 1-4 bytes
+        (0 to r.nextInt(4)).foreach { _ =>
+          if (out.nonEmpty) out(r.nextInt(out.length)) = r.nextInt(256).toByte
+        }
+        out
+      case 1 => // truncate
+        out.take(r.nextInt(out.length + 1))
+      case _ => // flip bytes AND truncate
+        (0 to r.nextInt(4)).foreach { _ =>
+          if (out.nonEmpty) out(r.nextInt(out.length)) = r.nextInt(256).toByte
+        }
+        out.take(1 + r.nextInt(out.length))
+    }
+  }
+
+  private def mutateStr(r: scala.util.Random, s: String): String =
+    r.nextInt(3) match {
+      case 0 if s.nonEmpty =>
+        val i = r.nextInt(s.length)
+        s.substring(0, i) + "()0,E. G".charAt(r.nextInt(8)) + s.substring(i + 1)
+      case 1 => s.take(r.nextInt(s.length + 1))
+      case _ if s.nonEmpty =>
+        val i = r.nextInt(s.length)
+        s.substring(0, i) + s.substring(math.min(s.length, i + 1 + r.nextInt(4)))
+      case _ => s
+    }
+
+  // =========================================================================
+  // 1. round-trip properties
+  // =========================================================================
+
+  test("WKB: read(write(g)) == g on generated geometries + empties") {
+    val r = new scala.util.Random(42)
+    (emptyGeoms ++ Seq.fill(iters / 4)(genGeom(r))).zipWithIndex.foreach {
+      case (g, i) =>
+        val back = Wkb.read(Wkb.write(g))
+        assert(geomEq(back, g), s"case $i: ${Wkt.print(g).take(120)}")
+    }
+  }
+
+  test("WKT: parse(print(g)) == g on generated geometries + empties") {
+    val r = new scala.util.Random(43)
+    (emptyGeoms ++ Seq.fill(iters / 4)(genGeom(r))).zipWithIndex.foreach {
+      case (g, i) =>
+        val s = Wkt.print(g)
+        assert(!s.matches("(?s).*\\d[eE][+-]?\\d.*"),
+          s"case $i: scientific notation leaked into WKT: $s")
+        val back = Wkt.parse(s)
+        assert(geomEq(back, g), s"case $i: $s")
+    }
+  }
+
+  test("GeoJSON: parse(print(g)) == g on generated geometries") {
+    val r = new scala.util.Random(44)
+    // GeoJSON has no EMPTY POINT form; empties of the array-backed types
+    // round-trip as empty coordinate arrays
+    val empties = emptyGeoms.filterNot(_.isInstanceOf[Point])
+    (empties ++ Seq.fill(iters / 4)(genGeom(r))).zipWithIndex.foreach {
+      case (g, i) =>
+        val s = GeoJson.print(g)
+        val back = GeoJson.parse(s)
+        assert(geomEq(back, g), s"case $i: ${s.take(160)}")
+    }
+  }
+
+  test("WKB: ISO Z/M/ZM and EWKB forms, both endiannesses, project to XY") {
+    val r = new scala.util.Random(45)
+    Seq.fill(200)(genGeom(r)).zipWithIndex.foreach { case (g, i) =>
+      for {
+        big <- Seq(false, true)
+        (hasZ, hasM) <- Seq((false, false), (true, false), (false, true), (true, true))
+        ewkb <- Seq(false, true)
+        srid <- if (ewkb) Seq(false, true) else Seq(false)
+      } {
+        val bytes = writeDim(g, big, hasZ, hasM, ewkb, srid, r)
+        val back = Wkb.read(bytes)
+        assert(geomEq(back, g),
+          s"case $i big=$big z=$hasZ m=$hasM ewkb=$ewkb srid=$srid: ${Wkt.print(g).take(100)}")
+      }
+    }
+  }
+
+  /** Test-side WKB writer for the dimension/endianness/EWKB matrix the
+    * production writer deliberately doesn't emit (it writes ISO LE XY
+    * only). Z/M ordinates get arbitrary finite values — the reader's
+    * contract is to drop them.
+    */
+  private def writeDim(g: Geom, big: Boolean, hasZ: Boolean, hasM: Boolean,
+      ewkb: Boolean, srid: Boolean, r: scala.util.Random): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val extra = (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
+    def putInt(v: Int): Unit = {
+      val b = java.nio.ByteBuffer.allocate(4)
+        .order(if (big) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v); bos.write(b.array(), 0, 4)
+    }
+    def putD(v: Double): Unit = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(if (big) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putDouble(v); bos.write(b.array(), 0, 8)
+    }
+    def putCoord(x: Double, y: Double): Unit = {
+      putD(x); putD(y)
+      (0 until extra).foreach(_ => putD(r.nextDouble() * 100))
+    }
+    def putSeq(cs: CoordSeq): Unit = { putInt(cs.size); cs.foreach(putCoord) }
+    def code(base: Int): Int =
+      if (ewkb) {
+        var c = base
+        if (hasZ) c |= 0x80000000
+        if (hasM) c |= 0x40000000
+        if (srid) c |= 0x20000000
+        c
+      } else base + (if (hasZ && hasM) 3000 else if (hasM) 2000 else if (hasZ) 1000 else 0)
+    def writeG(g: Geom): Unit = {
+      bos.write(if (big) 0 else 1)
+      g match {
+        case Point(x, y) =>
+          putInt(code(1)); if (srid && ewkb) putInt(4326); putCoord(x, y)
+        case LineString(cs) =>
+          putInt(code(2)); if (srid && ewkb) putInt(4326); putSeq(cs)
+        case Polygon(rings) =>
+          putInt(code(3)); if (srid && ewkb) putInt(4326)
+          putInt(rings.length); rings.foreach(putSeq)
+        case MultiPoint(ps) =>
+          putInt(code(4)); if (srid && ewkb) putInt(4326)
+          putInt(ps.length); ps.foreach(writeG)
+        case MultiLineString(ls) =>
+          putInt(code(5)); if (srid && ewkb) putInt(4326)
+          putInt(ls.length); ls.foreach(writeG)
+        case MultiPolygon(ps) =>
+          putInt(code(6)); if (srid && ewkb) putInt(4326)
+          putInt(ps.length); ps.foreach(writeG)
+        case GeometryCollection(gs) =>
+          putInt(code(7)); if (srid && ewkb) putInt(4326)
+          putInt(gs.length); gs.foreach(writeG)
+      }
+    }
+    writeG(g)
+    bos.toByteArray
+  }
+
+  // =========================================================================
+  // 2. mutation fuzz — geometry codecs
+  // =========================================================================
+
+  test("WKB fuzz: readOpt never throws, read never Errors, on mutations") {
+    val r = new scala.util.Random(46)
+    val fixtures = Seq.fill(40)(Wkb.write(genGeom(r)))
+    (1 to iters).foreach { i =>
+      val m = mutate(r, fixtures(r.nextInt(fixtures.length)))
+      neverThrows(s"Wkb.readOpt case $i")(Wkb.readOpt(m))
+      neverError(s"Wkb.read case $i")(Wkb.read(m))
+      neverError(s"Wkb.typeName case $i")(Wkb.typeName(m))
+    }
+    // adversarial: deep nesting must refuse, not StackOverflow
+    val deep = {
+      val bos = new java.io.ByteArrayOutputStream()
+      (1 to 100000).foreach { _ =>
+        bos.write(1)
+        bos.write(Array[Byte](7, 0, 0, 0)) // LE GEOMETRYCOLLECTION
+        bos.write(Array[Byte](1, 0, 0, 0)) // n = 1
+      }
+      bos.toByteArray
+    }
+    neverThrows("Wkb.readOpt deep nesting")(assert(Wkb.readOpt(deep).isEmpty))
+  }
+
+  test("WKT fuzz: parseOpt never throws on mutated strings") {
+    val r = new scala.util.Random(47)
+    val fixtures = Seq.fill(40)(Wkt.print(genGeom(r)))
+    (1 to iters).foreach { i =>
+      val m = mutateStr(r, fixtures(r.nextInt(fixtures.length)))
+      neverThrows(s"Wkt.parseOpt case $i")(Wkt.parseOpt(m))
+      neverError(s"Wkt.parse case $i")(Wkt.parse(m))
+    }
+    val deep = "GEOMETRYCOLLECTION (" * 50000
+    neverThrows("Wkt deep nesting")(assert(Wkt.parseOpt(deep).isEmpty))
+  }
+
+  test("GeoJSON fuzz: parseOpt never throws on mutated strings") {
+    val r = new scala.util.Random(48)
+    val fixtures = Seq.fill(40)(GeoJson.print(genGeom(r)))
+    (1 to iters).foreach { i =>
+      val m = mutateStr(r, fixtures(r.nextInt(fixtures.length)))
+      neverThrows(s"GeoJson.parseOpt case $i")(GeoJson.parseOpt(m))
+      neverError(s"GeoJson.parse case $i")(GeoJson.parse(m))
+    }
+    val deep = """{"type":"GeometryCollection","geometries":[""" * 20000
+    neverThrows("GeoJson deep nesting")(assert(GeoJson.parseOpt(deep).isEmpty))
+  }
+
+  // =========================================================================
+  // 3. mutation fuzz — vector file formats (SHP / GPKG / FGB)
+  // =========================================================================
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_fuzz").toString
+
+  private def fixtureGeoms(r: scala.util.Random): Seq[Geom] =
+    Seq.fill(8)(if (r.nextBoolean()) { val (x, y) = genCoord(r); Point(x, y) }
+      else Polygon(Array(genRing(r))))
+
+  test("Shapefile fuzz: read is loud-or-valid on mutated .shp/.dbf, never Errors") {
+    val r = new scala.util.Random(49)
+    val dir = tmpDir()
+    val geoms = fixtureGeoms(r)
+    val fields = Seq(sources.Shapefile.DbfField("name", 'C', 16, 0),
+      sources.Shapefile.DbfField("v", 'N', 10, 2))
+    val recs = geoms.indices.map(i => Seq[Any](s"f$i", i * 1.25))
+    sources.Shapefile.write(s"$dir/t.shp", geoms, fields, recs)
+    // unmutated read-back must agree (the silent-wrong-data face)
+    val base = sources.Shapefile.read(s"$dir/t.shp")
+    assert(base.geoms.size == geoms.size && base.records.size == geoms.size)
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.shp"))
+    val dbf = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.dbf"))
+    (1 to iters / 2).foreach { i =>
+      val mutateShp = r.nextBoolean()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.shp"),
+        if (mutateShp) mutate(r, shp) else shp)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.dbf"),
+        if (mutateShp) dbf else mutate(r, dbf))
+      neverError(s"Shapefile.read case $i")(sources.Shapefile.read(s"$dir/t.shp"))
+    }
+  }
+
+  test("GeoPackage fuzz: read is loud-or-valid on mutated bytes, never Errors") {
+    val r = new scala.util.Random(50)
+    val dir = tmpDir()
+    val geoms = fixtureGeoms(r)
+    val rows = geoms.indices.map(i => Seq[Any](s"n$i", i.toLong))
+    sources.GeoPackage.write(s"$dir/t.gpkg", "feats", "geom", 4326,
+      Seq("name", "v"), rows, geoms)
+    val base = sources.GeoPackage.read(s"$dir/t.gpkg")
+    assert(base.rows.size == geoms.size)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.gpkg"))
+    (1 to iters / 2).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.gpkg"), mutate(r, bytes))
+      neverError(s"GeoPackage.read case $i")(sources.GeoPackage.read(s"$dir/m.gpkg"))
+    }
+  }
+
+  test("FlatGeobuf fuzz: read is loud-or-valid on mutated bytes, never Errors") {
+    val r = new scala.util.Random(51)
+    val dir = tmpDir()
+    val geoms = fixtureGeoms(r)
+    val rows = geoms.indices.map(i => Seq[Any](s"n$i", i.toLong))
+    sources.FlatGeobuf.write(s"$dir/t.fgb",
+      Seq("name" -> sources.FlatGeobuf.CtString, "v" -> sources.FlatGeobuf.CtLong),
+      rows, geoms)
+    val base = sources.FlatGeobuf.read(s"$dir/t.fgb")
+    assert(base.rows.size == geoms.size)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.fgb"))
+    (1 to iters / 2).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.fgb"), mutate(r, bytes))
+      neverError(s"FlatGeobuf.read case $i")(sources.FlatGeobuf.read(s"$dir/m.fgb"))
+      neverError(s"FlatGeobuf.readFiltered case $i")(
+        sources.FlatGeobuf.readFiltered(s"$dir/m.fgb", -10, -10, 10, 10))
+    }
+  }
+
+  // =========================================================================
+  // 4. mutation fuzz — media codecs (PNG / GIF / WAV)
+  // =========================================================================
+
+  test("PNG fuzz: decodeImage/aHashOf never throw on mutated payloads") {
+    val r = new scala.util.Random(52)
+    val fixtures = (0 until 12).map(i =>
+      ops.Multimodal.encodePng(1 + i % 13, 1 + i % 7, i.toLong)) ++
+      (0 until 4).map(i => ops.Multimodal.encodeGrayPng(
+        Array.tabulate(64)(p => (p * 31 + i) & 0xff), 8, 8))
+    (1 to iters / 2).foreach { i =>
+      val m = mutate(r, fixtures(r.nextInt(fixtures.length)))
+      neverThrows(s"decodeImage case $i")(ops.Multimodal.decodeImage(m))
+      neverThrows(s"aHashOf case $i")(ops.Multimodal.aHashOf(m))
+    }
+  }
+
+  test("GIF fuzz: parseGifGrayFrames/decodeGifFrames never throw on mutations") {
+    val r = new scala.util.Random(53)
+    def gifOf(id: Long): Array[Byte] = {
+      // the q183 fixture construction: nf-1 class frames + 1 noise frame
+      val c = id % 30
+      val nf = (4 + c % 5).toInt
+      ops.Multimodal.encodeGrayGif(Array.tabulate(nf)(f =>
+        if (f < nf - 1) ops.Multimodal.classFrameLums(c, f)
+        else ops.Multimodal.noiseFrameLums(id)), 8, 8)
+    }
+    val fixtures = (0 until 8).map(i => gifOf(i.toLong))
+    (1 to iters / 2).foreach { i =>
+      val m = mutate(r, fixtures(r.nextInt(fixtures.length)))
+      neverThrows(s"parseGifGrayFrames case $i")(ops.Multimodal.parseGifGrayFrames(m))
+      neverThrows(s"decodeGifFrames case $i")(ops.Multimodal.decodeGifFrames(m))
+    }
+  }
+
+  test("WAV fuzz: parseWavPcm16/decodeWavPcm16 never throw on mutations") {
+    val r = new scala.util.Random(54)
+    val fixtures = (0 until 8).map(i => ops.Multimodal.encodeWavPcm16(
+      ops.Multimodal.syntheticSamples(i.toLong), ops.Multimodal.syntheticWavRate))
+    (1 to iters / 2).foreach { i =>
+      val m = mutate(r, fixtures(r.nextInt(fixtures.length)))
+      neverThrows(s"parseWavPcm16 case $i")(ops.Multimodal.parseWavPcm16(m))
+      neverThrows(s"decodeWavPcm16 case $i")(ops.Multimodal.decodeWavPcm16(m))
+    }
+    // hand-rolled and JDK parsers must agree on every VALID fixture
+    fixtures.zipWithIndex.foreach { case (f, i) =>
+      val a = ops.Multimodal.parseWavPcm16(f)
+      val b = ops.Multimodal.decodeWavPcm16(f)
+      assert(a.isDefined && b.isDefined, s"fixture $i undecodable")
+      assert(a.get._1 == b.get._1 &&
+        java.util.Arrays.equals(a.get._2, b.get._2), s"fixture $i disagrees")
+    }
+  }
+
+  test("media decoders refuse absurd declared dimensions instead of allocating") {
+    // a 4-byte header mutation can claim a 2-gigapixel raster; the decode
+    // paths must refuse BEFORE allocation (an OOM is an Error that kills
+    // the executor, not the row)
+    val png = ops.Multimodal.encodePng(4, 4, 7L)
+    val huge = png.clone()
+    // IHDR width at offset 16 (BE): claim 2^30
+    huge(16) = 0x40.toByte; huge(17) = 0; huge(18) = 0; huge(19) = 0
+    neverThrows("huge-dims png")(ops.Multimodal.decodeImage(huge))
+    val gif = ops.Multimodal.encodeGrayGif(Array.tabulate(4)(f =>
+      ops.Multimodal.classFrameLums(1L, f)), 8, 8)
+    val hugeGif = gif.clone()
+    // logical screen width/height at offsets 6-9 (LE u16): claim
+    // 40000 x 40000 — 1.6e9 pixels, a positive Int that would allocate
+    // ~6.4 GB as an int raster (the sneaky case: 65535^2 overflows to a
+    // negative size and fails loudly on its own)
+    hugeGif(6) = 0x40.toByte; hugeGif(7) = 0x9c.toByte
+    hugeGif(8) = 0x40.toByte; hugeGif(9) = 0x9c.toByte
+    // AND the first frame's image-descriptor dims (encodeGrayGif layout:
+    // 6 header + 7 LSD + 768 GCT = descriptor at 781; w/h at +5..+8) —
+    // the hand-rolled parser allocates from the FRAME dims
+    hugeGif(786) = 0x40.toByte; hugeGif(787) = 0x9c.toByte
+    hugeGif(788) = 0x40.toByte; hugeGif(789) = 0x9c.toByte
+    assert(hugeGif(781) == 0x2c.toByte, "fixture layout drifted")
+    neverThrows("huge-dims gif (hand-rolled)")(
+      ops.Multimodal.parseGifGrayFrames(hugeGif))
+    neverThrows("huge-dims gif (imageio)")(
+      ops.Multimodal.decodeGifFrames(hugeGif))
+  }
+}
