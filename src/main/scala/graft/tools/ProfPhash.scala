@@ -53,7 +53,20 @@ object ProfPhash {
       force(graft.ops.Multimodal.phashNearDups(sig, "doc_id", 3)))
     val tQuery = best3("q175 as declared (w/ orderBy)")(
       force(graft.SparkEntry.queries("q175_phash_dedup")(spark, sfDir)))
-    println(f"""{"metric":"phash_decomp","sf":"$sfDir","floor":$tFloor%.3f,"scan":$tScan%.3f,"encode":$tEnc%.3f,"encode_decode_hash":$tHash%.3f,"pairs":$tPairs%.3f,"query":$tQuery%.3f}""")
+    // variant: spread the codec work across the session's parallelism
+    // BEFORE synthesis — the sf0.1 documents table is ONE parquet split,
+    // so encode+decode otherwise run single-threaded
+    def docsWide = docs.repartition()
+    def sigWide = graft.ops.Multimodal.withAHash(
+        graft.ops.Multimodal.withSyntheticClassPng(docsWide, "doc_id", 40),
+        "payload")
+      .select($"doc_id", $"ahash_hi", $"ahash_lo")
+    val tWide = best3("repartitioned variant (pairs)")(
+      force(graft.ops.Multimodal.phashNearDups(sigWide, "doc_id", 3)))
+    val tWideSorted = best3("repartitioned + orderBy")(
+      force(graft.ops.Multimodal.phashNearDups(sigWide, "doc_id", 3)
+        .orderBy($"id_a", $"id_b")))
+    println(f"""{"metric":"phash_decomp","sf":"$sfDir","floor":$tFloor%.3f,"scan":$tScan%.3f,"encode":$tEnc%.3f,"encode_decode_hash":$tHash%.3f,"pairs":$tPairs%.3f,"query":$tQuery%.3f,"pairs_repart":$tWide%.3f,"query_repart":$tWideSorted%.3f}""")
     spark.stop()
   }
 }

@@ -274,8 +274,12 @@ object ScaleCurve {
     // stay within-shard and the pair count scales ×k — copying text
     // verbatim would instead multiply every dup cluster by k and grow
     // pair work k², which is a data-distribution change, not a scale-up
-    if (mediaScaled.nonEmpty ||
-        picked.exists(q => !embQueries(q) && !Set("q5_window_topk",
+    // media scaled-class queries read ONLY doc_id (payloads are
+    // synthesized in-flight from the id) — when they're the only pick,
+    // skip the token salt: regex-rewriting 100× of text for a column
+    // nobody reads once cost more than the measurements themselves
+    val needSaltedText =
+      picked.exists(q => !embQueries(q) && !Set("q5_window_topk",
         "q13_hilbert_sort", "q83_json_extract", "q113_funnel",
         "q136_retention_cohorts", "q137_markov_transitions",
         "q138_rfm_segments", "q139_anomaly_robust",
@@ -287,9 +291,10 @@ object ScaleCurve {
         "q166_stickiness", "q167_pchart_errors", "q168_cuped",
         "q169_sample_size", "q170_retention_halflife",
         "q171_weekly_bands", "q172_autocorr_daily",
-        "q173_weekday_profile", "q174_mde_curve")(q)))
+        "q173_weekday_profile", "q174_mde_curve")(q))
+    if (needSaltedText || mediaScaled.nonEmpty)
       scaleUp("documents", "doc_id", (d, i) =>
-        if (i == 0) d
+        if (i == 0 || !needSaltedText) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$i")))
     // shard-coherent perturbation: copies shift together, so near-dup
     // pairs stay within-shard (linear growth), mirroring the token salt
