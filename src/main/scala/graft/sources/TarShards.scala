@@ -27,7 +27,7 @@ object TarShards {
 
   private val BLOCK = 512
 
-  private def header(name: String, size: Long): Array[Byte] = {
+  private[graft] def header(name: String, size: Long): Array[Byte] = {
     require(name.getBytes("UTF-8").length <= 100,
       s"tar entry name exceeds 100 bytes: $name")
     // 11 octal digits = 8 GiB - 1; a larger size would silently
@@ -114,9 +114,12 @@ object TarShards {
     * (shard, key, ext, content: binary). Each shard parses inside its
     * own task off the `binaryFile` scan.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val parse = udf { (path: String, bytes: Array[Byte]) =>
+  /** Parse one ustar shard to (key, ext, content) entries — the udf body
+    * of [[read]], extracted so the mutation-fuzz suite can drive it
+    * without a Spark job per case. Loud (require) on any corruption.
+    */
+  private[graft] def parseTarEntries(path: String,
+      bytes: Array[Byte]): Seq[(String, String, Array[Byte])] = {
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(String, String, Array[Byte])]
       def octalField(o: Int, len: Int): Long = {
@@ -150,6 +153,14 @@ object TarShards {
           require(size >= 0 && size <= Int.MaxValue.toLong - BLOCK,
             s"tar entry $name is $size bytes — exceeds the 2 GiB " +
               "JVM array limit of this reader")
+          // a corrupt size past end-of-archive must fail loudly BEFORE
+          // copyOfRange: Arrays.copyOfRange zero-PADS past the source
+          // end, so a mutated 2 GB size field allocates 2 GB of zeros
+          // (an executor-killing OOM) instead of erroring (same class
+          // as the round-13 Shapefile/FlatGeobuf fuzz findings)
+          require(off + BLOCK + size <= bytes.length,
+            s"tar entry $name claims $size bytes but only " +
+              s"${bytes.length - off - BLOCK} remain in $path")
           val data = java.util.Arrays.copyOfRange(bytes,
             off + BLOCK, off + BLOCK + size.toInt)
           // FIRST dot, the webdataset convention: "k.json.gz" is
@@ -167,6 +178,12 @@ object TarShards {
         }
       }
       out.toSeq
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parse = udf { (path: String, bytes: Array[Byte]) =>
+      parseTarEntries(path, bytes)
     }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tar")

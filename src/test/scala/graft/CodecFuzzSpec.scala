@@ -427,6 +427,48 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("tar fuzz: parseTarEntries is loud-or-valid on mutations, never Errors") {
+    val r = new scala.util.Random(55)
+    // hand-assemble a 3-sample ustar shard from the production header
+    // builder (the write side needs a Spark job; the HEADER format is
+    // the contract under test)
+    val bos = new java.io.ByteArrayOutputStream()
+    (0 until 3).foreach { i =>
+      val data = Array.fill[Byte](100 + 37 * i)((i + 1).toByte)
+      bos.write(sources.TarShards.header(s"sample$i.json", data.length.toLong))
+      bos.write(data)
+      val pad = (512 - data.length % 512) % 512
+      if (pad > 0) bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](1024))
+    val tar = bos.toByteArray
+    // unmutated parse must return the 3 entries with exact content
+    val base = sources.TarShards.parseTarEntries("fixture.tar", tar)
+    assert(base.map(_._1) == Seq("sample0", "sample1", "sample2"))
+    assert(base.forall(_._2 == "json"))
+    assert(base(2)._3.length == 174 && base(2)._3.forall(_ == 3.toByte))
+    (1 to iters / 2).foreach { i =>
+      neverError(s"parseTarEntries case $i")(
+        sources.TarShards.parseTarEntries("m.tar", mutate(r, tar)))
+    }
+    // corrupt size claiming bytes past end-of-archive must refuse, not
+    // zero-pad a 2 GB allocation (copyOfRange pads past the source end)
+    val hugeSize = tar.clone()
+    val sz = "77777777777".getBytes("US-ASCII") // 8 GiB-1 in octal
+    System.arraycopy(sz, 0, hugeSize, 124, sz.length)
+    // re-stamp the checksum so the size field is what the parser trusts
+    java.util.Arrays.fill(hugeSize, 148, 156, ' '.toByte)
+    val sum = hugeSize.take(512).map(_ & 0xff).sum
+    System.arraycopy(f"$sum%06o".getBytes("US-ASCII"), 0, hugeSize, 148, 6)
+    hugeSize(154) = 0; hugeSize(155) = ' '
+    neverError("huge-size tar entry")(
+      sources.TarShards.parseTarEntries("h.tar", hugeSize))
+    assert(
+      try { sources.TarShards.parseTarEntries("h.tar", hugeSize); false }
+      catch { case _: IllegalArgumentException => true },
+      "oversized entry must refuse loudly")
+  }
+
   test("media decoders refuse absurd declared dimensions instead of allocating") {
     // a 4-byte header mutation can claim a 2-gigapixel raster; the decode
     // paths must refuse BEFORE allocation (an OOM is an Error that kills
