@@ -87,12 +87,18 @@ object SpatialPartitioning {
     try {
       val r = mapper.readTree(json)
       val scheme = r.get("scheme").asText
-      if (!Seq("quadkey", "h3", "kdtree").contains(scheme)) None
+      val level = Option(r.get("level")).map(_.asInt).getOrElse(0)
+      val resolution = Option(r.get("resolution")).map(_.asInt).getOrElse(0)
+      // range-validate what the covering math later trusts: a foreign
+      // footer with a negative quadkey level reaches `1L << zoom` and
+      // throws out of filterBbox instead of degrading to "no pruning"
+      if (!Seq("quadkey", "h3", "kdtree").contains(scheme) ||
+          level < 0 || level > 30 || resolution < 0 || resolution > 15) None
       else Some(SpatialPartitioning(
         scheme = scheme,
         column = r.get("column").asText,
-        level = Option(r.get("level")).map(_.asInt).getOrElse(0),
-        resolution = Option(r.get("resolution")).map(_.asInt).getOrElse(0),
+        level = level,
+        resolution = resolution,
         splits = Option(r.get("splits")).map(nodeFromJson),
         maxHalfW = Option(r.get("max_half_w")).map(_.asDouble).getOrElse(0.0),
         maxHalfH = Option(r.get("max_half_h")).map(_.asDouble).getOrElse(0.0)))

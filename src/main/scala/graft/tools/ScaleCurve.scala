@@ -181,9 +181,15 @@ object ScaleCurve {
     val picked = flagships.filter(q => only.forall(_.contains(q)))
     val withSem = only.forall(_.contains("q53_semdedup_scaledk"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partitions sized to the DATA, not the core count: at the ×1000
+    // tier a 32-partition shuffle hands each hash-aggregate task ~20M
+    // edges and the per-task BytesToBytesMap fails memory acquisition —
+    // exactly the sizing rule a real deployment applies (AQE then
+    // coalesces small stages back down for free)
+    val parts = math.max(cpus.toInt, (factor / 4).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       // older driver rounds wrote events.ts as TIMESTAMP(NANOS); the flag
       // makes those readable (as long) for the k× synthesis — harmless
