@@ -469,6 +469,36 @@ class CodecFuzzSpec extends AnyFunSuite {
       "oversized entry must refuse loudly")
   }
 
+  test("PROJJSON fuzz: projjsonProjection never throws; parseEpsg never Errors") {
+    val r = new scala.util.Random(56)
+    val fixtures = Seq(
+      // UTM-ish TransverseMercator ProjectedCRS
+      """{"type":"ProjectedCRS","name":"t","base_crs":{"datum":{"ellipsoid":
+        |{"semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+        |"conversion":{"method":{"name":"Transverse Mercator","id":
+        |{"authority":"EPSG","code":9807}},"parameters":[
+        |{"name":"Latitude of natural origin","value":0,"unit":"degree"},
+        |{"name":"Longitude of natural origin","value":-75,"unit":"degree"},
+        |{"name":"Scale factor at natural origin","value":0.9996,"unit":"unity"},
+        |{"name":"False easting","value":500000,"unit":"metre"},
+        |{"name":"False northing","value":0,"unit":"metre"}]}}"""
+        .stripMargin.replace("\n", ""),
+      """{"type":"GeographicCRS","name":"WGS 84 (CRS84)","id":
+        |{"authority":"OGC","code":"CRS84"}}""".stripMargin.replace("\n", ""))
+    (1 to iters / 2).foreach { i =>
+      val m = mutateStr(r, fixtures(r.nextInt(fixtures.length)))
+      neverThrows(s"projjsonProjection case $i") {
+        geom.Proj.projjsonProjection(m).foreach { p =>
+          // a projection built from mutated input may be degenerate but
+          // its transforms must not throw or hang on a plain point
+          try { p.forward(-75.5, 40.2); p.inverse(500000.0, 4400000.0) }
+          catch { case _: Exception => () }
+        }
+      }
+      neverError(s"parseEpsg case $i")(geom.Proj.parseEpsg(m))
+    }
+  }
+
   test("media decoders refuse absurd declared dimensions instead of allocating") {
     // a 4-byte header mutation can claim a 2-gigapixel raster; the decode
     // paths must refuse BEFORE allocation (an OOM is an Error that kills
