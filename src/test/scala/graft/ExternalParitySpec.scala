@@ -124,6 +124,81 @@ class ExternalParitySpec extends AnyFunSuite {
       "gpb header + point WKB lower bound")
   }
 
+  test("WAV written by encodeWavPcm16 reads back via python's wave module") {
+    assume(python3Available, "python3 not in this image")
+    val dir = java.nio.file.Files.createTempDirectory("graft_extwav").toString
+    val samples = ops.Multimodal.syntheticSamples(7L)
+    val wav = ops.Multimodal.encodeWavPcm16(samples, 8000)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.wav"), wav)
+    val py =
+      """import json, sys, wave, struct
+        |w = wave.open(sys.argv[1])
+        |frames = w.readframes(w.getnframes())
+        |vals = struct.unpack("<%dh" % w.getnframes(), frames)
+        |print(json.dumps({
+        |  "rate": w.getframerate(), "ch": w.getnchannels(),
+        |  "width": w.getsampwidth(), "n": w.getnframes(),
+        |  "head": list(vals[:8]), "sum": sum(vals)}))
+        |""".stripMargin
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(runPy(py, s"$dir/t.wav"))
+    assert(node.get("rate").asInt == 8000)
+    assert(node.get("ch").asInt == 1 && node.get("width").asInt == 2)
+    assert(node.get("n").asInt == samples.length)
+    (0 until 8).foreach(i =>
+      assert(node.get("head").get(i).asInt == samples(i),
+        s"sample $i differs"))
+    assert(node.get("sum").asLong == samples.map(_.toLong).sum)
+  }
+
+  test("tar shard written by TarShards.header layout reads back via python tarfile") {
+    assume(python3Available, "python3 not in this image")
+    val dir = java.nio.file.Files.createTempDirectory("graft_exttar").toString
+    // assemble a shard exactly as the sink does (header + data + pad,
+    // two zero blocks) — the writer side needs a Spark job, the FORMAT
+    // is the contract training loaders consume
+    val bos = new java.io.ByteArrayOutputStream()
+    val entries = Seq(
+      ("k0.json", """{"a":1}""".getBytes("UTF-8")),
+      ("k0.txt", ("payload " * 100).getBytes("UTF-8")),
+      ("k1.json", Array.emptyByteArray))
+    entries.foreach { case (name, data) =>
+      bos.write(sources.TarShards.header(name, data.length.toLong))
+      bos.write(data)
+      val pad = (512 - data.length % 512) % 512
+      if (pad > 0) bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](1024))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s.tar"),
+      bos.toByteArray)
+    val py =
+      """import json, sys, tarfile, hashlib
+        |t = tarfile.open(sys.argv[1])
+        |out = []
+        |for m in t.getmembers():
+        |    data = t.extractfile(m).read() if m.isfile() else None
+        |    out.append([m.name, m.size,
+        |        hashlib.md5(data).hexdigest() if data is not None else None])
+        |print(json.dumps(out))
+        |""".stripMargin
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(runPy(py, s"$dir/s.tar"))
+    assert(node.size() == 3, s"tarfile saw ${node.size()} members")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.zipWithIndex.foreach { case ((name, data), i) =>
+      assert(node.get(i).get(0).asText == name)
+      assert(node.get(i).get(1).asLong == data.length.toLong)
+      md.reset()
+      val hex = md.digest(data).map(b => f"$b%02x").mkString
+      assert(node.get(i).get(2).asText == hex, s"content of $name differs")
+    }
+    // and our own reader agrees with the reference reader on the bytes
+    val ours = sources.TarShards.parseTarEntries("s.tar", bos.toByteArray)
+    assert(ours.map(e => (e._1, e._2)) ==
+      Seq(("k0", "json"), ("k0", "txt"), ("k1", "json")))
+    assert(java.util.Arrays.equals(ours(1)._3, entries(1)._2))
+  }
+
   test("python sqlite3 sees the same data our reader sees on a larger table") {
     assume(python3Available, "python3+sqlite3 not in this image")
     val dir = java.nio.file.Files.createTempDirectory("graft_extpar2").toString
