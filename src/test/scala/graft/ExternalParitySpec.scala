@@ -199,6 +199,54 @@ class ExternalParitySpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(ours(1)._3, entries(1)._2))
   }
 
+  test("PNG written by encodeRgbPng decodes externally via python zlib + spec math") {
+    assume(python3Available, "python3 not in this image")
+    val dir = java.nio.file.Files.createTempDirectory("graft_extpng").toString
+    val w = 13; val h = 7
+    val px = Array.tabulate(w * h)(p => (p * 2654435761L).toInt & 0xffffff)
+    val png = ops.Multimodal.encodeRgbPng(px, w, h)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.png"), png)
+    // independent decode: chunk walk with CRC verification (binascii),
+    // IDAT via zlib, filter-0 unfiltering per the PNG spec — no PIL, so
+    // any agreement comes from the spec, not a shared implementation
+    val py =
+      """import binascii, json, struct, sys, zlib
+        |b = open(sys.argv[1], "rb").read()
+        |assert b[:8] == b"\x89PNG\r\n\x1a\n", "signature"
+        |pos, chunks, idat = 8, [], b""
+        |while pos < len(b):
+        |    ln, tag = struct.unpack(">I4s", b[pos:pos+8])
+        |    data = b[pos+8:pos+8+ln]
+        |    crc = struct.unpack(">I", b[pos+8+ln:pos+12+ln])[0]
+        |    assert crc == binascii.crc32(tag + data) & 0xffffffff, tag
+        |    chunks.append(tag.decode())
+        |    if tag == b"IDAT": idat += data
+        |    pos += 12 + ln
+        |w, h, depth, ctype = struct.unpack(">IIBB", b[16:26])
+        |raw = zlib.decompress(idat)
+        |stride = 1 + 3 * w
+        |pixels = []
+        |for y in range(h):
+        |    row = raw[y*stride:(y+1)*stride]
+        |    assert row[0] == 0, "only filter 0 is emitted"
+        |    for x in range(w):
+        |        r, g, bl = row[1+3*x:4+3*x]
+        |        pixels.append((r << 16) | (g << 8) | bl)
+        |print(json.dumps({"chunks": chunks, "w": w, "h": h,
+        |  "depth": depth, "ctype": ctype, "head": pixels[:6],
+        |  "sum": sum(pixels)}))
+        |""".stripMargin
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(runPy(py, s"$dir/t.png"))
+    assert(node.get("chunks").toString.contains("IHDR") &&
+      node.get("chunks").toString.contains("IEND"))
+    assert(node.get("w").asInt == w && node.get("h").asInt == h)
+    assert(node.get("depth").asInt == 8 && node.get("ctype").asInt == 2)
+    (0 until 6).foreach(i =>
+      assert(node.get("head").get(i).asInt == px(i), s"pixel $i differs"))
+    assert(node.get("sum").asLong == px.map(_.toLong).sum)
+  }
+
   test("python sqlite3 sees the same data our reader sees on a larger table") {
     assume(python3Available, "python3+sqlite3 not in this image")
     val dir = java.nio.file.Files.createTempDirectory("graft_extpar2").toString
