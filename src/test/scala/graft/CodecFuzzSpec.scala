@@ -294,7 +294,18 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("GeoJSON fuzz: parseOpt never throws on mutated strings") {
     val r = new scala.util.Random(48)
-    val fixtures = Seq.fill(40)(GeoJson.print(genGeom(r)))
+    // geometry JSON plus the Feature / FeatureCollection forms parse()
+    // also accepts — their framing has its own code path
+    val fixtures = Seq.fill(34)(GeoJson.print(genGeom(r))) ++
+      Seq.fill(3) {
+        s"""{"type":"Feature","geometry":${GeoJson.print(genGeom(r))},""" +
+          """"properties":{"name":"a \"b\"","n":3,"v":null}}"""
+      } ++
+      Seq.fill(3) {
+        s"""{"type":"FeatureCollection","features":[{"type":"Feature",""" +
+          s""""geometry":${GeoJson.print(genGeom(r))},"properties":{}},""" +
+          s"""{"type":"Feature","geometry":null,"properties":{"x":1}}]}"""
+      }
     (1 to iters).foreach { i =>
       val m = mutateStr(r, fixtures(r.nextInt(fixtures.length)))
       neverThrows(s"GeoJson.parseOpt case $i")(GeoJson.parseOpt(m))
