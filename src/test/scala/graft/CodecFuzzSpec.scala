@@ -480,6 +480,58 @@ class CodecFuzzSpec extends AnyFunSuite {
       "oversized entry must refuse loudly")
   }
 
+  test("deep fuzz: structure-preserving corruptions reach past the outer checks") {
+    val r = new scala.util.Random(57)
+    // PNG with corrupt IDAT payload but RE-STAMPED CRC: a plain byte
+    // flip fails the chunk CRC early; restamping forces the decoder to
+    // face corrupt zlib/filter data (our encodePng layout: sig 8 +
+    // IHDR chunk 25 -> IDAT length at 33, tag at 37, data at 41)
+    val png = ops.Multimodal.encodePng(9, 5, 11L)
+    val idatLen = java.nio.ByteBuffer.wrap(png, 33, 4).getInt
+    (1 to iters / 10).foreach { i =>
+      val m = png.clone()
+      (0 to r.nextInt(3)).foreach { _ =>
+        m(41 + r.nextInt(idatLen)) = r.nextInt(256).toByte
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(m, 37, 4 + idatLen)
+      java.nio.ByteBuffer.wrap(m, 41 + idatLen, 4).putInt(crc.getValue.toInt)
+      neverThrows(s"crc-valid png case $i")(ops.Multimodal.decodeImage(m))
+      neverThrows(s"crc-valid png ahash case $i")(ops.Multimodal.aHashOf(m))
+    }
+    // GPKG with the 100-byte SQLite header intact: page-level corruption
+    // must be caught by the b-tree/record parsers, not the magic check
+    val dir = tmpDir()
+    val geoms = fixtureGeoms(r)
+    sources.GeoPackage.write(s"$dir/t.gpkg", "feats", "geom", 4326,
+      Seq("name"), geoms.indices.map(i => Seq[Any](s"n$i")), geoms)
+    val gpkg = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/t.gpkg"))
+    (1 to iters / 10).foreach { i =>
+      val m = gpkg.clone()
+      (0 to r.nextInt(4)).foreach { _ =>
+        m(100 + r.nextInt(m.length - 100)) = r.nextInt(256).toByte
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.gpkg"), m)
+      neverError(s"header-valid gpkg case $i")(
+        sources.GeoPackage.read(s"$dir/m.gpkg"))
+    }
+    // SHP with the file code intact: record-walk corruption, not the
+    // not-a-shapefile bail
+    sources.Shapefile.write(s"$dir/t.shp", geoms)
+    val shp = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/t.shp"))
+    (1 to iters / 10).foreach { i =>
+      val m = shp.clone()
+      (0 to r.nextInt(4)).foreach { _ =>
+        m(100 + r.nextInt(m.length - 100)) = r.nextInt(256).toByte
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.shp"), m)
+      neverError(s"header-valid shp case $i")(
+        sources.Shapefile.read(s"$dir/m.shp"))
+    }
+  }
+
   test("PROJJSON fuzz: projjsonProjection never throws; parseEpsg never Errors") {
     val r = new scala.util.Random(56)
     val fixtures = Seq(
