@@ -191,6 +191,27 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // Per-query JVM GC + heap forensics (round-13 verdict item 2: three
+    // rounds of rotating 3-11x in-suite / ~1x solo spikes with no
+    // recorded cause). GarbageCollectorMXBean collection-time deltas and
+    // heap-pool peak usage cost nothing per query and let the artifact
+    // answer "was the spike a GC pause, and which neighbor allocated the
+    // heap it collected" without a re-run.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMsNow(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    val heapPools = {
+      val out = scala.collection.mutable.ArrayBuffer[
+        java.lang.management.MemoryPoolMXBean]()
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach(p =>
+        if (p.getType == java.lang.management.MemoryType.HEAP) out += p)
+      out.toSeq
+    }
+    val gcOf = scala.collection.mutable.Map[String, (Double, Double, Long)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1))).flatMap { case (name, fn) =>
       // a FAILED iteration must never become the reported time: a fast
@@ -199,6 +220,9 @@ object Bench {
       // excluded and listed under "errors" in both emitters.
       val times = (1 to iters).flatMap { _ =>
         val sess = if (isolate) spark.newSession() else spark
+        heapPools.foreach(p => try p.resetPeakUsage()
+          catch { case _: Throwable => () })
+        val gc0 = gcMsNow()
         val t0 = System.nanoTime()
         val ok =
           try { force(fn(sess, sfDir)); true }
@@ -207,6 +231,10 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gcSec = (gcMsNow() - gc0) / 1e3
+        val peakMb = heapPools.map(p =>
+          try p.getPeakUsage.getUsed catch { case _: Throwable => 0L })
+          .sum / (1024L * 1024L)
         // release cached/checkpointed blocks the query materialized
         // (localCheckpoint in the iterative/pipeline operators) so one
         // query's block-manager residue never taxes the next query's
@@ -214,10 +242,16 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         if (isolate) sess.sharedState.cacheManager.clearCache()
-        if (ok) Some(dt) else None
+        if (ok) Some((dt, gcSec, peakMb)) else None
       }
       if (times.isEmpty) { failed += name; None }
-      else Some(name -> times.min)
+      else {
+        // forensics follow the WORST iteration — the spike being
+        // diagnosed — while the reported time stays best-of-N
+        val worst = times.maxBy(_._1)
+        gcOf(name) = (worst._1, worst._2, worst._3)
+        Some(name -> times.map(_._1).min)
+      }
     }
     // Spark's fixed per-job floor (scheduler + planning + noop sink on a
     // 1-row frame): queries whose total is within ~2x of this number are
@@ -327,7 +361,16 @@ object Bench {
     // ships window-consistent verdicts.
     val loadSuspect = floor > 0.025
     val loadJson = f""","loadavg1_start":${loadavgStart.getOrElse(-1.0)}%.2f,"load_suspect":$loadSuspect"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work,"codegen_cache":$codegenCache$loadJson$adjJson$duckJson$errJson}"""
+    // per-query GC/heap forensics (worst iteration) — the spike-rotation
+    // diagnosis channel; full artifact only, the stdout line stays lean
+    val gcJson = {
+      val g = results.map { case (k, _) =>
+        val (wall, gcSec, peakMb) = gcOf.getOrElse(k, (0.0, 0.0, 0L))
+        f""""$k":[$wall%.3f,$gcSec%.3f,$peakMb]"""
+      }.mkString("{", ",", "}")
+      s""","gc_heap_worst_iter":$g"""
+    }
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$floor,"total_minus_floor":$work,"codegen_cache":$codegenCache$loadJson$gcJson$adjJson$duckJson$errJson}"""
     // The driver captures only a ~2000-char tail of stdout, so a
     // 100-query JSON line is never machine-readable there (BENCH_r05-07
     // all landed with parsed:null). Split the contract: the FULL results

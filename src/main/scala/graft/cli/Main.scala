@@ -40,6 +40,14 @@ object Main {
     */
   final class CheckFailure(msg: String) extends RuntimeException(msg)
 
+  /** Thrown (not sys.exit) on a usage/dispatch error — exit-2 mapping in
+    * main(). Round-14 CLI dispatch fuzz found the last sys.exit inside
+    * `run`: `die` killed the CALLING JVM (a forked test suite; on a
+    * cluster, the driver) on any unknown subcommand or format instead of
+    * refusing loudly like every other error path.
+    */
+  final class CliUsageError(msg: String) extends IllegalArgumentException(msg)
+
   /** Micro-unit char-entropy quality key (the q117 fixed-point
     * contract) — ONE definition so every keep-best-style command ranks
     * survivors identically.
@@ -77,6 +85,10 @@ object Main {
         System.err.println(e.getMessage)
         spark.stop()
         sys.exit(1)
+      case e: CliUsageError =>
+        System.err.println(s"error: ${e.getMessage}")
+        spark.stop()
+        sys.exit(2)
     }
     finally spark.stop()
   }
@@ -1350,10 +1362,8 @@ object Main {
     }
   }
 
-  private def die(msg: String): Nothing = {
-    System.err.println(s"error: $msg")
-    sys.exit(2)
-  }
+  private def die(msg: String): Nothing =
+    throw new CliUsageError(msg)
 
   private val usage =
     """usage: graft <command> [args]

@@ -733,8 +733,39 @@ object H3 {
     out
   }
 
+  /** True iff the index is a pentagon CELL: pentagon base cell with an
+    * all-zero digit path (any nonzero digit moves off the pentagon
+    * center into a plain hexagon).
+    */
+  private[graft] def isPentagonCell(h: Long): Boolean = {
+    if (!isPentagon(getBaseCell(h))) return false
+    val res = getResolution(h)
+    var r = 1
+    while (r <= res) {
+      if (getDigit(h, r) != 0) return false
+      r += 1
+    }
+    true
+  }
+
+  /** Direct children of a cell at the next resolution: digits 0-6
+    * appended, except digit 1 (the deleted K subsequence) for pentagon
+    * cells — the standard cell-to-children rule.
+    */
+  private[graft] def cellChildren(h: Long): Array[Long] = {
+    val res = getResolution(h)
+    require(res < 15, s"res-$res cell has no children below 15")
+    val withRes = (h & ~(0xfL << 52)) | ((res + 1).toLong << 52)
+    val digits = if (isPentagonCell(h)) Array(0, 2, 3, 4, 5, 6)
+      else Array(0, 1, 2, 3, 4, 5, 6)
+    digits.map(d => setDigit(withRes, res + 1, d))
+  }
+
   /** approximate cell center — exact for cells whose center hex lies on
-    * the home face's projection region; used by tests only.
+    * the home face's projection region; returns RADIANS. Consumers
+    * (tests, the SpatialPartitioning covering filter) must verify the
+    * forward round-trip before trusting it — the covering keeps any
+    * cell whose round-trip fails rather than dropping on approximation.
     */
   private[graft] def cellCenterApprox(h: Long): (Double, Double) = {
     val res = getResolution(h)

@@ -131,13 +131,64 @@ object SpatialPartitioning {
     0.065907807, 0.024910561, 0.009415526, 0.003559893, 0.001348575,
     0.000509713)
 
-  /** H3 cell-string covering of the (reach-expanded) box via a sample
-    * grid, using only the FORWARD transform (latLngToCell):
+  private val EarthRadiusKm = 6371.0088
+  private val KmPerDegLow = 108.0 // a degree of arc is always > 108 km
+
+  /** Exact (up to float error) great-circle distance in km from a point
+    * to a lat/lng-aligned box on the sphere. The nearest box point for
+    * an outside-longitude point lies on one of the two meridian-arc
+    * edges; for each arc the distance-critical latitude is the foot of
+    * the cross-track perpendicular (tan φ* = tan φp / cos Δλ), valid on
+    * the near half (cos Δλ > 0) — otherwise, and when φ* falls outside
+    * the arc, the distance is unimodal and an endpoint wins. No
+    * directional approximations, so the covering filter below never
+    * over- OR under-estimates past float error.
+    */
+  private[graft] def distToBoxKm(lat: Double, lng: Double, bx0: Double,
+      by0: Double, bx1: Double, by1: Double): Double = {
+    def wrapSep(a: Double, b: Double): Double = {
+      val d = math.abs(a - b) % 360.0
+      math.min(d, 360.0 - d)
+    }
+    val lngInside =
+      (lng >= bx0 && lng <= bx1) ||
+        wrapSep(lng, bx0) + wrapSep(lng, bx1) <= (bx1 - bx0) + 1e-9
+    if (lngInside) {
+      val dLat = math.max(0.0, math.max(by0 - lat, lat - by1))
+      return dLat * math.Pi / 180.0 * EarthRadiusKm
+    }
+    val f = math.toRadians(lat)
+    def hav(lat2: Double, lng2: Double): Double = {
+      val f2 = math.toRadians(lat2)
+      val dl = math.toRadians(wrapSep(lng, lng2))
+      val a = math.sin((f2 - f) / 2) * math.sin((f2 - f) / 2) +
+        math.cos(f) * math.cos(f2) * math.sin(dl / 2) * math.sin(dl / 2)
+      2.0 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    def arcDist(edgeLng: Double): Double = {
+      val dl = math.toRadians(wrapSep(lng, edgeLng))
+      val ends = math.min(hav(by0, edgeLng), hav(by1, edgeLng))
+      if (math.cos(dl) <= 0) ends
+      else {
+        val footLat = math.toDegrees(math.atan(math.tan(f) / math.cos(dl)))
+        if (footLat < by0 || footLat > by1) ends
+        else {
+          val xt = math.abs(math.asin(math.sin(dl) * math.cos(f)))
+          math.min(ends, xt * EarthRadiusKm)
+        }
+      }
+    }
+    math.min(arcDist(bx0), arcDist(bx1))
+  }
+
+  /** Sample-grid covering at `res` (cells as raw longs) of every cell
+    * whose center is within `padKm` + R_MAX(res) of the box, using only
+    * the FORWARD transform (latLngToCell):
     *
     *  - any cell containing an in-box anchor has its center within
     *    R_MAX km of the box (R_MAX = 3x avg edge >= any circumradius at
     *    this resolution, pentagons included), so sampling the box padded
-    *    by R_MAX covers every candidate center;
+    *    by R_MAX (+ the caller's padKm) covers every candidate center;
     *  - grid spacing `s` deg keeps every point of the padded region
     *    within 0.71*s deg of a sample; ground distance per degree is
     *    <= 111.7 km, so with s = RHO_MIN/90 the nearest sample sits
@@ -145,47 +196,121 @@ object SpatialPartitioning {
     *    cell (RHO_MIN = 0.25x avg edge <= any inradius). The sample's
     *    cell IS the candidate, so the set covers it.
     *
-    * Returns None (no pruning) when the box nears the poles (the
-    * km→deg longitude conversion diverges) or the sample grid / key set
-    * would exceed the caps — exactly the regime where directory pruning
-    * stops paying anyway.
+    * Pole-safe (round-14): the km→deg longitude pad is CAPPED at the
+    * full circle instead of refusing past 84° — ground distance per
+    * longitude degree only shrinks toward the poles, so degree-spaced
+    * samples get denser on the ground there, never sparser, and the
+    * coverage argument above still holds. None = sample grid exceeds
+    * `budget` (caller decides whether to coarsen or give up).
     */
-  private[graft] def h3Covering(res: Int, ex0: Double, ey0: Double,
-      ex1: Double, ey1: Double): Option[Seq[String]] = {
-    if (res < 0 || res > 15) return None
+  private[graft] def sampleCells(res: Int, ex0: Double, ey0: Double,
+      ex1: Double, ey1: Double, padKm: Double, budget: Long)
+      : Option[scala.collection.mutable.LinkedHashSet[Long]] = {
     val edge = H3AvgEdgeKm(res)
-    val rMax = 3.0 * edge
+    val rMax = 3.0 * edge + padKm
     val rhoMin = 0.25 * edge
-    val latPad = rMax / 108.0 // over-expands: a lat degree is >108 km
-    val maxAbsLat = math.max(math.abs(ey0 - latPad), math.abs(ey1 + latPad))
-    if (maxAbsLat > 84.0) return None
-    val lngPad = rMax / (108.0 * math.cos(math.toRadians(
-      math.min(maxAbsLat, 84.0))))
-    val sx0 = math.max(-180.0, ex0 - lngPad)
-    val sx1 = math.min(180.0, ex1 + lngPad)
+    val latPad = rMax / KmPerDegLow // over-expands: a lat degree is >108 km
     val sy0 = math.max(-90.0, ey0 - latPad)
     val sy1 = math.min(90.0, ey1 + latPad)
+    val maxAbsLat = math.max(math.abs(sy0), math.abs(sy1))
+    val lngPad =
+      if (maxAbsLat >= 89.9) 360.0
+      else math.min(360.0,
+        rMax / (KmPerDegLow * math.cos(math.toRadians(maxAbsLat))))
+    val sx0 = math.max(-180.0, ex0 - lngPad)
+    val sx1 = math.min(180.0, ex1 + lngPad)
     // clamped to nothing (query box outside world bounds): refuse rather
     // than emit an empty covering — nonstandard data could still match
     if (sx1 < sx0 || sy1 < sy0) return None
     val s = rhoMin / 90.0
     val nx = math.ceil((sx1 - sx0) / s).toLong + 1
     val ny = math.ceil((sy1 - sy0) / s).toLong + 1
-    if (nx * ny > MaxSamples) return None
-    val cells = scala.collection.mutable.LinkedHashSet[String]()
+    if (nx <= 0 || ny <= 0 || nx * ny > budget) return None
+    val cells = scala.collection.mutable.LinkedHashSet[Long]()
     var iy = 0L
     while (iy < ny) {
       val lat = math.min(sy1, sy0 + iy * s)
       var ix = 0L
       while (ix < nx) {
         val lng = math.min(sx1, sx0 + ix * s)
-        cells += H3.latLngToCellString(lat, lng, res)
-        if (cells.size > MaxKeys) return None
+        cells += H3.latLngToCell(lat, lng, res)
         ix += 1
       }
       iy += 1
     }
-    Some(cells.toSeq)
+    Some(cells)
+  }
+
+  /** H3 cell-string covering of the (reach-expanded) box.
+    *
+    * Direct sample-grid when it fits the budget; otherwise HIERARCHICAL
+    * (round-14, replacing the high-res refusal): sample at the finest
+    * ancestor resolution p whose grid fits, then refine p → res one
+    * level at a time by child enumeration (`H3.cellChildren`, pentagon
+    * digit-1 skip included), filtering each level against the box with
+    * the exact sphere distance. Soundness chain:
+    *
+    *  - candidates at res have centers within M = 3·edge(res) of the
+    *    box; a res-q ancestor's center sits within drift(q) =
+    *    2·edge(q) of any descendant center (child-center offsets form
+    *    a geometric series in 1/√7, summing < 1.9·edge(q)), so level q
+    *    must keep exactly the cells within M + drift(q) — the sample
+    *    pad and the refinement filter both use that margin;
+    *  - filter centers come from `cellCenterApprox` only when the
+    *    forward transform round-trips to the same cell (exact center);
+    *    otherwise the cell is kept unconditionally — never dropped on
+    *    an approximation.
+    *
+    * None when the covering exceeds MaxKeys — the regime where an IN
+    * list stops paying — or the working set blows past refinement
+    * headroom.
+    */
+  private[graft] def h3Covering(res: Int, ex0: Double, ey0: Double,
+      ex1: Double, ey1: Double): Option[Seq[String]] = {
+    if (res < 0 || res > 15) return None
+    val mKm = 3.0 * H3AvgEdgeKm(res)
+    def drift(q: Int): Double = if (q >= res) 0.0 else 2.0 * H3AvgEdgeKm(q)
+    def padKm(q: Int): Double =
+      math.max(0.0, mKm + drift(q) - 3.0 * H3AvgEdgeKm(q))
+    // finest sampling resolution whose grid fits the budget (res 0 is
+    // ~7k samples worldwide, so the descent always terminates)
+    var p = res
+    var seed: Option[scala.collection.mutable.LinkedHashSet[Long]] =
+      None
+    while (p >= 0 && seed.isEmpty) {
+      seed = sampleCells(p, ex0, ey0, ex1, ey1, padKm(p), MaxSamples)
+      if (seed.isEmpty) p -= 1
+    }
+    var cur = seed.getOrElse(return None)
+    var q = p
+    val headroom = 4L * MaxKeys // bail before a hopeless level explodes
+    while (q < res) {
+      q += 1
+      val margin = mKm + drift(q)
+      val next = scala.collection.mutable.LinkedHashSet[Long]()
+      val it = cur.iterator
+      while (it.hasNext) {
+        val cell = it.next()
+        val kids = H3.cellChildren(cell)
+        var i = 0
+        while (i < kids.length) {
+          val k = kids(i)
+          val (clatR, clngR) = H3.cellCenterApprox(k) // RADIANS
+          val clat = math.toDegrees(clatR)
+          val clng = math.toDegrees(clngR)
+          val exact = H3.latLngToCell(clat, clng, q) == k
+          if (!exact ||
+              distToBoxKm(clat, clng, ex0, ey0, ex1, ey1) <= margin)
+            next += k
+          if (next.size > headroom) return None
+          i += 1
+        }
+      }
+      cur = next
+    }
+    if (cur.size > MaxKeys) None
+    else Some(cur.iterator.map(c =>
+      java.lang.Long.toHexString(c)).toSeq)
   }
 
   /** KD-tree leaf cell ids whose rectangle intersects the

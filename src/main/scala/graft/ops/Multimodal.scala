@@ -92,10 +92,13 @@ object Multimodal {
   val MaxDecodePixels: Long = 64L * 1024 * 1024
 
   /** Declared pixel count sniffed from the container header: PNG IHDR
-    * (offsets 16-23, big-endian) or GIF logical screen descriptor
-    * (offsets 6-9, LE u16). 0 = format unrecognized (no claim; the
-    * decoder's own error handling applies), -1 = header present but
-    * dimensions non-positive (undecodable).
+    * (offsets 16-23, big-endian), GIF logical screen descriptor
+    * (offsets 6-9, LE u16), BMP info header (offsets 18/22, LE i32;
+    * height may legally be negative = top-down rows), or JPEG SOF0-15
+    * segment (big-endian u16 dims after the precision byte). 0 = format
+    * unrecognized (no claim; [[readImageOrNull]] still enforces the cap
+    * via the reader's header-only getWidth/getHeight before decoding),
+    * -1 = header present but dimensions non-positive (undecodable).
     */
   private[graft] def declaredPixels(payload: Array[Byte]): Long = {
     if (payload == null) return -1
@@ -109,7 +112,50 @@ object Multimodal {
       val w = (payload(6) & 0xff) | ((payload(7) & 0xff) << 8)
       val h = (payload(8) & 0xff) | ((payload(9) & 0xff) << 8)
       if (w <= 0 || h <= 0) -1 else w.toLong * h
+    } else if (payload.length >= 26 && payload(0) == 'B' &&
+        payload(1) == 'M') {
+      val bb = java.nio.ByteBuffer.wrap(payload, 18, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getInt()
+      val h = math.abs(bb.getInt().toLong) // negative = top-down, legal
+      if (w <= 0 || h <= 0) -1 else w.toLong * h
+    } else if (payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8) {
+      jpegSofPixels(payload)
     } else 0L
+  }
+
+  /** Walk JPEG marker segments to the first SOF0-SOF15 frame header and
+    * return its declared pixel count; 0 if no SOF is found before the
+    * scan data / end of buffer (the reader-path cap still applies), -1
+    * for non-positive declared dims. Marker walk only — no entropy
+    * decoding, no allocation proportional to the claim.
+    */
+  private def jpegSofPixels(payload: Array[Byte]): Long = {
+    var i = 2
+    while (i + 3 < payload.length) {
+      if ((payload(i) & 0xff) != 0xff) return 0L // desynced; not our call
+      var m = payload(i + 1) & 0xff
+      // fill bytes: consecutive 0xff before a marker are legal padding
+      var j = i + 1
+      while (m == 0xff && j + 1 < payload.length) { j += 1; m = payload(j) & 0xff }
+      if (m == 0xd9 || m == 0xda) return 0L // EOI / SOS before any SOF
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i = j + 1 } // standalone
+      else {
+        if (j + 3 >= payload.length) return 0L
+        val len = ((payload(j + 1) & 0xff) << 8) | (payload(j + 2) & 0xff)
+        if (len < 2) return 0L
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (j + 7 >= payload.length) return 0L
+          val h = ((payload(j + 4) & 0xff) << 8) | (payload(j + 5) & 0xff)
+          val w = ((payload(j + 6) & 0xff) << 8) | (payload(j + 7) & 0xff)
+          return if (w <= 0 || h <= 0) -1 else w.toLong * h
+        }
+        i = j + 1 + len
+      }
+    }
+    0L
   }
 
   private def readImageOrNull(payload: Array[Byte])
@@ -126,8 +172,30 @@ object Multimodal {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         try { r.setInput(iis, false); r.read(0) } finally iis.close()
-      } else javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+      } else {
+        // generic registry path: the header sniff above only covers
+        // PNG/GIF/BMP/JPEG, so re-check DECLARED dims via the reader's
+        // header-only getWidth/getHeight before read(0) allocates —
+        // otherwise a corrupt header in any other ImageIO-supported
+        // format (WBMP, TIFF plugins, ...) still claims a gigapixel
+        // raster and the resulting OutOfMemoryError is an Error that
+        // escapes this catch and kills the executor.
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val gr = readers.next()
+            try {
+              gr.setInput(iis, false)
+              if (gr.getWidth(0).toLong * gr.getHeight(0) > MaxDecodePixels)
+                null
+              else gr.read(0)
+            } finally gr.dispose()
+          }
+        } finally iis.close()
+      }
     } catch { case _: Exception => null }
   }
 
@@ -380,54 +448,83 @@ object Multimodal {
 
   /** Perceptual near-duplicate pairs over (id, ahash_hi, ahash_lo):
     * every pair at Hamming distance ≤ `maxHamming` (≤ 3), found by the
-    * 4×16-bit pigeonhole band join — two hashes within distance 3 MUST
-    * agree on at least one of 4 disjoint 16-bit bands, so candidates
-    * come from 4 equi-joins on (band index, band value) and only
-    * hash-sized rows shuffle; the exact Hamming filter then makes the
-    * band pre-filter lossless. The same complete-for-≤3 guarantee the
-    * q29 SimHash pigeonhole uses, here over decoded-image aHashes.
+    * 4×16-bit pigeonhole — two hashes within distance 3 MUST agree on
+    * at least one of 4 disjoint 16-bit bands, so candidates come from
+    * df-capped POSTING LISTS per (band index, band value) — the q47
+    * inverted-index shape (`Dedup.ngramJaccardPairs`), not a band
+    * self-join. A real web corpus makes the join form quadratic in one
+    * bucket: solid-color/black thumbnails collapse millions of docs
+    * onto a handful of aHash band values, and an equi-join on
+    * (band, value) has no bound on that bucket's degree. Here
+    * `collect_capped` keeps per-bucket state at O(maxBandDf) and the
+    * df filter drops saturated buckets whole, so pair emission is
+    * bounded by maxBandDf² per bucket BY CONSTRUCTION.
+    *
+    * Recall tradeoff (documented, mirroring the text df-cap): a pair
+    * is missed only if EVERY band the two hashes agree on is hotter
+    * than `maxBandDf`. Near-identical images agree on most bands (an
+    * exact duplicate on all 4), so all its buckets must be degenerate
+    * (≥ maxBandDf docs sharing the same 16-bit band value — the
+    * solid-thumbnail regime, where "near-duplicate of a black square"
+    * is not a useful signal) before recall drops.
     */
   def phashNearDups(sig: DataFrame, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBandDf: Int = 1000): DataFrame = {
     require(maxHamming <= 3, s"4-band pigeonhole is complete only to 3")
+    require(maxBandDf >= 2 && maxBandDf <= 65535,
+      s"maxBandDf $maxBandDf outside [2, 65535] (sorted_pairs triangle)")
+    // posting lists carry ids as longs; a non-numeric id would
+    // null-cast silently (the ngramJaccardPairs contract)
+    require(Seq("long", "integer", "short", "byte")
+        .contains(sig.schema(idCol).dataType.typeName),
+      s"$idCol must be an integral id column for the packed posting " +
+        s"lists, got ${sig.schema(idCol).dataType.typeName}")
     // materialize the hash table once (24 B/row — hashes, never image
-    // bytes): both sides of the band equi-join consume it, and without
-    // the barrier each side re-runs the upstream decode+hash chain
-    val bands = sig
-      .select(col(idCol).as("__id"), col("ahash_hi").as("__hi"),
-        col("ahash_lo").as("__lo"))
+    // bytes): the posting build AND the two hash-fetch joins consume
+    // it, and without the barrier each reader re-runs the upstream
+    // decode+hash chain
+    val hashes = sig
+      .select(col(idCol).cast("long").as("__id"),
+        col("ahash_hi").as("__hi"), col("ahash_lo").as("__lo"))
       .where(col("__hi").isNotNull)
       .localCheckpoint(false)
-      .select(col("__id"), col("__hi"), col("__lo"),
-        explode(array(
-          struct(lit(0).as("bi"), (col("__lo") % 65536L).as("bv")),
-          struct(lit(1).as("bi"), (col("__lo") / 65536L).cast("long").as("bv")),
-          struct(lit(2).as("bi"), (col("__hi") % 65536L).as("bv")),
-          struct(lit(3).as("bi"), (col("__hi") / 65536L).cast("long").as("bv"))))
-          .as("b"))
-      .select(col("__id"), col("__hi"), col("__lo"),
-        col("b.bi").as("__bi"), col("b.bv").as("__bv"))
-    val a = bands.select(col("__id").as("id_a"), col("__hi").as("ha"),
-      col("__lo").as("la"), col("__bi"), col("__bv"))
-    val b = bands.select(col("__id").as("id_b"), col("__hi").as("hb"),
-      col("__lo").as("lb"), col("__bi"), col("__bv"))
-    // a pair agreeing on k bands appears k times; keep only the row
-    // whose join band is the FIRST band the two hashes agree on — a
-    // projection-level dedupe (both full hashes are in the row), no
-    // distinct() exchange over the candidate fanout
-    val firstAgree = when(
-        col("la") % 65536L === col("lb") % 65536L, 0)
-      .when((col("la") / 65536L).cast("long") ===
-        (col("lb") / 65536L).cast("long"), 1)
-      .when(col("ha") % 65536L === col("hb") % 65536L, 2)
-      .otherwise(3)
-    a.join(b, Seq("__bi", "__bv"))
-      .where(col("id_a") < col("id_b") && col("__bi") === firstAgree)
+    // the band INDEX stays in the bucket key — the 4 band value spaces
+    // are disjoint (band-0 value v must not bucket with band-2 value v,
+    // or one degenerate value merges 4 buckets into a hotter one)
+    val bands = hashes.select(col("__id"),
+      posexplode(array(
+        (col("__lo") % 65536L),
+        (col("__lo") / 65536L).cast("long"),
+        (col("__hi") % 65536L),
+        (col("__hi") / 65536L).cast("long")))
+        .as(Seq("__bi", "__bv")))
+    val posting = bands
+      .groupBy(col("__bi"), col("__bv"))
+      .agg(graft.ops.CollectCapped.collectCapped(col("__id"), maxBandDf)
+          .as("__ids"),
+        count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxBandDf)
+    val cand = posting
+      .select(explode(graft.functions.SketchExpressions
+        .sorted_pairs(col("__ids"))).as("__p"))
+      .select(col("__p").getItem(0).as("id_a"),
+        col("__p").getItem(1).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    cand
+      .join(hashes.select(col("__id").as("id_a"), col("__hi").as("ha"),
+        col("__lo").as("la")), Seq("id_a"))
+      .join(hashes.select(col("__id").as("id_b"), col("__hi").as("hb"),
+        col("__lo").as("lb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (bit_count(col("ha").bitwiseXOR(col("hb"))) +
           bit_count(col("la").bitwiseXOR(col("lb")))).cast("long")
           .as("hamming"))
       .where(col("hamming") <= maxHamming)
+      // a pair agreeing on k surviving bands appears k times; dedupe
+      // AFTER the Hamming filter so the exchange only carries true
+      // near-dup pairs (tiny), never the candidate fanout
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   // ---- audio: real RIFF/WAVE PCM round-trip ---------------------------
@@ -1300,25 +1397,43 @@ object Multimodal {
   }
 
   /** Video near-duplicate pairs: the frame-hash inverted index — a
-    * self-equi-join on the 64-bit frame aHash (the q47 inverted-index
-    * shape with frames for grams) counts shared DISTINCT frames per
-    * (id_a < id_b) pair; pairs sharing ≥ `minShared` frames are
-    * near-dups. Join keys are 16-byte hash rows, never pixels; at scale
-    * the per-frame-hash posting-list length (how many videos share one
-    * frame), not corpus size, bounds the candidate fanout.
+    * df-capped posting list per 64-bit frame aHash (the q47
+    * inverted-index shape with frames for grams, `Dedup.scala`'s
+    * ngramJaccardPairs) counts shared frames per (id_a < id_b) pair;
+    * pairs sharing ≥ `minShared` frames are near-dups. Posting rows are
+    * 16-byte hashes + capped id lists, never pixels.
+    *
+    * The cap is the scale bound: a real corpus's black/blank frames
+    * collapse millions of videos onto one frame hash, and the previous
+    * self-equi-join form had no bound on that bucket's degree (the
+    * HAVING ≥ minShared filter ran AFTER the join, bounding output, not
+    * the blowup). `collect_capped` keeps per-hash state at
+    * O(maxPostings); frames shared by more than `maxPostings` videos
+    * are dropped whole — a frame that common is boilerplate (black
+    * frames, intros), the video analogue of the text path's
+    * stop-grams, and carries no near-dup signal.
     */
   def videoNearDups(frameHashes: DataFrame, idCol: String,
-      minShared: Int = 3): DataFrame = {
-    // hashes are 24 B/row and both join sides consume them — same
-    // materialize-once rationale as phashNearDups
-    val fh = frameHashes
-      .select(col(idCol).as("__id"), col("frame_hi"), col("frame_lo"))
-      .localCheckpoint(false)
-    val a = fh.select(col("__id").as("id_a"),
-      col("frame_hi"), col("frame_lo"))
-    val b = fh.select(col("__id").as("id_b"),
-      col("frame_hi"), col("frame_lo"))
-    a.join(b, Seq("frame_hi", "frame_lo"))
+      minShared: Int = 3, maxPostings: Int = 1000): DataFrame = {
+    require(maxPostings >= 2 && maxPostings <= 65535,
+      s"maxPostings $maxPostings outside [2, 65535] (sorted_pairs triangle)")
+    require(Seq("long", "integer", "short", "byte")
+        .contains(frameHashes.schema(idCol).dataType.typeName),
+      s"$idCol must be an integral id column for the packed posting " +
+        s"lists, got ${frameHashes.schema(idCol).dataType.typeName}")
+    val posting = frameHashes
+      .select(col(idCol).cast("long").as("__id"),
+        col("frame_hi"), col("frame_lo"))
+      .groupBy(col("frame_hi"), col("frame_lo"))
+      .agg(graft.ops.CollectCapped.collectCapped(col("__id"), maxPostings)
+          .as("__ids"),
+        count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxPostings)
+    posting
+      .select(explode(graft.functions.SketchExpressions
+        .sorted_pairs(col("__ids"))).as("__p"))
+      .select(col("__p").getItem(0).as("id_a"),
+        col("__p").getItem(1).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_frames"))

@@ -710,6 +710,14 @@ object FlatGeobuf {
     val rows = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     val geoms = scala.collection.mutable.ArrayBuffer[Geom]()
     featureOffsets.sorted.foreach { off =>
+      // leaf feature byte offsets are i64 in the file; compare in Long
+      // BEFORE the Int narrowing — a corrupt 2^32+k offset wraps to a
+      // small positive Int and silently decodes mid-file bytes as a
+      // feature (silent wrong data), the same Int-wrap class the
+      // indexSize guard above refuses loudly.
+      require(off >= 0 && featuresStart + off < bytes.length,
+        s"corrupt index: leaf feature offset $off outside feature " +
+          s"section [0, ${bytes.length - featuresStart})")
       val pos = featuresStart + off.toInt
       decodeFeature(bytes, pos, columns, headerType, rows, geoms)
     }

@@ -172,9 +172,14 @@ object Shapefile {
     // with zero declared fields materializes 2^31 empty rows — an OOM,
     // not a loud error. recordSize >= 1 (the deletion flag) per spec.
     require(recordSize >= 1, s"bad dbf record size $recordSize")
+    // records start AT headerSize, so the bound must include it (file
+    // length = header + n*recordSize + EOF byte) — without headerSize a
+    // corrupt count can pass while records run past end-of-buffer.
+    require(headerSize >= 32, s"bad dbf header size $headerSize")
     require(numRecords >= 0 &&
-      numRecords.toLong * recordSize <= bytes.length.toLong,
-      s"dbf declares $numRecords records of $recordSize B in ${bytes.length} B")
+      headerSize + numRecords.toLong * recordSize <= bytes.length.toLong,
+      s"dbf declares $headerSize B header + $numRecords records of " +
+        s"$recordSize B in ${bytes.length} B")
     // field descriptors: 32 bytes each, from offset 32 to 0x0D terminator
     val fields = scala.collection.mutable.ArrayBuffer[DbfField]()
     var off = 32

@@ -177,10 +177,15 @@ final case class GeoTable(
     * (`core/extract.py:49-101`).
     */
   def filterWhere(where: String): GeoTable = {
+    // the reference's DDL/DML keywords, plus the Spark-specific escape
+    // hatches an EXPRESSION can reach: reflect/java_method call
+    // arbitrary static JVM methods from inside a WHERE string (exfil a
+    // `getenv` into a comparison, or worse) — the expression parser
+    // accepts them even though nothing DDL-shaped parses
     val banned = Seq("drop", "delete", "insert", "update", "alter", "create",
-      "attach", "copy", "pragma")
+      "attach", "copy", "pragma", "reflect", "java_method")
     val lower = where.toLowerCase
-    require(!banned.exists(k => lower.matches(s".*\\b$k\\b.*")),
+    require(!banned.exists(k => lower.matches(s"(?s).*\\b$k\\b.*")),
       s"disallowed keyword in WHERE: $where")
     copy(df = df.filter(expr(where)))
   }

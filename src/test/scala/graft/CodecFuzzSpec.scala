@@ -384,6 +384,57 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("FlatGeobuf readFiltered refuses Int-wrapping leaf feature offsets") {
+    // a corrupt i64 leaf offset of trueOffset + 2^32 used to wrap back to
+    // trueOffset through the unchecked .toInt narrowing and decode
+    // SILENTLY — the one corruption class loud-or-valid fuzz can't see.
+    // Pin: it must now refuse loudly (require), never decode.
+    val dir = tmpDir()
+    val pts = (0 until 10).map(i => Point(i.toDouble, i.toDouble))
+    sources.FlatGeobuf.write(s"$dir/w.fgb",
+      Seq("v" -> sources.FlatGeobuf.CtLong),
+      pts.indices.map(i => Seq[Any](i.toLong)), pts)
+    val p = java.nio.file.Paths.get(s"$dir/w.fgb")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val headerLen = bb.getInt(8)
+    val indexStart = 12 + headerLen
+    // default nodeSize 16, 10 features: levels top-down [1 root, 10
+    // leaves]; leaf i's feature offset is the i64 at node (1+i) + 32
+    assert(sources.FlatGeobuf.indexSize(10, 16) == 11 * 40)
+    val offPos = indexStart + 40 * 1 + 32
+    bb.putLong(offPos, bb.getLong(offPos) + (1L << 32))
+    java.nio.file.Files.write(p, bytes)
+    val e = intercept[IllegalArgumentException](
+      sources.FlatGeobuf.readFiltered(s"$dir/w.fgb", -100, -100, 100, 100))
+    assert(e.getMessage.contains("leaf feature offset"))
+  }
+
+  test("DBF record bound includes the header (spec: len = hdr + n*rec + 1)") {
+    val dir = tmpDir()
+    val geoms = (0 until 3).map(i => Point(i.toDouble, 0))
+    val fields = Seq(sources.Shapefile.DbfField("name", 'C', 16, 0))
+    sources.Shapefile.write(s"$dir/h.shp", geoms, fields,
+      geoms.indices.map(i => Seq[Any](s"f$i")))
+    val p = java.nio.file.Paths.get(s"$dir/h.dbf")
+    val dbf = java.nio.file.Files.readAllBytes(p)
+    val bb = java.nio.ByteBuffer.wrap(dbf)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val headerSize = java.lang.Short.toUnsignedInt(bb.getShort(8))
+    val recordSize = java.lang.Short.toUnsignedInt(bb.getShort(10))
+    // a count that passes the OLD bound (n*rec <= len) but whose records
+    // run past end-of-buffer once headerSize is accounted for
+    val n = (dbf.length - 1) / recordSize
+    assert(n * recordSize <= dbf.length &&
+      headerSize + n.toLong * recordSize > dbf.length, "fixture geometry drifted")
+    bb.putInt(4, n)
+    java.nio.file.Files.write(p, dbf)
+    val e = intercept[IllegalArgumentException](
+      sources.Shapefile.read(s"$dir/h.shp"))
+    assert(e.getMessage.contains("dbf declares"))
+  }
+
   // =========================================================================
   // 4. mutation fuzz — media codecs (PNG / GIF / WAV)
   // =========================================================================
@@ -590,5 +641,61 @@ class CodecFuzzSpec extends AnyFunSuite {
       ops.Multimodal.parseGifGrayFrames(hugeGif))
     neverThrows("huge-dims gif (imageio)")(
       ops.Multimodal.decodeGifFrames(hugeGif))
+  }
+
+  test("BMP and JPEG decode-bomb headers are refused before allocation") {
+    // BMP: 14-byte file header + BITMAPINFOHEADER; w/h are LE i32 at
+    // offsets 18/22 — a hostile header can claim gigapixel dims in 8
+    // bytes. Claim 60000 x 60000 = 3.6e9 px (~14 GB ARGB).
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.array()
+    }
+    assert(ops.Multimodal.declaredPixels(bmp(60000, 60000)) == 3600000000L)
+    // negative height = top-down rows, legal; magnitude is the claim
+    assert(ops.Multimodal.declaredPixels(bmp(60000, -60000)) == 3600000000L)
+    assert(ops.Multimodal.declaredPixels(bmp(0, 5)) == -1L)
+    neverThrows("huge-dims bmp")(
+      assert(ops.Multimodal.decodeImage(bmp(60000, 60000)).isEmpty))
+    neverThrows("huge-dims bmp top-down")(
+      assert(ops.Multimodal.decodeImage(bmp(60000, -60000)).isEmpty))
+
+    // JPEG: SOI + APP0 + SOF0 claiming 65500 x 65500 = 4.3e9 px. The
+    // SOF walk must find the frame header past the APP0 segment.
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+      b.put(0xff.toByte).put(0xd8.toByte)                     // SOI
+      b.put(0xff.toByte).put(0xe0.toByte).putShort(16)        // APP0 len 16
+      b.put("JFIF".getBytes).put(0.toByte)
+      b.put(Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0))           // rest of APP0
+      b.put(0xff.toByte).put(0xc0.toByte).putShort(11)        // SOF0 len 11
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort) // prec, h, w
+      b.put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte)
+      b.array()
+    }
+    assert(ops.Multimodal.declaredPixels(jpeg(65500, 65500)) == 4290250000L)
+    assert(ops.Multimodal.declaredPixels(jpeg(4, 0)) == -1L)
+    neverThrows("huge-dims jpeg")(
+      assert(ops.Multimodal.decodeImage(jpeg(65500, 65500)).isEmpty))
+    // a real small JPEG-shaped header below the cap: no SOF claim drama,
+    // decode may still fail (no scan data) but must not throw
+    neverThrows("small jpeg header")(ops.Multimodal.decodeImage(jpeg(4, 4)))
+    // truncated mid-segment: walk must return 0 (no claim), never hang
+    assert(ops.Multimodal.declaredPixels(
+      jpeg(65500, 65500).take(6)) == 0L)
+
+    // generic registry path: a WBMP bomb (type 0, no sniff of ours) —
+    // dims are uintvar; 0x87 0x68 = 1000, so 1000x1000 ok but craft
+    // huge via 5-byte uintvar claiming ~2^31. The reader-path cap must
+    // refuse without OOM.
+    val wbmp = Array[Byte](0, 0,
+      0x8f.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte,
+      0x8f.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    assert(ops.Multimodal.declaredPixels(wbmp) == 0L) // not our sniff
+    neverThrows("huge-dims wbmp via registry path")(
+      assert(ops.Multimodal.decodeImage(wbmp).isEmpty))
   }
 }

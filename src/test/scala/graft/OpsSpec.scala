@@ -135,6 +135,46 @@ class OpsSpec extends AnyFunSuite {
     assert(KdTree.autoIterations(100000000L, 100000L) == 10)
   }
 
+  test("kdtree deep-tree cells: codegen expression at every depth, " +
+      "driver-walk parity, no udf in the plan") {
+    val df = spark.range(500).toDF("id")
+      .withColumn("x", (col("id") * 37 % 360 - 180 + col("id") % 8 * 0.125)
+        .cast("double"))
+      .withColumn("y", (col("id") * 91 % 180 - 90).cast("double"))
+    // depth 14 — past the old nested-when cutoff (10) that used to fall
+    // back to a closure udf and break whole-stage codegen
+    val tree = KdTree.build(df, "x", "y", 14, sampleRows = 400, seed = 3L)
+    val out = KdTree.withCell(df, "x", "y", tree)
+    val got = out.select("x", "y", "kdtree_cell").collect()
+    got.foreach { r =>
+      assert(r.getString(2) ==
+        KdTree.cellOf(tree, r.getDouble(0), r.getDouble(1)))
+      assert(r.getString(2).length == 14)
+    }
+    // "*(" marks whole-stage-codegen'd operators in the simple plan
+    // string; the kdcell projection must carry it
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("kdcell") && l.trim.startsWith("*(")), plan.take(400))
+    assert(!plan.toLowerCase.contains("scalaudf"), "udf leaked into the plan")
+    // flatten is O(nodes) and the walk matches on hand-built UNBALANCED
+    // trees too (withCell is public API; nothing forces completeness)
+    val lop = KdTree.Node(1.0, None, None)
+    val ub = KdTree.Node(0.0,
+      Some(KdTree.Node(-5.0, Some(lop), Some(KdTree.Node(2.0, None, None)))),
+      None)
+    val (s, l, r) = KdTree.flatten(ub)
+    assert(s.length == 4 && l.length == 4 && r.length == 4)
+    import spark.implicits._
+    val pts = Seq((-6.0, -7.0), (-1.0, 3.0), (5.0, 0.0)).toDF("x", "y")
+    val ubCells = KdTree.withCell(pts, "x", "y", ub).collect()
+      .map(rr => (rr.getDouble(0), rr.getDouble(1)) -> rr.getString(2)).toMap
+    pts.collect().foreach { rr =>
+      val (x, y) = (rr.getDouble(0), rr.getDouble(1))
+      assert(ubCells((x, y)) == KdTree.cellOf(ub, x, y), s"($x,$y)")
+    }
+  }
+
   test("grid spatial join reports each overlapping pair exactly once") {
     import graft.ops.SpatialJoin
     // envelopes spanning multiple cells, exact touches, disjoint rows
@@ -233,6 +273,73 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == want, s"got ${pairs.size} pairs, want ${want.size}")
     assert(want.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
+  test("phash hot-band df-cap: pairs survive one hot band via cold bands; " +
+      "pairs whose every agreeing band is hot are dropped (documented recall)") {
+    import spark.implicits._
+    // bands of (hi, lo): b0 = lo & 0xffff, b1 = lo >> 16, b2 = hi & 0xffff,
+    // b3 = hi >> 16 — aHash packs 64 pixel bits into the LOW 32 bits of
+    // each half, so test hashes stay in [0, 2^32)
+    def sig(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("doc_id", "ahash_hi", "ahash_lo")
+    def far(i: Int): Long = // pairwise-distant 32-bit patterns
+      ((0x9e3779b9L * (i + 7)) & 0xffff0000L) | (0x5bd1e995L * i & 0xffffL)
+
+    // pair A: (200, 201) at Hamming 1 (bit 63 = band 3); their band-0
+    // bucket is made hot by 6 fillers sharing lo&0xffff but far elsewhere
+    val loA = 0x00001234L
+    val hiA = 0x00010001L
+    val pairA = Seq((200L, hiA, loA), (201L, hiA | (1L << 31), loA))
+    val fillersB0 = (0 until 6).map(i =>
+      (210L + i, far(i) | (1L << 30), (far(i + 100) & 0xffff0000L) | 0x1234L))
+
+    // pair B: (300, 301) identical hashes (Hamming 0); ALL four of their
+    // band buckets made hot by per-band filler groups (each filler far
+    // from everything else, so no extra near-dup pairs)
+    val hiB = 0x00420099L; val loB = 0x00770055L
+    val pairB = Seq((300L, hiB, loB), (301L, hiB, loB))
+    val fillersAllBands = (0 until 6).flatMap { i =>
+      Seq(
+        (320L + i, far(i + 20) | (1L << 29), (far(i + 120) & 0xffff0000L) | (loB & 0xffffL)),
+        (330L + i, far(i + 30) | (1L << 28), (loB & 0xffff0000L) | (far(i + 130) & 0xffffL)),
+        (340L + i, (far(i + 40) & 0xffff0000L) | (hiB & 0xffffL), far(i + 140) | (1L << 27)),
+        (350L + i, (hiB & 0xffff0000L) | (far(i + 50) & 0xffffL), far(i + 150) | (1L << 26)))
+    }
+    val all = sig(pairA ++ fillersB0 ++ pairB ++ fillersAllBands)
+    def pairsAt(cap: Int): Set[(Long, Long)] =
+      Multimodal.phashNearDups(all, "doc_id", maxHamming = 3, maxBandDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped-equivalent (cap above any bucket): both pairs found,
+    // fillers contribute nothing
+    assert(pairsAt(1000) == Set((200L, 201L), (300L, 301L)))
+    // cap 5: band-0 of pair A is hot (8 docs) but bands 1-3 are cold →
+    // pair A survives; every band of pair B is hot (8 docs each) → pair
+    // B is dropped whole — the documented recall tradeoff
+    assert(pairsAt(5) == Set((200L, 201L)))
+  }
+
+  test("video frame-hash df-cap: boilerplate frames above the cap stop " +
+      "counting toward minShared") {
+    import spark.implicits._
+    // videos 1,2 share two COLD frames; videos 3,4 share one cold frame
+    // plus the HOT (black) frame carried by 10 more videos
+    val hot = (0x0badL, 0xcafeL)
+    val fh = (Seq(
+      (1L, 0x10L, 0x11L), (1L, 0x20L, 0x21L),
+      (2L, 0x10L, 0x11L), (2L, 0x20L, 0x21L),
+      (3L, 0x30L, 0x31L), (3L, hot._1, hot._2),
+      (4L, 0x30L, 0x31L), (4L, hot._1, hot._2)) ++
+      (10 until 20).map(i => (i.toLong, hot._1, hot._2)))
+      .toDF("doc_id", "frame_hi", "frame_lo")
+    def pairsAt(cap: Int): Map[(Long, Long), Long] =
+      Multimodal.videoNearDups(fh, "doc_id", minShared = 2, maxPostings = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cap above the hot frame's 12 postings: both pairs, hot frame counts
+    assert(pairsAt(1000) == Map((1L, 2L) -> 2L, (3L, 4L) -> 2L))
+    // cap 5: the hot frame is boilerplate and is dropped whole — (3,4)
+    // fall below minShared; the cold-frame pair is untouched
+    assert(pairsAt(5) == Map((1L, 2L) -> 2L))
   }
 
   test("real image decode: png/jpeg/bmp round-trip, corrupt falls to stub") {

@@ -108,7 +108,9 @@ class PartitionPruneSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     val got = pruned.select("id").collect().map(_.getLong(0)).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
-    // near-pole box: documented refusal — no partition filter, same rows
+    // near-pole box (round-14: no longer a refusal — the lng pad is
+    // capped at the full circle): rows must match with or without a
+    // partition filter
     val polar = t.filterBbox(-170, 80, 170, 89).df
     val wantPolar = spark.read.parquet(out)
       .filter(geo.envelope_intersects(col("geometry"), -170, 80, 170, 89))
@@ -129,6 +131,113 @@ class PartitionPruneSpec extends AnyFunSuite {
       assert(cov.forall(_.contains(cell)),
         s"cell $cell of ($lat,$lng) res=$res missing from covering")
     }
+  }
+
+  test("h3 covering (round-14 hierarchical): forward-transform property " +
+      "holds at high res, pole neighborhoods, and antimeridian edges; " +
+      "planning time bounded") {
+    val rnd = new scala.util.Random(20260816L)
+    val t0 = System.nanoTime()
+    var hits = 0
+    // random interior points of random boxes: every point's cell must be
+    // in the covering whenever a covering is returned at all
+    for (i <- 1 to 60) {
+      val res = rnd.nextInt(10) // 0-9: spans direct AND hierarchical
+      // full latitude range INCLUDING pole neighborhoods (the old code
+      // refused past 84°), plus antimeridian-adjacent boxes
+      val cy = rnd.nextDouble() * 178 - 89
+      val cx = if (i % 5 == 0) (if (rnd.nextBoolean()) 179.0 else -179.0)
+        else rnd.nextDouble() * 360 - 180
+      val w = math.pow(10.0, -2.0 + rnd.nextDouble() * 2) // 0.01-1 deg
+      val (x0, y0) = (math.max(-180, cx - w), math.max(-90, cy - w))
+      val (x1, y1) = (math.min(180, cx + w), math.min(90, cy + w))
+      SpatialPartitioning.h3Covering(res, x0, y0, x1, y1).foreach { cov =>
+        hits += 1
+        val keys = cov.toSet
+        for (_ <- 1 to 25) {
+          val px = x0 + rnd.nextDouble() * (x1 - x0)
+          val py = y0 + rnd.nextDouble() * (y1 - y0)
+          val cell = graft.geom.H3.latLngToCellString(py, px, res)
+          assert(keys.contains(cell),
+            s"res=$res box=($x0,$y0,$x1,$y1) point=($py,$px) cell=$cell " +
+              s"missing from ${keys.size}-key covering")
+        }
+      }
+    }
+    assert(hits >= 40, s"covering refused too often ($hits/60)")
+    // explicit pole-cap box — refused before round 14, now covered
+    val polar = SpatialPartitioning.h3Covering(1, -180, 86, 180, 90)
+    assert(polar.nonEmpty, "pole-cap covering should no longer refuse")
+    polar.foreach { cov =>
+      val keys = cov.toSet
+      for (lng <- -180 to 180 by 7; lat <- Seq(86.5, 89.0, 89.9)) {
+        val cell = graft.geom.H3.latLngToCellString(lat, lng.toDouble, 1)
+        assert(keys.contains(cell), s"polar cell $cell ($lat,$lng) missing")
+      }
+    }
+    // hierarchical regime: a high-latitude 8°x6° box at res 6, where the
+    // degree-spaced sample grid is over budget (lng degrees shrink on
+    // the ground, so samples-per-cell balloons by 1/cos(81°)) but the
+    // true covering is well under MaxKeys. First PROVE the direct path
+    // refuses, then require the covering and verify soundness.
+    assert(SpatialPartitioning.sampleCells(6, 10.0, 78.0, 18.0, 84.0,
+      0.0, SpatialPartitioning.MaxSamples).isEmpty,
+      "expected the direct res-6 sampler to exceed budget here")
+    val hier = SpatialPartitioning.h3Covering(6, 10.0, 78.0, 18.0, 84.0)
+    assert(hier.nonEmpty, "hierarchical covering expected at res 6")
+    hier.foreach { cov =>
+      val keys = cov.toSet
+      assert(keys.size <= SpatialPartitioning.MaxKeys)
+      for (_ <- 1 to 300) {
+        val px = 10.0 + rnd.nextDouble() * 8.0
+        val py = 78.0 + rnd.nextDouble() * 6.0
+        val cell = graft.geom.H3.latLngToCellString(py, px, 6)
+        assert(keys.contains(cell), s"hier cell $cell ($py,$px) missing")
+      }
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, f"covering planning took $sec%.1f s — not interactive")
+  }
+
+  test("h3 cellChildren: digit-tree completeness — every cell is among " +
+      "its truncation parent's children; pentagons have 6") {
+    val rnd = new scala.util.Random(7L)
+    var pentSeen = 0
+    for (_ <- 1 to 300) {
+      val res = 1 + rnd.nextInt(8)
+      val lat = rnd.nextDouble() * 180 - 90
+      val lng = rnd.nextDouble() * 360 - 180
+      // NOTE: H3 children do NOT spatially nest (a point's res-(r+1)
+      // cell can truncate to a different parent than its res-r cell) —
+      // the covering handles that with the drift margin. What MUST hold
+      // is digit-tree completeness: cellToParent is the inverse of
+      // cellChildren enumeration, so every cell a query can produce is
+      // reachable by refinement from its truncation ancestor.
+      val cell = graft.geom.H3.latLngToCell(lat, lng, res)
+      val parent = graft.geom.H3.cellToParent(cell, res - 1)
+      val kids = graft.geom.H3.cellChildren(parent)
+      assert(kids.contains(cell),
+        s"cell ${java.lang.Long.toHexString(cell)} not among children of " +
+          s"${java.lang.Long.toHexString(parent)}")
+      assert(kids.distinct.length == kids.length)
+      kids.foreach { k =>
+        assert(graft.geom.H3.getResolution(k) == res)
+        assert(graft.geom.H3.cellToParent(k, res - 1) == parent)
+      }
+      if (graft.geom.H3.isPentagonCell(parent)) {
+        pentSeen += 1
+        assert(kids.length == 6, "pentagon parent must have 6 children")
+      } else assert(kids.length == 7)
+    }
+    // scan res-0 cells via forward transform over a lat/lng grid and
+    // collect pentagon cells — there must be exactly 12
+    val pentCells = (for {
+      lat <- -85 to 85 by 2; lng <- -180 to 179 by 2
+    } yield graft.geom.H3.latLngToCell(lat.toDouble, lng.toDouble, 0))
+      .distinct.filter(graft.geom.H3.isPentagonCell)
+    assert(pentCells.size == 12, s"expected 12 res-0 pentagons, got ${pentCells.size}")
+    pentCells.foreach(p =>
+      assert(graft.geom.H3.cellChildren(p).length == 6))
   }
 
   test("kdtree-partitioned dataset: filterBbox prunes leaf rectangles " +
