@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, QuaternaryExpression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -1143,6 +1143,104 @@ object SketchEval {
     * the trick that lets the n-gram Jaccard join compute common-gram
     * counts and per-doc set sizes in a single aggregation.
     */
+  /** Hamming-filtered within-bucket pairs from ALIGNED posting arrays
+    * (ids(i), his(i), los(i) describe one document — the three
+    * collect_capped aggregates in the same groupBy see identical
+    * update/merge sequences, so the arrays align by construction).
+    * Emits [min(id), max(id), hamming] ONLY for pairs with distinct ids
+    * at hamming <= maxHamming — the O(k²) candidate scan happens here
+    * inside the aggregation bucket, so no candidate ROWS exist for
+    * non-duplicates and no hash-fetch join is needed downstream (the
+    * round-14 q175 regression: two id-joins to re-attach hashes cost
+    * more than the whole band join they replaced).
+    */
+  def hammingPairs(ids: ArrayData, his: ArrayData, los: ArrayData,
+      maxHamming: Int): ArrayData = {
+    val n = ids.numElements()
+    require(his.numElements() == n && los.numElements() == n,
+      s"hamming_pairs: posting arrays misaligned ($n/${his.numElements()}/${los.numElements()})")
+    require(n <= 65535, s"hamming_pairs: $n-entry bucket — cap postings below 65536")
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n) {
+      val ai = ids.getLong(i); val hi = his.getLong(i); val li = los.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val aj = ids.getLong(j)
+        if (ai != aj) {
+          val d = java.lang.Long.bitCount(hi ^ his.getLong(j)) +
+            java.lang.Long.bitCount(li ^ los.getLong(j))
+          if (d <= maxHamming)
+            out += new GenericArrayData(Array[Any](
+              math.min(ai, aj), math.max(ai, aj), d.toLong))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[hammingPairs]] with exactly-once OWNERSHIP: the bucket for band
+    * `bi` emits a pair iff `bi` is the pair's first agreeing band whose
+    * bucket SURVIVED the df cap (`hotPacked` = sorted packed keys
+    * bi<<16|value of the dropped buckets — bounded by 4n/cap entries by
+    * construction, so it broadcasts). Every surviving agreeing bucket
+    * of a pair sees the same hash pair and computes the same owner, so
+    * the pair is emitted exactly once across buckets with NO downstream
+    * dedupe exchange — and never lost while ANY agreeing bucket
+    * survives. Band values must be 16-bit (aHash halves are 32-bit, so
+    * quarters are; enforced loudly).
+    */
+  def hammingPairsOwned(ids: ArrayData, his: ArrayData, los: ArrayData,
+      bucketBand: Int, maxHamming: Int, hotPacked: Array[Long]): ArrayData = {
+    val n = ids.numElements()
+    require(his.numElements() == n && los.numElements() == n,
+      s"hamming_pairs: posting arrays misaligned ($n/${his.numElements()}/${los.numElements()})")
+    require(n <= 65535, s"hamming_pairs: $n-entry bucket — cap postings below 65536")
+    def band(b: Int, hi: Long, lo: Long): Long = b match {
+      case 0 => lo % 65536L
+      case 1 => lo / 65536L
+      case 2 => hi % 65536L
+      case _ => hi / 65536L
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n) {
+      val ai = ids.getLong(i); val hi = his.getLong(i); val li = los.getLong(i)
+      require(hi >= 0 && hi < 4294967296L && li >= 0 && li < 4294967296L,
+        "hamming_pairs: hashes must be 32-bit halves (aHash contract)")
+      var j = i + 1
+      while (j < n) {
+        val aj = ids.getLong(j)
+        if (ai != aj) {
+          val hj = his.getLong(j); val lj = los.getLong(j)
+          val d = java.lang.Long.bitCount(hi ^ hj) +
+            java.lang.Long.bitCount(li ^ lj)
+          if (d <= maxHamming) {
+            // owner = first agreeing band whose bucket survived
+            var owner = -1
+            var b = 0
+            while (owner < 0 && b < 4) {
+              val v = band(b, hi, li)
+              if (v == band(b, hj, lj) &&
+                  java.util.Arrays.binarySearch(hotPacked,
+                    (b.toLong << 16) | v) < 0)
+                owner = b
+              b += 1
+            }
+            if (owner == bucketBand)
+              out += new GenericArrayData(Array[Any](
+                math.min(ai, aj), math.max(ai, aj), d.toLong))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def sortedPairs(v: ArrayData): ArrayData = {
     val n = v.numElements()
     // n*(n+1)/2 wraps negative in Int arithmetic at n >= 65536 — fail
@@ -1502,6 +1600,65 @@ object SketchExpressions {
 
   def sorted_pairs(ids: Column): Column =
     GraftBridge.column(SortedPairs(GraftBridge.expression(ids)))
+
+  /** Hamming-filtered posting-bucket pairs ([[SketchEval.hammingPairs]]). */
+  case class HammingPairs(first: Expression, second: Expression,
+      third: Expression, maxHamming: Int)
+      extends TernaryExpression with ImplicitCastInputTypes {
+    require(maxHamming >= 0, s"hamming_pairs: bad maxHamming $maxHamming")
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType =
+      ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+    override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      SketchEval.hammingPairs(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], maxHamming)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) =>
+        s"$E.hammingPairs($a, $b, $c, $maxHamming)")
+    override protected def withNewChildrenInternal(a: Expression,
+        b: Expression, c: Expression) =
+      copy(first = a, second = b, third = c)
+  }
+
+  def hamming_pairs(ids: Column, his: Column, los: Column,
+      maxHamming: Int): Column =
+    GraftBridge.column(HammingPairs(GraftBridge.expression(ids),
+      GraftBridge.expression(his), GraftBridge.expression(los), maxHamming))
+
+  /** Exactly-once ownership variant ([[SketchEval.hammingPairsOwned]]):
+    * `bucketBand` is the posting row's band index, `hotPacked` the
+    * sorted dropped-bucket keys (broadcast via expression reference).
+    */
+  case class HammingPairsOwned(first: Expression, second: Expression,
+      third: Expression, fourth: Expression, maxHamming: Int,
+      hotPacked: Array[Long])
+      extends QuaternaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType),
+      ArrayType(LongType), ArrayType(LongType), IntegerType)
+    override def dataType: DataType =
+      ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+    override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      SketchEval.hammingPairsOwned(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+        d.asInstanceOf[Int], maxHamming, hotPacked)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hotPacked", hotPacked, "long[]")
+      defineCodeGen(ctx, ev, (a, b, c, d) =>
+        s"$E.hammingPairsOwned($a, $b, $c, $d, $maxHamming, $ref)")
+    }
+    override protected def withNewChildrenInternal(a: Expression,
+        b: Expression, c: Expression, d: Expression) =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
+  def hamming_pairs_owned(ids: Column, his: Column, los: Column,
+      bucketBand: Column, maxHamming: Int, hotPacked: Array[Long]): Column =
+    GraftBridge.column(HammingPairsOwned(GraftBridge.expression(ids),
+      GraftBridge.expression(his), GraftBridge.expression(los),
+      GraftBridge.expression(bucketBand), maxHamming, hotPacked))
 
   /** Distinct k-word shingles (lowercase, whitespace-tokenized). */
   case class WordShingles(child: Expression, k: Int)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -479,52 +479,59 @@ object Multimodal {
         .contains(sig.schema(idCol).dataType.typeName),
       s"$idCol must be an integral id column for the packed posting " +
         s"lists, got ${sig.schema(idCol).dataType.typeName}")
-    // materialize the hash table once (24 B/row — hashes, never image
-    // bytes): the posting build AND the two hash-fetch joins consume
-    // it, and without the barrier each reader re-runs the upstream
-    // decode+hash chain
-    val hashes = sig
-      .select(col(idCol).cast("long").as("__id"),
-        col("ahash_hi").as("__hi"), col("ahash_lo").as("__lo"))
-      .where(col("__hi").isNotNull)
-      .localCheckpoint(false)
     // the band INDEX stays in the bucket key — the 4 band value spaces
     // are disjoint (band-0 value v must not bucket with band-2 value v,
     // or one degenerate value merges 4 buckets into a hotter one)
-    val bands = hashes.select(col("__id"),
-      posexplode(array(
-        (col("__lo") % 65536L),
-        (col("__lo") / 65536L).cast("long"),
-        (col("__hi") % 65536L),
-        (col("__hi") / 65536L).cast("long")))
-        .as(Seq("__bi", "__bv")))
+    val bands = sig
+      .select(col(idCol).cast("long").as("__id"),
+        col("ahash_hi").as("__hi"), col("ahash_lo").as("__lo"))
+      .where(col("__hi").isNotNull && col("__lo").isNotNull)
+      .select(col("__id"), col("__hi"), col("__lo"),
+        posexplode(array(
+          (col("__lo") % 65536L),
+          (col("__lo") / 65536L).cast("long"),
+          (col("__hi") % 65536L),
+          (col("__hi") / 65536L).cast("long")))
+          .as(Seq("__bi", "__bv")))
+    // ONE aggregation builds ALIGNED capped posting arrays for id/hi/lo
+    // (the three collect_capped instances in one groupBy see identical
+    // update and merge sequences, so index i describes one document in
+    // all three) plus the true bucket size. Checkpointed because two
+    // readers consume it: the hot-bucket census and the pair emission —
+    // and the upstream decode+hash chain must run once. State is capped
+    // per bucket (collect_capped stops retaining at maxBandDf), so the
+    // materialization is O(4n) longs however hot the keys.
+    val cc = (c: Column) => graft.ops.CollectCapped.collectCapped(c, maxBandDf)
     val posting = bands
       .groupBy(col("__bi"), col("__bv"))
-      .agg(graft.ops.CollectCapped.collectCapped(col("__id"), maxBandDf)
-          .as("__ids"),
-        count(lit(1)).as("__df"))
+      .agg(cc(col("__id")).as("__ids"), cc(col("__hi")).as("__his"),
+        cc(col("__lo")).as("__los"), count(lit(1)).as("__df"))
+      .localCheckpoint(false)
+    // hot-bucket census: the DROPPED bucket keys, packed bi<<16|value.
+    // Bounded by construction — sum(df) = 4n, so |{df > cap}| <= 4n/cap
+    // (0.4% of docs at cap 1000) — a broadcastable model, collected
+    // through the audited driver gate.
+    val hot = graft.util.CollectCapped(
+      posting.filter(col("__df") > maxBandDf)
+        .select((col("__bi").cast("long") * 65536L + col("__bv")).as("k"))
+        .orderBy(col("k")),
+      1L << 22, "phash hot-band census (<= 4n/maxBandDf keys)")
+      .map(_.getLong(0))
+    // The ownership kernel emits each pair EXACTLY ONCE (from its first
+    // agreeing band whose bucket survived, consulting the broadcast hot
+    // census) at O(cap²) work per bucket inside the aggregation — no
+    // candidate rows for non-duplicates, no hash-fetch joins, and no
+    // pair-level dedupe exchange (the round-14 q175 weak flag: that
+    // exchange over k-duplicated pairs cost more than the band join it
+    // replaced).
+    posting
       .filter(col("__df") <= maxBandDf)
-    val cand = posting
-      .select(explode(graft.functions.SketchExpressions
-        .sorted_pairs(col("__ids"))).as("__p"))
+      .select(explode(graft.functions.SketchExpressions.hamming_pairs_owned(
+        col("__ids"), col("__his"), col("__los"), col("__bi"),
+        maxHamming, hot)).as("__p"))
       .select(col("__p").getItem(0).as("id_a"),
-        col("__p").getItem(1).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-    cand
-      .join(hashes.select(col("__id").as("id_a"), col("__hi").as("ha"),
-        col("__lo").as("la")), Seq("id_a"))
-      .join(hashes.select(col("__id").as("id_b"), col("__hi").as("hb"),
-        col("__lo").as("lb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long")
-          .as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      // a pair agreeing on k surviving bands appears k times; dedupe
-      // AFTER the Hamming filter so the exchange only carries true
-      // near-dup pairs (tiny), never the candidate fanout
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
+        col("__p").getItem(1).as("id_b"),
+        col("__p").getItem(2).as("hamming"))
   }
 
   // ---- audio: real RIFF/WAVE PCM round-trip ---------------------------

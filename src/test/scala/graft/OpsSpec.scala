@@ -307,9 +307,16 @@ class OpsSpec extends AnyFunSuite {
         (350L + i, (hiB & 0xffff0000L) | (far(i + 50) & 0xffffL), far(i + 150) | (1L << 26)))
     }
     val all = sig(pairA ++ fillersB0 ++ pairB ++ fillersAllBands)
-    def pairsAt(cap: Int): Set[(Long, Long)] =
-      Multimodal.phashNearDups(all, "doc_id", maxHamming = 3, maxBandDf = cap)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairsAt(cap: Int): Set[(Long, Long)] = {
+      val rows = Multimodal
+        .phashNearDups(all, "doc_id", maxHamming = 3, maxBandDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // ownership kernel contract: a pair agreeing on several surviving
+      // bands is emitted EXACTLY once — duplicates would hide in toSet
+      assert(rows.length == rows.toSet.size,
+        s"duplicate pair emissions: ${rows.mkString(",")}")
+      rows.toSet
+    }
     // uncapped-equivalent (cap above any bucket): both pairs found,
     // fillers contribute nothing
     assert(pairsAt(1000) == Set((200L, 201L), (300L, 301L)))
