@@ -224,6 +224,31 @@ object GeoQueries {
           FROM customer)
         SELECT c_custkey FROM pts
         WHERE cx >= -60 AND cx <= 60 AND cy >= -30 AND cy <= 30
+        ORDER BY c_custkey""")),
+
+    // H3 twin of q186 over the round-14 hierarchical covering
+    // (meta/SpatialPartitioning.h3Covering): the H3-partitioned layout
+    // prunes directories through the sample-or-refine covering + the
+    // recorded anchor reach; hash equality against a plain coordinate
+    // filter proves the covering dropped no row. The bbox is NARROW and
+    // high-latitude on purpose — the regime the round-13 sampler
+    // refused (lng pad divergence) and the hierarchical path now
+    // covers.
+    QueryDef(
+      "q187_h3_partition_prune",
+      (s, dir) => {
+        import s.implicits._
+        val out = GeoQueries.prunedH3Dataset(s, dir)
+        graft.table.GeoTable.read(s, out)
+          .filterBbox(-170, 55, -20, 78)
+          .df.select($"c_custkey").orderBy($"c_custkey")
+      },
+      Some(s"""WITH pts AS (
+          SELECT c_custkey, ${lonSql("c_custkey")} AS cx,
+                 ${latSql("c_custkey")} AS cy
+          FROM customer)
+        SELECT c_custkey FROM pts
+        WHERE cx >= -170 AND cx <= -20 AND cy >= 55 AND cy <= 78
         ORDER BY c_custkey"""))
   )
 
@@ -244,6 +269,24 @@ object GeoQueries {
         .select(col("c_custkey"), col("geometry"))
       graft.table.GeoTable.fromDataFrame(pts, "geometry")
         .partitionByQuadkey(zoom = 6, prefixChars = 2, out, force = true)
+      out
+    })
+
+  private val prunedH3Cache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  /** H3-partitioned twin of [[prunedDataset]] (q187). */
+  private def prunedH3Dataset(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    prunedH3Cache.computeIfAbsent((s, dir), { case (spark, d) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q187").toString + "/h3"
+      val pts = table(spark, d, "customer")
+        .withColumn("geometry", geo.st_point(
+          Coords.lon(col("c_custkey")), Coords.lat(col("c_custkey"))))
+        .select(col("c_custkey"), col("geometry"))
+      graft.table.GeoTable.fromDataFrame(pts, "geometry")
+        .partitionByH3(resolution = 1, out, force = true)
       out
     })
 }

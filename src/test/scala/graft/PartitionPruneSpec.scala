@@ -118,6 +118,14 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(polar.count() == wantPolar)
   }
 
+  test("q187 exercises real pruning: the declared query's plan carries " +
+      "a partition filter on the H3 layout (not a silent full scan)") {
+    val df = SparkEntry.queries("q187_h3_partition_prune")(
+      spark, "/root/testdata/sf0.001")
+    assert(partitionFilterCount(df) > 0,
+      df.queryExecution.executedPlan.toString.take(1500))
+  }
+
   test("h3 covering soundness: every sampled point's cell is in the " +
       "covering of a small box around it (forward-transform property)") {
     val rnd = new scala.util.Random(20260815L)
