@@ -1146,42 +1146,8 @@ object SketchEval {
   /** Hamming-filtered within-bucket pairs from ALIGNED posting arrays
     * (ids(i), his(i), los(i) describe one document — the three
     * collect_capped aggregates in the same groupBy see identical
-    * update/merge sequences, so the arrays align by construction).
-    * Emits [min(id), max(id), hamming] ONLY for pairs with distinct ids
-    * at hamming <= maxHamming — the O(k²) candidate scan happens here
-    * inside the aggregation bucket, so no candidate ROWS exist for
-    * non-duplicates and no hash-fetch join is needed downstream (the
-    * round-14 q175 regression: two id-joins to re-attach hashes cost
-    * more than the whole band join they replaced).
-    */
-  def hammingPairs(ids: ArrayData, his: ArrayData, los: ArrayData,
-      maxHamming: Int): ArrayData = {
-    val n = ids.numElements()
-    require(his.numElements() == n && los.numElements() == n,
-      s"hamming_pairs: posting arrays misaligned ($n/${his.numElements()}/${los.numElements()})")
-    require(n <= 65535, s"hamming_pairs: $n-entry bucket — cap postings below 65536")
-    val out = scala.collection.mutable.ArrayBuffer[Any]()
-    var i = 0
-    while (i < n) {
-      val ai = ids.getLong(i); val hi = his.getLong(i); val li = los.getLong(i)
-      var j = i + 1
-      while (j < n) {
-        val aj = ids.getLong(j)
-        if (ai != aj) {
-          val d = java.lang.Long.bitCount(hi ^ his.getLong(j)) +
-            java.lang.Long.bitCount(li ^ los.getLong(j))
-          if (d <= maxHamming)
-            out += new GenericArrayData(Array[Any](
-              math.min(ai, aj), math.max(ai, aj), d.toLong))
-        }
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  /** [[hammingPairs]] with exactly-once OWNERSHIP: the bucket for band
+    * update/merge sequences, so the arrays align by construction),
+    * with exactly-once OWNERSHIP: the bucket for band
     * `bi` emits a pair iff `bi` is the pair's first agreeing band whose
     * bucket SURVIVED the df cap (`hotPacked` = sorted packed keys
     * bi<<16|value of the dropped buckets — bounded by 4n/cap entries by
@@ -1600,32 +1566,6 @@ object SketchExpressions {
 
   def sorted_pairs(ids: Column): Column =
     GraftBridge.column(SortedPairs(GraftBridge.expression(ids)))
-
-  /** Hamming-filtered posting-bucket pairs ([[SketchEval.hammingPairs]]). */
-  case class HammingPairs(first: Expression, second: Expression,
-      third: Expression, maxHamming: Int)
-      extends TernaryExpression with ImplicitCastInputTypes {
-    require(maxHamming >= 0, s"hamming_pairs: bad maxHamming $maxHamming")
-    override def nullIntolerant: Boolean = true
-    override def inputTypes: Seq[DataType] =
-      Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
-    override def dataType: DataType =
-      ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
-    override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
-      SketchEval.hammingPairs(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], maxHamming)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b, c) =>
-        s"$E.hammingPairs($a, $b, $c, $maxHamming)")
-    override protected def withNewChildrenInternal(a: Expression,
-        b: Expression, c: Expression) =
-      copy(first = a, second = b, third = c)
-  }
-
-  def hamming_pairs(ids: Column, his: Column, los: Column,
-      maxHamming: Int): Column =
-    GraftBridge.column(HammingPairs(GraftBridge.expression(ids),
-      GraftBridge.expression(his), GraftBridge.expression(los), maxHamming))
 
   /** Exactly-once ownership variant ([[SketchEval.hammingPairsOwned]]):
     * `bucketBand` is the posting row's band index, `hotPacked` the
