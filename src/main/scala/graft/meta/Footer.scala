@@ -87,13 +87,40 @@ object Footer {
   /** All parquet part-files under a path (single file or directory). */
   def partFiles(path: String, conf: Configuration = newConf()): Seq[Path] = {
     val p = new Path(path)
+    // local-FS fast path via NIO: without the native-hadoop library
+    // (this image, most dev machines) Hadoop's local listLocatedStatus
+    // loads per-file permissions through an `ls` SUBPROCESS — ~18 ms per
+    // file, which turned reading a 328-directory hive layout into a 6 s
+    // driver stall ON EVERY GeoTable.read. NIO walks the same tree in
+    // milliseconds; remote schemes keep the Hadoop listing.
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val base = java.nio.file.Paths.get(uri.getPath)
+      if (java.nio.file.Files.exists(base)) {
+        if (java.nio.file.Files.isRegularFile(base)) return Seq(p)
+        val out = Seq.newBuilder[Path]
+        val stream = java.nio.file.Files.walk(base)
+        try {
+          stream.forEach { f =>
+            val name = f.getFileName.toString
+            if (name.endsWith(".parquet") && !name.startsWith("_") &&
+                !name.startsWith(".") &&
+                java.nio.file.Files.isRegularFile(f))
+              out += new Path(f.toUri)
+          }
+        } finally stream.close()
+        // recursive: hive layouts nest parts under key=value directories
+        // (and basenames REUSE across them — callers must key per-file
+        // state by full path, never by basename)
+        return out.result().sortBy(_.toString)
+      }
+      // missing local path: fall through so the Hadoop FS raises the
+      // canonical FileNotFoundException callers already handle
+    }
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq(p)
     else {
-      // recursive: hive layouts nest parts under key=value directories
-      // (and basenames REUSE across them — callers must key per-file
-      // state by full path, never by basename)
       val out = Seq.newBuilder[Path]
       val it = fs.listFiles(p, true)
       while (it.hasNext) {

@@ -246,8 +246,11 @@ object GeoQueries {
       Some(s"""WITH pts AS (
           SELECT c_custkey, ${lonSql("c_custkey")} AS cx,
                  ${latSql("c_custkey")} AS cy
-          FROM customer)
-        SELECT c_custkey FROM pts
+          FROM customer),
+        staged AS (
+          SELECT * FROM pts
+          WHERE cx >= -180 AND cx <= 0 AND cy >= 30 AND cy <= 85)
+        SELECT c_custkey FROM staged
         WHERE cx >= -170 AND cx <= -20 AND cy >= 55 AND cy <= 78
         ORDER BY c_custkey"""))
   )
@@ -275,15 +278,24 @@ object GeoQueries {
   private val prunedH3Cache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
 
-  /** H3-partitioned twin of [[prunedDataset]] (q187). */
+  /** H3-partitioned twin of [[prunedDataset]] (q187). The staged corpus
+    * is the NORTHERN-HEMISPHERE-WEST slice of the customer points —
+    * worldwide points at H3 res 1 shatter 15k rows into ~330 one-file
+    * directories, a layout no sane writer produces (and whose listing,
+    * not the query, then dominates the measurement); the slice keeps
+    * ~40 res-1 cells with the box still pruning most of them.
+    */
   private def prunedH3Dataset(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     prunedH3Cache.computeIfAbsent((s, dir), { case (spark, d) =>
       val out = java.nio.file.Files
         .createTempDirectory("graft_q187").toString + "/h3"
       val pts = table(spark, d, "customer")
-        .withColumn("geometry", geo.st_point(
-          Coords.lon(col("c_custkey")), Coords.lat(col("c_custkey"))))
+        .withColumn("__cx", Coords.lon(col("c_custkey")))
+        .withColumn("__cy", Coords.lat(col("c_custkey")))
+        .where(col("__cx") >= -180 && col("__cx") <= 0 &&
+          col("__cy") >= 30 && col("__cy") <= 85)
+        .withColumn("geometry", geo.st_point(col("__cx"), col("__cy")))
         .select(col("c_custkey"), col("geometry"))
       graft.table.GeoTable.fromDataFrame(pts, "geometry")
         .partitionByH3(resolution = 1, out, force = true)
