@@ -17,6 +17,11 @@ import graft.table.GeoTable
 class SurfaceFuzzSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  // certification-run convention shared with CodecFuzzSpec: set
+  // GRAFT_FUZZ_ITERS for the long run (the 10k-case bar)
+  private val iters =
+    sys.env.get("GRAFT_FUZZ_ITERS").map(_.toInt).getOrElse(2000)
+
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_sfuzz_$name").toString
 
@@ -76,7 +81,7 @@ class SurfaceFuzzSpec extends AnyFunSuite {
       "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION", "EMPTY",
       "Z", "M", "ZM", "(", ")", ",", " ", "1", "-2.5", "1e3", ".5",
       "+0", "3.14159", "-1E-2", "\t", "\n")
-    (1 to 4000).foreach { i =>
+    (1 to 2 * iters).foreach { i =>
       val n = 1 + r.nextInt(24)
       val s = Seq.fill(n)(tokens(r.nextInt(tokens.length))).mkString(" ")
       val opt =
@@ -182,7 +187,7 @@ class SurfaceFuzzSpec extends AnyFunSuite {
       "--not-a-flag", "--bbox", "garbage", "--zoom", "-1", "--limit", "x")
     val paths = Array(s"$dir/t.parquet", s"$dir/in.csv", s"$dir/missing",
       s"$dir/out_${r.nextInt(1 << 20)}", "/dev/null", "")
-    (1 to 150).foreach { i =>
+    (1 to math.max(150, iters / 13)).foreach { i =>
       val argv = scala.collection.mutable.ArrayBuffer[String]()
       argv += commands(r.nextInt(commands.length))
       if (r.nextBoolean()) argv += subs(r.nextInt(subs.length))
