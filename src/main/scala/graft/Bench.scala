@@ -90,15 +90,24 @@ object Bench {
     }
   }
 
-  /** Spike-adjudication candidates: in-suite time >= minSec AND >= minRatio
-    * of the snapshot oracle. Oracle timeouts (-1) are excluded — Spark wins
-    * those by construction, so re-timing them solo would only burn window.
+  /** Spike-adjudication candidates: >= minRatio of the snapshot oracle
+    * AND either in-suite time >= minSec OR the oracle itself >= oracleFloor.
+    * The oracle floor closes the sub-second blind spot (round-14 verdict:
+    * q63 read 2.16x/2.52x in both windows but at ~0.9 s in-suite never
+    * qualified): when DuckDB did >= 0.2 s of real work, Spark's fixed job
+    * floor cannot explain a 2x gap — whereas the metadata-answer queries
+    * (oracle ~5 ms, ratio 40-75x at sub-0.5 s absolute) stay excluded,
+    * because there the ratio IS the job floor, not a plan defect.
+    * Oracle timeouts (-1) are excluded — Spark wins those by construction,
+    * so re-timing them solo would only burn window.
     */
   private[graft] def adjudicationCandidates(results: Seq[(String, Double)],
       oracle: Map[String, Double], minSec: Double = 1.0,
-      minRatio: Double = 2.0): Seq[(String, Double)] =
+      minRatio: Double = 2.0, oracleFloor: Double = 0.2): Seq[(String, Double)] =
     results.filter { case (k, v) =>
-      v >= minSec && oracle.get(k).exists(d => d >= 0 && v / math.max(d, 1e-9) >= minRatio)
+      oracle.get(k).exists(d => d >= 0 &&
+        (v >= minSec || d >= oracleFloor) &&
+        v / math.max(d, 1e-9) >= minRatio)
     }
 
   /** Post-adjudication weak set: still above the ratio bar at >= minSec
@@ -108,10 +117,14 @@ object Bench {
     */
   private[graft] def weakAfterAdjudication(
       adjudicated: Seq[(String, Double, Double, Double, Option[Double])],
-      minSec: Double = 1.0, maxRatio: Double = 2.0): Seq[String] =
+      minSec: Double = 1.0, maxRatio: Double = 2.0,
+      oracleFloor: Double = 0.2): Seq[String] =
     adjudicated.collect {
+      // same two-sided gate as candidate selection: a solo number under
+      // minSec still convicts when the oracle denominator is real work
       case (k, _, solo, d, sw)
-        if solo >= minSec && solo / math.max(sw.getOrElse(d), 1e-9) > maxRatio => k
+        if (solo >= minSec || sw.getOrElse(d) >= oracleFloor) &&
+          solo / math.max(sw.getOrElse(d), 1e-9) > maxRatio => k
     }
 
   /** How many per-query entries fit in the stdout line without blowing the

@@ -1592,6 +1592,21 @@ object SketchExpressions {
     override protected def withNewChildrenInternal(a: Expression,
         b: Expression, c: Expression, d: Expression) =
       copy(first = a, second = b, third = c, fourth = d)
+    // Array[Long] case-class equality is reference-based — without this,
+    // two semantically identical expressions never canonicalize equal,
+    // defeating subexpression reuse (and the census can be large, so
+    // compare contents, not identity)
+    override def equals(other: Any): Boolean = other match {
+      case o: HammingPairsOwned =>
+        first == o.first && second == o.second && third == o.third &&
+          fourth == o.fourth && maxHamming == o.maxHamming &&
+          java.util.Arrays.equals(hotPacked, o.hotPacked)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(first, second, third, fourth,
+        Integer.valueOf(maxHamming),
+        Integer.valueOf(java.util.Arrays.hashCode(hotPacked)))
   }
 
   def hamming_pairs_owned(ids: Column, his: Column, los: Column,

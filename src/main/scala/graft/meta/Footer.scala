@@ -99,7 +99,12 @@ object Footer {
       if (java.nio.file.Files.exists(base)) {
         if (java.nio.file.Files.isRegularFile(base)) return Seq(p)
         val out = Seq.newBuilder[Path]
-        val stream = java.nio.file.Files.walk(base)
+        // FOLLOW_LINKS: the Hadoop listing this replaces traverses
+        // symlinked partition directories (RawLocalFileSystem resolves
+        // through File.listFiles); walk's own loop detection bounds
+        // cycle risk
+        val stream = java.nio.file.Files.walk(base,
+          java.nio.file.FileVisitOption.FOLLOW_LINKS)
         try {
           stream.forEach { f =>
             val name = f.getFileName.toString

@@ -485,7 +485,11 @@ object Multimodal {
     val bands = sig
       .select(col(idCol).cast("long").as("__id"),
         col("ahash_hi").as("__hi"), col("ahash_lo").as("__lo"))
-      .where(col("__hi").isNotNull && col("__lo").isNotNull)
+      // null ids must drop WITH their hashes: CollectCapped skips nulls,
+      // so a null-id row would shorten __ids relative to __his/__los and
+      // trip the kernel's alignment require on an otherwise-valid bucket
+      .where(col("__id").isNotNull &&
+        col("__hi").isNotNull && col("__lo").isNotNull)
       .select(col("__id"), col("__hi"), col("__lo"),
         posexplode(array(
           (col("__lo") % 65536L),
@@ -1431,6 +1435,10 @@ object Multimodal {
     val posting = frameHashes
       .select(col(idCol).cast("long").as("__id"),
         col("frame_hi"), col("frame_lo"))
+      // drop null ids BEFORE counting __df: CollectCapped skips nulls,
+      // so null-id rows would inflate __df against a shorter retained
+      // posting list and evict real buckets at the cap boundary
+      .where(col("__id").isNotNull)
       .groupBy(col("frame_hi"), col("frame_lo"))
       .agg(graft.ops.CollectCapped.collectCapped(col("__id"), maxPostings)
           .as("__ids"),

@@ -45,7 +45,7 @@ object Pca {
 
   private val Micro = 1e6
 
-  private def halfAway(x: Double): Long =
+  private[graft] def halfAway(x: Double): Long =
     (if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)).toLong
 
   /** One-pass exact moment triangle: logical buffer = [n, s_0..s_{d-1},

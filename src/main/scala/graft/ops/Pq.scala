@@ -1,7 +1,15 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search") — the vector-compression scale path that
@@ -58,33 +66,138 @@ object Pq {
     val cb0: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
       init.map(v => v.slice(s * sub, (s + 1) * sub).map(_.toDouble)))
     // one refinement pass: assign with cb0 (codegen kernel), then exact
-    // fixed-point means per (subspace, code, dim) in ONE aggregation —
-    // the collect is the bounded m×k×sub model (4096 doubles at
-    // m=4,k=16,sub=16), the same driver-synchronization contract as
-    // KMeans.kmeans
-    val rows0 = df
-      .select(graft.functions.SketchExpressions
-          .pq_encode(col(vecCol), cb0).as("__codes"),
-        posexplode(col(vecCol)).as(Seq("__i", "__x")))
-      .select((col("__i") / sub).cast("int").as("__s"), col("__i"),
-        col("__x"),
-        element_at(col("__codes"), (col("__i") / sub).cast("int") + 1)
-          .as("__c"))
-      .groupBy(col("__s"), col("__c"), col("__i"))
-      .agg(sum(round(col("__x").cast("double") * KMeans.Scale).cast("long"))
-          .as("__sum"),
-        count(lit(1)).as("__n"))
-    val rows = graft.util.CollectCapped(rows0,
-      256L * KMeans.MaxDims, "PQ codebook partial sums (m x k x subDim)")
+    // fixed-point means per (subspace, code, dim) folded into ONE
+    // buffer-per-partition aggregate ([[PqMomentsAgg]]) — the collect is
+    // the bounded m×k×(sub+1) model (1,088 longs at m=4,k=16,sub=16),
+    // the same driver-synchronization contract as KMeans.kmeans.
+    // (Round-15: the previous shape posexploded every vector into `dims`
+    // rows before a (s,c,i)-keyed groupBy — the explode was ~70% of
+    // q63's wall time and all of its shuffle.)
+    val moments = graft.util.CollectCapped(
+      df.agg(GraftBridge.column(PqMomentsAgg(
+        GraftBridge.expression(graft.functions.SketchExpressions
+          .pq_encode(col(vecCol), cb0)),
+        GraftBridge.expression(col(vecCol).cast(
+          ArrayType(org.apache.spark.sql.types.FloatType))),
+        m, k, sub).toAggregateExpression()).as("__m")),
+      1L, "PQ codebook moments (m x k x (sub+1) longs)")(0)
+      .getSeq[Long](0).toArray
     // empty codes keep their init entry (mirrored by the oracle's
     // COALESCE over a LEFT JOIN from the init table)
     val cb1 = cb0.map(_.map(_.clone()))
-    rows.foreach { r =>
-      val s = r.getInt(0); val c = r.getInt(1); val i = r.getInt(2)
-      cb1(s)(c)(i - s * sub) =
-        r.getLong(3).toDouble / (r.getLong(4) * KMeans.Scale)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val n = moments(m * k * sub + s * k + c)
+        if (n > 0L) {
+          var j = 0
+          while (j < sub) {
+            cb1(s)(c)(j) =
+              moments((s * k + c) * sub + j).toDouble / (n * KMeans.Scale)
+            j += 1
+          }
+        }
+        c += 1
+      }
+      s += 1
     }
     cb1
+  }
+
+  /** One-pass Lloyd-update moments for all m subspaces: buffer layout is
+    * m·k·sub fixed-point coordinate sums followed by m·k assignment
+    * counts. Each partition folds its vectors into ONE local buffer;
+    * partials merge by elementwise addition (the [[Pca.CovMomentsAgg]] /
+    * LogReg.GradArrayAgg shape), so only numPartitions ~9 KB buffers
+    * cross the wire — no explode, no key shuffle, corpus-size-free.
+    *
+    * Fixed-point contract: each coordinate contributes
+    * halfAway(x·[[KMeans.Scale]]) — identical to the previous
+    * `round(x·Scale)` SQL form (and DuckDB's round) for all
+    * |x·Scale| < 2^51, where every decimal half-boundary is exactly
+    * representable, so codebooks stay bit-for-bit reproducible by the
+    * oracle. Long sums overflow only past ~9e12 unit-norm rows per
+    * (subspace, code) — no realistic ceiling.
+    */
+  case class PqMomentsAgg(
+      codes: Expression,
+      vec: Expression,
+      m: Int,
+      k: Int,
+      sub: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+
+    override def left: Expression = codes
+    override def right: Expression = vec
+
+    private val sumsLen = m * k * sub
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](sumsLen + m * k)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val cv = codes.eval(input)
+      val vv = vec.eval(input)
+      if (cv != null && vv != null) {
+        val ca = cv.asInstanceOf[ArrayData]
+        val va = vv.asInstanceOf[ArrayData]
+        require(ca.numElements() == m && va.numElements() == m * sub,
+          s"pq_moments: expected $m codes over ${m * sub} dims, got " +
+            s"${ca.numElements()}/${va.numElements()}")
+        var s = 0
+        while (s < m) {
+          val c = ca.getInt(s)
+          val base = (s * k + c) * sub
+          val voff = s * sub
+          var j = 0
+          while (j < sub) {
+            buf(base + j) +=
+              Pca.halfAway(va.getFloat(voff + j).toDouble * KMeans.Scale)
+            j += 1
+          }
+          buf(sumsLen + s * k + c) += 1L
+          s += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * buf.length)
+      var i = 0
+      while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(storage: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(storage)
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def withNewMutableAggBufferOffset(o: Int): ImperativeAggregate =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ImperativeAggregate =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqMomentsAgg =
+      copy(codes = newLeft, vec = newRight)
+    override def prettyName: String = "pq_moments"
   }
 
   /** Per-query ADC lookup tables against trained codebooks:

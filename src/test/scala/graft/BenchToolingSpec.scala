@@ -71,8 +71,24 @@ class BenchToolingSpec extends AnyFunSuite {
       "slow_fastoracle" -> 1.0, "slow_timeout" -> -1.0, "borderline" -> 0.5)
     val cands = Bench.adjudicationCandidates(results, oracle).map(_._1)
     assert(cands == Seq("slow_2x", "borderline"),
-      "sub-1s and oracle-timeout queries must never enter adjudication; " +
-        s"got $cands")
+      "sub-1s-with-trivial-oracle and oracle-timeout queries must never " +
+        s"enter adjudication; got $cands")
+  }
+
+  test("adjudicationCandidates: oracle floor closes the sub-second blind spot") {
+    // the round-14 q63 shape: 0.9 s in-suite vs a 0.39 s oracle = 2.3x —
+    // under the old >=1s-only gate this never adjudicated; with the
+    // oracle >= 0.2 s floor it must
+    val results = Seq("q63_shape" -> 0.9, "job_floor" -> 0.45,
+      "real_but_ok" -> 0.35)
+    val oracle = Map("q63_shape" -> 0.39,
+      // 75x ratio but the oracle answered from metadata — the Spark job
+      // floor explains the whole gap, must stay excluded
+      "job_floor" -> 0.006,
+      // oracle did real work but Spark is under 2x — excluded
+      "real_but_ok" -> 0.30)
+    val cands = Bench.adjudicationCandidates(results, oracle).map(_._1)
+    assert(cands == Seq("q63_shape"), s"got $cands")
   }
 
   test("weakAfterAdjudication prefers the same-window oracle denominator") {
@@ -80,10 +96,14 @@ class BenchToolingSpec extends AnyFunSuite {
     val cleared = ("q_win", 3.0, 1.5, 0.5, Some(1.0))
     // solo 1.5 s vs snapshot 0.5 s = 3x, no same-window obtained -> weak
     val stillWeak = ("q_weak", 3.0, 1.5, 0.5, None)
-    // solo dropped under 1 s -> never weak regardless of ratio
+    // solo dropped under 1 s AND the oracle is trivial -> never weak
     val fastNow = ("q_fast", 3.0, 0.4, 0.1, None)
-    assert(Bench.weakAfterAdjudication(Seq(cleared, stillWeak, fastNow))
-      == Seq("q_weak"))
+    // sub-second solo but the oracle denominator is real work (>=0.2 s)
+    // at >2x -> weak (the same two-sided gate as candidate selection)
+    val subSecReal = ("q_subsec", 1.2, 0.9, 0.39, None)
+    assert(Bench.weakAfterAdjudication(
+      Seq(cleared, stillWeak, fastNow, subSecReal))
+      == Seq("q_weak", "q_subsec"))
   }
 
   // ---- stdout truncation: the driver tail-capture contract --------------
