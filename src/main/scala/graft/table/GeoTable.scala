@@ -173,20 +173,14 @@ final case class GeoTable(
   def filterIntersectsGeoJson(json: String): GeoTable =
     copy(df = df.filter(geo.st_intersects(col(geomCol), geo.geojson_lit(json))))
 
-  /** Raw SQL WHERE passthrough with the reference's keyword blocklist
-    * (`core/extract.py:49-101`).
+  /** Raw SQL WHERE passthrough gated by [[WhereGate]]: the reference's
+    * keyword refusal (`core/extract.py:49-101`) as a parity pre-check,
+    * then an expression-AST allowlist — unknown node classes and
+    * non-allowlisted functions (reflect/java_method and whatever escape
+    * hatch ships next) are rejected by default instead of per-regex.
     */
   def filterWhere(where: String): GeoTable = {
-    // the reference's DDL/DML keywords, plus the Spark-specific escape
-    // hatches an EXPRESSION can reach: reflect/java_method call
-    // arbitrary static JVM methods from inside a WHERE string (exfil a
-    // `getenv` into a comparison, or worse) — the expression parser
-    // accepts them even though nothing DDL-shaped parses
-    val banned = Seq("drop", "delete", "insert", "update", "alter", "create",
-      "attach", "copy", "pragma", "reflect", "java_method")
-    val lower = where.toLowerCase
-    require(!banned.exists(k => lower.matches(s"(?s).*\\b$k\\b.*")),
-      s"disallowed keyword in WHERE: $where")
+    WhereGate.validate(df.sparkSession, where)
     copy(df = df.filter(expr(where)))
   }
 

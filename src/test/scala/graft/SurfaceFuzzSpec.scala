@@ -142,6 +142,62 @@ class SurfaceFuzzSpec extends AnyFunSuite {
       .count() == 10)
   }
 
+  test("filterWhere: AST allowlist rejects parseable escape hatches the " +
+      "keyword regex can never enumerate") {
+    val dir = tmp("where_ast")
+    val df = spark.range(10).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id")))
+      .withColumn("geometry", graft.functions.geo.st_point(col("id") * 1.0,
+        col("id") * 1.0))
+    GeoTable.fromDataFrame(df, "geometry").write(s"$dir/t.parquet")
+    val t = GeoTable.read(spark, s"$dir/t.parquet")
+
+    // every one of these parses as a valid Spark expression and contains
+    // NO blocklisted keyword — only the AST gate stands between them and
+    // execution
+    val astBlocked = Seq(
+      // JVM reflection (the round-14 regex additions, now structural)
+      "reflect('java.lang.System','getenv','PATH') = ''",
+      "java_method('java.lang.Runtime','getRuntime') is not null",
+      // error-raising / assertion escape hatches
+      "assert_true(id > 0) is null",
+      "raise_error('x') is null",
+      // session/environment probes
+      "current_user() = 'root'",
+      "input_file_name() != ''",
+      "session_user() = 'root'",
+      "version() != ''",
+      // nondeterminism (harmless but outside the allowlist by design)
+      "rand() > 0.5",
+      "uuid() != ''",
+      // higher-order functions (lambda machinery)
+      "exists(array(1,2), x -> x > 1)",
+      "aggregate(array(1,2), 0, (a, x) -> a + x) > 0",
+      // subqueries
+      "id IN (SELECT 1)",
+      // aggregate-with-FILTER syntax
+      "count(id) FILTER (WHERE id > 0) > 0",
+      // multi-part (qualified) function names bypass single-name matching
+      "builtin.concat('a','b') = 'ab'")
+    astBlocked.foreach { w =>
+      val e = intercept[IllegalArgumentException](t.filterWhere(w))
+      assert(e.getMessage.contains("disallowed expression"),
+        s"expected AST refusal for: $w, got: ${e.getMessage}")
+    }
+
+    // the allowlist is not a lockdown: realistic predicate shapes pass,
+    // including the session-registered spatial surface
+    assert(t.filterWhere("coalesce(length(name), 0) BETWEEN 1 AND 10 " +
+      "AND id % 2 = 0").count() == 5)
+    assert(t.filterWhere(
+      "CASE WHEN id < 5 THEN 'lo' ELSE 'hi' END = 'lo'").count() == 5)
+    assert(t.filterWhere("cast(id AS STRING) RLIKE '^[0-4]$'").count() == 5)
+    assert(t.filterWhere("st_x(geometry) >= 6.0").count() == 4)
+    assert(t.filterWhere("name IN ('n1','n2') OR id IS NULL").count() == 2)
+    assert(t.filterWhere("abs(id - 9) <= 1 AND NOT isnull(name)")
+      .count() == 2)
+  }
+
   test("filterWhere: string literals containing keywords are data when " +
       "split, blocked when whole (conservative, documented)") {
     val dir = tmp("where2")
