@@ -97,7 +97,7 @@ object Checks {
     */
   def checkBboxStructure(path: String): String = {
     val conf = Footer.newConf()
-    val info = Footer.partFiles(path, conf).headOption.map(p => Footer.read(p, conf))
+    val info = Footer.firstPartFile(path, conf).map(p => Footer.read(p, conf))
     val hasBboxCol = info.exists(_.schemaFields.exists(
       GeoMeta.BboxNameCandidates.contains))
     val hasCovering = info.flatMap(_.geo).flatMap(_.primary)

@@ -1232,7 +1232,7 @@ object Main {
         // raw `geo` footer JSON (reference `inspect meta`); --stats adds
         // the per-column min/max/null profile
         val p = rest.head
-        graft.meta.Footer.partFiles(p).headOption
+        graft.meta.Footer.firstPartFile(p)
           .flatMap(f => graft.meta.Footer.read(f).geo) match {
           case Some(g) => println(graft.meta.GeoMeta.toJson(g))
           case None => println("{}")

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, QuaternaryExpression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, TernaryExpression, QuaternaryExpression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -1566,6 +1568,70 @@ object SketchExpressions {
 
   def sorted_pairs(ids: Column): Column =
     GraftBridge.column(SortedPairs(GraftBridge.expression(ids)))
+
+  /** Streaming generator form of [[SortedPairs]]: same value-ordered
+    * incl-self-pairs triangle, emitted one row at a time. The array form
+    * materializes all n(n+1)/2 pairs as boxed GenericArrayData BEFORE
+    * explode — at maxDf 10⁴ that is a ~50M-element transient per hot
+    * bucket (round-15 RecallCurve found the executor OOM), even though
+    * the df-cap bounds the EMITTED row count just fine. This generator
+    * keeps per-bucket state at the sorted long[] only; the cap² cost is
+    * paid in streamed rows the downstream aggregate consumes, never in
+    * one allocation. CodegenFallback is deliberate: Spark only codegens
+    * its built-in explode family, and the consumers (pair-count hash
+    * aggregates) dominate the profile, not the generate boundary.
+    */
+  case class SortedPairsGen(child: Expression)
+      extends UnaryExpression with Generator with CodegenFallback {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_pairs_gen needs array<bigint>, got ${child.dataType}")
+    override def elementSchema: StructType = new StructType()
+      .add("id_a", LongType, nullable = false)
+      .add("id_b", LongType, nullable = false)
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) Iterator.empty
+      else {
+        val ad = v.asInstanceOf[ArrayData]
+        val n = ad.numElements()
+        val a = new Array[Long](n)
+        var idx = 0
+        while (idx < n) {
+          // an unchecked getLong on a null slot fabricates a 0 (Unsafe)
+          // or NPEs (Generic) — both corrupt co-occurrence counts
+          if (ad.isNullAt(idx))
+            throw new IllegalArgumentException(
+              "sorted_pairs_gen: null element in the id array")
+          a(idx) = ad.getLong(idx); idx += 1
+        }
+        java.util.Arrays.sort(a)
+        new Iterator[InternalRow] {
+          private var i = 0
+          private var j = 0
+          override def hasNext: Boolean = i < n
+          override def next(): InternalRow = {
+            // fresh row per pair (the built-in generators' contract —
+            // downstream operators may buffer references)
+            val r = new GenericInternalRow(Array[Any](a(i), a(j)))
+            j += 1
+            if (j == n) { i += 1; j = i }
+            r
+          }
+        }
+      }
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def sorted_pairs_gen(ids: Column): Column =
+    GraftBridge.column(SortedPairsGen(GraftBridge.expression(ids)))
 
   /** Exactly-once ownership variant ([[SketchEval.hammingPairsOwned]]):
     * `bucketBand` is the posting row's band index, `hotPacked` the

@@ -139,6 +139,67 @@ object Footer {
     }
   }
 
+  private def isPartFileName(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
+  /** First part file in sorted-descent order, WITHOUT listing the whole
+    * tree: read-planning consumers (`GeoTable.read`, inspect heads) only
+    * need ONE footer for geo metadata + the `graft:partitioning` key —
+    * walking a 100k-directory hive layout to take `.headOption` pays
+    * O(files) twice (Spark's own FileIndex already lists once). This
+    * descends directories in name-sorted order and stops at the first
+    * match, so planning cost is O(depth × fanout-at-each-level), not
+    * O(files). All part files of one dataset carry the same graft
+    * footer, so ANY part is equivalent; sorted descent keeps the pick
+    * deterministic (it matches `partFiles(...).headOption` except in
+    * pathological names where '.' and '/' sort across a directory
+    * boundary).
+    */
+  def firstPartFile(path: String, conf: Configuration = newConf()): Option[Path] = {
+    val p = new Path(path)
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val base = java.nio.file.Paths.get(uri.getPath)
+      if (java.nio.file.Files.exists(base)) {
+        if (java.nio.file.Files.isRegularFile(base)) return Some(p)
+        def descend(d: java.nio.file.Path): Option[Path] = {
+          val entries = {
+            val s = java.nio.file.Files.list(d)
+            try s.iterator().asScala.toArray.sortBy(_.getFileName.toString)
+            finally s.close()
+          }
+          entries.iterator.flatMap { e =>
+            // FOLLOW_LINKS parity with the partFiles walk: isDirectory/
+            // isRegularFile resolve symlinks by default
+            if (java.nio.file.Files.isDirectory(e)) descend(e)
+            else if (isPartFileName(e.getFileName.toString) &&
+                java.nio.file.Files.isRegularFile(e)) Some(new Path(e.toUri))
+            else None
+          }.nextOption()
+        }
+        return descend(base)
+      }
+      return None
+    }
+    val fs = p.getFileSystem(conf)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    if (st.isFile) Some(p)
+    else {
+      def descend(d: Path): Option[Path] = {
+        val entries = fs.listStatus(d).sortBy(_.getPath.getName)
+        entries.iterator.flatMap { s =>
+          if (s.isDirectory) descend(s.getPath)
+          else if (s.isFile && isPartFileName(s.getPath.getName))
+            Some(s.getPath)
+          else None
+        }.nextOption()
+      }
+      descend(p)
+    }
+  }
+
   def read(path: Path, conf: Configuration = newConf()): FooterInfo = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try {
@@ -412,7 +473,7 @@ object Footer {
       perFileBboxCol: Option[String] = None,
       conf: Configuration = newConf(),
       extra: Map[String, String] = Map.empty): Unit = {
-    partFiles(path, conf).foreach { p =>
+    def one(p: Path): Unit = {
       val m = perFileBboxCol match {
         case Some(bcol) =>
           val bb = bboxFromStats(p.toString, bcol, conf)
@@ -423,6 +484,25 @@ object Footer {
       }
       withKeyValueMetadata(p,
         extra + (GeoMeta.FooterKey -> GeoMeta.toJson(m)), conf)
+    }
+    val files = partFiles(path, conf)
+    // per-file rewrites are independent (each is a read-footer +
+    // byte-copy + rename of its OWN file) and the loop is the write
+    // path's scale bottleneck: serial, it cost ~59 ms/file — a
+    // 30k-partition H3 layout stalled ~30 min in the footer pass alone
+    // (round-15 DirScale). A bounded pool turns that into wall/32;
+    // failures propagate via Future.get so the contract stays loud.
+    val par = math.min(32, Runtime.getRuntime.availableProcessors)
+    if (files.sizeIs <= 1 || par <= 1) files.foreach(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        files.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = one(p)
+          })
+        }.foreach(_.get())
+      } finally pool.shutdownNow()
     }
   }
 }

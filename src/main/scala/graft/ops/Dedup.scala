@@ -242,9 +242,8 @@ object Dedup {
     // aggregation as the common-gram counts (no separate sizes pass, no
     // kg self-join). Catalyst reuses the one shuffle for both readers.
     val counts = posting.select(
-        explode(graft.functions.SketchExpressions.sorted_pairs(col("__ids")))
-          .as("__p"))
-      .select(col("__p").getItem(0).as("id_a"), col("__p").getItem(1).as("id_b"))
+        graft.functions.SketchExpressions.sorted_pairs_gen(col("__ids"))
+          .as(Seq("id_a", "id_b")))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__c"))
     val sizes = counts.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("__id"), col("__c").as("__sz"))

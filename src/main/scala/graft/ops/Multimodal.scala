@@ -1445,10 +1445,8 @@ object Multimodal {
         count(lit(1)).as("__df"))
       .filter(col("__df") <= maxPostings)
     posting
-      .select(explode(graft.functions.SketchExpressions
-        .sorted_pairs(col("__ids"))).as("__p"))
-      .select(col("__p").getItem(0).as("id_a"),
-        col("__p").getItem(1).as("id_b"))
+      .select(graft.functions.SketchExpressions
+        .sorted_pairs_gen(col("__ids")).as(Seq("id_a", "id_b")))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_frames"))

@@ -1145,7 +1145,10 @@ object GeoTable {
   def read(spark: SparkSession, path: String,
       mergeSchema: Boolean = false): GeoTable = {
     val df0 = spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
-    val firstInfo = Footer.partFiles(path).headOption.map(p => Footer.read(p))
+    // firstPartFile, not partFiles().headOption: one footer is enough for
+    // geo metadata + graft:partitioning, and the early-exit descent keeps
+    // read planning O(depth), not O(files), on wide hive layouts
+    val firstInfo = Footer.firstPartFile(path).map(p => Footer.read(p))
     val geoMeta = firstInfo.flatMap(_.geo)
     val partitioning = firstInfo
       .flatMap(_.keyValueMeta.get(graft.meta.SpatialPartitioning.FooterKey))

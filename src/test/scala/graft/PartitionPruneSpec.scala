@@ -207,6 +207,55 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(sec < 30.0, f"covering planning took $sec%.1f s — not interactive")
   }
 
+  test("h3 covering planning budget: res 13-15 random boxes stay within " +
+      "a hard per-call time and cell-count bound; oversize boxes refuse " +
+      "fast instead of enumerating the child tree") {
+    // round-15 verdict item 5: cellChildren refinement is exponential in
+    // res-delta IF the ancestor pick ever regresses — this pins the
+    // planning cost itself, not just covering correctness. Budget: the
+    // refinement loop is structurally bounded by headroom (4*MaxKeys)
+    // cells per level * <=15 levels of ~us-scale cell math, so 2 s per
+    // call is generous even on a loaded CI machine; a regression to
+    // 7^(res-p) enumeration blows it by orders of magnitude.
+    val rnd = new scala.util.Random(20260817L)
+    for (i <- 1 to 30) {
+      val res = 13 + rnd.nextInt(3)
+      val cy = rnd.nextDouble() * 178 - 89
+      val cx = if (i % 6 == 0) (if (rnd.nextBoolean()) 179.5 else -179.5)
+        else rnd.nextDouble() * 360 - 180
+      // 1e-5..1 deg half-widths: spans one-cell boxes (direct sampling),
+      // the hierarchical regime, AND boxes far beyond MaxKeys cells
+      // whose refusal path must also be fast
+      val w = math.pow(10.0, -5.0 + rnd.nextDouble() * 5)
+      val (x0, y0) = (math.max(-180, cx - w), math.max(-90, cy - w))
+      val (x1, y1) = (math.min(180, cx + w), math.min(90, cy + w))
+      val t0 = System.nanoTime()
+      val cov = SpatialPartitioning.h3Covering(res, x0, y0, x1, y1)
+      val ms = (System.nanoTime() - t0) / 1e6
+      cov.foreach { c =>
+        assert(c.size <= SpatialPartitioning.MaxKeys,
+          s"res=$res box=($x0,$y0,$x1,$y1): ${c.size} keys > MaxKeys")
+        assert(c.size == c.toSet.size, "duplicate keys in covering")
+      }
+      assert(ms < 2000,
+        f"res=$res box=($x0%.5f,$y0%.5f,$x1%.5f,$y1%.5f) " +
+          f"${if (cov.isDefined) "covering" else "refusal"} took $ms%.0f ms")
+    }
+    // adversarial oversize: a continent-scale box at res 15 would be
+    // ~10^13 cells — the headroom bail must refuse in bounded time,
+    // never descend the full child tree
+    val t0 = System.nanoTime()
+    val big = SpatialPartitioning.h3Covering(15, -50.0, -30.0, 50.0, 30.0)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(big.isEmpty, "continent-scale res-15 covering must refuse")
+    assert(ms < 2000, f"oversize refusal took $ms%.0f ms — not a bail")
+    // pole-cap at max res: same bound through the polar seeding path
+    val t1 = System.nanoTime()
+    SpatialPartitioning.h3Covering(15, -180.0, 89.999, 180.0, 90.0)
+    val ms2 = (System.nanoTime() - t1) / 1e6
+    assert(ms2 < 2000, f"polar res-15 call took $ms2%.0f ms")
+  }
+
   test("h3 cellChildren: digit-tree completeness — every cell is among " +
       "its truncation parent's children; pentagons have 6") {
     val rnd = new scala.util.Random(7L)
