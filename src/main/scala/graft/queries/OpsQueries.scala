@@ -465,7 +465,13 @@ object OpsQueries {
         import s.implicits._
         val media = Multimodal.withSyntheticGif(
           table(s, dir, "documents").select($"doc_id"), "doc_id")
+        // checkpoint the NARROW stats rows before the range sort: the
+        // global orderBy's boundary-sampling pass would otherwise
+        // re-execute the whole encode+decode chain (measured: the sort
+        // doubled q181's wall time). The checkpoint holds 4 longs/frame
+        // — container bytes never materialize.
         Multimodal.sampleGifFrameStats(media, "payload", "doc_id", everyN = 2)
+          .localCheckpoint(false)
           .orderBy($"doc_id", $"frame_idx")
       },
       Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
