@@ -439,6 +439,90 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_pairs_gen streams the exact eager triangle: equivalence " +
+      "on random lists, null-id refusal, null/empty inputs") {
+    import graft.functions.SketchExpressions
+    val rnd = new scala.util.Random(15L)
+    // property: generator rows == eager array rows, order included
+    // (both emit the value-sorted incl-self-pairs triangle)
+    for (_ <- 1 to 50) {
+      val n = rnd.nextInt(12)
+      val ids = Seq.fill(n)(rnd.nextLong() % 100)
+      val df = Seq(Tuple1(ids)).toDF("ids")
+      val eager = df
+        .select(explode(SketchExpressions.sorted_pairs($"ids")).as("p"))
+        .select($"p".getItem(0), $"p".getItem(1))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val gen = df
+        .select(SketchExpressions.sorted_pairs_gen($"ids").as(Seq("a", "b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gen == eager, s"ids=$ids")
+      assert(gen.size == n * (n + 1) / 2)
+    }
+    // a null ROW produces no pairs (generator null contract)
+    assert(Seq(Tuple1(null: Seq[Long])).toDF("ids")
+      .select(SketchExpressions.sorted_pairs_gen($"ids").as(Seq("a", "b")))
+      .count() == 0)
+    // a null ELEMENT fails loudly, never fabricates a 0-id pair
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq[Option[Long]](Some(1L), None))).toDF("ids")
+        .select(SketchExpressions.sorted_pairs_gen($"ids").as(Seq("a", "b")))
+        .collect()
+    }
+    def rootOf(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootOf(t.getCause)
+    assert(rootOf(ex).getMessage.contains("null element"))
+  }
+
+  test("pq moments aggregate runs map-side partial (no row explode in " +
+      "the plan) and matches the explode+groupBy formulation") {
+    import graft.functions.SketchExpressions
+    val rnd = new scala.util.Random(63L)
+    val (m, k, dims) = (4, 4, 16)
+    val sub = dims / m
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val cb = graft.ops.Pq.trainCodebooks(df, "embedding", "vec_id", m, k, dims)
+    assert(cb.length == m && cb.forall(_.length == k) &&
+      cb.forall(_.forall(_.length == sub)))
+    // reference formulation: explode per dim, round(x*Scale) sums — the
+    // pre-round-15 shape, kept here as the oracle for the fused aggregate
+    val enc = df.select(
+      SketchExpressions.pq_encode($"embedding",
+        Array.tabulate(m)(s => graft.ops.Ann
+          .ivfCentroids(df, "embedding", "vec_id", k)
+          .map(v => v.slice(s * sub, (s + 1) * sub).map(_.toDouble))))
+        .as("codes"),
+      posexplode($"embedding").as(Seq("i", "x")))
+      .select(($"i" / sub).cast("int").as("s"), $"i", $"x",
+        element_at($"codes", ($"i" / sub).cast("int") + 1).as("c"))
+      .groupBy($"s", $"c", $"i")
+      .agg(sum(round($"x".cast("double") * graft.ops.KMeans.Scale)
+        .cast("long")).as("sum"), count(lit(1)).as("n"))
+      .collect()
+    enc.foreach { r =>
+      val s = r.getInt(0); val c = r.getInt(1); val i = r.getInt(2)
+      val expect = r.getLong(3).toDouble / (r.getLong(4) * graft.ops.KMeans.Scale)
+      assert(math.abs(cb(s)(c)(i - s * sub) - expect) < 1e-12,
+        s"s=$s c=$c i=$i: ${cb(s)(c)(i - s * sub)} != $expect")
+    }
+    // plan: the refinement must be ONE partial+final aggregate over the
+    // scan — no Generate (posexplode) node, no key exchange beyond the
+    // single-group final
+    val agg = df.agg(org.apache.spark.sql.GraftBridge.column(
+      graft.ops.Pq.PqMomentsAgg(
+        org.apache.spark.sql.GraftBridge.expression(
+          SketchExpressions.pq_encode($"embedding", cb)),
+        org.apache.spark.sql.GraftBridge.expression($"embedding"),
+        m, k, sub).toAggregateExpression()).as("mo"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.toLowerCase.contains("partial_pq_moments") ||
+      plan.contains("partial_pqmoments") || plan.contains("partial"),
+      s"expected a partial aggregation stage:\n$plan")
+  }
+
   test("kernel misuse fails loudly: bad params, null elements, wrong types") {
     import graft.functions.SketchExpressions
     // k/window validation at expression construction

@@ -198,6 +198,61 @@ class SurfaceFuzzSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("filterWhere AST gate fuzz: assembled allowed-grammar predicates " +
+      "always pass; the same predicate with ONE forbidden call injected " +
+      "anywhere always refuses") {
+    val rnd = new scala.util.Random(20260816L)
+    val spark2 = spark
+    import graft.table.WhereGate
+    val cols = Seq("id", "name", "price")
+    val lits = Seq("1", "2.5", "'abc'", "NULL", "true")
+    val fns1 = Seq("abs", "lower", "length", "sqrt", "reverse")
+    val fns2 = Seq("pow", "nullif", "concat", "coalesce", "least")
+    val cmps = Seq("=", "<", ">", "<=", ">=", "!=")
+    // leaf → scalar → predicate grammar, all inside the allowlist
+    def scalar(depth: Int): String =
+      if (depth <= 0) (if (rnd.nextBoolean()) cols(rnd.nextInt(cols.size))
+        else lits(rnd.nextInt(lits.size)))
+      else rnd.nextInt(4) match {
+        case 0 => s"${fns1(rnd.nextInt(fns1.size))}(${scalar(depth - 1)})"
+        case 1 => s"${fns2(rnd.nextInt(fns2.size))}(${scalar(depth - 1)}, " +
+          s"${scalar(depth - 1)})"
+        case 2 => s"(${scalar(depth - 1)} + ${scalar(depth - 1)})"
+        case _ => s"CASE WHEN ${pred(0)} THEN ${scalar(depth - 1)} " +
+          s"ELSE ${scalar(depth - 1)} END"
+      }
+    def pred(depth: Int): String =
+      if (depth <= 0)
+        s"${scalar(1)} ${cmps(rnd.nextInt(cmps.size))} ${scalar(1)}"
+      else rnd.nextInt(4) match {
+        case 0 => s"(${pred(depth - 1)} AND ${pred(depth - 1)})"
+        case 1 => s"(${pred(depth - 1)} OR ${pred(depth - 1)})"
+        case 2 => s"NOT (${pred(depth - 1)})"
+        case _ => s"${scalar(1)} IS NOT NULL"
+      }
+    val forbidden = Seq("reflect('a','b')", "java_method('a','b')",
+      "raise_error('x')", "current_user()", "uuid()", "rand()",
+      "input_file_name()", "assert_true(true)")
+    var passed = 0
+    var refused = 0
+    for (_ <- 1 to math.max(200, iters / 10)) {
+      val w = pred(2 + rnd.nextInt(2))
+      // allowed grammar must validate (no false positives from the AST
+      // walk itself; the keyword pre-check can't fire — grammar emits no
+      // keywords)
+      WhereGate.validate(spark2, w)
+      passed += 1
+      // inject one forbidden call as a comparison operand somewhere
+      val f = forbidden(rnd.nextInt(forbidden.size))
+      val poisoned = s"($w) AND $f IS NOT NULL"
+      val e = intercept[IllegalArgumentException](
+        WhereGate.validate(spark2, poisoned))
+      assert(e.getMessage.contains("disallowed expression"), e.getMessage)
+      refused += 1
+    }
+    assert(passed == refused && passed >= 200)
+  }
+
   test("filterWhere: string literals containing keywords are data when " +
       "split, blocked when whole (conservative, documented)") {
     val dir = tmp("where2")
