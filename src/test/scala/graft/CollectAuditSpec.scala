@@ -54,6 +54,31 @@ class CollectAuditSpec extends AnyFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("no eager sorted_pairs on execution paths — pair expansion must " +
+      "stream through sorted_pairs_gen") {
+    // round-15: explode(sorted_pairs(...)) materializes the full
+    // O(cap^2) boxed triangle per bucket before the Generate consumes it
+    // (found as an executor OOM at cap 10^4). Exec paths must use the
+    // streaming generator; the eager array form stays ONLY as the
+    // registered SQL function (functions/text.scala) and the kernel the
+    // generator's spec checks equivalence against.
+    val allowed = Set("functions/SketchExpressions.scala",
+      "functions/text.scala",
+      // the A/B profiler's clearly-labeled eager comparison arm (the
+      // HotBand verbatim-legacy pattern) — not an exec path
+      "tools/ProfPairsGen.scala")
+    val offenders = for {
+      f <- scalaFiles
+      if !allowed.exists(s => f.toString.endsWith(s))
+      (line, i) <- Files.readAllLines(f).asScala.zipWithIndex
+      if !isComment(line)
+      if line.contains("sorted_pairs(") && !line.contains("sorted_pairs_gen(")
+    } yield s"$f:${i + 1}: ${line.trim}"
+    assert(offenders.isEmpty,
+      "eager sorted_pairs on an exec path — use sorted_pairs_gen:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("the helper holds exactly one sanctioned collect and enforces its bound") {
     val codeLines = Files.readAllLines(helper).asScala.filterNot(isComment)
     assert(codeLines.map(l => raw.count(l.contains)).sum == 1,
