@@ -1669,10 +1669,12 @@ object SketchExpressions {
           java.util.Arrays.equals(hotPacked, o.hotPacked)
       case _ => false
     }
+    // cached: planning calls hashCode repeatedly (canonicalization,
+    // plan-node maps) and the census can be large at high doc counts
+    private lazy val hotHash = java.util.Arrays.hashCode(hotPacked)
     override def hashCode(): Int =
       java.util.Objects.hash(first, second, third, fourth,
-        Integer.valueOf(maxHamming),
-        Integer.valueOf(java.util.Arrays.hashCode(hotPacked)))
+        Integer.valueOf(maxHamming), Integer.valueOf(hotHash))
   }
 
   def hamming_pairs_owned(ids: Column, his: Column, los: Column,
