@@ -46,7 +46,7 @@ object Bench {
     * capped — callers fall back to the snapshot time.
     */
   private[graft] def timeOracleSameWindow(sfDir: String, sql: String,
-      threads: Int = 32): Option[Double] = {
+      threads: Int = 32, reps: Int = 2): Option[Double] = {
     def once(): Option[Double] =
       try {
         val pb = new ProcessBuilder("python3", "-c", oracleWorkerPy,
@@ -66,7 +66,7 @@ object Bench {
             .findFirstMatchIn(out).map(_.group(1).toDouble)
         }
       } catch { case _: Throwable => None }
-    val ts = (1 to 2).flatMap(_ => once())
+    val ts = (1 to reps).flatMap(_ => once())
     ts.minOption
   }
 
@@ -316,7 +316,13 @@ object Bench {
           // wall time must never become the adjudicated number (a fast
           // crash would clear a genuinely weak query). All-failures falls
           // back to the in-suite time — the conservative verdict.
-          val solo = (1 to 5).flatMap { _ =>
+          // both sides of a sub-second ratio are min-statistics with high
+          // relative variance (one 50 ms scheduling blip is 10% of the
+          // reading): give sub-second candidates more reps on BOTH the
+          // solo side and the same-window oracle side, so the verdict
+          // converges to the true floors instead of the window's noise
+          val reps = if (inSuite < 1.0) 9 else 5
+          val solo = (1 to reps).flatMap { _ =>
             val t0 = System.nanoTime()
             val ok =
               try { force(fn(spark, sfDir)); true }
@@ -335,7 +341,8 @@ object Bench {
           // the same machine. The snapshot stays in the artifact for
           // cross-window comparison.
           val sameWin = SparkEntry.oracleSql.get(k)
-            .flatMap(sql => timeOracleSameWindow(sfDir, sql))
+            .flatMap(sql => timeOracleSameWindow(sfDir, sql,
+              reps = if (inSuite < 1.0) 3 else 2))
           (k, inSuite, solo, m(k), sameWin)
         }
       }.getOrElse(Seq.empty)
