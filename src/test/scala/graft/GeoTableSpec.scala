@@ -28,6 +28,43 @@ class GeoTableSpec extends AnyFunSuite {
     d.getAbsolutePath + "/out"
   }
 
+  test("firstPartFile: early-exit descent agrees with the full listing's " +
+      "head on hive layouts; None on missing paths; file passthrough") {
+    // nested hive layout (the partition writers' shape) with multiple
+    // key directories, so the sorted descent has real branches to order
+    val dir = tmpDir("firstpart")
+    val df = spark.range(40).toDF("id")
+      .withColumn("k", col("id") % 7)
+      .withColumn("geometry", geo.st_point(col("id") * 1.0, col("id") * 1.0))
+    df.write.partitionBy("k").parquet(dir)
+    val all = Footer.partFiles(dir)
+    assert(all.size >= 7)
+    assert(Footer.firstPartFile(dir) == all.headOption,
+      "sorted descent must pick the same file as the full listing's head")
+    // a direct file path passes through
+    assert(Footer.firstPartFile(all.head.toString).contains(all.head))
+    // a missing local path is None, not an exception
+    assert(Footer.firstPartFile(dir + "/nope").isEmpty)
+    // _ / . prefixed files are skipped exactly like partFiles
+    val marker = new java.io.File(dir, "_SUCCESS")
+    assert(marker.exists() || marker.createNewFile())
+    assert(Footer.firstPartFile(dir) == all.headOption)
+  }
+
+  test("writeGeoMetadata parallel pool: per-file failure propagates " +
+      "loudly, never a silent partial footer pass") {
+    val dir = tmpDir("parfooter")
+    val t = pointsTable(60)
+    t.write(s"$dir/d") // single part
+    // add a second "part file" that is not parquet — the rewrite of that
+    // file must fail the WHOLE call (Future.get propagation), not skip
+    val junk = new java.io.File(s"$dir/d/part-junk.parquet")
+    java.nio.file.Files.write(junk.toPath, Array.fill(64)(0x42.toByte))
+    intercept[Exception] {
+      Footer.writeGeoMetadata(s"$dir/d", t.meta.copy(primaryColumn = "geometry"))
+    }
+  }
+
   test("write + read round-trips GeoParquet footer metadata") {
     val out = tmpDir("meta")
     pointsTable(200).addBbox().write(out)
