@@ -1145,70 +1145,6 @@ object SketchEval {
     * the trick that lets the n-gram Jaccard join compute common-gram
     * counts and per-doc set sizes in a single aggregation.
     */
-  /** Hamming-filtered within-bucket pairs from ALIGNED posting arrays
-    * (ids(i), his(i), los(i) describe one document — the three
-    * collect_capped aggregates in the same groupBy see identical
-    * update/merge sequences, so the arrays align by construction),
-    * with exactly-once OWNERSHIP: the bucket for band
-    * `bi` emits a pair iff `bi` is the pair's first agreeing band whose
-    * bucket SURVIVED the df cap (`hotPacked` = sorted packed keys
-    * bi<<16|value of the dropped buckets — bounded by 4n/cap entries by
-    * construction, so it broadcasts). Every surviving agreeing bucket
-    * of a pair sees the same hash pair and computes the same owner, so
-    * the pair is emitted exactly once across buckets with NO downstream
-    * dedupe exchange — and never lost while ANY agreeing bucket
-    * survives. Band values must be 16-bit (aHash halves are 32-bit, so
-    * quarters are; enforced loudly).
-    */
-  def hammingPairsOwned(ids: ArrayData, his: ArrayData, los: ArrayData,
-      bucketBand: Int, maxHamming: Int, hotPacked: Array[Long]): ArrayData = {
-    val n = ids.numElements()
-    require(his.numElements() == n && los.numElements() == n,
-      s"hamming_pairs: posting arrays misaligned ($n/${his.numElements()}/${los.numElements()})")
-    require(n <= 65535, s"hamming_pairs: $n-entry bucket — cap postings below 65536")
-    def band(b: Int, hi: Long, lo: Long): Long = b match {
-      case 0 => lo % 65536L
-      case 1 => lo / 65536L
-      case 2 => hi % 65536L
-      case _ => hi / 65536L
-    }
-    val out = scala.collection.mutable.ArrayBuffer[Any]()
-    var i = 0
-    while (i < n) {
-      val ai = ids.getLong(i); val hi = his.getLong(i); val li = los.getLong(i)
-      require(hi >= 0 && hi < 4294967296L && li >= 0 && li < 4294967296L,
-        "hamming_pairs: hashes must be 32-bit halves (aHash contract)")
-      var j = i + 1
-      while (j < n) {
-        val aj = ids.getLong(j)
-        if (ai != aj) {
-          val hj = his.getLong(j); val lj = los.getLong(j)
-          val d = java.lang.Long.bitCount(hi ^ hj) +
-            java.lang.Long.bitCount(li ^ lj)
-          if (d <= maxHamming) {
-            // owner = first agreeing band whose bucket survived
-            var owner = -1
-            var b = 0
-            while (owner < 0 && b < 4) {
-              val v = band(b, hi, li)
-              if (v == band(b, hj, lj) &&
-                  java.util.Arrays.binarySearch(hotPacked,
-                    (b.toLong << 16) | v) < 0)
-                owner = b
-              b += 1
-            }
-            if (owner == bucketBand)
-              out += new GenericArrayData(Array[Any](
-                math.min(ai, aj), math.max(ai, aj), d.toLong))
-          }
-        }
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
-
   def sortedPairs(v: ArrayData): ArrayData = {
     val n = v.numElements()
     // n*(n+1)/2 wraps negative in Int arithmetic at n >= 65536 — fail
@@ -1633,31 +1569,115 @@ object SketchExpressions {
   def sorted_pairs_gen(ids: Column): Column =
     GraftBridge.column(SortedPairsGen(GraftBridge.expression(ids)))
 
-  /** Exactly-once ownership variant ([[SketchEval.hammingPairsOwned]]):
-    * `bucketBand` is the posting row's band index, `hotPacked` the
-    * sorted dropped-bucket keys (broadcast via expression reference).
+  /** Exactly-once ownership pair GENERATOR ([[SketchEval]] ownership
+    * rule): `bucketBand` is the posting row's band index, `hotPacked`
+    * the sorted dropped-bucket keys (carried as an expression reference;
+    * ≤ 4n/cap keys by construction). Round-15: a Generator, not an
+    * array-returning expression — an all-near-identical bucket at the
+    * cap emits O(cap²) matching pairs, and the array form materialized
+    * them per bucket before explode (the SortedPairsGen OOM class); the
+    * generator streams (id_a, id_b, hamming) rows while holding only
+    * the bucket's three long[]. The O(cap²) Hamming SCAN is inherent
+    * (that is what the cap bounds); only the output buffering changed.
     */
   case class HammingPairsOwned(first: Expression, second: Expression,
       third: Expression, fourth: Expression, maxHamming: Int,
       hotPacked: Array[Long])
-      extends QuaternaryExpression with ImplicitCastInputTypes {
-    override def nullIntolerant: Boolean = true
-    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType),
-      ArrayType(LongType), ArrayType(LongType), IntegerType)
-    override def dataType: DataType =
-      ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
-    override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
-      SketchEval.hammingPairsOwned(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
-        d.asInstanceOf[Int], maxHamming, hotPacked)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("hotPacked", hotPacked, "long[]")
-      defineCodeGen(ctx, ev, (a, b, c, d) =>
-        s"$E.hammingPairsOwned($a, $b, $c, $d, $maxHamming, $ref)")
+      extends Expression with Generator with CodegenFallback {
+    override def children: Seq[Expression] = Seq(first, second, third, fourth)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(first, second, third).forall(e =>
+        e.dataType.isInstanceOf[ArrayType] &&
+          e.dataType.asInstanceOf[ArrayType].elementType == LongType) &&
+        fourth.dataType == IntegerType
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hamming_pairs_owned needs (array<bigint> x3, int), got " +
+          children.map(_.dataType).mkString(", "))
     }
-    override protected def withNewChildrenInternal(a: Expression,
-        b: Expression, c: Expression, d: Expression) =
-      copy(first = a, second = b, third = c, fourth = d)
+    override def elementSchema: StructType = new StructType()
+      .add("id_a", LongType, nullable = false)
+      .add("id_b", LongType, nullable = false)
+      .add("hamming", LongType, nullable = false)
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val idsV = first.eval(input)
+      val hisV = second.eval(input)
+      val losV = third.eval(input)
+      val bandV = fourth.eval(input)
+      if (idsV == null || hisV == null || losV == null || bandV == null)
+        return Iterator.empty
+      val idsA = idsV.asInstanceOf[ArrayData]
+      val hisA = hisV.asInstanceOf[ArrayData]
+      val losA = losV.asInstanceOf[ArrayData]
+      val bucketBand = bandV.asInstanceOf[Int]
+      val n = idsA.numElements()
+      require(hisA.numElements() == n && losA.numElements() == n,
+        s"hamming_pairs: posting arrays misaligned " +
+          s"($n/${hisA.numElements()}/${losA.numElements()})")
+      require(n <= 65535,
+        s"hamming_pairs: $n-entry bucket — cap postings below 65536")
+      val ids = idsA.toLongArray()
+      val his = hisA.toLongArray()
+      val los = losA.toLongArray()
+      var v = 0
+      while (v < n) {
+        require(his(v) >= 0 && his(v) < 4294967296L &&
+            los(v) >= 0 && los(v) < 4294967296L,
+          "hamming_pairs: hashes must be 32-bit halves (aHash contract)")
+        v += 1
+      }
+      @inline def bandOf(b: Int, hi: Long, lo: Long): Long = b match {
+        case 0 => lo % 65536L
+        case 1 => lo / 65536L
+        case 2 => hi % 65536L
+        case _ => hi / 65536L
+      }
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        private var nextRow: InternalRow = null
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && i < n - 1) {
+            val ai = ids(i); val hi = his(i); val li = los(i)
+            val aj = ids(j)
+            if (ai != aj) {
+              val hj = his(j); val lj = los(j)
+              val d = java.lang.Long.bitCount(hi ^ hj) +
+                java.lang.Long.bitCount(li ^ lj)
+              if (d <= maxHamming) {
+                // owner = first agreeing band whose bucket survived
+                var owner = -1
+                var b = 0
+                while (owner < 0 && b < 4) {
+                  val bv = bandOf(b, hi, li)
+                  if (bv == bandOf(b, hj, lj) &&
+                      java.util.Arrays.binarySearch(hotPacked,
+                        (b.toLong << 16) | bv) < 0)
+                    owner = b
+                  b += 1
+                }
+                if (owner == bucketBand)
+                  nextRow = new GenericInternalRow(Array[Any](
+                    math.min(ai, aj), math.max(ai, aj), d.toLong))
+              }
+            }
+            j += 1
+            if (j == n) { i += 1; j = i + 1 }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): InternalRow = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]) =
+      copy(first = newChildren(0), second = newChildren(1),
+        third = newChildren(2), fourth = newChildren(3))
     // Array[Long] case-class equality is reference-based — without this,
     // two semantically identical expressions never canonicalize equal,
     // defeating subexpression reuse (and the census can be large, so

@@ -530,12 +530,9 @@ object Multimodal {
     // replaced).
     posting
       .filter(col("__df") <= maxBandDf)
-      .select(explode(graft.functions.SketchExpressions.hamming_pairs_owned(
+      .select(graft.functions.SketchExpressions.hamming_pairs_owned(
         col("__ids"), col("__his"), col("__los"), col("__bi"),
-        maxHamming, hot)).as("__p"))
-      .select(col("__p").getItem(0).as("id_a"),
-        col("__p").getItem(1).as("id_b"),
-        col("__p").getItem(2).as("hamming"))
+        maxHamming, hot).as(Seq("id_a", "id_b", "hamming")))
   }
 
   // ---- audio: real RIFF/WAVE PCM round-trip ---------------------------
