@@ -341,6 +341,44 @@ object OpsQueries {
           CAST(1 + doc_id % 7 AS BIGINT) AS height
         FROM documents ORDER BY doc_id""")),
 
+    // ---- REAL image resize (decode → NN sample → PNG re-encode) --------
+    // The q46 certification promise extended to the RESIZE op: every
+    // document carries a real 8×8 grayscale PNG (the md5 classLum
+    // formula, one noise pixel), withResized takes the REAL path
+    // (imageio decode → center-rule nearest-neighbor → hand-rolled PNG
+    // re-encode), and the output is RE-DECODED and reduced to its
+    // luminance sum — so the cross-engine hash match certifies
+    // decode → index math → re-encode → decode, end to end. The oracle
+    // replays the pixel formula and the SAME integer center rule
+    // (src p = (2y+1)·8 + (2x+1) at 8→4): all integer arithmetic.
+    // Partition-local throughout; 3 longs per row cross the exchange.
+    QueryDef(
+      "q188_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withSyntheticClassPng(
+          table(s, dir, "documents").select($"doc_id"), "doc_id", 40)
+        val resized = Multimodal.withResized(media, "payload", 4, 4)
+        Multimodal.withLumSum(resized, "payload")
+          .select($"doc_id", $"dec_w", $"dec_h", $"lum_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i
+            FROM documents, UNNEST(range(0, 16)) t(i)),
+        px AS (SELECT doc_id, i,
+            (2 * (i // 4) + 1) * 8 + (2 * (i % 4) + 1) AS p
+          FROM s),
+        lum AS (SELECT doc_id, p,
+            CASE WHEN p = doc_id % 64 THEN xor(
+              CAST(('0x' || substr(md5((doc_id % 40) || ':' || p), 1, 2))
+                AS BIGINT), 1)
+            ELSE CAST(('0x' || substr(md5((doc_id % 40) || ':' || p), 1, 2))
+              AS BIGINT) END AS lum
+          FROM px)
+        SELECT doc_id, CAST(4 AS BIGINT) AS dec_w, CAST(4 AS BIGINT) AS dec_h,
+          CAST(SUM(lum) AS BIGINT) AS lum_sum
+        FROM lum GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- perceptual-hash image near-dup (aHash + pigeonhole bands) -----
     // The multimodal member of the dedup family: every document carries
     // a REAL 8×8 grayscale PNG (pixels = the md5-hex classLum formula

@@ -665,6 +665,39 @@ class OpsSpec extends AnyFunSuite {
     assert(top.count() == 3)
   }
 
+  test("real resize: decode -> center-rule NN -> PNG re-encode matches an " +
+      "independently computed expectation; opaque payloads keep the stub") {
+    val M = graft.ops.Multimodal
+    // known 8x8 gray fixture (the classLum formula, no noise pixel)
+    val lums = Array.tabulate(64)(p => M.classLum(7L, p))
+    val png = M.encodeGrayPng(lums, 8, 8)
+    val out = M.resizeImage(png, 4, 4).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      // independent expectation: the center rule on the SOURCE formula
+      val sx = ((2 * x + 1) * 8) / 8
+      val sy = ((2 * y + 1) * 8) / 8
+      val expect = lums(sy * 8 + sx)
+      assert((img.getRGB(x, y) & 0xff) == expect,
+        s"($x,$y): got ${img.getRGB(x, y) & 0xff}, want $expect")
+    }
+    // rectangular + upscale paths: dims come out exact, every sampled
+    // index stays in range (the require/clamp contract)
+    val rect = M.resizeImage(png, 3, 5).get
+    val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rect))
+    assert(rimg.getWidth == 3 && rimg.getHeight == 5)
+    val up = M.resizeImage(png, 16, 16).get
+    val uimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    assert(uimg.getWidth == 16 && uimg.getHeight == 16)
+    // upscale NN: pixel (2x, 2y) samples source (x, y) under the center
+    // rule at 8->16 (sx = (2*(2x)+1)*8/32 = (4x+1)/4 = x)
+    assert((uimg.getRGB(0, 0) & 0xff) == lums(0))
+    // opaque bytes: no decode -> stub path, exact targetW*targetH bytes
+    assert(M.resizeImage("not an image".getBytes, 4, 4).isEmpty)
+    assert(M.resizeStub("not an image".getBytes, 4, 4).length == 16)
+  }
+
   test("topk handles groups smaller than k and duplicate order keys") {
     import org.apache.spark.sql.functions._
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 3L, 1.0))
