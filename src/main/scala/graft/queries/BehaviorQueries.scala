@@ -696,16 +696,27 @@ object BehaviorQueries {
       (s, dir) => {
         import s.implicits._
         val wk = floor(unix_timestamp($"ts") / 604800.0).cast("long")
-        val ev = events(s, dir).select($"user_id", wk.as("wk"))
-        val weekly = graft.ops.Hll.distinctPerGroup(ev, $"wk", $"user_id",
+        // ONE events scan + ONE distinct exchange feed all three
+        // consumers (round-15: the previous shape re-scanned events per
+        // branch — weekly sketch, register table, exact total — tripling
+        // the dominant cost). The checkpoint holds only the distinct
+        // (user, week) pairs; registers over distinct pairs are
+        // identical (max rho is duplicate-blind), as the oracle's own
+        // `uw` CTE already models.
+        val uw = events(s, dir)
+          .select($"user_id", wk.as("wk"))
+          .filter($"user_id".isNotNull)
+          .distinct()
+          .localCheckpoint(false)
+        val weekly = graft.ops.Hll.distinctPerGroup(uw, $"wk", $"user_id",
             "week")
           .select($"week", $"n_distinct", $"hll_est")
-        val regs = graft.ops.Hll.registers(ev, $"wk", $"user_id", "week")
+        val regs = graft.ops.Hll.registers(uw, $"wk", $"user_id", "week")
         val merged = regs.groupBy($"hll_bucket")
           .agg(max($"hll_rho").as("hll_rho"))
           .withColumn("week", lit(-1L))
         val totalEst = graft.ops.Hll.estimateFromRegisters(merged, "week")
-        val totalExact = ev.select($"user_id").distinct()
+        val totalExact = uw.select($"user_id").distinct()
           .agg(count(lit(1)).as("n_distinct")).withColumn("week", lit(-1L))
         val total = totalExact.join(totalEst, Seq("week"))
           .select($"week", $"n_distinct", $"hll_est")
