@@ -149,6 +149,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSig.size < 80, "classes must collapse to shared fingerprints")
   }
 
+  test("streaming real resize + lum features equal the batch q188 rows " +
+      "(stateless map twin)") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_srsz")
+    val media = graft.ops.Multimodal.withSyntheticClassPng(
+      spark.range(0, 60).toDF("doc_id"), "doc_id", 10)
+    media.write.mode("overwrite").parquet(streamDir.toString + "/rin")
+    val mstream = spark.readStream.schema(media.schema)
+      .parquet(streamDir.toString + "/rin")
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Multimodal.withLumSum(
+        graft.ops.Multimodal.withResized(df, "payload", 4, 4), "payload")
+        .select(col("doc_id"), col("dec_w"), col("dec_h"), col("lum_sum"))
+    val streamed = Streaming.runToCompletion(chain(mstream), "sresize_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = chain(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.forall { case (_, w, h, _) => w == 4 && h == 4 })
+  }
+
   test("streaming scene cuts equal the batch q184 rows; streaming frame " +
       "dedup keeps one row per distinct frame hash like the batch index") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_svcut")
