@@ -162,7 +162,16 @@ object Footer {
       val base = java.nio.file.Paths.get(uri.getPath)
       if (java.nio.file.Files.exists(base)) {
         if (java.nio.file.Files.isRegularFile(base)) return Some(p)
+        // cycle guard: the descent follows symlinks (parity with the
+        // FOLLOW_LINKS walk in partFiles), so a link cycle must be cut
+        // by real-path dedup — Files.walk has this built in; a bare
+        // recursion would overflow the stack instead of erroring
+        val seen = scala.collection.mutable.HashSet[java.nio.file.Path]()
         def descend(d: java.nio.file.Path): Option[Path] = {
+          val real =
+            try d.toRealPath()
+            catch { case _: java.io.IOException => d.toAbsolutePath }
+          if (!seen.add(real)) return None
           val entries = {
             val s = java.nio.file.Files.list(d)
             try s.iterator().asScala.toArray.sortBy(_.getFileName.toString)
