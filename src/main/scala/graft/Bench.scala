@@ -110,10 +110,25 @@ object Bench {
         v / math.max(d, 1e-9) >= minRatio)
     }
 
-  /** Post-adjudication weak set: still above the ratio bar at >= minSec
-    * AFTER the solo best-of-5, judged against the same-window oracle when
-    * one was obtained (falling back to the snapshot). Tuple layout matches
-    * the adjudication loop: (name, inSuite, solo, snapshotOracle, sameWindow).
+  /** ONE oracle denominator for the weak gate, used by BOTH the
+    * did-real-work floor AND the ratio (round-16, VERDICT r15 #2): the
+    * previous split — candidates gated on the snapshot, the weak set on
+    * same-window-with-fallback — let q177 be convicted by one clock
+    * (snapshot 0.213 s >= floor) and acquitted by the other (same-window
+    * 0.171 s < floor) inside the same artifact. max(snapshot,
+    * same-window) keeps the floor decision consistent with candidate
+    * selection (a query that qualified on the snapshot floor can never
+    * be floor-acquitted later) while the ratio still sees the slower —
+    * i.e. most machine-credible — oracle reading of the window.
+    */
+  private[graft] def oracleDenominator(snapshot: Double,
+      sameWindow: Option[Double]): Double =
+    math.max(snapshot, sameWindow.getOrElse(snapshot))
+
+  /** Post-adjudication weak set: still above the ratio bar AFTER the solo
+    * best-of-5, judged against `oracleDenominator` (the SAME value on the
+    * floor and the ratio — see above). Tuple layout matches the
+    * adjudication loop: (name, inSuite, solo, snapshotOracle, sameWindow).
     */
   private[graft] def weakAfterAdjudication(
       adjudicated: Seq[(String, Double, Double, Double, Option[Double])],
@@ -123,9 +138,42 @@ object Bench {
       // same two-sided gate as candidate selection: a solo number under
       // minSec still convicts when the oracle denominator is real work
       case (k, _, solo, d, sw)
-        if (solo >= minSec || sw.getOrElse(d) >= oracleFloor) &&
-          solo / math.max(sw.getOrElse(d), 1e-9) > maxRatio => k
+        if { val den = oracleDenominator(d, sw)
+             (solo >= minSec || den >= oracleFloor) &&
+               solo / math.max(den, 1e-9) > maxRatio } => k
     }
+
+  /** Floor-artifact class policy (round-16, VERDICT r15 #1): a weak
+    * conviction is SUPPRESSED iff the query carries a MEASURED ×10
+    * scaling exponent below `bar` in dev/scaling_exponents.json — a
+    * query whose wall grows < 10^0.2 ≈ 1.6× across a full decade of
+    * data is fixed-cost (scheduler + planning + job floor) dominated at
+    * sf0.1, so its >2×-vs-oracle ratio measures Spark's multi-stage job
+    * floor, not a plan defect; at any production scale the ratio
+    * inverts. Suppressions are published in the artifact WITH their
+    * exponents (`weak_suppressed_floor`), so `weak_adjudicated` comes to
+    * mean exactly "plan defect". Only measured exponents suppress —
+    * absence from the file convicts.
+    */
+  private[graft] def splitWeakByExponent(weak: Seq[String],
+      exponents: Map[String, Double],
+      bar: Double = 0.2): (Seq[String], Seq[(String, Double)]) = {
+    val (supp, still) = weak.partition(k => exponents.get(k).exists(_ < bar))
+    (still, supp.map(k => k -> exponents(k)))
+  }
+
+  /** Parse dev/scaling_exponents.json ({"qNN_name": exp, ...} with an
+    * optional "_note" string entry) — the measured ×10 exponent table
+    * maintained alongside BENCH_SCALING.md. Missing/garbled file = empty
+    * map = no suppression (the conservative default).
+    */
+  private[graft] def loadExponents(path: String = "dev/scaling_exponents.json"): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"(q\w+)":\s*(-?[0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
 
   /** How many per-query entries fit in the stdout line without blowing the
     * driver's tail-capture budget: cumulative entry length (with the comma
@@ -346,19 +394,25 @@ object Bench {
           (k, inSuite, solo, m(k), sameWin)
         }
       }.getOrElse(Seq.empty)
-    // weak = still >2x its oracle at >=1 s AFTER solo adjudication,
-    // judged against the same-window oracle when one was obtained
-    val weak = weakAfterAdjudication(adjudicated)
+    // weak = still >2x its oracle AFTER solo adjudication, one oracle
+    // denominator (max of snapshot / same-window) on floor AND ratio;
+    // floor-artifact convictions (measured ×10 exponent < 0.2) are
+    // split out with their exponents rather than silently dropped
+    val convicted = weakAfterAdjudication(adjudicated)
+    val (weak, suppressed) =
+      splitWeakByExponent(convicted, loadExponents())
     val adjJson =
       if (adjudicated.isEmpty) ""
       else {
         val items = adjudicated.map { case (k, ins, solo, d, sw) =>
-          val den = sw.getOrElse(d)
+          val den = oracleDenominator(d, sw)
           f""""$k":{"in_suite":$ins%.3f,"solo_best5":$solo%.3f,"oracle":$d%.3f,""" +
             sw.map(v => f""""oracle_same_window":$v%.3f,""").getOrElse("") +
             f""""ratio_in_suite":${ins / math.max(d, 1e-9)}%.1f,"ratio_solo":${solo / math.max(den, 1e-9)}%.1f}"""
         }.mkString("{", ",", "}")
-        s""","solo_adjudicated":$items,"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        val suppJson = suppressed.map { case (k, e) =>
+          f""""$k":$e%.3f""" }.mkString("{", ",", "}")
+        s""","solo_adjudicated":$items,"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")},"weak_suppressed_floor":$suppJson"""
       }
     val duckJson = duck.map { m =>
       val known = results.map(_._1).filter(m.contains)

@@ -494,13 +494,28 @@ object Footer {
       withKeyValueMetadata(p,
         extra + (GeoMeta.FooterKey -> GeoMeta.toJson(m)), conf)
     }
-    val files = partFiles(path, conf)
+    // dedupe by REAL path before fanning out: partFiles follows symlinks,
+    // so one physical file reachable through two linked directories is
+    // listed once per route — rewritten concurrently, its temp-write +
+    // rename races against itself. One rewrite per physical file is
+    // sufficient (every route sees the new footer) and safe.
+    val files = {
+      val seen = scala.collection.mutable.HashSet[String]()
+      partFiles(path, conf).filter { p =>
+        val key =
+          try java.nio.file.Paths.get(p.toUri.getPath).toRealPath().toString
+          catch { case _: Throwable => p.toString }
+        seen.add(key)
+      }
+    }
     // per-file rewrites are independent (each is a read-footer +
     // byte-copy + rename of its OWN file) and the loop is the write
     // path's scale bottleneck: serial, it cost ~59 ms/file — a
     // 30k-partition H3 layout stalled ~30 min in the footer pass alone
     // (round-15 DirScale). A bounded pool turns that into wall/32;
-    // failures propagate via Future.get so the contract stays loud.
+    // failures propagate via Future.get so the contract stays loud —
+    // unwrapped from ExecutionException so callers keep seeing the
+    // ORIGINAL exception type the serial loop used to throw.
     val par = math.min(32, Runtime.getRuntime.availableProcessors)
     if (files.sizeIs <= 1 || par <= 1) files.foreach(one)
     else {
@@ -510,7 +525,13 @@ object Footer {
           pool.submit(new java.util.concurrent.Callable[Unit] {
             override def call(): Unit = one(p)
           })
-        }.foreach(_.get())
+        }.foreach { f =>
+          try f.get()
+          catch {
+            case ee: java.util.concurrent.ExecutionException
+              if ee.getCause != null => throw ee.getCause
+          }
+        }
       } finally pool.shutdownNow()
     }
   }

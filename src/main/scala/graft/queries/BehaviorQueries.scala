@@ -725,7 +725,7 @@ object BehaviorQueries {
       Some(raw"""WITH uw AS (SELECT DISTINCT
             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 604800 AS wk,
             user_id
-          FROM events),
+          FROM events WHERE user_id IS NOT NULL),
         grp AS (SELECT wk AS g, user_id AS v FROM uw
           UNION ALL SELECT -1 AS g, user_id AS v
           FROM (SELECT DISTINCT user_id FROM uw)),

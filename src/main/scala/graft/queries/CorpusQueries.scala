@@ -680,14 +680,18 @@ object CorpusQueries {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
+        // ONE corpus scan (round-16, VERDICT r15 #1): the previous shape
+        // re-ran the term_counts explode for the broadcast total — a
+        // second full corpus pass that was ~half of q57's wall. The
+        // checkpoint (the q151/q181 pattern) holds only the distinct
+        // (doc, term, c) rows; the corpus token total is Σc over that
+        // same relation, identical to Σtf over a fresh explode.
         val tc = docs.select($"doc_id",
             explode(graft.functions.SketchExpressions
               .term_counts(coalesce($"text", lit("")))).as("tc"))
           .select($"doc_id", $"tc.term".as("term"), $"tc.tf".cast("long").as("c"))
-        val total = broadcast(docs.select(
-            explode(graft.functions.SketchExpressions
-              .term_counts(coalesce($"text", lit("")))).as("tc"))
-          .agg(sum($"tc.tf".cast("long")).as("__T")))
+          .localCheckpoint(false)
+        val total = broadcast(tc.agg(sum($"c").as("__T")))
         tc.withColumn("tf", sum($"c").over(
             org.apache.spark.sql.expressions.Window.partitionBy($"term")))
           .crossJoin(total)

@@ -94,6 +94,11 @@ object WhereGate {
     case _: CaseWhen | _: If => true
     case _: Coalesce | _: Greatest | _: Least => true
     case _: Concat => true
+    // bare keyword forms: Spark parses CURRENT_DATE / CURRENT_TIMESTAMP
+    // without parens straight to these nodes rather than to an
+    // UnresolvedFunction, so the (documented-allowed) function-name
+    // allowlist alone would falsely refuse them
+    case _: CurrentDate | _: CurrentTimestamp | _: Now => true
     case _ => false
   }
 

@@ -268,6 +268,24 @@ class BehaviorSpec extends AnyFunSuite {
     assert(weekly.map(_._1).sum >= exact)
   }
 
+  test("hll rollup: null user_ids are excluded, pinned by fixture not data") {
+    // the sf fixtures carry no null user_ids, so the Spark-side
+    // isNotNull filter and the oracle's WHERE user_id IS NOT NULL were
+    // only data-coincidentally equivalent; this pins the semantic — a
+    // null-user row changes NOTHING in the rollup
+    val tmp = java.nio.file.Files.createTempDirectory("q151null").toString
+    val base = spark.read.parquet(s"$dir/events.parquet")
+    val nullRow = base.limit(1).withColumn("user_id",
+      lit(null).cast("long"))
+    base.unionByName(nullRow).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val withNull = SparkEntry.queries("q151_hll_rollup")(spark, tmp)
+      .collect().map(_.toString).sorted
+    val without = run("q151_hll_rollup").collect().map(_.toString).sorted
+    assert(withNull.sameElements(without),
+      "a null user_id row must not alter n_distinct or hll_est")
+  }
+
   test("scrubSpans removes the planted span from the higher id only") {
     def words(prefix: String, n: Int): Seq[String] =
       (0 until n).map(i => s"$prefix$i")

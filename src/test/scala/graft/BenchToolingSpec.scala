@@ -106,6 +106,53 @@ class BenchToolingSpec extends AnyFunSuite {
       == Seq("q_weak", "q_subsec"))
   }
 
+  test("weak gate uses ONE oracle value on floor and ratio (r15 #2)") {
+    // the q177 shape: snapshot 0.213 qualified it as a candidate, but the
+    // same-window oracle dipped to 0.171 < floor — under the old split
+    // the floor condition silently acquitted a 3.1x solo ratio. With
+    // oracleDenominator = max(snapshot, same-window) the floor decision
+    // can never be acquitted by a same-window dip once the snapshot
+    // qualified the query.
+    val q177shape = ("q_dip", 0.9, 0.53, 0.213, Some(0.171))
+    assert(Bench.weakAfterAdjudication(Seq(q177shape)) == Seq("q_dip"),
+      "a candidate qualified on the snapshot floor must not be " +
+        "floor-acquitted by a same-window oracle dip")
+    // property: for any snapshot >= oracleFloor (i.e. every query that
+    // qualified as a candidate via the oracle floor), the weak gate's
+    // floor condition holds regardless of the same-window reading —
+    // candidate and weak gates agree on the did-real-work decision
+    for (d <- Seq(0.2, 0.25, 1.0, 5.0); sw <- Seq(None, Some(0.01), Some(0.19), Some(3.0))) {
+      assert(Bench.oracleDenominator(d, sw) >= 0.2,
+        s"floor asymmetry reintroduced at d=$d sw=$sw")
+    }
+    // and the ratio uses the same denominator: solo 1.5 vs snapshot 0.5 /
+    // same-window 1.0 -> den 1.0 -> ratio 1.5 -> cleared (not judged
+    // against the 0.5 snapshot the floor decision used)
+    assert(Bench.weakAfterAdjudication(
+      Seq(("q_max", 3.0, 1.5, 0.5, Some(1.0)))).isEmpty)
+  }
+
+  test("splitWeakByExponent: measured <0.2 exponents suppress, absence convicts") {
+    val exps = Map("q_floor" -> 0.045, "q_border" -> 0.2, "q_real" -> 0.51)
+    val (still, supp) = Bench.splitWeakByExponent(
+      Seq("q_floor", "q_border", "q_real", "q_unmeasured"), exps)
+    assert(still == Seq("q_border", "q_real", "q_unmeasured"),
+      "only a MEASURED exponent strictly below the bar may suppress; " +
+        s"got $still")
+    assert(supp == Seq("q_floor" -> 0.045))
+  }
+
+  test("loadExponents parses the committed table and skips the note") {
+    val m = Bench.loadExponents()
+    assert(m.nonEmpty, "dev/scaling_exponents.json must exist and parse")
+    assert(m.contains("q144_session_paths") && m("q144_session_paths") < 0.2,
+      "q144's measured floor-artifact exponent must be in the table")
+    assert(!m.contains("_note"))
+    assert(m.values.forall(e => e > -1.0 && e < 1.5),
+      s"exponents outside a plausible x10 range: $m")
+    assert(Bench.loadExponents("/nonexistent/path.json").isEmpty)
+  }
+
   // ---- stdout truncation: the driver tail-capture contract --------------
 
   test("fitCount keeps the emitted line inside the stdout budget") {

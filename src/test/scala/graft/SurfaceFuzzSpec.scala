@@ -253,6 +253,20 @@ class SurfaceFuzzSpec extends AnyFunSuite {
     assert(passed == refused && passed >= 200)
   }
 
+  test("WHERE gate accepts the bare CURRENT_DATE/CURRENT_TIMESTAMP keyword " +
+      "forms, not only the parenthesized calls") {
+    import graft.table.WhereGate
+    // Spark parses the keyword forms straight to CurrentDate/
+    // CurrentTimestamp/Now nodes (not UnresolvedFunction), so they need
+    // structural allowlist entries; both spellings are documented-allowed
+    Seq("to_date('2026-01-01') <= current_date",
+        "to_date('2026-01-01') <= current_date()",
+        "to_timestamp('2026-01-01') < current_timestamp",
+        "to_timestamp('2026-01-01') < current_timestamp()",
+        "to_timestamp('2026-01-01') < now()")
+      .foreach(w => WhereGate.validate(spark, w))
+  }
+
   test("filterWhere: string literals containing keywords are data when " +
       "split, blocked when whole (conservative, documented)") {
     val dir = tmp("where2")
