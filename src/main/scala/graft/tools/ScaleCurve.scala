@@ -146,6 +146,7 @@ object ScaleCurve {
     "q172_autocorr_daily",// calendar-sized daily agg + lag self-join
     "q173_weekday_profile",// one combinable agg + 1-row total
     "q174_mde_curve",     // 1-row moments + 5-row closed-form curve
+    "q177_kcenter_coreset", // k broadcast farthest-point passes over embeddings
     "q178_audio_decode",  // partition-local WAV encode+decode, zero text shuffle
     "q179_audio_gate",    // decode projection + combinable reason agg
     "q180_unicode_nfc",   // codegen NFC projection + per-row md5
@@ -166,7 +167,7 @@ object ScaleCurve {
     "q64_ann_recall", "q65_proto_prune", "q69_rand_proj", "q88_pca_power",
     "q89_abtt", "q95_embed_outliers", "q100_hard_negatives",
     "q108_matryoshka", "q111_embed_decontam", "q129_embed_sanity",
-    "q142_silhouette", "q163_knn_accuracy")
+    "q142_silhouette", "q163_knn_accuracy", "q177_kcenter_coreset")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(
