@@ -93,7 +93,44 @@ object Main {
     finally spark.stop()
   }
 
-  private[graft] def run(spark: SparkSession, args: Seq[String]): Unit = {
+  private[graft] def run(spark: SparkSession, args0: Seq[String]): Unit = {
+    // --explain (reference CHANGELOG Unreleased: `--show-sql` on every
+    // DuckDB-backed command): the Spark analogue prints the FORMATTED
+    // optimized/physical plan of every action the command executes —
+    // scans with PushedFilters/ReadSchema, exchanges, codegen spans —
+    // via a QueryExecutionListener, so every command gets the flag
+    // without per-command plumbing. The listener bus is asynchronous;
+    // the finally drains it so plans land before the process exits.
+    val explain = args0.contains("--explain")
+    val args = args0.filterNot(_ == "--explain")
+    // plans are BUFFERED on the (asynchronous) listener-bus thread and
+    // printed on the calling thread after the drain — event-time println
+    // would race command output and escape Console.withOut redirection
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val explainListener =
+      if (!explain) None
+      else Some(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          plans.add(s"== graft --explain: $funcName ==\n" +
+            qe.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    explainListener.foreach(spark.listenerManager.register)
+    try runDispatch(spark, args)
+    finally explainListener.foreach { l =>
+      org.apache.spark.sql.GraftListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      spark.listenerManager.unregister(l)
+      plans.forEach(p => println(p))
+    }
+  }
+
+  private[graft] def runDispatch(spark: SparkSession, args: Seq[String]): Unit = {
     val cmd = args.head
     val rest = args.tail
     cmd match {
@@ -1227,6 +1264,29 @@ object Main {
           println(s"primary: ${s.primaryColumn.getOrElse("-")}  bbox: ${s.declaredBbox.getOrElse("-")}")
           println(s"geometry types: ${s.declaredGeometryTypes.mkString(", ")}")
         }
+        // --verbose (reference CHANGELOG Unreleased: `--verbose` on
+        // inspect): per part-file rows/row-groups, the physical schema
+        // with types, and the footer's key-value metadata keys — all
+        // footer-only, still no Spark job
+        if (flag(rest, "verbose")) {
+          val conf = graft.meta.Footer.newConf()
+          val parts = graft.meta.Footer.partFiles(rest.head, conf)
+          println(s"part files: ${parts.size}")
+          parts.foreach { p =>
+            val fi = graft.meta.Footer.read(p, conf)
+            println(s"  $p  rows=${fi.rowCount}  rowGroups=${fi.numRowGroups}")
+          }
+          val head = graft.meta.Footer.read(parts.head, conf)
+          println("schema:")
+          head.schemaInfo.foreach { f =>
+            val t = f.primitiveType.orElse(f.logicalType)
+              .getOrElse(if (f.primitive) "?" else
+                f.groupFields.map { case (n, ty) => s"$n:$ty" }
+                  .mkString("struct<", ",", ">"))
+            println(s"  ${f.name}: $t${if (f.repeated) " (repeated)" else ""}")
+          }
+          println(s"footer keys: ${head.keyValueMeta.keys.toSeq.sorted.mkString(", ")}")
+        }
 
       case "meta" =>
         // raw `geo` footer JSON (reference `inspect meta`); --stats adds
@@ -1328,9 +1388,20 @@ object Main {
         println("applied: " + Checks.fix(spark, in, out).mkString(", "))
 
       case "stac-item" =>
-        println(graft.sources.Stac.item(rest.head,
+        val itemJson = graft.sources.Stac.item(rest.head,
           opt(rest, "id").getOrElse("item"),
-          opt(rest, "href").getOrElse(rest.head)))
+          opt(rest, "href").getOrElse(rest.head))
+        println(itemJson)
+        // --verbose (reference CHANGELOG Unreleased: `--verbose` on
+        // publish): run the validator over the item just emitted and
+        // report to STDERR so the stdout JSON contract is untouched
+        if (flag(rest, "verbose")) {
+          val findings = graft.sources.Stac.validateItem(itemJson)
+          // Console.err (not System.err) so in-process callers/tests can
+          // redirect it; main() wires Console.err to the real stderr
+          if (findings.isEmpty) Console.err.println("stac item: valid")
+          else findings.foreach(f => Console.err.println(s"stac item: $f"))
+        }
 
       // `graft extract-arcgis <serviceUrl> <out> [--where ...] [--bbox
       // x0,y0,x1,y1] [--fields a,b] [--page-size N] [--max-features N]`
@@ -1391,5 +1462,8 @@ object Main {
       |  check [--all|spec|stac|...], validate, fix, stac-item,
       |  add bbox-metadata <file>, extract-arcgis <url> <out>,
       |  set-version <path> <1.0|1.1|2.0|parquet-geo-only>,
-      |  upload <src> <dest> [--pattern glob]""".stripMargin
+      |  upload <src> <dest> [--pattern glob]
+      |global: --explain prints the formatted Spark plan of every action
+      |        the command runs; --verbose adds footer/schema detail on
+      |        inspect and validator output on stac-item""".stripMargin
 }

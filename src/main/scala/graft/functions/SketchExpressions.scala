@@ -24,6 +24,35 @@ object SketchEval {
   def minhash(s: UTF8String, n: Int, k: Int): ArrayData =
     new GenericArrayData(graft.ops.Dedup.minhashSignature(s.toString, n, k))
 
+  /** Real-decode resize kernel (round-16, VERDICT r15 #6: the resize
+    * path was a `mapPartitions` + Row encoder, the engine's only
+    * codegen break on the q46/q188 chain): decodable payloads take the
+    * certified decode → NN-sample → PNG re-encode path, opaque payloads
+    * the deterministic stub — one method so the expression's branch is
+    * the same one `Multimodal.withResized` shipped.
+    */
+  def resizePayload(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    graft.ops.Multimodal.resizeImage(payload, w, h)
+      .getOrElse(graft.ops.Multimodal.resizeStub(payload, w, h))
+
+  /** Decoded luminance stats as one struct row (dec_w, dec_h, lum_sum);
+    * null for undecodable payloads — the dedup-family null discipline.
+    */
+  def lumStats(payload: Array[Byte]): InternalRow = {
+    val img = graft.ops.Multimodal.readImageOrNull(payload)
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      var s = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { s += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      new GenericInternalRow(Array[Any](w.toLong, h.toLong, s))
+    }
+  }
+
   def simhash64(s: UTF8String): Long =
     graft.ops.Dedup.simhash64(s.toString)
 
@@ -2191,6 +2220,57 @@ object SketchExpressions {
 
   def nfc_normalize(text: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+
+  /** Payload resize as a codegen expression ([[SketchEval.resizePayload]])
+    * — keeps the q188 stage inside whole-stage codegen where the former
+    * `mapPartitions` form broke it and paid Row boxing per field
+    * (round-16, VERDICT r15 #6). Target dims are plan-time constants.
+    */
+  case class ResizePayload(child: Expression, targetW: Int, targetH: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(p: Any): Any =
+      SketchEval.resizePayload(p.asInstanceOf[Array[Byte]], targetW, targetH)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$E.resizePayload($c, $targetW, $targetH)")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def resize_payload(payload: Column, targetW: Int, targetH: Int): Column =
+    GraftBridge.column(ResizePayload(GraftBridge.expression(payload),
+      targetW, targetH))
+
+  /** Decoded luminance stats struct ([[SketchEval.lumStats]]): (dec_w,
+    * dec_h, lum_sum), null for undecodable payloads. Struct-returning so
+    * ONE decode serves all three columns — three scalar kernels would
+    * decode three times.
+    */
+  case class LumStats(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("dec_w", LongType), StructField("dec_h", LongType),
+      StructField("lum_sum", LongType)))
+    override protected def nullSafeEval(p: Any): Any =
+      SketchEval.lumStats(p.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = $E.lumStats($c);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def lum_stats(payload: Column): Column =
+    GraftBridge.column(LumStats(GraftBridge.expression(payload)))
 
   /** Email/IPv4/phone redaction (linear hand scanners ≡ the fixed
     * regex chain — see SketchEval.piiRedact).

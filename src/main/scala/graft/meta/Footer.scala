@@ -84,6 +84,44 @@ object Footer {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
+  /** NIO part-file listing WITH stat data (length, mtime) in one pass —
+    * the listing Spark's InMemoryFileIndex needs, produced at NIO walk
+    * speed (0.26 s at 3×10⁴ dirs where Spark's no-native-hadoop local
+    * listing pays an `ls` per file, 17-19 s — DirScale r15). Local
+    * scheme only; None tells the caller to use Spark's own listing.
+    * walkFileTree supplies BasicFileAttributes to the visitor, so size
+    * and mtime cost no extra stat; FOLLOW_LINKS + its built-in cycle
+    * detection mirror the partFiles walk.
+    */
+  private[graft] def partFileStatuses(
+      path: String): Option[Seq[org.apache.hadoop.fs.FileStatus]] = {
+    val p = new Path(path)
+    val uri = p.toUri
+    if (uri.getScheme != null && uri.getScheme != "file") return None
+    val base = java.nio.file.Paths.get(uri.getPath)
+    if (!java.nio.file.Files.exists(base)) return None
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    java.nio.file.Files.walkFileTree(base,
+      java.util.EnumSet.of(java.nio.file.FileVisitOption.FOLLOW_LINKS),
+      Integer.MAX_VALUE,
+      new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+        override def visitFile(f: java.nio.file.Path,
+            attrs: java.nio.file.attribute.BasicFileAttributes)
+            : java.nio.file.FileVisitResult = {
+          val name = f.getFileName.toString
+          if (attrs.isRegularFile && isPartFileName(name))
+            out += new org.apache.hadoop.fs.FileStatus(attrs.size(), false,
+              1, 128L * 1024 * 1024, attrs.lastModifiedTime().toMillis,
+              new Path(f.toUri))
+          java.nio.file.FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: java.nio.file.Path,
+            e: java.io.IOException): java.nio.file.FileVisitResult =
+          java.nio.file.FileVisitResult.CONTINUE
+      })
+    Some(out.result().sortBy(_.getPath.toString))
+  }
+
   /** All parquet part-files under a path (single file or directory). */
   def partFiles(path: String, conf: Configuration = newConf()): Seq[Path] = {
     val p = new Path(path)

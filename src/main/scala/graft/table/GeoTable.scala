@@ -1142,9 +1142,54 @@ object GeoTable {
     * mergeSchema native), `geo` metadata via the first part-file footer,
     * geometry column from metadata then name heuristics.
     */
+  /** Local-scheme parquet DataFrame over a PRE-LISTED file index: Spark's
+    * own read path re-lists the tree through Hadoop's local FS, which
+    * without the native library stats each file via an `ls` subprocess —
+    * 17-19 s of driver stall at 10⁴ hive directories (DirScale r15)
+    * for a listing the NIO walk produces in 0.26 s. Hand Spark the NIO
+    * listing instead: prefill a FileStatusCache under the qualified
+    * root, build the InMemoryFileIndex from it (cache hit ⇒ no FS walk;
+    * partition inference runs over the cached statuses as usual), infer
+    * the schema through ParquetFileFormat (one footer at
+    * mergeSchema=false, the standard distributed merge otherwise), and
+    * assemble the same HadoopFsRelation `spark.read.parquet` resolves
+    * to — pushdown, pruning and partition discovery are untouched
+    * because the relation IS the stock one, only the listing changed.
+    * None (remote scheme, empty dir, or any failure) falls back to the
+    * stock reader.
+    */
+  private[graft] def fastLocalParquetDf(spark: SparkSession, path: String,
+      mergeSchema: Boolean): Option[DataFrame] =
+    try {
+      import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex}
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      graft.meta.Footer.partFileStatuses(path).filter(_.nonEmpty).flatMap { st =>
+        val conf = spark.sessionState.newHadoopConf()
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        val qualified = fs.makeQualified(root)
+        val statuses = st.map(s => new org.apache.hadoop.fs.FileStatus(
+          s.getLen, false, s.getReplication, s.getBlockSize,
+          s.getModificationTime, fs.makeQualified(s.getPath))).toArray
+        val cache = FileStatusCache.getOrCreate(spark)
+        cache.putLeafFiles(qualified, statuses)
+        val opts = Map("mergeSchema" -> mergeSchema.toString,
+          "basePath" -> qualified.toString)
+        val index = new InMemoryFileIndex(spark, Seq(qualified), opts,
+          userSpecifiedSchema = None, fileStatusCache = cache)
+        val fmt = new ParquetFileFormat
+        fmt.inferSchema(spark, opts, statuses.toIndexedSeq).map { dataSchema =>
+          spark.baseRelationToDataFrame(HadoopFsRelation(index,
+            index.partitionSpec().partitionColumns, dataSchema,
+            bucketSpec = None, fmt, opts)(spark))
+        }
+      }
+    } catch { case _: Throwable => None }
+
   def read(spark: SparkSession, path: String,
       mergeSchema: Boolean = false): GeoTable = {
-    val df0 = spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+    val df0 = fastLocalParquetDf(spark, path, mergeSchema).getOrElse(
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(path))
     // firstPartFile, not partFiles().headOption: one footer is enough for
     // geo metadata + graft:partitioning, and the early-exit descent keeps
     // read planning O(depth), not O(files), on wide hive layouts

@@ -129,11 +129,20 @@ object RecallCurve {
       val sec = (System.nanoTime() - t0) / 1e9
       val got = gotRows.toSet
       val hit = wanted.count(got.contains)
+      // the shipped self-report must agree with BOTH the measured recall
+      // and the harness's own census prediction (VERDICT r15 #3)
+      val refPairs = planted.map { case (id, _, baseId) => (id, baseId) }
+        .toSeq.toDF("id_a", "id_b")
+      val rep = graft.ops.Multimodal.phashRecallReport(all, "doc_id",
+        refPairs, maxHamming = 3, maxBandDf = cap).head()
       println(f"[recall] phash cap=$cap%-6d recall=${hit.toDouble / nPairs}%.4f " +
-        f"(predicted ${predicted.toDouble / nPairs}%.4f) " +
+        f"(predicted ${predicted.toDouble / nPairs}%.4f, " +
+        f"self-report ${rep.getDouble(2)}%.4f) " +
         f"emitted=${gotRows.length}%-9d sec=$sec%.2f")
       require(hit == predicted,
         s"measured recall ($hit) != census prediction ($predicted) at cap $cap")
+      require(rep.getLong(1) == hit.toLong,
+        s"phashRecallReport (${rep.getLong(1)}) != measured recall ($hit) at cap $cap")
     }
   }
 
@@ -165,9 +174,17 @@ object RecallCurve {
     println(s"[recall] video corpus: ${nVids + nPairs} videos, " +
       s"$nPairs planted; hottest frame=${df.values.max}")
     caps.foreach { cap =>
+      // predicted under the r16 pruned-set-symmetric rule:
+      // shared_surv >= ceil(minShared/2) AND shared_surv*min(n_a,n_b) >=
+      // minShared*min(n'_a, n'_b)
       val predicted = planted.count { case (_, fs, baseId) =>
-        fs.toSet.intersect(base(baseId.toInt)._2.toSet)
-          .count(f => df(f) <= cap) >= minShared
+        val bs = base(baseId.toInt)._2
+        val sharedSurv = fs.toSet.intersect(bs.toSet).count(f => df(f) <= cap)
+        val nA = bs.length.toLong; val nB = fs.length.toLong
+        val sA = bs.count(f => df(f) <= cap).toLong
+        val sB = fs.count(f => df(f) <= cap).toLong
+        sharedSurv >= (minShared + 1) / 2 &&
+          sharedSurv * math.min(nA, nB) >= minShared * math.min(sA, sB)
       }
       val t0 = System.nanoTime()
       val got = graft.util.CollectCapped(graft.ops.Multimodal
@@ -180,11 +197,20 @@ object RecallCurve {
       val wanted = planted.map { case (id, _, baseId) =>
         (math.min(id, baseId), math.max(id, baseId)) }.toSet
       val hit = wanted.count(got.toSet.contains)
+      // the shipped self-report must agree with BOTH the measured recall
+      // and the harness's own census prediction (VERDICT r15 #3)
+      val refPairs = planted.map { case (id, _, baseId) => (id, baseId) }
+        .toSeq.toDF("id_a", "id_b")
+      val rep = graft.ops.Multimodal.videoRecallReport(fh, "doc_id",
+        refPairs, minShared = minShared, maxPostings = cap).head()
       println(f"[recall] video cap=$cap%-6d recall=${hit.toDouble / nPairs}%.4f " +
-        f"(predicted ${predicted.toDouble / nPairs}%.4f) " +
+        f"(predicted ${predicted.toDouble / nPairs}%.4f, " +
+        f"self-report ${rep.getDouble(2)}%.4f) " +
         f"emitted=${got.length}%-9d sec=$sec%.2f")
       require(hit == predicted,
         s"measured recall ($hit) != census prediction ($predicted) at cap $cap")
+      require(rep.getLong(1) == hit.toLong,
+        s"videoRecallReport (${rep.getLong(1)}) != measured recall ($hit) at cap $cap")
     }
   }
 

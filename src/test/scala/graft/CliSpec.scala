@@ -94,6 +94,64 @@ class CliSpec extends AnyFunSuite {
     Main.run(spark, Seq("meta", s"$dir/d.parquet"))
   }
 
+  test("--explain prints the formatted Spark plan of the staged action " +
+      "(r15 #7)") {
+    val dir = tmp("explain")
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 90, col("id") % 45))
+    GeoTable.fromDataFrame(df, "geometry").write(s"$dir/in.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, Seq("extract", s"$dir/in.parquet",
+        s"$dir/out.parquet", "--limit", "10", "--explain"))
+    }
+    val printed = out.toString
+    assert(printed.contains("== graft --explain:"),
+      s"no explain header in:\n$printed")
+    assert(printed.contains("Physical Plan") ||
+      printed.contains("WholeStageCodegen") || printed.contains("(1) "),
+      s"no formatted plan body in:\n$printed")
+    // the command itself still ran
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 10)
+    // and the listener is gone: a later command prints no plans
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.run(spark, Seq("inspect", s"$dir/out.parquet"))
+    }
+    assert(!out2.toString.contains("== graft --explain:"),
+      "explain listener leaked into a later command")
+  }
+
+  test("--verbose on inspect adds footer detail; on stac-item runs the " +
+      "validator (r15 #7)") {
+    val dir = tmp("verbose")
+    val df = spark.range(0, 50).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 90, col("id") % 45))
+    GeoTable.fromDataFrame(df, "geometry").addBbox()
+      .write(s"$dir/d.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, Seq("inspect", s"$dir/d.parquet", "--verbose"))
+    }
+    val printed = out.toString
+    assert(printed.contains("part files:"), printed)
+    assert(printed.contains("schema:"), printed)
+    assert(printed.contains("footer keys:") && printed.contains("geo"),
+      printed)
+    // stac-item --verbose: stdout stays the bare item JSON, validator
+    // findings go to stderr
+    val o = new java.io.ByteArrayOutputStream()
+    val e = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(o)) {
+      Console.withErr(new java.io.PrintStream(e)) {
+        Main.run(spark, Seq("stac-item", s"$dir/d.parquet",
+          "--id", "x", "--verbose"))
+      }
+    }
+    assert(o.toString.trim.startsWith("{"), o.toString)
+    assert(e.toString.contains("stac item:"), e.toString)
+  }
+
   test("check dispatch hardening (r12): --all flag-first, spatial " +
       "failure raises CheckFailure, --files dispatch modes") {
     val dir = tmp("dispatch")

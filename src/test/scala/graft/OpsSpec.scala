@@ -344,9 +344,79 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // cap above the hot frame's 12 postings: both pairs, hot frame counts
     assert(pairsAt(1000) == Map((1L, 2L) -> 2L, (3L, 4L) -> 2L))
-    // cap 5: the hot frame is boilerplate and is dropped whole — (3,4)
-    // fall below minShared; the cold-frame pair is untouched
-    assert(pairsAt(5) == Map((1L, 2L) -> 2L))
+    // cap 5: the hot frame is boilerplate and is dropped whole, but the
+    // r16 pruned-set-symmetric bar scales down WITH the pruning — videos
+    // 3,4 share 100% of their surviving frames (1 of 1), which matches
+    // the 2-of-2 the absolute rule demanded of their unpruned sets:
+    // 1×min(2,2) >= 2×min(1,1). The 10 hot-frame-only videos have zero
+    // surviving frames and can never pair.
+    assert(pairsAt(5) == Map((1L, 2L) -> 2L, (3L, 4L) -> 1L))
+    // a pair must still clear the scaled bar: a video sharing 1 of its
+    // 2 surviving frames does NOT qualify when the other is unpruned
+    // (1×min(2,3) < 2×min(2,3) -> 2 < 4... exercised by the planted
+    // fixture pin below)
+  }
+
+  test("phash/video recall self-report equals the operator's measured " +
+      "recall on a planted Zipf fixture (VERDICT r15 #3)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // --- phash: 600 docs, Zipf-ish band values, 60 planted partners ----
+    def v(): Long = (1 + rnd.nextInt(40)).toLong * 2654435761L & 0xffffL
+    def draw(): Long = v() | (v() << 16) | (v() << 32) | (v() << 48)
+    val base = Array.tabulate(600)(i => (i.toLong, draw()))
+    val planted = Array.tabulate(60) { j =>
+      val a = rnd.nextInt(600)
+      var h = base(a)._2
+      (1 to 1 + rnd.nextInt(3)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+      ((600 + j).toLong, h, base(a)._1)
+    }
+    val sig = (base.map { case (id, h) => (id, h >>> 32, h & 0xffffffffL) }
+      ++ planted.map { case (id, h, _) => (id, h >>> 32, h & 0xffffffffL) })
+      .toSeq.toDF("doc_id", "ahash_hi", "ahash_lo")
+    val refs = planted.map(p => (p._1, p._3)).toSeq.toDF("id_a", "id_b")
+    for (cap <- Seq(8, 64)) {
+      val found = Multimodal.phashNearDups(sig, "doc_id", 3, maxBandDf = cap)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val hit = planted.count(p =>
+        found.contains((math.min(p._1, p._3), math.max(p._1, p._3))))
+      val rep = Multimodal.phashRecallReport(sig, "doc_id", refs, 3, cap)
+        .head()
+      assert(rep.getLong(0) == 60L)
+      assert(rep.getLong(1) == hit.toLong,
+        s"phash report ${rep.getLong(1)} != measured $hit at cap $cap")
+    }
+    // --- video: 150 videos x 8 frames, 30 planted sharing 4 ------------
+    def frame(): Long = (1 + rnd.nextInt(600)).toLong * 0x9e3779b97f4a7c15L
+    val vbase = Array.tabulate(150)(i => (i.toLong, Array.fill(8)(frame()).distinct))
+    val vplanted = Array.tabulate(30) { j =>
+      val a = rnd.nextInt(150)
+      val shared = rnd.shuffle(vbase(a)._2.toList).take(4)
+      ((150 + j).toLong, (shared ++ Array.fill(5)(frame())).distinct.toArray,
+        vbase(a)._1)
+    }
+    val fh = (vbase.iterator.flatMap { case (id, fs) => fs.map(f => (id, f)) }
+      ++ vplanted.iterator.flatMap { case (id, fs, _) => fs.map(f => (id, f)) })
+      .map { case (id, f) => (id, f >>> 32, f & 0xffffffffL) }
+      .toSeq.toDF("doc_id", "frame_hi", "frame_lo")
+    val vrefs = vplanted.map(p => (p._1, p._3)).toSeq.toDF("id_a", "id_b")
+    for (cap <- Seq(4, 16)) {
+      val found = Multimodal.videoNearDups(fh, "doc_id", minShared = 3,
+          maxPostings = cap)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val hit = vplanted.count(p =>
+        found.contains((math.min(p._1, p._3), math.max(p._1, p._3))))
+      val rep = Multimodal.videoRecallReport(fh, "doc_id", vrefs, 3, cap)
+        .head()
+      assert(rep.getLong(0) == 30L)
+      assert(rep.getLong(1) == hit.toLong,
+        s"video report ${rep.getLong(1)} != measured $hit at cap $cap")
+      assert(rep.getDouble(2) == hit.toDouble / 30.0)
+    }
   }
 
   test("real image decode: png/jpeg/bmp round-trip, corrupt falls to stub") {

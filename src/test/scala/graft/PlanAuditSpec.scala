@@ -136,6 +136,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("resize/lum-sum run as codegen expressions, not mapPartitions " +
+      "(r15 #6)") {
+    // the former mapPartitions + Row-encoder forms added a
+    // SerializeFromObject/DeserializeToObject pair EACH, breaking
+    // whole-stage codegen twice on the q188 chain. The only object
+    // boundary allowed to remain is the synthetic-PNG FIXTURE generator
+    // (test-data synthesis, not a product operator) — so exactly one
+    // serialize, and both kernels present as expressions.
+    val plan = SparkEntry.queries("q188_image_resize")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val lower = plan.toLowerCase
+    assert(lower.contains("resizepayload"),
+      s"q188 resize is not the ResizePayload expression:\n$plan")
+    assert(lower.contains("lumstats"),
+      s"q188 lum reduction is not the LumStats expression:\n$plan")
+    val boundaries = "SerializeFromObject".r.findAllIn(plan).size
+    assert(boundaries <= 1,
+      s"q188 has $boundaries object boundaries (fixture generator is " +
+        s"the only one allowed):\n$plan")
+  }
+
   test("q73's confirm join probes only bloom-positive rows") {
     // the bloom contract: the exact digest join must sit behind the
     // bitmap prefilter (probe side filtered on bloom_hit), and the
