@@ -100,26 +100,81 @@ object Footer {
     if (uri.getScheme != null && uri.getScheme != "file") return None
     val base = java.nio.file.Paths.get(uri.getPath)
     if (!java.nio.file.Files.exists(base)) return None
-    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-    java.nio.file.Files.walkFileTree(base,
-      java.util.EnumSet.of(java.nio.file.FileVisitOption.FOLLOW_LINKS),
-      Integer.MAX_VALUE,
-      new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
-        override def visitFile(f: java.nio.file.Path,
-            attrs: java.nio.file.attribute.BasicFileAttributes)
-            : java.nio.file.FileVisitResult = {
-          val name = f.getFileName.toString
-          if (attrs.isRegularFile && isPartFileName(name))
-            out += new org.apache.hadoop.fs.FileStatus(attrs.size(), false,
-              1, 128L * 1024 * 1024, attrs.lastModifiedTime().toMillis,
-              new Path(f.toUri))
-          java.nio.file.FileVisitResult.CONTINUE
-        }
-        override def visitFileFailed(f: java.nio.file.Path,
-            e: java.io.IOException): java.nio.file.FileVisitResult =
-          java.nio.file.FileVisitResult.CONTINUE
-      })
-    Some(out.result().sortBy(_.getPath.toString))
+    // an explicit FILE path is read as-is (the partFiles contract —
+    // name filtering applies only to directory walks)
+    if (java.nio.file.Files.isRegularFile(base))
+      return Some(Seq(new org.apache.hadoop.fs.FileStatus(
+        java.nio.file.Files.size(base), false, 1, 128L * 1024 * 1024,
+        java.nio.file.Files.getLastModifiedTime(base).toMillis,
+        new Path(base.toUri))))
+    def walkOne(root: java.nio.file.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      java.nio.file.Files.walkFileTree(root,
+        java.util.EnumSet.of(java.nio.file.FileVisitOption.FOLLOW_LINKS),
+        Integer.MAX_VALUE,
+        new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+          override def visitFile(f: java.nio.file.Path,
+              attrs: java.nio.file.attribute.BasicFileAttributes)
+              : java.nio.file.FileVisitResult = {
+            val name = f.getFileName.toString
+            if (attrs.isRegularFile && isPartFileName(name))
+              out += new org.apache.hadoop.fs.FileStatus(attrs.size(), false,
+                1, 128L * 1024 * 1024, attrs.lastModifiedTime().toMillis,
+                new Path(f.toUri))
+            java.nio.file.FileVisitResult.CONTINUE
+          }
+          override def visitFileFailed(f: java.nio.file.Path,
+              e: java.io.IOException): java.nio.file.FileVisitResult =
+            java.nio.file.FileVisitResult.CONTINUE
+        })
+      out.result()
+    }
+    // wide hive layouts (10⁴-10⁵ key=value dirs) are stat-bound, not
+    // CPU-bound: fan the per-subdirectory walks over a bounded pool
+    // (same 32-thread discipline as writeGeoMetadata). The top level is
+    // listed once; each first-level DIRECTORY walks independently;
+    // first-level files are kept directly.
+    val firstLevel = {
+      val s = java.nio.file.Files.list(base)
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) b += it.next()
+        b.result()
+      } finally s.close()
+    }
+    val (dirs, files) = firstLevel.partition(p =>
+      java.nio.file.Files.isDirectory(p))
+    val par = math.min(32, Runtime.getRuntime.availableProcessors)
+    val fromDirs: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (dirs.sizeIs <= 4 || par <= 1) dirs.flatMap(walkOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        try {
+          dirs.map { d =>
+            pool.submit(new java.util.concurrent.Callable[
+              Seq[org.apache.hadoop.fs.FileStatus]] {
+              override def call() = walkOne(d)
+            })
+          }.flatMap { f =>
+            try f.get()
+            catch {
+              case ee: java.util.concurrent.ExecutionException
+                if ee.getCause != null => throw ee.getCause
+            }
+          }
+        } finally pool.shutdownNow()
+      }
+    val fromFiles = files.flatMap { f =>
+      val name = f.getFileName.toString
+      if (isPartFileName(name) && java.nio.file.Files.isRegularFile(f))
+        Some(new org.apache.hadoop.fs.FileStatus(java.nio.file.Files.size(f),
+          false, 1, 128L * 1024 * 1024,
+          java.nio.file.Files.getLastModifiedTime(f).toMillis,
+          new Path(f.toUri)))
+      else None
+    }
+    Some((fromDirs ++ fromFiles).sortBy(_.getPath.toString))
   }
 
   /** All parquet part-files under a path (single file or directory). */

@@ -1158,6 +1158,26 @@ object GeoTable {
     * None (remote scheme, empty dir, or any failure) falls back to the
     * stock reader.
     */
+  /** Deep nullable-ification, mirroring Spark's private
+    * `StructType.asNullable` that stock DataSource resolution applies to
+    * file-sourced data schemas (files may appear/disappear between
+    * planning and execution, so parquet `required` never survives into
+    * the relation schema).
+    */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = deepNullable(m.keyType),
+        valueType = deepNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   private[graft] def fastLocalParquetDf(spark: SparkSession, path: String,
       mergeSchema: Boolean): Option[DataFrame] =
     try {
@@ -1176,15 +1196,80 @@ object GeoTable {
         val opts = Map("mergeSchema" -> mergeSchema.toString,
           "basePath" -> qualified.toString)
         val index = new InMemoryFileIndex(spark, Seq(qualified), opts,
-          userSpecifiedSchema = None, fileStatusCache = cache)
+          userSpecifiedSchema = None, fileStatusCache = cache,
+          userSpecifiedPartitionSpec =
+            certainlyStringPartitionSpec(qualified, statuses))
         val fmt = new ParquetFileFormat
-        fmt.inferSchema(spark, opts, statuses.toIndexedSeq).map { dataSchema =>
+        // mergeSchema=false needs ONE representative footer — handing
+        // inferSchema all 30k statuses costs ~1 s of driver list
+        // processing before it reads that one footer anyway
+        val inferOver =
+          if (mergeSchema) statuses.toIndexedSeq else statuses.take(1).toIndexedSeq
+        fmt.inferSchema(spark, opts, inferOver).map { dataSchema =>
+          // stock DataSource resolution forces the data schema nullable
+          // (files may appear/disappear); mirror it for schema parity
           spark.baseRelationToDataFrame(HadoopFsRelation(index,
-            index.partitionSpec().partitionColumns, dataSchema,
+            index.partitionSpec().partitionColumns,
+            deepNullable(dataSchema).asInstanceOf[org.apache.spark.sql.types.StructType],
             bucketSpec = None, fmt, opts)(spark))
         }
       }
     } catch { case _: Throwable => None }
+
+  /** Pre-built partition spec for hive layouts whose every partition
+    * value is PROVABLY a string under Spark's own inference rules —
+    * Spark's `parsePartitions` discovers a value's type by try-cast
+    * (Integer → Long → Decimal → Date → Timestamp), each failure an
+    * explicitly-constructed exception with a filled stack trace; a
+    * 3×10⁴-directory H3 layout (hex values: every cast fails) pays
+    * ~150k exceptions ≈ 2-3 s of driver time inferring "string" 30k
+    * times. A value that contains a letter can never be numeric, a
+    * date, or a timestamp — the ONLY lettered shapes Spark's chain can
+    * accept are scientific-notation decimals (`1e5`), the hive null
+    * marker, and escaped (`%`) sequences, all of which (plus any
+    * non-lettered value, mixed key sequences, or files at the root)
+    * return None here → the stock inference runs and semantics are
+    * untouched. So this is a pure fast path: it fires only when its
+    * answer is PROVABLY the answer stock inference would produce.
+    */
+  private[graft] def certainlyStringPartitionSpec(
+      qualifiedBase: org.apache.hadoop.fs.Path,
+      statuses: Array[org.apache.hadoop.fs.FileStatus])
+      : Option[org.apache.spark.sql.execution.datasources.PartitionSpec] = {
+    import org.apache.spark.sql.execution.datasources.{PartitionPath, PartitionSpec}
+    val baseStr = qualifiedBase.toString
+    val dirs = statuses.map(_.getPath.getParent).distinct
+    val letter = java.util.regex.Pattern.compile("[A-Za-z]")
+    val sciNum = java.util.regex.Pattern.compile("^[0-9]+[eE][+-]?[0-9]+$")
+    def certainlyString(v: String): Boolean =
+      v.nonEmpty && !v.contains('%') && v != "__HIVE_DEFAULT_PARTITION__" &&
+        letter.matcher(v).find() && !sciNum.matcher(v).matches() &&
+        !v.equalsIgnoreCase("true") && !v.equalsIgnoreCase("false") &&
+        !v.equalsIgnoreCase("nan") && !v.equalsIgnoreCase("infinity")
+    val parsed = dirs.map { d =>
+      val s = d.toString
+      if (!s.startsWith(baseStr)) return None
+      val rel = s.substring(baseStr.length).stripPrefix("/")
+      if (rel.isEmpty) return None // files at the root: not a hive layout
+      val kvs = rel.split('/').map { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0 || i == seg.length - 1) return None
+        (seg.substring(0, i), seg.substring(i + 1))
+      }
+      if (!kvs.forall(kv => certainlyString(kv._2))) return None
+      (d, kvs)
+    }
+    val keys = parsed.head._2.map(_._1).toSeq
+    if (!parsed.forall(_._2.map(_._1).toSeq == keys)) return None
+    val schema = org.apache.spark.sql.types.StructType(keys.map(k =>
+      org.apache.spark.sql.types.StructField(k,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    Some(PartitionSpec(schema, parsed.toIndexedSeq.map { case (d, kvs) =>
+      PartitionPath(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        kvs.toIndexedSeq.map(kv =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(kv._2))), d)
+    }))
+  }
 
   def read(spark: SparkSession, path: String,
       mergeSchema: Boolean = false): GeoTable = {
@@ -1192,8 +1277,27 @@ object GeoTable {
       spark.read.option("mergeSchema", mergeSchema.toString).parquet(path))
     // firstPartFile, not partFiles().headOption: one footer is enough for
     // geo metadata + graft:partitioning, and the early-exit descent keeps
-    // read planning O(depth), not O(files), on wide hive layouts
+    // read planning O(depth), not O(files), on wide hive layouts.
+    // Degradation contract (ADVICE r15): the O(depth) pick assumes every
+    // part carries identical graft footers — true for completed writes,
+    // violated by a previously-FAILED partial writeGeoMetadata pass. If
+    // the first pick carries NO graft keys, scan a bounded prefix of the
+    // full listing for one that does, so a partially-footered dataset
+    // reads its metadata deterministically instead of depending on which
+    // file the descent happened to reach.
     val firstInfo = Footer.firstPartFile(path).map(p => Footer.read(p))
+      .map { info =>
+        val hasGraftKeys = info.geo.isDefined || info.keyValueMeta
+          .contains(graft.meta.SpatialPartitioning.FooterKey)
+        if (hasGraftKeys) info
+        else
+          (try Footer.partFiles(path).iterator.take(16)
+              .map(p => Footer.read(p))
+              .find(i => i.geo.isDefined || i.keyValueMeta
+                .contains(graft.meta.SpatialPartitioning.FooterKey))
+            catch { case _: Throwable => None })
+            .getOrElse(info)
+      }
     val geoMeta = firstInfo.flatMap(_.geo)
     val partitioning = firstInfo
       .flatMap(_.keyValueMeta.get(graft.meta.SpatialPartitioning.FooterKey))

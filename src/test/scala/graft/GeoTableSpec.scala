@@ -508,6 +508,73 @@ class GeoTableSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getLong(0) == 8L)
   }
 
+  test("certainlyStringPartitionSpec: fires only where stock inference " +
+      "would answer string; schema parity with spark.read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psfast").toString
+    val df = spark.range(0, 60).toDF("id")
+      .withColumn("cell", concat(lit("8a2a"), format_string("%x", col("id"))))
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), lit(1.0)))
+    df.write.partitionBy("cell").parquet(s"$dir/h3")
+    // lettered hex values: fast path fires AND matches the stock reader
+    val fast = GeoTable.fastLocalParquetDf(spark, s"$dir/h3", false).get
+    val stock = spark.read.parquet(s"$dir/h3")
+    assert(fast.schema == stock.schema,
+      s"fast ${fast.schema.sql} != stock ${stock.schema.sql}")
+    assert(fast.count() == 60 &&
+      fast.filter(col("cell") === "8a2a1f").count() ==
+        stock.filter(col("cell") === "8a2a1f").count())
+    // all-digit values (quadkey shape): provably-string does NOT hold,
+    // the spec must decline so stock int inference runs
+    val dfq = spark.range(0, 20).toDF("id")
+      .withColumn("qk", (col("id") % 4).cast("string"))
+    dfq.write.partitionBy("qk").parquet(s"$dir/qk")
+    val st = graft.meta.Footer.partFileStatuses(s"$dir/qk").get
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/qk")
+    val q = root.getFileSystem(conf).makeQualified(root)
+    val qualified = st.map(s => new org.apache.hadoop.fs.FileStatus(
+      s.getLen, false, 1, s.getBlockSize, s.getModificationTime,
+      root.getFileSystem(conf).makeQualified(s.getPath))).toArray
+    assert(GeoTable.certainlyStringPartitionSpec(q, qualified).isEmpty)
+    // and the full fast read still agrees with stock (int-typed qk)
+    val fastQ = GeoTable.fastLocalParquetDf(spark, s"$dir/qk", false).get
+    assert(fastQ.schema == spark.read.parquet(s"$dir/qk").schema)
+  }
+
+  test("read degrades deterministically on a partially-footered dataset " +
+      "(ADVICE r15: failed writeGeoMetadata pass)") {
+    import graft.meta.{Footer, GeoMeta}
+    import org.apache.hadoop.conf.Configuration
+    // plain parquet write (no graft footers), then footers applied to
+    // all parts EXCEPT the lexically-first — the state a partial
+    // writeGeoMetadata failure leaves behind. The O(depth) first pick
+    // then sees an un-footered file; read must scan on and still find
+    // the geo metadata instead of silently degrading to heuristics.
+    val df = spark.range(1, 41).toDF("id")
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), lit(2.0)))
+      .repartitionByRange(3, col("id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_partial")
+      .toString + "/d"
+    df.write.parquet(out)
+    val conf = new Configuration()
+    val parts = Footer.partFiles(out, conf)
+    assume(parts.length >= 2, "fixture needs multiple parts")
+    val geo = GeoMeta(primaryColumn = "geometry",
+      columns = Map("geometry" -> graft.meta.GeoColumnMeta()))
+    parts.tail.foreach { p =>
+      Footer.withKeyValueMetadata(p,
+        Map(GeoMeta.FooterKey -> GeoMeta.toJson(geo)), conf)
+    }
+    assert(Footer.read(parts.head, conf).geo.isEmpty,
+      "fixture must leave the first part un-footered")
+    val t = GeoTable.read(spark, out)
+    assert(t.meta.primaryColumn == "geometry")
+    assert(t.geometryColumn.contains("geometry"))
+    assert(t.df.count() == 40)
+  }
+
   test("addBboxMetadata preserves each part's own per-file bbox") {
     import graft.meta.{Footer, GeoMeta}
     import org.apache.hadoop.conf.Configuration
