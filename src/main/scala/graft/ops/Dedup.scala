@@ -256,6 +256,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-run recall self-report for [[ngramJaccardNearDups]] (round-16,
+    * completing the capped-pair-report family with
+    * `Multimodal.phashRecallReport` / `videoRecallReport`): given
+    * reference pairs (`id_a`, `id_b`), replays the operator's own
+    * decision — jaccard over the PRUNED (df ≤ maxDf) gram sets ≥
+    * threshold, with at least one shared surviving gram — against the
+    * true gram-df census, so a production dedup run reports exactly
+    * what its `maxDf` setting can still find on a labeled sample.
+    * Returns one row: (n_ref, n_detectable, recall_bound). The
+    * pruned-set symmetry is why this operator's recall reads ≈ 1.0 at
+    * every cap on the RecallCurve fixture: pruning removes a gram from
+    * BOTH sides' sets, so the ratio barely moves.
+    */
+  def ngramRecallReport(df: DataFrame, textCol: String, idCol: String,
+      refPairs: DataFrame, n: Int = 4, threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    val gramExpr =
+      if (n <= 8) graft.functions.SketchExpressions.char_ngram_codes(col("__t"), n)
+      else graft.functions.SketchExpressions.char_ngrams(col("__t"), n)
+    val grams = df.select(col(idCol).cast("long").as("__id"),
+        normalizeNN(col(textCol)).as("__t"))
+      .select(col("__id"), explode(gramExpr).as("__g"))
+      .localCheckpoint(false)
+    val pruned = grams.join(
+        grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select(col("__g")),
+        Seq("__g"))
+      .localCheckpoint(false)
+    val sizes = pruned.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val pairs = refPairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    val shared = pairs
+      .join(pruned.select(col("__id").as("id_a"), col("__g")), Seq("id_a"))
+      .join(pruned.select(col("__id").as("id_b"), col("__g")),
+        Seq("id_b", "__g"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__c"))
+    pairs
+      .join(shared, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")),
+        Seq("id_a"), "left")
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb")),
+        Seq("id_b"), "left")
+      .select((coalesce(col("__c"), lit(0L)) >= 1L &&
+        coalesce(col("__c"), lit(0L)).cast("double") /
+          (col("__sa") + col("__sb") - col("__c")).cast("double") >=
+          threshold).as("__det"))
+      .agg(count(lit(1)).as("n_ref"),
+        sum(when(coalesce(col("__det"), lit(false)), 1L).otherwise(0L))
+          .as("n_detectable"))
+      .select(col("n_ref"), col("n_detectable"),
+        (col("n_detectable").cast("double") /
+          col("n_ref").cast("double")).as("recall_bound"))
+  }
+
   /** Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking
     * (builder-prompt: "embedding-cosine near-dup"), the declared q27
     * path. Same shape as [[minhashNearDups]]: each vector gets a

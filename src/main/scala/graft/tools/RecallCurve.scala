@@ -249,8 +249,17 @@ object RecallCurve {
       val wanted = planted.map { case (id, _, baseId) =>
         (math.min(id, baseId), math.max(id, baseId)) }.toSet
       val hit = wanted.count(got.toSet.contains)
+      // the shipped self-report must agree with measured recall (r16:
+      // the census identity as API, same as the phash/video tiers)
+      val refPairs = planted.map { case (id, _, baseId) => (id, baseId) }
+        .toSeq.toDF("id_a", "id_b")
+      val rep = graft.ops.Dedup.ngramRecallReport(all, "text", "doc_id",
+        refPairs, n = 4, threshold = 0.5, maxDf = cap).head()
       println(f"[recall] ngram cap=$cap%-6d recall=${hit.toDouble / nPairs}%.4f " +
+        f"(self-report ${rep.getDouble(2)}%.4f) " +
         f"emitted=${got.length}%-9d sec=$sec%.2f")
+      require(rep.getLong(1) == hit.toLong,
+        s"ngramRecallReport (${rep.getLong(1)}) != measured recall ($hit) at cap $cap")
     }
   }
 }

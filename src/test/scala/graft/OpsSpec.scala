@@ -417,6 +417,33 @@ class OpsSpec extends AnyFunSuite {
         s"video report ${rep.getLong(1)} != measured $hit at cap $cap")
       assert(rep.getDouble(2) == hit.toDouble / 30.0)
     }
+    // --- ngram: 200 docs x 30 Zipf-ish tokens, 25 planted partners ----
+    def tok(): String = "w" + (1 + rnd.nextInt(300))
+    val tbase = Array.tabulate(200)(i =>
+      (i.toLong, Array.fill(30)(tok()).mkString(" ")))
+    val tplanted = Array.tabulate(25) { j =>
+      val a = rnd.nextInt(200)
+      val ts = tbase(a)._2.split(" ")
+      ts(rnd.nextInt(ts.length)) = tok()
+      ((200 + j).toLong, ts.mkString(" "), tbase(a)._1)
+    }
+    val docs = (tbase.map(t => (t._1, t._2)) ++
+      tplanted.map(t => (t._1, t._2))).toSeq.toDF("doc_id", "text")
+    val trefs = tplanted.map(p => (p._1, p._3)).toSeq.toDF("id_a", "id_b")
+    for (cap <- Seq(8, 64)) {
+      val found = graft.ops.Dedup.ngramJaccardNearDups(docs, "text",
+          "doc_id", n = 4, threshold = 0.5, maxDf = cap)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val hit = tplanted.count(p =>
+        found.contains((math.min(p._1, p._3), math.max(p._1, p._3))))
+      val rep = graft.ops.Dedup.ngramRecallReport(docs, "text", "doc_id",
+        trefs, n = 4, threshold = 0.5, maxDf = cap).head()
+      assert(rep.getLong(0) == 25L)
+      assert(rep.getLong(1) == hit.toLong,
+        s"ngram report ${rep.getLong(1)} != measured $hit at cap $cap")
+    }
   }
 
   test("real image decode: png/jpeg/bmp round-trip, corrupt falls to stub") {
