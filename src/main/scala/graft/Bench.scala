@@ -471,7 +471,7 @@ object Bench {
        // weak_in_suite (= the adjudication candidates) stays in the head
        // line next to the adjudicated set so a consistent in-suite
        // regression is visible even in the truncated stdout tail
-       else s""","n_adjudicated":${adjudicated.size},"weak_in_suite":${adjudicated.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")}""") +
+       else s""","n_adjudicated":${adjudicated.size},"weak_in_suite":${adjudicated.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")},"weak_suppressed_floor":${suppressed.map { case (k, e) => f""""$k":$e%.3f""" }.mkString("{", ",", "}")}""") +
       loadJson + errJson
     val entries = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
     // the reserve must cover the queries_note SUFFIX (~75 chars) that

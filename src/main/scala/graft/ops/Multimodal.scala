@@ -1568,11 +1568,18 @@ object Multimodal {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_frames"))
       .where(col("shared_frames") >= floor.toLong)
+    // shuffle_hash, NEVER broadcast: vstats is one row per VIDEO — at
+    // corpus scale it's far too large to build on the driver, but
+    // Spark's post-aggregation size estimate reads it as tiny and picks
+    // a broadcast (the ×100 class-scaled ScaleCurve tier OOMed the
+    // driver on exactly this exchange at 5×10⁵ videos). The id-keyed
+    // shuffle-hash join is safe at every scale and the pairs side is
+    // already floor-filtered.
     pairs
       .join(vstats.select(col("__id").as("id_a"), col("__n").as("__na"),
-        col("__nsurv").as("__nsa")), Seq("id_a"))
+        col("__nsurv").as("__nsa")).hint("shuffle_hash"), Seq("id_a"))
       .join(vstats.select(col("__id").as("id_b"), col("__n").as("__nb"),
-        col("__nsurv").as("__nsb")), Seq("id_b"))
+        col("__nsurv").as("__nsb")).hint("shuffle_hash"), Seq("id_b"))
       .where(col("shared_frames") * least(col("__na"), col("__nb")) >=
         lit(minShared.toLong) * least(col("__nsa"), col("__nsb")))
       .select(col("id_a"), col("id_b"), col("shared_frames"))
