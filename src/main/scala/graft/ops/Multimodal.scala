@@ -1553,7 +1553,9 @@ object Multimodal {
     val nSurv = posting
       .select(explode(col("__ids")).as("__id"))
       .groupBy(col("__id")).agg(count(lit(1)).as("__nsurv"))
-    val vstats = nAll.join(nSurv, Seq("__id"), "left")
+    // shuffle_hash for the same reason as the pairs⋈vstats joins below:
+    // nSurv is one row per video and must never build on the driver
+    val vstats = nAll.join(nSurv.hint("shuffle_hash"), Seq("__id"), "left")
       .select(col("__id"), col("__n"),
         coalesce(col("__nsurv"), lit(0L)).as("__nsurv"))
     // the evidence floor is applied BEFORE the stats joins: singleton-

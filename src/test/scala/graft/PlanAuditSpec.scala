@@ -157,6 +157,24 @@ class PlanAuditSpec extends AnyFunSuite {
         s"the only one allowed):\n$plan")
   }
 
+  test("videoNearDups never broadcasts a per-video relation (r16 x100 " +
+      "OOM)") {
+    // every join in the operator has an O(corpus-rows) build side
+    // (per-video stats, per-video surviving counts); AQE converted one
+    // to broadcast at the x100 class-scaled tier and OOMed the driver —
+    // the shuffle_hash hints must hold on ALL of them
+    import spark.implicits._
+    val fh = (1 to 2000).flatMap(i => (1 to 4).map(f =>
+      (i.toLong, (f % 17).toLong, ((i % 41) * f).toLong)))
+      .toDF("doc_id", "frame_hi", "frame_lo")
+    val plan = graft.ops.Multimodal.videoNearDups(fh, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastExchange"),
+      s"a per-video relation is broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("q73's confirm join probes only bloom-positive rows") {
     // the bloom contract: the exact digest join must sit behind the
     // bitmap prefilter (probe side filtered on bloom_hit), and the
