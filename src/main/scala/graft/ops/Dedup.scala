@@ -247,9 +247,15 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__c"))
     val sizes = counts.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("__id"), col("__c").as("__sz"))
+    // shuffle_hash, never broadcast: sizes is one row per DOCUMENT —
+    // the same hazard class the ×100 video tier OOMed on (AQE can pick
+    // a broadcast when the post-filter size estimate lands near the
+    // threshold; at corpus scale the build never fits the driver)
     counts.filter(col("id_a") < col("id_b"))
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("jaccard",
         col("__c").cast("double") / (col("__sa") + col("__sb") - col("__c")))
       .filter(col("jaccard") >= threshold)

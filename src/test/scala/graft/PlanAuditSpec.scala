@@ -173,6 +173,16 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastExchange"),
       s"a per-video relation is broadcast:\n$plan")
     assert(plan.contains("ShuffledHashJoin"), plan)
+    // same invariant for the ngram path's per-document sizes joins
+    val docs = (1 to 500).map(i =>
+      (i.toLong, s"w${i % 7} w${i % 11} w${i % 13} w${i % 17} w$i common"))
+      .toDF("doc_id", "text")
+    val nplan = graft.ops.Dedup
+      .ngramJaccardNearDups(docs, "text", "doc_id", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(!nplan.contains("BroadcastHashJoin") &&
+      !nplan.contains("BroadcastExchange"),
+      s"a per-document relation is broadcast:\n$nplan")
   }
 
   test("q73's confirm join probes only bloom-positive rows") {
