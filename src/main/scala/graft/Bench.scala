@@ -404,11 +404,16 @@ object Bench {
     val adjJson =
       if (adjudicated.isEmpty) ""
       else {
+        // leniency direction, stated (ADVICE r16): the shared
+        // denominator max(snapshot, same-window) is systematically the
+        // SLOWER oracle reading, i.e. engine-favorable; ratio_vs_snapshot
+        // publishes the strict-denominator ratio alongside so a reader
+        // sees both without recomputing.
         val items = adjudicated.map { case (k, ins, solo, d, sw) =>
           val den = oracleDenominator(d, sw)
           f""""$k":{"in_suite":$ins%.3f,"solo_best5":$solo%.3f,"oracle":$d%.3f,""" +
             sw.map(v => f""""oracle_same_window":$v%.3f,""").getOrElse("") +
-            f""""ratio_in_suite":${ins / math.max(d, 1e-9)}%.1f,"ratio_solo":${solo / math.max(den, 1e-9)}%.1f}"""
+            f""""ratio_in_suite":${ins / math.max(d, 1e-9)}%.1f,"ratio_solo":${solo / math.max(den, 1e-9)}%.1f,"ratio_vs_snapshot":${solo / math.max(d, 1e-9)}%.1f}"""
         }.mkString("{", ",", "}")
         val suppJson = suppressed.map { case (k, e) =>
           f""""$k":$e%.3f""" }.mkString("{", ",", "}")

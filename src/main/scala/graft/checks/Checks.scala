@@ -32,7 +32,9 @@ object Checks {
   def inspect(path: String): InspectSummary = {
     val conf = Footer.newConf()
     val parts = Footer.partFiles(path, conf)
-    val infos = parts.map(p => Footer.read(p, conf))
+    // parallel footer fan-out (ADVICE r16): serial per-part reads made
+    // inspect an O(files) driver stall on wide hive layouts
+    val infos = Footer.readMany(parts, conf)
     val geo = infos.headOption.flatMap(_.geo)
     val fs = new Path(path).getFileSystem(conf)
     val size = parts.map(p => fs.getFileStatus(p).getLen).sum

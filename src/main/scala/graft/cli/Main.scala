@@ -1271,12 +1271,25 @@ object Main {
         if (flag(rest, "verbose")) {
           val conf = graft.meta.Footer.newConf()
           val parts = graft.meta.Footer.partFiles(rest.head, conf)
+          if (parts.isEmpty)
+            throw new CheckFailure(
+              s"inspect --verbose: no parquet part files under ${rest.head}")
+          // bounded per-part listing (ADVICE r16): a serial footer read
+          // per part is a multi-minute stall on 3e4-directory layouts —
+          // list the first N (default 20, --parts N) and summarize the
+          // rest; the parallel-footer sum keeps the total row count
+          // exact without serializing on the driver
+          val cap = opt(rest, "parts").map(_.toInt).getOrElse(20)
+          val shown = parts.take(cap)
           println(s"part files: ${parts.size}")
-          parts.foreach { p =>
-            val fi = graft.meta.Footer.read(p, conf)
+          val infos = graft.meta.Footer.readMany(shown, conf)
+          shown.zip(infos).foreach { case (p, fi) =>
             println(s"  $p  rows=${fi.rowCount}  rowGroups=${fi.numRowGroups}")
           }
-          val head = graft.meta.Footer.read(parts.head, conf)
+          if (parts.size > cap)
+            println(s"  ... ${parts.size - cap} more part files " +
+              s"(--parts N to list more)")
+          val head = infos.head
           println("schema:")
           head.schemaInfo.foreach { f =>
             val t = f.primitiveType.orElse(f.logicalType)

@@ -1254,6 +1254,11 @@ object GeoTable {
       val kvs = rel.split('/').map { seg =>
         val i = seg.indexOf('=')
         if (i <= 0 || i == seg.length - 1) return None
+        // '%' in the KEY too (ADVICE r16): stock parsePartitions
+        // unescapes key names ('a%20b' → 'a b'); our verbatim key would
+        // produce a different partition-column name, so escaped keys
+        // must defer to stock inference just like escaped values
+        if (seg.substring(0, i).contains('%')) return None
         (seg.substring(0, i), seg.substring(i + 1))
       }
       if (!kvs.forall(kv => certainlyString(kv._2))) return None

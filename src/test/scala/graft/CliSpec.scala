@@ -152,6 +152,34 @@ class CliSpec extends AnyFunSuite {
     assert(e.toString.contains("stac item:"), e.toString)
   }
 
+  test("inspect --verbose bounds the per-part listing and fails loud on " +
+      "an empty tree (ADVICE r16)") {
+    val dir = tmp("verbose_bound")
+    val df = spark.range(0, 120).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 90, col("id") % 45))
+      .repartition(6)
+    GeoTable.fromDataFrame(df, "geometry").write(s"$dir/many.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, Seq("inspect", s"$dir/many.parquet", "--verbose",
+        "--parts", "2"))
+    }
+    val printed = out.toString
+    assert(printed.contains("part files: 6"), printed)
+    assert(printed.contains("... 4 more part files"), printed)
+    // only the capped 2 parts got per-file lines
+    assert(printed.linesIterator.count(_.contains("rowGroups=")) == 2,
+      printed)
+    // empty tree: a readable gate failure, not NoSuchElementException
+    val empty = tmp("verbose_empty")
+    val err = intercept[Exception] {
+      Main.run(spark, Seq("inspect", empty, "--verbose"))
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("no parquet part files"),
+      s"${err.getClass}: ${err.getMessage}")
+  }
+
   test("check dispatch hardening (r12): --all flag-first, spatial " +
       "failure raises CheckFailure, --files dispatch modes") {
     val dir = tmp("dispatch")

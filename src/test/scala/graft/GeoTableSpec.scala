@@ -540,6 +540,75 @@ class GeoTableSpec extends AnyFunSuite {
     // and the full fast read still agrees with stock (int-typed qk)
     val fastQ = GeoTable.fastLocalParquetDf(spark, s"$dir/qk", false).get
     assert(fastQ.schema == spark.read.parquet(s"$dir/qk").schema)
+    // escaped KEY name (ADVICE r16): stock parsePartitions unescapes
+    // 'a%20b' to column 'a b'; the fast spec must decline rather than
+    // produce a differently-named partition column
+    val escDir = java.nio.file.Files.createTempDirectory("graft_esckey")
+    val sub = escDir.resolve("a%20b=xy")
+    java.nio.file.Files.createDirectories(sub)
+    val one = spark.range(0, 3).toDF("id")
+    one.write.mode("overwrite").parquet(sub.toString)
+    // drop the nested _SUCCESS so the layout is a clean hive dir
+    java.nio.file.Files.deleteIfExists(sub.resolve("_SUCCESS"))
+    val escSt = graft.meta.Footer.partFileStatuses(escDir.toString).get
+    val escRoot = new org.apache.hadoop.fs.Path(escDir.toString)
+    val escQ = escRoot.getFileSystem(conf).makeQualified(escRoot)
+    val escStatuses = escSt.map(s => new org.apache.hadoop.fs.FileStatus(
+      s.getLen, false, 1, s.getBlockSize, s.getModificationTime,
+      escRoot.getFileSystem(conf).makeQualified(s.getPath))).toArray
+    assert(GeoTable.certainlyStringPartitionSpec(escQ, escStatuses).isEmpty,
+      "escaped key names must defer to stock inference")
+    // and end-to-end the fast read still matches stock ('a b' column)
+    val fastE = GeoTable.fastLocalParquetDf(spark, escDir.toString, false).get
+    assert(fastE.schema == spark.read.parquet(escDir.toString).schema)
+  }
+
+  test("partFileStatuses declines trees holding non-hidden non-parquet " +
+      "data files (ADVICE r16: stock reads them; a partial listing " +
+      "would drop rows) but prunes hidden subtrees") {
+    import graft.meta.Footer
+    val dir = java.nio.file.Files.createTempDirectory("graft_foreign")
+    val sub = dir.resolve("k=a")
+    java.nio.file.Files.createDirectories(sub)
+    spark.range(0, 5).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(sub.toString)
+    java.nio.file.Files.deleteIfExists(sub.resolve("_SUCCESS"))
+    assert(Footer.partFileStatuses(dir.toString).exists(_.nonEmpty))
+    // hidden staging subtree with junk inside: still fast-path eligible
+    val hid = dir.resolve("_temporary/x")
+    java.nio.file.Files.createDirectories(hid)
+    java.nio.file.Files.writeString(hid.resolve("junk.txt"), "x")
+    assert(Footer.partFileStatuses(dir.toString).exists(_.nonEmpty),
+      "hidden subtrees must not count as foreign")
+    // a parquet DATA file without the .parquet suffix (Hive writes
+    // these): the fast path must decline so the stock reader, which
+    // includes every non-hidden file, keeps those rows
+    val bare = sub.resolve("000000_0")
+    val src = {
+      val s = java.nio.file.Files.list(sub)
+      try {
+        val it = s.iterator()
+        var found: java.nio.file.Path = null
+        while (it.hasNext && found == null) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) found = p
+        }
+        found
+      } finally s.close()
+    }
+    java.nio.file.Files.copy(src, bare)
+    assert(Footer.partFileStatuses(dir.toString).isEmpty,
+      "a non-hidden non-.parquet data file must force the stock reader")
+    // and GeoTable.read sees ALL rows via the stock fallback
+    assert(GeoTable.read(spark, dir.toString).df.count() == 10)
+    // foreign file at the ROOT level (not in a subdir) declines too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_foreign2")
+    spark.range(0, 4).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(dir2.resolve("d").toString)
+    val d2 = dir2.resolve("d")
+    java.nio.file.Files.deleteIfExists(d2.resolve("_SUCCESS"))
+    java.nio.file.Files.writeString(d2.resolve("README"), "not parquet")
+    assert(Footer.partFileStatuses(d2.toString).isEmpty)
   }
 
   test("read degrades deterministically on a partially-footered dataset " +
