@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, TernaryExpression, QuaternaryExpression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -52,6 +53,137 @@ object SketchEval {
       new GenericInternalRow(Array[Any](w.toLong, h.toLong, s))
     }
   }
+
+  /** Media-meta decode kernel (round-17, VERDICT r16 #2: withDecodedMeta
+    * was the first of five mapPartitions media kernels promoted to
+    * expressions on the ResizePayload/LumStats template). Image payloads
+    * take the certified javax.imageio path; everything else (and
+    * undecodable image bytes) the deterministic stub — the SAME
+    * [[graft.ops.Multimodal.decodeStub]] definition, so batch, CLI, and
+    * streaming verdicts stay identical. Null payload / null media type
+    * are VALUES here (the stub's contract), not null-out cases, which is
+    * why [[SketchExpressions.DecodedMeta]] carries its own codegen
+    * instead of nullSafeCodeGen.
+    */
+  def decodedMeta(payload: Array[Byte], mediaType: UTF8String): InternalRow = {
+    val mt = if (mediaType == null) null else mediaType.toString
+    val dims: Option[(Int, Int)] =
+      if (mt == "image") graft.ops.Multimodal.decodeImage(payload) else None
+    dims match {
+      case Some((w, h)) =>
+        new GenericInternalRow(Array[Any](mediaType, payload.length, w, h, 1))
+      case None =>
+        val r = graft.ops.Multimodal.decodeStub(payload, mt)
+        new GenericInternalRow(Array[Any](
+          mediaType, r.get(1), r.get(2), r.get(3), r.get(4)))
+    }
+  }
+
+  /** Average-hash struct (hi, lo) of a decoded image payload, null when
+    * the bytes don't decode — one decode feeds both hash halves
+    * ([[graft.ops.Multimodal.aHashOf]], the single bit-formula
+    * definition batch + streaming key on).
+    */
+  def aHash(payload: Array[Byte]): InternalRow =
+    graft.ops.Multimodal.aHashOf(payload) match {
+      case Some((hi, lo)) => new GenericInternalRow(Array[Any](hi, lo))
+      case None           => null
+    }
+
+  /** Integer-exact decoded-audio features as one struct row
+    * (sample_rate, n_samples, peak, sum_sq, zero_cross); null when the
+    * payload doesn't parse as 16-bit PCM mono — ONE decode feeds all
+    * five columns.
+    */
+  def audioFeatures(payload: Array[Byte]): InternalRow =
+    graft.ops.Multimodal.parseWavPcm16(payload) match {
+      case Some((rate, samples)) =>
+        val (n, peak, sumSq, zc) = graft.ops.Multimodal.audioFeatures(samples)
+        new GenericInternalRow(Array[Any](rate.toLong, n, peak, sumSq, zc))
+      case None => null
+    }
+
+  /** Quantized energy-envelope fingerprint of a decoded clip
+    * ([[graft.ops.Multimodal.audioEnvelopeFp]] — the identical key the
+    * batch dedup groups on and the streaming twin drops duplicates by);
+    * null when undecodable.
+    */
+  def audioFp(payload: Array[Byte]): java.lang.Long =
+    graft.ops.Multimodal.parseWavPcm16(payload) match {
+      case Some((_, samples)) =>
+        java.lang.Long.valueOf(graft.ops.Multimodal.audioEnvelopeFp(samples))
+      case None => null
+    }
+
+  /** Per-sampled-frame stats of a decoded GIF container — one array
+    * entry per kept frame (every `everyN`-th): (frame_idx, n_frames,
+    * sum_lum). Null for undecodable payloads (explode then emits no
+    * rows — the dedup-family discipline the former flatMap enforced).
+    */
+  def gifFrameStats(payload: Array[Byte], everyN: Int): ArrayData =
+    graft.ops.Multimodal.gifFrames(payload) match {
+      case Some(frames) =>
+        val out = new Array[Any]((frames.length + everyN - 1) / everyN)
+        var i = 0
+        var f = 0
+        while (f < frames.length) {
+          var s = 0L
+          val px = frames(f)
+          var p = 0
+          while (p < px.length) { s += px(p); p += 1 }
+          out(i) = new GenericInternalRow(
+            Array[Any](f.toLong, frames.length.toLong, s))
+          i += 1
+          f += everyN
+        }
+        new GenericArrayData(out)
+      case None => null
+    }
+
+  /** DISTINCT per-frame aHashes of a decoded GIF container — one array
+    * entry per distinct frame hash: (n_frames, frame_hi, frame_lo).
+    * Null for undecodable payloads. The single decode+hash definition
+    * ([[graft.ops.Multimodal.decodedFrameHashes]]) behind the batch
+    * inverted index AND the streaming frame dedup.
+    */
+  def frameHashes(payload: Array[Byte]): ArrayData =
+    graft.ops.Multimodal.decodedFrameHashes(payload) match {
+      case Some((nf, hashes)) =>
+        new GenericArrayData(hashes.map { case (hi, lo) =>
+          new GenericInternalRow(Array[Any](nf, hi, lo)): Any
+        })
+      case None => null
+    }
+
+  /** Scene-change reduction of a decoded GIF container to ONE struct
+    * (n_frames, n_cuts, first_cut, activity): consecutive-frame
+    * luminance deltas, cuts where delta > threshold. Null for
+    * undecodable payloads.
+    */
+  def sceneStats(payload: Array[Byte], threshold: Long): InternalRow =
+    graft.ops.Multimodal.gifFrames(payload) match {
+      case Some(frames) =>
+        var cuts = 0L; var firstCut: Any = null
+        var activity = 0L
+        var f = 1
+        while (f < frames.length) {
+          val prev = frames(f - 1); val cur = frames(f)
+          var d = 0L
+          var p = 0
+          while (p < cur.length && p < prev.length) {
+            d += math.abs(cur(p) - prev(p)); p += 1
+          }
+          activity += d
+          if (d > threshold) {
+            cuts += 1
+            if (firstCut == null) firstCut = f.toLong
+          }
+          f += 1
+        }
+        new GenericInternalRow(
+          Array[Any](frames.length.toLong, cuts, firstCut, activity))
+      case None => null
+    }
 
   def simhash64(s: UTF8String): Long =
     graft.ops.Dedup.simhash64(s.toString)
@@ -2271,6 +2403,216 @@ object SketchExpressions {
 
   def lum_stats(payload: Column): Column =
     GraftBridge.column(LumStats(GraftBridge.expression(payload)))
+
+  /** Media-meta decode as a codegen expression ([[SketchEval.decodedMeta]]
+    * — round-17, VERDICT r16 #2). Null payload / null media type are
+    * legitimate INPUT VALUES (the decodeStub contract returns a struct
+    * for both), so this expression carries its own codegen that passes
+    * child nulls through as Java nulls instead of null-ing the result —
+    * the struct itself is never null.
+    */
+  case class DecodedMeta(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+    override def nullable: Boolean = false
+    override def dataType: DataType = graft.ops.Multimodal.mediaMetaType
+    override def eval(input: InternalRow): Any =
+      SketchEval.decodedMeta(
+        left.eval(input).asInstanceOf[Array[Byte]],
+        right.eval(input).asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val l = left.genCode(ctx)
+      val r = right.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${l.code}
+          ${r.code}
+          InternalRow ${ev.value} = $E.decodedMeta(
+            ${l.isNull} ? null : ${l.value},
+            ${r.isNull} ? null : ${r.value});
+        """, isNull = FalseLiteral)
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression) = copy(left = newLeft, right = newRight)
+  }
+
+  def decoded_meta(payload: Column, mediaType: Column): Column =
+    GraftBridge.column(DecodedMeta(GraftBridge.expression(payload),
+      GraftBridge.expression(mediaType)))
+
+  /** Average-hash struct (hi, lo) ([[SketchEval.aHash]]): one decode
+    * feeds both hash halves; null for undecodable payloads.
+    */
+  case class AHash(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("hi", LongType), StructField("lo", LongType)))
+    override protected def nullSafeEval(p: Any): Any =
+      SketchEval.aHash(p.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = $E.aHash($c);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def a_hash(payload: Column): Column =
+    GraftBridge.column(AHash(GraftBridge.expression(payload)))
+
+  /** Decoded-audio feature struct (sample_rate, n_samples, peak,
+    * sum_sq, zero_cross) ([[SketchEval.audioFeatures]]): ONE decode
+    * feeds all five columns; null for payloads that don't parse as
+    * 16-bit PCM mono.
+    */
+  case class AudioFeatures(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("sample_rate", LongType), StructField("n_samples", LongType),
+      StructField("peak", LongType), StructField("sum_sq", LongType),
+      StructField("zero_cross", LongType)))
+    override protected def nullSafeEval(p: Any): Any =
+      SketchEval.audioFeatures(p.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = $E.audioFeatures($c);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def audio_features(payload: Column): Column =
+    GraftBridge.column(AudioFeatures(GraftBridge.expression(payload)))
+
+  /** Decoded-audio envelope fingerprint ([[SketchEval.audioFp]]):
+    * nullable long — null for undecodable payloads.
+    */
+  case class AudioFp(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(p: Any): Any =
+      SketchEval.audioFp(p.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val fp = ctx.freshName("fp")
+        s"""
+           |java.lang.Long $fp = $E.audioFp($c);
+           |if ($fp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $fp.longValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def audio_fp(payload: Column): Column =
+    GraftBridge.column(AudioFp(GraftBridge.expression(payload)))
+
+  /** Per-sampled-frame GIF stats array ([[SketchEval.gifFrameStats]]):
+    * one (frame_idx, n_frames, sum_lum) entry per kept frame; null for
+    * undecodable payloads (explode emits no rows). `everyN` is a
+    * plan-time constant like ResizePayload's target dims.
+    */
+  case class GifFrameStats(child: Expression, everyN: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sum_lum", LongType, nullable = false))),
+      containsNull = false)
+    override protected def nullSafeEval(p: Any): Any =
+      SketchEval.gifFrameStats(p.asInstanceOf[Array[Byte]], everyN)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = $E.gifFrameStats($c, $everyN);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def gif_frame_stats(payload: Column, everyN: Int): Column =
+    GraftBridge.column(GifFrameStats(GraftBridge.expression(payload), everyN))
+
+  /** Distinct per-frame aHash array ([[SketchEval.frameHashes]]): one
+    * (n_frames, frame_hi, frame_lo) entry per distinct decoded frame
+    * hash; null for undecodable payloads.
+    */
+  case class FrameHashes(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("n_frames", LongType, nullable = false),
+      StructField("frame_hi", LongType, nullable = false),
+      StructField("frame_lo", LongType, nullable = false))),
+      containsNull = false)
+    override protected def nullSafeEval(p: Any): Any =
+      SketchEval.frameHashes(p.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = $E.frameHashes($c);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def frame_hashes(payload: Column): Column =
+    GraftBridge.column(FrameHashes(GraftBridge.expression(payload)))
+
+  /** Scene-change reduction struct (n_frames, n_cuts, first_cut,
+    * activity) ([[SketchEval.sceneStats]]): one decode per container,
+    * null for undecodable payloads. `threshold` is a plan-time constant.
+    */
+  case class SceneStats(child: Expression, threshold: Long)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_cuts", LongType, nullable = false),
+      StructField("first_cut", LongType, nullable = true),
+      StructField("activity", LongType, nullable = false)))
+    override protected def nullSafeEval(p: Any): Any =
+      SketchEval.sceneStats(p.asInstanceOf[Array[Byte]], threshold)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = $E.sceneStats($c, ${threshold}L);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def scene_stats(payload: Column, threshold: Long): Column =
+    GraftBridge.column(SceneStats(GraftBridge.expression(payload), threshold))
 
   /** Email/IPv4/phone redaction (linear hand scanners ≡ the fixed
     * regex chain — see SketchEval.piiRedact).

@@ -157,6 +157,63 @@ class PlanAuditSpec extends AnyFunSuite {
         s"the only one allowed):\n$plan")
   }
 
+  test("no mapPartitions on ANY media query path except withSynthetic* " +
+      "fixture generators (r16 #2: decode kernels are expressions)") {
+    // round-17 closes the promotion the resize pin started: every media
+    // decode kernel (meta, aHash, audio features/fp, GIF frame
+    // stats/hashes, scene cuts) is a codegen Catalyst expression; the
+    // ONLY object boundaries left in a media plan are the synthetic-
+    // payload FIXTURE generators (test-data synthesis, not operators).
+    // Expected fixture counts per query pin exactly that.
+    val fixtureBoundaries = Map(
+      "q32_multimodal_decode" -> 0, // payload = encode(text), no fixture
+      "q46_image_decode"      -> 1, // withSyntheticPng
+      "q175_phash_dedup"      -> 1, // withSyntheticClassPng
+      "q176_phash_clusters"   -> 1,
+      "q178_audio_decode"     -> 1, // withSyntheticWav
+      "q179_audio_gate"       -> 1,
+      "q181_video_frames"     -> 1, // withSyntheticGif
+      // ONE withSyntheticClassWav fixture, but audioDedup self-joins the
+      // signature frame so the fixture SUBTREE appears on both join
+      // sides of the logical plan (physical reuse dedupes the exchange)
+      "q182_audio_dedup"      -> 2,
+      "q183_video_dedup"      -> 1, // withSyntheticClassGif
+      "q184_scene_cuts"       -> 1, // withSyntheticSceneGif
+      "q185_crossmodal_gate"  -> 2) // WAV + SceneGif fixtures
+    for ((name, expected) <- fixtureBoundaries) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      val boundaries = "SerializeFromObject".r.findAllIn(plan).size
+      assert(boundaries <= expected,
+        s"$name has $boundaries object boundaries, expected <= $expected " +
+          s"(fixture generators only):\n$plan")
+    }
+    // and every kernel presents as its expression on the operator plan
+    // directly (query-level plans can truncate at a localCheckpoint —
+    // q175's capped pair join checkpoints the signature frame)
+    import graft.ops.Multimodal
+    val docs = spark.range(0, 8).toDF("doc_id")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString.toLowerCase
+    val png = Multimodal.withSyntheticClassPng(docs, "doc_id", 4)
+    val wav = Multimodal.withSyntheticWav(docs, "doc_id")
+    val gif = Multimodal.withSyntheticGif(docs, "doc_id")
+    assert(planOf(Multimodal.withDecodedMeta(
+      png.withColumn("media_type", org.apache.spark.sql.functions.lit("image")),
+      "payload", "media_type")).contains("decodedmeta"))
+    assert(planOf(Multimodal.withAHash(png, "payload")).contains("ahash"))
+    assert(planOf(Multimodal.withAudioFeatures(wav, "payload"))
+      .contains("audiofeatures"))
+    assert(planOf(Multimodal.withAudioFingerprint(wav, "payload"))
+      .contains("audiofp"))
+    assert(planOf(Multimodal.sampleGifFrameStats(gif, "payload", "doc_id"))
+      .contains("gifframestats"))
+    assert(planOf(Multimodal.withFrameHashes(gif, "payload", "doc_id"))
+      .contains("framehashes"))
+    assert(planOf(Multimodal.sceneChangeStats(gif, "payload", "doc_id"))
+      .contains("scenestats"))
+  }
+
   test("videoNearDups never broadcasts a per-video relation (r16 x100 " +
       "OOM)") {
     // every join in the operator has an O(corpus-rows) build side
