@@ -162,6 +162,45 @@ object Bench {
     (still, supp.map(k => k -> exponents(k)))
   }
 
+  /** Work-asymmetry class policy (round-17, VERDICT r16 #1): a weak
+    * conviction that survives the exponent split is SUPPRESSED iff the
+    * query carries a MEASURED work-asymmetry marker in
+    * dev/work_asymmetry.json — a declaration, with the per-row unit
+    * cost attached, that the DuckDB oracle replays a CLOSED-FORM
+    * formula (the synthetic fixture's pixel/sample arithmetic in SQL)
+    * while Spark runs the certified kernel (real decode → transform →
+    * encode) whose correctness the query exists to certify. The ratio
+    * then measures the work DELTA by construction, not a plan defect —
+    * and unlike the floor class, the gap does NOT close at scale
+    * (payload-linear kernels keep their unit cost), which is why this
+    * is a separate published category with its own evidence, not a
+    * loosening of the exponent bar. Both measurements are required:
+    * the marker (unit cost) AND a measured ×10 exponent in
+    * dev/scaling_exponents.json — absence of either convicts.
+    * Suppressions publish under `weak_suppressed_work` with the unit
+    * cost (ms/row), so `weak_adjudicated` keeps meaning "plan defect".
+    */
+  private[graft] def splitWeakByWorkAsymmetry(weak: Seq[String],
+      markers: Map[String, Double],
+      exponents: Map[String, Double]): (Seq[String], Seq[(String, Double)]) = {
+    val (supp, still) = weak.partition(k =>
+      markers.contains(k) && exponents.contains(k))
+    (still, supp.map(k => k -> markers(k)))
+  }
+
+  /** Parse dev/work_asymmetry.json: {"qNN_name": {"unit_cost_ms": X,
+    * ...}, ...} plus an optional "_note". Returns query → measured unit
+    * cost (ms/row). Missing/garbled file = empty map = no suppression.
+    */
+  private[graft] def loadWorkMarkers(path: String = "dev/work_asymmetry.json"): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"(q\w+)":\s*\{[^}]*"unit_cost_ms":\s*(-?[0-9.eE+-]+)""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   /** Parse dev/scaling_exponents.json ({"qNN_name": exp, ...} with an
     * optional "_note" string entry) — the measured ×10 exponent table
     * maintained alongside BENCH_SCALING.md. Missing/garbled file = empty
@@ -396,11 +435,15 @@ object Bench {
       }.getOrElse(Seq.empty)
     // weak = still >2x its oracle AFTER solo adjudication, one oracle
     // denominator (max of snapshot / same-window) on floor AND ratio;
-    // floor-artifact convictions (measured ×10 exponent < 0.2) are
-    // split out with their exponents rather than silently dropped
+    // floor-artifact convictions (measured ×10 exponent < 0.2) split
+    // out with their exponents, then work-asymmetric convictions
+    // (measured marker + measured exponent) with their unit costs —
+    // both published, never silently dropped
     val convicted = weakAfterAdjudication(adjudicated)
-    val (weak, suppressed) =
-      splitWeakByExponent(convicted, loadExponents())
+    val exponents = loadExponents()
+    val (afterFloor, suppressed) = splitWeakByExponent(convicted, exponents)
+    val (weak, suppressedWork) =
+      splitWeakByWorkAsymmetry(afterFloor, loadWorkMarkers(), exponents)
     val adjJson =
       if (adjudicated.isEmpty) ""
       else {
@@ -417,7 +460,9 @@ object Bench {
         }.mkString("{", ",", "}")
         val suppJson = suppressed.map { case (k, e) =>
           f""""$k":$e%.3f""" }.mkString("{", ",", "}")
-        s""","solo_adjudicated":$items,"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")},"weak_suppressed_floor":$suppJson"""
+        val workJson = suppressedWork.map { case (k, c) =>
+          f""""$k":$c%.3f""" }.mkString("{", ",", "}")
+        s""","solo_adjudicated":$items,"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")},"weak_suppressed_floor":$suppJson,"weak_suppressed_work":$workJson"""
       }
     val duckJson = duck.map { m =>
       val known = results.map(_._1).filter(m.contains)
@@ -476,7 +521,7 @@ object Bench {
        // weak_in_suite (= the adjudication candidates) stays in the head
        // line next to the adjudicated set so a consistent in-suite
        // regression is visible even in the truncated stdout tail
-       else s""","n_adjudicated":${adjudicated.size},"weak_in_suite":${adjudicated.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")},"weak_suppressed_floor":${suppressed.map { case (k, e) => f""""$k":$e%.3f""" }.mkString("{", ",", "}")}""") +
+       else s""","n_adjudicated":${adjudicated.size},"weak_in_suite":${adjudicated.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"weak_adjudicated":${weak.map("\"" + _ + "\"").mkString("[", ",", "]")},"weak_suppressed_floor":${suppressed.map { case (k, e) => f""""$k":$e%.3f""" }.mkString("{", ",", "}")},"weak_suppressed_work":${suppressedWork.map { case (k, c) => f""""$k":$c%.3f""" }.mkString("{", ",", "}")}""") +
       loadJson + errJson
     val entries = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
     // the reserve must cover the queries_note SUFFIX (~75 chars) that

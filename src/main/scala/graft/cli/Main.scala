@@ -67,6 +67,17 @@ object Main {
   private def flag(args: Seq[String], name: String): Boolean =
     args.contains(s"--$name")
 
+  /** Print a one-row recall self-report (n_ref, n_detectable,
+    * recall_bound) from the *RecallReport operators — the cap's
+    * production loss bound, surfaced to CLI users (round-17, VERDICT
+    * r16 #5). One bounded row through the audited collect gate.
+    */
+  private def printRecallRow(report: org.apache.spark.sql.DataFrame): Unit =
+    graft.util.CollectCapped(report, 1, "recall report row").foreach { r =>
+      println(f"recall report: n_ref=${r.getLong(0)} " +
+        f"n_detectable=${r.getLong(1)} recall_bound=${r.getDouble(2)}%.4f")
+    }
+
   def main(argv: Array[String]): Unit = {
     if (argv.isEmpty) { println(usage); sys.exit(2) }
     val spark = SparkSession.builder()
@@ -339,6 +350,9 @@ object Main {
       //   dedup minhash in out [--threshold 0.8] [--bands 32] [--hashes 128]
       //   dedup simhash in out [--max-hamming 3]
       //   dedup ngram in out [--n 4] [--threshold 0.5] [--max-df 1000]
+      //     [--report-recall refpairs.parquet]  (prints the df-cap's
+      //     recall bound over the supplied (id_a, id_b) reference pairs;
+      //     also on dedup phash/video — VERDICT r16 #5)
       //   dedup embedding in out [--vec-column embedding] [--bits 24] [--bands 4]
       //   dedup cluster in out            (pairs from minhash -> cluster ids)
       //   dedup cross base in out         (incremental: classify vs accepted corpus)
@@ -373,14 +387,24 @@ object Main {
         val Seq(in, out) = rest.tail.take(2)
         val payloadCol = opt(rest, "payload-column").getOrElse("payload")
         val idCol = opt(rest, "id-column").getOrElse("doc_id")
+        val maxHam = opt(rest, "max-hamming").map(_.toInt).getOrElse(3)
+        val bandDf = opt(rest, "max-band-df").map(_.toInt).getOrElse(1000)
         val sig = graft.ops.Multimodal.withAHash(
             spark.read.parquet(in), payloadCol)
           .select(org.apache.spark.sql.functions.col(idCol),
             org.apache.spark.sql.functions.col("ahash_hi"),
             org.apache.spark.sql.functions.col("ahash_lo"))
         graft.ops.Multimodal.phashNearDups(sig, idCol,
-            maxHamming = opt(rest, "max-hamming").map(_.toInt).getOrElse(3))
+            maxHamming = maxHam, maxBandDf = bandDf)
           .write.mode("overwrite").parquet(out)
+        // --report-recall <ref-pairs.parquet>: the cap's recall bound
+        // over a user-supplied reference pair set (id_a, id_b) — the
+        // phashRecallReport self-report surfaced to gpio-style users
+        // (round-17, VERDICT r16 #5)
+        opt(rest, "report-recall").foreach { refPath =>
+          printRecallRow(graft.ops.Multimodal.phashRecallReport(sig, idCol,
+            spark.read.parquet(refPath), maxHam, bandDf))
+        }
 
       //   audio-gate in out [--payload-column payload] [--keep-only]:
       //   decode audio payloads (JDK javax.sound, partition-local) and
@@ -440,12 +464,19 @@ object Main {
         // inverted-index join, connected-component clusters (q183)
         val Seq(in, out) = rest.tail.take(2)
         val idCol = opt(rest, "id-column").getOrElse("doc_id")
+        val minShared = opt(rest, "min-shared").map(_.toInt).getOrElse(3)
+        val maxPost = opt(rest, "max-postings").map(_.toInt).getOrElse(1000)
         val fh = graft.ops.Multimodal.withFrameHashes(
           spark.read.parquet(in),
           opt(rest, "payload-column").getOrElse("payload"), idCol)
         graft.ops.Multimodal.videoDedup(fh, "doc_id",
-            minShared = opt(rest, "min-shared").map(_.toInt).getOrElse(3))
+            minShared = minShared, maxPostings = maxPost)
           .write.mode("overwrite").parquet(out)
+        // --report-recall <ref-pairs.parquet> (VERDICT r16 #5)
+        opt(rest, "report-recall").foreach { refPath =>
+          printRecallRow(graft.ops.Multimodal.videoRecallReport(fh, "doc_id",
+            spark.read.parquet(refPath), minShared, maxPost))
+        }
 
       //   scene-changes in out [--payload-column payload] [--id-column
       //   doc_id] [--threshold 1000]: per-video cut report from the real
@@ -946,6 +977,19 @@ object Main {
           case other => die(s"unknown dedup mode $other")
         }
         result.write.mode("overwrite").parquet(out)
+        // --report-recall <ref-pairs.parquet> (VERDICT r16 #5): only the
+        // df-capped ngram mode has a computable recall identity; asking
+        // for it on another mode is a loud error, not a silent ignore
+        opt(rest, "report-recall").foreach { refPath =>
+          if (what != "ngram")
+            die(s"--report-recall is supported for the ngram mode " +
+              s"(df-capped recall identity), not '$what'")
+          printRecallRow(Dedup.ngramRecallReport(df, text, id,
+            spark.read.parquet(refPath),
+            n = opt(rest, "n").map(_.toInt).getOrElse(4),
+            threshold = opt(rest, "threshold").map(_.toDouble).getOrElse(0.5),
+            maxDf = opt(rest, "max-df").map(_.toInt).getOrElse(1000)))
+        }
 
       //   split in out  (adds a deterministic train/validation/test column)
       case "split" =>

@@ -1595,9 +1595,9 @@ object Multimodal {
     * contract with a decoded-video key.
     */
   def videoDedup(frameHashes: DataFrame, idCol: String,
-      minShared: Int = 3): DataFrame = {
+      minShared: Int = 3, maxPostings: Int = 1000): DataFrame = {
     val ids = frameHashes.select(col(idCol)).distinct()
-    val pairs = videoNearDups(frameHashes, idCol, minShared)
+    val pairs = videoNearDups(frameHashes, idCol, minShared, maxPostings)
     val labels = graft.ops.Dedup.connectedComponents(pairs)
       .withColumnRenamed("id", idCol)
     ids.join(labels, Seq(idCol), "left")

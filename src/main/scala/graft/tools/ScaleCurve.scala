@@ -16,6 +16,52 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCurve {
 
+  /** Merge freshly measured ×10 exponents into the committed table
+    * text (round-17, VERDICT r16 #3): prior entries not re-measured
+    * SURVIVE, re-measured entries are overwritten, the `_note` is
+    * preserved, output sorted by query number — merge-don't-clobber,
+    * pinned in BenchToolingSpec.
+    */
+  private[graft] def mergeExponents(existing: String,
+      measured: Seq[(String, Double)]): String = {
+    val prior = """"(q\w+)":\s*(-?[0-9.eE+-]+)""".r.findAllMatchIn(existing)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val note = """"_note":\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(existing).map(_.group(1))
+    val all = prior ++ measured.toMap
+    def qNum(k: String): Int =
+      """\d+""".r.findFirstIn(k).map(_.toInt).getOrElse(Int.MaxValue)
+    val entries = all.toSeq.sortBy { case (k, _) => (qNum(k), k) }
+      .map { case (k, v) => f"""  "$k": $v%.3f""" }
+    val noteLine = note.map(n => s"""  "_note": "$n",\n""").getOrElse("")
+    "{\n" + noteLine + entries.mkString(",\n") + "\n}\n"
+  }
+
+  /** The adjudication-eligible class, from the committed artifacts
+    * (round-17, VERDICT r16 #3): every query whose snapshot oracle did
+    * real work (>= 0.2 s) or whose committed in-suite time >= 0.8 s —
+    * i.e. everything `Bench.adjudicationCandidates`' two-sided gate
+    * could ever convict (oracle timeouts are excluded there by
+    * construction). The batch mode sweeps exactly this set so a
+    * first-time conviction arrives with its exponent already on file
+    * and "absence convicts" keeps teeth for genuinely new shapes only.
+    */
+  private[graft] def eligibleClass(benchJson: String,
+      minInSuite: Double = 0.8, oracleFloor: Double = 0.2): Set[String] = {
+    def block(name: String): Map[String, Double] =
+      ("\"" + name + """":\{([^}]*)\}""").r.findFirstMatchIn(benchJson)
+        .map(m => """"(q\w+)":\s*(-?[0-9.eE+-]+)""".r
+          .findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap)
+        .getOrElse(Map.empty)
+    val inSuite = block("queries")
+    val duck = block("duckdb_sec")
+    inSuite.keySet.filter { q =>
+      duck.get(q).exists(d =>
+        d >= 0 && (inSuite(q) >= minInSuite || d >= oracleFloor))
+    }
+  }
+
   private val flagships = Seq(
     "q5_window_topk",     // TopK aggregate over orders
     "q13_hilbert_sort",   // global range-partitioned sort over customer
@@ -170,17 +216,48 @@ object ScaleCurve {
     "q142_silhouette", "q163_knn_accuracy", "q177_kcenter_coreset")
 
   def main(args: Array[String]): Unit = {
-    val baseDir = args.headOption.getOrElse(
+    // --batch (round-17, VERDICT r16 #3): sweep the whole adjudication-
+    // eligible class from BENCH_full.json minus already-measured
+    // queries (SPARK_GRAFT_REMEASURE=1 re-measures), auto-discover each
+    // query's input tables from its logical plan, synthesize only those,
+    // and MERGE results into dev/scaling_exponents.json at the end.
+    val batch = args.contains("--batch")
+    val pos = args.filterNot(_.startsWith("--"))
+    val baseDir = pos.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val outDir = args.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
+    val factor = pos.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = pos.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
     // SPARK_GRAFT_ONLY=q20_...,q73_... restricts the flagship set (the
     // Bench convention) — used for the deep tiers (100×) where running
     // all 35 would take hours
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val picked = flagships.filter(q => only.forall(_.contains(q)))
-    val withSem = only.forall(_.contains("q53_semdedup_scaledk"))
+    // media queries whose verbatim k× is a distribution change, not a
+    // scale-up — measured via the scaled-CLASS builds below; in batch
+    // mode their exponents record under the REAL query names
+    val mediaOrig = Map(
+      "q175_phash_scaledclasses" -> "q175_phash_dedup",
+      "q176_phashcc_scaledclasses" -> "q176_phash_clusters",
+      "q183_video_scaledclasses" -> "q183_video_dedup")
+    val batchPicks: Set[String] =
+      if (!batch) Set.empty
+      else {
+        val bench = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_full.json")), "UTF-8")
+        val measured =
+          if (sys.env.get("SPARK_GRAFT_REMEASURE").contains("1")) Set.empty
+          else graft.Bench.loadExponents().keySet
+        (eligibleClass(bench) -- measured)
+          .filter(q => only.forall(_.contains(q)))
+      }
+    val picked =
+      if (batch)
+        batchPicks.filter(q => !mediaOrig.values.toSet.contains(q) &&
+          q != "q53_semdedup").toSeq.sorted
+      else flagships.filter(q => only.forall(_.contains(q)))
+    val withSem =
+      if (batch) batchPicks.contains("q53_semdedup")
+      else only.forall(_.contains("q53_semdedup_scaledk"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // partitions sized to the DATA, not the core count: at the ×1000
     // tier a 32-partition shuffle hands each hash-aggregate task ~20M
@@ -231,7 +308,9 @@ object ScaleCurve {
         val fh = graft.ops.Multimodal.withFrameHashes(media, "payload", "doc_id")
         graft.ops.Multimodal.videoDedup(fh, "doc_id", minShared = 3)
       }))
-      .filter { case (n, _, _) => only.exists(_.contains(n)) }
+      .filter { case (n, _, _) =>
+        if (batch) batchPicks.contains(mediaOrig(n))
+        else only.exists(_.contains(n)) }
 
     // ---- synthesize the k× tables ------------------------------------
     def shifted(df: DataFrame, idCol: String, shard: Int, span: Long): DataFrame =
@@ -253,6 +332,73 @@ object ScaleCurve {
       }
     }
 
+    // ---- batch synthesis: plan-discovered tables ---------------------
+    // each picked query's input tables come from its analyzed plan (the
+    // honest source — no hand-kept table map to drift); scaled tables
+    // get the same shift/salt rules as the flagship path, dimension
+    // tables (region/nation — join selectivity, not volume) symlink
+    // verbatim. Already-written k× tables are SKIPPED so an interrupted
+    // batch resumes (SPARK_GRAFT_RESYNTH=1 forces re-synthesis).
+    def inputTables(q: String): Set[String] =
+      try {
+        graft.SparkEntry.queries(q)(spark, baseDir)
+          .queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.rootPaths.map(_.getName).toSeq
+                case _ => Seq.empty
+              }
+          }.flatten.filter(_.endsWith(".parquet"))
+          .map(_.stripSuffix(".parquet")).toSet
+      } catch { case e: Throwable =>
+        println(s"# WARN: table discovery failed for $q: ${e.getMessage}")
+        Set.empty
+      }
+    val resynth = sys.env.get("SPARK_GRAFT_RESYNTH").contains("1")
+    def scaleUpIfAbsent(name: String, idCol: String,
+        perShard: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val tgt = java.nio.file.Paths.get(s"$outDir/$name.parquet")
+      if (resynth || !java.nio.file.Files.exists(tgt)) {
+        println(s"# synthesizing x$factor $name")
+        scaleUp(name, idCol, perShard)
+      } else println(s"# $name.parquet already at $outDir, skipping")
+    }
+    if (batch) {
+      val needed: Set[String] =
+        picked.flatMap(q => inputTables(q)).toSet ++
+          (if (mediaScaled.nonEmpty) Set("documents") else Set.empty) ++
+          (if (withSem) Set("embeddings") else Set.empty)
+      println(s"# batch picks: ${picked.mkString(", ")}" +
+        (if (withSem) " + q53_semdedup" else "") +
+        mediaScaled.map(m => " + " + mediaOrig(m._1)).mkString)
+      println(s"# tables needed: ${needed.toSeq.sorted.mkString(", ")}")
+      val keyed = Map("customer" -> "c_custkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "part" -> "p_partkey",
+        "supplier" -> "s_suppkey")
+      needed.toSeq.sorted.foreach {
+        case "events" => scaleUpIfAbsent("events", "event_id", (d, i) =>
+          if (i == 0) d
+          else d.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+        case "documents" => scaleUpIfAbsent("documents", "doc_id", (d, i) =>
+          if (i == 0) d
+          else d.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1$i")))
+        case "embeddings" => scaleUpIfAbsent("embeddings", "vec_id", (d, i) =>
+          if (i == 0) d
+          else d.withColumn("embedding",
+            transform(col("embedding"), x => x + lit(0.013f * i))
+              .cast("array<float>")))
+        case t if keyed.contains(t) => scaleUpIfAbsent(t, keyed(t))
+        case t =>
+          val link = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+          java.nio.file.Files.createDirectories(link.getParent)
+          if (!java.nio.file.Files.exists(link))
+            java.nio.file.Files.createSymbolicLink(link,
+              java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
+      }
+    }
+    if (!batch) {
     if (picked.contains("q13_hilbert_sort")) scaleUp("customer", "c_custkey")
     if (picked.contains("q5_window_topk") ||
         picked.contains("q160_join_blowup")) scaleUp("orders", "o_orderkey")
@@ -311,6 +457,7 @@ object ScaleCurve {
         else d.withColumn("embedding",
           transform(col("embedding"), x => x + lit(0.013f * i))
             .cast("array<float>")))
+    } // end !batch synthesis
 
     // ---- time both scales --------------------------------------------
     def force(df: DataFrame): Unit =
@@ -367,8 +514,11 @@ object ScaleCurve {
         }.min
       val tS = timeSem(baseDir, 8)
       val tB = timeSem(outDir, 8 * factor)
-      rows = rows :+ (("q53_semdedup_scaledk", tS, tB,
-        math.log(tB / tS) / math.log(factor.toDouble)))
+      // batch mode records under the real query name so the exponent
+      // table's key matches a conviction's; legacy keeps the explicit
+      // scaledk name for BENCH_SCALING prose
+      rows = rows :+ ((if (batch) "q53_semdedup" else "q53_semdedup_scaledk",
+        tS, tB, math.log(tB / tS) / math.log(factor.toDouble)))
     }
     // multimodal scaled-class tier: base classes c0 at baseDir, c0×factor
     // at the k× corpus — class SIZE constant, pair output linear (the
@@ -386,7 +536,7 @@ object ScaleCurve {
       timeMedia(baseDir, c0) // warmup (JIT the codec + band-join paths)
       val tS = timeMedia(baseDir, c0)
       val tB = timeMedia(outDir, c0 * factor)
-      rows = rows :+ ((name, tS, tB,
+      rows = rows :+ ((if (batch) mediaOrig(name) else name, tS, tB,
         math.log(tB / tS) / math.log(factor.toDouble)))
     }
     val qjson = rows.map { case (q, ts, tb, e) =>
@@ -395,6 +545,18 @@ object ScaleCurve {
     println(s"""{"metric":"scaling","factor":$factor,"base":"$baseDir","queries":$qjson}""")
     rows.foreach { case (q, ts, tb, e) =>
       println(f"# $q%-22s ${ts}%8.3f s -> ${tb}%8.3f s  exponent ${e}%5.3f")
+    }
+    if (batch && rows.nonEmpty && factor == 10) {
+      // merge into the committed exponent table (x10 decade only — the
+      // table's unit); prior entries survive, _note preserved
+      val path = java.nio.file.Paths.get("dev/scaling_exponents.json")
+      val existing =
+        if (java.nio.file.Files.exists(path))
+          new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        else "{}"
+      java.nio.file.Files.writeString(path,
+        mergeExponents(existing, rows.map(r => r._1 -> r._4)))
+      println(s"# merged ${rows.size} exponents into $path")
     }
     spark.stop()
   }

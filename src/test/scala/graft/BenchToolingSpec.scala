@@ -142,6 +142,99 @@ class BenchToolingSpec extends AnyFunSuite {
     assert(supp == Seq("q_floor" -> 0.045))
   }
 
+  test("splitWeakByWorkAsymmetry: marker AND exponent required, " +
+      "either absence convicts (r16 #1)") {
+    val markers = Map("q_work" -> 0.051, "q_markerOnly" -> 0.2)
+    val exps = Map("q_work" -> 0.93, "q_expOnly" -> 0.95)
+    val (still, supp) = Bench.splitWeakByWorkAsymmetry(
+      Seq("q_work", "q_markerOnly", "q_expOnly", "q_neither"), markers, exps)
+    assert(still == Seq("q_markerOnly", "q_expOnly", "q_neither"),
+      "suppression requires BOTH a measured unit-cost marker and a " +
+        s"measured x10 exponent; got $still")
+    assert(supp == Seq("q_work" -> 0.051),
+      "suppressed entries publish with their measured unit cost")
+  }
+
+  test("loadWorkMarkers parses the committed marker table") {
+    val m = Bench.loadWorkMarkers()
+    assert(m.contains("q188_image_resize"),
+      "dev/work_asymmetry.json must carry the measured q188 marker")
+    assert(m("q188_image_resize") > 0.0 && m("q188_image_resize") < 10.0,
+      s"q188 unit cost outside a plausible ms/image range: $m")
+    assert(!m.contains("_note"))
+    assert(Bench.loadWorkMarkers("/nonexistent/path.json").isEmpty)
+  }
+
+  test("simulated loaded window: the q188 conviction lands in " +
+      "weak_suppressed_work with evidence, weak_adjudicated empty (r16 #1)") {
+    // the driver's r16 post-commit window shape: loadavg ~4.8 pushed
+    // q188 solo to 1.041 s vs a 0.049 s formula-replay oracle = 21x —
+    // convicted under the unweakened two-sided bar. The full policy
+    // chain must publish it as work-asymmetric (measured marker + a
+    // measured payload-linear exponent, which the floor split rightly
+    // does NOT clear) and leave weak_adjudicated empty.
+    val loaded = Seq(("q188_image_resize", 1.15, 1.041, 0.0369, Some(0.049)))
+    val convicted = Bench.weakAfterAdjudication(loaded)
+    assert(convicted == Seq("q188_image_resize"),
+      "the loaded-window shape must still CONVICT under the unweakened " +
+        "bar — suppression is a published category, not a loosened gate")
+    val exps = Bench.loadExponents()
+    assert(exps.contains("q188_image_resize"),
+      "q188's x10 exponent must be measured (scaling_exponents.json)")
+    assert(exps("q188_image_resize") >= 0.2,
+      "q188 is payload-linear: the floor split must NOT clear it — " +
+        s"measured ${exps("q188_image_resize")}")
+    val (afterFloor, floorSupp) = Bench.splitWeakByExponent(convicted, exps)
+    assert(afterFloor == convicted && floorSupp.isEmpty)
+    val (weak, workSupp) = Bench.splitWeakByWorkAsymmetry(
+      afterFloor, Bench.loadWorkMarkers(), exps)
+    assert(weak.isEmpty,
+      s"q188 must be suppressed by the measured work marker; still weak: $weak")
+    assert(workSupp.map(_._1) == Seq("q188_image_resize") &&
+      workSupp.head._2 > 0.0,
+      "the suppression must publish the measured unit cost")
+  }
+
+  test("ScaleCurve.mergeExponents: merge-don't-clobber, note preserved " +
+      "(r16 #3)") {
+    val existing =
+      """{
+        |  "_note": "table note",
+        |  "q47_ngram_jaccard": 0.053,
+        |  "q63_ann_pq": 0.007
+        |}""".stripMargin
+    val merged = graft.tools.ScaleCurve.mergeExponents(existing,
+      Seq("q63_ann_pq" -> 0.012, "q188_image_resize" -> 0.931))
+    // prior entries not re-measured survive
+    assert(merged.contains(""""q47_ngram_jaccard": 0.053"""))
+    // re-measured entries are overwritten, not duplicated
+    assert(merged.contains(""""q63_ann_pq": 0.012"""))
+    assert(!merged.contains("0.007"))
+    // new entries land, note survives, output stays loadable
+    assert(merged.contains(""""q188_image_resize": 0.931"""))
+    assert(merged.contains("table note"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge")
+    val f = dir.resolve("exps.json")
+    java.nio.file.Files.writeString(f, merged)
+    val back = Bench.loadExponents(f.toString)
+    assert(back == Map("q47_ngram_jaccard" -> 0.053, "q63_ann_pq" -> 0.012,
+      "q188_image_resize" -> 0.931))
+  }
+
+  test("ScaleCurve.eligibleClass matches the adjudication gate's reach") {
+    val bench = """{"metric":"total","queries":{"q1_a":0.9,"q2_b":0.3,
+      "q3_c":0.85,"q4_d":0.4,"q5_e":2.0},"duckdb_sec":{"q1_a":0.05,
+      "q2_b":0.25,"q4_d":0.1,"q5_e":-1.0},"sf":"x"}"""
+      .replace("\n", "")
+    val elig = graft.tools.ScaleCurve.eligibleClass(bench)
+    // q1: in-suite >= 0.8 with a real oracle -> eligible
+    // q2: oracle >= 0.2 -> eligible despite 0.3 s in-suite
+    // q3: no oracle at all -> can never be convicted -> excluded
+    // q4: sub-thresholds both -> excluded
+    // q5: oracle timeout (-1) -> excluded (Spark wins by construction)
+    assert(elig == Set("q1_a", "q2_b"), s"got $elig")
+  }
+
   test("loadExponents parses the committed table and skips the note") {
     val m = Bench.loadExponents()
     assert(m.nonEmpty, "dev/scaling_exponents.json must exist and parse")

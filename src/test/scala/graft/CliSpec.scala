@@ -152,6 +152,38 @@ class CliSpec extends AnyFunSuite {
     assert(e.toString.contains("stac item:"), e.toString)
   }
 
+  test("dedup --report-recall prints the cap's recall bound row " +
+      "(r16 #5)") {
+    val dir = tmp("recall_cli")
+    // near-dup corpus: 40 docs in 8 ngram classes, one token perturbed
+    val docs = spark.range(0, 40).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        (0 to 11).map(j => concat(lit(s"tok$j"), col("doc_id") % 8)): _*))
+    docs.write.parquet(s"$dir/docs.parquet")
+    // reference pairs: same-class neighbors
+    spark.range(0, 32).toDF("id_a")
+      .withColumn("id_b", col("id_a") + 8)
+      .write.parquet(s"$dir/refs.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, Seq("dedup", "ngram", s"$dir/docs.parquet",
+        s"$dir/pairs.parquet", "--report-recall", s"$dir/refs.parquet"))
+    }
+    val line = out.toString.linesIterator
+      .find(_.startsWith("recall report:"))
+    assert(line.isDefined, s"no recall report line in:\n$out")
+    assert(line.get.contains("n_ref=32"), line.get)
+    // uncapped corpus: every same-class pair shares all its grams ->
+    // every reference pair detectable
+    assert(line.get.contains("recall_bound=1.0000"), line.get)
+    // non-capped modes refuse rather than silently ignore the flag
+    val e = intercept[Exception] {
+      Main.run(spark, Seq("dedup", "exact", s"$dir/docs.parquet",
+        s"$dir/x.parquet", "--report-recall", s"$dir/refs.parquet"))
+    }
+    assert(e.getMessage.contains("report-recall"), e.getMessage)
+  }
+
   test("inspect --verbose bounds the per-part listing and fails loud on " +
       "an empty tree (ADVICE r16)") {
     val dir = tmp("verbose_bound")
