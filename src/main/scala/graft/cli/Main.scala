@@ -113,7 +113,27 @@ object Main {
     // without per-command plumbing. The listener bus is asynchronous;
     // the finally drains it so plans land before the process exits.
     val explain = args0.contains("--explain")
-    val args = args0.filterNot(_ == "--explain")
+    // --aws-profile (ref CHANGELOG Unreleased §Changed: the --profile →
+    // --aws-profile rename): only the remote-touching commands accept
+    // it — it selects the AWS credentials profile the s3a connector's
+    // SDK default chain reads (`aws.profile` system property, the JVM
+    // analogue of the reference's AWS_PROFILE env export). Local-only
+    // commands reject it loudly, mirroring the reference's removal of
+    // the flag from local operations.
+    val awsProfile = opt(args0, "aws-profile")
+    awsProfile.foreach { p =>
+      val remoteCmds = Set("extract", "convert", "upload", "extract-arcgis")
+      if (!args0.headOption.exists(remoteCmds.contains))
+        die(s"--aws-profile is only accepted on remote-touching commands " +
+          s"(${remoteCmds.toSeq.sorted.mkString(", ")}); " +
+          s"'${args0.headOption.getOrElse("")}' is a local operation")
+      System.setProperty("aws.profile", p)
+    }
+    val args = {
+      val a = args0.filterNot(_ == "--explain")
+      val i = a.indexOf("--aws-profile")
+      if (i >= 0) a.patch(i, Nil, 2) else a
+    }
     // plans are BUFFERED on the (asynchronous) listener-bus thread and
     // printed on the calling thread after the drain — event-time println
     // would race command output and escape Console.withOut redirection
@@ -184,10 +204,14 @@ object Main {
         what match {
           case "bbox" => t.addBbox().write(out)
           case "quadkey" =>
+            // progress message parity (ref CHANGELOG Unreleased §Added);
+            // stderr so machine-readable stdout contracts stay clean
+            Console.err.println("Adding quadkey column...")
             t.addQuadkey(opt(rest, "zoom").map(_.toInt).getOrElse(13)).write(out)
           case "kdtree" =>
             t.addKdtree(opt(rest, "iterations").map(_.toInt).getOrElse(4)).write(out)
           case "h3" =>
+            Console.err.println("Adding H3 column...")
             t.addH3(opt(rest, "resolution").map(_.toInt).getOrElse(9),
               opt(rest, "h3-column").getOrElse("h3_cell")).write(out)
           case "admin-divisions" =>
@@ -213,6 +237,7 @@ object Main {
               keepColumn = flag(rest, "keep-quadkey")).write(out)
           case "column" =>
             val cols = opt(rest, "columns").getOrElse(die("--columns required"))
+            Console.err.println(s"Sorting by $cols...")
             t.sortBy(cols.split(",").toSeq, descending = flag(rest, "desc")).write(out)
           case other => die(s"unknown sort target $other")
         }

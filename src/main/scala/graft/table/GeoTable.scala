@@ -1183,8 +1183,11 @@ object GeoTable {
     try {
       import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex}
       import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      graft.meta.Footer.partFileStatuses(path).filter(_.nonEmpty).flatMap { st =>
-        val conf = spark.sessionState.newHadoopConf()
+      // session conf first: it carries fs.<scheme>.impl registrations
+      // the non-local listing path (VERDICT r16 #6) resolves through
+      val conf = spark.sessionState.newHadoopConf()
+      graft.meta.Footer.partFileStatuses(path, conf)
+          .filter(_.nonEmpty).flatMap { st =>
         val root = new org.apache.hadoop.fs.Path(path)
         val fs = root.getFileSystem(conf)
         val qualified = fs.makeQualified(root)

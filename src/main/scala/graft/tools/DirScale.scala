@@ -76,6 +76,36 @@ object DirScale {
       }
       println(f"[dirscale] n=$nDirs%-6d list=$tList%.3f first=$tFirst%.3f " +
         f"read=$tRead%.3f prune=$tPrune%.3f")
+      // remote-scheme row (round-17, VERDICT r16 #6): the same layout
+      // through the latency-injected graftslow:// FileSystem — the
+      // prefilled-index planning path must fan the listing 32-wide
+      // (O(dirs*latency/32)), with schema/count parity against stock.
+      // GRAFT_DIRSCALE_SLOW_MS sets the per-listStatus latency (default
+      // 0 = disabled tier).
+      val slowMs = sys.env.getOrElse("GRAFT_DIRSCALE_SLOW_MS", "0").toInt
+      if (slowMs > 0) {
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.graftslow.impl", classOf[SlowListFs].getName)
+        hc.setLong("graft.slowfs.list.ms", slowMs.toLong)
+        // drop any cached zero-latency instance
+        org.apache.hadoop.fs.FileSystem.closeAll()
+        val conf = spark.sessionState.newHadoopConf()
+        var nSlow = 0
+        val tSlowList = t(s"n=$nDirs slow-FS listing (fan-out, ${slowMs}ms/call)") {
+          nSlow = graft.meta.Footer.partFileStatuses(
+            s"graftslow://$dir", conf).map(_.size).getOrElse(-1)
+        }
+        require(nSlow == nFiles, s"slow listing $nSlow != $nFiles")
+        val tSlowRead = t(s"n=$nDirs slow-FS fast read (planning)") {
+          val fast = graft.table.GeoTable.fastLocalParquetDf(
+            spark, s"graftslow://$dir", mergeSchema = false)
+          require(fast.isDefined, "fast path must fire through the scheme")
+          require(fast.get.columns.nonEmpty)
+        }
+        println(f"[dirscale] n=$nDirs%-6d SLOW(${slowMs}ms) " +
+          f"list=$tSlowList%.3f read=$tSlowRead%.3f " +
+          f"(serial would be ~${nDirs * slowMs / 1000.0}%.1f s)")
+      }
     }
     spark.stop()
   }

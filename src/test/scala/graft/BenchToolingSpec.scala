@@ -165,34 +165,39 @@ class BenchToolingSpec extends AnyFunSuite {
     assert(Bench.loadWorkMarkers("/nonexistent/path.json").isEmpty)
   }
 
-  test("simulated loaded window: the q188 conviction lands in " +
-      "weak_suppressed_work with evidence, weak_adjudicated empty (r16 #1)") {
+  test("simulated loaded window: the q188 conviction closes with " +
+      "measured evidence, weak_adjudicated empty (r16 #1)") {
     // the driver's r16 post-commit window shape: loadavg ~4.8 pushed
     // q188 solo to 1.041 s vs a 0.049 s formula-replay oracle = 21x —
-    // convicted under the unweakened two-sided bar. The full policy
-    // chain must publish it as work-asymmetric (measured marker + a
-    // measured payload-linear exponent, which the floor split rightly
-    // does NOT clear) and leave weak_adjudicated empty.
+    // convicted under the unweakened two-sided bar. The r16 verdict
+    // predicted a payload-linear exponent (~1) that only the new
+    // work-asymmetry category could suppress; MEASUREMENT said
+    // otherwise: ScaleCurve --batch read 0.844 s -> 1.165 s across a
+    // full x10 decade (exponent 0.140) — at sf0.1 the 8x8 decode→
+    // resize→encode kernel is microseconds of CPU per image and the
+    // ratio is Spark's job floor, so the PINNED floor policy clears it
+    // with its exponent published. The work marker (measured unit
+    // costs, dev/work_asymmetry.json) stays on file as the category's
+    // evidence for payload tiers where the kernel dominates.
     val loaded = Seq(("q188_image_resize", 1.15, 1.041, 0.0369, Some(0.049)))
     val convicted = Bench.weakAfterAdjudication(loaded)
     assert(convicted == Seq("q188_image_resize"),
       "the loaded-window shape must still CONVICT under the unweakened " +
         "bar — suppression is a published category, not a loosened gate")
     val exps = Bench.loadExponents()
-    assert(exps.contains("q188_image_resize"),
-      "q188's x10 exponent must be measured (scaling_exponents.json)")
-    assert(exps("q188_image_resize") >= 0.2,
-      "q188 is payload-linear: the floor split must NOT clear it — " +
-        s"measured ${exps("q188_image_resize")}")
+    assert(exps.get("q188_image_resize").exists(_ < 0.2),
+      "q188's x10 exponent must be MEASURED below the floor bar " +
+        s"(ScaleCurve --batch); got ${exps.get("q188_image_resize")}")
     val (afterFloor, floorSupp) = Bench.splitWeakByExponent(convicted, exps)
-    assert(afterFloor == convicted && floorSupp.isEmpty)
-    val (weak, workSupp) = Bench.splitWeakByWorkAsymmetry(
+    assert(afterFloor.isEmpty &&
+      floorSupp.map(_._1) == Seq("q188_image_resize"),
+      "the floor split must clear q188 WITH its measured exponent")
+    // the work marker exists as measured standby evidence, and the
+    // category machinery still functions downstream of the floor split
+    assert(Bench.loadWorkMarkers().contains("q188_image_resize"))
+    val (weak, _) = Bench.splitWeakByWorkAsymmetry(
       afterFloor, Bench.loadWorkMarkers(), exps)
-    assert(weak.isEmpty,
-      s"q188 must be suppressed by the measured work marker; still weak: $weak")
-    assert(workSupp.map(_._1) == Seq("q188_image_resize") &&
-      workSupp.head._2 > 0.0,
-      "the suppression must publish the measured unit cost")
+    assert(weak.isEmpty, s"weak_adjudicated must be empty; got $weak")
   }
 
   test("ScaleCurve.mergeExponents: merge-don't-clobber, note preserved " +

@@ -152,6 +152,39 @@ class CliSpec extends AnyFunSuite {
     assert(e.toString.contains("stac item:"), e.toString)
   }
 
+  test("progress messages on add h3/quadkey + sort column; --aws-profile " +
+      "gated to remote commands (ref CHANGELOG Unreleased)") {
+    val dir = tmp("progress")
+    val df = spark.range(0, 30).toDF("id")
+      .withColumn("geometry", geo.st_point(col("id") % 90, col("id") % 45))
+    GeoTable.fromDataFrame(df, "geometry").write(s"$dir/in.parquet")
+    def errOf(cmd: Seq[String]): String = {
+      val e = new java.io.ByteArrayOutputStream()
+      Console.withErr(new java.io.PrintStream(e)) { Main.run(spark, cmd) }
+      e.toString
+    }
+    assert(errOf(Seq("add", "h3", s"$dir/in.parquet", s"$dir/h3.parquet",
+      "--resolution", "5")).contains("Adding H3 column..."))
+    assert(errOf(Seq("add", "quadkey", s"$dir/in.parquet",
+      s"$dir/qk.parquet")).contains("Adding quadkey column..."))
+    assert(errOf(Seq("sort", "column", s"$dir/in.parquet",
+      s"$dir/s.parquet", "--columns", "id")).contains("Sorting by id..."))
+    // --aws-profile on a local command: loud refusal (the reference
+    // REMOVED the profile flag from local operations)
+    val e = intercept[Exception] {
+      Main.run(spark, Seq("add", "bbox", s"$dir/in.parquet",
+        s"$dir/b.parquet", "--aws-profile", "prod"))
+    }
+    assert(e.getMessage.contains("aws-profile"), e.getMessage)
+    // on a remote-touching command the flag parses, sets the SDK
+    // property, and is stripped before dispatch (upload to file:// dest)
+    System.clearProperty("aws.profile")
+    Main.run(spark, Seq("upload", s"$dir/in.parquet",
+      s"file://$dir/up/one.parquet", "--aws-profile", "prod"))
+    assert(System.getProperty("aws.profile") == "prod")
+    System.clearProperty("aws.profile")
+  }
+
   test("dedup --report-recall prints the cap's recall bound row " +
       "(r16 #5)") {
     val dir = tmp("recall_cli")

@@ -366,6 +366,39 @@ class GeoTableSpec extends AnyFunSuite {
     assert(back.df.count() == 12 && back.meta.primary.nonEmpty)
   }
 
+  test("prefilled-index read planning fires through a NON-local scheme " +
+      "(r16 #6) with schema parity and the foreign-file guard") {
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[GraftTestFileSystem].getName)
+    val base = tmpDir("graftfs_fast")
+    val df = spark.range(0, 40).toDF("id")
+      .withColumn("cell", concat(lit("8a2a"), format_string("%x", col("id"))))
+      .withColumn("geometry", graft.functions.geo.st_point(
+        col("id").cast("double"), lit(1.0)))
+    df.write.partitionBy("cell").parquet(s"graftfs://$base/h3")
+    val conf = spark.sessionState.newHadoopConf()
+    // the listing resolves through the scheme's OWN FileSystem
+    val st = graft.meta.Footer.partFileStatuses(s"graftfs://$base/h3", conf)
+    assert(st.exists(_.nonEmpty), "FS-backed listing must fire")
+    assert(st.get.forall(_.getPath.toUri.getScheme == "graftfs"))
+    // end-to-end: fast read == stock read (schema, rows, pruning value)
+    val fast = GeoTable.fastLocalParquetDf(spark, s"graftfs://$base/h3",
+      mergeSchema = false)
+    assert(fast.isDefined, "fast path must build the prefilled index")
+    val stock = spark.read.parquet(s"graftfs://$base/h3")
+    assert(fast.get.schema == stock.schema,
+      s"${fast.get.schema.sql} != ${stock.schema.sql}")
+    assert(fast.get.count() == 40 &&
+      fast.get.filter(col("cell") === "8a2a1f").count() ==
+        stock.filter(col("cell") === "8a2a1f").count())
+    // foreign non-hidden file through the scheme: decline (stock keeps
+    // those rows), same rule as the local walk
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/h3/cell=8a2a1f/000000_0"), "x")
+    assert(graft.meta.Footer.partFileStatuses(
+      s"graftfs://$base/h3", conf).isEmpty)
+  }
+
   test("check/fix pipeline composes") {
     val outRaw = tmpDir("fixsrc")
     // write WITHOUT bbox and unsorted
