@@ -124,8 +124,6 @@ object Footer {
     // .hive-staging) are pruned whole — stock discovery skips them too,
     // and their contents must neither be listed nor count as foreign.
     val foreign = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def hiddenName(name: String): Boolean =
-      name.startsWith("_") || name.startsWith(".")
     def walkOne(root: java.nio.file.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
       java.nio.file.Files.walkFileTree(root,
@@ -227,8 +225,6 @@ object Footer {
       try fs.getFileStatus(p)
       catch { case _: java.io.FileNotFoundException => return None }
     if (root.isFile) return Some(Seq(root))
-    def hiddenName(name: String): Boolean =
-      name.startsWith("_") || name.startsWith(".")
     val foreign = new java.util.concurrent.atomic.AtomicBoolean(false)
     def walkOne(d: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
@@ -334,6 +330,16 @@ object Footer {
 
   private def isPartFileName(name: String): Boolean =
     name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
+  /** Spark's hidden-path rule (InMemoryFileIndex): `.`-prefixed always
+    * hidden; `_`-prefixed hidden UNLESS the name contains `=` —
+    * `_temporary`/`.hive-staging` are staging, but `__h3=84…` is a
+    * partition directory (graft's own spatial partition writers use the
+    * `__`-prefixed key form) and must be walked. One definition for the
+    * NIO and FS walks, pinned by the `__h3=` parity test.
+    */
+  private def hiddenName(name: String): Boolean =
+    name.startsWith(".") || (name.startsWith("_") && !name.contains("="))
 
   /** First part file in sorted-descent order, WITHOUT listing the whole
     * tree: read-planning consumers (`GeoTable.read`, inspect heads) only

