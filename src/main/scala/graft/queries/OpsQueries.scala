@@ -661,9 +661,11 @@ object OpsQueries {
     // its class (c = doc_id % 30) and whose last frame is doc-specific
     // noise — same-class videos are near-dups (≥3 shared frames), never
     // byte-dups. Per-frame aHashes come out of the REAL decode; the
-    // near-dup key is "≥3 shared distinct frame hashes", found by a
-    // frame-hash inverted-index self-join (the q47 shape with frames
-    // for grams), resolved to keep-one clusters by hash-to-min
+    // near-dup key is "≥3 shared distinct frame hashes", found by the
+    // prefix-filtered frame-hash inverted index + exact-count join-back
+    // (round-17 `videoNearDups` — lossless here: no bucket near the
+    // cap, every video ≤ 8 frames so the proportional bar reduces to
+    // the absolute rule), resolved to keep-one clusters by hash-to-min
     // connected components. The oracle replays pixels → aHash bits →
     // pair counts → recursive closure, so the cross-engine hash match
     // certifies container decode, the frame key, and the clustering.
