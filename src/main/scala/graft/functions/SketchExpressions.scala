@@ -402,6 +402,22 @@ object SketchEval {
     c
   }
 
+  /** [[sortedIntersectCount]] over SORTED duplicate-free LONG arrays —
+    * one merge pass per pair, signed-long order (callers sort with
+    * array_sort over the same signed longs, so the orders agree).
+    */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Count of positions where two equal-length long arrays agree —
     * parity with `size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))`
     * without the two intermediate arrays per pair.
@@ -1959,6 +1975,30 @@ object SketchExpressions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+
+  /** [[SortedIntersectCount]] for long arrays (packed 64-bit frame
+    * hashes): exact overlap of two sorted duplicate-free long sets in
+    * one codegen merge pass — no relational explode/join-back per pair.
+    */
+  case class SortedIntersectCountLong(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] = Seq(
+      ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      SketchEval.sortedIntersectCountLong(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$E.sortedIntersectCountLong($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression) = copy(left = newLeft, right = newRight)
+  }
+
+  def sorted_intersect_count_long(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCountLong(GraftBridge.expression(a),
       GraftBridge.expression(b)))
 
   /** Rademacher random-projection values of a float-array column

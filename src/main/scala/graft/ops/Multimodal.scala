@@ -1481,27 +1481,46 @@ object Multimodal {
     // so null-id rows would inflate __df against a shorter retained
     // posting list and evict real buckets at the cap boundary.
     // Checkpointed: the decode chain upstream must run ONCE for the
-    // three consumers (census, posting lists, exact-count join-backs).
+    // downstream consumers (census, per-video sets).
+    // The 32-bit (frame_hi, frame_lo) halves pack losslessly into ONE
+    // long key (r17 optimization round: every producer in the repo —
+    // aHashOfLums — emits < 2^32 halves, and the OpsSpec fixtures use
+    // `f >>> 32` / `f & 0xffffffff` splits): downstream exchanges move
+    // 8 key bytes instead of 16, and the (frame_hi, frame_lo)
+    // lexicographic hotness order IS the packed numeric order, so the
+    // prefix rule is unchanged bit for bit.
     val frames = frameHashes
       .select(col(idCol).cast("long").as("__id"),
-        col("frame_hi"), col("frame_lo"))
+        shiftleft(col("frame_hi"), 32).bitwiseOR(col("frame_lo")).as("__h"))
       .where(col("__id").isNotNull)
       .distinct()
       .localCheckpoint(false)
-    val census = frames.groupBy(col("frame_hi"), col("frame_lo"))
-      .agg(count(lit(1)).as("__df"))
-    // per-video hotness rank; the window partitions by VIDEO, so group
-    // size is bounded by one container's distinct frames — not a
-    // corpus-driven hot key (the digest-window hazard does not apply)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
-      .orderBy(col("__df").desc, col("frame_hi").desc, col("frame_lo").desc)
-    val indexed = frames
-      .join(census.hint("shuffle_hash"), Seq("frame_hi", "frame_lo"))
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") > lit(minShared - 1))
-      .select(col("__id"), col("frame_hi"), col("frame_lo"))
+    val census = frames.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    // ONE per-video aggregation replaces the r16 window rank AND the
+    // separate per-video nAll count (r17 optimization round): __byDf
+    // carries the ascending (df, h) hotness order the prefix rule
+    // slices (the k-1 HOTTEST = the last k-1 elements), __byH the
+    // merge-ready sorted hash set the exact-count tail intersects, __n
+    // the full distinct-frame count for the proportional bar. Group
+    // size = one container's distinct frames — bounded by the media,
+    // never by the corpus (the digest-window hazard does not apply).
+    // shuffle_hash on the census join: its build side is O(distinct
+    // frames) — never broadcast (the ×100 ScaleCurve OOM class).
+    val sets = frames
+      .join(census.hint("shuffle_hash"), Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
+          .as("__byDf"),
+        sort_array(collect_list(col("__h"))).as("__byH"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val indexed = sets
+      .select(col("__id"), explode(expr(
+        s"slice(__byDf, 1, greatest(cast(__n as int) - ${minShared - 1}, 0))"))
+        .as("__e"))
+      .select(col("__id"), col("__e.__h").as("__h"))
     val posting = indexed
-      .groupBy(col("frame_hi"), col("frame_lo"))
+      .groupBy(col("__h"))
       .agg(graft.ops.CollectCapped.collectCapped(col("__id"), maxPostings)
           .as("__ids"),
         count(lit(1)).as("__dfp"))
@@ -1511,11 +1530,14 @@ object Multimodal {
         .sorted_pairs_gen(col("__ids")).as(Seq("id_a", "id_b")))
       .where(col("id_a") < col("id_b"))
       .distinct()
-    // exact shared count over the FULL frame sets; shuffle_hash, NEVER
-    // broadcast: the frames side is one row per (video, frame) — far
-    // too large for the driver, but post-aggregation size estimates
-    // have read per-video relations as broadcastable before (the ×100
-    // ScaleCurve tier OOM)
+    // exact shared count over the FULL frame sets, as ONE codegen merge
+    // pass per candidate pair over the per-video sorted hash arrays —
+    // replaces the r16 explode join-backs (O(pairs × frames) rows
+    // through two exchanges plus a pair-keyed re-aggregation) with two
+    // pair-keyed joins. shuffle_hash, NEVER broadcast: sets is one row
+    // per video — far too large for the driver at scale, but
+    // post-aggregation size estimates have read per-video relations as
+    // broadcastable before (the ×100 ScaleCurve tier OOM).
     // length-proportional significance bar alongside the absolute
     // floor: shared ≥ max(minShared, ⌈minSharedFrac·min(nA, nB)⌉). On
     // short clips (min(n) ≤ minShared/minSharedFrac — every oracle
@@ -1526,19 +1548,16 @@ object Multimodal {
     // pairs), while near-duplicate videos share most of their content.
     // The default 0.375 = 3/8 is binary-exact, so the ceil is integer-
     // deterministic across engines.
-    val nAll = frames.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     cands
-      .join(frames.select(col("__id").as("id_a"), col("frame_hi"),
-        col("frame_lo")).hint("shuffle_hash"), Seq("id_a"))
-      .join(frames.select(col("__id").as("id_b"), col("frame_hi"),
-        col("frame_lo")).hint("shuffle_hash"),
-        Seq("id_b", "frame_hi", "frame_lo"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .join(nAll.select(col("__id").as("id_a"), col("__n").as("__na"))
-        .hint("shuffle_hash"), Seq("id_a"))
-      .join(nAll.select(col("__id").as("id_b"), col("__n").as("__nb"))
-        .hint("shuffle_hash"), Seq("id_b"))
+      .join(sets.select(col("__id").as("id_a"), col("__byH").as("__ha"),
+        col("__n").as("__na")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__byH").as("__hb"),
+        col("__n").as("__nb")).hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SketchExpressions
+          .sorted_intersect_count_long(col("__ha"), col("__hb"))
+          .as("shared_frames"),
+        col("__na"), col("__nb"))
       .where(col("shared_frames") >= lit(minShared.toLong) &&
         col("shared_frames") >=
           ceil(lit(minSharedFrac) * least(col("__na"), col("__nb")))
@@ -1566,59 +1585,61 @@ object Multimodal {
   def videoRecallReport(frameHashes: DataFrame, idCol: String,
       refPairs: DataFrame, minShared: Int = 3,
       maxPostings: Int = 500, minSharedFrac: Double = 0.375): DataFrame = {
+    // same packed-hash / per-video-array machinery as the operator (the
+    // report must replay the operator's decision exactly — OpsSpec pins
+    // report == measured recall)
     val frames = frameHashes
       .select(col(idCol).cast("long").as("__id"),
-        col("frame_hi"), col("frame_lo"))
+        shiftleft(col("frame_hi"), 32).bitwiseOR(col("frame_lo")).as("__h"))
       .where(col("__id").isNotNull)
       .distinct()
       .localCheckpoint(false)
-    val census = frames.groupBy(col("frame_hi"), col("frame_lo"))
-      .agg(count(lit(1)).as("__df"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
-      .orderBy(col("__df").desc, col("frame_hi").desc, col("frame_lo").desc)
-    val indexed = frames
-      .join(census.hint("shuffle_hash"), Seq("frame_hi", "frame_lo"))
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") > lit(minShared - 1))
-      .select(col("__id"), col("frame_hi"), col("frame_lo"))
-    val surviving = indexed.groupBy(col("frame_hi"), col("frame_lo"))
+    val census = frames.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val sets = frames
+      .join(census.hint("shuffle_hash"), Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
+          .as("__byDf"),
+        sort_array(collect_list(col("__h"))).as("__byH"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val indexed = sets
+      .select(col("__id"), explode(expr(
+        s"slice(__byDf, 1, greatest(cast(__n as int) - ${minShared - 1}, 0))"))
+        .as("__e"))
+      .select(col("__id"), col("__e.__h").as("__h"))
+    val surviving = indexed.groupBy(col("__h"))
       .agg(count(lit(1)).as("__dfp"))
       .filter(col("__dfp") <= maxPostings)
     // (video, frame) rows that can GENERATE candidates this run
-    val gen = indexed.join(surviving.select(col("frame_hi"), col("frame_lo"))
-      .hint("shuffle_hash"), Seq("frame_hi", "frame_lo"))
+    val gen = indexed.join(surviving.select(col("__h"))
+      .hint("shuffle_hash"), Seq("__h"))
       .localCheckpoint(false)
     val pairs = refPairs
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
     val generated = pairs
-      .join(gen.select(col("__id").as("id_a"), col("frame_hi"),
-        col("frame_lo")).hint("shuffle_hash"), Seq("id_a"))
-      .join(gen.select(col("__id").as("id_b"), col("frame_hi"),
-        col("frame_lo")).hint("shuffle_hash"),
-        Seq("id_b", "frame_hi", "frame_lo"))
+      .join(gen.select(col("__id").as("id_a"), col("__h"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(gen.select(col("__id").as("id_b"), col("__h"))
+        .hint("shuffle_hash"), Seq("id_b", "__h"))
       .select(col("id_a"), col("id_b")).distinct()
       .withColumn("__gen", lit(true))
-    val shared = pairs
-      .join(frames.select(col("__id").as("id_a"), col("frame_hi"),
-        col("frame_lo")).hint("shuffle_hash"), Seq("id_a"))
-      .join(frames.select(col("__id").as("id_b"), col("frame_hi"),
-        col("frame_lo")).hint("shuffle_hash"),
-        Seq("id_b", "frame_hi", "frame_lo"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__shared"))
-    val nAll = frames.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     pairs
       .join(generated, Seq("id_a", "id_b"), "left")
-      .join(shared, Seq("id_a", "id_b"), "left")
-      .join(nAll.select(col("__id").as("id_a"), col("__n").as("__na"))
-        .hint("shuffle_hash"), Seq("id_a"), "left")
-      .join(nAll.select(col("__id").as("id_b"), col("__n").as("__nb"))
-        .hint("shuffle_hash"), Seq("id_b"), "left")
+      .join(sets.select(col("__id").as("id_a"), col("__byH").as("__ha"),
+        col("__n").as("__na")).hint("shuffle_hash"), Seq("id_a"), "left")
+      .join(sets.select(col("__id").as("id_b"), col("__byH").as("__hb"),
+        col("__n").as("__nb")).hint("shuffle_hash"), Seq("id_b"), "left")
+      .select(col("__gen"),
+        coalesce(graft.functions.SketchExpressions
+          .sorted_intersect_count_long(col("__ha"), col("__hb")), lit(0L))
+          .as("__shared"),
+        col("__na"), col("__nb"))
       .agg(count(lit(1)).as("n_ref"),
         sum(when(coalesce(col("__gen"), lit(false)) &&
-            coalesce(col("__shared"), lit(0L)) >= lit(minShared.toLong) &&
-            coalesce(col("__shared"), lit(0L)) >=
+            col("__shared") >= lit(minShared.toLong) &&
+            col("__shared") >=
               ceil(lit(minSharedFrac) *
                 least(coalesce(col("__na"), lit(0L)),
                   coalesce(col("__nb"), lit(0L)))).cast("long"),

@@ -2559,4 +2559,34 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("sorted_intersect_count_long == size(array_intersect) on sorted " +
+      "duplicate-free long sets (r17: videoNearDups exact-count kernel)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      val a = Array.fill(rnd.nextInt(12))(rnd.nextLong()).distinct.sorted
+      val b =
+        (Array.fill(rnd.nextInt(12))(rnd.nextLong()) ++
+          a.take(rnd.nextInt(a.length + 1))).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+      .select($"i",
+        graft.functions.SketchExpressions
+          .sorted_intersect_count_long($"a", $"b").as("k"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+    assert(df.filter($"k" =!= $"ref").count() == 0)
+    // empty sides and the signed-order boundary (negative longs sort
+    // before positive in the kernel exactly as in array_sort)
+    val edge = Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(-5L, -1L, 3L), Array(-5L, 3L, 7L)),
+      (Array(Long.MinValue, 0L, Long.MaxValue),
+        Array(Long.MinValue, Long.MaxValue)))
+      .toDF("a", "b")
+      .select(graft.functions.SketchExpressions
+        .sorted_intersect_count_long($"a", $"b").as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(edge == Seq(0L, 2L, 2L), edge.toString)
+  }
 }
