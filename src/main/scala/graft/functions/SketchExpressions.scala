@@ -402,6 +402,34 @@ object SketchEval {
     c
   }
 
+  /** EXACT intersection size of two (h, s)-sorted duplicate-free
+    * hashed-string sets (r17 optimization round: the q112 per-pair
+    * merge spent ~85% of its time in UTF8String compares). The merge
+    * is driven by the 8-byte hashes; strings are compared only on hash
+    * ties, so the count equals the exact string-set intersection
+    * WHATEVER the hash collides on — acceleration, not approximation.
+    * Caller contract: both arrays sorted by array_sort over
+    * struct(h, s) (signed-long h first, binary s on ties) and
+    * duplicate-free in s.
+    */
+  def hashedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+      val ha = ra.getLong(0); val hb = rb.getLong(0)
+      if (ha < hb) i += 1
+      else if (ha > hb) j += 1
+      else {
+        val cmp = ra.getUTF8String(1).compareTo(rb.getUTF8String(1))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
   /** [[sortedIntersectCount]] over SORTED duplicate-free LONG arrays —
     * one merge pass per pair, signed-long order (callers sort with
     * array_sort over the same signed longs, so the orders agree).
@@ -1999,6 +2027,36 @@ object SketchExpressions {
 
   def sorted_intersect_count_long(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCountLong(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+
+  /** Exact string-set intersection count accelerated by per-element
+    * hashes ([[SketchEval.hashedIntersectCount]]): inputs are
+    * struct<h: long, s: string> arrays sorted by (h, s).
+    */
+  case class HashedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    // fields declared nullable so lambda-built structs (typed nullable
+    // by the analyzer) bind without a cast; the kernel contract is
+    // non-null elements (producers are transform over non-null sets)
+    private val elem = StructType(Seq(
+      StructField("h", LongType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(elem, containsNull = true),
+        ArrayType(elem, containsNull = true))
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      SketchEval.hashedIntersectCount(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$E.hashedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression) = copy(left = newLeft, right = newRight)
+  }
+
+  def hashed_intersect_count(a: Column, b: Column): Column =
+    GraftBridge.column(HashedIntersectCount(GraftBridge.expression(a),
       GraftBridge.expression(b)))
 
   /** Rademacher random-projection values of a float-array column

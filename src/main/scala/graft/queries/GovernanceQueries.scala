@@ -252,13 +252,18 @@ object GovernanceQueries {
               .as("sset"))
           .filter(size($"sset") > 0)
         // seed-0 of the q105 one-pass kernel (identical md5("0:"+sh)
-        // min); ss = the sorted shingle set for the per-pair exact
-        // intersection merge below. Checkpointed because the kernels
-        // are codegen-able and the pair joins below would otherwise
-        // fuse their computation into the pair loops (the q105 lesson)
+        // min); ss = the (hash, shingle)-sorted set for the per-pair
+        // EXACT intersection merge below — the xxhash64 prefix only
+        // accelerates the merge (strings are compared on hash ties, so
+        // the count is the exact string-set intersection; r17: the
+        // UTF8String-driven merge was ~85% of the pair stage).
+        // Checkpointed because the kernels are codegen-able and the
+        // pair joins below would otherwise fuse their computation into
+        // the pair loops (the q105 lesson)
         val meta = sample.select($"doc_id",
           size($"sset").cast("long").as("sz"),
-          array_sort($"sset").as("ss"),
+          expr("array_sort(transform(sset, x -> named_struct('h', xxhash64(x), 's', x)))")
+            .as("ss"),
           element_at(graft.functions.SketchExpressions
             .md5_minhash_sigs($"sset", 1), 1).as("m0"))
           .localCheckpoint(false)
@@ -285,7 +290,7 @@ object GovernanceQueries {
           .join(broadcast(szs.select($"doc_id".as("id_b"), $"sz".as("szb"),
             $"ss".as("ssb"))), Seq("id_b"))
           .select($"sza", $"szb", graft.functions.SketchExpressions
-            .sorted_intersect_count($"ssa", $"ssb").as("inter"))
+            .hashed_intersect_count($"ssa", $"ssb").as("inter"))
           .select($"inter", ($"sza" + $"szb" - $"inter").as("un"))
           .withColumn("above", $"inter" * 2 >= $"un")
           .withColumn("j1", $"inter".cast("double") / $"un".cast("double"))

@@ -2589,4 +2589,39 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(edge == Seq(0L, 2L, 2L), edge.toString)
   }
+
+  test("hashed_intersect_count == exact string intersection, including " +
+      "forced hash ties (r17: q112 merge acceleration, not approximation)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 100).map { i =>
+      val a = Array.fill(rnd.nextInt(20))("s" + rnd.nextInt(40)).distinct
+      val b = Array.fill(rnd.nextInt(20))("s" + rnd.nextInt(40)).distinct
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+      .select($"i",
+        expr("array_sort(transform(a, x -> named_struct('h', xxhash64(x), 's', x)))")
+          .as("ha"),
+        expr("array_sort(transform(b, x -> named_struct('h', xxhash64(x), 's', x)))")
+          .as("hb"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .select($"i", graft.functions.SketchExpressions
+        .hashed_intersect_count($"ha", $"hb").as("k"), $"ref")
+    assert(df.filter($"k" =!= $"ref").count() == 0)
+    // forced ties: identical h, differing s — the kernel must fall back
+    // to string compares and still count the exact set intersection
+    // (two colliding distinct strings on one side, one shared)
+    val tied = Seq((
+      Seq((1L, "aa"), (1L, "ab"), (2L, "zz")),
+      Seq((1L, "ab"), (2L, "zz"), (3L, "q")))).toDF("a", "b")
+      .select(
+        expr("array_sort(transform(a, x -> named_struct('h', x._1, 's', x._2)))")
+          .as("ha"),
+        expr("array_sort(transform(b, x -> named_struct('h', x._1, 's', x._2)))")
+          .as("hb"))
+      .select(graft.functions.SketchExpressions
+        .hashed_intersect_count($"ha", $"hb").as("k"))
+      .head().getLong(0)
+    assert(tied == 2L, s"tie path counted $tied, expected 2 (ab, zz)")
+  }
 }
