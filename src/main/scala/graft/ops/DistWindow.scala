@@ -153,6 +153,52 @@ object DistWindow {
       .drop("__bkt", "__w", "__rn", "__cw", "__offr", "__offw", "__totw")
   }
 
+  /** [[withGlobalRankAndBefore]] generalized to N weight columns (and
+    * no grand-total output): exact global rank + N exclusive running
+    * sums over ONE bucket exchange, one window pass and ONE broadcast
+    * prefix-sum table (r17 optimization round: q161 stacked a full
+    * withGlobalRank machinery and a full withRunningBeforeMulti
+    * machinery over the same doc-ordered rows — two exchanges, two
+    * count aggregates, two broadcast builds for what is one window).
+    * Contracts as [[withGlobalRank]] (monotone bucket, deterministic
+    * total order) plus non-negative weights (bucket totals are read as
+    * max of the nondecreasing inclusive running sums).
+    */
+  def withGlobalRankAndBeforeMulti(df: DataFrame, bucket: Column,
+      orderCols: Seq[Column], weights: Seq[(String, String)],
+      rankOut: String): DataFrame = {
+    require(weights.nonEmpty,
+      "withGlobalRankAndBeforeMulti: weights must be non-empty")
+    val parted = df.withColumn("__bkt", bucket)
+    val wR = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+    val wInc = wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = weights.foldLeft(
+      parted.withColumn("__rn", row_number().over(wR))) {
+      case (d, (src, out)) =>
+        d.withColumn(s"__cw_$out", sum(col(src)).over(wInc))
+    }
+    // per-bucket totals off the window's own exchange (ReuseExchange —
+    // see withGlobalRank)
+    val counts = local.groupBy(col("__bkt"))
+      .agg(max(col("__rn")).as("__n"),
+        weights.map { case (_, out) =>
+          max(col(s"__cw_$out")).as(s"__wt_$out") }: _*)
+    val wB = Window.partitionBy(pmod(col("__bkt"), lit(1)))
+      .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = weights.foldLeft(counts.withColumn("__offr",
+        coalesce(sum(col("__n")).over(wB), lit(0L)))) {
+      case (d, (_, out)) => d.withColumn(s"__offw_$out",
+        coalesce(sum(col(s"__wt_$out")).over(wB), lit(0L)))
+    }.select(col("__bkt") +: col("__offr") +:
+      weights.map { case (_, out) => col(s"__offw_$out") }: _*)
+    val joined = local.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(rankOut, col("__offr") + col("__rn"))
+    weights.foldLeft(joined) { case (d, (src, out)) =>
+      d.withColumn(out, col(s"__offw_$out") + col(s"__cw_$out") - col(src))
+    }.drop("__bkt" +: "__rn" +: "__offr" +: weights.flatMap {
+      case (_, out) => Seq(s"__cw_$out", s"__offw_$out") }: _*)
+  }
+
   /** Add `outCol` = exact 1-based rank under ORDER BY `orderCols` WITHIN
     * each `group` — the grouped form of [[withGlobalRank]]. A plain
     * `Window.partitionBy(group)` serializes each group through one task,

@@ -1259,9 +1259,6 @@ object CorpusQueries {
         val base = docs.select($"doc_id",
           regexp_count($"text", lit("\\S+"))
             .cast("long").as("len"))
-        val ranked = graft.ops.DistWindow.withGlobalRank(base,
-          floor($"doc_id" / 256.0).cast("long"),
-          Seq($"doc_id"), "rk")
         // the vocabulary SPACE is 3-word shingle types (the q114/q143
         // gram space): corpus word types saturate in dozens on this
         // synthetic data, gram types keep growing — the regime Heaps
@@ -1276,11 +1273,17 @@ object CorpusQueries {
               .gram_hash_seq(coalesce($"text", lit("")), 3)).as("g"))
           .groupBy($"g").agg(min($"doc_id").as("doc_id"))
           .groupBy($"doc_id").agg(count(lit(1)).as("new_terms"))
-        val joined = ranked.join(firstDoc, Seq("doc_id"), "left")
-          .select($"rk", $"len",
+        // rank + both exclusive running sums in ONE fused two-phase
+        // machinery (r17: the rank-then-running-before stack paid a
+        // second exchange + count + broadcast for the same doc order;
+        // joining firstDoc BEFORE the window keeps the row set and the
+        // doc_id total order identical)
+        val joined = base.join(firstDoc, Seq("doc_id"), "left")
+          .select($"doc_id", $"len",
             coalesce($"new_terms", lit(0L)).as("new_terms"))
-        val c2 = graft.ops.Packing.withRunningBeforeMulti(joined, "rk",
-          Seq("len" -> "tok_before", "new_terms" -> "v_before"))
+        val c2 = graft.ops.DistWindow.withGlobalRankAndBeforeMulti(joined,
+          floor($"doc_id" / 256.0).cast("long"), Seq($"doc_id"),
+          Seq("len" -> "tok_before", "new_terms" -> "v_before"), "rk")
         val n = base.agg(count(lit(1)).as("n_total"))
         val cps = c2.crossJoin(broadcast(n))
           .filter((expr("(rk & (rk - 1)) = 0") && $"rk" >= 16) ||

@@ -1990,6 +1990,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalRankAndBeforeMulti ≡ rank + N exclusive running sums " +
+      "(r17: the fused q161 machinery)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    val rows = rng.shuffle((0 until 400).toVector)
+      .map(k => (k.toLong, 1L + rng.nextInt(50).toLong,
+        rng.nextInt(7).toLong))
+    val df = rows.toDF("k", "w1", "w2")
+    val got = graft.ops.DistWindow.withGlobalRankAndBeforeMulti(df,
+        floor($"k" / 64L), Seq($"k"),
+        Seq("w1" -> "b1", "w2" -> "b2"), "r")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val sorted = rows.sortBy(_._1)
+    var r1 = 0L; var r2 = 0L
+    sorted.zipWithIndex.foreach { case ((k, w1, w2), i) =>
+      assert(got(k) == ((i + 1L, r1, r2)),
+        s"k=$k: ${got(k)} vs (${i + 1}, $r1, $r2)")
+      r1 += w1; r2 += w2
+    }
+  }
+
   test("WAV PCM round-trip: hand-rolled RIFF writer decodes through the " +
       "JDK javax.sound reader to exact samples; junk bytes fall to None") {
     // deterministic pseudo-random samples spanning the full short range
