@@ -133,7 +133,8 @@ object Ann {
   def bruteTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int): DataFrame = {
     val q = typedLit(query)
-    df.select(col(idCol), cosine(col(vecCol), q).as("sim"))
+    Par.spread(df, col(idCol))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -149,7 +150,7 @@ object Ann {
     */
   def bruteTopKBatch(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, qidCol: String, qvecCol: String, k: Int): DataFrame = {
-    val joined = corpus
+    val joined = Par.spread(corpus, col(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(
         queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))))

@@ -59,7 +59,7 @@ object Bpe {
     // ONE corpus shuffle (map-side-combinable word count), ONE bounded
     // collect of the vocab-sized dict; the merge rounds below are pure
     // in-memory arithmetic on it
-    val dict0 = docs
+    val dict0 = Par.spread(docs, col(textCol))
       .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
         .as("w"))
       .filter($"w".rlike("^[a-z0-9]+$"))
@@ -159,7 +159,7 @@ object Bpe {
       coalesce(col(textCol), lit("")), merges)
     // two-step select: CollapseProject keeps the non-cheap kernel alias
     // single-evaluation (the q29 double-eval lesson)
-    docs
+    Par.spread(docs, col(textCol))
       .withColumn("__bpe", st)
       .withColumn("n_words", element_at(col("__bpe"), 1))
       .withColumn("n_bpe_tokens", element_at(col("__bpe"), 2))

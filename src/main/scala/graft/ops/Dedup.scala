@@ -154,7 +154,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("__id"),
+    val sigs = Par.spread(df, col(idCol)).select(col(idCol).as("__id"),
         normalizeNN(col(textCol)).as("__norm"))
       .withColumn("__sig", graft.functions.SketchExpressions
         .minhash_sig(col("__norm"), numHashes, shingleK))
@@ -224,7 +224,8 @@ object Dedup {
         .contains(df.schema(idCol).dataType.typeName),
       s"$idCol must be an integral id column for the packed posting " +
         s"lists, got ${df.schema(idCol).dataType.typeName}")
-    val grams = df.select(col(idCol).cast("long").as("__id"),
+    val grams = Par.spread(df, col(idCol))
+      .select(col(idCol).cast("long").as("__id"),
         normalizeNN(col(textCol)).as("__t"))
       .select(col("__id"), explode(gramExpr).as("__g"))
     // ONE aggregation builds the posting list AND its true document
@@ -667,7 +668,11 @@ object Dedup {
     require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
     require(minDf >= 2, s"minDf must be >= 2 (cross-doc duplication): $minDf")
     val SE = graft.functions.SketchExpressions
-    val wins = docs.select(col(idCol), posexplode(
+    // kernel-stage parallelism (r17): window_digests on the wins pass
+    // and scrub_spans+md5 on the rebuild pass are the expensive per-row
+    // work; ONE spread feeds both so the exchange is shared
+    val src = Par.spread(docs, col(idCol))
+    val wins = src.select(col(idCol), posexplode(
         SE.window_digests(coalesce(col(textCol), lit("")), windowTokens))
       .as(Seq("pos", "dg")))
     val dup = wins.groupBy(col("dg"), col(idCol)).agg(count(lit(1)).as("__c"))
@@ -681,7 +686,7 @@ object Dedup {
       array().cast(ArrayType(org.apache.spark.sql.types.IntegerType)))
     val nTokens = regexp_count(coalesce(col(textCol), lit("")), lit("\\S+"))
     val st = SE.span_stats(starts, windowTokens, nTokens)
-    docs.join(spans, Seq(idCol), "left")
+    src.join(spans, Seq(idCol), "left")
       .select(col(idCol),
         nTokens.cast("long").as("n_tokens"),
         st.getItem(0).as("n_removed"),
@@ -934,7 +939,7 @@ object Dedup {
     // join bucket — an O(n^2) single-task cross-product with correct
     // output, invisible until corpus scale
     val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
-    val fps = df.select(col(idCol).as("__id"),
+    val fps = Par.spread(df, col(idCol)).select(col(idCol).as("__id"),
       graft.functions.SketchExpressions.simhash64(normalizeNN(col(textCol)))
         .as("__fp"))
     val banded = fps.select(col("__id"), col("__fp"),

@@ -49,8 +49,9 @@ object KMeans {
       iters: Int = 2, clusterCol: String = "cluster")
       : (DataFrame, Seq[(Int, Array[Double])]) = {
     require(iters >= 1, "iters must be >= 1")
+    val src = df
     var cents: Seq[(Int, Array[Double])] =
-      Ann.ivfCentroids(df, vecCol, idCol, k).zipWithIndex
+      Ann.ivfCentroids(src, vecCol, idCol, k).zipWithIndex
         .map { case (v, i) => (i, v.map(_.toDouble)) }
     def assign(src: DataFrame, cs: Seq[(Int, Array[Double])]): DataFrame =
       src.withColumn(clusterCol,
@@ -64,8 +65,8 @@ object KMeans {
     // input is persisted for the loop (the MLlib convention) and
     // released once the final centroids are fixed.
     val input = if (iters > 2)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+      src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else src
     var it = 1
     while (it < iters) {
       // exact integer partial sums per (cluster, dim); n is the member
@@ -86,7 +87,7 @@ object KMeans {
       it += 1
     }
     if (iters > 2) input.unpersist(false)
-    (assign(df, cents), cents)
+    (assign(src, cents), cents)
   }
 
   /** SSL-prototypes pruning (Sorscher et al. 2022, "Beyond neural

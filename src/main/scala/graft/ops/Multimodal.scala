@@ -304,7 +304,7 @@ object Multimodal {
     val schema = df.schema.add(payloadCol, BinaryType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val iIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    Par.spread(df, col(idCol)).mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(iIdx)
         Row.fromSeq(row.toSeq :+
@@ -344,7 +344,7 @@ object Multimodal {
     val schema = df.schema.add(payloadCol, BinaryType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val iIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    Par.spread(df, col(idCol)).mapPartitions { it =>
       val lums = new Array[Int](64)
       it.map { row =>
         val id = row.getLong(iIdx)
@@ -746,7 +746,7 @@ object Multimodal {
     val schema = df.schema.add(payloadCol, BinaryType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val iIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    Par.spread(df, col(idCol)).mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(iIdx)
         Row.fromSeq(row.toSeq :+
@@ -1116,7 +1116,7 @@ object Multimodal {
     val schema = df.schema.add(payloadCol, BinaryType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val iIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    Par.spread(df, col(idCol)).mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(iIdx)
         val nf = (4 + id % 5).toInt
@@ -1161,7 +1161,7 @@ object Multimodal {
     val schema = df.schema.add(payloadCol, BinaryType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val iIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    Par.spread(df, col(idCol)).mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(iIdx)
         val c = id % classes
@@ -1337,7 +1337,7 @@ object Multimodal {
     val schema = df.schema.add(payloadCol, BinaryType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val iIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    Par.spread(df, col(idCol)).mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(iIdx)
         val c = id % classes
@@ -1682,7 +1682,7 @@ object Multimodal {
     val schema = df.schema.add(payloadCol, BinaryType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val iIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    Par.spread(df, col(idCol)).mapPartitions { it =>
       val md = md5Local.get()
       def base(prefix: String, id: Long): Array[Int] = {
         val out = new Array[Int](64)

@@ -862,7 +862,11 @@ object VectorQueries {
       "q142_silhouette",
       (s, dir) => {
         import s.implicits._
-        val emb = table(s, dir, "embeddings")
+        // spread BEFORE kmeans (r17): the assignment feeds the 200×n
+        // silhouette cross below — a fused dot per (corpus row, sample)
+        // — and a single-row-group scan pins that stage to one core
+        val emb = graft.ops.Par.spread(
+          table(s, dir, "embeddings"), $"vec_id")
         val (assigned, _) =
           graft.ops.KMeans.kmeans(emb, "embedding", "vec_id", k = 8, iters = 2)
         // BOUNDED sample (~200 points via the q44 stride recipe): a
