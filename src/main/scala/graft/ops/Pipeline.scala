@@ -121,7 +121,13 @@ object Pipeline {
         // every downstream stage sees redacted text only
         when(col("__is_eval"), col("text"))
           .otherwise(SketchExpressions.pii_redact(col("text"))).as("text"))
-      .localCheckpoint(true)
+      // LAZY checkpoint (r17 optimization round): the eager variant paid
+      // a synchronous materialization job before any downstream stage
+      // could start; lazily the first consumer (the exact-dedup digest
+      // aggregation) materializes the same blocks inside its own job —
+      // q55 2.97 → 2.47 s, q80 3.47 → 2.63 s same-window best-of-3,
+      // stage semantics unchanged (still computed exactly once)
+      .localCheckpoint(false)
 
     val train0 = cleaned.filter(!col("is_eval")).select("doc_id", "text")
 
