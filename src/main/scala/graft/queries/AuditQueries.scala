@@ -295,7 +295,9 @@ object AuditQueries {
       "q122_winnow_contain",
       (s, dir) => {
         import s.implicits._
-        val fps = table(s, dir, "documents")
+        // kernel-stage parallelism (r17): the winnow fingerprint kernel
+        // would otherwise run on the single-row-group scan's one core
+        val fps = graft.ops.Par.spread(table(s, dir, "documents"), $"doc_id")
           .select($"doc_id", $"source",
             explode(SketchExpressions.winnow($"text", 3, 4)).as("fp"))
         val aset = fps.filter($"doc_id" % 3 === 0)
@@ -553,7 +555,7 @@ object AuditQueries {
       "q128_source_overlap",
       (s, dir) => {
         import s.implicits._
-        val fps = table(s, dir, "documents")
+        val fps = graft.ops.Par.spread(table(s, dir, "documents"), $"doc_id")
           .select($"source",
             explode(SketchExpressions.winnow($"text", 3, 4)).as("fp"))
           .distinct()
@@ -941,7 +943,7 @@ object AuditQueries {
       "q135_eval_nearest",
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
+        val docs = graft.ops.Par.spread(table(s, dir, "documents"), $"doc_id")
         val sh = SketchExpressions.word_shingles($"text", 4)
         val evalSh = docs.filter($"doc_id" % 50 === 0)
           .select($"doc_id".as("eval_id"), explode(sh).as("sg"))
@@ -991,7 +993,7 @@ object AuditQueries {
       "q143_ngram_novelty",
       (s, dir) => {
         import s.implicits._
-        val dg = table(s, dir, "documents")
+        val dg = graft.ops.Par.spread(table(s, dir, "documents"), $"doc_id")
           .select($"source",
             explode(graft.functions.SketchExpressions
               .word_shingles($"text", 3)).as("g0"))
@@ -1164,7 +1166,7 @@ object AuditQueries {
       "q158_spearman",
       (s, dir) => {
         import s.implicits._
-        val base = table(s, dir, "documents")
+        val base = graft.ops.Par.spread(table(s, dir, "documents"), $"doc_id")
           .select($"source", $"doc_id",
             regexp_count($"text", lit("\\S+"))
               .cast("long").as("len"),

@@ -622,7 +622,8 @@ object CorpusQueries {
       "q56_passage_dedup",
       (s, dir) => {
         import s.implicits._
-        def shingled = table(s, dir, "documents")
+        def shingled = graft.ops.Par
+          .spread(table(s, dir, "documents"), $"doc_id")
           .select($"doc_id",
             graft.functions.SketchExpressions.word_shingles($"text", 6)
               .as("shs"))
@@ -1268,7 +1269,8 @@ object CorpusQueries {
         // parse) — no per-gram string materialization, and the
         // first-occurrence exchange carries (long, long) rows only;
         // per-doc duplicate hashes are harmless under groupBy(g).min
-        val firstDoc = docs.select($"doc_id",
+        val firstDoc = graft.ops.Par.spread(docs, $"doc_id")
+          .select($"doc_id",
             explode(graft.functions.SketchExpressions
               .gram_hash_seq(coalesce($"text", lit("")), 3)).as("g"))
           .groupBy($"g").agg(min($"doc_id").as("doc_id"))

@@ -184,7 +184,8 @@ object GovernanceQueries {
         // (source, gram) exchange carries 8-byte longs whatever the
         // shingle text length, and both engines hash identically so the
         // distinct/df counts stay exactly replayable (round 8)
-        val pre = docs.select($"source",
+        val pre = graft.ops.Par.spread(docs, $"doc_id")
+          .select($"source",
             explode(graft.functions.SketchExpressions
               .word_shingles($"text", 3)).as("g0"))
           .select($"source",
@@ -245,7 +246,8 @@ object GovernanceQueries {
       "q112_lsh_tune",
       (s, dir) => {
         import s.implicits._
-        val sample = table(s, dir, "documents")
+        val sample = graft.ops.Par
+          .spread(table(s, dir, "documents"), $"doc_id")
           .filter($"doc_id" < 10000)
           .select($"doc_id",
             graft.functions.SketchExpressions.word_shingles($"text", 3)
