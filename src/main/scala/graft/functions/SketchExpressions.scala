@@ -410,7 +410,13 @@ object SketchEval {
     * WHATEVER the hash collides on — acceleration, not approximation.
     * Caller contract: both arrays sorted by array_sort over
     * struct(h, s) (signed-long h first, binary s on ties) and
-    * duplicate-free in s.
+    * duplicate-free in s. The declared input type admits null array
+    * elements / null `s` fields (lambda-built structs bind as nullable)
+    * but the merge loop reads them UNGUARDED — a caller whose arrays
+    * actually contain nulls gets a runtime NullPointerException, not an
+    * analysis-time error (ADVICE r17). Every current producer builds
+    * the arrays from non-null kernel output; keep it that way or add a
+    * null sweep before calling.
     */
   def hashedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()

@@ -92,6 +92,40 @@ object Bpe {
       scala.collection.mutable.HashMap.empty[(String, String), Long]
     val index = scala.collection.mutable
       .HashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    // Lazy-deletion max-heap over (weight desc, lhs asc, rhs asc) — the
+    // SAME total order the previous per-round `minBy { (-w, l, r) }`
+    // full-map rescan used, so the learned merge table is bit-identical
+    // (pinned in OpsSpec against a full-recount reference). Every weight
+    // write pushes a fresh (w, l, r) entry; a popped entry is valid iff
+    // the map still holds exactly that weight for that pair — stale
+    // entries (superseded or deleted weights) are discarded on pop.
+    // Each round becomes O(log n) amortized instead of an O(n) rescan
+    // (round-18, VERDICT r17 #3).
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      1024,
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val cw = java.lang.Long.compare(b._1, a._1) // weight DESC
+          if (cw != 0) cw
+          else {
+            val cl = a._2.compareTo(b._2) // lhs ASC (ASCII alnum ≡ UTF8)
+            if (cl != 0) cl else a._3.compareTo(b._3) // rhs ASC
+          }
+        }
+      })
+    def addWeight(k: (String, String), delta: Long): Unit = {
+      val nw = weights.getOrElse(k, 0L) + delta
+      if (nw == 0L) weights.remove(k)
+      else {
+        weights.update(k, nw)
+        heap.add((nw, k._1, k._2))
+      }
+    }
+    // initial build: plain map updates (one heap push per DISTINCT pair
+    // after the loop, not one per (pair, word) instance — the instance
+    // count is Σ|word| over the vocab, the distinct-pair count is
+    // symbol-alphabet-bounded and tiny)
     var i = 0
     while (i < seqs.length) {
       for (k <- wordPairs(seqs(i))) {
@@ -100,17 +134,25 @@ object Bpe {
       }
       i += 1
     }
+    for ((k, w) <- weights) heap.add((w, k._1, k._2))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      if (weights.isEmpty) exhausted = true // no adjacent pairs left
+      // pop until the top entry still matches the live map (lazy
+      // deletion); an empty heap ⇒ weights is empty too (every live
+      // weight has at least one matching heap entry by construction)
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (weights.get((e._2, e._3)).contains(e._1)) top = e
+      }
+      if (top == null) exhausted = true // no adjacent pairs left
       else {
         // max weight, ties ascending on (lhs, rhs) — symbols are ASCII
         // alnum so Scala string order ≡ the previous orderBy's UTF8
         // binary order
-        val ((l, rt), w) = weights.minBy { case ((l0, r0), w0) =>
-          (-w0, l0, r0) }
+        val (w, l, rt) = top
         merges += Merge(r, l, rt, l + rt, w)
         // leftmost non-overlapping replace-all — String.replace, the
         // same semantics as the codegen StringReplace the apply kernel
@@ -121,13 +163,10 @@ object Bpe {
           scala.collection.mutable.ArrayBuffer.empty)
         // dedupe stale repeats so a word's delta applies exactly once
         for (x <- cands.distinct if seqs(x).contains(from)) {
-          for (k <- wordPairs(seqs(x))) {
-            val nw = weights(k) - cnts(x)
-            if (nw == 0L) weights.remove(k) else weights.update(k, nw)
-          }
+          for (k <- wordPairs(seqs(x))) addWeight(k, -cnts(x))
           seqs(x) = seqs(x).replace(from, to)
           for (k <- wordPairs(seqs(x))) {
-            weights.update(k, weights.getOrElse(k, 0L) + cnts(x))
+            addWeight(k, cnts(x))
             index.getOrElseUpdate(k,
               scala.collection.mutable.ArrayBuffer.empty) += x
           }

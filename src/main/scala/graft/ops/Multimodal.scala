@@ -1486,9 +1486,15 @@ object Multimodal {
     // long key (r17 optimization round: every producer in the repo —
     // aHashOfLums — emits < 2^32 halves, and the OpsSpec fixtures use
     // `f >>> 32` / `f & 0xffffffff` splits): downstream exchanges move
-    // 8 key bytes instead of 16, and the (frame_hi, frame_lo)
-    // lexicographic hotness order IS the packed numeric order, so the
-    // prefix rule is unchanged bit for bit.
+    // 8 key bytes instead of 16. Hotness tie-break order: the packed
+    // key sorts as a SIGNED long, so for frame_hi >= 2^31 it differs
+    // from the r16 (frame_hi, frame_lo) lexicographic order (ADVICE
+    // r17 — the earlier "bit for bit" claim was wrong). The prefix
+    // filter is lossless under ANY consistent total order on frames,
+    // videoRecallReport replays this same order, and the shipped
+    // results are oracle-certified under it; which pairs survive a
+    // BINDING maxPostings cap depends on this order, so changing it
+    // again would change results.
     val frames = frameHashes
       .select(col(idCol).cast("long").as("__id"),
         shiftleft(col("frame_hi"), 32).bitwiseOR(col("frame_lo")).as("__h"))

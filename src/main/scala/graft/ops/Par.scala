@@ -1,8 +1,13 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, DataSourceV2Relation, DataSourceV2ScanRelation}
 
-/** Kernel-stage parallelism guard (r17 optimization round).
+/** Kernel-stage parallelism guard (r17 optimization round; probe
+  * reworked in r18).
   *
   * Parquet scans parallelize at row-group granularity, so a small file
   * written as ONE row group (or any unsplittable input — the guide's
@@ -19,6 +24,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   * sortBeforeRepartition local sort (SPARK-23207) and stay
   * deterministic under task retry (SPARK-38388).
   *
+  * Probe discipline (round-18, VERDICT r17 #3 / ADVICE r17): the r17
+  * probe was `df.rdd.getNumPartitions`, which forces FULL physical
+  * planning of the input subtree per call site and — under AQE — would
+  * eagerly MATERIALIZE upstream query stages if spread were ever handed
+  * a shuffled input. Spread is for SCAN-ROOTED inputs only; that is now
+  * enforced: the analyzed plan must be narrow ops (project / filter /
+  * generate / alias) over exactly one file relation, otherwise spread
+  * is a no-op. Only then is the leaf scan's planned partition count
+  * read off the physical scan node — cheap (one narrow scan plan, no
+  * RDD chain, no AQE stages, file listing shared through the relation)
+  * and side-effect-free. A localCheckpoint'd input (LogicalRDD leaf)
+  * is therefore a structural no-op too — the r17 storageLevel guard
+  * could not see RDD-level persistence (ADVICE r17 item 2).
+  *
   * Measured motivation (sf0.1, 32 cores, same-window A/B): a BLANKET
   * repartition in the table reader was a net wash — kernel-heavy
   * queries gained 0.5-1.8 s each while cheap row-op queries lost
@@ -28,8 +47,36 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Par {
 
-  /** `df` repartitioned to the session's core count by `key` iff the
-    * current plan supplies fewer partitions; unchanged otherwise.
+  /** True iff the plan is narrow single-branch ops over ONE file
+    * relation leaf — the only shape whose physical probe is known cheap
+    * and safe (no exchanges to materialize, partition count = scan
+    * split count).
+    */
+  private[graft] def scanRooted(p: LogicalPlan): Boolean = p match {
+    case _: LogicalRelation         => true
+    case _: DataSourceV2Relation    => true
+    case _: DataSourceV2ScanRelation => true
+    case u: Project                 => scanRooted(u.child)
+    case u: Filter                  => scanRooted(u.child)
+    case u: Generate                => scanRooted(u.child)
+    case u: SubqueryAlias           => scanRooted(u.child)
+    case _                          => false
+  }
+
+  /** Planned partition count of the (single) leaf scan of a scan-rooted
+    * plan, from the physical scan node — never from Dataset.rdd.
+    */
+  private[graft] def plannedScanPartitions(df: DataFrame): Option[Int] = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+      case b: BatchScanExec      => b.inputRDDs().map(_.getNumPartitions).sum
+    }
+    if (scans.isEmpty) None else Some(scans.sum)
+  }
+
+  /** `df` repartitioned to the session's core count by `key` iff it is
+    * a scan-rooted plan whose scan supplies fewer partitions; unchanged
+    * otherwise.
     */
   def spread(df: DataFrame, key: Column): DataFrame = {
     // a persisted input is read from block storage by every consumer;
@@ -37,8 +84,11 @@ object Par {
     // of the cache hit (measured +0.3 s on the q80 tokenizer chain)
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       return df
+    if (!scanRooted(df.queryExecution.analyzed)) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key)
-    else df
+    plannedScanPartitions(df) match {
+      case Some(n) if n < cores => df.repartition(cores, key)
+      case _                    => df
+    }
   }
 }

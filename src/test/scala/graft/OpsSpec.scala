@@ -1271,6 +1271,63 @@ class OpsSpec extends AnyFunSuite {
       == 26 - 20)
   }
 
+  test("bpe: lazy-deletion heap training is bit-identical to a " +
+      "full-recount reference (round-18 merge-loop rewrite pin)") {
+    // the r18 heap replaces each round's minBy full-map rescan; this
+    // reference re-derives every round's pair weights from scratch and
+    // picks max weight / ties ascending (lhs, rhs) — any drift in the
+    // heap's lazy-deletion bookkeeping (stale entries surviving, missed
+    // pushes on delta updates) shows up as a differing merge table
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog the end",
+      "pack my box with five dozen liquor jugs again and again",
+      "she sells sea shells by the sea shore surely",
+      "peter piper picked a peck of pickled peppers",
+      "a aa aaa aaaa ab ab abab baba abba 123 1213 31,.!? mixedCASE low")
+    val docs = texts.toDF("text")
+    val got = graft.ops.Bpe.trainMerges(docs, "text", 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val words = texts.flatMap(_.toLowerCase.split("\\s+"))
+      .filter(_.matches("^[a-z0-9]+$"))
+    val dict = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    words.foreach(w => dict.update(w, dict.getOrElse(w, 0L) + 1L))
+    var segs: Seq[(Array[String], Long)] =
+      dict.toSeq.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val ref =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= 12 && !stop) {
+      val weights = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- segs; j <- 0 until syms.length - 1)
+        weights.update((syms(j), syms(j + 1)),
+          weights.getOrElse((syms(j), syms(j + 1)), 0L) + c)
+      if (weights.isEmpty) stop = true
+      else {
+        val ((l, rt), w) = weights.minBy { case ((l0, r0), w0) =>
+          (-w0, l0, r0) }
+        ref += ((r, l, rt, l + rt, w))
+        segs = segs.map { case (syms, c) =>
+          // leftmost non-overlapping merge over symbol boundaries — the
+          // semantics of the delimited String.replace
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == rt) {
+              out += l + rt; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.toArray, c)
+        }
+        r += 1
+      }
+    }
+    assert(got == ref.toSeq,
+      s"heap-trained merges diverge from full-recount reference:\n" +
+        s"got  $got\nwant ${ref.toSeq}")
+  }
+
   test("block scrub removes shared boilerplate everywhere but first") {
     // doc 1 and 2 share their first 10-token block (the "header"); doc 2
     // keeps only its unique tail; doc 3 is a full duplicate of doc 1's

@@ -20,6 +20,38 @@ class PartitionPruneSpec extends AnyFunSuite {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_prune").toString + "/d"
 
+  /** CPU-time budget instrument (round-18, VERDICT r17 #1): the planning
+    * budgets below used to be WALL-clock assertions, which tripped in the
+    * driver's loaded verify window (r17: PartitionPruneSpec failed at
+    * 9-min suite wall under loadavg ~4 with no code change anywhere near
+    * this spec). h3Covering is single-threaded driver-side math, so
+    * current-thread CPU time measures exactly the work the budget exists
+    * to bound — a regression to 7^(res-p) child enumeration burns CPU by
+    * orders of magnitude, while machine load only steals wall. The
+    * cell-count / soundness / refusal assertions stay strict.
+    */
+  private val cpuBean = java.lang.management.ManagementFactory.getThreadMXBean
+  private def cpuMs[T](body: => T): (T, Double) = {
+    val t0 = cpuBean.getCurrentThreadCpuTime
+    val r = body
+    (r, (cpuBean.getCurrentThreadCpuTime - t0) / 1e6)
+  }
+
+  test("cpu-time budget instrument is live: measures compute, not wall") {
+    assert(cpuBean.isCurrentThreadCpuTimeSupported,
+      "ThreadMXBean CPU time unsupported — budget assertions would be vacuous")
+    // negative pin: a deliberate ~100 ms busy spin MUST register as CPU,
+    // so an artificially exponentialized covering (pure compute) cannot
+    // hide from the budgets below the way it could from a quiet wall
+    val (_, ms) = cpuMs {
+      var x = 0L
+      val until = cpuBean.getCurrentThreadCpuTime + 100L * 1000000L
+      while (cpuBean.getCurrentThreadCpuTime < until) { x += 1 }
+      x
+    }
+    assert(ms >= 80.0, f"busy spin of 100 ms CPU measured only $ms%.1f ms")
+  }
+
   /** Points spread over the world from deterministic key coords. */
   private def pointTable(n: Int): GeoTable = {
     val df = spark.range(n).toDF("id")
@@ -145,7 +177,7 @@ class PartitionPruneSpec extends AnyFunSuite {
       "holds at high res, pole neighborhoods, and antimeridian edges; " +
       "planning time bounded") {
     val rnd = new scala.util.Random(20260816L)
-    val t0 = System.nanoTime()
+    val cpu0 = cpuBean.getCurrentThreadCpuTime
     var hits = 0
     // random interior points of random boxes: every point's cell must be
     // in the covering whenever a covering is returned at all
@@ -203,8 +235,9 @@ class PartitionPruneSpec extends AnyFunSuite {
         assert(keys.contains(cell), s"hier cell $cell ($py,$px) missing")
       }
     }
-    val sec = (System.nanoTime() - t0) / 1e9
-    assert(sec < 30.0, f"covering planning took $sec%.1f s — not interactive")
+    val sec = (cpuBean.getCurrentThreadCpuTime - cpu0) / 1e9
+    assert(sec < 30.0,
+      f"covering planning burned $sec%.1f s CPU — not interactive")
   }
 
   test("h3 covering planning budget: res 13-15 random boxes stay within " +
@@ -214,9 +247,10 @@ class PartitionPruneSpec extends AnyFunSuite {
     // res-delta IF the ancestor pick ever regresses — this pins the
     // planning cost itself, not just covering correctness. Budget: the
     // refinement loop is structurally bounded by headroom (4*MaxKeys)
-    // cells per level * <=15 levels of ~us-scale cell math, so 2 s per
-    // call is generous even on a loaded CI machine; a regression to
-    // 7^(res-p) enumeration blows it by orders of magnitude.
+    // cells per level * <=15 levels of ~us-scale cell math, so 2 s of
+    // CPU per call is generous; a regression to 7^(res-p) enumeration
+    // blows it by orders of magnitude. CPU time, not wall (r17 driver
+    // flake), see the instrument note at the top of the spec.
     val rnd = new scala.util.Random(20260817L)
     for (i <- 1 to 30) {
       val res = 13 + rnd.nextInt(3)
@@ -229,9 +263,8 @@ class PartitionPruneSpec extends AnyFunSuite {
       val w = math.pow(10.0, -5.0 + rnd.nextDouble() * 5)
       val (x0, y0) = (math.max(-180, cx - w), math.max(-90, cy - w))
       val (x1, y1) = (math.min(180, cx + w), math.min(90, cy + w))
-      val t0 = System.nanoTime()
-      val cov = SpatialPartitioning.h3Covering(res, x0, y0, x1, y1)
-      val ms = (System.nanoTime() - t0) / 1e6
+      val (cov, ms) =
+        cpuMs(SpatialPartitioning.h3Covering(res, x0, y0, x1, y1))
       cov.foreach { c =>
         assert(c.size <= SpatialPartitioning.MaxKeys,
           s"res=$res box=($x0,$y0,$x1,$y1): ${c.size} keys > MaxKeys")
@@ -239,21 +272,19 @@ class PartitionPruneSpec extends AnyFunSuite {
       }
       assert(ms < 2000,
         f"res=$res box=($x0%.5f,$y0%.5f,$x1%.5f,$y1%.5f) " +
-          f"${if (cov.isDefined) "covering" else "refusal"} took $ms%.0f ms")
+          f"${if (cov.isDefined) "covering" else "refusal"} burned $ms%.0f ms CPU")
     }
     // adversarial oversize: a continent-scale box at res 15 would be
-    // ~10^13 cells — the headroom bail must refuse in bounded time,
+    // ~10^13 cells — the headroom bail must refuse in bounded work,
     // never descend the full child tree
-    val t0 = System.nanoTime()
-    val big = SpatialPartitioning.h3Covering(15, -50.0, -30.0, 50.0, 30.0)
-    val ms = (System.nanoTime() - t0) / 1e6
+    val (big, ms) =
+      cpuMs(SpatialPartitioning.h3Covering(15, -50.0, -30.0, 50.0, 30.0))
     assert(big.isEmpty, "continent-scale res-15 covering must refuse")
-    assert(ms < 2000, f"oversize refusal took $ms%.0f ms — not a bail")
+    assert(ms < 2000, f"oversize refusal burned $ms%.0f ms CPU — not a bail")
     // pole-cap at max res: same bound through the polar seeding path
-    val t1 = System.nanoTime()
-    SpatialPartitioning.h3Covering(15, -180.0, 89.999, 180.0, 90.0)
-    val ms2 = (System.nanoTime() - t1) / 1e6
-    assert(ms2 < 2000, f"polar res-15 call took $ms2%.0f ms")
+    val (_, ms2) =
+      cpuMs(SpatialPartitioning.h3Covering(15, -180.0, 89.999, 180.0, 90.0))
+    assert(ms2 < 2000, f"polar res-15 call burned $ms2%.0f ms CPU")
   }
 
   test("h3 cellChildren: digit-tree completeness — every cell is among " +

@@ -323,4 +323,64 @@ class PlanRuleSpec extends AnyFunSuite {
         geo.st_makeenvelope(-60, -30, 60, 30))).count()
     assert(df.count() == want)
   }
+
+  /** Round-18 Par.spread probe pins (VERDICT r17 #7): spread decisions
+    * must be identical to the r17 rdd-probe behavior on its supported
+    * inputs — spread a 1-partition scan, leave a >= cores scan alone —
+    * WITHOUT Dataset.rdd (which forces full physical planning and, under
+    * AQE, materializes upstream stages). Non-scan-rooted and
+    * checkpointed inputs are structural no-ops.
+    */
+  private def hasSpreadExchange(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }.nonEmpty
+
+  test("Par.spread fires on a 1-partition scan-rooted input") {
+    val out = java.nio.file.Files.createTempDirectory("graft_spread").toString + "/one"
+    spark.range(1000).toDF("id").coalesce(1).write.parquet(out)
+    val df = spark.read.parquet(out)
+    assert(graft.ops.Par.plannedScanPartitions(df).contains(1))
+    val spreadDf = graft.ops.Par.spread(df, col("id"))
+    assert(hasSpreadExchange(spreadDf), "1-partition scan must be spread")
+    // narrow ops above the scan keep it scan-rooted
+    val narrow = df.filter(col("id") > 10).select(col("id"))
+    assert(hasSpreadExchange(graft.ops.Par.spread(narrow, col("id"))))
+    assert(spreadDf.count() == 1000)
+  }
+
+  test("Par.spread is a no-op on a many-partition scan, a shuffled " +
+      "input, and a localCheckpoint'd input") {
+    val cores = spark.sparkContext.defaultParallelism
+    val out = java.nio.file.Files.createTempDirectory("graft_spread").toString + "/many"
+    spark.range(20000).toDF("id")
+      .withColumn("pad", md5(col("id").cast("string")))
+      .write.parquet(out)
+    // small files bin-pack into one split at the default 128m, so force
+    // many planned splits the way a production-size scan would have them
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    val oldOpen = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8k")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val many = spark.read.parquet(out)
+      assert(graft.ops.Par.plannedScanPartitions(many).exists(_ >= cores))
+      assert(!hasSpreadExchange(graft.ops.Par.spread(many, col("id"))),
+        ">= cores scan must not be re-shuffled")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldOpen)
+    }
+    // aggregated input: upstream exchange — probing it under AQE would
+    // materialize stages, so spread must refuse structurally
+    val one = spark.read.parquet(out).groupBy(col("id")).count()
+      .select(col("id"))
+    assert(!graft.ops.Par.scanRooted(one.queryExecution.analyzed))
+    val spreadAgg = graft.ops.Par.spread(one, col("id"))
+    assert(spreadAgg eq one, "non-scan-rooted input must pass through")
+    // checkpointed input (LogicalRDD leaf): RDD-level persistence the
+    // storageLevel guard can't see (ADVICE r17) — structural no-op now
+    val ck = spark.range(100).toDF("id").localCheckpoint(true)
+    assert(graft.ops.Par.spread(ck, col("id")) eq ck)
+  }
 }
